@@ -1,0 +1,473 @@
+"""Delta transaction-log replay as pure PySpark DataFrame operations.
+
+This is the engine-like core the reference delegates to delta-rs
+(``/root/reference/levi/__init__.py:3,14,57,109`` — ``DeltaTable`` /
+``get_add_actions``). We rebuild it Spark-first:
+
+* JSON commits are read with ``spark.read.schema(...).json`` (explicit
+  action schema, so ``partitionValues`` is a real ``map<string,string>``),
+  tagged with their commit version via the ``_metadata.file_path`` hidden
+  column.
+* Parquet checkpoints are read with ``spark.read.parquet`` and unioned in
+  at the checkpoint version (fixtures: ``with_checkpoint``, ``no_replay``
+  — commits before the checkpoint may be vacuumed away).
+* Reconciliation — per-path "last action wins, add beats remove within a
+  version" — is a single window (`row_number` over path ordered by
+  version desc). No driver-side loops over actions: a log with millions
+  of add actions stays distributed until a caller explicitly collects
+  file lists for a scan.
+* Per-file stats (``numRecords`` / ``minValues`` / ``maxValues`` /
+  ``nullCount``) arrive as a JSON string (``basic_append``), as a struct
+  column in checkpoints, or not at all (``no_stats``); we normalize with
+  ``from_json`` against a stats schema derived from the table's
+  ``metaData.schemaString``.
+
+Semantics cross-checked against the reference's fixture corpus at
+``/root/reference/tests/reader_tests/generated/`` (11 tables: checkpoint
+replay, vacuumed history, schema change, null/unicode/typed partitions,
+stats variants).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from dataclasses import dataclass
+from functools import reduce
+from urllib.parse import unquote
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_COMMIT_RE = re.compile(r"^(\d{20})\.json$")
+_CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
+
+# Action schema for reading commit JSON files (subset of the Delta
+# protocol that matters for snapshot reconstruction).
+_ADD_TYPE = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("partitionValues", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("size", T.LongType()),
+        T.StructField("modificationTime", T.LongType()),
+        T.StructField("dataChange", T.BooleanType()),
+        T.StructField("stats", T.StringType()),
+        T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+_REMOVE_TYPE = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("deletionTimestamp", T.LongType()),
+        T.StructField("dataChange", T.BooleanType()),
+    ]
+)
+_METADATA_TYPE = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("description", T.StringType()),
+        T.StructField(
+            "format",
+            T.StructType(
+                [
+                    T.StructField("provider", T.StringType()),
+                    T.StructField("options", T.MapType(T.StringType(), T.StringType())),
+                ]
+            ),
+        ),
+        T.StructField("schemaString", T.StringType()),
+        T.StructField("partitionColumns", T.ArrayType(T.StringType())),
+        T.StructField("configuration", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("createdTime", T.LongType()),
+    ]
+)
+_PROTOCOL_TYPE = T.StructType(
+    [
+        T.StructField("minReaderVersion", T.IntegerType()),
+        T.StructField("minWriterVersion", T.IntegerType()),
+    ]
+)
+COMMIT_SCHEMA = T.StructType(
+    [
+        T.StructField("add", _ADD_TYPE),
+        T.StructField("remove", _REMOVE_TYPE),
+        T.StructField("metaData", _METADATA_TYPE),
+        T.StructField("protocol", _PROTOCOL_TYPE),
+    ]
+)
+
+# Leaf types for which Delta collects min/max stats.
+_MINMAX_TYPES = (
+    T.StringType,
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+    T.DateType,
+    T.TimestampType,
+    T.BooleanType,
+)
+
+
+def _minmax_schema(schema: T.StructType) -> T.StructType:
+    """Schema for parsing ``minValues``/``maxValues`` JSON: recurse into
+    structs, keep stats-eligible leaves, drop arrays/maps/binary."""
+    fields = []
+    for f in schema.fields:
+        if isinstance(f.dataType, T.StructType):
+            nested = _minmax_schema(f.dataType)
+            if nested.fields:
+                fields.append(T.StructField(f.name, nested))
+        elif isinstance(f.dataType, _MINMAX_TYPES):
+            fields.append(T.StructField(f.name, f.dataType))
+    return T.StructType(fields)
+
+
+def _nullcount_schema(schema: T.StructType) -> T.StructType:
+    """nullCount mirrors the data schema with long leaves (arrays/maps
+    included — Delta records their null counts)."""
+    fields = []
+    for f in schema.fields:
+        if isinstance(f.dataType, T.StructType):
+            fields.append(T.StructField(f.name, _nullcount_schema(f.dataType)))
+        else:
+            fields.append(T.StructField(f.name, T.LongType()))
+    return T.StructType(fields)
+
+
+def stats_schema(data_schema: T.StructType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("numRecords", T.LongType()),
+            T.StructField("minValues", _minmax_schema(data_schema)),
+            T.StructField("maxValues", _minmax_schema(data_schema)),
+            T.StructField("nullCount", _nullcount_schema(data_schema)),
+        ]
+    )
+
+
+def _leaf_paths(schema: T.StructType, prefix: str = "") -> list[str]:
+    out = []
+    for f in schema.fields:
+        p = f"{prefix}{f.name}"
+        if isinstance(f.dataType, T.StructType):
+            out.extend(_leaf_paths(f.dataType, p + "."))
+        else:
+            out.append(p)
+    return out
+
+
+@dataclass
+class TableMetadata:
+    id: str | None
+    schema: T.StructType
+    partition_columns: list[str]
+    configuration: dict[str, str]
+
+    @property
+    def data_columns(self) -> list[str]:
+        return [f.name for f in self.schema.fields]
+
+    @property
+    def physical_schema(self) -> T.StructType:
+        """Schema of the parquet data files: table schema minus partition
+        columns (Delta stores partition values only in the log/paths)."""
+        return T.StructType(
+            [f for f in self.schema.fields if f.name not in set(self.partition_columns)]
+        )
+
+
+class DeltaLog:
+    """Reader for a Delta table's ``_delta_log`` directory."""
+
+    def __init__(self, spark: SparkSession, table_path: str):
+        self.spark = spark
+        self.table_path = os.path.abspath(table_path)
+        self.log_path = os.path.join(self.table_path, "_delta_log")
+        if not os.path.isdir(self.log_path):
+            raise FileNotFoundError(f"not a Delta table (no _delta_log): {table_path}")
+
+    # -- log-dir listing (one driver-side listing; the log dir is O(versions)) --
+
+    def _entries(self) -> tuple[list[int], list[int]]:
+        commits, checkpoints = [], []
+        for name in os.listdir(self.log_path):
+            if m := _COMMIT_RE.match(name):
+                commits.append(int(m.group(1)))
+            elif m := _CHECKPOINT_RE.match(name):
+                checkpoints.append(int(m.group(1)))
+        return sorted(commits), sorted(checkpoints)
+
+    def latest_version(self) -> int:
+        commits, checkpoints = self._entries()
+        if not commits and not checkpoints:
+            raise FileNotFoundError(f"empty _delta_log at {self.log_path}")
+        return max(commits + checkpoints)
+
+    def snapshot(self, version: int | None = None) -> "Snapshot":
+        commits, checkpoints = self._entries()
+        latest = max(commits + checkpoints)
+        v = latest if version is None else version
+        if version is not None and version > latest:
+            raise ValueError(f"version {version} > latest {latest}")
+        usable_cps = [c for c in checkpoints if c <= v]
+        cp = max(usable_cps) if usable_cps else None
+        commit_versions = [c for c in commits if (cp is None or c > cp) and c <= v]
+        return Snapshot(self, v, cp, commit_versions)
+
+
+class Snapshot:
+    """A Delta snapshot at a fixed version: add-actions DataFrame,
+    resolved table metadata, and data-plane reads."""
+
+    def __init__(
+        self,
+        log: DeltaLog,
+        version: int,
+        checkpoint_version: int | None,
+        commit_versions: list[int],
+    ):
+        self.log = log
+        self.spark = log.spark
+        self.version = version
+        self._cp = checkpoint_version
+        self._commit_versions = commit_versions
+        self._metadata: TableMetadata | None = None
+        self._actions: DataFrame | None = None
+
+    # ---- raw action frames -------------------------------------------------
+
+    def _commit_path(self, v: int) -> str:
+        return os.path.join(self.log.log_path, f"{v:020d}.json")
+
+    def _actions_df(self) -> DataFrame:
+        """All actions (checkpoint ∪ commits) tagged with their version."""
+        if self._actions is not None:
+            return self._actions
+        parts: list[DataFrame] = []
+        if self._commit_versions:
+            paths = [self._commit_path(v) for v in self._commit_versions]
+            df = (
+                self.spark.read.schema(COMMIT_SCHEMA)
+                .json(paths)
+                .withColumn(
+                    "version",
+                    F.regexp_extract(F.col("_metadata.file_path"), r"(\d{20})\.json$", 1)
+                    .cast("long"),
+                )
+            )
+            parts.append(df)
+        if self._cp is not None:
+            cp_path = os.path.join(self.log.log_path, f"{self._cp:020d}.checkpoint.parquet")
+            raw = self.spark.read.parquet(cp_path)
+            cols = {f.name for f in raw.schema.fields}
+            add_fields = (
+                {f.name for f in raw.schema["add"].dataType.fields} if "add" in cols else set()
+            )
+            add_col = (
+                F.struct(
+                    F.col("add.path").alias("path"),
+                    F.col("add.partitionValues").alias("partitionValues"),
+                    F.col("add.size").alias("size"),
+                    F.col("add.modificationTime").alias("modificationTime"),
+                    F.col("add.dataChange").alias("dataChange"),
+                    (
+                        F.col("add.stats")
+                        if "stats" in add_fields
+                        else F.lit(None).cast("string")
+                    ).alias("stats"),
+                    (
+                        F.col("add.tags")
+                        if "tags" in add_fields
+                        else F.lit(None).cast(T.MapType(T.StringType(), T.StringType()))
+                    ).alias("tags"),
+                )
+                if "add" in cols
+                else F.lit(None).cast(_ADD_TYPE)
+            )
+            remove_col = (
+                F.struct(
+                    F.col("remove.path").alias("path"),
+                    F.col("remove.deletionTimestamp").alias("deletionTimestamp"),
+                    F.col("remove.dataChange").alias("dataChange"),
+                )
+                if "remove" in cols
+                else F.lit(None).cast(_REMOVE_TYPE)
+            )
+            meta_col = (
+                F.col("metaData").cast(_METADATA_TYPE)
+                if "metaData" in cols
+                else F.lit(None).cast(_METADATA_TYPE)
+            )
+            proto_col = (
+                F.col("protocol").cast(_PROTOCOL_TYPE)
+                if "protocol" in cols
+                else F.lit(None).cast(_PROTOCOL_TYPE)
+            )
+            cp_df = raw.select(
+                add_col.alias("add"),
+                remove_col.alias("remove"),
+                meta_col.alias("metaData"),
+                proto_col.alias("protocol"),
+                F.lit(self._cp).cast("long").alias("version"),
+            )
+            # When an add was written twice for the same path, keep the
+            # checkpoint's row only if path present — handled by reconcile.
+            parts.append(cp_df)
+        if not parts:
+            raise FileNotFoundError(f"no log entries for version {self.version}")
+        return reduce(DataFrame.unionByName, parts)
+
+    # ---- metadata ----------------------------------------------------------
+
+    @property
+    def metadata(self) -> TableMetadata:
+        if self._metadata is None:
+            rows = (
+                self._actions_df()
+                .where(F.col("metaData.schemaString").isNotNull())
+                .orderBy(F.col("version").desc())
+                .select("metaData")
+                .limit(1)
+                .collect()
+            )
+            if not rows:
+                raise ValueError(f"no metaData action found for {self.log.table_path}")
+            m = rows[0]["metaData"]
+            schema = T.StructType.fromJson(json.loads(m["schemaString"]))
+            self._metadata = TableMetadata(
+                id=m["id"],
+                schema=schema,
+                partition_columns=list(m["partitionColumns"] or []),
+                configuration=dict(m["configuration"] or {}),
+            )
+        return self._metadata
+
+    # ---- add actions (the metadata-plane table) ----------------------------
+
+    def add_actions(self) -> DataFrame:
+        """One row per live data file, stats parsed.
+
+        Columns: ``path`` (URL-decoded, relative), ``partitionValues``
+        (map<string,string>), ``size_bytes``, ``modification_time``
+        (epoch millis, long), ``data_change``, ``num_records``, and a
+        ``stats`` struct (minValues / maxValues / nullCount).
+        Mirrors levi's flattened add-actions frame
+        (``/root/reference/levi/__init__.py:14,57``).
+        """
+        acts = self._actions_df()
+        file_acts = acts.where(
+            F.col("add.path").isNotNull() | F.col("remove.path").isNotNull()
+        ).select(
+            F.coalesce(F.col("add.path"), F.col("remove.path")).alias("path"),
+            F.col("add.path").isNotNull().alias("is_add"),
+            "version",
+            "add",
+        )
+        # Last action per path wins; within a version an add supersedes a
+        # remove (overwrite commits pair remove+add across paths).
+        w = Window.partitionBy("path").orderBy(
+            F.col("version").desc(), F.col("is_add").desc()
+        )
+        live = (
+            file_acts.withColumn("rn", F.row_number().over(w))
+            .where((F.col("rn") == 1) & F.col("is_add"))
+            .select("add", "version")
+        )
+        sschema = stats_schema(self.metadata.schema)
+        # URL-decoded path for filesystem access (Delta stores URL-encoded
+        # relative paths, e.g. "data=%F0%9F%98%88/part-...parquet").
+        url_decode = F.udf(unquote, T.StringType())
+        return live.select(
+            url_decode(F.col("add.path")).alias("path"),
+            F.col("add.partitionValues").alias("partitionValues"),
+            F.col("add.size").alias("size_bytes"),
+            F.col("add.modificationTime").alias("modification_time"),
+            F.col("add.dataChange").alias("data_change"),
+            F.from_json(F.col("add.stats"), sschema).alias("stats"),
+            F.col("version").alias("commit_version"),
+        ).withColumn("num_records", F.col("stats.numRecords"))
+
+    def add_actions_flat(self) -> DataFrame:
+        """Flattened add actions with levi-compatible dotted column names
+        (``min.<col>``, ``max.<col>``, ``null_count.<col>``) so that the
+        predicate SQL emitted by ``filter_to_sql``
+        (``/root/reference/levi/__init__.py:34-47``) evaluates verbatim
+        via ``F.expr`` — backtick-quoted dotted identifiers resolve to
+        these literal column names."""
+        df = self.add_actions()
+        mm = _leaf_paths(_minmax_schema(self.metadata.schema))
+        nc = _leaf_paths(_nullcount_schema(self.metadata.schema))
+        cols = [
+            F.col("path"),
+            F.col("partitionValues"),
+            F.col("size_bytes"),
+            F.col("modification_time"),
+            F.col("data_change"),
+            F.col("num_records"),
+        ]
+        cols += [F.col(f"stats.minValues.{p}").alias(f"min.{p}") for p in mm]
+        cols += [F.col(f"stats.maxValues.{p}").alias(f"max.{p}") for p in mm]
+        cols += [F.col(f"stats.nullCount.{p}").alias(f"null_count.{p}") for p in nc]
+        return df.select(*cols)
+
+    # ---- data plane --------------------------------------------------------
+
+    def file_infos(self) -> list[tuple[str, dict[str, str | None]]]:
+        """[(absolute file path, partitionValues)] — driver-side collect of
+        the (metadata-plane, small) live-file list for scan planning."""
+        rows = self.add_actions().select("path", "partitionValues").collect()
+        return [
+            (os.path.join(self.log.table_path, r["path"]), dict(r["partitionValues"] or {}))
+            for r in rows
+        ]
+
+    def to_df(self) -> DataFrame:
+        """Read the snapshot's data as a DataFrame.
+
+        Partition-column values live in the log, not in the parquet files
+        — we join them back via the ``_metadata.file_name`` hidden column
+        (broadcast join against the small file→partition-values frame;
+        Delta part-file basenames embed a UUID so they are unique within
+        a table, and — unlike full paths — need no URI-encoding
+        normalization) and cast to the declared types, handling null
+        partitions (``__HIVE_DEFAULT_PARTITION__`` → null in the log's
+        map) and unicode/URL-escaped values uniformly.
+        """
+        meta = self.metadata
+        infos = self.file_infos()
+        if not infos:
+            return self.spark.createDataFrame([], meta.schema)
+        files = [p for p, _ in infos]
+        phys = meta.physical_schema
+        df = self.spark.read.schema(phys).parquet(*files)
+        if not meta.partition_columns:
+            return df.select(*meta.data_columns)
+        names = [os.path.basename(p) for p in files]
+        assert len(set(names)) == len(names), "non-unique data file basenames"
+        pv_schema = T.StructType(
+            [
+                T.StructField("__file_name", T.StringType()),
+                T.StructField("__pv", T.MapType(T.StringType(), T.StringType())),
+            ]
+        )
+        pv_df = self.spark.createDataFrame(
+            [(os.path.basename(p), pv) for p, pv in infos], pv_schema
+        )
+        joined = df.withColumn("__file_name", F.col("_metadata.file_name")).join(
+            F.broadcast(pv_df), on="__file_name", how="left"
+        )
+        by_name = {f.name: f for f in meta.schema.fields}
+        part_cols = [
+            F.col("__pv").getItem(c).cast(by_name[c].dataType).alias(c)
+            for c in meta.partition_columns
+        ]
+        return joined.select(
+            *[F.col(f.name) for f in phys.fields], *part_cols
+        ).select(*meta.data_columns)
