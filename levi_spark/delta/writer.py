@@ -1,0 +1,240 @@
+"""Minimal Delta-protocol writer: parquet data files + JSON log commits.
+
+The reference delegates writes to delta-rs (``write_deltalake`` /
+``DeltaTable.merge`` — ``/root/reference/levi/__init__.py:155-166,
+274-295,347-351``). With no delta-spark jar in this environment we
+implement the subset of the protocol our engine needs:
+
+* data files written by Spark executors (``df.write.parquet`` into a
+  staging dir, then atomically moved into the table root, preserving
+  Spark's hive-style partition directories and unique part-file names);
+* per-file stats (numRecords / minValues / maxValues / nullCount)
+  computed **distributedly** — one Spark aggregation grouped on
+  ``_metadata.file_name`` — never a driver-side loop over files, so the
+  commit path scales with executor count, not driver CPU;
+* a JSON commit appended to ``_delta_log`` (protocol + metaData + add
+  [+ remove on overwrite]), created with ``open(..., "x")`` so two
+  local writers cannot clobber the same version (single-cluster
+  optimistic concurrency; a production deployment would put a
+  commit-coordinator in front of this).
+
+Read back by :mod:`levi_spark.delta.log` — round-trip covered in tests.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import decimal
+import json
+import os
+import shutil
+import time
+import uuid
+from urllib.parse import quote, unquote
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from levi_spark.delta.log import DeltaLog, stats_schema, _minmax_schema
+
+_PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _json_default(o):
+    if isinstance(o, (_dt.datetime, _dt.date)):
+        return o.isoformat()
+    if isinstance(o, decimal.Decimal):
+        return float(o)
+    raise TypeError(f"not JSON-serializable: {type(o).__name__}")
+
+
+def _partition_values_from_relpath(relpath: str, part_cols: list[str]) -> dict:
+    vals: dict[str, str | None] = {}
+    for seg in relpath.split("/")[:-1]:
+        if "=" not in seg:
+            continue
+        k, v = seg.split("=", 1)
+        if k in part_cols:
+            vals[k] = None if v == HIVE_NULL else unquote(v)
+    return {c: vals.get(c) for c in part_cols}
+
+
+def _file_stats(df_files: DataFrame, data_schema: T.StructType) -> dict[str, dict]:
+    """Distributed per-file stats: one groupBy(_metadata.file_name) agg.
+
+    Returns {file_name: stats_dict}. Only top-level stats-eligible
+    columns get min/max (same rule Delta applies); every column gets a
+    null count.
+    """
+    mm_cols = [f.name for f in _minmax_schema(data_schema).fields]
+    all_cols = [f.name for f in data_schema.fields]
+    aggs = [F.count(F.lit(1)).alias("__num_records")]
+    aggs += [F.min(F.col(c)).alias(f"__min__{c}") for c in mm_cols]
+    aggs += [F.max(F.col(c)).alias(f"__max__{c}") for c in mm_cols]
+    aggs += [
+        F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nc__{c}")
+        for c in all_cols
+    ]
+    rows = (
+        df_files.groupBy(F.col("_metadata.file_name").alias("__fn")).agg(*aggs).collect()
+    )
+    out = {}
+    for r in rows:
+        d = r.asDict()
+        out[d["__fn"]] = {
+            "numRecords": d["__num_records"],
+            "minValues": {c: d[f"__min__{c}"] for c in mm_cols if d[f"__min__{c}"] is not None},
+            "maxValues": {c: d[f"__max__{c}"] for c in mm_cols if d[f"__max__{c}"] is not None},
+            "nullCount": {c: d[f"__nc__{c}"] for c in all_cols},
+        }
+    return out
+
+
+def write_delta(
+    df: DataFrame,
+    path: str,
+    mode: str = "error",
+    partition_by: list[str] | None = None,
+) -> int:
+    """Write ``df`` as a new Delta table version at ``path``.
+
+    mode: ``error`` (fail if table exists), ``append``, or ``overwrite``
+    (logical full rewrite — previous live files are tombstoned in the
+    same commit, reference behavior of ``write_deltalake(mode=
+    "overwrite")``). Returns the committed version.
+    """
+    spark = df.sparkSession
+    path = os.path.abspath(path)
+    log_dir = os.path.join(path, "_delta_log")
+    exists = os.path.isdir(log_dir) and any(
+        n.endswith(".json") or n.endswith(".checkpoint.parquet")
+        for n in os.listdir(log_dir)
+    )
+    if exists and mode == "error":
+        raise ValueError(f"Delta table already exists at {path} (mode='error')")
+    partition_by = list(partition_by or [])
+    prev_adds: list[str] = []
+    version = 0
+    if exists:
+        log = DeltaLog(spark, path)
+        snap = log.snapshot()
+        version = snap.version + 1
+        if mode == "overwrite":
+            prev_adds = [r["path"] for r in snap.add_actions().select("path").collect()]
+        if mode == "append":
+            prev_cols = set(snap.metadata.data_columns)
+            if prev_cols != set(df.columns):
+                raise ValueError(
+                    f"append schema mismatch: table has {sorted(prev_cols)}, "
+                    f"df has {sorted(df.columns)}"
+                )
+
+    # -- stage data files ----------------------------------------------------
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+
+    moved: list[str] = []  # relative (disk) paths of new data files
+    for root, _dirs, files in os.walk(staging):
+        for name in files:
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(root, name)
+            rel_dir = os.path.relpath(root, staging)
+            rel = name if rel_dir == "." else os.path.join(rel_dir, name)
+            dst = os.path.join(path, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(src, dst)
+            moved.append(rel)
+    shutil.rmtree(staging, ignore_errors=True)
+
+    # -- distributed stats over the freshly written files --------------------
+    data_schema = T.StructType(
+        [f for f in df.schema.fields if f.name not in set(partition_by)]
+    )
+    abs_files = [os.path.join(path, rel) for rel in moved]
+    stats_by_name = (
+        _file_stats(spark.read.schema(data_schema).parquet(*abs_files), data_schema)
+        if abs_files
+        else {}
+    )
+
+    # -- commit --------------------------------------------------------------
+    now_ms = int(time.time() * 1000)
+    lines: list[str] = []
+    lines.append(json.dumps({"protocol": _PROTOCOL}))
+    lines.append(
+        json.dumps(
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": df.schema.json(),
+                    "partitionColumns": partition_by,
+                    "configuration": {},
+                    "createdTime": now_ms,
+                }
+            }
+        )
+    )
+    for rel in prev_adds:
+        lines.append(
+            json.dumps(
+                {
+                    "remove": {
+                        "path": quote(rel, safe="/"),
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+        )
+    for rel in sorted(moved):
+        st = os.stat(os.path.join(path, rel))
+        stats = stats_by_name.get(os.path.basename(rel))
+        lines.append(
+            json.dumps(
+                {
+                    "add": {
+                        "path": quote(rel, safe="/"),
+                        "partitionValues": _partition_values_from_relpath(
+                            rel, partition_by
+                        ),
+                        "size": st.st_size,
+                        "modificationTime": int(st.st_mtime * 1000),
+                        "dataChange": True,
+                        "stats": json.dumps(stats, default=_json_default)
+                        if stats
+                        else None,
+                    }
+                }
+            )
+        )
+    lines.append(
+        json.dumps(
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "WRITE",
+                    "operationParameters": {"mode": mode.capitalize()},
+                    "engineInfo": "levi-spark/0.1.0",
+                }
+            }
+        )
+    )
+    os.makedirs(log_dir, exist_ok=True)
+    commit_path = os.path.join(log_dir, f"{version:020d}.json")
+    tmp = commit_path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    try:
+        # O_EXCL-style publish: fail rather than overwrite a concurrent commit.
+        with open(commit_path, "x") as out, open(tmp) as src:
+            out.write(src.read())
+    finally:
+        os.remove(tmp)
+    return version
