@@ -1,0 +1,139 @@
+"""Data-plane duplicate-elimination operators (reference P9/P11/P12:
+``kill_duplicates`` / ``drop_duplicates`` / ``drop_duplicates_pkey``,
+``/root/reference/levi/__init__.py:119-166,298-426``).
+
+Spark-first design notes (100 TB stance):
+
+* No positional ``take`` / driver-side index arrays (the reference
+  appends a 0..n-1 index column and gathers by position) — survivor
+  selection is a ``row_number()`` window over the duplicate key, which
+  shuffles once on that key and streams.
+* "First physical occurrence" (P11) is given a *defined*, distributed
+  meaning: files ordered by (commit version, path), rows by
+  ``_metadata.row_index`` within a file — byte-for-byte the order a
+  single-process reader would see, but computed without collapsing to
+  one partition.
+* Writes are full-table overwrites for reference parity; at 100 TB the
+  kill path should become a targeted anti-join rewrite of only the
+  files whose min/max stats admit a duplicate key (the metadata plane
+  already exposes those stats).
+"""
+
+from __future__ import annotations
+
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from levi_spark.delta.table import LeviTable
+
+
+def _check_table(table) -> LeviTable:
+    if not isinstance(table, LeviTable):
+        raise TypeError(f"An existing LeviTable is required, got {type(table).__name__}")
+    return table
+
+
+def _check_columns(df_cols: list[str], required: list[str]) -> None:
+    missing = [c for c in required if c not in df_cols]
+    if missing:
+        raise TypeError(
+            f"Columns {missing} not found in table columns {sorted(df_cols)}"
+        )
+
+
+def kill_duplicates(table: LeviTable, duplication_columns: list[str]) -> None:
+    """Delete **every** member of every duplicate group (no survivor).
+
+    Rows with NULL in any duplication column are never deleted — SQL
+    ``=`` never matches NULL (reference parity, the MERGE predicate at
+    levi/__init__.py:155).
+    """
+    _check_table(table)
+    if not duplication_columns or not isinstance(duplication_columns, (list, tuple)):
+        raise TypeError("duplication_columns must be a non-empty list")
+    df = table.to_df()
+    _check_columns(df.columns, list(duplication_columns))
+    dup_keys = (
+        df.groupBy(*duplication_columns)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .where(F.col("__cnt") > 1)
+        .select(*duplication_columns)
+    )
+    # left_anti on equi-keys: NULL keys never match ⇒ NULL rows survive,
+    # exactly like the reference's MERGE-delete.
+    survivors = df.join(dup_keys, on=list(duplication_columns), how="left_anti")
+    table.overwrite(survivors.select(*df.columns))
+
+
+def _physical_order_df(table: LeviTable) -> DataFrame:
+    """Table data plus a ``__file_seq``/``__row_idx`` pair reproducing
+    single-process read order: add actions sorted by (commit version,
+    path), then parquet row index within each file."""
+    snap = table.snapshot()
+    files = (
+        snap.add_actions()
+        .select("path", "commit_version")
+        .orderBy("commit_version", "path")
+        .collect()
+    )
+    import os
+
+    seq_rows = [(os.path.basename(r["path"]), i) for i, r in enumerate(files)]
+    spark = table.spark
+    seq_df = spark.createDataFrame(seq_rows, ["__file_name", "__file_seq"])
+    df = snap.to_df()
+    data_cols = df.columns
+    return (
+        df.withColumn("__file_name", F.col("_metadata.file_name"))
+        .withColumn("__row_idx", F.col("_metadata.row_index"))
+        .join(F.broadcast(seq_df), on="__file_name", how="left")
+        .select(*data_cols, "__file_seq", "__row_idx")
+    )
+
+
+def drop_duplicates(table: LeviTable, duplication_columns: list[str]) -> None:
+    """Keep exactly one row per duplicate group — the first by physical
+    row order (reference P11). Survivor = min (file_seq, row_idx) via a
+    window; one shuffle on the duplicate key."""
+    _check_table(table)
+    if not duplication_columns or not isinstance(duplication_columns, (list, tuple)):
+        raise TypeError("duplication_columns must be a non-empty list or tuple")
+    df = _physical_order_df(table)
+    data_cols = [c for c in df.columns if c not in ("__file_seq", "__row_idx")]
+    _check_columns(data_cols, list(duplication_columns))
+    w = Window.partitionBy(*duplication_columns).orderBy("__file_seq", "__row_idx")
+    kept = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(*data_cols)
+    )
+    table.overwrite(kept)
+
+
+def drop_duplicates_pkey(
+    table: LeviTable, primary_key: str, duplication_columns: list[str]
+) -> None:
+    """Keep, per duplicate group, the row with the lowest primary key
+    (reference P12). Requires a globally unique primary key
+    (``ValueError`` otherwise — it guards survivor determinism)."""
+    _check_table(table)
+    if not primary_key or not isinstance(primary_key, str):
+        raise TypeError("primary_key must be a non-empty string")
+    if not duplication_columns or not isinstance(duplication_columns, (list, tuple)):
+        raise TypeError("duplication_columns must be a non-empty list or tuple")
+    if primary_key in duplication_columns:
+        raise TypeError("primary_key cannot be one of the duplication_columns")
+    df = table.to_df()
+    _check_columns(df.columns, [primary_key, *duplication_columns])
+    counts = df.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct(primary_key).alias("d")
+    ).first()
+    if counts["n"] != counts["d"]:
+        raise ValueError(
+            f"Primary key {primary_key!r} is not unique: {counts['n']} rows, "
+            f"{counts['d']} distinct keys"
+        )
+    w = Window.partitionBy(*duplication_columns).orderBy(F.col(primary_key).asc())
+    kept = df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1)
+    table.overwrite(kept.select(*df.columns))
