@@ -1,0 +1,114 @@
+"""Vector-similarity primitives over ``array<float>`` embedding columns.
+
+JVM-side higher-order functions (``transform`` / ``aggregate``) — the
+dot product and norms run inside whole-stage codegen with a fixed
+left-fold order, which makes the doubles bit-reproducible and therefore
+oracle-checkable against DuckDB's ``list_inner_product`` (same
+sequential order). No Python boundary in the hot path.
+
+Scale path (100 TB / billions of vectors): brute-force top-k is the
+correctness baseline; ``lsh_bucket_candidates`` prunes the cross join
+to same-bucket pairs (random-hyperplane signs), turning the O(N·Q)
+scan into a bucketed join that shuffles on the bucket key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double_vec(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """dot/(sqrt(na)*sqrt(nb)) — op order fixed to match the oracle
+    formula exactly."""
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    q_id: str = "vec_id",
+    c_id: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    Broadcast the (small) query side so the candidate scan never
+    shuffles; rank with a window keyed on the query id. Deterministic:
+    ties broken by neighbor id.
+
+    Returns (query_id, neighbor_id, score).
+    """
+    q = queries.select(
+        F.col(q_id).alias("query_id"), as_double_vec(F.col(vec_col)).alias("__qv")
+    )
+    c = candidates.select(
+        F.col(c_id).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("__cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), round_to).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", "score")
+    )
+
+
+def lsh_bucket_candidates(
+    df: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane LSH bucketing: sign pattern of ``n_planes``
+    pseudo-random projections → one bucket id per vector. Same-bucket
+    vectors are near-duplicate candidates; the downstream join shuffles
+    on the bucket key instead of cross-joining the world.
+
+    The "random" plane components are a deterministic hash of
+    (plane, dimension) so every executor — and every engine — derives
+    the identical planes without broadcasting state.
+    """
+    v = as_double_vec(F.col(vec_col))
+    dims = F.size(F.col(vec_col))
+    sig_bits = []
+    for p in range(n_planes):
+        # plane component for dim i: xxhash64(seed, p, i) scaled to [-1, 1]
+        comp = lambda i, p=p: (
+            F.xxhash64(F.lit(seed), F.lit(p), i).cast("double") / F.lit(float(1 << 63))
+        )
+        proj = F.aggregate(
+            F.zip_with(v, F.sequence(F.lit(0), dims - 1), lambda x, i: x * comp(i)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig_bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << p))
+    bucket = sig_bits[0]
+    for b in sig_bits[1:]:
+        bucket = bucket + b
+    return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))

@@ -42,6 +42,28 @@ def _check_columns(df_cols: list[str], required: list[str]) -> None:
         )
 
 
+def kill_duplicates_transform(df: DataFrame, duplication_columns: list[str]) -> DataFrame:
+    """Survivor set after deleting every member of every duplicate group.
+
+    Pure transform shared by the table operator and the query surface.
+    left_anti on equi-keys: NULL keys never match ⇒ NULL rows survive,
+    exactly like the reference's MERGE-delete predicate
+    (levi/__init__.py:155).
+    """
+    if not duplication_columns or not isinstance(duplication_columns, (list, tuple)):
+        raise TypeError("duplication_columns must be a non-empty list")
+    _check_columns(df.columns, list(duplication_columns))
+    dup_keys = (
+        df.groupBy(*duplication_columns)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .where(F.col("__cnt") > 1)
+        .select(*duplication_columns)
+    )
+    return df.join(dup_keys, on=list(duplication_columns), how="left_anti").select(
+        *df.columns
+    )
+
+
 def kill_duplicates(table: LeviTable, duplication_columns: list[str]) -> None:
     """Delete **every** member of every duplicate group (no survivor).
 
@@ -50,20 +72,7 @@ def kill_duplicates(table: LeviTable, duplication_columns: list[str]) -> None:
     levi/__init__.py:155).
     """
     _check_table(table)
-    if not duplication_columns or not isinstance(duplication_columns, (list, tuple)):
-        raise TypeError("duplication_columns must be a non-empty list")
-    df = table.to_df()
-    _check_columns(df.columns, list(duplication_columns))
-    dup_keys = (
-        df.groupBy(*duplication_columns)
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-        .where(F.col("__cnt") > 1)
-        .select(*duplication_columns)
-    )
-    # left_anti on equi-keys: NULL keys never match ⇒ NULL rows survive,
-    # exactly like the reference's MERGE-delete.
-    survivors = df.join(dup_keys, on=list(duplication_columns), how="left_anti")
-    table.overwrite(survivors.select(*df.columns))
+    table.overwrite(kill_duplicates_transform(table.to_df(), duplication_columns))
 
 
 def _physical_order_df(table: LeviTable) -> DataFrame:
@@ -111,20 +120,36 @@ def drop_duplicates(table: LeviTable, duplication_columns: list[str]) -> None:
     table.overwrite(kept)
 
 
-def drop_duplicates_pkey(
-    table: LeviTable, primary_key: str, duplication_columns: list[str]
-) -> None:
-    """Keep, per duplicate group, the row with the lowest primary key
-    (reference P12). Requires a globally unique primary key
-    (``ValueError`` otherwise — it guards survivor determinism)."""
-    _check_table(table)
+def drop_duplicates_ordered(
+    df: DataFrame, duplication_columns: list[str], order_columns: list[str]
+) -> DataFrame:
+    """Keep one row per duplicate group — the first under an explicit,
+    caller-defined ordering. Pure transform; the SQL-stable counterpart
+    of P11's physical-order semantics (one shuffle on the dup key)."""
+    if not duplication_columns:
+        raise TypeError("duplication_columns must be a non-empty list or tuple")
+    _check_columns(df.columns, [*duplication_columns, *order_columns])
+    w = Window.partitionBy(*duplication_columns).orderBy(
+        *[F.col(c).asc() for c in order_columns]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(*df.columns)
+    )
+
+
+def drop_duplicates_pkey_transform(
+    df: DataFrame, primary_key: str, duplication_columns: list[str]
+) -> DataFrame:
+    """Pure transform behind P12: per duplicate group keep the lowest
+    primary key; pk must be globally unique (``ValueError``)."""
     if not primary_key or not isinstance(primary_key, str):
         raise TypeError("primary_key must be a non-empty string")
     if not duplication_columns or not isinstance(duplication_columns, (list, tuple)):
         raise TypeError("duplication_columns must be a non-empty list or tuple")
     if primary_key in duplication_columns:
         raise TypeError("primary_key cannot be one of the duplication_columns")
-    df = table.to_df()
     _check_columns(df.columns, [primary_key, *duplication_columns])
     counts = df.agg(
         F.count(F.lit(1)).alias("n"), F.countDistinct(primary_key).alias("d")
@@ -134,6 +159,16 @@ def drop_duplicates_pkey(
             f"Primary key {primary_key!r} is not unique: {counts['n']} rows, "
             f"{counts['d']} distinct keys"
         )
-    w = Window.partitionBy(*duplication_columns).orderBy(F.col(primary_key).asc())
-    kept = df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1)
-    table.overwrite(kept.select(*df.columns))
+    return drop_duplicates_ordered(df, list(duplication_columns), [primary_key])
+
+
+def drop_duplicates_pkey(
+    table: LeviTable, primary_key: str, duplication_columns: list[str]
+) -> None:
+    """Keep, per duplicate group, the row with the lowest primary key
+    (reference P12). Requires a globally unique primary key
+    (``ValueError`` otherwise — it guards survivor determinism)."""
+    _check_table(table)
+    table.overwrite(
+        drop_duplicates_pkey_transform(table.to_df(), primary_key, duplication_columns)
+    )

@@ -31,19 +31,17 @@ from pyspark.sql import functions as F
 from levi_spark.delta.table import LeviTable
 
 
-def type_2_scd_upsert(
-    table: LeviTable,
+def scd2_merge_result(
+    base_df: DataFrame,
     updates_df: DataFrame,
     primary_key: str,
     attr_col_names: list[str],
     is_current_col_name: str,
     effective_time_col_name: str,
     end_time_col_name: str,
-) -> None:
-    if not isinstance(table, LeviTable):
-        raise TypeError(f"An existing LeviTable is required, got {type(table).__name__}")
-
-    base_df = table.to_df()
+) -> DataFrame:
+    """Pure transform: the post-upsert table contents. Shared by the
+    table operator and the query/oracle surface."""
     base_required = sorted(
         [primary_key, *attr_col_names, is_current_col_name,
          effective_time_col_name, end_time_col_name]
@@ -128,10 +126,33 @@ def type_2_scd_upsert(
     )
 
     cols = base_df.columns
-    result = (
+    return (
         history.select(*cols)
         .unionByName(kept_current.select(*cols))
         .unionByName(closed.select(*cols))
         .unionByName(inserted.select(*cols))
     )
-    table.overwrite(result)
+
+
+def type_2_scd_upsert(
+    table: LeviTable,
+    updates_df: DataFrame,
+    primary_key: str,
+    attr_col_names: list[str],
+    is_current_col_name: str,
+    effective_time_col_name: str,
+    end_time_col_name: str,
+) -> None:
+    if not isinstance(table, LeviTable):
+        raise TypeError(f"An existing LeviTable is required, got {type(table).__name__}")
+    table.overwrite(
+        scd2_merge_result(
+            table.to_df(),
+            updates_df,
+            primary_key,
+            attr_col_names,
+            is_current_col_name,
+            effective_time_col_name,
+            end_time_col_name,
+        )
+    )

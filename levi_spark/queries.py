@@ -1,0 +1,832 @@
+"""The engine's query surface: named queries + DuckDB oracle SQL.
+
+Every operator family from SURVEY.md §2 (and the LLM-pipeline
+extensions) is exposed here as a ``(spark, sf_dir) -> DataFrame``
+callable plus — wherever ANSI-SQL-expressible — an equivalent DuckDB
+oracle. The driver hash-compares both sides at sf0.01.
+
+Cross-engine determinism rules used throughout (documented once here):
+
+* Sums of doubles are computed by casting each row to
+  ``DECIMAL(18,4)`` first — decimal addition is exact and
+  order-independent, so Spark's partial aggregation and DuckDB agree
+  bit-for-bit; the final sum is cast back to double.
+* Averages are ``cast(sum_dec as double) / count`` — one double
+  division of identical inputs.
+* Time keys are emitted as formatted strings (no tz/precision drift).
+* Any top-k has a total ordering (score desc, id asc).
+* Raw column values (even doubles) hash identically with no care
+  needed — only *arithmetic* needs the decimal trick.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from levi_spark.functions.similarity import brute_force_topk, cosine, as_double_vec
+from levi_spark.functions.text import (
+    LANG_MARKERS,
+    char_ngrams,
+    jaccard_expr,
+    lang_id_expr,
+    marker_hits,
+    quality_score_expr,
+    rolling_fingerprint,
+    token_count,
+)
+from levi_spark.functions.units import boundary_parser
+from levi_spark.operators.dedup import (
+    drop_duplicates_ordered,
+    drop_duplicates_pkey_transform,
+    kill_duplicates_transform,
+)
+from levi_spark.operators.scd import scd2_merge_result
+
+D = "decimal(18,4)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table with ``ts`` normalized to ``ts_us`` (epoch
+    microseconds, long). The parquet file stores TIMESTAMP(NANOS),
+    which Spark only reads via the nanosAsLong legacy conf; DuckDB
+    reads it as TIMESTAMP_NS — both sides converge on integer micros
+    (oracle: ``epoch_ns(ts) // 1000``)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.withColumn("ts_us", F.expr("ts div 1000")).drop("ts")
+
+
+def _epoch_us(d: dt.datetime) -> int:
+    return int(d.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+
+
+def _dsum(col, alias):
+    """Exact, order-independent sum of a double expression."""
+    return F.sum(col.cast(D)).alias(alias)
+
+
+# --------------------------------------------------------------------------
+# TPC-H-style analytics (aggregate / join / window / sort coverage)
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    cutoff = dt.datetime(1998, 9, 2)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    g = (
+        li.where(F.col("l_shipdate") <= F.lit(cutoff))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity"), "_sq"),
+            _dsum(F.col("l_extendedprice"), "_sbp"),
+            _dsum(disc_price, "_sdp"),
+            _dsum(charge, "_sc"),
+            _dsum(F.col("l_discount"), "_sd"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("_sq").cast("double").alias("sum_qty"),
+        F.col("_sbp").cast("double").alias("sum_base_price"),
+        F.col("_sdp").cast("double").alias("sum_disc_price"),
+        F.col("_sc").cast("double").alias("sum_charge"),
+        (F.col("_sq").cast("double") / F.col("count_order")).alias("avg_qty"),
+        (F.col("_sbp").cast("double") / F.col("count_order")).alias("avg_price"),
+        (F.col("_sd").cast("double") / F.col("count_order")).alias("avg_disc"),
+        "count_order",
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cut = dt.datetime(1998, 1, 1)
+    revenue_dec = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(D)
+    ).alias("_rev")
+    res = (
+        li.where(F.col("l_shipdate") > F.lit(cut))
+        .join(orders.where(F.col("o_orderdate") < F.lit(cut)), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue_dec)
+        .orderBy(F.col("_rev").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+    return res.select(
+        "l_orderkey",
+        F.col("_rev").cast("double").alias("revenue"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s"),
+        "o_orderpriority",
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey,
+       CAST(_rev AS DOUBLE) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+       o_orderpriority
+FROM (
+  SELECT l_orderkey, o_orderdate, o_orderpriority,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS _rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+    AND l_shipdate > TIMESTAMP '1998-01-01'
+  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+  ORDER BY _rev DESC, l_orderkey ASC
+  LIMIT 10
+)
+"""
+
+
+def q5_local_supplier(spark, sf_dir):
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    lo = dt.datetime(1996, 1, 1)
+    hi = dt.datetime(1998, 1, 1)
+    res = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where((F.col("o_orderdate") >= F.lit(lo)) & (F.col("o_orderdate") < F.lit(hi)))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "_rev"))
+        .select("n_name", F.col("_rev").cast("double").alias("revenue"))
+    )
+    return res
+
+
+Q5_SQL = """
+SELECT n_name, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+def top3_customers_per_nation(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        cust.withColumn("rank_in_nation", F.row_number().over(w))
+        .where(F.col("rank_in_nation") <= 3)
+        .select("c_nationkey", "rank_in_nation", "c_custkey", "c_name", "c_acctbal")
+    )
+
+
+TOP3_SQL = """
+SELECT c_nationkey, rank_in_nation, c_custkey, c_name, c_acctbal
+FROM (
+  SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rank_in_nation
+  FROM customer
+)
+WHERE rank_in_nation <= 3
+"""
+
+
+def events_hourly_rollup(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_format(
+                F.date_trunc("hour", F.timestamp_micros(F.col("ts_us"))),
+                "yyyy-MM-dd HH:mm",
+            ).alias("hour_s"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value"), "_sv"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            "hour_s",
+            "event_type",
+            "n_events",
+            F.col("_sv").cast("double").alias("sum_value"),
+            "n_users",
+        )
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', make_timestamp(epoch_ns(ts) // 1000)), '%Y-%m-%d %H:%M') AS hour_s,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30 min): pure window algebra — the
+    streaming module reuses the same session semantics with state."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    new_sess = F.when(
+        F.lag(F.col("ts_us")).over(w).isNull()
+        | ((F.col("ts_us") - F.lag(F.col("ts_us")).over(w)) > gap_us),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("__new", new_sess)
+        .groupBy("user_id")
+        .agg(
+            F.sum("__new").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+SESSIONIZE_SQL = """
+SELECT user_id, SUM(__new) AS n_sessions, COUNT(*) AS n_events
+FROM (
+  SELECT user_id,
+         CASE WHEN LAG(epoch_ns(ts) // 1000) OVER w IS NULL
+                OR epoch_ns(ts) // 1000 - LAG(epoch_ns(ts) // 1000) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS __new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Reference operator semantics (P1/P5/P8/P9/P11/P12/P10) as oracle-checkable
+# queries over the synthetic star schema
+# --------------------------------------------------------------------------
+
+N_SIM_FILES = 200
+
+
+def _sim_files_df(spark, sf_dir):
+    """Synthetic 'file stats' frame: lineitem rows bucketed into
+    N_SIM_FILES pseudo-files with per-file min/max/size — the same shape
+    the Delta log's add-actions frame has, derived deterministically
+    from data so DuckDB can rebuild it."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy((F.col("l_orderkey") % N_SIM_FILES).alias("file_id"))
+        .agg(
+            F.min("l_extendedprice").alias("min.l_extendedprice"),
+            F.max("l_extendedprice").alias("max.l_extendedprice"),
+            F.count(F.lit(1)).alias("size_bytes"),
+        )
+    )
+
+
+def skipped_stats_sim(spark, sf_dir):
+    """P1 semantics through the real predicate compiler
+    (filters_to_sql) over a synthetic stats frame."""
+    from levi_spark.operators.metadata import filters_to_sql
+
+    flat = _sim_files_df(spark, sf_dir)
+    pred = F.expr(filters_to_sql([("l_extendedprice", "=", 30000)]))
+    return flat.agg(
+        F.count(F.lit(1)).alias("num_files"),
+        F.sum(F.when(pred, 0).otherwise(1)).alias("num_files_skipped"),
+        F.coalesce(F.sum(F.when(~pred, F.col("size_bytes"))), F.lit(0)).alias(
+            "num_bytes_skipped"
+        ),
+    )
+
+
+SKIPPED_SIM_SQL = f"""
+SELECT COUNT(*) AS num_files,
+       SUM(CASE WHEN ("min" <= 30000 AND "max" >= 30000) THEN 0 ELSE 1 END) AS num_files_skipped,
+       COALESCE(SUM(CASE WHEN NOT ("min" <= 30000 AND "max" >= 30000) THEN size_bytes END), 0) AS num_bytes_skipped
+FROM (
+  SELECT l_orderkey % {N_SIM_FILES} AS file_id,
+         MIN(l_extendedprice) AS "min",
+         MAX(l_extendedprice) AS "max",
+         COUNT(*) AS size_bytes
+  FROM lineitem GROUP BY 1
+)
+"""
+
+
+FILE_HIST_BOUNDARIES = ["<100b", "100b-300b", "300b-500b", ">500b"]
+
+
+def file_size_histogram_sim(spark, sf_dir):
+    """P5/P6/P7 semantics through the real boundary parser, bucketing
+    the synthetic files' sizes."""
+    files = _sim_files_df(spark, sf_dir)
+    aggs = []
+    for i, b in enumerate(FILE_HIST_BOUNDARIES):
+        lo, hi = boundary_parser(b)
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(F.col("size_bytes").between(lo, hi), 1).otherwise(0)),
+                F.lit(0),
+            ).alias(f"bucket_{i}")
+        )
+    row = files.agg(*aggs)
+    # one row per boundary: (boundary, num_files)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(b).alias("boundary"), F.col(f"bucket_{i}").alias("num_files"))
+            for i, b in enumerate(FILE_HIST_BOUNDARIES)
+        ]
+    )
+    return row.select(F.explode(pairs).alias("kv")).select("kv.boundary", "kv.num_files")
+
+
+def _hist_sql():
+    cases = []
+    for b in FILE_HIST_BOUNDARIES:
+        lo, hi = boundary_parser(b)
+        cases.append(
+            f"SELECT '{b}' AS boundary, COALESCE(SUM(CASE WHEN size_bytes BETWEEN {lo} AND {hi} THEN 1 ELSE 0 END), 0) AS num_files FROM files"
+        )
+    return (
+        f"WITH files AS (SELECT l_orderkey % {N_SIM_FILES} AS file_id, COUNT(*) AS size_bytes FROM lineitem GROUP BY 1) "
+        + " UNION ALL ".join(cases)
+    )
+
+
+FILE_HIST_SQL = _hist_sql()
+
+
+def updated_partitions_sim(spark, sf_dir):
+    """P8 semantics: distinct (day, event_type) 'partitions' touched in
+    [start, end) — start inclusive, end exclusive."""
+    ev = _events(spark, sf_dir)
+    lo = _epoch_us(dt.datetime(2024, 1, 10))
+    hi = _epoch_us(dt.datetime(2024, 1, 20))
+    return (
+        ev.where((F.col("ts_us") >= lo) & (F.col("ts_us") < hi))
+        .select(
+            F.date_format(
+                F.date_trunc("day", F.timestamp_micros(F.col("ts_us"))), "yyyy-MM-dd"
+            ).alias("day_s"),
+            "event_type",
+        )
+        .distinct()
+    )
+
+
+UPDATED_PARTS_SQL = """
+SELECT DISTINCT strftime(date_trunc('day', make_timestamp(epoch_ns(ts) // 1000)), '%Y-%m-%d') AS day_s, event_type
+FROM events
+WHERE epoch_ns(ts) // 1000 >= 1704844800000000 AND epoch_ns(ts) // 1000 < 1705708800000000
+"""
+
+
+def kill_duplicates_lineitem(spark, sf_dir):
+    """P9 through the real transform: survivors after deleting every
+    member of every (l_orderkey, l_linenumber) duplicate group."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = kill_duplicates_transform(li, ["l_orderkey", "l_linenumber"])
+    return out.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+KILL_DUP_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+QUALIFY COUNT(*) OVER (PARTITION BY l_orderkey, l_linenumber) = 1
+"""
+
+
+def drop_duplicates_lineitem(spark, sf_dir):
+    """P11 (SQL-stable ordered variant) through the real transform:
+    keep the first row per duplicate group under an explicit total
+    order."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    return drop_duplicates_ordered(
+        li,
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+
+DROP_DUP_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+FROM lineitem
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY l_orderkey, l_linenumber
+  ORDER BY l_quantity ASC, l_extendedprice ASC, l_discount ASC) = 1
+"""
+
+
+def drop_duplicates_pkey_customer(spark, sf_dir):
+    """P12 through the real transform: per (c_mktsegment, c_nationkey)
+    keep the lowest c_custkey (pk uniqueness enforced inside)."""
+    cust = _t(spark, sf_dir, "customer")
+    out = drop_duplicates_pkey_transform(
+        cust, "c_custkey", ["c_mktsegment", "c_nationkey"]
+    )
+    return out.select("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+
+
+DROP_DUP_PKEY_SQL = """
+SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal
+FROM customer
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY c_mktsegment, c_nationkey ORDER BY c_custkey ASC) = 1
+"""
+
+
+def scd2_customer_dim(spark, sf_dir):
+    """P10 through the real merge transform: deterministic base dim +
+    deterministic updates (custkey % 10 == 0 → segment BUILDING)."""
+    cust = _t(spark, sf_dir, "customer")
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2025, 6, 1)
+    base = cust.select(
+        F.col("c_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(True).alias("is_current"),
+        F.lit(t0).alias("eff"),
+        F.lit(None).cast("timestamp").alias("fin"),
+    )
+    ups = (
+        cust.where(F.col("c_custkey") % 10 == 0)
+        .select(
+            F.col("c_custkey"),
+            F.lit("BUILDING").alias("segment"),
+            F.lit(t1).alias("eff"),
+        )
+    )
+    res = scd2_merge_result(base, ups, "c_custkey", ["segment"], "is_current", "eff", "fin")
+    return res.select(
+        "c_custkey",
+        "segment",
+        "is_current",
+        F.date_format("eff", "yyyy-MM-dd").alias("eff_s"),
+        F.coalesce(F.date_format("fin", "yyyy-MM-dd"), F.lit("open")).alias("fin_s"),
+    )
+
+
+SCD2_SQL = """
+WITH base AS (
+  SELECT c_custkey, c_mktsegment AS segment, true AS is_current,
+         TIMESTAMP '2024-01-01' AS eff, CAST(NULL AS TIMESTAMP) AS fin
+  FROM customer
+), ups AS (
+  SELECT c_custkey, 'BUILDING' AS segment, TIMESTAMP '2025-06-01' AS eff
+  FROM customer WHERE c_custkey % 10 = 0
+), changed AS (
+  SELECT u.c_custkey, u.segment, u.eff
+  FROM ups u JOIN base b ON u.c_custkey = b.c_custkey AND b.is_current
+  WHERE u.segment <> b.segment
+), closed AS (
+  SELECT b.c_custkey, b.segment, false AS is_current, b.eff, c.eff AS fin
+  FROM base b JOIN changed c ON b.c_custkey = c.c_custkey
+  WHERE b.is_current
+), kept AS (
+  SELECT b.* FROM base b
+  LEFT JOIN changed c ON b.c_custkey = c.c_custkey
+  WHERE c.c_custkey IS NULL
+), inserted AS (
+  SELECT c_custkey, segment, true AS is_current, eff, CAST(NULL AS TIMESTAMP) AS fin
+  FROM changed
+), merged AS (
+  SELECT * FROM kept UNION ALL SELECT * FROM closed UNION ALL SELECT * FROM inserted
+)
+SELECT c_custkey, segment, is_current,
+       strftime(eff, '%Y-%m-%d') AS eff_s,
+       COALESCE(strftime(fin, '%Y-%m-%d'), 'open') AS fin_s
+FROM merged
+"""
+
+
+# --------------------------------------------------------------------------
+# LLM-data-pipeline extensions: dedup / text analysis / similarity /
+# multimodal plumbing
+# --------------------------------------------------------------------------
+
+def exact_dedup_documents(spark, sf_dir):
+    """Exact dedup by content hash: one group row per distinct md5."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def doc_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = token_count(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        (
+            F.length(F.regexp_replace(F.col("text"), r"\s", "")).cast("double")
+            / n_tok.cast("double")
+        ).alias("mean_token_len"),
+    )
+
+
+DOC_TOKEN_SQL = r"""
+SELECT doc_id, lang,
+       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+       length(text) AS n_chars_measured,
+       CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+         / len(string_split_regex(trim(text), '\s+')) AS mean_token_len
+FROM documents
+"""
+
+
+def doc_language_id(spark, sf_dir):
+    """Marker-stopword language ID vs the labeled lang column."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_id_expr(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _lang_id_sql() -> str:
+    hit_exprs = {
+        lang: " + ".join(
+            f"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
+            for w in words
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    langs = sorted(LANG_MARKERS)
+    greatest = "GREATEST(" + ", ".join(f"h_{l}" for l in langs) + ")"
+    case = "'und'"
+    for lang in reversed(langs):
+        case = f"CASE WHEN h_{lang} = best THEN '{lang}' ELSE {case} END"
+    hits_select = ", ".join(f"{e} AS h_{l}" for l, e in hit_exprs.items())
+    return f"""
+SELECT lang, lang_pred, COUNT(*) AS n_docs FROM (
+  SELECT lang, CASE WHEN best > 0 THEN {case} ELSE 'und' END AS lang_pred FROM (
+    SELECT lang, {greatest} AS best, * FROM (
+      SELECT lang, text, {hits_select} FROM documents
+    )
+  )
+) GROUP BY lang, lang_pred
+"""
+
+
+LANG_ID_SQL = _lang_id_sql()
+
+
+def doc_quality_scores(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    # quantize to integer micro-units with floor(x*1e6 + 0.5): identical
+    # double ops in every engine, no ROUND tie-break semantics involved
+    return docs.select(
+        "doc_id",
+        F.floor(quality_score_expr(F.col("text")) * 1_000_000 + 0.5).alias("quality_micro"),
+    )
+
+
+QUALITY_SQL = r"""
+SELECT doc_id, CAST(floor((
+    (CASE WHEN n_tok >= 10 AND n_tok <= 5000 THEN 1.0 ELSE 0.2 END) * 0.3
+  + (CASE WHEN mean_tok >= 2.0 AND mean_tok <= 12.0 THEN 1.0 ELSE 0.3 END) * 0.2
+  + (n_alpha / n_char) * 0.3
+  + (1.0 - (n_digit / n_char)) * 0.1
+  + (1.0 - (n_punct / n_char)) * 0.1) * 1000000 + 0.5) AS BIGINT) AS quality_micro
+FROM (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_tok,
+         CAST(length(text) AS DOUBLE) AS n_char,
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS n_alpha,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS n_digit,
+         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS n_punct,
+         CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+           / len(string_split_regex(trim(text), '\s+')) AS mean_tok
+  FROM documents
+)
+"""
+
+
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Character-3-gram Jaccard for a deterministic candidate pair set
+    (doc_id windows) — the verify stage of shingle-based near-dup."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.where(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("doc_a"), char_ngrams(F.col("text")).alias("__ga")
+    )
+    b = docs.select(F.col("doc_id").alias("doc_b"), char_ngrams(F.col("text")).alias("__gb"))
+    return (
+        a.join(
+            b,
+            (F.col("doc_b") > F.col("doc_a")) & (F.col("doc_b") <= F.col("doc_a") + 20),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jaccard_expr(F.col("__ga"), F.col("__gb")), 6).alias("jaccard3"),
+        )
+    )
+
+
+NGRAM_JACCARD_SQL = """
+WITH grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, length(text) - 1),
+                                      i -> substr(text, i, 3))) AS g
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.g, b.g))), 6) AS jaccard3
+FROM grams a JOIN grams b
+  ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 20
+WHERE a.doc_id < 50
+"""
+
+
+def doc_fingerprints(spark, sf_dir):
+    """Rolling polynomial content fingerprint (mod 2^61-1)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", rolling_fingerprint(F.col("text")).alias("fp"))
+
+
+# Horner rolling hash in DuckDB via list_reduce over code points.
+FINGERPRINT_SQL = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS HUGEINT),
+           list_transform(range(1, length(text) + 1),
+                          i -> CAST(ord(substr(text, i, 1)) AS HUGEINT))),
+         (acc, c) -> (acc * 257 + c) % 10000000000000061
+       ) AS fp
+FROM documents
+"""
+
+
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force exact top-5 cosine neighbors for the first 10
+    vectors (the correctness baseline; LSH variant is the scale path)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    return brute_force_topk(q, emb, k=5)
+
+
+ANN_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT query_id, neighbor_id, score FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_inner_product(q.e, c.e)
+               / (sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(c.e, c.e))), 6) AS score,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY ROUND(list_inner_product(q.e, c.e)
+               / (sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(c.e, c.e))), 6) DESC,
+                            c.vec_id ASC) AS rn
+  FROM v q JOIN v c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 10
+)
+WHERE rn <= 5
+"""
+
+
+def embedding_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate detection: pairs above 0.3 among
+    the first 100 vectors (exact verify stage of LSH dedup)."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    a = emb.select(F.col("vec_id").alias("id_a"), as_double_vec(F.col("embedding")).alias("__va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), as_double_vec(F.col("embedding")).alias("__vb"))
+    return (
+        a.join(b, F.col("id_b") > F.col("id_a"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") > 0.3)
+    )
+
+
+NEARDUP_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 100)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_inner_product(a.e, b.e)
+             / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 6) AS cos_sim
+FROM v a JOIN v b ON b.vec_id > a.vec_id
+WHERE ROUND(list_inner_product(a.e, b.e)
+      / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 6) > 0.3
+"""
+
+
+def multimodal_byte_features(spark, sf_dir):
+    """Opaque-binary plumbing: text → binary column → Arrow-batched
+    feature extraction (byte length + sha256) via mapInPandas. The
+    decode step for real image/audio bytes is stubbed at the same
+    boundary (see levi_spark/operators/multimodal.py); the Spark-side
+    schema/batch shape is the real thing."""
+    import hashlib
+
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "sha256_hex": pdf["payload"].map(
+                        lambda b: hashlib.sha256(bytes(b)).hexdigest()
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(extract, "doc_id long, n_bytes long, sha256_hex string")
+
+
+MULTIMODAL_SQL = """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha256_hex
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "q5_local_supplier": (q5_local_supplier, Q5_SQL),
+    "top3_customers_per_nation": (top3_customers_per_nation, TOP3_SQL),
+    "events_hourly_rollup": (events_hourly_rollup, EVENTS_HOURLY_SQL),
+    "events_sessionize": (events_sessionize, SESSIONIZE_SQL),
+    "skipped_stats_sim": (skipped_stats_sim, SKIPPED_SIM_SQL),
+    "file_size_histogram_sim": (file_size_histogram_sim, FILE_HIST_SQL),
+    "updated_partitions_sim": (updated_partitions_sim, UPDATED_PARTS_SQL),
+    "kill_duplicates_lineitem": (kill_duplicates_lineitem, KILL_DUP_SQL),
+    "drop_duplicates_lineitem": (drop_duplicates_lineitem, DROP_DUP_SQL),
+    "drop_duplicates_pkey_customer": (drop_duplicates_pkey_customer, DROP_DUP_PKEY_SQL),
+    "scd2_customer_dim": (scd2_customer_dim, SCD2_SQL),
+    "exact_dedup_documents": (exact_dedup_documents, EXACT_DEDUP_SQL),
+    "doc_token_stats": (doc_token_stats, DOC_TOKEN_SQL),
+    "doc_language_id": (doc_language_id, LANG_ID_SQL),
+    "doc_quality_scores": (doc_quality_scores, QUALITY_SQL),
+    "ngram_jaccard_pairs": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
+    "doc_fingerprints": (doc_fingerprints, FINGERPRINT_SQL),
+    "ann_cosine_topk": (ann_cosine_topk, ANN_SQL),
+    "embedding_neardup_pairs": (embedding_neardup_pairs, NEARDUP_SQL),
+    "multimodal_byte_features": (multimodal_byte_features, MULTIMODAL_SQL),
+}
