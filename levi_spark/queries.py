@@ -7,12 +7,16 @@ oracle. The driver hash-compares both sides at sf0.01.
 
 Cross-engine determinism rules used throughout (documented once here):
 
-* Sums of doubles are computed by casting each row to
-  ``DECIMAL(18,4)`` first — decimal addition is exact and
-  order-independent, so Spark's partial aggregation and DuckDB agree
-  bit-for-bit; the final sum is cast back to double.
-* Averages are ``cast(sum_dec as double) / count`` — one double
-  division of identical inputs.
+* Sums of doubles quantize each row to integer 1e-4 units with
+  ``floor(x*10000 + 0.5)`` (pure IEEE double ops — bit-identical in
+  every engine) and sum as int64 — exact and order-independent, so
+  Spark's partial aggregation and DuckDB agree bit-for-bit; the
+  surface value is ``cast(sum as double) / 10000.0``. (A
+  double→decimal cast is NOT cross-engine-safe: Spark rounds the
+  shortest decimal repr with HALF_UP while DuckDB rounds the binary
+  value, and product expressions hit those ties constantly.)
+* Averages are ``cast(sum as double) / 10000.0 / count`` — double
+  divisions of identical inputs.
 * Time keys are emitted as formatted strings (no tz/precision drift).
 * Any top-k has a total ordering (score desc, id asc).
 * Raw column values (even doubles) hash identically with no care
@@ -46,7 +50,6 @@ from levi_spark.operators.dedup import (
 )
 from levi_spark.operators.scd import scd2_merge_result
 
-D = "decimal(18,4)"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -68,9 +71,21 @@ def _epoch_us(d: dt.datetime) -> int:
     return int(d.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
 
 
-def _dsum(col, alias):
-    """Exact, order-independent sum of a double expression."""
-    return F.sum(col.cast(D)).alias(alias)
+def _qsum(col, alias):
+    """Cross-engine-exact, order-independent sum of a double expression.
+
+    Each row is quantized to integer 1e-4 units with
+    ``floor(x*10000 + 0.5)`` — pure IEEE double ops that are
+    bit-identical in every engine (unlike double→decimal casts, whose
+    rounding of shortest-repr ties differs between Spark and DuckDB) —
+    then summed as int64, which is exact and shuffle-order-independent.
+    Surface value = ``cast(sum AS double) / 10000.0``.
+    """
+    return F.sum(F.floor(col * F.lit(10000.0) + F.lit(0.5)).cast("long")).alias(alias)
+
+
+def _qval(alias_in: str, alias_out: str):
+    return (F.col(alias_in).cast("double") / F.lit(10000.0)).alias(alias_out)
 
 
 # --------------------------------------------------------------------------
@@ -86,37 +101,42 @@ def q1_pricing_summary(spark, sf_dir):
         li.where(F.col("l_shipdate") <= F.lit(cutoff))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _dsum(F.col("l_quantity"), "_sq"),
-            _dsum(F.col("l_extendedprice"), "_sbp"),
-            _dsum(disc_price, "_sdp"),
-            _dsum(charge, "_sc"),
-            _dsum(F.col("l_discount"), "_sd"),
+            _qsum(F.col("l_quantity"), "_sq"),
+            _qsum(F.col("l_extendedprice"), "_sbp"),
+            _qsum(disc_price, "_sdp"),
+            _qsum(charge, "_sc"),
+            _qsum(F.col("l_discount"), "_sd"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
     return g.select(
         "l_returnflag",
         "l_linestatus",
-        F.col("_sq").cast("double").alias("sum_qty"),
-        F.col("_sbp").cast("double").alias("sum_base_price"),
-        F.col("_sdp").cast("double").alias("sum_disc_price"),
-        F.col("_sc").cast("double").alias("sum_charge"),
-        (F.col("_sq").cast("double") / F.col("count_order")).alias("avg_qty"),
-        (F.col("_sbp").cast("double") / F.col("count_order")).alias("avg_price"),
-        (F.col("_sd").cast("double") / F.col("count_order")).alias("avg_disc"),
+        _qval("_sq", "sum_qty"),
+        _qval("_sbp", "sum_base_price"),
+        _qval("_sdp", "sum_disc_price"),
+        _qval("_sc", "sum_charge"),
+        (F.col("_sq").cast("double") / F.lit(10000.0) / F.col("count_order")).alias("avg_qty"),
+        (F.col("_sbp").cast("double") / F.lit(10000.0) / F.col("count_order")).alias("avg_price"),
+        (F.col("_sd").cast("double") / F.lit(10000.0) / F.col("count_order")).alias("avg_disc"),
         "count_order",
     )
 
 
-Q1_SQL = """
+def _qsum_sql(expr: str) -> str:
+    """DuckDB mirror of ``_qsum``: same float quantization, int64 sum."""
+    return f"CAST(SUM(CAST(floor(({expr}) * 10000 + 0.5) AS BIGINT)) AS DOUBLE)"
+
+
+Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
-       CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       {_qsum_sql('l_quantity')} / 10000.0 AS sum_qty,
+       {_qsum_sql('l_extendedprice')} / 10000.0 AS sum_base_price,
+       {_qsum_sql('l_extendedprice * (1 - l_discount)')} / 10000.0 AS sum_disc_price,
+       {_qsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} / 10000.0 AS sum_charge,
+       {_qsum_sql('l_quantity')} / 10000.0 / COUNT(*) AS avg_qty,
+       {_qsum_sql('l_extendedprice')} / 10000.0 / COUNT(*) AS avg_price,
+       {_qsum_sql('l_discount')} / 10000.0 / COUNT(*) AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -129,21 +149,18 @@ def q3_shipping_priority(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     cut = dt.datetime(1998, 1, 1)
-    revenue_dec = F.sum(
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(D)
-    ).alias("_rev")
     res = (
         li.where(F.col("l_shipdate") > F.lit(cut))
         .join(orders.where(F.col("o_orderdate") < F.lit(cut)), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(revenue_dec)
+        .agg(_qsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "_rev"))
         .orderBy(F.col("_rev").desc(), F.col("l_orderkey").asc())
         .limit(10)
     )
     return res.select(
         "l_orderkey",
-        F.col("_rev").cast("double").alias("revenue"),
+        _qval("_rev", "revenue"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s"),
         "o_orderpriority",
     )
@@ -151,12 +168,12 @@ def q3_shipping_priority(spark, sf_dir):
 
 Q3_SQL = """
 SELECT l_orderkey,
-       CAST(_rev AS DOUBLE) AS revenue,
+       CAST(_rev AS DOUBLE) / 10000.0 AS revenue,
        strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
        o_orderpriority
 FROM (
   SELECT l_orderkey, o_orderdate, o_orderpriority,
-         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS _rev
+         SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) AS _rev
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
@@ -188,14 +205,14 @@ def q5_local_supplier(spark, sf_dir):
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "_rev"))
-        .select("n_name", F.col("_rev").cast("double").alias("revenue"))
+        .agg(_qsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "_rev"))
+        .select("n_name", _qval("_rev", "revenue"))
     )
     return res
 
 
 Q5_SQL = """
-SELECT n_name, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+SELECT n_name, CAST(SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -243,14 +260,14 @@ def events_hourly_rollup(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            _dsum(F.col("value"), "_sv"),
+            _qsum(F.col("value"), "_sv"),
             F.countDistinct("user_id").alias("n_users"),
         )
         .select(
             "hour_s",
             "event_type",
             "n_events",
-            F.col("_sv").cast("double").alias("sum_value"),
+            _qval("_sv", "sum_value"),
             "n_users",
         )
     )
@@ -260,7 +277,7 @@ EVENTS_HOURLY_SQL = """
 SELECT strftime(date_trunc('hour', make_timestamp(epoch_ns(ts) // 1000)), '%Y-%m-%d %H:%M') AS hour_s,
        event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+       CAST(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_value,
        COUNT(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY 1, 2

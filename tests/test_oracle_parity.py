@@ -1,0 +1,69 @@
+"""Local replica of the driver's correctness gate: every registered
+query's Spark result must equal its DuckDB oracle at sf0.01 —
+column names, row count, and (after sorting columns by name and rows by
+value) the values themselves.
+
+Set SPARK_GRAFT_ORACLE_SF to point at a different scale dir (sf0.001
+for a quick pass while iterating).
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+from levi_spark.queries import QUERIES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-style normalization: columns sorted by name, rows sorted
+    by all values, timestamps/bytes/objects stringified."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype(str)
+        elif df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: v.hex() if isinstance(v, (bytes, bytearray)) else str(v)
+            )
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", [n for n, (_f, s) in QUERIES.items() if s is not None])
+def test_query_matches_duckdb_oracle(spark, ddb, name):
+    fn, sql = QUERIES[name]
+    got = _canon(fn(spark, SF_DIR).toPandas())
+    want = _canon(ddb.execute(sql).df())
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: spark columns {list(got.columns)} != oracle {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: {len(got)} rows vs oracle {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
