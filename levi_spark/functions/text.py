@@ -128,3 +128,113 @@ def rolling_fingerprint(text: Column, modulus: int = FINGERPRINT_MOD) -> Column:
         F.lit(0).cast("long"),
         lambda acc, c: (acc * F.lit(257) + c) % F.lit(mersenne),
     )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH / SimHash — shingle-level near-duplicate detection
+# --------------------------------------------------------------------------
+#
+# Feature space: word 3-gram shingles (w-shingling, Broder 1997).
+# Shingles are hashed with the same base-257 Horner polynomial as
+# ``rolling_fingerprint`` but mod MINHASH_P = 2^31-1, so every product
+# in the (a*x + b) mod P family stays below 2^62 — exact in int64 on
+# any engine, no overflow, and therefore oracle-checkable in DuckDB.
+#
+# Scale stance (100 TB): the LSH band join shuffles on (band, sig) —
+# never a cross join; candidate verification touches only same-bucket
+# pairs. Hot buckets (boilerplate shingle sets) would be salted or
+# capped in a production run; the band/row counts (4 x 4 over K=16)
+# put the S-curve threshold at (1/4)^(1/4) ~= 0.71 Jaccard.
+
+import random as _random
+
+MINHASH_P = 2_147_483_647  # 2^31 - 1
+MINHASH_K = 16
+MINHASH_R = 4  # rows per band
+MINHASH_BANDS = MINHASH_K // MINHASH_R
+_mh_rng = _random.Random(1234567)
+MINHASH_A = [_mh_rng.randrange(1, MINHASH_P) for _ in range(MINHASH_K)]
+MINHASH_B = [_mh_rng.randrange(0, MINHASH_P) for _ in range(MINHASH_K)]
+
+SIMHASH_BITS = 32
+SIMHASH_A = 1103515245
+SIMHASH_B = 12345
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined) of a document."""
+    toks = F.split(F.trim(text), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)])
+    )
+    # guard: Spark's sequence(1, hi<1) would generate a DESCENDING range,
+    # so short docs get an explicit empty shingle set (DuckDB: range() is
+    # empty there — keep both engines identical)
+    return F.when(F.size(toks) >= n, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _horner_fp(s: Column, modulus: int = MINHASH_P) -> Column:
+    """Base-257 Horner hash of one string, mod ``modulus`` at each step
+    (acc < 2^31 so acc*257 + cp < 2^40 — exact in int64 everywhere)."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.ascii(s.substr(i, F.lit(1))).cast("long"),
+    )
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(257) + c) % F.lit(modulus),
+    )
+
+
+def shingle_fingerprints(shingles: Column) -> Column:
+    """array<string> shingles -> array<long> fingerprints in [0, P)."""
+    # 1-arg wrapper: _horner_fp's optional modulus param would make
+    # PySpark treat it as a 2-arg (element, index) HOF lambda
+    return F.transform(shingles, lambda g: _horner_fp(g))
+
+
+def minhash_cols(fps: Column) -> list[Column]:
+    """K minhash components m0..m{K-1} of a fingerprint array: each is
+    min over the universal-hash family (a_j * x + b_j) mod P."""
+    def mh(j: int):
+        # captured via factory: a default arg would change the lambda's
+        # arity, which PySpark uses to decide the HOF variable count
+        a, b = MINHASH_A[j], MINHASH_B[j]
+        return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_P)
+
+    return [
+        F.array_min(F.transform(fps, mh(j))).alias(f"m{j}") for j in range(MINHASH_K)
+    ]
+
+
+def band_signature(ms: list[Column]) -> Column:
+    """One band's signature: base-131 fold of its R minhash rows mod P."""
+    sig = ms[0]
+    for m in ms[1:]:
+        sig = (sig * F.lit(131) + m) % F.lit(MINHASH_P)
+    return sig
+
+
+def simhash_expr(text: Column) -> Column:
+    """32-bit SimHash over word-3-gram shingle features (Charikar 2002):
+    bit j is the sign of sum over features of (+1 / -1) by feature-hash
+    bit j. Feature hash = (A * horner_fp + B) mod P."""
+    h = F.transform(
+        word_shingles(text),
+        lambda g: (F.lit(SIMHASH_A) * _horner_fp(g) + F.lit(SIMHASH_B)) % F.lit(MINHASH_P),
+    )
+    def bit_weight(j: int):
+        mask = 1 << j
+        return lambda acc, x: acc + F.when(
+            x.bitwiseAND(F.lit(mask)) != 0, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    out = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        w = F.aggregate(h, F.lit(0).cast("long"), bit_weight(j))
+        out = out + F.when(w >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out

@@ -819,6 +819,215 @@ FROM documents
 """
 
 
+def minhash_lsh_neardup(spark, sf_dir):
+    """MinHash + LSH near-duplicate detection over word-3-gram shingles
+    (w-shingling): K=16 minhashes, 4 bands x 4 rows, band-bucket join
+    for candidates, exact shingle-Jaccard verify at >= 0.5.
+
+    Scale: the only join shuffles on (band, sig) — same-bucket pairs
+    only, never a cross join; verification touches candidates alone.
+    """
+    from levi_spark.functions.text import (
+        MINHASH_BANDS,
+        MINHASH_R,
+        band_signature,
+        minhash_cols,
+        shingle_fingerprints,
+        word_shingles,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select(
+        "doc_id", word_shingles(F.col("text")).alias("__sh")
+    ).withColumn("__fp", shingle_fingerprints(F.col("__sh")))
+    sigs = base.select("doc_id", *minhash_cols(F.col("__fp")))
+    band_arr = F.array(
+        *[
+            band_signature([F.col(f"m{MINHASH_R * b + r}") for r in range(MINHASH_R)])
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    bands = sigs.select("doc_id", F.posexplode(band_arr).alias("band", "sig"))
+    ba = bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+    bb = bands.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    cand = (
+        ba.join(bb, ["band", "sig"])
+        .where(F.col("doc_b") > F.col("doc_a"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sh_a = base.select(F.col("doc_id").alias("doc_a"), F.col("__sh").alias("__sa"))
+    sh_b = base.select(F.col("doc_id").alias("doc_b"), F.col("__sh").alias("__sb"))
+    return (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jaccard_expr(F.col("__sa"), F.col("__sb")), 6).alias("jaccard_w3"),
+        )
+        .where(F.col("jaccard_w3") >= 0.5)
+    )
+
+
+def _minhash_sql() -> str:
+    from levi_spark.functions.text import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_BANDS,
+        MINHASH_P,
+        MINHASH_R,
+    )
+
+    P = MINHASH_P
+    mins = ",\n         ".join(
+        f"list_min(list_transform(fp, x -> ({MINHASH_A[j]} * x + {MINHASH_B[j]}) % {P})) AS m{j}"
+        for j in range(len(MINHASH_A))
+    )
+
+    def bsig(ms: list[str]) -> str:
+        sig = ms[0]
+        for m in ms[1:]:
+            sig = f"((({sig}) * 131 + {m}) % {P})"
+        return sig
+
+    bands = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band, {bsig([f'm{MINHASH_R * b + r}' for r in range(MINHASH_R)])} AS sig FROM sigs"
+        for b in range(MINHASH_BANDS)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
+         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM toks
+),
+fps AS (
+  SELECT doc_id, s, list_transform(s, g -> list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, length(g)+1), i -> CAST(ord(substr(g,i,1)) AS BIGINT))),
+           (acc, c) -> (acc * 257 + c) % {P})) AS fp
+  FROM sh
+),
+sigs AS ( SELECT doc_id, {mins} FROM fps ),
+bands AS ( {bands} ),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND b.doc_id > a.doc_id
+)
+SELECT doc_a, doc_b, jaccard_w3 FROM (
+  SELECT c.doc_a, c.doc_b,
+         ROUND(CAST(len(list_intersect(fa.s, fb.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(fa.s, fb.s))), 6) AS jaccard_w3
+  FROM cand c JOIN fps fa ON fa.doc_id = c.doc_a JOIN fps fb ON fb.doc_id = c.doc_b
+)
+WHERE jaccard_w3 >= 0.5
+"""
+
+
+MINHASH_SQL = _minhash_sql()
+
+
+def doc_simhash(spark, sf_dir):
+    """Per-document 32-bit SimHash fingerprint (shingle features)."""
+    from levi_spark.functions.text import simhash_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash_expr(F.col("text")).alias("simhash32"))
+
+
+def simhash_neardup_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: Hamming-block candidate generation (4
+    blocks of 8 bits — pigeonhole guarantees recall at distance <= 3;
+    the join shuffles on (block, value), never cross-joins), verified
+    with exact Hamming distance <= 3 via bit_count(xor)."""
+    from levi_spark.functions.text import simhash_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    sims = docs.select("doc_id", simhash_expr(F.col("text")).alias("sh"))
+    block_arr = F.array(
+        *[F.shiftright(F.col("sh"), 8 * b).bitwiseAND(F.lit(255)) for b in range(4)]
+    )
+    blocks = sims.select("doc_id", "sh", F.posexplode(block_arr).alias("blk", "blkval"))
+    ba = blocks.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("__sha"), "blk", "blkval")
+    bb = blocks.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("__shb"), "blk", "blkval")
+    cand = (
+        ba.join(bb, ["blk", "blkval"])
+        .where(F.col("doc_b") > F.col("doc_a"))
+        .select("doc_a", "doc_b", "__sha", "__shb")
+        .distinct()
+    )
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("__sha").bitwiseXOR(F.col("__shb"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+    )
+
+
+def _simhash_cte() -> str:
+    """Shared DuckDB CTE computing (doc_id, sh = simhash32)."""
+    from levi_spark.functions.text import (
+        MINHASH_P,
+        SIMHASH_A,
+        SIMHASH_B,
+        SIMHASH_BITS,
+    )
+
+    P = MINHASH_P
+    weights = ",\n         ".join(
+        f"list_sum(list_transform(h, x -> CASE WHEN (x // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END)) AS w{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN w{j} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+sh0 AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
+         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM toks
+),
+fps AS (
+  SELECT doc_id, list_transform(s, g -> ({SIMHASH_A} * (list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, length(g)+1), i -> CAST(ord(substr(g,i,1)) AS BIGINT))),
+           (acc, c) -> (acc * 257 + c) % {P})) + {SIMHASH_B}) % {P}) AS h
+  FROM sh0
+),
+ws AS ( SELECT doc_id, {weights} FROM fps ),
+sims AS ( SELECT doc_id, {sim} AS sh FROM ws )"""
+
+
+DOC_SIMHASH_SQL = _simhash_cte() + "\nSELECT doc_id, sh AS simhash32 FROM sims"
+
+SIMHASH_PAIRS_SQL = (
+    _simhash_cte()
+    + ",\nblockt AS (\n  "
+    + "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, sh, {b} AS blk, (sh // {1 << (8 * b)}) % 256 AS blkval FROM sims"
+        for b in range(4)
+    )
+    + """
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sha, b.sh AS shb
+  FROM blockt a JOIN blockt b ON a.blk = b.blk AND a.blkval = b.blkval AND b.doc_id > a.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT doc_a, doc_b, bit_count(xor(sha, shb)) AS hamming FROM cand
+)
+WHERE hamming <= 3
+"""
+)
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -846,4 +1055,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ann_cosine_topk": (ann_cosine_topk, ANN_SQL),
     "embedding_neardup_pairs": (embedding_neardup_pairs, NEARDUP_SQL),
     "multimodal_byte_features": (multimodal_byte_features, MULTIMODAL_SQL),
+    "minhash_lsh_neardup": (minhash_lsh_neardup, MINHASH_SQL),
+    "doc_simhash": (doc_simhash, DOC_SIMHASH_SQL),
+    "simhash_neardup_pairs": (simhash_neardup_pairs, SIMHASH_PAIRS_SQL),
 }
