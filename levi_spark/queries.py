@@ -756,6 +756,91 @@ WHERE rn <= 5
 """
 
 
+def ivf_ann_topk(spark, sf_dir):
+    """IVF-style approximate nearest neighbor: partition vectors into
+    inverted lists by nearest centroid (16 deterministic centroids =
+    the first 16 vectors), probe the nprobe=2 closest cells per query,
+    exact top-5 cosine within probed cells.
+
+    Scale path vs brute force: the centroid table broadcasts, cell
+    assignment is a broadcast cross join (|cents| rows per vector, map
+    side only), and the candidate join shuffles on the cell key — each
+    query scans ~nprobe/K of the corpus instead of all of it. At 100 TB
+    the centroids would come from a sampled k-means fit; the plumbing
+    (broadcast assign -> bucketed probe join -> windowed top-k) is
+    identical.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
+    cents = v.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "v", "cent_id", cosine(F.col("v"), F.col("cv")).alias("__cc")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("__cc").desc(), F.col("cent_id").asc()
+    )
+    ranked = scored.withColumn("__rn", F.row_number().over(w_assign))
+    assigned = ranked.where(F.col("__rn") == 1).select(
+        "vec_id", "v", F.col("cent_id").alias("cell")
+    )
+    probes = (
+        ranked.where((F.col("vec_id") < 10) & (F.col("__rn") <= 2))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("cent_id").alias("cell"),
+        )
+    )
+    cand = (
+        probes.join(assigned, "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("score"),
+        )
+    )
+    w_k = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("__rk", F.row_number().over(w_k))
+        .where(F.col("__rk") <= 5)
+        .select("query_id", "neighbor_id", "score")
+    )
+
+
+IVF_ANN_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+c AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id < 16),
+scored AS (
+  SELECT v.vec_id, v.e, c.cent_id,
+         list_inner_product(v.e, c.ce)
+           / (sqrt(list_inner_product(v.e, v.e)) * sqrt(list_inner_product(c.ce, c.ce))) AS cc
+  FROM v CROSS JOIN c
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cent_id ASC) AS rn
+  FROM scored
+),
+assigned AS (SELECT vec_id, e, cent_id AS cell FROM ranked WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, e AS qe, cent_id AS cell
+           FROM ranked WHERE vec_id < 10 AND rn <= 2),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         ROUND(list_inner_product(p.qe, a.e)
+               / (sqrt(list_inner_product(p.qe, p.qe)) * sqrt(list_inner_product(a.e, a.e))), 6) AS score
+  FROM probes p JOIN assigned a ON p.cell = a.cell AND a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rk
+  FROM cand
+) WHERE rk <= 5
+"""
+
+
 def embedding_neardup_pairs(spark, sf_dir):
     """Embedding-cosine near-duplicate detection: pairs above 0.3 among
     the first 100 vectors (exact verify stage of LSH dedup)."""
@@ -1029,6 +1114,48 @@ WHERE hamming <= 3
 
 
 # --------------------------------------------------------------------------
+# Structured Streaming jobs (run-to-completion; see levi_spark/streaming)
+# --------------------------------------------------------------------------
+
+def stream_hourly_rollup(spark, sf_dir):
+    """Streaming tumbling-window rollup (watermark + window agg) drained
+    with Trigger.AvailableNow — must equal the batch rollup minus the
+    n_users column (COUNT DISTINCT is not a streaming aggregate)."""
+    from levi_spark.streaming.jobs import run_hourly_rollup
+
+    return run_hourly_rollup(spark, sf_dir)
+
+
+STREAM_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', make_timestamp(epoch_ns(ts) // 1000)), '%Y-%m-%d %H:%M') AS hour_s,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def stream_distinct_user_event(spark, sf_dir):
+    """Streaming exact dedup via dropDuplicates state."""
+    from levi_spark.streaming.jobs import run_distinct_user_event
+
+    return run_distinct_user_event(spark, sf_dir)
+
+
+STREAM_DISTINCT_SQL = "SELECT DISTINCT user_id, event_type FROM events"
+
+
+def stream_sessionize(spark, sf_dir):
+    """Gap-based sessionization as a custom stateful streaming operator
+    (applyInPandasWithState) — same semantics as the batch window
+    algebra, so it shares the sessionize oracle."""
+    from levi_spark.streaming.jobs import run_sessionize
+
+    return run_sessionize(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -1053,9 +1180,13 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ngram_jaccard_pairs": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
     "doc_fingerprints": (doc_fingerprints, FINGERPRINT_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_SQL),
+    "ivf_ann_topk": (ivf_ann_topk, IVF_ANN_SQL),
     "embedding_neardup_pairs": (embedding_neardup_pairs, NEARDUP_SQL),
     "multimodal_byte_features": (multimodal_byte_features, MULTIMODAL_SQL),
     "minhash_lsh_neardup": (minhash_lsh_neardup, MINHASH_SQL),
+    "stream_hourly_rollup": (stream_hourly_rollup, STREAM_HOURLY_SQL),
+    "stream_distinct_user_event": (stream_distinct_user_event, STREAM_DISTINCT_SQL),
+    "stream_sessionize": (stream_sessionize, SESSIONIZE_SQL),
     "doc_simhash": (doc_simhash, DOC_SIMHASH_SQL),
     "simhash_neardup_pairs": (simhash_neardup_pairs, SIMHASH_PAIRS_SQL),
 }

@@ -1,0 +1,184 @@
+"""Structured Streaming surface over the ``events`` table.
+
+The reference has no streaming plane (SURVEY.md §2.3) — this module is
+part of the north-star extension set. Each job is built as a real
+streaming pipeline (``readStream`` file source -> stateful transform ->
+sink) and also exposed in run-to-completion form: a file-source stream
+with ``Trigger.AvailableNow`` drains the input, and the sink's contents
+come back as a batch DataFrame, which makes every job oracle-checkable
+against DuckDB on the same parquet.
+
+Scale stance: file-source streams partition per file; state (dedup
+keys, session state, window aggregates) lives in the state store keyed
+by the groupBy key, so a 1000-executor cluster shards state by key
+hash. Nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as raw nanos
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    """File-source stream of the events table with ``ts_us`` (epoch
+    micros, long) normalized exactly like the batch reader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file stream source requires a directory: stream the sf dir,
+    # filtered down to the events file(s)
+    ev = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .option("pathGlobFilter", "events*.parquet")
+        .parquet(sf_dir)
+    )
+    return ev.withColumn("ts_us", F.expr("ts div 1000")).drop("ts")
+
+
+def _drain_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
+    """Run the streaming DataFrame to completion (AvailableNow) into a
+    memory sink; return the sink table as a batch DataFrame."""
+    name = f"levi_stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def hourly_rollup_stream(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour windowed aggregate with a 1-hour watermark:
+    n_events + exact quantized sum(value) per (hour, event_type).
+    (COUNT DISTINCT is not available in streaming aggregation — the
+    batch rollup carries the n_users column.)"""
+    ts = F.timestamp_micros(F.col("ts_us"))
+    return (
+        events.withColumn("__ts", ts)
+        .withWatermark("__ts", "1 hour")
+        .groupBy(F.window("__ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * F.lit(10000.0) + F.lit(0.5)).cast("long")
+            ).alias("_sv"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("hour_s"),
+            "event_type",
+            "n_events",
+            (F.col("_sv").cast("double") / F.lit(10000.0)).alias("sum_value"),
+        )
+    )
+
+
+def distinct_user_event_stream(events: DataFrame) -> DataFrame:
+    """Streaming exact dedup: first-seen (user_id, event_type) pairs.
+    ``dropDuplicates`` keeps per-key state in the state store; emitting
+    only the key columns keeps the result order-insensitive."""
+    return events.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+
+
+_SESSION_STATE_SCHEMA = "last_ts LONG, n_sessions LONG, n_events LONG"
+_SESSION_OUT_SCHEMA = "user_id LONG, n_sessions LONG, n_events LONG"
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """Gap-based sessionization as a custom stateful streaming operator
+    (``applyInPandasWithState``) — the streaming twin of the batch
+    window-algebra sessionizer in ``levi_spark.queries``. State carries
+    (last event ts, session count, event count) per user across
+    micro-batches; each batch's rows are folded in (ts, event_id)
+    order."""
+    gap_us = SESSION_GAP_US
+
+    # defined as a closure so cloudpickle serializes it BY VALUE — the
+    # executor Python workers don't need levi_spark on their path
+    def sessionize_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_ts, n_sessions, n_events = state.get
+        else:
+            last_ts, n_sessions, n_events = None, 0, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            for ts in pdf["ts_us"].to_numpy():
+                if last_ts is None or ts - last_ts > gap_us:
+                    n_sessions += 1
+                last_ts = int(ts)
+                n_events += 1
+        state.update((last_ts, n_sessions, n_events))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        sessionize_fn,
+        outputStructType=_SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# -- run-to-completion entry points (oracle-checkable) ---------------------
+
+
+def run_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _drain_to_memory(
+        hourly_rollup_stream(read_events_stream(spark, sf_dir)), "complete"
+    )
+
+
+def run_distinct_user_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _drain_to_memory(
+        distinct_user_event_stream(read_events_stream(spark, sf_dir)), "append"
+    )
+
+
+def run_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session counts per user after draining the stream. With one
+    input file this is a single micro-batch, so every user emits
+    exactly one final row; across multiple batches the memory sink in
+    update mode appends per-batch snapshots and the last row per user
+    is the final one — we keep the max (counts are monotone)."""
+    raw = _drain_to_memory(
+        sessionize_stream(read_events_stream(spark, sf_dir)), "update"
+    )
+    return raw.groupBy("user_id").agg(
+        F.max("n_sessions").alias("n_sessions"),
+        F.max("n_events").alias("n_events"),
+    )

@@ -1,0 +1,133 @@
+"""Multi-micro-batch streaming tests: state must carry across batches.
+
+The events table is split into 4 time-ordered parquet files; with
+maxFilesPerTrigger=1 each file is its own micro-batch, so dedup state,
+window aggregates, and the custom session state all fold across batch
+boundaries. Results must equal the batch oracles on the same rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+import levi_spark.streaming.jobs as J
+
+SRC = "/root/testdata/sf0.001/events.parquet"
+
+
+@pytest.fixture(scope="module")
+def split_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_split")
+    t = pq.read_table(SRC)
+    t = t.set_column(
+        t.schema.get_field_index("ts"), "ts", pc.cast(t["ts"], pa.int64())
+    )
+    t = t.sort_by("ts")
+    n = t.num_rows
+    cuts = [0, n // 4, n // 2, 3 * n // 4, n]
+    for i in range(4):
+        path = str(d / f"events_{i:02d}.parquet")
+        pq.write_table(t.slice(cuts[i], cuts[i + 1] - cuts[i]), path)
+        # file-stream sources order batches by (mtime, path): stamp
+        # strictly increasing mtimes so arrival order == event-time order
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{SRC}')")
+    yield con
+    con.close()
+
+
+def _drain(stream_df, mode):
+    return J._drain_to_memory(stream_df, mode)
+
+
+def test_multibatch_distinct(spark, split_dir, oracle):
+    got = sorted(
+        map(
+            tuple,
+            _drain(
+                J.distinct_user_event_stream(
+                    J.read_events_stream(spark, split_dir, max_files_per_trigger=1)
+                ),
+                "append",
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, oracle.execute("SELECT DISTINCT user_id, event_type FROM events").fetchall())
+    )
+    assert got == want
+
+
+def test_multibatch_hourly_rollup(spark, split_dir, oracle):
+    df = _drain(
+        J.hourly_rollup_stream(
+            J.read_events_stream(spark, split_dir, max_files_per_trigger=1)
+        ),
+        "complete",
+    )
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(
+        map(
+            tuple,
+            oracle.execute(
+                """
+        SELECT strftime(date_trunc('hour', make_timestamp(epoch_ns(ts) // 1000)), '%Y-%m-%d %H:%M'),
+               event_type, COUNT(*),
+               CAST(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0
+        FROM events GROUP BY 1, 2
+        """
+            ).fetchall(),
+        )
+    )
+    assert got == want
+
+
+def test_multibatch_sessionize_state(spark, split_dir, oracle):
+    raw = _drain(
+        J.sessionize_stream(
+            J.read_events_stream(spark, split_dir, max_files_per_trigger=1)
+        ),
+        "update",
+    )
+    # update-mode memory sink: last emitted row per user is final;
+    # counts are monotone so max == last
+    import pyspark.sql.functions as F
+
+    got = sorted(
+        map(
+            tuple,
+            raw.groupBy("user_id")
+            .agg(F.max("n_sessions"), F.max("n_events"))
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            oracle.execute(
+                """
+        SELECT user_id, SUM(__new) AS n_sessions, COUNT(*) AS n_events
+        FROM (
+          SELECT user_id,
+                 CASE WHEN LAG(epoch_ns(ts) // 1000) OVER w IS NULL
+                        OR epoch_ns(ts) // 1000 - LAG(epoch_ns(ts) // 1000) OVER w > 1800000000
+                      THEN 1 ELSE 0 END AS __new
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ) GROUP BY user_id
+        """
+            ).fetchall(),
+        )
+    )
+    assert got == want
