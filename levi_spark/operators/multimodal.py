@@ -1,0 +1,162 @@
+"""Multimodal column operators: image / audio / video as opaque binary.
+
+Design (north-star extension; the reference has no media surface):
+media payloads ride in ``binary`` columns next to typed metadata
+columns; all per-payload compute crosses the Python boundary exactly
+once, through Arrow-batched ``mapInPandas``, so each executor core
+processes whole record batches (no per-row Python overhead) and the
+operators scale horizontally with partitions — there is no driver-side
+loop anywhere.
+
+The actual codec step (PIL/ffmpeg/librosa) is NOT available in this
+container, so decoding is pluggable: every operator takes a
+``decoder`` callable; the default raises ``NotImplementedError`` with
+the library it would use, and ``fake_image_decoder`` /
+``fake_audio_decoder`` provide deterministic byte-derived stand-ins so
+the Spark-side plumbing (schemas, batch shapes, partitioning) is fully
+testable. Swapping in a real codec changes no Spark code.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+FrameDecoder = Callable[[bytes], dict]
+
+
+def _default_image_decoder(payload: bytes) -> dict:
+    raise NotImplementedError(
+        "real image decode requires PIL/opencv (not in this container); "
+        "pass decoder=fake_image_decoder or a real codec"
+    )
+
+
+def _default_audio_decoder(payload: bytes) -> dict:
+    raise NotImplementedError(
+        "real audio decode requires soundfile/librosa (not in this "
+        "container); pass decoder=fake_audio_decoder or a real codec"
+    )
+
+
+def fake_image_decoder(payload: bytes) -> dict:
+    """Deterministic stand-in for an image codec: 'dimensions' and a
+    'mean pixel' derived from the bytes themselves."""
+    h = hashlib.sha256(payload).digest()
+    return {
+        "width": 1 + h[0] % 64,
+        "height": 1 + h[1] % 64,
+        "mean_pixel": sum(payload[:256]) / max(1, len(payload[:256])),
+    }
+
+
+def fake_audio_decoder(payload: bytes) -> dict:
+    """Deterministic stand-in for an audio codec."""
+    h = hashlib.sha256(payload).digest()
+    return {
+        "sample_rate": 8000 * (1 + h[2] % 6),
+        "n_samples": len(payload),
+        "rms": (sum(b * b for b in payload[:256]) / max(1, len(payload[:256]))) ** 0.5,
+    }
+
+
+def decode_image_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decoder: FrameDecoder = _default_image_decoder,
+) -> DataFrame:
+    """binary payload -> (id, width, height, mean_pixel) via one
+    Arrow-batched pass."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decoder(bytes(b)) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": [d["width"] for d in decoded],
+                    "height": [d["height"] for d in decoded],
+                    "mean_pixel": [d["mean_pixel"] for d in decoded],
+                }
+            )
+
+    return df.mapInPandas(
+        run, f"{id_col} long, width int, height int, mean_pixel double"
+    )
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """binary payload -> resized binary payload. Default resizer is a
+    deterministic truncation/pad stub (real one would be PIL.Image.resize);
+    the schema contract (binary in, binary out, same id) is the real
+    plumbing a codec swap preserves."""
+
+    def _stub_resize(b: bytes, w: int, h: int) -> bytes:
+        n = max(1, (w * h) // 8)
+        return (b * ((n // max(1, len(b))) + 1))[:n] if b else b"\x00" * n
+
+    rz = resizer or _stub_resize
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": [rz(bytes(b), target_w, target_h) for b in pdf[payload_col]],
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    return df.mapInPandas(run, f"{id_col} long, payload binary, width int, height int")
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_bytes: int = 256,
+    stride: int = 4,
+) -> DataFrame:
+    """'Video' frame sampling over an opaque payload: the payload is a
+    sequence of fixed-size frames; emit every ``stride``-th frame with
+    its byte length and sha256. One input row fans out to ~n_frames/stride
+    output rows inside the same Arrow batch — the row explosion happens
+    executor-side, never on the driver."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sizes, shas = [], [], [], []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(b)
+                n_frames = (len(data) + frame_bytes - 1) // frame_bytes
+                for f in range(0, n_frames, stride):
+                    chunk = data[f * frame_bytes : (f + 1) * frame_bytes]
+                    ids.append(i)
+                    idxs.append(f)
+                    sizes.append(len(chunk))
+                    shas.append(hashlib.sha256(chunk).hexdigest())
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_bytes": pd.Series(sizes, dtype="int64"),
+                    "frame_sha": pd.Series(shas, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(
+        run, f"{id_col} long, frame_idx long, frame_bytes long, frame_sha string"
+    )

@@ -1113,6 +1113,80 @@ WHERE hamming <= 3
 )
 
 
+def multimodal_frame_sample(spark, sf_dir):
+    """Video-style frame sampling through the Arrow-batched multimodal
+    boundary: each document's payload is framed into 64-char slices and
+    every 2nd frame is emitted with its encoded byte length and sha256.
+    One input row fans out to ~n_frames/2 rows inside the executor-side
+    batch — no driver loop. The byte-level twin over real binary
+    payloads is ``levi_spark.operators.multimodal.sample_frames``
+    (unit-tested; char framing keeps the DuckDB oracle expressible —
+    this DuckDB build has no blob slicing)."""
+    import hashlib
+
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    frame_chars, stride = 64, 2
+
+    def run(batches):
+        for pdf in batches:
+            ids, idxs, nb, sha = [], [], [], []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                n_frames = (len(t) + frame_chars - 1) // frame_chars
+                for f in range(0, n_frames, stride):
+                    chunk = t[f * frame_chars : (f + 1) * frame_chars].encode("utf-8")
+                    ids.append(i)
+                    idxs.append(f)
+                    nb.append(len(chunk))
+                    sha.append(hashlib.sha256(chunk).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_bytes": pd.Series(nb, dtype="int64"),
+                    "frame_sha": pd.Series(sha, dtype="object"),
+                }
+            )
+
+    return docs.mapInPandas(
+        run, "doc_id long, frame_idx long, frame_bytes long, frame_sha string"
+    )
+
+
+FRAME_SAMPLE_SQL = """
+SELECT doc_id, f AS frame_idx,
+       octet_length(encode(substring(text, CAST(1 + f*64 AS BIGINT), 64))) AS frame_bytes,
+       sha256(substring(text, CAST(1 + f*64 AS BIGINT), 64)) AS frame_sha
+FROM (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(ceil(length(text)/64.0) AS BIGINT), 2)) AS f
+  FROM documents
+)
+"""
+
+
+def doc_bpe_tokens(spark, sf_dir):
+    """BPE-ish token counting: alpha runs, digit runs, and single
+    non-alnum marks as separate tokens (regex pre-tokenizer), next to
+    the plain whitespace count."""
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0)).alias("n_bpe_tokens"),
+        token_count(F.col("text")).alias("n_ws_tokens"),
+    )
+
+
+BPE_TOKENS_SQL = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+       len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # Structured Streaming jobs (run-to-completion; see levi_spark/streaming)
 # --------------------------------------------------------------------------
@@ -1183,6 +1257,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ivf_ann_topk": (ivf_ann_topk, IVF_ANN_SQL),
     "embedding_neardup_pairs": (embedding_neardup_pairs, NEARDUP_SQL),
     "multimodal_byte_features": (multimodal_byte_features, MULTIMODAL_SQL),
+    "multimodal_frame_sample": (multimodal_frame_sample, FRAME_SAMPLE_SQL),
+    "doc_bpe_tokens": (doc_bpe_tokens, BPE_TOKENS_SQL),
     "minhash_lsh_neardup": (minhash_lsh_neardup, MINHASH_SQL),
     "stream_hourly_rollup": (stream_hourly_rollup, STREAM_HOURLY_SQL),
     "stream_distinct_user_event": (stream_distinct_user_event, STREAM_DISTINCT_SQL),
