@@ -1113,6 +1113,115 @@ WHERE hamming <= 3
 )
 
 
+def events_asof_join(spark, sf_dir):
+    """As-of join: for each purchase event, the user's most recent view
+    event at-or-before it (time-series point-in-time join — absent from
+    both the reference and Spark's builtin operator set).
+
+    Implementation is the scalable merge-and-carry pattern, NOT a
+    pairwise join: union both sides tagged, sort within user by
+    (ts, side), and carry the last view forward with
+    last(..., ignorenulls) over an unbounded-preceding window. One
+    shuffle on user_id, O(n log n) per partition, no quadratic
+    intermediate — this survives a 100x scale-up where a
+    join-then-rank as-of blows up on pairs.
+    """
+    ev = _events(spark, sf_dir)
+    base = ev.select("event_id", "user_id", "ts_us", "event_type")
+    p = base.where(F.col("event_type") == "purchase")
+    v = base.where(F.col("event_type") == "view")
+    merged = p.select(
+        "user_id", "ts_us", "event_id", F.lit(1).alias("__isq")
+    ).unionByName(
+        v.select("user_id", "ts_us", "event_id", F.lit(0).alias("__isq"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "__isq", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_v = F.col("__isq") == 0
+    view_ts = F.last(F.when(is_v, F.col("ts_us")), ignorenulls=True).over(w)
+    view_id = F.last(F.when(is_v, F.col("event_id")), ignorenulls=True).over(w)
+    return (
+        merged.withColumn("__vts", view_ts)
+        .withColumn("__vid", view_id)
+        .where(F.col("__isq") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts_us").alias("purchase_ts_us"),
+            F.coalesce(F.col("__vts"), F.lit(-1)).alias("view_ts_us"),
+            F.coalesce(F.col("__vid"), F.lit(-1)).alias("view_event_id"),
+        )
+    )
+
+
+ASOF_SQL = """
+WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS ts_us, event_type FROM events),
+p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+v AS (SELECT * FROM e WHERE event_type = 'view')
+SELECT p.event_id AS purchase_id, p.user_id, p.ts_us AS purchase_ts_us,
+       COALESCE(v.ts_us, -1) AS view_ts_us,
+       COALESCE(v.event_id, -1) AS view_event_id
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts_us <= p.ts_us
+"""
+
+
+def events_range_join(spark, sf_dir):
+    """Range join: clicks within the 30 minutes before each purchase.
+
+    Implementation buckets time into gap-sized bins and joins on
+    (user_id, bucket) with the click expanded to its own and the next
+    bucket — the range predicate then only filters within +-1 bucket,
+    so the join never degenerates into a per-user cross product. At
+    100 TB the bucket key also spreads one user's history across
+    reducers.
+    """
+    gap_us = 30 * 60 * 1_000_000
+    ev = _events(spark, sf_dir)
+    base = ev.select("event_id", "user_id", "ts_us", "event_type")
+    p = base.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts_us").alias("p_ts"),
+        F.expr(f"ts_us div {gap_us}").alias("__bkt"),
+    )
+    c = (
+        base.where(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("ts_us").alias("c_ts"),
+            F.explode(
+                F.array(
+                    F.expr(f"ts_us div {gap_us}"), F.expr(f"ts_us div {gap_us} + 1")
+                )
+            ).alias("__bkt"),
+        )
+    )
+    joined = p.join(c, ["user_id", "__bkt"], "left").withColumn(
+        "__hit",
+        F.when(
+            (F.col("c_ts") > F.col("p_ts") - gap_us) & (F.col("c_ts") <= F.col("p_ts")),
+            1,
+        ).otherwise(0),
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.sum("__hit").cast("long").alias("n_clicks_30m")
+    )
+
+
+RANGE_JOIN_SQL = """
+WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS ts_us, event_type FROM events),
+p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+c AS (SELECT * FROM e WHERE event_type = 'click')
+SELECT p.event_id AS purchase_id, COUNT(c.ts_us) AS n_clicks_30m
+FROM p LEFT JOIN c ON p.user_id = c.user_id
+  AND c.ts_us > p.ts_us - 1800000000 AND c.ts_us <= p.ts_us
+GROUP BY 1
+"""
+
+
 def multimodal_frame_sample(spark, sf_dir):
     """Video-style frame sampling through the Arrow-batched multimodal
     boundary: each document's payload is framed into 64-char slices and
@@ -1240,6 +1349,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "top3_customers_per_nation": (top3_customers_per_nation, TOP3_SQL),
     "events_hourly_rollup": (events_hourly_rollup, EVENTS_HOURLY_SQL),
     "events_sessionize": (events_sessionize, SESSIONIZE_SQL),
+    "events_asof_join": (events_asof_join, ASOF_SQL),
+    "events_range_join": (events_range_join, RANGE_JOIN_SQL),
     "skipped_stats_sim": (skipped_stats_sim, SKIPPED_SIM_SQL),
     "file_size_histogram_sim": (file_size_histogram_sim, FILE_HIST_SQL),
     "updated_partitions_sim": (updated_partitions_sim, UPDATED_PARTS_SQL),
