@@ -225,6 +225,96 @@ GROUP BY n_name
 """
 
 
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure filter-scan aggregate — the predicate and
+    the 3-column projection must reach the parquet scan (PushedFilters
+    + pruned ReadSchema), making this the pushdown benchmark query."""
+    li = _t(spark, sf_dir, "lineitem")
+    lo, hi = dt.datetime(1996, 1, 1), dt.datetime(1997, 1, 1)
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit(lo))
+            & (F.col("l_shipdate") < F.lit(hi))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _qsum(F.col("l_extendedprice") * F.col("l_discount"), "_rev"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(_qval("_rev", "revenue"), "n_rows")
+    )
+
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(floor((l_extendedprice * l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def lineitem_rollup(spark, sf_dir):
+    """Hierarchical totals via ROLLUP(l_returnflag, l_linestatus) with
+    grouping_id disambiguating subtotal levels — grouping-set coverage
+    the reference has none of (SURVEY §2.3)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_rows"),
+            _qsum(F.col("l_extendedprice"), "_s"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n_rows", _qval("_s", "sum_price"))
+    )
+
+
+ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, GROUPING(l_returnflag, l_linestatus) AS gid,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_price
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def customer_order_presence(spark, sf_dir):
+    """Semi/anti join coverage: per nation, customer counts split by
+    order presence — the has_order=true branch is a LEFT SEMI join, the
+    false branch a LEFT ANTI join (both map to Spark's dedicated join
+    types; the distinct custkey side stays broadcastable)."""
+    cust = _t(spark, sf_dir, "customer")
+    okeys = _t(spark, sf_dir, "orders").select("o_custkey").distinct()
+    on = cust["c_custkey"] == okeys["o_custkey"]
+    with_o = (
+        cust.join(F.broadcast(okeys), on, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .withColumn("has_order", F.lit(True))
+    )
+    without_o = (
+        cust.join(F.broadcast(okeys), on, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .withColumn("has_order", F.lit(False))
+    )
+    return with_o.unionByName(without_o).select("c_nationkey", "has_order", "n_customers")
+
+
+PRESENCE_SQL = """
+SELECT c_nationkey, has_order, COUNT(*) AS n_customers
+FROM (
+  SELECT c_nationkey,
+         c_custkey IN (SELECT o_custkey FROM orders) AS has_order
+  FROM customer
+)
+GROUP BY 1, 2
+"""
+
+
 def top3_customers_per_nation(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy(
@@ -1346,6 +1436,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_local_supplier": (q5_local_supplier, Q5_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "lineitem_rollup": (lineitem_rollup, ROLLUP_SQL),
+    "customer_order_presence": (customer_order_presence, PRESENCE_SQL),
     "top3_customers_per_nation": (top3_customers_per_nation, TOP3_SQL),
     "events_hourly_rollup": (events_hourly_rollup, EVENTS_HOURLY_SQL),
     "events_sessionize": (events_sessionize, SESSIONIZE_SQL),
