@@ -53,18 +53,15 @@ from levi_spark.operators.scd import scd2_merge_result
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from levi_spark.sources.registry import read_table
+
+    return read_table(spark, sf_dir, name)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table with ``ts`` normalized to ``ts_us`` (epoch
-    microseconds, long). The parquet file stores TIMESTAMP(NANOS),
-    which Spark only reads via the nanosAsLong legacy conf; DuckDB
-    reads it as TIMESTAMP_NS — both sides converge on integer micros
-    (oracle: ``epoch_ns(ts) // 1000``)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.withColumn("ts_us", F.expr("ts div 1000")).drop("ts")
+    from levi_spark.sources.registry import read_events
+
+    return read_events(spark, sf_dir)
 
 
 def _epoch_us(d: dt.datetime) -> int:
