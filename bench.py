@@ -33,6 +33,12 @@ def main():
         # Catalyst prune the projection and under-report)
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        # isolation between queries: cached RDDs and streaming memory
+        # sinks left behind by one query must not tax the next
+        spark.catalog.clearCache()
+        for v in spark.catalog.listTables():
+            if v.name.startswith("levi_stream_"):
+                spark.catalog.dropTempView(v.name)
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

@@ -197,18 +197,56 @@ def shingle_fingerprints(shingles: Column) -> Column:
     return F.transform(shingles, lambda g: _horner_fp(g))
 
 
-def minhash_cols(fps: Column) -> list[Column]:
-    """K minhash components m0..m{K-1} of a fingerprint array: each is
-    min over the universal-hash family (a_j * x + b_j) mod P."""
-    def mh(j: int):
-        # captured via factory: a default arg would change the lambda's
-        # arity, which PySpark uses to decide the HOF variable count
-        a, b = MINHASH_A[j], MINHASH_B[j]
-        return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_P)
+def shingle_rows(docs, id_col: str = "doc_id", text_col: str = "text", n: int = 3):
+    """Explode each document into distinct (id, shingle) word n-gram
+    rows — entirely with codegen operators: posexplode the tokens, form
+    the n-gram with lead() windows, dedupe. No interpreted
+    higher-order functions anywhere (array lambdas run interpreted and
+    measured ~10x slower at sf0.1). Positions past the last full
+    shingle yield one null-sh row per doc (deduped), so shingle-less
+    docs still surface; downstream aggregates skip nulls."""
+    from pyspark.sql import Window
 
-    return [
-        F.array_min(F.transform(fps, mh(j))).alias(f"m{j}") for j in range(MINHASH_K)
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("tok", k).over(w) for k in range(1, n)]
+    sh = F.when(leads[-1].isNotNull(), F.concat_ws(" ", F.col("tok"), *leads))
+    return toks.select(F.col(id_col), sh.alias("sh")).dropDuplicates([id_col, "sh"])
+
+
+def md5_fp(col: Column) -> Column:
+    """Codegen-fast feature fingerprint in [0, P): first 12 hex chars
+    of md5 as an integer, mod P. Cross-engine: DuckDB mirrors it as
+    ('0x' || substr(md5(x),1,12))::BIGINT % P."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long") % F.lit(
+        MINHASH_P
+    )
+
+
+def shingle_hash_rows(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """(id, fp) rows: one per distinct shingle per doc, plus a null-fp
+    sentinel row per doc (see shingle_rows)."""
+    rows = shingle_rows(docs, id_col, text_col)
+    return rows.select(
+        F.col(id_col),
+        F.when(F.col("sh").isNotNull(), md5_fp(F.col("sh"))).alias("fp"),
+    )
+
+
+def minhash_signatures(rows, id_col: str = "doc_id"):
+    """(id, fp) rows -> one row per id with minhash components
+    m0..m{K-1}: min over the universal-hash family (a_j*fp + b_j) mod P.
+    One shuffle on the id; partial aggregation combines map-side."""
+    aggs = [
+        F.min(
+            (F.lit(MINHASH_A[j]) * F.col("fp") + F.lit(MINHASH_B[j])) % F.lit(MINHASH_P)
+        ).alias(f"m{j}")
+        for j in range(MINHASH_K)
     ]
+    return rows.groupBy(id_col).agg(*aggs)
 
 
 def band_signature(ms: list[Column]) -> Column:
@@ -219,22 +257,29 @@ def band_signature(ms: list[Column]) -> Column:
     return sig
 
 
-def simhash_expr(text: Column) -> Column:
-    """32-bit SimHash over word-3-gram shingle features (Charikar 2002):
-    bit j is the sign of sum over features of (+1 / -1) by feature-hash
-    bit j. Feature hash = (A * horner_fp + B) mod P."""
-    h = F.transform(
-        word_shingles(text),
-        lambda g: (F.lit(SIMHASH_A) * _horner_fp(g) + F.lit(SIMHASH_B)) % F.lit(MINHASH_P),
-    )
-    def bit_weight(j: int):
-        mask = 1 << j
-        return lambda acc, x: acc + F.when(
-            x.bitwiseAND(F.lit(mask)) != 0, F.lit(1)
-        ).otherwise(F.lit(-1))
-
-    out = F.lit(0).cast("long")
+def simhash_df(rows, id_col: str = "doc_id", out_col: str = "simhash32"):
+    """(id, fp) rows -> (id, 32-bit SimHash) (Charikar 2002): bit j is
+    the sign of the sum over features of +-1 by feature-hash bit j,
+    feature hash = (A*fp + B) mod P. The 32 bit sums are ordinary
+    codegen aggregates over the exploded rows (see shingle_hash_rows
+    for why NOT per-array lambda aggregates). Null-fp sentinel rows
+    contribute NULL to every weight (sum skips them); a doc with no
+    real shingles gets all-NULL weights -> every bit 0 -> simhash 0,
+    matching the empty-list oracle semantics."""
+    h = (F.lit(SIMHASH_A) * F.col("fp") + F.lit(SIMHASH_B)) % F.lit(MINHASH_P)
+    aggs = [
+        F.sum(
+            F.when(
+                F.col("fp").isNotNull(),
+                F.when(h.bitwiseAND(F.lit(1 << j)) != 0, F.lit(1)).otherwise(F.lit(-1)),
+            )
+        ).alias(f"w{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    ws = rows.groupBy(id_col).agg(*aggs)
+    sh = F.lit(0).cast("long")
     for j in range(SIMHASH_BITS):
-        w = F.aggregate(h, F.lit(0).cast("long"), bit_weight(j))
-        out = out + F.when(w >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
-    return out
+        sh = sh + F.when(F.col(f"w{j}") >= 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return ws.select(F.col(id_col), sh.alias(out_col))

@@ -996,23 +996,35 @@ def minhash_lsh_neardup(spark, sf_dir):
     (w-shingling): K=16 minhashes, 4 bands x 4 rows, band-bucket join
     for candidates, exact shingle-Jaccard verify at >= 0.5.
 
-    Scale: the only join shuffles on (band, sig) — same-bucket pairs
-    only, never a cross join; verification touches candidates alone.
+    Scale: the only wide join shuffles on (band, sig) — same-bucket
+    pairs only, never a cross join. Verification is row-based: shingle
+    rows of candidate docs are equi-joined on the shingle itself
+    (|intersection| as a count, |union| by inclusion-exclusion) — no
+    per-doc array materialization, so a 100x-longer document never
+    builds a 100x array value.
     """
     from levi_spark.functions.text import (
         MINHASH_BANDS,
         MINHASH_R,
         band_signature,
-        minhash_cols,
-        shingle_fingerprints,
-        word_shingles,
+        minhash_signatures,
+        shingle_hash_rows,
+        shingle_rows,
     )
 
+    from levi_spark.functions.text import md5_fp
+
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    base = docs.select(
-        "doc_id", word_shingles(F.col("text")).alias("__sh")
-    ).withColumn("__fp", shingle_fingerprints(F.col("__sh")))
-    sigs = base.select("doc_id", *minhash_cols(F.col("__fp")))
+    # the (doc, shingle) rows feed several consumers; identical shuffle
+    # subplans are deduplicated by ReusedExchange, and deliberately NOT
+    # persisted — a lingering cached RDD measurably starves later
+    # streaming state stores in the same session. (At 100 TB the
+    # signatures would be written to a table between stages instead.)
+    rows = shingle_rows(docs)
+    fps = rows.select(
+        "doc_id", F.when(F.col("sh").isNotNull(), md5_fp(F.col("sh"))).alias("fp")
+    )
+    sigs = minhash_signatures(fps)
     band_arr = F.array(
         *[
             band_signature([F.col(f"m{MINHASH_R * b + r}") for r in range(MINHASH_R)])
@@ -1028,15 +1040,31 @@ def minhash_lsh_neardup(spark, sf_dir):
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sh_a = base.select(F.col("doc_id").alias("doc_a"), F.col("__sh").alias("__sa"))
-    sh_b = base.select(F.col("doc_id").alias("doc_b"), F.col("__sh").alias("__sb"))
+    nz = rows.where(F.col("sh").isNotNull())
+    counts = nz.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ra = nz.select(F.col("doc_id").alias("doc_a"), "sh")
+    rb = nz.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        cand.join(ra, "doc_a")
+        .join(rb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, "doc_b")
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)))
+        .join(ca, "doc_a")
+        .join(cb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            F.round(jaccard_expr(F.col("__sa"), F.col("__sb")), 6).alias("jaccard_w3"),
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ).alias("jaccard_w3"),
         )
         .where(F.col("jaccard_w3") >= 0.5)
     )
@@ -1076,10 +1104,8 @@ sh AS (
          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM toks
 ),
 fps AS (
-  SELECT doc_id, s, list_transform(s, g -> list_reduce(
-           list_prepend(CAST(0 AS BIGINT),
-             list_transform(range(1, length(g)+1), i -> CAST(ord(substr(g,i,1)) AS BIGINT))),
-           (acc, c) -> (acc * 257 + c) % {P})) AS fp
+  SELECT doc_id, s, list_transform(s,
+           g -> CAST(('0x' || substr(md5(g),1,12)) AS BIGINT) % {P}) AS fp
   FROM sh
 ),
 sigs AS ( SELECT doc_id, {mins} FROM fps ),
@@ -1103,10 +1129,10 @@ MINHASH_SQL = _minhash_sql()
 
 def doc_simhash(spark, sf_dir):
     """Per-document 32-bit SimHash fingerprint (shingle features)."""
-    from levi_spark.functions.text import simhash_expr
+    from levi_spark.functions.text import shingle_hash_rows, simhash_df
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash_expr(F.col("text")).alias("simhash32"))
+    return simhash_df(shingle_hash_rows(docs))
 
 
 def simhash_neardup_pairs(spark, sf_dir):
@@ -1114,10 +1140,10 @@ def simhash_neardup_pairs(spark, sf_dir):
     blocks of 8 bits — pigeonhole guarantees recall at distance <= 3;
     the join shuffles on (block, value), never cross-joins), verified
     with exact Hamming distance <= 3 via bit_count(xor)."""
-    from levi_spark.functions.text import simhash_expr
+    from levi_spark.functions.text import shingle_hash_rows, simhash_df
 
     docs = _t(spark, sf_dir, "documents")
-    sims = docs.select("doc_id", simhash_expr(F.col("text")).alias("sh"))
+    sims = simhash_df(shingle_hash_rows(docs), out_col="sh")
     block_arr = F.array(
         *[F.shiftright(F.col("sh"), 8 * b).bitwiseAND(F.lit(255)) for b in range(4)]
     )
@@ -1167,10 +1193,9 @@ sh0 AS (
          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM toks
 ),
 fps AS (
-  SELECT doc_id, list_transform(s, g -> ({SIMHASH_A} * (list_reduce(
-           list_prepend(CAST(0 AS BIGINT),
-             list_transform(range(1, length(g)+1), i -> CAST(ord(substr(g,i,1)) AS BIGINT))),
-           (acc, c) -> (acc * 257 + c) % {P})) + {SIMHASH_B}) % {P}) AS h
+  SELECT doc_id, list_transform(s,
+           g -> ({SIMHASH_A} * (CAST(('0x' || substr(md5(g),1,12)) AS BIGINT) % {P})
+                 + {SIMHASH_B}) % {P}) AS h
   FROM sh0
 ),
 ws AS ( SELECT doc_id, {weights} FROM fps ),
