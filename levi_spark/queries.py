@@ -312,6 +312,122 @@ GROUP BY 1, 2
 """
 
 
+def q9_profit_by_nation_year(spark, sf_dir):
+    """TPC-H Q9 shape: 5-way join (lineitem x part x supplier x orders
+    x nation) with a derived profit measure, grouped by supplier nation
+    and order year. Dimension sides (part filter, supplier, nation) are
+    broadcast; the only shuffle is the final group-by."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_size") < 25)
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.5) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(_qsum(amount, "_p"), F.count(F.lit(1)).alias("n_lines"))
+        .select("nation", "o_year", _qval("_p", "sum_profit"), "n_lines")
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+       CAST(SUM(CAST(floor((l_extendedprice * (1 - l_discount) - 0.5 * p_retailprice * l_quantity) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_profit,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_size < 25
+GROUP BY 1, 2
+"""
+
+
+def customers_above_nation_avg(spark, sf_dir):
+    """Correlated-subquery shape (TPC-H Q2/Q17 family): customers whose
+    balance exceeds their nation's average. Decorrelated as a window
+    average over the nation partition — one shuffle, no per-row
+    subquery. The average is the quantized sum / count so both engines
+    divide identical numbers."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey")
+    qsum = F.sum(
+        F.floor(F.col("c_acctbal") * F.lit(10000.0) + F.lit(0.5)).cast("long")
+    ).over(w)
+    avg = qsum.cast("double") / F.lit(10000.0) / F.count(F.lit(1)).over(w)
+    return (
+        cust.withColumn("__avg", avg)
+        .where(F.col("c_acctbal") > F.col("__avg"))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+
+
+ABOVE_AVG_SQL = """
+SELECT c_custkey, c_nationkey, c_acctbal FROM (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         CAST(SUM(CAST(floor(c_acctbal * 10000 + 0.5) AS BIGINT)) OVER (PARTITION BY c_nationkey) AS DOUBLE)
+           / 10000.0 / COUNT(*) OVER (PARTITION BY c_nationkey) AS _avg
+  FROM customer
+)
+WHERE c_acctbal > _avg
+"""
+
+
+def large_order_customers(spark, sf_dir):
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold
+    (group-by + HAVING as a semi-join input), joined back to customer,
+    top-100 by total price. The HAVING side reduces lineitem before any
+    wide join."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_qsum(F.col("l_quantity"), "_q"))
+        .where(F.col("_q") > 150 * 10000)
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s"),
+            "o_totalprice",
+            _qval("_q", "total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+LARGE_ORDER_SQL = """
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+       o_totalprice,
+       CAST(_q AS DOUBLE) / 10000.0 AS total_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, SUM(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) AS _q
+  FROM lineitem GROUP BY 1 HAVING _q > 1500000
+) b ON o_orderkey = b.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
 def top3_customers_per_nation(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy(
@@ -1459,6 +1575,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_local_supplier": (q5_local_supplier, Q5_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "q9_profit_by_nation_year": (q9_profit_by_nation_year, Q9_SQL),
+    "customers_above_nation_avg": (customers_above_nation_avg, ABOVE_AVG_SQL),
+    "large_order_customers": (large_order_customers, LARGE_ORDER_SQL),
     "lineitem_rollup": (lineitem_rollup, ROLLUP_SQL),
     "customer_order_presence": (customer_order_presence, PRESENCE_SQL),
     "top3_customers_per_nation": (top3_customers_per_nation, TOP3_SQL),
