@@ -428,8 +428,10 @@ class Snapshot:
             for r in rows
         ]
 
-    def to_df(self) -> DataFrame:
-        """Read the snapshot's data as a DataFrame.
+    def to_df(self, paths: list[str] | None = None) -> DataFrame:
+        """Read the snapshot's data as a DataFrame. ``paths`` restricts
+        the scan to those table-relative live files (layout operators
+        rewrite subsets of a table without scanning the rest).
 
         Partition-column values live in the log, not in the parquet files
         — we join them back via the ``_metadata.file_name`` hidden column
@@ -442,6 +444,13 @@ class Snapshot:
         """
         meta = self.metadata
         infos = self.file_infos()
+        if paths is not None:
+            keep = set(paths)
+            infos = [
+                (p, pv)
+                for p, pv in infos
+                if os.path.relpath(p, self.log.table_path) in keep
+            ]
         if not infos:
             return self.spark.createDataFrame([], meta.schema)
         files = [p for p, _ in infos]

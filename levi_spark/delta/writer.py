@@ -97,13 +97,19 @@ def write_delta(
     path: str,
     mode: str = "error",
     partition_by: list[str] | None = None,
+    replace_paths: list[str] | None = None,
+    operation: str = "WRITE",
 ) -> int:
     """Write ``df`` as a new Delta table version at ``path``.
 
     mode: ``error`` (fail if table exists), ``append``, or ``overwrite``
     (logical full rewrite — previous live files are tombstoned in the
     same commit, reference behavior of ``write_deltalake(mode=
-    "overwrite")``). Returns the committed version.
+    "overwrite")``). ``replace_paths`` (append mode only) tombstones
+    exactly those relative file paths in the same commit — the
+    file-replacement primitive that OPTIMIZE-style layout operators
+    (compaction / z-order, :mod:`levi_spark.operators.layout`) build
+    on. Returns the committed version.
     """
     spark = df.sparkSession
     path = os.path.abspath(path)
@@ -123,6 +129,10 @@ def write_delta(
         version = snap.version + 1
         if mode == "overwrite":
             prev_adds = [r["path"] for r in snap.add_actions().select("path").collect()]
+        if replace_paths:
+            if mode != "append":
+                raise ValueError("replace_paths requires mode='append'")
+            prev_adds = list(replace_paths)
         if mode == "append":
             prev_cols = set(snap.metadata.data_columns)
             if prev_cols != set(df.columns):
@@ -145,6 +155,11 @@ def write_delta(
                 continue
             src = os.path.join(root, name)
             rel_dir = os.path.relpath(root, staging)
+            # uniquify the basename: Spark reuses one job UUID across
+            # all part files, so a task writing several partition dirs
+            # emits colliding basenames — but Delta-style readers (ours
+            # included) join partition values back by basename
+            name = f"{uuid.uuid4().hex[:12]}-{name}"
             rel = name if rel_dir == "." else os.path.join(rel_dir, name)
             dst = os.path.join(path, rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
@@ -219,7 +234,7 @@ def write_delta(
             {
                 "commitInfo": {
                     "timestamp": now_ms,
-                    "operation": "WRITE",
+                    "operation": operation,
                     "operationParameters": {"mode": mode.capitalize()},
                     "engineInfo": "levi-spark/0.1.0",
                 }

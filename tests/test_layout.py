@@ -1,0 +1,96 @@
+"""Layout-maintenance tests: small-file compaction and z-order
+clustering over the engine's own Delta writer/reader."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from levi_spark.delta.log import DeltaLog
+from levi_spark.delta.writer import write_delta
+from levi_spark.operators.layout import (
+    compact_small_files,
+    optimize_zorder,
+    zorder_value,
+)
+
+
+@pytest.fixture()
+def fragmented_table(spark, tmp_path):
+    """Table written as many tiny files (3 appends x 8 partitions)."""
+    path = str(tmp_path / "frag")
+    for i in range(3):
+        df = spark.range(i * 1000, (i + 1) * 1000).select(
+            F.col("id"), (F.col("id") % 7).alias("k")
+        )
+        write_delta(df.repartition(8), path, mode="append" if i else "error")
+    return path
+
+
+def test_compaction_reduces_files_preserves_content(spark, fragmented_table):
+    log = DeltaLog(spark, fragmented_table)
+    before_files = log.snapshot().add_actions().count()
+    before_rows = sorted(r.id for r in log.snapshot().to_df().collect())
+    assert before_files == 24
+
+    res = compact_small_files(spark, fragmented_table, small_bytes=10**9,
+                              target_bytes=10**9)
+    assert res["files_removed"] == 24
+    snap = DeltaLog(spark, fragmented_table).snapshot()
+    after_files = snap.add_actions().count()
+    assert after_files < before_files
+    assert sorted(r.id for r in snap.to_df().collect()) == before_rows
+    assert snap.version == res["version"]
+
+
+def test_compaction_noop_when_nothing_small(spark, fragmented_table):
+    compact_small_files(spark, fragmented_table, small_bytes=10**9)
+    res2 = compact_small_files(spark, fragmented_table, small_bytes=1)
+    assert res2 == {"files_removed": 0, "files_added": 0, "version": -1}
+
+
+def test_zorder_value_interleaves(spark):
+    df = spark.createDataFrame(
+        [(0, 0), (0, 15), (15, 0), (15, 15)], "x INT, y INT"
+    )
+    out = {(r.x, r.y): r["__z"] for r in zorder_value(df, ["x", "y"], bits=4).collect()}
+    # corners of a 16x16 grid at 4 bits: (0,0)->0, (15,15)->all ones
+    assert out[(0, 0)] == 0
+    assert out[(15, 15)] == (1 << 8) - 1
+    # x occupies even bit positions, y odd (interleave order [x, y])
+    assert out[(15, 0)] == 0b01010101
+    assert out[(0, 15)] == 0b10101010
+
+
+def test_zorder_improves_minmax_locality(spark, tmp_path):
+    """After z-ordering a shuffled 2-D grid, per-file min/max boxes for
+    BOTH dimensions must be tighter than the random layout — i.e. the
+    average per-file (max-min) span shrinks, which is what Delta data
+    skipping prunes on."""
+    path = str(tmp_path / "zt")
+    n = 64
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y")
+    )
+    shuffled = grid.orderBy(F.md5(F.concat_ws(",", "x", "y")))  # deterministic shuffle
+    write_delta(shuffled.repartition(8), path, mode="error")
+
+    def spans(path):
+        snap = DeltaLog(spark, path).snapshot()
+        flat = snap.add_actions_flat()
+        r = flat.agg(
+            F.avg(F.col("`max.x`") - F.col("`min.x`")).alias("sx"),
+            F.avg(F.col("`max.y`") - F.col("`min.y`")).alias("sy"),
+        ).first()
+        return r.sx, r.sy
+
+    sx0, sy0 = spans(path)
+    v = optimize_zorder(spark, path, ["x", "y"], n_files=8, bits=6)
+    sx1, sy1 = spans(path)
+    assert v == 1
+    # random layout: every file spans ~the whole domain. z-order: both
+    # dims shrink (vs a plain sort by x which would leave y full-width)
+    assert sx1 < sx0 * 0.8 and sy1 < sy0 * 0.8, (sx0, sy0, sx1, sy1)
+    # content preserved
+    snap = DeltaLog(spark, path).snapshot()
+    assert snap.to_df().count() == n * n
