@@ -1,0 +1,95 @@
+"""Skew-mitigation helpers and streaming->Delta ingestion tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from levi_spark.delta.log import DeltaLog
+from levi_spark.operators.skew import salted_agg, salted_join
+from levi_spark.streaming.delta_sink import ingest_events
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """1 hot key (50k rows) + 1000 cold keys (10 rows each)."""
+    hot = spark.range(50_000).select(F.lit(0).alias("k"), F.col("id").alias("v"))
+    cold = spark.range(10_000).select(
+        (F.col("id") % 1000 + 1).alias("k"), F.col("id").alias("v")
+    )
+    return hot.unionByName(cold)
+
+
+def test_salted_agg_matches_plain(spark, skewed):
+    got = {
+        (r.k): (r.v_count, r.v_sum)
+        for r in salted_agg(
+            skewed, ["k"], {"v": "count"}, salt_on=F.col("v"), n_salts=8
+        )
+        .join(
+            salted_agg(skewed, ["k"], {"v": "sum"}, salt_on=F.col("v"), n_salts=8),
+            "k",
+        )
+        .collect()
+    }
+    want = {
+        (r.k): (r.c, r.s)
+        for r in skewed.groupBy("k")
+        .agg(F.count("v").alias("c"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_agg_rejects_non_decomposable(skewed):
+    with pytest.raises(ValueError):
+        salted_agg(skewed, ["k"], {"v": "median"}, salt_on=F.col("v"))
+
+
+def test_salted_join_matches_plain(spark, skewed):
+    dim = spark.range(1001).select(
+        F.col("id").alias("k"), F.concat(F.lit("n"), F.col("id")).alias("name")
+    )
+    got = sorted(
+        map(
+            tuple,
+            salted_join(skewed, dim, ["k"], salt_on=F.col("v"), n_salts=8)
+            .groupBy("k", "name")
+            .count()
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, skewed.join(dim, "k").groupBy("k", "name").count().collect())
+    )
+    assert got == want
+
+
+def test_salted_join_spreads_hot_key(spark, skewed):
+    dim = spark.range(1001).select(F.col("id").alias("k"))
+    j = salted_join(skewed, dim, ["k"], salt_on=F.col("v"), n_salts=8)
+    # the hot key's rows must land in >1 shuffle partition pre-drop
+    parts = (
+        j.where(F.col("k") == 0)
+        .withColumn("__pid", F.spark_partition_id())
+        .select("__pid")
+        .distinct()
+        .count()
+    )
+    assert parts > 1
+
+
+def test_stream_ingest_into_delta(spark, tmp_path):
+    sf = "/root/testdata/sf0.001"
+    table = str(tmp_path / "events_delta")
+    ckpt = str(tmp_path / "ckpt")
+    ingest_events(spark, sf, table, ckpt, max_files_per_trigger=1)
+    snap = DeltaLog(spark, table).snapshot()
+    src_rows = spark.read.parquet(f"{sf}/events.parquet").count()
+    assert snap.to_df().count() == src_rows
+    assert set(snap.metadata.partition_columns) == {"event_type"}
+    # restart with the same checkpoint: nothing new to consume -> no new version
+    v_before = DeltaLog(spark, table).latest_version()
+    ingest_events(spark, sf, table, ckpt, max_files_per_trigger=1)
+    assert DeltaLog(spark, table).latest_version() == v_before
+    assert DeltaLog(spark, table).snapshot().to_df().count() == src_rows
