@@ -62,19 +62,34 @@ def read_events_stream(
     return ev.withColumn("ts_us", F.expr("ts div 1000")).drop("ts")
 
 
-def _drain_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
+def _drain_to_memory(
+    df: DataFrame, output_mode: str, state_partitions: int = 8
+) -> DataFrame:
     """Run the streaming DataFrame to completion (AvailableNow) into a
-    memory sink; return the sink table as a batch DataFrame."""
+    memory sink; return the sink table as a batch DataFrame.
+
+    The stream captures ``spark.sql.shuffle.partitions`` at start as
+    its state-store partition count — for per-key state over modest key
+    cardinality, 32 partitions mean 32 state stores and (for Python
+    stateful ops) 32 worker spawns per batch for mostly-empty splits.
+    Pin a smaller count for the stream, restore the session conf after.
+    """
+    spark = df.sparkSession
     name = f"levi_stream_{uuid.uuid4().hex[:12]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return df.sparkSession.table(name)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 def hourly_rollup_stream(events: DataFrame) -> DataFrame:
