@@ -351,16 +351,10 @@ class Snapshot:
 
     # ---- add actions (the metadata-plane table) ----------------------------
 
-    def add_actions(self) -> DataFrame:
-        """One row per live data file, stats parsed.
-
-        Columns: ``path`` (URL-decoded, relative), ``partitionValues``
-        (map<string,string>), ``size_bytes``, ``modification_time``
-        (epoch millis, long), ``data_change``, ``num_records``, and a
-        ``stats`` struct (minValues / maxValues / nullCount).
-        Mirrors levi's flattened add-actions frame
-        (``/root/reference/levi/__init__.py:14,57``).
-        """
+    def live_adds_raw(self) -> DataFrame:
+        """Reconciled live files as RAW ``add`` structs (URL-encoded
+        paths, stats still a JSON string) + the winning ``version`` —
+        the exact rows a checkpoint must carry."""
         acts = self._actions_df()
         file_acts = acts.where(
             F.col("add.path").isNotNull() | F.col("remove.path").isNotNull()
@@ -375,11 +369,23 @@ class Snapshot:
         w = Window.partitionBy("path").orderBy(
             F.col("version").desc(), F.col("is_add").desc()
         )
-        live = (
+        return (
             file_acts.withColumn("rn", F.row_number().over(w))
             .where((F.col("rn") == 1) & F.col("is_add"))
             .select("add", "version")
         )
+
+    def add_actions(self) -> DataFrame:
+        """One row per live data file, stats parsed.
+
+        Columns: ``path`` (URL-decoded, relative), ``partitionValues``
+        (map<string,string>), ``size_bytes``, ``modification_time``
+        (epoch millis, long), ``data_change``, ``num_records``, and a
+        ``stats`` struct (minValues / maxValues / nullCount).
+        Mirrors levi's flattened add-actions frame
+        (``/root/reference/levi/__init__.py:14,57``).
+        """
+        live = self.live_adds_raw()
         sschema = stats_schema(self.metadata.schema)
         # URL-decoded path for filesystem access (Delta stores URL-encoded
         # relative paths, e.g. "data=%F0%9F%98%88/part-...parquet").

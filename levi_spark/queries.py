@@ -1450,6 +1450,38 @@ GROUP BY 1
 """
 
 
+def events_json_props(spark, sf_dir):
+    """Semi-structured coverage: parse the JSON ``props`` column with a
+    declared schema (from_json — JVM-side, no inference pass) and
+    aggregate the extracted field per event type."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ev = _events(spark, sf_dir)
+    k = F.from_json(F.col("props"), StructType([StructField("k", LongType())]))["k"]
+    return (
+        ev.withColumn("__k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("__k").alias("sum_k"),
+            F.min("__k").alias("min_k"),
+            F.max("__k").alias("max_k"),
+            F.countDistinct("__k").alias("n_distinct_k"),
+        )
+    )
+
+
+JSON_PROPS_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+       COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS n_distinct_k
+FROM events
+GROUP BY 1
+"""
+
+
 def multimodal_frame_sample(spark, sf_dir):
     """Video-style frame sampling through the Arrow-batched multimodal
     boundary: each document's payload is framed into 64-char slices and
@@ -1584,6 +1616,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_hourly_rollup": (events_hourly_rollup, EVENTS_HOURLY_SQL),
     "events_sessionize": (events_sessionize, SESSIONIZE_SQL),
     "events_asof_join": (events_asof_join, ASOF_SQL),
+    "events_json_props": (events_json_props, JSON_PROPS_SQL),
     "events_range_join": (events_range_join, RANGE_JOIN_SQL),
     "skipped_stats_sim": (skipped_stats_sim, SKIPPED_SIM_SQL),
     "file_size_histogram_sim": (file_size_histogram_sim, FILE_HIST_SQL),
