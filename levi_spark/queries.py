@@ -451,6 +451,37 @@ WHERE rank_in_nation <= 3
 """
 
 
+def customer_running_balance(spark, sf_dir):
+    """Cumulative window coverage: per-nation running account-balance
+    total in custkey order (quantized int64 running sum, so the
+    cumulative doubles are bit-identical cross-engine)."""
+    cust = _t(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = F.sum(
+        F.floor(F.col("c_acctbal") * F.lit(10000.0) + F.lit(0.5)).cast("long")
+    ).over(w)
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        (run.cast("double") / F.lit(10000.0)).alias("running_balance"),
+    )
+
+
+RUNNING_BALANCE_SQL = """
+SELECT c_custkey, c_nationkey, c_acctbal,
+       CAST(SUM(CAST(floor(c_acctbal * 10000 + 0.5) AS BIGINT))
+            OVER (PARTITION BY c_nationkey ORDER BY c_custkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / 10000.0 AS running_balance
+FROM customer
+"""
+
+
 def events_hourly_rollup(spark, sf_dir):
     ev = _events(spark, sf_dir)
     return (
@@ -1613,6 +1644,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "lineitem_rollup": (lineitem_rollup, ROLLUP_SQL),
     "customer_order_presence": (customer_order_presence, PRESENCE_SQL),
     "top3_customers_per_nation": (top3_customers_per_nation, TOP3_SQL),
+    "customer_running_balance": (customer_running_balance, RUNNING_BALANCE_SQL),
     "events_hourly_rollup": (events_hourly_rollup, EVENTS_HOURLY_SQL),
     "events_sessionize": (events_sessionize, SESSIONIZE_SQL),
     "events_asof_join": (events_asof_join, ASOF_SQL),
