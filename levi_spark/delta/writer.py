@@ -92,6 +92,9 @@ def _file_stats(df_files: DataFrame, data_schema: T.StructType) -> dict[str, dic
     return out
 
 
+DEFAULT_CHECKPOINT_INTERVAL = 10
+
+
 def write_delta(
     df: DataFrame,
     path: str,
@@ -99,6 +102,7 @@ def write_delta(
     partition_by: list[str] | None = None,
     replace_paths: list[str] | None = None,
     operation: str = "WRITE",
+    checkpoint_interval: int | None = DEFAULT_CHECKPOINT_INTERVAL,
 ) -> int:
     """Write ``df`` as a new Delta table version at ``path``.
 
@@ -110,6 +114,11 @@ def write_delta(
     file-replacement primitive that OPTIMIZE-style layout operators
     (compaction / z-order, :mod:`levi_spark.operators.layout`) build
     on. Returns the committed version.
+
+    ``checkpoint_interval``: auto-write a checkpoint parquet after every
+    Nth commit (Delta's ``delta.checkpointInterval``, default 10), so
+    snapshot reconstruction stays O(live files) instead of O(history)
+    on long-lived tables. ``None``/0 disables.
     """
     spark = df.sparkSession
     path = os.path.abspath(path)
@@ -252,4 +261,10 @@ def write_delta(
             out.write(src.read())
     finally:
         os.remove(tmp)
+
+    if checkpoint_interval and version > 0 and version % checkpoint_interval == 0:
+        # Deferred import: checkpoint.py only depends on log.py, no cycle.
+        from levi_spark.delta.checkpoint import write_checkpoint
+
+        write_checkpoint(spark, path, version)
     return version

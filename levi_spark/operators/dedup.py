@@ -21,11 +21,15 @@ Spark-first design notes (100 TB stance):
 
 from __future__ import annotations
 
+import functools
+import operator
+import os
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from levi_spark.delta.table import LeviTable
+from levi_spark.delta.writer import write_delta
 
 
 def _check_table(table) -> LeviTable:
@@ -70,9 +74,90 @@ def kill_duplicates(table: LeviTable, duplication_columns: list[str]) -> None:
     Rows with NULL in any duplication column are never deleted — SQL
     ``=`` never matches NULL (reference parity, the MERGE predicate at
     levi/__init__.py:155).
+
+    Full-table rewrite for reference parity; at scale prefer
+    :func:`kill_duplicates_targeted`, which rewrites only the files
+    that actually hold duplicate-group rows.
     """
     _check_table(table)
     table.overwrite(kill_duplicates_transform(table.to_df(), duplication_columns))
+
+
+def kill_duplicates_targeted(table: LeviTable, duplication_columns: list[str]) -> dict:
+    """P9 semantics with a file-targeted rewrite — the 100 TB path.
+
+    The reference's MERGE-delete (levi/__init__.py:155-166) and our
+    :func:`kill_duplicates` both rewrite the whole table. Here:
+
+    1. One full scan, aggregated map-side, produces per duplicate key
+       the *set of files* holding its rows (``_metadata.file_name`` +
+       ``collect_set`` — output is metadata-sized, bounded by the file
+       count, never the row count).
+    2. Only those "hit" files are re-read; the anti-join against the
+       duplicate keys runs on that subset, and one commit atomically
+       replaces exactly those files (``write_delta(replace_paths=…)``).
+
+    Correct because every row of a (non-NULL-keyed) duplicate group is,
+    by definition, in a hit file — so recomputing duplicate keys on the
+    subset yields exactly the global duplicate keys. Rows with NULL in
+    a duplication column never match (reference parity) and are
+    excluded up front, so files whose only repeats are NULL-keyed are
+    not rewritten. Untouched files keep their stats and history.
+
+    Returns ``{"files_rewritten", "files_total", "rows_deleted",
+    "version"}`` (version -1 if the table has no duplicates).
+    """
+    _check_table(table)
+    if not duplication_columns or not isinstance(duplication_columns, (list, tuple)):
+        raise TypeError("duplication_columns must be a non-empty list")
+    dcols = list(duplication_columns)
+    snap = table.snapshot()
+    df = snap.to_df()
+    _check_columns(df.columns, dcols)
+
+    non_null = functools.reduce(
+        operator.and_, [F.col(c).isNotNull() for c in dcols]
+    )
+    hit_names = {
+        r["__fn"]
+        for r in (
+            df.where(non_null)
+            .select(*dcols, F.col("_metadata.file_name").alias("__fn"))
+            .groupBy(*dcols)
+            .agg(F.count(F.lit(1)).alias("__cnt"), F.collect_set("__fn").alias("__fns"))
+            .where(F.col("__cnt") > 1)
+            .select(F.explode("__fns").alias("__fn"))
+            .distinct()
+            .collect()
+        )
+    }
+    all_rels = [r["path"] for r in snap.add_actions().select("path").collect()]
+    if not hit_names:
+        return {
+            "files_rewritten": 0,
+            "files_total": len(all_rels),
+            "rows_deleted": 0,
+            "version": -1,
+        }
+    rels = [p for p in all_rels if os.path.basename(p) in hit_names]
+    sub = snap.to_df(paths=rels)
+    survivors = kill_duplicates_transform(sub, dcols)
+    n_before = sub.count()
+    n_after = survivors.count()
+    version = write_delta(
+        survivors,
+        table.path,
+        mode="append",
+        partition_by=list(snap.metadata.partition_columns),
+        replace_paths=rels,
+        operation="DELETE",
+    )
+    return {
+        "files_rewritten": len(rels),
+        "files_total": len(all_rels),
+        "rows_deleted": n_before - n_after,
+        "version": version,
+    }
 
 
 def _physical_order_df(table: LeviTable) -> DataFrame:

@@ -64,6 +64,29 @@ def test_appends_after_checkpoint(spark, table):
     assert set(snap.metadata.data_columns) == {"id", "k"}
 
 
+def test_auto_checkpoint_cadence(spark, tmp_path):
+    p = str(tmp_path / "t3")
+    for i in range(5):
+        write_delta(
+            spark.range(i * 10, (i + 1) * 10).select("id"),
+            p,
+            mode="append" if i else "error",
+            checkpoint_interval=2,
+        )
+    log_dir = os.path.join(p, "_delta_log")
+    cps = sorted(n for n in os.listdir(log_dir) if n.endswith(".checkpoint.parquet"))
+    assert cps == ["00000000000000000002.checkpoint.parquet",
+                   "00000000000000000004.checkpoint.parquet"]
+    # _last_checkpoint tracks the newest one; replay through it is intact
+    import json
+    with open(os.path.join(log_dir, "_last_checkpoint")) as fh:
+        assert json.load(fh)["version"] == 4
+    assert DeltaLog(spark, p).snapshot().to_df().count() == 50
+    # expiry is now safe automatically
+    assert expire_log(spark, p) == [0, 1, 2, 3, 4]
+    assert DeltaLog(spark, p).snapshot().to_df().count() == 50
+
+
 def test_expire_refuses_without_checkpoint(spark, tmp_path):
     p = str(tmp_path / "t2")
     write_delta(spark.range(10).select("id"), p, mode="error")

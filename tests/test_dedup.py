@@ -10,6 +10,7 @@ from levi_spark.operators.dedup import (
     drop_duplicates,
     drop_duplicates_pkey,
     kill_duplicates,
+    kill_duplicates_targeted,
 )
 
 
@@ -51,6 +52,61 @@ def test_kill_duplicates_errors(spark, tmp_path):
         kill_duplicates(t, [])
     with pytest.raises(TypeError):
         kill_duplicates(t, ["nope"])
+
+
+def test_kill_duplicates_targeted_rewrites_only_hit_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    cols = ["col1", "col2", "col3"]
+    # file 0: all the duplicate groups; file 1: clean rows only
+    write_delta(spark.createDataFrame(KILL_ROWS, cols).coalesce(1), path, mode="error")
+    clean = [(10, "X", "Y"), (11, "Y", "Z")]
+    write_delta(spark.createDataFrame(clean, cols).coalesce(1), path, mode="append")
+    t = LeviTable(spark, path)
+    clean_paths = {
+        r["path"]
+        for r in t.snapshot().add_actions().where("commit_version = 1").collect()
+    }
+
+    res = kill_duplicates_targeted(t, ["col3", "col2"])
+    assert res["files_rewritten"] == 1
+    assert res["files_total"] == 2
+    assert res["rows_deleted"] == 5
+    t = LeviTable(spark, path)
+    assert _rows(t, cols) == [(2, "A", "B"), (6, "D", "D"), (10, "X", "Y"), (11, "Y", "Z")]
+    # the clean file was not rewritten — same physical file still live
+    live = {r["path"] for r in t.snapshot().add_actions().collect()}
+    assert clean_paths <= live
+
+
+def test_kill_duplicates_targeted_noop_and_nulls(spark, tmp_path):
+    path = str(tmp_path / "t")
+    cols = ["col1", "col2", "col3"]
+    # NULL-keyed repeats only → never deleted, and no file rewritten
+    rows = [(1, None, "A"), (2, None, "A"), (3, "X", "A")]
+    write_delta(spark.createDataFrame(rows, cols), path, mode="error")
+    t = LeviTable(spark, path)
+    res = kill_duplicates_targeted(t, ["col2", "col3"])
+    assert res["version"] == -1
+    assert res["files_rewritten"] == 0
+    assert _rows(t, ["col1"]) == [(1,), (2,), (3,)]
+
+
+def test_kill_duplicates_targeted_group_spanning_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    cols = ["col1", "col2", "col3"]
+    # one duplicate group split across two commits/files → both rewritten
+    write_delta(
+        spark.createDataFrame([(1, "A", "A"), (2, "A", "B")], cols).coalesce(1),
+        path, mode="error",
+    )
+    write_delta(
+        spark.createDataFrame([(3, "A", "A"), (4, "C", "C")], cols).coalesce(1),
+        path, mode="append",
+    )
+    t = LeviTable(spark, path)
+    res = kill_duplicates_targeted(t, ["col2", "col3"])
+    assert res["files_rewritten"] == 2
+    assert _rows(t, cols) == [(2, "A", "B"), (4, "C", "C")]
 
 
 DROP_ROWS = [
