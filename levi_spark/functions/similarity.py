@@ -36,6 +36,27 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def l2_normalize(v: Column) -> Column:
+    """Unit-normalize an array<double> vector (x / ||v||). The norm
+    subtree is inlined per element by Catalyst — fine for occasional
+    use; for scalar fingerprints of the normalized vector prefer
+    computing the norm once (see ``embedding_normalize`` in queries)."""
+    n = F.sqrt(dot(v, v))
+    return F.transform(v, lambda x: x / n)
+
+
+def sub_l2sq(a: Column, b: Column, start: int, length: int) -> Column:
+    """Squared L2 distance between aligned subvectors, via the
+    inner-product identity ip(a,a) - 2·ip(a,b) + ip(b,b) — three
+    sequential folds, the exact arithmetic DuckDB's
+    ``list_inner_product`` performs, so PQ cell assignment is
+    bit-reproducible cross-engine. ``start`` is 1-based (matches both
+    Spark ``slice`` and DuckDB ``list_slice``)."""
+    sa = F.slice(a, start, length)
+    sb = F.slice(b, start, length)
+    return dot(sa, sa) - F.lit(2.0) * dot(sa, sb) + dot(sb, sb)
+
+
 def brute_force_topk(
     queries: DataFrame,
     candidates: DataFrame,

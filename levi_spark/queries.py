@@ -31,7 +31,13 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from levi_spark.functions.similarity import brute_force_topk, cosine, as_double_vec
+from levi_spark.functions.similarity import (
+    as_double_vec,
+    brute_force_topk,
+    cosine,
+    dot,
+    sub_l2sq,
+)
 from levi_spark.functions.text import (
     LANG_MARKERS,
     char_ngrams,
@@ -1103,6 +1109,237 @@ WHERE ROUND(list_inner_product(a.e, b.e)
 """
 
 
+def embedding_normalize(spark, sf_dir):
+    """L2 normalization surface: per-vector norm and the component-sum
+    of the unit vector (scalar fingerprints — array outputs can't be
+    value-hashed portably, and the norm is computed once per scalar
+    instead of being re-inlined per element by projection collapse).
+    Sum is expressed as dot(v, ones) so both engines run the identical
+    inner-product fold."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = as_double_vec(F.col("embedding"))
+    ones = F.transform(F.col("embedding"), lambda x: F.lit(1.0))
+    norm = F.sqrt(dot(v, v))
+    return emb.select(
+        "vec_id",
+        F.round(norm, 6).alias("norm"),
+        F.round(dot(v, ones) / norm, 6).alias("unit_sum"),
+    )
+
+
+NORMALIZE_SQL = """
+SELECT vec_id,
+       ROUND(sqrt(list_inner_product(e, e)), 6) AS norm,
+       ROUND(list_inner_product(e, list_transform(e, x -> 1.0))
+             / sqrt(list_inner_product(e, e)), 6) AS unit_sum
+FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+"""
+
+
+def _pq_vectors_cents(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
+    cents = v.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    return v, cents
+
+
+def _pq_codes_long(spark, sf_dir):
+    """(vec_id, m, cent_id): nearest centroid per 16-dim subspace,
+    m in 0..3. Centroids broadcast; assignment map-side."""
+    v, cents = _pq_vectors_cents(spark, sf_dir)
+    pairs = v.crossJoin(F.broadcast(cents))
+    d2s = [
+        sub_l2sq(F.col("v"), F.col("cv"), m * 16 + 1, 16).alias(f"__d2_{m}")
+        for m in range(4)
+    ]
+    scored = pairs.select("vec_id", "cent_id", *d2s)
+    long = scored.select(
+        "vec_id",
+        "cent_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"), F.col(f"__d2_{m}").alias("d2")
+                    )
+                    for m in range(4)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "cent_id", F.col("s.m").alias("m"), F.col("s.d2").alias("d2"))
+    w = Window.partitionBy("vec_id", "m").orderBy(
+        F.col("d2").asc(), F.col("cent_id").asc()
+    )
+    return (
+        long.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("vec_id", "m", "cent_id")
+    )
+
+
+def embedding_pq_codes(spark, sf_dir):
+    """Product quantization encode: 64-dim vectors split into M=4
+    16-dim subspaces, each subvector snapped to the nearest of 16
+    deterministic centroids (the first 16 vectors' subvectors — at
+    100 TB these come from a sampled k-means fit; the plumbing is the
+    same). Output is the 4-byte code (c0..c3) per vector — a 64×
+    compression that an ADC scan ranks with 4 table lookups per
+    candidate instead of a 64-dim dot product.
+
+    Centroids broadcast; assignment is map-side only (no shuffle until
+    the final groupBy on vec_id). Distances use the inner-product
+    identity (see ``sub_l2sq``) so cell choice is bit-identical to the
+    DuckDB oracle."""
+    best = _pq_codes_long(spark, sf_dir)
+    return best.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("m") == m, F.col("cent_id"))).alias(f"c{m}")
+            for m in range(4)
+        ]
+    )
+
+
+PQ_CODES_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+c AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id < 16),
+sub AS (
+  SELECT v.vec_id, c.cent_id, m.m,
+         list_inner_product(list_slice(v.e, m.m*16+1, m.m*16+16),
+                            list_slice(v.e, m.m*16+1, m.m*16+16))
+         - 2.0 * list_inner_product(list_slice(v.e, m.m*16+1, m.m*16+16),
+                                    list_slice(c.ce, m.m*16+1, m.m*16+16))
+         + list_inner_product(list_slice(c.ce, m.m*16+1, m.m*16+16),
+                              list_slice(c.ce, m.m*16+1, m.m*16+16)) AS d2
+  FROM v CROSS JOIN c CROSS JOIN (SELECT unnest(range(0, 4)) AS m) m
+),
+best AS (
+  SELECT vec_id, m, cent_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, cent_id ASC) AS rn
+  FROM sub
+)
+SELECT vec_id,
+       MAX(CASE WHEN m = 0 THEN cent_id END) AS c0,
+       MAX(CASE WHEN m = 1 THEN cent_id END) AS c1,
+       MAX(CASE WHEN m = 2 THEN cent_id END) AS c2,
+       MAX(CASE WHEN m = 3 THEN cent_id END) AS c3
+FROM best WHERE rn = 1
+GROUP BY vec_id
+"""
+
+
+def pq_adc_topk(spark, sf_dir):
+    """PQ asymmetric-distance (ADC) approximate top-5: rank candidates
+    by the sum of per-subspace query→centroid distances looked up from
+    the candidate's 4-byte PQ code — no full-vector math per candidate.
+
+    Scale shape: the lookup table is queries×4×16 rows (broadcast);
+    the candidate side touches only its code column, so at 100 TB the
+    scan reads 4 ints per vector instead of 64 floats, and the only
+    shuffle is the final per-query top-k. The per-candidate distance is
+    assembled in a fixed left-assoc order (d0+d1)+d2)+d3 — no
+    float-sum reordering — so it hashes identically cross-engine."""
+    codes = _pq_codes_long(spark, sf_dir)
+    v, cents = _pq_vectors_cents(spark, sf_dir)
+    q = v.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    lut_rows = q.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "cent_id",
+        *[
+            sub_l2sq(F.col("qv"), F.col("cv"), m * 16 + 1, 16).alias(f"__d2_{m}")
+            for m in range(4)
+        ],
+    )
+    lut = lut_rows.select(
+        "query_id",
+        "cent_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(m).alias("m"), F.col(f"__d2_{m}").alias("d2"))
+                    for m in range(4)
+                ]
+            )
+        ).alias("s"),
+    ).select("query_id", F.col("s.m").alias("m"), "cent_id", F.col("s.d2").alias("d2"))
+    joined = codes.join(F.broadcast(lut), on=["m", "cent_id"]).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    parts = joined.groupBy("query_id", F.col("vec_id").alias("neighbor_id")).agg(
+        *[
+            F.max(F.when(F.col("m") == m, F.col("d2"))).alias(f"__p{m}")
+            for m in range(4)
+        ]
+    )
+    adc = F.round(
+        ((F.col("__p0") + F.col("__p1")) + F.col("__p2")) + F.col("__p3"), 6
+    ).alias("adc")
+    scored = parts.select("query_id", "neighbor_id", adc)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= 5)
+        .select("query_id", "neighbor_id", "adc")
+    )
+
+
+PQ_ADC_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+c AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id < 16),
+sub AS (
+  SELECT v.vec_id, c.cent_id, m.m,
+         list_inner_product(list_slice(v.e, m.m*16+1, m.m*16+16),
+                            list_slice(v.e, m.m*16+1, m.m*16+16))
+         - 2.0 * list_inner_product(list_slice(v.e, m.m*16+1, m.m*16+16),
+                                    list_slice(c.ce, m.m*16+1, m.m*16+16))
+         + list_inner_product(list_slice(c.ce, m.m*16+1, m.m*16+16),
+                              list_slice(c.ce, m.m*16+1, m.m*16+16)) AS d2
+  FROM v CROSS JOIN c CROSS JOIN (SELECT unnest(range(0, 4)) AS m) m
+),
+codes AS (
+  SELECT vec_id, m, cent_id FROM (
+    SELECT vec_id, m, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, cent_id ASC) AS rn
+    FROM sub
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT q.vec_id AS query_id, c.cent_id, m.m,
+         list_inner_product(list_slice(q.e, m.m*16+1, m.m*16+16),
+                            list_slice(q.e, m.m*16+1, m.m*16+16))
+         - 2.0 * list_inner_product(list_slice(q.e, m.m*16+1, m.m*16+16),
+                                    list_slice(c.ce, m.m*16+1, m.m*16+16))
+         + list_inner_product(list_slice(c.ce, m.m*16+1, m.m*16+16),
+                              list_slice(c.ce, m.m*16+1, m.m*16+16)) AS d2
+  FROM (SELECT * FROM v WHERE vec_id < 10) q
+  CROSS JOIN c CROSS JOIN (SELECT unnest(range(0, 4)) AS m) m
+),
+parts AS (
+  SELECT l.query_id, cd.vec_id AS neighbor_id,
+         MAX(CASE WHEN cd.m = 0 THEN l.d2 END) AS p0,
+         MAX(CASE WHEN cd.m = 1 THEN l.d2 END) AS p1,
+         MAX(CASE WHEN cd.m = 2 THEN l.d2 END) AS p2,
+         MAX(CASE WHEN cd.m = 3 THEN l.d2 END) AS p3
+  FROM codes cd JOIN lut l ON l.m = cd.m AND l.cent_id = cd.cent_id
+  WHERE cd.vec_id <> l.query_id
+  GROUP BY l.query_id, cd.vec_id
+)
+SELECT query_id, neighbor_id, adc FROM (
+  SELECT query_id, neighbor_id,
+         ROUND(((p0 + p1) + p2) + p3, 6) AS adc,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ROUND(((p0 + p1) + p2) + p3, 6) ASC,
+                                     neighbor_id ASC) AS rk
+  FROM parts
+) WHERE rk <= 5
+"""
+
+
 def multimodal_byte_features(spark, sf_dir):
     """Opaque-binary plumbing: text → binary column → Arrow-batched
     feature extraction (byte length + sha256) via mapInPandas. The
@@ -1666,6 +1903,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ann_cosine_topk": (ann_cosine_topk, ANN_SQL),
     "ivf_ann_topk": (ivf_ann_topk, IVF_ANN_SQL),
     "embedding_neardup_pairs": (embedding_neardup_pairs, NEARDUP_SQL),
+    "embedding_normalize": (embedding_normalize, NORMALIZE_SQL),
+    "embedding_pq_codes": (embedding_pq_codes, PQ_CODES_SQL),
+    "pq_adc_topk": (pq_adc_topk, PQ_ADC_SQL),
     "multimodal_byte_features": (multimodal_byte_features, MULTIMODAL_SQL),
     "multimodal_frame_sample": (multimodal_frame_sample, FRAME_SAMPLE_SQL),
     "doc_bpe_tokens": (doc_bpe_tokens, BPE_TOKENS_SQL),
