@@ -1,0 +1,157 @@
+"""Property-based tests (hypothesis) — the reference suite pins golden
+examples; these pin the *laws* behind them: unit parsing is linear in
+the number, boundary parsing brackets correctly, emitted pruning SQL is
+sound (never prunes a file that could contain a matching value), and
+the dedup transforms satisfy their set-algebra definitions on arbitrary
+inputs, not just the canonical fixtures."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from levi_spark.functions.units import TEN_TB, boundary_parser, str_to_bytes
+from levi_spark.operators.metadata import filter_to_sql, filters_to_sql
+
+UNIT_FACTORS = {"b": 1, "kb": 10**3, "mb": 10**6, "gb": 10**9, "tb": 10**12}
+
+units = st.sampled_from(sorted(UNIT_FACTORS))
+nums = st.integers(min_value=0, max_value=10**6)
+
+
+@given(nums, units)
+def test_str_to_bytes_is_linear_in_the_number(n, u):
+    assert str_to_bytes(f"{n}{u}") == n * UNIT_FACTORS[u]
+
+
+@given(nums, units, st.sampled_from(["<", "<=", ">", ">=", ""]))
+def test_str_to_bytes_ignores_comparison_prefixes(n, u, p):
+    assert str_to_bytes(f"{p}{n}{u}") == str_to_bytes(f"{n}{u}")
+
+
+@given(
+    nums,
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Nd",), max_codepoint=0x2FF),
+        min_size=1,
+    ).filter(lambda s: s.strip().lower() not in UNIT_FACTORS),
+)
+def test_str_to_bytes_rejects_unknown_units(n, sfx):
+    with pytest.raises(ValueError):
+        str_to_bytes(f"{n}{sfx}")
+
+
+@given(nums, units)
+def test_boundary_parser_brackets(n, u):
+    v = str_to_bytes(f"{n}{u}")
+    assert boundary_parser(f"<={n}{u}") == (0, v)
+    assert boundary_parser(f"<{n}{u}") == (0, v - 1)
+    assert boundary_parser(f">={n}{u}") == (v, TEN_TB)
+    assert boundary_parser(f">{n}{u}") == (v + 1, TEN_TB)
+
+
+@given(nums, units, nums, units)
+def test_boundary_parser_range(a, ua, b, ub):
+    assert boundary_parser(f"{a}{ua}-{b}{ub}") == (
+        str_to_bytes(f"{a}{ua}"),
+        str_to_bytes(f"{b}{ub}"),
+    )
+
+
+ops = st.sampled_from(["=", "<", "<=", ">", ">="])
+
+
+def _op_holds(op: str, v, bound) -> bool:
+    return {
+        "=": v == bound,
+        "<": v < bound,
+        "<=": v <= bound,
+        ">": v > bound,
+        ">=": v >= bound,
+    }[op]
+
+
+def _eval_pruning_sql(sql: str, mn: int, mx: int) -> bool:
+    # The emitted text is valid Python given bindings for the stats cols.
+    return bool(eval(sql.replace("`min.c`", "MN").replace("`max.c`", "MX"),
+                     {"MN": mn, "MX": mx}))
+
+
+@given(
+    st.integers(-1000, 1000), st.integers(0, 500), ops,
+    st.integers(-1000, 1000), st.integers(-1000, 1000),
+)
+def test_pruning_sql_is_sound(mn, width, op, bound, v):
+    """If any v in [min, max] satisfies the filter, the emitted pruning
+    predicate must keep the file — skipping is only ever allowed when no
+    contained value can match (the invariant behind skipped_stats)."""
+    mx = mn + width
+    if not (mn <= v <= mx and _op_holds(op, v, bound)):
+        return
+    sql = filter_to_sql(("c", op, bound))
+    assert _eval_pruning_sql(sql, mn, mx)
+
+
+@given(st.lists(st.tuples(ops, st.integers(-10, 10)), min_size=1, max_size=4))
+def test_filters_to_sql_is_the_conjunction(fs):
+    sql = filters_to_sql([("c", op, v) for op, v in fs])
+    assert sql.count(" and ".join([""] * 2)) >= len(fs) - 1
+    # conjunction evaluates as the AND of the parts
+    mn, mx = -5, 5
+    parts = [_eval_pruning_sql(filter_to_sql(("c", op, v)), mn, mx) for op, v in fs]
+    assert _eval_pruning_sql(sql, mn, mx) == all(parts)
+
+
+# ---- Spark transform laws (few examples; each is a Spark job) -------------
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 6),
+        st.one_of(st.none(), st.integers(0, 3)),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows_strategy)
+def test_kill_duplicates_transform_law(spark, rows):
+    """Survivors are exactly the rows whose (non-NULL) key occurs once —
+    NULL-keyed rows always survive."""
+    from levi_spark.operators.dedup import kill_duplicates_transform
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(rows)],
+        "id INT, a INT, b INT",  # explicit: an all-NULL b column can't be inferred
+    )
+    got = sorted(r["id"] for r in kill_duplicates_transform(df, ["a", "b"]).collect())
+    counts = Counter((a, b) for a, b in rows)
+    want = sorted(
+        i for i, (a, b) in enumerate(rows)
+        if b is None or counts[(a, b)] == 1
+    )
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.integers(0, 6), min_size=1, max_size=20))
+def test_drop_duplicates_pkey_transform_law(spark, keys):
+    """Exactly one survivor per group: the lowest primary key."""
+    from levi_spark.operators.dedup import drop_duplicates_pkey_transform
+
+    rows = [(i, k) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, ["pk", "g"])
+    got = sorted(
+        (r["pk"], r["g"])
+        for r in drop_duplicates_pkey_transform(df, "pk", ["g"]).collect()
+    )
+    want = sorted(
+        (min(i for i, kk in rows if kk == k), k) for k in set(keys)
+    )
+    assert got == want
