@@ -1870,12 +1870,346 @@ def stream_sessionize(spark, sf_dir):
 # Registry
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# Wider TPC-H-shape coverage: outer joins, disjunctive pushdown, CASE
+# aggregation, scalar subqueries, NOT EXISTS — adapted to the narrower
+# synthetic schema (no l_shipmode/l_commitdate/partsupp/c_phone columns;
+# FIXTURES.md §B). Closes more of SURVEY.md §2.3's "no coverage" rows.
+# --------------------------------------------------------------------------
+
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by ship
+    year. Both nation copies are pre-filtered to the two pair members
+    *before* the broadcast joins (Catalyst cannot derive that from the
+    OR pair predicate), so at scale the fact scan joins against 2-row
+    broadcasts and the OR only post-filters the 4 surviving combos."""
+    nation = _t(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    lo, hi = dt.datetime(1996, 1, 1), dt.datetime(1998, 1, 1)
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.where((F.col("l_shipdate") >= F.lit(lo)) & (F.col("l_shipdate") < F.lit(hi)))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(_qsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "_vol"))
+        .select("supp_nation", "cust_nation", "l_year", _qval("_vol", "revenue"))
+    )
+
+
+Q7_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(_vol AS DOUBLE) / 10000.0 AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(year FROM l_shipdate) AS l_year,
+         {_qsum_sql('l_extendedprice * (1 - l_discount)')} AS _vol
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2, 3
+)
+"""
+
+
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns
+    (l_returnflag = 'R') for one order quarter. Join order keeps the
+    orders date filter before the lineitem join so both big inputs are
+    pre-reduced; total ordering (revenue desc, custkey asc) makes the
+    limit deterministic."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    lo, hi = dt.datetime(1997, 1, 1), dt.datetime(1997, 4, 1)
+    res = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(
+            orders.where(
+                (F.col("o_orderdate") >= F.lit(lo)) & (F.col("o_orderdate") < F.lit(hi))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .agg(_qsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "_rev"))
+        .orderBy(F.col("_rev").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+    return res.select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment", _qval("_rev", "revenue")
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+       CAST(_rev AS DOUBLE) / 10000.0 AS revenue
+FROM (
+  SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+         {_qsum_sql('l_extendedprice * (1 - l_discount)')} AS _rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o_orderdate <  TIMESTAMP '1997-04-01'
+  GROUP BY 1, 2, 3, 4
+  ORDER BY _rev DESC, c_custkey ASC
+  LIMIT 20
+)
+"""
+
+
+def q12_priority_case_agg(spark, sf_dir):
+    """TPC-H Q12 shape (CASE-sum aggregation) on the available columns:
+    per linestatus, how many 1997 shipments belong to urgent/high
+    orders vs the rest. The CASE folds into the partial aggregate —
+    one scan, one shuffle of 2 tiny groups."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    lo, hi = dt.datetime(1997, 1, 1), dt.datetime(1998, 1, 1)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.where((F.col("l_shipdate") >= F.lit(lo)) & (F.col("l_shipdate") < F.lit(hi)))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+"""
+
+
+def q13_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: LEFT OUTER join with an extra join-condition
+    filter (priority <> '5-LOW' belongs to the ON clause, not WHERE —
+    moving it would drop order-less customers), then a distribution of
+    per-customer order counts. Covers outer join + re-aggregation."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "5-LOW"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue share for one ship month — the
+    ratio of two conditionally-quantized sums. Part is broadcast; the
+    division of two identical int64-backed doubles is cross-engine
+    exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    lo, hi = dt.datetime(1997, 9, 1), dt.datetime(1997, 10, 1)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    g = (
+        li.where((F.col("l_shipdate") >= F.lit(lo)) & (F.col("l_shipdate") < F.lit(hi)))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            _qsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)), "_promo"),
+            _qsum(rev, "_total"),
+        )
+    )
+    return g.select(
+        (
+            F.lit(100.0)
+            * F.col("_promo").cast("double")
+            / F.col("_total").cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
+Q14_SQL = f"""
+SELECT 100.0 * CAST(_promo AS DOUBLE) / CAST(_total AS DOUBLE) AS promo_revenue_pct
+FROM (
+  SELECT
+    {_qsum_sql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")} AS _promo,
+    {_qsum_sql('l_extendedprice * (1 - l_discount)')} AS _total
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+    AND l_shipdate <  TIMESTAMP '1997-10-01'
+)
+"""
+
+
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs over brand/size/quantity bands.
+    The common l_quantity <= 30 / p_size >= 1 envelope is factored out
+    so *something* pushes to each scan even though the disjunction
+    itself can only filter post-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 10))
+            & (F.col("l_quantity").between(1, 11))
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(10, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(1, 25))
+            & (F.col("l_quantity").between(20, 30))
+        )
+    )
+    return (
+        li.where(F.col("l_quantity").between(1, 30))
+        .join(F.broadcast(part.where(F.col("p_size").between(1, 25))),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .where(band)
+        .agg(_qsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "_rev"))
+        .select(_qval("_rev", "revenue"))
+    )
+
+
+Q19_SQL = f"""
+SELECT CAST(_rev AS DOUBLE) / 10000.0 AS revenue
+FROM (
+  SELECT {_qsum_sql('l_extendedprice * (1 - l_discount)')} AS _rev
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 11)
+     OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 10 AND 20)
+     OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 20 AND 30)
+)
+"""
+
+
+def q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape: per-segment count + balance of
+    above-average-balance customers with no urgent order. Covers the
+    scalar aggregate subquery (broadcast single-row cross join) and
+    NOT EXISTS (left_anti against pre-filtered orders — the filter
+    shrinks the anti-join build side before the shuffle). The
+    threshold double is derived from the same quantized int64 sum on
+    both engines, so the > comparison is cross-engine exact."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    segs = ("AUTOMOBILE", "BUILDING", "MACHINERY")
+    in_seg = cust.where(F.col("c_mktsegment").isin(*segs))
+    avg_bal = (
+        in_seg.where(F.col("c_acctbal") > 0.0)
+        .agg(_qsum(F.col("c_acctbal"), "_s"), F.count(F.lit(1)).alias("_n"))
+        .select(
+            (F.col("_s").cast("double") / F.lit(10000.0) / F.col("_n")).alias("_avg_bal")
+        )
+    )
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        in_seg.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _qsum(F.col("c_acctbal"), "_bal"),
+        )
+        .select("c_mktsegment", "numcust", _qval("_bal", "totacctbal"))
+    )
+
+
+Q22_SQL = f"""
+SELECT c_mktsegment, numcust, CAST(_bal AS DOUBLE) / 10000.0 AS totacctbal
+FROM (
+  SELECT c_mktsegment, COUNT(*) AS numcust, {_qsum_sql('c_acctbal')} AS _bal
+  FROM customer
+  WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY')
+    AND c_acctbal > (
+      SELECT CAST(SUM(CAST(floor(c_acctbal * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 / COUNT(*)
+      FROM customer
+      WHERE c_acctbal > 0.0
+        AND c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY')
+    )
+    AND NOT EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+  GROUP BY c_mktsegment
+)
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_local_supplier": (q5_local_supplier, Q5_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "q9_profit_by_nation_year": (q9_profit_by_nation_year, Q9_SQL),
+    "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
+    "q10_returned_items": (q10_returned_items, Q10_SQL),
+    "q12_priority_case_agg": (q12_priority_case_agg, Q12_SQL),
+    "q13_order_count_distribution": (q13_order_count_distribution, Q13_SQL),
+    "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
+    "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
+    "q22_idle_customers": (q22_idle_customers, Q22_SQL),
     "customers_above_nation_avg": (customers_above_nation_avg, ABOVE_AVG_SQL),
     "large_order_customers": (large_order_customers, LARGE_ORDER_SQL),
     "lineitem_rollup": (lineitem_rollup, ROLLUP_SQL),
