@@ -1,3 +1,4 @@
 from levi_spark.delta.log import DeltaLog, Snapshot
+from levi_spark.delta.dv import purge_deleted, soft_delete
 
-__all__ = ["DeltaLog", "Snapshot"]
+__all__ = ["DeltaLog", "Snapshot", "soft_delete", "purge_deleted"]

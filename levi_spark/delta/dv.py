@@ -1,0 +1,221 @@
+"""Deletion vectors: delete rows without rewriting data files.
+
+The reference's only delete primitive is a whole-file-rewriting Delta
+MERGE (``/root/reference/levi/__init__.py:157-166``) and its dedup ops
+rewrite the entire table (``:347-351``). At 100 TB a point delete that
+rewrites gigabyte files is the dominant cost, so this module adds the
+modern Delta-protocol answer — deletion vectors — to the engine's own
+log format:
+
+* ``soft_delete(spark, path, predicate)`` marks matching rows deleted
+  by writing a parquet *sidecar* of (file_name, row_index) keys under
+  ``_deletion_vectors/`` and re-emitting the affected ``add`` actions
+  with a ``deletionVector`` descriptor ({storageType: "path",
+  pathOrInlineDv, cardinality} — the public Delta DV descriptor shape).
+  Cost is O(matching rows), not O(bytes of touched files). A file whose
+  every row is deleted becomes a plain ``remove`` tombstone.
+* The read path (``Snapshot.to_df``) anti-joins the scan against the
+  sidecar on (file, row_index) via the parquet reader's
+  ``_metadata.row_index`` — pushdown and partition pruning on the scan
+  are untouched, and the DV frame is broadcast.
+* ``purge_deleted(spark, path)`` is the compaction half: physically
+  rewrites only the DV-bearing files (their surviving rows), dropping
+  the descriptors — the OPTIMIZE-style "hard delete" that bounds DV
+  accumulation. Scan cost is O(files with DVs), never the whole table.
+
+Sidecars are written by Spark executors (the doomed-key frame is never
+collected); only per-file cardinalities (metadata scale: one row per
+affected file) come to the driver to build the commit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+
+from levi_spark.delta.log import DeltaLog
+from levi_spark.delta.writer import DEFAULT_CHECKPOINT_INTERVAL, write_delta
+
+DV_DIR = "_deletion_vectors"
+
+
+def _append_commit(
+    log: DeltaLog, version: int, actions: list[dict], operation: str, params: dict
+) -> None:
+    """Append one commit JSON (re-emitting protocol+metaData like the
+    writer does), with O_EXCL publish semantics."""
+    snap = log.snapshot()
+    now_ms = int(time.time() * 1000)
+    lines = [json.dumps({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})]
+    meta = snap.metadata
+    lines.append(
+        json.dumps(
+            {
+                "metaData": {
+                    "id": meta.id,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": meta.schema.json(),
+                    "partitionColumns": meta.partition_columns,
+                    "configuration": meta.configuration,
+                    "createdTime": now_ms,
+                }
+            }
+        )
+    )
+    lines += [json.dumps(a) for a in actions]
+    lines.append(
+        json.dumps(
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": operation,
+                    "operationParameters": params,
+                    "engineInfo": "levi-spark/0.1.0",
+                }
+            }
+        )
+    )
+    commit_path = os.path.join(log.log_path, f"{version:020d}.json")
+    with open(commit_path, "x") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+
+def soft_delete(
+    spark: SparkSession,
+    path: str,
+    predicate: str | Column,
+    checkpoint_interval: int | None = DEFAULT_CHECKPOINT_INTERVAL,
+) -> dict:
+    """Logically delete every row matching ``predicate`` (SQL string or
+    Column over the table's columns, partition columns included).
+
+    Returns {"version", "rows_deleted", "files_affected",
+    "files_removed"} — version is -1 when nothing matched (no commit).
+    """
+    path = os.path.abspath(path)
+    log = DeltaLog(spark, path)
+    snap = log.snapshot()
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+
+    # Doomed keys: already-DV'd rows are invisible to to_df, so re-deleting
+    # the same predicate is a no-op commit, not a double delete.
+    doomed = (
+        snap.to_df(with_lineage=True)
+        .where(pred)
+        .select(
+            F.col("_file_name").alias("file_name"),
+            F.col("_row_index").alias("row_index"),
+        )
+    )
+
+    # Cumulative per affected file: old sidecar rows for those files ride
+    # into the new sidecar so each add points at exactly one directory.
+    old = snap.deletion_vector_rows().select(
+        F.col("__file_name").alias("file_name"), F.col("__row_index").alias("row_index")
+    )
+    affected_names = doomed.select("file_name").distinct()
+    dv_out = doomed.unionByName(
+        old.join(F.broadcast(affected_names), on="file_name", how="left_semi")
+    )
+
+    rel_dir = os.path.join(DV_DIR, f"dv-{uuid.uuid4().hex}")
+    out_dir = os.path.join(path, rel_dir)
+    dv_out.write.parquet(out_dir)
+
+    counts = {
+        r["file_name"]: r["n"]
+        for r in spark.read.parquet(out_dir)
+        .groupBy("file_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not counts:
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
+        return {"version": -1, "rows_deleted": 0, "files_affected": 0, "files_removed": 0}
+
+    # Driver-side commit build over the (metadata-scale) affected adds.
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = []
+    files_removed = 0
+    rows_deleted = 0
+    for row in snap.live_adds_raw().collect():
+        add = row["add"].asDict(recursive=True)
+        name = os.path.basename(add["path"])
+        if name not in counts:
+            continue
+        card = counts[name]
+        prev_card = (add.get("deletionVector") or {}).get("cardinality") or 0
+        rows_deleted += card - prev_card
+        num_records = None
+        if add.get("stats"):
+            num_records = json.loads(add["stats"]).get("numRecords")
+        if num_records is not None and card >= num_records:
+            actions.append(
+                {
+                    "remove": {
+                        "path": add["path"],
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+            files_removed += 1
+            continue
+        add["deletionVector"] = {
+            "storageType": "path",
+            "pathOrInlineDv": rel_dir,
+            "cardinality": card,
+        }
+        actions.append({"add": {k: v for k, v in add.items() if v is not None}})
+
+    version = snap.version + 1
+    _append_commit(
+        log, version, actions, "DELETE", {"predicate": str(predicate)}
+    )
+    if checkpoint_interval and version % checkpoint_interval == 0:
+        from levi_spark.delta.checkpoint import write_checkpoint
+
+        write_checkpoint(spark, path, version)
+    return {
+        "version": version,
+        "rows_deleted": rows_deleted,
+        "files_affected": len(counts),
+        "files_removed": files_removed,
+    }
+
+
+def purge_deleted(spark: SparkSession, path: str) -> dict:
+    """Physically rewrite every DV-bearing file without its deleted
+    rows, in one commit (new files + tombstones via the writer's
+    ``replace_paths`` primitive). Untouched files keep their stats.
+    Returns {"version", "files_rewritten"} (version -1 if no DVs)."""
+    path = os.path.abspath(path)
+    log = DeltaLog(spark, path)
+    snap = log.snapshot()
+    dv_paths = [
+        r["path"]
+        for r in snap.add_actions()
+        .where(F.col("deletion_vector.pathOrInlineDv").isNotNull())
+        .select("path")
+        .collect()
+    ]
+    if not dv_paths:
+        return {"version": -1, "files_rewritten": 0}
+    survivors = snap.to_df(paths=dv_paths)
+    version = write_delta(
+        survivors,
+        path,
+        mode="append",
+        partition_by=list(snap.metadata.partition_columns),
+        replace_paths=dv_paths,
+        operation="PURGE",
+        checkpoint_interval=None,
+    )
+    return {"version": version, "files_rewritten": len(dv_paths)}

@@ -46,6 +46,16 @@ _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
 
 # Action schema for reading commit JSON files (subset of the Delta
 # protocol that matters for snapshot reconstruction).
+# deletionVector mirrors the public Delta protocol's DV descriptor
+# (storageType/pathOrInlineDv/cardinality): rows listed in the sidecar
+# are logically deleted from the file without rewriting it.
+_DV_TYPE = T.StructType(
+    [
+        T.StructField("storageType", T.StringType()),
+        T.StructField("pathOrInlineDv", T.StringType()),
+        T.StructField("cardinality", T.LongType()),
+    ]
+)
 _ADD_TYPE = T.StructType(
     [
         T.StructField("path", T.StringType()),
@@ -55,6 +65,7 @@ _ADD_TYPE = T.StructType(
         T.StructField("dataChange", T.BooleanType()),
         T.StructField("stats", T.StringType()),
         T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("deletionVector", _DV_TYPE),
     ]
 )
 _REMOVE_TYPE = T.StructType(
@@ -287,6 +298,11 @@ class Snapshot:
                         if "tags" in add_fields
                         else F.lit(None).cast(T.MapType(T.StringType(), T.StringType()))
                     ).alias("tags"),
+                    (
+                        F.col("add.deletionVector")
+                        if "deletionVector" in add_fields
+                        else F.lit(None).cast(_DV_TYPE)
+                    ).alias("deletionVector"),
                 )
                 if "add" in cols
                 else F.lit(None).cast(_ADD_TYPE)
@@ -390,15 +406,23 @@ class Snapshot:
         # URL-decoded path for filesystem access (Delta stores URL-encoded
         # relative paths, e.g. "data=%F0%9F%98%88/part-...parquet").
         url_decode = F.udf(unquote, T.StringType())
-        return live.select(
-            url_decode(F.col("add.path")).alias("path"),
-            F.col("add.partitionValues").alias("partitionValues"),
-            F.col("add.size").alias("size_bytes"),
-            F.col("add.modificationTime").alias("modification_time"),
-            F.col("add.dataChange").alias("data_change"),
-            F.from_json(F.col("add.stats"), sschema).alias("stats"),
-            F.col("version").alias("commit_version"),
-        ).withColumn("num_records", F.col("stats.numRecords"))
+        return (
+            live.select(
+                url_decode(F.col("add.path")).alias("path"),
+                F.col("add.partitionValues").alias("partitionValues"),
+                F.col("add.size").alias("size_bytes"),
+                F.col("add.modificationTime").alias("modification_time"),
+                F.col("add.dataChange").alias("data_change"),
+                F.from_json(F.col("add.stats"), sschema).alias("stats"),
+                F.col("add.deletionVector").alias("deletion_vector"),
+                F.col("version").alias("commit_version"),
+            )
+            .withColumn("num_records", F.col("stats.numRecords"))
+            .withColumn(
+                "dv_cardinality",
+                F.coalesce(F.col("deletion_vector.cardinality"), F.lit(0)),
+            )
+        )
 
     def add_actions_flat(self) -> DataFrame:
         """Flattened add actions with levi-compatible dotted column names
@@ -434,7 +458,43 @@ class Snapshot:
             for r in rows
         ]
 
-    def to_df(self, paths: list[str] | None = None) -> DataFrame:
+    def deletion_vector_rows(self) -> DataFrame:
+        """(``__file_name``, ``__row_index``) of every logically deleted
+        row in this snapshot: the union of the sidecar parquet
+        directories referenced by live adds' ``deletionVector``
+        descriptors, restricted (by a broadcast semi-join on the small
+        DV-bearing file list) to files whose *current* add actually
+        carries a DV — a cumulative sidecar may also hold rows for files
+        since rewritten, which must not be re-applied."""
+        dv_adds = (
+            self.add_actions()
+            .where(F.col("deletion_vector.pathOrInlineDv").isNotNull())
+            .select("path", "deletion_vector.pathOrInlineDv")
+            .collect()
+        )
+        empty = self.spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("__file_name", T.StringType()),
+                    T.StructField("__row_index", T.LongType()),
+                ]
+            ),
+        )
+        if not dv_adds:
+            return empty
+        dirs = sorted(
+            {os.path.join(self.log.table_path, r["pathOrInlineDv"]) for r in dv_adds}
+        )
+        names = [(os.path.basename(r["path"]),) for r in dv_adds]
+        names_df = self.spark.createDataFrame(names, ["__file_name"])
+        rows = self.spark.read.parquet(*dirs).select(
+            F.col("file_name").alias("__file_name"),
+            F.col("row_index").alias("__row_index"),
+        )
+        return rows.join(F.broadcast(names_df), on="__file_name", how="left_semi")
+
+    def to_df(self, paths: list[str] | None = None, with_lineage: bool = False) -> DataFrame:
         """Read the snapshot's data as a DataFrame. ``paths`` restricts
         the scan to those table-relative live files (layout operators
         rewrite subsets of a table without scanning the rest).
@@ -447,6 +507,15 @@ class Snapshot:
         normalization) and cast to the declared types, handling null
         partitions (``__HIVE_DEFAULT_PARTITION__`` → null in the log's
         map) and unicode/URL-escaped values uniformly.
+
+        Rows tombstoned by deletion vectors (:mod:`levi_spark.delta.dv`)
+        are dropped with an anti-join on (file, row_index) — the scan
+        itself is untouched, so pushdown/pruning still apply, and the
+        (small) DV frame rides a broadcast.
+
+        ``with_lineage=True`` appends ``_file_name`` / ``_row_index``
+        columns identifying each row's physical position — the key
+        space deletion vectors address.
         """
         meta = self.metadata
         infos = self.file_infos()
@@ -457,15 +526,54 @@ class Snapshot:
                 for p, pv in infos
                 if os.path.relpath(p, self.log.table_path) in keep
             ]
+        out_cols = list(meta.data_columns) + (
+            ["_file_name", "_row_index"] if with_lineage else []
+        )
         if not infos:
-            return self.spark.createDataFrame([], meta.schema)
+            schema = T.StructType(
+                meta.schema.fields
+                + (
+                    [
+                        T.StructField("_file_name", T.StringType()),
+                        T.StructField("_row_index", T.LongType()),
+                    ]
+                    if with_lineage
+                    else []
+                )
+            )
+            return self.spark.createDataFrame([], schema)
         files = [p for p, _ in infos]
-        phys = meta.physical_schema
-        df = self.spark.read.schema(phys).parquet(*files)
-        if not meta.partition_columns:
-            return df.select(*meta.data_columns)
         names = [os.path.basename(p) for p in files]
         assert len(set(names)) == len(names), "non-unique data file basenames"
+        has_dv = (
+            self.add_actions()
+            .where(F.col("deletion_vector.pathOrInlineDv").isNotNull())
+            .limit(1)
+            .count()
+            > 0
+        )
+        phys = meta.physical_schema
+        df = (
+            self.spark.read.schema(phys)
+            .parquet(*files)
+            .withColumn("__file_name", F.col("_metadata.file_name"))
+            .withColumn("__row_index", F.col("_metadata.row_index"))
+        )
+        if has_dv:
+            df = df.join(
+                F.broadcast(self.deletion_vector_rows()),
+                on=["__file_name", "__row_index"],
+                how="left_anti",
+            )
+        lineage = [
+            F.col("__file_name").alias("_file_name"),
+            F.col("__row_index").alias("_row_index"),
+        ]
+        if not meta.partition_columns:
+            return df.select(
+                *[F.col(c) for c in meta.data_columns],
+                *(lineage if with_lineage else []),
+            )
         pv_schema = T.StructType(
             [
                 T.StructField("__file_name", T.StringType()),
@@ -475,14 +583,14 @@ class Snapshot:
         pv_df = self.spark.createDataFrame(
             [(os.path.basename(p), pv) for p, pv in infos], pv_schema
         )
-        joined = df.withColumn("__file_name", F.col("_metadata.file_name")).join(
-            F.broadcast(pv_df), on="__file_name", how="left"
-        )
+        joined = df.join(F.broadcast(pv_df), on="__file_name", how="left")
         by_name = {f.name: f for f in meta.schema.fields}
         part_cols = [
             F.col("__pv").getItem(c).cast(by_name[c].dataType).alias(c)
             for c in meta.partition_columns
         ]
         return joined.select(
-            *[F.col(f.name) for f in phys.fields], *part_cols
-        ).select(*meta.data_columns)
+            *[F.col(f.name) for f in phys.fields],
+            *part_cols,
+            *lineage,
+        ).select(*out_cols)

@@ -2197,6 +2197,52 @@ FROM (
 """
 
 
+def dv_soft_delete_orders(spark, sf_dir):
+    """Deletion-vector lifecycle through the driver gate: orders is
+    materialized as an engine Delta table, urgent low-value orders are
+    soft-deleted (sidecar DV + re-emitted add actions — zero data-file
+    rewrite, cost O(matching rows); :mod:`levi_spark.delta.dv`), and
+    survivors are aggregated straight off the DV-filtered snapshot
+    scan. Oracle: the same aggregate over ``NOT (predicate)``."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from levi_spark.delta.dv import soft_delete
+    from levi_spark.delta.log import DeltaLog
+    from levi_spark.delta.writer import write_delta
+
+    base = _os.path.join(_tempfile.gettempdir(), "levi_spark_dv_orders")
+    _shutil.rmtree(base, ignore_errors=True)
+    write_delta(
+        _t(spark, sf_dir, "orders").repartition(8), base, mode="error",
+        checkpoint_interval=None,
+    )
+    soft_delete(
+        spark, base, "o_orderpriority = '1-URGENT' AND o_totalprice < 100000.0"
+    )
+    return (
+        DeltaLog(spark, base)
+        .snapshot()
+        .to_df()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _qsum(F.col("o_totalprice"), "_tp"),
+        )
+        .select("o_orderstatus", "n_orders", _qval("_tp", "total_price"))
+    )
+
+
+DV_SOFT_DELETE_SQL = f"""
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       {_qsum_sql('o_totalprice')} / 10000.0 AS total_price
+FROM orders
+WHERE NOT (o_orderpriority = '1-URGENT' AND o_totalprice < 100000.0)
+GROUP BY o_orderstatus
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -2228,6 +2274,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "drop_duplicates_lineitem": (drop_duplicates_lineitem, DROP_DUP_SQL),
     "drop_duplicates_pkey_customer": (drop_duplicates_pkey_customer, DROP_DUP_PKEY_SQL),
     "scd2_customer_dim": (scd2_customer_dim, SCD2_SQL),
+    "dv_soft_delete_orders": (dv_soft_delete_orders, DV_SOFT_DELETE_SQL),
     "exact_dedup_documents": (exact_dedup_documents, EXACT_DEDUP_SQL),
     "doc_token_stats": (doc_token_stats, DOC_TOKEN_SQL),
     "doc_language_id": (doc_language_id, LANG_ID_SQL),
