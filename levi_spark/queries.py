@@ -2197,6 +2197,38 @@ FROM (
 """
 
 
+def stream_session_window(spark, sf_dir):
+    """Native streaming ``session_window`` (30-min gap) per-session
+    rollup — see :func:`levi_spark.streaming.jobs.session_window_stream`
+    for the boundary-rule contrast with the Python stateful
+    sessionizer. One row per session: (user, start, event count)."""
+    from levi_spark.streaming.jobs import run_session_window
+
+    return run_session_window(spark, sf_dir)
+
+
+SESSION_WINDOW_SQL = """
+WITH t AS (
+  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+         CASE WHEN LAG(epoch_ns(ts) // 1000) OVER w IS NULL
+                OR epoch_ns(ts) // 1000 - LAG(epoch_ns(ts) // 1000) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS __new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts_us,
+         SUM(__new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM t
+)
+SELECT user_id,
+       strftime(make_timestamp(MIN(ts_us)), '%Y-%m-%d %H:%M:%S') AS session_start_s,
+       COUNT(*) AS n_events
+FROM s
+GROUP BY user_id, sid
+"""
+
+
 def dv_soft_delete_orders(spark, sf_dir):
     """Deletion-vector lifecycle through the driver gate: orders is
     materialized as an engine Delta table, urgent low-value orders are
@@ -2294,6 +2326,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "stream_hourly_rollup": (stream_hourly_rollup, STREAM_HOURLY_SQL),
     "stream_distinct_user_event": (stream_distinct_user_event, STREAM_DISTINCT_SQL),
     "stream_sessionize": (stream_sessionize, SESSIONIZE_SQL),
+    "stream_session_window": (stream_session_window, SESSION_WINDOW_SQL),
     "doc_simhash": (doc_simhash, DOC_SIMHASH_SQL),
     "simhash_neardup_pairs": (simhash_neardup_pairs, SIMHASH_PAIRS_SQL),
 }

@@ -169,6 +169,33 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def session_window_stream(events: DataFrame) -> DataFrame:
+    """Native ``session_window`` aggregation (30-min gap): the JVM-side
+    twin of ``sessionize_stream`` — session merging happens inside
+    Spark's streaming session-window state store (Tungsten rows, no
+    Python workers in the loop), which is the scale path for
+    high-cardinality session state. Emits one row per closed session:
+    (user_id, session start, event count).
+
+    Boundary semantics differ from the Python sessionizer by design:
+    ``session_window`` merges *overlapping* [ts, ts+gap) intervals, so
+    an event at exactly last_ts+gap starts a NEW session (``>= gap`` ⇒
+    new), while the stateful fold uses ``> gap``. The oracle encodes
+    the native rule."""
+    ts = F.timestamp_micros(F.col("ts_us"))
+    return (
+        events.withColumn("__ts", ts)
+        .withWatermark("__ts", "2 hours")
+        .groupBy("user_id", F.session_window("__ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start_s"),
+            "n_events",
+        )
+    )
+
+
 # -- run-to-completion entry points (oracle-checkable) ---------------------
 
 
@@ -181,6 +208,12 @@ def run_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def run_distinct_user_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(
         distinct_user_event_stream(read_events_stream(spark, sf_dir)), "append"
+    )
+
+
+def run_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _drain_to_memory(
+        session_window_stream(read_events_stream(spark, sf_dir)), "complete"
     )
 
 

@@ -131,3 +131,42 @@ def test_multibatch_sessionize_state(spark, split_dir, oracle):
         )
     )
     assert got == want
+
+
+def test_multibatch_session_window(spark, split_dir, oracle):
+    """Native session_window state must merge sessions across
+    micro-batch boundaries (a session spanning two files is one row)."""
+    df = _drain(
+        J.session_window_stream(
+            J.read_events_stream(spark, split_dir, max_files_per_trigger=1)
+        ),
+        "complete",
+    )
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(
+        map(
+            tuple,
+            oracle.execute(
+                """
+        WITH t AS (
+          SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+                 CASE WHEN LAG(epoch_ns(ts) // 1000) OVER w IS NULL
+                        OR epoch_ns(ts) // 1000 - LAG(epoch_ns(ts) // 1000) OVER w >= 1800000000
+                      THEN 1 ELSE 0 END AS __new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT user_id, ts_us,
+                 SUM(__new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM t
+        )
+        SELECT user_id,
+               strftime(make_timestamp(MIN(ts_us)), '%Y-%m-%d %H:%M:%S'),
+               COUNT(*)
+        FROM s GROUP BY user_id, sid
+        """
+            ).fetchall(),
+        )
+    )
+    assert got == want
