@@ -45,11 +45,10 @@ DV_DIR = "_deletion_vectors"
 
 
 def _append_commit(
-    log: DeltaLog, version: int, actions: list[dict], operation: str, params: dict
+    log: DeltaLog, snap, version: int, actions: list[dict], operation: str, params: dict
 ) -> None:
     """Append one commit JSON (re-emitting protocol+metaData like the
     writer does), with O_EXCL publish semantics."""
-    snap = log.snapshot()
     now_ms = int(time.time() * 1000)
     lines = [json.dumps({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})]
     meta = snap.metadata
@@ -145,7 +144,7 @@ def soft_delete(
     actions: list[dict] = []
     files_removed = 0
     rows_deleted = 0
-    for row in snap.live_adds_raw().collect():
+    for row in snap.live_adds_collected():
         add = row["add"].asDict(recursive=True)
         name = os.path.basename(add["path"])
         if name not in counts:
@@ -177,7 +176,7 @@ def soft_delete(
 
     version = snap.version + 1
     _append_commit(
-        log, version, actions, "DELETE", {"predicate": str(predicate)}
+        log, snap, version, actions, "DELETE", {"predicate": str(predicate)}
     )
     if checkpoint_interval and version % checkpoint_interval == 0:
         from levi_spark.delta.checkpoint import write_checkpoint
@@ -199,12 +198,13 @@ def purge_deleted(spark: SparkSession, path: str) -> dict:
     path = os.path.abspath(path)
     log = DeltaLog(spark, path)
     snap = log.snapshot()
+    from urllib.parse import unquote
+
     dv_paths = [
-        r["path"]
-        for r in snap.add_actions()
-        .where(F.col("deletion_vector.pathOrInlineDv").isNotNull())
-        .select("path")
-        .collect()
+        unquote(r["add"]["path"])
+        for r in snap.live_adds_collected()
+        if r["add"]["deletionVector"] is not None
+        and r["add"]["deletionVector"]["pathOrInlineDv"] is not None
     ]
     if not dv_paths:
         return {"version": -1, "files_rewritten": 0}

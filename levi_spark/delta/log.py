@@ -251,6 +251,7 @@ class Snapshot:
         self._commit_versions = commit_versions
         self._metadata: TableMetadata | None = None
         self._actions: DataFrame | None = None
+        self._live_rows: list | None = None
 
     # ---- raw action frames -------------------------------------------------
 
@@ -391,6 +392,18 @@ class Snapshot:
             .select("add", "version")
         )
 
+    def live_adds_collected(self) -> list:
+        """The reconciled live ``add`` rows, collected ONCE per snapshot
+        and cached. Every driver-side metadata consumer (scan planning,
+        DV lookup, merge/delete commit building) shares this collect
+        instead of re-running log replay per question — on a snapshot
+        consulted k times that is 1 Spark job instead of k. Metadata
+        scale: one row per live file (the same list Delta itself plans
+        scans from)."""
+        if self._live_rows is None:
+            self._live_rows = self.live_adds_raw().collect()
+        return self._live_rows
+
     def add_actions(self) -> DataFrame:
         """One row per live data file, stats parsed.
 
@@ -450,12 +463,14 @@ class Snapshot:
     # ---- data plane --------------------------------------------------------
 
     def file_infos(self) -> list[tuple[str, dict[str, str | None]]]:
-        """[(absolute file path, partitionValues)] — driver-side collect of
+        """[(absolute file path, partitionValues)] — driver-side view of
         the (metadata-plane, small) live-file list for scan planning."""
-        rows = self.add_actions().select("path", "partitionValues").collect()
         return [
-            (os.path.join(self.log.table_path, r["path"]), dict(r["partitionValues"] or {}))
-            for r in rows
+            (
+                os.path.join(self.log.table_path, unquote(r["add"]["path"])),
+                dict(r["add"]["partitionValues"] or {}),
+            )
+            for r in self.live_adds_collected()
         ]
 
     def deletion_vector_rows(self) -> DataFrame:
@@ -466,12 +481,12 @@ class Snapshot:
         DV-bearing file list) to files whose *current* add actually
         carries a DV — a cumulative sidecar may also hold rows for files
         since rewritten, which must not be re-applied."""
-        dv_adds = (
-            self.add_actions()
-            .where(F.col("deletion_vector.pathOrInlineDv").isNotNull())
-            .select("path", "deletion_vector.pathOrInlineDv")
-            .collect()
-        )
+        dv_adds = [
+            (unquote(r["add"]["path"]), r["add"]["deletionVector"]["pathOrInlineDv"])
+            for r in self.live_adds_collected()
+            if r["add"]["deletionVector"] is not None
+            and r["add"]["deletionVector"]["pathOrInlineDv"] is not None
+        ]
         empty = self.spark.createDataFrame(
             [],
             T.StructType(
@@ -484,9 +499,9 @@ class Snapshot:
         if not dv_adds:
             return empty
         dirs = sorted(
-            {os.path.join(self.log.table_path, r["pathOrInlineDv"]) for r in dv_adds}
+            {os.path.join(self.log.table_path, dv) for _p, dv in dv_adds}
         )
-        names = [(os.path.basename(r["path"]),) for r in dv_adds]
+        names = [(os.path.basename(p),) for p, _dv in dv_adds]
         names_df = self.spark.createDataFrame(names, ["__file_name"])
         rows = self.spark.read.parquet(*dirs).select(
             F.col("file_name").alias("__file_name"),
@@ -545,12 +560,10 @@ class Snapshot:
         files = [p for p, _ in infos]
         names = [os.path.basename(p) for p in files]
         assert len(set(names)) == len(names), "non-unique data file basenames"
-        has_dv = (
-            self.add_actions()
-            .where(F.col("deletion_vector.pathOrInlineDv").isNotNull())
-            .limit(1)
-            .count()
-            > 0
+        has_dv = any(
+            r["add"]["deletionVector"] is not None
+            and r["add"]["deletionVector"]["pathOrInlineDv"] is not None
+            for r in self.live_adds_collected()
         )
         phys = meta.physical_schema
         df = (

@@ -1,0 +1,223 @@
+"""General MERGE: the engine's native equivalent of delta-rs MERGE.
+
+MERGE is the reference's core mutation primitive — ``kill_duplicates``
+and ``type_2_scd_upsert`` are both thin stagings over
+``delta_table.merge(...).when_matched_delete / when_not_matched_insert /
+when_matched_update`` (``/root/reference/levi/__init__.py:155-166,
+274-295``). Those two operators are implemented directly elsewhere
+(:mod:`levi_spark.operators.dedup`, :mod:`levi_spark.operators.scd`);
+this module provides the *general* builder so any user merge the
+reference could express runs here too:
+
+    (MergeBuilder(table, source, "t.pk = s.pk")
+        .when_matched_update(condition="t.v <> s.v", set={"v": "s.v"})
+        .when_matched_delete(condition="s.tombstone")
+        .when_not_matched_insert(values={"pk": "s.pk", "v": "s.v"})
+        .execute())
+
+Semantics follow the public Delta MERGE contract:
+
+* clauses apply in declaration order — the first WHEN MATCHED clause
+  whose condition holds wins for a given target row;
+* a target row matched by MORE THAN ONE source row while any matched
+  clause exists raises ``ValueError`` (Delta's duplicate-match error) —
+  a nondeterministic update is never silently applied;
+* unmatched source rows take the first applicable WHEN NOT MATCHED
+  clause; rows satisfying none are dropped.
+
+Scale design (how this differs from "rewrite the table"):
+
+1. One inner join finds the set of *touched files* (distinct
+   ``_metadata.file_name`` of matched target rows) — output is
+   metadata-sized (bounded by file count), the join itself is the same
+   shuffle Delta's own MERGE pays.
+2. Only touched files are re-read and rewritten; the merge outputs
+   (kept + updated rows of touched files, plus all inserts) replace
+   exactly those files in one atomic commit
+   (``write_delta(replace_paths=...)``). Untouched files — at 100 TB,
+   almost all of them — keep their stats, layout, and history.
+3. An insert-only merge (no matched clauses) skips the rewrite
+   entirely and degenerates to an anti-join append.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+import os
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from levi_spark.delta.table import LeviTable
+from levi_spark.delta.writer import write_delta
+
+_MARKER = "__s_present"
+
+
+def _as_col(e: str | Column) -> Column:
+    return F.expr(e) if isinstance(e, str) else e
+
+
+class MergeBuilder:
+    def __init__(self, table: LeviTable, source: DataFrame, condition: str | Column):
+        self.table = table
+        self.source = source
+        self.condition = condition
+        self._matched: list[tuple[str, Column | None, dict | None]] = []
+        self._not_matched: list[tuple[Column | None, dict]] = []
+
+    def when_matched_update(
+        self, set: dict[str, str | Column], condition: str | Column | None = None
+    ) -> "MergeBuilder":
+        self._matched.append(
+            ("update", _as_col(condition) if condition is not None else None,
+             {k: _as_col(v) for k, v in set.items()})
+        )
+        return self
+
+    def when_matched_delete(
+        self, condition: str | Column | None = None
+    ) -> "MergeBuilder":
+        self._matched.append(
+            ("delete", _as_col(condition) if condition is not None else None, None)
+        )
+        return self
+
+    def when_not_matched_insert(
+        self, values: dict[str, str | Column], condition: str | Column | None = None
+    ) -> "MergeBuilder":
+        self._not_matched.append(
+            (_as_col(condition) if condition is not None else None,
+             {k: _as_col(v) for k, v in values.items()})
+        )
+        return self
+
+    # ------------------------------------------------------------------
+
+    def execute(self) -> dict:
+        """Run the merge; returns {"version", "files_rewritten"}
+        (version -1 for an observable no-op)."""
+        if not self._matched and not self._not_matched:
+            raise ValueError("MERGE needs at least one WHEN clause")
+        snap = self.table.snapshot()
+        part_cols = list(snap.metadata.partition_columns)
+        data_cols = list(snap.metadata.data_columns)
+        cond = _as_col(self.condition)
+        src = self.source.withColumn(_MARKER, F.lit(1)).alias("s")
+
+        rewritten = None
+        touched_rels: list[str] = []
+        if self._matched:
+            target = snap.to_df(with_lineage=True).alias("t")
+            touched_names = {
+                r["__fn"]
+                for r in target.join(src, cond, "inner")
+                .select(F.col("t._file_name").alias("__fn"))
+                .distinct()
+                .collect()
+            }
+            all_rels = [
+                r["path"] for r in snap.add_actions().select("path").collect()
+            ]
+            touched_rels = [
+                p for p in all_rels if os.path.basename(p) in touched_names
+            ]
+            if touched_rels:
+                sub = snap.to_df(paths=touched_rels, with_lineage=True).alias("t")
+                joined = sub.join(src, cond, "left_outer")
+                matched = F.col(_MARKER).isNotNull()
+                # duplicate-match guard: >1 source row per target row is
+                # nondeterministic under update/delete — Delta errors, so do we
+                dup = (
+                    joined.where(matched)
+                    .groupBy("t._file_name", "t._row_index")
+                    .agg(F.count(F.lit(1)).alias("__n"))
+                    .where(F.col("__n") > 1)
+                    .limit(1)
+                    .count()
+                )
+                if dup:
+                    raise ValueError(
+                        "MERGE: a target row matches multiple source rows"
+                    )
+                # first-applicable-clause resolution, in declaration order
+                seen = F.lit(False)
+                applicable: list[Column] = []
+                for _kind, ccond, _set in self._matched:
+                    this = matched & (ccond if ccond is not None else F.lit(True)) & ~seen
+                    applicable.append(this)
+                    seen = seen | this
+                keep = functools.reduce(
+                    operator.and_,
+                    [
+                        ~app
+                        for (kind, _c, _s), app in zip(self._matched, applicable)
+                        if kind == "delete"
+                    ],
+                    F.lit(True),
+                )
+                types = {f.name: f.dataType for f in snap.metadata.schema.fields}
+                out_cols = []
+                for c in data_cols:
+                    val = F.col(f"t.{c}")
+                    for (kind, _c, sets), app in zip(self._matched, applicable):
+                        if kind == "update" and c in sets:
+                            val = F.when(app, sets[c]).otherwise(val)
+                    # update exprs may carry a different source type; the
+                    # table schema, not the expression, owns the column type
+                    out_cols.append(val.cast(types[c]).alias(c))
+                rewritten = joined.where(keep).select(*out_cols)
+
+        inserts = None
+        if self._not_matched:
+            target_keys = snap.to_df().alias("t")
+            unmatched = src.join(target_keys, cond, "left_anti")
+            seen = F.lit(False)
+            branches = []
+            for ccond, values in self._not_matched:
+                this = (ccond if ccond is not None else F.lit(True)) & ~seen
+                branches.append((this, values))
+                seen = seen | this
+            any_clause = functools.reduce(
+                operator.or_, [b for b, _ in branches]
+            )
+            unmatched = unmatched.where(any_clause)
+            out_cols = []
+            for c in data_cols:
+                val = F.lit(None)
+                for app, values in branches:
+                    if c in values:
+                        val = F.when(app, values[c]).otherwise(val)
+                typ = dict(
+                    (f.name, f.dataType) for f in snap.metadata.schema.fields
+                )[c]
+                out_cols.append(val.cast(typ).alias(c))
+            inserts = unmatched.select(*out_cols)
+
+        if rewritten is not None and inserts is not None:
+            out = rewritten.unionByName(inserts)
+        elif rewritten is not None:
+            out = rewritten
+        elif inserts is not None:
+            out = inserts
+        else:
+            return {"version": -1, "files_rewritten": 0}
+
+        version = write_delta(
+            out,
+            self.table.path,
+            mode="append",
+            partition_by=part_cols,
+            replace_paths=touched_rels or None,
+            operation="MERGE",
+        )
+        return {
+            "version": version,
+            "files_rewritten": len(touched_rels),
+        }
+
+
+def merge(table: LeviTable, source: DataFrame, condition: str | Column) -> MergeBuilder:
+    """Entry point mirroring ``DeltaTable.merge(source, condition)``."""
+    return MergeBuilder(table, source, condition)

@@ -2275,6 +2275,105 @@ GROUP BY o_orderstatus
 """
 
 
+def merge_upsert_customer(spark, sf_dir):
+    """General MERGE through the driver gate
+    (:mod:`levi_spark.operators.merge`): customer becomes an engine
+    Delta table; a per-customer order rollup merges in with ordered
+    clauses — delete heavy orderers (n >= 15), update active ones
+    (n >= 5: balance := rolled-up total, segment := 'MERGED'), insert
+    synthetic new customers. Only files holding matched keys are
+    rewritten. Oracle: the same CASE logic as a LEFT JOIN."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from levi_spark.delta.log import DeltaLog
+    from levi_spark.delta.table import LeviTable
+    from levi_spark.delta.writer import write_delta
+    from levi_spark.operators.merge import merge
+
+    base = _os.path.join(_tempfile.gettempdir(), "levi_spark_merge_customer")
+    _shutil.rmtree(base, ignore_errors=True)
+    write_delta(
+        _t(spark, sf_dir, "customer").repartition(8), base, mode="error",
+        checkpoint_interval=None,
+    )
+    src = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") % 100 == 0)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _qsum(F.col("o_totalprice"), "tot"),
+        )
+        .unionByName(
+            spark.range(1, 4).select(
+                (F.col("id") + 90_000_000).alias("o_custkey"),
+                F.lit(0).alias("n"),
+                F.lit(0).cast("long").alias("tot"),
+            )
+        )
+    )
+    (
+        merge(LeviTable(spark, base), src, "t.c_custkey = s.o_custkey")
+        .when_matched_delete(condition="s.n >= 15")
+        .when_matched_update(
+            condition="s.n >= 5",
+            set={
+                "c_acctbal": "CAST(s.tot AS DOUBLE) / 10000.0",
+                "c_mktsegment": "'MERGED'",
+            },
+        )
+        .when_not_matched_insert(
+            condition="s.n = 0",
+            values={
+                "c_custkey": "s.o_custkey",
+                "c_name": "'Customer#merged'",
+                "c_nationkey": "0",
+                "c_acctbal": "0.0",
+                "c_mktsegment": "'INSERTED'",
+            },
+        )
+        .execute()
+    )
+    return (
+        DeltaLog(spark, base)
+        .snapshot()
+        .to_df()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            _qsum(F.col("c_acctbal"), "_bal"),
+        )
+        .select("c_mktsegment", "n_cust", _qval("_bal", "total_bal"))
+    )
+
+
+MERGE_UPSERT_SQL = f"""
+WITH src AS (
+  SELECT o_custkey, COUNT(*) AS n,
+         SUM(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) AS tot
+  FROM orders WHERE o_custkey % 100 = 0 GROUP BY o_custkey
+),
+merged AS (
+  SELECT c_custkey,
+         CASE WHEN s.o_custkey IS NOT NULL AND s.n >= 5
+              THEN CAST(s.tot AS DOUBLE) / 10000.0 ELSE c_acctbal END AS c_acctbal,
+         CASE WHEN s.o_custkey IS NOT NULL AND s.n >= 5
+              THEN 'MERGED' ELSE c_mktsegment END AS c_mktsegment
+  FROM customer c LEFT JOIN src s ON c_custkey = s.o_custkey
+  WHERE s.o_custkey IS NULL OR s.n < 15
+  UNION ALL
+  SELECT 90000000 + i AS c_custkey, 0.0 AS c_acctbal, 'INSERTED' AS c_mktsegment
+  FROM generate_series(1, 3) AS g(i)
+)
+SELECT c_mktsegment, COUNT(*) AS n_cust,
+       {_qsum_sql('c_acctbal')} / 10000.0 AS total_bal
+FROM merged
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -2307,6 +2406,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "drop_duplicates_pkey_customer": (drop_duplicates_pkey_customer, DROP_DUP_PKEY_SQL),
     "scd2_customer_dim": (scd2_customer_dim, SCD2_SQL),
     "dv_soft_delete_orders": (dv_soft_delete_orders, DV_SOFT_DELETE_SQL),
+    "merge_upsert_customer": (merge_upsert_customer, MERGE_UPSERT_SQL),
     "exact_dedup_documents": (exact_dedup_documents, EXACT_DEDUP_SQL),
     "doc_token_stats": (doc_token_stats, DOC_TOKEN_SQL),
     "doc_language_id": (doc_language_id, LANG_ID_SQL),
