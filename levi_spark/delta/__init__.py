@@ -1,4 +1,5 @@
 from levi_spark.delta.log import DeltaLog, Snapshot
 from levi_spark.delta.dv import purge_deleted, soft_delete
+from levi_spark.delta.vacuum import vacuum
 
-__all__ = ["DeltaLog", "Snapshot", "soft_delete", "purge_deleted"]
+__all__ = ["DeltaLog", "Snapshot", "soft_delete", "purge_deleted", "vacuum"]

@@ -1,0 +1,108 @@
+"""VACUUM: reclaim data files and DV sidecars no snapshot references.
+
+The reference leaves physical cleanup to delta-rs / OPTIMIZE guidance
+(levi README.md:30); our engine's overwrite / replace_paths / purge
+commits tombstone files logically but never delete bytes. This is the
+missing lifecycle end: after OPTIMIZE, purge_deleted, or overwrite, the
+old files stay on disk for time travel; VACUUM removes the ones older
+than the retention window that the CURRENT snapshot no longer lists.
+
+Semantics (mirrors Delta's VACUUM contract):
+
+* a file is a candidate iff it is under the table root, is not part of
+  ``_delta_log``, is not referenced by the latest snapshot (live add or
+  live DV sidecar), and its mtime is older than ``retention_hours``;
+* time travel to versions whose files were vacuumed stops working —
+  exactly Delta's documented trade-off (the ``no_replay`` fixture shows
+  the same idea for the log side, handled by ``expire_log``);
+* ``dry_run=True`` lists, deletes nothing.
+
+The referenced-file set is metadata-scale (the snapshot's live adds +
+DV dirs, one cached collect — :meth:`Snapshot.live_adds_collected`);
+the filesystem walk is driver-side, which matches the single-node
+filesystem this engine runs on here. On an object store, the walk
+would become a distributed listing job; the set-difference logic is
+unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import SparkSession
+
+from levi_spark.delta.dv import DV_DIR
+from levi_spark.delta.log import DeltaLog
+
+
+def vacuum(
+    spark: SparkSession,
+    path: str,
+    retention_hours: float = 168.0,
+    dry_run: bool = False,
+) -> dict:
+    """Delete unreferenced table files older than ``retention_hours``.
+
+    Returns {"files_deleted": [...relative paths...], "bytes_reclaimed"}.
+    """
+    path = os.path.abspath(path)
+    snap = DeltaLog(spark, path).snapshot()
+
+    from urllib.parse import unquote
+
+    live_files: set[str] = set()
+    live_dv_dirs: set[str] = set()
+    for r in snap.live_adds_collected():
+        add = r["add"]
+        live_files.add(os.path.normpath(unquote(add["path"])))
+        dv = add["deletionVector"]
+        if dv is not None and dv["pathOrInlineDv"] is not None:
+            live_dv_dirs.add(os.path.normpath(dv["pathOrInlineDv"]))
+
+    cutoff = time.time() - retention_hours * 3600.0
+    doomed: list[str] = []
+    bytes_reclaimed = 0
+
+    for root, dirs, files in os.walk(path):
+        rel_root = os.path.relpath(root, path)
+        # never touch the log; skip live DV dirs wholesale
+        if rel_root == "." :
+            dirs[:] = [d for d in dirs if d != "_delta_log" and not d.startswith(".")]
+        if rel_root == DV_DIR:
+            dirs[:] = [
+                d
+                for d in dirs
+                if os.path.normpath(os.path.join(DV_DIR, d)) not in live_dv_dirs
+            ]
+        for name in files:
+            rel = os.path.normpath(
+                name if rel_root == "." else os.path.join(rel_root, name)
+            )
+            if rel in live_files:
+                continue
+            # outside the DV area only parquet data files are fair game;
+            # inside an orphaned DV dir, writer markers (_SUCCESS) go too
+            if not name.endswith(".parquet") and not rel.startswith(DV_DIR + os.sep):
+                continue
+            full = os.path.join(root, name)
+            st = os.stat(full)
+            if st.st_mtime >= cutoff:
+                continue
+            doomed.append(rel)
+            bytes_reclaimed += st.st_size
+            if not dry_run:
+                os.remove(full)
+
+    if not dry_run:
+        # sweep now-empty partition/DV directories
+        for root, dirs, files in os.walk(path, topdown=False):
+            if os.path.relpath(root, path) == ".":
+                continue
+            if "_delta_log" in root:
+                continue
+            if not os.listdir(root):
+                shutil.rmtree(root, ignore_errors=True)
+
+    return {"files_deleted": sorted(doomed), "bytes_reclaimed": bytes_reclaimed}
