@@ -2275,6 +2275,100 @@ GROUP BY o_orderstatus
 """
 
 
+def events_funnel(spark, sf_dir):
+    """Ordered conversion funnel view → click → purchase: per user the
+    first view, the first click strictly after it, the first purchase
+    strictly after that; output = users surviving each stage. Each
+    stage is a pre-filtered aggregate joined on user_id — event-type
+    filters reach the scan, and the per-user frames shrink monotonically
+    down the funnel (at scale the later joins ride the smaller sides)."""
+    ev = _events(spark, sf_dir)
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts_us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts_us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"))
+    )
+
+    def _step(df, label):
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(label).alias("step"), "n_users"
+        )
+
+    return (
+        _step(v, "1_view")
+        .unionByName(_step(c, "2_view_click"))
+        .unionByName(_step(p, "3_view_click_purchase"))
+    )
+
+
+FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(epoch_ns(ts) // 1000) AS t1
+  FROM events WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, MIN(epoch_ns(ts) // 1000) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND epoch_ns(ts) // 1000 > v.t1 GROUP BY 1
+), p AS (
+  SELECT e.user_id, MIN(epoch_ns(ts) // 1000) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND epoch_ns(ts) // 1000 > c.t2 GROUP BY 1
+)
+SELECT '1_view' AS step, COUNT(*) AS n_users FROM v
+UNION ALL SELECT '2_view_click', COUNT(*) FROM c
+UNION ALL SELECT '3_view_click_purchase', COUNT(*) FROM p
+"""
+
+
+def events_retention_cohorts(spark, sf_dir):
+    """Retention cohorts: users grouped by first-activity day; for each
+    (cohort day, day offset) the distinct users active that many days
+    later. Two shuffles total (per-user min, then cohort/offset
+    distinct-count) — both key-bounded."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.to_date(F.timestamp_micros(F.col("ts_us"))).alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    act = ev.distinct().join(first, "user_id")
+    return (
+        act.groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day_s"),
+            F.datediff(F.col("day"), F.col("cohort")).cast("long").alias("offset_days"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+RETENTION_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE) AS day
+  FROM events
+), first AS (
+  SELECT user_id, MIN(day) AS cohort FROM ev GROUP BY 1
+)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day_s,
+       date_diff('day', cohort, day) AS offset_days,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM (SELECT DISTINCT user_id, day FROM ev) e
+JOIN first f ON e.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
 def merge_upsert_customer(spark, sf_dir):
     """General MERGE through the driver gate
     (:mod:`levi_spark.operators.merge`): customer becomes an engine
@@ -2398,6 +2492,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_asof_join": (events_asof_join, ASOF_SQL),
     "events_json_props": (events_json_props, JSON_PROPS_SQL),
     "events_range_join": (events_range_join, RANGE_JOIN_SQL),
+    "events_funnel": (events_funnel, FUNNEL_SQL),
+    "events_retention_cohorts": (events_retention_cohorts, RETENTION_SQL),
     "skipped_stats_sim": (skipped_stats_sim, SKIPPED_SIM_SQL),
     "file_size_histogram_sim": (file_size_histogram_sim, FILE_HIST_SQL),
     "updated_partitions_sim": (updated_partitions_sim, UPDATED_PARTS_SQL),
