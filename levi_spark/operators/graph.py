@@ -1,0 +1,76 @@
+"""Distributed connected components (duplicate-cluster grouping).
+
+After pairwise near-dup candidate generation (MinHash-LSH / SimHash /
+embedding-cosine — :mod:`levi_spark.queries`), a training-data dedup
+pipeline must group the *transitive* duplicates: A~B and B~C puts all
+three in one cluster even when A,C never paired. That is connected
+components over the candidate-pair graph — absent from the reference
+(its dedup is single-key groupBy only, levi/__init__.py:148-153) and
+not expressible as one SQL query, so it is the engine's iterative
+showcase.
+
+Algorithm: min-label propagation. Every node starts labeled with
+itself; each round every node takes the min label over itself and its
+neighbors; fixpoint when no label changes. Rounds needed = graph
+diameter — near-dup clusters are short chains (pairs share a common
+hub), so convergence is a handful of rounds even at 100 TB.
+
+Scale design:
+* each round is one shuffle (edge⋈label join + min-agg on node id) —
+  key-bounded, no cross joins, no driver-side graph;
+* ``localCheckpoint(eager=True)`` truncates the plan each round —
+  without it the lineage doubles per iteration and Catalyst planning
+  time, not the data, becomes the bottleneck;
+* the convergence check is a metadata-scale count per round (2 jobs
+  per iteration), not a collect of labels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``;
+    ``component`` is the smallest node id in the node's component.
+    Raises ``RuntimeError`` if ``max_iter`` rounds don't converge."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = sym.select(F.col("a").alias("node"), F.col("a").alias("comp")).distinct()
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("node", F.col("comp").alias("component"))
+    raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")

@@ -2468,6 +2468,49 @@ GROUP BY c_mktsegment
 """
 
 
+def neardup_clusters(spark, sf_dir):
+    """Transitive duplicate clusters: connected components
+    (:mod:`levi_spark.operators.graph`, iterative min-label
+    propagation) over the SimHash near-dup pair graph — the grouping
+    step a real dedup pipeline runs after candidate generation. Oracle:
+    recursive-CTE transitive closure over the identical pair set."""
+    from levi_spark.operators.graph import connected_components
+
+    pairs = simhash_neardup_pairs(spark, sf_dir)
+    return connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+NEARDUP_CLUSTERS_SQL = (
+    "WITH RECURSIVE "
+    + SIMHASH_PAIRS_SQL.strip().removeprefix("WITH").strip()
+    .replace(
+        "SELECT doc_a, doc_b, hamming FROM (",
+        ", pairs AS (SELECT doc_a, doc_b FROM (",
+    )
+    .replace(
+        "WHERE hamming <= 3",
+        "WHERE hamming <= 3)",
+    )
+    + """,
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+FROM reach
+GROUP BY a
+"""
+)
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -2525,4 +2568,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "stream_session_window": (stream_session_window, SESSION_WINDOW_SQL),
     "doc_simhash": (doc_simhash, DOC_SIMHASH_SQL),
     "simhash_neardup_pairs": (simhash_neardup_pairs, SIMHASH_PAIRS_SQL),
+    "neardup_clusters": (neardup_clusters, NEARDUP_CLUSTERS_SQL),
 }

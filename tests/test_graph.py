@@ -1,0 +1,43 @@
+"""Connected components: known topologies + convergence contract."""
+
+from __future__ import annotations
+
+import pytest
+
+from levi_spark.operators.graph import connected_components
+
+
+def _cc(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        (r.node, r.component)
+        for r in connected_components(df, **kw).collect()
+    }
+
+
+def test_two_components_and_chain(spark):
+    # component {1,2,3} via chain, component {10, 11}
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_long_chain_converges(spark):
+    # diameter 9: propagation needs several rounds
+    got = _cc(spark, [(i, i + 1) for i in range(10)])
+    assert got == {(i, 0) for i in range(11)}
+
+
+def test_star_and_self_loop(spark):
+    got = _cc(spark, [(5, 1), (5, 2), (5, 3), (7, 7)])
+    assert got == {(1, 1), (2, 1), (3, 1), (5, 1), (7, 7)}
+
+
+def test_duplicate_and_reversed_edges(spark):
+    got = _cc(spark, [(2, 1), (1, 2), (2, 1), (3, 2)])
+    assert got == {(1, 1), (2, 1), (3, 1)}
+
+
+def test_max_iter_contract(spark):
+    edges = [(i, i + 1) for i in range(6)]
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        _cc(spark, edges, max_iter=1)
