@@ -103,6 +103,7 @@ def write_delta(
     replace_paths: list[str] | None = None,
     operation: str = "WRITE",
     checkpoint_interval: int | None = DEFAULT_CHECKPOINT_INTERVAL,
+    merge_schema: bool = False,
 ) -> int:
     """Write ``df`` as a new Delta table version at ``path``.
 
@@ -119,6 +120,14 @@ def write_delta(
     Nth commit (Delta's ``delta.checkpointInterval``, default 10), so
     snapshot reconstruction stays O(live files) instead of O(history)
     on long-lived tables. ``None``/0 disables.
+
+    ``merge_schema`` (append mode): Delta's ``mergeSchema`` semantics —
+    the commit's metaData carries the UNION of the table schema and the
+    incoming columns (new columns appended, existing ones must type-match
+    exactly; no widening). Old files simply lack the new columns and read
+    back as nulls; an incoming frame may also OMIT existing nullable
+    columns (its files lack them, same null-on-read rule). Nothing is
+    rewritten — schema evolution is a pure metadata operation.
     """
     spark = df.sparkSession
     path = os.path.abspath(path)
@@ -132,6 +141,7 @@ def write_delta(
     partition_by = list(partition_by or [])
     prev_adds: list[str] = []
     version = 0
+    commit_schema = df.schema
     if exists:
         log = DeltaLog(spark, path)
         snap = log.snapshot()
@@ -143,8 +153,22 @@ def write_delta(
                 raise ValueError("replace_paths requires mode='append'")
             prev_adds = list(replace_paths)
         if mode == "append":
+            prev_schema = snap.metadata.schema
             prev_cols = set(snap.metadata.data_columns)
-            if prev_cols != set(df.columns):
+            if merge_schema:
+                by_name = {f.name: f for f in prev_schema.fields}
+                for f in df.schema.fields:
+                    if f.name in by_name and by_name[f.name].dataType != f.dataType:
+                        raise ValueError(
+                            f"merge_schema type conflict on '{f.name}': table "
+                            f"{by_name[f.name].dataType.simpleString()} vs df "
+                            f"{f.dataType.simpleString()}"
+                        )
+                commit_schema = T.StructType(
+                    list(prev_schema.fields)
+                    + [f for f in df.schema.fields if f.name not in by_name]
+                )
+            elif prev_cols != set(df.columns):
                 raise ValueError(
                     f"append schema mismatch: table has {sorted(prev_cols)}, "
                     f"df has {sorted(df.columns)}"
@@ -197,7 +221,7 @@ def write_delta(
                 "metaData": {
                     "id": str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
-                    "schemaString": df.schema.json(),
+                    "schemaString": commit_schema.json(),
                     "partitionColumns": partition_by,
                     "configuration": {},
                     "createdTime": now_ms,
