@@ -2468,6 +2468,185 @@ GROUP BY c_mktsegment
 """
 
 
+def orders_moving_avg(spark, sf_dir):
+    """Window-frame coverage: 7-row moving average of daily order
+    revenue (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW). The frame sums
+    quantized int64s and divides by the frame row count — exact and
+    cross-engine-deterministic, unlike a double AVG over a frame."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day_s"))
+        .agg(_qsum(F.col("o_totalprice"), "_rev"))
+    )
+    w = Window.orderBy("day_s").rowsBetween(-6, 0)
+    return daily.select(
+        "day_s",
+        _qval("_rev", "revenue"),
+        (
+            F.sum("_rev").over(w).cast("double")
+            / F.lit(10000.0)
+            / F.count(F.lit(1)).over(w)
+        ).alias("revenue_7d_avg"),
+    )
+
+
+MOVING_AVG_SQL = f"""
+SELECT day_s,
+       CAST(_rev AS DOUBLE) / 10000.0 AS revenue,
+       CAST(SUM(_rev) OVER w AS DOUBLE) / 10000.0 / COUNT(*) OVER w AS revenue_7d_avg
+FROM (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day_s,
+         {_qsum_sql('o_totalprice')} AS _rev
+  FROM orders GROUP BY 1
+)
+WINDOW w AS (ORDER BY day_s ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+def orders_price_percentiles(spark, sf_dir):
+    """Exact discrete percentiles (p50/p90/p99 of o_totalprice per
+    order status) computed by explicit rank selection — value at row
+    ``ceil(p*n)`` of the (value, custkey) total order — rather than an
+    engine quantile function, whose interpolation rules differ across
+    engines. Raw column values hash exactly."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    ranked = orders.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_orderstatus")).alias("n"),
+    )
+    out = None
+    for p_label, p in [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]:
+        sel = (
+            ranked.where(F.col("rn") == F.ceil(F.lit(p) * F.col("n")))
+            .select(
+                "o_orderstatus",
+                F.lit(p_label).alias("pct"),
+                F.col("o_totalprice").alias("value"),
+            )
+        )
+        out = sel if out is None else out.unionByName(sel)
+    return out
+
+
+PERCENTILES_SQL = """
+WITH ranked AS (
+  SELECT o_orderstatus, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+  FROM orders
+)
+SELECT o_orderstatus, p.pct, o_totalprice AS value
+FROM ranked
+JOIN (VALUES ('p50', 0.5), ('p90', 0.9), ('p99', 0.99)) AS p(pct, f)
+  ON rn = CAST(ceil(p.f * n) AS BIGINT)
+"""
+
+
+def events_type_pivot(spark, sf_dir):
+    """PIVOT coverage: daily event counts spread into one column per
+    event type (explicit value list, so the plan is a single CASE-fold
+    aggregate — no second pass to discover pivot values)."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = _events(spark, sf_dir).select(
+        F.date_format(F.timestamp_micros(F.col("ts_us")), "yyyy-MM-dd").alias("day_s"),
+        "event_type",
+    )
+    return (
+        ev.groupBy("day_s")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+
+
+PIVOT_SQL = """
+SELECT strftime(CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE), '%Y-%m-%d') AS day_s,
+       SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
+       SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+       SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup,
+       SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view
+FROM events
+GROUP BY 1
+"""
+
+
+def doc_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 terms by TF-IDF over whitespace tokens of the
+    first 80 documents (deterministic subset; the full corpus version
+    is the same plan). IDF = ln(N / df) on exact integer counts — a
+    double of identical ints in both engines; top-3 has a total
+    ordering (score desc, term asc)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 80)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    n_docs = docs.select(F.count(F.lit(1)).alias("n"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf").cast("double")
+                * F.log(F.col("n").cast("double") / F.col("df").cast("double"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            # ln() differs by ULPs across engines (JVM Math.log vs libm);
+            # the emitted score is quantized to 1e-6 so it hash-matches,
+            # while ranking uses the raw double (ties broken by term)
+            F.floor(F.col("score") * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("score_q"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+TFIDF_SQL = """
+WITH docs AS (SELECT * FROM documents WHERE doc_id < 80),
+toks AS (
+  SELECT doc_id, t.term
+  FROM docs, UNNEST(string_split_regex(trim(text), '\\s+')) AS t(term)
+  WHERE t.term <> ''
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM docs),
+scored AS (
+  SELECT doc_id, tf.term,
+         CAST(tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / CAST(df AS DOUBLE)) AS score
+  FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN n
+)
+SELECT doc_id, term,
+       CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_q, rk
+FROM (
+  SELECT doc_id, term, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+  FROM scored
+)
+WHERE rk <= 3
+"""
+
+
 def neardup_clusters(spark, sf_dir):
     """Transitive duplicate clusters: connected components
     (:mod:`levi_spark.operators.graph`, iterative min-label
@@ -2536,6 +2715,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_json_props": (events_json_props, JSON_PROPS_SQL),
     "events_range_join": (events_range_join, RANGE_JOIN_SQL),
     "events_funnel": (events_funnel, FUNNEL_SQL),
+    "events_type_pivot": (events_type_pivot, PIVOT_SQL),
+    "orders_moving_avg": (orders_moving_avg, MOVING_AVG_SQL),
+    "orders_price_percentiles": (orders_price_percentiles, PERCENTILES_SQL),
+    "doc_tfidf_top_terms": (doc_tfidf_top_terms, TFIDF_SQL),
     "events_retention_cohorts": (events_retention_cohorts, RETENTION_SQL),
     "skipped_stats_sim": (skipped_stats_sim, SKIPPED_SIM_SQL),
     "file_size_histogram_sim": (file_size_histogram_sim, FILE_HIST_SQL),
