@@ -95,6 +95,44 @@ def _file_stats(df_files: DataFrame, data_schema: T.StructType) -> dict[str, dic
 DEFAULT_CHECKPOINT_INTERVAL = 10
 
 
+def _publish_commit(
+    log_dir: str, version: int, payload: str, rebase_ok: bool, max_attempts: int = 20
+) -> int:
+    """O_EXCL publish with optimistic concurrency; returns the version
+    actually committed.
+
+    A blind append — no tombstones, no replaced files — commutes with
+    any concurrent commit, so on collision it REBASES: take the next
+    version number and re-publish (Delta's winning-writer rule for
+    AppendOnly conflicts). Overwrites and file replacements read the
+    snapshot they tombstone, so a concurrent commit invalidates them:
+    the conflict surfaces as ``ValueError`` and the caller must re-run
+    against the new snapshot.
+    """
+    tmp = os.path.join(log_dir, f".commit-tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        fh.write(payload)
+    try:
+        for _attempt in range(max_attempts):
+            commit_path = os.path.join(log_dir, f"{version:020d}.json")
+            try:
+                with open(commit_path, "x") as out, open(tmp) as src:
+                    out.write(src.read())
+                return version
+            except FileExistsError:
+                if not rebase_ok:
+                    raise ValueError(
+                        f"concurrent commit at version {version}: this "
+                        "operation must be retried against the new snapshot"
+                    ) from None
+                version += 1
+        raise RuntimeError(
+            f"commit contention: {max_attempts} rebase attempts failed"
+        )
+    finally:
+        os.remove(tmp)
+
+
 def write_delta(
     df: DataFrame,
     path: str,
@@ -275,16 +313,9 @@ def write_delta(
         )
     )
     os.makedirs(log_dir, exist_ok=True)
-    commit_path = os.path.join(log_dir, f"{version:020d}.json")
-    tmp = commit_path + f".tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as fh:
-        fh.write("\n".join(lines) + "\n")
-    try:
-        # O_EXCL-style publish: fail rather than overwrite a concurrent commit.
-        with open(commit_path, "x") as out, open(tmp) as src:
-            out.write(src.read())
-    finally:
-        os.remove(tmp)
+    version = _publish_commit(
+        log_dir, version, "\n".join(lines) + "\n", rebase_ok=(mode == "append" and not prev_adds)
+    )
 
     if checkpoint_interval and version > 0 and version % checkpoint_interval == 0:
         # Deferred import: checkpoint.py only depends on log.py, no cycle.

@@ -1,0 +1,65 @@
+"""Optimistic concurrency: blind appends rebase past a commit that won
+the version race; overwrites and replacements surface the conflict.
+
+The race window is between snapshot read and publish, so the collision
+logic is exercised directly through ``_publish_commit`` (a commit file
+pre-placed at the target version IS the concurrent winner), and the
+end-to-end writer path is covered for the no-conflict rebase-visible
+case (a commit that landed before our snapshot read just shifts the
+version)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from levi_spark.delta.log import DeltaLog
+from levi_spark.delta.writer import _publish_commit, write_delta
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id"), (F.col("id") % 3).alias("k"))
+
+
+def _occupy(log_dir: str, version: int) -> None:
+    with open(os.path.join(log_dir, f"{version:020d}.json"), "x") as fh:
+        fh.write(json.dumps({"commitInfo": {"operation": "WRITE", "timestamp": 0}}) + "\n")
+
+
+def test_publish_rebases_blind_append(tmp_path):
+    log_dir = str(tmp_path)
+    _occupy(log_dir, 1)
+    _occupy(log_dir, 2)
+    v = _publish_commit(log_dir, 1, "{}\n", rebase_ok=True)
+    assert v == 3
+    assert os.path.exists(os.path.join(log_dir, f"{3:020d}.json"))
+
+
+def test_publish_conflict_raises_without_rebase(tmp_path):
+    log_dir = str(tmp_path)
+    _occupy(log_dir, 1)
+    with pytest.raises(ValueError, match="concurrent commit"):
+        _publish_commit(log_dir, 1, "{}\n", rebase_ok=False)
+    # the temp staging file never leaks
+    assert not [n for n in os.listdir(log_dir) if n.startswith(".commit-tmp")]
+
+
+def test_publish_contention_bound(tmp_path):
+    log_dir = str(tmp_path)
+    for v in range(1, 6):
+        _occupy(log_dir, v)
+    with pytest.raises(RuntimeError, match="contention"):
+        _publish_commit(log_dir, 1, "{}\n", rebase_ok=True, max_attempts=3)
+
+
+def test_append_after_foreign_commit_lands_next_version(spark, tmp_path):
+    p = str(tmp_path / "t")
+    write_delta(_df(spark, 0, 50), p, mode="error", checkpoint_interval=None)
+    _occupy(os.path.join(p, "_delta_log"), 1)  # landed before our snapshot read
+    v = write_delta(_df(spark, 50, 60), p, mode="append", checkpoint_interval=None)
+    assert v == 2
+    got = sorted(r.id for r in DeltaLog(spark, p).snapshot().to_df().collect())
+    assert got == list(range(60))
