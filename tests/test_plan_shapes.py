@@ -57,3 +57,62 @@ def test_semi_anti_join_operators_used(spark):
 def test_ivf_centroid_side_broadcast(spark):
     s = plan_summary(ivf_ann_topk(spark, SF))
     assert s["broadcast_exchanges"] >= 1, s
+
+
+def test_q7_broadcasts_prefiltered_nations(spark):
+    from levi_spark.queries import q7_volume_shipping
+
+    s = plan_summary(q7_volume_shipping(spark, SF))
+    # both nation copies ride broadcasts; the date filter reaches the scan
+    assert s["broadcast_exchanges"] >= 2, s
+    pf = pushed_filters(q7_volume_shipping(spark, SF))
+    assert any("l_shipdate" in f for f in pf), pf
+
+
+def test_q19_envelope_pushdown(spark):
+    from levi_spark.queries import q19_disjunctive_revenue
+
+    pf = pushed_filters(q19_disjunctive_revenue(spark, SF))
+    # the factored quantity/size envelopes push even though the
+    # disjunction itself cannot
+    assert any("l_quantity" in f for f in pf), pf
+    assert any("p_size" in f for f in pf), pf
+
+
+def test_q14_part_broadcast(spark):
+    from levi_spark.queries import q14_promo_revenue
+
+    s = plan_summary(q14_promo_revenue(spark, SF))
+    assert s["broadcast_exchanges"] >= 1, s
+
+
+def test_q22_anti_join_shape(spark):
+    from levi_spark.plans.inspect import executed_plan
+    from levi_spark.queries import q22_idle_customers
+
+    plan = executed_plan(q22_idle_customers(spark, SF))
+    assert "LeftAnti" in plan, plan[:500]
+
+
+def test_funnel_event_type_filters_pushed(spark):
+    from levi_spark.queries import events_funnel
+
+    pf = pushed_filters(events_funnel(spark, SF))
+    assert any("event_type" in f for f in pf), pf
+
+
+def test_dv_scan_stays_pushdown_clean(spark, tmp_path):
+    """A DV-filtered scan must still push data predicates to parquet —
+    the anti-join rides above the scan, never blocks it."""
+    from levi_spark.delta.dv import soft_delete
+    from levi_spark.delta.log import DeltaLog
+    from levi_spark.delta.writer import write_delta
+    import pyspark.sql.functions as F
+
+    p = str(tmp_path / "t")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    write_delta(li.repartition(4), p, mode="error", checkpoint_interval=None)
+    soft_delete(spark, p, "l_quantity > 45", checkpoint_interval=None)
+    df = DeltaLog(spark, p).snapshot().to_df().where(F.col("l_orderkey") == 7)
+    pf = pushed_filters(df)
+    assert any("l_orderkey" in f for f in pf), pf
