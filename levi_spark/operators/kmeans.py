@@ -1,0 +1,177 @@
+"""K-means (Lloyd) over an array<double> column — pure DataFrame ops.
+
+Trains the coarse quantizer the IVF ANN path needs
+(``levi_spark.queries.ivf_ann_topk`` ships with deterministic
+first-k centroids; at scale those come from this fit over a sample).
+No MLlib, no RDDs — every step is a whole-stage-codegen expression or
+a key-bounded shuffle:
+
+* **assign**: broadcast the k centroids (k·dim doubles — tiny),
+  cross-join, squared-L2 via ``zip_with``+``aggregate``, argmin by
+  window over the row id. Map-side only except the window.
+* **update**: ``posexplode`` the vectors and average per
+  (cluster, dimension) — one shuffle keyed by k·dim groups, then the
+  k·dim means collect to the driver (metadata scale) to become the
+  next round's broadcast literals. Keeping centroids driver-side makes
+  each round's lineage flat — no iterative plan growth, no checkpoint
+  needed (contrast :mod:`levi_spark.operators.graph`, whose labels
+  must stay distributed).
+* **stop**: max centroid shift < ``tol``, or ``max_iter``.
+
+Empty clusters keep their previous centroid (standard Lloyd fallback).
+Deterministic end-to-end: seeded by the first k vectors in ``id_col``
+order, ties in assignment broken by centroid id.
+
+**Cross-engine-exact mode** (``dist_scale`` / ``mean_scale``): when an
+external oracle must reproduce the fit bit-for-bit, float summation
+order must not matter. Distances become integer sums of per-dimension
+``floor(sqdiff * dist_scale + 0.5)`` (int64 addition is associative),
+and centroid means become ``sum(floor(v * mean_scale + 0.5)) /
+mean_scale / count`` — the integer sum is order-independent and the
+two double divisions are performed in the same order everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _sqdist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _sqdist_quant(a, b, scale: float):
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: F.floor((x - y) * (x - y) * F.lit(scale) + F.lit(0.5)).cast(
+                "long"
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    max_iter: int = 10,
+    tol: float = 1e-6,
+    dist_scale: float | None = None,
+    mean_scale: float | None = None,
+) -> dict:
+    """Fit k centroids; returns {"centroids": [[...], ...], "iterations",
+    "converged"}. ``df[vec_col]`` must be array<double> of fixed length.
+
+    ``dist_scale``/``mean_scale`` switch on the cross-engine-exact
+    integer arithmetic described in the module docstring."""
+    spark = df.sparkSession
+    pts = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    seeds = [
+        list(r["__v"])
+        for r in pts.orderBy("__id").limit(k).collect()
+    ]
+    if len(seeds) < k:
+        raise ValueError(f"k={k} but only {len(seeds)} vectors")
+    cents = seeds
+    converged = False
+    it = 0
+    for it in range(1, max_iter + 1):
+        cdf = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)], "cent_id int, cv array<double>"
+        )
+        dist = (
+            _sqdist_quant(F.col("__v"), F.col("cv"), dist_scale)
+            if dist_scale
+            else _sqdist(F.col("__v"), F.col("cv"))
+        )
+        scored = pts.crossJoin(F.broadcast(cdf)).select(
+            "__id", "__v", "cent_id", dist.alias("__d")
+        )
+        w = Window.partitionBy("__id").orderBy(F.col("__d").asc(), F.col("cent_id").asc())
+        best = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("cent_id", "__v")
+        )
+        exploded = best.select("cent_id", F.posexplode("__v").alias("pos", "val"))
+        if mean_scale:
+            means = (
+                exploded.groupBy("cent_id", "pos")
+                .agg(
+                    F.sum(
+                        F.floor(F.col("val") * F.lit(mean_scale) + F.lit(0.5)).cast(
+                            "long"
+                        )
+                    ).alias("s"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()
+            )
+            mval = lambda r: r["s"] / mean_scale / r["n"]  # noqa: E731
+        else:
+            means = (
+                exploded.groupBy("cent_id", "pos").agg(F.avg("val").alias("m")).collect()
+            )
+            mval = lambda r: r["m"]  # noqa: E731
+        new_cents = [list(c) for c in cents]  # empty clusters keep position
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(r["cent_id"], {})[r["pos"]] = mval(r)
+        for cid, dims in by_cluster.items():
+            new_cents[cid] = [dims[p] for p in sorted(dims)]
+        shift = max(
+            sum((a - b) * (a - b) for a, b in zip(old, new))
+            for old, new in zip(cents, new_cents)
+        )
+        cents = new_cents
+        if shift < tol:
+            converged = True
+            break
+    return {"centroids": cents, "iterations": it, "converged": converged}
+
+
+def assign_clusters(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    dist_col: str | None = None,
+    dist_scale: float | None = None,
+) -> DataFrame:
+    """(id, cluster[, dist]) for every row: nearest centroid by squared
+    L2, ties to the lower cluster id. Broadcast cross join + window
+    argmin — the same plan shape the fit uses. ``dist_col`` also emits
+    the winning distance (int64 when ``dist_scale`` is set)."""
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "cent_id int, cv array<double>"
+    )
+    dist = (
+        _sqdist_quant(F.col("__v"), F.col("cv"), dist_scale)
+        if dist_scale
+        else _sqdist(F.col("__v"), F.col("cv"))
+    )
+    scored = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("__v")
+    ).crossJoin(F.broadcast(cdf)).select(
+        "id", "cent_id", dist.alias("__d")
+    )
+    w = Window.partitionBy("id").orderBy(F.col("__d").asc(), F.col("cent_id").asc())
+    out = ["id", F.col("cent_id").alias("cluster")]
+    if dist_col:
+        out.append(F.col("__d").alias(dist_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(*out)
+    )

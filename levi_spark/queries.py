@@ -2690,6 +2690,96 @@ GROUP BY a
 )
 
 
+def kmeans_embedding_clusters(spark, sf_dir):
+    """Distributed k-means (Lloyd) over the embeddings table
+    (:mod:`levi_spark.operators.kmeans`): k=4 centroids seeded from the
+    4 lowest vec_ids, exactly 2 update rounds, then a final assignment;
+    returns per-cluster size and within-cluster sum of (quantized)
+    squared distances. This is the coarse-quantizer training step the
+    IVF ANN path uses. Cross-engine-exact mode: integer distances at
+    1e6, integer centroid sums at 1e8 (module docstring has the why);
+    the oracle unrolls the same two Lloyd rounds as chained CTEs."""
+    from levi_spark.operators.kmeans import assign_clusters, kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec("embedding").alias("v")
+    )
+    fit = kmeans_fit(
+        emb, "vec_id", "v", k=4, max_iter=2, tol=0.0,
+        dist_scale=1e6, mean_scale=1e8,
+    )
+    assigned = assign_clusters(
+        emb, "vec_id", "v", fit["centroids"], dist_col="d", dist_scale=1e6
+    )
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_points"), F.sum("d").alias("wss"))
+        .select("cluster", "n_points", "wss")
+    )
+
+
+def _kmeans_assign_cte(name: str, cents: str) -> str:
+    """One Lloyd assignment round as SQL: integer-quantized squared L2
+    against ``cents``, argmin with ties to the lower cent_id — the
+    exact arithmetic of ``operators.kmeans._sqdist_quant``."""
+    return f"""
+{name} AS (
+  SELECT vec_id, cent_id, d FROM (
+    SELECT p.vec_id, c.cent_id,
+           CAST(list_sum(list_transform(range(1, len(p.v) + 1),
+                i -> CAST(floor((p.v[i] - c.cv[i]) * (p.v[i] - c.cv[i]) * 1000000 + 0.5) AS BIGINT))) AS BIGINT) AS d,
+           ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                              ORDER BY CAST(list_sum(list_transform(range(1, len(p.v) + 1),
+                                i -> CAST(floor((p.v[i] - c.cv[i]) * (p.v[i] - c.cv[i]) * 1000000 + 0.5) AS BIGINT))) AS BIGINT) ASC,
+                                       c.cent_id ASC) AS rn
+    FROM pts p CROSS JOIN {cents} c)
+  WHERE rn = 1
+)"""
+
+
+def _kmeans_update_cte(assign: str, prev: str, means: str, out: str) -> str:
+    """One centroid-update round: per-(cluster, dim) mean as
+    sum(floor(v*1e8+0.5)) / 1e8 / count — int64 sum then two double
+    divisions, matching the fit's driver-side arithmetic bit-for-bit.
+    Empty clusters fall back to their previous centroid (COALESCE)."""
+    return f"""
+{means} AS (
+  SELECT a.cent_id, g.i AS pos,
+         CAST(SUM(CAST(floor(p.v[g.i] * 100000000 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 100000000.0 / COUNT(*) AS m
+  FROM {assign} a JOIN pts p USING (vec_id)
+  CROSS JOIN generate_series(1, 64) g(i)
+  GROUP BY a.cent_id, g.i
+),
+{out} AS (
+  SELECT s.cent_id, COALESCE(mm.cv, s.cv) AS cv
+  FROM {prev} s LEFT JOIN (
+    SELECT cent_id, list(m ORDER BY pos) AS cv FROM {means} GROUP BY cent_id
+  ) mm USING (cent_id)
+)"""
+
+
+KMEANS_SQL = (
+    """
+WITH pts AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+seeds AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cent_id, v AS cv
+  FROM pts ORDER BY vec_id LIMIT 4
+),"""
+    + _kmeans_assign_cte("a1", "seeds") + ","
+    + _kmeans_update_cte("a1", "seeds", "m1", "c1") + ","
+    + _kmeans_assign_cte("a2", "c1") + ","
+    + _kmeans_update_cte("a2", "c1", "m2", "c2") + ","
+    + _kmeans_assign_cte("a3", "c2")
+    + """
+SELECT cent_id AS cluster, COUNT(*) AS n_points, CAST(SUM(d) AS BIGINT) AS wss
+FROM a3 GROUP BY cent_id
+"""
+)
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -2752,4 +2842,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "doc_simhash": (doc_simhash, DOC_SIMHASH_SQL),
     "simhash_neardup_pairs": (simhash_neardup_pairs, SIMHASH_PAIRS_SQL),
     "neardup_clusters": (neardup_clusters, NEARDUP_CLUSTERS_SQL),
+    "kmeans_embedding_clusters": (kmeans_embedding_clusters, KMEANS_SQL),
 }
