@@ -359,6 +359,468 @@ GROUP BY 1, 2
 """
 
 
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (adapted: the testdata has no partsupp, so the
+    part-supplier cost relation is derived from lineitem as the minimum
+    observed unit price per (part, supplier) pair): for each small
+    STANDARD part, the European supplier(s) charging the part's minimum
+    cost, top-100 by account balance. The correlated MIN subquery is
+    decorrelated as a window MIN over the part — no per-row subquery,
+    one shuffle keyed by part."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_size") < 10) & (F.col("p_type") == "STANDARD")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    cost = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        cost.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .withColumn("min_cost", F.min("cost").over(w))
+        .where(F.col("cost") == F.col("min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "p_partkey",
+            F.floor(F.col("cost") * F.lit(10000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cost_q"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "nation", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+Q2_SQL = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS cost
+  FROM lineitem GROUP BY 1, 2
+),
+ranked AS (
+  SELECT s_acctbal, s_name, n_name AS nation, p_partkey, cost,
+         MIN(cost) OVER (PARTITION BY l_partkey) AS min_cost
+  FROM cost
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE p_size < 10 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, nation, p_partkey,
+       CAST(floor(cost * 10000 + 0.5) AS BIGINT) AS cost_q
+FROM ranked WHERE cost = min_cost
+ORDER BY s_acctbal DESC, nation, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape (adapted: no commit/receipt dates in the
+    testdata, so "late" = a line shipped more than 90 days after the
+    order date): priority distribution of Q3-1997 orders having at
+    least one late line. The correlated EXISTS is a LEFT SEMI join —
+    lineitem is pre-filtered by nothing but the join, orders by the
+    quarter, and the semi join deduplicates before the count."""
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(dt.datetime(1997, 7, 1)))
+        & (F.col("o_orderdate") < F.lit(dt.datetime(1997, 10, 1)))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o_orderdate <  TIMESTAMP '1997-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND date_diff('day', o_orderdate, l_shipdate) > 90)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8: NATION_7's share of ASIA-region ECONOMY-part order
+    volume per year, 1996-1997. Share = ratio of two quantized integer
+    sums (conditional numerator via CASE) — a single group-by over the
+    joined fact, every dimension broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(dt.datetime(1996, 1, 1)))
+        & (F.col("o_orderdate") < F.lit(dt.datetime(1998, 1, 1)))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    qvol = F.floor(vol * F.lit(10000.0) + F.lit(0.5)).cast("long")
+    joined = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("sn_name")
+                )
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("sn_name") == "NATION_7", qvol).otherwise(F.lit(0))).alias(
+                "_num"
+            ),
+            F.sum(qvol).alias("_den"),
+        )
+        .select(
+            "o_year",
+            (F.col("_num").cast("double") / F.col("_den").cast("double")).alias(
+                "mkt_share"
+            ),
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = """
+SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+       CAST(SUM(CASE WHEN sn.n_name = 'NATION_7'
+                     THEN CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)
+                     ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+         AS mkt_share
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   cn ON c_nationkey = cn.n_nationkey
+JOIN region   ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   sn ON s_nationkey = sn.n_nationkey
+WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape (adapted: part "stock value" = discounted
+    lineitem revenue from European suppliers, since there is no
+    partsupp): parts whose value exceeds 0.1% of the grand total. The
+    scalar subquery is a 1-row broadcast cross join against the same
+    aggregated frame — the fact is scanned and aggregated once."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("l_partkey")
+        .agg(_qsum(vol, "_v"))
+    )
+    total = per_part.agg(F.sum("_v").alias("_total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(
+            F.col("_v").cast("double")
+            > F.col("_total").cast("double") * F.lit(0.001)
+        )
+        .select("l_partkey", _qval("_v", "part_value"))
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+Q11_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS v
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+  GROUP BY 1
+)
+SELECT l_partkey, CAST(v AS DOUBLE) / 10000.0 AS part_value
+FROM per_part
+WHERE CAST(v AS DOUBLE) > (SELECT CAST(SUM(v) AS DOUBLE) FROM per_part) * 0.001
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15: supplier(s) with the maximum Q1-1996 revenue. The
+    view becomes a grouped frame; the scalar MAX subquery is a 1-row
+    broadcast cross join; integer-quantized revenue makes the equality
+    against MAX exact."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(dt.datetime(1996, 1, 1)))
+        & (F.col("l_shipdate") < F.lit(dt.datetime(1996, 4, 1)))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        _qsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "_r")
+    )
+    mx = rev.agg(F.max("_r").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("_r") == F.col("_mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", _qval("_r", "total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, CAST(r AS DOUBLE) / 10000.0 AS total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE r = (SELECT MAX(r) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape (adapted: the part-supplier relation is the
+    DISTINCT (l_partkey, l_suppkey) pairs of lineitem; the
+    complaint-supplier exclusion becomes s_acctbal < 0): distinct
+    supplier count per (brand, type, size) for selected sizes,
+    excluding one brand. COUNT(DISTINCT) is exact — it dedups pairs
+    before counting, so duplicated lineitem pairs don't inflate it."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 5, 10, 15, 20, 25))
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0)
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 10, 15, 20, 25)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17: average yearly revenue lost if small-quantity orders
+    (below 20% of the part's average quantity) of one brand were not
+    taken. The correlated AVG subquery is decorrelated as a window
+    average over the part; the average is quantized-sum/count so both
+    engines compare against bit-identical thresholds."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3")
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    w = Window.partitionBy("p_partkey")
+    qty_sum = F.sum(
+        F.floor(F.col("l_quantity") * F.lit(10000.0) + F.lit(0.5)).cast("long")
+    ).over(w)
+    avg_qty = qty_sum.cast("double") / F.lit(10000.0) / F.count(F.lit(1)).over(w)
+    return (
+        joined.withColumn("_avg", avg_qty)
+        .where(F.col("l_quantity") < F.lit(0.2) * F.col("_avg"))
+        .agg(_qsum(F.col("l_extendedprice"), "_s"))
+        .select(
+            (F.col("_s").cast("double") / F.lit(10000.0) / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+Q17_SQL = """
+SELECT CAST(SUM(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 10000.0 / 7.0 AS avg_yearly
+FROM (
+  SELECT l_extendedprice, l_quantity,
+         CAST(SUM(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT))
+              OVER (PARTITION BY p_partkey) AS DOUBLE)
+           / 10000.0 / COUNT(*) OVER (PARTITION BY p_partkey) AS _avg
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#3'
+)
+WHERE l_quantity < 0.2 * _avg
+"""
+
+
+def q20_excess_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (adapted: "availqty" = total 1997 shipped
+    quantity per (supplier, red part), threshold 50): European
+    suppliers who moved more than 50 units of any red part. Nested
+    IN-subqueries become a grouped HAVING frame + LEFT SEMI join;
+    quantities are integral doubles, so the raw SUM is exact."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(dt.datetime(1997, 1, 1)))
+        & (F.col("l_shipdate") < F.lit(dt.datetime(1998, 1, 1)))
+    )
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").like("red%"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    heavy = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+        .orderBy("s_suppkey")
+    )
+
+
+Q20_SQL = """
+SELECT s_suppkey, s_name, n_name AS nation
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'red%'
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_suppkey, l_partkey
+    HAVING SUM(l_quantity) > 50)
+ORDER BY s_suppkey
+"""
+
+
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (adapted: no receipt/commit dates, so "kept the
+    order waiting" = this supplier's line shipped strictly after every
+    other supplier's line): per-supplier count of finished multi-
+    supplier orders they alone delayed. EXISTS -> LEFT SEMI self-join,
+    NOT EXISTS -> LEFT ANTI self-join with the inequality in the join
+    condition. Each self-join side is column-pruned independently (the
+    semi probe ships only orderkey+suppkey), so the three lineitem
+    shuffles carry minimal rows x columns rather than one wide reused
+    exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    supp = _t(spark, sf_dir, "supplier")
+    l1 = li.select("l_orderkey", "l_suppkey", "l_shipdate")
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("l3_orderkey"),
+        F.col("l_suppkey").alias("l3_suppkey"),
+        F.col("l_shipdate").alias("l3_shipdate"),
+    )
+    waiting = (
+        l1.join(orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .join(
+            l2,
+            (F.col("l2_orderkey") == F.col("l_orderkey"))
+            & (F.col("l2_suppkey") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l3_orderkey") == F.col("l_orderkey"))
+            & (F.col("l3_suppkey") != F.col("l_suppkey"))
+            & (F.col("l3_shipdate") > F.col("l_shipdate")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+Q21_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F')
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
 def customers_above_nation_avg(spark, sf_dir):
     """Correlated-subquery shape (TPC-H Q2/Q17 family): customers whose
     balance exceeds their nation's average. Decorrelated as a window
@@ -2782,7 +3244,16 @@ FROM a3 GROUP BY cent_id
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "q4_order_priority": (q4_order_priority, Q4_SQL),
+    "q8_market_share": (q8_market_share, Q8_SQL),
+    "q11_important_parts": (q11_important_parts, Q11_SQL),
+    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
+    "q16_supplier_part_counts": (q16_supplier_part_counts, Q16_SQL),
+    "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL),
+    "q20_excess_suppliers": (q20_excess_suppliers, Q20_SQL),
+    "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
     "q5_local_supplier": (q5_local_supplier, Q5_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "q9_profit_by_nation_year": (q9_profit_by_nation_year, Q9_SQL),

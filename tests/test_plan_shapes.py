@@ -101,6 +101,55 @@ def test_funnel_event_type_filters_pushed(spark):
     assert any("event_type" in f for f in pf), pf
 
 
+def test_q21_self_join_semi_anti_and_pruning(spark):
+    """Q21's EXISTS/NOT EXISTS self-joins must run as semi/anti joins,
+    and column pruning must reach *through* the aliased self-join: the
+    semi-probe copy of lineitem reads only (orderkey, suppkey) — at
+    100 TB each self-join side ships minimal columns."""
+    from levi_spark.plans.inspect import executed_plan
+    from levi_spark.queries import q21_waiting_suppliers
+
+    df = q21_waiting_suppliers(spark, SF)
+    plan = executed_plan(df)
+    assert "LeftSemi" in plan, plan[:500]
+    assert "LeftAnti" in plan, plan[:500]
+    schemas = [s for s in read_schemas(df) if "l_orderkey" in s]
+    assert sorted(s.count(":") for s in schemas) == [2, 3, 3], schemas
+
+
+def test_q2_dimension_broadcasts_and_pushdown(spark):
+    from levi_spark.queries import q2_min_cost_supplier
+
+    s = plan_summary(q2_min_cost_supplier(spark, SF))
+    # part/supplier/nation/region all ride broadcasts
+    assert s["broadcast_exchanges"] >= 4, s
+    pf = pushed_filters(q2_min_cost_supplier(spark, SF))
+    assert any("p_size" in f for f in pf), pf
+
+
+def test_q4_semi_join_with_date_pushdown(spark):
+    from levi_spark.plans.inspect import executed_plan
+    from levi_spark.queries import q4_order_priority
+
+    df = q4_order_priority(spark, SF)
+    assert "LeftSemi" in executed_plan(df)
+    pf = pushed_filters(df)
+    assert any("o_orderdate" in f for f in pf), pf
+
+
+def test_q11_single_fact_scan(spark):
+    """The scalar-subquery total must come from the already-aggregated
+    per-part frame, not a second lineitem scan."""
+    from levi_spark.queries import q11_important_parts
+
+    s = plan_summary(q11_important_parts(spark, SF))
+    # lineitem + supplier + nation + region (+1 would mean a re-scan
+    # of the fact for the grand total; the reused subplan may or may
+    # not surface as an extra scan node depending on AQE, so bound it)
+    assert s["scans"] <= 8, s
+    assert s["broadcast_exchanges"] >= 3, s
+
+
 def test_dv_scan_stays_pushdown_clean(spark, tmp_path):
     """A DV-filtered scan must still push data predicates to parquet —
     the anti-join rides above the scan, never blocks it."""
