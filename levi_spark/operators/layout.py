@@ -1,4 +1,5 @@
-"""Data-layout maintenance: small-file compaction and z-order clustering.
+"""Data-layout maintenance: small-file compaction and space-filling-
+curve clustering (z-order and Hilbert).
 
 The reference's README motivates both ("compact the small files ...
 make queries on this Delta table run faster", levi README.md:30; the
@@ -11,19 +12,33 @@ Scale stance:
 * Compaction reads ONLY the files below the size threshold (never the
   whole table), bin-packs them to the target size, and replaces them
   in one commit. Untouched large files keep their stats.
-* Z-ordering maps each clustering column to a fixed-width rank via
-  min/max linear bucketing (two literals from one metadata-cheap agg —
-  no global sort, no skew-prone single-partition window), interleaves
-  the bucket bits into a z-value, and range-partitions + sorts by it.
-  The payoff is file-level min/max locality: Delta data skipping
-  (levi's ``skipped_stats`` measures exactly this) prunes far more
-  files for multi-column predicates.
+* Curve clustering maps each clustering column to a fixed-width rank
+  via min/max linear bucketing (two literals from one metadata-cheap
+  agg — no global sort, no skew-prone single-partition window), maps
+  the bucket tuple onto a space-filling curve, and range-partitions +
+  sorts by the curve index. The payoff is file-level min/max locality:
+  Delta data skipping (levi's ``skipped_stats`` measures exactly this)
+  prunes far more files for multi-column predicates.
+* **Z-order** interleaves bucket bits — pure whole-stage-codegen
+  expressions. **Hilbert** (Skilling's transform, "Programming the
+  Hilbert curve", AIP 2004 — public domain) has strictly better
+  locality (every unit curve step is a unit grid step; z-order jumps
+  across the domain at power-of-two seams), but its in-place
+  bit-by-bit state updates are sequentially dependent: unrolling them
+  as nested CASE expressions blows up exponentially in Catalyst (no
+  CSE across when-branches), so the index is computed by a vectorized
+  numpy pandas_udf over the bucket tuple — one Arrow-batched map-side
+  pass with no shuffle of its own, amortized inside an IO-bound
+  rewrite job.
 """
 
 from __future__ import annotations
 
 import math
 import os
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -79,16 +94,14 @@ def compact_small_files(
     }
 
 
-def zorder_value(df: DataFrame, cols: list[str], bits: int = 12) -> DataFrame:
-    """Append a ``__z`` column: bit-interleaved z-curve index of the
-    clustering columns, each linearly bucketed to [0, 2^bits) between
-    its global min and max (one tiny agg; literals broadcast in the
-    plan). Entirely whole-stage-codegen expressions."""
+def _bucket_exprs(df: DataFrame, cols: list[str], bits: int) -> list:
+    """Per-column rank expressions: each column linearly bucketed to
+    [0, 2^bits) between its global min and max (one tiny agg; literals
+    broadcast in the plan). Whole-stage-codegen expressions."""
     ranges = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"__lo_{c}") for c in cols],
         *[F.max(F.col(c).cast("double")).alias(f"__hi_{c}") for c in cols],
     ).first()
-    n = len(cols)
     buckets = []
     for c in cols:
         lo, hi = ranges[f"__lo_{c}"], ranges[f"__hi_{c}"]
@@ -100,6 +113,15 @@ def zorder_value(df: DataFrame, cols: list[str], bits: int = 12) -> DataFrame:
             ).cast("long"),
         )
         buckets.append(F.greatest(F.lit(0), b))
+    return buckets
+
+
+def zorder_value(df: DataFrame, cols: list[str], bits: int = 12) -> DataFrame:
+    """Append a ``__z`` column: bit-interleaved z-curve index of the
+    clustering columns (bucketing per ``_bucket_exprs``). Entirely
+    whole-stage-codegen expressions."""
+    n = len(cols)
+    buckets = _bucket_exprs(df, cols, bits)
     z = F.lit(0).cast("long")
     for bit in range(bits):
         for i, b in enumerate(buckets):
@@ -107,6 +129,85 @@ def zorder_value(df: DataFrame, cols: list[str], bits: int = 12) -> DataFrame:
                 F.shiftright(b, bit).bitwiseAND(F.lit(1)), bit * n + i
             ).cast("long")
     return df.withColumn("__z", z)
+
+
+def _hilbert_index_np(coords: np.ndarray, bits: int) -> np.ndarray:
+    """Hilbert index of each row of ``coords`` ((rows, n) int64 in
+    [0, 2^bits)): Skilling's axes->transpose transform, vectorized over
+    rows with numpy bit ops, then MSB-first bit interleave."""
+    n = coords.shape[1]
+    X = [coords[:, i].astype(np.int64).copy() for i in range(n)]
+    M = 1 << (bits - 1)
+    Q = M
+    while Q > 1:  # inverse undo excess work
+        P = Q - 1
+        for i in range(n):
+            mask = (X[i] & Q) != 0
+            if i == 0:
+                X[0] = np.where(mask, X[0] ^ P, X[0])
+            else:
+                t = (X[0] ^ X[i]) & P
+                X[0], X[i] = (
+                    np.where(mask, X[0] ^ P, X[0] ^ t),
+                    np.where(mask, X[i], X[i] ^ t),
+                )
+        Q >>= 1
+    for i in range(1, n):  # Gray encode
+        X[i] ^= X[i - 1]
+    t = np.zeros(coords.shape[0], dtype=np.int64)
+    Q = M
+    while Q > 1:
+        t = np.where((X[n - 1] & Q) != 0, t ^ (Q - 1), t)
+        Q >>= 1
+    for i in range(n):
+        X[i] ^= t
+    h = np.zeros(coords.shape[0], dtype=np.int64)
+    for k in range(bits - 1, -1, -1):
+        for i in range(n):
+            h = (h << 1) | ((X[i] >> k) & 1)
+    return h
+
+
+def hilbert_value(df: DataFrame, cols: list[str], bits: int = 8) -> DataFrame:
+    """Append a ``__h`` column: Hilbert-curve index of the clustering
+    columns (bucketing per ``_bucket_exprs``). The index itself is a
+    vectorized-numpy pandas_udf — see the module docstring for why this
+    one transform is not a Catalyst expression."""
+    buckets = _bucket_exprs(df, cols, bits)
+
+    @F.pandas_udf("long")
+    def _hidx(b: pd.Series) -> pd.Series:
+        coords = np.stack(b.to_numpy()).astype(np.int64)
+        return pd.Series(_hilbert_index_np(coords, bits))
+
+    return df.withColumn("__h", _hidx(F.array(*buckets)))
+
+
+def optimize_hilbert(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    n_files: int = 8,
+    bits: int = 8,
+) -> int:
+    """Full-table rewrite clustered by the Hilbert curve over ``cols``
+    (same commit protocol as ``optimize_zorder``; strictly better
+    min/max locality per file). Returns the new version."""
+    log = DeltaLog(spark, path)
+    snap = log.snapshot()
+    df = hilbert_value(snap.to_df(), cols, bits=bits)
+    clustered = (
+        df.repartitionByRange(n_files, F.col("__h"))
+        .sortWithinPartitions("__h")
+        .drop("__h")
+    )
+    return write_delta(
+        clustered,
+        path,
+        mode="overwrite",
+        partition_by=list(snap.metadata.partition_columns),
+        operation="OPTIMIZE",
+    )
 
 
 def optimize_zorder(

@@ -9,7 +9,10 @@ from pyspark.sql import functions as F
 from levi_spark.delta.log import DeltaLog
 from levi_spark.delta.writer import write_delta
 from levi_spark.operators.layout import (
+    _hilbert_index_np,
     compact_small_files,
+    hilbert_value,
+    optimize_hilbert,
     optimize_zorder,
     zorder_value,
 )
@@ -60,6 +63,84 @@ def test_zorder_value_interleaves(spark):
     # x occupies even bit positions, y odd (interleave order [x, y])
     assert out[(15, 0)] == 0b01010101
     assert out[(0, 15)] == 0b10101010
+
+
+def test_hilbert_is_a_true_hilbert_curve():
+    """Exhaustive 2-D check at 4 bits: the index is a bijection onto
+    [0, 256) and every consecutive pair of indices is a UNIT grid step
+    — the defining Hilbert property z-order lacks (z jumps across the
+    domain at power-of-two seams)."""
+    import numpy as np
+
+    n = 16
+    cells = np.array([(x, y) for x in range(n) for y in range(n)], dtype=np.int64)
+    h = _hilbert_index_np(cells, bits=4)
+    assert sorted(h.tolist()) == list(range(n * n))  # bijection
+    order = cells[np.argsort(h)]
+    steps = np.abs(np.diff(order, axis=0)).sum(axis=1)
+    assert (steps == 1).all()  # every curve step is grid-adjacent
+
+
+def test_hilbert_3d_bijection():
+    import numpy as np
+
+    cells = np.array(
+        [(x, y, z) for x in range(8) for y in range(8) for z in range(8)],
+        dtype=np.int64,
+    )
+    h = _hilbert_index_np(cells, bits=3)
+    assert sorted(h.tolist()) == list(range(8 * 8 * 8))
+    order = cells[np.argsort(h)]
+    assert (np.abs(np.diff(order, axis=0)).sum(axis=1) == 1).all()
+
+
+def test_hilbert_value_dataframe_path(spark):
+    """The DataFrame surface buckets [0,15] bijectively at 4 bits, so
+    the full 16x16 grid must reproduce the exhaustive numpy curve."""
+    df = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x INT, y INT"
+    )
+    rows = hilbert_value(df, ["x", "y"], bits=4).collect()
+    got = {(r.x, r.y): r["__h"] for r in rows}
+    assert sorted(got.values()) == list(range(256))
+    import numpy as np
+
+    cells = np.array(sorted(got), dtype=np.int64)
+    expect = _hilbert_index_np(cells, bits=4)
+    assert [got[tuple(c)] for c in cells.tolist()] == expect.tolist()
+
+
+def test_hilbert_locality_beats_zorder(spark, tmp_path):
+    """Same shuffled grid, same file count: Hilbert's per-file min/max
+    boxes must be at least as tight as z-order's on the summed span —
+    the measurable payoff of unit-step locality."""
+    n = 64
+
+    def spans(path):
+        snap = DeltaLog(spark, path).snapshot()
+        r = (
+            snap.add_actions_flat()
+            .agg(
+                F.avg(F.col("`max.x`") - F.col("`min.x`")).alias("sx"),
+                F.avg(F.col("`max.y`") - F.col("`min.y`")).alias("sy"),
+            )
+            .first()
+        )
+        return r.sx + r.sy
+
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y")
+    )
+    shuffled = grid.orderBy(F.md5(F.concat_ws(",", "x", "y")))
+    pz, ph = str(tmp_path / "z"), str(tmp_path / "h")
+    write_delta(shuffled.repartition(8), pz, mode="error")
+    write_delta(shuffled.repartition(8), ph, mode="error")
+    optimize_zorder(spark, pz, ["x", "y"], n_files=8, bits=6)
+    optimize_hilbert(spark, ph, ["x", "y"], n_files=8, bits=6)
+    z_span, h_span = spans(pz), spans(ph)
+    assert h_span <= z_span, (h_span, z_span)
+    snap = DeltaLog(spark, ph).snapshot()
+    assert snap.to_df().count() == n * n
 
 
 def test_zorder_improves_minmax_locality(spark, tmp_path):
