@@ -1,23 +1,23 @@
-"""Change Data Feed (lite): incremental reads between table versions.
+"""Change Data Feed: incremental reads between table versions.
 
 The reference reads only snapshots; a pipeline consuming a 100 TB table
 cannot re-scan it per run — it needs "what changed since version V".
-This module derives a change feed purely from the transaction log the
-engine already writes (no extra change files, unlike full Delta CDF):
+Two tiers, both O(files changed in the range), never the table:
 
-* rows ADDED in a commit = contents of that commit's new ``add`` files
-  — EXCEPT files re-added by layout/purge operations
-  (OPTIMIZE / PURGE commits set no new logical rows; their commitInfo
-  operation marks them, and we skip them);
-* rows REMOVED are reported at file granularity (``remove`` actions +
-  DV growth), as counts — row-level before-images would need the CDF
-  sidecars we don't write.
-
-``table_changes(spark, path, from_version, to_version)`` returns the
-added rows of data-changing commits in ``(from_version, to_version]``,
-stamped with ``_commit_version`` — the incremental-ingest primitive
-(feed new rows to a downstream job, checkpoint the last version seen,
-repeat). Scan cost is O(files added in the range), never the table.
+* ``table_changes`` (lite) — added rows of data-changing commits,
+  derived purely from the transaction log (no change files). Rows
+  REMOVED are visible only at file granularity; MERGE commits
+  over-report the untouched rows of touched files.
+* ``table_changes_cdf`` (row-level) — full before/after images with
+  ``_change_type`` in {insert, delete, update_preimage,
+  update_postimage}. Commits that rewrite rows (MERGE, DV DELETE)
+  contribute exactly when they recorded change data
+  (``emit_cdf=True`` -> ``_change_data/`` parquet + ``cdc`` actions,
+  the Delta CDF protocol shape); plain appends synthesize ``insert``
+  rows from their add files and overwrites additionally synthesize
+  ``delete`` rows from the tombstoned files — no change files needed
+  for either, same rule real Delta CDF applies. A rewriting commit
+  WITHOUT change data raises: the row-level feed would silently lie.
 """
 
 from __future__ import annotations
@@ -107,17 +107,25 @@ def table_changes(
     if not adds:
         schema = meta.schema.add("_commit_version", "long")
         return spark.createDataFrame([], schema)
+    return _rows_from_files(spark, path, adds, meta)
 
-    # A file may since have been tombstoned (overwritten later) — its
-    # rows were still ADDED at that commit; only VACUUM physically
-    # removes it, at which point the feed is genuinely incomplete.
-    gone = [rel for rel, _v, _pv in adds if not os.path.exists(os.path.join(path, rel))]
+
+def _rows_from_files(spark: SparkSession, path: str, entries: list, meta) -> DataFrame:
+    """Read the logical rows of table data files listed as
+    ``(rel_path, commit_version, partition_values)``; returns the
+    table's data columns + ``_commit_version``.
+
+    A file may since have been tombstoned (overwritten later) — its
+    rows still changed at that commit; only VACUUM physically removes
+    it, at which point the feed is genuinely incomplete and we raise.
+    """
+    gone = [rel for rel, _v, _pv in entries if not os.path.exists(os.path.join(path, rel))]
     if gone:
         raise FileNotFoundError(
             f"data files vacuumed, change feed incomplete: {gone[:3]}..."
         )
 
-    files = [os.path.join(path, rel) for rel, _v, _pv in adds]
+    files = [os.path.join(path, rel) for rel, _v, _pv in entries]
     phys = meta.physical_schema
     df = spark.read.schema(phys).parquet(*files)
     # per-file commit version + partition values ride the log, keyed by
@@ -132,7 +140,7 @@ def table_changes(
         ]
     )
     side = spark.createDataFrame(
-        [(os.path.basename(rel), v, pv) for rel, v, pv in adds], side_schema
+        [(os.path.basename(rel), v, pv) for rel, v, pv in entries], side_schema
     )
     df = df.withColumn("__file_name", F.col("_metadata.file_name")).join(
         F.broadcast(side), on="__file_name", how="left"
@@ -147,3 +155,132 @@ def table_changes(
         *part_cols,
         F.col("_commit_version"),
     ).select(*meta.data_columns, "_commit_version")
+
+
+def _parse_commit_actions(log: DeltaLog, version: int) -> dict:
+    """Driver-side parse of one commit JSON (metadata scale)."""
+    out = {"op": "WRITE", "adds": [], "removes": [], "cdc": []}
+    with open(os.path.join(log.log_path, f"{version:020d}.json")) as fh:
+        for line in fh:
+            a = json.loads(line)
+            if "commitInfo" in a:
+                out["op"] = a["commitInfo"].get("operation", "WRITE")
+            elif "add" in a:
+                out["adds"].append(
+                    (unquote(a["add"]["path"]), a["add"].get("partitionValues") or {})
+                )
+            elif "remove" in a:
+                if a["remove"].get("dataChange", True):
+                    out["removes"].append(unquote(a["remove"]["path"]))
+            elif "cdc" in a:
+                out["cdc"].append(unquote(a["cdc"]["path"]))
+    return out
+
+
+def table_changes_cdf(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level change feed for ``(from_version, to_version]``: the
+    table's data columns + ``_change_type`` + ``_commit_version``.
+
+    Per commit: recorded change data (``cdc`` actions) wins; otherwise
+    appends synthesize ``insert`` rows from their add files, overwrites
+    also synthesize ``delete`` rows from the files they tombstone, and
+    layout commits (OPTIMIZE/PURGE) contribute nothing. A MERGE or
+    DELETE commit without change data raises ``ValueError`` — those
+    rewrite rows, so synthesizing from files would fabricate changes
+    (run them with ``emit_cdf=True``).
+    """
+    from levi_spark.delta.writer import _partition_values_from_relpath
+
+    path = os.path.abspath(path)
+    log = DeltaLog(spark, path)
+    snap = log.snapshot(to_version)
+    to_version = snap.version
+    if from_version > to_version:
+        raise ValueError(f"from_version {from_version} > to_version {to_version}")
+    versions = list(range(from_version + 1, to_version + 1))
+    missing = [
+        v
+        for v in versions
+        if not os.path.exists(os.path.join(log.log_path, f"{v:020d}.json"))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"commits expired from log, cannot compute changes: {missing}"
+        )
+    meta = snap.metadata
+    part_cols = list(meta.partition_columns)
+
+    cdc_entries: list = []   # (rel, version, {}) — pv unused, cols are physical
+    ins_entries: list = []   # add files -> insert rows
+    del_entries: list = []   # tombstoned files -> delete rows
+    for v in versions:
+        acts = _parse_commit_actions(log, v)
+        if acts["cdc"]:
+            cdc_entries += [(rel, v, {}) for rel in acts["cdc"]]
+        elif acts["op"] in _NON_DATA_OPS and acts["op"] != "DELETE":
+            continue  # layout rewrite: no logical change
+        elif acts["op"] in ("MERGE", "DELETE"):
+            raise ValueError(
+                f"version {v} ({acts['op']}) recorded no change data; "
+                "row-level feed unavailable — re-run the operation with "
+                "emit_cdf=True"
+            )
+        else:
+            ins_entries += [(rel, v, pv) for rel, pv in acts["adds"]]
+            del_entries += [
+                (rel, v, _partition_values_from_relpath(rel, part_cols))
+                for rel in acts["removes"]
+            ]
+
+    parts: list[DataFrame] = []
+    if cdc_entries:
+        gone = [
+            rel
+            for rel, _v, _pv in cdc_entries
+            if not os.path.exists(os.path.join(path, rel))
+        ]
+        if gone:
+            raise FileNotFoundError(
+                f"change-data files vacuumed, feed incomplete: {gone[:3]}..."
+            )
+        import pyspark.sql.types as T
+
+        cdc_schema = T.StructType(
+            list(meta.schema.fields) + [T.StructField("_change_type", T.StringType())]
+        )
+        side = spark.createDataFrame(
+            [(os.path.basename(rel), v) for rel, v, _pv in cdc_entries],
+            "__file_name string, _commit_version long",
+        )
+        cdc_df = (
+            spark.read.schema(cdc_schema)
+            .parquet(*[os.path.join(path, rel) for rel, _v, _pv in cdc_entries])
+            .withColumn("__file_name", F.col("_metadata.file_name"))
+            .join(F.broadcast(side), on="__file_name", how="left")
+        )
+        parts.append(
+            cdc_df.select(*meta.data_columns, "_change_type", "_commit_version")
+        )
+    for entries, tag in ((ins_entries, "insert"), (del_entries, "delete")):
+        if entries:
+            parts.append(
+                _rows_from_files(spark, path, entries, meta).select(
+                    *meta.data_columns,
+                    F.lit(tag).alias("_change_type"),
+                    F.col("_commit_version"),
+                )
+            )
+    if not parts:
+        schema = meta.schema.add("_change_type", "string").add(
+            "_commit_version", "long"
+        )
+        return spark.createDataFrame([], schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

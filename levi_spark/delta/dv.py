@@ -89,12 +89,18 @@ def soft_delete(
     path: str,
     predicate: str | Column,
     checkpoint_interval: int | None = DEFAULT_CHECKPOINT_INTERVAL,
+    emit_cdf: bool = False,
 ) -> dict:
     """Logically delete every row matching ``predicate`` (SQL string or
     Column over the table's columns, partition columns included).
 
     Returns {"version", "rows_deleted", "files_affected",
     "files_removed"} — version is -1 when nothing matched (no commit).
+
+    ``emit_cdf=True`` records the deleted rows (``_change_type =
+    'delete'``) as change data in the same commit, making the DELETE
+    visible to :func:`levi_spark.delta.changes.table_changes_cdf` —
+    one extra pass over the matching rows, still O(matches).
     """
     path = os.path.abspath(path)
     log = DeltaLog(spark, path)
@@ -173,6 +179,20 @@ def soft_delete(
             "cardinality": card,
         }
         actions.append({"add": {k: v for k, v in add.items() if v is not None}})
+
+    if emit_cdf:
+        from levi_spark.delta.writer import cdc_action_lines, write_cdc_files
+
+        deleted_rows = (
+            snap.to_df(with_lineage=True)
+            .where(pred)
+            .select(*snap.metadata.data_columns)
+            .withColumn("_change_type", F.lit("delete"))
+        )
+        actions += [
+            json.loads(ln)
+            for ln in cdc_action_lines(write_cdc_files(deleted_rows, path))
+        ]
 
     version = snap.version + 1
     _append_commit(

@@ -12,6 +12,10 @@ Semantics (mirrors Delta's VACUUM contract):
 * a file is a candidate iff it is under the table root, is not part of
   ``_delta_log``, is not referenced by the latest snapshot (live add or
   live DV sidecar), and its mtime is older than ``retention_hours``;
+* change-data files (``_change_data/``, written by ``emit_cdf``
+  operations) are referenced by their commit, not by any snapshot —
+  they stay as long as the referencing commit JSON is still in the log
+  (i.e. until ``expire_log`` drops it), then age out normally;
 * time travel to versions whose files were vacuumed stops working —
   exactly Delta's documented trade-off (the ``no_replay`` fixture shows
   the same idea for the log side, handled by ``expire_log``);
@@ -27,6 +31,7 @@ unchanged.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import time
@@ -35,6 +40,23 @@ from pyspark.sql import SparkSession
 
 from levi_spark.delta.dv import DV_DIR
 from levi_spark.delta.log import DeltaLog
+from levi_spark.delta.writer import CDC_DIR
+
+
+def _referenced_cdc_files(log: DeltaLog) -> set[str]:
+    """cdc paths named by any commit JSON still present in the log."""
+    from urllib.parse import unquote
+
+    out: set[str] = set()
+    for name in os.listdir(log.log_path):
+        if not name.endswith(".json"):
+            continue
+        with open(os.path.join(log.log_path, name)) as fh:
+            for line in fh:
+                a = json.loads(line)
+                if "cdc" in a:
+                    out.add(os.path.normpath(unquote(a["cdc"]["path"])))
+    return out
 
 
 def vacuum(
@@ -48,7 +70,9 @@ def vacuum(
     Returns {"files_deleted": [...relative paths...], "bytes_reclaimed"}.
     """
     path = os.path.abspath(path)
-    snap = DeltaLog(spark, path).snapshot()
+    log = DeltaLog(spark, path)
+    snap = log.snapshot()
+    live_cdc = _referenced_cdc_files(log)
 
     from urllib.parse import unquote
 
@@ -81,6 +105,8 @@ def vacuum(
                 name if rel_root == "." else os.path.join(rel_root, name)
             )
             if rel in live_files:
+                continue
+            if rel.startswith(CDC_DIR + os.sep) and rel in live_cdc:
                 continue
             # outside the DV area only parquet data files are fair game;
             # inside an orphaned DV dir, writer markers (_SUCCESS) go too

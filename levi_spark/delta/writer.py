@@ -40,6 +40,8 @@ from levi_spark.delta.log import DeltaLog, stats_schema, _minmax_schema
 
 _PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+CDC_DIR = "_change_data"
+CHANGE_TYPE_COL = "_change_type"
 
 
 def _json_default(o):
@@ -95,6 +97,46 @@ def _file_stats(df_files: DataFrame, data_schema: T.StructType) -> dict[str, dic
 DEFAULT_CHECKPOINT_INTERVAL = 10
 
 
+def write_cdc_files(cdc_df: DataFrame, path: str) -> list[tuple[str, int]]:
+    """Write a change-data frame (table columns + ``_change_type``) as
+    parquet under ``_change_data/``; returns [(rel_path, size_bytes)].
+    The caller records them as ``cdc`` actions in its commit — they are
+    side data for `table_changes_cdf`, never part of the snapshot."""
+    if CHANGE_TYPE_COL not in cdc_df.columns:
+        raise ValueError(f"cdc frame must carry a {CHANGE_TYPE_COL} column")
+    staging = os.path.join(path, f".cdc-staging-{uuid.uuid4().hex}")
+    cdc_df.write.mode("overwrite").parquet(staging)
+    os.makedirs(os.path.join(path, CDC_DIR), exist_ok=True)
+    rels: list[tuple[str, int]] = []
+    for name in os.listdir(staging):
+        if not name.endswith(".parquet"):
+            continue
+        rel = os.path.join(CDC_DIR, f"cdc-{uuid.uuid4().hex[:12]}-{name}")
+        dst = os.path.join(path, rel)
+        os.rename(os.path.join(staging, name), dst)
+        rels.append((rel, os.stat(dst).st_size))
+    shutil.rmtree(staging, ignore_errors=True)
+    return rels
+
+
+def cdc_action_lines(cdc_rels: list[tuple[str, int]]) -> list[str]:
+    """``cdc`` actions (Delta's change-data action shape) for files
+    written by :func:`write_cdc_files`."""
+    return [
+        json.dumps(
+            {
+                "cdc": {
+                    "path": quote(rel, safe="/"),
+                    "partitionValues": {},
+                    "size": size,
+                    "dataChange": False,
+                }
+            }
+        )
+        for rel, size in cdc_rels
+    ]
+
+
 def _publish_commit(
     log_dir: str, version: int, payload: str, rebase_ok: bool, max_attempts: int = 20
 ) -> int:
@@ -142,6 +184,7 @@ def write_delta(
     operation: str = "WRITE",
     checkpoint_interval: int | None = DEFAULT_CHECKPOINT_INTERVAL,
     merge_schema: bool = False,
+    cdc_df: DataFrame | None = None,
 ) -> int:
     """Write ``df`` as a new Delta table version at ``path``.
 
@@ -166,6 +209,10 @@ def write_delta(
     back as nulls; an incoming frame may also OMIT existing nullable
     columns (its files lack them, same null-on-read rule). Nothing is
     rewritten — schema evolution is a pure metadata operation.
+
+    ``cdc_df``: row-level change-data frame (table columns +
+    ``_change_type``) recorded as ``cdc`` actions in the same commit —
+    the change-file half of a real CDF (callers: MERGE, soft_delete).
     """
     spark = df.sparkSession
     path = os.path.abspath(path)
@@ -300,6 +347,8 @@ def write_delta(
                 }
             )
         )
+    if cdc_df is not None:
+        lines += cdc_action_lines(write_cdc_files(cdc_df, path))
     lines.append(
         json.dumps(
             {

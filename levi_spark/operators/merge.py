@@ -95,9 +95,17 @@ class MergeBuilder:
 
     # ------------------------------------------------------------------
 
-    def execute(self) -> dict:
+    def execute(self, emit_cdf: bool = False) -> dict:
         """Run the merge; returns {"version", "files_rewritten"}
-        (version -1 for an observable no-op)."""
+        (version -1 for an observable no-op).
+
+        ``emit_cdf=True`` additionally records row-level change data in
+        the same commit (``_change_data/`` files + ``cdc`` actions):
+        ``update_preimage``/``update_postimage`` for rows taking an
+        update clause (emitted even when the new values equal the old —
+        no no-op suppression, matching Delta), ``delete`` for delete
+        clauses, ``insert`` for not-matched inserts. Read back with
+        :func:`levi_spark.delta.changes.table_changes_cdf`."""
         if not self._matched and not self._not_matched:
             raise ValueError("MERGE needs at least one WHEN clause")
         snap = self.table.snapshot()
@@ -105,6 +113,7 @@ class MergeBuilder:
         data_cols = list(snap.metadata.data_columns)
         cond = _as_col(self.condition)
         src = self.source.withColumn(_MARKER, F.lit(1)).alias("s")
+        cdc_parts: list[DataFrame] = []
 
         rewritten = None
         touched_rels: list[str] = []
@@ -168,6 +177,31 @@ class MergeBuilder:
                     # table schema, not the expression, owns the column type
                     out_cols.append(val.cast(types[c]).alias(c))
                 rewritten = joined.where(keep).select(*out_cols)
+                if emit_cdf:
+                    orig_cols = [
+                        F.col(f"t.{c}").cast(types[c]).alias(c) for c in data_cols
+                    ]
+                    upd = [
+                        app
+                        for (kind, _c, _s), app in zip(self._matched, applicable)
+                        if kind == "update"
+                    ]
+                    dele = [
+                        app
+                        for (kind, _c, _s), app in zip(self._matched, applicable)
+                        if kind == "delete"
+                    ]
+                    for conds, cols, tag in (
+                        (upd, orig_cols, "update_preimage"),
+                        (upd, out_cols, "update_postimage"),
+                        (dele, orig_cols, "delete"),
+                    ):
+                        if conds:
+                            cdc_parts.append(
+                                joined.where(functools.reduce(operator.or_, conds))
+                                .select(*cols)
+                                .withColumn("_change_type", F.lit(tag))
+                            )
 
         inserts = None
         if self._not_matched:
@@ -194,6 +228,10 @@ class MergeBuilder:
                 )[c]
                 out_cols.append(val.cast(typ).alias(c))
             inserts = unmatched.select(*out_cols)
+            if emit_cdf:
+                cdc_parts.append(
+                    inserts.withColumn("_change_type", F.lit("insert"))
+                )
 
         if rewritten is not None and inserts is not None:
             out = rewritten.unionByName(inserts)
@@ -204,6 +242,9 @@ class MergeBuilder:
         else:
             return {"version": -1, "files_rewritten": 0}
 
+        cdc_df = None
+        if emit_cdf and cdc_parts:
+            cdc_df = functools.reduce(lambda a, b: a.unionByName(b), cdc_parts)
         version = write_delta(
             out,
             self.table.path,
@@ -211,6 +252,7 @@ class MergeBuilder:
             partition_by=part_cols,
             replace_paths=touched_rels or None,
             operation="MERGE",
+            cdc_df=cdc_df,
         )
         return {
             "version": version,

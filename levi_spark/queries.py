@@ -2930,6 +2930,103 @@ GROUP BY c_mktsegment
 """
 
 
+def cdf_merge_changes(spark, sf_dir):
+    """Row-level change data feed through the driver gate: customer
+    becomes an engine Delta table, a MERGE with ordered clauses runs
+    with ``emit_cdf=True``, and the result is
+    :func:`levi_spark.delta.changes.table_changes_cdf` aggregated per
+    ``_change_type`` (count, key sum, quantized balance sum). The
+    oracle reconstructs the exact before/after images with set logic:
+    deletes are the n>=15 matches, update pre/post the n in [5,15)
+    matches (post balance = rolled-up total), inserts the synthetic
+    rows."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from levi_spark.delta.changes import table_changes_cdf
+    from levi_spark.delta.table import LeviTable
+    from levi_spark.delta.writer import write_delta
+    from levi_spark.operators.merge import merge
+
+    base = _os.path.join(_tempfile.gettempdir(), "levi_spark_cdf_customer")
+    _shutil.rmtree(base, ignore_errors=True)
+    write_delta(
+        _t(spark, sf_dir, "customer").repartition(8), base, mode="error",
+        checkpoint_interval=None,
+    )
+    src = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") % 50 == 0)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"), _qsum(F.col("o_totalprice"), "tot"))
+        .unionByName(
+            spark.range(1, 3).select(
+                (F.col("id") + 90_000_000).alias("o_custkey"),
+                F.lit(0).alias("n"),
+                F.lit(0).cast("long").alias("tot"),
+            )
+        )
+    )
+    (
+        merge(LeviTable(spark, base), src, "t.c_custkey = s.o_custkey")
+        .when_matched_delete(condition="s.n >= 15")
+        .when_matched_update(
+            condition="s.n >= 5",
+            set={
+                "c_acctbal": "CAST(s.tot AS DOUBLE) / 10000.0",
+                "c_mktsegment": "'MERGED'",
+            },
+        )
+        .when_not_matched_insert(
+            condition="s.n = 0",
+            values={
+                "c_custkey": "s.o_custkey",
+                "c_name": "'Customer#cdf'",
+                "c_nationkey": "0",
+                "c_acctbal": "0.0",
+                "c_mktsegment": "'INSERTED'",
+            },
+        )
+        .execute(emit_cdf=True)
+    )
+    return (
+        table_changes_cdf(spark, base, 0)
+        .groupBy("_change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("c_custkey").alias("key_sum"),
+            _qsum(F.col("c_acctbal"), "_bal"),
+        )
+        .select("_change_type", "n_rows", "key_sum", _qval("_bal", "total_bal"))
+    )
+
+
+CDF_MERGE_SQL = f"""
+WITH src AS (
+  SELECT o_custkey, COUNT(*) AS n,
+         SUM(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) AS tot
+  FROM orders WHERE o_custkey % 50 = 0 GROUP BY o_custkey
+),
+changes AS (
+  SELECT 'delete' AS _change_type, c_custkey, c_acctbal
+  FROM customer JOIN src ON c_custkey = o_custkey WHERE n >= 15
+  UNION ALL
+  SELECT 'update_preimage', c_custkey, c_acctbal
+  FROM customer JOIN src ON c_custkey = o_custkey WHERE n >= 5 AND n < 15
+  UNION ALL
+  SELECT 'update_postimage', c_custkey, CAST(tot AS DOUBLE) / 10000.0
+  FROM customer JOIN src ON c_custkey = o_custkey WHERE n >= 5 AND n < 15
+  UNION ALL
+  SELECT 'insert', 90000000 + i, 0.0 FROM generate_series(1, 2) AS g(i)
+)
+SELECT _change_type, COUNT(*) AS n_rows, SUM(c_custkey) AS key_sum,
+       {_qsum_sql('c_acctbal')} / 10000.0 AS total_bal
+FROM changes
+GROUP BY _change_type
+"""
+
+
 def orders_moving_avg(spark, sf_dir):
     """Window-frame coverage: 7-row moving average of daily order
     revenue (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW). The frame sums
@@ -3290,6 +3387,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "scd2_customer_dim": (scd2_customer_dim, SCD2_SQL),
     "dv_soft_delete_orders": (dv_soft_delete_orders, DV_SOFT_DELETE_SQL),
     "merge_upsert_customer": (merge_upsert_customer, MERGE_UPSERT_SQL),
+    "cdf_merge_changes": (cdf_merge_changes, CDF_MERGE_SQL),
     "exact_dedup_documents": (exact_dedup_documents, EXACT_DEDUP_SQL),
     "doc_token_stats": (doc_token_stats, DOC_TOKEN_SQL),
     "doc_language_id": (doc_language_id, LANG_ID_SQL),
