@@ -1,0 +1,148 @@
+"""Incremental aggregate maintenance: keep a rollup table fresh in
+O(changes), never O(table), using the row-level change feed.
+
+A 100 TB fact table with a maintained rollup cannot afford recompute-
+per-refresh. With :func:`levi_spark.delta.changes.table_changes_cdf`
+every refresh is a signed fold over the change rows:
+
+* ``insert`` / ``update_postimage`` rows count +1 and add their
+  measures; ``delete`` / ``update_preimage`` rows count -1 and
+  subtract. An update that moves a row across groups nets out
+  naturally (-1 in the old group, +1 in the new).
+* Measures are maintained as **quantized int64 sums** (1e-4 units,
+  same trick as the query surface) so subtraction is exact — a
+  float-sum rollup drifts under long chains of +x / -x.
+* The per-group deltas MERGE into the rollup (file-targeted, via
+  :mod:`levi_spark.operators.merge`): groups reaching zero rows are
+  deleted, new groups insert, the rest update in place. Group keys
+  join null-safely (``<=>``) so a NULL group is one group, not an
+  ever-growing insert stream.
+* The last-applied base version persists via
+  :class:`levi_spark.streaming.delta_source.SyncState` — the same
+  crash contract as the Delta→Delta sync: re-running a completed
+  window folds zero change rows.
+
+The base table's mutating commits must carry change data
+(``emit_cdf=True`` on MERGE/soft_delete); plain appends and
+overwrites need nothing (the feed synthesizes their rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from levi_spark.delta.changes import table_changes_cdf
+from levi_spark.delta.log import DeltaLog
+from levi_spark.delta.table import LeviTable
+from levi_spark.delta.writer import write_delta
+from levi_spark.operators.merge import merge
+from levi_spark.streaming.delta_source import SyncState
+
+_SCALE = 10000.0
+
+
+def _qcol(c: str):
+    return F.floor(F.col(c) * F.lit(_SCALE) + F.lit(0.5)).cast("long")
+
+
+def init_aggregate(
+    spark: SparkSession,
+    base_path: str,
+    agg_path: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+    state: SyncState,
+) -> int:
+    """Full initial rollup of the base table: ``group_cols`` ->
+    ``n_rows`` + one quantized int64 sum per measure (``sum_q_<c>``;
+    surface value = /10000). Checkpoints the base version it saw."""
+    log = DeltaLog(spark, base_path)
+    snap = log.snapshot()
+    agg = (
+        snap.to_df()
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[F.sum(_qcol(c)).alias(f"sum_q_{c}") for c in sum_cols],
+        )
+    )
+    version = write_delta(agg, agg_path, mode="error", checkpoint_interval=None)
+    state.advance(snap.version)
+    return version
+
+
+def refresh_aggregate(
+    spark: SparkSession,
+    base_path: str,
+    agg_path: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+    state: SyncState,
+) -> dict:
+    """Fold the base table's changes since the checkpoint into the
+    rollup. Returns {"from_version", "to_version", "groups_changed"}
+    (a no-op window returns groups_changed 0 and commits nothing)."""
+    last = state.last_version()
+    cur = DeltaLog(spark, base_path).latest_version()
+    if cur <= last:
+        return {"from_version": last, "to_version": cur, "groups_changed": 0}
+    feed = table_changes_cdf(spark, base_path, last, cur)
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    deltas = (
+        feed.groupBy(*group_cols)
+        .agg(
+            F.sum(sign).alias("d_n"),
+            *[F.sum(sign * _qcol(c)).alias(f"d_{c}") for c in sum_cols],
+        )
+        .where(  # a fully cancelled group (e.g. same-group update) still
+            # nets measure changes; only drop when EVERYTHING is zero
+            ~F.expr(
+                " AND ".join(
+                    ["d_n = 0"] + [f"d_{c} = 0" for c in sum_cols]
+                )
+            )
+        )
+    )
+    n_changed = deltas.count()
+    if n_changed:
+        cond = " AND ".join(f"t.{c} <=> s.{c}" for c in group_cols)
+        (
+            merge(LeviTable(spark, agg_path), deltas, cond)
+            .when_matched_delete(condition="t.n_rows + s.d_n = 0")
+            .when_matched_update(
+                set={
+                    "n_rows": "t.n_rows + s.d_n",
+                    **{
+                        f"sum_q_{c}": f"t.sum_q_{c} + s.d_{c}" for c in sum_cols
+                    },
+                }
+            )
+            .when_not_matched_insert(
+                condition="s.d_n > 0",
+                values={
+                    **{c: f"s.{c}" for c in group_cols},
+                    "n_rows": "s.d_n",
+                    **{f"sum_q_{c}": f"s.d_{c}" for c in sum_cols},
+                },
+            )
+            .execute()
+        )
+    state.advance(cur)
+    return {"from_version": last, "to_version": cur, "groups_changed": n_changed}
+
+
+def read_aggregate(
+    spark: SparkSession, agg_path: str, sum_cols: list[str]
+):
+    """The rollup with measures surfaced back as doubles."""
+    df = DeltaLog(spark, agg_path).snapshot().to_df()
+    return df.select(
+        *[c for c in df.columns if not c.startswith("sum_q_")],
+        *[
+            (F.col(f"sum_q_{c}").cast("double") / F.lit(_SCALE)).alias(f"sum_{c}")
+            for c in sum_cols
+        ],
+    )

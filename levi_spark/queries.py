@@ -3027,6 +3027,100 @@ GROUP BY _change_type
 """
 
 
+def incremental_agg_refresh(spark, sf_dir):
+    """Incrementally maintained rollup through the driver gate
+    (:mod:`levi_spark.operators.incremental`): customer becomes an
+    engine Delta table with a (segment -> count, balance-sum) rollup;
+    then a DV delete, a CDF merge update, and a plain append mutate the
+    base, and ONE O(changes) refresh folds all three into the rollup.
+    The returned rollup must equal the oracle's from-scratch recompute
+    of the final base state — proving the signed fold is exact."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from levi_spark.delta.dv import soft_delete
+    from levi_spark.delta.table import LeviTable
+    from levi_spark.delta.writer import write_delta
+    from levi_spark.operators.incremental import (
+        init_aggregate,
+        read_aggregate,
+        refresh_aggregate,
+    )
+    from levi_spark.operators.merge import merge as _merge
+    from levi_spark.streaming.delta_source import SyncState
+
+    root = _os.path.join(_tempfile.gettempdir(), "levi_spark_incr_customer")
+    _shutil.rmtree(root, ignore_errors=True)
+    base, agg = _os.path.join(root, "base"), _os.path.join(root, "agg")
+    state = SyncState(_os.path.join(root, "state.json"))
+    write_delta(
+        _t(spark, sf_dir, "customer").repartition(8), base, mode="error",
+        checkpoint_interval=None,
+    )
+    init_aggregate(spark, base, agg, ["c_mktsegment"], ["c_acctbal"], state)
+
+    soft_delete(spark, base, "c_custkey % 7 = 0", emit_cdf=True,
+                checkpoint_interval=None)
+    src = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") % 50 == 0)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"), _qsum(F.col("o_totalprice"), "tot"))
+        .where(F.col("n") >= 5)
+    )
+    (
+        _merge(LeviTable(spark, base), src, "t.c_custkey = s.o_custkey")
+        .when_matched_update(
+            set={
+                "c_acctbal": "CAST(s.tot AS DOUBLE) / 10000.0",
+                "c_mktsegment": "'MERGED'",
+            }
+        )
+        .execute(emit_cdf=True)
+    )
+    write_delta(
+        spark.range(1, 4).select(
+            (F.col("id") + 90_000_000).alias("c_custkey"),
+            F.lit("Customer#appended").alias("c_name"),
+            F.lit(0).cast("int").alias("c_nationkey"),
+            (F.col("id").cast("double") + F.lit(10.5)).alias("c_acctbal"),
+            F.lit("APPENDED").alias("c_mktsegment"),
+        ),
+        base, mode="append", checkpoint_interval=None,
+    )
+    refresh_aggregate(spark, base, agg, ["c_mktsegment"], ["c_acctbal"], state)
+    return read_aggregate(spark, agg, ["c_acctbal"]).select(
+        "c_mktsegment", "n_rows", F.col("sum_c_acctbal").alias("total_bal")
+    )
+
+
+INCR_AGG_SQL = f"""
+WITH src AS (
+  SELECT o_custkey, COUNT(*) AS n,
+         SUM(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) AS tot
+  FROM orders WHERE o_custkey % 50 = 0 GROUP BY o_custkey HAVING COUNT(*) >= 5
+),
+kept AS (SELECT * FROM customer WHERE c_custkey % 7 <> 0),
+updated AS (
+  SELECT CASE WHEN s.o_custkey IS NOT NULL
+              THEN CAST(s.tot AS DOUBLE) / 10000.0 ELSE c_acctbal END AS c_acctbal,
+         CASE WHEN s.o_custkey IS NOT NULL
+              THEN 'MERGED' ELSE c_mktsegment END AS c_mktsegment
+  FROM kept LEFT JOIN src s ON c_custkey = s.o_custkey
+),
+final AS (
+  SELECT c_acctbal, c_mktsegment FROM updated
+  UNION ALL
+  SELECT CAST(i AS DOUBLE) + 10.5, 'APPENDED' FROM generate_series(1, 3) AS g(i)
+)
+SELECT c_mktsegment, COUNT(*) AS n_rows,
+       {_qsum_sql('c_acctbal')} / 10000.0 AS total_bal
+FROM final
+GROUP BY c_mktsegment
+"""
+
+
 def orders_moving_avg(spark, sf_dir):
     """Window-frame coverage: 7-row moving average of daily order
     revenue (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW). The frame sums
@@ -3388,6 +3482,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dv_soft_delete_orders": (dv_soft_delete_orders, DV_SOFT_DELETE_SQL),
     "merge_upsert_customer": (merge_upsert_customer, MERGE_UPSERT_SQL),
     "cdf_merge_changes": (cdf_merge_changes, CDF_MERGE_SQL),
+    "incremental_agg_refresh": (incremental_agg_refresh, INCR_AGG_SQL),
     "exact_dedup_documents": (exact_dedup_documents, EXACT_DEDUP_SQL),
     "doc_token_stats": (doc_token_stats, DOC_TOKEN_SQL),
     "doc_language_id": (doc_language_id, LANG_ID_SQL),
