@@ -3121,6 +3121,127 @@ GROUP BY c_mktsegment
 """
 
 
+def doc_split_counts(spark, sf_dir):
+    """Deterministic train/val/test assignment over documents
+    (:mod:`levi_spark.operators.sampling`): md5-bucket thresholds at
+    80/10/10, keyed by doc_id only — identical membership on every
+    run, engine, and partitioning (df.sample() is none of those). The
+    whole operator is WHERE-clause arithmetic; Catalyst keeps it
+    map-side. Output: per (split, lang) counts + char volume."""
+    from levi_spark.operators.sampling import split_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    out = split_assign(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return (
+        out.groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("split", "lang")
+    )
+
+
+SPLIT_SQL = """
+WITH assigned AS (
+  SELECT lang, n_chars,
+         CASE WHEN b < 800000 THEN 'train'
+              WHEN b < 900000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT lang, n_chars,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 1000000 AS b
+    FROM documents)
+)
+SELECT split, lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+FROM assigned GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def doc_stratified_sample(spark, sf_dir):
+    """Deterministic ~10% sample of documents by doc_id hash (salted,
+    so it is independent of the split assignment above), reported per
+    language — every engine and run keeps exactly the same rows."""
+    from levi_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = stratified_sample(docs, "doc_id", 0.1, salt="sample")
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars, SUM(doc_id) AS id_sum
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'sample'), 1, 12))::BIGINT
+      % 1000000 < 100000
+GROUP BY lang ORDER BY lang
+"""
+
+
+def lineitem_profile(spark, sf_dir):
+    """Data-profiling operator (deequ-style): per-column null count,
+    exact distinct count, and quantized numeric min/max, computed in
+    ONE distributed aggregation pass over the fact table (the 4-row
+    result is assembled driver-side — metadata scale). Non-numeric
+    columns surface min/max as -1 sentinels (nullable BIGINTs decay to
+    float64 in pandas, so the sentinel keeps the column int-exact)."""
+    li = _t(spark, sf_dir, "lineitem")
+    numeric = {"l_quantity", "l_extendedprice", "l_discount"}
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_returnflag"]
+    aggs = []
+    for c in cols:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+        if c in numeric:
+            q = F.floor(F.col(c) * F.lit(10000.0) + F.lit(0.5)).cast("long")
+            aggs.append(F.min(q).alias(f"mn_{c}"))
+            aggs.append(F.max(q).alias(f"mx_{c}"))
+    r = li.agg(*aggs).first()
+    rows = [
+        (
+            c,
+            r[f"nn_{c}"],
+            r[f"nd_{c}"],
+            r[f"mn_{c}"] if c in numeric else -1,
+            r[f"mx_{c}"] if c in numeric else -1,
+        )
+        for c in cols
+    ]
+    return spark.createDataFrame(
+        rows, "column string, n_nulls long, n_distinct long, min_q long, max_q long"
+    )
+
+
+PROFILE_SQL = """
+SELECT 'l_quantity' AS "column", SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       COUNT(DISTINCT l_quantity) AS n_distinct,
+       MIN(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) AS min_q,
+       MAX(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) AS max_q
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+       COUNT(DISTINCT l_extendedprice),
+       MIN(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)),
+       MAX(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT))
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
+       COUNT(DISTINCT l_discount),
+       MIN(CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)),
+       MAX(CAST(floor(l_discount * 10000 + 0.5) AS BIGINT))
+FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END),
+       COUNT(DISTINCT l_returnflag), -1, -1
+FROM lineitem
+"""
+
+
 def orders_moving_avg(spark, sf_dir):
     """Window-frame coverage: 7-row moving average of daily order
     revenue (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW). The frame sums
@@ -3483,6 +3604,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "merge_upsert_customer": (merge_upsert_customer, MERGE_UPSERT_SQL),
     "cdf_merge_changes": (cdf_merge_changes, CDF_MERGE_SQL),
     "incremental_agg_refresh": (incremental_agg_refresh, INCR_AGG_SQL),
+    "doc_split_counts": (doc_split_counts, SPLIT_SQL),
+    "doc_stratified_sample": (doc_stratified_sample, STRATIFIED_SAMPLE_SQL),
+    "lineitem_profile": (lineitem_profile, PROFILE_SQL),
     "exact_dedup_documents": (exact_dedup_documents, EXACT_DEDUP_SQL),
     "doc_token_stats": (doc_token_stats, DOC_TOKEN_SQL),
     "doc_language_id": (doc_language_id, LANG_ID_SQL),
