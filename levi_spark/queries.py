@@ -3464,6 +3464,101 @@ GROUP BY a
 )
 
 
+def dedup_canonical_corpus(spark, sf_dir):
+    """The dedup pipeline's end state: near-dup candidate pairs ->
+    transitive clusters (connected components) -> ONE canonical doc per
+    cluster (the lowest doc_id — deterministic, and it IS the cluster
+    label, so selection is a single != filter) -> the surviving corpus,
+    reported per language. This is the query a training-data pipeline
+    actually ships: everything upstream (SimHash, Hamming candidates,
+    min-label propagation) collapses into "which rows survive"."""
+    docs = _t(spark, sf_dir, "documents")
+    clusters = neardup_clusters(spark, sf_dir)
+    losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    survivors = docs.join(losers, on="doc_id", how="left_anti")
+    return (
+        survivors.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+CANONICAL_SQL = (
+    "SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars, "
+    "SUM(doc_id) AS id_sum FROM documents WHERE doc_id NOT IN ("
+    "SELECT doc_id FROM (" + NEARDUP_CLUSTERS_SQL + ") c "
+    "WHERE doc_id <> cluster_id) GROUP BY lang ORDER BY lang"
+)
+
+
+def time_travel_counts(spark, sf_dir):
+    """Snapshot isolation through the driver gate: customer becomes an
+    engine Delta table (v0), an append lands (v1), then a DV soft
+    delete (v2). Reading all three versions side-by-side must show
+    each snapshot exactly as committed — the append invisible at v0,
+    the deletion vector applied only at v2 (log replay + DV-aware scan,
+    :mod:`levi_spark.delta.log` / :mod:`levi_spark.delta.dv`)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from levi_spark.delta.dv import soft_delete
+    from levi_spark.delta.log import DeltaLog
+    from levi_spark.delta.writer import write_delta
+
+    base = _os.path.join(_tempfile.gettempdir(), "levi_spark_tt_customer")
+    _shutil.rmtree(base, ignore_errors=True)
+    write_delta(
+        _t(spark, sf_dir, "customer").repartition(8), base, mode="error",
+        checkpoint_interval=None,
+    )
+    write_delta(
+        spark.range(1, 4).select(
+            (F.col("id") + 90_000_000).alias("c_custkey"),
+            F.lit("Customer#tt").alias("c_name"),
+            F.lit(0).cast("int").alias("c_nationkey"),
+            F.lit(1.5).alias("c_acctbal"),
+            F.lit("TT").alias("c_mktsegment"),
+        ),
+        base, mode="append", checkpoint_interval=None,
+    )
+    soft_delete(spark, base, "c_custkey % 10 = 0", checkpoint_interval=None)
+    log = DeltaLog(spark, base)
+    parts = []
+    for v in (0, 1, 2):
+        parts.append(
+            log.snapshot(v)
+            .to_df()
+            .agg(
+                F.lit(v).alias("version"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("c_custkey").alias("key_sum"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("version")
+
+
+TIME_TRAVEL_SQL = """
+SELECT 0 AS version, COUNT(*) AS n_rows, SUM(c_custkey) AS key_sum FROM customer
+UNION ALL
+SELECT 1, COUNT(*) + 3, SUM(c_custkey) + 90000001 + 90000002 + 90000003 FROM customer
+UNION ALL
+SELECT 2, COUNT(*) AS n_rows, SUM(c_custkey) FROM (
+  SELECT c_custkey FROM customer
+  UNION ALL
+  SELECT 90000000 + i FROM generate_series(1, 3) AS g(i)
+) WHERE c_custkey % 10 <> 0
+ORDER BY version
+"""
+
+
 def kmeans_embedding_clusters(spark, sf_dir):
     """Distributed k-means (Lloyd) over the embeddings table
     (:mod:`levi_spark.operators.kmeans`): k=4 centroids seeded from the
@@ -3607,6 +3702,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "doc_split_counts": (doc_split_counts, SPLIT_SQL),
     "doc_stratified_sample": (doc_stratified_sample, STRATIFIED_SAMPLE_SQL),
     "lineitem_profile": (lineitem_profile, PROFILE_SQL),
+    "dedup_canonical_corpus": (dedup_canonical_corpus, CANONICAL_SQL),
+    "time_travel_counts": (time_travel_counts, TIME_TRAVEL_SQL),
     "exact_dedup_documents": (exact_dedup_documents, EXACT_DEDUP_SQL),
     "doc_token_stats": (doc_token_stats, DOC_TOKEN_SQL),
     "doc_language_id": (doc_language_id, LANG_ID_SQL),
