@@ -3351,6 +3351,78 @@ GROUP BY 1
 """
 
 
+def daily_revenue_momentum(spark, sf_dir):
+    """LAG + NTILE window coverage (the two window families the rest
+    of the surface doesn't touch): daily order revenue, day-over-day
+    delta via lag, and revenue quartile via ntile — both over total
+    orderings (day strings / (rev, day)), so ranks and deltas are
+    engine-deterministic."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day_s")
+    ).agg(_qsum(F.col("o_totalprice"), "_rev"))
+    w_lag = Window.orderBy("day_s")
+    w_tile = Window.orderBy(F.col("_rev").desc(), F.col("day_s"))
+    return daily.select(
+        "day_s",
+        _qval("_rev", "revenue"),
+        (
+            (F.col("_rev") - F.lag("_rev", 1).over(w_lag)).cast("double")
+            / F.lit(10000.0)
+        ).alias("rev_delta"),
+        F.ntile(4).over(w_tile).alias("rev_quartile"),
+    )
+
+
+MOMENTUM_SQL = f"""
+WITH daily AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day_s,
+         {_qsum_sql('o_totalprice')} AS rev
+  FROM orders GROUP BY 1
+)
+SELECT day_s,
+       CAST(rev AS DOUBLE) / 10000.0 AS revenue,
+       CAST(rev - LAG(rev, 1) OVER (ORDER BY day_s) AS DOUBLE) / 10000.0 AS rev_delta,
+       NTILE(4) OVER (ORDER BY rev DESC, day_s) AS rev_quartile
+FROM daily
+"""
+
+
+def vocab_top_tokens(spark, sf_dir):
+    """Vocabulary building (corpus heavy hitters): explode whitespace
+    tokens, count per (lang, token), keep each language's top-10 by
+    (count desc, token asc). One shuffle with map-side combine does the
+    counting — the explode never leaves the map stage."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    counts = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select("lang", "token", "n", "rk")
+    )
+
+
+VOCAB_SQL = """
+WITH toks AS (
+  SELECT lang, t.token
+  FROM documents, UNNEST(string_split_regex(trim(text), '\\s+')) AS t(token)
+  WHERE t.token <> ''
+),
+counts AS (SELECT lang, token, COUNT(*) AS n FROM toks GROUP BY 1, 2)
+SELECT lang, token, n, rk FROM (
+  SELECT lang, token, n,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rk
+  FROM counts
+)
+WHERE rk <= 10
+"""
+
+
 def doc_tfidf_top_terms(spark, sf_dir):
     """Per-document top-3 terms by TF-IDF over whitespace tokens of the
     first 80 documents (deterministic subset; the full corpus version
@@ -3704,6 +3776,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "lineitem_profile": (lineitem_profile, PROFILE_SQL),
     "dedup_canonical_corpus": (dedup_canonical_corpus, CANONICAL_SQL),
     "time_travel_counts": (time_travel_counts, TIME_TRAVEL_SQL),
+    "daily_revenue_momentum": (daily_revenue_momentum, MOMENTUM_SQL),
+    "vocab_top_tokens": (vocab_top_tokens, VOCAB_SQL),
     "exact_dedup_documents": (exact_dedup_documents, EXACT_DEDUP_SQL),
     "doc_token_stats": (doc_token_stats, DOC_TOKEN_SQL),
     "doc_language_id": (doc_language_id, LANG_ID_SQL),
