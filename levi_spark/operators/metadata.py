@@ -85,6 +85,76 @@ def skipped_stats(snapshot: Snapshot, filters: Sequence[Filter]) -> dict:
     }
 
 
+def pruned_scan(
+    snapshot: Snapshot,
+    filters: Sequence[Filter],
+    with_lineage: bool = False,
+) -> DataFrame:
+    """Scan with data skipping APPLIED: the same ``(col, op, value)``
+    conjunction that :func:`skipped_stats` measures prunes the file
+    list before any data is read, then re-applies exactly per row.
+
+    The reference only ever *simulates* skipping (P1's whole purpose);
+    this is the other half — a scan whose IO is O(files that can
+    match):
+
+    * **stats pruning** (data columns): a file survives unless its
+      min/max interval *provably* excludes the predicate
+      (``filter_to_sql`` semantics); missing stats keep the file —
+      conservative, never wrong.
+    * **partition pruning** (partition columns): exact — every row of
+      a file shares the partition value, so ``value op v`` not being
+      TRUE (including the NULL partition) eliminates the file.
+    * the row-level predicate is then applied on the surviving files,
+      where it also pushes into the parquet scan as usual.
+
+    Unsupported operators raise ``ValueError`` (same contract as
+    ``filter_to_sql``). Deletion vectors, partition-value typing, and
+    lineage columns behave exactly as :meth:`Snapshot.to_df`.
+    """
+    from urllib.parse import unquote
+
+    meta = snapshot.metadata
+    part_cols = set(meta.partition_columns)
+    types = {f.name: f.dataType for f in meta.schema.fields}
+    flat = snapshot.add_actions_flat()
+    stat_cols = {c[len("min."):] for c in flat.columns if c.startswith("min.")}
+
+    keep = F.lit(True)
+    exact = F.lit(True)
+    for column, op, value in filters:
+        if op not in ("=", "<", "<=", ">", ">="):
+            raise ValueError(
+                f"Unsupported filter operator: {op!r} in {(column, op, value)!r}"
+            )
+        col = F.col(column)
+        exact = exact & {
+            "=": col == value, "<": col < value, "<=": col <= value,
+            ">": col > value, ">=": col >= value,
+        }[op]
+        if column in part_cols:
+            pv = F.col("partitionValues").getItem(column).cast(types[column])
+            keep = keep & {
+                "=": pv == value, "<": pv < value, "<=": pv <= value,
+                ">": pv > value, ">=": pv >= value,
+            }[op]
+        elif column in stat_cols:
+            mn = F.col(f"`min.{column}`")
+            mx = F.col(f"`max.{column}`")
+            pred = {
+                "=": (mn <= value) & (mx >= value),
+                "<": mn < value, "<=": mn <= value,
+                ">": mx > value, ">=": mx >= value,
+            }[op]
+            keep = keep & F.coalesce(pred, F.lit(True))  # no stats -> must read
+        # else: not prunable (nested / no stats schema) — residual only
+
+    survivors = [
+        unquote(r["path"]) for r in flat.where(keep).select("path").collect()
+    ]
+    return snapshot.to_df(paths=survivors, with_lineage=with_lineage).where(exact)
+
+
 def latest_version(table: DeltaLog | Snapshot | str, spark=None) -> int:
     """Current snapshot version of the table (reference:
     levi/__init__.py:50-51)."""
