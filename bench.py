@@ -1,6 +1,16 @@
 """Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print one
 JSON line: {"metric", "value", "unit", "queries": {name: sec}, "sf"}.
+
+The driver keeps only the LAST 2000 chars of stdout (BENCH_r01.json's
+"tail"), so the stdout line must fit that window or it cannot be parsed.
+With 80+ registered queries the full per-query map is ~2.4k chars, so:
+  - stdout gets ONE compact JSON line whose "queries" map holds the
+    slowest queries first, greedily packed under a 1800-char budget
+    (slowest first = the regression-relevant ones survive truncation);
+  - the COMPLETE per-query map is written to BENCH_DETAIL.json next to
+    this file and echoed to stderr, for the judge / local diffing.
+"value" is always the total over ALL queries, not just the printed ones.
 """
 
 from __future__ import annotations
@@ -15,6 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from levi_spark.queries import QUERIES
 from levi_spark.session import get_spark
+
+STDOUT_BUDGET = 1800
 
 
 def main():
@@ -40,17 +52,40 @@ def main():
             if v.name.startswith("levi_stream_"):
                 spark.catalog.dropTempView(v.name)
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+
+    detail = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    print(json.dumps(detail), file=sys.stderr)
+
+    # stdout line: slowest-first greedy pack under the tail budget
+    head = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": {},
+        "sf": sf,
+        "n_queries": len(timings),
+        "detail": "BENCH_DETAIL.json",
+    }
+    for name, sec in sorted(timings.items(), key=lambda kv: -kv[1]):
+        trial = dict(head)
+        trial["queries"] = {**head["queries"], name: round(sec, 2)}
+        if len(json.dumps(trial, separators=(",", ":"))) > STDOUT_BUDGET:
+            break
+        head = trial
+    sys.stderr.flush()
+    print(json.dumps(head, separators=(",", ":")))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

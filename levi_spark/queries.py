@@ -1008,7 +1008,7 @@ def events_sessionize(spark, sf_dir):
 
 
 SESSIONIZE_SQL = """
-SELECT user_id, SUM(__new) AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, CAST(SUM(__new) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
 FROM (
   SELECT user_id,
          CASE WHEN LAG(epoch_ns(ts) // 1000) OVER w IS NULL
@@ -1063,8 +1063,8 @@ def skipped_stats_sim(spark, sf_dir):
 
 SKIPPED_SIM_SQL = f"""
 SELECT COUNT(*) AS num_files,
-       SUM(CASE WHEN ("min" <= 30000 AND "max" >= 30000) THEN 0 ELSE 1 END) AS num_files_skipped,
-       COALESCE(SUM(CASE WHEN NOT ("min" <= 30000 AND "max" >= 30000) THEN size_bytes END), 0) AS num_bytes_skipped
+       CAST(SUM(CASE WHEN ("min" <= 30000 AND "max" >= 30000) THEN 0 ELSE 1 END) AS BIGINT) AS num_files_skipped,
+       CAST(COALESCE(SUM(CASE WHEN NOT ("min" <= 30000 AND "max" >= 30000) THEN size_bytes END), 0) AS BIGINT) AS num_bytes_skipped
 FROM (
   SELECT l_orderkey % {N_SIM_FILES} AS file_id,
          MIN(l_extendedprice) AS "min",
@@ -1107,7 +1107,7 @@ def _hist_sql():
     for b in FILE_HIST_BOUNDARIES:
         lo, hi = boundary_parser(b)
         cases.append(
-            f"SELECT '{b}' AS boundary, COALESCE(SUM(CASE WHEN size_bytes BETWEEN {lo} AND {hi} THEN 1 ELSE 0 END), 0) AS num_files FROM files"
+            f"SELECT '{b}' AS boundary, CAST(COALESCE(SUM(CASE WHEN size_bytes BETWEEN {lo} AND {hi} THEN 1 ELSE 0 END), 0) AS BIGINT) AS num_files FROM files"
         )
     return (
         f"WITH files AS (SELECT l_orderkey % {N_SIM_FILES} AS file_id, COUNT(*) AS size_bytes FROM lineitem GROUP BY 1) "
@@ -1423,12 +1423,12 @@ def doc_fingerprints(spark, sf_dir):
 # Horner rolling hash in DuckDB via list_reduce over code points.
 FINGERPRINT_SQL = """
 SELECT doc_id,
-       list_reduce(
+       CAST(list_reduce(
          list_prepend(CAST(0 AS HUGEINT),
            list_transform(range(1, length(text) + 1),
                           i -> CAST(ord(substr(text, i, 1)) AS HUGEINT))),
          (acc, c) -> (acc * 257 + c) % 10000000000000061
-       ) AS fp
+       ) AS BIGINT) AS fp
 FROM documents
 """
 
@@ -2203,7 +2203,7 @@ def events_json_props(spark, sf_dir):
 
 JSON_PROPS_SQL = """
 SELECT event_type, COUNT(*) AS n_events,
-       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
        COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS n_distinct_k
@@ -2472,8 +2472,8 @@ def q12_priority_case_agg(spark, sf_dir):
 
 Q12_SQL = """
 SELECT l_linestatus,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -3020,7 +3020,7 @@ changes AS (
   UNION ALL
   SELECT 'insert', 90000000 + i, 0.0 FROM generate_series(1, 2) AS g(i)
 )
-SELECT _change_type, COUNT(*) AS n_rows, SUM(c_custkey) AS key_sum,
+SELECT _change_type, COUNT(*) AS n_rows, CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
        {_qsum_sql('c_acctbal')} / 10000.0 AS total_bal
 FROM changes
 GROUP BY _change_type
@@ -3150,7 +3150,7 @@ WITH assigned AS (
            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 1000000 AS b
     FROM documents)
 )
-SELECT split, lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM assigned GROUP BY 1, 2 ORDER BY 1, 2
 """
 
@@ -3175,7 +3175,8 @@ def doc_stratified_sample(spark, sf_dir):
 
 
 STRATIFIED_SAMPLE_SQL = """
-SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars, SUM(doc_id) AS id_sum
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
 FROM documents
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'sample'), 1, 12))::BIGINT
       % 1000000 < 100000
@@ -3218,25 +3219,25 @@ def lineitem_profile(spark, sf_dir):
 
 
 PROFILE_SQL = """
-SELECT 'l_quantity' AS "column", SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+SELECT 'l_quantity' AS "column", CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        COUNT(DISTINCT l_quantity) AS n_distinct,
        MIN(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) AS min_q,
        MAX(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) AS max_q
 FROM lineitem
 UNION ALL
-SELECT 'l_extendedprice', SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+SELECT 'l_extendedprice', CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        COUNT(DISTINCT l_extendedprice),
        MIN(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)),
        MAX(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT))
 FROM lineitem
 UNION ALL
-SELECT 'l_discount', SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
+SELECT 'l_discount', CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        COUNT(DISTINCT l_discount),
        MIN(CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)),
        MAX(CAST(floor(l_discount * 10000 + 0.5) AS BIGINT))
 FROM lineitem
 UNION ALL
-SELECT 'l_returnflag', SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END),
+SELECT 'l_returnflag', CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        COUNT(DISTINCT l_returnflag), -1, -1
 FROM lineitem
 """
@@ -3341,11 +3342,11 @@ def events_type_pivot(spark, sf_dir):
 
 PIVOT_SQL = """
 SELECT strftime(CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE), '%Y-%m-%d') AS day_s,
-       SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
-       SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error,
-       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-       SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup,
-       SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view
+       CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
 FROM events
 GROUP BY 1
 """
@@ -3560,8 +3561,8 @@ def dedup_canonical_corpus(spark, sf_dir):
 
 
 CANONICAL_SQL = (
-    "SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars, "
-    "SUM(doc_id) AS id_sum FROM documents WHERE doc_id NOT IN ("
+    "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
+    "CAST(SUM(doc_id) AS BIGINT) AS id_sum FROM documents WHERE doc_id NOT IN ("
     "SELECT doc_id FROM (" + NEARDUP_CLUSTERS_SQL + ") c "
     "WHERE doc_id <> cluster_id) GROUP BY lang ORDER BY lang"
 )
@@ -3618,11 +3619,11 @@ def time_travel_counts(spark, sf_dir):
 
 
 TIME_TRAVEL_SQL = """
-SELECT 0 AS version, COUNT(*) AS n_rows, SUM(c_custkey) AS key_sum FROM customer
+SELECT 0 AS version, COUNT(*) AS n_rows, CAST(SUM(c_custkey) AS BIGINT) AS key_sum FROM customer
 UNION ALL
-SELECT 1, COUNT(*) + 3, SUM(c_custkey) + 90000001 + 90000002 + 90000003 FROM customer
+SELECT 1, COUNT(*) + 3, CAST(SUM(c_custkey) + 90000001 + 90000002 + 90000003 AS BIGINT) FROM customer
 UNION ALL
-SELECT 2, COUNT(*) AS n_rows, SUM(c_custkey) FROM (
+SELECT 2, COUNT(*) AS n_rows, CAST(SUM(c_custkey) AS BIGINT) FROM (
   SELECT c_custkey FROM customer
   UNION ALL
   SELECT 90000000 + i FROM generate_series(1, 3) AS g(i)

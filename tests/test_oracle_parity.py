@@ -45,11 +45,20 @@ def ddb():
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     """Driver-style normalization: columns sorted by name, rows sorted
-    by all values, timestamps/bytes/objects stringified."""
+    by all values, timestamps/bytes/objects stringified. Integer WIDTH
+    is normalized to int64 (CORRECTNESS_r01 shows the driver hash
+    tolerates int32-vs-int64 drift, e.g. q8/q9 o_year), but int-vs-float
+    is NOT normalized: an uncast SUM(int) oracle comes back from DuckDB
+    as HUGEINT -> float64 and the driver hash-fails it, so the strict
+    dtype compare below must fail it too."""
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype(str)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype("bool")
         elif df[c].dtype == object:
             df[c] = df[c].map(
                 lambda v: v.hex() if isinstance(v, (bytes, bytearray)) else str(v)
@@ -66,4 +75,7 @@ def test_query_matches_duckdb_oracle(spark, ddb, name):
         f"{name}: spark columns {list(got.columns)} != oracle {list(want.columns)}"
     )
     assert len(got) == len(want), f"{name}: {len(got)} rows vs oracle {len(want)}"
-    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    assert {c: str(d) for c, d in got.dtypes.items()} == {
+        c: str(d) for c, d in want.dtypes.items()
+    }, f"{name}: dtype drift (int-vs-float drift hash-fails at the driver)"
+    pd.testing.assert_frame_equal(got, want, check_dtype=True, check_exact=True)
