@@ -3722,57 +3722,18 @@ FROM a3 GROUP BY cent_id
 )
 
 
+# Registry order is load-bearing: the driver's correctness gate runs the
+# FIRST 50 entries only (CORRECTNESS_r01 cut at registry slot 50), so
+# each round the first 50 slots rotate to whatever most needs a fresh
+# driver row: queries with no row yet, queries whose oracle or
+# implementation changed this round, then stable representatives.
+# Round 2 window: the 30 queries slots 51-80 left ungated in round 1,
+# the 8 whose oracle SQL was retyped (HUGEINT casts), the lifecycle
+# queries being rewritten this round (SCD2 MERGE path, file-targeted
+# dedup), and new queries. Everything below slot 50 stayed green in
+# CORRECTNESS_r01 and is unchanged this round.
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
-    "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
-    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
-    "q4_order_priority": (q4_order_priority, Q4_SQL),
-    "q8_market_share": (q8_market_share, Q8_SQL),
-    "q11_important_parts": (q11_important_parts, Q11_SQL),
-    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
-    "q16_supplier_part_counts": (q16_supplier_part_counts, Q16_SQL),
-    "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL),
-    "q20_excess_suppliers": (q20_excess_suppliers, Q20_SQL),
-    "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
-    "q5_local_supplier": (q5_local_supplier, Q5_SQL),
-    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
-    "q9_profit_by_nation_year": (q9_profit_by_nation_year, Q9_SQL),
-    "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
-    "q10_returned_items": (q10_returned_items, Q10_SQL),
-    "q12_priority_case_agg": (q12_priority_case_agg, Q12_SQL),
-    "q13_order_count_distribution": (q13_order_count_distribution, Q13_SQL),
-    "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
-    "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
-    "q22_idle_customers": (q22_idle_customers, Q22_SQL),
-    "customers_above_nation_avg": (customers_above_nation_avg, ABOVE_AVG_SQL),
-    "large_order_customers": (large_order_customers, LARGE_ORDER_SQL),
-    "lineitem_rollup": (lineitem_rollup, ROLLUP_SQL),
-    "customer_order_presence": (customer_order_presence, PRESENCE_SQL),
-    "top3_customers_per_nation": (top3_customers_per_nation, TOP3_SQL),
-    "customer_running_balance": (customer_running_balance, RUNNING_BALANCE_SQL),
-    "events_hourly_rollup": (events_hourly_rollup, EVENTS_HOURLY_SQL),
-    "events_sessionize": (events_sessionize, SESSIONIZE_SQL),
-    "events_asof_join": (events_asof_join, ASOF_SQL),
-    "events_json_props": (events_json_props, JSON_PROPS_SQL),
-    "events_range_join": (events_range_join, RANGE_JOIN_SQL),
-    "events_funnel": (events_funnel, FUNNEL_SQL),
-    "events_type_pivot": (events_type_pivot, PIVOT_SQL),
-    "orders_moving_avg": (orders_moving_avg, MOVING_AVG_SQL),
-    "orders_price_percentiles": (orders_price_percentiles, PERCENTILES_SQL),
-    "doc_tfidf_top_terms": (doc_tfidf_top_terms, TFIDF_SQL),
-    "events_retention_cohorts": (events_retention_cohorts, RETENTION_SQL),
-    "skipped_stats_sim": (skipped_stats_sim, SKIPPED_SIM_SQL),
-    "file_size_histogram_sim": (file_size_histogram_sim, FILE_HIST_SQL),
-    "updated_partitions_sim": (updated_partitions_sim, UPDATED_PARTS_SQL),
-    "kill_duplicates_lineitem": (kill_duplicates_lineitem, KILL_DUP_SQL),
-    "drop_duplicates_lineitem": (drop_duplicates_lineitem, DROP_DUP_SQL),
-    "drop_duplicates_pkey_customer": (drop_duplicates_pkey_customer, DROP_DUP_PKEY_SQL),
-    "scd2_customer_dim": (scd2_customer_dim, SCD2_SQL),
-    "dv_soft_delete_orders": (dv_soft_delete_orders, DV_SOFT_DELETE_SQL),
-    "merge_upsert_customer": (merge_upsert_customer, MERGE_UPSERT_SQL),
-    "cdf_merge_changes": (cdf_merge_changes, CDF_MERGE_SQL),
-    "incremental_agg_refresh": (incremental_agg_refresh, INCR_AGG_SQL),
-    "doc_split_counts": (doc_split_counts, SPLIT_SQL),
+    # -- slots 1-30: ungated in round 1 (registry slots 51-80 then) ---------
     "doc_stratified_sample": (doc_stratified_sample, STRATIFIED_SAMPLE_SQL),
     "lineitem_profile": (lineitem_profile, PROFILE_SQL),
     "dedup_canonical_corpus": (dedup_canonical_corpus, CANONICAL_SQL),
@@ -3803,4 +3764,57 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "simhash_neardup_pairs": (simhash_neardup_pairs, SIMHASH_PAIRS_SQL),
     "neardup_clusters": (neardup_clusters, NEARDUP_CLUSTERS_SQL),
     "kmeans_embedding_clusters": (kmeans_embedding_clusters, KMEANS_SQL),
+    # -- slots 31-38: oracle SQL retyped this round (HUGEINT casts) ---------
+    "q12_priority_case_agg": (q12_priority_case_agg, Q12_SQL),
+    "events_sessionize": (events_sessionize, SESSIONIZE_SQL),
+    "events_json_props": (events_json_props, JSON_PROPS_SQL),
+    "events_type_pivot": (events_type_pivot, PIVOT_SQL),
+    "skipped_stats_sim": (skipped_stats_sim, SKIPPED_SIM_SQL),
+    "file_size_histogram_sim": (file_size_histogram_sim, FILE_HIST_SQL),
+    "cdf_merge_changes": (cdf_merge_changes, CDF_MERGE_SQL),
+    "doc_split_counts": (doc_split_counts, SPLIT_SQL),
+    # -- slots 39-50: implementations changing this round + flagship -------
+    "scd2_customer_dim": (scd2_customer_dim, SCD2_SQL),
+    "drop_duplicates_lineitem": (drop_duplicates_lineitem, DROP_DUP_SQL),
+    "drop_duplicates_pkey_customer": (drop_duplicates_pkey_customer, DROP_DUP_PKEY_SQL),
+    "kill_duplicates_lineitem": (kill_duplicates_lineitem, KILL_DUP_SQL),
+    "merge_upsert_customer": (merge_upsert_customer, MERGE_UPSERT_SQL),
+    "dv_soft_delete_orders": (dv_soft_delete_orders, DV_SOFT_DELETE_SQL),
+    "incremental_agg_refresh": (incremental_agg_refresh, INCR_AGG_SQL),
+    "updated_partitions_sim": (updated_partitions_sim, UPDATED_PARTS_SQL),
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "lineitem_rollup": (lineitem_rollup, ROLLUP_SQL),
+    "orders_price_percentiles": (orders_price_percentiles, PERCENTILES_SQL),
+    "doc_tfidf_top_terms": (doc_tfidf_top_terms, TFIDF_SQL),
+    # -- slots 51+: green in CORRECTNESS_r01, unchanged this round ---------
+    "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "q4_order_priority": (q4_order_priority, Q4_SQL),
+    "q5_local_supplier": (q5_local_supplier, Q5_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
+    "q8_market_share": (q8_market_share, Q8_SQL),
+    "q9_profit_by_nation_year": (q9_profit_by_nation_year, Q9_SQL),
+    "q10_returned_items": (q10_returned_items, Q10_SQL),
+    "q11_important_parts": (q11_important_parts, Q11_SQL),
+    "q13_order_count_distribution": (q13_order_count_distribution, Q13_SQL),
+    "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
+    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
+    "q16_supplier_part_counts": (q16_supplier_part_counts, Q16_SQL),
+    "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL),
+    "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
+    "q20_excess_suppliers": (q20_excess_suppliers, Q20_SQL),
+    "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
+    "q22_idle_customers": (q22_idle_customers, Q22_SQL),
+    "customers_above_nation_avg": (customers_above_nation_avg, ABOVE_AVG_SQL),
+    "large_order_customers": (large_order_customers, LARGE_ORDER_SQL),
+    "customer_order_presence": (customer_order_presence, PRESENCE_SQL),
+    "top3_customers_per_nation": (top3_customers_per_nation, TOP3_SQL),
+    "customer_running_balance": (customer_running_balance, RUNNING_BALANCE_SQL),
+    "events_hourly_rollup": (events_hourly_rollup, EVENTS_HOURLY_SQL),
+    "events_asof_join": (events_asof_join, ASOF_SQL),
+    "events_range_join": (events_range_join, RANGE_JOIN_SQL),
+    "events_funnel": (events_funnel, FUNNEL_SQL),
+    "orders_moving_avg": (orders_moving_avg, MOVING_AVG_SQL),
+    "events_retention_cohorts": (events_retention_cohorts, RETENTION_SQL),
 }
