@@ -23,10 +23,13 @@ import uuid
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import Window
+
 from levi_spark.delta.log import (
     _METADATA_TYPE,
     _PROTOCOL_TYPE,
     _REMOVE_TYPE,
+    _TXN_TYPE,
     DeltaLog,
 )
 
@@ -45,6 +48,7 @@ def write_checkpoint(spark: SparkSession, table_path: str, version: int | None =
         F.lit(None).cast(_REMOVE_TYPE).alias("remove"),
         F.lit(None).cast(_METADATA_TYPE).alias("metaData"),
         F.lit(None).cast(_PROTOCOL_TYPE).alias("protocol"),
+        F.lit(None).cast(_TXN_TYPE).alias("txn"),
     )
     add_type = adds.schema["add"].dataType
     meta = (
@@ -56,6 +60,7 @@ def write_checkpoint(spark: SparkSession, table_path: str, version: int | None =
             F.lit(None).cast(_REMOVE_TYPE).alias("remove"),
             F.col("metaData"),
             F.lit(None).cast(_PROTOCOL_TYPE).alias("protocol"),
+            F.lit(None).cast(_TXN_TYPE).alias("txn"),
         )
     )
     proto = (
@@ -67,9 +72,28 @@ def write_checkpoint(spark: SparkSession, table_path: str, version: int | None =
             F.lit(None).cast(_REMOVE_TYPE).alias("remove"),
             F.lit(None).cast(_METADATA_TYPE).alias("metaData"),
             F.col("protocol"),
+            F.lit(None).cast(_TXN_TYPE).alias("txn"),
         )
     )
-    cp_df = adds.unionByName(meta).unionByName(proto)
+    # Latest SetTransaction per appId rides into the checkpoint —
+    # expiring pre-checkpoint commits must not lose incremental
+    # consumers' applied-version watermarks.
+    txn_w = Window.partitionBy("txn.appId").orderBy(
+        F.col("txn.version").desc(), F.col("version").desc()
+    )
+    txns = (
+        acts.where(F.col("txn.appId").isNotNull())
+        .withColumn("__rn", F.row_number().over(txn_w))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.lit(None).cast(add_type).alias("add"),
+            F.lit(None).cast(_REMOVE_TYPE).alias("remove"),
+            F.lit(None).cast(_METADATA_TYPE).alias("metaData"),
+            F.lit(None).cast(_PROTOCOL_TYPE).alias("protocol"),
+            F.col("txn"),
+        )
+    )
+    cp_df = adds.unionByName(meta).unionByName(proto).unionByName(txns)
 
     log_dir = log.log_path
     staging = os.path.join(log_dir, f".cp-staging-{uuid.uuid4().hex}")

@@ -48,7 +48,11 @@ def _append_commit(
     log: DeltaLog, snap, version: int, actions: list[dict], operation: str, params: dict
 ) -> None:
     """Append one commit JSON (re-emitting protocol+metaData like the
-    writer does), with O_EXCL publish semantics."""
+    writer does). Published through the writer's conflict-safe
+    ``_publish_commit`` with ``rebase_ok=False``: a DV commit re-emits
+    add actions read from its snapshot, so a concurrent commit
+    invalidates it — the conflict surfaces as the documented retryable
+    ``ValueError``, never a raw ``FileExistsError``."""
     now_ms = int(time.time() * 1000)
     lines = [json.dumps({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})]
     meta = snap.metadata
@@ -79,9 +83,9 @@ def _append_commit(
             }
         )
     )
-    commit_path = os.path.join(log.log_path, f"{version:020d}.json")
-    with open(commit_path, "x") as fh:
-        fh.write("\n".join(lines) + "\n")
+    from levi_spark.delta.writer import _publish_commit
+
+    _publish_commit(log.log_path, version, "\n".join(lines) + "\n", rebase_ok=False)
 
 
 def soft_delete(
@@ -195,9 +199,18 @@ def soft_delete(
         ]
 
     version = snap.version + 1
-    _append_commit(
-        log, snap, version, actions, "DELETE", {"predicate": str(predicate)}
-    )
+    try:
+        _append_commit(
+            log, snap, version, actions, "DELETE", {"predicate": str(predicate)}
+        )
+    except ValueError:
+        # Lost the commit race: the sidecar written above is unreachable
+        # from any committed version — remove it rather than leaving an
+        # orphan for vacuum, then surface the retry contract.
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
+        raise
     if checkpoint_interval and version % checkpoint_interval == 0:
         from levi_spark.delta.checkpoint import write_checkpoint
 

@@ -101,12 +101,24 @@ _PROTOCOL_TYPE = T.StructType(
         T.StructField("minWriterVersion", T.IntegerType()),
     ]
 )
+# SetTransaction action (Delta's idempotent-writer primitive): an
+# application records the last source version it applied INSIDE the
+# commit, so "applied" and "committed" are atomic — the crash-replay
+# guard incremental_sync / refresh_aggregate build on.
+_TXN_TYPE = T.StructType(
+    [
+        T.StructField("appId", T.StringType()),
+        T.StructField("version", T.LongType()),
+        T.StructField("lastUpdated", T.LongType()),
+    ]
+)
 COMMIT_SCHEMA = T.StructType(
     [
         T.StructField("add", _ADD_TYPE),
         T.StructField("remove", _REMOVE_TYPE),
         T.StructField("metaData", _METADATA_TYPE),
         T.StructField("protocol", _PROTOCOL_TYPE),
+        T.StructField("txn", _TXN_TYPE),
     ]
 )
 
@@ -327,11 +339,17 @@ class Snapshot:
                 if "protocol" in cols
                 else F.lit(None).cast(_PROTOCOL_TYPE)
             )
+            txn_col = (
+                F.col("txn").cast(_TXN_TYPE)
+                if "txn" in cols
+                else F.lit(None).cast(_TXN_TYPE)
+            )
             cp_df = raw.select(
                 add_col.alias("add"),
                 remove_col.alias("remove"),
                 meta_col.alias("metaData"),
                 proto_col.alias("protocol"),
+                txn_col.alias("txn"),
                 F.lit(self._cp).cast("long").alias("version"),
             )
             # When an add was written twice for the same path, keep the
@@ -365,6 +383,19 @@ class Snapshot:
                 configuration=dict(m["configuration"] or {}),
             )
         return self._metadata
+
+    def txn_versions(self) -> dict[str, int]:
+        """Latest SetTransaction version per appId at this snapshot —
+        Delta's ``txnVersion`` lookup. Metadata-scale collect (one row
+        per writing application)."""
+        rows = (
+            self._actions_df()
+            .where(F.col("txn.appId").isNotNull())
+            .groupBy(F.col("txn.appId").alias("app_id"))
+            .agg(F.max(F.col("txn.version")).alias("v"))
+            .collect()
+        )
+        return {r["app_id"]: r["v"] for r in rows}
 
     # ---- add actions (the metadata-plane table) ----------------------------
 
@@ -416,12 +447,18 @@ class Snapshot:
         """
         live = self.live_adds_raw()
         sschema = stats_schema(self.metadata.schema)
-        # URL-decoded path for filesystem access (Delta stores URL-encoded
-        # relative paths, e.g. "data=%F0%9F%98%88/part-...parquet").
-        url_decode = F.udf(unquote, T.StringType())
         return (
             live.select(
-                url_decode(F.col("add.path")).alias("path"),
+                # URL-decoded path for filesystem access (Delta stores
+                # URL-encoded relative paths, e.g. "data=%F0%9F%98%88/
+                # part-...parquet"). Built-in url_decode stays JVM-side
+                # (no Python worker round-trip), but it is form-decoding
+                # ('+' -> space) while Delta paths are percent-encoded
+                # ('+' literal) — pre-escape '+' so both agree with the
+                # driver-side urllib.parse.unquote used in file_infos().
+                F.url_decode(
+                    F.replace(F.col("add.path"), F.lit("+"), F.lit("%2B"))
+                ).alias("path"),
                 F.col("add.partitionValues").alias("partitionValues"),
                 F.col("add.size").alias("size_bytes"),
                 F.col("add.modificationTime").alias("modification_time"),

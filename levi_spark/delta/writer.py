@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from levi_spark.delta.log import DeltaLog, stats_schema, _minmax_schema
+from levi_spark.delta.log import DeltaLog, stats_schema, _MINMAX_TYPES
 
 _PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
@@ -70,7 +70,13 @@ def _file_stats(df_files: DataFrame, data_schema: T.StructType) -> dict[str, dic
     columns get min/max (same rule Delta applies); every column gets a
     null count.
     """
-    mm_cols = [f.name for f in _minmax_schema(data_schema).fields]
+    # Top-level SCALAR columns only: F.min over a struct column returns a
+    # Row, which the stats JSON serializer cannot encode (and Delta
+    # writers record top-level stats anyway — nested minValues appear
+    # only when reading other writers' logs).
+    mm_cols = [
+        f.name for f in data_schema.fields if isinstance(f.dataType, _MINMAX_TYPES)
+    ]
     all_cols = [f.name for f in data_schema.fields]
     aggs = [F.count(F.lit(1)).alias("__num_records")]
     aggs += [F.min(F.col(c)).alias(f"__min__{c}") for c in mm_cols]
@@ -185,6 +191,7 @@ def write_delta(
     checkpoint_interval: int | None = DEFAULT_CHECKPOINT_INTERVAL,
     merge_schema: bool = False,
     cdc_df: DataFrame | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Write ``df`` as a new Delta table version at ``path``.
 
@@ -213,6 +220,11 @@ def write_delta(
     ``cdc_df``: row-level change-data frame (table columns +
     ``_change_type``) recorded as ``cdc`` actions in the same commit —
     the change-file half of a real CDF (callers: MERGE, soft_delete).
+
+    ``txn``: ``(app_id, source_version)`` recorded as a SetTransaction
+    action in the same commit — "these rows" and "this source version
+    was applied" become atomic, the idempotence hook incremental
+    consumers check via ``Snapshot.txn_versions()``.
     """
     spark = df.sparkSession
     path = os.path.abspath(path)
@@ -224,19 +236,41 @@ def write_delta(
     if exists and mode == "error":
         raise ValueError(f"Delta table already exists at {path} (mode='error')")
     partition_by = list(partition_by or [])
-    prev_adds: list[str] = []
+    prev_adds: list[str] = []  # RAW add.path strings to tombstone verbatim
     version = 0
     commit_schema = df.schema
+    meta_id: str | None = None
+    meta_conf: dict[str, str] = {}
     if exists:
         log = DeltaLog(spark, path)
         snap = log.snapshot()
         version = snap.version + 1
+        # Table identity and configuration survive every commit —
+        # regenerating them on append/overwrite would silently change
+        # the table id and wipe configuration set by other writers.
+        meta_id = snap.metadata.id
+        meta_conf = dict(snap.metadata.configuration)
         if mode == "overwrite":
-            prev_adds = [r["path"] for r in snap.add_actions().select("path").collect()]
+            prev_adds = [r["add"]["path"] for r in snap.live_adds_collected()]
         if replace_paths:
             if mode != "append":
                 raise ValueError("replace_paths requires mode='append'")
-            prev_adds = list(replace_paths)
+            # Callers pass URL-DECODED relative paths (add_actions().path).
+            # The remove action must carry the EXACT raw string the live
+            # add carries — re-encoding with quote() would emit e.g.
+            # 'letter%3Da/...' against an externally-written literal
+            # 'letter=a/...' add, leaving the old file live forever.
+            raw_by_decoded = {
+                unquote(r["add"]["path"]): r["add"]["path"]
+                for r in snap.live_adds_collected()
+            }
+            missing = [p for p in replace_paths if p not in raw_by_decoded]
+            if missing:
+                raise ValueError(
+                    f"replace_paths not live in snapshot v{snap.version}: "
+                    f"{missing[:3]}{'...' if len(missing) > 3 else ''}"
+                )
+            prev_adds = [raw_by_decoded[p] for p in replace_paths]
         if mode == "append":
             prev_schema = snap.metadata.schema
             prev_cols = set(snap.metadata.data_columns)
@@ -304,22 +338,22 @@ def write_delta(
         json.dumps(
             {
                 "metaData": {
-                    "id": str(uuid.uuid4()),
+                    "id": meta_id or str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": commit_schema.json(),
                     "partitionColumns": partition_by,
-                    "configuration": {},
+                    "configuration": meta_conf,
                     "createdTime": now_ms,
                 }
             }
         )
     )
-    for rel in prev_adds:
+    for raw in prev_adds:  # raw add.path strings — never re-encoded
         lines.append(
             json.dumps(
                 {
                     "remove": {
-                        "path": quote(rel, safe="/"),
+                        "path": raw,
                         "deletionTimestamp": now_ms,
                         "dataChange": True,
                     }
@@ -349,6 +383,19 @@ def write_delta(
         )
     if cdc_df is not None:
         lines += cdc_action_lines(write_cdc_files(cdc_df, path))
+    if txn is not None:
+        app_id, src_version = txn
+        lines.append(
+            json.dumps(
+                {
+                    "txn": {
+                        "appId": app_id,
+                        "version": int(src_version),
+                        "lastUpdated": now_ms,
+                    }
+                }
+            )
+        )
     lines.append(
         json.dumps(
             {

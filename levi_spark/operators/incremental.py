@@ -17,10 +17,12 @@ every refresh is a signed fold over the change rows:
   deleted, new groups insert, the rest update in place. Group keys
   join null-safely (``<=>``) so a NULL group is one group, not an
   ever-growing insert stream.
-* The last-applied base version persists via
-  :class:`levi_spark.streaming.delta_source.SyncState` — the same
-  crash contract as the Delta→Delta sync: re-running a completed
-  window folds zero change rows.
+* The last-applied base version rides INSIDE the rollup's own commit
+  as a Delta SetTransaction action (``MergeBuilder.execute(txn=...)``)
+  — apply and record are atomic, so a crash between the merge commit
+  and the :class:`levi_spark.streaming.delta_source.SyncState` cache
+  write cannot double-apply a delta window (the next refresh reads the
+  txn version back from the rollup log and skips the window).
 
 The base table's mutating commits must carry change data
 (``emit_cdf=True`` on MERGE/soft_delete); plain appends and
@@ -37,9 +39,15 @@ from levi_spark.delta.log import DeltaLog
 from levi_spark.delta.table import LeviTable
 from levi_spark.delta.writer import write_delta
 from levi_spark.operators.merge import merge
-from levi_spark.streaming.delta_source import SyncState
+from levi_spark.streaming.delta_source import SyncState, _applied_version
 
 _SCALE = 10000.0
+
+
+def _agg_app_id(base_path: str) -> str:
+    import os
+
+    return f"levi-agg:{os.path.abspath(base_path)}"
 
 
 def _qcol(c: str):
@@ -67,7 +75,10 @@ def init_aggregate(
             *[F.sum(_qcol(c)).alias(f"sum_q_{c}") for c in sum_cols],
         )
     )
-    version = write_delta(agg, agg_path, mode="error", checkpoint_interval=None)
+    version = write_delta(
+        agg, agg_path, mode="error", checkpoint_interval=None,
+        txn=(_agg_app_id(base_path), snap.version),
+    )
     state.advance(snap.version)
     return version
 
@@ -83,7 +94,10 @@ def refresh_aggregate(
     """Fold the base table's changes since the checkpoint into the
     rollup. Returns {"from_version", "to_version", "groups_changed"}
     (a no-op window returns groups_changed 0 and commits nothing)."""
-    last = state.last_version()
+    app_id = _agg_app_id(base_path)
+    # the rollup log's SetTransaction is authoritative; the state file
+    # is a cache that may lag one window behind after a crash
+    last = max(state.last_version(), _applied_version(spark, agg_path, app_id))
     cur = DeltaLog(spark, base_path).latest_version()
     if cur <= last:
         return {"from_version": last, "to_version": cur, "groups_changed": 0}
@@ -128,7 +142,7 @@ def refresh_aggregate(
                     **{f"sum_q_{c}": f"s.d_{c}" for c in sum_cols},
                 },
             )
-            .execute()
+            .execute(txn=(app_id, cur))
         )
     state.advance(cur)
     return {"from_version": last, "to_version": cur, "groups_changed": n_changed}

@@ -95,9 +95,15 @@ class MergeBuilder:
 
     # ------------------------------------------------------------------
 
-    def execute(self, emit_cdf: bool = False) -> dict:
+    def execute(
+        self, emit_cdf: bool = False, txn: tuple[str, int] | None = None
+    ) -> dict:
         """Run the merge; returns {"version", "files_rewritten"}
         (version -1 for an observable no-op).
+
+        ``txn=(app_id, source_version)`` records a SetTransaction in the
+        same commit (see :func:`levi_spark.delta.writer.write_delta`) —
+        the idempotence hook for incremental maintainers.
 
         ``emit_cdf=True`` additionally records row-level change data in
         the same commit (``_change_data/`` files + ``cdc`` actions):
@@ -253,6 +259,7 @@ class MergeBuilder:
             replace_paths=touched_rels or None,
             operation="MERGE",
             cdc_df=cdc_df,
+            txn=txn,
         )
         return {
             "version": version,

@@ -11,13 +11,16 @@ V" — so continuous ingestion becomes a pull loop:
 
 Each call reads ONLY the files added since the checkpointed version
 (O(new data), never the table), appends them to ``dst`` in one commit,
-and advances the checkpoint — exactly-once per commit range because
-the state write happens after the destination commit and re-running a
-completed range appends nothing new (the version window is empty).
+and advances the checkpoint.
 
-This is the same contract as Delta's ``readStream`` source with
-``maxFilesPerTrigger``-style batching left to commit granularity; the
-driver loop (cron, Airflow task, while-True) owns the schedule.
+Exactly-once: the destination commit CARRIES the last-applied source
+version as a Delta SetTransaction action (``write_delta(txn=...)``),
+so "rows appended" and "window applied" are atomic. The JSON
+:class:`SyncState` file is only a fast-path cache — on every call the
+destination log's ``txn_versions()`` is consulted too, and the window
+start is the max of both, so a crash between the destination commit
+and the state-file write replays an EMPTY window instead of
+duplicating rows.
 """
 
 from __future__ import annotations
@@ -32,10 +35,17 @@ from levi_spark.delta.log import DeltaLog
 from levi_spark.delta.writer import write_delta
 
 
+def sync_app_id(src_path: str) -> str:
+    """SetTransaction appId under which a sync from ``src_path``
+    records its progress in the destination log."""
+    return f"levi-sync:{os.path.abspath(src_path)}"
+
+
 class SyncState:
     """Last-synced source version, persisted as JSON next to the
-    destination table (the destination commit and this file advance
-    together; a crash between them replays an empty window)."""
+    destination table. A cache only: the authoritative record is the
+    SetTransaction action inside the destination commit — a crash
+    between that commit and this file loses nothing."""
 
     def __init__(self, state_path: str):
         self.path = state_path
@@ -53,6 +63,15 @@ class SyncState:
         os.replace(tmp, self.path)
 
 
+def _applied_version(spark: SparkSession, dst_path: str, app_id: str) -> int:
+    """Last source version recorded in the destination log (or -1)."""
+    if not os.path.isdir(os.path.join(dst_path, "_delta_log")):
+        return -1
+    return (
+        DeltaLog(spark, dst_path).snapshot().txn_versions().get(app_id, -1)
+    )
+
+
 def incremental_sync(
     spark: SparkSession,
     src_path: str,
@@ -64,7 +83,10 @@ def incremental_sync(
     "to_version", "dst_version"} (dst_version -1 when idle)."""
     src_log = DeltaLog(spark, src_path)
     to_version = src_log.latest_version()
-    from_version = state.last_version()
+    app_id = sync_app_id(src_path)
+    from_version = max(
+        state.last_version(), _applied_version(spark, dst_path, app_id)
+    )
     if from_version < 0:
         # first sync: bootstrap from the full current snapshot (the
         # change feed needs a base; versions <= to_version are captured
@@ -76,6 +98,7 @@ def incremental_sync(
         dst_v = write_delta(
             df, dst_path, mode=mode,
             partition_by=list(snap.metadata.partition_columns),
+            txn=(app_id, to_version),
         )
         state.advance(to_version)
         return {
@@ -85,6 +108,7 @@ def incremental_sync(
             "dst_version": dst_v,
         }
     if to_version <= from_version:
+        state.advance(from_version)  # refresh the cache from the log
         return {
             "rows": 0,
             "from_version": from_version,
@@ -96,6 +120,8 @@ def incremental_sync(
     )
     rows = ch.count()
     if rows == 0:
+        # nothing to append; no destination commit happens, so record
+        # the empty window only in the cache — replaying it is free
         state.advance(to_version)
         return {
             "rows": 0,
@@ -104,7 +130,10 @@ def incremental_sync(
             "dst_version": -1,
         }
     src_parts = list(src_log.snapshot(to_version).metadata.partition_columns)
-    dst_v = write_delta(ch, dst_path, mode="append", partition_by=src_parts)
+    dst_v = write_delta(
+        ch, dst_path, mode="append", partition_by=src_parts,
+        txn=(app_id, to_version),
+    )
     state.advance(to_version)
     return {
         "rows": rows,
