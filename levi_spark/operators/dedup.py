@@ -13,10 +13,14 @@ Spark-first design notes (100 TB stance):
   ``_metadata.row_index`` within a file — byte-for-byte the order a
   single-process reader would see, but computed without collapsing to
   one partition.
-* Writes are full-table overwrites for reference parity; at 100 TB the
-  kill path should become a targeted anti-join rewrite of only the
-  files whose min/max stats admit a duplicate key (the metadata plane
-  already exposes those stats).
+* Writes are FILE-TARGETED: every mutation rewrites only the files
+  that actually lose a row (``write_delta(replace_paths=…)``), never
+  the whole table — at 100 TB a dedup pass touching 0.1% of rows must
+  not rewrite the other 99.9% of bytes. Survivor selection still sees
+  the GLOBAL duplicate structure (the loser set is computed over the
+  full table, then anti-joined against only the hit files), so
+  targeting never changes results. Untouched files keep their add
+  actions, stats, and history.
 """
 
 from __future__ import annotations
@@ -161,9 +165,9 @@ def kill_duplicates_targeted(table: LeviTable, duplication_columns: list[str]) -
 
 
 def _physical_order_df(table: LeviTable) -> DataFrame:
-    """Table data plus a ``__file_seq``/``__row_idx`` pair reproducing
-    single-process read order: add actions sorted by (commit version,
-    path), then parquet row index within each file."""
+    """Table data plus ``__file_name``/``__file_seq``/``__row_idx``
+    columns reproducing single-process read order: add actions sorted by
+    (commit version, path), then parquet row index within each file."""
     snap = table.snapshot()
     files = (
         snap.add_actions()
@@ -171,8 +175,6 @@ def _physical_order_df(table: LeviTable) -> DataFrame:
         .orderBy("commit_version", "path")
         .collect()
     )
-    import os
-
     seq_rows = [(os.path.basename(r["path"]), i) for i, r in enumerate(files)]
     spark = table.spark
     seq_df = spark.createDataFrame(seq_rows, ["__file_name", "__file_seq"])
@@ -182,27 +184,79 @@ def _physical_order_df(table: LeviTable) -> DataFrame:
         df.withColumn("__file_name", F.col("_metadata.file_name"))
         .withColumn("__row_idx", F.col("_metadata.row_index"))
         .join(F.broadcast(seq_df), on="__file_name", how="left")
-        .select(*data_cols, "__file_seq", "__row_idx")
+        .select(*data_cols, "__file_name", "__file_seq", "__row_idx")
     )
 
 
-def drop_duplicates(table: LeviTable, duplication_columns: list[str]) -> None:
+_ORDER_META = ("__file_name", "__file_seq", "__row_idx")
+
+
+def _targeted_loser_rewrite(table: LeviTable, losers: DataFrame) -> dict:
+    """Rewrite ONLY the files that contain a loser row, dropping exactly
+    those rows. ``losers`` carries (``__file_name``, ``__row_idx``) of
+    every row to delete — computed by the caller over the FULL table, so
+    global survivor choice is preserved. One metadata-scale collect
+    (distinct file names), one subset re-read, one atomic commit."""
+    snap = table.snapshot()
+    hit_names = {
+        r["__file_name"] for r in losers.select("__file_name").distinct().collect()
+    }
+    all_rels = [r["path"] for r in snap.add_actions().select("path").collect()]
+    if not hit_names:
+        return {
+            "files_rewritten": 0,
+            "files_total": len(all_rels),
+            "rows_deleted": 0,
+            "version": -1,
+        }
+    rels = [p for p in all_rels if os.path.basename(p) in hit_names]
+    sub = snap.to_df(paths=rels, with_lineage=True)
+    kept = sub.join(
+        losers.select(
+            F.col("__file_name").alias("_file_name"),
+            F.col("__row_idx").alias("_row_index"),
+        ),
+        on=["_file_name", "_row_index"],
+        how="left_anti",
+    ).select(*snap.metadata.data_columns)
+    n_before = sub.count()
+    n_after = kept.count()
+    version = write_delta(
+        kept,
+        table.path,
+        mode="append",
+        partition_by=list(snap.metadata.partition_columns),
+        replace_paths=rels,
+        operation="DELETE",
+    )
+    return {
+        "files_rewritten": len(rels),
+        "files_total": len(all_rels),
+        "rows_deleted": n_before - n_after,
+        "version": version,
+    }
+
+
+def drop_duplicates(table: LeviTable, duplication_columns: list[str]) -> dict:
     """Keep exactly one row per duplicate group — the first by physical
     row order (reference P11). Survivor = min (file_seq, row_idx) via a
-    window; one shuffle on the duplicate key."""
+    window; one shuffle on the duplicate key — and a FILE-TARGETED
+    rewrite: only files that lose a row are replaced (the loser set is
+    global, so survivors outside the rewritten files are untouched by
+    construction)."""
     _check_table(table)
     if not duplication_columns or not isinstance(duplication_columns, (list, tuple)):
         raise TypeError("duplication_columns must be a non-empty list or tuple")
     df = _physical_order_df(table)
-    data_cols = [c for c in df.columns if c not in ("__file_seq", "__row_idx")]
+    data_cols = [c for c in df.columns if c not in _ORDER_META]
     _check_columns(data_cols, list(duplication_columns))
     w = Window.partitionBy(*duplication_columns).orderBy("__file_seq", "__row_idx")
-    kept = (
+    losers = (
         df.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select(*data_cols)
+        .where(F.col("__rn") > 1)
+        .select("__file_name", "__row_idx")
     )
-    table.overwrite(kept)
+    return _targeted_loser_rewrite(table, losers)
 
 
 def drop_duplicates_ordered(
@@ -249,11 +303,36 @@ def drop_duplicates_pkey_transform(
 
 def drop_duplicates_pkey(
     table: LeviTable, primary_key: str, duplication_columns: list[str]
-) -> None:
+) -> dict:
     """Keep, per duplicate group, the row with the lowest primary key
     (reference P12). Requires a globally unique primary key
-    (``ValueError`` otherwise — it guards survivor determinism)."""
+    (``ValueError`` otherwise — it guards survivor determinism).
+    File-targeted: only files losing a row are rewritten."""
     _check_table(table)
-    table.overwrite(
-        drop_duplicates_pkey_transform(table.to_df(), primary_key, duplication_columns)
+    if not primary_key or not isinstance(primary_key, str):
+        raise TypeError("primary_key must be a non-empty string")
+    if not duplication_columns or not isinstance(duplication_columns, (list, tuple)):
+        raise TypeError("duplication_columns must be a non-empty list or tuple")
+    if primary_key in duplication_columns:
+        raise TypeError("primary_key cannot be one of the duplication_columns")
+    snap = table.snapshot()
+    df = snap.to_df(with_lineage=True)
+    _check_columns(df.columns, [primary_key, *duplication_columns])
+    counts = df.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct(primary_key).alias("d")
+    ).first()
+    if counts["n"] != counts["d"]:
+        raise ValueError(
+            f"Primary key {primary_key!r} is not unique: {counts['n']} rows, "
+            f"{counts['d']} distinct keys"
+        )
+    w = Window.partitionBy(*duplication_columns).orderBy(F.col(primary_key).asc())
+    losers = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") > 1)
+        .select(
+            F.col("_file_name").alias("__file_name"),
+            F.col("_row_index").alias("__row_idx"),
+        )
     )
+    return _targeted_loser_rewrite(table, losers)

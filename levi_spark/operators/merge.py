@@ -125,9 +125,23 @@ class MergeBuilder:
         touched_rels: list[str] = []
         if self._matched:
             target = snap.to_df(with_lineage=True).alias("t")
+            # A file is touched only when some clause can actually APPLY
+            # to one of its matched rows — a match whose every clause
+            # condition is false leaves the row byte-identical, so
+            # rewriting its file would be pure write amplification (at
+            # 100 TB, the difference between "rewrite changed files" and
+            # "rewrite every file a source row merely joins").
+            any_clause = functools.reduce(
+                operator.or_,
+                [
+                    (ccond if ccond is not None else F.lit(True))
+                    for _kind, ccond, _set in self._matched
+                ],
+            )
             touched_names = {
                 r["__fn"]
                 for r in target.join(src, cond, "inner")
+                .where(any_clause)
                 .select(F.col("t._file_name").alias("__fn"))
                 .distinct()
                 .collect()
@@ -247,6 +261,11 @@ class MergeBuilder:
             out = inserts
         else:
             return {"version": -1, "files_rewritten": 0}
+        if not touched_rels and rewritten is None:
+            # nothing to rewrite — commit only if there is something to
+            # insert (an all-noop merge must not burn a table version)
+            if inserts.limit(1).count() == 0:
+                return {"version": -1, "files_rewritten": 0}
 
         cdc_df = None
         if emit_cdf and cdc_parts:
