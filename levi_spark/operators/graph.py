@@ -9,15 +9,20 @@ components over the candidate-pair graph — absent from the reference
 not expressible as one SQL query, so it is the engine's iterative
 showcase.
 
-Algorithm: min-label propagation. Every node starts labeled with
-itself; each round every node takes the min label over itself and its
-neighbors; fixpoint when no label changes. Rounds needed = graph
-diameter — near-dup clusters are short chains (pairs share a common
-hub), so convergence is a handful of rounds even at 100 TB.
+Algorithm: min-label propagation + pointer jumping. Every node starts
+labeled with itself; each round every node takes the min label over
+itself and its neighbors, THEN follows its label's label
+(``comp -> comp(comp)``, the large-star/path-halving contraction).
+Neighbor propagation alone needs diameter rounds — a worst-case chain
+graph of n nodes needs n rounds — while the jump step halves every
+label chain per round, so convergence is O(log n) on any graph
+(near-dup clusters are short chains anyway; the bound matters when a
+pathological near-dup chain shows up in a 100 TB corpus).
 
 Scale design:
-* each round is one shuffle (edge⋈label join + min-agg on node id) —
-  key-bounded, no cross joins, no driver-side graph;
+* each round is two key-bounded shuffles (edge⋈label join + min-agg,
+  then the label⋈label jump join) — no cross joins, no driver-side
+  graph;
 * ``localCheckpoint(eager=True)`` truncates the plan each round —
   without it the lineage doubles per iteration and Catalyst planning
   time, not the data, becomes the bottleneck;
@@ -53,12 +58,27 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        propagated = labels.join(
+            nbr_min, labels["node"] == nbr_min["a"], "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+            ).alias("comp"),
+        )
+        # Pointer jumping (path halving): comp := min(comp, comp(comp)).
+        # Every label is itself a node id, so the self-join always
+        # resolves; a length-n pointer chain halves each round, giving
+        # O(log n) convergence on worst-case chain graphs.
+        jump = propagated.select(
+            F.col("node").alias("__jn"), F.col("comp").alias("__jc")
+        )
         new_labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
+            propagated.join(jump, propagated["comp"] == jump["__jn"], "left")
             .select(
                 "node",
                 F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                    F.col("comp"), F.coalesce(F.col("__jc"), F.col("comp"))
                 ).alias("comp"),
             )
             .localCheckpoint(eager=True)

@@ -41,3 +41,17 @@ def test_max_iter_contract(spark):
     edges = [(i, i + 1) for i in range(6)]
     with pytest.raises(RuntimeError, match="no fixpoint"):
         _cc(spark, edges, max_iter=1)
+
+
+def test_long_chain_converges_logarithmically(spark):
+    """A 512-node path graph: pure min-propagation needs ~512 rounds;
+    with pointer jumping the fixpoint must arrive within 20."""
+    from levi_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(511)], "src long, dst long"
+    )
+    comp = connected_components(edges, max_iter=20)
+    rows = comp.collect()
+    assert len(rows) == 512
+    assert {r["component"] for r in rows} == {0}
