@@ -3722,6 +3722,185 @@ FROM a3 GROUP BY cent_id
 )
 
 
+PACK_CAPACITY = 256
+
+
+def doc_pack_sequences(spark, sf_dir):
+    """Sequence packing for training (concat-and-chunk): concatenate
+    all documents in doc_id order, split every 256 tokens, and report
+    the histogram of documents-per-training-sequence. The global token
+    offset comes from :func:`levi_spark.operators.packing.
+    with_prefix_sum` — a range-partitioned two-phase prefix sum, NOT a
+    single-task global window, so the same query runs on a
+    1000-executor corpus."""
+    from levi_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_sequences(docs, "doc_id", "n_tokens", PACK_CAPACITY)
+    membership = packed.select(
+        "doc_id", F.explode(F.sequence("first_seq", "last_seq")).alias("seq_id")
+    )
+    per_seq = membership.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("docs_in_seq")
+    )
+    return (
+        per_seq.groupBy("docs_in_seq")
+        .agg(F.count(F.lit(1)).alias("n_seqs"))
+        .orderBy("docs_in_seq")
+    )
+
+
+PACK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+),
+offs AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+  FROM toks
+),
+member AS (
+  SELECT doc_id, unnest(range(start // {PACK_CAPACITY},
+                              (start + n_tokens - 1) // {PACK_CAPACITY} + 1)) AS seq_id
+  FROM offs
+),
+per_seq AS (
+  SELECT seq_id, COUNT(*) AS docs_in_seq FROM member GROUP BY seq_id
+)
+SELECT docs_in_seq, COUNT(*) AS n_seqs
+FROM per_seq GROUP BY docs_in_seq ORDER BY docs_in_seq
+"""
+
+
+SCRUB_PATTERN = r"\b(key|value|customer)\w*"
+
+
+def doc_regex_scrub(spark, sf_dir):
+    """Regex scrub plumbing (PII-redaction shape): per language, how
+    many documents match a configurable sensitive-term pattern, total
+    hits, and how many characters a redaction pass removes. All
+    JVM-side regexp expressions — the same plan at 100 TB is a pure
+    map + one agg shuffle. The pattern here matches the synthetic
+    corpus so counts are non-trivial; a real deployment swaps in
+    email/phone/credential patterns."""
+    docs = _t(spark, sf_dir, "documents")
+    hits = F.regexp_count(F.col("text"), F.lit(SCRUB_PATTERN))
+    removed = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), SCRUB_PATTERN, "")
+    )
+    return (
+        docs.select("lang", hits.alias("__h"), removed.alias("__r"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("__h") > 0, 1).otherwise(0)).cast("long").alias(
+                "docs_with_hits"
+            ),
+            F.sum("__h").cast("long").alias("total_hits"),
+            F.sum("__r").cast("long").alias("chars_removed"),
+        )
+        .orderBy("lang")
+    )
+
+
+SCRUB_SQL = r"""
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN h > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_hits,
+       CAST(SUM(h) AS BIGINT) AS total_hits,
+       CAST(SUM(r) AS BIGINT) AS chars_removed
+FROM (
+  SELECT lang,
+         len(regexp_extract_all(text, '\b(key|value|customer)\w*')) AS h,
+         length(text) - length(regexp_replace(text, '\b(key|value|customer)\w*', '', 'g')) AS r
+  FROM documents
+)
+GROUP BY lang ORDER BY lang
+"""
+
+
+EVAL_MOD = 97
+SHINGLE_N = 5
+
+
+def eval_contamination(spark, sf_dir):
+    """Train/eval contamination check: documents whose 5-token shingles
+    overlap the held-out eval slice (doc_id % 97 == 0) are flagged.
+    The eval shingle set is corpus-tiny, so it broadcasts; the train
+    side streams through one semi-join — at 100 TB this is a map-side
+    hash probe per shingle, no all-pairs stage."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    shingles = F.when(
+        F.size(toks) >= SHINGLE_N,
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, size(split(trim(text), '\\\\s+')) - {SHINGLE_N - 1}), "
+                f"i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i, {SHINGLE_N})))"
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    shingled = docs.select(
+        "doc_id", "lang", F.explode(shingles).alias("shingle")
+    )
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    eval_shingles = (
+        shingled.where(is_eval).select("shingle").distinct()
+    )
+    train = shingled.where(~is_eval)
+    contaminated = (
+        train.join(F.broadcast(eval_shingles), on="shingle", how="left_semi")
+        .select("doc_id", "lang")
+        .distinct()
+    )
+    train_docs = docs.where(~is_eval).select("doc_id", "lang")
+    return (
+        train_docs.join(
+            contaminated.select(F.col("doc_id").alias("__cd")),
+            train_docs["doc_id"] == F.col("__cd"),
+            "left",
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.sum(F.when(F.col("__cd").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+        .orderBy("lang")
+    )
+
+
+CONTAMINATION_SQL = f"""
+WITH shingled AS (
+  SELECT doc_id, lang,
+         unnest(list_distinct(list_transform(
+           range(1, len(string_split_regex(trim(text), '\\s+')) - {SHINGLE_N - 2}),
+           i -> array_to_string(string_split_regex(trim(text), '\\s+')[i:i+{SHINGLE_N - 1}], ' ')
+         ))) AS shingle
+  FROM documents
+  WHERE len(string_split_regex(trim(text), '\\s+')) >= {SHINGLE_N}
+),
+eval_shingles AS (
+  SELECT DISTINCT shingle FROM shingled WHERE doc_id % {EVAL_MOD} = 0
+),
+contaminated AS (
+  SELECT DISTINCT s.doc_id
+  FROM shingled s JOIN eval_shingles e ON s.shingle = e.shingle
+  WHERE s.doc_id % {EVAL_MOD} <> 0
+)
+SELECT lang, COUNT(*) AS n_train_docs,
+       CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+WHERE d.doc_id % {EVAL_MOD} <> 0
+GROUP BY lang ORDER BY lang
+"""
+
+
 def ann_recall_scores(spark, sf_dir):
     """Recall evidence for the approximate ANN paths at the driver
     gate: one row with the exact top-5 pair count and how many of
@@ -3818,12 +3997,16 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "merge_upsert_customer": (merge_upsert_customer, MERGE_UPSERT_SQL),
     "dv_soft_delete_orders": (dv_soft_delete_orders, DV_SOFT_DELETE_SQL),
     "incremental_agg_refresh": (incremental_agg_refresh, INCR_AGG_SQL),
-    "updated_partitions_sim": (updated_partitions_sim, UPDATED_PARTS_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "ann_recall_scores": (ann_recall_scores, ANN_RECALL_SQL),
+    # -- new this round: training-pipeline operators --
+    "doc_pack_sequences": (doc_pack_sequences, PACK_SQL),
+    "doc_regex_scrub": (doc_regex_scrub, SCRUB_SQL),
+    "eval_contamination": (eval_contamination, CONTAMINATION_SQL),
+    # -- slots 51+: green in CORRECTNESS_r01, unchanged this round ---------
+    "updated_partitions_sim": (updated_partitions_sim, UPDATED_PARTS_SQL),
     "lineitem_rollup": (lineitem_rollup, ROLLUP_SQL),
     "orders_price_percentiles": (orders_price_percentiles, PERCENTILES_SQL),
-    "ann_recall_scores": (ann_recall_scores, ANN_RECALL_SQL),
-    # -- slots 51+: green in CORRECTNESS_r01, unchanged this round ---------
     "doc_tfidf_top_terms": (doc_tfidf_top_terms, TFIDF_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
