@@ -41,10 +41,18 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    jump_after: int = 2,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``;
     ``component`` is the smallest node id in the node's component.
-    Raises ``RuntimeError`` if ``max_iter`` rounds don't converge."""
+    Raises ``RuntimeError`` if ``max_iter`` rounds don't converge.
+
+    ``jump_after``: pointer jumping starts at this round. Near-dup
+    graphs are shallow (hub-and-spoke, diameter 2-3) and converge on
+    propagation alone before jumping would matter — skipping the jump
+    join there saves ~a third of each round. A graph still unconverged
+    after ``jump_after`` rounds is deep, and from then on the halving
+    step bounds total rounds at O(log n)."""
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -52,7 +60,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     labels = sym.select(F.col("a").alias("node"), F.col("a").alias("comp")).distinct()
-    for _ in range(max_iter):
+    for round_i in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["b"] == labels["node"])
             .groupBy("a")
@@ -66,23 +74,23 @@ def connected_components(
                 F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
             ).alias("comp"),
         )
-        # Pointer jumping (path halving): comp := min(comp, comp(comp)).
-        # Every label is itself a node id, so the self-join always
-        # resolves; a length-n pointer chain halves each round, giving
-        # O(log n) convergence on worst-case chain graphs.
-        jump = propagated.select(
-            F.col("node").alias("__jn"), F.col("comp").alias("__jc")
-        )
-        new_labels = (
-            propagated.join(jump, propagated["comp"] == jump["__jn"], "left")
-            .select(
+        if round_i >= jump_after:
+            # Pointer jumping (path halving): comp := min(comp,
+            # comp(comp)). Every label is itself a node id, so the
+            # self-join always resolves; a length-n pointer chain halves
+            # each round, giving O(log n) convergence on chain graphs.
+            jump = propagated.select(
+                F.col("node").alias("__jn"), F.col("comp").alias("__jc")
+            )
+            propagated = propagated.join(
+                jump, propagated["comp"] == jump["__jn"], "left"
+            ).select(
                 "node",
                 F.least(
                     F.col("comp"), F.coalesce(F.col("__jc"), F.col("comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint(eager=True)
-        )
+        new_labels = propagated.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
