@@ -165,3 +165,30 @@ def test_dv_scan_stays_pushdown_clean(spark, tmp_path):
     df = DeltaLog(spark, p).snapshot().to_df().where(F.col("l_orderkey") == 7)
     pf = pushed_filters(df)
     assert any("l_orderkey" in f for f in pf), pf
+
+
+def test_pack_sequences_avoids_global_window(spark):
+    """The packing prefix sum must stay range-partitioned — a naive
+    sum() over (order by doc_id) would plan an Exchange SinglePartition
+    under the Window and serialize the corpus through one task."""
+    from levi_spark.plans.inspect import executed_plan
+    from levi_spark.queries import doc_pack_sequences
+
+    plan = executed_plan(doc_pack_sequences(spark, SF))
+    assert "Window" in plan
+    assert "Exchange SinglePartition" not in plan, plan[:800]
+
+
+def test_eval_contamination_broadcasts_eval_shingles(spark):
+    from levi_spark.queries import eval_contamination
+
+    s = plan_summary(eval_contamination(spark, SF))
+    assert s["broadcast_exchanges"] >= 1, s
+
+
+def test_regex_scrub_prunes_scan(spark):
+    from levi_spark.queries import doc_regex_scrub
+
+    (schema,) = read_schemas(doc_regex_scrub(spark, SF))
+    # only lang + text are referenced
+    assert schema.count(":") == 2, schema
