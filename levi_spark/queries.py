@@ -3722,6 +3722,61 @@ FROM a3 GROUP BY cent_id
 )
 
 
+def table_restore_counts(spark, sf_dir):
+    """RESTORE through the gate surface: customer becomes an engine
+    Delta table (v0), an append lands (v1), then a metadata-only
+    ``restore(path, 0)`` rolls back (v2). Reading v1 and the restored
+    head side-by-side proves the rollback re-emitted v0's adds and
+    tombstoned the appended file without touching data bytes
+    (:mod:`levi_spark.delta.restore`)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from levi_spark.delta.log import DeltaLog
+    from levi_spark.delta.restore import restore
+    from levi_spark.delta.writer import write_delta
+
+    base = _os.path.join(_tempfile.gettempdir(), "levi_spark_restore_customer")
+    _shutil.rmtree(base, ignore_errors=True)
+    write_delta(
+        _t(spark, sf_dir, "customer").repartition(8), base, mode="error",
+        checkpoint_interval=None,
+    )
+    write_delta(
+        spark.range(1, 4).select(
+            (F.col("id") + 90_000_000).alias("c_custkey"),
+            F.lit("Customer#restored").alias("c_name"),
+            F.lit(0).cast("int").alias("c_nationkey"),
+            F.lit(2.5).alias("c_acctbal"),
+            F.lit("RT").alias("c_mktsegment"),
+        ),
+        base, mode="append", checkpoint_interval=None,
+    )
+    restore(spark, base, 0)
+    log = DeltaLog(spark, base)
+    stages = [("v1_appended", log.snapshot(1)), ("head_restored", log.snapshot())]
+    parts = [
+        s.to_df().agg(
+            F.lit(tag).alias("stage"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("c_custkey").alias("key_sum"),
+        )
+        for tag, s in stages
+    ]
+    return parts[0].unionByName(parts[1]).orderBy("stage")
+
+
+RESTORE_SQL = """
+SELECT 'head_restored' AS stage, COUNT(*) AS n_rows,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum FROM customer
+UNION ALL
+SELECT 'v1_appended', COUNT(*) + 3,
+       CAST(SUM(c_custkey) + 90000001 + 90000002 + 90000003 AS BIGINT) FROM customer
+ORDER BY stage
+"""
+
+
 PACK_CAPACITY = 256
 
 
@@ -4003,7 +4058,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "doc_pack_sequences": (doc_pack_sequences, PACK_SQL),
     "doc_regex_scrub": (doc_regex_scrub, SCRUB_SQL),
     "eval_contamination": (eval_contamination, CONTAMINATION_SQL),
-    # -- slots 51+: green in CORRECTNESS_r01, unchanged this round ---------
+    # -- slots 51+: green in CORRECTNESS_r01, unchanged this round, or new
+    #    non-window queries awaiting next round's rotation ----------------
+    "table_restore_counts": (table_restore_counts, RESTORE_SQL),
     "updated_partitions_sim": (updated_partitions_sim, UPDATED_PARTS_SQL),
     "lineitem_rollup": (lineitem_rollup, ROLLUP_SQL),
     "orders_price_percentiles": (orders_price_percentiles, PERCENTILES_SQL),
