@@ -3722,6 +3722,189 @@ FROM a3 GROUP BY cent_id
 )
 
 
+def events_skewed_rollup(spark, sf_dir):
+    """Hot-group aggregation through the salted two-phase operator
+    (:func:`levi_spark.operators.skew.salted_agg`): events has only 5
+    event types, so a plain groupBy funnels 1/5 of the table through
+    one reducer; the salt fans each group over 16 partials first. The
+    result is bit-identical to the plain plan — this query gates that
+    the mitigation does not change answers."""
+    from levi_spark.operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "vq", F.floor(F.col("value") * 10000.0 + F.lit(0.5)).cast("long")
+    )
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {"vq": "sum", "event_id": "count", "user_id": "max"},
+        salt_on=F.col("event_id"),
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("vq_sum").cast("long").alias("value_qsum"),
+        F.col("event_id_count").cast("long").alias("n_events"),
+        F.col("user_id_max").alias("max_user"),
+    ).orderBy("event_type")
+
+
+SKEWED_ROLLUP_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS value_qsum,
+       COUNT(event_id) AS n_events,
+       MAX(user_id) AS max_user
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def events_salted_user_join(spark, sf_dir):
+    """Hot-key join through :func:`levi_spark.operators.skew.
+    salted_join`: events (big, per-user hot keys) against a per-user
+    activity profile (too-big-to-broadcast stand-in), salt replicated
+    16x on the build side. Result must equal the plain join."""
+    from levi_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    profile = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_user_events"))
+    joined = salted_join(
+        ev.select("event_id", "user_id", "event_type"),
+        profile,
+        on=["user_id"],
+        salt_on=F.col("event_id"),
+        n_salts=16,
+    )
+    return (
+        joined.where(F.col("n_user_events") >= 20)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_heavy_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SALTED_JOIN_SQL = """
+WITH profile AS (
+  SELECT user_id, COUNT(*) AS n_user_events FROM events GROUP BY user_id
+)
+SELECT event_type, COUNT(*) AS n_events,
+       COUNT(DISTINCT e.user_id) AS n_heavy_users
+FROM events e JOIN profile p ON e.user_id = p.user_id
+WHERE p.n_user_events >= 20
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def delta_sync_counts(spark, sf_dir):
+    """Delta→Delta incremental sync through the gate surface
+    (:mod:`levi_spark.streaming.delta_source`): customer becomes a
+    source table, a bootstrap sync copies it, an append lands, a second
+    sync moves ONLY the delta (txn-recorded, crash-idempotent), and a
+    third sync must move zero rows. Output: destination per-segment
+    counts after the incremental window."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from levi_spark.delta.log import DeltaLog
+    from levi_spark.delta.writer import write_delta
+    from levi_spark.streaming.delta_source import SyncState, incremental_sync
+
+    root = _os.path.join(_tempfile.gettempdir(), "levi_spark_sync_customer")
+    _shutil.rmtree(root, ignore_errors=True)
+    src, dst = _os.path.join(root, "src"), _os.path.join(root, "dst")
+    state = SyncState(_os.path.join(root, "state.json"))
+    write_delta(
+        _t(spark, sf_dir, "customer").repartition(8), src, mode="error",
+        checkpoint_interval=None,
+    )
+    incremental_sync(spark, src, dst, state)
+    write_delta(
+        spark.range(1, 6).select(
+            (F.col("id") + 90_000_000).alias("c_custkey"),
+            F.lit("Customer#synced").alias("c_name"),
+            F.lit(0).cast("int").alias("c_nationkey"),
+            F.lit(1.0).alias("c_acctbal"),
+            F.lit("SYNCED").alias("c_mktsegment"),
+        ),
+        src, mode="append", checkpoint_interval=None,
+    )
+    r2 = incremental_sync(spark, src, dst, state)
+    r3 = incremental_sync(spark, src, dst, state)
+    assert r2["rows"] == 5 and r3["rows"] == 0, (r2, r3)
+    return (
+        DeltaLog(spark, dst)
+        .snapshot()
+        .to_df()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("c_custkey").alias("key_sum"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SYNC_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_rows,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+FROM (
+  SELECT c_mktsegment, c_custkey FROM customer
+  UNION ALL
+  SELECT 'SYNCED', 90000000 + i FROM generate_series(1, 5) AS g(i)
+)
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def schema_evolution_counts(spark, sf_dir):
+    """mergeSchema append through the gate surface: nation becomes an
+    engine Delta table, an append carries a NEW column (region_code),
+    old files read back with nulls there — pure metadata evolution, no
+    rewrite (:func:`levi_spark.delta.writer.write_delta`
+    ``merge_schema=True``)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from levi_spark.delta.log import DeltaLog
+    from levi_spark.delta.writer import write_delta
+
+    base = _os.path.join(_tempfile.gettempdir(), "levi_spark_evo_nation")
+    _shutil.rmtree(base, ignore_errors=True)
+    write_delta(
+        _t(spark, sf_dir, "nation"), base, mode="error", checkpoint_interval=None
+    )
+    nation_types = dict(_t(spark, sf_dir, "nation").dtypes)
+    write_delta(
+        spark.range(1, 4).select(
+            (F.col("id") + 100).cast(nation_types["n_nationkey"]).alias("n_nationkey"),
+            F.lit("NEWLAND").alias("n_name"),
+            F.lit(0).cast(nation_types["n_regionkey"]).alias("n_regionkey"),
+            F.lit("RC").alias("region_code"),
+        ),
+        base, mode="append", merge_schema=True, checkpoint_interval=None,
+    )
+    df = DeltaLog(spark, base).snapshot().to_df()
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("region_code").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("nulls_in_new_col"),
+        F.countDistinct("region_code").alias("distinct_new_col"),
+    )
+
+
+SCHEMA_EVO_SQL = """
+SELECT COUNT(*) + 3 AS n_rows,
+       COUNT(*) AS nulls_in_new_col,
+       1 AS distinct_new_col
+FROM nation
+"""
+
+
 def table_restore_counts(spark, sf_dir):
     """RESTORE through the gate surface: customer becomes an engine
     Delta table (v0), an append lands (v1), then a metadata-only
@@ -4061,6 +4244,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # -- slots 51+: green in CORRECTNESS_r01, unchanged this round, or new
     #    non-window queries awaiting next round's rotation ----------------
     "table_restore_counts": (table_restore_counts, RESTORE_SQL),
+    "events_skewed_rollup": (events_skewed_rollup, SKEWED_ROLLUP_SQL),
+    "events_salted_user_join": (events_salted_user_join, SALTED_JOIN_SQL),
+    "delta_sync_counts": (delta_sync_counts, SYNC_SQL),
+    "schema_evolution_counts": (schema_evolution_counts, SCHEMA_EVO_SQL),
     "updated_partitions_sim": (updated_partitions_sim, UPDATED_PARTS_SQL),
     "lineitem_rollup": (lineitem_rollup, ROLLUP_SQL),
     "orders_price_percentiles": (orders_price_percentiles, PERCENTILES_SQL),
