@@ -3722,6 +3722,114 @@ FROM a3 GROUP BY cent_id
 )
 
 
+def ivf_trained_topk(spark, sf_dir):
+    """IVF ANN with a TRAINED coarse quantizer — the full 100 TB
+    pipeline in one query: k-means fit over the corpus
+    (:mod:`levi_spark.operators.kmeans`, cross-engine-exact integer
+    arithmetic), cell assignment against the trained centroids,
+    nprobe=2 probing, exact cosine rerank within probed cells. The
+    plain ``ivf_ann_topk`` gates the plumbing with fixed seeds; this
+    gates the composition with the trainer."""
+    from levi_spark.operators.kmeans import _sqdist_quant, kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec("embedding").alias("v")
+    )
+    fit = kmeans_fit(
+        emb, "vec_id", "v", k=4, max_iter=2, tol=0.0,
+        dist_scale=1e6, mean_scale=1e8,
+    )
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(fit["centroids"])],
+        "cent_id int, cv array<double>",
+    )
+    scored = emb.crossJoin(F.broadcast(cdf)).select(
+        "vec_id", "v", "cent_id",
+        _sqdist_quant(F.col("v"), F.col("cv"), 1e6).alias("__d"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("__d").asc(), F.col("cent_id").asc()
+    )
+    ranked = scored.withColumn("__rn", F.row_number().over(w_assign))
+    assigned = ranked.where(F.col("__rn") == 1).select(
+        "vec_id", "v", F.col("cent_id").alias("cell")
+    )
+    probes = ranked.where((F.col("vec_id") < 10) & (F.col("__rn") <= 2)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("cent_id").alias("cell"),
+    )
+    cand = (
+        probes.join(assigned, "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("score"),
+        )
+    )
+    w_k = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("__rk", F.row_number().over(w_k))
+        .where(F.col("__rk") <= 5)
+        .select("query_id", "neighbor_id", "score")
+    )
+
+
+_TRAINED_DIST = (
+    "CAST(list_sum(list_transform(range(1, len(p.v) + 1), "
+    "i -> CAST(floor((p.v[i] - c.cv[i]) * (p.v[i] - c.cv[i]) * 1000000 + 0.5) "
+    "AS BIGINT))) AS BIGINT)"
+)
+
+IVF_TRAINED_SQL = (
+    """
+WITH pts AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+seeds AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cent_id, v AS cv
+  FROM pts ORDER BY vec_id LIMIT 4
+),"""
+    + _kmeans_assign_cte("ta1", "seeds") + ","
+    + _kmeans_update_cte("ta1", "seeds", "tm1", "tc1") + ","
+    + _kmeans_assign_cte("ta2", "tc1") + ","
+    + _kmeans_update_cte("ta2", "tc1", "tm2", "tc2")
+    + f""",
+probe_scored AS (
+  SELECT p.vec_id, c.cent_id,
+         ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                            ORDER BY {_TRAINED_DIST} ASC, c.cent_id ASC) AS rn
+  FROM pts p CROSS JOIN tc2 c
+),
+t_assigned AS (
+  SELECT s.vec_id, p.v, s.cent_id AS cell
+  FROM probe_scored s JOIN pts p USING (vec_id) WHERE s.rn = 1
+),
+t_probes AS (
+  SELECT s.vec_id AS query_id, p.v AS qv, s.cent_id AS cell
+  FROM probe_scored s JOIN pts p USING (vec_id)
+  WHERE s.vec_id < 10 AND s.rn <= 2
+),
+t_cand AS (
+  SELECT pr.query_id, a.vec_id AS neighbor_id,
+         ROUND(list_inner_product(pr.qv, a.v)
+               / (sqrt(list_inner_product(pr.qv, pr.qv))
+                  * sqrt(list_inner_product(a.v, a.v))), 6) AS score
+  FROM t_probes pr JOIN t_assigned a
+    ON pr.cell = a.cell AND a.vec_id <> pr.query_id
+)
+SELECT query_id, neighbor_id, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id ASC) AS rk
+  FROM t_cand
+) WHERE rk <= 5
+"""
+)
+
+
 def events_skewed_rollup(spark, sf_dir):
     """Hot-group aggregation through the salted two-phase operator
     (:func:`levi_spark.operators.skew.salted_agg`): events has only 5
@@ -4248,6 +4356,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_salted_user_join": (events_salted_user_join, SALTED_JOIN_SQL),
     "delta_sync_counts": (delta_sync_counts, SYNC_SQL),
     "schema_evolution_counts": (schema_evolution_counts, SCHEMA_EVO_SQL),
+    "ivf_trained_topk": (ivf_trained_topk, IVF_TRAINED_SQL),
     "updated_partitions_sim": (updated_partitions_sim, UPDATED_PARTS_SQL),
     "lineitem_rollup": (lineitem_rollup, ROLLUP_SQL),
     "orders_price_percentiles": (orders_price_percentiles, PERCENTILES_SQL),
