@@ -332,24 +332,9 @@ def write_delta(
 
     # -- commit --------------------------------------------------------------
     now_ms = int(time.time() * 1000)
-    lines: list[str] = []
-    lines.append(json.dumps({"protocol": _PROTOCOL}))
-    lines.append(
-        json.dumps(
-            {
-                "metaData": {
-                    "id": meta_id or str(uuid.uuid4()),
-                    "format": {"provider": "parquet", "options": {}},
-                    "schemaString": commit_schema.json(),
-                    "partitionColumns": partition_by,
-                    "configuration": meta_conf,
-                    "createdTime": now_ms,
-                }
-            }
-        )
-    )
+    tail_lines: list[str] = []
     for raw in prev_adds:  # raw add.path strings — never re-encoded
-        lines.append(
+        tail_lines.append(
             json.dumps(
                 {
                     "remove": {
@@ -363,7 +348,7 @@ def write_delta(
     for rel in sorted(moved):
         st = os.stat(os.path.join(path, rel))
         stats = stats_by_name.get(os.path.basename(rel))
-        lines.append(
+        tail_lines.append(
             json.dumps(
                 {
                     "add": {
@@ -382,10 +367,10 @@ def write_delta(
             )
         )
     if cdc_df is not None:
-        lines += cdc_action_lines(write_cdc_files(cdc_df, path))
+        tail_lines += cdc_action_lines(write_cdc_files(cdc_df, path))
     if txn is not None:
         app_id, src_version = txn
-        lines.append(
+        tail_lines.append(
             json.dumps(
                 {
                     "txn": {
@@ -396,7 +381,7 @@ def write_delta(
                 }
             )
         )
-    lines.append(
+    tail_lines.append(
         json.dumps(
             {
                 "commitInfo": {
@@ -409,9 +394,68 @@ def write_delta(
         )
     )
     os.makedirs(log_dir, exist_ok=True)
-    version = _publish_commit(
-        log_dir, version, "\n".join(lines) + "\n", rebase_ok=(mode == "append" and not prev_adds)
-    )
+
+    def _payload() -> str:
+        meta_line = json.dumps(
+            {
+                "metaData": {
+                    "id": meta_id or str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": commit_schema.json(),
+                    "partitionColumns": partition_by,
+                    "configuration": meta_conf,
+                    "createdTime": now_ms,
+                }
+            }
+        )
+        return "\n".join([json.dumps({"protocol": _PROTOCOL}), meta_line, *tail_lines]) + "\n"
+
+    # Blind appends rebase past concurrent commits — but by RE-READING
+    # the snapshot each attempt, not by blindly re-publishing: the
+    # winning commit may have evolved the schema (mergeSchema union) or
+    # changed configuration, and a stale metaData re-emit would silently
+    # revert it. Each retry re-validates this append against the fresh
+    # table metadata (a plain append whose column set no longer matches
+    # the winner's schema now fails loudly instead of reverting it).
+    # (an append racing the table's creation re-reads the winner's log
+    # on retry, so `exists` at entry is irrelevant here)
+    blind_append = mode == "append" and not prev_adds
+    for _attempt in range(20):
+        try:
+            version = _publish_commit(
+                log_dir, version, _payload(), rebase_ok=False
+            )
+            break
+        except ValueError:
+            if not blind_append:
+                raise
+            snap = DeltaLog(spark, path).snapshot()
+            version = snap.version + 1
+            meta_id = snap.metadata.id
+            meta_conf = dict(snap.metadata.configuration)
+            prev_schema = snap.metadata.schema
+            by_name = {f.name: f for f in prev_schema.fields}
+            for f in df.schema.fields:
+                if f.name in by_name and by_name[f.name].dataType != f.dataType:
+                    raise ValueError(
+                        f"append invalidated by concurrent commit: type conflict "
+                        f"on '{f.name}' against the new table schema"
+                    ) from None
+            if merge_schema:
+                commit_schema = T.StructType(
+                    list(prev_schema.fields)
+                    + [f for f in df.schema.fields if f.name not in by_name]
+                )
+            elif {f.name for f in prev_schema.fields} != set(df.columns):
+                raise ValueError(
+                    "append invalidated by concurrent commit: table columns "
+                    f"are now {sorted(f.name for f in prev_schema.fields)}, "
+                    f"df has {sorted(df.columns)}"
+                ) from None
+            else:
+                commit_schema = prev_schema
+    else:
+        raise RuntimeError("commit contention: 20 rebase attempts failed")
 
     if checkpoint_interval and version > 0 and version % checkpoint_interval == 0:
         # Deferred import: checkpoint.py only depends on log.py, no cycle.

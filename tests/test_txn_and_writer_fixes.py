@@ -239,3 +239,63 @@ def test_soft_delete_conflict_raises_value_error_no_orphan(
     # the sidecar written before the failed publish is cleaned up
     dv_root = os.path.join(path, "_deletion_vectors")
     assert not os.path.isdir(dv_root) or not os.listdir(dv_root)
+
+
+# ------------------------------------------- rebase metadata freshness --
+
+
+def _pin_first_snapshot(monkeypatch):
+    """First DeltaLog.snapshot() call returns version 0 (the stale
+    pre-race read); later calls behave normally."""
+    orig = DeltaLog.snapshot
+    calls = {"n": 0}
+
+    def patched(self, version=None):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return orig(self, 0)
+        return orig(self, version)
+
+    monkeypatch.setattr(DeltaLog, "snapshot", patched)
+
+
+def test_rebased_append_does_not_revert_concurrent_schema_union(
+    spark, tmp_path, monkeypatch
+):
+    """A blind append that loses the version race to a mergeSchema
+    commit must re-read the winner's metadata on rebase — committing
+    its stale pre-read schema would silently drop the new column."""
+    path = str(tmp_path / "t")
+    write_delta(spark.range(3).select("id"), path, mode="error",
+                checkpoint_interval=None)                       # v0: (id)
+    write_delta(
+        spark.createDataFrame([(10, "x")], "id long, extra string"),
+        path, mode="append", merge_schema=True, checkpoint_interval=None,
+    )                                                           # v1: (id, extra)
+    _pin_first_snapshot(monkeypatch)
+    write_delta(
+        spark.createDataFrame([(20, "y")], "id long, extra string"),
+        path, mode="append", merge_schema=True, checkpoint_interval=None,
+    )                                                           # raced append
+    meta = DeltaLog(spark, path).snapshot().metadata
+    assert [f.name for f in meta.schema.fields] == ["id", "extra"]
+    rows = {(r.id, r.extra) for r in DeltaLog(spark, path).snapshot().to_df().collect()}
+    assert rows == {(0, None), (1, None), (2, None), (10, "x"), (20, "y")}
+
+
+def test_rebased_plain_append_fails_when_schema_moved(
+    spark, tmp_path, monkeypatch
+):
+    """A plain (non-mergeSchema) append raced by a schema-widening
+    commit must fail loudly instead of committing stale metadata."""
+    path = str(tmp_path / "t")
+    write_delta(spark.range(3).select("id"), path, mode="error",
+                checkpoint_interval=None)                       # v0: (id)
+    write_delta(
+        spark.createDataFrame([(10, "x")], "id long, extra string"),
+        path, mode="append", merge_schema=True, checkpoint_interval=None,
+    )                                                           # v1: (id, extra)
+    _pin_first_snapshot(monkeypatch)
+    with pytest.raises(ValueError, match="invalidated by concurrent commit"):
+        write_delta(spark.range(20, 22).select("id"), path, mode="append",
+                    checkpoint_interval=None)
