@@ -3722,6 +3722,108 @@ FROM a3 GROUP BY cent_id
 )
 
 
+def embedding_lsh_neardup(spark, sf_dir):
+    """Embedding near-dup at corpus scale: random-hyperplane LSH
+    (hyperplanes = the first 16 embeddings, deterministic in-data
+    choice) gives every vector a 16-bit signature; 4 bands of 4 bits
+    bucket the corpus, candidate pairs share a band bucket, and only
+    candidates pay the exact-cosine verify. No all-pairs stage — the
+    band join is key-bounded — which is what replaces
+    ``embedding_neardup_pairs``'s bounded-window verify at 100 TB.
+    4x4 banding catches a true near-duplicate (cosine >= 0.8) with
+    ~99% probability; the 0.3 report threshold keeps the output
+    non-degenerate on this synthetic corpus, whose cosine tail tops
+    out near 0.5 (the pairs reported here are band-collision samples
+    of that tail, NOT exhaustive — the exhaustive low-threshold tool
+    is the verify-stage query)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec("embedding").alias("v")
+    )
+    hyp = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("hid"), F.col("v").alias("hv")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("hv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    bits = emb.crossJoin(F.broadcast(hyp)).select(
+        "vec_id", "hid", F.when(dot >= 0, 1).otherwise(0).alias("b")
+    )
+    band_exprs = [
+        F.sum(
+            F.expr(
+                f"CASE WHEN hid >= {4 * k} AND hid < {4 * (k + 1)} "
+                f"THEN b * shiftleft(1, hid - {4 * k}) ELSE 0 END"
+            )
+        )
+        .cast("long")
+        .alias(f"band{k}")
+        for k in range(4)
+    ]
+    sig = bits.groupBy("vec_id").agg(*band_exprs)
+    cands = None
+    for band in ("band0", "band1", "band2", "band3"):
+        a = sig.select(F.col("vec_id").alias("id_a"), F.col(band).alias("__bk"))
+        b = sig.select(F.col("vec_id").alias("id_b"), F.col(band).alias("__bk"))
+        pairs = a.join(b, "__bk").where(F.col("id_b") > F.col("id_a")).select(
+            "id_a", "id_b"
+        )
+        cands = pairs if cands is None else cands.unionByName(pairs)
+    cands = cands.distinct()
+    va = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("__va"))
+    vb = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("__vb"))
+    scored = (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("score"),
+        )
+    )
+    return scored.where(F.col("score") >= 0.3).select("id_a", "id_b", "score")
+
+
+LSH_NEARDUP_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+h AS (SELECT vec_id AS hid, e AS he FROM v WHERE vec_id < 16),
+bits AS (
+  SELECT v.vec_id, h.hid,
+         CASE WHEN list_inner_product(v.e, h.he) >= 0 THEN 1 ELSE 0 END AS b
+  FROM v CROSS JOIN h
+),
+sig AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN hid < 4 THEN b * (1 << hid) ELSE 0 END) AS BIGINT) AS band0,
+         CAST(SUM(CASE WHEN hid >= 4 AND hid < 8 THEN b * (1 << (hid - 4)) ELSE 0 END) AS BIGINT) AS band1,
+         CAST(SUM(CASE WHEN hid >= 8 AND hid < 12 THEN b * (1 << (hid - 8)) ELSE 0 END) AS BIGINT) AS band2,
+         CAST(SUM(CASE WHEN hid >= 12 THEN b * (1 << (hid - 12)) ELSE 0 END) AS BIGINT) AS band3
+  FROM bits GROUP BY vec_id
+),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sig a JOIN sig b ON a.band0 = b.band0 AND b.vec_id > a.vec_id
+  UNION
+  SELECT a.vec_id, b.vec_id
+  FROM sig a JOIN sig b ON a.band1 = b.band1 AND b.vec_id > a.vec_id
+  UNION
+  SELECT a.vec_id, b.vec_id
+  FROM sig a JOIN sig b ON a.band2 = b.band2 AND b.vec_id > a.vec_id
+  UNION
+  SELECT a.vec_id, b.vec_id
+  FROM sig a JOIN sig b ON a.band3 = b.band3 AND b.vec_id > a.vec_id
+)
+SELECT id_a, id_b, score FROM (
+  SELECT c.id_a, c.id_b,
+         ROUND(list_inner_product(va.e, vb.e)
+               / (sqrt(list_inner_product(va.e, va.e))
+                  * sqrt(list_inner_product(vb.e, vb.e))), 6) AS score
+  FROM cand c JOIN v va ON va.vec_id = c.id_a JOIN v vb ON vb.vec_id = c.id_b
+)
+WHERE score >= 0.3
+"""
+
+
 def ivf_trained_topk(spark, sf_dir):
     """IVF ANN with a TRAINED coarse quantizer — the full 100 TB
     pipeline in one query: k-means fit over the corpus
@@ -4357,6 +4459,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "delta_sync_counts": (delta_sync_counts, SYNC_SQL),
     "schema_evolution_counts": (schema_evolution_counts, SCHEMA_EVO_SQL),
     "ivf_trained_topk": (ivf_trained_topk, IVF_TRAINED_SQL),
+    "embedding_lsh_neardup": (embedding_lsh_neardup, LSH_NEARDUP_SQL),
     "updated_partitions_sim": (updated_partitions_sim, UPDATED_PARTS_SQL),
     "lineitem_rollup": (lineitem_rollup, ROLLUP_SQL),
     "orders_price_percentiles": (orders_price_percentiles, PERCENTILES_SQL),
