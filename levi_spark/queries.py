@@ -1377,6 +1377,116 @@ FROM (
 """
 
 
+def doc_repetition_filters(spark, sf_dir):
+    """Gopher-style repetition quality filters (Rae et al. 2021 §A1.1):
+    per-document duplicate-word fraction, most-frequent-bigram mass, and
+    duplicate-trigram mass, plus the resulting keep/drop decision.
+
+    Scale shape: n-grams are built row-locally with JVM higher-order
+    functions (no shuffle), then counted with a partial-aggregatable
+    groupBy keyed on (doc_id, gram) — duplicate grams collapse map-side
+    before the shuffle, and all downstream joins are on doc_id, so the
+    plan is two doc-keyed exchanges regardless of corpus size. No
+    Python UDFs. Fractions are quantized to integer micro-units
+    (floor(x*1e6+0.5)) so the DuckDB oracle hashes identically.
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    )
+    words = toks.select(
+        "doc_id",
+        F.size("t").alias("n_words"),
+        F.size(F.array_distinct("t")).alias("n_distinct"),
+    )
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(F.size("t") < 2, F.array()).otherwise(
+                F.expr("transform(sequence(0, size(t) - 2),"
+                       " i -> concat(t[i], ' ', t[i + 1]))")
+            )
+        ).alias("g"),
+    )
+    trigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(F.size("t") < 3, F.array()).otherwise(
+                F.expr("transform(sequence(0, size(t) - 3),"
+                       " i -> concat(t[i], ' ', t[i + 1], ' ', t[i + 2]))")
+            )
+        ).alias("g"),
+    )
+    btop = (
+        bigrams.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_bi"))
+    )
+    tdup = (
+        trigrams.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("dup_c"),
+            F.sum("c").alias("n_tri"),
+        )
+    )
+    dup_word = F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_words")
+    top_bi = F.col("top_c").cast("double") / F.col("n_bi")
+    dup_tri = F.col("dup_c").cast("double") / F.col("n_tri")
+    return (
+        words.join(btop, "doc_id").join(tdup, "doc_id")
+        .select(
+            "doc_id",
+            F.floor(dup_word * 1_000_000 + 0.5).alias("dup_word_micro"),
+            F.floor(top_bi * 1_000_000 + 0.5).alias("top_bigram_micro"),
+            F.floor(dup_tri * 1_000_000 + 0.5).alias("dup_trigram_micro"),
+            ((top_bi < 0.08) & (dup_tri < 0.10) & (dup_word < 0.75))
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
+REPETITION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+words AS (
+  SELECT doc_id, len(t) AS n_words, len(list_distinct(t)) AS n_distinct FROM toks
+),
+bigrams AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)
+),
+btop AS (
+  SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bi
+  FROM (SELECT doc_id, g, COUNT(*) AS c FROM bigrams GROUP BY 1, 2)
+  GROUP BY doc_id
+),
+trigrams AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS g
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)
+),
+tdup AS (
+  SELECT doc_id,
+         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_c,
+         SUM(c) AS n_tri
+  FROM (SELECT doc_id, g, COUNT(*) AS c FROM trigrams GROUP BY 1, 2)
+  GROUP BY doc_id
+)
+SELECT w.doc_id,
+  CAST(floor((1.0 - CAST(n_distinct AS DOUBLE) / n_words) * 1000000 + 0.5) AS BIGINT) AS dup_word_micro,
+  CAST(floor((CAST(top_c AS DOUBLE) / n_bi) * 1000000 + 0.5) AS BIGINT) AS top_bigram_micro,
+  CAST(floor((CAST(dup_c AS DOUBLE) / n_tri) * 1000000 + 0.5) AS BIGINT) AS dup_trigram_micro,
+  CAST((CAST(top_c AS DOUBLE) / n_bi < 0.08
+        AND CAST(dup_c AS DOUBLE) / n_tri < 0.10
+        AND 1.0 - CAST(n_distinct AS DOUBLE) / n_words < 0.75) AS INTEGER) AS keep
+FROM words w JOIN btop USING (doc_id) JOIN tdup USING (doc_id)
+"""
+
+
 def ngram_jaccard_pairs(spark, sf_dir):
     """Character-3-gram Jaccard for a deterministic candidate pair set
     (doc_id windows) — the verify stage of shingle-based near-dup."""
@@ -4494,4 +4604,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_funnel": (events_funnel, FUNNEL_SQL),
     "orders_moving_avg": (orders_moving_avg, MOVING_AVG_SQL),
     "events_retention_cohorts": (events_retention_cohorts, RETENTION_SQL),
+    "doc_repetition_filters": (doc_repetition_filters, REPETITION_SQL),
 }
