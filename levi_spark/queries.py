@@ -3811,7 +3811,9 @@ def _kmeans_update_cte(assign: str, prev: str, means: str, out: str) -> str:
 )"""
 
 
-KMEANS_SQL = (
+# Two Lloyd rounds + final assignment (a3 = vec_id, cent_id, d), shared
+# by every oracle that needs the trained coarse quantizer.
+_KMEANS_CTES = (
     """
 WITH pts AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -3825,9 +3827,89 @@ seeds AS (
     + _kmeans_assign_cte("a2", "c1") + ","
     + _kmeans_update_cte("a2", "c1", "m2", "c2") + ","
     + _kmeans_assign_cte("a3", "c2")
+)
+
+KMEANS_SQL = (
+    _KMEANS_CTES
     + """
 SELECT cent_id AS cluster, COUNT(*) AS n_points, CAST(SUM(d) AS BIGINT) AS wss
 FROM a3 GROUP BY cent_id
+"""
+)
+
+
+def semdedup_prune(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means the embedding space with
+    the shared coarse quantizer (k=4, 2 Lloyd rounds — identical fit to
+    ``kmeans_embedding_clusters``), then within each cluster drop every
+    vector whose cosine similarity to a *lower-id* cluster-mate exceeds
+    0.3. Keep-first-occurrence makes the pruned set deterministic
+    without any iterative pass. Returns one row per vector:
+    (vec_id, cluster, keep, dup_of) with dup_of = lowest-id duplicate
+    partner (-1 for survivors).
+
+    Scale shape: the all-pairs join is *within cluster only* — in a real
+    deployment k scales with corpus size so cluster populations stay
+    bounded (SemDeDup uses ~50k clusters for LAION-scale), making the
+    pairwise stage O(N·cluster_size), shuffled on the cluster key. The
+    centroid fit collects only k×dims doubles to the driver.
+    """
+    from levi_spark.operators.kmeans import assign_clusters, kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("v")
+    )
+    fit = kmeans_fit(
+        emb, "vec_id", "v", k=4, max_iter=2, tol=0.0,
+        dist_scale=1e6, mean_scale=1e8,
+    )
+    pts = (
+        assign_clusters(emb, "vec_id", "v", fit["centroids"])
+        .withColumnRenamed("id", "vec_id")
+        .join(emb, "vec_id")
+    )
+    a = pts.select(
+        "cluster", F.col("vec_id").alias("id_a"), F.col("v").alias("__va")
+    )
+    b = pts.select(
+        "cluster", F.col("vec_id").alias("id_b"), F.col("v").alias("__vb")
+    )
+    dup = (
+        a.join(b, "cluster")
+        .where(F.col("id_b") > F.col("id_a"))
+        .where(F.round(cosine(F.col("__va"), F.col("__vb")), 6) > 0.3)
+        .groupBy(F.col("id_b").alias("vec_id"))
+        .agg(F.min("id_a").alias("dup_of"))
+    )
+    return (
+        pts.join(dup, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.when(F.col("dup_of").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+            F.coalesce(F.col("dup_of"), F.lit(-1)).alias("dup_of"),
+        )
+    )
+
+
+SEMDEDUP_SQL = (
+    _KMEANS_CTES
+    + """,
+pv AS (
+  SELECT a3.vec_id, a3.cent_id AS cluster, p.v
+  FROM a3 JOIN pts p USING (vec_id)
+),
+dup AS (
+  SELECT b.vec_id, MIN(a.vec_id) AS dup_of
+  FROM pv a JOIN pv b ON a.cluster = b.cluster AND b.vec_id > a.vec_id
+  WHERE ROUND(list_inner_product(a.v, b.v)
+        / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) > 0.3
+  GROUP BY b.vec_id
+)
+SELECT pv.vec_id, pv.cluster,
+       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep,
+       COALESCE(d.dup_of, -1) AS dup_of
+FROM pv LEFT JOIN dup d ON pv.vec_id = d.vec_id
 """
 )
 
@@ -4605,4 +4687,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "orders_moving_avg": (orders_moving_avg, MOVING_AVG_SQL),
     "events_retention_cohorts": (events_retention_cohorts, RETENTION_SQL),
     "doc_repetition_filters": (doc_repetition_filters, REPETITION_SQL),
+    "semdedup_prune": (semdedup_prune, SEMDEDUP_SQL),
 }
