@@ -3294,6 +3294,94 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def domain_mix_rebalance(spark, sf_dir):
+    """Training-mixture rebalancing: re-weight the corpus toward a
+    temperature-scaled domain mix (w_i ∝ sqrt(n_i), the alpha=0.5
+    smoothing used for multilingual/domain balancing in LLM data
+    recipes), with a 50% total token budget. Each source gets a
+    deterministic per-document acceptance rate (ppm), applied with the
+    same salted md5-bucket arithmetic as the sampler — so the selected
+    set is stable across runs, engines, and partitionings.
+
+    Scale shape: the per-source rate table is a tiny aggregate
+    (|sources| rows) broadcast back onto the corpus; the accept filter
+    is map-side WHERE arithmetic, so the whole rebalance is one scan +
+    one broadcast join — no corpus-sized shuffle.
+    """
+    from levi_spark.operators.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").alias("corpus"),
+        F.sum(F.sqrt(F.col("n_docs"))).alias("z"),
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("budget", F.col("corpus") * F.lit(0.5))
+        .select(
+            "source",
+            "n_docs",
+            F.least(
+                F.lit(1_000_000).cast("long"),
+                F.floor(
+                    F.sqrt(F.col("n_docs")) / F.col("z") * F.col("budget")
+                    / F.col("n_docs") * F.lit(1_000_000.0)
+                ),
+            ).alias("rate_ppm"),
+        )
+    )
+    sel = (
+        docs.join(F.broadcast(rates), "source")
+        .where(hash_bucket(F.col("doc_id"), salt="mix") < F.col("rate_ppm"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+    )
+    return (
+        rates.join(sel, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "rate_ppm",
+            F.coalesce(F.col("n_selected"), F.lit(0)).alias("n_selected"),
+            F.coalesce(F.col("id_sum"), F.lit(0)).alias("id_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+DOMAIN_MIX_SQL = """
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+tot AS (
+  SELECT SUM(n_docs) AS corpus, SUM(sqrt(CAST(n_docs AS DOUBLE))) AS z FROM counts
+),
+rates AS (
+  SELECT source, n_docs,
+         LEAST(1000000, CAST(floor(
+           sqrt(CAST(n_docs AS DOUBLE)) / z * (CAST(corpus AS DOUBLE) * 0.5)
+           / n_docs * 1000000.0) AS BIGINT)) AS rate_ppm
+  FROM counts CROSS JOIN tot
+),
+sel AS (
+  SELECT d.source, COUNT(*) AS n_selected, CAST(SUM(d.doc_id) AS BIGINT) AS id_sum
+  FROM documents d JOIN rates r ON d.source = r.source
+  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'mix'), 1, 12))::BIGINT
+        % 1000000 < r.rate_ppm
+  GROUP BY d.source
+)
+SELECT r.source, CAST(r.n_docs AS BIGINT) AS n_docs, r.rate_ppm,
+       COALESCE(s.n_selected, 0) AS n_selected,
+       COALESCE(s.id_sum, 0) AS id_sum
+FROM rates r LEFT JOIN sel s ON r.source = s.source
+ORDER BY r.source
+"""
+
+
 def lineitem_profile(spark, sf_dir):
     """Data-profiling operator (deequ-style): per-column null count,
     exact distinct count, and quantized numeric min/max, computed in
@@ -3770,7 +3858,7 @@ def kmeans_embedding_clusters(spark, sf_dir):
     )
 
 
-def _kmeans_assign_cte(name: str, cents: str) -> str:
+def _kmeans_assign_cte(name: str, cents: str, pts: str = "pts") -> str:
     """One Lloyd assignment round as SQL: integer-quantized squared L2
     against ``cents``, argmin with ties to the lower cent_id — the
     exact arithmetic of ``operators.kmeans._sqdist_quant``."""
@@ -3784,12 +3872,14 @@ def _kmeans_assign_cte(name: str, cents: str) -> str:
                               ORDER BY CAST(list_sum(list_transform(range(1, len(p.v) + 1),
                                 i -> CAST(floor((p.v[i] - c.cv[i]) * (p.v[i] - c.cv[i]) * 1000000 + 0.5) AS BIGINT))) AS BIGINT) ASC,
                                        c.cent_id ASC) AS rn
-    FROM pts p CROSS JOIN {cents} c)
+    FROM {pts} p CROSS JOIN {cents} c)
   WHERE rn = 1
 )"""
 
 
-def _kmeans_update_cte(assign: str, prev: str, means: str, out: str) -> str:
+def _kmeans_update_cte(
+    assign: str, prev: str, means: str, out: str, pts: str = "pts", dims: int = 64
+) -> str:
     """One centroid-update round: per-(cluster, dim) mean as
     sum(floor(v*1e8+0.5)) / 1e8 / count — int64 sum then two double
     divisions, matching the fit's driver-side arithmetic bit-for-bit.
@@ -3799,8 +3889,8 @@ def _kmeans_update_cte(assign: str, prev: str, means: str, out: str) -> str:
   SELECT a.cent_id, g.i AS pos,
          CAST(SUM(CAST(floor(p.v[g.i] * 100000000 + 0.5) AS BIGINT)) AS DOUBLE)
            / 100000000.0 / COUNT(*) AS m
-  FROM {assign} a JOIN pts p USING (vec_id)
-  CROSS JOIN generate_series(1, 64) g(i)
+  FROM {assign} a JOIN {pts} p USING (vec_id)
+  CROSS JOIN generate_series(1, {dims}) g(i)
   GROUP BY a.cent_id, g.i
 ),
 {out} AS (
@@ -3809,6 +3899,30 @@ def _kmeans_update_cte(assign: str, prev: str, means: str, out: str) -> str:
     SELECT cent_id, list(m ORDER BY pos) AS cv FROM {means} GROUP BY cent_id
   ) mm USING (cent_id)
 )"""
+
+
+def _kmeans_sub_ctes(m: int, lo: int, hi: int) -> str:
+    """Full 2-round Lloyd chain over one PQ subspace (list_slice of the
+    64-dim points), suffixed ``_{m}``: sub{m} → seed{m} → a1_{m} → c1_{m}
+    → a2_{m} → c2_{m} → a3_{m} (final assignment)."""
+    dims = hi - lo + 1
+    sub, seed = f"sub{m}", f"seed{m}"
+    head = f"""
+{sub} AS (
+  SELECT vec_id, list_slice(v, {lo}, {hi}) AS v FROM pts
+),
+{seed} AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cent_id, v AS cv
+  FROM {sub} ORDER BY vec_id LIMIT 4
+),"""
+    return (
+        head
+        + _kmeans_assign_cte(f"a1_{m}", seed, pts=sub) + ","
+        + _kmeans_update_cte(f"a1_{m}", seed, f"m1_{m}", f"c1_{m}", pts=sub, dims=dims) + ","
+        + _kmeans_assign_cte(f"a2_{m}", f"c1_{m}", pts=sub) + ","
+        + _kmeans_update_cte(f"a2_{m}", f"c1_{m}", f"m2_{m}", f"c2_{m}", pts=sub, dims=dims) + ","
+        + _kmeans_assign_cte(f"a3_{m}", f"c2_{m}", pts=sub)
+    )
 
 
 # Two Lloyd rounds + final assignment (a3 = vec_id, cent_id, d), shared
@@ -3910,6 +4024,70 @@ SELECT pv.vec_id, pv.cluster,
        CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep,
        COALESCE(d.dup_of, -1) AS dup_of
 FROM pv LEFT JOIN dup d ON pv.vec_id = d.vec_id
+"""
+)
+
+
+def pq_trained_codes(spark, sf_dir):
+    """Trained product quantization: per-subspace k-means codebooks
+    instead of ``embedding_pq_codes``'s fixed first-16 centroids. The
+    64-dim space splits into M=4 16-dim subspaces; each gets its own
+    k=4 codebook from a 2-round quantized Lloyd fit (same arithmetic as
+    the coarse quantizer). Returns (vec_id, c0..c3, code) with code the
+    base-4 packing.
+
+    Scale shape: 4 independent fits, each collecting only k×16 doubles
+    to the driver; **encoding is pure map-side** — the codebooks come
+    back as literal arrays, so cell assignment is a codegen expression
+    with no join and no shuffle at all (contrast the broadcast-join
+    encode of the fixed-codebook variant). At 100 TB the fits run over
+    a sample and the encode pass is embarrassingly parallel.
+    """
+    from levi_spark.operators.kmeans import _sqdist_quant, kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("v")
+    )
+    code_cols = []
+    for m in range(4):
+        sub = emb.select("vec_id", F.slice("v", m * 16 + 1, 16).alias("v"))
+        fit = kmeans_fit(
+            sub, "vec_id", "v", k=4, max_iter=2, tol=0.0,
+            dist_scale=1e6, mean_scale=1e8,
+        )
+        sl = F.slice("v", m * 16 + 1, 16)
+        d = [
+            _sqdist_quant(sl, F.array(*[F.lit(x) for x in c]), 1e6)
+            for c in fit["centroids"]
+        ]
+        code = (
+            F.when(d[0] <= F.least(d[1], d[2], d[3]), F.lit(0))
+            .when(d[1] <= F.least(d[2], d[3]), F.lit(1))
+            .when(d[2] <= d[3], F.lit(2))
+            .otherwise(F.lit(3))
+        )
+        code_cols.append(code.alias(f"c{m}"))
+    out = emb.select("vec_id", *code_cols)
+    packed = (
+        ((F.col("c0") * 4 + F.col("c1")) * 4 + F.col("c2")) * 4 + F.col("c3")
+    ).cast("long")
+    return out.select("vec_id", "c0", "c1", "c2", "c3", packed.alias("code"))
+
+
+PQ_TRAINED_SQL = (
+    """
+WITH pts AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),"""
+    + ",".join(_kmeans_sub_ctes(m, m * 16 + 1, m * 16 + 16) for m in range(4))
+    + """
+SELECT s0.vec_id,
+       s0.cent_id AS c0, s1.cent_id AS c1, s2.cent_id AS c2, s3.cent_id AS c3,
+       CAST(((s0.cent_id * 4 + s1.cent_id) * 4 + s2.cent_id) * 4 + s3.cent_id AS BIGINT) AS code
+FROM a3_0 s0
+JOIN a3_1 s1 USING (vec_id)
+JOIN a3_2 s2 USING (vec_id)
+JOIN a3_3 s3 USING (vec_id)
 """
 )
 
@@ -4688,4 +4866,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_retention_cohorts": (events_retention_cohorts, RETENTION_SQL),
     "doc_repetition_filters": (doc_repetition_filters, REPETITION_SQL),
     "semdedup_prune": (semdedup_prune, SEMDEDUP_SQL),
+    "domain_mix_rebalance": (domain_mix_rebalance, DOMAIN_MIX_SQL),
+    "pq_trained_codes": (pq_trained_codes, PQ_TRAINED_SQL),
 }
