@@ -4540,6 +4540,80 @@ ORDER BY stage
 """
 
 
+def optimize_layout_counts(spark, sf_dir):
+    """Layout lifecycle through the gate surface: orders becomes an
+    engine Delta table fragmented into 16 small files (v0), then three
+    full-layout rewrites land in sequence — small-file compaction
+    (v1, ``compact_small_files``), a z-order clustering rewrite (v2,
+    ``optimize_zorder`` on (o_custkey, o_totalprice)), and a
+    Hilbert-curve rewrite (v3, ``optimize_hilbert``). Reading every
+    version side-by-side proves each rewrite is content-preserving:
+    same rows, same keys, only the physical layout moved. File counts
+    are deliberately NOT in the output (they depend on range-sampling
+    and size heuristics); pytest asserts the locality/skipping wins
+    (``tests/test_layout.py``, ``tests/test_pruned_scan.py``).
+
+    Scale shape: each rewrite is one repartitionByRange on the curve
+    value (a single range shuffle) + sortWithinPartitions — the
+    standard OPTIMIZE ZORDER plan; the curve values are codegen bit
+    interleaves (z) or an Arrow-batched pandas UDF (Hilbert).
+    """
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from levi_spark.delta.log import DeltaLog
+    from levi_spark.delta.writer import write_delta
+    from levi_spark.operators.layout import (
+        compact_small_files,
+        optimize_hilbert,
+        optimize_zorder,
+    )
+
+    base = _os.path.join(_tempfile.gettempdir(), "levi_spark_layout_orders")
+    _shutil.rmtree(base, ignore_errors=True)
+    write_delta(
+        _t(spark, sf_dir, "orders").repartition(16), base, mode="error",
+        checkpoint_interval=None,
+    )
+    compact_small_files(spark, base, small_bytes=10**9, target_bytes=10**9)
+    optimize_zorder(spark, base, ["o_custkey", "o_totalprice"], n_files=4)
+    optimize_hilbert(spark, base, ["o_custkey", "o_totalprice"], n_files=4)
+    log = DeltaLog(spark, base)
+    stages = [
+        ("v0_fragmented", 0),
+        ("v1_compacted", 1),
+        ("v2_zordered", 2),
+        ("v3_hilbert", 3),
+    ]
+    parts = [
+        log.snapshot(v)
+        .to_df()
+        .agg(
+            F.lit(tag).alias("stage"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.countDistinct("o_custkey").alias("n_custkeys"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)).alias("price_cents"),
+        )
+        for tag, v in stages
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("stage")
+
+
+OPTIMIZE_LAYOUT_SQL = """
+SELECT stage, COUNT(*) AS n_rows, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       COUNT(DISTINCT o_custkey) AS n_custkeys,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents
+FROM orders
+CROSS JOIN (SELECT unnest(['v0_fragmented', 'v1_compacted', 'v2_zordered', 'v3_hilbert']) AS stage)
+GROUP BY stage ORDER BY stage
+"""
+
+
 PACK_CAPACITY = 256
 
 
@@ -4868,4 +4942,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "semdedup_prune": (semdedup_prune, SEMDEDUP_SQL),
     "domain_mix_rebalance": (domain_mix_rebalance, DOMAIN_MIX_SQL),
     "pq_trained_codes": (pq_trained_codes, PQ_TRAINED_SQL),
+    "optimize_layout_counts": (optimize_layout_counts, OPTIMIZE_LAYOUT_SQL),
 }
