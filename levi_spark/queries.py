@@ -1487,6 +1487,88 @@ FROM words w JOIN btop USING (doc_id) JOIN tdup USING (doc_id)
 """
 
 
+def doc_bigram_lm_scores(spark, sf_dir):
+    """Perplexity-proxy quality scoring with a corpus-trained bigram
+    language model (the KenLM-filter pattern from CCNet/RefinedWeb,
+    self-trained): unigram/bigram counts over the whole corpus, then
+    each document scored by its add-1-smoothed average negative
+    log-likelihood  -avg log((c(w1w2)+1)/(c(w1)+V)).  High-NLL docs are
+    the incoherent tail a perplexity filter would drop.
+
+    Scale shape: token/bigram counting is explode + partial-aggregated
+    groupBy (map-side combine collapses repeats before the shuffle);
+    per-doc pairs pre-aggregate to (doc, w1, w2, k) before joining the
+    corpus tables, so the model join touches distinct pairs, not token
+    instances. ln() is engine-ULP-sensitive, so each bigram's logp is
+    quantized to integer micro-nats BEFORE the per-doc sum (int64
+    addition is order-free; memory: cross-engine-determinism).
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "w"),
+    )
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    voc = uni.agg(F.count(F.lit(1)).alias("v"))
+    wspec = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        toks.select(
+            "doc_id",
+            F.col("w").alias("w1"),
+            F.lead("w").over(wspec).alias("w2"),
+        )
+        .where(F.col("w2").isNotNull())
+    )
+    bg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    dp = pairs.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("k"))
+    q = F.floor(
+        F.log((F.col("cb") + 1).cast("double") / (F.col("c1") + F.col("v")).cast("double"))
+        * 1_000_000 + 0.5
+    ).cast("long")
+    scored = (
+        dp.join(bg, ["w1", "w2"])
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(voc))
+        .select("doc_id", "k", q.alias("q"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("k").alias("n_bigrams"),
+        (-F.sum(F.col("q") * F.col("k"))).alias("nll_micro"),
+        F.floor(
+            (-F.sum(F.col("q") * F.col("k"))).cast("double") / F.sum("k") + 0.5
+        ).alias("nll_avg_micro"),
+    )
+
+
+BIGRAM_LM_SQL = r"""
+WITH tk AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+toks AS (
+  SELECT doc_id, t[i] AS w
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM tk)
+),
+uni AS (SELECT w, COUNT(*) AS c1 FROM toks GROUP BY w),
+voc AS (SELECT COUNT(*) AS v FROM uni),
+pairs AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tk)
+),
+bg AS (SELECT w1, w2, COUNT(*) AS cb FROM pairs GROUP BY 1, 2),
+dp AS (SELECT doc_id, w1, w2, COUNT(*) AS k FROM pairs GROUP BY 1, 2, 3),
+scored AS (
+  SELECT dp.doc_id, dp.k,
+         CAST(floor(ln(CAST(cb + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE))
+                    * 1000000 + 0.5) AS BIGINT) AS q
+  FROM dp JOIN bg USING (w1, w2) JOIN uni ON dp.w1 = uni.w CROSS JOIN voc
+)
+SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+       CAST(-SUM(q * k) AS BIGINT) AS nll_micro,
+       CAST(floor(CAST(-SUM(q * k) AS DOUBLE) / SUM(k) + 0.5) AS BIGINT) AS nll_avg_micro
+FROM scored GROUP BY doc_id
+"""
+
+
 def ngram_jaccard_pairs(spark, sf_dir):
     """Character-3-gram Jaccard for a deterministic candidate pair set
     (doc_id windows) — the verify stage of shingle-based near-dup."""
@@ -3982,16 +4064,31 @@ def semdedup_prune(spark, sf_dir):
         .withColumnRenamed("id", "vec_id")
         .join(emb, "vec_id")
     )
+    # norm once per point, not once per pair: sqrt(dot(v,v)) is the same
+    # fold the oracle's sqrt(list_inner_product(v,v)) runs, so the
+    # rounded cosine is bit-identical while the pairwise stage drops
+    # from 3 to 1 inner products per candidate.
     a = pts.select(
-        "cluster", F.col("vec_id").alias("id_a"), F.col("v").alias("__va")
+        "cluster",
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("__va"),
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("__na"),
     )
     b = pts.select(
-        "cluster", F.col("vec_id").alias("id_b"), F.col("v").alias("__vb")
+        "cluster",
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("__vb"),
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("__nb"),
     )
     dup = (
         a.join(b, "cluster")
         .where(F.col("id_b") > F.col("id_a"))
-        .where(F.round(cosine(F.col("__va"), F.col("__vb")), 6) > 0.3)
+        .where(
+            F.round(
+                dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6
+            )
+            > 0.3
+        )
         .groupBy(F.col("id_b").alias("vec_id"))
         .agg(F.min("id_a").alias("dup_of"))
     )
@@ -4943,4 +5040,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "domain_mix_rebalance": (domain_mix_rebalance, DOMAIN_MIX_SQL),
     "pq_trained_codes": (pq_trained_codes, PQ_TRAINED_SQL),
     "optimize_layout_counts": (optimize_layout_counts, OPTIMIZE_LAYOUT_SQL),
+    "doc_bigram_lm_scores": (doc_bigram_lm_scores, BIGRAM_LM_SQL),
 }
