@@ -1569,6 +1569,125 @@ FROM scored GROUP BY doc_id
 """
 
 
+def bpe_train_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): learn
+    the first 8 merge rules over the corpus. Words become character
+    sequences weighted by corpus frequency; each round counts adjacent
+    symbol pairs (weighted, all adjacent positions), picks the argmax
+    pair (ties → lexicographic), and applies it with a leftmost
+    non-overlapping greedy fold. Returns the learned merge table
+    (merge_round, lhs, rhs, merged, pair_count).
+
+    Scale shape: this is the *standard* distributed BPE decomposition —
+    pair counting is an explode + partial-aggregated groupBy over the
+    DISTINCT-word table (corpus scale collapses to vocabulary scale
+    before any per-round work), and each round collects exactly one
+    argmax row to the driver, which returns as two literal strings in
+    the next round's fold expression. The merge fold itself never
+    re-merges its own output within a pass (merged = lhs||rhs can
+    never string-equal lhs), so the greedy semantics match a
+    sequential scan exactly.
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = (
+        docs.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    syms = words.select(
+        "w",
+        "cnt",
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("syms"),
+    )
+
+    def merge_fold(s1: str, s2: str):
+        merged = s1 + s2
+        return F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(s1))
+                & (x == F.lit(s2)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.lit(merged)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+
+    learned = []
+    for r in range(1, 9):
+        pairs = syms.select(
+            "cnt",
+            F.explode(
+                F.when(F.size("syms") < 2, F.array()).otherwise(
+                    F.expr(
+                        "transform(sequence(0, size(syms) - 2),"
+                        " i -> struct(syms[i] AS s1, syms[i + 1] AS s2))"
+                    )
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.select(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"), "cnt")
+            .groupBy("s1", "s2")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.col("c").desc(), "s1", "s2")
+            .limit(1)
+            .collect()[0]
+        )
+        learned.append((r, best["s1"], best["s2"], best["s1"] + best["s2"], best["c"]))
+        syms = syms.withColumn("syms", merge_fold(best["s1"], best["s2"]))
+    return spark.createDataFrame(
+        learned,
+        "merge_round int, lhs string, rhs string, merged string, pair_count long",
+    ).orderBy("merge_round")
+
+
+def _bpe_round_ctes(r: int) -> str:
+    """One BPE round as SQL: weighted adjacent-pair counts over w{r},
+    argmax with lexicographic tie-break (b{r}), then the same leftmost
+    non-overlapping greedy fold via list_reduce (single-element-list
+    trick so the accumulator is a list) producing w{r+1}."""
+    return f""",
+p{r} AS (
+  SELECT syms[i] AS s1, syms[i + 1] AS s2, SUM(cnt) AS c
+  FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS i FROM w{r})
+  GROUP BY 1, 2
+),
+b{r} AS (SELECT s1, s2, c FROM p{r} ORDER BY c DESC, s1 ASC, s2 ASC LIMIT 1),
+w{r + 1} AS (
+  SELECT word, cnt,
+         list_reduce(list_transform(syms, s -> [s]),
+           (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.s1 AND x[1] = b.s2
+                       THEN list_concat(acc[1:len(acc) - 1], [b.s1 || b.s2])
+                       ELSE list_concat(acc, x) END) AS syms
+  FROM w{r} CROSS JOIN b{r} b
+)"""
+
+
+BPE_TRAIN_SQL = (
+    r"""
+WITH w1 AS (
+  SELECT w AS word, COUNT(*) AS cnt,
+         list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS syms
+  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents)
+  GROUP BY w
+)"""
+    + "".join(_bpe_round_ctes(r) for r in range(1, 9))
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT {r} AS merge_round, s1 AS lhs, s2 AS rhs, s1 || s2 AS merged,"
+        f" CAST(c AS BIGINT) AS pair_count FROM b{r}"
+        for r in range(1, 9)
+    )
+    + "\nORDER BY merge_round"
+)
+
+
 def ngram_jaccard_pairs(spark, sf_dir):
     """Character-3-gram Jaccard for a deterministic candidate pair set
     (doc_id windows) — the verify stage of shingle-based near-dup."""
@@ -5041,4 +5160,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pq_trained_codes": (pq_trained_codes, PQ_TRAINED_SQL),
     "optimize_layout_counts": (optimize_layout_counts, OPTIMIZE_LAYOUT_SQL),
     "doc_bigram_lm_scores": (doc_bigram_lm_scores, BIGRAM_LM_SQL),
+    "bpe_train_merges": (bpe_train_merges, BPE_TRAIN_SQL),
 }
