@@ -4593,6 +4593,54 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def stream_ingest_counts(spark, sf_dir):
+    """Structured-Streaming → Delta ingestion through the gate surface
+    (:mod:`levi_spark.streaming.delta_sink`): the events table is
+    consumed as a file stream (AvailableNow) and drained through
+    ``foreachBatch`` into an engine Delta table partitioned by
+    event_type — one commit per micro-batch, checkpointed source
+    progress. The result is read back from the DELTA SNAPSHOT (not the
+    source), proving the whole loop: stream source → micro-batch →
+    writer commit → log replay → partition-pruned scan.
+
+    Scale shape: ingestion parallelism is per-file; the Delta commit
+    per batch is the same distributed stats + atomic-publish path every
+    batch writer uses; the final aggregate reads hive-partitioned data
+    with partition pruning available to any event_type predicate.
+    """
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from levi_spark.delta.log import DeltaLog
+    from levi_spark.streaming.delta_sink import ingest_events
+
+    root = _os.path.join(_tempfile.gettempdir(), "levi_spark_ingest_events")
+    _shutil.rmtree(root, ignore_errors=True)
+    table = _os.path.join(root, "table")
+    ingest_events(spark, sf_dir, table, _os.path.join(root, "ckpt"))
+    return (
+        DeltaLog(spark, table)
+        .snapshot()
+        .to_df()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            _qsum(F.col("value"), "value_q"),
+        )
+        .select("event_type", "n_events", "n_users", _qval("value_q", "value_sum"))
+        .orderBy("event_type")
+    )
+
+
+STREAM_INGEST_SQL = f"""
+SELECT event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+       {_qsum_sql("value")} / 10000.0 AS value_sum
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def delta_sync_counts(spark, sf_dir):
     """Delta→Delta incremental sync through the gate surface
     (:mod:`levi_spark.streaming.delta_source`): customer becomes a
@@ -5161,4 +5209,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "optimize_layout_counts": (optimize_layout_counts, OPTIMIZE_LAYOUT_SQL),
     "doc_bigram_lm_scores": (doc_bigram_lm_scores, BIGRAM_LM_SQL),
     "bpe_train_merges": (bpe_train_merges, BPE_TRAIN_SQL),
+    "stream_ingest_counts": (stream_ingest_counts, STREAM_INGEST_SQL),
 }

@@ -192,3 +192,47 @@ def test_regex_scrub_prunes_scan(spark):
     (schema,) = read_schemas(doc_regex_scrub(spark, SF))
     # only lang + text are referenced
     assert schema.count(":") == 2, schema
+
+
+def test_pq_trained_encode_is_map_side_only(spark):
+    """Trained-PQ encoding must be a pure projection: codebooks return
+    as literal arrays, so the plan may contain no join and no exchange
+    at all — at 100 TB the encode pass is embarrassingly parallel."""
+    from levi_spark.queries import pq_trained_codes
+
+    s = plan_summary(pq_trained_codes(spark, SF))
+    assert s["broadcast_hash_joins"] == 0, s
+    assert s["sort_merge_joins"] == 0, s
+    assert s["exchanges"] == 0, s
+    assert s["scans"] == 1, s
+
+
+def test_domain_mix_rate_table_broadcasts(spark):
+    """The per-source rate table is |sources| rows — it must broadcast
+    back onto the corpus, never shuffle the documents side."""
+    from levi_spark.queries import domain_mix_rebalance
+
+    s = plan_summary(domain_mix_rebalance(spark, SF))
+    # the corpus-side join must be the broadcast one (the remaining
+    # SMJ joins two |sources|-row aggregates — AQE folds it at runtime)
+    assert s["broadcast_hash_joins"] >= 1, s
+    assert s["broadcast_exchanges"] >= 1, s
+
+
+def test_repetition_filters_prune_scan(spark):
+    from levi_spark.queries import doc_repetition_filters
+
+    for schema in read_schemas(doc_repetition_filters(spark, SF)):
+        # every scan branch reads only doc_id + text
+        assert schema.count(":") == 2, schema
+
+
+def test_bigram_lm_prunes_scan_and_broadcasts_vocab_size(spark):
+    from levi_spark.queries import doc_bigram_lm_scores
+
+    df = doc_bigram_lm_scores(spark, SF)
+    for schema in read_schemas(df):
+        # unigram branch prunes all the way down to text alone
+        assert schema.count(":") <= 2 and "text" in schema, schema
+    s = plan_summary(df)
+    assert s["broadcast_exchanges"] >= 1, s
