@@ -4641,6 +4641,76 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def hll_distinct_users(spark, sf_dir):
+    """Distinct-count sketching: an oracle-exact HyperLogLog
+    (:mod:`levi_spark.functions.sketch`) over events.user_id, reported
+    next to the exact count. Unlike ``approx_count_distinct`` (xxhash +
+    float internals, unreproducible outside Spark), every piece here is
+    bit-identical cross-engine: md5-derived 48-bit hashes, a
+    comparison-chain rank (no log2), and an INTEGER register harmonic
+    sum — so even the estimate itself hash-matches the DuckDB oracle.
+
+    Scale shape: the sketch is one partial-aggregatable
+    groupBy(bucket).max(register) — m=256 rows cross the shuffle no
+    matter how many input rows; merging shards is max() again.
+    """
+    from levi_spark.functions.sketch import hll_estimate, hll_sketch
+
+    events = _events(spark, sf_dir)
+    sk = hll_sketch(events, "user_id", p=8)
+    est = hll_estimate(sk, p=8)
+    exact = events.agg(F.countDistinct("user_id").alias("n_exact"))
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_exact",
+        "z_int",
+        "n_zero_buckets",
+        F.floor(F.col("est_corrected") * 1_000_000 + 0.5).alias("hll_micro"),
+    )
+
+
+def _hll_sql() -> str:
+    from levi_spark.functions.sketch import RANK_SPAN, hll_rank_sql
+
+    m = 256
+    alpha_m2 = 0.7213 / (1.0 + 1.079 / m) * m * m
+    span = float(1 << RANK_SPAN)
+    rank = hll_rank_sql(
+        "('0x' || substr(md5(CAST(user_id AS VARCHAR) || 'hllr'), 13, 12))::BIGINT"
+    )
+    return f"""
+WITH h AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR) || 'hll'), 1, 12))::BIGINT % {m} AS bucket,
+         {rank} AS rank
+  FROM events
+),
+regs AS (SELECT bucket, MAX(rank) AS register FROM h GROUP BY bucket),
+agg AS (
+  SELECT CAST(SUM(CAST(1 AS BIGINT) << ({RANK_SPAN} - register)) AS BIGINT) AS z_present,
+         COUNT(*) AS n_present
+  FROM regs
+),
+fin AS (
+  SELECT z_present + ({m} - n_present) * (CAST(1 AS BIGINT) << {RANK_SPAN}) AS z_int,
+         {m} - n_present AS n_zero_buckets
+  FROM agg
+),
+est AS (
+  SELECT z_int, n_zero_buckets,
+         {alpha_m2!r} / (CAST(z_int AS DOUBLE) / {span!r}) AS est
+  FROM fin
+)
+SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_exact,
+       z_int, n_zero_buckets,
+       CAST(floor((CASE WHEN est <= {2.5 * m!r} AND n_zero_buckets > 0
+                   THEN {float(m)!r} * ln({float(m)!r} / CAST(n_zero_buckets AS DOUBLE))
+                   ELSE est END) * 1000000 + 0.5) AS BIGINT) AS hll_micro
+FROM est
+"""
+
+
+HLL_SQL = _hll_sql()
+
+
 def delta_sync_counts(spark, sf_dir):
     """Delta→Delta incremental sync through the gate surface
     (:mod:`levi_spark.streaming.delta_source`): customer becomes a
@@ -5210,4 +5280,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "doc_bigram_lm_scores": (doc_bigram_lm_scores, BIGRAM_LM_SQL),
     "bpe_train_merges": (bpe_train_merges, BPE_TRAIN_SQL),
     "stream_ingest_counts": (stream_ingest_counts, STREAM_INGEST_SQL),
+    "hll_distinct_users": (hll_distinct_users, HLL_SQL),
 }
