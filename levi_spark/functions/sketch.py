@@ -75,6 +75,103 @@ def hll_sketch(df: DataFrame, key: str, p: int = 8, salt: str = "hll") -> DataFr
     )
 
 
+def cms_sketch(
+    df: DataFrame, key: str, depth: int = 4, width: int = 64, salt: str = "cms"
+) -> DataFrame:
+    """Count-Min sketch of ``df[key]``: (row, bucket, counter) with at
+    most depth*width rows. Counters are exact int64 counts, so the
+    sketch — unlike float-weighted variants — is bit-identical in any
+    engine sharing the md5 bucket identity. Merging shards is
+    groupBy(row, bucket).sum — partial-aggregatable, m rows over the
+    shuffle regardless of input size."""
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    (_h48(F.col(key), f"{salt}{i}", 0) % width).alias("bucket"),
+                )
+                for i in range(depth)
+            ]
+        )
+    ).alias("rb")
+    return (
+        df.select(rows)
+        .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("counter"))
+    )
+
+
+def cms_lookup(
+    keys: DataFrame,
+    sketch: DataFrame,
+    key: str,
+    depth: int = 4,
+    width: int = 64,
+    salt: str = "cms",
+) -> DataFrame:
+    """``keys`` + an ``est`` column: min over the sketch rows of the
+    key's counters (the classic CM upper bound, est >= true count).
+    One key-bounded join — the sketch side is depth*width rows, always
+    broadcastable."""
+    probes = keys.select(
+        F.col(key),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        (_h48(F.col(key), f"{salt}{i}", 0) % width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select(key, "rb.row", "rb.bucket")
+    est = (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy(key)
+        .agg(F.min("counter").alias("est"))
+    )
+    return keys.join(est, key)
+
+
+def bloom_positions(df: DataFrame, key: str, k: int = 4, m: int = 65536,
+                    salt: str = "bloom") -> DataFrame:
+    """The set-bit positions of a Bloom filter over ``df[key]`` — one
+    ``position`` column, distinct, <= m rows. Kept relational (not a
+    packed bitset) so membership is an equi-join any engine can mirror;
+    at m=64Ki the whole filter broadcasts as a few-KB table."""
+    pos = F.explode(
+        F.array(*[(_h48(F.col(key), f"{salt}{i}", 0) % m) for i in range(k)])
+    ).alias("position")
+    return df.select(pos).distinct()
+
+
+def bloom_membership(
+    keys: DataFrame, positions: DataFrame, key: str, k: int = 4, m: int = 65536,
+    salt: str = "bloom"
+) -> DataFrame:
+    """``keys`` + ``maybe_member`` (true iff every probe bit is set —
+    no false negatives, bounded false positives). Probe bits join
+    against the broadcast position table; a key passes when its
+    distinct probe positions are all present (min over left-join
+    match flags, robust to two hashes of one key colliding)."""
+    probes = keys.select(
+        F.col(key),
+        F.explode(
+            F.array(*[(_h48(F.col(key), f"{salt}{i}", 0) % m) for i in range(k)])
+        ).alias("position"),
+    ).distinct()
+    hit = F.broadcast(positions.withColumn("__set", F.lit(1)))
+    flags = (
+        probes.join(hit, "position", "left")
+        .groupBy(key)
+        .agg((F.min(F.coalesce(F.col("__set"), F.lit(0))) == 1).alias("maybe_member"))
+    )
+    return keys.join(flags, key)
+
+
 def hll_estimate(sketch: DataFrame, p: int = 8):
     """Columns (one aggregated row): z_int (exact integer harmonic
     sum scaled by 2^RANK_SPAN), n_zero_buckets, est (raw HLL double),

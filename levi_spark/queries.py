@@ -4711,6 +4711,172 @@ FROM est
 HLL_SQL = _hll_sql()
 
 
+def cms_heavy_hitters(spark, sf_dir):
+    """Heavy hitters via a Count-Min sketch over events.user_id: the
+    top-10 exact-count users reported next to their CM upper-bound
+    estimate. Counters are exact integer counts over md5 buckets, so
+    the whole sketch — not just the exact side — hash-matches the
+    DuckDB oracle (no float path anywhere).
+
+    Scale shape: the sketch is depth*width (=256) rows after one
+    partial-aggregatable groupBy, broadcast to the lookup join; the
+    exact top-10 is the only full-key aggregation, and a real 100 TB
+    deployment would keep ONLY the sketch (bounded memory) and use
+    the exact side purely as this query's accuracy oracle.
+    """
+    from levi_spark.functions.sketch import cms_lookup, cms_sketch
+
+    events = _events(spark, sf_dir)
+    sk = cms_sketch(events, "user_id", depth=4, width=64)
+    exact = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    top = exact.orderBy(F.col("n_exact").desc(), F.col("user_id")).limit(10)
+    return cms_lookup(top, sk, "user_id").select(
+        "user_id",
+        "n_exact",
+        F.col("est").alias("cms_est"),
+        (F.col("est") - F.col("n_exact")).alias("overcount"),
+    )
+
+
+CMS_SQL = """
+WITH h AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR) || 'cms' || CAST(r.r AS VARCHAR)), 1, 12))::BIGINT % 64 AS bucket,
+         r.r AS hrow
+  FROM events, (VALUES (0),(1),(2),(3)) r(r)
+),
+cms AS (SELECT hrow, bucket, COUNT(*) AS counter FROM h GROUP BY hrow, bucket),
+top AS (
+  SELECT user_id, COUNT(*) AS n_exact FROM events GROUP BY user_id
+  ORDER BY n_exact DESC, user_id LIMIT 10
+),
+probes AS (
+  SELECT t.user_id, r.r AS hrow,
+         ('0x' || substr(md5(CAST(t.user_id AS VARCHAR) || 'cms' || CAST(r.r AS VARCHAR)), 1, 12))::BIGINT % 64 AS bucket
+  FROM top t, (VALUES (0),(1),(2),(3)) r(r)
+),
+est AS (
+  SELECT p.user_id, MIN(c.counter) AS cms_est
+  FROM probes p JOIN cms c ON c.hrow = p.hrow AND c.bucket = p.bucket
+  GROUP BY p.user_id
+)
+SELECT t.user_id, t.n_exact, e.cms_est, e.cms_est - t.n_exact AS overcount
+FROM top t JOIN est e ON e.user_id = t.user_id
+"""
+
+
+def bloom_orderkey_prune(spark, sf_dir):
+    """Bloom-filter semi-join pruning: a 64 Ki-bit / 4-hash filter is
+    built over the urgent-order keys and probed with every distinct
+    lineitem order key — the pre-shuffle pruning pass a 100 TB join
+    would run to drop non-matching rows at the scan. Reports build/probe
+    cardinalities, set bits, bloom passes, true matches, and false
+    positives (no false negatives by construction — the query would
+    return n_true_match > n_pass rows if that ever broke).
+
+    The filter is kept relational (distinct set-bit positions, <= m
+    rows, broadcast to both joins) so membership is an equi-join any
+    engine mirrors bit-for-bit; a packed-bitset variant is the obvious
+    physical optimization once cross-engine checkability is no longer
+    the constraint.
+    """
+    from levi_spark.functions.sketch import bloom_membership, bloom_positions
+
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    build = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    pos = bloom_positions(build, "o_orderkey", k=4, m=65536)
+    probe = lineitem.select("l_orderkey").distinct()
+    tested = bloom_membership(probe, pos, "l_orderkey", k=4, m=65536)
+    truth = build.select(F.col("o_orderkey").alias("l_orderkey"), F.lit(1).alias("__t"))
+    labeled = tested.join(F.broadcast(truth), "l_orderkey", "left").select(
+        "maybe_member", F.col("__t").isNotNull().alias("is_member")
+    )
+    counts = labeled.agg(
+        F.count(F.lit(1)).alias("n_probe_keys"),
+        F.sum(F.when(F.col("maybe_member"), 1).otherwise(0)).alias("n_pass_bloom"),
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0)).alias("n_true_match"),
+        F.sum(
+            F.when(F.col("maybe_member") & ~F.col("is_member"), 1).otherwise(0)
+        ).alias("n_false_pos"),
+    )
+    scalars = (
+        build.agg(F.count(F.lit(1)).alias("n_build_keys"))
+        .crossJoin(F.broadcast(pos.agg(F.count(F.lit(1)).alias("n_bits_set"))))
+    )
+    return counts.crossJoin(F.broadcast(scalars)).select(
+        "n_build_keys",
+        "n_bits_set",
+        "n_probe_keys",
+        "n_pass_bloom",
+        "n_true_match",
+        "n_false_pos",
+    )
+
+
+BLOOM_SQL = """
+WITH build AS (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+bpos AS (
+  SELECT DISTINCT ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || 'bloom' || CAST(r.r AS VARCHAR)), 1, 12))::BIGINT % 65536 AS position
+  FROM build, (VALUES (0),(1),(2),(3)) r(r)
+),
+probe AS (SELECT DISTINCT l_orderkey FROM lineitem),
+probes AS (
+  SELECT DISTINCT l_orderkey,
+         ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || 'bloom' || CAST(r.r AS VARCHAR)), 1, 12))::BIGINT % 65536 AS position
+  FROM probe, (VALUES (0),(1),(2),(3)) r(r)
+),
+flags AS (
+  SELECT p.l_orderkey,
+         MIN(CASE WHEN b.position IS NOT NULL THEN 1 ELSE 0 END) = 1 AS maybe_member
+  FROM probes p LEFT JOIN bpos b ON b.position = p.position
+  GROUP BY p.l_orderkey
+),
+labeled AS (
+  SELECT f.maybe_member, (bu.o_orderkey IS NOT NULL) AS is_member
+  FROM flags f LEFT JOIN build bu ON bu.o_orderkey = f.l_orderkey
+)
+SELECT (SELECT COUNT(*) FROM build) AS n_build_keys,
+       (SELECT COUNT(*) FROM bpos) AS n_bits_set,
+       COUNT(*) AS n_probe_keys,
+       CAST(SUM(CASE WHEN maybe_member THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_bloom,
+       CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_true_match,
+       CAST(SUM(CASE WHEN maybe_member AND NOT is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+FROM labeled
+"""
+
+
+def doc_reservoir_sample(spark, sf_dir):
+    """Fixed-size uniform sample without replacement: the 64 documents
+    with the smallest md5 rank — the distributed equivalent of
+    reservoir sampling (complements doc_stratified_sample's fixed-RATE
+    md5-bucket split). Spark plans orderBy+limit as
+    TakeOrderedAndProject: each partition keeps its local top-64 and
+    only those cross to the driver-side merge, so the shuffle is
+    O(partitions * k) regardless of corpus size, and the selected set
+    is partition-count-invariant (pure function of doc_id).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("res"))).alias(
+                "rhash"
+            ),
+        )
+        .orderBy("rhash")
+        .limit(64)
+    )
+
+
+RESERVOIR_SQL = """
+SELECT doc_id, lang, source,
+       md5(CAST(doc_id AS VARCHAR) || 'res') AS rhash
+FROM documents ORDER BY rhash LIMIT 64
+"""
+
+
 def delta_sync_counts(spark, sf_dir):
     """Delta→Delta incremental sync through the gate surface
     (:mod:`levi_spark.streaming.delta_source`): customer becomes a
@@ -5281,4 +5447,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "bpe_train_merges": (bpe_train_merges, BPE_TRAIN_SQL),
     "stream_ingest_counts": (stream_ingest_counts, STREAM_INGEST_SQL),
     "hll_distinct_users": (hll_distinct_users, HLL_SQL),
+    "cms_heavy_hitters": (cms_heavy_hitters, CMS_SQL),
+    "bloom_orderkey_prune": (bloom_orderkey_prune, BLOOM_SQL),
+    "doc_reservoir_sample": (doc_reservoir_sample, RESERVOIR_SQL),
 }

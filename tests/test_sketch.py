@@ -15,6 +15,10 @@ from pyspark.sql import functions as F
 
 from levi_spark.functions.sketch import (
     RANK_SPAN,
+    bloom_membership,
+    bloom_positions,
+    cms_lookup,
+    cms_sketch,
     hll_estimate,
     hll_rank,
     hll_rank_sql,
@@ -93,3 +97,41 @@ def test_estimate_within_error_band(spark, n):
     est = hll_estimate(hll_sketch(df, "k", p=8), p=8).collect()[0]["est_corrected"]
     # m=256 -> sigma ~ 1.04/sqrt(256) = 6.5%; allow 4 sigma
     assert abs(est - n) / n < 0.26, est
+
+
+def test_cms_never_undercounts_and_merges(spark):
+    # skewed multiset: key i appears (i % 7) + 1 times
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 200).alias("k"), F.explode(F.sequence(F.lit(1), F.col("id") % 7 + 1))
+    ).select("k")
+    sk = cms_sketch(df, "k", depth=4, width=64)
+    exact = df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    looked = cms_lookup(exact, sk, "k").collect()
+    assert looked, "lookup returned no rows"
+    assert all(r["est"] >= r["n"] for r in looked)
+    # merge property: shard sketches summed == whole sketch
+    a, b = df.randomSplit([0.5, 0.5], seed=7)
+    merged = (
+        cms_sketch(a, "k").unionAll(cms_sketch(b, "k"))
+        .groupBy("row", "bucket")
+        .agg(F.sum("counter").alias("counter"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, cms_sketch(df, "k").collect())
+    )
+
+
+def test_bloom_no_false_negatives(spark):
+    build = spark.range(0, 500).select((F.col("id") * 3).alias("k"))
+    probe = spark.range(0, 3000).select(F.col("id").alias("k"))
+    pos = bloom_positions(build, "k", k=4, m=8192)
+    tested = bloom_membership(probe, pos, "k", k=4, m=8192)
+    members = {r["k"] for r in build.collect()}
+    rows = tested.collect()
+    assert len(rows) == 3000
+    misses = [r["k"] for r in rows if r["k"] in members and not r["maybe_member"]]
+    assert misses == []
+    # false-positive rate should be non-trivially below 1 at these params
+    fp = sum(1 for r in rows if r["maybe_member"] and r["k"] not in members)
+    non_members = 3000 - len([r for r in rows if r["k"] in members])
+    assert fp / non_members < 0.25
