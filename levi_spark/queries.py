@@ -2980,6 +2980,30 @@ def stream_session_window(spark, sf_dir):
     return run_session_window(spark, sf_dir)
 
 
+def stream_interval_join(spark, sf_dir):
+    """Stream-stream interval join: purchases attributed to same-user
+    views in the preceding hour, with watermark-bounded join state on
+    both sides (:func:`levi_spark.streaming.jobs.interval_join_stream`).
+    One row per (view, purchase) pair plus the attribution lag."""
+    from levi_spark.streaming.jobs import run_interval_join
+
+    return run_interval_join(spark, sf_dir)
+
+
+STREAM_INTERVAL_JOIN_SQL = """
+SELECT v.user_id,
+       v.event_id AS view_event_id,
+       p.event_id AS purchase_event_id,
+       epoch_ns(p.ts) // 1000 - epoch_ns(v.ts) // 1000 AS lag_us
+FROM events v
+JOIN events p
+  ON p.user_id = v.user_id
+ AND epoch_ns(p.ts) // 1000 >= epoch_ns(v.ts) // 1000
+ AND epoch_ns(p.ts) // 1000 <= epoch_ns(v.ts) // 1000 + 3600000000
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+"""
+
+
 SESSION_WINDOW_SQL = """
 WITH t AS (
   SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
@@ -5450,4 +5474,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cms_heavy_hitters": (cms_heavy_hitters, CMS_SQL),
     "bloom_orderkey_prune": (bloom_orderkey_prune, BLOOM_SQL),
     "doc_reservoir_sample": (doc_reservoir_sample, RESERVOIR_SQL),
+    "stream_interval_join": (stream_interval_join, STREAM_INTERVAL_JOIN_SQL),
 }

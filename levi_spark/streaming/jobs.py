@@ -199,6 +199,49 @@ def session_window_stream(events: DataFrame) -> DataFrame:
 # -- run-to-completion entry points (oracle-checkable) ---------------------
 
 
+def interval_join_stream(views: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Stream-stream interval join (purchase attribution): every
+    purchase is matched to each view by the same user in the preceding
+    hour. Both inputs carry event-time watermarks and the join
+    condition bounds event time on both sides, so the state store can
+    evict: a buffered view is dropped once the purchase watermark
+    passes view_ts + 1h, a buffered purchase once the view watermark
+    passes its ts — bounded state at any input rate, which is the whole
+    trick of running this on an unbounded 100 TB/day stream. Inner
+    join, so matches emit eagerly (append mode) without waiting for the
+    watermark.
+    """
+    v = views.select(
+        F.col("event_id").alias("view_event_id"),
+        F.col("user_id").alias("v_user"),
+        F.timestamp_micros(F.col("ts_us")).alias("v_ts"),
+    ).withWatermark("v_ts", "1 hour")
+    p = purchases.select(
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("user_id").alias("p_user"),
+        F.timestamp_micros(F.col("ts_us")).alias("p_ts"),
+    ).withWatermark("p_ts", "1 hour")
+    cond = (
+        (v["v_user"] == p["p_user"])
+        & (p["p_ts"] >= v["v_ts"])
+        & (p["p_ts"] <= v["v_ts"] + F.expr("INTERVAL 1 HOUR"))
+    )
+    return v.join(p, cond, "inner").select(
+        F.col("v_user").alias("user_id"),
+        "view_event_id",
+        "purchase_event_id",
+        (F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("v_ts"))).alias("lag_us"),
+    )
+
+
+def run_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views = read_events_stream(spark, sf_dir).where(F.col("event_type") == "view")
+    purchases = read_events_stream(spark, sf_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    return _drain_to_memory(interval_join_stream(views, purchases), "append")
+
+
 def run_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(
         hourly_rollup_stream(read_events_stream(spark, sf_dir)), "complete"

@@ -170,3 +170,36 @@ def test_multibatch_session_window(spark, split_dir, oracle):
         )
     )
     assert got == want
+
+
+def test_multibatch_interval_join(spark, split_dir, oracle):
+    # views and purchases arrive in separate time-ordered micro-batches;
+    # a view buffered in batch i must still match a purchase arriving in
+    # batch i+1 (join state carries across batches until the watermark
+    # provably evicts it)
+    views = J.read_events_stream(spark, split_dir, max_files_per_trigger=1).where(
+        "event_type = 'view'"
+    )
+    purchases = J.read_events_stream(spark, split_dir, max_files_per_trigger=1).where(
+        "event_type = 'purchase'"
+    )
+    got = sorted(
+        map(tuple, _drain(J.interval_join_stream(views, purchases), "append").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            oracle.execute(
+                """
+        SELECT v.user_id, v.event_id, p.event_id,
+               epoch_ns(p.ts) // 1000 - epoch_ns(v.ts) // 1000
+        FROM events v JOIN events p
+          ON p.user_id = v.user_id
+         AND epoch_ns(p.ts) // 1000 >= epoch_ns(v.ts) // 1000
+         AND epoch_ns(p.ts) // 1000 <= epoch_ns(v.ts) // 1000 + 3600000000
+        WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+        """
+            ).fetchall(),
+        )
+    )
+    assert got and got == want
