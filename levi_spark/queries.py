@@ -5354,6 +5354,188 @@ LEFT JOIN ({PQ_ADC_SQL}) p
 """
 
 
+SEG_LEN = 16
+# seg_idx fits comfortably below this for any document whose token count
+# is < 16M * SEG_LEN; the composite stays inside int64 for doc_id < 9e12
+_SEG_ORD = 1_000_000
+
+
+def segment_dedup_docs(spark, sf_dir):
+    """Sub-document (segment-level) exact dedup, RefinedWeb-style at a
+    fixed granularity: each document's token stream is cut into
+    16-token segments, a segment survives only at its globally first
+    occurrence (min (doc_id, seg_idx) over every document containing
+    an identical segment), and the per-document report shows how much
+    of the doc survives reconstruction from surviving segments.
+
+    Scale shape: segments are built row-locally with JVM higher-order
+    functions (no shuffle); first-occurrence choice is ONE partial-
+    aggregatable groupBy on the segment hash (identical segments
+    collapse map-side) followed by a hash-join back on the same key —
+    so two segment-hash-keyed exchanges total, independent of corpus
+    size, and the final rollup shuffles on doc_id. No window over a
+    global sort, no all-pairs stage, no Python.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = "split(trim(text), '\\\\s+')"
+    segs = F.expr(
+        f"transform(sequence(0, (size({toks}) - 1) div {SEG_LEN}), "
+        f"i -> concat_ws(' ', slice({toks}, i * {SEG_LEN} + 1, {SEG_LEN})))"
+    )
+    seg = docs.select(
+        "doc_id", F.posexplode(segs).alias("seg_idx", "seg_text")
+    ).select(
+        "doc_id",
+        "seg_idx",
+        F.md5("seg_text").alias("seg_hash"),
+        F.size(F.split("seg_text", " ")).alias("seg_tokens"),
+        (F.col("doc_id") * _SEG_ORD + F.col("seg_idx")).alias("__ord"),
+    )
+    firsts = seg.groupBy("seg_hash").agg(F.min("__ord").alias("__first_ord"))
+    return (
+        seg.join(firsts, "seg_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.when(F.col("__ord") != F.col("__first_ord"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_segments"),
+            F.sum(F.when(F.col("__ord") == F.col("__first_ord"), F.col("seg_tokens")).otherwise(0))
+            .cast("long")
+            .alias("n_tokens_kept"),
+        )
+    )
+
+
+SEGMENT_DEDUP_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+segs AS (
+  SELECT doc_id, i AS seg_idx,
+         array_to_string(t[i * {SEG_LEN} + 1 : i * {SEG_LEN} + {SEG_LEN}], ' ') AS seg_text,
+         len(t[i * {SEG_LEN} + 1 : i * {SEG_LEN} + {SEG_LEN}]) AS seg_tokens
+  FROM (SELECT doc_id, t, unnest(range(0, (len(t) - 1) // {SEG_LEN} + 1)) AS i FROM toks)
+),
+hashed AS (
+  SELECT doc_id, seg_tokens, md5(seg_text) AS h,
+         doc_id * {_SEG_ORD} + seg_idx AS ord
+  FROM segs
+),
+firsts AS (SELECT h, MIN(ord) AS first_ord FROM hashed GROUP BY h)
+SELECT doc_id, COUNT(*) AS n_segments,
+       CAST(SUM(CASE WHEN ord <> first_ord THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments,
+       CAST(SUM(CASE WHEN ord = first_ord THEN seg_tokens ELSE 0 END) AS BIGINT) AS n_tokens_kept
+FROM hashed JOIN firsts USING (h)
+GROUP BY doc_id
+"""
+
+
+DSIR_BUCKETS = 512
+
+
+def doc_dsir_weights(spark, sf_dir):
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by the log-likelihood ratio of a hashed-unigram LM of the
+    target domain (here lang='en', standing in for the curated target
+    corpus) against the raw-corpus LM, add-one smoothed over
+    ``DSIR_BUCKETS`` hash buckets.
+
+    Cross-engine exactness: token -> bucket is the md5 48-bit prefix
+    (bit-identical in Spark and DuckDB), bucket counts are exact
+    integers, and each bucket's log-ratio is quantized to integer
+    milli-units BEFORE the per-document sum — so the only float step
+    is ln() of identical doubles (engines agree within 1 ulp; a
+    quantization flip would need the product to land within ~1e-10 of
+    a .5 boundary), and the per-doc sum is pure int64.
+
+    Scale shape: the two LMs are one partial-aggregatable groupBy over
+    the token stream collapsed to ``DSIR_BUCKETS`` rows, the totals a
+    1-row agg — both broadcast back; the scoring pass is then a
+    map-side hash probe per token plus one doc_id-keyed shuffle. At
+    100 TB nothing beyond the token->bucket rollup ever shuffles the
+    corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    tb = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("w"), 1, 12), 16, 10).cast("long")
+            % DSIR_BUCKETS
+        ).alias("b"),
+    )
+    raw = tb.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = tb.where(F.col("lang") == "en").groupBy("b").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    tot = tb.agg(
+        F.count(F.lit(1)).alias("nr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("long").alias("nt"),
+    )
+    lr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.floor(
+                (
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                        / (F.col("nt") + F.lit(float(DSIR_BUCKETS)))
+                    )
+                    - F.log(
+                        (F.col("cr") + F.lit(1.0))
+                        / (F.col("nr") + F.lit(float(DSIR_BUCKETS)))
+                    )
+                )
+                * 1000
+                + 0.5
+            ).alias("lr_milli"),
+        )
+    )
+    return (
+        tb.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lr_milli").cast("long").alias("dsir_score_milli"),
+        )
+    )
+
+
+DSIR_SQL = rf"""
+WITH tb AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(w), 1, 12))::BIGINT % {DSIR_BUCKETS} AS b
+  FROM (SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents)
+),
+raw AS (SELECT b, COUNT(*) AS cr FROM tb GROUP BY b),
+tgt AS (SELECT b, COUNT(*) AS ct FROM tb WHERE lang = 'en' GROUP BY b),
+tot AS (
+  SELECT COUNT(*) AS nr,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS nt
+  FROM tb
+),
+lr AS (
+  SELECT r.b,
+         CAST(floor((ln((COALESCE(ct, 0) + 1.0) / (nt + {DSIR_BUCKETS}.0))
+                   - ln((cr + 1.0) / (nr + {DSIR_BUCKETS}.0))) * 1000 + 0.5)
+              AS BIGINT) AS lr_milli
+  FROM raw r LEFT JOIN tgt USING (b) CROSS JOIN tot
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(lr_milli) AS BIGINT) AS dsir_score_milli
+FROM tb JOIN lr USING (b)
+GROUP BY doc_id
+"""
+
+
 # Registry order is load-bearing: the driver's correctness gate runs the
 # FIRST 50 entries only (CORRECTNESS_r01 cut at registry slot 50), so
 # each round the first 50 slots rotate to whatever most needs a fresh
@@ -5475,4 +5657,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "bloom_orderkey_prune": (bloom_orderkey_prune, BLOOM_SQL),
     "doc_reservoir_sample": (doc_reservoir_sample, RESERVOIR_SQL),
     "stream_interval_join": (stream_interval_join, STREAM_INTERVAL_JOIN_SQL),
+    "segment_dedup_docs": (segment_dedup_docs, SEGMENT_DEDUP_SQL),
+    "doc_dsir_weights": (doc_dsir_weights, DSIR_SQL),
 }

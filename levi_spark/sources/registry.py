@@ -77,14 +77,47 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def events_ts_unit(sf_dir: str) -> str:
+    """Physical unit of events.ts, from the parquet footer (metadata-only
+    read): 'ns' for TIMESTAMP(NANOS), 'us' for TIMESTAMP(MICROS).
+    Driver-generated testdata has shipped BOTH across rounds, so every
+    reader branches on the footer instead of assuming."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(f"{sf_dir}/events*.parquet"))
+    if not files:
+        raise FileNotFoundError(f"no events*.parquet under {sf_dir}")
+    t = pq.read_schema(files[0]).field("ts").type
+    if pa.types.is_int64(t):
+        return "ns"  # pre-flattened raw nanos (test fixtures)
+    unit = getattr(t, "unit", None)
+    if unit not in ("ns", "us"):
+        raise SchemaMismatchError(f"events.ts: unsupported type {t!r}")
+    return unit
+
+
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table with ``ts`` normalized to ``ts_us`` (epoch
-    microseconds, long). The parquet stores TIMESTAMP(NANOS), which
-    Spark reads via the nanosAsLong legacy conf; DuckDB reads it as
-    TIMESTAMP_NS — both sides converge on integer micros."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    df = df.withColumn("ts_us", F.expr("ts div 1000")).drop("ts")
+    microseconds, long), whatever the file's physical unit:
+
+    * TIMESTAMP(NANOS): Spark can only surface it as a raw long via the
+      nanosAsLong legacy conf -> ``ts div 1000``.
+    * TIMESTAMP(MICROS): read as TIMESTAMP_NTZ, ``unix_micros`` under
+      the UTC session timezone (levi_spark.session pins it) — the same
+      integer DuckDB's ``epoch_ns(ts) // 1000`` yields.
+    """
+    if events_ts_unit(sf_dir) == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        df = df.withColumn("ts_us", F.expr("ts div 1000")).drop("ts")
+    else:
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        df = df.withColumn(
+            "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+        ).drop("ts")
     _check_columns(df, "events", TABLE_DDL["events"] + ", ts_us BIGINT")
     return df
 

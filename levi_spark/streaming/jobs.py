@@ -29,18 +29,26 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as raw nanos
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+
+def _events_schema(ts_unit: str) -> StructType:
+    # NANOS is only readable as a raw long (nanosAsLong); MICROS reads
+    # natively as TIMESTAMP_NTZ. The stream source needs the explicit
+    # schema either way, so branch on the footer unit.
+    ts_type = LongType() if ts_unit == "ns" else TimestampNTZType()
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
 
 SESSION_GAP_US = 30 * 60 * 1_000_000
 
@@ -49,17 +57,27 @@ def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 8
 ) -> DataFrame:
     """File-source stream of the events table with ``ts_us`` (epoch
-    micros, long) normalized exactly like the batch reader."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    micros, long) normalized exactly like the batch reader
+    (levi_spark.sources.registry.read_events)."""
+    from levi_spark.sources.registry import events_ts_unit
+
+    unit = events_ts_unit(sf_dir)
+    if unit == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the file stream source requires a directory: stream the sf dir,
     # filtered down to the events file(s)
     ev = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(unit))
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .option("pathGlobFilter", "events*.parquet")
         .parquet(sf_dir)
     )
-    return ev.withColumn("ts_us", F.expr("ts div 1000")).drop("ts")
+    ts_us = (
+        F.expr("ts div 1000")
+        if unit == "ns"
+        else F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    return ev.withColumn("ts_us", ts_us).drop("ts")
 
 
 def _drain_to_memory(

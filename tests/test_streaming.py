@@ -11,8 +11,6 @@ from __future__ import annotations
 import os
 
 import duckdb
-import pyarrow as pa
-import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import pytest
 
@@ -24,11 +22,10 @@ SRC = "/root/testdata/sf0.001/events.parquet"
 @pytest.fixture(scope="module")
 def split_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("events_split")
-    t = pq.read_table(SRC)
-    t = t.set_column(
-        t.schema.get_field_index("ts"), "ts", pc.cast(t["ts"], pa.int64())
-    )
-    t = t.sort_by("ts")
+    # keep ts in the source file's own physical unit — read_events_stream
+    # branches on the footer, and the split files must exercise the same
+    # path the real testdata takes
+    t = pq.read_table(SRC).sort_by("ts")
     n = t.num_rows
     cuts = [0, n // 4, n // 2, 3 * n // 4, n]
     for i in range(4):
