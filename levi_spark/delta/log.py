@@ -99,8 +99,54 @@ _PROTOCOL_TYPE = T.StructType(
     [
         T.StructField("minReaderVersion", T.IntegerType()),
         T.StructField("minWriterVersion", T.IntegerType()),
+        T.StructField("readerFeatures", T.ArrayType(T.StringType())),
+        T.StructField("writerFeatures", T.ArrayType(T.StringType())),
     ]
 )
+
+# Table features this reader actually implements. Standard roaring-
+# bitmap deletion vectors and v2 checkpoints are NOT here: misreading a
+# table is worse than refusing it (this engine's own DV sidecars travel
+# under minReaderVersion 1 table conf, not the protocol feature).
+_SUPPORTED_READER_FEATURES = frozenset(
+    {"timestampNtz", "vacuumProtocolCheck", "appendOnly", "invariants"}
+)
+
+
+class UnsupportedTableFeatureError(ValueError):
+    """The table's Delta protocol requires reader capabilities this
+    engine does not implement; reading would return wrong results."""
+
+
+def _check_reader_protocol(proto, meta: "TableMetadata", table_path: str) -> None:
+    v = proto["minReaderVersion"] or 1
+    if v <= 1:
+        return
+    if v == 2:
+        # reader v2 == column mapping capable; fine as long as this
+        # table doesn't actually enable a mapping mode
+        mode = (meta.configuration or {}).get("delta.columnMapping.mode", "none")
+        if mode != "none":
+            raise UnsupportedTableFeatureError(
+                f"{table_path}: columnMapping mode {mode!r} is not supported"
+            )
+        return
+    if v == 3:
+        feats = set(proto["readerFeatures"] or [])
+        # columnMapping feature is tolerable when the mode is off
+        if (meta.configuration or {}).get(
+            "delta.columnMapping.mode", "none"
+        ) == "none":
+            feats.discard("columnMapping")
+        unsupported = feats - _SUPPORTED_READER_FEATURES
+        if unsupported:
+            raise UnsupportedTableFeatureError(
+                f"{table_path}: unsupported reader features {sorted(unsupported)}"
+            )
+        return
+    raise UnsupportedTableFeatureError(
+        f"{table_path}: minReaderVersion {v} is beyond this reader"
+    )
 # SetTransaction action (Delta's idempotent-writer primitive): an
 # application records the last source version it applied INSIDE the
 # commit, so "applied" and "committed" are atomic — the crash-replay
@@ -366,22 +412,31 @@ class Snapshot:
         if self._metadata is None:
             rows = (
                 self._actions_df()
-                .where(F.col("metaData.schemaString").isNotNull())
+                .where(
+                    F.col("metaData.schemaString").isNotNull()
+                    | F.col("protocol.minReaderVersion").isNotNull()
+                )
                 .orderBy(F.col("version").desc())
-                .select("metaData")
-                .limit(1)
+                .select("metaData", "protocol")
                 .collect()
             )
-            if not rows:
+            meta_rows = [r for r in rows if r["metaData"] is not None]
+            if not meta_rows:
                 raise ValueError(f"no metaData action found for {self.log.table_path}")
-            m = rows[0]["metaData"]
+            m = meta_rows[0]["metaData"]
             schema = T.StructType.fromJson(json.loads(m["schemaString"]))
-            self._metadata = TableMetadata(
+            meta = TableMetadata(
                 id=m["id"],
                 schema=schema,
                 partition_columns=list(m["partitionColumns"] or []),
                 configuration=dict(m["configuration"] or {}),
             )
+            proto_rows = [r for r in rows if r["protocol"] is not None]
+            if proto_rows:
+                _check_reader_protocol(
+                    proto_rows[0]["protocol"], meta, self.log.table_path
+                )
+            self._metadata = meta
         return self._metadata
 
     def txn_versions(self) -> dict[str, int]:
