@@ -300,6 +300,29 @@ def write_delta(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)
 
+    # -- CHECK constraints (delta.constraints.* in table config) -------------
+    # Enforced on the STAGED output (one pruned aggregate decoding only
+    # the constraint columns — no recompute of df's lineage); a
+    # violation aborts before anything is moved or committed.
+    from levi_spark.delta.constraints import (
+        CheckConstraintViolation,
+        constraints_from_config,
+        enforce_constraints,
+    )
+
+    if constraints_from_config(meta_conf):
+        staged = spark.read.schema(df.schema).parquet(staging)
+        # merge_schema appends may omit nullable table columns — a
+        # constraint over an omitted column sees NULL (passes, SQL CHECK)
+        for f in commit_schema.fields:
+            if f.name not in staged.columns:
+                staged = staged.withColumn(f.name, F.lit(None).cast(f.dataType))
+        try:
+            enforce_constraints(staged, meta_conf)
+        except CheckConstraintViolation:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+
     moved: list[str] = []  # relative (disk) paths of new data files
     for root, _dirs, files in os.walk(staging):
         for name in files:
