@@ -380,8 +380,26 @@ class Snapshot:
                 if "metaData" in cols
                 else F.lit(None).cast(_METADATA_TYPE)
             )
+            proto_fields = (
+                {f.name for f in raw.schema["protocol"].dataType.fields}
+                if "protocol" in cols
+                else set()
+            )
             proto_col = (
-                F.col("protocol").cast(_PROTOCOL_TYPE)
+                F.struct(
+                    F.col("protocol.minReaderVersion").alias("minReaderVersion"),
+                    F.col("protocol.minWriterVersion").alias("minWriterVersion"),
+                    (
+                        F.col("protocol.readerFeatures")
+                        if "readerFeatures" in proto_fields
+                        else F.lit(None).cast(T.ArrayType(T.StringType()))
+                    ).alias("readerFeatures"),
+                    (
+                        F.col("protocol.writerFeatures")
+                        if "writerFeatures" in proto_fields
+                        else F.lit(None).cast(T.ArrayType(T.StringType()))
+                    ).alias("writerFeatures"),
+                )
                 if "protocol" in cols
                 else F.lit(None).cast(_PROTOCOL_TYPE)
             )

@@ -63,6 +63,78 @@ def _partition_values_from_relpath(relpath: str, part_cols: list[str]) -> dict:
     return {c: vals.get(c) for c in part_cols}
 
 
+def _footer_stats(
+    abs_files: list[str], data_schema: T.StructType
+) -> dict[str, dict] | None:
+    """Per-file stats straight from the parquet FOOTERS the staging
+    write just produced — a metadata-only driver read (~ms/file), no
+    second Spark job decoding the data.
+
+    Exactness contract (why this can replace the aggregate): parquet-mr
+    either records exact chunk min/max or drops the statistic entirely
+    (oversized binary values), so has_min_max ⇒ exact for our own
+    staged files. Returns None to demand the Spark-aggregate fallback
+    whenever anything is not bit-faithful to it: complex top-level
+    columns (their nullCount is not derivable from leaf footers),
+    missing null counts, absent min/max on a column that has non-null
+    rows, or NaN min/max (Spark's NaN-ordering differs from
+    parquet's). At multi-thousand-file commits the loop is still
+    driver-side metadata scale; the fallback path remains the fully
+    distributed aggregate."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    if any(
+        isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType))
+        or "." in f.name
+        for f in data_schema.fields
+    ):
+        return None  # complex nullCount is not derivable from leaf footers
+    mm_names = {
+        f.name for f in data_schema.fields if isinstance(f.dataType, _MINMAX_TYPES)
+    }
+    out: dict[str, dict] = {}
+    for path in abs_files:
+        md = pq.ParquetFile(path).metadata
+        nulls: dict[str, int] = {}
+        mins: dict[str, object] = {}
+        maxs: dict[str, object] = {}
+        for rg in range(md.num_row_groups):
+            rg_md = md.row_group(rg)
+            for ci in range(md.num_columns):
+                col = rg_md.column(ci)
+                name = col.path_in_schema
+                st = col.statistics
+                if st is None or st.null_count is None:
+                    return None
+                nulls[name] = nulls.get(name, 0) + st.null_count
+                if name not in mm_names:
+                    continue
+                if not st.has_min_max:
+                    if st.null_count < rg_md.num_rows:
+                        # values exist but parquet dropped the stat
+                        # (oversized binary) — only the aggregate knows
+                        return None
+                    continue
+                lo, hi = st.min, st.max
+                if any(
+                    isinstance(v, float) and math.isnan(v) for v in (lo, hi)
+                ):
+                    return None  # Spark's NaN ordering differs from parquet's
+                if name not in mins or lo < mins[name]:
+                    mins[name] = lo
+                if name not in maxs or hi > maxs[name]:
+                    maxs[name] = hi
+        out[os.path.basename(path)] = {
+            "numRecords": md.num_rows,
+            "minValues": mins,
+            "maxValues": maxs,
+            "nullCount": {f.name: nulls.get(f.name, 0) for f in data_schema.fields},
+        }
+    return out
+
+
 def _file_stats(df_files: DataFrame, data_schema: T.StructType) -> dict[str, dict]:
     """Distributed per-file stats: one groupBy(_metadata.file_name) agg.
 
@@ -342,16 +414,25 @@ def write_delta(
             moved.append(rel)
     shutil.rmtree(staging, ignore_errors=True)
 
-    # -- distributed stats over the freshly written files --------------------
+    # -- stats over the freshly written files --------------------------------
+    # footer-first: exact stats straight from the staged parquet
+    # metadata (driver-side, ~ms/file); the distributed aggregate runs
+    # only when footers can't be bit-faithful (complex columns, NaN,
+    # oversized binary values — see _footer_stats)
     data_schema = T.StructType(
         [f for f in df.schema.fields if f.name not in set(partition_by)]
     )
     abs_files = [os.path.join(path, rel) for rel in moved]
-    stats_by_name = (
-        _file_stats(spark.read.schema(data_schema).parquet(*abs_files), data_schema)
-        if abs_files
-        else {}
-    )
+    stats_by_name: dict[str, dict] = {}
+    if abs_files:
+        footer = _footer_stats(abs_files, data_schema)
+        stats_by_name = (
+            footer
+            if footer is not None
+            else _file_stats(
+                spark.read.schema(data_schema).parquet(*abs_files), data_schema
+            )
+        )
 
     # -- commit --------------------------------------------------------------
     now_ms = int(time.time() * 1000)
