@@ -29,7 +29,7 @@ from urllib.parse import unquote
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from levi_spark.delta.log import COMMIT_SCHEMA, DeltaLog
+from levi_spark.delta.log import DeltaLog
 
 # operations whose adds carry no new logical rows: layout rewrites
 # (OPTIMIZE/PURGE) and DV soft deletes (DELETE re-emits existing adds
@@ -86,24 +86,19 @@ def table_changes(
         schema = meta.schema.add("_commit_version", "long")
         return spark.createDataFrame([], schema)
 
-    commits = spark.read.schema(COMMIT_SCHEMA).json(
-        [os.path.join(log.log_path, f"{v:020d}.json") for v in data_versions]
-    ).withColumn(
-        "version",
-        F.regexp_extract(F.col("_metadata.file_path"), r"(\d{20})\.json$", 1).cast(
-            "long"
-        ),
-    )
-    adds = [
-        (
-            unquote(r["add"]["path"]),
-            int(r["version"]),
-            dict(r["add"]["partitionValues"] or {}),
-        )
-        for r in commits.where(F.col("add.path").isNotNull())
-        .select("add", "version")
-        .collect()
-    ]
+    # metadata-plane: parse the window's commits driver-side (bounded by
+    # the version window) instead of a Spark job per feed read
+    adds = []
+    for v in data_versions:
+        with open(os.path.join(log.log_path, f"{v:020d}.json")) as fh:
+            for line in fh:
+                if not (line := line.strip()):
+                    continue
+                a = json.loads(line).get("add")
+                if a and a.get("path"):
+                    adds.append(
+                        (unquote(a["path"]), v, dict(a.get("partitionValues") or {}))
+                    )
     if not adds:
         schema = meta.schema.add("_commit_version", "long")
         return spark.createDataFrame([], schema)

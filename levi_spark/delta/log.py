@@ -37,7 +37,7 @@ from dataclasses import dataclass
 from functools import reduce
 from urllib.parse import unquote
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Row, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -167,6 +167,32 @@ COMMIT_SCHEMA = T.StructType(
         T.StructField("txn", _TXN_TYPE),
     ]
 )
+
+# Logs whose bytes (commit tail + checkpoint) fit under this cap are
+# replayed DRIVER-SIDE (json/pyarrow parse, no Spark jobs): the
+# metadata plane of a table with a 10-commit checkpoint cadence is a
+# few KB of JSON, and burning a ~0.5 s Spark job per snapshot made
+# every lifecycle operation (MERGE, DV delete, CDF, restore) pay 5-10
+# such jobs. Bigger logs take the original distributed path unchanged.
+_LOCAL_LOG_CAP = 64 * 1024 * 1024
+
+
+def _conform(dt: T.DataType, v):
+    """Conform a json/pyarrow-parsed value to ``dt``, Row-typed:
+    structs -> Row in schema field order (missing keys -> None, extra
+    keys dropped), maps -> dict (pyarrow yields key/value pair lists),
+    arrays -> list."""
+    if v is None:
+        return None
+    if isinstance(dt, T.StructType):
+        return Row(**{f.name: _conform(f.dataType, v.get(f.name)) for f in dt.fields})
+    if isinstance(dt, T.MapType):
+        if isinstance(v, dict):
+            return {k: _conform(dt.valueType, x) for k, x in v.items()}
+        return {k: _conform(dt.valueType, x) for k, x in v}  # pyarrow pairs
+    if isinstance(dt, T.ArrayType):
+        return [_conform(dt.elementType, x) for x in v]
+    return v
 
 # Leaf types for which Delta collects min/max stats.
 _MINMAX_TYPES = (
@@ -310,11 +336,60 @@ class Snapshot:
         self._metadata: TableMetadata | None = None
         self._actions: DataFrame | None = None
         self._live_rows: list | None = None
+        self._local: list | None | bool = None  # False = too big / unparseable
 
     # ---- raw action frames -------------------------------------------------
 
     def _commit_path(self, v: int) -> str:
         return os.path.join(self.log.log_path, f"{v:020d}.json")
+
+    def _local_actions(self) -> list | None:
+        """Driver-side log replay for metadata-plane questions: every
+        action as a COMMIT_SCHEMA-conformed Row (+ .version), parsed
+        with json/pyarrow — zero Spark jobs. None when the log exceeds
+        ``_LOCAL_LOG_CAP`` or can't be parsed locally; callers then use
+        the distributed ``_actions_df`` path, which stays authoritative
+        for arbitrarily large logs."""
+        if self._local is False:
+            return None
+        if self._local is not None:
+            return self._local
+        try:
+            cp_path = (
+                os.path.join(self.log.log_path, f"{self._cp:020d}.checkpoint.parquet")
+                if self._cp is not None
+                else None
+            )
+            total = sum(
+                os.path.getsize(self._commit_path(v)) for v in self._commit_versions
+            ) + (os.path.getsize(cp_path) if cp_path else 0)
+            if total > _LOCAL_LOG_CAP:
+                self._local = False
+                return None
+            raw: list[tuple[int, dict]] = []
+            if cp_path:
+                import pyarrow.parquet as pq
+
+                for rec in pq.read_table(cp_path).to_pylist():
+                    raw.append((self._cp, rec))
+            for v in self._commit_versions:
+                with open(self._commit_path(v)) as f:
+                    for line in f:
+                        if line := line.strip():
+                            raw.append((v, json.loads(line)))
+            rows = []
+            for v, d in raw:
+                fields = {
+                    f.name: _conform(f.dataType, d.get(f.name))
+                    for f in COMMIT_SCHEMA.fields
+                }
+                fields["version"] = v
+                rows.append(Row(**fields))
+            self._local = rows
+        except Exception:
+            self._local = False
+            return None
+        return self._local
 
     def _actions_df(self) -> DataFrame:
         """All actions (checkpoint ∪ commits) tagged with their version."""
@@ -428,16 +503,34 @@ class Snapshot:
     @property
     def metadata(self) -> TableMetadata:
         if self._metadata is None:
-            rows = (
-                self._actions_df()
-                .where(
-                    F.col("metaData.schemaString").isNotNull()
-                    | F.col("protocol.minReaderVersion").isNotNull()
+            local = self._local_actions()
+            if local is not None:
+                rows = sorted(
+                    (
+                        r
+                        for r in local
+                        if (
+                            r["metaData"] is not None
+                            and r["metaData"]["schemaString"] is not None
+                        )
+                        or (
+                            r["protocol"] is not None
+                            and r["protocol"]["minReaderVersion"] is not None
+                        )
+                    ),
+                    key=lambda r: -r["version"],
                 )
-                .orderBy(F.col("version").desc())
-                .select("metaData", "protocol")
-                .collect()
-            )
+            else:
+                rows = (
+                    self._actions_df()
+                    .where(
+                        F.col("metaData.schemaString").isNotNull()
+                        | F.col("protocol.minReaderVersion").isNotNull()
+                    )
+                    .orderBy(F.col("version").desc())
+                    .select("metaData", "protocol", "version")
+                    .collect()
+                )
             meta_rows = [r for r in rows if r["metaData"] is not None]
             if not meta_rows:
                 raise ValueError(f"no metaData action found for {self.log.table_path}")
@@ -461,6 +554,16 @@ class Snapshot:
         """Latest SetTransaction version per appId at this snapshot —
         Delta's ``txnVersion`` lookup. Metadata-scale collect (one row
         per writing application)."""
+        local = self._local_actions()
+        if local is not None:
+            out: dict[str, int] = {}
+            for r in local:
+                t = r["txn"]
+                if t is not None and t["appId"] is not None:
+                    v = t["version"]
+                    if t["appId"] not in out or v > out[t["appId"]]:
+                        out[t["appId"]] = v
+            return out
         rows = (
             self._actions_df()
             .where(F.col("txn.appId").isNotNull())
@@ -472,10 +575,44 @@ class Snapshot:
 
     # ---- add actions (the metadata-plane table) ----------------------------
 
+    def _local_live(self) -> list | None:
+        """Python reconcile of the local action list — the same
+        last-action-per-path rule as ``live_adds_raw``'s window (order
+        by version, then add-over-remove within a version)."""
+        local = self._local_actions()
+        if local is None:
+            return None
+        best: dict[str, tuple[tuple[int, int], Row | None]] = {}
+        for r in local:
+            a, rm = r["add"], r["remove"]
+            if a is not None and a["path"] is not None:
+                path, key, payload = a["path"], (r["version"], 1), r
+            elif rm is not None and rm["path"] is not None:
+                path, key, payload = rm["path"], (r["version"], 0), None
+            else:
+                continue
+            cur = best.get(path)
+            if cur is None or key > cur[0]:
+                best[path] = (key, payload)
+        return [
+            Row(add=p["add"], version=key[0])
+            for key, p in best.values()
+            if p is not None
+        ]
+
     def live_adds_raw(self) -> DataFrame:
         """Reconciled live files as RAW ``add`` structs (URL-encoded
         paths, stats still a JSON string) + the winning ``version`` —
         the exact rows a checkpoint must carry."""
+        local = self._local_live()
+        if local is not None:
+            schema = T.StructType(
+                [
+                    T.StructField("add", _ADD_TYPE),
+                    T.StructField("version", T.LongType()),
+                ]
+            )
+            return self.spark.createDataFrame(local or [], schema)
         acts = self._actions_df()
         file_acts = acts.where(
             F.col("add.path").isNotNull() | F.col("remove.path").isNotNull()
@@ -505,7 +642,9 @@ class Snapshot:
         scale: one row per live file (the same list Delta itself plans
         scans from)."""
         if self._live_rows is None:
-            self._live_rows = self.live_adds_raw().collect()
+            self._live_rows = self._local_live()
+            if self._live_rows is None:
+                self._live_rows = self.live_adds_raw().collect()
         return self._live_rows
 
     def add_actions(self) -> DataFrame:

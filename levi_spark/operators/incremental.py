@@ -120,6 +120,10 @@ def refresh_aggregate(
             )
         )
     )
+    # materialize ONCE: the CDF lineage (change files + synthesized
+    # add/remove reads) would otherwise recompute for the count AND for
+    # every pass of the merge; group-level deltas are rollup-sized
+    deltas = deltas.localCheckpoint(eager=True)
     n_changed = deltas.count()
     if n_changed:
         cond = " AND ".join(f"t.{c} <=> s.{c}" for c in group_cols)
@@ -142,7 +146,7 @@ def refresh_aggregate(
                     **{f"sum_q_{c}": f"s.d_{c}" for c in sum_cols},
                 },
             )
-            .execute(txn=(app_id, cur))
+            .execute(txn=(app_id, cur), materialize_source=False)
         )
     state.advance(cur)
     return {"from_version": last, "to_version": cur, "groups_changed": n_changed}

@@ -96,7 +96,10 @@ class MergeBuilder:
     # ------------------------------------------------------------------
 
     def execute(
-        self, emit_cdf: bool = False, txn: tuple[str, int] | None = None
+        self,
+        emit_cdf: bool = False,
+        txn: tuple[str, int] | None = None,
+        materialize_source: bool = True,
     ) -> dict:
         """Run the merge; returns {"version", "files_rewritten"}
         (version -1 for an observable no-op).
@@ -111,14 +114,26 @@ class MergeBuilder:
         update clause (emitted even when the new values equal the old —
         no no-op suppression, matching Delta), ``delete`` for delete
         clauses, ``insert`` for not-matched inserts. Read back with
-        :func:`levi_spark.delta.changes.table_changes_cdf`."""
+        :func:`levi_spark.delta.changes.table_changes_cdf`.
+
+        ``materialize_source``: a merge consumes its source in several
+        passes (touched-file discovery, the duplicate-match guard, the
+        rewrite, each CDF image, the insert anti-join) — left lazy, the
+        whole source lineage recomputes per pass, and a nondeterministic
+        source could even change between them. Materialized
+        (``localCheckpoint``) it computes ONCE — Delta's own MERGE does
+        the same. Disable only for a trivially-rescannable source (a
+        bare table scan)."""
         if not self._matched and not self._not_matched:
             raise ValueError("MERGE needs at least one WHEN clause")
         snap = self.table.snapshot()
         part_cols = list(snap.metadata.partition_columns)
         data_cols = list(snap.metadata.data_columns)
         cond = _as_col(self.condition)
-        src = self.source.withColumn(_MARKER, F.lit(1)).alias("s")
+        src = self.source.withColumn(_MARKER, F.lit(1))
+        if materialize_source:
+            src = src.localCheckpoint(eager=True)
+        src = src.alias("s")
         cdc_parts: list[DataFrame] = []
 
         rewritten = None
