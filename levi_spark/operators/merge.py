@@ -153,14 +153,25 @@ class MergeBuilder:
                     for _kind, ccond, _set in self._matched
                 ],
             )
-            touched_names = {
-                r["__fn"]
-                for r in target.join(src, cond, "inner")
-                .where(any_clause)
-                .select(F.col("t._file_name").alias("__fn"))
-                .distinct()
+            # ONE aggregation pass answers both planning questions:
+            # which files hold an applicable match (touched set), and
+            # does any target row in them match >1 source row (the
+            # duplicate-match guard Delta also enforces)
+            per_file = (
+                target.join(src, cond, "inner")
+                .groupBy(
+                    F.col("t._file_name").alias("__fn"),
+                    F.col("t._row_index").alias("__ri"),
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("__n"),
+                    F.max(F.when(any_clause, 1).otherwise(0)).alias("__app"),
+                )
+                .groupBy("__fn")
+                .agg(F.max("__n").alias("__maxn"), F.max("__app").alias("__app"))
                 .collect()
-            }
+            )
+            touched_names = {r["__fn"] for r in per_file if r["__app"] == 1}
             all_rels = [
                 r["path"] for r in snap.add_actions().select("path").collect()
             ]
@@ -168,23 +179,15 @@ class MergeBuilder:
                 p for p in all_rels if os.path.basename(p) in touched_names
             ]
             if touched_rels:
-                sub = snap.to_df(paths=touched_rels, with_lineage=True).alias("t")
-                joined = sub.join(src, cond, "left_outer")
-                matched = F.col(_MARKER).isNotNull()
-                # duplicate-match guard: >1 source row per target row is
-                # nondeterministic under update/delete — Delta errors, so do we
-                dup = (
-                    joined.where(matched)
-                    .groupBy("t._file_name", "t._row_index")
-                    .agg(F.count(F.lit(1)).alias("__n"))
-                    .where(F.col("__n") > 1)
-                    .limit(1)
-                    .count()
-                )
-                if dup:
+                if any(
+                    r["__maxn"] > 1 for r in per_file if r["__fn"] in touched_names
+                ):
                     raise ValueError(
                         "MERGE: a target row matches multiple source rows"
                     )
+                sub = snap.to_df(paths=touched_rels, with_lineage=True).alias("t")
+                joined = sub.join(src, cond, "left_outer")
+                matched = F.col(_MARKER).isNotNull()
                 # first-applicable-clause resolution, in declaration order
                 seen = F.lit(False)
                 applicable: list[Column] = []
@@ -226,17 +229,53 @@ class MergeBuilder:
                         for (kind, _c, _s), app in zip(self._matched, applicable)
                         if kind == "delete"
                     ]
-                    for conds, cols, tag in (
-                        (upd, orig_cols, "update_preimage"),
-                        (upd, out_cols, "update_postimage"),
-                        (dele, orig_cols, "delete"),
-                    ):
-                        if conds:
-                            cdc_parts.append(
-                                joined.where(functools.reduce(operator.or_, conds))
-                                .select(*cols)
-                                .withColumn("_change_type", F.lit(tag))
+                    # all matched-side images in ONE scan of the join:
+                    # each row yields an array of per-image structs
+                    # (null when its clause doesn't fire), exploded
+                    # after a null-filter — instead of one full join
+                    # recompute per image kind
+                    imgs = []
+                    if upd:
+                        u = functools.reduce(operator.or_, upd)
+                        imgs.append(
+                            F.when(
+                                u,
+                                F.struct(
+                                    *orig_cols,
+                                    F.lit("update_preimage").alias("_change_type"),
+                                ),
                             )
+                        )
+                        imgs.append(
+                            F.when(
+                                u,
+                                F.struct(
+                                    *out_cols,
+                                    F.lit("update_postimage").alias("_change_type"),
+                                ),
+                            )
+                        )
+                    if dele:
+                        d = functools.reduce(operator.or_, dele)
+                        imgs.append(
+                            F.when(
+                                d,
+                                F.struct(
+                                    *orig_cols,
+                                    F.lit("delete").alias("_change_type"),
+                                ),
+                            )
+                        )
+                    if imgs:
+                        cdc_parts.append(
+                            joined.select(F.array(*imgs).alias("__imgs"))
+                            .select(
+                                F.explode(
+                                    F.expr("filter(__imgs, x -> x is not null)")
+                                ).alias("__c")
+                            )
+                            .select("__c.*")
+                        )
 
         inserts = None
         if self._not_matched:
