@@ -5546,6 +5546,21 @@ GROUP BY doc_id
 # queries being rewritten this round (SCD2 MERGE path, file-targeted
 # dedup), and new queries. Everything below slot 50 stayed green in
 # CORRECTNESS_r01 and is unchanged this round.
+#
+# ROUND 3 ROTATION PLAN (do this at the START of round 3, after reading
+# VERDICT_r02): move into slots 1-50 every query with no green driver
+# row yet — the tail block below from table_restore_counts onward
+# (~56 entries: TPC-H q2-q22 block already has r01 rows, so prioritize
+# table_restore_counts, events_skewed_rollup, events_salted_user_join,
+# delta_sync_counts, schema_evolution_counts, ivf_trained_topk,
+# embedding_lsh_neardup, doc_repetition_filters, semdedup_prune,
+# domain_mix_rebalance, pq_trained_codes, optimize_layout_counts,
+# doc_bigram_lm_scores, bpe_train_merges, stream_ingest_counts,
+# hll_distinct_users, cms_heavy_hitters, bloom_orderkey_prune,
+# doc_reservoir_sample, stream_interval_join, segment_dedup_docs,
+# doc_dsir_weights, plus anything round 3 adds or changes) — and
+# backfill the remaining slots with r01/r02-green entries oldest-first
+# so every query re-proves itself every few rounds.
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- slots 1-30: ungated in round 1 (registry slots 51-80 then) ---------
     "doc_stratified_sample": (doc_stratified_sample, STRATIFIED_SAMPLE_SQL),
