@@ -120,24 +120,20 @@ class UnsupportedTableFeatureError(ValueError):
 
 def _check_reader_protocol(proto, meta: "TableMetadata", table_path: str) -> None:
     v = proto["minReaderVersion"] or 1
-    if v <= 1:
-        return
-    if v == 2:
-        # reader v2 == column mapping capable; fine as long as this
-        # table doesn't actually enable a mapping mode
-        mode = (meta.configuration or {}).get("delta.columnMapping.mode", "none")
-        if mode != "none":
-            raise UnsupportedTableFeatureError(
-                f"{table_path}: columnMapping mode {mode!r} is not supported"
-            )
+    mode = (meta.configuration or {}).get("delta.columnMapping.mode", "none")
+    if mode not in ("none", "name"):
+        # 'id' mode resolves columns by parquet field id, which a
+        # read-by-name scan cannot honor
+        raise UnsupportedTableFeatureError(
+            f"{table_path}: columnMapping mode {mode!r} is not supported"
+        )
+    if v <= 2:
+        # reader v2 == column mapping capable; 'name' mode is
+        # implemented (physical-name scan + logical rename)
         return
     if v == 3:
         feats = set(proto["readerFeatures"] or [])
-        # columnMapping feature is tolerable when the mode is off
-        if (meta.configuration or {}).get(
-            "delta.columnMapping.mode", "none"
-        ) == "none":
-            feats.discard("columnMapping")
+        feats.discard("columnMapping")  # supported for mode none/name
         unsupported = feats - _SUPPORTED_READER_FEATURES
         if unsupported:
             raise UnsupportedTableFeatureError(
@@ -258,6 +254,24 @@ def _leaf_paths(schema: T.StructType, prefix: str = "") -> list[str]:
     return out
 
 
+_PHYS_NAME_KEY = "delta.columnMapping.physicalName"
+
+
+def _physical_field(f: T.StructField) -> T.StructField:
+    """Field renamed to its column-mapping physical name, recursively
+    (nested struct fields carry their own physicalName metadata)."""
+    name = (f.metadata or {}).get(_PHYS_NAME_KEY, f.name)
+    dt = f.dataType
+    if isinstance(dt, T.StructType):
+        dt = T.StructType([_physical_field(x) for x in dt.fields])
+    elif isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.StructType):
+        dt = T.ArrayType(
+            T.StructType([_physical_field(x) for x in dt.elementType.fields]),
+            dt.containsNull,
+        )
+    return T.StructField(name, dt, f.nullable)
+
+
 @dataclass
 class TableMetadata:
     id: str | None
@@ -270,12 +284,31 @@ class TableMetadata:
         return [f.name for f in self.schema.fields]
 
     @property
+    def column_mapping_mode(self) -> str:
+        return (self.configuration or {}).get("delta.columnMapping.mode", "none")
+
+    @property
+    def physical_names(self) -> dict[str, str]:
+        """logical -> parquet-physical top-level column name (identity
+        unless column mapping is active)."""
+        if self.column_mapping_mode == "none":
+            return {f.name: f.name for f in self.schema.fields}
+        return {
+            f.name: (f.metadata or {}).get(_PHYS_NAME_KEY, f.name)
+            for f in self.schema.fields
+        }
+
+    @property
     def physical_schema(self) -> T.StructType:
         """Schema of the parquet data files: table schema minus partition
-        columns (Delta stores partition values only in the log/paths)."""
-        return T.StructType(
-            [f for f in self.schema.fields if f.name not in set(self.partition_columns)]
-        )
+        columns (Delta stores partition values only in the log/paths),
+        under PHYSICAL names when column mapping (name mode) is on."""
+        fields = [
+            f for f in self.schema.fields if f.name not in set(self.partition_columns)
+        ]
+        if self.column_mapping_mode != "none":
+            fields = [_physical_field(f) for f in fields]
+        return T.StructType(fields)
 
 
 class DeltaLog:
@@ -658,7 +691,19 @@ class Snapshot:
         (``/root/reference/levi/__init__.py:14,57``).
         """
         live = self.live_adds_raw()
-        sschema = stats_schema(self.metadata.schema)
+        meta = self.metadata
+        sschema = stats_schema(meta.schema)
+        if meta.column_mapping_mode != "none":
+            # stats JSON is keyed by physical names: parse under them,
+            # cast (positional) back to the logical-named struct
+            phys_struct = T.StructType(
+                [_physical_field(f) for f in meta.schema.fields]
+            )
+            stats_col = F.from_json(
+                F.col("add.stats"), stats_schema(phys_struct)
+            ).cast(sschema)
+        else:
+            stats_col = F.from_json(F.col("add.stats"), sschema)
         return (
             live.select(
                 # URL-decoded path for filesystem access (Delta stores
@@ -675,7 +720,7 @@ class Snapshot:
                 F.col("add.size").alias("size_bytes"),
                 F.col("add.modificationTime").alias("modification_time"),
                 F.col("add.dataChange").alias("data_change"),
-                F.from_json(F.col("add.stats"), sschema).alias("stats"),
+                stats_col.alias("stats"),
                 F.col("add.deletionVector").alias("deletion_vector"),
                 F.col("version").alias("commit_version"),
             )
@@ -831,9 +876,22 @@ class Snapshot:
             F.col("__file_name").alias("_file_name"),
             F.col("__row_index").alias("_row_index"),
         ]
+        by_name = {f.name: f for f in meta.schema.fields}
+        phys_names = meta.physical_names
+        part_set = set(meta.partition_columns)
+        if meta.column_mapping_mode == "none":
+            data_sel = [F.col(c) for c in meta.data_columns if c not in part_set]
+        else:
+            # physical-name scan -> logical rename; the cast renames
+            # NESTED struct fields too (cast is by position)
+            data_sel = [
+                F.col(phys_names[c]).cast(by_name[c].dataType).alias(c)
+                for c in meta.data_columns
+                if c not in part_set
+            ]
         if not meta.partition_columns:
             return df.select(
-                *[F.col(c) for c in meta.data_columns],
+                *data_sel,
                 *(lineage if with_lineage else []),
             )
         pv_schema = T.StructType(
@@ -846,13 +904,13 @@ class Snapshot:
             [(os.path.basename(p), pv) for p, pv in infos], pv_schema
         )
         joined = df.join(F.broadcast(pv_df), on="__file_name", how="left")
-        by_name = {f.name: f for f in meta.schema.fields}
         part_cols = [
-            F.col("__pv").getItem(c).cast(by_name[c].dataType).alias(c)
+            # the log's partitionValues map is keyed by PHYSICAL name
+            F.col("__pv").getItem(phys_names[c]).cast(by_name[c].dataType).alias(c)
             for c in meta.partition_columns
         ]
         return joined.select(
-            *[F.col(f.name) for f in phys.fields],
+            *data_sel,
             *part_cols,
             *lineage,
         ).select(*out_cols)

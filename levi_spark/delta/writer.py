@@ -322,6 +322,12 @@ def write_delta(
         # the table id and wipe configuration set by other writers.
         meta_id = snap.metadata.id
         meta_conf = dict(snap.metadata.configuration)
+        if meta_conf.get("delta.columnMapping.mode", "none") != "none":
+            # this writer emits logical-named files + stats; committing
+            # them into a mapped table would corrupt it for other readers
+            raise NotImplementedError(
+                "writing to a column-mapped table is not supported (reads are)"
+            )
         if mode == "overwrite":
             prev_adds = [r["add"]["path"] for r in snap.live_adds_collected()]
         if replace_paths:
