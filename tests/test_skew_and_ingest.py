@@ -93,3 +93,23 @@ def test_stream_ingest_into_delta(spark, tmp_path):
     ingest_events(spark, sf, table, ckpt, max_files_per_trigger=1)
     assert DeltaLog(spark, table).latest_version() == v_before
     assert DeltaLog(spark, table).snapshot().to_df().count() == src_rows
+
+
+def test_stream_ingest_crash_replay_is_exactly_once(spark, tmp_path):
+    """A batch replayed after a crash between table-commit and source-
+    checkpoint write (simulated by re-invoking the sink with the same
+    batch_id) must be a no-op — the SetTransaction recorded in the
+    commit makes the sink idempotent."""
+    from levi_spark.streaming.delta_sink import _sink_batch
+
+    table = str(tmp_path / "t")
+    batch = spark.createDataFrame([(1, "a"), (2, "b")], "k INT, e STRING")
+    assert _sink_batch(batch, 0, table, None, "app-x") is True
+    v0 = DeltaLog(spark, table).latest_version()
+    # crash replay of batch 0: skipped, no new version, no duplicate rows
+    assert _sink_batch(batch, 0, table, None, "app-x") is False
+    assert DeltaLog(spark, table).latest_version() == v0
+    assert DeltaLog(spark, table).snapshot().to_df().count() == 2
+    # the next batch still lands
+    assert _sink_batch(batch, 1, table, None, "app-x") is True
+    assert DeltaLog(spark, table).snapshot().to_df().count() == 4
