@@ -4283,18 +4283,32 @@ def pq_trained_codes(spark, sf_dir):
     encode of the fixed-codebook variant). At 100 TB the fits run over
     a sample and the encode pass is embarrassingly parallel.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from levi_spark.operators.kmeans import _sqdist_quant, kmeans_fit
 
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_vec(F.col("embedding")).alias("v")
     )
-    code_cols = []
-    for m in range(4):
+
+    # the 4 subspace fits are independent driver-orchestrated loops —
+    # run them on concurrent threads so their per-round jobs overlap on
+    # the executors (Spark schedules concurrent jobs fairly) instead of
+    # serializing 4 × rounds barriers; results are deterministic either
+    # way (independent lineages, integer arithmetic)
+    def _fit(m: int):
         sub = emb.select("vec_id", F.slice("v", m * 16 + 1, 16).alias("v"))
-        fit = kmeans_fit(
+        return kmeans_fit(
             sub, "vec_id", "v", k=4, max_iter=2, tol=0.0,
             dist_scale=1e6, mean_scale=1e8,
         )
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        fits = list(ex.map(_fit, range(4)))
+
+    code_cols = []
+    for m in range(4):
+        fit = fits[m]
         sl = F.slice("v", m * 16 + 1, 16)
         d = [
             _sqdist_quant(sl, F.array(*[F.lit(x) for x in c]), 1e6)
