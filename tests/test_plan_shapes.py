@@ -236,3 +236,28 @@ def test_bigram_lm_prunes_scan_and_broadcasts_vocab_size(spark):
         assert schema.count(":") <= 2 and "text" in schema, schema
     s = plan_summary(df)
     assert s["broadcast_exchanges"] >= 1, s
+
+
+def test_segment_dedup_two_keyed_exchanges_no_window(spark):
+    from levi_spark.queries import segment_dedup_docs
+
+    df = segment_dedup_docs(spark, SF)
+    s = plan_summary(df)
+    # first-occurrence via groupBy + join back, NOT a global-sort window;
+    # shuffles: segment-hash agg (+AQE-planned join sides) and doc rollup
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in p, "survivor choice must not use a window"
+    # only doc_id + text reach the scan (both join legs of the
+    # segment frame read the same pruned pair)
+    for schema in read_schemas(df):
+        assert schema.count(":") == 2, schema
+
+
+def test_dsir_lm_sides_broadcast(spark):
+    from levi_spark.queries import doc_dsir_weights
+
+    df = doc_dsir_weights(spark, SF)
+    s = plan_summary(df)
+    # bucket LM + 1-row totals + final lr probe all ride broadcasts:
+    # the token stream itself is never reshuffled for the scoring pass
+    assert s["broadcast_exchanges"] >= 2, s
