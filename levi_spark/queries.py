@@ -5445,6 +5445,49 @@ GROUP BY doc_id
 """
 
 
+TRAILING_US = 3_600_000_000
+
+
+def events_trailing_hour_stats(spark, sf_dir):
+    """RANGE-interval window frame (the one frame shape ROWS can't
+    express): per event, how many events and how much quantized value
+    the same user produced in the trailing hour INCLUDING ties — the
+    frame is bounded by the ts value, not a row count, so ts peers are
+    all in-frame in every engine. One user-keyed sort window, no joins;
+    at scale this is exactly Spark's streaming-friendly bounded-state
+    shape (contrast the as-of join, which pairs two tables)."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-TRAILING_US, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_hour"),
+        (
+            F.sum(
+                F.floor(F.col("value") * F.lit(10000.0) + F.lit(0.5)).cast("long")
+            )
+            .over(w)
+            .cast("double")
+            / F.lit(10000.0)
+        ).alias("value_trailing_hour"),
+    )
+
+
+TRAILING_HOUR_SQL = f"""
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_trailing_hour,
+       CAST(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) OVER w AS DOUBLE)
+         / 10000.0 AS value_trailing_hour
+FROM (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, value FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN {TRAILING_US} PRECEDING AND CURRENT ROW)
+"""
+
+
 DSIR_BUCKETS = 512
 
 
@@ -5688,4 +5731,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "stream_interval_join": (stream_interval_join, STREAM_INTERVAL_JOIN_SQL),
     "segment_dedup_docs": (segment_dedup_docs, SEGMENT_DEDUP_SQL),
     "doc_dsir_weights": (doc_dsir_weights, DSIR_SQL),
+    "events_trailing_hour_stats": (events_trailing_hour_stats, TRAILING_HOUR_SQL),
 }
