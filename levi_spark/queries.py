@@ -5445,6 +5445,63 @@ GROUP BY doc_id
 """
 
 
+def ann_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training (the retrieval-
+    training twin of ANN): for each query vector, the 3 most-similar
+    vectors carrying a DIFFERENT label — the negatives that actually
+    move a contrastive loss, per DPR/Contriever practice. Same
+    broadcast-query / windowed-top-k shape as the brute-force baseline
+    (the label predicate prunes candidates before ranking); the IVF
+    bucketed probe is the documented scale path."""
+    from levi_spark.functions.similarity import as_double_vec, cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", "label", as_double_vec(F.col("embedding")).alias("__v")
+    )
+    q = v.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("__qlabel"),
+        F.col("__v").alias("__qv"),
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .where(F.col("label") != F.col("__qlabel"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            F.round(cosine(F.col("__qv"), F.col("__v")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 3)
+        .select("query_id", "neighbor_id", "neighbor_label", "score")
+    )
+
+
+HARD_NEG_SQL = """
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT query_id, neighbor_id, neighbor_label, score FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         c.label AS neighbor_label,
+         ROUND(list_inner_product(q.e, c.e)
+               / (sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(c.e, c.e))), 6) AS score,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY ROUND(list_inner_product(q.e, c.e)
+               / (sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(c.e, c.e))), 6) DESC,
+                            c.vec_id ASC) AS rn
+  FROM v q JOIN v c ON c.label <> q.label
+  WHERE q.vec_id < 10
+)
+WHERE rn <= 3
+"""
+
+
 TRAILING_US = 3_600_000_000
 
 
@@ -5732,4 +5789,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "segment_dedup_docs": (segment_dedup_docs, SEGMENT_DEDUP_SQL),
     "doc_dsir_weights": (doc_dsir_weights, DSIR_SQL),
     "events_trailing_hour_stats": (events_trailing_hour_stats, TRAILING_HOUR_SQL),
+    "ann_hard_negatives": (ann_hard_negatives, HARD_NEG_SQL),
 }
