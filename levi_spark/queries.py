@@ -5445,6 +5445,63 @@ GROUP BY doc_id
 """
 
 
+PPM_W, PPM_H = 8, 6
+
+
+def multimodal_ppm_decode(spark, sf_dir):
+    """REAL image decode through the multimodal plane (not the
+    byte-stub): each document becomes an 8x6 binary-PPM (P6) image
+    whose raster is its md5 digest tiled, and
+    :func:`levi_spark.operators.netpbm.netpbm_image_decoder` — a pure
+    numpy netpbm codec — parses the header and raster to produce
+    width/height/mean-pixel. Oracle re-derives the mean from the md5
+    hex arithmetic (the 144-byte raster is 9 copies of the 16 digest
+    bytes, so mean = sum(digest)/16 — exact in float64 in both
+    engines). Two Arrow-batched hops: encode, then the shared
+    ``decode_image_features`` operator with the real codec plugged in."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from levi_spark.operators.multimodal import decode_image_features
+    from levi_spark.operators.netpbm import encode_netpbm, netpbm_image_decoder
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    n = PPM_W * PPM_H * 3
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                digest = hashlib.md5(text.encode("utf-8")).digest()
+                raster = (digest * ((n // 16) + 1))[:n]
+                payloads.append(
+                    encode_netpbm(
+                        np.frombuffer(raster, np.uint8).reshape(PPM_H, PPM_W, 3)
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    imgs = docs.mapInPandas(encode, "doc_id long, payload binary")
+    feats = decode_image_features(imgs, decoder=netpbm_image_decoder)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.floor(F.col("mean_pixel") * 1000 + 0.5).cast("long").alias("mean_milli"),
+    )
+
+
+PPM_DECODE_SQL = f"""
+SELECT doc_id, {PPM_W} AS width, {PPM_H} AS height,
+       CAST(floor((list_sum(list_transform(range(1, 17),
+                i -> ('0x' || substr(md5(text), (i - 1) * 2 + 1, 2))::BIGINT))
+              / 16.0) * 1000 + 0.5) AS BIGINT) AS mean_milli
+FROM documents
+"""
+
+
 def ann_hard_negatives(spark, sf_dir):
     """Hard-negative mining for contrastive training (the retrieval-
     training twin of ANN): for each query vector, the 3 most-similar
@@ -5790,4 +5847,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "doc_dsir_weights": (doc_dsir_weights, DSIR_SQL),
     "events_trailing_hour_stats": (events_trailing_hour_stats, TRAILING_HOUR_SQL),
     "ann_hard_negatives": (ann_hard_negatives, HARD_NEG_SQL),
+    "multimodal_ppm_decode": (multimodal_ppm_decode, PPM_DECODE_SQL),
 }
