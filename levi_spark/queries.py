@@ -5729,7 +5729,8 @@ GROUP BY doc_id
 # doc_bigram_lm_scores, bpe_train_merges, stream_ingest_counts,
 # hll_distinct_users, cms_heavy_hitters, bloom_orderkey_prune,
 # doc_reservoir_sample, stream_interval_join, segment_dedup_docs,
-# doc_dsir_weights, plus anything round 3 adds or changes) — and
+# doc_dsir_weights, events_trailing_hour_stats, ann_hard_negatives,
+# multimodal_ppm_decode, plus anything round 3 adds or changes) — and
 # backfill the remaining slots with r01/r02-green entries oldest-first
 # so every query re-proves itself every few rounds.
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
