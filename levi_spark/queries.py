@@ -5445,6 +5445,106 @@ GROUP BY doc_id
 """
 
 
+def cdc_replicate_counts(spark, sf_dir):
+    """CDC replication through the driver gate
+    (:mod:`levi_spark.operators.replicate`): customer becomes a source
+    Delta table, a replica bootstraps from its snapshot, then a DV
+    delete + CDF MERGE + plain append mutate the source and ONE sync
+    applies the multi-version window (net change per key, one MERGE).
+    The replica's per-segment rollup must equal the oracle's
+    from-scratch recompute of the mutated source — proving the replica
+    IS the source, row for row, exactly-once."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from levi_spark.delta.dv import soft_delete
+    from levi_spark.delta.log import DeltaLog
+    from levi_spark.delta.table import LeviTable
+    from levi_spark.delta.writer import write_delta
+    from levi_spark.operators.merge import merge as _merge
+    from levi_spark.operators.replicate import replicate_cdf
+
+    root = _os.path.join(_tempfile.gettempdir(), "levi_spark_replica_customer")
+    _shutil.rmtree(root, ignore_errors=True)
+    src, dst = _os.path.join(root, "src"), _os.path.join(root, "dst")
+    write_delta(
+        _t(spark, sf_dir, "customer").repartition(8), src, mode="error",
+        checkpoint_interval=None,
+    )
+    replicate_cdf(spark, src, dst, ["c_custkey"])
+
+    soft_delete(spark, src, "c_custkey % 7 = 0", emit_cdf=True,
+                checkpoint_interval=None)
+    upd = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") % 50 == 0)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"), _qsum(F.col("o_totalprice"), "tot"))
+        .where(F.col("n") >= 5)
+    )
+    (
+        _merge(LeviTable(spark, src), upd, "t.c_custkey = s.o_custkey")
+        .when_matched_update(
+            set={
+                "c_acctbal": "CAST(s.tot AS DOUBLE) / 10000.0",
+                "c_mktsegment": "'MERGED'",
+            }
+        )
+        .execute(emit_cdf=True)
+    )
+    write_delta(
+        spark.range(1, 4).select(
+            (F.col("id") + 90_000_000).alias("c_custkey"),
+            F.lit("Customer#replicated").alias("c_name"),
+            F.lit(0).cast("int").alias("c_nationkey"),
+            (F.col("id").cast("double") + F.lit(10.5)).alias("c_acctbal"),
+            F.lit("APPENDED").alias("c_mktsegment"),
+        ),
+        src, mode="append", checkpoint_interval=None,
+    )
+    replicate_cdf(spark, src, dst, ["c_custkey"])
+    replica = DeltaLog(spark, dst).snapshot().to_df()
+    return (
+        replica.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            _qsum(F.col("c_acctbal"), "_bal"),
+            F.sum("c_custkey").cast("long").alias("id_sum"),
+        )
+        .select("c_mktsegment", "n_rows", _qval("_bal", "total_bal"), "id_sum")
+    )
+
+
+CDC_REPLICATE_SQL = f"""
+WITH src AS (
+  SELECT o_custkey, COUNT(*) AS n,
+         SUM(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) AS tot
+  FROM orders WHERE o_custkey % 50 = 0 GROUP BY o_custkey HAVING COUNT(*) >= 5
+),
+kept AS (SELECT * FROM customer WHERE c_custkey % 7 <> 0),
+updated AS (
+  SELECT c_custkey,
+         CASE WHEN s.o_custkey IS NOT NULL
+              THEN CAST(s.tot AS DOUBLE) / 10000.0 ELSE c_acctbal END AS c_acctbal,
+         CASE WHEN s.o_custkey IS NOT NULL
+              THEN 'MERGED' ELSE c_mktsegment END AS c_mktsegment
+  FROM kept LEFT JOIN src s ON c_custkey = s.o_custkey
+),
+final AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment FROM updated
+  UNION ALL
+  SELECT 90000000 + i, CAST(i AS DOUBLE) + 10.5, 'APPENDED'
+  FROM generate_series(1, 3) AS g(i)
+)
+SELECT c_mktsegment, COUNT(*) AS n_rows,
+       {_qsum_sql('c_acctbal')} / 10000.0 AS total_bal,
+       CAST(SUM(c_custkey) AS BIGINT) AS id_sum
+FROM final
+GROUP BY c_mktsegment
+"""
+
+
 PPM_W, PPM_H = 8, 6
 
 
@@ -5849,4 +5949,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_trailing_hour_stats": (events_trailing_hour_stats, TRAILING_HOUR_SQL),
     "ann_hard_negatives": (ann_hard_negatives, HARD_NEG_SQL),
     "multimodal_ppm_decode": (multimodal_ppm_decode, PPM_DECODE_SQL),
+    "cdc_replicate_counts": (cdc_replicate_counts, CDC_REPLICATE_SQL),
 }

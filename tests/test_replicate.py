@@ -1,0 +1,81 @@
+"""CDC replication: replica == source after arbitrary mutation mixes,
+idempotent re-sync, multi-version window collapse, bootstrap."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from levi_spark.delta.dv import soft_delete
+from levi_spark.delta.log import DeltaLog
+from levi_spark.delta.table import LeviTable
+from levi_spark.delta.writer import write_delta
+from levi_spark.operators.merge import merge
+from levi_spark.operators.replicate import replicate_cdf
+
+
+def _rows(spark, path):
+    df = DeltaLog(spark, path).snapshot().to_df()
+    return sorted(map(tuple, df.select(*sorted(df.columns)).collect()))
+
+
+def _mk_src(spark, path):
+    df = spark.createDataFrame(
+        [(i, f"n{i}", float(i)) for i in range(20)], "k LONG, name STRING, v DOUBLE"
+    )
+    write_delta(df.repartition(3), path, mode="error", checkpoint_interval=None)
+
+
+def test_bootstrap_and_incremental_sync(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    _mk_src(spark, src)
+    r = replicate_cdf(spark, src, dst, ["k"])
+    assert r["bootstrapped"] and _rows(spark, dst) == _rows(spark, src)
+
+    # mutate: append + DV delete + MERGE update, then ONE sync
+    write_delta(
+        spark.createDataFrame([(100, "new", 1.0)], "k LONG, name STRING, v DOUBLE"),
+        src, mode="append", checkpoint_interval=None,
+    )
+    soft_delete(spark, src, "k % 5 = 0 AND k < 100", emit_cdf=True,
+                checkpoint_interval=None)
+    upd = spark.createDataFrame([(3, 33.0), (7, 77.0)], "uk LONG, uv DOUBLE")
+    (
+        merge(LeviTable(spark, src), upd, "t.k = s.uk")
+        .when_matched_update(set={"v": "s.uv"})
+        .execute(emit_cdf=True)
+    )
+    r = replicate_cdf(spark, src, dst, ["k"])
+    assert r["keys_changed"] > 0
+    assert _rows(spark, dst) == _rows(spark, src)
+
+    # re-sync: no new source version -> no-op, same replica version
+    v = DeltaLog(spark, dst).latest_version()
+    r2 = replicate_cdf(spark, src, dst, ["k"])
+    assert r2["keys_changed"] == 0
+    assert DeltaLog(spark, dst).latest_version() == v
+
+
+def test_delete_then_reinsert_collapses_to_upsert(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    _mk_src(spark, src)
+    replicate_cdf(spark, src, dst, ["k"])
+    # two source versions: delete k=4, then append a NEW row with k=4
+    soft_delete(spark, src, "k = 4", emit_cdf=True, checkpoint_interval=None)
+    write_delta(
+        spark.createDataFrame([(4, "reborn", 44.0)], "k LONG, name STRING, v DOUBLE"),
+        src, mode="append", checkpoint_interval=None,
+    )
+    replicate_cdf(spark, src, dst, ["k"])
+    assert _rows(spark, dst) == _rows(spark, src)
+    got = {
+        (r["k"], r["name"])
+        for r in DeltaLog(spark, dst).snapshot().to_df().collect()
+    }
+    assert (4, "reborn") in got and (4, "n4") not in got
+
+
+def test_foreign_replica_refused(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    _mk_src(spark, src)
+    _mk_src(spark, dst)  # pre-existing table with no replication txn
+    with pytest.raises(ValueError, match="no replication"):
+        replicate_cdf(spark, src, dst, ["k"])
