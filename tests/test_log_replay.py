@@ -96,3 +96,26 @@ def test_partition_values_typed(spark, fixtures_dir):
     assert types["letter"] == "string" and types["date"] == "date"
     # null partition (__HIVE_DEFAULT_PARTITION__) surfaces as SQL NULL
     assert df.where(F.col("letter").isNull()).count() == 1
+
+
+def test_local_replay_equals_distributed(spark, fixtures_dir):
+    """The driver-side (json/pyarrow) log replay and the distributed
+    (Spark job) replay must reconcile to the identical live-file set on
+    every fixture — including checkpoint-bearing and pruned-history
+    tables (the pyarrow checkpoint branch)."""
+    import os
+
+    for case in CASES:
+        path = os.path.join(fixtures_dir, case, "delta")
+        snap = DeltaLog(spark, path).snapshot()
+        assert snap._local_actions() is not None, case
+        local = sorted(
+            (r["add"]["path"], r["version"]) for r in snap._local_live()
+        )
+        forced = DeltaLog(spark, path).snapshot()
+        forced._local = False  # force the distributed path
+        dist = sorted(
+            (r["add"]["path"], r["version"])
+            for r in forced.live_adds_raw().collect()
+        )
+        assert local == dist, case
