@@ -34,6 +34,11 @@ class CheckConstraintViolation(ValueError):
     evaluate a CHECK constraint to FALSE."""
 
 
+class NotNullViolation(ValueError):
+    """Incoming rows carry NULL in a column the table schema declares
+    non-nullable (Delta's NOT NULL invariant)."""
+
+
 def constraints_from_config(configuration: dict[str, str]) -> dict[str, str]:
     return {
         k[len(CONSTRAINT_PREFIX):]: v

@@ -135,6 +135,81 @@ def _footer_stats(
     return out
 
 
+def _staged_not_null_check(
+    spark,
+    staging: str,
+    staged_schema: T.StructType,
+    req_data: list[str],
+    req_part: list[str],
+) -> None:
+    """NOT NULL invariant over the staged write, pre-move: data-column
+    null counts come from the parquet footers (metadata read; Spark
+    fallback per column when a footer lacks them), partition-column
+    nulls show up as ``__HIVE_DEFAULT_PARTITION__`` directories. A
+    required column entirely absent from the staged files (merge_schema
+    omission) is all-NULL and violates whenever any row exists."""
+    from levi_spark.delta.constraints import NotNullViolation
+
+    import pyarrow.parquet as pq
+
+    files = []
+    for root, _dirs, names in os.walk(staging):
+        for n in names:
+            if n.endswith(".parquet"):
+                rel = os.path.relpath(os.path.join(root, n), staging)
+                files.append((os.path.join(root, n), rel))
+    for c in req_part:
+        marker = f"{c}={HIVE_NULL}"
+        if any(marker in rel.split(os.sep) for _p, rel in files):
+            raise NotNullViolation(
+                f"column {c!r} is non-nullable but incoming rows are NULL"
+            )
+    if not req_data:
+        return
+    fallback: list[str] = []
+    for p, _rel in files:
+        md = pq.ParquetFile(p).metadata
+        if md.num_rows == 0:
+            continue
+        cols = {
+            md.row_group(0).column(ci).path_in_schema: ci
+            for ci in range(md.num_columns)
+        }
+        for c in req_data:
+            if c not in cols:
+                raise NotNullViolation(
+                    f"column {c!r} is non-nullable but absent from the "
+                    f"incoming rows (all-NULL)"
+                )
+            nulls = 0
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(cols[c]).statistics
+                if st is None or st.null_count is None:
+                    fallback.append(c)
+                    nulls = 0
+                    break
+                nulls += st.null_count
+            else:
+                if nulls > 0:
+                    raise NotNullViolation(
+                        f"column {c!r} is non-nullable but {nulls} incoming "
+                        f"row(s) are NULL"
+                    )
+    if fallback:
+        staged = spark.read.schema(staged_schema).parquet(staging)
+        row = staged.agg(
+            *[
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(c)
+                for c in sorted(set(fallback))
+            ]
+        ).collect()[0]
+        bad = {c: int(row[c] or 0) for c in set(fallback) if (row[c] or 0) > 0}
+        if bad:
+            raise NotNullViolation(
+                f"non-nullable columns with NULL rows: {sorted(bad.items())}"
+            )
+
+
 def _file_stats(df_files: DataFrame, data_schema: T.StructType) -> dict[str, dict]:
     """Distributed per-file stats: one groupBy(_metadata.file_name) agg.
 
@@ -264,6 +339,7 @@ def write_delta(
     merge_schema: bool = False,
     cdc_df: DataFrame | None = None,
     txn: tuple[str, int] | None = None,
+    keep_nullability: bool = False,
 ) -> int:
     """Write ``df`` as a new Delta table version at ``path``.
 
@@ -297,6 +373,12 @@ def write_delta(
     action in the same commit — "these rows" and "this source version
     was applied" become atomic, the idempotence hook incremental
     consumers check via ``Snapshot.txn_versions()``.
+
+    ``keep_nullability`` (create/overwrite): record the DataFrame's
+    nullable=False flags verbatim, turning them into enforced NOT NULL
+    invariants on every later write. Default False relaxes top-level
+    nullability — Spark infers non-null for every literal/range column,
+    and an inferred accident must not become a contract.
     """
     spark = df.sparkSession
     path = os.path.abspath(path)
@@ -310,7 +392,23 @@ def write_delta(
     partition_by = list(partition_by or [])
     prev_adds: list[str] = []  # RAW add.path strings to tombstone verbatim
     version = 0
-    commit_schema = df.schema
+    # Nullability is a DECLARED contract, not an inferred one: Spark
+    # marks every lit()/range-derived column non-nullable, so recording
+    # df.schema verbatim would turn accidents into NOT NULL invariants
+    # (and then refuse legitimate null backfills). Creates/overwrites
+    # relax top-level nullability unless keep_nullability=True opts
+    # into the strict contract; appends re-emit the TABLE's schema.
+    incoming_schema = (
+        df.schema
+        if keep_nullability
+        else T.StructType(
+            [
+                T.StructField(f.name, f.dataType, True, f.metadata)
+                for f in df.schema.fields
+            ]
+        )
+    )
+    commit_schema = incoming_schema
     meta_id: str | None = None
     meta_conf: dict[str, str] = {}
     if exists:
@@ -363,13 +461,17 @@ def write_delta(
                         )
                 commit_schema = T.StructType(
                     list(prev_schema.fields)
-                    + [f for f in df.schema.fields if f.name not in by_name]
+                    + [f for f in incoming_schema.fields if f.name not in by_name]
                 )
             elif prev_cols != set(df.columns):
                 raise ValueError(
                     f"append schema mismatch: table has {sorted(prev_cols)}, "
                     f"df has {sorted(df.columns)}"
                 )
+            else:
+                # plain append: the table's schema (incl. its declared
+                # nullability) is the contract the commit re-emits
+                commit_schema = prev_schema
 
     # -- stage data files ----------------------------------------------------
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
@@ -384,6 +486,7 @@ def write_delta(
     # violation aborts before anything is moved or committed.
     from levi_spark.delta.constraints import (
         CheckConstraintViolation,
+        NotNullViolation,
         constraints_from_config,
         enforce_constraints,
     )
@@ -398,6 +501,22 @@ def write_delta(
         try:
             enforce_constraints(staged, meta_conf)
         except CheckConstraintViolation:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+
+    # -- NOT NULL enforcement (Delta invariants): commit_schema is the
+    # table contract (appends re-emit the table's schema, creates the
+    # declared one). Checked from the staged footers (null counts are
+    # metadata), Spark fallback only when a footer lacks them.
+    required = [f.name for f in commit_schema.fields if not f.nullable]
+    if required:
+        try:
+            _staged_not_null_check(
+                spark, staging, df.schema,
+                [c for c in required if c not in set(partition_by)],
+                [c for c in required if c in set(partition_by)],
+            )
+        except NotNullViolation:
             shutil.rmtree(staging, ignore_errors=True)
             raise
 
@@ -554,7 +673,7 @@ def write_delta(
             if merge_schema:
                 commit_schema = T.StructType(
                     list(prev_schema.fields)
-                    + [f for f in df.schema.fields if f.name not in by_name]
+                    + [f for f in incoming_schema.fields if f.name not in by_name]
                 )
             elif {f.name for f in prev_schema.fields} != set(df.columns):
                 raise ValueError(

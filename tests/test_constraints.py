@@ -102,3 +102,74 @@ def test_constraint_survives_other_commits(spark, tmp_path):
     )
     conf = DeltaLog(spark, path).snapshot().metadata.configuration
     assert conf.get("delta.constraints.k_positive") == "k > 0"
+
+
+def test_not_null_invariant_on_append(spark, tmp_path):
+    from levi_spark.delta.constraints import NotNullViolation
+    from pyspark.sql import types as T
+
+    path = str(tmp_path / "t")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), nullable=False),
+            T.StructField("s", T.StringType(), nullable=True),
+        ]
+    )
+    df = spark.createDataFrame([(1, "a"), (2, None)], schema)
+    write_delta(df, path, mode="error", checkpoint_interval=None,
+                keep_nullability=True)
+
+    # appending NULLs into the non-nullable column is refused even when
+    # the INCOMING frame claims the column nullable
+    bad = spark.createDataFrame([(None, "x")], "k LONG, s STRING")
+    with pytest.raises(NotNullViolation, match="'k'"):
+        write_delta(bad, path, mode="append", checkpoint_interval=None)
+    snap = DeltaLog(spark, path).snapshot()
+    assert snap.version == 0 and snap.to_df().count() == 2
+    assert not [d for d in os.listdir(path) if d.startswith(".staging-")]
+
+    # nullable column still takes NULLs; non-null appends pass
+    write_delta(
+        spark.createDataFrame([(3, None)], "k LONG, s STRING"),
+        path, mode="append", checkpoint_interval=None,
+    )
+    assert DeltaLog(spark, path).snapshot().to_df().count() == 3
+
+
+def test_not_null_partition_column(spark, tmp_path):
+    from levi_spark.delta.constraints import NotNullViolation
+    from pyspark.sql import types as T
+
+    path = str(tmp_path / "t")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), nullable=True),
+            T.StructField("p", T.StringType(), nullable=False),
+        ]
+    )
+    write_delta(
+        spark.createDataFrame([(1, "a")], schema), path, mode="error",
+        partition_by=["p"], checkpoint_interval=None, keep_nullability=True,
+    )
+    bad = spark.createDataFrame([(2, None)], "k LONG, p STRING")
+    with pytest.raises(NotNullViolation, match="'p'"):
+        write_delta(bad, path, mode="append", partition_by=["p"],
+                    checkpoint_interval=None)
+
+
+def test_staged_not_null_checker_direct(spark, tmp_path):
+    """Unit-level: the staged checker flags footer null counts and
+    absent required columns without a Spark job."""
+    from levi_spark.delta.constraints import NotNullViolation
+    from levi_spark.delta.writer import _staged_not_null_check
+
+    staging = str(tmp_path / "stage")
+    df = spark.createDataFrame([(1, "a"), (None, "b")], "k LONG, s STRING")
+    df.coalesce(1).write.parquet(staging)
+    with pytest.raises(NotNullViolation, match="'k'"):
+        _staged_not_null_check(spark, staging, df.schema, ["k"], [])
+    # absent column = all-NULL
+    with pytest.raises(NotNullViolation, match="absent"):
+        _staged_not_null_check(spark, staging, df.schema, ["missing"], [])
+    # nullable column with nulls passes when not required
+    _staged_not_null_check(spark, staging, df.schema, ["s"], [])
