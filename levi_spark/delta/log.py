@@ -387,6 +387,10 @@ class Snapshot:
             return None
         if self._local is not None:
             return self._local
+        if not self._commit_versions and self._cp is None:
+            # same contract as the distributed path: a snapshot whose
+            # log entries were all expired is unreadable, not empty
+            raise FileNotFoundError(f"no log entries for version {self.version}")
         try:
             cp_path = (
                 os.path.join(self.log.log_path, f"{self._cp:020d}.checkpoint.parquet")
