@@ -257,19 +257,29 @@ def _leaf_paths(schema: T.StructType, prefix: str = "") -> list[str]:
 _PHYS_NAME_KEY = "delta.columnMapping.physicalName"
 
 
+def _physical_type(dt: T.DataType) -> T.DataType:
+    """Rewrite every struct field under ``dt`` to its column-mapping
+    physical name, through ANY nesting — structs, arrays of arrays,
+    map keys/values — so mapped metadata can never be silently
+    dropped at an unhandled level."""
+    if isinstance(dt, T.StructType):
+        return T.StructType([_physical_field(x) for x in dt.fields])
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_physical_type(dt.elementType), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _physical_type(dt.keyType),
+            _physical_type(dt.valueType),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
 def _physical_field(f: T.StructField) -> T.StructField:
     """Field renamed to its column-mapping physical name, recursively
     (nested struct fields carry their own physicalName metadata)."""
     name = (f.metadata or {}).get(_PHYS_NAME_KEY, f.name)
-    dt = f.dataType
-    if isinstance(dt, T.StructType):
-        dt = T.StructType([_physical_field(x) for x in dt.fields])
-    elif isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.StructType):
-        dt = T.ArrayType(
-            T.StructType([_physical_field(x) for x in dt.elementType.fields]),
-            dt.containsNull,
-        )
-    return T.StructField(name, dt, f.nullable)
+    return T.StructField(name, _physical_type(f.dataType), f.nullable)
 
 
 @dataclass
@@ -579,7 +589,17 @@ class Snapshot:
                 partition_columns=list(m["partitionColumns"] or []),
                 configuration=dict(m["configuration"] or {}),
             )
-            proto_rows = [r for r in rows if r["protocol"] is not None]
+            # The distributed branch builds `protocol` with F.struct(...),
+            # which is never NULL for checkpoint rows — a metaData row can
+            # carry a struct-of-nulls protocol. Require minReaderVersion
+            # itself so the reader-feature guard cannot fail open on the
+            # >64MB / unparseable-log fallback path.
+            proto_rows = [
+                r
+                for r in rows
+                if r["protocol"] is not None
+                and r["protocol"]["minReaderVersion"] is not None
+            ]
             if proto_rows:
                 _check_reader_protocol(
                     proto_rows[0]["protocol"], meta, self.log.table_path

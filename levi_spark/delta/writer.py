@@ -45,7 +45,16 @@ CHANGE_TYPE_COL = "_change_type"
 
 
 def _json_default(o):
-    if isinstance(o, (_dt.datetime, _dt.date)):
+    if isinstance(o, _dt.datetime):
+        # Stats must serialize identically whichever path produced them:
+        # parquet footers yield tz-aware UTC datetimes, the Spark
+        # aggregate yields naive session-local ones. Both are normalized
+        # to an explicit-offset UTC ISO string so the value read back is
+        # path- and driver-timezone-independent.
+        if o.tzinfo is None:
+            o = o.astimezone()  # naive = driver-local wall time
+        return o.astimezone(_dt.timezone.utc).isoformat()
+    if isinstance(o, _dt.date):
         return o.isoformat()
     if isinstance(o, decimal.Decimal):
         return float(o)
@@ -235,6 +244,10 @@ def _file_stats(df_files: DataFrame, data_schema: T.StructType) -> dict[str, dic
     rows = (
         df_files.groupBy(F.col("_metadata.file_name").alias("__fn")).agg(*aggs).collect()
     )
+    # collect() hands back naive datetimes rendered in the DRIVER'S
+    # system timezone; _json_default re-anchors them (astimezone() on a
+    # naive value = system-local) and serializes UTC, so this path and
+    # the tz-aware pyarrow footer path emit identical stats strings.
     out = {}
     for r in rows:
         d = r.asDict()

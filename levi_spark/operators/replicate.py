@@ -76,8 +76,15 @@ def replicate_cdf(
     data_cols = [
         c for c in feed.columns if c not in ("_change_type", "_commit_version")
     ]
+    # Within one commit version the change feed can carry BOTH a delete
+    # and an insert image for the same key (an overwrite commit
+    # synthesizes delete+insert at the same version for keys present on
+    # both sides). The surviving image is the non-delete one, so the
+    # tie-break must prefer it — a plain `_change_type ASC` would sort
+    # 'delete' first alphabetically and silently drop surviving keys.
     w = Window.partitionBy(*pk_cols).orderBy(
-        F.col("_commit_version").desc(), F.col("_change_type").asc()
+        F.col("_commit_version").desc(),
+        F.when(F.col("_change_type") == "delete", 1).otherwise(0).asc(),
     )
     # net change per key; change-feed-sized, materialized once for the
     # count + the merge passes

@@ -64,6 +64,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def _scratch(name: str) -> str:
+    """Fresh scratch dir for queries that build lifecycle Delta tables,
+    unique PER INVOCATION (mkdtemp) so concurrent bench / driver /
+    pytest runs can never clobber each other's in-progress table
+    builds. The returned DataFrames keep reading these files lazily, so
+    the dir is left for the OS tempdir sweep rather than rmtree'd."""
+    import tempfile
+
+    return tempfile.mkdtemp(prefix=f"levi_spark_{name}_")
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from levi_spark.sources.registry import read_events
 
@@ -3034,15 +3045,12 @@ def dv_soft_delete_orders(spark, sf_dir):
     survivors are aggregated straight off the DV-filtered snapshot
     scan. Oracle: the same aggregate over ``NOT (predicate)``."""
     import os as _os
-    import shutil as _shutil
-    import tempfile as _tempfile
 
     from levi_spark.delta.dv import soft_delete
     from levi_spark.delta.log import DeltaLog
     from levi_spark.delta.writer import write_delta
 
-    base = _os.path.join(_tempfile.gettempdir(), "levi_spark_dv_orders")
-    _shutil.rmtree(base, ignore_errors=True)
+    base = _scratch("dv_orders")
     write_delta(
         _t(spark, sf_dir, "orders").repartition(8), base, mode="error",
         checkpoint_interval=None,
@@ -3175,16 +3183,13 @@ def merge_upsert_customer(spark, sf_dir):
     synthetic new customers. Only files holding matched keys are
     rewritten. Oracle: the same CASE logic as a LEFT JOIN."""
     import os as _os
-    import shutil as _shutil
-    import tempfile as _tempfile
 
     from levi_spark.delta.log import DeltaLog
     from levi_spark.delta.table import LeviTable
     from levi_spark.delta.writer import write_delta
     from levi_spark.operators.merge import merge
 
-    base = _os.path.join(_tempfile.gettempdir(), "levi_spark_merge_customer")
-    _shutil.rmtree(base, ignore_errors=True)
+    base = _scratch("merge_customer")
     write_delta(
         _t(spark, sf_dir, "customer").repartition(8), base, mode="error",
         checkpoint_interval=None,
@@ -3276,16 +3281,13 @@ def cdf_merge_changes(spark, sf_dir):
     matches (post balance = rolled-up total), inserts the synthetic
     rows."""
     import os as _os
-    import shutil as _shutil
-    import tempfile as _tempfile
 
     from levi_spark.delta.changes import table_changes_cdf
     from levi_spark.delta.table import LeviTable
     from levi_spark.delta.writer import write_delta
     from levi_spark.operators.merge import merge
 
-    base = _os.path.join(_tempfile.gettempdir(), "levi_spark_cdf_customer")
-    _shutil.rmtree(base, ignore_errors=True)
+    base = _scratch("cdf_customer")
     write_delta(
         _t(spark, sf_dir, "customer").repartition(8), base, mode="error",
         checkpoint_interval=None,
@@ -3371,8 +3373,6 @@ def incremental_agg_refresh(spark, sf_dir):
     The returned rollup must equal the oracle's from-scratch recompute
     of the final base state — proving the signed fold is exact."""
     import os as _os
-    import shutil as _shutil
-    import tempfile as _tempfile
 
     from levi_spark.delta.dv import soft_delete
     from levi_spark.delta.table import LeviTable
@@ -3385,8 +3385,7 @@ def incremental_agg_refresh(spark, sf_dir):
     from levi_spark.operators.merge import merge as _merge
     from levi_spark.streaming.delta_source import SyncState
 
-    root = _os.path.join(_tempfile.gettempdir(), "levi_spark_incr_customer")
-    _shutil.rmtree(root, ignore_errors=True)
+    root = _scratch("incr_customer")
     base, agg = _os.path.join(root, "base"), _os.path.join(root, "agg")
     state = SyncState(_os.path.join(root, "state.json"))
     write_delta(
@@ -3999,15 +3998,12 @@ def time_travel_counts(spark, sf_dir):
     the deletion vector applied only at v2 (log replay + DV-aware scan,
     :mod:`levi_spark.delta.log` / :mod:`levi_spark.delta.dv`)."""
     import os as _os
-    import shutil as _shutil
-    import tempfile as _tempfile
 
     from levi_spark.delta.dv import soft_delete
     from levi_spark.delta.log import DeltaLog
     from levi_spark.delta.writer import write_delta
 
-    base = _os.path.join(_tempfile.gettempdir(), "levi_spark_tt_customer")
-    _shutil.rmtree(base, ignore_errors=True)
+    base = _scratch("tt_customer")
     write_delta(
         _t(spark, sf_dir, "customer").repartition(8), base, mode="error",
         checkpoint_interval=None,
@@ -4647,14 +4643,11 @@ def stream_ingest_counts(spark, sf_dir):
     with partition pruning available to any event_type predicate.
     """
     import os as _os
-    import shutil as _shutil
-    import tempfile as _tempfile
 
     from levi_spark.delta.log import DeltaLog
     from levi_spark.streaming.delta_sink import ingest_events
 
-    root = _os.path.join(_tempfile.gettempdir(), "levi_spark_ingest_events")
-    _shutil.rmtree(root, ignore_errors=True)
+    root = _scratch("ingest_events")
     table = _os.path.join(root, "table")
     ingest_events(spark, sf_dir, table, _os.path.join(root, "ckpt"))
     return (
@@ -4923,15 +4916,12 @@ def delta_sync_counts(spark, sf_dir):
     third sync must move zero rows. Output: destination per-segment
     counts after the incremental window."""
     import os as _os
-    import shutil as _shutil
-    import tempfile as _tempfile
 
     from levi_spark.delta.log import DeltaLog
     from levi_spark.delta.writer import write_delta
     from levi_spark.streaming.delta_source import SyncState, incremental_sync
 
-    root = _os.path.join(_tempfile.gettempdir(), "levi_spark_sync_customer")
-    _shutil.rmtree(root, ignore_errors=True)
+    root = _scratch("sync_customer")
     src, dst = _os.path.join(root, "src"), _os.path.join(root, "dst")
     state = SyncState(_os.path.join(root, "state.json"))
     write_delta(
@@ -4984,14 +4974,11 @@ def schema_evolution_counts(spark, sf_dir):
     rewrite (:func:`levi_spark.delta.writer.write_delta`
     ``merge_schema=True``)."""
     import os as _os
-    import shutil as _shutil
-    import tempfile as _tempfile
 
     from levi_spark.delta.log import DeltaLog
     from levi_spark.delta.writer import write_delta
 
-    base = _os.path.join(_tempfile.gettempdir(), "levi_spark_evo_nation")
-    _shutil.rmtree(base, ignore_errors=True)
+    base = _scratch("evo_nation")
     write_delta(
         _t(spark, sf_dir, "nation"), base, mode="error", checkpoint_interval=None
     )
@@ -5031,15 +5018,12 @@ def table_restore_counts(spark, sf_dir):
     tombstoned the appended file without touching data bytes
     (:mod:`levi_spark.delta.restore`)."""
     import os as _os
-    import shutil as _shutil
-    import tempfile as _tempfile
 
     from levi_spark.delta.log import DeltaLog
     from levi_spark.delta.restore import restore
     from levi_spark.delta.writer import write_delta
 
-    base = _os.path.join(_tempfile.gettempdir(), "levi_spark_restore_customer")
-    _shutil.rmtree(base, ignore_errors=True)
+    base = _scratch("restore_customer")
     write_delta(
         _t(spark, sf_dir, "customer").repartition(8), base, mode="error",
         checkpoint_interval=None,
@@ -5097,8 +5081,6 @@ def optimize_layout_counts(spark, sf_dir):
     interleaves (z) or an Arrow-batched pandas UDF (Hilbert).
     """
     import os as _os
-    import shutil as _shutil
-    import tempfile as _tempfile
 
     from levi_spark.delta.log import DeltaLog
     from levi_spark.delta.writer import write_delta
@@ -5108,8 +5090,7 @@ def optimize_layout_counts(spark, sf_dir):
         optimize_zorder,
     )
 
-    base = _os.path.join(_tempfile.gettempdir(), "levi_spark_layout_orders")
-    _shutil.rmtree(base, ignore_errors=True)
+    base = _scratch("layout_orders")
     write_delta(
         _t(spark, sf_dir, "orders").repartition(16), base, mode="error",
         checkpoint_interval=None,
@@ -5369,9 +5350,6 @@ LEFT JOIN ({PQ_ADC_SQL}) p
 
 
 SEG_LEN = 16
-# seg_idx fits comfortably below this for any document whose token count
-# is < 16M * SEG_LEN; the composite stays inside int64 for doc_id < 9e12
-_SEG_ORD = 1_000_000
 
 
 def segment_dedup_docs(spark, sf_dir):
@@ -5403,18 +5381,25 @@ def segment_dedup_docs(spark, sf_dir):
         "seg_idx",
         F.md5("seg_text").alias("seg_hash"),
         F.size(F.split("seg_text", " ")).alias("seg_tokens"),
-        (F.col("doc_id") * _SEG_ORD + F.col("seg_idx")).alias("__ord"),
     )
-    firsts = seg.groupBy("seg_hash").agg(F.min("__ord").alias("__first_ord"))
+    # first occurrence = lexicographic min over (doc_id, seg_idx) as a
+    # struct — an arithmetic composite ordinal would misorder once
+    # seg_idx outgrows its radix (>=16M-token documents)
+    firsts = seg.groupBy("seg_hash").agg(
+        F.min(F.struct("doc_id", "seg_idx")).alias("__first")
+    )
+    is_first = (F.col("doc_id") == F.col("__first.doc_id")) & (
+        F.col("seg_idx") == F.col("__first.seg_idx")
+    )
     return (
         seg.join(firsts, "seg_hash")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_segments"),
-            F.sum(F.when(F.col("__ord") != F.col("__first_ord"), 1).otherwise(0))
+            F.sum(F.when(~is_first, 1).otherwise(0))
             .cast("long")
             .alias("n_dup_segments"),
-            F.sum(F.when(F.col("__ord") == F.col("__first_ord"), F.col("seg_tokens")).otherwise(0))
+            F.sum(F.when(is_first, F.col("seg_tokens")).otherwise(0))
             .cast("long")
             .alias("n_tokens_kept"),
         )
@@ -5432,14 +5417,19 @@ segs AS (
   FROM (SELECT doc_id, t, unnest(range(0, (len(t) - 1) // {SEG_LEN} + 1)) AS i FROM toks)
 ),
 hashed AS (
-  SELECT doc_id, seg_tokens, md5(seg_text) AS h,
-         doc_id * {_SEG_ORD} + seg_idx AS ord
-  FROM segs
+  SELECT doc_id, seg_idx, seg_tokens, md5(seg_text) AS h FROM segs
 ),
-firsts AS (SELECT h, MIN(ord) AS first_ord FROM hashed GROUP BY h)
+firsts AS (
+  SELECT h, MIN(struct_pack(d := doc_id, s := seg_idx)) AS f
+  FROM hashed GROUP BY h
+)
 SELECT doc_id, COUNT(*) AS n_segments,
-       CAST(SUM(CASE WHEN ord <> first_ord THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments,
-       CAST(SUM(CASE WHEN ord = first_ord THEN seg_tokens ELSE 0 END) AS BIGINT) AS n_tokens_kept
+       CAST(SUM(CASE WHEN doc_id = struct_extract(f, 'd')
+                      AND seg_idx = struct_extract(f, 's')
+                THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_segments,
+       CAST(SUM(CASE WHEN doc_id = struct_extract(f, 'd')
+                      AND seg_idx = struct_extract(f, 's')
+                THEN seg_tokens ELSE 0 END) AS BIGINT) AS n_tokens_kept
 FROM hashed JOIN firsts USING (h)
 GROUP BY doc_id
 """
@@ -5455,8 +5445,6 @@ def cdc_replicate_counts(spark, sf_dir):
     from-scratch recompute of the mutated source — proving the replica
     IS the source, row for row, exactly-once."""
     import os as _os
-    import shutil as _shutil
-    import tempfile as _tempfile
 
     from levi_spark.delta.dv import soft_delete
     from levi_spark.delta.log import DeltaLog
@@ -5465,8 +5453,7 @@ def cdc_replicate_counts(spark, sf_dir):
     from levi_spark.operators.merge import merge as _merge
     from levi_spark.operators.replicate import replicate_cdf
 
-    root = _os.path.join(_tempfile.gettempdir(), "levi_spark_replica_customer")
-    _shutil.rmtree(root, ignore_errors=True)
+    root = _scratch("replica_customer")
     src, dst = _os.path.join(root, "src"), _os.path.join(root, "dst")
     write_delta(
         _t(spark, sf_dir, "customer").repartition(8), src, mode="error",
