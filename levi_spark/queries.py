@@ -4173,20 +4173,61 @@ FROM a3 GROUP BY cent_id
 )
 
 
-def semdedup_prune(spark, sf_dir):
-    """SemDeDup (Abbas et al. 2023): k-means the embedding space with
-    the shared coarse quantizer (k=4, 2 Lloyd rounds — identical fit to
-    ``kmeans_embedding_clusters``), then within each cluster drop every
-    vector whose cosine similarity to a *lower-id* cluster-mate exceeds
-    0.3. Keep-first-occurrence makes the pruned set deterministic
-    without any iterative pass. Returns one row per vector:
-    (vec_id, cluster, keep, dup_of) with dup_of = lowest-id duplicate
-    partner (-1 for survivors).
+# SemDeDup's cluster count scales with the corpus so the expected
+# cluster population stays ~bounded and the within-cluster pairwise
+# stage is O(N * pop), never O(N^2 / fixed_k). 256 keeps sf0.01 at the
+# k=4 floor (identical to the shared coarse quantizer) while sf0.1
+# already exercises k=20; at LAION scale this yields the ~50k clusters
+# the paper deploys.
+SEMDEDUP_TARGET_POP = 256
 
-    Scale shape: the all-pairs join is *within cluster only* — in a real
-    deployment k scales with corpus size so cluster populations stay
-    bounded (SemDeDup uses ~50k clusters for LAION-scale), making the
-    pairwise stage O(N·cluster_size), shuffled on the cluster key. The
+
+def _semdedup_k(n: int) -> int:
+    return max(4, -(-n // SEMDEDUP_TARGET_POP))
+
+
+# Same 2-round Lloyd chain as _KMEANS_CTES but with k derived from the
+# corpus inside the SQL (seeds = first k vectors by vec_id), mirroring
+# _semdedup_k exactly.
+_KMEANS_CTES_SCALED = (
+    f"""
+WITH pts AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+kp AS (
+  SELECT GREATEST(4, CAST(CEIL(COUNT(*) / {SEMDEDUP_TARGET_POP}.0) AS INTEGER)) AS k
+  FROM pts
+),
+seeds AS (
+  SELECT cent_id, cv FROM (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cent_id,
+           v AS cv
+    FROM pts
+  ) CROSS JOIN kp WHERE cent_id < k
+),"""
+    + _kmeans_assign_cte("a1", "seeds") + ","
+    + _kmeans_update_cte("a1", "seeds", "m1", "c1") + ","
+    + _kmeans_assign_cte("a2", "c1") + ","
+    + _kmeans_update_cte("a2", "c1", "m2", "c2") + ","
+    + _kmeans_assign_cte("a3", "c2")
+)
+
+
+def semdedup_prune(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means the embedding space (2
+    Lloyd rounds, same arithmetic as the shared coarse quantizer), then
+    within each cluster drop every vector whose cosine similarity to a
+    *lower-id* cluster-mate exceeds 0.3. Keep-first-occurrence makes
+    the pruned set deterministic without any iterative pass. Returns
+    one row per vector: (vec_id, cluster, keep, dup_of) with dup_of =
+    lowest-id duplicate partner (-1 for survivors).
+
+    Scale shape: the all-pairs join is *within cluster only*, and k is
+    DERIVED from the corpus (``_semdedup_k``: ceil(N/256), floor 4 —
+    the oracle SQL derives the identical k from COUNT(*)), so the
+    expected cluster population stays bounded and the pairwise stage is
+    O(N·pop) shuffled on the cluster key — never O(N²/fixed_k). At
+    LAION scale this yields the ~50k clusters the paper deploys. The
     centroid fit collects only k×dims doubles to the driver.
     """
     from levi_spark.operators.kmeans import assign_clusters, kmeans_fit
@@ -4195,7 +4236,7 @@ def semdedup_prune(spark, sf_dir):
         "vec_id", as_double_vec(F.col("embedding")).alias("v")
     )
     fit = kmeans_fit(
-        emb, "vec_id", "v", k=4, max_iter=2, tol=0.0,
+        emb, "vec_id", "v", k=_semdedup_k(emb.count()), max_iter=2, tol=0.0,
         dist_scale=1e6, mean_scale=1e8,
     )
     pts = (
@@ -4243,7 +4284,7 @@ def semdedup_prune(spark, sf_dir):
 
 
 SEMDEDUP_SQL = (
-    _KMEANS_CTES
+    _KMEANS_CTES_SCALED
     + """,
 pv AS (
   SELECT a3.vec_id, a3.cent_id AS cluster, p.v
