@@ -1,6 +1,8 @@
 """CDC replication: replica == source after arbitrary mutation mixes,
 idempotent re-sync, multi-version window collapse, bootstrap."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -71,6 +73,52 @@ def test_delete_then_reinsert_collapses_to_upsert(spark, tmp_path):
         for r in DeltaLog(spark, dst).snapshot().to_df().collect()
     }
     assert (4, "reborn") in got and (4, "n4") not in got
+
+
+def test_bootstrap_is_file_level_clone(spark, tmp_path):
+    """Bootstrap must re-link the source's files (byte-identical
+    copies, same relative paths, original stats re-emitted), not
+    re-encode rows through a Spark write."""
+    import filecmp
+    import json
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    _mk_src(spark, src)
+    # DV on the source BEFORE bootstrap: the clone must carry it over
+    soft_delete(spark, src, "k = 11", emit_cdf=True, checkpoint_interval=None)
+    r = replicate_cdf(spark, src, dst, ["k"])
+    assert r["bootstrapped"]
+    assert _rows(spark, dst) == _rows(spark, src)
+
+    src_adds = {
+        a["add"]["path"]: a["add"]
+        for v in sorted(
+            f for f in os.listdir(os.path.join(src, "_delta_log"))
+            if f.endswith(".json")
+        )
+        for a in map(json.loads, open(os.path.join(src, "_delta_log", v)))
+        if "add" in a
+    }
+    with open(os.path.join(dst, "_delta_log", f"{0:020d}.json")) as f:
+        actions = [json.loads(line) for line in f]
+    dst_adds = [a["add"] for a in actions if "add" in a]
+    assert dst_adds, "clone commit carries no add actions"
+    for add in dst_adds:
+        p = add["path"]
+        assert p in src_adds, f"clone invented a path: {p}"
+        assert filecmp.cmp(
+            os.path.join(src, p), os.path.join(dst, p), shallow=False
+        ), f"{p} not byte-identical"
+        assert add["stats"] == src_adds[p]["stats"]
+    assert any(a.get("commitInfo", {}).get("operation") == "CLONE" for a in actions)
+
+    # incremental sync still works on top of a cloned bootstrap
+    write_delta(
+        spark.createDataFrame([(200, "post", 2.0)], "k LONG, name STRING, v DOUBLE"),
+        src, mode="append", checkpoint_interval=None,
+    )
+    replicate_cdf(spark, src, dst, ["k"])
+    assert _rows(spark, dst) == _rows(spark, src)
 
 
 def test_foreign_replica_refused(spark, tmp_path):
