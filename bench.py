@@ -29,6 +29,31 @@ from levi_spark.session import get_spark
 STDOUT_BUDGET = 1800
 
 
+def _testdata_fingerprint(sf_dir: str) -> dict:
+    """Per-table row counts + content md5 of the input parquet, so
+    round-over-round bench comparisons can tell a code regression from
+    a driver-side testdata regeneration (the r01->r02 confound)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    out = {}
+    for name in sorted(os.listdir(sf_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        p = os.path.join(sf_dir, name)
+        h = hashlib.md5()
+        with open(p, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        out[name[:-len(".parquet")]] = {
+            "rows": pq.ParquetFile(p).metadata.num_rows,
+            "bytes": os.path.getsize(p),
+            "md5": h.hexdigest(),
+        }
+    return out
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -60,6 +85,7 @@ def main():
         "queries": timings,
         "sf": sf,
         "n_queries": len(timings),
+        "testdata": _testdata_fingerprint(sf_dir),
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")

@@ -5376,6 +5376,98 @@ FROM nation GROUP BY n_regionkey
 """
 
 
+def _synth_customers(spark, start_key: int, segment: str):
+    return spark.range(1, 4).select(
+        (F.col("id") + start_key).alias("c_custkey"),
+        F.lit(f"Customer#{segment.lower()}").alias("c_name"),
+        F.lit(0).cast("int").alias("c_nationkey"),
+        (F.col("id").cast("double") + F.lit(0.5)).alias("c_acctbal"),
+        F.lit(segment).alias("c_mktsegment"),
+    )
+
+
+def checkpoint_expiry_counts(spark, sf_dir):
+    """Checkpoint + log-expiry lifecycle through the driver gate
+    (:mod:`levi_spark.delta.checkpoint`): customer (v0) takes an
+    append (v1), a checkpoint is written at v1 and every commit JSON
+    it covers is EXPIRED from the log; a post-expiry append (v2) must
+    then commit on top of the checkpoint alone. Evidence returned:
+    the final per-segment rollup (latest read = checkpoint + live
+    commit), the row count when time-traveling exactly to the
+    checkpointed version (checkpoint-only replay), the number of
+    expired commits, and that reading v0 — whose history is gone —
+    raises instead of answering wrong.
+
+    Scale shape: the checkpoint write is one metadata-plane job over
+    live adds (O(files)); expiry is driver-side unlink; replay from a
+    checkpoint is O(files + commits-since), the standard Delta
+    contract for unbounded table histories.
+    """
+    from levi_spark.delta.checkpoint import expire_log, write_checkpoint
+    from levi_spark.delta.log import DeltaLog
+    from levi_spark.delta.writer import write_delta
+
+    base = _scratch("ckpt_customer")
+    write_delta(
+        _t(spark, sf_dir, "customer").repartition(8), base, mode="error",
+        checkpoint_interval=None,
+    )
+    write_delta(
+        _synth_customers(spark, 91_000_000, "CKPT1"),
+        base, mode="append", checkpoint_interval=None,
+    )
+    cp_v = write_checkpoint(spark, base)
+    expired = expire_log(spark, base, keep_last=0)
+    write_delta(
+        _synth_customers(spark, 92_000_000, "CKPT2"),
+        base, mode="append", checkpoint_interval=None,
+    )
+    log = DeltaLog(spark, base)
+    rows_at_cp = log.snapshot(cp_v).to_df().count()
+    try:
+        log.snapshot(0).to_df().count()
+        expired_raises = 0
+    except FileNotFoundError:
+        expired_raises = 1
+    return (
+        log.snapshot()
+        .to_df()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("c_custkey").cast("long").alias("key_sum"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_rows",
+            "key_sum",
+            F.lit(len(expired)).alias("n_expired_commits"),
+            F.lit(rows_at_cp).cast("long").alias("rows_at_checkpoint"),
+            F.lit(expired_raises).alias("expired_history_raises"),
+        )
+    )
+
+
+CHECKPOINT_EXPIRY_SQL = """
+WITH synth AS (
+  SELECT 91000000 + i AS c_custkey, 'CKPT1' AS seg FROM generate_series(1, 3) g(i)
+  UNION ALL
+  SELECT 92000000 + i, 'CKPT2' FROM generate_series(1, 3) g(i)
+),
+final AS (
+  SELECT c_custkey, c_mktsegment FROM customer
+  UNION ALL
+  SELECT c_custkey, seg FROM synth
+)
+SELECT c_mktsegment, COUNT(*) AS n_rows,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+       2 AS n_expired_commits,
+       CAST((SELECT COUNT(*) FROM customer) + 3 AS BIGINT) AS rows_at_checkpoint,
+       1 AS expired_history_raises
+FROM final GROUP BY c_mktsegment
+"""
+
+
 PACK_CAPACITY = 256
 
 
@@ -6044,12 +6136,25 @@ GROUP BY doc_id
 # stable representatives re-proving oldest-first.
 #
 # Round 3 window: the 26 queries that had never had a driver row in
-# r01 or r02 (closing the rotation debt VERDICT r02 flagged), the two
-# lifecycle queries new this round (vacuum, column-mapping read), and
-# a 22-slot backfill of r01-only greens (TPC-H picks + events windows
-# + updated_partitions_sim) re-confirming on the rebuilt metadata
-# plane. Everything below slot 50 has a green r02 row (or r01 for the
-# tail of the backfill class) and is unchanged this round.
+# r01 or r02 (closing the rotation debt VERDICT r02 flagged), the
+# three lifecycle queries new this round (vacuum, column-mapping read,
+# checkpoint+log expiry), and a backfill of r01-only greens (TPC-H
+# picks + events windows + updated_partitions_sim) re-confirming on
+# the rebuilt metadata plane. Everything below slot 50 has a green r02
+# row (or r01 for the tail of the backfill class) and is unchanged
+# this round.
+#
+# ROUND 4 ROTATION PLAN: after reading VERDICT_r03, move into slots
+# 1-50 (a) anything round 4 adds or changes, (b) the r01-only greens
+# that did not fit this round's backfill (events_range_join,
+# events_funnel, orders_moving_avg, events_retention_cohorts,
+# events_asof_join if it fell past the cut, lineitem_rollup,
+# orders_price_percentiles, doc_tfidf_top_terms,
+# customers_above_nation_avg, large_order_customers,
+# customer_order_presence, top3_customers_per_nation,
+# customer_running_balance), then (c) r02 greens oldest-first
+# (doc_stratified_sample onward) so every query re-proves itself every
+# few rounds.
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- slots 1-26: never driver-gated in r01 or r02 -----------------------
     "table_restore_counts": (table_restore_counts, RESTORE_SQL),
@@ -6081,6 +6186,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # -- slots 27-28: new in round 3 ---------------------------------------
     "vacuum_counts": (vacuum_counts, VACUUM_SQL),
     "column_mapping_counts": (column_mapping_counts, COLUMN_MAPPING_SQL),
+    "checkpoint_expiry_counts": (checkpoint_expiry_counts, CHECKPOINT_EXPIRY_SQL),
     # -- slots 29-50: r01-only greens re-proving on the rebuilt
     #    metadata plane ----------------------------------------------------
     "updated_partitions_sim": (updated_partitions_sim, UPDATED_PARTS_SQL),
