@@ -27,17 +27,19 @@ from pyspark.sql import functions as F
 
 
 def with_prefix_sum(
-    df: DataFrame, order_col: str, value_col: str, out_col: str
+    df: DataFrame, order_col: str | list[str], value_col: str, out_col: str
 ) -> DataFrame:
     """Append ``out_col`` = sum of ``value_col`` over all rows strictly
     before this one in ``order_col`` order (exclusive prefix sum).
-    ``order_col`` values must be unique — they define corpus order."""
-    part = df.repartitionByRange(F.col(order_col)).withColumn(
+    ``order_col`` may be one column or a list (lexicographic order);
+    the combination must be unique — it defines corpus order."""
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    part = df.repartitionByRange(*[F.col(c) for c in order_cols]).withColumn(
         "__pid", F.spark_partition_id()
     )
     w = (
         Window.partitionBy("__pid")
-        .orderBy(order_col)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     local = part.withColumn(

@@ -1498,6 +1498,156 @@ FROM words w JOIN btop USING (doc_id) JOIN tdup USING (doc_id)
 """
 
 
+FUNNEL_QUALITY_MIN = 946_000  # micro-units; ~median at sf0.01
+
+
+def corpus_filter_funnel(spark, sf_dir):
+    """The canonical training-corpus filter chain as ONE stage-by-stage
+    survivor report (the C4/Gopher/RefinedWeb-paper funnel table):
+    raw -> language (en) -> heuristic quality threshold -> Gopher
+    repetition filters -> exact dedup first-occurrence. Each stage is
+    cumulative; output is (stage, n_docs, total_chars) for all five
+    stages, computed in one aggregate pass over a per-doc flag frame.
+
+    Scale shape: flags come from the already-bounded pipelines
+    (quality = row-local expressions; repetition = doc-keyed partial
+    aggregations; dedup = one hash groupBy), joined on doc_id; the
+    funnel itself is a single map-side conditional aggregate + stack —
+    no new shuffle class beyond its inputs.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    quality = doc_quality_scores(spark, sf_dir)
+    rep = doc_repetition_filters(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("rep_keep")
+    )
+    hashed = docs.select("doc_id", F.md5("text").alias("h"))
+    firsts = hashed.groupBy("h").agg(F.min("doc_id").alias("fd"))
+    flags = (
+        docs.select("doc_id", "lang", "n_chars")
+        .join(quality, "doc_id")
+        .join(rep, "doc_id")
+        .join(hashed, "doc_id")
+        .join(firsts, "h")
+        .withColumn("is_first", (F.col("doc_id") == F.col("fd")).cast("int"))
+    )
+    s1 = F.col("lang") == "en"
+    s2 = s1 & (F.col("quality_micro") >= FUNNEL_QUALITY_MIN)
+    s3 = s2 & (F.col("rep_keep") == 1)
+    s4 = s3 & (F.col("is_first") == 1)
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum("n_chars").cast("long").alias("c0"),
+    ]
+    for i, cond in enumerate((s1, s2, s3, s4), start=1):
+        aggs.append(F.sum(cond.cast("long")).cast("long").alias(f"n{i}"))
+        aggs.append(
+            F.sum(F.when(cond, F.col("n_chars")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"c{i}")
+        )
+    labels = ["0_raw", "1_lang_en", "2_quality", "3_repetition", "4_exact_dedup"]
+    stack_args = ", ".join(
+        f"'{lbl}', n{i}, c{i}" for i, lbl in enumerate(labels)
+    )
+    return flags.agg(*aggs).select(
+        F.expr(f"stack(5, {stack_args}) AS (stage, n_docs, total_chars)")
+    )
+
+
+CORPUS_FUNNEL_SQL = rf"""
+WITH q AS ({QUALITY_SQL}),
+r AS ({REPETITION_SQL}),
+d AS (SELECT doc_id, lang, n_chars, md5(text) AS h FROM documents),
+firsts AS (SELECT h, MIN(doc_id) AS fd FROM d GROUP BY h),
+f AS (
+  SELECT d.doc_id, d.lang, d.n_chars, q.quality_micro,
+         r.keep AS rep_keep,
+         CASE WHEN d.doc_id = firsts.fd THEN 1 ELSE 0 END AS is_first
+  FROM d JOIN q USING (doc_id) JOIN r USING (doc_id)
+  JOIN firsts ON d.h = firsts.h
+)
+SELECT '0_raw' AS stage, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM f
+UNION ALL SELECT '1_lang_en', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+FROM f WHERE lang = 'en'
+UNION ALL SELECT '2_quality', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+FROM f WHERE lang = 'en' AND quality_micro >= {FUNNEL_QUALITY_MIN}
+UNION ALL SELECT '3_repetition', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+FROM f WHERE lang = 'en' AND quality_micro >= {FUNNEL_QUALITY_MIN}
+          AND rep_keep = 1
+UNION ALL SELECT '4_exact_dedup', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+FROM f WHERE lang = 'en' AND quality_micro >= {FUNNEL_QUALITY_MIN}
+          AND rep_keep = 1 AND is_first = 1
+"""
+
+
+TOKEN_BUDGET_DENOM = 4  # keep the top-quality quarter of corpus tokens
+
+
+def token_budget_select(spark, sf_dir):
+    """Data selection under a token budget: rank the corpus by the
+    heuristic quality score (best first, doc_id tiebreak) and keep
+    documents until the running token total reaches budget = corpus
+    tokens // 4 — the "take the best N tokens" curriculum/selection
+    step (DoReMi/DsDm-style pipelines run exactly this shape with a
+    learned score). Output: per-language counts of the selected set.
+
+    Scale shape: the ranking prefix sum uses
+    :func:`levi_spark.operators.packing.with_prefix_sum` — range
+    partition on (neg_quality, doc_id), per-partition window, one
+    row-per-partition offset collect — NOT a single-task global
+    window; the budget total is one scalar aggregate. Both are the
+    distributed prefix-sum idiom, deterministic across cluster sizes.
+    """
+    from levi_spark.operators.packing import with_prefix_sum
+
+    docs = _t(spark, sf_dir, "documents")
+    quality = doc_quality_scores(spark, sf_dir)
+    t = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+        )
+        .join(quality, "doc_id")
+        .withColumn(
+            "__negq", (F.lit(1_000_000) - F.col("quality_micro")).cast("long")
+        )
+    )
+    budget = (
+        t.agg(F.sum("n_tokens").cast("long").alias("s")).collect()[0]["s"]
+        // TOKEN_BUDGET_DENOM
+    )
+    pre = with_prefix_sum(t, ["__negq", "doc_id"], "n_tokens", "__cum")
+    sel = pre.where(F.col("__cum") + F.col("n_tokens") <= F.lit(budget))
+    return sel.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
+TOKEN_BUDGET_SQL = rf"""
+WITH q AS ({QUALITY_SQL}),
+t AS (
+  SELECT d.doc_id, d.lang,
+         CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT) AS n_tokens,
+         q.quality_micro
+  FROM documents d JOIN q USING (doc_id)
+),
+o AS (
+  SELECT *, SUM(n_tokens) OVER (
+    ORDER BY (1000000 - quality_micro), doc_id
+    ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+),
+b AS (SELECT CAST(SUM(n_tokens) AS BIGINT) // {TOKEN_BUDGET_DENOM} AS budget FROM t)
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM o CROSS JOIN b WHERE cum <= budget GROUP BY lang
+"""
+
+
 def doc_bigram_lm_scores(spark, sf_dir):
     """Perplexity-proxy quality scoring with a corpus-trained bigram
     language model (the KenLM-filter pattern from CCNet/RefinedWeb,
@@ -6146,9 +6296,11 @@ GROUP BY doc_id
 #
 # ROUND 4 ROTATION PLAN: after reading VERDICT_r03, move into slots
 # 1-50 (a) anything round 4 adds or changes, (b) the r01-only greens
-# that did not fit this round's backfill (events_range_join,
+# that did not fit this round's backfill (q22_idle_customers,
+# events_hourly_rollup, events_asof_join — pushed past the cut by the
+# round-3 additions — plus events_range_join,
 # events_funnel, orders_moving_avg, events_retention_cohorts,
-# events_asof_join if it fell past the cut, lineitem_rollup,
+# lineitem_rollup,
 # orders_price_percentiles, doc_tfidf_top_terms,
 # customers_above_nation_avg, large_order_customers,
 # customer_order_presence, top3_customers_per_nation,
@@ -6187,6 +6339,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "vacuum_counts": (vacuum_counts, VACUUM_SQL),
     "column_mapping_counts": (column_mapping_counts, COLUMN_MAPPING_SQL),
     "checkpoint_expiry_counts": (checkpoint_expiry_counts, CHECKPOINT_EXPIRY_SQL),
+    "corpus_filter_funnel": (corpus_filter_funnel, CORPUS_FUNNEL_SQL),
+    "token_budget_select": (token_budget_select, TOKEN_BUDGET_SQL),
     # -- slots 29-50: r01-only greens re-proving on the rebuilt
     #    metadata plane ----------------------------------------------------
     "updated_partitions_sim": (updated_partitions_sim, UPDATED_PARTS_SQL),
