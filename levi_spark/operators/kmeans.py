@@ -6,9 +6,12 @@ first-k centroids; at scale those come from this fit over a sample).
 No MLlib, no RDDs — every step is a whole-stage-codegen expression or
 a key-bounded shuffle:
 
-* **assign**: broadcast the k centroids (k·dim doubles — tiny),
-  cross-join, squared-L2 via ``zip_with``+``aggregate``, argmin by
-  window over the row id. Map-side only except the window.
+* **assign**: the k centroids (k·dim doubles — tiny) become a literal
+  array of structs and the argmin is ``array_min`` over
+  (distance, cent_id) structs — squared-L2 via
+  ``zip_with``+``aggregate``, ZERO joins and ZERO shuffles, fully
+  whole-stage-codegen. Codebooks past ``_MAPSIDE_LITERAL_CAP``
+  (codegen bloat) fall back to broadcast cross-join + window argmin.
 * **update**: ``posexplode`` the vectors and average per
   (cluster, dimension) — one shuffle keyed by k·dim groups, then the
   k·dim means collect to the driver (metadata scale) to become the
@@ -59,6 +62,44 @@ def _sqdist_quant(a, b, scale: float):
     )
 
 
+# Above this many k*dim literals the map-side argmin expression would
+# bloat codegen; fall back to the broadcast-join + window plan.
+_MAPSIDE_LITERAL_CAP = 8192
+
+
+def _argmin_col(vec_col, centroids: list[list[float]], dist_scale: float | None):
+    """Nearest-centroid id for ``vec_col`` as a PURE map-side
+    expression: the centroids become a literal array of structs and the
+    argmin is ``array_min`` over (distance, cent_id) structs — ties to
+    the lower id by lexicographic struct order. No join, no shuffle,
+    no per-point window: assignment is embarrassingly parallel, which
+    is the plan you want when scoring 100 TB of vectors against a
+    broadcastable codebook. Returns (cluster_col, dist_col)."""
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cent_id"),
+                F.array(*[F.lit(float(x)) for x in c]).alias("cv"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    dfun = (
+        (lambda v, cv: _sqdist_quant(v, cv, dist_scale))
+        if dist_scale
+        else _sqdist
+    )
+    best = F.array_min(
+        F.transform(
+            cent_arr,
+            lambda c: F.struct(
+                dfun(vec_col, c["cv"]).alias("d"), c["cent_id"].alias("cent_id")
+            ),
+        )
+    )
+    return best["cent_id"], best["d"]
+
+
 def kmeans_fit(
     df: DataFrame,
     id_col: str,
@@ -85,24 +126,32 @@ def kmeans_fit(
     cents = seeds
     converged = False
     it = 0
+    dim = len(seeds[0])
     for it in range(1, max_iter + 1):
-        cdf = spark.createDataFrame(
-            [(i, c) for i, c in enumerate(cents)], "cent_id int, cv array<double>"
-        )
-        dist = (
-            _sqdist_quant(F.col("__v"), F.col("cv"), dist_scale)
-            if dist_scale
-            else _sqdist(F.col("__v"), F.col("cv"))
-        )
-        scored = pts.crossJoin(F.broadcast(cdf)).select(
-            "__id", "__v", "cent_id", dist.alias("__d")
-        )
-        w = Window.partitionBy("__id").orderBy(F.col("__d").asc(), F.col("cent_id").asc())
-        best = (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .select("cent_id", "__v")
-        )
+        if k * dim <= _MAPSIDE_LITERAL_CAP:
+            # assignment with zero shuffle: literal-codebook argmin
+            cluster_col, _d = _argmin_col(F.col("__v"), cents, dist_scale)
+            best = pts.select(cluster_col.alias("cent_id"), "__v")
+        else:
+            cdf = spark.createDataFrame(
+                [(i, c) for i, c in enumerate(cents)], "cent_id int, cv array<double>"
+            )
+            dist = (
+                _sqdist_quant(F.col("__v"), F.col("cv"), dist_scale)
+                if dist_scale
+                else _sqdist(F.col("__v"), F.col("cv"))
+            )
+            scored = pts.crossJoin(F.broadcast(cdf)).select(
+                "__id", "__v", "cent_id", dist.alias("__d")
+            )
+            w = Window.partitionBy("__id").orderBy(
+                F.col("__d").asc(), F.col("cent_id").asc()
+            )
+            best = (
+                scored.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .select("cent_id", "__v")
+            )
         exploded = best.select("cent_id", F.posexplode("__v").alias("pos", "val"))
         if mean_scale:
             means = (
@@ -149,9 +198,19 @@ def assign_clusters(
     dist_scale: float | None = None,
 ) -> DataFrame:
     """(id, cluster[, dist]) for every row: nearest centroid by squared
-    L2, ties to the lower cluster id. Broadcast cross join + window
-    argmin — the same plan shape the fit uses. ``dist_col`` also emits
-    the winning distance (int64 when ``dist_scale`` is set)."""
+    L2, ties to the lower cluster id. Small codebooks score as a pure
+    map-side literal-array argmin (no join, no shuffle); codebooks past
+    the literal cap fall back to broadcast cross join + window argmin.
+    ``dist_col`` also emits the winning distance (int64 when
+    ``dist_scale`` is set)."""
+    if centroids and len(centroids) * len(centroids[0]) <= _MAPSIDE_LITERAL_CAP:
+        cluster_col, d_col = _argmin_col(F.col("__v"), centroids, dist_scale)
+        out = ["id", cluster_col.alias("cluster")]
+        if dist_col:
+            out.append(d_col.alias(dist_col))
+        return df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("__v")
+        ).select(*out)
     spark = df.sparkSession
     cdf = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)], "cent_id int, cv array<double>"
