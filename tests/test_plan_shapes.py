@@ -261,3 +261,53 @@ def test_dsir_lm_sides_broadcast(spark):
     # bucket LM + 1-row totals + final lr probe all ride broadcasts:
     # the token stream itself is never reshuffled for the scoring pass
     assert s["broadcast_exchanges"] >= 2, s
+
+
+def test_kmeans_assignment_is_shuffle_free(spark):
+    """Small-codebook cluster assignment must be a pure map-side
+    expression: no join of any kind, no exchange beyond the scan."""
+    from levi_spark.operators.kmeans import assign_clusters
+    from levi_spark.plans.inspect import executed_plan
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").selectExpr(
+        "vec_id", "CAST(embedding AS array<double>) AS v"
+    )
+    cents = [[0.0] * 64, [1.0] * 64, [2.0] * 64, [3.0] * 64]
+    plan = executed_plan(assign_clusters(emb, "vec_id", "v", cents))
+    assert "Join" not in plan, plan[:800]
+    s = plan_summary(assign_clusters(emb, "vec_id", "v", cents))
+    assert s["exchanges"] == 0 and s["broadcast_exchanges"] == 0, s
+
+
+def test_token_budget_prefix_sum_not_single_task_window(spark):
+    """The ranking prefix sum must range-partition, never plan the
+    single-task global window (Exchange SinglePartition feeding a
+    Window with no partitioning)."""
+    import re
+
+    from levi_spark.operators.packing import with_prefix_sum
+    from levi_spark.plans.inspect import executed_plan
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+        "doc_id", "n_chars AS w", "doc_id % 7 AS g"
+    )
+    plan = executed_plan(with_prefix_sum(docs, ["g", "doc_id"], "w", "cum"))
+    assert "rangepartitioning" in plan, plan[:800]
+    # every Window in the plan is partitioned (by __pid), none global
+    assert not re.search(r"Exchange SinglePartition[\s\S]{0,400}?Window", plan), (
+        plan[:800]
+    )
+
+
+def test_corpus_funnel_single_aggregate_pass(spark):
+    """The funnel is ONE conditional aggregate over the flag frame:
+    exactly one final single-partition aggregate, no per-stage
+    re-scans of documents (documents is scanned once per flag input,
+    not once per funnel stage)."""
+    from levi_spark.queries import corpus_filter_funnel
+
+    s = plan_summary(corpus_filter_funnel(spark, SF))
+    # the flag inputs scan documents 7x (quality 1, repetition 3,
+    # hash + first-occurrence 2, base 1) — the 5 funnel stages must
+    # NOT multiply that (a per-stage re-aggregate would plan ~35)
+    assert s["scans"] <= 7, s
