@@ -2015,6 +2015,99 @@ SELECT query_id, neighbor_id, score FROM (
 """
 
 
+def ann_filtered_topk(spark, sf_dir):
+    """Filtered vector search — the vector-DB staple of predicate +
+    ANN in one query: top-3 SAME-label neighbors per query vector
+    through the IVF probe path, with the metadata filter applied to
+    the inverted-list candidates BEFORE distance scoring
+    (pre-filtered search; a post-filter over an unfiltered top-k can
+    return fewer than k survivors and wastes scores).
+
+    Scale shape: identical to ``ivf_ann_topk`` (broadcast assignment,
+    cell-keyed candidate join, windowed top-k) with the predicate as
+    an extra join conjunct — selective filters SHRINK the scored
+    candidate set; nothing is scored then discarded.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", "label", as_double_vec(F.col("embedding")).alias("v")
+    )
+    cents = v.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "label", "v", "cent_id",
+        cosine(F.col("v"), F.col("cv")).alias("__cc"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("__cc").desc(), F.col("cent_id").asc()
+    )
+    ranked = scored.withColumn("__rn", F.row_number().over(w_assign))
+    assigned = ranked.where(F.col("__rn") == 1).select(
+        "vec_id", "label", "v", F.col("cent_id").alias("cell")
+    )
+    probes = ranked.where((F.col("vec_id") < 10) & (F.col("__rn") <= 2)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+        F.col("cent_id").alias("cell"),
+    )
+    cand = (
+        probes.join(
+            assigned,
+            (probes["cell"] == assigned["cell"])
+            & (assigned["label"] == probes["qlabel"])
+            & (assigned["vec_id"] != probes["query_id"]),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("score"),
+        )
+    )
+    w_k = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("__rk", F.row_number().over(w_k))
+        .where(F.col("__rk") <= 3)
+        .select("query_id", "neighbor_id", "label", "score")
+    )
+
+
+ANN_FILTERED_SQL = """
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+c AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id < 16),
+scored AS (
+  SELECT v.vec_id, v.label, v.e, c.cent_id,
+         list_inner_product(v.e, c.ce)
+           / (sqrt(list_inner_product(v.e, v.e)) * sqrt(list_inner_product(c.ce, c.ce))) AS cc
+  FROM v CROSS JOIN c
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cent_id ASC) AS rn
+  FROM scored
+),
+assigned AS (SELECT vec_id, label, e, cent_id AS cell FROM ranked WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, label AS qlabel, e AS qe, cent_id AS cell
+           FROM ranked WHERE vec_id < 10 AND rn <= 2),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, a.label,
+         ROUND(list_inner_product(p.qe, a.e)
+               / (sqrt(list_inner_product(p.qe, p.qe)) * sqrt(list_inner_product(a.e, a.e))), 6) AS score
+  FROM probes p JOIN assigned a
+    ON p.cell = a.cell AND a.label = p.qlabel AND a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, label, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rk
+  FROM cand
+) WHERE rk <= 3
+"""
+
+
 def embedding_neardup_pairs(spark, sf_dir):
     """Embedding-cosine near-duplicate detection: pairs above 0.3 among
     the first 100 vectors (exact verify stage of LSH dedup)."""
@@ -6296,9 +6389,9 @@ GROUP BY doc_id
 #
 # ROUND 4 ROTATION PLAN: after reading VERDICT_r03, move into slots
 # 1-50 (a) anything round 4 adds or changes, (b) the r01-only greens
-# that did not fit this round's backfill (q22_idle_customers,
-# events_hourly_rollup, events_asof_join — pushed past the cut by the
-# round-3 additions — plus events_range_join,
+# that did not fit this round's backfill (q21_waiting_suppliers,
+# q22_idle_customers, events_hourly_rollup, events_asof_join — pushed
+# past the cut by the round-3 additions — plus events_range_join,
 # events_funnel, orders_moving_avg, events_retention_cohorts,
 # lineitem_rollup,
 # orders_price_percentiles, doc_tfidf_top_terms,
@@ -6341,6 +6434,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "checkpoint_expiry_counts": (checkpoint_expiry_counts, CHECKPOINT_EXPIRY_SQL),
     "corpus_filter_funnel": (corpus_filter_funnel, CORPUS_FUNNEL_SQL),
     "token_budget_select": (token_budget_select, TOKEN_BUDGET_SQL),
+    "ann_filtered_topk": (ann_filtered_topk, ANN_FILTERED_SQL),
     # -- slots 29-50: r01-only greens re-proving on the rebuilt
     #    metadata plane ----------------------------------------------------
     "updated_partitions_sim": (updated_partitions_sim, UPDATED_PARTS_SQL),
