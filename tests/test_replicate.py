@@ -121,6 +121,35 @@ def test_bootstrap_is_file_level_clone(spark, tmp_path):
     assert _rows(spark, dst) == _rows(spark, src)
 
 
+def test_bootstrap_falls_back_to_rewrite_for_external_paths(spark, tmp_path):
+    """A source whose log references files by ABSOLUTE path can't be
+    re-linked as a relative-path clone; bootstrap must detect that and
+    fall back to the row-level rewrite, still producing an exact
+    replica."""
+    import json
+
+    from levi_spark.operators.replicate import _bootstrap_clone
+    from levi_spark.delta.log import DeltaLog as _DL
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    _mk_src(spark, src)
+    # rewrite commit 0: one add path becomes absolute (same file)
+    cpath = os.path.join(src, "_delta_log", f"{0:020d}.json")
+    lines = [json.loads(line) for line in open(cpath)]
+    for d in lines:
+        if "add" in d:
+            d["add"]["path"] = os.path.join(src, d["add"]["path"])
+            break
+    with open(cpath, "w") as f:
+        f.write("\n".join(json.dumps(d) for d in lines) + "\n")
+
+    log = _DL(spark, src)
+    assert _bootstrap_clone(log, dst + "-probe", "app", log.latest_version()) is False
+    r = replicate_cdf(spark, src, dst, ["k"])
+    assert r["bootstrapped"]
+    assert _rows(spark, dst) == _rows(spark, src)
+
+
 def test_foreign_replica_refused(spark, tmp_path):
     src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
     _mk_src(spark, src)
