@@ -236,3 +236,48 @@ def optimize_zorder(
         partition_by=list(snap.metadata.partition_columns),
         operation="OPTIMIZE",
     )
+
+
+def auto_optimize(
+    spark: SparkSession,
+    path: str,
+    small_bytes: int = 32 * 1024 * 1024,
+    target_bytes: int = 128 * 1024 * 1024,
+    min_small_files: int = 4,
+    min_small_fraction: float = 0.5,
+) -> dict:
+    """Policy-driven maintenance: compact only when fragmentation is
+    actually worth a rewrite — at least ``min_small_files`` live files
+    under ``small_bytes`` AND they make up ``min_small_fraction`` of
+    the live file count. The decision runs entirely on the metadata
+    plane (one pass over the live add actions — no data bytes read);
+    only a triggered compaction touches data, and it rewrites only the
+    qualifying files (:func:`compact_small_files`).
+
+    Returns {"triggered", "n_files", "n_small", "small_fraction",
+    "files_removed", "files_added", "version"} so a scheduler can log
+    why each table was or wasn't compacted. The auto-OPTIMIZE shape
+    every managed lakehouse runs after streaming ingest; designed to
+    be called per-table from a maintenance loop.
+    """
+    snap = DeltaLog(spark, path).snapshot()
+    sizes = [r["add"]["size"] for r in snap.live_adds_collected()]
+    n_files = len(sizes)
+    n_small = sum(1 for s in sizes if s is not None and s < small_bytes)
+    frac = (n_small / n_files) if n_files else 0.0
+    report = {
+        "triggered": False,
+        "n_files": n_files,
+        "n_small": n_small,
+        "small_fraction": round(frac, 4),
+        "files_removed": 0,
+        "files_added": 0,
+        "version": -1,
+    }
+    if n_small < min_small_files or frac < min_small_fraction:
+        return report
+    res = compact_small_files(
+        spark, path, small_bytes=small_bytes, target_bytes=target_bytes
+    )
+    report.update(triggered=res["version"] != -1, **res)
+    return report

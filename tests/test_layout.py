@@ -175,3 +175,40 @@ def test_zorder_improves_minmax_locality(spark, tmp_path):
     # content preserved
     snap = DeltaLog(spark, path).snapshot()
     assert snap.to_df().count() == n * n
+
+
+def test_auto_optimize_policy(spark, tmp_path):
+    """auto_optimize compacts only past the fragmentation thresholds,
+    and its decision report says why."""
+    from levi_spark.delta.log import DeltaLog
+    from levi_spark.delta.writer import write_delta
+    from levi_spark.operators.layout import auto_optimize
+
+    path = str(tmp_path / "t")
+    write_delta(
+        spark.range(2000).selectExpr("id AS k", "id * 2 AS v").repartition(8),
+        path, mode="error", checkpoint_interval=None,
+    )
+    # 8 tiny files, 100% small -> triggers
+    r = auto_optimize(spark, path, small_bytes=10**9, target_bytes=10**9)
+    assert r["triggered"] and r["files_removed"] == 8 and r["files_added"] == 1
+    before = sorted(
+        map(tuple, DeltaLog(spark, path).snapshot().to_df().collect())
+    )
+
+    # now 1 big file: below min_small_files -> no-op, content unchanged
+    r2 = auto_optimize(spark, path, small_bytes=10**9)
+    assert not r2["triggered"] and r2["version"] == -1 and r2["n_files"] == 1
+    assert sorted(
+        map(tuple, DeltaLog(spark, path).snapshot().to_df().collect())
+    ) == before
+
+    # small files exist but below the fraction threshold -> no-op
+    write_delta(
+        spark.range(5).selectExpr("id AS k", "id AS v"),
+        path, mode="append", checkpoint_interval=None,
+    )
+    r3 = auto_optimize(
+        spark, path, small_bytes=10, min_small_files=1, min_small_fraction=0.9
+    )
+    assert not r3["triggered"] and r3["n_small"] == 0
