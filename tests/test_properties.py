@@ -155,3 +155,92 @@ def test_drop_duplicates_pkey_transform_law(spark, keys):
         (min(i for i, kk in rows if kk == k), k) for k in set(keys)
     )
     assert got == want
+
+
+# ---- round-3 primitives ---------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 10**6), st.integers(0, 1000)),
+        min_size=0,
+        max_size=60,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+def test_with_prefix_sum_composite_keys_match_python(spark, rows):
+    """Distributed exclusive prefix sum over composite (g, k) order ==
+    the obvious single-threaded fold, for any partitioning."""
+    from levi_spark.operators.packing import with_prefix_sum
+
+    df = spark.createDataFrame(
+        [(g, k, w) for g, k, w in rows] or [(0, 0, 0)][:0],
+        "g INT, k LONG, w LONG",
+    ) if rows else spark.createDataFrame([], "g INT, k LONG, w LONG")
+    got = {
+        (r["g"], r["k"]): r["cum"]
+        for r in with_prefix_sum(df, ["g", "k"], "w", "cum").collect()
+    }
+    acc = 0
+    for g, k, w in sorted(rows):
+        assert got[(g, k)] == acc, (g, k, got[(g, k)], acc)
+        acc += w
+
+
+@given(
+    st.recursive(
+        st.sampled_from(["long", "string", "double"]),
+        lambda inner: st.one_of(
+            st.tuples(st.just("array"), inner),
+            st.tuples(st.just("map"), inner, inner),
+            st.lists(st.tuples(st.sampled_from(["a", "b", "c"]), inner),
+                     min_size=1, max_size=3, unique_by=lambda t: t[0])
+            .map(lambda fs: ("struct", fs)),
+        ),
+        max_leaves=6,
+    )
+)
+@settings(max_examples=50, deadline=None, suppress_health_check=list(HealthCheck))
+def test_physical_type_renames_every_nested_struct_field(shape):
+    """_physical_type must rewrite physicalName metadata at ANY
+    nesting depth — no struct field anywhere may keep its logical name
+    when a mapping exists."""
+    from pyspark.sql import types as T
+
+    from levi_spark.delta.log import _physical_type
+
+    def build(s):
+        if s == "long":
+            return T.LongType()
+        if s == "string":
+            return T.StringType()
+        if s == "double":
+            return T.DoubleType()
+        if s[0] == "array":
+            return T.ArrayType(build(s[1]))
+        if s[0] == "map":
+            return T.MapType(build(s[1]), build(s[2]))
+        fields = [
+            T.StructField(
+                name,
+                build(sub),
+                True,
+                {"delta.columnMapping.physicalName": f"col-{name}"},
+            )
+            for name, sub in s[1]
+        ]
+        return T.StructType(fields)
+
+    def assert_renamed(dt):
+        if isinstance(dt, T.StructType):
+            for f in dt.fields:
+                assert f.name.startswith("col-"), f.name
+                assert_renamed(f.dataType)
+        elif isinstance(dt, T.ArrayType):
+            assert_renamed(dt.elementType)
+        elif isinstance(dt, T.MapType):
+            assert_renamed(dt.keyType)
+            assert_renamed(dt.valueType)
+
+    assert_renamed(_physical_type(build(shape)))
