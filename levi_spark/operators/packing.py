@@ -87,3 +87,34 @@ def pack_sequences(
         "last_seq",
         F.floor((F.col("start") + F.col(tokens_col) - 1) / capacity).cast("long"),
     )
+
+
+def export_shards(
+    docs: DataFrame,
+    order_col: str | list[str],
+    tokens_col: str,
+    shard_tokens: int,
+    out_dir: str,
+) -> None:
+    """Materialize the training set as token-bounded SHARDS: each
+    document lands in the shard containing its global start offset
+    (corpus concatenated in ``order_col`` order, one shard per
+    ``shard_tokens`` tokens), written as one parquet directory per
+    shard (``shard_id=N/``). The export a pretraining pipeline runs
+    last — deterministic shard membership across cluster sizes because
+    the offsets come from :func:`with_prefix_sum`, and the write
+    shuffles once on shard_id so each shard's files are written
+    together (a trainer streams shard directories independently).
+
+    ``__start`` (the global token offset) is kept in the output — a
+    resuming loader can seek by token position."""
+    staged = with_prefix_sum(docs, order_col, tokens_col, "__start")
+    sharded = staged.withColumn(
+        "shard_id", F.expr(f"__start div {int(shard_tokens)}")
+    )
+    (
+        sharded.repartition("shard_id")
+        .write.mode("error")
+        .partitionBy("shard_id")
+        .parquet(out_dir)
+    )

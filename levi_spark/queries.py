@@ -1581,6 +1581,65 @@ FROM f WHERE lang = 'en' AND quality_micro >= {FUNNEL_QUALITY_MIN}
 """
 
 
+SHARD_TOKENS = 4096
+
+
+def export_shards_manifest(spark, sf_dir):
+    """Training-set materialization through the driver gate: the corpus
+    is exported as token-bounded shard directories
+    (:func:`levi_spark.operators.packing.export_shards` — one shard
+    per 4096 tokens of the doc_id-ordered concatenation, one parquet
+    dir per shard), then the MANIFEST is computed by reading the
+    WRITTEN dataset back — so the gate proves the files on disk carry
+    the right membership, not just that the plan would. Output: one
+    row per shard (n_docs, n_tokens, first/last doc).
+
+    Scale shape: offsets via the range-partitioned distributed prefix
+    sum, one shard_id shuffle for the write; the manifest is a
+    groupBy over the readback with partition pruning available on
+    shard_id."""
+    import os as _os
+
+    from levi_spark.operators.packing import export_shards
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    out = _os.path.join(_scratch("shards"), "data")
+    export_shards(docs, "doc_id", "n_tokens", SHARD_TOKENS, out)
+    written = spark.read.parquet(out)
+    return (
+        written.groupBy(F.col("shard_id").cast("long").alias("shard_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+EXPORT_SHARDS_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS start
+  FROM t
+)
+SELECT CAST(start // {SHARD_TOKENS} AS BIGINT) AS shard_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM o GROUP BY 1
+"""
+
+
 TOKEN_BUDGET_DENOM = 4  # keep the top-quality quarter of corpus tokens
 
 
@@ -6389,9 +6448,10 @@ GROUP BY doc_id
 #
 # ROUND 4 ROTATION PLAN: after reading VERDICT_r03, move into slots
 # 1-50 (a) anything round 4 adds or changes, (b) the r01-only greens
-# that did not fit this round's backfill (q21_waiting_suppliers,
-# q22_idle_customers, events_hourly_rollup, events_asof_join — pushed
-# past the cut by the round-3 additions — plus events_range_join,
+# that did not fit this round's backfill (q20_excess_suppliers,
+# q21_waiting_suppliers, q22_idle_customers, events_hourly_rollup,
+# events_asof_join — pushed past the cut by the round-3 additions —
+# plus events_range_join,
 # events_funnel, orders_moving_avg, events_retention_cohorts,
 # lineitem_rollup,
 # orders_price_percentiles, doc_tfidf_top_terms,
@@ -6435,6 +6495,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "corpus_filter_funnel": (corpus_filter_funnel, CORPUS_FUNNEL_SQL),
     "token_budget_select": (token_budget_select, TOKEN_BUDGET_SQL),
     "ann_filtered_topk": (ann_filtered_topk, ANN_FILTERED_SQL),
+    "export_shards_manifest": (export_shards_manifest, EXPORT_SHARDS_SQL),
     # -- slots 29-50: r01-only greens re-proving on the rebuilt
     #    metadata plane ----------------------------------------------------
     "updated_partitions_sim": (updated_partitions_sim, UPDATED_PARTS_SQL),
