@@ -100,6 +100,34 @@ def _argmin_col(vec_col, centroids: list[list[float]], dist_scale: float | None)
     return best["cent_id"], best["d"]
 
 
+def top_cells_sqdist_quant(
+    vec_col, centroids: list[list[float]], nprobe: int, dist_scale: float
+):
+    """Array of the ``nprobe`` nearest cell ids by quantized squared-L2
+    (ascending, ties to the lower id) as a pure map-side expression —
+    the serve-path companion of :func:`_argmin_col` for nprobe > 1.
+    No join, no shuffle; identical int64 arithmetic to the fit."""
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(i)).alias("cent_id"),
+                F.array(*[F.lit(float(x)) for x in c]).alias("cv"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    scored = F.transform(
+        cent_arr,
+        lambda c: F.struct(
+            _sqdist_quant(vec_col, c["cv"], dist_scale).alias("d"),
+            c["cent_id"].alias("cent_id"),
+        ),
+    )
+    return F.transform(
+        F.slice(F.array_sort(scored), 1, nprobe), lambda s: s["cent_id"]
+    )
+
+
 def kmeans_fit(
     df: DataFrame,
     id_col: str,

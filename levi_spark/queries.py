@@ -1995,36 +1995,30 @@ def ivf_ann_topk(spark, sf_dir):
     the first 16 vectors), probe the nprobe=2 closest cells per query,
     exact top-5 cosine within probed cells.
 
-    Scale path vs brute force: the centroid table broadcasts, cell
-    assignment is a broadcast cross join (|cents| rows per vector, map
-    side only), and the candidate join shuffles on the cell key — each
-    query scans ~nprobe/K of the corpus instead of all of it. At 100 TB
-    the centroids would come from a sampled k-means fit; the plumbing
-    (broadcast assign -> bucketed probe join -> windowed top-k) is
-    identical.
+    Scale path vs brute force: the centroids (a metadata-scale
+    collect — at 100 TB they come from a sampled k-means fit) become a
+    LITERAL codebook, so cell assignment is a pure map-side
+    ``top_cells_cosine`` expression — no join and, crucially, no
+    per-vector window that would reshuffle the whole corpus. The only
+    shuffle in the serve path is the candidate join on the cell key;
+    each query scans ~nprobe/K of the corpus instead of all of it.
     """
+    from levi_spark.functions.similarity import top_cells_cosine
+
     emb = _t(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
-    cents = v.where(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    cents = [
+        (r["vec_id"], list(r["v"]))
+        for r in v.where(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    base = v.select(
+        "vec_id", "v", top_cells_cosine(F.col("v"), cents, 2).alias("__cells")
     )
-    scored = v.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "v", "cent_id", cosine(F.col("v"), F.col("cv")).alias("__cc")
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("__cc").desc(), F.col("cent_id").asc()
-    )
-    ranked = scored.withColumn("__rn", F.row_number().over(w_assign))
-    assigned = ranked.where(F.col("__rn") == 1).select(
-        "vec_id", "v", F.col("cent_id").alias("cell")
-    )
-    probes = (
-        ranked.where((F.col("vec_id") < 10) & (F.col("__rn") <= 2))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            F.col("cent_id").alias("cell"),
-        )
+    assigned = base.select("vec_id", "v", F.col("__cells")[0].alias("cell"))
+    probes = base.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.explode("__cells").alias("cell"),
     )
     cand = (
         probes.join(assigned, "cell")
@@ -2082,34 +2076,33 @@ def ann_filtered_topk(spark, sf_dir):
     (pre-filtered search; a post-filter over an unfiltered top-k can
     return fewer than k survivors and wastes scores).
 
-    Scale shape: identical to ``ivf_ann_topk`` (broadcast assignment,
-    cell-keyed candidate join, windowed top-k) with the predicate as
-    an extra join conjunct — selective filters SHRINK the scored
-    candidate set; nothing is scored then discarded.
+    Scale shape: identical to ``ivf_ann_topk`` (map-side literal-
+    codebook assignment, cell-keyed candidate join, windowed top-k)
+    with the predicate as an extra join conjunct — selective filters
+    SHRINK the scored candidate set; nothing is scored then discarded.
     """
+    from levi_spark.functions.similarity import top_cells_cosine
+
     emb = _t(spark, sf_dir, "embeddings")
     v = emb.select(
         "vec_id", "label", as_double_vec(F.col("embedding")).alias("v")
     )
-    cents = v.where(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    cents = [
+        (r["vec_id"], list(r["v"]))
+        for r in v.where(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    base = v.select(
+        "vec_id", "label", "v",
+        top_cells_cosine(F.col("v"), cents, 2).alias("__cells"),
     )
-    scored = v.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "label", "v", "cent_id",
-        cosine(F.col("v"), F.col("cv")).alias("__cc"),
+    assigned = base.select(
+        "vec_id", "label", "v", F.col("__cells")[0].alias("cell")
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("__cc").desc(), F.col("cent_id").asc()
-    )
-    ranked = scored.withColumn("__rn", F.row_number().over(w_assign))
-    assigned = ranked.where(F.col("__rn") == 1).select(
-        "vec_id", "label", "v", F.col("cent_id").alias("cell")
-    )
-    probes = ranked.where((F.col("vec_id") < 10) & (F.col("__rn") <= 2)).select(
+    probes = base.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("qlabel"),
         F.col("v").alias("qv"),
-        F.col("cent_id").alias("cell"),
+        F.explode("__cells").alias("cell"),
     )
     cand = (
         probes.join(
@@ -4829,7 +4822,7 @@ def ivf_trained_topk(spark, sf_dir):
     nprobe=2 probing, exact cosine rerank within probed cells. The
     plain ``ivf_ann_topk`` gates the plumbing with fixed seeds; this
     gates the composition with the trainer."""
-    from levi_spark.operators.kmeans import _sqdist_quant, kmeans_fit
+    from levi_spark.operators.kmeans import kmeans_fit, top_cells_sqdist_quant
 
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_vec("embedding").alias("v")
@@ -4838,25 +4831,17 @@ def ivf_trained_topk(spark, sf_dir):
         emb, "vec_id", "v", k=4, max_iter=2, tol=0.0,
         dist_scale=1e6, mean_scale=1e8,
     )
-    cdf = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(fit["centroids"])],
-        "cent_id int, cv array<double>",
+    base = emb.select(
+        "vec_id", "v",
+        top_cells_sqdist_quant(F.col("v"), fit["centroids"], 2, 1e6).alias(
+            "__cells"
+        ),
     )
-    scored = emb.crossJoin(F.broadcast(cdf)).select(
-        "vec_id", "v", "cent_id",
-        _sqdist_quant(F.col("v"), F.col("cv"), 1e6).alias("__d"),
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("__d").asc(), F.col("cent_id").asc()
-    )
-    ranked = scored.withColumn("__rn", F.row_number().over(w_assign))
-    assigned = ranked.where(F.col("__rn") == 1).select(
-        "vec_id", "v", F.col("cent_id").alias("cell")
-    )
-    probes = ranked.where((F.col("vec_id") < 10) & (F.col("__rn") <= 2)).select(
+    assigned = base.select("vec_id", "v", F.col("__cells")[0].alias("cell"))
+    probes = base.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
-        F.col("cent_id").alias("cell"),
+        F.explode("__cells").alias("cell"),
     )
     cand = (
         probes.join(assigned, "cell")
