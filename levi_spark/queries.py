@@ -1995,30 +1995,48 @@ def ivf_ann_topk(spark, sf_dir):
     the first 16 vectors), probe the nprobe=2 closest cells per query,
     exact top-5 cosine within probed cells.
 
-    Scale path vs brute force: the centroids (a metadata-scale
-    collect — at 100 TB they come from a sampled k-means fit) become a
-    LITERAL codebook, so cell assignment is a pure map-side
-    ``top_cells_cosine`` expression — no join and, crucially, no
-    per-vector window that would reshuffle the whole corpus. The only
-    shuffle in the serve path is the candidate join on the cell key;
-    each query scans ~nprobe/K of the corpus instead of all of it.
+    Scale path vs brute force: the centroid table broadcasts, cell
+    scoring is map-side, and the corpus-side argmin is a
+    PARTIAL-AGGREGATABLE ``min(struct(-cos, id))`` groupBy — the
+    map-side combine collapses to one row per vector before the
+    exchange and nothing sorts (a per-vector window would shuffle AND
+    sort all N·K scored rows; a literal-codebook expression removes
+    the exchange but pays interpreted higher-order-function cost per
+    row — measured slower at K=16 cosine). Probe ranking (nprobe=2)
+    windows only the filtered query rows. The candidate join shuffles
+    on the cell key — each query scans ~nprobe/K of the corpus. At
+    100 TB the centroids come from a sampled k-means fit.
     """
-    from levi_spark.functions.similarity import top_cells_cosine
-
     emb = _t(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
-    cents = [
-        (r["vec_id"], list(r["v"]))
-        for r in v.where(F.col("vec_id") < 16).orderBy("vec_id").collect()
-    ]
-    base = v.select(
-        "vec_id", "v", top_cells_cosine(F.col("v"), cents, 2).alias("__cells")
+    cents = v.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
-    assigned = base.select("vec_id", "v", F.col("__cells")[0].alias("cell"))
-    probes = base.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.explode("__cells").alias("cell"),
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "v", "cent_id", cosine(F.col("v"), F.col("cv")).alias("__cc")
+    )
+    assigned = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("__cc")).alias("n"), F.col("cent_id").alias("c"))
+            ).alias("__b"),
+            F.first("v").alias("v"),
+        )
+        .select("vec_id", "v", F.col("__b.c").alias("cell"))
+    )
+    w_probe = Window.partitionBy("vec_id").orderBy(
+        F.col("__cc").desc(), F.col("cent_id").asc()
+    )
+    probes = (
+        scored.where(F.col("vec_id") < 10)
+        .withColumn("__rn", F.row_number().over(w_probe))
+        .where(F.col("__rn") <= 2)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("cent_id").alias("cell"),
+        )
     )
     cand = (
         probes.join(assigned, "cell")
@@ -2076,33 +2094,47 @@ def ann_filtered_topk(spark, sf_dir):
     (pre-filtered search; a post-filter over an unfiltered top-k can
     return fewer than k survivors and wastes scores).
 
-    Scale shape: identical to ``ivf_ann_topk`` (map-side literal-
-    codebook assignment, cell-keyed candidate join, windowed top-k)
-    with the predicate as an extra join conjunct — selective filters
-    SHRINK the scored candidate set; nothing is scored then discarded.
+    Scale shape: identical to ``ivf_ann_topk`` (broadcast scoring,
+    sort-free partial-aggregated corpus assignment, cell-keyed
+    candidate join, windowed top-k over probed candidates) with the
+    predicate as an extra join conjunct — selective filters SHRINK
+    the scored candidate set; nothing is scored then discarded.
     """
-    from levi_spark.functions.similarity import top_cells_cosine
-
     emb = _t(spark, sf_dir, "embeddings")
     v = emb.select(
         "vec_id", "label", as_double_vec(F.col("embedding")).alias("v")
     )
-    cents = [
-        (r["vec_id"], list(r["v"]))
-        for r in v.where(F.col("vec_id") < 16).orderBy("vec_id").collect()
-    ]
-    base = v.select(
-        "vec_id", "label", "v",
-        top_cells_cosine(F.col("v"), cents, 2).alias("__cells"),
+    cents = v.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
-    assigned = base.select(
-        "vec_id", "label", "v", F.col("__cells")[0].alias("cell")
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "label", "v", "cent_id",
+        cosine(F.col("v"), F.col("cv")).alias("__cc"),
     )
-    probes = base.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("qlabel"),
-        F.col("v").alias("qv"),
-        F.explode("__cells").alias("cell"),
+    assigned = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("__cc")).alias("n"), F.col("cent_id").alias("c"))
+            ).alias("__b"),
+            F.first("label").alias("label"),
+            F.first("v").alias("v"),
+        )
+        .select("vec_id", "label", "v", F.col("__b.c").alias("cell"))
+    )
+    w_probe = Window.partitionBy("vec_id").orderBy(
+        F.col("__cc").desc(), F.col("cent_id").asc()
+    )
+    probes = (
+        scored.where(F.col("vec_id") < 10)
+        .withColumn("__rn", F.row_number().over(w_probe))
+        .where(F.col("__rn") <= 2)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("qlabel"),
+            F.col("v").alias("qv"),
+            F.col("cent_id").alias("cell"),
+        )
     )
     cand = (
         probes.join(
@@ -2226,7 +2258,13 @@ def _pq_vectors_cents(spark, sf_dir):
 
 def _pq_codes_long(spark, sf_dir):
     """(vec_id, m, cent_id): nearest centroid per 16-dim subspace,
-    m in 0..3. Centroids broadcast; assignment map-side."""
+    m in 0..3. Centroids broadcast, scoring map-side; cell choice is
+    a sort-free partial-aggregated ``min(struct(d2, cent_id))``
+    groupBy per (vec_id, m) — the map-side combine collapses the 16
+    scored rows per key before the exchange (a per-key window would
+    shuffle AND sort them all; a literal-codebook expression removes
+    the exchange but pays interpreted HOF cost per row — measured
+    slower at 16 centroids)."""
     v, cents = _pq_vectors_cents(spark, sf_dir)
     pairs = v.crossJoin(F.broadcast(cents))
     d2s = [
@@ -2248,13 +2286,14 @@ def _pq_codes_long(spark, sf_dir):
             )
         ).alias("s"),
     ).select("vec_id", "cent_id", F.col("s.m").alias("m"), F.col("s.d2").alias("d2"))
-    w = Window.partitionBy("vec_id", "m").orderBy(
-        F.col("d2").asc(), F.col("cent_id").asc()
-    )
     return (
-        long.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select("vec_id", "m", "cent_id")
+        long.groupBy("vec_id", "m")
+        .agg(
+            F.min(
+                F.struct(F.col("d2").alias("d"), F.col("cent_id").alias("c"))
+            ).alias("__b")
+        )
+        .select("vec_id", "m", F.col("__b.c").alias("cent_id"))
     )
 
 
