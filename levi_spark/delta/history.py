@@ -1,0 +1,70 @@
+"""DESCRIBE HISTORY: the table's commit log as a DataFrame — the
+operational surface every Delta user reaches for first when auditing a
+table (who wrote what, when, and how big).
+
+Driver-side by construction: the log dir is O(versions) and each row
+needs only that commit's JSON, so this is a metadata read with zero
+Spark jobs until the caller acts on the frame. Commits expired into a
+checkpoint no longer have per-commit JSON, so (matching Delta) history
+starts at the oldest surviving commit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from levi_spark.delta.log import DeltaLog
+
+_HISTORY_SCHEMA = T.StructType(
+    [
+        T.StructField("version", T.LongType(), False),
+        T.StructField("timestamp_ms", T.LongType()),
+        T.StructField("operation", T.StringType()),
+        T.StructField("operation_parameters", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("engine_info", T.StringType()),
+        T.StructField("n_adds", T.LongType(), False),
+        T.StructField("n_removes", T.LongType(), False),
+        T.StructField("n_cdc_files", T.LongType(), False),
+        T.StructField("has_txn", T.BooleanType(), False),
+    ]
+)
+
+
+def describe_history(spark: SparkSession, table_path: str) -> DataFrame:
+    """One row per surviving commit, newest first."""
+    log = DeltaLog(spark, table_path)
+    commits, _cps = log._entries()
+    rows = []
+    for v in sorted(commits, reverse=True):
+        ts = op = engine = None
+        params: dict[str, str] = {}
+        n_adds = n_removes = n_cdc = 0
+        has_txn = False
+        with open(os.path.join(log.log_path, f"{v:020d}.json")) as f:
+            for line in f:
+                if not (line := line.strip()):
+                    continue
+                d = json.loads(line)
+                if "add" in d:
+                    n_adds += 1
+                elif "remove" in d:
+                    n_removes += 1
+                elif "cdc" in d:
+                    n_cdc += 1
+                elif "txn" in d:
+                    has_txn = True
+                elif "commitInfo" in d:
+                    ci = d["commitInfo"]
+                    ts = ci.get("timestamp")
+                    op = ci.get("operation")
+                    engine = ci.get("engineInfo")
+                    params = {
+                        k: str(x)
+                        for k, x in (ci.get("operationParameters") or {}).items()
+                    }
+        rows.append((v, ts, op, params, engine, n_adds, n_removes, n_cdc, has_txn))
+    return spark.createDataFrame(rows, _HISTORY_SCHEMA)

@@ -1581,6 +1581,63 @@ FROM f WHERE lang = 'en' AND quality_micro >= {FUNNEL_QUALITY_MIN}
 """
 
 
+def table_history_counts(spark, sf_dir):
+    """DESCRIBE HISTORY through the driver gate
+    (:mod:`levi_spark.delta.history`): customer becomes a Delta table
+    taking a create, an append, a DV DELETE, and a MERGE; the commit
+    log read back as a DataFrame must report exactly those operations
+    with the right commit counts, add/remove file counts, and
+    CDF/txn markers. Output: one row per operation.
+
+    Scale shape: history is a driver-side read of O(versions) commit
+    JSONs — zero Spark jobs to build the frame."""
+    from levi_spark.delta.dv import soft_delete
+    from levi_spark.delta.history import describe_history
+    from levi_spark.delta.table import LeviTable
+    from levi_spark.delta.writer import write_delta
+    from levi_spark.operators.merge import merge as _merge
+
+    base = _scratch("hist_customer")
+    write_delta(
+        _t(spark, sf_dir, "customer").repartition(8), base, mode="error",
+        checkpoint_interval=None,
+    )
+    write_delta(
+        _synth_customers(spark, 93_000_000, "HIST").coalesce(1),
+        base, mode="append", checkpoint_interval=None,
+    )
+    soft_delete(spark, base, "c_custkey % 11 = 0", emit_cdf=True,
+                checkpoint_interval=None)
+    upd = spark.createDataFrame(
+        [(93_000_001, 999.0)], "uk LONG, uv DOUBLE"
+    )
+    (
+        _merge(LeviTable(spark, base), upd, "t.c_custkey = s.uk")
+        .when_matched_update(set={"c_acctbal": "s.uv"})
+        .execute()
+    )
+    h = describe_history(spark, base)
+    return (
+        h.groupBy("operation")
+        .agg(
+            F.count(F.lit(1)).alias("n_commits"),
+            F.sum("n_adds").cast("long").alias("n_adds"),
+            F.sum("n_removes").cast("long").alias("n_removes"),
+            F.sum("n_cdc_files").cast("long").alias("n_cdc_files"),
+            F.max(F.col("version")).alias("last_version"),
+        )
+    )
+
+
+TABLE_HISTORY_SQL = """
+SELECT * FROM (VALUES
+  ('WRITE',  CAST(2 AS BIGINT), CAST(9 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+  ('DELETE', CAST(1 AS BIGINT), CAST(8 AS BIGINT), CAST(0 AS BIGINT), CAST(8 AS BIGINT), CAST(2 AS BIGINT)),
+  ('MERGE',  CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(3 AS BIGINT))
+) AS t(operation, n_commits, n_adds, n_removes, n_cdc_files, last_version)
+"""
+
+
 SHARD_TOKENS = 4096
 
 
@@ -6520,6 +6577,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "token_budget_select": (token_budget_select, TOKEN_BUDGET_SQL),
     "ann_filtered_topk": (ann_filtered_topk, ANN_FILTERED_SQL),
     "export_shards_manifest": (export_shards_manifest, EXPORT_SHARDS_SQL),
+    "table_history_counts": (table_history_counts, TABLE_HISTORY_SQL),
     # -- slots 29-50: r01-only greens re-proving on the rebuilt
     #    metadata plane ----------------------------------------------------
     "updated_partitions_sim": (updated_partitions_sim, UPDATED_PARTS_SQL),
