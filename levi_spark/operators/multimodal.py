@@ -90,6 +90,34 @@ def decode_image_features(
     )
 
 
+def decode_audio_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decoder: FrameDecoder = _default_audio_decoder,
+) -> DataFrame:
+    """binary payload -> (id, sample_rate, n_samples, rms) via one
+    Arrow-batched pass — the audio twin of ``decode_image_features``.
+    Plug :func:`levi_spark.operators.riffwav.wav_audio_decoder` for
+    REAL RIFF/PCM decode; compressed codecs stay behind the seam."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decoder(bytes(b)) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "sample_rate": [d["sample_rate"] for d in decoded],
+                    "n_samples": [d["n_samples"] for d in decoded],
+                    "rms": [d["rms"] for d in decoded],
+                }
+            )
+
+    return df.mapInPandas(
+        run, f"{id_col} long, sample_rate int, n_samples long, rms double"
+    )
+
+
 def resize_images(
     df: DataFrame,
     target_w: int,

@@ -6307,6 +6307,75 @@ FROM documents
 """
 
 
+WAV_RATE, WAV_TILE = 16_000, 8
+
+
+def multimodal_wav_decode(spark, sf_dir):
+    """REAL audio decode through the multimodal plane (not the
+    byte-stub): each document becomes a PCM WAV whose frames are its
+    md5 digest read as 8 little-endian int16 samples, tiled 8x
+    (64 frames @ 16 kHz), and
+    :func:`levi_spark.operators.riffwav.wav_audio_decoder` — a pure
+    numpy RIFF/PCM codec — parses the chunks and raster to produce
+    sample_rate / n_samples / RMS. Tiling leaves RMS unchanged, so
+    the oracle re-derives it from the 8 distinct samples via md5 hex
+    arithmetic: the squared-sum is an exact int and n is a power of
+    two, so sqrt sees bit-identical input in both engines. Two
+    Arrow-batched hops: encode, then the shared
+    ``decode_audio_features`` operator with the real codec plugged
+    in."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from levi_spark.operators.multimodal import decode_audio_features
+    from levi_spark.operators.riffwav import encode_wav, wav_audio_decoder
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                digest = hashlib.md5(text.encode("utf-8")).digest()
+                samples = np.tile(
+                    np.frombuffer(digest, dtype="<i2"), WAV_TILE
+                )
+                payloads.append(encode_wav(samples, WAV_RATE))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    wavs = docs.mapInPandas(encode, "doc_id long, payload binary")
+    feats = decode_audio_features(wavs, decoder=wav_audio_decoder)
+    return feats.select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        F.floor(F.col("rms") * 1000 + 0.5).cast("long").alias("rms_milli"),
+    )
+
+
+WAV_DECODE_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         list_transform(range(0, 8), i ->
+           (('0x' || substr(md5(text), i * 4 + 1, 2))::BIGINT
+            + 256 * ('0x' || substr(md5(text), i * 4 + 3, 2))::BIGINT)) AS raw
+  FROM documents
+),
+v AS (
+  SELECT doc_id,
+         list_transform(raw, x -> x - CASE WHEN x >= 32768 THEN 65536 ELSE 0 END) AS sm
+  FROM s
+)
+SELECT doc_id, {WAV_RATE} AS sample_rate,
+       CAST(8 * {WAV_TILE} AS BIGINT) AS n_samples,
+       CAST(floor(sqrt(CAST(list_sum(list_transform(sm, x -> x * x)) AS DOUBLE) / 8.0)
+                  * 1000 + 0.5) AS BIGINT) AS rms_milli
+FROM v
+"""
+
+
 def ann_hard_negatives(spark, sf_dir):
     """Hard-negative mining for contrastive training (the retrieval-
     training twin of ANN): for each query vector, the 3 most-similar
@@ -6529,9 +6598,10 @@ GROUP BY doc_id
 #
 # ROUND 4 ROTATION PLAN: after reading VERDICT_r03, move into slots
 # 1-50 (a) anything round 4 adds or changes, (b) the r01-only greens
-# that did not fit this round's backfill (q20_excess_suppliers,
-# q21_waiting_suppliers, q22_idle_customers, events_hourly_rollup,
-# events_asof_join — pushed past the cut by the round-3 additions —
+# that did not fit this round's backfill (q19_disjunctive_revenue,
+# q20_excess_suppliers, q21_waiting_suppliers, q22_idle_customers,
+# events_hourly_rollup, events_asof_join — pushed past the cut by the
+# round-3 additions; check list(QUERIES)[50:] for the exact tail —
 # plus events_range_join,
 # events_funnel, orders_moving_avg, events_retention_cohorts,
 # lineitem_rollup,
@@ -6578,6 +6648,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ann_filtered_topk": (ann_filtered_topk, ANN_FILTERED_SQL),
     "export_shards_manifest": (export_shards_manifest, EXPORT_SHARDS_SQL),
     "table_history_counts": (table_history_counts, TABLE_HISTORY_SQL),
+    "multimodal_wav_decode": (multimodal_wav_decode, WAV_DECODE_SQL),
     # -- slots 29-50: r01-only greens re-proving on the rebuilt
     #    metadata plane ----------------------------------------------------
     "updated_partitions_sim": (updated_partitions_sim, UPDATED_PARTS_SQL),
