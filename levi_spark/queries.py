@@ -5200,6 +5200,102 @@ FROM est
 HLL_SQL = _hll_sql()
 
 
+HIST_BUCKET_CENTS = 500_00  # $500 buckets over o_totalprice
+
+
+def histogram_quantiles_prices(spark, sf_dir):
+    """Mergeable approximate quantiles via a fixed-bin histogram
+    sketch — the third classic sketch next to HLL and Count-Min: bucket
+    counts are a partial-aggregatable groupBy (map-side combine, and
+    two sketches merge by adding counts), and the p50/p90/p99 estimate
+    is the lower bound of the first bucket whose cumulative count
+    reaches ceil(q*n). Deterministic and integer-exact by construction
+    (fixed bucket boundaries, integer counts), so even the approximate
+    answers hash-match the oracle — the same discipline as
+    ``functions/sketch.py``. Also reports the exact quantiles so the
+    driver row shows estimate vs truth side by side.
+
+    Scale shape: one bucket-keyed groupBy (bounded key space), the
+    quantile scan is a window over #buckets rows (metadata scale);
+    exact quantiles use a global sort ONLY in the oracle-parity
+    context — at 100 TB you'd keep the sketch and drop the exact
+    columns."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    b = orders.select((cents - cents % HIST_BUCKET_CENTS).alias("bucket"))
+    hist = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    n = orders.count()
+    out = []
+    for q in (50, 90, 99):
+        need = -(-n * q // 100)  # ceil(n*q/100) in exact int math
+        est = (
+            cum.where(F.col("cum") >= F.lit(need))
+            .agg(F.min("bucket").alias("b"))
+            .select(F.col("b"))
+        )
+        out.append(est.withColumn("quantile", F.lit(q)))
+    from functools import reduce as _reduce
+
+    ests = _reduce(DataFrame.unionByName, out).select(
+        "quantile", F.col("b").alias("est_lower_cents")
+    )
+    # exact per-quantile values as order statistics: k-th smallest,
+    # k = ceil(n*q/100)
+    sorted_c = orders.select(cents.alias("__c")).orderBy("__c").withColumn(
+        "__rn", F.row_number().over(Window.orderBy("__c"))
+    )
+    exacts = []
+    for q in (50, 90, 99):
+        need = -(-n * q // 100)
+        exacts.append(
+            sorted_c.where(F.col("__rn") == need).select(
+                F.lit(q).alias("quantile"), F.col("__c").alias("exact_cents")
+            )
+        )
+    exact_df = _reduce(DataFrame.unionByName, exacts)
+    return ests.join(exact_df, "quantile").select(
+        "quantile", "est_lower_cents", "exact_cents"
+    )
+
+
+HIST_QUANT_SQL = f"""
+WITH c AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders
+),
+h AS (
+  SELECT cents - cents % {HIST_BUCKET_CENTS} AS bucket, COUNT(*) AS ct
+  FROM c GROUP BY 1
+),
+cum AS (
+  SELECT bucket, SUM(ct) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum
+  FROM h
+),
+n AS (SELECT COUNT(*) AS n FROM c),
+qs AS (SELECT unnest([50, 90, 99]) AS quantile),
+need AS (
+  SELECT quantile, CAST(-((-n * quantile) // 100) AS BIGINT) AS k
+  FROM qs CROSS JOIN n
+),
+est AS (
+  SELECT need.quantile, MIN(cum.bucket) AS est_lower_cents
+  FROM need JOIN cum ON cum.cum >= need.k
+  GROUP BY need.quantile
+),
+ranked AS (
+  SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn FROM c
+),
+exact AS (
+  SELECT need.quantile, MIN(ranked.cents) AS exact_cents
+  FROM need JOIN ranked ON ranked.rn = need.k
+  GROUP BY need.quantile
+)
+SELECT quantile, est_lower_cents, exact_cents
+FROM est JOIN exact USING (quantile)
+"""
+
+
 def cms_heavy_hitters(spark, sf_dir):
     """Heavy hitters via a Count-Min sketch over events.user_id: the
     top-10 exact-count users reported next to their CM upper-bound
@@ -6649,6 +6745,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "export_shards_manifest": (export_shards_manifest, EXPORT_SHARDS_SQL),
     "table_history_counts": (table_history_counts, TABLE_HISTORY_SQL),
     "multimodal_wav_decode": (multimodal_wav_decode, WAV_DECODE_SQL),
+    "histogram_quantiles_prices": (histogram_quantiles_prices, HIST_QUANT_SQL),
     # -- slots 29-50: r01-only greens re-proving on the rebuilt
     #    metadata plane ----------------------------------------------------
     "updated_partitions_sim": (updated_partitions_sim, UPDATED_PARTS_SQL),
