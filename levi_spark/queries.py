@@ -6683,30 +6683,27 @@ GROUP BY doc_id
 # queries whose oracle or implementation changed this round, then
 # stable representatives re-proving oldest-first.
 #
-# Round 3 window: the 26 queries that had never had a driver row in
-# r01 or r02 (closing the rotation debt VERDICT r02 flagged), the
-# three lifecycle queries new this round (vacuum, column-mapping read,
-# checkpoint+log expiry), and a backfill of r01-only greens (TPC-H
-# picks + events windows + updated_partitions_sim) re-confirming on
-# the rebuilt metadata plane. Everything below slot 50 has a green r02
-# row (or r01 for the tail of the backfill class) and is unchanged
-# this round.
+# Round 3 window: slots 1-26 are the queries that had never had a
+# driver row in r01 or r02 (closing the rotation debt VERDICT r02
+# flagged); slots 27-36 are the ten queries NEW in round 3 (vacuum,
+# column-mapping read, checkpoint+log expiry, corpus filter funnel,
+# token-budget select, filtered ANN, shard export, describe-history,
+# WAV decode, histogram quantiles); slots 37-50 backfill r01-only
+# greens (updated_partitions_sim + TPC-H q2-q15) re-confirming on the
+# rebuilt metadata plane. Everything below slot 50 has a green r02
+# (or r01) row and is unchanged this round.
 #
 # ROUND 4 ROTATION PLAN: after reading VERDICT_r03, move into slots
 # 1-50 (a) anything round 4 adds or changes, (b) the r01-only greens
-# that did not fit this round's backfill (q19_disjunctive_revenue,
-# q20_excess_suppliers, q21_waiting_suppliers, q22_idle_customers,
-# events_hourly_rollup, events_asof_join — pushed past the cut by the
-# round-3 additions; check list(QUERIES)[50:] for the exact tail —
-# plus events_range_join,
+# that did not fit this round's backfill — q16, q17, q19-q22,
+# events_hourly_rollup, events_asof_join, events_range_join,
 # events_funnel, orders_moving_avg, events_retention_cohorts,
-# lineitem_rollup,
-# orders_price_percentiles, doc_tfidf_top_terms,
+# lineitem_rollup, orders_price_percentiles, doc_tfidf_top_terms,
 # customers_above_nation_avg, large_order_customers,
 # customer_order_presence, top3_customers_per_nation,
-# customer_running_balance), then (c) r02 greens oldest-first
-# (doc_stratified_sample onward) so every query re-proves itself every
-# few rounds.
+# customer_running_balance (check list(QUERIES)[50:] for the exact
+# tail) — then (c) r02 greens oldest-first (doc_stratified_sample
+# onward) so every query re-proves itself every few rounds.
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- slots 1-26: never driver-gated in r01 or r02 -----------------------
     "table_restore_counts": (table_restore_counts, RESTORE_SQL),
