@@ -359,6 +359,63 @@ class DeltaLog:
         commit_versions = [c for c in commits if (cp is None or c > cp) and c <= v]
         return Snapshot(self, v, cp, commit_versions)
 
+    # -- timestamp-based time travel ----------------------------------------
+
+    def commit_timestamps(self) -> list[tuple[int, int]]:
+        """(version, commit timestamp ms) per available commit file,
+        monotonically adjusted the way delta-spark resolves
+        ``timestampAsOf``: a commit whose recorded timestamp is not
+        strictly greater than its predecessor's is bumped to
+        predecessor+1ms, so the mapping timestamp->version is total and
+        deterministic even when commits land within one clock tick.
+        The timestamp is read from the commit's ``commitInfo`` action
+        (our writer always emits one); file mtime is the fallback for
+        foreign logs without it. Driver-side O(versions) file reads —
+        the same cost class as the log listing itself."""
+        commits, _ = self._entries()
+        out: list[tuple[int, int]] = []
+        prev = -1
+        for v in commits:
+            path = os.path.join(self.log_path, f"{v:020d}.json")
+            ts = None
+            try:
+                with open(path) as f:
+                    for line in f:
+                        if not line.strip():
+                            continue
+                        a = json.loads(line)
+                        ci = a.get("commitInfo")
+                        if ci is not None and ci.get("timestamp") is not None:
+                            ts = int(ci["timestamp"])
+                            break
+            except (OSError, ValueError):
+                ts = None
+            if ts is None:
+                ts = int(os.stat(path).st_mtime * 1000)
+            ts = max(ts, prev + 1)
+            prev = ts
+            out.append((v, ts))
+        return out
+
+    def version_at_timestamp(self, ts_ms: int) -> int:
+        """Latest commit version whose (adjusted) timestamp is <=
+        ``ts_ms`` — delta-spark's ``timestampAsOf`` contract. Raises
+        ValueError for a timestamp before the earliest *available*
+        commit (matching Delta's behavior when older commits were
+        expired by checkpoint cleanup: they are not reachable)."""
+        pairs = self.commit_timestamps()
+        if not pairs:
+            raise FileNotFoundError(f"no commit files in {self.log_path}")
+        if ts_ms < pairs[0][1]:
+            raise ValueError(
+                f"timestamp {ts_ms} is before the earliest reachable commit "
+                f"(version {pairs[0][0]} at {pairs[0][1]})"
+            )
+        return max(v for v, t in pairs if t <= ts_ms)
+
+    def snapshot_at_timestamp(self, ts_ms: int) -> "Snapshot":
+        return self.snapshot(self.version_at_timestamp(ts_ms))
+
 
 class Snapshot:
     """A Delta snapshot at a fixed version: add-actions DataFrame,

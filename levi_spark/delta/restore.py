@@ -15,16 +15,15 @@ VACUUM reclaimed cannot be restored (Delta's documented trade-off);
 that surfaces as ``ValueError`` listing the missing files, before
 anything is committed.
 
-Timestamp resolution reads each commit's ``commitInfo.timestamp``
-(driver-side, O(versions) small JSON reads — the log dir listing is
-already driver-side) with a running max to enforce the monotonicity
-Delta guarantees; versions whose commit JSON was expired past a
-checkpoint have no timestamp and are not addressable by time.
+Timestamp resolution lives on :class:`DeltaLog` (commit_timestamps /
+version_at_timestamp — strict predecessor+1ms monotonization, the
+DeltaHistoryManager contract); this module re-exports it for API
+stability. Versions whose commit JSON was expired past a checkpoint
+have no timestamp and are not addressable by time.
 """
 
 from __future__ import annotations
 
-import json
 import os
 from urllib.parse import unquote
 
@@ -36,41 +35,22 @@ from levi_spark.delta.log import DeltaLog
 
 def commit_timestamps(log: DeltaLog) -> dict[int, int]:
     """{version: commit timestamp (epoch ms)} for every commit JSON
-    still in the log, monotonicity-adjusted (running max)."""
-    commits, _cps = log._entries()
-    out: dict[int, int] = {}
-    running = 0
-    for v in commits:
-        ts = None
-        with open(os.path.join(log.log_path, f"{v:020d}.json")) as fh:
-            for line in fh:
-                if '"commitInfo"' not in line:
-                    continue
-                a = json.loads(line)
-                if "commitInfo" in a:
-                    ts = a["commitInfo"].get("timestamp")
-                    break
-        if ts is None:  # commitInfo-less commit: fall back to file mtime
-            ts = int(
-                os.stat(os.path.join(log.log_path, f"{v:020d}.json")).st_mtime * 1000
-            )
-        running = max(running, int(ts))
-        out[v] = running
-    return out
+    still in the log, STRICTLY-monotonically adjusted (predecessor+1ms
+    on ties — delta-spark's DeltaHistoryManager contract, so the
+    timestamp->version mapping is unambiguous even when commits land
+    within one clock tick). Thin wrapper over
+    :meth:`DeltaLog.commit_timestamps`."""
+    return dict(log.commit_timestamps())
 
 
 def version_at_timestamp(log: DeltaLog, ts_ms: int) -> int:
     """Latest version committed at or before ``ts_ms``. ``ValueError``
     if the timestamp predates the earliest addressable commit."""
-    stamps = commit_timestamps(log)
-    eligible = [v for v, t in stamps.items() if t <= ts_ms]
-    if not eligible:
-        raise ValueError(
-            f"no commit at or before timestamp {ts_ms}; earliest addressable "
-            f"commit is {min(stamps) if stamps else '<none>'} at "
-            f"{min(stamps.values()) if stamps else '?'}"
-        )
-    return max(eligible)
+    try:
+        return log.version_at_timestamp(ts_ms)
+    except ValueError as e:
+        # normalize the message to this module's historical contract
+        raise ValueError(f"no commit at or before timestamp {ts_ms}: {e}") from None
 
 
 def snapshot_at_timestamp(spark: SparkSession, path: str, ts_ms: int):

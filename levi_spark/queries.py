@@ -2515,6 +2515,324 @@ SELECT query_id, neighbor_id, adc FROM (
 """
 
 
+def ivf_pq_adc_topk(spark, sf_dir):
+    """The full FAISS-style IVFPQ serve path in one query: coarse IVF
+    assignment (16 cells, cosine) restricts each query to nprobe=2
+    inverted lists, and within the probed lists candidates are ranked
+    by PQ asymmetric distance — 4 LUT lookups per candidate, never a
+    full-vector dot product. ``ivf_ann_topk`` gates the coarse stage
+    alone and ``pq_adc_topk`` gates ADC over the whole corpus; this
+    gates their composition, which is the index actually deployed at
+    billion-vector scale (coarse pruning bounds the candidate count,
+    PQ bounds the bytes read per candidate).
+
+    Scale shape: centroids and the per-query LUT (queries x 4 x 16
+    rows) broadcast; the candidate pair set shuffles on the cell key
+    only (~nprobe/K of the corpus per query); the ADC sum is a
+    partial-aggregatable groupBy pivot with a fixed left-assoc
+    ((d0+d1)+d2)+d3 float order so it hashes identically cross-engine.
+    At 100 TB the corpus side touches only its 4-byte code column —
+    the parquet scan prunes the 64-float embedding entirely."""
+    codes = _pq_codes_long(spark, sf_dir)
+    v, cents = _pq_vectors_cents(spark, sf_dir)
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "v", "cent_id", cosine(F.col("v"), F.col("cv")).alias("__cc")
+    )
+    assigned = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("__cc")).alias("n"), F.col("cent_id").alias("c"))
+            ).alias("__b")
+        )
+        .select("vec_id", F.col("__b.c").alias("cell"))
+    )
+    w_probe = Window.partitionBy("vec_id").orderBy(
+        F.col("__cc").desc(), F.col("cent_id").asc()
+    )
+    probes = (
+        scored.where(F.col("vec_id") < 10)
+        .withColumn("__rn", F.row_number().over(w_probe))
+        .where(F.col("__rn") <= 2)
+        .select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell"))
+    )
+    cand_pairs = (
+        probes.join(assigned, "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    q = v.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    lut_rows = q.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "cent_id",
+        *[
+            sub_l2sq(F.col("qv"), F.col("cv"), m * 16 + 1, 16).alias(f"__d2_{m}")
+            for m in range(4)
+        ],
+    )
+    lut = lut_rows.select(
+        "query_id",
+        "cent_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(m).alias("m"), F.col(f"__d2_{m}").alias("d2"))
+                    for m in range(4)
+                ]
+            )
+        ).alias("s"),
+    ).select("query_id", F.col("s.m").alias("m"), "cent_id", F.col("s.d2").alias("d2"))
+    joined = (
+        cand_pairs.join(codes, cand_pairs.neighbor_id == codes.vec_id)
+        .drop("vec_id")
+        .join(F.broadcast(lut), on=["query_id", "m", "cent_id"])
+    )
+    parts = joined.groupBy("query_id", "neighbor_id").agg(
+        *[
+            F.max(F.when(F.col("m") == m, F.col("d2"))).alias(f"__p{m}")
+            for m in range(4)
+        ]
+    )
+    adc = F.round(
+        ((F.col("__p0") + F.col("__p1")) + F.col("__p2")) + F.col("__p3"), 6
+    ).alias("adc")
+    scored_adc = parts.select("query_id", "neighbor_id", adc)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored_adc.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= 5)
+        .select("query_id", "neighbor_id", "adc")
+    )
+
+
+IVF_PQ_ADC_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+c AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id < 16),
+iscored AS (
+  SELECT v.vec_id, c.cent_id,
+         list_inner_product(v.e, c.ce)
+           / (sqrt(list_inner_product(v.e, v.e)) * sqrt(list_inner_product(c.ce, c.ce))) AS cc
+  FROM v CROSS JOIN c
+),
+iranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cc DESC, cent_id ASC) AS rn
+  FROM iscored
+),
+assigned AS (SELECT vec_id, cent_id AS cell FROM iranked WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, cent_id AS cell
+           FROM iranked WHERE vec_id < 10 AND rn <= 2),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assigned a ON p.cell = a.cell AND a.vec_id <> p.query_id
+),
+sub AS (
+  SELECT v.vec_id, c.cent_id, m.m,
+         list_inner_product(list_slice(v.e, m.m*16+1, m.m*16+16),
+                            list_slice(v.e, m.m*16+1, m.m*16+16))
+         - 2.0 * list_inner_product(list_slice(v.e, m.m*16+1, m.m*16+16),
+                                    list_slice(c.ce, m.m*16+1, m.m*16+16))
+         + list_inner_product(list_slice(c.ce, m.m*16+1, m.m*16+16),
+                              list_slice(c.ce, m.m*16+1, m.m*16+16)) AS d2
+  FROM v CROSS JOIN c CROSS JOIN (SELECT unnest(range(0, 4)) AS m) m
+),
+codes AS (
+  SELECT vec_id, m, cent_id FROM (
+    SELECT vec_id, m, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, cent_id ASC) AS rn
+    FROM sub
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT q.vec_id AS query_id, c.cent_id, m.m,
+         list_inner_product(list_slice(q.e, m.m*16+1, m.m*16+16),
+                            list_slice(q.e, m.m*16+1, m.m*16+16))
+         - 2.0 * list_inner_product(list_slice(q.e, m.m*16+1, m.m*16+16),
+                                    list_slice(c.ce, m.m*16+1, m.m*16+16))
+         + list_inner_product(list_slice(c.ce, m.m*16+1, m.m*16+16),
+                              list_slice(c.ce, m.m*16+1, m.m*16+16)) AS d2
+  FROM (SELECT * FROM v WHERE vec_id < 10) q
+  CROSS JOIN c CROSS JOIN (SELECT unnest(range(0, 4)) AS m) m
+),
+parts AS (
+  SELECT cn.query_id, cn.neighbor_id,
+         MAX(CASE WHEN cd.m = 0 THEN l.d2 END) AS p0,
+         MAX(CASE WHEN cd.m = 1 THEN l.d2 END) AS p1,
+         MAX(CASE WHEN cd.m = 2 THEN l.d2 END) AS p2,
+         MAX(CASE WHEN cd.m = 3 THEN l.d2 END) AS p3
+  FROM cand cn
+  JOIN codes cd ON cd.vec_id = cn.neighbor_id
+  JOIN lut l ON l.query_id = cn.query_id AND l.m = cd.m AND l.cent_id = cd.cent_id
+  GROUP BY cn.query_id, cn.neighbor_id
+)
+SELECT query_id, neighbor_id, adc FROM (
+  SELECT query_id, neighbor_id,
+         ROUND(((p0 + p1) + p2) + p3, 6) AS adc,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ROUND(((p0 + p1) + p2) + p3, 6) ASC,
+                                     neighbor_id ASC) AS rk
+  FROM parts
+) WHERE rk <= 5
+"""
+
+
+def embedding_sq8_codes(spark, sf_dir):
+    """Scalar (int8) quantization of the embedding corpus: one global
+    min/max per dimension, each coordinate snapped to the nearest of
+    256 levels on that dimension's range — the SQ8 codec FAISS/Milvus
+    use for a 4x shrink with near-exact recall (vs PQ's 64x lossy
+    shrink; both codecs now gate). Emits per vector the code sum, an
+    md5 fingerprint over all 64 codes (pins every code byte
+    cross-engine), and the reconstruction error quantized to int
+    nanos (order-free integer sum, so no float-reassociation drift).
+
+    Scale shape: the per-dim stats are ONE partial-aggregatable pass
+    (posexplode + groupBy(dim) -> 64 rows; map-side combine collapses
+    each partition to 64 partials before the exchange), collected and
+    re-broadcast as literal arrays — the same literal-codebook pattern
+    as k-means assignment, so encode itself is map-side only: zero
+    shuffle, whole-stage codegen, and at 100 TB the encode pass
+    streams the corpus exactly once."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", as_double_vec("embedding").alias("v"))
+    stats = (
+        v.select(F.posexplode("v").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .orderBy("i")
+        .collect()
+    )
+    mn = F.array(*[F.lit(float(r["mn"])) for r in stats])
+    mx = F.array(*[F.lit(float(r["mx"])) for r in stats])
+    ndim = len(stats)
+    seq = F.sequence(F.lit(1), F.lit(ndim))
+
+    def _code(i):
+        lo = F.element_at(mn, i)
+        hi = F.element_at(mx, i)
+        x = F.element_at(F.col("v"), i)
+        raw = F.when(hi == lo, F.lit(0.0)).otherwise(
+            (x - lo) / (hi - lo) * F.lit(255.0)
+        )
+        return F.least(
+            F.greatest(F.floor(raw + F.lit(0.5)), F.lit(0)), F.lit(255)
+        ).cast("long")
+
+    def _err_nano(i):
+        lo = F.element_at(mn, i)
+        hi = F.element_at(mx, i)
+        x = F.element_at(F.col("v"), i)
+        q = _code(i).cast("double")
+        err = x - (lo + q * (hi - lo) / F.lit(255.0))
+        return F.floor(err * err * F.lit(1e9) + F.lit(0.5)).cast("long")
+
+    codes = F.transform(seq, _code)
+    coded = v.select(
+        "vec_id",
+        F.aggregate(codes, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "code_sum"
+        ),
+        F.md5(F.concat_ws(",", F.transform(codes, lambda c: c.cast("string")))).alias(
+            "code_md5"
+        ),
+        F.aggregate(
+            F.transform(seq, _err_nano), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("recon_err_nano"),
+    )
+    return coded
+
+
+SQ8_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+dims AS (SELECT unnest(range(1, 65)) AS i),
+st AS (SELECT i, MIN(e[i]) AS mn, MAX(e[i]) AS mx FROM v CROSS JOIN dims GROUP BY i),
+arrs AS (SELECT list(mn ORDER BY i) AS mn, list(mx ORDER BY i) AS mx FROM st),
+coded AS (
+  SELECT vec_id, e,
+         list_transform(range(1, 65), i ->
+           LEAST(GREATEST(CAST(floor(
+             CASE WHEN a.mx[i] = a.mn[i] THEN 0.0
+                  ELSE (e[i] - a.mn[i]) / (a.mx[i] - a.mn[i]) * 255.0 END
+             + 0.5) AS BIGINT), 0), 255)) AS q,
+         a.mn AS mn, a.mx AS mx
+  FROM v CROSS JOIN arrs a
+)
+SELECT vec_id,
+       CAST(list_sum(q) AS BIGINT) AS code_sum,
+       md5(array_to_string(q, ',')) AS code_md5,
+       CAST(list_sum(list_transform(range(1, 65), i ->
+         CAST(floor(
+           (e[i] - (mn[i] + CAST(q[i] AS DOUBLE) * (mx[i] - mn[i]) / 255.0))
+           * (e[i] - (mn[i] + CAST(q[i] AS DOUBLE) * (mx[i] - mn[i]) / 255.0))
+           * 1e9 + 0.5) AS BIGINT))) AS BIGINT) AS recon_err_nano
+FROM coded
+"""
+
+
+def doc_chunk_overlap(spark, sf_dir):
+    """RAG-style chunking: every document splits into overlapping
+    token windows (32 tokens, stride 24 -> 8-token overlap), each
+    chunk emitted with its token offset, length, and an md5
+    fingerprint over the joined tokens — the retrieval-corpus prep
+    step that sits between raw documents and the embedding/ANN plane.
+    Chunk count is 1 + ceil(max(n-32,0)/24) so a short doc is exactly
+    one chunk and the final window is never empty.
+
+    Scale shape: pure map-side — split, sequence-explode, slice,
+    md5 are all JVM expressions inside whole-stage codegen; no
+    shuffle, no UDF, no driver collect. Explode fan-out is bounded
+    (n_tokens/24 chunks per doc), so 100 TB of documents stream
+    through in one pass and the output partitions inherit the scan's."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    extra = F.greatest(n - F.lit(32), F.lit(0))
+    n_chunks = (F.lit(1) + F.floor((extra + F.lit(23)) / F.lit(24.0))).cast("int")
+    base = docs.select("doc_id", toks.alias("__toks"), n_chunks.alias("__nc"))
+    exploded = base.select(
+        "doc_id",
+        "__toks",
+        F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)).alias("chunk_idx"),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("chunk_idx") * 24 + 1, 32)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        (F.col("chunk_idx") * 24 + 1).cast("long").alias("tok_start"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
+CHUNK_OVERLAP_SQL = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents
+),
+n AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         1 + CAST(floor((GREATEST(len(toks) - 32, 0) + 23) / 24.0) AS BIGINT)
+           AS n_chunks
+  FROM t
+),
+ex AS (
+  SELECT doc_id, toks, UNNEST(range(0, n_chunks)) AS chunk_idx FROM n
+)
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(chunk_idx * 24 + 1 AS BIGINT) AS tok_start,
+       CAST(len(list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32))
+            AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(
+         list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32), ' '))
+         AS chunk_md5
+FROM ex
+"""
+
+
 def multimodal_byte_features(spark, sf_dir):
     """Opaque-binary plumbing: text → binary column → Arrow-batched
     feature extraction (byte length + sha256) via mapInPandas. The
@@ -4473,6 +4791,84 @@ SELECT 2, COUNT(*) AS n_rows, CAST(SUM(c_custkey) AS BIGINT) FROM (
   SELECT 90000000 + i FROM generate_series(1, 3) AS g(i)
 ) WHERE c_custkey % 10 <> 0
 ORDER BY version
+"""
+
+
+def time_travel_timestamp(spark, sf_dir):
+    """Timestamp-based time travel (delta-spark's ``timestampAsOf``):
+    the same three-version customer table as ``time_travel_counts``
+    (v0 initial, v1 append, v2 DV soft delete), but each snapshot is
+    resolved FROM A TIMESTAMP — the exact commit time of each version
+    plus one probe between v2's time and now — via
+    :meth:`DeltaLog.version_at_timestamp` (monotonized commitInfo
+    timestamps, latest-commit-at-or-before semantics). The output pins
+    both the resolution (which version each probe landed on) and the
+    snapshot content at that version.
+
+    Scale shape: resolution is a driver-side O(versions) scan of the
+    commit log — the same cost class delta-spark pays — and the data
+    reads are ordinary log-replay snapshot scans."""
+    from levi_spark.delta.dv import soft_delete
+    from levi_spark.delta.log import DeltaLog
+    from levi_spark.delta.writer import write_delta
+
+    base = _scratch("ttts_customer")
+    write_delta(
+        _t(spark, sf_dir, "customer").repartition(8), base, mode="error",
+        checkpoint_interval=None,
+    )
+    write_delta(
+        spark.range(1, 4).select(
+            (F.col("id") + 90_000_000).alias("c_custkey"),
+            F.lit("Customer#tt").alias("c_name"),
+            F.lit(0).cast("int").alias("c_nationkey"),
+            F.lit(1.5).alias("c_acctbal"),
+            F.lit("TT").alias("c_mktsegment"),
+        ),
+        base, mode="append", checkpoint_interval=None,
+    )
+    soft_delete(spark, base, "c_custkey % 10 = 0", checkpoint_interval=None)
+    log = DeltaLog(spark, base)
+    ts = dict(log.commit_timestamps())
+    # probes: each commit's exact timestamp, plus one strictly after the
+    # final commit — 4 probes resolving to versions 0, 1, 2, 2.
+    probes = [ts[0], ts[1], ts[2], ts[2] + 60_000]
+    parts = []
+    for i, p in enumerate(probes):
+        v = log.version_at_timestamp(p)
+        parts.append(
+            log.snapshot(v)
+            .to_df()
+            .agg(
+                F.lit(i).alias("probe"),
+                F.lit(v).alias("version"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("c_custkey").alias("key_sum"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("probe")
+
+
+TIME_TRAVEL_TS_SQL = """
+WITH v1 AS (
+  SELECT c_custkey FROM customer
+  UNION ALL
+  SELECT 90000000 + i FROM generate_series(1, 3) AS g(i)
+)
+SELECT 0 AS probe, 0 AS version, COUNT(*) AS n_rows,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum FROM customer
+UNION ALL
+SELECT 1, 1, COUNT(*), CAST(SUM(c_custkey) AS BIGINT) FROM v1
+UNION ALL
+SELECT 2, 2, COUNT(*), CAST(SUM(c_custkey) AS BIGINT) FROM v1
+WHERE c_custkey % 10 <> 0
+UNION ALL
+SELECT 3, 2, COUNT(*), CAST(SUM(c_custkey) AS BIGINT) FROM v1
+WHERE c_custkey % 10 <> 0
+ORDER BY probe
 """
 
 
@@ -6743,6 +7139,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "table_history_counts": (table_history_counts, TABLE_HISTORY_SQL),
     "multimodal_wav_decode": (multimodal_wav_decode, WAV_DECODE_SQL),
     "histogram_quantiles_prices": (histogram_quantiles_prices, HIST_QUANT_SQL),
+    "ivf_pq_adc_topk": (ivf_pq_adc_topk, IVF_PQ_ADC_SQL),
+    "embedding_sq8_codes": (embedding_sq8_codes, SQ8_SQL),
+    "doc_chunk_overlap": (doc_chunk_overlap, CHUNK_OVERLAP_SQL),
+    "time_travel_timestamp": (time_travel_timestamp, TIME_TRAVEL_TS_SQL),
     # -- slots 29-50: r01-only greens re-proving on the rebuilt
     #    metadata plane ----------------------------------------------------
     "updated_partitions_sim": (updated_partitions_sim, UPDATED_PARTS_SQL),

@@ -84,18 +84,44 @@ def test_restore_refuses_vacuumed_version(spark, tmp_path):
 def test_timestamp_resolution(spark, tmp_path):
     path = str(tmp_path / "t")
     log = _mk(spark, path)
-    stamps = {}
+    adj = dict(log.commit_timestamps())
+    # adjusted stamps are strictly increasing (DeltaHistoryManager
+    # contract), so resolution at each adjusted stamp is exact
+    assert adj[0] < adj[1] < adj[2]
     for v in (0, 1, 2):
-        with open(os.path.join(log.log_path, f"{v:020d}.json")) as fh:
+        assert version_at_timestamp(log, adj[v]) == v
+    assert version_at_timestamp(log, adj[2] + 10_000) == 2
+    with pytest.raises(ValueError, match="no commit at or before"):
+        version_at_timestamp(log, adj[0] - 10_000)
+    snap = snapshot_at_timestamp(spark, path, adj[2] + 10_000)
+    assert {r.id for r in snap.to_df().collect()} == {100, 101, 102}
+
+
+def test_timestamp_resolution_tied_commit_stamps(spark, tmp_path):
+    """Commits recorded within the same millisecond: the later version
+    is bumped to predecessor+1ms, so a probe at the raw shared stamp
+    resolves to the EARLIER version — a later commit can never be
+    visible before its raw timestamp, only after its adjusted one."""
+    path = str(tmp_path / "t")
+    log = _mk(spark, path)
+
+    def _rewrite_ts(v: int, ts: int) -> None:
+        p = os.path.join(log.log_path, f"{v:020d}.json")
+        lines = []
+        with open(p) as fh:
             for line in fh:
                 a = json.loads(line)
                 if "commitInfo" in a:
-                    stamps[v] = a["commitInfo"]["timestamp"]
-    assert version_at_timestamp(log, stamps[2] + 10_000) == 2
-    # exactly at v1's stamp resolves to v1 unless v2 shares the stamp
-    want = 2 if stamps[2] <= stamps[1] else 1
-    assert version_at_timestamp(log, stamps[1]) == want
-    with pytest.raises(ValueError, match="no commit at or before"):
-        version_at_timestamp(log, stamps[0] - 10_000)
-    snap = snapshot_at_timestamp(spark, path, stamps[2] + 10_000)
-    assert {r.id for r in snap.to_df().collect()} == {100, 101, 102}
+                    a["commitInfo"]["timestamp"] = ts
+                lines.append(json.dumps(a))
+        with open(p, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+
+    base = 1_700_000_000_000
+    for v in (0, 1, 2):
+        _rewrite_ts(v, base)  # all three commits claim the same ms
+    adj = dict(log.commit_timestamps())
+    assert adj == {0: base, 1: base + 1, 2: base + 2}
+    assert version_at_timestamp(log, base) == 0
+    assert version_at_timestamp(log, base + 1) == 1
+    assert version_at_timestamp(log, base + 2) == 2
