@@ -1,0 +1,183 @@
+"""CLONE TABLE — zero-copy (shallow) and file-copy (deep) clones.
+
+Mirrors Databricks' ``CREATE TABLE ... [SHALLOW|DEEP] CLONE``:
+
+* **Shallow**: the clone's version-0 commit re-emits the source
+  snapshot's add actions with ABSOLUTE paths into the source table —
+  stats, partition values and deletion-vector descriptors included.
+  Zero bytes of data move and no Spark job runs: the commit is
+  O(live files) of driver-side metadata. Reads of the clone scan the
+  source's files directly; writes to the clone land as ordinary
+  relative-path files under the clone's own directory, so the clone
+  diverges without ever touching the source (the Delta spec allows
+  mixed relative/absolute add paths — our reader resolves both).
+  At 100 TB this is THE way to fork a table for an experiment: the
+  alternative copies the lake.
+
+* **Deep**: live data files (and DV sidecars) are copied
+  byte-for-byte and the same add actions re-emitted with their
+  original relative paths — no row is ever re-encoded, so the work is
+  a distcp-style transfer, not a read-decode-write of the dataset.
+  CDC replication's bootstrap (:mod:`levi_spark.operators.replicate`)
+  is this operation plus a ``txn`` action.
+
+Both flavors preserve the source's schemaString, partitionColumns and
+configuration verbatim (a clone of a column-mapped or
+constraint-bearing table keeps those semantics); the table id is
+fresh, and history does NOT follow the clone — its log starts at
+version 0, exactly like Delta's CLONE.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from urllib.parse import quote, unquote
+
+from pyspark.sql import SparkSession
+
+from levi_spark.delta.log import DeltaLog
+
+
+def clone_table(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    *,
+    shallow: bool = True,
+    version: int | None = None,
+    extra_action_lines: list[str] | None = None,
+) -> dict:
+    """Clone ``src_path``'s snapshot (latest, or ``version``) into a
+    fresh Delta table at ``dst_path``. Returns
+    ``{"version": 0, "files": n, "bytes": total, "shallow": bool}``.
+
+    ``extra_action_lines`` lets a caller append raw action JSON lines
+    (e.g. a ``txn`` marker) into the clone commit atomically.
+    Raises ``ValueError`` if ``dst_path`` is already a Delta table, or
+    for a DEEP clone of a source whose adds reference external
+    (absolute/URI) files that cannot be re-linked locally.
+    """
+    from levi_spark.delta.writer import _PROTOCOL, _publish_commit
+
+    src_log = DeltaLog(spark, src_path)
+    snap = src_log.snapshot(version)
+    meta = snap.metadata
+    if os.path.isdir(os.path.join(dst_path, "_delta_log")):
+        raise ValueError(f"destination is already a Delta table: {dst_path}")
+
+    adds = [r["add"] for r in snap.live_adds_collected()]
+    total_bytes = sum(a["size"] or 0 for a in adds)
+    os.makedirs(dst_path, exist_ok=True)
+
+    out_adds: list[dict] = []
+    if shallow:
+        for a in adds:
+            rel = unquote(a["path"])
+            # absolute path into the SOURCE table, percent-encoded the
+            # way the spec encodes add paths (reader unquotes)
+            abs_path = (
+                rel
+                if os.path.isabs(rel) or "://" in rel
+                else os.path.join(src_log.table_path, rel)
+            )
+            dv = a["deletionVector"]
+            abs_dv = None
+            if dv is not None and dv["pathOrInlineDv"]:
+                d = dv["pathOrInlineDv"]
+                # DV descriptor paths are emitted verbatim (no quoting
+                # round-trip in the reader), absolute into the source
+                abs_dv = d if os.path.isabs(d) else os.path.join(
+                    src_log.table_path, d
+                )
+            out_adds.append(_add_dict(a, quote(abs_path, safe="/"), abs_dv))
+    else:
+        rels = []
+        for a in adds:
+            rel = unquote(a["path"])
+            if os.path.isabs(rel) or "://" in rel:
+                raise ValueError(
+                    f"deep clone cannot re-link external file: {rel}"
+                )
+            rels.append(rel)
+        copied_dv: set[str] = set()
+        for a, rel in zip(adds, rels):
+            dst_f = os.path.join(dst_path, rel)
+            os.makedirs(os.path.dirname(dst_f), exist_ok=True)
+            shutil.copy2(os.path.join(src_log.table_path, rel), dst_f)
+            dv = a["deletionVector"]
+            dv_rel = None
+            if dv is not None and dv["pathOrInlineDv"]:
+                dv_rel = dv["pathOrInlineDv"]
+                if dv_rel not in copied_dv:
+                    shutil.copytree(
+                        os.path.join(src_log.table_path, dv_rel),
+                        os.path.join(dst_path, dv_rel),
+                        dirs_exist_ok=True,
+                    )
+                    copied_dv.add(dv_rel)
+            out_adds.append(_add_dict(a, a["path"], dv_rel))
+
+    now_ms = int(time.time() * 1000)
+    lines = [
+        json.dumps({"protocol": _PROTOCOL}),
+        json.dumps(
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": meta.schema.json(),
+                    "partitionColumns": meta.partition_columns,
+                    "configuration": meta.configuration,
+                    "createdTime": now_ms,
+                }
+            }
+        ),
+        *[json.dumps({"add": a}) for a in out_adds],
+        *(extra_action_lines or []),
+        json.dumps(
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "CLONE",
+                    "operationParameters": {
+                        "source": src_log.table_path,
+                        "sourceVersion": str(snap.version),
+                        "isShallow": str(bool(shallow)).lower(),
+                    },
+                    "engineInfo": "levi-spark/0.1.0",
+                }
+            }
+        ),
+    ]
+    log_dir = os.path.join(dst_path, "_delta_log")
+    os.makedirs(log_dir, exist_ok=True)
+    _publish_commit(log_dir, 0, "\n".join(lines) + "\n", rebase_ok=False)
+    return {
+        "version": 0,
+        "files": len(out_adds),
+        "bytes": total_bytes,
+        "shallow": bool(shallow),
+    }
+
+
+def _add_dict(a, path: str, dv_path: str | None) -> dict:
+    dv = a["deletionVector"]
+    return {
+        "path": path,
+        "partitionValues": dict(a["partitionValues"] or {}),
+        "size": a["size"],
+        "modificationTime": a["modificationTime"],
+        "dataChange": True,
+        "stats": a["stats"],
+        "deletionVector": {
+            "storageType": dv["storageType"],
+            "pathOrInlineDv": dv_path,
+            "cardinality": dv["cardinality"],
+        }
+        if dv is not None and dv["pathOrInlineDv"]
+        else None,
+    }

@@ -39,110 +39,39 @@ def _replica_app_id(src_path: str, dst_path: str) -> str:
 
 
 def _bootstrap_clone(src_log: DeltaLog, dst_path: str, app_id: str, cur: int) -> bool:
-    """File-level bootstrap: copy the source's live data files (and DV
-    sidecars) byte-for-byte and commit the SAME add actions — stats,
-    partition values, DV descriptors included — into the replica's
-    fresh log. No Spark job runs and no row is re-encoded; the work is
-    O(files) metadata plus a raw byte transfer, which at cluster scale
-    is a distcp-style copy instead of a full read-decode-write of the
-    dataset. Returns False when the source references files that can't
-    be re-linked locally (absolute/external paths) so the caller falls
-    back to the row-level rewrite."""
+    """File-level bootstrap: a DEEP clone (:func:`clone_table` — copy
+    the source's live data files and DV sidecars byte-for-byte, commit
+    the same add actions; no row re-encoded) with the replica's ``txn``
+    exactly-once marker riding the same atomic commit. Returns False
+    when the source references files that can't be re-linked locally
+    (absolute/external paths) so the caller falls back to the row-level
+    rewrite."""
     import json
-    import shutil
     import time
-    import uuid
-    from urllib.parse import unquote
 
-    from levi_spark.delta.writer import _PROTOCOL, _publish_commit
+    from levi_spark.delta.clone import clone_table
 
-    snap = src_log.snapshot()
-    meta = snap.metadata
-    adds = [r["add"] for r in snap.live_adds_collected()]
-    rels = []
-    for a in adds:
-        rel = unquote(a["path"])
-        if os.path.isabs(rel) or "://" in rel:
+    txn_line = json.dumps(
+        {
+            "txn": {
+                "appId": app_id,
+                "version": int(cur),
+                "lastUpdated": int(time.time() * 1000),
+            }
+        }
+    )
+    try:
+        clone_table(
+            src_log.spark,
+            src_log.table_path,
+            dst_path,
+            shallow=False,
+            extra_action_lines=[txn_line],
+        )
+    except ValueError as e:
+        if "re-link external file" in str(e):
             return False
-        rels.append(rel)
-
-    os.makedirs(dst_path, exist_ok=True)
-    copied_dv: set[str] = set()
-    for a, rel in zip(adds, rels):
-        dst_f = os.path.join(dst_path, rel)
-        os.makedirs(os.path.dirname(dst_f), exist_ok=True)
-        shutil.copy2(os.path.join(src_log.table_path, rel), dst_f)
-        dv = a["deletionVector"]
-        if dv is not None and dv["pathOrInlineDv"]:
-            d = dv["pathOrInlineDv"]
-            if d not in copied_dv:
-                shutil.copytree(
-                    os.path.join(src_log.table_path, d),
-                    os.path.join(dst_path, d),
-                    dirs_exist_ok=True,
-                )
-                copied_dv.add(d)
-
-    now_ms = int(time.time() * 1000)
-    lines = [
-        json.dumps({"protocol": _PROTOCOL}),
-        json.dumps(
-            {
-                "metaData": {
-                    "id": str(uuid.uuid4()),
-                    "format": {"provider": "parquet", "options": {}},
-                    "schemaString": meta.schema.json(),
-                    "partitionColumns": meta.partition_columns,
-                    "configuration": meta.configuration,
-                    "createdTime": now_ms,
-                }
-            }
-        ),
-    ]
-    for a in adds:
-        dv = a["deletionVector"]
-        lines.append(
-            json.dumps(
-                {
-                    "add": {
-                        # raw path re-emitted verbatim — never re-encoded
-                        "path": a["path"],
-                        "partitionValues": dict(a["partitionValues"] or {}),
-                        "size": a["size"],
-                        "modificationTime": a["modificationTime"],
-                        "dataChange": True,
-                        "stats": a["stats"],
-                        "deletionVector": {
-                            "storageType": dv["storageType"],
-                            "pathOrInlineDv": dv["pathOrInlineDv"],
-                            "cardinality": dv["cardinality"],
-                        }
-                        if dv is not None and dv["pathOrInlineDv"]
-                        else None,
-                    }
-                }
-            )
-        )
-    lines.append(
-        json.dumps(
-            {"txn": {"appId": app_id, "version": int(cur), "lastUpdated": now_ms}}
-        )
-    )
-    lines.append(
-        json.dumps(
-            {
-                "commitInfo": {
-                    "timestamp": now_ms,
-                    "operation": "CLONE",
-                    "operationParameters": {"source": src_log.table_path},
-                    "engineInfo": "levi-spark/0.1.0",
-                }
-            }
-        )
-    )
-    log_dir = os.path.join(dst_path, "_delta_log")
-    os.makedirs(log_dir, exist_ok=True)
-    _publish_commit(log_dir, 0, "\n".join(lines) + "\n", rebase_ok=False)
+        raise
     return True
 
 

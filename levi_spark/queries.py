@@ -4872,6 +4872,85 @@ ORDER BY probe
 """
 
 
+def shallow_clone_counts(spark, sf_dir):
+    """SHALLOW CLONE (:mod:`levi_spark.delta.clone`): fork a table
+    without moving a byte. customer becomes an engine Delta table
+    with a DV soft delete (so the clone must carry deletion-vector
+    descriptors too), the clone's version-0 commit references the
+    source's files by absolute path, then an append lands on the
+    CLONE ONLY — the output pins that (a) the clone at v0 reads
+    exactly the source's current content, (b) the appended rows exist
+    only in the clone, and (c) the source is untouched after the
+    clone diverges.
+
+    Scale shape: the clone commit is O(live files) driver-side
+    metadata — zero data movement, zero Spark jobs — which is the only
+    viable way to fork a 100 TB table for an experiment; divergent
+    writes land as ordinary relative-path files under the clone."""
+    from levi_spark.delta.clone import clone_table
+    from levi_spark.delta.dv import soft_delete
+    from levi_spark.delta.log import DeltaLog
+    from levi_spark.delta.writer import write_delta
+
+    import os as _os
+
+    src = _scratch("clone_src")
+    write_delta(
+        _t(spark, sf_dir, "customer").repartition(8), src, mode="error",
+        checkpoint_interval=None,
+    )
+    soft_delete(spark, src, "c_custkey % 10 = 0", checkpoint_interval=None)
+    dst = _os.path.join(_scratch("clone_dst"), "t")
+    clone_table(spark, src, dst, shallow=True)
+    write_delta(
+        spark.range(1, 4).select(
+            (F.col("id") + 90_000_000).alias("c_custkey"),
+            F.lit("Customer#cl").alias("c_name"),
+            F.lit(0).cast("int").alias("c_nationkey"),
+            F.lit(1.5).alias("c_acctbal"),
+            F.lit("CL").alias("c_mktsegment"),
+        ),
+        dst, mode="append", checkpoint_interval=None,
+    )
+    src_df = DeltaLog(spark, src).snapshot().to_df()
+    clone_v0 = DeltaLog(spark, dst).snapshot(0).to_df()
+    clone_v1 = DeltaLog(spark, dst).snapshot(1).to_df()
+    parts = [
+        src_df.agg(
+            F.lit("source").alias("side"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("c_custkey").alias("key_sum"),
+        ),
+        clone_v0.agg(
+            F.lit("clone_v0").alias("side"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("c_custkey").alias("key_sum"),
+        ),
+        clone_v1.agg(
+            F.lit("clone_v1").alias("side"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("c_custkey").alias("key_sum"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("side")
+
+
+SHALLOW_CLONE_SQL = """
+WITH live AS (SELECT c_custkey FROM customer WHERE c_custkey % 10 <> 0)
+SELECT 'clone_v0' AS side, COUNT(*) AS n_rows,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum FROM live
+UNION ALL
+SELECT 'clone_v1', COUNT(*) + 3,
+       CAST(SUM(c_custkey) + 90000001 + 90000002 + 90000003 AS BIGINT) FROM live
+UNION ALL
+SELECT 'source', COUNT(*), CAST(SUM(c_custkey) AS BIGINT) FROM live
+ORDER BY side
+"""
+
+
 def kmeans_embedding_clusters(spark, sf_dir):
     """Distributed k-means (Lloyd) over the embeddings table
     (:mod:`levi_spark.operators.kmeans`): k=4 centroids seeded from the
@@ -7143,6 +7222,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "embedding_sq8_codes": (embedding_sq8_codes, SQ8_SQL),
     "doc_chunk_overlap": (doc_chunk_overlap, CHUNK_OVERLAP_SQL),
     "time_travel_timestamp": (time_travel_timestamp, TIME_TRAVEL_TS_SQL),
+    "shallow_clone_counts": (shallow_clone_counts, SHALLOW_CLONE_SQL),
     # -- slots 29-50: r01-only greens re-proving on the rebuilt
     #    metadata plane ----------------------------------------------------
     "updated_partitions_sim": (updated_partitions_sim, UPDATED_PARTS_SQL),
