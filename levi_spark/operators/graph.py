@@ -102,3 +102,72 @@ def connected_components(
         if changed == 0:
             return labels.select("node", F.col("comp").alias("component"))
     raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iters: int = 3,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Weighted PageRank over an edge list, in EXACT integer
+    arithmetic: ranks live on an integer grid of ``scale`` units
+    (initial rank = scale // N), each edge carries
+    ``(rank div out_weight) * weight`` units to its target, and the
+    damping mix is ``base + (damping_pct * inflow) div 100`` with
+    ``base = (scale * (100 - damping_pct)) div (100 * N)``. Every
+    operation is BIGINT-closed, so the result is bit-identical across
+    engines (an oracle can unroll the same rounds as SQL CTEs) and
+    never accumulates float drift. Dangling-node mass decays (the
+    standard sink variant without redistribution); per-edge floor
+    division loses < out_weight units per node per round — at
+    scale=1e12 that is noise.
+
+    Scale design: each round is one key-bounded join of the rank
+    frame onto the edge list plus one groupBy(dst) — both shuffles
+    hash on node keys, partial aggregation collapses contributions
+    map-side, and nothing collects. N (node count) is the only driver
+    scalar. For web-scale graphs raise ``iters``; convergence is not
+    auto-detected (callers gate rounds deterministically).
+
+    Returns (node, rank_scaled BIGINT).
+    """
+    e = edges.select(
+        F.col(src).alias("__s"),
+        F.col(dst).alias("__d"),
+        (F.col(weight) if weight else F.lit(1)).cast("long").alias("__w"),
+    )
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .unionByName(e.select(F.col("__d").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank_scaled", F.lit(0).cast("long"))
+    base = (scale * (100 - damping_pct)) // (100 * n)
+    outw = e.groupBy("__s").agg(F.sum("__w").alias("__ow"))
+    ew = e.join(outw, "__s")
+    r = nodes.withColumn("pr", F.lit(int(scale // n)).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            ew.join(r, ew["__s"] == r["node"])
+            .select("__d", F.expr("(pr div __ow) * __w").alias("__c"))
+            .groupBy("__d")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        r = (
+            nodes.join(contrib, nodes["node"] == contrib["__d"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(int(base))
+                    + F.expr(f"({damping_pct} * coalesce(__in, 0L)) div 100")
+                ).cast("long").alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return r.select("node", F.col("pr").alias("rank_scaled"))

@@ -3359,6 +3359,114 @@ def stream_sessionize(spark, sf_dir):
     return run_sessionize(spark, sf_dir)
 
 
+def stream_topk_users(spark, sf_dir):
+    """Windowed top-k over a stream: per-hour top-3 users by event
+    count. The stream maintains (hour, user) counts statefully under a
+    watermark (:func:`levi_spark.streaming.jobs.topk_users_stream`);
+    ranking runs over the drained sink — the
+    stream-aggregate-then-serve pattern, since window functions can't
+    run over an unbounded stream."""
+    from levi_spark.streaming.jobs import run_topk_users
+
+    return run_topk_users(spark, sf_dir, k=3)
+
+
+STREAM_TOPK_SQL = """
+WITH hourly AS (
+  SELECT strftime(date_trunc('hour', make_timestamp(epoch_ns(ts) // 1000)),
+                  '%Y-%m-%d %H:%M') AS hour_s,
+         user_id, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT hour_s, user_id, n_events, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY hour_s
+                               ORDER BY n_events DESC, user_id ASC) AS rk
+  FROM hourly
+) WHERE rk <= 3
+"""
+
+
+def event_type_pagerank(spark, sf_dir):
+    """PageRank over the event-type transition graph: edges are
+    per-user consecutive event pairs (lead() over each user's
+    timeline), weighted by transition count, ranked with 3 rounds of
+    :func:`levi_spark.operators.graph.pagerank` — exact BIGINT
+    arithmetic end-to-end, so the oracle unrolls the identical rounds
+    as SQL CTEs and hashes match bit-for-bit.
+
+    Scale shape: the heavy stage is edge EXTRACTION — one window over
+    the events firehose partitioned by user (hash shuffle, no global
+    sort) then a partial-aggregated transition groupBy; the power
+    iteration then runs on the contracted graph with key-bounded
+    join+groupBy rounds. This split (contract first, iterate on the
+    summary) is how an iterative algorithm survives 100 TB of raw
+    events."""
+    from levi_spark.operators.graph import pagerank
+
+    ev = _events(spark, sf_dir)
+    w_seq = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    trans = (
+        ev.select("user_id", "ts_us", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w_seq))
+        .where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("src"), F.col("next_type").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    pr = pagerank(trans, weight="w", iters=3)
+    return pr.select(
+        F.col("node").alias("event_type"), "rank_scaled"
+    ).orderBy("event_type")
+
+
+def _pr_iter_cte(prev: str, name: str) -> str:
+    return f"""{name} AS (
+  SELECT n.node,
+         CAST(((1000000000000 * 15) // (100 * nn.n))
+              + ((85 * COALESCE(SUM((r.pr // o.out_w) * t.w), 0)) // 100)
+              AS BIGINT) AS pr
+  FROM pr_nodes n CROSS JOIN nn
+  LEFT JOIN trans t ON t.dst = n.node
+  LEFT JOIN {prev} r ON r.node = t.src
+  LEFT JOIN outw o ON o.src = t.src
+  GROUP BY n.node, nn.n
+)"""
+
+
+PAGERANK_SQL = (
+    """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS ts_us
+  FROM events
+),
+seq AS (
+  SELECT event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id) AS dst
+  FROM ev
+),
+trans AS (
+  SELECT src, dst, COUNT(*) AS w FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+),
+pr_nodes AS (
+  SELECT DISTINCT src AS node FROM trans
+  UNION
+  SELECT DISTINCT dst FROM trans
+),
+nn AS (SELECT COUNT(*) AS n FROM pr_nodes),
+outw AS (SELECT src, SUM(w) AS out_w FROM trans GROUP BY 1),
+r0 AS (SELECT node, CAST(1000000000000 // nn.n AS BIGINT) AS pr
+       FROM pr_nodes CROSS JOIN nn),
+"""
+    + _pr_iter_cte("r0", "r1") + ",\n"
+    + _pr_iter_cte("r1", "r2") + ",\n"
+    + _pr_iter_cte("r2", "r3") + """
+SELECT node AS event_type, pr AS rank_scaled FROM r3 ORDER BY event_type
+"""
+)
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -7223,6 +7331,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "doc_chunk_overlap": (doc_chunk_overlap, CHUNK_OVERLAP_SQL),
     "time_travel_timestamp": (time_travel_timestamp, TIME_TRAVEL_TS_SQL),
     "shallow_clone_counts": (shallow_clone_counts, SHALLOW_CLONE_SQL),
+    "stream_topk_users": (stream_topk_users, STREAM_TOPK_SQL),
+    "event_type_pagerank": (event_type_pagerank, PAGERANK_SQL),
     # -- slots 29-50: r01-only greens re-proving on the rebuilt
     #    metadata plane ----------------------------------------------------
     "updated_partitions_sim": (updated_partitions_sim, UPDATED_PARTS_SQL),

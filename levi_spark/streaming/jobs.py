@@ -252,6 +252,45 @@ def interval_join_stream(views: DataFrame, purchases: DataFrame) -> DataFrame:
     )
 
 
+def topk_users_stream(events: DataFrame) -> DataFrame:
+    """Streaming pre-aggregation for windowed top-k: per-hour per-user
+    event counts under a 1-hour watermark. Ranking itself is NOT a
+    streaming aggregate (no window functions over an unbounded stream)
+    — the deployment pattern is stream-aggregate-then-serve: the
+    stream maintains the (window, user) counts incrementally in the
+    state store, and the small ranked view is computed over the sink.
+    At 100 TB/day the stateful agg shrinks the firehose to
+    O(windows x active users) before anything sorts."""
+    ts = F.timestamp_micros(F.col("ts_us"))
+    return (
+        events.withColumn("__ts", ts)
+        .withWatermark("__ts", "1 hour")
+        .groupBy(F.window("__ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("hour_s"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_topk_users(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    from pyspark.sql import Window
+
+    agg = _drain_to_memory(
+        topk_users_stream(read_events_stream(spark, sf_dir)), "complete"
+    )
+    w = Window.partitionBy("hour_s").orderBy(
+        F.col("n_events").desc(), F.col("user_id").asc()
+    )
+    return (
+        agg.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select("hour_s", "user_id", "n_events", "rk")
+    )
+
+
 def run_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = read_events_stream(spark, sf_dir).where(F.col("event_type") == "view")
     purchases = read_events_stream(spark, sf_dir).where(
