@@ -66,6 +66,17 @@ class MergeBuilder:
         self.condition = condition
         self._matched: list[tuple[str, Column | None, dict | None]] = []
         self._not_matched: list[tuple[Column | None, dict]] = []
+        self._evolve = False
+
+    def with_schema_evolution(self) -> "MergeBuilder":
+        """delta-spark's ``withSchemaEvolution()``: assignments to
+        columns the target doesn't have yet ADD those columns (the
+        commit's metaData carries the union schema via mergeSchema;
+        untouched files read the new columns back as null). Without
+        this flag such assignments raise — silently dropping them
+        would corrupt the merge's declared intent."""
+        self._evolve = True
+        return self
 
     def when_matched_update(
         self, set: dict[str, str | Column], condition: str | Column | None = None
@@ -129,6 +140,22 @@ class MergeBuilder:
         snap = self.table.snapshot()
         part_cols = list(snap.metadata.partition_columns)
         data_cols = list(snap.metadata.data_columns)
+        assigned: list[str] = []
+        for _kind, _c, sets in self._matched:
+            for c in sets or {}:
+                if c not in assigned:
+                    assigned.append(c)
+        for _c, values in self._not_matched:
+            for c in values:
+                if c not in assigned:
+                    assigned.append(c)
+        new_cols = [c for c in assigned if c not in data_cols]
+        if new_cols and not self._evolve:
+            raise ValueError(
+                f"MERGE assigns to column(s) not in the target schema: "
+                f"{new_cols}; call with_schema_evolution() to add them"
+            )
+        all_cols = data_cols + new_cols
         cond = _as_col(self.condition)
         src = self.source.withColumn(_MARKER, F.lit(1))
         if materialize_source:
@@ -206,18 +233,27 @@ class MergeBuilder:
                 )
                 types = {f.name: f.dataType for f in snap.metadata.schema.fields}
                 out_cols = []
-                for c in data_cols:
-                    val = F.col(f"t.{c}")
+                for c in all_cols:
+                    # evolution columns don't exist in the target files;
+                    # they start null and take whatever an update sets
+                    val = F.col(f"t.{c}") if c in types else F.lit(None)
                     for (kind, _c, sets), app in zip(self._matched, applicable):
                         if kind == "update" and c in sets:
                             val = F.when(app, sets[c]).otherwise(val)
                     # update exprs may carry a different source type; the
                     # table schema, not the expression, owns the column type
-                    out_cols.append(val.cast(types[c]).alias(c))
+                    out_cols.append(
+                        val.cast(types[c]).alias(c) if c in types else val.alias(c)
+                    )
                 rewritten = joined.where(keep).select(*out_cols)
                 if emit_cdf:
+                    # preimages null-fill evolution columns, typed to the
+                    # post-merge resolution so the CDF structs align
+                    new_types = dict(rewritten.dtypes)
                     orig_cols = [
                         F.col(f"t.{c}").cast(types[c]).alias(c) for c in data_cols
+                    ] + [
+                        F.lit(None).cast(new_types[c]).alias(c) for c in new_cols
                     ]
                     upd = [
                         app
@@ -291,16 +327,18 @@ class MergeBuilder:
                 operator.or_, [b for b, _ in branches]
             )
             unmatched = unmatched.where(any_clause)
+            ins_types = {f.name: f.dataType for f in snap.metadata.schema.fields}
             out_cols = []
-            for c in data_cols:
+            for c in all_cols:
                 val = F.lit(None)
                 for app, values in branches:
                     if c in values:
                         val = F.when(app, values[c]).otherwise(val)
-                typ = dict(
-                    (f.name, f.dataType) for f in snap.metadata.schema.fields
-                )[c]
-                out_cols.append(val.cast(typ).alias(c))
+                out_cols.append(
+                    val.cast(ins_types[c]).alias(c)
+                    if c in ins_types
+                    else val.alias(c)
+                )
             inserts = unmatched.select(*out_cols)
             if emit_cdf:
                 cdc_parts.append(
@@ -333,6 +371,7 @@ class MergeBuilder:
             operation="MERGE",
             cdc_df=cdc_df,
             txn=txn,
+            merge_schema=bool(new_cols),
         )
         return {
             "version": version,

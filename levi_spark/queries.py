@@ -4087,6 +4087,89 @@ GROUP BY c_mktsegment
 """
 
 
+def merge_evolution_counts(spark, sf_dir):
+    """MERGE with schema evolution
+    (:meth:`levi_spark.operators.merge.MergeBuilder.with_schema_evolution`,
+    delta-spark's ``withSchemaEvolution()``): customer becomes an
+    engine Delta table, a merge assigns a column the target does not
+    have (``loyalty_tier``) in both its update and insert clauses —
+    the commit's metaData evolves to the union schema via mergeSchema,
+    only matched files rewrite, and every untouched row reads the new
+    column back as null. The output groups on the evolved column, so
+    it pins the null-fill, the update values, and the inserts at once."""
+    from levi_spark.delta.log import DeltaLog
+    from levi_spark.delta.table import LeviTable
+    from levi_spark.delta.writer import write_delta
+    from levi_spark.operators.merge import merge
+
+    base = _scratch("merge_evo_customer")
+    write_delta(
+        _t(spark, sf_dir, "customer").repartition(8), base, mode="error",
+        checkpoint_interval=None,
+    )
+    src = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 50 == 0)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.when(F.col("c_custkey") % 100 == 0, F.lit("GOLD"))
+            .otherwise(F.lit("SILVER"))
+            .alias("tier"),
+        )
+        .unionByName(
+            spark.range(1, 4).select(
+                (F.col("id") + 90_000_000).alias("k"), F.lit("NEW").alias("tier")
+            )
+        )
+    )
+    (
+        merge(LeviTable(spark, base), src, "t.c_custkey = s.k")
+        .when_matched_update(set={"loyalty_tier": "s.tier"})
+        .when_not_matched_insert(
+            values={
+                "c_custkey": "s.k",
+                "c_name": "'Customer#evolved'",
+                "c_nationkey": "0",
+                "c_acctbal": "0.0",
+                "c_mktsegment": "'NEW'",
+                "loyalty_tier": "s.tier",
+            }
+        )
+        .with_schema_evolution()
+        .execute()
+    )
+    return (
+        DeltaLog(spark, base)
+        .snapshot()
+        .to_df()
+        .groupBy(F.coalesce(F.col("loyalty_tier"), F.lit("UNRANKED")).alias("tier"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum("c_custkey").alias("key_sum"),
+        )
+        .orderBy("tier")
+    )
+
+
+MERGE_EVOLUTION_SQL = """
+WITH m AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 50 = 0
+              THEN CASE WHEN c_custkey % 100 = 0 THEN 'GOLD' ELSE 'SILVER' END
+              ELSE NULL END AS loyalty_tier
+  FROM customer
+  UNION ALL
+  SELECT 90000000 + i, 'NEW' FROM generate_series(1, 3) AS g(i)
+)
+SELECT COALESCE(loyalty_tier, 'UNRANKED') AS tier,
+       COUNT(*) AS n_cust,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+FROM m
+GROUP BY 1
+ORDER BY tier
+"""
+
+
 def cdf_merge_changes(spark, sf_dir):
     """Row-level change data feed through the driver gate: customer
     becomes an engine Delta table, a MERGE with ordered clauses runs
@@ -7333,6 +7416,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "shallow_clone_counts": (shallow_clone_counts, SHALLOW_CLONE_SQL),
     "stream_topk_users": (stream_topk_users, STREAM_TOPK_SQL),
     "event_type_pagerank": (event_type_pagerank, PAGERANK_SQL),
+    "merge_evolution_counts": (merge_evolution_counts, MERGE_EVOLUTION_SQL),
     # -- slots 29-50: r01-only greens re-proving on the rebuilt
     #    metadata plane ----------------------------------------------------
     "updated_partitions_sim": (updated_partitions_sim, UPDATED_PARTS_SQL),

@@ -157,3 +157,68 @@ def test_merge_partitioned_table(spark, tmp_path):
     }
     assert (9, 0, "u") in rows and (100, 1, "n") in rows
     assert len(rows) == 61
+
+
+def test_assignment_to_unknown_column_raises_without_evolution(spark, table):
+    src = _src(spark, [(5, 555, False)])
+    with pytest.raises(ValueError, match="with_schema_evolution"):
+        (
+            merge(LeviTable(spark, table), src, "t.pk = s.pk")
+            .when_matched_update(set={"score": "s.v"})
+            .execute()
+        )
+
+
+def test_schema_evolution_update_adds_column(spark, table):
+    src = _src(spark, [(5, 555, False), (7, 777, False)])
+    info = (
+        merge(LeviTable(spark, table), src, "t.pk = s.pk")
+        .when_matched_update(set={"v": "s.v", "score": "s.v * 2"})
+        .with_schema_evolution()
+        .execute()
+    )
+    assert info["version"] >= 1
+    df = DeltaLog(spark, table).snapshot().to_df()
+    assert "score" in df.columns
+    got = {r.pk: (r.v, r.score) for r in df.collect()}
+    assert got[5] == (555, 1110) and got[7] == (777, 1554)
+    # untouched rows read the evolved column as null
+    assert got[0] == (0, None)
+    assert len(got) == 100
+
+
+def test_schema_evolution_insert_adds_column(spark, table):
+    src = _src(spark, [(200, 2000, False)])
+    (
+        merge(LeviTable(spark, table), src, "t.pk = s.pk")
+        .when_not_matched_insert(
+            values={"pk": "s.pk", "v": "s.v", "tag": "'new'", "origin": "'merge'"}
+        )
+        .with_schema_evolution()
+        .execute()
+    )
+    df = DeltaLog(spark, table).snapshot().to_df()
+    got = {r.pk: r.origin for r in df.collect()}
+    assert got[200] == "merge" and got[0] is None and len(got) == 101
+
+
+def test_schema_evolution_cdf_images_align(spark, table):
+    from levi_spark.delta.changes import table_changes_cdf
+
+    src = _src(spark, [(5, 555, False), (300, 3000, False)])
+    info = (
+        merge(LeviTable(spark, table), src, "t.pk = s.pk")
+        .when_matched_update(set={"v": "s.v", "score": "s.v"})
+        .when_not_matched_insert(
+            values={"pk": "s.pk", "v": "s.v", "tag": "'new'", "score": "s.v"}
+        )
+        .with_schema_evolution()
+        .execute(emit_cdf=True)
+    )
+    ch = table_changes_cdf(spark, table, info["version"] - 1, info["version"])
+    by_type = {
+        (r.pk, r._change_type): r.asDict() for r in ch.collect()
+    }
+    assert by_type[(5, "update_preimage")]["score"] is None
+    assert by_type[(5, "update_postimage")]["score"] == 555
+    assert by_type[(300, "insert")]["score"] == 3000
