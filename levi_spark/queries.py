@@ -4103,6 +4103,123 @@ GROUP BY c_mktsegment
 """
 
 
+def jsonl_export_counts(spark, sf_dir):
+    """JSONL export + readback: the corpus is materialized as
+    newline-delimited JSON shards (the interchange format LLM training
+    stacks actually consume), then read back with an EXPLICIT schema
+    (the sources-layer stance: no inference pre-scan) and aggregated —
+    per language, row count, doc_id sum, and distinct text
+    fingerprints, so the gate proves the bytes on disk round-trip
+    every document (newlines, quotes, unicode all JSON-escaped)
+    rather than that the write merely succeeded.
+
+    Scale shape: the export is an embarrassingly parallel per-partition
+    write (no shuffle beyond the explicit repartition), the readback a
+    schema-declared parallel scan."""
+    import os as _os
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    out = _os.path.join(_scratch("jsonl"), "data")
+    docs.repartition(4).write.json(out)
+    back = spark.read.schema("doc_id BIGINT, text STRING, lang STRING").json(out)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+            F.countDistinct(F.md5(F.col("text"))).alias("n_distinct_texts"),
+        )
+        .orderBy("lang")
+    )
+
+
+JSONL_EXPORT_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       COUNT(DISTINCT md5(text)) AS n_distinct_texts
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def check_constraint_counts(spark, sf_dir):
+    """CHECK constraints through the driver gate
+    (:mod:`levi_spark.delta.constraints`): customer becomes an engine
+    Delta table, ``ALTER TABLE ADD CONSTRAINT bal_floor CHECK
+    (c_acctbal >= -1000)`` validates existing rows and lands in table
+    configuration, a mixed append containing violators is REJECTED
+    atomically (nothing commits), a clean append passes, the
+    constraint is dropped, and the previously-rejected rows then land.
+    One row pins the violator pre-count, the rejection, and the final
+    table state.
+
+    Scale shape: enforcement is one aggregate over the staged frame
+    (count of violations per constraint expression) — map-side
+    combinable, no extra pass over the existing table."""
+    from levi_spark.delta.constraints import (
+        CheckConstraintViolation,
+        add_check_constraint,
+        drop_check_constraint,
+        violation_counts,
+    )
+    from levi_spark.delta.log import DeltaLog
+    from levi_spark.delta.writer import write_delta
+
+    base = _scratch("check_customer")
+    write_delta(
+        _t(spark, sf_dir, "customer").repartition(8), base, mode="error",
+        checkpoint_interval=None,
+    )
+    add_check_constraint(spark, base, "bal_floor", "c_acctbal >= -1000.0")
+
+    def _rows(n0, n1, bal):
+        return spark.range(n0, n1).select(
+            (F.col("id") + 90_000_000).alias("c_custkey"),
+            F.lit("Customer#chk").alias("c_name"),
+            F.lit(0).cast("int").alias("c_nationkey"),
+            F.lit(float(bal)).alias("c_acctbal"),
+            F.lit("CHK").alias("c_mktsegment"),
+        )
+
+    good = _rows(1, 3, 1.5)
+    bad = _rows(11, 14, -5000.0)
+    mixed = bad.unionByName(good)
+    would_violate = violation_counts(
+        mixed, {"bal_floor": "c_acctbal >= -1000.0"}
+    )["bal_floor"]
+    rejected = 0
+    try:
+        write_delta(mixed, base, mode="append", checkpoint_interval=None)
+    except CheckConstraintViolation:
+        rejected = 1
+    write_delta(good, base, mode="append", checkpoint_interval=None)
+    drop_check_constraint(spark, base, "bal_floor")
+    write_delta(bad, base, mode="append", checkpoint_interval=None)
+    return (
+        DeltaLog(spark, base)
+        .snapshot()
+        .to_df()
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("c_custkey").alias("key_sum"),
+            F.lit(int(would_violate)).alias("would_violate"),
+            F.lit(rejected).alias("rejected_write"),
+        )
+    )
+
+
+CHECK_CONSTRAINT_SQL = """
+SELECT COUNT(*) + 5 AS n_rows,
+       CAST(SUM(c_custkey)
+            + 90000001 + 90000002
+            + 90000011 + 90000012 + 90000013 AS BIGINT) AS key_sum,
+       3 AS would_violate,
+       1 AS rejected_write
+FROM customer
+"""
+
+
 def merge_evolution_counts(spark, sf_dir):
     """MERGE with schema evolution
     (:meth:`levi_spark.operators.merge.MergeBuilder.with_schema_evolution`,
@@ -7444,6 +7561,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "stream_topk_users": (stream_topk_users, STREAM_TOPK_SQL),
     "event_type_pagerank": (event_type_pagerank, PAGERANK_SQL),
     "merge_evolution_counts": (merge_evolution_counts, MERGE_EVOLUTION_SQL),
+    "check_constraint_counts": (check_constraint_counts, CHECK_CONSTRAINT_SQL),
+    "jsonl_export_counts": (jsonl_export_counts, JSONL_EXPORT_SQL),
     # -- slots 29-50: r01-only greens re-proving on the rebuilt
     #    metadata plane ----------------------------------------------------
     "updated_partitions_sim": (updated_partitions_sim, UPDATED_PARTS_SQL),
