@@ -353,6 +353,7 @@ def write_delta(
     cdc_df: DataFrame | None = None,
     txn: tuple[str, int] | None = None,
     keep_nullability: bool = False,
+    generated: dict[str, str] | None = None,
 ) -> int:
     """Write ``df`` as a new Delta table version at ``path``.
 
@@ -392,6 +393,16 @@ def write_delta(
     invariants on every later write. Default False relaxes top-level
     nullability — Spark infers non-null for every literal/range column,
     and an inferred accident must not become a contract.
+
+    ``generated`` (create/overwrite): Delta generated columns —
+    ``{column: sql_expr}`` recorded as ``delta.generationExpression``
+    in the schema field metadata. A column absent from ``df`` is
+    COMPUTED from its expression (here and on every later append); a
+    column the writer supplies is VALIDATED against it on the staged
+    output (null-safe equality; mismatch aborts before anything
+    commits) — Delta's invariant semantics. Generated columns may be
+    partition columns (the date-from-timestamp pattern that gives
+    partition pruning on a derived key).
     """
     spark = df.sparkSession
     path = os.path.abspath(path)
@@ -405,6 +416,19 @@ def write_delta(
     partition_by = list(partition_by or [])
     prev_adds: list[str] = []  # RAW add.path strings to tombstone verbatim
     version = 0
+    # -- generated columns: compute-or-validate ------------------------------
+    gen_validate: dict[str, str] = {}  # provided columns checked on staging
+    if not exists or mode == "overwrite":
+        for gname, gexpr in (generated or {}).items():
+            if gname in df.columns:
+                gen_validate[gname] = gexpr
+            else:
+                df = df.withColumn(gname, F.expr(gexpr))
+    elif generated:
+        raise ValueError(
+            "generated= is declared at create/overwrite; appends inherit the "
+            "table's generation expressions from its schema metadata"
+        )
     # Nullability is a DECLARED contract, not an inferred one: Spark
     # marks every lit()/range-derived column non-nullable, so recording
     # df.schema verbatim would turn accidents into NOT NULL invariants
@@ -421,6 +445,21 @@ def write_delta(
             ]
         )
     )
+    if generated and (not exists or mode == "overwrite"):
+        incoming_schema = T.StructType(
+            [
+                T.StructField(
+                    f.name,
+                    f.dataType,
+                    f.nullable,
+                    {**(f.metadata or {}),
+                     "delta.generationExpression": generated[f.name]}
+                    if f.name in generated
+                    else f.metadata,
+                )
+                for f in incoming_schema.fields
+            ]
+        )
     commit_schema = incoming_schema
     meta_id: str | None = None
     meta_conf: dict[str, str] = {}
@@ -433,6 +472,21 @@ def write_delta(
         # the table id and wipe configuration set by other writers.
         meta_id = snap.metadata.id
         meta_conf = dict(snap.metadata.configuration)
+        # Partitioning is table metadata, not a per-write choice: an
+        # append inherits it, and an append declaring a DIFFERENT
+        # layout errors (committing partitionColumns=[] because a
+        # caller omitted partition_by would silently de-partition the
+        # table for every later reader/writer). Overwrites may change
+        # it explicitly; omitted there inherits too.
+        prev_parts = list(snap.metadata.partition_columns)
+        if mode in ("append", "overwrite"):
+            if not partition_by:
+                partition_by = prev_parts
+            elif mode == "append" and partition_by != prev_parts:
+                raise ValueError(
+                    f"append partition_by {partition_by} != table "
+                    f"partitionColumns {prev_parts}"
+                )
         if meta_conf.get("delta.columnMapping.mode", "none") != "none":
             # this writer emits logical-named files + stats; committing
             # them into a mapped table would corrupt it for other readers
@@ -463,6 +517,16 @@ def write_delta(
         if mode == "append":
             prev_schema = snap.metadata.schema
             prev_cols = set(snap.metadata.data_columns)
+            # generated columns: absent -> computed from the declared
+            # expression; supplied -> validated on the staged output
+            for f in prev_schema.fields:
+                gexpr = (f.metadata or {}).get("delta.generationExpression")
+                if not gexpr:
+                    continue
+                if f.name not in df.columns:
+                    df = df.withColumn(f.name, F.expr(gexpr).cast(f.dataType))
+                else:
+                    gen_validate[f.name] = gexpr
             if merge_schema:
                 by_name = {f.name: f for f in prev_schema.fields}
                 for f in df.schema.fields:
@@ -504,7 +568,7 @@ def write_delta(
         enforce_constraints,
     )
 
-    if constraints_from_config(meta_conf):
+    if constraints_from_config(meta_conf) or gen_validate:
         staged = spark.read.schema(df.schema).parquet(staging)
         # merge_schema appends may omit nullable table columns — a
         # constraint over an omitted column sees NULL (passes, SQL CHECK)
@@ -512,7 +576,27 @@ def write_delta(
             if f.name not in staged.columns:
                 staged = staged.withColumn(f.name, F.lit(None).cast(f.dataType))
         try:
-            enforce_constraints(staged, meta_conf)
+            if constraints_from_config(meta_conf):
+                enforce_constraints(staged, meta_conf)
+            if gen_validate:
+                # writer-supplied values for generated columns must equal
+                # their generation expression (null-safe) — Delta's
+                # generated-column invariant
+                from levi_spark.delta.constraints import violation_counts
+
+                bad = {
+                    n: c
+                    for n, c in violation_counts(
+                        staged,
+                        {n: f"{n} <=> ({e})" for n, e in gen_validate.items()},
+                    ).items()
+                    if c > 0
+                }
+                if bad:
+                    raise CheckConstraintViolation(
+                        f"generated column value mismatch (rows violating "
+                        f"their generation expression): {bad}"
+                    )
         except CheckConstraintViolation:
             shutil.rmtree(staging, ignore_errors=True)
             raise

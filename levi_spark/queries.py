@@ -4103,6 +4103,89 @@ GROUP BY c_mktsegment
 """
 
 
+def generated_column_counts(spark, sf_dir):
+    """Delta generated columns through the driver gate
+    (``write_delta(generated=...)``): orders becomes an engine Delta
+    table PARTITIONED BY a generated month bucket
+    (``o_month = month(o_orderdate)``) — the date-derived-partition
+    pattern that buys partition pruning on a column no writer ever
+    supplies. The initial create computes it, an append omitting it
+    computes it again, an append supplying a WRONG value is rejected
+    atomically (generation-expression invariant), and the output
+    aggregates per generated bucket from the final table plus the
+    rejection flag.
+
+    Scale shape: generation is a map-side expression added before the
+    staged write; enforcement is one aggregate over the staged files;
+    pruning on the generated partition key is ordinary partition
+    pruning."""
+    from levi_spark.delta.constraints import CheckConstraintViolation
+    from levi_spark.delta.log import DeltaLog
+    from levi_spark.delta.writer import write_delta
+
+    base = _scratch("gen_orders")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    write_delta(
+        orders.repartition(8), base, mode="error", checkpoint_interval=None,
+        partition_by=["o_month"],
+        generated={"o_month": "month(o_orderdate)"},
+    )
+    write_delta(
+        spark.range(1, 4).select(
+            (F.col("id") + 90_000_000).alias("o_orderkey"),
+            F.lit(1).cast("long").alias("o_custkey"),
+            F.lit(10.0).alias("o_totalprice"),
+            F.to_timestamp(F.lit("2030-06-15")).cast("timestamp_ntz").alias(
+                "o_orderdate"
+            ),
+        ),
+        base, mode="append", checkpoint_interval=None,
+    )
+    rejected = 0
+    try:
+        write_delta(
+            spark.range(4, 5).select(
+                (F.col("id") + 90_000_000).alias("o_orderkey"),
+                F.lit(1).cast("long").alias("o_custkey"),
+                F.lit(10.0).alias("o_totalprice"),
+                F.to_timestamp(F.lit("2030-06-15")).cast("timestamp_ntz").alias(
+                    "o_orderdate"
+                ),
+                F.lit(12).cast("int").alias("o_month"),  # wrong: June is 6
+            ),
+            base, mode="append", checkpoint_interval=None,
+        )
+    except CheckConstraintViolation:
+        rejected = 1
+    df = DeltaLog(spark, base).snapshot().to_df()
+    return (
+        df.groupBy(F.col("o_month").cast("int").alias("o_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.lit(rejected).alias("rejected_write"),
+        )
+        .orderBy("o_month")
+    )
+
+
+GENERATED_COLUMN_SQL = """
+WITH t AS (
+  SELECT o_orderkey, CAST(month(o_orderdate) AS INTEGER) AS o_month FROM orders
+  UNION ALL
+  SELECT 90000000 + i, 6 FROM generate_series(1, 3) AS g(i)
+)
+SELECT o_month, COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       1 AS rejected_write
+FROM t
+GROUP BY o_month
+ORDER BY o_month
+"""
+
+
 def jsonl_export_counts(spark, sf_dir):
     """JSONL export + readback: the corpus is materialized as
     newline-delimited JSON shards (the interchange format LLM training
@@ -7563,6 +7646,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "merge_evolution_counts": (merge_evolution_counts, MERGE_EVOLUTION_SQL),
     "check_constraint_counts": (check_constraint_counts, CHECK_CONSTRAINT_SQL),
     "jsonl_export_counts": (jsonl_export_counts, JSONL_EXPORT_SQL),
+    "generated_column_counts": (generated_column_counts, GENERATED_COLUMN_SQL),
     # -- slots 29-50: r01-only greens re-proving on the rebuilt
     #    metadata plane ----------------------------------------------------
     "updated_partitions_sim": (updated_partitions_sim, UPDATED_PARTS_SQL),

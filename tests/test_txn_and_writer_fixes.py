@@ -299,3 +299,38 @@ def test_rebased_plain_append_fails_when_schema_moved(
     with pytest.raises(ValueError, match="invalidated by concurrent commit"):
         write_delta(spark.range(20, 22).select("id"), path, mode="append",
                     checkpoint_interval=None)
+
+
+def test_append_inherits_table_partitioning(spark, tmp_path):
+    """An append that omits partition_by must inherit the table's
+    partitionColumns (previously it committed partitionColumns=[] and
+    silently de-partitioned the table), and an append declaring a
+    different layout must error."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from levi_spark.delta.log import DeltaLog
+    from levi_spark.delta.writer import write_delta
+
+    p = str(tmp_path / "t")
+    df = spark.range(0, 8).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("string").alias("part")
+    )
+    write_delta(df, p, mode="error", partition_by=["part"],
+                checkpoint_interval=None)
+    write_delta(
+        spark.range(8, 10).select(
+            F.col("id").alias("k"), F.lit("1").alias("part")
+        ),
+        p, mode="append", checkpoint_interval=None,  # no partition_by
+    )
+    snap = DeltaLog(spark, p).snapshot()
+    assert snap.metadata.partition_columns == ["part"]
+    assert all(pv.get("part") is not None for _f, pv in snap.file_infos())
+    with pytest.raises(ValueError, match="partitionColumns"):
+        write_delta(
+            spark.range(10, 11).select(
+                F.col("id").alias("k"), F.lit("1").alias("part")
+            ),
+            p, mode="append", partition_by=["k"], checkpoint_interval=None,
+        )
