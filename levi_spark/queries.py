@@ -3402,6 +3402,70 @@ SELECT hour_s, user_id, n_events, rk FROM (
 """
 
 
+def stream_upsert_latest(spark, sf_dir):
+    """Streaming UPSERT sink through the driver gate
+    (:func:`levi_spark.streaming.delta_sink.stream_upsert_to_delta`):
+    the events stream drains into a per-user latest-state Delta table
+    — each micro-batch reduced to its newest row per user (ts, then
+    event_id, descending) and MERGEd in, with the batch id as a
+    SetTransaction for crash-replay exactly-once. Output: users and
+    quantized value mass per latest event type, read from the WRITTEN
+    table."""
+    import os as _os
+
+    from levi_spark.delta.log import DeltaLog
+    from levi_spark.streaming.delta_sink import stream_upsert_to_delta
+    from levi_spark.streaming.jobs import read_events_stream
+
+    scratch = _scratch("stream_upsert")
+    table = _os.path.join(scratch, "table")
+    ckpt = _os.path.join(scratch, "ckpt")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream_upsert_to_delta(
+            read_events_stream(spark, sf_dir),
+            table,
+            ckpt,
+            keys=["user_id"],
+            order_cols=["ts_us", "event_id"],
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    df = DeltaLog(spark, table).snapshot().to_df()
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(
+                F.floor(F.col("value") * F.lit(10000.0) + F.lit(0.5)).cast("long")
+            ).alias("value_sum_e4"),
+        )
+        .orderBy("event_type")
+    )
+
+
+STREAM_UPSERT_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, value, epoch_ns(ts) // 1000 AS ts_us, event_id
+  FROM events
+),
+latest AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY ts_us DESC, event_id DESC) AS rn
+    FROM ev
+  ) WHERE rn = 1
+)
+SELECT event_type, COUNT(*) AS n_users,
+       CAST(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_sum_e4
+FROM latest
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def event_type_pagerank(spark, sf_dir):
     """PageRank over the event-type transition graph: edges are
     per-user consecutive event pairs (lead() over each user's
@@ -7647,6 +7711,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "check_constraint_counts": (check_constraint_counts, CHECK_CONSTRAINT_SQL),
     "jsonl_export_counts": (jsonl_export_counts, JSONL_EXPORT_SQL),
     "generated_column_counts": (generated_column_counts, GENERATED_COLUMN_SQL),
+    "stream_upsert_latest": (stream_upsert_latest, STREAM_UPSERT_SQL),
     # -- slots 29-50: r01-only greens re-proving on the rebuilt
     #    metadata plane ----------------------------------------------------
     "updated_partitions_sim": (updated_partitions_sim, UPDATED_PARTS_SQL),

@@ -93,3 +93,76 @@ def ingest_events(
         checkpoint_dir,
         partition_by=["event_type"],
     )
+
+
+def stream_upsert_to_delta(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    order_cols: list[str],
+    app_id: str | None = None,
+) -> None:
+    """Streaming UPSERT sink: each micro-batch is reduced to its latest
+    row per key (``order_cols`` descending, deterministic tie-break)
+    and MERGEd into the Delta table — matched keys update, new keys
+    insert — with the batch id recorded as a SetTransaction in the
+    SAME commit, so crash replays of an already-applied batch are
+    skipped, never double-merged. This is the keyed materialized-view
+    pattern (latest state per entity) that a plain append sink can't
+    express.
+
+    Scale shape: the per-batch reduction is one keyed window over the
+    micro-batch only; the MERGE rewrites only files holding matched
+    keys (:mod:`levi_spark.operators.merge`), so steady-state cost
+    tracks the batch's key cardinality, not table size."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from levi_spark.delta.log import DeltaLog
+    from levi_spark.delta.table import LeviTable
+    from levi_spark.operators.merge import merge
+
+    app = app_id or f"levi-stream-upsert:{os.path.abspath(checkpoint_dir)}"
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        exists = os.path.isdir(os.path.join(table_path, "_delta_log"))
+        if exists:
+            applied = (
+                DeltaLog(spark, table_path)
+                .snapshot()
+                .txn_versions()
+                .get(app, -1)
+            )
+            if batch_id <= applied:
+                return
+        w = Window.partitionBy(*keys).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if not exists:
+            write_delta(latest, table_path, mode="error", txn=(app, batch_id))
+            return
+        non_keys = [c for c in latest.columns if c not in keys]
+        cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+        (
+            merge(LeviTable(spark, table_path), latest, cond)
+            .when_matched_update(set={c: f"s.{c}" for c in non_keys})
+            .when_not_matched_insert(
+                values={c: f"s.{c}" for c in latest.columns}
+            )
+            .execute(txn=(app, batch_id))
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

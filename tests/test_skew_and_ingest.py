@@ -113,3 +113,70 @@ def test_stream_ingest_crash_replay_is_exactly_once(spark, tmp_path):
     # the next batch still lands
     assert _sink_batch(batch, 1, table, None, "app-x") is True
     assert DeltaLog(spark, table).snapshot().to_df().count() == 4
+
+
+def test_stream_upsert_sink_crash_replay_and_merge(spark, tmp_path):
+    """The streaming upsert sink: (a) a batch reduces to its latest row
+    per key and MERGEs (matched keys update, new keys insert); (b) a
+    crash replay of an applied batch is skipped entirely."""
+    from pyspark.sql import functions as F
+
+    from levi_spark.delta.log import DeltaLog
+    from levi_spark.streaming import delta_sink as ds
+
+    table = str(tmp_path / "t")
+
+    # reach the inner foreachBatch sink without a streaming query
+    captured = {}
+
+    class _FakeWriter:
+        def __init__(self, fn):
+            captured["sink"] = fn
+
+    import types
+
+    def run_batches(*batches):
+        # build the sink closure exactly as stream_upsert_to_delta does
+        stream_stub = types.SimpleNamespace()
+        # call through the real function but intercept writeStream
+        orig = ds.stream_upsert_to_delta
+
+        class _WS:
+            def foreachBatch(self, fn):
+                captured["sink"] = fn
+                return self
+
+            def option(self, *a):
+                return self
+
+            def trigger(self, **k):
+                return self
+
+            def start(self):
+                return types.SimpleNamespace(awaitTermination=lambda: None)
+
+        stream_stub.writeStream = _WS()
+        orig(
+            stream_stub, table, str(tmp_path / "ckpt"),
+            keys=["k"], order_cols=["ts", "seq"],
+        )
+        for bid, b in batches:
+            captured["sink"](b, bid)
+
+    b0 = spark.createDataFrame(
+        [(1, 10, 0, "a"), (1, 20, 1, "b"), (2, 5, 0, "c")],
+        "k long, ts long, seq long, tag string",
+    )
+    b1 = spark.createDataFrame(
+        [(1, 30, 0, "d"), (3, 1, 0, "e")],
+        "k long, ts long, seq long, tag string",
+    )
+    run_batches((0, b0), (1, b1))
+    got = {r.k: (r.ts, r.tag) for r in DeltaLog(spark, table).snapshot().to_df().collect()}
+    # k=1: batch-0 reduced to ts=20 then updated to ts=30 by batch 1
+    assert got == {1: (30, "d"), 2: (5, "c"), 3: (1, "e")}
+    v = DeltaLog(spark, table).latest_version()
+    # crash replay of batch 1: skipped — no new version, same rows
+    captured["sink"](b1, 1)
+    assert DeltaLog(spark, table).latest_version() == v
+    assert {r.k for r in DeltaLog(spark, table).snapshot().to_df().collect()} == {1, 2, 3}
