@@ -4250,6 +4250,95 @@ ORDER BY o_month
 """
 
 
+def curriculum_stage_buckets(spark, sf_dir):
+    """Curriculum ordering: the corpus sorted best-quality-first
+    (quality score descending, doc_id tie-break) and cut into 4
+    training stages of ~equal TOKEN budget via the distributed prefix
+    sum (:func:`levi_spark.operators.packing.with_prefix_sum`) —
+    stage k = docs whose preceding cumulative token count falls in
+    [k*ceil(T/4), (k+1)*ceil(T/4)). This is the data-ordering step of
+    curriculum / quality-annealed training (highest-quality tokens
+    first or last), composed from the same quality metric
+    ``doc_quality_scores`` gates.
+
+    Scale shape: one range-repartition by the order key + per-partition
+    window + one row-per-partition offset collect (the classic
+    distributed prefix sum — no global sort of row data), then a
+    4-group aggregate; integer division throughout, so the oracle is
+    bit-exact."""
+    from levi_spark.operators.packing import with_prefix_sum
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.floor(quality_score_expr(F.col("text")) * 1_000_000 + 0.5).alias(
+            "quality_micro"
+        ),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    ).withColumn("neg_q", -F.col("quality_micro"))
+    pre = with_prefix_sum(base, ["neg_q", "doc_id"], "n_tokens", "cum_before")
+    total = base.agg(F.sum("n_tokens").cast("long")).collect()[0][0]
+    stage_size = (int(total) + 3) // 4
+    staged = pre.withColumn(
+        "stage",
+        F.least(
+            F.expr(f"cum_before div {stage_size}"), F.lit(3)
+        ).cast("int"),
+    )
+    return (
+        staged.groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("stage_tokens"),
+            F.min("quality_micro").alias("min_quality"),
+            F.max("quality_micro").alias("max_quality"),
+        )
+        .orderBy("stage")
+    )
+
+
+CURRICULUM_SQL = r"""
+WITH q AS (
+  SELECT doc_id,
+         CAST(floor((
+             (CASE WHEN n_tok >= 10 AND n_tok <= 5000 THEN 1.0 ELSE 0.2 END) * 0.3
+           + (CASE WHEN mean_tok >= 2.0 AND mean_tok <= 12.0 THEN 1.0 ELSE 0.3 END) * 0.2
+           + (n_alpha / n_char) * 0.3
+           + (1.0 - (n_digit / n_char)) * 0.1
+           + (1.0 - (n_punct / n_char)) * 0.1) * 1000000 + 0.5) AS BIGINT)
+           AS quality_micro,
+         CAST(n_tok AS BIGINT) AS n_tokens
+  FROM (
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_tok,
+           CAST(length(text) AS DOUBLE) AS n_char,
+           CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS n_alpha,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS n_digit,
+           CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS n_punct,
+           CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+             / len(string_split_regex(trim(text), '\s+')) AS mean_tok
+    FROM documents
+  )
+),
+o AS (
+  SELECT *,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY -quality_micro, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM q
+),
+t AS (SELECT (CAST(SUM(n_tokens) AS BIGINT) + 3) // 4 AS stage_size FROM q)
+SELECT CAST(LEAST(cum_before // stage_size, 3) AS INTEGER) AS stage,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS stage_tokens,
+       MIN(quality_micro) AS min_quality,
+       MAX(quality_micro) AS max_quality
+FROM o CROSS JOIN t
+GROUP BY 1
+ORDER BY stage
+"""
+
+
 def jsonl_export_counts(spark, sf_dir):
     """JSONL export + readback: the corpus is materialized as
     newline-delimited JSON shards (the interchange format LLM training
@@ -7640,19 +7729,22 @@ GROUP BY doc_id
 #
 # Round 3 window: slots 1-26 are the queries that had never had a
 # driver row in r01 or r02 (closing the rotation debt VERDICT r02
-# flagged); slots 27-44 are the EIGHTEEN queries NEW in round 3
+# flagged); slots 27-49 are the TWENTY-THREE queries NEW in round 3
 # (vacuum, column-mapping read, checkpoint+log expiry, corpus filter
 # funnel, token-budget select, filtered ANN, shard export,
 # describe-history, WAV decode, histogram quantiles, IVFPQ serve path,
 # SQ8 codec, RAG chunking, timestamp time travel, shallow clone,
-# streaming windowed top-k, integer PageRank, MERGE schema evolution);
-# slots 45-50 backfill r01-only greens (updated_partitions_sim +
-# q2-q6) re-confirming on the rebuilt metadata plane. Everything below
-# slot 50 has a green r02 (or r01) row and is unchanged this round.
+# streaming windowed top-k, integer PageRank, MERGE schema evolution,
+# CHECK-constraint lifecycle, JSONL export, generated columns,
+# streaming upsert sink, curriculum buckets); slot 50 is
+# updated_partitions_sim — P8, the one public-API operator whose only
+# driver row is r01, re-confirming on the rebuilt metadata plane.
+# Everything below slot 50 has a green r02 (or r01) row and is
+# unchanged this round.
 #
 # ROUND 4 ROTATION PLAN: after reading VERDICT_r03, move into slots
 # 1-50 (a) anything round 4 adds or changes, (b) the r01-only greens
-# that did not fit this round's backfill — q7-q11, q13-q17, q19-q22,
+# that did not fit this round's backfill — q2-q11, q13-q17, q19-q22,
 # events_hourly_rollup, events_asof_join, events_range_join,
 # events_funnel, orders_moving_avg, events_retention_cohorts,
 # lineitem_rollup, orders_price_percentiles, doc_tfidf_top_terms,
@@ -7712,6 +7804,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "jsonl_export_counts": (jsonl_export_counts, JSONL_EXPORT_SQL),
     "generated_column_counts": (generated_column_counts, GENERATED_COLUMN_SQL),
     "stream_upsert_latest": (stream_upsert_latest, STREAM_UPSERT_SQL),
+    "curriculum_stage_buckets": (curriculum_stage_buckets, CURRICULUM_SQL),
     # -- slots 29-50: r01-only greens re-proving on the rebuilt
     #    metadata plane ----------------------------------------------------
     "updated_partitions_sim": (updated_partitions_sim, UPDATED_PARTS_SQL),
