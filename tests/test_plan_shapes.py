@@ -311,3 +311,49 @@ def test_corpus_funnel_single_aggregate_pass(spark):
     # hash + first-occurrence 2, base 1) — the 5 funnel stages must
     # NOT multiply that (a per-stage re-aggregate would plan ~35)
     assert s["scans"] <= 7, s
+
+
+def test_chunker_is_shuffle_free(spark):
+    """doc_chunk_overlap: split/explode/slice/md5 are all map-side —
+    a shuffle here would mean the chunker re-partitions 100 TB of
+    documents for no reason."""
+    from levi_spark.plans.inspect import plan_summary
+    from levi_spark.queries import doc_chunk_overlap
+
+    s = plan_summary(doc_chunk_overlap(spark, SF))
+    assert s["exchanges"] == 0, s
+    assert s["scans"] == 1, s
+
+
+def test_sq8_encode_reads_corpus_once(spark):
+    """embedding_sq8_codes: after the (collected) stats pass, encode is
+    one scan with literal min/max arrays — no join, no shuffle."""
+    from levi_spark.plans.inspect import plan_summary
+    from levi_spark.queries import embedding_sq8_codes
+
+    s = plan_summary(embedding_sq8_codes(spark, SF))
+    assert s["exchanges"] == 0, s
+    assert s["scans"] == 1, s
+
+
+def test_ivfpq_lut_broadcast_and_staged_pass(spark):
+    """ivf_pq_adc_topk: the per-query LUT rides a broadcast, and the
+    vector x centroid pass is staged (localCheckpoint) so the plan
+    contains scans of the checkpointed RDD, not four parquet rescans."""
+    from levi_spark.plans.inspect import executed_plan, plan_summary
+    from levi_spark.queries import ivf_pq_adc_topk
+
+    df = ivf_pq_adc_topk(spark, SF)
+    s = plan_summary(df)
+    assert s["broadcast_exchanges"] >= 1, s
+    plan = executed_plan(df)
+    assert "Scan ExistingRDD" in plan, plan[:800]
+
+
+def test_pagerank_rounds_have_no_cartesian(spark):
+    from levi_spark.plans.inspect import executed_plan
+    from levi_spark.queries import event_type_pagerank
+
+    plan = executed_plan(event_type_pagerank(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
