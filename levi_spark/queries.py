@@ -4250,6 +4250,142 @@ ORDER BY o_month
 """
 
 
+def embedding_pca_projection(spark, sf_dir):
+    """Top principal component of the embedding corpus by POWER
+    ITERATION, and every vector's projection onto it — the PCA step a
+    production embedding pipeline runs before whitening/OPQ. The whole
+    computation is cross-engine exact:
+
+    * the (uncentered) second-moment matrix accumulates as INTEGERS —
+      each row contributes ``floor(x_i * x_j * 1e6 + 0.5)`` per (i,j),
+      summed — via an Arrow-batched ``mapInPandas`` partial Gram per
+      partition (64x64 int64 accumulator; the 100 TB path — an
+      explode-based SQL formulation would amplify the scan 4096x)
+      followed by one 4096-row groupBy;
+    * three power-iteration rounds run on the driver over the
+      collected 64x64 matrix in arbitrary-precision Python ints, each
+      round renormalizing with TRUNCATING integer division
+      (``trunc(w / (max|w|//1000 + 1))``) so magnitudes stay bounded
+      without a float sqrt — truncation, not floor, because DuckDB's
+      ``//`` truncates toward zero on negatives and the oracle unrolls
+      the identical rounds as matvec CTEs;
+    * projections are integer dots of the quantized vectors with the
+      iterated component, aggregated per label.
+
+    The collect is 4,096 rows (the matrix), independent of corpus
+    size — same driver-scalar class as k-means centroids."""
+    import numpy as np
+    import pandas as pd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", "label", as_double_vec("embedding").alias("v"))
+
+    def gram(batches):
+        acc = np.zeros((64, 64), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            x = np.asarray([np.asarray(a, dtype=np.float64) for a in pdf["v"]])
+            acc += (
+                np.floor(x[:, :, None] * x[:, None, :] * 1e6 + 0.5)
+                .astype(np.int64)
+                .sum(axis=0)
+            )
+        if seen:
+            ii, jj = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+            yield pd.DataFrame(
+                {
+                    "i": ii.ravel().astype("int32"),
+                    "j": jj.ravel().astype("int32"),
+                    "c": acc.ravel(),
+                }
+            )
+
+    cov_rows = (
+        v.select("v")
+        .mapInPandas(gram, "i int, j int, c long")
+        .groupBy("i", "j")
+        .agg(F.sum("c").alias("c"))
+        .collect()
+    )
+    M = [[0] * 64 for _ in range(64)]
+    for r in cov_rows:
+        M[r["i"]][r["j"]] = int(r["c"])  # exact Python ints from here on
+    def _tdiv(x: int, d: int) -> int:  # truncate toward zero, like SQL //
+        return x // d if x >= 0 else -((-x) // d)
+
+    vec = [1] * 64
+    for _ in range(3):
+        w = [sum(M[i][j] * vec[j] for j in range(64)) for i in range(64)]
+        m = max(abs(x) for x in w)
+        d = m // 1000 + 1
+        vec = [_tdiv(x, d) for x in w]
+    comp = F.array(*[F.lit(int(c)) for c in vec])
+    proj = F.aggregate(
+        F.sequence(F.lit(1), F.lit(64)),
+        F.lit(0).cast("long"),
+        lambda a, i: a
+        + F.floor(F.element_at(F.col("v"), i) * 1000 + F.lit(0.5)).cast("long")
+        * F.element_at(comp, i),
+    )
+    return (
+        v.select("label", proj.alias("__p"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("__p").alias("proj_sum"),
+            F.sum(F.abs(F.col("__p"))).alias("abs_proj_sum"),
+        )
+        .orderBy("label")
+    )
+
+
+def _pca_matvec_cte(prev: str, mv: str, nxt: str) -> str:
+    return f"""{mv} AS (
+  SELECT cov.i, CAST(SUM(cov.c * p.val) AS BIGINT) AS w
+  FROM cov JOIN {prev} p ON cov.j = p.i GROUP BY cov.i
+),
+{nxt} AS (
+  SELECT i, w // ((SELECT MAX(ABS(w)) FROM {mv}) // 1000 + 1) AS val
+  FROM {mv}
+)"""
+
+
+PCA_PROJECTION_SQL = (
+    """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dims AS (SELECT unnest(range(0, 64)) AS d),
+cov AS (
+  SELECT di.d AS i, dj.d AS j,
+         CAST(SUM(CAST(floor(v[di.d + 1] * v[dj.d + 1] * 1e6 + 0.5) AS BIGINT))
+              AS BIGINT) AS c
+  FROM e CROSS JOIN dims di CROSS JOIN dims dj
+  GROUP BY di.d, dj.d
+),
+p0 AS (SELECT d AS i, CAST(1 AS BIGINT) AS val FROM dims),
+"""
+    + _pca_matvec_cte("p0", "mv1", "p1") + ",\n"
+    + _pca_matvec_cte("p1", "mv2", "p2") + ",\n"
+    + _pca_matvec_cte("p2", "mv3", "p3") + """,
+proj AS (
+  SELECT e.vec_id, e.label,
+         CAST(SUM(CAST(floor(e.v[p3.i + 1] * 1000 + 0.5) AS BIGINT) * p3.val)
+              AS BIGINT) AS p
+  FROM e CROSS JOIN p3
+  GROUP BY e.vec_id, e.label
+)
+SELECT label, COUNT(*) AS n_vecs,
+       CAST(SUM(p) AS BIGINT) AS proj_sum,
+       CAST(SUM(ABS(p)) AS BIGINT) AS abs_proj_sum
+FROM proj
+GROUP BY label
+ORDER BY label
+"""
+)
+
+
 def curriculum_stage_buckets(spark, sf_dir):
     """Curriculum ordering: the corpus sorted best-quality-first
     (quality score descending, doc_id tie-break) and cut into 4
@@ -7729,18 +7865,20 @@ GROUP BY doc_id
 #
 # Round 3 window: slots 1-26 are the queries that had never had a
 # driver row in r01 or r02 (closing the rotation debt VERDICT r02
-# flagged); slots 27-49 are the TWENTY-THREE queries NEW in round 3
-# (vacuum, column-mapping read, checkpoint+log expiry, corpus filter
-# funnel, token-budget select, filtered ANN, shard export,
+# flagged); slots 27-49 are TWENTY-THREE of the 24 queries NEW in
+# round 3 (vacuum, column-mapping read, checkpoint+log expiry, corpus
+# filter funnel, token-budget select, filtered ANN, shard export,
 # describe-history, WAV decode, histogram quantiles, IVFPQ serve path,
 # SQ8 codec, RAG chunking, timestamp time travel, shallow clone,
 # streaming windowed top-k, integer PageRank, MERGE schema evolution,
-# CHECK-constraint lifecycle, JSONL export, generated columns,
-# streaming upsert sink, curriculum buckets); slot 50 is
+# CHECK-constraint lifecycle, generated columns, streaming upsert
+# sink, curriculum buckets, PCA power iteration); slot 50 is
 # updated_partitions_sim — P8, the one public-API operator whose only
 # driver row is r01, re-confirming on the rebuilt metadata plane.
-# Everything below slot 50 has a green r02 (or r01) row and is
-# unchanged this round.
+# jsonl_export_counts (the 24th new query, simplest of them) sits at
+# slot 51 with local-oracle evidence only, first in line for round 4.
+# Everything below has a green r02 (or r01) row and is unchanged this
+# round.
 #
 # ROUND 4 ROTATION PLAN: after reading VERDICT_r03, move into slots
 # 1-50 (a) anything round 4 adds or changes, (b) the r01-only greens
@@ -7801,13 +7939,17 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "event_type_pagerank": (event_type_pagerank, PAGERANK_SQL),
     "merge_evolution_counts": (merge_evolution_counts, MERGE_EVOLUTION_SQL),
     "check_constraint_counts": (check_constraint_counts, CHECK_CONSTRAINT_SQL),
-    "jsonl_export_counts": (jsonl_export_counts, JSONL_EXPORT_SQL),
     "generated_column_counts": (generated_column_counts, GENERATED_COLUMN_SQL),
     "stream_upsert_latest": (stream_upsert_latest, STREAM_UPSERT_SQL),
     "curriculum_stage_buckets": (curriculum_stage_buckets, CURRICULUM_SQL),
+    "embedding_pca_projection": (embedding_pca_projection, PCA_PROJECTION_SQL),
     # -- slots 29-50: r01-only greens re-proving on the rebuilt
     #    metadata plane ----------------------------------------------------
     "updated_partitions_sim": (updated_partitions_sim, UPDATED_PARTS_SQL),
+    # jsonl_export_counts yields its round-3 window slot to P8's
+    # re-confirmation (simplest new query; local oracle green) — first
+    # in line for a round-4 slot
+    "jsonl_export_counts": (jsonl_export_counts, JSONL_EXPORT_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q4_order_priority": (q4_order_priority, Q4_SQL),
