@@ -3466,6 +3466,47 @@ ORDER BY event_type
 """
 
 
+def stream_static_enrich(spark, sf_dir):
+    """Stream-to-static join: the events stream enriched against the
+    static nation dimension (user_id keyed into a nation bucket) with
+    a windowless streaming aggregate per nation — the canonical
+    "enrich the firehose against a broadcast dim" pattern. The static
+    side is read once per micro-batch and broadcast; no state grows
+    with the stream beyond the per-nation aggregates.
+
+    Scale shape: the dim is broadcast into every micro-batch's join
+    (no shuffle of the stream side), the aggregate is
+    partial-combinable per batch."""
+    from levi_spark.streaming.jobs import _drain_to_memory, read_events_stream
+
+    ev = read_events_stream(spark, sf_dir)
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey"), F.col("n_name")
+    )
+    joined = ev.withColumn(
+        "n_nationkey", (F.col("user_id") % 25).cast("int")
+    ).join(F.broadcast(nation), "n_nationkey")
+    agg = joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.floor(F.col("value") * F.lit(10000.0) + F.lit(0.5)).cast("long")
+        ).alias("value_sum_e4"),
+    )
+    return _drain_to_memory(agg, "complete").orderBy("n_name")
+
+
+STREAM_STATIC_SQL = """
+SELECT n.n_name,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(floor(e.value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_sum_e4
+FROM events e
+JOIN nation n ON n.n_nationkey = CAST(e.user_id % 25 AS INTEGER)
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
 def event_type_pagerank(spark, sf_dir):
     """PageRank over the event-type transition graph: edges are
     per-user consecutive event pairs (lead() over each user's
@@ -7946,10 +7987,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # -- slots 29-50: r01-only greens re-proving on the rebuilt
     #    metadata plane ----------------------------------------------------
     "updated_partitions_sim": (updated_partitions_sim, UPDATED_PARTS_SQL),
-    # jsonl_export_counts yields its round-3 window slot to P8's
-    # re-confirmation (simplest new query; local oracle green) — first
-    # in line for a round-4 slot
+    # jsonl_export_counts and stream_static_enrich missed the full
+    # round-3 window (local oracle green only) — first in line for
+    # round-4 slots
     "jsonl_export_counts": (jsonl_export_counts, JSONL_EXPORT_SQL),
+    "stream_static_enrich": (stream_static_enrich, STREAM_STATIC_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q4_order_priority": (q4_order_priority, Q4_SQL),
