@@ -26,6 +26,13 @@ configuration verbatim (a clone of a column-mapped or
 constraint-bearing table keeps those semantics); the table id is
 fresh, and history does NOT follow the clone — its log starts at
 version 0, exactly like Delta's CLONE.
+
+Known hazard (same as Delta's documented one): VACUUM on the SOURCE
+table can reclaim files a shallow clone still references — the
+source's log no longer knows about the clone. Deep-clone (or
+re-clone) before vacuuming a shallow clone's source. VACUUM on the
+clone itself is safe: absolute references outside the clone's
+directory are never reclaim candidates.
 """
 
 from __future__ import annotations
