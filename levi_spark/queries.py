@@ -4344,8 +4344,16 @@ def embedding_pca_projection(spark, sf_dir):
                 }
             )
 
+    # Size the Gram stage to the corpus: each Python worker carries a
+    # constant 4096-row output, so workers should each see a chunky
+    # slice (~64Ki vectors) — at 100 TB that is thousands of parallel
+    # accumulators; at bench scale it is one, instead of 32 workers
+    # spawning for ~60 rows each (measured 4s of pure spawn overhead).
+    n_rows = v.count()
+    gram_parts = max(1, -(-n_rows // 65536))
     cov_rows = (
         v.select("v")
+        .repartition(gram_parts)
         .mapInPandas(gram, "i int, j int, c long")
         .groupBy("i", "j")
         .agg(F.sum("c").alias("c"))
