@@ -405,7 +405,14 @@ class DeltaLog:
         expired by checkpoint cleanup: they are not reachable)."""
         pairs = self.commit_timestamps()
         if not pairs:
-            raise FileNotFoundError(f"no commit files in {self.log_path}")
+            # checkpoint-only log (history expired): the table is
+            # readable by version, but no version is addressable by
+            # time — same error class as a too-early timestamp
+            raise ValueError(
+                f"no commit timestamps available in {self.log_path} "
+                "(history expired past a checkpoint); use version-based "
+                "time travel"
+            )
         if ts_ms < pairs[0][1]:
             raise ValueError(
                 f"timestamp {ts_ms} is before the earliest reachable commit "

@@ -413,6 +413,7 @@ def write_delta(
     )
     if exists and mode == "error":
         raise ValueError(f"Delta table already exists at {path} (mode='error')")
+    partition_explicit = partition_by is not None
     partition_by = list(partition_by or [])
     prev_adds: list[str] = []  # RAW add.path strings to tombstone verbatim
     version = 0
@@ -472,15 +473,16 @@ def write_delta(
         # the table id and wipe configuration set by other writers.
         meta_id = snap.metadata.id
         meta_conf = dict(snap.metadata.configuration)
-        # Partitioning is table metadata, not a per-write choice: an
-        # append inherits it, and an append declaring a DIFFERENT
-        # layout errors (committing partitionColumns=[] because a
-        # caller omitted partition_by would silently de-partition the
-        # table for every later reader/writer). Overwrites may change
-        # it explicitly; omitted there inherits too.
+        # Partitioning is table metadata, not a per-write choice: a
+        # write that OMITS partition_by (None) inherits it, and an
+        # append declaring a DIFFERENT layout errors (committing
+        # partitionColumns=[] because a caller forgot the argument
+        # would silently de-partition the table for every later
+        # reader/writer). An EXPLICIT partition_by — including an
+        # explicit [] — changes the layout on overwrite only.
         prev_parts = list(snap.metadata.partition_columns)
         if mode in ("append", "overwrite"):
-            if not partition_by:
+            if not partition_explicit:
                 partition_by = prev_parts
             elif mode == "append" and partition_by != prev_parts:
                 raise ValueError(

@@ -36,39 +36,6 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
-def top_cells_cosine(
-    vec_col: Column, centroids: list[tuple[int, list[float]]], nprobe: int
-) -> Column:
-    """Array of the ``nprobe`` nearest cell ids by cosine (descending,
-    ties to the lower id) as a PURE map-side expression: the codebook
-    becomes a literal array of (cent_id, cv) structs, each vector
-    scores every cell inline, and array_sort over (-cosine, cent_id)
-    structs picks the probe order. No join and no shuffle — the plan
-    you want when assigning 100 TB of vectors to inverted lists
-    (contrast a crossJoin + per-vector window, which reshuffles the
-    whole corpus). IEEE negation is exact, so the (-cc, id) sort
-    ranks identically to a (cc DESC, id ASC) window."""
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(int(i)).alias("cent_id"),
-                F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
-            )
-            for i, cv in centroids
-        ]
-    )
-    scored = F.transform(
-        cent_arr,
-        lambda c: F.struct(
-            (-cosine(vec_col, c["cv"])).alias("negcc"),
-            c["cent_id"].alias("cent_id"),
-        ),
-    )
-    return F.transform(
-        F.slice(F.array_sort(scored), 1, nprobe), lambda s: s["cent_id"]
-    )
-
-
 def l2_normalize(v: Column) -> Column:
     """Unit-normalize an array<double> vector (x / ||v||). The norm
     subtree is inlined per element by Catalyst — fine for occasional

@@ -156,6 +156,18 @@ class MergeBuilder:
                 f"{new_cols}; call with_schema_evolution() to add them"
             )
         all_cols = data_cols + new_cols
+        # Generated columns the merge does NOT explicitly assign are
+        # recomputed from their generation expression over the
+        # POST-merge row values (Delta's MERGE semantics) — otherwise
+        # an insert would null-fill them and an update that changes a
+        # generation-source column would carry the stale value, and the
+        # writer's generation invariant would abort the whole merge.
+        gen_recompute = {
+            f.name: (f.metadata or {}).get("delta.generationExpression")
+            for f in snap.metadata.schema.fields
+            if (f.metadata or {}).get("delta.generationExpression")
+            and f.name not in assigned
+        }
         cond = _as_col(self.condition)
         src = self.source.withColumn(_MARKER, F.lit(1))
         if materialize_source:
@@ -245,24 +257,44 @@ class MergeBuilder:
                     out_cols.append(
                         val.cast(types[c]).alias(c) if c in types else val.alias(c)
                     )
-                rewritten = joined.where(keep).select(*out_cols)
+                # One select materializes the updated values (aliased to
+                # their bare names — required so generation expressions
+                # resolve unambiguously against POST-update values, not
+                # the t/s join), plus the originals and clause flags the
+                # CDF images need.
+                carry_cols = list(out_cols)
+                carry_cols.append(keep.alias("__keep"))
+                if emit_cdf:
+                    carry_cols += [
+                        F.col(f"t.{c}").cast(types[c]).alias(f"__orig_{c}")
+                        for c in data_cols
+                    ]
+                    carry_cols += [
+                        app.alias(f"__app_{i}")
+                        for i, app in enumerate(applicable)
+                    ]
+                carry = joined.select(*carry_cols)
+                for g, e in gen_recompute.items():
+                    carry = carry.withColumn(g, F.expr(e).cast(types[g]))
+                rewritten = carry.where(F.col("__keep")).select(*all_cols)
                 if emit_cdf:
                     # preimages null-fill evolution columns, typed to the
                     # post-merge resolution so the CDF structs align
                     new_types = dict(rewritten.dtypes)
                     orig_cols = [
-                        F.col(f"t.{c}").cast(types[c]).alias(c) for c in data_cols
+                        F.col(f"__orig_{c}").alias(c) for c in data_cols
                     ] + [
                         F.lit(None).cast(new_types[c]).alias(c) for c in new_cols
                     ]
+                    post_cols = [F.col(c).alias(c) for c in all_cols]
                     upd = [
-                        app
-                        for (kind, _c, _s), app in zip(self._matched, applicable)
+                        F.col(f"__app_{i}")
+                        for i, (kind, _c, _s) in enumerate(self._matched)
                         if kind == "update"
                     ]
                     dele = [
-                        app
-                        for (kind, _c, _s), app in zip(self._matched, applicable)
+                        F.col(f"__app_{i}")
+                        for i, (kind, _c, _s) in enumerate(self._matched)
                         if kind == "delete"
                     ]
                     # all matched-side images in ONE scan of the join:
@@ -286,7 +318,7 @@ class MergeBuilder:
                             F.when(
                                 u,
                                 F.struct(
-                                    *out_cols,
+                                    *post_cols,
                                     F.lit("update_postimage").alias("_change_type"),
                                 ),
                             )
@@ -304,7 +336,7 @@ class MergeBuilder:
                         )
                     if imgs:
                         cdc_parts.append(
-                            joined.select(F.array(*imgs).alias("__imgs"))
+                            carry.select(F.array(*imgs).alias("__imgs"))
                             .select(
                                 F.explode(
                                     F.expr("filter(__imgs, x -> x is not null)")
@@ -340,6 +372,8 @@ class MergeBuilder:
                     else val.alias(c)
                 )
             inserts = unmatched.select(*out_cols)
+            for g, e in gen_recompute.items():
+                inserts = inserts.withColumn(g, F.expr(e).cast(ins_types[g]))
             if emit_cdf:
                 cdc_parts.append(
                     inserts.withColumn("_change_type", F.lit("insert"))

@@ -5373,6 +5373,23 @@ WHERE rk <= 3
 _NEARDUP_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def _neardup_cache_put(key: tuple[str, str], df: DataFrame) -> None:
+    """Bounded insert: entries for other sessions or other sf_dirs are
+    dropped first. A lingering checkpointed RDD holds executor storage
+    memory for the rest of the process (the exact pressure the
+    streaming state-store comment in minhash_lsh_neardup warns about),
+    and stale applicationIds would leak until exit; dropping the last
+    Python reference lets Spark's ContextCleaner reclaim the blocks."""
+    base = key[1].split("#", 1)[0]
+    for k in [
+        k
+        for k in _NEARDUP_PAIRS_CACHE
+        if k[0] != key[0] or k[1].split("#", 1)[0] != base
+    ]:
+        _NEARDUP_PAIRS_CACHE.pop(k)
+    _NEARDUP_PAIRS_CACHE[key] = df
+
+
 def _staged_neardup_pairs(spark, sf_dir) -> DataFrame:
     """SimHash near-dup pair set staged ONCE per (session, sf_dir):
     the full candidate pipeline (shingle -> simhash -> Hamming blocks
@@ -5386,7 +5403,7 @@ def _staged_neardup_pairs(spark, sf_dir) -> DataFrame:
     df = _NEARDUP_PAIRS_CACHE.get(key)
     if df is None:
         df = simhash_neardup_pairs(spark, sf_dir).localCheckpoint(eager=True)
-        _NEARDUP_PAIRS_CACHE[key] = df
+        _neardup_cache_put(key, df)
     return df
 
 
@@ -5414,7 +5431,7 @@ def neardup_clusters(spark, sf_dir):
             )
             .localCheckpoint(eager=True)
         )
-        _NEARDUP_PAIRS_CACHE[key] = df
+        _neardup_cache_put(key, df)
     return df
 
 
@@ -7968,7 +7985,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ann_hard_negatives": (ann_hard_negatives, HARD_NEG_SQL),
     "multimodal_ppm_decode": (multimodal_ppm_decode, PPM_DECODE_SQL),
     "cdc_replicate_counts": (cdc_replicate_counts, CDC_REPLICATE_SQL),
-    # -- slots 27-28: new in round 3 ---------------------------------------
+    # -- slots 27-49: new in round 3 ---------------------------------------
     "vacuum_counts": (vacuum_counts, VACUUM_SQL),
     "column_mapping_counts": (column_mapping_counts, COLUMN_MAPPING_SQL),
     "checkpoint_expiry_counts": (checkpoint_expiry_counts, CHECKPOINT_EXPIRY_SQL),
@@ -7992,8 +8009,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "stream_upsert_latest": (stream_upsert_latest, STREAM_UPSERT_SQL),
     "curriculum_stage_buckets": (curriculum_stage_buckets, CURRICULUM_SQL),
     "embedding_pca_projection": (embedding_pca_projection, PCA_PROJECTION_SQL),
-    # -- slots 29-50: r01-only greens re-proving on the rebuilt
-    #    metadata plane ----------------------------------------------------
+    # -- slot 50 (P8 re-confirm) + r01-only greens re-proving on the
+    #    rebuilt metadata plane (51+ are outside the driver window) --------
     "updated_partitions_sim": (updated_partitions_sim, UPDATED_PARTS_SQL),
     # jsonl_export_counts and stream_static_enrich missed the full
     # round-3 window (local oracle green only) — first in line for

@@ -150,9 +150,19 @@ def stream_upsert_to_delta(
             return
         non_keys = [c for c in latest.columns if c not in keys]
         cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+        # Batches are not ordered by event time (file-stream discovery
+        # is path order), so an unconditional update would let an OLDER
+        # row arriving in a LATER batch clobber newer state. The update
+        # fires only when the incoming row wins the same order that
+        # picked the per-batch latest (tuple compare over order_cols).
+        s_tuple = ", ".join(f"s.{c}" for c in order_cols)
+        t_tuple = ", ".join(f"t.{c}" for c in order_cols)
+        newer = f"struct({s_tuple}) >= struct({t_tuple})"
         (
             merge(LeviTable(spark, table_path), latest, cond)
-            .when_matched_update(set={c: f"s.{c}" for c in non_keys})
+            .when_matched_update(
+                condition=newer, set={c: f"s.{c}" for c in non_keys}
+            )
             .when_not_matched_insert(
                 values={c: f"s.{c}" for c in latest.columns}
             )

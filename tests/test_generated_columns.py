@@ -128,3 +128,53 @@ def test_append_passing_generated_param_raises(spark, tmp_path):
             _base(spark), p, mode="append", checkpoint_interval=None,
             generated={"x": "k + 1"},
         )
+
+
+def test_merge_recomputes_generated_columns(spark, tmp_path):
+    """MERGE on a generated-column table: inserts compute the column,
+    updates that change the generation source recompute it, and the
+    CDF postimage shows the recomputed value (Delta MERGE semantics —
+    previously the writer's generation invariant aborted the merge)."""
+    from levi_spark.delta.changes import table_changes_cdf
+    from levi_spark.delta.table import LeviTable
+    from levi_spark.operators.merge import merge
+
+    p = str(tmp_path / "t")
+    write_delta(
+        _base(spark), p, mode="error", checkpoint_interval=None,
+        generated={"amount_bucket": "CAST(amount / 500 AS BIGINT)"},
+    )
+    src = spark.createDataFrame(
+        [(3, 2600), (100, 900)], "k long, amount long"
+    )
+    info = (
+        merge(LeviTable(spark, p), src, "t.k = s.k")
+        .when_matched_update(set={"amount": "s.amount"})
+        .when_not_matched_insert(values={"k": "s.k", "amount": "s.amount"})
+        .execute(emit_cdf=True)
+    )
+    got = {r.k: (r.amount, r.amount_bucket) for r in
+           DeltaLog(spark, p).snapshot().to_df().collect()}
+    assert got[3] == (2600, 5)    # update recomputed 2600//500
+    assert got[100] == (900, 1)   # insert computed 900//500
+    ch = {(r.k, r._change_type): r.amount_bucket
+          for r in table_changes_cdf(spark, p, info["version"] - 1,
+                                     info["version"]).collect()}
+    assert ch[(3, "update_preimage")] == 0      # old 300//500
+    assert ch[(3, "update_postimage")] == 5     # recomputed
+    assert ch[(100, "insert")] == 1
+
+
+def test_overwrite_with_explicit_empty_partitioning_departitions(spark, tmp_path):
+    p = str(tmp_path / "t")
+    df = spark.range(0, 8).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("string").alias("part")
+    )
+    write_delta(df, p, mode="error", partition_by=["part"],
+                checkpoint_interval=None)
+    # explicit [] on overwrite: layout change to unpartitioned
+    write_delta(df.select("k"), p, mode="overwrite", partition_by=[],
+                checkpoint_interval=None)
+    snap = DeltaLog(spark, p).snapshot()
+    assert snap.metadata.partition_columns == []
+    assert snap.to_df().count() == 8

@@ -180,3 +180,47 @@ def test_stream_upsert_sink_crash_replay_and_merge(spark, tmp_path):
     captured["sink"](b1, 1)
     assert DeltaLog(spark, table).latest_version() == v
     assert {r.k for r in DeltaLog(spark, table).snapshot().to_df().collect()} == {1, 2, 3}
+
+
+def test_stream_upsert_sink_ignores_stale_rows_in_later_batches(spark, tmp_path):
+    """File-stream batch order is path order, not event-time order: an
+    OLDER row for a key arriving in a LATER batch must not clobber the
+    newer stored state (the matched update is conditional on the order
+    tuple)."""
+    import types
+
+    from pyspark.sql import functions as F
+
+    from levi_spark.delta.log import DeltaLog
+    from levi_spark.streaming import delta_sink as ds
+
+    table = str(tmp_path / "t")
+    captured = {}
+
+    class _WS:
+        def foreachBatch(self, fn):
+            captured["sink"] = fn
+            return self
+
+        def option(self, *a):
+            return self
+
+        def trigger(self, **k):
+            return self
+
+        def start(self):
+            return types.SimpleNamespace(awaitTermination=lambda: None)
+
+    stub = types.SimpleNamespace(writeStream=_WS())
+    ds.stream_upsert_to_delta(
+        stub, table, str(tmp_path / "ckpt"), keys=["k"],
+        order_cols=["ts", "seq"],
+    )
+    b0 = spark.createDataFrame([(1, 100, 0, "new")], "k long, ts long, seq long, tag string")
+    b1 = spark.createDataFrame([(1, 50, 0, "old"), (2, 1, 0, "x")],
+                               "k long, ts long, seq long, tag string")
+    captured["sink"](b0, 0)
+    captured["sink"](b1, 1)
+    got = {r.k: (r.ts, r.tag) for r in DeltaLog(spark, table).snapshot().to_df().collect()}
+    assert got[1] == (100, "new")   # stale ts=50 did NOT overwrite
+    assert got[2] == (1, "x")       # genuinely new key still inserted
