@@ -68,3 +68,53 @@ def describe_history(spark: SparkSession, table_path: str) -> DataFrame:
                     }
         rows.append((v, ts, op, params, engine, n_adds, n_removes, n_cdc, has_txn))
     return spark.createDataFrame(rows, _HISTORY_SCHEMA)
+
+
+def describe_detail(spark: SparkSession, table_path: str) -> DataFrame:
+    """``DESCRIBE DETAIL``: one row of table-level facts — format, id,
+    location, createdAt/lastModified (epoch ms), partitionColumns,
+    numFiles, sizeInBytes, and the table properties/configuration —
+    assembled from the snapshot's metadata and live add set. The file
+    census comes from the (metadata-plane) add actions, so the call is
+    O(live files) and never touches data."""
+    from levi_spark.delta.log import DeltaLog
+
+    log = DeltaLog(spark, table_path)
+    snap = log.snapshot()
+    meta = snap.metadata
+    adds = [r["add"] for r in snap.live_adds_collected()]
+    created = None
+    commits, _cps = log._entries()
+    if commits:
+        stamps = dict(log.commit_timestamps())
+        created = stamps.get(min(stamps), None)
+        last_modified = stamps.get(max(stamps), None)
+    else:
+        last_modified = None
+    row = {
+        "format": "delta",
+        "id": meta.id,
+        "location": log.table_path,
+        "createdAt": created,
+        "lastModified": last_modified,
+        "partitionColumns": list(meta.partition_columns),
+        "numFiles": len(adds),
+        "sizeInBytes": int(sum(a["size"] or 0 for a in adds)),
+        "properties": dict(meta.configuration),
+    }
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("format", T.StringType()),
+            T.StructField("id", T.StringType()),
+            T.StructField("location", T.StringType()),
+            T.StructField("createdAt", T.LongType()),
+            T.StructField("lastModified", T.LongType()),
+            T.StructField("partitionColumns", T.ArrayType(T.StringType())),
+            T.StructField("numFiles", T.LongType()),
+            T.StructField("sizeInBytes", T.LongType()),
+            T.StructField("properties", T.MapType(T.StringType(), T.StringType())),
+        ]
+    )
+    return spark.createDataFrame([tuple(row[f.name] for f in schema.fields)], schema)

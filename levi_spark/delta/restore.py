@@ -59,6 +59,19 @@ def snapshot_at_timestamp(spark: SparkSession, path: str, ts_ms: int):
     return log.snapshot(version_at_timestamp(log, ts_ms))
 
 
+def restore_to_timestamp(spark: SparkSession, path: str, ts_ms: int) -> dict:
+    """``RESTORE TABLE ... TO TIMESTAMP AS OF``: resolve ``ts_ms`` to
+    the version current at that time (strict monotonized commit
+    timestamps) and restore to it — same metadata-only commit,
+    vacuumed-version refusal, and no-op contract as
+    :func:`restore`. The result dict gains ``restored_version`` (the
+    version the timestamp resolved to)."""
+    v = version_at_timestamp(DeltaLog(spark, path), ts_ms)
+    out = restore(spark, path, v)
+    out["restored_version"] = v
+    return out
+
+
 def restore(spark: SparkSession, path: str, version: int) -> dict:
     """Restore the table to ``version`` as a NEW commit. Returns
     {"version", "files_readded", "files_removed"}; a restore to the

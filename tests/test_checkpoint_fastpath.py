@@ -76,3 +76,24 @@ def test_fast_path_checkpoint_stats_preserved(spark, tmp_path):
         a["stats"]["minValues"]["k"] for a in adds if a["num_records"] > 0
     ]
     assert ks and min(ks) == 0 and max(ks) == 100
+
+
+def test_describe_detail(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from levi_spark.delta.history import describe_detail
+    from levi_spark.delta.writer import write_delta
+
+    p = str(tmp_path / "t")
+    df = spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("string").alias("part")
+    )
+    write_delta(df.repartition(2), p, mode="error", partition_by=["part"],
+                checkpoint_interval=None)
+    write_delta(df.where("k < 2").select("k", "part"), p, mode="append",
+                checkpoint_interval=None)
+    row = describe_detail(spark, p).collect()[0]
+    assert row.format == "delta" and row.partitionColumns == ["part"]
+    assert row.numFiles >= 3 and row.sizeInBytes > 0
+    assert row.createdAt <= row.lastModified
+    assert row.location.endswith("/t")

@@ -143,3 +143,19 @@ def test_timestamp_travel_on_checkpoint_only_log_raises_value_error(spark, tmp_p
         _p.skip("expire_log kept commit files")
     with pytest.raises(ValueError, match="no commit"):
         version_at_timestamp(log, 10**15)
+
+
+def test_restore_to_timestamp(spark, tmp_path):
+    from levi_spark.delta.restore import restore_to_timestamp
+
+    path = str(tmp_path / "t")
+    log = _mk(spark, path)  # v0 {0..9}, v1 {0..14}, v2 overwrite {100..102}
+    adj = dict(log.commit_timestamps())
+    r = restore_to_timestamp(spark, path, adj[1])
+    assert r["restored_version"] == 1 and r["version"] == 3
+    assert {x.id for x in DeltaLog(spark, path).snapshot().to_df().collect()} == set(
+        range(15)
+    )
+    # restoring to "now" (current state) is a no-op
+    r2 = restore_to_timestamp(spark, path, adj[2] + 10**7)
+    assert r2["version"] == -1
