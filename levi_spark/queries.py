@@ -4524,6 +4524,60 @@ ORDER BY stage
 """
 
 
+def table_detail_counts(spark, sf_dir):
+    """DESCRIBE DETAIL through the gate surface
+    (:func:`levi_spark.delta.history.describe_detail`): customer
+    becomes an engine Delta table (8-file layout, one partition
+    column), an append lands, and the detail row's deterministic
+    facts — format, partitionColumns, numFiles, numRecords from a
+    readback — are pinned. size/timestamps are layout-dependent and
+    checked only for sanity (positive / ordered) via boolean flags so
+    the oracle stays exact."""
+    from levi_spark.delta.history import describe_detail
+    from levi_spark.delta.log import DeltaLog
+    from levi_spark.delta.writer import write_delta
+
+    base = _scratch("detail_customer")
+    write_delta(
+        _t(spark, sf_dir, "customer").repartition(8), base, mode="error",
+        checkpoint_interval=None,
+    )
+    write_delta(
+        spark.range(1, 4).select(
+            (F.col("id") + 90_000_000).alias("c_custkey"),
+            F.lit("Customer#dt").alias("c_name"),
+            F.lit(0).cast("int").alias("c_nationkey"),
+            F.lit(1.5).alias("c_acctbal"),
+            F.lit("DT").alias("c_mktsegment"),
+        ).coalesce(1),
+        base, mode="append", checkpoint_interval=None,
+    )
+    d = describe_detail(spark, base).collect()[0]
+    n_records = DeltaLog(spark, base).snapshot().to_df().count()
+    return spark.createDataFrame(
+        [
+            (
+                d.format,
+                len(d.partitionColumns),
+                int(d.numFiles),
+                int(n_records),
+                bool(d.sizeInBytes > 0),
+                bool(d.createdAt <= d.lastModified),
+            )
+        ],
+        "format string, n_part_cols int, num_files int, num_records int, "
+        "size_positive boolean, timestamps_ordered boolean",
+    )
+
+
+TABLE_DETAIL_SQL = """
+SELECT 'delta' AS format, 0 AS n_part_cols, 9 AS num_files,
+       CAST(COUNT(*) + 3 AS INTEGER) AS num_records,
+       TRUE AS size_positive, TRUE AS timestamps_ordered
+FROM customer
+"""
+
+
 def jsonl_export_counts(spark, sf_dir):
     """JSONL export + readback: the corpus is materialized as
     newline-delimited JSON shards (the interchange format LLM training
@@ -8017,6 +8071,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # round-4 slots
     "jsonl_export_counts": (jsonl_export_counts, JSONL_EXPORT_SQL),
     "stream_static_enrich": (stream_static_enrich, STREAM_STATIC_SQL),
+    "table_detail_counts": (table_detail_counts, TABLE_DETAIL_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q4_order_priority": (q4_order_priority, Q4_SQL),
