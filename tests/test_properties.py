@@ -244,3 +244,53 @@ def test_physical_type_renames_every_nested_struct_field(shape):
             assert_renamed(dt.valueType)
 
     assert_renamed(_physical_type(build(shape)))
+
+
+# --- round-3 operator laws --------------------------------------------------
+
+def _chunk_plan(n: int) -> list[tuple[int, int]]:
+    """Pure model of doc_chunk_overlap / CHUNK_OVERLAP_SQL: 1-based
+    (start, end) token spans for a document of n tokens (window 32,
+    stride 24). Cross-engine agreement on the real corpus is pinned by
+    the oracle parity test; this pins the LAW of the shared formula."""
+    extra = max(n - 32, 0)
+    n_chunks = 1 + (extra + 23) // 24
+    return [(k * 24 + 1, min(k * 24 + 32, n)) for k in range(n_chunks)]
+
+
+@given(st.integers(min_value=1, max_value=5000))
+def test_chunk_plan_total_coverage_and_overlap(n):
+    spans = _chunk_plan(n)
+    covered: set[int] = set()
+    for a, b in spans:
+        assert 1 <= a <= b <= n          # never empty, never out of range
+        covered |= set(range(a, b + 1))
+    assert covered == set(range(1, n + 1))  # every token in >= 1 chunk
+    for (a1, b1), (a2, _b2) in zip(spans, spans[1:]):
+        assert a2 == a1 + 24             # fixed stride
+        if b1 - a1 + 1 == 32:
+            assert b1 - a2 + 1 == 8      # full windows overlap exactly 8
+
+
+def _sq8_code(x: float, lo: float, hi: float) -> int:
+    """Pure model of embedding_sq8_codes / SQ8_SQL."""
+    import math
+
+    if hi == lo:
+        return 0
+    return min(max(math.floor((x - lo) / (hi - lo) * 255.0 + 0.5), 0), 255)
+
+
+@given(
+    st.floats(min_value=-100.0, max_value=100.0, allow_nan=False),
+    st.floats(min_value=-100.0, max_value=100.0, allow_nan=False),
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+)
+def test_sq8_reconstruction_error_is_half_step_bounded(a, b, t):
+    lo, hi = min(a, b), max(a, b)
+    x = lo + (hi - lo) * t            # any point inside the range
+    q = _sq8_code(x, lo, hi)
+    assert 0 <= q <= 255
+    recon = lo + q * (hi - lo) / 255.0
+    half_step = (hi - lo) / 255.0 * 0.5
+    assert abs(x - recon) <= half_step + 1e-9 * max(1.0, abs(hi - lo))
