@@ -4524,6 +4524,80 @@ ORDER BY stage
 """
 
 
+def orders_market_basket(spark, sf_dir):
+    """Market-basket co-occurrence mining: the top part pairs bought
+    together across orders, scored by support count and integer-milli
+    lift (n_ab * N / (n_a * n_b)) — the association-rule primitive
+    behind recommendation candidate generation. Pair generation is the
+    classic bounded self-join: items of the SAME order only, upper
+    triangle (p1 < p2), so the blow-up is per-order-size-squared,
+    never corpus-squared; support pruning (>= 2 orders) happens in the
+    same aggregate. All arithmetic is positive-BIGINT products with
+    truncating division, so Spark ``div`` and DuckDB ``//`` agree
+    bit-for-bit.
+
+    Scale shape: one distinct, one self-join shuffling on the order
+    key (co-partitioned by construction), partial-aggregated pair
+    counts, and two part-count joins; the only driver scalar is the
+    order count. At 100 TB the order-size skew is the hazard — a
+    pathological basket with 10^5 items would need per-order item
+    capping, the standard mitigation."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.select("l_orderkey").distinct().count()
+    part_counts = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 2)
+    )
+    pa = part_counts.select(F.col("l_partkey").alias("p1"), F.col("n").alias("na"))
+    pb = part_counts.select(F.col("l_partkey").alias("p2"), F.col("n").alias("nb"))
+    scored = (
+        pairs.join(pa, "p1")
+        .join(pb, "p2")
+        .select(
+            "p1",
+            "p2",
+            "n_ab",
+            F.expr(f"(n_ab * {n_orders}L * 1000L) div (na * nb)").alias(
+                "lift_milli"
+            ),
+        )
+    )
+    return scored.orderBy(
+        F.col("n_ab").desc(), F.col("lift_milli").desc(), "p1", "p2"
+    ).limit(20)
+
+
+MARKET_BASKET_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+pc AS (SELECT l_partkey, COUNT(*) AS n FROM items GROUP BY 1),
+pr AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_ab
+  FROM items a
+  JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+)
+SELECT pr.p1, pr.p2, pr.n_ab,
+       CAST((pr.n_ab * n.n_orders * 1000) // (pa.n * pb.n) AS BIGINT)
+         AS lift_milli
+FROM pr CROSS JOIN n
+JOIN pc pa ON pa.l_partkey = pr.p1
+JOIN pc pb ON pb.l_partkey = pr.p2
+ORDER BY pr.n_ab DESC, lift_milli DESC, pr.p1, pr.p2
+LIMIT 20
+"""
+
+
 def table_detail_counts(spark, sf_dir):
     """DESCRIBE DETAIL through the gate surface
     (:func:`levi_spark.delta.history.describe_detail`): customer
@@ -8072,6 +8146,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "jsonl_export_counts": (jsonl_export_counts, JSONL_EXPORT_SQL),
     "stream_static_enrich": (stream_static_enrich, STREAM_STATIC_SQL),
     "table_detail_counts": (table_detail_counts, TABLE_DETAIL_SQL),
+    "orders_market_basket": (orders_market_basket, MARKET_BASKET_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q4_order_priority": (q4_order_priority, Q4_SQL),
