@@ -94,6 +94,7 @@ def clone_table(
             dv = a["deletionVector"]
             abs_dv = None
             if dv is not None and dv["pathOrInlineDv"]:
+                _require_path_dv(dv)
                 d = dv["pathOrInlineDv"]
                 # DV descriptor paths are emitted verbatim (no quoting
                 # round-trip in the reader), absolute into the source
@@ -118,13 +119,23 @@ def clone_table(
             dv = a["deletionVector"]
             dv_rel = None
             if dv is not None and dv["pathOrInlineDv"]:
+                _require_path_dv(dv)
                 dv_rel = dv["pathOrInlineDv"]
-                if dv_rel not in copied_dv:
-                    shutil.copytree(
-                        os.path.join(src_log.table_path, dv_rel),
-                        os.path.join(dst_path, dv_rel),
-                        dirs_exist_ok=True,
+                if os.path.isabs(dv_rel) or "://" in dv_rel:
+                    raise ValueError(
+                        "deep clone cannot re-link external DV sidecar: "
+                        f"{dv_rel}"
                     )
+                if dv_rel not in copied_dv:
+                    src_dv = os.path.join(src_log.table_path, dv_rel)
+                    dst_dv = os.path.join(dst_path, dv_rel)
+                    # our writer emits a sidecar parquet *directory*;
+                    # a foreign log may reference a single sidecar file
+                    if os.path.isdir(src_dv):
+                        shutil.copytree(src_dv, dst_dv, dirs_exist_ok=True)
+                    else:
+                        os.makedirs(os.path.dirname(dst_dv), exist_ok=True)
+                        shutil.copy2(src_dv, dst_dv)
                     copied_dv.add(dv_rel)
             out_adds.append(_add_dict(a, a["path"], dv_rel))
 
@@ -169,6 +180,21 @@ def clone_table(
         "bytes": total_bytes,
         "shallow": bool(shallow),
     }
+
+
+def _require_path_dv(dv: dict) -> None:
+    """Clone only supports file-based ('path' storageType) deletion
+    vectors — an inline DV ('i', base85 payload in pathOrInlineDv) or a
+    relative-UUID one ('u') must not be treated as a filesystem path:
+    absolutizing/copying it would manufacture a bogus descriptor or
+    crash mid-copy, leaving a half-written clone. Refuse up front."""
+    st = dv["storageType"]
+    if st != "path":
+        raise ValueError(
+            f"clone supports only storageType='path' deletion vectors, "
+            f"got {st!r} (inline and relative-UUID DVs are not portable "
+            f"by path rewriting)"
+        )
 
 
 def _add_dict(a, path: str, dv_path: str | None) -> dict:

@@ -94,7 +94,7 @@ def _config_commit(spark: SparkSession, path: str, new_conf: dict[str, str]) -> 
                     "schemaString": snap.metadata.schema.json(),
                     "partitionColumns": snap.metadata.partition_columns,
                     "configuration": new_conf,
-                    "createdTime": now_ms,
+                    "createdTime": snap.metadata.created_time or now_ms,
                 }
             }
         ),

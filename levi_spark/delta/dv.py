@@ -65,7 +65,7 @@ def _append_commit(
                     "schemaString": meta.schema.json(),
                     "partitionColumns": meta.partition_columns,
                     "configuration": meta.configuration,
-                    "createdTime": now_ms,
+                    "createdTime": meta.created_time or now_ms,
                 }
             }
         )

@@ -83,14 +83,20 @@ def describe_detail(spark: SparkSession, table_path: str) -> DataFrame:
     snap = log.snapshot()
     meta = snap.metadata
     adds = [r["add"] for r in snap.live_adds_collected()]
-    created = None
+    # createdAt is metaData.createdTime (what Delta's DESCRIBE DETAIL
+    # reports): persisted in the metaData action, it survives checkpoint
+    # + log expiry, while the earliest *surviving* commit timestamp
+    # drifts forward as old commits are expired. Commit timestamps are
+    # used only for lastModified; when every commit json has been
+    # expired (checkpoint-only log) fall back to createdAt so the pair
+    # stays comparable (createdAt <= lastModified) instead of NULL.
+    created = meta.created_time
     commits, _cps = log._entries()
     if commits:
         stamps = dict(log.commit_timestamps())
-        created = stamps.get(min(stamps), None)
         last_modified = stamps.get(max(stamps), None)
     else:
-        last_modified = None
+        last_modified = created
     row = {
         "format": "delta",
         "id": meta.id,

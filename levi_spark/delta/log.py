@@ -288,6 +288,10 @@ class TableMetadata:
     schema: T.StructType
     partition_columns: list[str]
     configuration: dict[str, str]
+    # metaData.createdTime (epoch ms) — what DESCRIBE DETAIL reports as
+    # createdAt; persisted in the metaData action, so it survives
+    # checkpointing + log expiry (commit-0's timestamp does not).
+    created_time: int | None = None
 
     @property
     def data_columns(self) -> list[str]:
@@ -652,6 +656,7 @@ class Snapshot:
                 schema=schema,
                 partition_columns=list(m["partitionColumns"] or []),
                 configuration=dict(m["configuration"] or {}),
+                created_time=m["createdTime"],
             )
             # The distributed branch builds `protocol` with F.struct(...),
             # which is never NULL for checkpoint rows — a metaData row can
@@ -917,12 +922,15 @@ class Snapshot:
         meta = self.metadata
         infos = self.file_infos()
         if paths is not None:
-            keep = set(paths)
-            infos = [
-                (p, pv)
-                for p, pv in infos
-                if os.path.relpath(p, self.log.table_path) in keep
-            ]
+            # keep entries are decoded add paths — usually table-relative,
+            # but absolute when the add came from a shallow clone. Rebase
+            # them exactly the way file_infos() built ``p``
+            # (os.path.join leaves an absolute second arg untouched), so
+            # both cases compare equal; a relpath()-based compare would
+            # silently match nothing for absolute adds and a downstream
+            # replace_paths rewrite would tombstone files it never read.
+            keep = {os.path.join(self.log.table_path, k) for k in paths}
+            infos = [(p, pv) for p, pv in infos if p in keep]
         out_cols = list(meta.data_columns) + (
             ["_file_name", "_row_index"] if with_lineage else []
         )

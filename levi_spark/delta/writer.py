@@ -464,15 +464,18 @@ def write_delta(
     commit_schema = incoming_schema
     meta_id: str | None = None
     meta_conf: dict[str, str] = {}
+    meta_created: int | None = None
     if exists:
         log = DeltaLog(spark, path)
         snap = log.snapshot()
         version = snap.version + 1
-        # Table identity and configuration survive every commit —
-        # regenerating them on append/overwrite would silently change
-        # the table id and wipe configuration set by other writers.
+        # Table identity, configuration and creation time survive every
+        # commit — regenerating them on append/overwrite would silently
+        # change the table id, wipe configuration set by other writers,
+        # and make DESCRIBE DETAIL's createdAt drift to the last write.
         meta_id = snap.metadata.id
         meta_conf = dict(snap.metadata.configuration)
+        meta_created = snap.metadata.created_time
         # Partitioning is table metadata, not a per-write choice: a
         # write that OMITS partition_by (None) inherits it, and an
         # append declaring a DIFFERENT layout errors (committing
@@ -732,7 +735,9 @@ def write_delta(
                     "schemaString": commit_schema.json(),
                     "partitionColumns": partition_by,
                     "configuration": meta_conf,
-                    "createdTime": now_ms,
+                    "createdTime": meta_created
+                    if meta_created is not None
+                    else now_ms,
                 }
             }
         )
@@ -761,6 +766,7 @@ def write_delta(
             version = snap.version + 1
             meta_id = snap.metadata.id
             meta_conf = dict(snap.metadata.configuration)
+            meta_created = snap.metadata.created_time
             prev_schema = snap.metadata.schema
             by_name = {f.name: f for f in prev_schema.fields}
             for f in df.schema.fields:

@@ -4524,6 +4524,30 @@ ORDER BY stage
 """
 
 
+MARKET_BASKET_CAP = 32
+
+
+def market_basket_cap_items(items, cap: int = MARKET_BASKET_CAP):
+    """Deterministic per-order item cap — the standard mitigation for
+    basket-size skew in co-occurrence mining. Keeps each order's ``cap``
+    most frequent items (global item frequency desc, item id asc as the
+    total-order tie-break), so a pathological 10^5-item basket
+    contributes at most cap*(cap-1)/2 pairs instead of ~10^10. The
+    frequency rank needs one broadcastable aggregate over the item
+    list; the row_number window shuffles on the order key — the same
+    key the pair self-join hashes on, so the exchange is reused."""
+    freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("__freq"))
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("__freq").desc(), F.col("l_partkey")
+    )
+    return (
+        items.join(freq, "l_partkey")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= cap)
+        .select("l_orderkey", "l_partkey")
+    )
+
+
 def orders_market_basket(spark, sf_dir):
     """Market-basket co-occurrence mining: the top part pairs bought
     together across orders, scored by support count and integer-milli
@@ -4539,11 +4563,16 @@ def orders_market_basket(spark, sf_dir):
     Scale shape: one distinct, one self-join shuffling on the order
     key (co-partitioned by construction), partial-aggregated pair
     counts, and two part-count joins; the only driver scalar is the
-    order count. At 100 TB the order-size skew is the hazard — a
-    pathological basket with 10^5 items would need per-order item
-    capping, the standard mitigation."""
+    order count. Basket-size skew — the 100 TB hazard of any
+    same-key self-join — is mitigated up front by
+    :func:`market_basket_cap_items`: every order is capped to its
+    MARKET_BASKET_CAP most frequent items before pair generation, so
+    the worst-case per-order fan-out is a constant, and the cap is
+    mirrored verbatim in the DuckDB oracle CTE."""
     li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = market_basket_cap_items(
+        li.select("l_orderkey", "l_partkey").distinct()
+    )
     n_orders = items.select("l_orderkey").distinct().count()
     part_counts = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
     a = items.alias("a")
@@ -4577,7 +4606,16 @@ def orders_market_basket(spark, sf_dir):
 
 
 MARKET_BASKET_SQL = """
-WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+WITH items0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+freq AS (SELECT l_partkey, COUNT(*) AS f FROM items0 GROUP BY 1),
+items AS (
+  SELECT l_orderkey, l_partkey FROM (
+    SELECT i.l_orderkey, i.l_partkey,
+           ROW_NUMBER() OVER (PARTITION BY i.l_orderkey
+                              ORDER BY fr.f DESC, i.l_partkey) AS rn
+    FROM items0 i JOIN freq fr USING (l_partkey)
+  ) WHERE rn <= 32
+),
 n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
 pc AS (SELECT l_partkey, COUNT(*) AS n FROM items GROUP BY 1),
 pr AS (
@@ -4627,25 +4665,32 @@ def table_detail_counts(spark, sf_dir):
         base, mode="append", checkpoint_interval=None,
     )
     d = describe_detail(spark, base).collect()[0]
-    n_records = DeltaLog(spark, base).snapshot().to_df().count()
+    snap = DeltaLog(spark, base).snapshot()
+    n_records = snap.to_df().count()
+    # numFiles is layout-dependent (writer file-sizing heuristics may
+    # change how many files an 8-way repartition lands as) — assert it
+    # against the committed log's live-add census instead of pinning a
+    # literal in the oracle, the same way num_records is derived from a
+    # readback rather than assumed.
+    n_files_log = len(snap.live_adds_collected())
     return spark.createDataFrame(
         [
             (
                 d.format,
                 len(d.partitionColumns),
-                int(d.numFiles),
+                bool(int(d.numFiles) == n_files_log and n_files_log > 0),
                 int(n_records),
                 bool(d.sizeInBytes > 0),
                 bool(d.createdAt <= d.lastModified),
             )
         ],
-        "format string, n_part_cols int, num_files int, num_records int, "
-        "size_positive boolean, timestamps_ordered boolean",
+        "format string, n_part_cols int, num_files_match_log boolean, "
+        "num_records int, size_positive boolean, timestamps_ordered boolean",
     )
 
 
 TABLE_DETAIL_SQL = """
-SELECT 'delta' AS format, 0 AS n_part_cols, 9 AS num_files,
+SELECT 'delta' AS format, 0 AS n_part_cols, TRUE AS num_files_match_log,
        CAST(COUNT(*) + 3 AS INTEGER) AS num_records,
        TRUE AS size_positive, TRUE AS timestamps_ordered
 FROM customer

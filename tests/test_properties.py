@@ -10,6 +10,7 @@ from __future__ import annotations
 from collections import Counter
 
 import pytest
+from pyspark.sql import functions as F
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -294,3 +295,46 @@ def test_sq8_reconstruction_error_is_half_step_bounded(a, b, t):
     recon = lo + q * (hi - lo) / 255.0
     half_step = (hi - lo) / 255.0 * 0.5
     assert abs(x - recon) <= half_step + 1e-9 * max(1.0, abs(hi - lo))
+
+
+# ---- market-basket per-order cap bounds pair fan-out --------------------
+
+
+def test_market_basket_cap_bounds_pathological_basket(spark):
+    """One pathological 1,000-item order next to normal 3-item orders:
+    the capped item list holds at most MARKET_BASKET_CAP rows for the
+    monster order (so pair fan-out is <= cap*(cap-1)/2, not ~5*10^5),
+    keeps every row of the small orders, and the kept set is the
+    deterministic frequency-desc/partkey-asc prefix."""
+    from levi_spark.queries import MARKET_BASKET_CAP, market_basket_cap_items
+
+    rows = [(1, p) for p in range(1000)]
+    rows += [(o, p) for o in (2, 3, 4) for p in (5, 6, 7)]
+    items = spark.createDataFrame(rows, "l_orderkey LONG, l_partkey LONG")
+    capped = market_basket_cap_items(items)
+    by_order = {
+        r["l_orderkey"]: r["n"]
+        for r in capped.groupBy("l_orderkey").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert by_order[1] == MARKET_BASKET_CAP
+    assert by_order[2] == by_order[3] == by_order[4] == 3
+    # deterministic winners for the monster order: parts 5,6,7 appear in
+    # 4 orders (highest frequency), then partkey-ascending fill
+    kept = sorted(
+        r["l_partkey"]
+        for r in capped.where("l_orderkey = 1").collect()
+    )
+    # 5,6,7 (freq 4) win first, then partkey-ascending fill of the
+    # freq-1 parts 0,1,2,3,4,8,...,31 — the union is exactly 0..cap-1
+    assert kept == list(range(MARKET_BASKET_CAP))
+
+
+def test_market_basket_cap_is_identity_below_cap(spark):
+    from levi_spark.queries import market_basket_cap_items
+
+    rows = [(o, p) for o in range(10) for p in range(o % 5 + 1)]
+    items = spark.createDataFrame(rows, "l_orderkey LONG, l_partkey LONG")
+    capped = market_basket_cap_items(items)
+    assert sorted(map(tuple, capped.collect())) == sorted(rows)
