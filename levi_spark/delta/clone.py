@@ -94,7 +94,7 @@ def clone_table(
             dv = a["deletionVector"]
             abs_dv = None
             if dv is not None and dv["pathOrInlineDv"]:
-                _require_path_dv(dv)
+                _require_path_dv(dv, shallow=True)
                 d = dv["pathOrInlineDv"]
                 # DV descriptor paths are emitted verbatim (no quoting
                 # round-trip in the reader), absolute into the source
@@ -103,40 +103,57 @@ def clone_table(
                 )
             out_adds.append(_add_dict(a, quote(abs_path, safe="/"), abs_dv))
     else:
-        rels = []
+        # Validate EVERY add and DV descriptor (relinkability, storage
+        # type, source existence) in a full pass BEFORE the first byte
+        # is copied: a failure must leave dst_path untouched, not
+        # strewn with orphan data files that a later clone to the same
+        # destination would silently merge over.
+        rels: list[str] = []
+        dv_rels: list[str | None] = []
         for a in adds:
             rel = unquote(a["path"])
             if os.path.isabs(rel) or "://" in rel:
                 raise ValueError(
                     f"deep clone cannot re-link external file: {rel}"
                 )
-            rels.append(rel)
-        copied_dv: set[str] = set()
-        for a, rel in zip(adds, rels):
-            dst_f = os.path.join(dst_path, rel)
-            os.makedirs(os.path.dirname(dst_f), exist_ok=True)
-            shutil.copy2(os.path.join(src_log.table_path, rel), dst_f)
+            if not os.path.exists(os.path.join(src_log.table_path, rel)):
+                raise ValueError(
+                    f"deep clone source file missing on disk: {rel}"
+                )
             dv = a["deletionVector"]
             dv_rel = None
             if dv is not None and dv["pathOrInlineDv"]:
-                _require_path_dv(dv)
+                _require_path_dv(dv, shallow=False)
                 dv_rel = dv["pathOrInlineDv"]
                 if os.path.isabs(dv_rel) or "://" in dv_rel:
                     raise ValueError(
                         "deep clone cannot re-link external DV sidecar: "
                         f"{dv_rel}"
                     )
-                if dv_rel not in copied_dv:
-                    src_dv = os.path.join(src_log.table_path, dv_rel)
-                    dst_dv = os.path.join(dst_path, dv_rel)
-                    # our writer emits a sidecar parquet *directory*;
-                    # a foreign log may reference a single sidecar file
-                    if os.path.isdir(src_dv):
-                        shutil.copytree(src_dv, dst_dv, dirs_exist_ok=True)
-                    else:
-                        os.makedirs(os.path.dirname(dst_dv), exist_ok=True)
-                        shutil.copy2(src_dv, dst_dv)
-                    copied_dv.add(dv_rel)
+                if not os.path.exists(
+                    os.path.join(src_log.table_path, dv_rel)
+                ):
+                    raise ValueError(
+                        f"deep clone DV sidecar missing on disk: {dv_rel}"
+                    )
+            rels.append(rel)
+            dv_rels.append(dv_rel)
+        copied_dv: set[str] = set()
+        for a, rel, dv_rel in zip(adds, rels, dv_rels):
+            dst_f = os.path.join(dst_path, rel)
+            os.makedirs(os.path.dirname(dst_f), exist_ok=True)
+            shutil.copy2(os.path.join(src_log.table_path, rel), dst_f)
+            if dv_rel is not None and dv_rel not in copied_dv:
+                src_dv = os.path.join(src_log.table_path, dv_rel)
+                dst_dv = os.path.join(dst_path, dv_rel)
+                # our writer emits a sidecar parquet *directory*;
+                # a foreign log may reference a single sidecar file
+                if os.path.isdir(src_dv):
+                    shutil.copytree(src_dv, dst_dv, dirs_exist_ok=True)
+                else:
+                    os.makedirs(os.path.dirname(dst_dv), exist_ok=True)
+                    shutil.copy2(src_dv, dst_dv)
+                copied_dv.add(dv_rel)
             out_adds.append(_add_dict(a, a["path"], dv_rel))
 
     now_ms = int(time.time() * 1000)
@@ -182,19 +199,32 @@ def clone_table(
     }
 
 
-def _require_path_dv(dv: dict) -> None:
-    """Clone only supports file-based ('path' storageType) deletion
-    vectors — an inline DV ('i', base85 payload in pathOrInlineDv) or a
-    relative-UUID one ('u') must not be treated as a filesystem path:
-    absolutizing/copying it would manufacture a bogus descriptor or
-    crash mid-copy, leaving a half-written clone. Refuse up front."""
+def _require_path_dv(dv: dict, *, shallow: bool) -> None:
+    """Clone supports file-based deletion vectors only. The engine's
+    own sidecars use storageType='path' (relative file reference) and
+    work for both flavors. A foreign log's spec marker 'p' means the
+    reference is ALREADY an absolute path (Delta protocol, deletion
+    vector descriptor) — portable verbatim for a SHALLOW clone (the
+    add action is re-emitted pointing at the same absolute sidecar)
+    but not re-linkable by a deep clone's relative-path copy. Inline
+    DVs ('i', base85 payload in pathOrInlineDv) and relative-UUID ones
+    ('u') must never be treated as filesystem paths: absolutizing or
+    copying them would manufacture a bogus descriptor. Refuse up
+    front, before any bytes move."""
     st = dv["storageType"]
-    if st != "path":
+    if st == "path" or (st == "p" and shallow):
+        return
+    if st == "p":
         raise ValueError(
-            f"clone supports only storageType='path' deletion vectors, "
-            f"got {st!r} (inline and relative-UUID DVs are not portable "
-            f"by path rewriting)"
+            "deep clone cannot re-link an absolute-path ('p') deletion "
+            "vector; shallow-clone it instead, or use tables with "
+            "levi-spark-written ('path') DV sidecars"
         )
+    raise ValueError(
+        f"clone supports storageType='path' deletion vectors (and 'p' "
+        f"for shallow clones), got {st!r} (inline and relative-UUID DVs "
+        f"are not portable by path rewriting)"
+    )
 
 
 def _add_dict(a, path: str, dv_path: str | None) -> dict:

@@ -4645,6 +4645,23 @@ LIMIT 20
 """
 
 
+def _data_parquet_census(base: str) -> int:
+    """Count the data parquet files on disk under a table directory,
+    excluding ``_``-prefixed sidecar trees (_delta_log, _change_data,
+    staging). An independent numFiles source for
+    :func:`table_detail_counts`: valid for fresh tables with no
+    rewrites or vacuum, where every data file on disk must be live."""
+    import os as _os
+
+    n = 0
+    for _root, dirs, files in _os.walk(base):
+        dirs[:] = [x for x in dirs if not x.startswith("_")]
+        n += sum(
+            1 for x in files if x.endswith(".parquet") and not x.startswith("_")
+        )
+    return n
+
+
 def table_detail_counts(spark, sf_dir):
     """DESCRIBE DETAIL through the gate surface
     (:func:`levi_spark.delta.history.describe_detail`): customer
@@ -4686,14 +4703,7 @@ def table_detail_counts(spark, sf_dir):
     # is freshly created + appended with no rewrites or vacuum, so every
     # data file on disk must be live — and any orphan the writer leaked
     # would now fail the gate.
-    import os as _os
-
-    n_files_disk = 0
-    for _root, dirs, files in _os.walk(base):
-        dirs[:] = [x for x in dirs if not x.startswith("_")]
-        n_files_disk += sum(
-            1 for x in files if x.endswith(".parquet") and not x.startswith("_")
-        )
+    n_files_disk = _data_parquet_census(base)
     return spark.createDataFrame(
         [
             (
