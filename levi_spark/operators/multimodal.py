@@ -31,8 +31,10 @@ FrameDecoder = Callable[[bytes], dict]
 
 def _default_image_decoder(payload: bytes) -> dict:
     raise NotImplementedError(
-        "real image decode requires PIL/opencv (not in this container); "
-        "pass decoder=fake_image_decoder or a real codec"
+        "no decoder given: pass levi_spark.operators.png.png_image_decoder "
+        "(real PNG), levi_spark.operators.netpbm.netpbm_image_decoder "
+        "(real netpbm), fake_image_decoder, or a PIL/opencv-backed codec "
+        "for formats we don't ship (JPEG/WebP)"
     )
 
 
