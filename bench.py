@@ -28,6 +28,20 @@ from levi_spark.session import get_spark
 
 STDOUT_BUDGET = 1800
 
+# Queries whose repeat runs would hit the per-session staged SimHash
+# pair-set cache (levi_spark.queries._NEARDUP_PAIRS_CACHE) and report a
+# cache-hit time instead of real work — they keep single-run timing.
+SESSION_STAGED = {
+    "simhash_neardup_pairs",
+    "neardup_clusters",
+    "dedup_canonical_corpus",
+}
+# Sub-threshold queries get repeat runs so single-run variance stops
+# masquerading as regression (ivf_trained_topk swung 3.0->5.2->4.1 s
+# across rounds with no code change). Reported time = min over runs.
+REPEAT_BELOW_S = 5.0
+NOISY_RATIO = 1.2
+
 
 def _testdata_fingerprint(sf_dir: str) -> dict:
     """Per-table row counts + content md5 of the input parquet, so
@@ -62,33 +76,77 @@ def main():
     # one tiny action to absorb JVM/session warmup out of the first query
     spark.range(1).count()
 
-    timings: dict[str, float] = {}
-    for name, (fn, _sql) in QUERIES.items():
+    def run_once(name, fn):
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         # noop sink materializes every output column (count() would let
         # Catalyst prune the projection and under-report)
         df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        sec = round(time.perf_counter() - t0, 4)
         # isolation between queries: cached RDDs and streaming memory
         # sinks left behind by one query must not tax the next
         spark.catalog.clearCache()
         for v in spark.catalog.listTables():
             if v.name.startswith("levi_stream_"):
                 spark.catalog.dropTempView(v.name)
+        return sec
+
+    runs: dict[str, list[float]] = {}
+    for name, (fn, _sql) in QUERIES.items():
+        runs[name] = [run_once(name, fn)]
+    # variance pass: fast queries get a 2nd run; a 3rd only when the
+    # first two disagree by >NOISY_RATIO (bounds the extra wall time)
+    for name, (fn, _sql) in QUERIES.items():
+        if runs[name][0] >= REPEAT_BELOW_S or name in SESSION_STAGED:
+            continue
+        runs[name].append(run_once(name, fn))
+        lo, hi = min(runs[name]), max(runs[name])
+        if lo > 0 and hi / lo > NOISY_RATIO:
+            runs[name].append(run_once(name, fn))
+    timings = {name: min(rs) for name, rs in runs.items()}
     total = round(sum(timings.values()), 4)
+
+    fingerprint = _testdata_fingerprint(sf_dir)
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    # loud cross-round attribution guard: if the committed BENCH_DETAIL
+    # was taken on different testdata bytes, timings are NOT comparable
+    testdata_match = None
+    if os.path.exists(detail_path):
+        try:
+            with open(detail_path) as f:
+                prev = json.load(f)
+            if prev.get("sf") == sf and "testdata" in prev:
+                testdata_match = prev["testdata"] == fingerprint
+        except (ValueError, OSError):
+            pass
+    if testdata_match is False:
+        print(
+            "=" * 72
+            + "\nBENCH WARNING: testdata fingerprint differs from the "
+            "committed BENCH_DETAIL.json —\ncross-round timing deltas are "
+            "NOT attributable to code until re-baselined.\n" + "=" * 72,
+            file=sys.stderr,
+        )
 
     detail = {
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "runs": runs,
+        "timing_note": (
+            "per-query time = min over runs; queries under "
+            f"{REPEAT_BELOW_S:.0f}s run 2-3x (3rd run only when the first "
+            f"two disagree by >{NOISY_RATIO:.1f}x); session-staged queries "
+            "(SimHash pair-set consumers) keep single-run timing so a "
+            "cache hit is never reported as query speed"
+        ),
         "sf": sf,
         "n_queries": len(timings),
-        "testdata": _testdata_fingerprint(sf_dir),
+        "testdata": fingerprint,
+        "testdata_match_previous": testdata_match,
     }
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     print(json.dumps(detail), file=sys.stderr)
@@ -102,6 +160,7 @@ def main():
         "sf": sf,
         "n_queries": len(timings),
         "detail": "BENCH_DETAIL.json",
+        "testdata_match_previous": testdata_match,
     }
     for name, sec in sorted(timings.items(), key=lambda kv: -kv[1]):
         trial = dict(head)
