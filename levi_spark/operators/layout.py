@@ -170,17 +170,90 @@ def _hilbert_index_np(coords: np.ndarray, bits: int) -> np.ndarray:
 
 def hilbert_value(df: DataFrame, cols: list[str], bits: int = 8) -> DataFrame:
     """Append a ``__h`` column: Hilbert-curve index of the clustering
-    columns (bucketing per ``_bucket_exprs``). The index itself is a
-    vectorized-numpy pandas_udf — see the module docstring for why this
-    one transform is not a Catalyst expression."""
+    columns (bucketing per ``_bucket_exprs``), computed ENTIRELY with
+    JVM-side Catalyst expressions — no Python in the OPTIMIZE path.
+
+    Skilling's sequential bit-by-bit state updates don't unroll into
+    nested CASE without exponential blowup, but they don't need to:
+    the Q-loop is a runtime fold (``aggregate`` over the literal array
+    of Q values — ONE lambda expression evaluated per element), with
+    only the inner per-column loop unrolled (n is small). The
+    phase outputs (transpose -> Gray -> t -> interleave) are
+    let-bound via the ``element_at(transform(array(x), v -> ...), 1)``
+    idiom so each phase is computed once per row instead of being
+    re-inlined into every consumer. Per-row cost is a few hundred
+    primitive long ops inside codegen'd HOFs; cross-checked
+    bit-for-bit against :func:`_hilbert_index_np` in tests."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError("hilbert_value needs at least 2 clustering columns")
     buckets = _bucket_exprs(df, cols, bits)
+    one = F.lit(1).cast("long")
+    zero = F.lit(0).cast("long")
+    init = F.array(*[b.cast("long") for b in buckets])
+    # Q = M, M/2, ..., 2 — literal geometric sequence, folded at runtime
+    qs = F.array(*[F.lit(1 << e).cast("long") for e in range(bits - 1, 0, -1)])
 
-    @F.pandas_udf("long")
-    def _hidx(b: pd.Series) -> pd.Series:
-        coords = np.stack(b.to_numpy()).astype(np.int64)
-        return pd.Series(_hilbert_index_np(coords, bits))
+    def undo(acc, q):
+        # one Q round of Skilling's 'inverse undo excess work':
+        # X[0] accumulates sequentially, so the per-column loop is
+        # unrolled (n-bounded); the Q loop stays a runtime fold
+        p = q - one
+        xs = [F.element_at(acc, i + 1) for i in range(n)]
+        cur0 = F.when(
+            xs[0].bitwiseAND(q) != zero, xs[0].bitwiseXOR(p)
+        ).otherwise(xs[0])
+        outs = []
+        for i in range(1, n):
+            xi = xs[i]
+            mask = xi.bitwiseAND(q) != zero
+            t = cur0.bitwiseXOR(xi).bitwiseAND(p)
+            outs.append(F.when(mask, xi).otherwise(xi.bitwiseXOR(t)))
+            cur0 = F.when(mask, cur0.bitwiseXOR(p)).otherwise(
+                cur0.bitwiseXOR(t)
+            )
+        return F.array(cur0, *outs)
 
-    return df.withColumn("__h", _hidx(F.array(*buckets)))
+    tx = F.aggregate(qs, init, undo)
+
+    def with_tx(txv):
+        xs = [F.element_at(txv, i + 1) for i in range(n)]
+        gray = [xs[0]]
+        for i in range(1, n):
+            gray.append(xs[i].bitwiseXOR(gray[i - 1]))
+
+        def with_gray(g):
+            gs = [F.element_at(g, i + 1) for i in range(n)]
+            t = F.aggregate(
+                qs,
+                zero,
+                lambda acc, q: F.when(
+                    gs[n - 1].bitwiseAND(q) != zero,
+                    acc.bitwiseXOR(q - one),
+                ).otherwise(acc),
+            )
+
+            def with_t(tv):
+                finals = [gs[i].bitwiseXOR(tv) for i in range(n)]
+                # MSB-first interleave of the transposed coords —
+                # same shape as the z-order expression
+                h = zero
+                for k in range(bits - 1, -1, -1):
+                    for i in range(n):
+                        h = h + F.shiftleft(
+                            F.shiftright(finals[i], k).bitwiseAND(one),
+                            k * n + (n - 1 - i),
+                        )
+                return h
+
+            return F.element_at(F.transform(F.array(t), with_t), 1)
+
+        return F.element_at(
+            F.transform(F.array(F.array(*gray)), with_gray), 1
+        )
+
+    h = F.element_at(F.transform(F.array(tx), with_tx), 1)
+    return df.withColumn("__h", h)
 
 
 def optimize_hilbert(

@@ -95,6 +95,81 @@ def ingest_events(
     )
 
 
+def _upsert_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    table_path: str,
+    keys: list[str],
+    order_cols: list[str],
+    app: str,
+) -> bool:
+    """Apply one micro-batch of the UPSERT sink idempotently; returns
+    False when the batch was already applied (crash replay). Module
+    level (not a closure) so the crash-replay law can be property-held
+    by driving it directly with explicit batch ids — Spark's replay
+    contract is 'same batch id, same batch content'.
+
+    Edge the property test pinned: a batch whose MERGE has nothing to
+    do (every incoming row loses the order-tuple update condition and
+    no key is new) commits NOTHING — the merge builder refuses no-op
+    commits, so no SetTransaction lands and a replay of that batch
+    re-RUNS instead of skipping. That is still exactly-once at the
+    state level: the sink is the table's only writer, a replay runs
+    against the identical state, and the same no-op falls out. Only
+    batches that committed are (and need to be) skipped by the
+    ``batch_id <= applied`` guard."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from levi_spark.delta.log import DeltaLog
+    from levi_spark.delta.table import LeviTable
+    from levi_spark.operators.merge import merge
+
+    spark = batch_df.sparkSession
+    exists = os.path.isdir(os.path.join(table_path, "_delta_log"))
+    if exists:
+        applied = (
+            DeltaLog(spark, table_path)
+            .snapshot()
+            .txn_versions()
+            .get(app, -1)
+        )
+        if batch_id <= applied:
+            return False
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    latest = (
+        batch_df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if not exists:
+        write_delta(latest, table_path, mode="error", txn=(app, batch_id))
+        return True
+    non_keys = [c for c in latest.columns if c not in keys]
+    cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    # Batches are not ordered by event time (file-stream discovery
+    # is path order), so an unconditional update would let an OLDER
+    # row arriving in a LATER batch clobber newer state. The update
+    # fires only when the incoming row wins the same order that
+    # picked the per-batch latest (tuple compare over order_cols).
+    s_tuple = ", ".join(f"s.{c}" for c in order_cols)
+    t_tuple = ", ".join(f"t.{c}" for c in order_cols)
+    newer = f"struct({s_tuple}) >= struct({t_tuple})"
+    (
+        merge(LeviTable(spark, table_path), latest, cond)
+        .when_matched_update(
+            condition=newer, set={c: f"s.{c}" for c in non_keys}
+        )
+        .when_not_matched_insert(
+            values={c: f"s.{c}" for c in latest.columns}
+        )
+        .execute(txn=(app, batch_id))
+    )
+    return True
+
+
 def stream_upsert_to_delta(
     stream_df: DataFrame,
     table_path: str,
@@ -116,58 +191,10 @@ def stream_upsert_to_delta(
     micro-batch only; the MERGE rewrites only files holding matched
     keys (:mod:`levi_spark.operators.merge`), so steady-state cost
     tracks the batch's key cardinality, not table size."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    from levi_spark.delta.log import DeltaLog
-    from levi_spark.delta.table import LeviTable
-    from levi_spark.operators.merge import merge
-
     app = app_id or f"levi-stream-upsert:{os.path.abspath(checkpoint_dir)}"
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        exists = os.path.isdir(os.path.join(table_path, "_delta_log"))
-        if exists:
-            applied = (
-                DeltaLog(spark, table_path)
-                .snapshot()
-                .txn_versions()
-                .get(app, -1)
-            )
-            if batch_id <= applied:
-                return
-        w = Window.partitionBy(*keys).orderBy(
-            *[F.col(c).desc() for c in order_cols]
-        )
-        latest = (
-            batch_df.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-        if not exists:
-            write_delta(latest, table_path, mode="error", txn=(app, batch_id))
-            return
-        non_keys = [c for c in latest.columns if c not in keys]
-        cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
-        # Batches are not ordered by event time (file-stream discovery
-        # is path order), so an unconditional update would let an OLDER
-        # row arriving in a LATER batch clobber newer state. The update
-        # fires only when the incoming row wins the same order that
-        # picked the per-batch latest (tuple compare over order_cols).
-        s_tuple = ", ".join(f"s.{c}" for c in order_cols)
-        t_tuple = ", ".join(f"t.{c}" for c in order_cols)
-        newer = f"struct({s_tuple}) >= struct({t_tuple})"
-        (
-            merge(LeviTable(spark, table_path), latest, cond)
-            .when_matched_update(
-                condition=newer, set={c: f"s.{c}" for c in non_keys}
-            )
-            .when_not_matched_insert(
-                values={c: f"s.{c}" for c in latest.columns}
-            )
-            .execute(txn=(app, batch_id))
-        )
+        _upsert_batch(batch_df, batch_id, table_path, keys, order_cols, app)
 
     q = (
         stream_df.writeStream.foreachBatch(sink)

@@ -212,3 +212,49 @@ def test_auto_optimize_policy(spark, tmp_path):
         spark, path, small_bytes=10, min_small_files=1, min_small_fraction=0.9
     )
     assert not r3["triggered"] and r3["n_small"] == 0
+
+
+def test_hilbert_value_is_jvm_only(spark):
+    """Round-5 ask: no Python evaluation node anywhere in the OPTIMIZE
+    path — the Hilbert index is Catalyst HOF expressions, so the plan
+    must contain no Arrow/Batch Python eval operators."""
+    import numpy as np
+
+    df = spark.range(64).selectExpr("id % 8 AS x", "id DIV 8 AS y")
+    plan = (
+        hilbert_value(df, ["x", "y"], bits=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan, plan
+
+
+def test_hilbert_value_matches_numpy_3d(spark):
+    """Bit-for-bit parity of the JVM expression path with the numpy
+    reference transform, on a full 3-D grid."""
+    import numpy as np
+
+    side = 8  # bits=3 per axis
+    rows = [
+        (i, i % side, (i // side) % side, i // (side * side))
+        for i in range(side**3)
+    ]
+    df = spark.createDataFrame(rows, ["i", "x", "y", "z"])
+    got = {
+        r["i"]: r["__h"]
+        for r in hilbert_value(df, ["x", "y", "z"], bits=3).collect()
+    }
+    cells = np.array([(x, y, z) for _i, x, y, z in rows], dtype=np.int64)
+    expect = _hilbert_index_np(cells, bits=3)
+    assert [got[i] for i, *_ in rows] == expect.tolist()
+    # a Hilbert index over the full grid is a bijection
+    assert sorted(got.values()) == list(range(side**3))
+
+
+def test_hilbert_value_needs_two_columns(spark):
+    import pytest
+
+    df = spark.range(4).selectExpr("id AS x")
+    with pytest.raises(ValueError, match="at least 2"):
+        hilbert_value(df, ["x"], bits=3)

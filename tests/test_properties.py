@@ -338,3 +338,116 @@ def test_market_basket_cap_is_identity_below_cap(spark):
     items = spark.createDataFrame(rows, "l_orderkey LONG, l_partkey LONG")
     capped = market_basket_cap_items(items)
     assert sorted(map(tuple, capped.collect())) == sorted(rows)
+
+
+# --- round-5: streaming UPSERT sink crash-replay law ------------------------
+
+upsert_events = st.lists(
+    st.tuples(
+        st.integers(0, 4),      # key
+        st.integers(0, 9),      # ts (order col 1)
+        st.integers(0, 9),      # seq (order col 2, tie break)
+        st.integers(-50, 50),   # value
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    events=upsert_events,
+    cuts=st.sets(st.integers(1, 15), max_size=4),
+    replays=st.data(),
+)
+def test_stream_upsert_crash_replay_law(spark, tmp_path_factory, events,
+                                        cuts, replays):
+    """Exactly-once law for the streaming UPSERT sink under randomized
+    batch boundaries AND randomized crash/replay points: for any split
+    of an event sequence into micro-batches, and any replay pattern
+    where already-applied batches are re-delivered (Spark's contract
+    after a crash between table commit and checkpoint write: same
+    batch id, same content), the final table equals latest-row-per-key
+    over ALL events, and no replay ever changes table state.
+
+    Found-by-this-test subtlety, now pinned: a batch whose MERGE has
+    nothing to do (every incoming row loses the order-tuple condition)
+    commits NOTHING — no version, no SetTransaction — so its replay
+    re-runs rather than being skipped. That is still exactly-once at
+    the state level (single-writer replay sees the identical state and
+    no-ops again); only batches that DID commit must skip on replay."""
+    from levi_spark.delta.log import DeltaLog
+    from levi_spark.streaming.delta_sink import _upsert_batch
+
+    table = str(tmp_path_factory.mktemp("upsert_law") / "t")
+    app = "levi-property-upsert"
+
+    # randomized batch boundaries over the event sequence
+    bounds = sorted(c for c in cuts if c < len(events))
+    batches, prev = [], 0
+    for b in bounds + [len(events)]:
+        if b > prev:
+            batches.append(events[prev:b])
+            prev = b
+
+    def mk_df(rows):
+        return spark.createDataFrame(
+            rows, "k INT, ts INT, seq INT, value INT"
+        )
+
+    def state():
+        return sorted(
+            map(tuple, DeltaLog(spark, table).snapshot().to_df().collect())
+        )
+
+    def version():
+        return DeltaLog(spark, table).snapshot().version
+
+    for bid, rows in enumerate(batches):
+        v_before = version() if bid > 0 else -1
+        assert _upsert_batch(mk_df(rows), bid, table, ["k"],
+                             ["ts", "seq"], app) is True
+        v_after = version()
+        committed = v_after > v_before
+        s_after = state()
+        # randomized kill point: replay this batch 0-2 times
+        for _ in range(replays.draw(st.integers(0, 2), label=f"replay{bid}")):
+            replay_applied = _upsert_batch(mk_df(rows), bid, table, ["k"],
+                                           ["ts", "seq"], app)
+            if committed:
+                # SetTransaction landed with the commit: replay skips
+                assert replay_applied is False
+            # the heart of exactly-once: replay NEVER changes state
+            # or creates a commit
+            assert version() == v_after
+            assert state() == s_after
+
+    # final state == latest per key across ALL events (pure model).
+    # per-batch row_number picks an arbitrary winner among full
+    # (ts, seq) ties, and the cross-batch >= update condition keeps
+    # the last-applied batch's winner among equal tuples — so the
+    # model tracks the winning (ts, seq) and the SET of values any
+    # equal-tuple row could legitimately carry.
+    model: dict[int, tuple] = {}
+    for rows in batches:
+        best: dict[int, tuple] = {}
+        for k, ts, seq, val in rows:
+            if k not in best or (ts, seq) > best[k][:2]:
+                best[k] = (ts, seq, {val})
+            elif (ts, seq) == best[k][:2]:
+                best[k][2].add(val)
+        for k, (ts, seq, vals) in best.items():
+            if k not in model or (ts, seq) >= model[k][:2]:
+                if k in model and (ts, seq) == model[k][:2]:
+                    vals = vals | model[k][2]
+                model[k] = (ts, seq, vals)
+
+    got = {
+        r.k: (r.ts, r.seq, r.value)
+        for r in DeltaLog(spark, table).snapshot().to_df().collect()
+    }
+    assert set(got) == set(model)
+    for k, (ts, seq, vals) in model.items():
+        assert got[k][:2] == (ts, seq)
+        assert got[k][2] in vals
