@@ -7938,6 +7938,62 @@ def multimodal_png_decode(spark, sf_dir):
 PNG_DECODE_SQL = PPM_DECODE_SQL  # same raster bytes, same analytic mean
 
 
+JPEG_SIDE = 32  # 4x4 grid of 8x8 blocks -> 16 blocks, one per digest byte
+
+
+def multimodal_jpeg_decode(spark, sf_dir):
+    """REAL baseline-JPEG decode through the multimodal plane: each
+    document becomes a 32x32 greyscale **JPEG** — genuine T.81 markers,
+    Annex-K Huffman entropy coding with byte stuffing, DC DPCM,
+    dequantization and IDCT (:mod:`levi_spark.operators.jpeg`, pure
+    numpy + stdlib). Each of the 16 8x8 blocks is CONSTANT at one md5
+    digest byte, which makes the lossy pipeline bit-exact for this
+    content (flat block = DC-only; DC quantizer 8 divides the
+    orthonormal DC 8*(v-128) exactly), so the decoded mean is
+    analytically sum(digest)/16 — the SAME oracle law as the PPM/PNG
+    gates, now proving a Huffman+DCT decode instead of a raster copy.
+    A wrong Huffman table, DPCM predictor, dequant or IDCT cannot
+    hash-match. Scale shape: two Arrow-batched map-side hops, no
+    shuffle, no driver loop."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from levi_spark.operators.jpeg import encode_jpeg, jpeg_image_decoder
+    from levi_spark.operators.multimodal import decode_image_features
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                digest = hashlib.md5(text.encode("utf-8")).digest()
+                blocks = np.frombuffer(digest, np.uint8).reshape(4, 4)
+                img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+                payloads.append(encode_jpeg(img))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    imgs = docs.mapInPandas(encode, "doc_id long, payload binary")
+    feats = decode_image_features(imgs, decoder=jpeg_image_decoder)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.floor(F.col("mean_pixel") * 1000 + 0.5).cast("long").alias("mean_milli"),
+    )
+
+
+JPEG_DECODE_SQL = f"""
+SELECT doc_id, {JPEG_SIDE} AS width, {JPEG_SIDE} AS height,
+       CAST(floor((list_sum(list_transform(range(1, 17),
+                i -> ('0x' || substr(md5(text), (i - 1) * 2 + 1, 2))::BIGINT))
+              / 16.0) * 1000 + 0.5) AS BIGINT) AS mean_milli
+FROM documents
+"""
+
+
 WAV_RATE, WAV_TILE = 16_000, 8
 
 
@@ -8259,8 +8315,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "stream_static_enrich": (stream_static_enrich, STREAM_STATIC_SQL),
     "table_detail_counts": (table_detail_counts, TABLE_DETAIL_SQL),
     "orders_market_basket": (orders_market_basket, MARKET_BASKET_SQL),
-    # -- slot 5: new this round (compressed-codec seam closed) -------------
+    # -- slots 5-6: new this round (compressed-codec seam closed) ----------
     "multimodal_png_decode": (multimodal_png_decode, PNG_DECODE_SQL),
+    "multimodal_jpeg_decode": (multimodal_jpeg_decode, JPEG_DECODE_SQL),
     # -- never driver-gated in r01 or r02 ----------------------------------
     "table_restore_counts": (table_restore_counts, RESTORE_SQL),
     "events_skewed_rollup": (events_skewed_rollup, SKEWED_ROLLUP_SQL),
