@@ -5579,6 +5579,199 @@ WHERE rk <= 3
 """
 
 
+BM25_QUERY_TERMS = ["merge", "vector", "scan"]
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def doc_bm25_topk(spark, sf_dir):
+    """BM25 retrieval over the corpus — the lexical ranking half of a
+    retrieval/RAG stack next to the ANN family: score every document
+    against a fixed query term set with the Robertson/Sparck-Jones
+    formulation (idf = ln((N - df + 0.5)/(df + 0.5) + 1), tf saturation
+    k1=1.2, length normalization b=0.75) and return the top 20.
+
+    Cross-engine exactness: N/df/tf/dl are exact ints; avgdl is one
+    int-division-as-double (identical IEEE result); each per-term
+    contribution is quantized to integer micros BEFORE the per-doc sum,
+    so the summation is int64 and shuffle-order-independent, and the
+    ranking key is the summed integer (total order with doc_id
+    tie-break).
+
+    Scale shape: the token explode never leaves the map stage; tf and
+    the per-doc sum both key on doc_id (one exchange reused); df is a
+    query-terms-sized relation joined broadcast; dl joins co-partitioned
+    on doc_id; N/avgdl are two driver scalars. No cartesian, no
+    all-corpus window."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tot = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl")
+    ).first()
+    n_docs, avgdl = int(tot["n"]), float(tot["sdl"]) / float(tot["n"])
+    tf = (
+        toks.where(F.col("term").isin(BM25_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    den = F.col("tf") + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B)
+        + F.lit(BM25_B) * (F.col("dl") / F.lit(avgdl))
+    )
+    contrib = idf * (F.col("tf") * F.lit(BM25_K1 + 1.0)) / den
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            F.floor(contrib * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("__cq"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("__cq").alias("score_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.col("score_micro").desc(), F.col("doc_id")
+    ).limit(20)
+
+
+BM25_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents, UNNEST(string_split_regex(trim(text), '\\s+')) AS t(term)
+  WHERE t.term <> ''
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl FROM dl),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+  WHERE term IN ({", ".join("'" + t + "'" for t in BM25_QUERY_TERMS)})
+  GROUP BY 1, 2
+),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id,
+         CAST(floor(
+           ln((CAST(tot.n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * {BM25_K1 + 1.0})
+           / (tf + {BM25_K1} * ({1.0 - BM25_B}
+              + {BM25_B} * (dl / (CAST(tot.sdl AS DOUBLE) / CAST(tot.n AS DOUBLE)))))
+           * 1000000 + 0.5) AS BIGINT) AS cq
+  FROM tf
+  JOIN dfq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN tot
+)
+SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(cq) AS BIGINT) AS score_micro
+FROM contrib
+GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id
+LIMIT 20
+"""
+
+
+def doc_pii_redaction(spark, sf_dir):
+    """PII scrubbing — the compliance pass every training-data pipeline
+    runs before export: find and redact email addresses and dotted-quad
+    IPs, reporting per-language counts and the exact character delta
+    the redaction produced. The synthetic corpus carries no PII, so
+    each document is first salted with a deterministic doc_id-derived
+    email + IP (both engines construct the identical string), making
+    the gate prove the regex find/replace itself, not just zeros.
+
+    Scale shape: pure map-side column functions (concat, two
+    regexp_replace passes, lengths) followed by one partial-aggregated
+    groupBy on language — no UDF, no shuffle beyond the final rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("t"),
+    )
+    email_re = "[A-Za-z0-9._]+@[A-Za-z0-9.]+[.][A-Za-z]+"
+    ip_re = "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+"
+    red = salted.select(
+        "lang",
+        F.length("t").alias("len_before"),
+        F.length(
+            F.regexp_replace(
+                F.regexp_replace("t", email_re, "[EMAIL]"), ip_re, "[IP]"
+            )
+        ).alias("len_after"),
+        (
+            F.length("t")
+            - F.length(F.regexp_replace("t", email_re, ""))
+        ).alias("email_chars"),
+        (
+            F.length("t") - F.length(F.regexp_replace("t", ip_re, ""))
+        ).alias("ip_chars"),
+    )
+    return (
+        red.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("len_before") - F.col("len_after"))
+            .cast("long")
+            .alias("chars_redacted"),
+            F.sum("email_chars").cast("long").alias("email_chars"),
+            F.sum("ip_chars").cast("long").alias("ip_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+PII_REDACTION_SQL = """
+WITH salted AS (
+  SELECT doc_id, lang,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com from 10.0.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+  FROM documents
+),
+red AS (
+  SELECT lang,
+         length(t) AS len_before,
+         length(regexp_replace(
+           regexp_replace(t, '[A-Za-z0-9._]+@[A-Za-z0-9.]+[.][A-Za-z]+',
+                          '[EMAIL]', 'g'),
+           '[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+', '[IP]', 'g')) AS len_after,
+         length(t) - length(regexp_replace(
+           t, '[A-Za-z0-9._]+@[A-Za-z0-9.]+[.][A-Za-z]+', '', 'g'))
+           AS email_chars,
+         length(t) - length(regexp_replace(
+           t, '[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+', '', 'g')) AS ip_chars
+  FROM salted
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(len_before - len_after) AS BIGINT) AS chars_redacted,
+       CAST(SUM(email_chars) AS BIGINT) AS email_chars,
+       CAST(SUM(ip_chars) AS BIGINT) AS ip_chars
+FROM red
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 _NEARDUP_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -8315,9 +8508,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "stream_static_enrich": (stream_static_enrich, STREAM_STATIC_SQL),
     "table_detail_counts": (table_detail_counts, TABLE_DETAIL_SQL),
     "orders_market_basket": (orders_market_basket, MARKET_BASKET_SQL),
-    # -- slots 5-6: new this round (compressed-codec seam closed) ----------
+    # -- slots 5-8: new this round (compressed codecs + retrieval/PII) -----
     "multimodal_png_decode": (multimodal_png_decode, PNG_DECODE_SQL),
     "multimodal_jpeg_decode": (multimodal_jpeg_decode, JPEG_DECODE_SQL),
+    "doc_bm25_topk": (doc_bm25_topk, BM25_SQL),
+    "doc_pii_redaction": (doc_pii_redaction, PII_REDACTION_SQL),
     # -- never driver-gated in r01 or r02 ----------------------------------
     "table_restore_counts": (table_restore_counts, RESTORE_SQL),
     "events_skewed_rollup": (events_skewed_rollup, SKEWED_ROLLUP_SQL),

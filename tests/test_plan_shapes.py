@@ -357,3 +357,22 @@ def test_pagerank_rounds_have_no_cartesian(spark):
     plan = executed_plan(event_type_pagerank(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_broadcasts_df_relation(spark):
+    from levi_spark.queries import doc_bm25_topk
+
+    s = plan_summary(doc_bm25_topk(spark, SF))
+    # the query-terms-sized df relation must broadcast, never shuffle-join
+    assert s["broadcast_exchanges"] >= 1, s
+
+
+def test_pii_redaction_is_single_rollup(spark):
+    from levi_spark.queries import doc_pii_redaction
+
+    df = doc_pii_redaction(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan  # regex path is JVM regexp_replace
+    # exactly one aggregation exchange: map-side partials + final rollup
+    s = plan_summary(df)
+    assert s.get("shuffle_exchanges", s.get("exchanges", 0)) <= 2, s
