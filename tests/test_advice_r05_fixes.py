@@ -157,3 +157,23 @@ def test_data_parquet_census_detects_orphans(spark, tmp_path):
     with open(os.path.join(base, "orphan.parquet"), "w") as f:
         f.write("orphan")
     assert _data_parquet_census(base) == int(d.numFiles) + 1
+
+
+def test_stage_timer_records_and_echoes(monkeypatch, capsys):
+    import importlib
+
+    from levi_spark.functions import timing
+
+    monkeypatch.setenv("LEVI_STAGE_TIMING", "1")
+    with timing.stage_timer("scope_x", "stage_y"):
+        pass
+    assert "stage_y" in timing.STAGE_TIMINGS["scope_x"]
+    assert timing.STAGE_TIMINGS["scope_x"]["stage_y"] >= 0.0
+    assert "[stage] scope_x.stage_y:" in capsys.readouterr().err
+    # exceptions propagate and the stage still records
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        with timing.stage_timer("scope_x", "boom"):
+            raise RuntimeError("x")
+    assert "boom" in timing.STAGE_TIMINGS["scope_x"]
