@@ -121,19 +121,19 @@ class UnsupportedTableFeatureError(ValueError):
 def _check_reader_protocol(proto, meta: "TableMetadata", table_path: str) -> None:
     v = proto["minReaderVersion"] or 1
     mode = (meta.configuration or {}).get("delta.columnMapping.mode", "none")
-    if mode not in ("none", "name"):
-        # 'id' mode resolves columns by parquet field id, which a
-        # read-by-name scan cannot honor
+    if mode not in ("none", "name", "id"):
         raise UnsupportedTableFeatureError(
             f"{table_path}: columnMapping mode {mode!r} is not supported"
         )
     if v <= 2:
-        # reader v2 == column mapping capable; 'name' mode is
-        # implemented (physical-name scan + logical rename)
+        # reader v2 == column mapping capable; 'name' mode reads by
+        # physical name, 'id' mode by parquet field id (the scan schema
+        # carries parquet.field.id metadata and the session enables
+        # spark.sql.parquet.fieldId.read.enabled)
         return
     if v == 3:
         feats = set(proto["readerFeatures"] or [])
-        feats.discard("columnMapping")  # supported for mode none/name
+        feats.discard("columnMapping")  # supported for mode none/name/id
         unsupported = feats - _SUPPORTED_READER_FEATURES
         if unsupported:
             raise UnsupportedTableFeatureError(
@@ -255,31 +255,49 @@ def _leaf_paths(schema: T.StructType, prefix: str = "") -> list[str]:
 
 
 _PHYS_NAME_KEY = "delta.columnMapping.physicalName"
+_FIELD_ID_KEY = "delta.columnMapping.id"
 
 
-def _physical_type(dt: T.DataType) -> T.DataType:
+def _physical_type(dt: T.DataType, with_ids: bool = False) -> T.DataType:
     """Rewrite every struct field under ``dt`` to its column-mapping
     physical name, through ANY nesting — structs, arrays of arrays,
     map keys/values — so mapped metadata can never be silently
     dropped at an unhandled level."""
     if isinstance(dt, T.StructType):
-        return T.StructType([_physical_field(x) for x in dt.fields])
+        return T.StructType([_physical_field(x, with_ids) for x in dt.fields])
     if isinstance(dt, T.ArrayType):
-        return T.ArrayType(_physical_type(dt.elementType), dt.containsNull)
+        return T.ArrayType(
+            _physical_type(dt.elementType, with_ids), dt.containsNull
+        )
     if isinstance(dt, T.MapType):
         return T.MapType(
-            _physical_type(dt.keyType),
-            _physical_type(dt.valueType),
+            _physical_type(dt.keyType, with_ids),
+            _physical_type(dt.valueType, with_ids),
             dt.valueContainsNull,
         )
     return dt
 
 
-def _physical_field(f: T.StructField) -> T.StructField:
+def _physical_field(f: T.StructField, with_ids: bool = False) -> T.StructField:
     """Field renamed to its column-mapping physical name, recursively
-    (nested struct fields carry their own physicalName metadata)."""
-    name = (f.metadata or {}).get(_PHYS_NAME_KEY, f.name)
-    return T.StructField(name, _physical_type(f.dataType), f.nullable)
+    (nested struct fields carry their own physicalName metadata).
+
+    ``with_ids`` (columnMapping 'id' mode): the field additionally
+    carries ``parquet.field.id`` metadata copied from
+    ``delta.columnMapping.id``, so Spark's parquet reader — with
+    ``spark.sql.parquet.fieldId.read.enabled`` — resolves the column
+    by FIELD ID, not by name. That is what the 'id' mode contract
+    requires: the physical column names in a foreign-written file
+    (e.g. an Iceberg-converted/UniForm table) need not match the
+    log's physicalName, only the ids are authoritative."""
+    md = f.metadata or {}
+    name = md.get(_PHYS_NAME_KEY, f.name)
+    out_md = None
+    if with_ids and md.get(_FIELD_ID_KEY) is not None:
+        out_md = {"parquet.field.id": int(md[_FIELD_ID_KEY])}
+    return T.StructField(
+        name, _physical_type(f.dataType, with_ids), f.nullable, out_md
+    )
 
 
 @dataclass
@@ -316,12 +334,15 @@ class TableMetadata:
     def physical_schema(self) -> T.StructType:
         """Schema of the parquet data files: table schema minus partition
         columns (Delta stores partition values only in the log/paths),
-        under PHYSICAL names when column mapping (name mode) is on."""
+        under PHYSICAL names when column mapping is on; in 'id' mode the
+        fields additionally carry ``parquet.field.id`` metadata so the
+        scan resolves columns by field id (see ``_physical_field``)."""
         fields = [
             f for f in self.schema.fields if f.name not in set(self.partition_columns)
         ]
         if self.column_mapping_mode != "none":
-            fields = [_physical_field(f) for f in fields]
+            with_ids = self.column_mapping_mode == "id"
+            fields = [_physical_field(f, with_ids) for f in fields]
         return T.StructType(fields)
 
 
@@ -956,6 +977,12 @@ class Snapshot:
             for r in self.live_adds_collected()
         )
         phys = meta.physical_schema
+        if meta.column_mapping_mode == "id":
+            # id-mode columns resolve by parquet field id; the session
+            # factory already enables this, but a foreign session must
+            # not silently fall back to name matching (sticky session
+            # conf — harmless for schemas without field-id metadata)
+            self.spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         df = (
             self.spark.read.schema(phys)
             .parquet(*files)

@@ -57,6 +57,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.columnarReaderBatchSize", "4096")
+        # columnMapping 'id' mode: the DeltaLog scan schema carries
+        # parquet.field.id metadata and the reader must resolve by it
+        # (delta-spark sets the same flag for id-mapped tables). For
+        # schemas without field-id metadata this is a no-op.
+        .config("spark.sql.parquet.fieldId.read.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
