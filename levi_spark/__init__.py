@@ -33,6 +33,12 @@ def __getattr__(name: str):
         "merge": ("levi_spark.operators.merge", "merge"),
         "LeviTable": ("levi_spark.delta.table", "LeviTable"),
         "table_changes_cdf": ("levi_spark.delta.changes", "table_changes_cdf"),
+        "set_table_properties": (
+            "levi_spark.delta.constraints", "set_table_properties"),
+        "add_check_constraint": (
+            "levi_spark.delta.constraints", "add_check_constraint"),
+        "drop_check_constraint": (
+            "levi_spark.delta.constraints", "drop_check_constraint"),
     }
     if name in lazy:
         import importlib
@@ -46,6 +52,7 @@ __all__ = [
     "get_spark", "DeltaLog", "Snapshot", "write_delta", "clone_table",
     "restore", "restore_to_timestamp", "snapshot_at_timestamp",
     "describe_history", "describe_detail", "vacuum", "soft_delete",
-    "merge", "LeviTable", "table_changes_cdf",
+    "merge", "LeviTable", "table_changes_cdf", "set_table_properties",
+    "add_check_constraint", "drop_check_constraint",
 ]
 __version__ = "0.1.0"

@@ -157,6 +157,26 @@ def clone_table(
             out_adds.append(_add_dict(a, a["path"], dv_rel))
 
     now_ms = int(time.time() * 1000)
+    from levi_spark.delta.writer import in_commit_timestamp
+
+    _clone_ci: dict = {
+        "timestamp": now_ms,
+        "operation": "CLONE",
+        "operationParameters": {
+            "source": src_log.table_path,
+            "sourceVersion": str(snap.version),
+            "isShallow": str(bool(shallow)).lower(),
+        },
+        "engineInfo": "levi-spark/0.1.0",
+    }
+    # the clone inherits the source configuration verbatim — if that
+    # enables inCommitTimestamps, the clone's version-0 commit is
+    # stamped (fresh log: predecessor is the wall clock)
+    _ict = in_commit_timestamp(
+        meta.configuration, os.path.join(dst_path, "_delta_log"), now_ms
+    )
+    if _ict is not None:
+        _clone_ci["inCommitTimestamp"] = _ict
     lines = [
         json.dumps({"protocol": _PROTOCOL}),
         json.dumps(
@@ -173,20 +193,7 @@ def clone_table(
         ),
         *[json.dumps({"add": a}) for a in out_adds],
         *(extra_action_lines or []),
-        json.dumps(
-            {
-                "commitInfo": {
-                    "timestamp": now_ms,
-                    "operation": "CLONE",
-                    "operationParameters": {
-                        "source": src_log.table_path,
-                        "sourceVersion": str(snap.version),
-                        "isShallow": str(bool(shallow)).lower(),
-                    },
-                    "engineInfo": "levi-spark/0.1.0",
-                }
-            }
-        ),
+        json.dumps({"commitInfo": _clone_ci}),
     ]
     log_dir = os.path.join(dst_path, "_delta_log")
     os.makedirs(log_dir, exist_ok=True)

@@ -78,12 +78,26 @@ def _config_commit(spark: SparkSession, path: str, new_conf: dict[str, str]) -> 
     partitioning and table id unchanged). Optimistic: a concurrent
     commit surfaces as the writer's retryable ValueError."""
     from levi_spark.delta.log import DeltaLog
-    from levi_spark.delta.writer import _PROTOCOL, _publish_commit
+    from levi_spark.delta.writer import (
+        _PROTOCOL,
+        _publish_commit,
+        in_commit_timestamp,
+    )
 
     path = os.path.abspath(path)
     log = DeltaLog(spark, path)
     snap = log.snapshot()
     now_ms = int(time.time() * 1000)
+    _ci: dict = {
+        "timestamp": now_ms,
+        "operation": "SET TBLPROPERTIES",
+        "engineInfo": "levi-spark/0.1.0",
+    }
+    # the NEW configuration governs: the commit that turns
+    # inCommitTimestamps ON is itself the first stamped commit
+    _ict = in_commit_timestamp(new_conf, log.log_path, now_ms)
+    if _ict is not None:
+        _ci["inCommitTimestamp"] = _ict
     lines = [
         json.dumps({"protocol": _PROTOCOL}),
         json.dumps(
@@ -98,15 +112,7 @@ def _config_commit(spark: SparkSession, path: str, new_conf: dict[str, str]) -> 
                 }
             }
         ),
-        json.dumps(
-            {
-                "commitInfo": {
-                    "timestamp": now_ms,
-                    "operation": "SET TBLPROPERTIES",
-                    "engineInfo": "levi-spark/0.1.0",
-                }
-            }
-        ),
+        json.dumps({"commitInfo": _ci}),
     ]
     return _publish_commit(
         os.path.join(path, "_delta_log"),
@@ -155,4 +161,24 @@ def drop_check_constraint(spark: SparkSession, path: str, name: str) -> int:
     if key not in conf:
         raise KeyError(f"no such constraint: {name!r}")
     del conf[key]
+    return _config_commit(spark, path, conf)
+
+
+def set_table_properties(
+    spark: SparkSession, path: str, properties: dict[str, str]
+) -> int:
+    """``ALTER TABLE SET TBLPROPERTIES``: merge ``properties`` into the
+    table configuration in one metadata-only commit (a value of None
+    unsets the key). The general entry point for feature flags like
+    ``delta.enableInCommitTimestamps`` — constraint add/drop are the
+    specialized callers of the same commit shape."""
+    from levi_spark.delta.log import DeltaLog
+
+    snap = DeltaLog(spark, os.path.abspath(path)).snapshot()
+    conf = dict(snap.metadata.configuration or {})
+    for k, v in properties.items():
+        if v is None:
+            conf.pop(k, None)
+        else:
+            conf[k] = str(v)
     return _config_commit(spark, path, conf)

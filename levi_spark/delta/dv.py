@@ -71,19 +71,18 @@ def _append_commit(
         )
     )
     lines += [json.dumps(a) for a in actions]
-    lines.append(
-        json.dumps(
-            {
-                "commitInfo": {
-                    "timestamp": now_ms,
-                    "operation": operation,
-                    "operationParameters": params,
-                    "engineInfo": "levi-spark/0.1.0",
-                }
-            }
-        )
-    )
-    from levi_spark.delta.writer import _publish_commit
+    from levi_spark.delta.writer import _publish_commit, in_commit_timestamp
+
+    ci: dict = {
+        "timestamp": now_ms,
+        "operation": operation,
+        "operationParameters": params,
+        "engineInfo": "levi-spark/0.1.0",
+    }
+    ict = in_commit_timestamp(meta.configuration, log.log_path, now_ms)
+    if ict is not None:
+        ci["inCommitTimestamp"] = ict
+    lines.append(json.dumps({"commitInfo": ci}))
 
     _publish_commit(log.log_path, version, "\n".join(lines) + "\n", rebase_ok=False)
 

@@ -393,9 +393,12 @@ class DeltaLog:
         strictly greater than its predecessor's is bumped to
         predecessor+1ms, so the mapping timestamp->version is total and
         deterministic even when commits land within one clock tick.
-        The timestamp is read from the commit's ``commitInfo`` action
-        (our writer always emits one); file mtime is the fallback for
-        foreign logs without it. Driver-side O(versions) file reads —
+        The timestamp is read from the commit's ``commitInfo`` action —
+        preferring ``inCommitTimestamp`` (the Delta inCommitTimestamp
+        writer feature: a writer-guaranteed monotonic stamp that
+        survives log-file copies/restores scrambling mtimes) over the
+        ordinary ``timestamp`` field; file mtime is the fallback for
+        foreign logs with neither. Driver-side O(versions) file reads —
         the same cost class as the log listing itself."""
         commits, _ = self._entries()
         out: list[tuple[int, int]] = []
@@ -410,8 +413,15 @@ class DeltaLog:
                             continue
                         a = json.loads(line)
                         ci = a.get("commitInfo")
-                        if ci is not None and ci.get("timestamp") is not None:
-                            ts = int(ci["timestamp"])
+                        if ci is not None and (
+                            ci.get("inCommitTimestamp") is not None
+                            or ci.get("timestamp") is not None
+                        ):
+                            ts = int(
+                                ci.get("inCommitTimestamp")
+                                if ci.get("inCommitTimestamp") is not None
+                                else ci["timestamp"]
+                            )
                             break
             except (OSError, ValueError):
                 ts = None

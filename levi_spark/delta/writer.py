@@ -303,6 +303,53 @@ def cdc_action_lines(cdc_rels: list[tuple[str, int]]) -> list[str]:
     ]
 
 
+def in_commit_timestamp(
+    meta_conf: dict | None, log_dir: str, now_ms: int
+) -> int | None:
+    """Monotonic in-commit timestamp (Delta's ``inCommitTimestamp``
+    writer feature): when ``delta.enableInCommitTimestamps`` is true in
+    the table configuration, every commitInfo must carry a timestamp
+    that is strictly greater than the previous commit's — wall clock
+    bumped to prev+1 under clock skew or same-millisecond commits —
+    so timestamp time travel is total regardless of log-file mtimes
+    (which rsync/backup/restore scramble). Returns None when the
+    feature is off. The predecessor read is one O(1) driver-side file
+    read of the latest commit.
+
+    Rebase caveat: a blind-append commit that loses a race is
+    republished under the next version without re-stamping; the
+    reader's predecessor+1 monotonization (``commit_timestamps``)
+    keeps the time-travel mapping total in that case."""
+    enabled = str(
+        (meta_conf or {}).get("delta.enableInCommitTimestamps", "")
+    ).lower() == "true"
+    if not enabled:
+        return None
+    prev = -1
+    try:
+        commits = sorted(
+            n
+            for n in os.listdir(log_dir)
+            if n.endswith(".json") and n[:20].isdigit()
+        )
+        if commits:
+            with open(os.path.join(log_dir, commits[-1])) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    ci = json.loads(line).get("commitInfo")
+                    if ci is not None:
+                        prev = int(
+                            ci.get("inCommitTimestamp")
+                            or ci.get("timestamp")
+                            or -1
+                        )
+                        break
+    except (OSError, ValueError):
+        prev = -1
+    return max(int(now_ms), prev + 1)
+
+
 def _publish_commit(
     log_dir: str, version: int, payload: str, rebase_ok: bool, max_attempts: int = 20
 ) -> int:
@@ -712,18 +759,16 @@ def write_delta(
                 }
             )
         )
-    tail_lines.append(
-        json.dumps(
-            {
-                "commitInfo": {
-                    "timestamp": now_ms,
-                    "operation": operation,
-                    "operationParameters": {"mode": mode.capitalize()},
-                    "engineInfo": "levi-spark/0.1.0",
-                }
-            }
-        )
-    )
+    ci: dict = {
+        "timestamp": now_ms,
+        "operation": operation,
+        "operationParameters": {"mode": mode.capitalize()},
+        "engineInfo": "levi-spark/0.1.0",
+    }
+    ict = in_commit_timestamp(meta_conf, log_dir, now_ms)
+    if ict is not None:
+        ci["inCommitTimestamp"] = ict
+    tail_lines.append(json.dumps({"commitInfo": ci}))
     os.makedirs(log_dir, exist_ok=True)
 
     def _payload() -> str:
