@@ -93,23 +93,44 @@ def clone_table(
             )
             dv = a["deletionVector"]
             abs_dv = None
+            dv_storage = None
             if dv is not None and dv["pathOrInlineDv"]:
                 _require_path_dv(dv, shallow=True)
+                st = dv["storageType"]
                 d = dv["pathOrInlineDv"]
-                # DV descriptor paths are emitted verbatim (no quoting
-                # round-trip in the reader), absolute into the source
-                abs_dv = d if os.path.isabs(d) else os.path.join(
-                    src_log.table_path, d
-                )
-            out_adds.append(_add_dict(a, quote(abs_path, safe="/"), abs_dv))
+                if st == "u":
+                    # relative-UUID DV: resolves against the TABLE dir,
+                    # which for the clone would be the wrong table —
+                    # rewrite to the spec's absolute marker 'p' pointing
+                    # into the source
+                    from levi_spark.delta.roaring import dv_file_path
+
+                    abs_dv = dv_file_path(src_log.table_path, d)
+                    dv_storage = "p"
+                elif st == "i":
+                    abs_dv = d  # inline payload: portable verbatim
+                else:
+                    # 'path' (ours) / 'p': absolute into the source
+                    # (emitted verbatim — no quoting round-trip in the
+                    # reader)
+                    abs_dv = d if os.path.isabs(d) else os.path.join(
+                        src_log.table_path, d
+                    )
+            out_adds.append(
+                _add_dict(a, quote(abs_path, safe="/"), abs_dv, dv_storage)
+            )
     else:
         # Validate EVERY add and DV descriptor (relinkability, storage
         # type, source existence) in a full pass BEFORE the first byte
         # is copied: a failure must leave dst_path untouched, not
         # strewn with orphan data files that a later clone to the same
         # destination would silently merge over.
+        from levi_spark.delta.roaring import dv_file_path
+
         rels: list[str] = []
-        dv_rels: list[str | None] = []
+        # per add: (emitted pathOrInlineDv, table-relative file to copy
+        # or None for inline)
+        dv_plans: list[tuple[str, str | None] | None] = []
         for a in adds:
             rel = unquote(a["path"])
             if os.path.isabs(rel) or "://" in rel:
@@ -121,31 +142,45 @@ def clone_table(
                     f"deep clone source file missing on disk: {rel}"
                 )
             dv = a["deletionVector"]
-            dv_rel = None
+            plan = None
             if dv is not None and dv["pathOrInlineDv"]:
                 _require_path_dv(dv, shallow=False)
-                dv_rel = dv["pathOrInlineDv"]
-                if os.path.isabs(dv_rel) or "://" in dv_rel:
-                    raise ValueError(
-                        "deep clone cannot re-link external DV sidecar: "
-                        f"{dv_rel}"
+                st = dv["storageType"]
+                d = dv["pathOrInlineDv"]
+                if st == "i":
+                    plan = (d, None)  # inline payload, nothing to copy
+                elif st == "u":
+                    # standard UUID DV: resolves relative to the table
+                    # dir — copy under the same relative name, emit
+                    # the descriptor verbatim
+                    copy_rel = os.path.relpath(
+                        dv_file_path(src_log.table_path, d),
+                        src_log.table_path,
                     )
-                if not os.path.exists(
-                    os.path.join(src_log.table_path, dv_rel)
+                    plan = (d, copy_rel)
+                else:  # 'path'
+                    if os.path.isabs(d) or "://" in d:
+                        raise ValueError(
+                            "deep clone cannot re-link external DV "
+                            f"sidecar: {d}"
+                        )
+                    plan = (d, d)
+                if plan[1] is not None and not os.path.exists(
+                    os.path.join(src_log.table_path, plan[1])
                 ):
                     raise ValueError(
-                        f"deep clone DV sidecar missing on disk: {dv_rel}"
+                        f"deep clone DV sidecar missing on disk: {plan[1]}"
                     )
             rels.append(rel)
-            dv_rels.append(dv_rel)
+            dv_plans.append(plan)
         copied_dv: set[str] = set()
-        for a, rel, dv_rel in zip(adds, rels, dv_rels):
+        for a, rel, plan in zip(adds, rels, dv_plans):
             dst_f = os.path.join(dst_path, rel)
             os.makedirs(os.path.dirname(dst_f), exist_ok=True)
             shutil.copy2(os.path.join(src_log.table_path, rel), dst_f)
-            if dv_rel is not None and dv_rel not in copied_dv:
-                src_dv = os.path.join(src_log.table_path, dv_rel)
-                dst_dv = os.path.join(dst_path, dv_rel)
+            if plan is not None and plan[1] is not None and plan[1] not in copied_dv:
+                src_dv = os.path.join(src_log.table_path, plan[1])
+                dst_dv = os.path.join(dst_path, plan[1])
                 # our writer emits a sidecar parquet *directory*;
                 # a foreign log may reference a single sidecar file
                 if os.path.isdir(src_dv):
@@ -153,8 +188,10 @@ def clone_table(
                 else:
                     os.makedirs(os.path.dirname(dst_dv), exist_ok=True)
                     shutil.copy2(src_dv, dst_dv)
-                copied_dv.add(dv_rel)
-            out_adds.append(_add_dict(a, a["path"], dv_rel))
+                copied_dv.add(plan[1])
+            out_adds.append(
+                _add_dict(a, a["path"], plan[0] if plan else None)
+            )
 
     now_ms = int(time.time() * 1000)
     from levi_spark.delta.writer import in_commit_timestamp
@@ -219,23 +256,47 @@ def _require_path_dv(dv: dict, *, shallow: bool) -> None:
     copying them would manufacture a bogus descriptor. Refuse up
     front, before any bytes move."""
     st = dv["storageType"]
-    if st == "path" or (st == "p" and shallow):
+    if st in ("path", "u", "i") or (shallow and st == "p"):
+        # 'path' copies/absolutizes like data files; 'u' resolves
+        # relative to the table dir (shallow rewrites it to an absolute
+        # 'p' into the source, deep copies the DV file under the same
+        # relative name); 'i' carries its payload inline — portable
+        # everywhere; 'p' (external absolute file) is portable only
+        # for shallow clones
         return
     if st == "p":
         raise ValueError(
             "deep clone cannot re-link an absolute-path ('p') deletion "
-            "vector; shallow-clone it instead, or use tables with "
-            "levi-spark-written ('path') DV sidecars"
+            "vector; shallow-clone it instead"
         )
     raise ValueError(
-        f"clone supports storageType='path' deletion vectors (and 'p' "
-        f"for shallow clones), got {st!r} (inline and relative-UUID DVs "
-        f"are not portable by path rewriting)"
+        f"clone supports storageType 'path'/'u'/'i' deletion vectors "
+        f"(plus 'p' for shallow clones), got {st!r}"
     )
 
 
-def _add_dict(a, path: str, dv_path: str | None) -> dict:
+def _add_dict(
+    a, path: str, dv_path: str | None, dv_storage: str | None = None
+) -> dict:
     dv = a["deletionVector"]
+    out_dv = None
+    if dv is not None and dv["pathOrInlineDv"]:
+        out_dv = {
+            "storageType": dv_storage or dv["storageType"],
+            "pathOrInlineDv": dv_path,
+            "cardinality": dv["cardinality"],
+        }
+        # standard DV framing fields ride along when present (needed
+        # to locate + verify the blob inside a shared DV file). The
+        # descriptor may be a raw JSON dict (driver fast path) or a
+        # schema-conformed Row — index both uniformly.
+        for k in ("offset", "sizeInBytes"):
+            try:
+                v = dv[k]
+            except (KeyError, ValueError, IndexError):
+                v = None
+            if v is not None:
+                out_dv[k] = v
     return {
         "path": path,
         "partitionValues": dict(a["partitionValues"] or {}),
@@ -243,11 +304,5 @@ def _add_dict(a, path: str, dv_path: str | None) -> dict:
         "modificationTime": a["modificationTime"],
         "dataChange": True,
         "stats": a["stats"],
-        "deletionVector": {
-            "storageType": dv["storageType"],
-            "pathOrInlineDv": dv_path,
-            "cardinality": dv["cardinality"],
-        }
-        if dv is not None and dv["pathOrInlineDv"]
-        else None,
+        "deletionVector": out_dv,
     }

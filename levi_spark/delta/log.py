@@ -53,6 +53,8 @@ _DV_TYPE = T.StructType(
     [
         T.StructField("storageType", T.StringType()),
         T.StructField("pathOrInlineDv", T.StringType()),
+        T.StructField("offset", T.IntegerType()),
+        T.StructField("sizeInBytes", T.IntegerType()),
         T.StructField("cardinality", T.LongType()),
     ]
 )
@@ -104,12 +106,15 @@ _PROTOCOL_TYPE = T.StructType(
     ]
 )
 
-# Table features this reader actually implements. Standard roaring-
-# bitmap deletion vectors and v2 checkpoints are NOT here: misreading a
-# table is worse than refusing it (this engine's own DV sidecars travel
+# Table features this reader actually implements. deletionVectors =
+# the spec's roaring-bitmap DVs ('u'/'p'/'i' descriptors decoded by
+# levi_spark.delta.roaring; this engine's own parquet sidecars travel
 # under minReaderVersion 1 table conf, not the protocol feature).
+# v2Checkpoint is NOT here: misreading a table is worse than refusing
+# it.
 _SUPPORTED_READER_FEATURES = frozenset(
-    {"timestampNtz", "vacuumProtocolCheck", "appendOnly", "invariants"}
+    {"timestampNtz", "vacuumProtocolCheck", "appendOnly", "invariants",
+     "deletionVectors"}
 )
 
 
@@ -893,39 +898,115 @@ class Snapshot:
 
     def deletion_vector_rows(self) -> DataFrame:
         """(``__file_name``, ``__row_index``) of every logically deleted
-        row in this snapshot: the union of the sidecar parquet
-        directories referenced by live adds' ``deletionVector``
-        descriptors, restricted (by a broadcast semi-join on the small
-        DV-bearing file list) to files whose *current* add actually
-        carries a DV — a cumulative sidecar may also hold rows for files
-        since rewritten, which must not be re-applied."""
-        dv_adds = [
-            (unquote(r["add"]["path"]), r["add"]["deletionVector"]["pathOrInlineDv"])
-            for r in self.live_adds_collected()
-            if r["add"]["deletionVector"] is not None
-            and r["add"]["deletionVector"]["pathOrInlineDv"] is not None
-        ]
-        empty = self.spark.createDataFrame(
-            [],
-            T.StructType(
-                [
-                    T.StructField("__file_name", T.StringType()),
-                    T.StructField("__row_index", T.LongType()),
-                ]
-            ),
+        row in this snapshot.
+
+        Two descriptor families are honored:
+
+        * the engine's own ``storageType='path'`` parquet sidecars —
+          read as a distributed parquet scan, restricted (broadcast
+          semi-join on the small DV-bearing file list) to files whose
+          *current* add actually carries a DV (a cumulative sidecar may
+          also hold rows for files since rewritten, which must not be
+          re-applied);
+        * the Delta spec's standard roaring-bitmap DVs ('u' relative
+          UUID file / 'p' absolute path / 'i' inline z85,
+          :mod:`levi_spark.delta.roaring`) — e.g. tables written by
+          delta-spark — decoded executor-side via one Arrow-batched
+          ``mapInPandas`` over the descriptor list, so a snapshot with
+          thousands of DV-bearing files expands its bitmaps in
+          parallel, never on the driver."""
+        path_adds: list[tuple[str, str]] = []
+        std_adds: list[tuple[str, str, str, int, int, int]] = []
+        for r in self.live_adds_collected():
+            dv = r["add"]["deletionVector"]
+            if dv is None or dv["pathOrInlineDv"] is None:
+                continue
+            fname = os.path.basename(unquote(r["add"]["path"]))
+            st = dv["storageType"]
+            if st == "path":
+                path_adds.append((fname, dv["pathOrInlineDv"]))
+            else:
+                std_adds.append(
+                    (
+                        fname,
+                        st,
+                        dv["pathOrInlineDv"],
+                        dv.get("offset") if isinstance(dv, dict) else dv["offset"],
+                        dv.get("sizeInBytes")
+                        if isinstance(dv, dict)
+                        else dv["sizeInBytes"],
+                        dv.get("cardinality")
+                        if isinstance(dv, dict)
+                        else dv["cardinality"],
+                    )
+                )
+        out_schema = T.StructType(
+            [
+                T.StructField("__file_name", T.StringType()),
+                T.StructField("__row_index", T.LongType()),
+            ]
         )
-        if not dv_adds:
-            return empty
-        dirs = sorted(
-            {os.path.join(self.log.table_path, dv) for _p, dv in dv_adds}
-        )
-        names = [(os.path.basename(p),) for p, _dv in dv_adds]
-        names_df = self.spark.createDataFrame(names, ["__file_name"])
-        rows = self.spark.read.parquet(*dirs).select(
-            F.col("file_name").alias("__file_name"),
-            F.col("row_index").alias("__row_index"),
-        )
-        return rows.join(F.broadcast(names_df), on="__file_name", how="left_semi")
+        parts: list[DataFrame] = []
+        if path_adds:
+            dirs = sorted(
+                {os.path.join(self.log.table_path, dv) for _p, dv in path_adds}
+            )
+            names_df = self.spark.createDataFrame(
+                [(p,) for p, _dv in path_adds], ["__file_name"]
+            )
+            rows = self.spark.read.parquet(*dirs).select(
+                F.col("file_name").alias("__file_name"),
+                F.col("row_index").alias("__row_index"),
+            )
+            parts.append(
+                rows.join(F.broadcast(names_df), on="__file_name", how="left_semi")
+            )
+        if std_adds:
+            table_path = self.log.table_path
+            desc_df = self.spark.createDataFrame(
+                std_adds,
+                "__file_name string, st string, dv string, "
+                "offset int, size int, cardinality long",
+            ).repartition(min(len(std_adds), 32))
+
+            def expand(batches):
+                import pandas as pd
+
+                from levi_spark.delta.roaring import decode_descriptor
+
+                for pdf in batches:
+                    names, idxs = [], []
+                    for fname, st, dvs, off, size, card in zip(
+                        pdf["__file_name"], pdf["st"], pdf["dv"],
+                        pdf["offset"], pdf["size"], pdf["cardinality"],
+                    ):
+                        vals = decode_descriptor(
+                            table_path,
+                            {
+                                "storageType": st,
+                                "pathOrInlineDv": dvs,
+                                "offset": None if pd.isna(off) else int(off),
+                                "sizeInBytes": None
+                                if pd.isna(size)
+                                else int(size),
+                                "cardinality": None
+                                if pd.isna(card)
+                                else int(card),
+                            },
+                        )
+                        names.extend([fname] * len(vals))
+                        idxs.extend(vals.astype("int64").tolist())
+                    yield pd.DataFrame(
+                        {"__file_name": names, "__row_index": idxs}
+                    )
+
+            parts.append(desc_df.mapInPandas(expand, out_schema))
+        if not parts:
+            return self.spark.createDataFrame([], out_schema)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def to_df(self, paths: list[str] | None = None, with_lineage: bool = False) -> DataFrame:
         """Read the snapshot's data as a DataFrame. ``paths`` restricts

@@ -85,7 +85,7 @@ def test_failed_deep_clone_leaves_destination_untouched(spark, tmp_path):
     src = str(tmp_path / "src")
     dst = str(tmp_path / "dst")
     _mk_dv_src(spark, src)
-    _doctor_dv(src, "u", absolutize=False)  # relative-UUID: never clonable
+    _doctor_dv(src, "x", absolutize=False)  # unknown type: never clonable
     with pytest.raises(ValueError, match="storageType"):
         clone_table(spark, src, dst, shallow=False)
     leftovers = [
@@ -116,16 +116,49 @@ def test_deep_clone_prevalidates_missing_source_file(spark, tmp_path):
 
 def test_shallow_clone_accepts_spec_p_dv(spark, tmp_path):
     """Advice #4: the spec's absolute-path DV marker 'p' is portable
-    verbatim in a shallow clone; deep clone still refuses it."""
+    verbatim in a shallow clone; deep clone still refuses it. Uses a
+    REAL standard roaring DV file (since round 5 'p' descriptors are
+    decoded per the Delta spec, not as parquet sidecars)."""
+    from levi_spark.delta.roaring import encode_rbm_array, write_dv_file
+
     src = str(tmp_path / "src")
     dst = str(tmp_path / "dst")
-    _mk_dv_src(spark, src)
-    _doctor_dv(src, "p", absolutize=True)
+    os.makedirs(os.path.join(src, "_delta_log"))
+    spark.range(10).select("id").coalesce(1).write.mode("append").parquet(src)
+    (data,) = [n for n in os.listdir(src) if n.endswith(".parquet")]
+    deleted = [2, 5]
+    blob = encode_rbm_array(deleted)
+    file_bytes, offs = write_dv_file([blob])
+    dv_abs = str(tmp_path / "external_dv.bin")
+    with open(dv_abs, "wb") as f:
+        f.write(file_bytes)
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": {
+            "id": "t-p", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {}}]}),
+            "partitionColumns": [], "configuration": {}, "createdTime": 0}},
+        {"add": {
+            "path": data, "partitionValues": {},
+            "size": os.path.getsize(os.path.join(src, data)),
+            "modificationTime": 0, "dataChange": True,
+            "stats": json.dumps({"numRecords": 10}),
+            "deletionVector": {
+                "storageType": "p", "pathOrInlineDv": dv_abs,
+                "offset": offs[0], "sizeInBytes": len(blob),
+                "cardinality": len(deleted)}}},
+    ]
+    with open(os.path.join(src, "_delta_log", f"{0:020d}.json"), "w") as f:
+        f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+
     info = clone_table(spark, src, dst, shallow=True)
     assert info["shallow"] and info["files"] > 0
-    got = {(r.id, r.v) for r in DeltaLog(spark, dst).snapshot().to_df().collect()}
-    want = {(i, 2 * i) for i in range(25) if i % 5 != 0}
-    assert got == want  # deleted rows stay invisible through the 'p' DV
+    got = sorted(r.id for r in DeltaLog(spark, dst).snapshot().to_df().collect())
+    assert got == [i for i in range(10) if i not in deleted]
     with pytest.raises(ValueError, match=r"absolute-path \('p'\)"):
         clone_table(spark, src, str(tmp_path / "deep"), shallow=False)
 
