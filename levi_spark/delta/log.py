@@ -43,6 +43,11 @@ from pyspark.sql import types as T
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
+# multipart classic: <v>.checkpoint.<part>.<totalParts>.parquet
+_CP_MULTI_RE = re.compile(r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$")
+# v2: <v>.checkpoint.<uniqueId>.parquet|json (uniqueId is a UUID — one
+# dot-free token, so multipart names never match this)
+_CP_V2_RE = re.compile(r"^(\d{20})\.checkpoint\.([0-9a-zA-Z_-]+)\.(parquet|json)$")
 
 # Action schema for reading commit JSON files (subset of the Delta
 # protocol that matters for snapshot reconstruction).
@@ -110,11 +115,11 @@ _PROTOCOL_TYPE = T.StructType(
 # the spec's roaring-bitmap DVs ('u'/'p'/'i' descriptors decoded by
 # levi_spark.delta.roaring; this engine's own parquet sidecars travel
 # under minReaderVersion 1 table conf, not the protocol feature).
-# v2Checkpoint is NOT here: misreading a table is worse than refusing
-# it.
+# v2Checkpoint = UUID-named parquet/JSON manifests with sidecar files
+# (_scan_log discovery + Snapshot._cp_files resolution).
 _SUPPORTED_READER_FEATURES = frozenset(
     {"timestampNtz", "vacuumProtocolCheck", "appendOnly", "invariants",
-     "deletionVectors"}
+     "deletionVectors", "v2Checkpoint"}
 )
 
 
@@ -364,13 +369,62 @@ class DeltaLog:
     # -- log-dir listing (one driver-side listing; the log dir is O(versions)) --
 
     def _entries(self) -> tuple[list[int], list[int]]:
-        commits, checkpoints = [], []
+        commits, cps = self._scan_log()
+        return commits, sorted(cps)
+
+    def _scan_log(self) -> tuple[list[int], dict[int, dict]]:
+        """One listing of ``_delta_log``: sorted commit versions plus a
+        map of COMPLETE checkpoints — classic single-file, multipart
+        classic (all parts present), and v2 (UUID-named parquet or JSON
+        manifest; sidecars resolved lazily at read time). Descriptor:
+        ``{"parquet": [paths], "manifest_json": path|None,
+        "v2_manifest": path|None}``."""
+        commits: list[int] = []
+        classic: dict[int, str] = {}
+        multi: dict[int, dict[int, tuple[str, int]]] = {}
+        v2: dict[int, tuple[str, str]] = {}
         for name in os.listdir(self.log_path):
             if m := _COMMIT_RE.match(name):
                 commits.append(int(m.group(1)))
             elif m := _CHECKPOINT_RE.match(name):
-                checkpoints.append(int(m.group(1)))
-        return sorted(commits), sorted(checkpoints)
+                classic[int(m.group(1))] = name
+            elif m := _CP_MULTI_RE.match(name):
+                multi.setdefault(int(m.group(1)), {})[int(m.group(2))] = (
+                    name,
+                    int(m.group(3)),
+                )
+            elif m := _CP_V2_RE.match(name):
+                v2[int(m.group(1))] = (name, m.group(3))
+        cps: dict[int, dict] = {}
+        for v, (name, fmt) in v2.items():
+            p = os.path.join(self.log_path, name)
+            cps[v] = {
+                "parquet": [p] if fmt == "parquet" else [],
+                "manifest_json": p if fmt == "json" else None,
+                "v2_manifest": p,
+            }
+        for v, parts in multi.items():
+            total = next(iter(parts.values()))[1]
+            if set(parts) == set(range(1, total + 1)) and all(
+                t == total for _n, t in parts.values()
+            ):
+                cps[v] = {
+                    "parquet": [
+                        os.path.join(self.log_path, parts[i][0])
+                        for i in range(1, total + 1)
+                    ],
+                    "manifest_json": None,
+                    "v2_manifest": None,
+                }
+        for v, name in classic.items():
+            # classic wins at equal version: cheapest to read (no
+            # manifest parse), and any complete checkpoint is valid
+            cps[v] = {
+                "parquet": [os.path.join(self.log_path, name)],
+                "manifest_json": None,
+                "v2_manifest": None,
+            }
+        return sorted(commits), cps
 
     def latest_version(self) -> int:
         commits, checkpoints = self._entries()
@@ -379,7 +433,8 @@ class DeltaLog:
         return max(commits + checkpoints)
 
     def snapshot(self, version: int | None = None) -> "Snapshot":
-        commits, checkpoints = self._entries()
+        commits, cp_map = self._scan_log()
+        checkpoints = sorted(cp_map)
         latest = max(commits + checkpoints)
         v = latest if version is None else version
         if version is not None and version > latest:
@@ -387,7 +442,9 @@ class DeltaLog:
         usable_cps = [c for c in checkpoints if c <= v]
         cp = max(usable_cps) if usable_cps else None
         commit_versions = [c for c in commits if (cp is None or c > cp) and c <= v]
-        return Snapshot(self, v, cp, commit_versions)
+        return Snapshot(
+            self, v, cp, commit_versions, cp_map.get(cp) if cp is not None else None
+        )
 
     # -- timestamp-based time travel ----------------------------------------
 
@@ -474,16 +531,71 @@ class Snapshot:
         version: int,
         checkpoint_version: int | None,
         commit_versions: list[int],
+        checkpoint_desc: dict | None = None,
     ):
         self.log = log
         self.spark = log.spark
         self.version = version
         self._cp = checkpoint_version
+        # descriptor from DeltaLog._scan_log; default reconstructs the
+        # classic single-file shape for direct constructions
+        self._cp_desc = checkpoint_desc or (
+            {
+                "parquet": [
+                    os.path.join(
+                        log.log_path, f"{checkpoint_version:020d}.checkpoint.parquet"
+                    )
+                ],
+                "manifest_json": None,
+                "v2_manifest": None,
+            }
+            if checkpoint_version is not None
+            else None
+        )
+        self._cp_files_cache: tuple[list[str], str | None] | None = None
         self._commit_versions = commit_versions
         self._metadata: TableMetadata | None = None
         self._actions: DataFrame | None = None
         self._live_rows: list | None = None
         self._local: list | None | bool = None  # False = too big / unparseable
+
+    def _cp_files(self) -> tuple[list[str], str | None]:
+        """Files whose union is the checkpoint's action set:
+        (parquet paths, optional JSON-manifest path). For a v2
+        checkpoint the manifest's ``sidecar`` actions are resolved here
+        (one driver-side manifest read) to
+        ``_delta_log/_sidecars/<name>`` parquet files."""
+        if self._cp_files_cache is not None:
+            return self._cp_files_cache
+        desc = self._cp_desc
+        if desc is None:
+            self._cp_files_cache = ([], None)
+            return self._cp_files_cache
+        parquet = list(desc["parquet"])
+        manifest_json = desc["manifest_json"]
+        v2m = desc.get("v2_manifest")
+        if v2m is not None:
+            names: list[str] = []
+            if v2m.endswith(".json"):
+                with open(v2m) as f:
+                    for line in f:
+                        if line := line.strip():
+                            sc = json.loads(line).get("sidecar")
+                            if sc and sc.get("path"):
+                                names.append(sc["path"])
+            else:
+                import pyarrow.parquet as pq
+
+                t = pq.read_table(v2m)
+                if "sidecar" in t.column_names:
+                    for rec in t.column("sidecar").to_pylist():
+                        if rec and rec.get("path"):
+                            names.append(rec["path"])
+            parquet += [
+                os.path.join(self.log.log_path, "_sidecars", n) for n in names
+            ]
+        self._cp_files_cache = (parquet, manifest_json)
+        return self._cp_files_cache
 
     # ---- raw action frames -------------------------------------------------
 
@@ -506,23 +618,29 @@ class Snapshot:
             # log entries were all expired is unreadable, not empty
             raise FileNotFoundError(f"no log entries for version {self.version}")
         try:
-            cp_path = (
-                os.path.join(self.log.log_path, f"{self._cp:020d}.checkpoint.parquet")
-                if self._cp is not None
-                else None
+            cp_parquets, cp_json = self._cp_files()
+            total = (
+                sum(
+                    os.path.getsize(self._commit_path(v))
+                    for v in self._commit_versions
+                )
+                + sum(os.path.getsize(p) for p in cp_parquets)
+                + (os.path.getsize(cp_json) if cp_json else 0)
             )
-            total = sum(
-                os.path.getsize(self._commit_path(v)) for v in self._commit_versions
-            ) + (os.path.getsize(cp_path) if cp_path else 0)
             if total > _LOCAL_LOG_CAP:
                 self._local = False
                 return None
             raw: list[tuple[int, dict]] = []
-            if cp_path:
+            for p in cp_parquets:
                 import pyarrow.parquet as pq
 
-                for rec in pq.read_table(cp_path).to_pylist():
+                for rec in pq.read_table(p).to_pylist():
                     raw.append((self._cp, rec))
+            if cp_json:
+                with open(cp_json) as f:
+                    for line in f:
+                        if line := line.strip():
+                            raw.append((self._cp, json.loads(line)))
             for v in self._commit_versions:
                 with open(self._commit_path(v)) as f:
                     for line in f:
@@ -560,94 +678,143 @@ class Snapshot:
             )
             parts.append(df)
         if self._cp is not None:
-            cp_path = os.path.join(self.log.log_path, f"{self._cp:020d}.checkpoint.parquet")
-            raw = self.spark.read.parquet(cp_path)
-            cols = {f.name for f in raw.schema.fields}
-            add_fields = (
-                {f.name for f in raw.schema["add"].dataType.fields} if "add" in cols else set()
-            )
-            add_col = (
-                F.struct(
-                    F.col("add.path").alias("path"),
-                    F.col("add.partitionValues").alias("partitionValues"),
-                    F.col("add.size").alias("size"),
-                    F.col("add.modificationTime").alias("modificationTime"),
-                    F.col("add.dataChange").alias("dataChange"),
-                    (
-                        F.col("add.stats")
-                        if "stats" in add_fields
-                        else F.lit(None).cast("string")
-                    ).alias("stats"),
-                    (
-                        F.col("add.tags")
-                        if "tags" in add_fields
-                        else F.lit(None).cast(T.MapType(T.StringType(), T.StringType()))
-                    ).alias("tags"),
-                    (
-                        F.col("add.deletionVector")
-                        if "deletionVector" in add_fields
-                        else F.lit(None).cast(_DV_TYPE)
-                    ).alias("deletionVector"),
+            cp_parquets, cp_json = self._cp_files()
+            for p in cp_parquets:
+                parts.append(self._conform_cp_parquet(p))
+            if cp_json:
+                parts.append(
+                    self.spark.read.schema(COMMIT_SCHEMA)
+                    .json(cp_json)
+                    .withColumn("version", F.lit(self._cp).cast("long"))
                 )
-                if "add" in cols
-                else F.lit(None).cast(_ADD_TYPE)
-            )
-            remove_col = (
-                F.struct(
-                    F.col("remove.path").alias("path"),
-                    F.col("remove.deletionTimestamp").alias("deletionTimestamp"),
-                    F.col("remove.dataChange").alias("dataChange"),
-                )
-                if "remove" in cols
-                else F.lit(None).cast(_REMOVE_TYPE)
-            )
-            meta_col = (
-                F.col("metaData").cast(_METADATA_TYPE)
-                if "metaData" in cols
-                else F.lit(None).cast(_METADATA_TYPE)
-            )
-            proto_fields = (
-                {f.name for f in raw.schema["protocol"].dataType.fields}
-                if "protocol" in cols
-                else set()
-            )
-            proto_col = (
-                F.struct(
-                    F.col("protocol.minReaderVersion").alias("minReaderVersion"),
-                    F.col("protocol.minWriterVersion").alias("minWriterVersion"),
-                    (
-                        F.col("protocol.readerFeatures")
-                        if "readerFeatures" in proto_fields
-                        else F.lit(None).cast(T.ArrayType(T.StringType()))
-                    ).alias("readerFeatures"),
-                    (
-                        F.col("protocol.writerFeatures")
-                        if "writerFeatures" in proto_fields
-                        else F.lit(None).cast(T.ArrayType(T.StringType()))
-                    ).alias("writerFeatures"),
-                )
-                if "protocol" in cols
-                else F.lit(None).cast(_PROTOCOL_TYPE)
-            )
-            txn_col = (
-                F.col("txn").cast(_TXN_TYPE)
-                if "txn" in cols
-                else F.lit(None).cast(_TXN_TYPE)
-            )
-            cp_df = raw.select(
-                add_col.alias("add"),
-                remove_col.alias("remove"),
-                meta_col.alias("metaData"),
-                proto_col.alias("protocol"),
-                txn_col.alias("txn"),
-                F.lit(self._cp).cast("long").alias("version"),
-            )
-            # When an add was written twice for the same path, keep the
-            # checkpoint's row only if path present — handled by reconcile.
-            parts.append(cp_df)
         if not parts:
             raise FileNotFoundError(f"no log entries for version {self.version}")
         return reduce(DataFrame.unionByName, parts)
+
+    def _conform_cp_parquet(self, cp_path: str) -> DataFrame:
+        """One checkpoint parquet (classic file, multipart part, v2
+        manifest, or v2 sidecar) conformed to COMMIT_SCHEMA columns —
+        foreign checkpoints may lack whole action columns or carry
+        extra struct fields (e.g. the spec DV descriptor's
+        maxRowIndex, or v2 checkpointMetadata/sidecar actions, which
+        replay ignores), so every field resolves by NAME with typed
+        null fallbacks."""
+        raw = self.spark.read.parquet(cp_path)
+        cols = {f.name for f in raw.schema.fields}
+        add_fields = (
+            {f.name for f in raw.schema["add"].dataType.fields}
+            if "add" in cols
+            else set()
+        )
+        dv_fields = (
+            {
+                f.name
+                for f in raw.schema["add"].dataType["deletionVector"].dataType.fields
+            }
+            if "deletionVector" in add_fields
+            else set()
+        )
+        dv_col = (
+            F.struct(
+                F.col("add.deletionVector.storageType").alias("storageType"),
+                F.col("add.deletionVector.pathOrInlineDv").alias("pathOrInlineDv"),
+                (
+                    F.col("add.deletionVector.offset")
+                    if "offset" in dv_fields
+                    else F.lit(None).cast("int")
+                ).alias("offset"),
+                (
+                    F.col("add.deletionVector.sizeInBytes")
+                    if "sizeInBytes" in dv_fields
+                    else F.lit(None).cast("int")
+                ).alias("sizeInBytes"),
+                (
+                    F.col("add.deletionVector.cardinality")
+                    if "cardinality" in dv_fields
+                    else F.lit(None).cast("long")
+                ).alias("cardinality"),
+            )
+            if "deletionVector" in add_fields
+            else F.lit(None).cast(_DV_TYPE)
+        )
+        add_col = (
+            F.struct(
+                F.col("add.path").alias("path"),
+                F.col("add.partitionValues").alias("partitionValues"),
+                F.col("add.size").alias("size"),
+                F.col("add.modificationTime").alias("modificationTime"),
+                F.col("add.dataChange").alias("dataChange"),
+                (
+                    F.col("add.stats")
+                    if "stats" in add_fields
+                    else F.lit(None).cast("string")
+                ).alias("stats"),
+                (
+                    F.col("add.tags")
+                    if "tags" in add_fields
+                    else F.lit(None).cast(T.MapType(T.StringType(), T.StringType()))
+                ).alias("tags"),
+                dv_col.alias("deletionVector"),
+            )
+            if "add" in cols
+            else F.lit(None).cast(_ADD_TYPE)
+        )
+        remove_col = (
+            F.struct(
+                F.col("remove.path").alias("path"),
+                F.col("remove.deletionTimestamp").alias("deletionTimestamp"),
+                F.col("remove.dataChange").alias("dataChange"),
+            )
+            if "remove" in cols
+            else F.lit(None).cast(_REMOVE_TYPE)
+        )
+        def by_name(col_name: str, target: T.StructType):
+            """Struct conformed FIELD BY NAME (struct casts are
+            positional in Spark, so a foreign checkpoint with a field
+            subset or different order would silently shear values)."""
+            if col_name not in cols:
+                return F.lit(None).cast(target)
+            have = {f.name: f for f in raw.schema[col_name].dataType.fields}
+            members = []
+            for f in target.fields:
+                if f.name in have:
+                    src = F.col(f"{col_name}.{f.name}")
+                    if isinstance(f.dataType, T.StructType):
+                        # one nested level (metaData.format) suffices
+                        # for the commit schema's struct fields
+                        inner_have = {
+                            x.name for x in have[f.name].dataType.fields
+                        } if isinstance(have[f.name].dataType, T.StructType) else set()
+                        src = F.struct(
+                            *[
+                                (
+                                    F.col(f"{col_name}.{f.name}.{g.name}")
+                                    if g.name in inner_have
+                                    else F.lit(None).cast(g.dataType)
+                                ).alias(g.name)
+                                for g in f.dataType.fields
+                            ]
+                        )
+                    members.append(src.cast(f.dataType).alias(f.name))
+                else:
+                    members.append(F.lit(None).cast(f.dataType).alias(f.name))
+            # a built struct would be non-null even when the source row
+            # has no such action — preserve action-level nullness
+            return F.when(
+                F.col(col_name).isNotNull(), F.struct(*members)
+            ).otherwise(F.lit(None).cast(target))
+
+        meta_col = by_name("metaData", _METADATA_TYPE)
+        proto_col = by_name("protocol", _PROTOCOL_TYPE)
+        txn_col = by_name("txn", _TXN_TYPE)
+        return raw.select(
+            add_col.alias("add"),
+            remove_col.alias("remove"),
+            meta_col.alias("metaData"),
+            proto_col.alias("protocol"),
+            txn_col.alias("txn"),
+            F.lit(self._cp).cast("long").alias("version"),
+        )
 
     # ---- metadata ----------------------------------------------------------
 

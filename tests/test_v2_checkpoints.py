@@ -1,0 +1,238 @@
+"""Checkpoint interop reads: multipart classic checkpoints and v2
+checkpoints (UUID-named parquet/JSON manifests + _sidecars files),
+per the Delta spec's checkpoint formats. Fixtures are handcrafted
+foreign-style logs; both the driver fast path and the distributed
+replay must agree."""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from levi_spark.delta.log import DeltaLog
+
+SCHEMA_STR = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}}
+        ],
+    }
+)
+
+
+def _write_data(spark, path, lo, hi):
+    before = {n for n in os.listdir(path) if n.endswith(".parquet")} if os.path.isdir(path) else set()
+    spark.range(lo, hi).select("id").coalesce(1).write.mode("append").parquet(path)
+    (new,) = {n for n in os.listdir(path) if n.endswith(".parquet")} - before
+    return new
+
+
+def _add_action(path, name, version_visible=True):
+    return {
+        "add": {
+            "path": name,
+            "partitionValues": {},
+            "size": os.path.getsize(os.path.join(path, name)),
+            "modificationTime": 0,
+            "dataChange": True,
+            "stats": None,
+        }
+    }
+
+
+_META = {
+    "metaData": {
+        "id": "t-cp",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": SCHEMA_STR,
+        "partitionColumns": [],
+        "configuration": {},
+        "createdTime": 0,
+    }
+}
+_PROTO_V2 = {
+    "protocol": {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["v2Checkpoint"],
+        "writerFeatures": ["v2Checkpoint"],
+    }
+}
+_PROTO_V1 = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+
+# arrow schema for checkpoint action rows (adds + metaData + protocol)
+_ARROW_ADD = pa.struct(
+    [
+        ("path", pa.string()),
+        ("partitionValues", pa.map_(pa.string(), pa.string())),
+        ("size", pa.int64()),
+        ("modificationTime", pa.int64()),
+        ("dataChange", pa.bool_()),
+        ("stats", pa.string()),
+    ]
+)
+_ARROW_META = pa.struct(
+    [
+        ("id", pa.string()),
+        ("schemaString", pa.string()),
+        ("partitionColumns", pa.list_(pa.string())),
+        ("configuration", pa.map_(pa.string(), pa.string())),
+        ("createdTime", pa.int64()),
+    ]
+)
+_ARROW_PROTO = pa.struct(
+    [
+        ("minReaderVersion", pa.int32()),
+        ("minWriterVersion", pa.int32()),
+        ("readerFeatures", pa.list_(pa.string())),
+        ("writerFeatures", pa.list_(pa.string())),
+    ]
+)
+_ARROW_SIDECAR = pa.struct([("path", pa.string()), ("sizeInBytes", pa.int64())])
+
+
+def _cp_rows_to_table(rows, with_sidecar=False):
+    fields = [
+        ("add", _ARROW_ADD),
+        ("metaData", _ARROW_META),
+        ("protocol", _ARROW_PROTO),
+    ]
+    if with_sidecar:
+        fields.append(("sidecar", _ARROW_SIDECAR))
+    schema = pa.schema(fields)
+    pylist = []
+    for r in rows:
+        rec = {name: None for name, _t in fields}
+        for k, v in r.items():
+            if k == "metaData":
+                v = {kk: vv for kk, vv in v.items() if kk != "format"}
+                v["partitionColumns"] = list(v["partitionColumns"])
+                v["configuration"] = list((v.get("configuration") or {}).items())
+            if k == "add":
+                v = dict(v)
+                v["partitionValues"] = list((v.get("partitionValues") or {}).items())
+            rec[k] = v
+        pylist.append(rec)
+    return pa.Table.from_pylist(pylist, schema=schema)
+
+
+def _commit(path, v, actions):
+    with open(os.path.join(path, "_delta_log", f"{v:020d}.json"), "w") as f:
+        f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+
+
+def test_multipart_classic_checkpoint(spark, tmp_path):
+    """<v>.checkpoint.<i>.<n>.parquet parts union to the action set;
+    an incomplete part set is ignored (replay falls back to commits)."""
+    path = str(tmp_path / "t")
+    os.makedirs(os.path.join(path, "_delta_log"))
+    f0 = _write_data(spark, path, 0, 5)
+    f1 = _write_data(spark, path, 5, 9)
+    _commit(path, 0, [_PROTO_V1, _META, _add_action(path, f0)])
+    _commit(path, 1, [_add_action(path, f1)])
+    # checkpoint at v1, split into 2 parts
+    part1 = _cp_rows_to_table([_PROTO_V1, _META, _add_action(path, f0)["add"] and {"add": _add_action(path, f0)["add"]}])
+    part2 = _cp_rows_to_table([{"add": _add_action(path, f1)["add"]}])
+    lp = os.path.join(path, "_delta_log")
+    pq.write_table(part1, os.path.join(lp, f"{1:020d}.checkpoint.{1:010d}.{2:010d}.parquet"))
+    pq.write_table(part2, os.path.join(lp, f"{1:020d}.checkpoint.{2:010d}.{2:010d}.parquet"))
+    # delete the commits the checkpoint covers (forces checkpoint read)
+    os.remove(os.path.join(lp, f"{0:020d}.json"))
+    os.remove(os.path.join(lp, f"{1:020d}.json"))
+    got = sorted(r.id for r in DeltaLog(spark, path).snapshot().to_df().collect())
+    assert got == list(range(9))
+
+
+def test_multipart_incomplete_is_ignored(spark, tmp_path):
+    path = str(tmp_path / "t")
+    os.makedirs(os.path.join(path, "_delta_log"))
+    f0 = _write_data(spark, path, 0, 5)
+    _commit(path, 0, [_PROTO_V1, _META, _add_action(path, f0)])
+    lp = os.path.join(path, "_delta_log")
+    part1 = _cp_rows_to_table([{"add": _add_action(path, f0)["add"]}])
+    # only part 1 of 2 exists
+    pq.write_table(part1, os.path.join(lp, f"{0:020d}.checkpoint.{1:010d}.{2:010d}.parquet"))
+    got = sorted(r.id for r in DeltaLog(spark, path).snapshot().to_df().collect())
+    assert got == list(range(5))  # read from the commit, not the fragment
+
+
+@pytest.mark.parametrize("manifest_fmt", ["parquet", "json"])
+def test_v2_checkpoint_with_sidecars(spark, tmp_path, manifest_fmt):
+    """A v2 checkpoint: non-file actions in the manifest, add actions
+    in _sidecars parquet files discovered through sidecar actions."""
+    path = str(tmp_path / "t")
+    os.makedirs(os.path.join(path, "_delta_log", "_sidecars"))
+    f0 = _write_data(spark, path, 0, 4)
+    f1 = _write_data(spark, path, 4, 7)
+    _commit(path, 0, [_PROTO_V2, _META, _add_action(path, f0)])
+    _commit(path, 1, [_add_action(path, f1)])
+    lp = os.path.join(path, "_delta_log")
+    # two sidecars, one add each
+    sc_names = []
+    for fx in (f0, f1):
+        n = f"{uuid.uuid4()}.parquet"
+        pq.write_table(
+            _cp_rows_to_table([{"add": _add_action(path, fx)["add"]}]),
+            os.path.join(lp, "_sidecars", n),
+        )
+        sc_names.append(n)
+    uid = uuid.uuid4()
+    manifest_rows = [
+        _PROTO_V2,
+        _META,
+        *(
+            {"sidecar": {"path": n, "sizeInBytes": 1}}
+            for n in sc_names
+        ),
+    ]
+    if manifest_fmt == "parquet":
+        pq.write_table(
+            _cp_rows_to_table(manifest_rows, with_sidecar=True),
+            os.path.join(lp, f"{1:020d}.checkpoint.{uid}.parquet"),
+        )
+    else:
+        with open(os.path.join(lp, f"{1:020d}.checkpoint.{uid}.json"), "w") as f:
+            f.write("\n".join(json.dumps(r) for r in manifest_rows) + "\n")
+    os.remove(os.path.join(lp, f"{0:020d}.json"))
+    os.remove(os.path.join(lp, f"{1:020d}.json"))
+    snap = DeltaLog(spark, path).snapshot()
+    got = sorted(r.id for r in snap.to_df().collect())
+    assert got == list(range(7))
+    # distributed replay agrees with the driver fast path
+    snap2 = DeltaLog(spark, path).snapshot()
+    snap2._local = False
+    got2 = sorted(r.id for r in snap2.to_df().collect())
+    assert got2 == list(range(7))
+
+
+def test_v2_checkpoint_then_later_commits(spark, tmp_path):
+    """Commits after the v2 checkpoint replay on top of it."""
+    path = str(tmp_path / "t")
+    os.makedirs(os.path.join(path, "_delta_log", "_sidecars"))
+    f0 = _write_data(spark, path, 0, 4)
+    _commit(path, 0, [_PROTO_V2, _META, _add_action(path, f0)])
+    lp = os.path.join(path, "_delta_log")
+    n = f"{uuid.uuid4()}.parquet"
+    pq.write_table(
+        _cp_rows_to_table([{"add": _add_action(path, f0)["add"]}]),
+        os.path.join(lp, "_sidecars", n),
+    )
+    uid = uuid.uuid4()
+    pq.write_table(
+        _cp_rows_to_table(
+            [_PROTO_V2, _META, {"sidecar": {"path": n, "sizeInBytes": 1}}],
+            with_sidecar=True,
+        ),
+        os.path.join(lp, f"{0:020d}.checkpoint.{uid}.parquet"),
+    )
+    os.remove(os.path.join(lp, f"{0:020d}.json"))
+    f1 = _write_data(spark, path, 100, 103)
+    _commit(path, 1, [_add_action(path, f1)])
+    got = sorted(r.id for r in DeltaLog(spark, path).snapshot().to_df().collect())
+    assert got == [0, 1, 2, 3, 100, 101, 102]
