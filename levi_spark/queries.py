@@ -1586,6 +1586,203 @@ FROM f WHERE lang = 'en' AND quality_micro >= {FUNNEL_QUALITY_MIN}
 """
 
 
+def foreign_delta_interop(spark, sf_dir):
+    """Foreign-written Delta table interop through the driver gate:
+    the customer table is re-materialized as a table OUR WRITER NEVER
+    TOUCHED — a pyarrow-written data file whose on-disk column names
+    match nothing in the logical schema (parquet FIELD IDS are the only
+    link), a handcrafted log with columnMapping 'id' mode, a standard
+    roaring-bitmap deletion vector ('u' descriptor,
+    :mod:`levi_spark.delta.roaring`) deleting every c_custkey % 7 == 0
+    row by ROW INDEX, protocol minReaderVersion 3 with
+    readerFeatures [columnMapping, deletionVectors, v2Checkpoint], and
+    a v2 checkpoint (JSON manifest + _sidecars parquet) replacing the
+    commit file. Reading it exercises field-id resolution, roaring DV
+    decode, and v2 checkpoint replay in one scan; the oracle recomputes
+    the same aggregate from the raw parquet with the equivalent
+    predicate — any mis-decode shifts counts or sums and hash-fails.
+
+    Scale shape: one parquet scan + broadcast DV anti-join + one
+    partial-aggregated rollup; fixture construction is driver-side
+    metadata only (the data file is written once by arrow)."""
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from levi_spark.delta.log import DeltaLog
+    from levi_spark.delta.roaring import (
+        dv_file_path,
+        encode_rbm_array,
+        write_dv_file,
+        z85_encode,
+    )
+
+    base = _scratch("foreign_interop")
+    _os.makedirs(_os.path.join(base, "_delta_log", "_sidecars"))
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+        .orderBy("c_custkey")
+        .toPandas()
+    )
+    # data file: foreign on-disk names, linked only by parquet field ids
+    arrays = [
+        _pa.array(cust["c_custkey"], _pa.int64()),
+        _pa.array(cust["c_acctbal"], _pa.float64()),
+        _pa.array(cust["c_mktsegment"], _pa.string()),
+    ]
+    fields = [
+        _pa.field("zz_a", _pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+        _pa.field("zz_b", _pa.float64(), metadata={b"PARQUET:field_id": b"2"}),
+        _pa.field("zz_c", _pa.string(), metadata={b"PARQUET:field_id": b"3"}),
+    ]
+    data_name = "part-foreign-0000.parquet"
+    _pq.write_table(
+        _pa.Table.from_arrays(arrays, schema=_pa.schema(fields)),
+        _os.path.join(base, data_name),
+    )
+    # standard roaring DV: delete every c_custkey % 7 == 0 by row index
+    deleted = [i for i, k in enumerate(cust["c_custkey"]) if int(k) % 7 == 0]
+    blob = encode_rbm_array(deleted)
+    file_bytes, offs = write_dv_file([blob])
+    u = _uuid.uuid4()
+    pod = z85_encode(u.bytes)
+    with open(dv_file_path(base, pod), "wb") as f:
+        f.write(file_bytes)
+    mk = lambda n, i, phys: {  # noqa: E731 — compact field builder
+        "name": n,
+        "type": "long" if i == 1 else ("double" if i == 2 else "string"),
+        "nullable": True,
+        "metadata": {
+            "delta.columnMapping.id": i,
+            "delta.columnMapping.physicalName": phys,
+        },
+    }
+    meta_action = {
+        "metaData": {
+            "id": "foreign-t",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _json.dumps(
+                {
+                    "type": "struct",
+                    "fields": [
+                        mk("c_custkey", 1, "col-p1"),
+                        mk("c_acctbal", 2, "col-p2"),
+                        mk("c_mktsegment", 3, "col-p3"),
+                    ],
+                }
+            ),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "id"},
+            "createdTime": 0,
+        }
+    }
+    proto_action = {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": [
+                "columnMapping", "deletionVectors", "v2Checkpoint",
+            ],
+            "writerFeatures": [
+                "columnMapping", "deletionVectors", "v2Checkpoint",
+            ],
+        }
+    }
+    add_action = {
+        "add": {
+            "path": data_name,
+            "partitionValues": {},
+            "size": _os.path.getsize(_os.path.join(base, data_name)),
+            "modificationTime": 0,
+            "dataChange": True,
+            "stats": _json.dumps({"numRecords": len(cust)}),
+            "deletionVector": {
+                "storageType": "u",
+                "pathOrInlineDv": pod,
+                "offset": offs[0],
+                "sizeInBytes": len(blob),
+                "cardinality": len(deleted),
+            },
+        }
+    }
+    lp = _os.path.join(base, "_delta_log")
+    # the add action lives ONLY in a v2 checkpoint sidecar; the log has
+    # no commit json at all (history expired past the checkpoint)
+    sc_name = f"{_uuid.uuid4()}.parquet"
+    sidecar_schema = _pa.schema(
+        [
+            (
+                "add",
+                _pa.struct(
+                    [
+                        ("path", _pa.string()),
+                        ("partitionValues", _pa.map_(_pa.string(), _pa.string())),
+                        ("size", _pa.int64()),
+                        ("modificationTime", _pa.int64()),
+                        ("dataChange", _pa.bool_()),
+                        ("stats", _pa.string()),
+                        (
+                            "deletionVector",
+                            _pa.struct(
+                                [
+                                    ("storageType", _pa.string()),
+                                    ("pathOrInlineDv", _pa.string()),
+                                    ("offset", _pa.int32()),
+                                    ("sizeInBytes", _pa.int32()),
+                                    ("cardinality", _pa.int64()),
+                                ]
+                            ),
+                        ),
+                    ]
+                ),
+            )
+        ]
+    )
+    sc_add = dict(add_action["add"])
+    sc_add["partitionValues"] = []
+    _pq.write_table(
+        _pa.Table.from_pylist([{"add": sc_add}], schema=sidecar_schema),
+        _os.path.join(lp, "_sidecars", sc_name),
+    )
+    manifest = [
+        proto_action,
+        meta_action,
+        {"sidecar": {"path": sc_name, "sizeInBytes": 1}},
+    ]
+    with open(
+        _os.path.join(lp, f"{0:020d}.checkpoint.{_uuid.uuid4()}.json"), "w"
+    ) as f:
+        f.write("\n".join(_json.dumps(a) for a in manifest) + "\n")
+
+    df = DeltaLog(spark, base).snapshot().to_df()
+    return (
+        df.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("c_custkey").cast("long").alias("key_sum"),
+            _qsum(F.col("c_acctbal"), "_bal"),
+        )
+        .select("c_mktsegment", "n_rows", "key_sum", _qval("_bal", "total_bal"))
+        .orderBy("c_mktsegment")
+    )
+
+
+FOREIGN_INTEROP_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_rows,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(floor(c_acctbal * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 10000.0 AS total_bal
+FROM customer
+WHERE c_custkey % 7 <> 0
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 def table_history_counts(spark, sf_dir):
     """DESCRIBE HISTORY through the driver gate
     (:mod:`levi_spark.delta.history`): customer becomes a Delta table
@@ -8513,6 +8710,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "multimodal_jpeg_decode": (multimodal_jpeg_decode, JPEG_DECODE_SQL),
     "doc_bm25_topk": (doc_bm25_topk, BM25_SQL),
     "doc_pii_redaction": (doc_pii_redaction, PII_REDACTION_SQL),
+    "foreign_delta_interop": (foreign_delta_interop, FOREIGN_INTEROP_SQL),
     # -- never driver-gated in r01 or r02 ----------------------------------
     "table_restore_counts": (table_restore_counts, RESTORE_SQL),
     "events_skewed_rollup": (events_skewed_rollup, SKEWED_ROLLUP_SQL),
