@@ -45,7 +45,13 @@ DV_DIR = "_deletion_vectors"
 
 
 def _append_commit(
-    log: DeltaLog, snap, version: int, actions: list[dict], operation: str, params: dict
+    log: DeltaLog,
+    snap,
+    version: int,
+    actions: list[dict],
+    operation: str,
+    params: dict,
+    protocol: dict | None = None,
 ) -> None:
     """Append one commit JSON (re-emitting protocol+metaData like the
     writer does). Published through the writer's conflict-safe
@@ -54,7 +60,11 @@ def _append_commit(
     invalidates it — the conflict surfaces as the documented retryable
     ``ValueError``, never a raw ``FileExistsError``."""
     now_ms = int(time.time() * 1000)
-    lines = [json.dumps({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})]
+    lines = [
+        json.dumps(
+            {"protocol": protocol or {"minReaderVersion": 1, "minWriterVersion": 2}}
+        )
+    ]
     meta = snap.metadata
     lines.append(
         json.dumps(
@@ -87,12 +97,79 @@ def _append_commit(
     _publish_commit(log.log_path, version, "\n".join(lines) + "\n", rebase_ok=False)
 
 
+def _write_standard_dvs(spark, table_path: str, dv_out) -> dict[str, dict]:
+    """Write one SPEC-CONFORMANT deletion-vector file per affected data
+    file — ``deletion_vector_<uuid>.bin`` at the table root, framed +
+    CRC'd roaring-bitmap blobs (:mod:`levi_spark.delta.roaring`) — and
+    return ``file_name -> 'u' descriptor``. Encoding and file writes
+    happen EXECUTOR-side via applyInPandas over the file_name groups
+    (each group is bounded by one data file's row count); only the
+    per-file descriptor rows come back to the driver."""
+    import pandas as pd
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        import os as _os
+        import uuid as _uuid
+
+        from levi_spark.delta.roaring import (
+            encode_rbm_array,
+            write_dv_file,
+            z85_encode,
+        )
+
+        rows = []
+        for fname, grp in pdf.groupby("file_name"):
+            blob = encode_rbm_array(grp["row_index"].tolist())
+            data, offs = write_dv_file([blob])
+            u = _uuid.uuid4()
+            with open(
+                _os.path.join(table_path, f"deletion_vector_{u}.bin"), "wb"
+            ) as f:
+                f.write(data)
+            rows.append(
+                (fname, z85_encode(u.bytes), offs[0], len(blob), len(grp))
+            )
+        return pd.DataFrame(
+            rows, columns=["file_name", "pod", "offset", "size", "cardinality"]
+        )
+
+    desc_rows = (
+        dv_out.repartition("file_name")
+        .groupBy("file_name")
+        .applyInPandas(
+            encode,
+            "file_name string, pod string, offset int, size int, "
+            "cardinality long",
+        )
+        .collect()
+    )
+    return {
+        r["file_name"]: {
+            "storageType": "u",
+            "pathOrInlineDv": r["pod"],
+            "offset": int(r["offset"]),
+            "sizeInBytes": int(r["size"]),
+            "cardinality": int(r["cardinality"]),
+        }
+        for r in desc_rows
+    }
+
+
+_STANDARD_DV_PROTOCOL = {
+    "minReaderVersion": 3,
+    "minWriterVersion": 7,
+    "readerFeatures": ["deletionVectors"],
+    "writerFeatures": ["deletionVectors"],
+}
+
+
 def soft_delete(
     spark: SparkSession,
     path: str,
     predicate: str | Column,
     checkpoint_interval: int | None = DEFAULT_CHECKPOINT_INTERVAL,
     emit_cdf: bool = False,
+    dv_format: str = "sidecar",
 ) -> dict:
     """Logically delete every row matching ``predicate`` (SQL string or
     Column over the table's columns, partition columns included).
@@ -104,6 +181,14 @@ def soft_delete(
     'delete'``) as change data in the same commit, making the DELETE
     visible to :func:`levi_spark.delta.changes.table_changes_cdf` —
     one extra pass over the matching rows, still O(matches).
+
+    ``dv_format``: ``"sidecar"`` (default) writes the engine's parquet
+    sidecar directory; ``"standard"`` writes SPEC-CONFORMANT deletion
+    vectors — per-file ``deletion_vector_<uuid>.bin`` roaring-bitmap
+    files with 'u' descriptors, and bumps the commit's protocol to
+    minReaderVersion 3 + deletionVectors so any conforming Delta
+    reader (delta-spark included) applies them. Both formats read back
+    identically through this engine.
     """
     path = os.path.abspath(path)
     log = DeltaLog(spark, path)
@@ -131,21 +216,40 @@ def soft_delete(
         old.join(F.broadcast(affected_names), on="file_name", how="left_semi")
     )
 
-    rel_dir = os.path.join(DV_DIR, f"dv-{uuid.uuid4().hex}")
-    out_dir = os.path.join(path, rel_dir)
-    dv_out.write.parquet(out_dir)
+    if dv_format not in ("sidecar", "standard"):
+        raise ValueError(f"dv_format must be 'sidecar' or 'standard', got {dv_format!r}")
+    out_dir = None
+    std_descs: dict[str, dict] = {}
+    if dv_format == "standard":
+        std_descs = _write_standard_dvs(spark, path, dv_out)
+        counts = {f: d["cardinality"] for f, d in std_descs.items()}
+    else:
+        rel_dir = os.path.join(DV_DIR, f"dv-{uuid.uuid4().hex}")
+        out_dir = os.path.join(path, rel_dir)
+        dv_out.write.parquet(out_dir)
+        counts = {
+            r["file_name"]: r["n"]
+            for r in spark.read.parquet(out_dir)
+            .groupBy("file_name")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
 
-    counts = {
-        r["file_name"]: r["n"]
-        for r in spark.read.parquet(out_dir)
-        .groupBy("file_name")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    if not counts:
+    def _cleanup():
         import shutil
 
-        shutil.rmtree(out_dir, ignore_errors=True)
+        if out_dir is not None:
+            shutil.rmtree(out_dir, ignore_errors=True)
+        from levi_spark.delta.roaring import dv_file_path
+
+        for d in std_descs.values():
+            try:
+                os.remove(dv_file_path(path, d["pathOrInlineDv"]))
+            except OSError:
+                pass
+
+    if not counts:
+        _cleanup()
         return {"version": -1, "rows_deleted": 0, "files_affected": 0, "files_removed": 0}
 
     # Driver-side commit build over the (metadata-scale) affected adds.
@@ -176,11 +280,15 @@ def soft_delete(
             )
             files_removed += 1
             continue
-        add["deletionVector"] = {
-            "storageType": "path",
-            "pathOrInlineDv": rel_dir,
-            "cardinality": card,
-        }
+        add["deletionVector"] = (
+            std_descs[name]
+            if dv_format == "standard"
+            else {
+                "storageType": "path",
+                "pathOrInlineDv": rel_dir,
+                "cardinality": card,
+            }
+        )
         actions.append({"add": {k: v for k, v in add.items() if v is not None}})
 
     if emit_cdf:
@@ -200,15 +308,15 @@ def soft_delete(
     version = snap.version + 1
     try:
         _append_commit(
-            log, snap, version, actions, "DELETE", {"predicate": str(predicate)}
+            log, snap, version, actions, "DELETE", {"predicate": str(predicate)},
+            protocol=_STANDARD_DV_PROTOCOL if dv_format == "standard" else None,
         )
     except ValueError:
-        # Lost the commit race: the sidecar written above is unreachable
-        # from any committed version — remove it rather than leaving an
-        # orphan for vacuum, then surface the retry contract.
-        import shutil
-
-        shutil.rmtree(out_dir, ignore_errors=True)
+        # Lost the commit race: the DV files written above are
+        # unreachable from any committed version — remove them rather
+        # than leaving orphans for vacuum, then surface the retry
+        # contract.
+        _cleanup()
         raise
     if checkpoint_interval and version % checkpoint_interval == 0:
         from levi_spark.delta.checkpoint import write_checkpoint

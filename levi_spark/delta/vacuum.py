@@ -83,7 +83,25 @@ def vacuum(
         live_files.add(os.path.normpath(unquote(add["path"])))
         dv = add["deletionVector"]
         if dv is not None and dv["pathOrInlineDv"] is not None:
-            live_dv_dirs.add(os.path.normpath(dv["pathOrInlineDv"]))
+            if dv["storageType"] == "u":
+                # standard roaring DV: the referenced .bin file is live
+                from levi_spark.delta.roaring import dv_file_path
+
+                live_files.add(
+                    os.path.normpath(
+                        os.path.relpath(
+                            dv_file_path(path, dv["pathOrInlineDv"]), path
+                        )
+                    )
+                )
+            elif dv["storageType"] == "p":
+                # absolute reference; protect it if it happens to live
+                # under this table's directory
+                rp = os.path.relpath(dv["pathOrInlineDv"], path)
+                if not rp.startswith(".."):
+                    live_files.add(os.path.normpath(rp))
+            else:
+                live_dv_dirs.add(os.path.normpath(dv["pathOrInlineDv"]))
 
     cutoff = time.time() - retention_hours * 3600.0
     doomed: list[str] = []
@@ -108,9 +126,15 @@ def vacuum(
                 continue
             if rel.startswith(CDC_DIR + os.sep) and rel in live_cdc:
                 continue
-            # outside the DV area only parquet data files are fair game;
-            # inside an orphaned DV dir, writer markers (_SUCCESS) go too
-            if not name.endswith(".parquet") and not rel.startswith(DV_DIR + os.sep):
+            # outside the DV area only parquet data files and orphaned
+            # standard deletion-vector .bin files are fair game; inside
+            # an orphaned DV dir, writer markers (_SUCCESS) go too
+            is_std_dv = name.startswith("deletion_vector_") and name.endswith(".bin")
+            if (
+                not name.endswith(".parquet")
+                and not is_std_dv
+                and not rel.startswith(DV_DIR + os.sep)
+            ):
                 continue
             full = os.path.join(root, name)
             st = os.stat(full)

@@ -4180,10 +4180,15 @@ GROUP BY user_id, sid
 def dv_soft_delete_orders(spark, sf_dir):
     """Deletion-vector lifecycle through the driver gate: orders is
     materialized as an engine Delta table, urgent low-value orders are
-    soft-deleted (sidecar DV + re-emitted add actions — zero data-file
-    rewrite, cost O(matching rows); :mod:`levi_spark.delta.dv`), and
-    survivors are aggregated straight off the DV-filtered snapshot
-    scan. Oracle: the same aggregate over ``NOT (predicate)``."""
+    soft-deleted with SPEC-CONFORMANT standard deletion vectors
+    (``dv_format="standard"``: per-file roaring-bitmap
+    ``deletion_vector_<uuid>.bin`` files, 'u' descriptors, a
+    minReaderVersion-3 deletionVectors protocol — zero data-file
+    rewrite, cost O(matching rows); :mod:`levi_spark.delta.dv` +
+    :mod:`levi_spark.delta.roaring`), and survivors are aggregated
+    straight off the DV-filtered snapshot scan, so the gate proves the
+    roaring encode -> commit -> decode cycle end to end. Oracle: the
+    same aggregate over ``NOT (predicate)``."""
     import os as _os
 
     from levi_spark.delta.dv import soft_delete
@@ -4196,7 +4201,8 @@ def dv_soft_delete_orders(spark, sf_dir):
         checkpoint_interval=None,
     )
     soft_delete(
-        spark, base, "o_orderpriority = '1-URGENT' AND o_totalprice < 100000.0"
+        spark, base, "o_orderpriority = '1-URGENT' AND o_totalprice < 100000.0",
+        dv_format="standard",
     )
     return (
         DeltaLog(spark, base)
@@ -8711,6 +8717,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "doc_bm25_topk": (doc_bm25_topk, BM25_SQL),
     "doc_pii_redaction": (doc_pii_redaction, PII_REDACTION_SQL),
     "foreign_delta_interop": (foreign_delta_interop, FOREIGN_INTEROP_SQL),
+    # changed this round (standard DV format) -> back in the gate window
+    "dv_soft_delete_orders": (dv_soft_delete_orders, DV_SOFT_DELETE_SQL),
     # -- never driver-gated in r01 or r02 ----------------------------------
     "table_restore_counts": (table_restore_counts, RESTORE_SQL),
     "events_skewed_rollup": (events_skewed_rollup, SKEWED_ROLLUP_SQL),
@@ -8831,7 +8839,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "drop_duplicates_pkey_customer": (drop_duplicates_pkey_customer, DROP_DUP_PKEY_SQL),
     "kill_duplicates_lineitem": (kill_duplicates_lineitem, KILL_DUP_SQL),
     "merge_upsert_customer": (merge_upsert_customer, MERGE_UPSERT_SQL),
-    "dv_soft_delete_orders": (dv_soft_delete_orders, DV_SOFT_DELETE_SQL),
     "incremental_agg_refresh": (incremental_agg_refresh, INCR_AGG_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "ann_recall_scores": (ann_recall_scores, ANN_RECALL_SQL),

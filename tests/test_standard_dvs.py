@@ -216,3 +216,112 @@ def test_deep_clone_of_uuid_dv_table_is_self_contained(spark, tmp_path):
     assert os.path.exists(dv_file_path(dst, dv["pathOrInlineDv"]))
     got = sorted(r.id for r in DeltaLog(spark, dst).snapshot().to_df().collect())
     assert got == [i for i in range(20) if i not in deleted]
+
+
+# ---- writer side: soft_delete(dv_format="standard") ------------------------
+
+def test_soft_delete_standard_format(spark, tmp_path):
+    """soft_delete can WRITE spec-conformant DVs: per-file
+    deletion_vector_<uuid>.bin roaring files with 'u' descriptors and a
+    minReaderVersion-3 deletionVectors protocol — and the table reads
+    back identically to sidecar mode."""
+    from levi_spark.delta.dv import soft_delete
+    from levi_spark.delta.roaring import dv_file_path
+    from levi_spark.delta.writer import write_delta
+
+    path = str(tmp_path / "t")
+    write_delta(
+        spark.range(30).selectExpr("id", "id * 2 AS v").coalesce(3),
+        path, mode="error", checkpoint_interval=None,
+    )
+    res = soft_delete(spark, path, "id % 4 = 0", checkpoint_interval=None,
+                      dv_format="standard")
+    assert res["rows_deleted"] == 8
+    snap = DeltaLog(spark, path).snapshot()
+    dv_adds = [
+        r["add"]["deletionVector"]
+        for r in snap.live_adds_collected()
+        if r["add"]["deletionVector"] is not None
+    ]
+    assert dv_adds and all(d["storageType"] == "u" for d in dv_adds)
+    for d in dv_adds:
+        assert os.path.exists(dv_file_path(path, d["pathOrInlineDv"]))
+        assert d["sizeInBytes"] > 0 and d["cardinality"] > 0
+    got = sorted(r.id for r in snap.to_df().collect())
+    assert got == [i for i in range(30) if i % 4 != 0]
+
+
+def test_soft_delete_standard_cumulative_and_purge(spark, tmp_path):
+    """A second standard-format delete folds the old bitmap into the
+    new one (one descriptor per file), and purge rewrites cleanly."""
+    from levi_spark.delta.dv import purge_deleted, soft_delete
+    from levi_spark.delta.writer import write_delta
+
+    path = str(tmp_path / "t")
+    write_delta(
+        spark.range(40).selectExpr("id", "id * 3 AS v").coalesce(2),
+        path, mode="error", checkpoint_interval=None,
+    )
+    soft_delete(spark, path, "id % 5 = 0", checkpoint_interval=None,
+                dv_format="standard")
+    soft_delete(spark, path, "id % 7 = 0", checkpoint_interval=None,
+                dv_format="standard")
+    want = [i for i in range(40) if i % 5 != 0 and i % 7 != 0]
+    snap = DeltaLog(spark, path).snapshot()
+    assert sorted(r.id for r in snap.to_df().collect()) == want
+    purge_deleted(spark, path)
+    snap2 = DeltaLog(spark, path).snapshot()
+    assert sorted(r.id for r in snap2.to_df().collect()) == want
+    assert all(
+        r["add"]["deletionVector"] is None
+        for r in snap2.live_adds_collected()
+    )
+
+
+def test_vacuum_reclaims_orphaned_standard_dvs(spark, tmp_path):
+    """After purge, the old .bin files are unreferenced — vacuum
+    reclaims them (and never touches live ones)."""
+    import glob as _glob
+
+    from levi_spark.delta.dv import purge_deleted, soft_delete
+    from levi_spark.delta.vacuum import vacuum
+    from levi_spark.delta.writer import write_delta
+
+    path = str(tmp_path / "t")
+    write_delta(
+        spark.range(20).selectExpr("id").coalesce(2), path, mode="error",
+        checkpoint_interval=None,
+    )
+    soft_delete(spark, path, "id % 3 = 0", checkpoint_interval=None,
+                dv_format="standard")
+    live_bins = set(_glob.glob(os.path.join(path, "deletion_vector_*.bin")))
+    assert live_bins
+    # live DVs survive a vacuum
+    vacuum(spark, path, retention_hours=0.0)
+    assert set(_glob.glob(os.path.join(path, "deletion_vector_*.bin"))) == live_bins
+    purge_deleted(spark, path)
+    res = vacuum(spark, path, retention_hours=0.0)
+    assert not _glob.glob(os.path.join(path, "deletion_vector_*.bin"))
+    assert any("deletion_vector_" in f for f in res["files_deleted"])
+
+
+def test_standard_delete_bumps_protocol(spark, tmp_path):
+    import glob as _glob
+    import json as _json
+
+    from levi_spark.delta.dv import soft_delete
+    from levi_spark.delta.writer import write_delta
+
+    path = str(tmp_path / "t")
+    write_delta(spark.range(10).selectExpr("id").coalesce(1), path,
+                mode="error", checkpoint_interval=None)
+    soft_delete(spark, path, "id = 3", checkpoint_interval=None,
+                dv_format="standard")
+    last = sorted(_glob.glob(os.path.join(path, "_delta_log", "*.json")))[-1]
+    protos = [
+        _json.loads(ln)["protocol"]
+        for ln in open(last)
+        if '"protocol"' in ln
+    ]
+    assert protos and protos[0]["minReaderVersion"] == 3
+    assert "deletionVectors" in protos[0]["readerFeatures"]
