@@ -112,6 +112,7 @@ def _write_standard_dvs(spark, table_path: str, dv_out) -> dict[str, dict]:
         import uuid as _uuid
 
         from levi_spark.delta.roaring import (
+            INLINE_DV_MAX_BYTES,
             encode_rbm_array,
             write_dv_file,
             z85_encode,
@@ -120,6 +121,15 @@ def _write_standard_dvs(spark, table_path: str, dv_out) -> dict[str, dict]:
         rows = []
         for fname, grp in pdf.groupby("file_name"):
             blob = encode_rbm_array(grp["row_index"].tolist())
+            if len(blob) <= INLINE_DV_MAX_BYTES:
+                # tiny bitmap: inline it in the log ('i'), no file IO —
+                # the spec's small-DV optimization (z85 needs 4-byte
+                # alignment; sizeInBytes recovers the true length)
+                padded = blob + b"\x00" * ((-len(blob)) % 4)
+                rows.append(
+                    (fname, "i", z85_encode(padded), None, len(blob), len(grp))
+                )
+                continue
             data, offs = write_dv_file([blob])
             u = _uuid.uuid4()
             with open(
@@ -127,10 +137,11 @@ def _write_standard_dvs(spark, table_path: str, dv_out) -> dict[str, dict]:
             ) as f:
                 f.write(data)
             rows.append(
-                (fname, z85_encode(u.bytes), offs[0], len(blob), len(grp))
+                (fname, "u", z85_encode(u.bytes), offs[0], len(blob), len(grp))
             )
         return pd.DataFrame(
-            rows, columns=["file_name", "pod", "offset", "size", "cardinality"]
+            rows,
+            columns=["file_name", "st", "pod", "offset", "size", "cardinality"],
         )
 
     desc_rows = (
@@ -138,16 +149,16 @@ def _write_standard_dvs(spark, table_path: str, dv_out) -> dict[str, dict]:
         .groupBy("file_name")
         .applyInPandas(
             encode,
-            "file_name string, pod string, offset int, size int, "
+            "file_name string, st string, pod string, offset int, size int, "
             "cardinality long",
         )
         .collect()
     )
     return {
         r["file_name"]: {
-            "storageType": "u",
+            "storageType": r["st"],
             "pathOrInlineDv": r["pod"],
-            "offset": int(r["offset"]),
+            **({"offset": int(r["offset"])} if r["offset"] is not None else {}),
             "sizeInBytes": int(r["size"]),
             "cardinality": int(r["cardinality"]),
         }
@@ -243,6 +254,8 @@ def soft_delete(
         from levi_spark.delta.roaring import dv_file_path
 
         for d in std_descs.values():
+            if d["storageType"] != "u":
+                continue  # inline DVs live in the (uncommitted) log only
             try:
                 os.remove(dv_file_path(path, d["pathOrInlineDv"]))
             except OSError:

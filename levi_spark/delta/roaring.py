@@ -34,6 +34,9 @@ import zlib
 import numpy as np
 
 MAGIC_PORTABLE = 1681511377
+# blobs at or under this size are inlined in the log ('i' descriptors)
+# by the standard-DV writer instead of landing as .bin files
+INLINE_DV_MAX_BYTES = 64
 SERIAL_COOKIE_NO_RUN = 12346
 SERIAL_COOKIE_RUN = 12347
 NO_OFFSET_THRESHOLD = 4

@@ -231,6 +231,37 @@ def test_soft_delete_standard_format(spark, tmp_path):
 
     path = str(tmp_path / "t")
     write_delta(
+        spark.range(300).selectExpr("id", "id * 2 AS v").coalesce(3),
+        path, mode="error", checkpoint_interval=None,
+    )
+    res = soft_delete(spark, path, "id % 2 = 0", checkpoint_interval=None,
+                      dv_format="standard")
+    assert res["rows_deleted"] == 150
+    snap = DeltaLog(spark, path).snapshot()
+    dv_adds = [
+        r["add"]["deletionVector"]
+        for r in snap.live_adds_collected()
+        if r["add"]["deletionVector"] is not None
+    ]
+    # 50 deleted rows per file -> blobs exceed the inline cap -> 'u'
+    assert dv_adds and all(d["storageType"] == "u" for d in dv_adds)
+    for d in dv_adds:
+        assert os.path.exists(dv_file_path(path, d["pathOrInlineDv"]))
+        assert d["sizeInBytes"] > 0 and d["cardinality"] > 0
+    got = sorted(r.id for r in snap.to_df().collect())
+    assert got == [i for i in range(300) if i % 2 != 0]
+
+
+def test_soft_delete_standard_inlines_tiny_dvs(spark, tmp_path):
+    """A handful of deleted rows per file stays INLINE ('i') in the
+    log — no .bin file at all, per the spec's small-DV optimization."""
+    import glob as _glob
+
+    from levi_spark.delta.dv import soft_delete
+    from levi_spark.delta.writer import write_delta
+
+    path = str(tmp_path / "t")
+    write_delta(
         spark.range(30).selectExpr("id", "id * 2 AS v").coalesce(3),
         path, mode="error", checkpoint_interval=None,
     )
@@ -243,10 +274,8 @@ def test_soft_delete_standard_format(spark, tmp_path):
         for r in snap.live_adds_collected()
         if r["add"]["deletionVector"] is not None
     ]
-    assert dv_adds and all(d["storageType"] == "u" for d in dv_adds)
-    for d in dv_adds:
-        assert os.path.exists(dv_file_path(path, d["pathOrInlineDv"]))
-        assert d["sizeInBytes"] > 0 and d["cardinality"] > 0
+    assert dv_adds and all(d["storageType"] == "i" for d in dv_adds)
+    assert not _glob.glob(os.path.join(path, "deletion_vector_*.bin"))
     got = sorted(r.id for r in snap.to_df().collect())
     assert got == [i for i in range(30) if i % 4 != 0]
 
@@ -289,7 +318,7 @@ def test_vacuum_reclaims_orphaned_standard_dvs(spark, tmp_path):
 
     path = str(tmp_path / "t")
     write_delta(
-        spark.range(20).selectExpr("id").coalesce(2), path, mode="error",
+        spark.range(400).selectExpr("id").coalesce(2), path, mode="error",
         checkpoint_interval=None,
     )
     soft_delete(spark, path, "id % 3 = 0", checkpoint_interval=None,
