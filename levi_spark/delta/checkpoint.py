@@ -85,13 +85,31 @@ def _local_checkpoint_rows(snap) -> list[dict] | None:
     return rows
 
 
-def write_checkpoint(spark: SparkSession, table_path: str, version: int | None = None) -> int:
-    """Write ``<v>.checkpoint.parquet`` + ``_last_checkpoint`` for the
-    snapshot at ``version`` (default: latest). Returns the checkpointed
-    version."""
+def write_checkpoint(
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    format: str = "classic",
+) -> int:
+    """Write a checkpoint + ``_last_checkpoint`` for the snapshot at
+    ``version`` (default: latest). Returns the checkpointed version.
+
+    ``format="classic"`` writes the single-file
+    ``<v>.checkpoint.parquet``; ``format="v2"`` writes the spec's v2
+    shape — add actions in a ``_delta_log/_sidecars/<uuid>.parquet``
+    file, plus a ``<v>.checkpoint.<uuid>.json`` manifest carrying the
+    non-file actions, a ``checkpointMetadata`` action, and the
+    ``sidecar`` reference. Note: spec-conformant *foreign* readers
+    only look for v2 checkpoints on tables whose protocol carries the
+    ``v2Checkpoint`` reader feature; this engine's reader discovers
+    both shapes regardless."""
+    if format not in ("classic", "v2"):
+        raise ValueError(f"checkpoint format must be 'classic' or 'v2', got {format!r}")
     log = DeltaLog(spark, table_path)
     snap = log.snapshot(version)
     v = snap.version
+    if format == "v2":
+        return _write_checkpoint_v2(spark, log, snap)
 
     local_rows = None
     try:
@@ -183,6 +201,120 @@ def write_checkpoint(spark: SparkSession, table_path: str, version: int | None =
     dst = os.path.join(log_dir, f"{v:020d}.checkpoint.parquet")
     os.replace(os.path.join(staging, part), dst)
     shutil.rmtree(staging, ignore_errors=True)
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        fh.write(json.dumps({"version": v, "size": n_actions}) + "\n")
+    return v
+
+
+def _write_checkpoint_v2(spark: SparkSession, log: DeltaLog, snap) -> int:
+    """V2 checkpoint: adds land in one ``_sidecars`` parquet (driver
+    fast path via pyarrow when the log is small, Spark write otherwise
+    — never a driver collect of the file list), non-file actions +
+    checkpointMetadata + the sidecar reference land in a JSON
+    manifest."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.types as T
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from levi_spark.delta.log import COMMIT_SCHEMA
+
+    v = snap.version
+    log_dir = log.log_path
+    sidecars_dir = os.path.join(log_dir, "_sidecars")
+    os.makedirs(sidecars_dir, exist_ok=True)
+    cp_schema = T.StructType(
+        [f for f in COMMIT_SCHEMA.fields if f.name != "version"]
+    )
+
+    local_rows = None
+    try:
+        local_rows = _local_checkpoint_rows(snap)
+    except Exception:
+        local_rows = None
+
+    sc_name = f"{uuid.uuid4()}.parquet"
+    sc_path = os.path.join(sidecars_dir, sc_name)
+    others: list[dict]
+    if local_rows is not None:
+        adds = [r for r in local_rows if r["add"] is not None]
+        others = [r for r in local_rows if r["add"] is None]
+        tmp = os.path.join(log_dir, f".cp-tmp-{uuid.uuid4().hex}.parquet")
+        pq.write_table(
+            pa.Table.from_pylist(adds, schema=to_arrow_schema(cp_schema)), tmp
+        )
+        os.replace(tmp, sc_path)
+        n_actions = len(local_rows)
+    else:
+        acts = snap._actions_df()
+        adds_df = snap.live_adds_raw().select(
+            "add", F.lit(None).cast(_REMOVE_TYPE).alias("remove")
+        )
+        staging = os.path.join(log_dir, f".cp-staging-{uuid.uuid4().hex}")
+        n_adds = adds_df.count()
+        adds_df.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = next(
+            n
+            for n in os.listdir(staging)
+            if n.endswith(".parquet") and n.startswith("part-")
+        )
+        os.replace(os.path.join(staging, part), sc_path)
+        shutil.rmtree(staging, ignore_errors=True)
+        meta_rows = (
+            acts.where(F.col("metaData.schemaString").isNotNull())
+            .orderBy(F.col("version").desc())
+            .limit(1)
+            .select("metaData")
+            .collect()
+        )
+        proto_rows = (
+            acts.where(F.col("protocol.minReaderVersion").isNotNull())
+            .orderBy(F.col("version").desc())
+            .limit(1)
+            .select("protocol")
+            .collect()
+        )
+        txn_w = Window.partitionBy("txn.appId").orderBy(
+            F.col("txn.version").desc(), F.col("version").desc()
+        )
+        txn_rows = (
+            acts.where(F.col("txn.appId").isNotNull())
+            .withColumn("__rn", F.row_number().over(txn_w))
+            .where(F.col("__rn") == 1)
+            .select("txn")
+            .collect()
+        )
+        others = (
+            [{"metaData": r["metaData"].asDict(recursive=True)} for r in meta_rows]
+            + [{"protocol": r["protocol"].asDict(recursive=True)} for r in proto_rows]
+            + [{"txn": r["txn"].asDict(recursive=True)} for r in txn_rows]
+        )
+        n_actions = n_adds + len(others)
+
+    manifest_lines = []
+    for r in others:
+        for k in ("protocol", "metaData", "txn"):
+            if r.get(k) is not None:
+                manifest_lines.append(json.dumps({k: r[k]}))
+    manifest_lines.append(
+        json.dumps({"checkpointMetadata": {"version": v}})
+    )
+    manifest_lines.append(
+        json.dumps(
+            {
+                "sidecar": {
+                    "path": sc_name,
+                    "sizeInBytes": os.path.getsize(sc_path),
+                    "modificationTime": int(os.path.getmtime(sc_path) * 1000),
+                }
+            }
+        )
+    )
+    manifest_name = f"{v:020d}.checkpoint.{uuid.uuid4()}.json"
+    tmp = os.path.join(log_dir, f".cp-tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as fh:
+        fh.write("\n".join(manifest_lines) + "\n")
+    os.replace(tmp, os.path.join(log_dir, manifest_name))
     with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
         fh.write(json.dumps({"version": v, "size": n_actions}) + "\n")
     return v

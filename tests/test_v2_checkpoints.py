@@ -236,3 +236,103 @@ def test_v2_checkpoint_then_later_commits(spark, tmp_path):
     _commit(path, 1, [_add_action(path, f1)])
     got = sorted(r.id for r in DeltaLog(spark, path).snapshot().to_df().collect())
     assert got == [0, 1, 2, 3, 100, 101, 102]
+
+
+# ---- writer side: write_checkpoint(format="v2") ----------------------------
+
+def _mk_table(spark, path):
+    from levi_spark.delta.dv import soft_delete
+    from levi_spark.delta.writer import write_delta
+
+    write_delta(
+        spark.range(12).selectExpr("id", "id * 2 AS v").coalesce(2),
+        path, mode="error", checkpoint_interval=None, txn=("app-x", 3),
+    )
+    write_delta(
+        spark.range(12, 18).selectExpr("id", "id * 2 AS v").coalesce(1),
+        path, mode="append", checkpoint_interval=None,
+    )
+    soft_delete(spark, path, "id IN (1, 13)", checkpoint_interval=None)
+
+
+def test_write_v2_checkpoint_and_expire(spark, tmp_path):
+    """Our own v2 checkpoint (JSON manifest + _sidecars parquet)
+    carries the full reconciled state: after expiring every commit,
+    content, metadata, DVs and SetTransactions all survive."""
+    from levi_spark.delta.checkpoint import expire_log, write_checkpoint
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path)
+    want = sorted(
+        (r.id, r.v)
+        for r in DeltaLog(spark, path).snapshot().to_df().collect()
+    )
+    v = write_checkpoint(spark, path, format="v2")
+    assert v == 2
+    manifests = [
+        n
+        for n in os.listdir(os.path.join(path, "_delta_log"))
+        if ".checkpoint." in n and n.endswith(".json")
+    ]
+    assert len(manifests) == 1
+    assert os.listdir(os.path.join(path, "_delta_log", "_sidecars"))
+    expire_log(spark, path)
+    assert not [
+        n
+        for n in os.listdir(os.path.join(path, "_delta_log"))
+        if n.endswith(".json") and n[:20].isdigit() and ".checkpoint." not in n
+    ]
+    snap = DeltaLog(spark, path).snapshot()
+    got = sorted((r.id, r.v) for r in snap.to_df().collect())
+    assert got == want
+    assert snap.txn_versions().get("app-x") == 3
+    assert snap.metadata.schema.fieldNames() == ["id", "v"]
+
+
+def test_write_v2_checkpoint_distributed_path(spark, tmp_path, monkeypatch):
+    """The Spark-write fallback (log 'too big' for the driver fast
+    path) produces the same readable v2 shape."""
+    import levi_spark.delta.checkpoint as cp_mod
+    from levi_spark.delta.checkpoint import expire_log, write_checkpoint
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path)
+    want = sorted(
+        (r.id, r.v)
+        for r in DeltaLog(spark, path).snapshot().to_df().collect()
+    )
+    monkeypatch.setattr(
+        cp_mod, "_local_checkpoint_rows", lambda snap: None
+    )
+    write_checkpoint(spark, path, format="v2")
+    expire_log(spark, path)
+    snap = DeltaLog(spark, path).snapshot()
+    got = sorted((r.id, r.v) for r in snap.to_df().collect())
+    assert got == want
+    assert snap.txn_versions().get("app-x") == 3
+
+
+def test_commits_after_v2_checkpoint_replay(spark, tmp_path):
+    from levi_spark.delta.checkpoint import write_checkpoint
+    from levi_spark.delta.writer import write_delta
+
+    path = str(tmp_path / "t")
+    _mk_table(spark, path)
+    write_checkpoint(spark, path, format="v2")
+    write_delta(
+        spark.range(100, 103).selectExpr("id", "id * 2 AS v").coalesce(1),
+        path, mode="append", checkpoint_interval=None,
+    )
+    got = {r.id for r in DeltaLog(spark, path).snapshot().to_df().collect()}
+    assert {100, 101, 102} <= got and 1 not in got
+
+
+def test_bad_checkpoint_format_refused(spark, tmp_path):
+    from levi_spark.delta.checkpoint import write_checkpoint
+    from levi_spark.delta.writer import write_delta
+
+    path = str(tmp_path / "t")
+    write_delta(spark.range(3).selectExpr("id"), path, mode="error",
+                checkpoint_interval=None)
+    with pytest.raises(ValueError, match="classic.*v2"):
+        write_checkpoint(spark, path, format="v3")
