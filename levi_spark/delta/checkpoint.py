@@ -218,6 +218,64 @@ def _write_checkpoint_v2(spark: SparkSession, log: DeltaLog, snap) -> int:
     from pyspark.sql.pandas.types import to_arrow_schema
 
     from levi_spark.delta.log import COMMIT_SCHEMA
+    from levi_spark.delta.writer import _publish_commit, merge_protocol
+
+    # A v2 checkpoint is only discoverable by spec-conforming foreign
+    # readers when the table protocol declares the v2Checkpoint
+    # feature — and after log expiry it is the ONLY route to the
+    # state, so writing one without the feature could strand such
+    # readers. Upgrade the protocol in its own commit first.
+    proto = snap.protocol
+    if (
+        proto.get("minReaderVersion", 1) < 3
+        or "v2Checkpoint" not in (proto.get("readerFeatures") or [])
+    ):
+        req_reader = ["v2Checkpoint"]
+        if snap.metadata.column_mapping_mode != "none":
+            req_reader.append("columnMapping")
+        new_proto = merge_protocol(
+            proto,
+            {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": req_reader,
+                "writerFeatures": ["v2Checkpoint"],
+            },
+        )
+        import time as _time
+
+        meta = snap.metadata
+        now_ms = int(_time.time() * 1000)
+        lines = [
+            json.dumps({"protocol": new_proto}),
+            json.dumps(
+                {
+                    "metaData": {
+                        "id": meta.id,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": meta.schema.json(),
+                        "partitionColumns": meta.partition_columns,
+                        "configuration": meta.configuration,
+                        "createdTime": meta.created_time or now_ms,
+                    }
+                }
+            ),
+            json.dumps(
+                {
+                    "commitInfo": {
+                        "timestamp": now_ms,
+                        "operation": "UPGRADE PROTOCOL",
+                        "operationParameters": {"feature": "v2Checkpoint"},
+                        "engineInfo": "levi-spark/0.1.0",
+                    }
+                }
+            ),
+        ]
+        _publish_commit(
+            log.log_path, snap.version + 1, "\n".join(lines) + "\n",
+            rebase_ok=False,
+        )
+        snap = log.snapshot()
 
     v = snap.version
     log_dir = log.log_path

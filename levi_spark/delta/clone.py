@@ -68,7 +68,7 @@ def clone_table(
     for a DEEP clone of a source whose adds reference external
     (absolute/URI) files that cannot be re-linked locally.
     """
-    from levi_spark.delta.writer import _PROTOCOL, _publish_commit
+    from levi_spark.delta.writer import _publish_commit
 
     src_log = DeltaLog(spark, src_path)
     snap = src_log.snapshot(version)
@@ -215,7 +215,11 @@ def clone_table(
     if _ict is not None:
         _clone_ci["inCommitTimestamp"] = _ict
     lines = [
-        json.dumps({"protocol": _PROTOCOL}),
+        # the clone inherits the SOURCE's protocol: its adds may carry
+        # standard DV descriptors and its configuration may enable
+        # column mapping — a default {1,2} protocol would make the
+        # clone spec-invalid for foreign readers
+        json.dumps({"protocol": snap.protocol}),
         json.dumps(
             {
                 "metaData": {

@@ -78,11 +78,7 @@ def _config_commit(spark: SparkSession, path: str, new_conf: dict[str, str]) -> 
     partitioning and table id unchanged). Optimistic: a concurrent
     commit surfaces as the writer's retryable ValueError."""
     from levi_spark.delta.log import DeltaLog
-    from levi_spark.delta.writer import (
-        _PROTOCOL,
-        _publish_commit,
-        in_commit_timestamp,
-    )
+    from levi_spark.delta.writer import _publish_commit, in_commit_timestamp
 
     path = os.path.abspath(path)
     log = DeltaLog(spark, path)
@@ -99,7 +95,9 @@ def _config_commit(spark: SparkSession, path: str, new_conf: dict[str, str]) -> 
     if _ict is not None:
         _ci["inCommitTimestamp"] = _ict
     lines = [
-        json.dumps({"protocol": _PROTOCOL}),
+        # preserve the table's current protocol — a config commit must
+        # never downgrade a feature-upgraded table
+        json.dumps({"protocol": snap.protocol}),
         json.dumps(
             {
                 "metaData": {

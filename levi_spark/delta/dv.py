@@ -35,6 +35,8 @@ import os
 import time
 import uuid
 
+from urllib.parse import unquote as _unquote
+
 from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
 
@@ -60,11 +62,9 @@ def _append_commit(
     invalidates it — the conflict surfaces as the documented retryable
     ``ValueError``, never a raw ``FileExistsError``."""
     now_ms = int(time.time() * 1000)
-    lines = [
-        json.dumps(
-            {"protocol": protocol or {"minReaderVersion": 1, "minWriterVersion": 2}}
-        )
-    ]
+    # default: preserve the table's current protocol (a feature upgrade
+    # must never be reverted by an unrelated DV commit)
+    lines = [json.dumps({"protocol": protocol or snap.protocol})]
     meta = snap.metadata
     lines.append(
         json.dumps(
@@ -166,12 +166,25 @@ def _write_standard_dvs(spark, table_path: str, dv_out) -> dict[str, dict]:
     }
 
 
-_STANDARD_DV_PROTOCOL = {
-    "minReaderVersion": 3,
-    "minWriterVersion": 7,
-    "readerFeatures": ["deletionVectors"],
-    "writerFeatures": ["deletionVectors"],
-}
+def _standard_dv_protocol(snap) -> dict:
+    """The table's protocol upgraded (never downgraded) for standard
+    deletion vectors: reader/writer feature lists union in
+    deletionVectors, and any active legacy reader feature — column
+    mapping — is enumerated so the v3 protocol stays truthful."""
+    from levi_spark.delta.writer import merge_protocol
+
+    req_reader = ["deletionVectors"]
+    if snap.metadata.column_mapping_mode != "none":
+        req_reader = req_reader + ["columnMapping"]
+    return merge_protocol(
+        snap.protocol,
+        {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": req_reader,
+            "writerFeatures": ["deletionVectors"],
+        },
+    )
 
 
 def soft_delete(
@@ -265,6 +278,27 @@ def soft_delete(
         _cleanup()
         return {"version": -1, "rows_deleted": 0, "files_affected": 0, "files_removed": 0}
 
+    # A table must not end up with MIXED descriptor families: sidecar
+    # ('path') descriptors under a deletionVectors protocol would hit
+    # foreign readers as an unknown storageType, and standard
+    # descriptors on a v1 table would be silently ignored by them.
+    # Affected files get this delete's format; check the survivors.
+    surviving_formats = {
+        "standard" if r["add"]["deletionVector"]["storageType"] != "path" else "sidecar"
+        for r in snap.live_adds_collected()
+        if r["add"]["deletionVector"] is not None
+        and r["add"]["deletionVector"]["pathOrInlineDv"] is not None
+        and os.path.basename(_unquote(r["add"]["path"])) not in counts
+    }
+    if surviving_formats - {dv_format}:
+        _cleanup()
+        raise ValueError(
+            f"table has live {surviving_formats.pop()!r}-format deletion "
+            f"vectors; a {dv_format!r}-format delete would mix descriptor "
+            "families. purge_deleted() first, or keep one dv_format per "
+            "table"
+        )
+
     # Driver-side commit build over the (metadata-scale) affected adds.
     now_ms = int(time.time() * 1000)
     actions: list[dict] = []
@@ -322,7 +356,7 @@ def soft_delete(
     try:
         _append_commit(
             log, snap, version, actions, "DELETE", {"predicate": str(predicate)},
-            protocol=_STANDARD_DV_PROTOCOL if dv_format == "standard" else None,
+            protocol=_standard_dv_protocol(snap) if dv_format == "standard" else None,
         )
     except ValueError:
         # Lost the commit race: the DV files written above are

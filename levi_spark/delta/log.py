@@ -555,6 +555,7 @@ class Snapshot:
         self._cp_files_cache: tuple[list[str], str | None] | None = None
         self._commit_versions = commit_versions
         self._metadata: TableMetadata | None = None
+        self._protocol: dict | None = None
         self._actions: DataFrame | None = None
         self._live_rows: list | None = None
         self._local: list | None | bool = None  # False = too big / unparseable
@@ -878,6 +879,50 @@ class Snapshot:
                 )
             self._metadata = meta
         return self._metadata
+
+    @property
+    def protocol(self) -> dict:
+        """The snapshot's effective protocol action (latest wins) as a
+        plain dict — ``{minReaderVersion, minWriterVersion}`` plus
+        ``readerFeatures``/``writerFeatures`` when present; the Delta
+        default ``{1, 2}`` for logs that never wrote one. Commit
+        builders re-emit THIS (possibly merged with a feature
+        requirement) instead of a hardcoded default, so a protocol
+        upgrade — e.g. standard deletion vectors — is never silently
+        reverted by the next unrelated operation."""
+        if self._protocol is None:
+            local = self._local_actions()
+            if local is not None:
+                rows = [
+                    r
+                    for r in local
+                    if r["protocol"] is not None
+                    and r["protocol"]["minReaderVersion"] is not None
+                ]
+                p = (
+                    max(rows, key=lambda r: r["version"])["protocol"]
+                    if rows
+                    else None
+                )
+                p = (
+                    p.asDict(recursive=True)
+                    if p is not None and not isinstance(p, dict)
+                    else (dict(p) if p is not None else None)
+                )
+            else:
+                rows = (
+                    self._actions_df()
+                    .where(F.col("protocol.minReaderVersion").isNotNull())
+                    .orderBy(F.col("version").desc())
+                    .select("protocol")
+                    .limit(1)
+                    .collect()
+                )
+                p = rows[0]["protocol"].asDict(recursive=True) if rows else None
+            if p is None:
+                p = {"minReaderVersion": 1, "minWriterVersion": 2}
+            self._protocol = {k: v for k, v in p.items() if v is not None}
+        return dict(self._protocol)
 
     def txn_versions(self) -> dict[str, int]:
         """Latest SetTransaction version per appId at this snapshot —

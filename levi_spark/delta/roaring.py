@@ -81,7 +81,9 @@ def z85_decode(text: str) -> bytes:
 def decode_bitmap32(buf: bytes, pos: int) -> tuple[np.ndarray, int]:
     """One standard 32-bit roaring bitmap at ``pos``; returns (sorted
     uint32 values, new pos)."""
-    (cookie,) = struct.unpack_from("<i", buf, pos)
+    # unsigned: the run cookie packs (containers-1) into the high 16
+    # bits, so >=32769 containers would flip a signed int negative
+    (cookie,) = struct.unpack_from("<I", buf, pos)
     if (cookie & 0xFFFF) == SERIAL_COOKIE_RUN:
         n = (cookie >> 16) + 1
         pos += 4
@@ -189,7 +191,7 @@ def _encode_bitmap32(vals: np.ndarray, force_run: bool = False) -> bytes:
             body = np.packbits(bits, bitorder="little").tobytes()
         containers.append(body)
     if force_run:
-        out += struct.pack("<i", SERIAL_COOKIE_RUN | ((n - 1) << 16))
+        out += struct.pack("<I", SERIAL_COOKIE_RUN | ((n - 1) << 16))
         out += bytes(run_flags)
         with_offsets = n >= NO_OFFSET_THRESHOLD
     else:

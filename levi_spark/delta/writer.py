@@ -39,6 +39,37 @@ from pyspark.sql import types as T
 from levi_spark.delta.log import DeltaLog, stats_schema, _MINMAX_TYPES
 
 _PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+
+
+def merge_protocol(base: dict, req: dict) -> dict:
+    """Union a protocol requirement into a table's current protocol:
+    versions max, feature lists union. Upgrading a legacy writer
+    (v < 7) to table features enumerates the legacy v2 writer features
+    (appendOnly, invariants) the table was already subject to, per the
+    spec's upgrade rule; the caller supplies any active legacy READER
+    features (e.g. columnMapping) in ``req``."""
+    base = base or dict(_PROTOCOL)
+    out = {
+        "minReaderVersion": max(
+            base.get("minReaderVersion") or 1, req["minReaderVersion"]
+        ),
+        "minWriterVersion": max(
+            base.get("minWriterVersion") or 2, req["minWriterVersion"]
+        ),
+    }
+    if out["minReaderVersion"] >= 3:
+        out["readerFeatures"] = sorted(
+            set(base.get("readerFeatures") or [])
+            | set(req.get("readerFeatures") or [])
+        )
+    if out["minWriterVersion"] >= 7:
+        wf = set(base.get("writerFeatures") or []) | set(
+            req.get("writerFeatures") or []
+        )
+        if (base.get("minWriterVersion") or 2) < 7:
+            wf |= {"appendOnly", "invariants"}
+        out["writerFeatures"] = sorted(wf)
+    return out
 HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 CDC_DIR = "_change_data"
 CHANGE_TYPE_COL = "_change_type"
@@ -351,7 +382,12 @@ def in_commit_timestamp(
 
 
 def _publish_commit(
-    log_dir: str, version: int, payload: str, rebase_ok: bool, max_attempts: int = 20
+    log_dir: str,
+    version: int,
+    payload: str,
+    rebase_ok: bool,
+    max_attempts: int = 20,
+    ict_conf: dict | None = None,
 ) -> int:
     """O_EXCL publish with optimistic concurrency; returns the version
     actually committed.
@@ -363,29 +399,41 @@ def _publish_commit(
     snapshot they tombstone, so a concurrent commit invalidates them:
     the conflict surfaces as ``ValueError`` and the caller must re-run
     against the new snapshot.
+
+    ``ict_conf`` (the commit's table configuration): when in-commit
+    timestamps are enabled, each rebase RE-STAMPS the payload's
+    commitInfo from the new predecessor — republishing the pre-race
+    stamp verbatim could violate ICT's strict monotonicity when the
+    race winner carried a later timestamp.
     """
-    tmp = os.path.join(log_dir, f".commit-tmp-{uuid.uuid4().hex}")
-    with open(tmp, "w") as fh:
-        fh.write(payload)
-    try:
-        for _attempt in range(max_attempts):
-            commit_path = os.path.join(log_dir, f"{version:020d}.json")
-            try:
-                with open(commit_path, "x") as out, open(tmp) as src:
-                    out.write(src.read())
-                return version
-            except FileExistsError:
-                if not rebase_ok:
-                    raise ValueError(
-                        f"concurrent commit at version {version}: this "
-                        "operation must be retried against the new snapshot"
-                    ) from None
-                version += 1
-        raise RuntimeError(
-            f"commit contention: {max_attempts} rebase attempts failed"
-        )
-    finally:
-        os.remove(tmp)
+    for _attempt in range(max_attempts):
+        commit_path = os.path.join(log_dir, f"{version:020d}.json")
+        try:
+            with open(commit_path, "x") as out:
+                out.write(payload)
+            return version
+        except FileExistsError:
+            if not rebase_ok:
+                raise ValueError(
+                    f"concurrent commit at version {version}: this "
+                    "operation must be retried against the new snapshot"
+                ) from None
+            version += 1
+            if ict_conf is not None:
+                ict = in_commit_timestamp(
+                    ict_conf, log_dir, int(time.time() * 1000)
+                )
+                if ict is not None:
+                    lines = payload.rstrip("\n").split("\n")
+                    for i, ln in enumerate(lines):
+                        d = json.loads(ln)
+                        if "commitInfo" in d:
+                            d["commitInfo"]["inCommitTimestamp"] = ict
+                            lines[i] = json.dumps(d)
+                    payload = "\n".join(lines) + "\n"
+    raise RuntimeError(
+        f"commit contention: {max_attempts} rebase attempts failed"
+    )
 
 
 def write_delta(
@@ -512,10 +560,15 @@ def write_delta(
     meta_id: str | None = None
     meta_conf: dict[str, str] = {}
     meta_created: int | None = None
+    commit_protocol: dict = dict(_PROTOCOL)
     if exists:
         log = DeltaLog(spark, path)
         snap = log.snapshot()
         version = snap.version + 1
+        # Protocol survives every commit too: re-emitting the default
+        # would silently DOWNGRADE a table that a feature (standard
+        # DVs, v2 checkpoints, column mapping) had upgraded.
+        commit_protocol = snap.protocol
         # Table identity, configuration and creation time survive every
         # commit — regenerating them on append/overwrite would silently
         # change the table id, wipe configuration set by other writers,
@@ -759,16 +812,6 @@ def write_delta(
                 }
             )
         )
-    ci: dict = {
-        "timestamp": now_ms,
-        "operation": operation,
-        "operationParameters": {"mode": mode.capitalize()},
-        "engineInfo": "levi-spark/0.1.0",
-    }
-    ict = in_commit_timestamp(meta_conf, log_dir, now_ms)
-    if ict is not None:
-        ci["inCommitTimestamp"] = ict
-    tail_lines.append(json.dumps({"commitInfo": ci}))
     os.makedirs(log_dir, exist_ok=True)
 
     def _payload() -> str:
@@ -786,7 +829,28 @@ def write_delta(
                 }
             }
         )
-        return "\n".join([json.dumps({"protocol": _PROTOCOL}), meta_line, *tail_lines]) + "\n"
+        # commitInfo is built HERE so each retry attempt re-stamps the
+        # in-commit timestamp from its actual predecessor — a rebased
+        # commit republished with its pre-race stamp could violate
+        # ICT's strict monotonicity when the race winner carried a
+        # later timestamp
+        ci: dict = {
+            "timestamp": now_ms,
+            "operation": operation,
+            "operationParameters": {"mode": mode.capitalize()},
+            "engineInfo": "levi-spark/0.1.0",
+        }
+        ict = in_commit_timestamp(meta_conf, log_dir, int(time.time() * 1000))
+        if ict is not None:
+            ci["inCommitTimestamp"] = ict
+        return "\n".join(
+            [
+                json.dumps({"protocol": commit_protocol}),
+                meta_line,
+                *tail_lines,
+                json.dumps({"commitInfo": ci}),
+            ]
+        ) + "\n"
 
     # Blind appends rebase past concurrent commits — but by RE-READING
     # the snapshot each attempt, not by blindly re-publishing: the
@@ -812,6 +876,7 @@ def write_delta(
             meta_id = snap.metadata.id
             meta_conf = dict(snap.metadata.configuration)
             meta_created = snap.metadata.created_time
+            commit_protocol = snap.protocol  # winner may have upgraded
             prev_schema = snap.metadata.schema
             by_name = {f.name: f for f in prev_schema.fields}
             for f in df.schema.fields:

@@ -5800,25 +5800,53 @@ def doc_bm25_topk(spark, sf_dir):
     ranking key is the summed integer (total order with doc_id
     tie-break).
 
-    Scale shape: the token explode never leaves the map stage; tf and
-    the per-doc sum both key on doc_id (one exchange reused); df is a
-    query-terms-sized relation joined broadcast; dl joins co-partitioned
-    on doc_id; N/avgdl are two driver scalars. No cartesian, no
+    Scale shape: ONE pass over the corpus — a single doc_id aggregate
+    computes dl and every query term's tf together (wide, then
+    unpivoted executor-side), staged once (localCheckpoint) for its
+    three consumers (the avgdl scalar, df, the scoring). df is a
+    query-terms-sized relation joined broadcast; dl rides the same
+    rows so no second doc_id join exists. No cartesian, no
     all-corpus window."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
     ).where(F.col("term") != "")
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    tot = dl.agg(
+    per_doc = (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("dl"),
+            *[
+                F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+                .cast("long")
+                .alias(f"__tf_{i}")
+                for i, t in enumerate(BM25_QUERY_TERMS)
+            ],
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = per_doc.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl")
     ).first()
     n_docs, avgdl = int(tot["n"]), float(tot["sdl"]) / float(tot["n"])
     tf = (
-        toks.where(F.col("term").isin(BM25_QUERY_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        per_doc.select(
+            "doc_id",
+            "dl",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("term"),
+                            F.col(f"__tf_{i}").alias("tf"),
+                        )
+                        for i, t in enumerate(BM25_QUERY_TERMS)
+                    ]
+                )
+            ).alias("__x"),
+        )
+        .select("doc_id", "dl", F.col("__x.term").alias("term"), F.col("__x.tf").alias("tf"))
+        .where(F.col("tf") > 0)
     )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
@@ -5833,7 +5861,6 @@ def doc_bm25_topk(spark, sf_dir):
     contrib = idf * (F.col("tf") * F.lit(BM25_K1 + 1.0)) / den
     scored = (
         tf.join(F.broadcast(df_), "term")
-        .join(dl, "doc_id")
         .select(
             "doc_id",
             F.floor(contrib * F.lit(1e6) + F.lit(0.5))

@@ -268,7 +268,7 @@ def test_write_v2_checkpoint_and_expire(spark, tmp_path):
         for r in DeltaLog(spark, path).snapshot().to_df().collect()
     )
     v = write_checkpoint(spark, path, format="v2")
-    assert v == 2
+    assert v == 3  # +1: the v2Checkpoint protocol-upgrade commit
     manifests = [
         n
         for n in os.listdir(os.path.join(path, "_delta_log"))
