@@ -48,11 +48,14 @@ def test_reader_v3_unsupported_feature_refused(spark, tmp_path):
         {
             "minReaderVersion": 3,
             "minWriterVersion": 7,
-            "readerFeatures": ["deletionVectors"],
-            "writerFeatures": ["deletionVectors"],
+            # deletionVectors/v2Checkpoint became supported in round 5;
+            # typeWidening is a real Delta reader feature this engine
+            # does not implement
+            "readerFeatures": ["typeWidening"],
+            "writerFeatures": ["typeWidening"],
         },
     )
-    with pytest.raises(UnsupportedTableFeatureError, match="deletionVectors"):
+    with pytest.raises(UnsupportedTableFeatureError, match="typeWidening"):
         DeltaLog(spark, path).snapshot().to_df()
 
 
