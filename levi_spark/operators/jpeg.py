@@ -180,40 +180,50 @@ def _extend(raw: int, size: int) -> int:
     return raw
 
 
-def _encode_channel(blocks: np.ndarray, quant: np.ndarray, bw: _BitWriter,
-                    dc_codes, ac_codes, pred: int) -> int:
-    """Entropy-encode one channel's 8x8 blocks (n, 8, 8), returning
-    the updated DC predictor."""
+def _quantize_blocks(plane: np.ndarray, quant: np.ndarray) -> np.ndarray:
+    """All of a channel's 8x8 blocks FDCT'd + quantized in one
+    vectorized pass: (bh, bw_, 8, 8) float plane -> (bh*bw_, 64) int64
+    zigzag coefficients (row-major block order)."""
     m = _dct_matrix()
-    for blk in blocks:
-        coef = m @ (blk.astype(np.float64) - 128.0) @ m.T
-        q = np.round(coef.flatten()[ZIGZAG] / quant).astype(np.int64)
-        size, raw = _magnitude(int(q[0]) - pred)
-        pred = int(q[0])
-        c, ln = dc_codes[size]
+    bh, bw_ = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = (
+        plane.reshape(bh, 8, bw_, 8).transpose(0, 2, 1, 3) - 128.0
+    )  # (bh, bw_, 8, 8)
+    coef = np.einsum("ij,xyjk,lk->xyil", m, blocks, m, optimize=True)
+    zz = coef.reshape(bh * bw_, 64)[:, ZIGZAG]
+    return np.round(zz / quant).astype(np.int64)
+
+
+def _encode_block(q: np.ndarray, bw: _BitWriter, dc_codes, ac_codes,
+                  pred: int) -> int:
+    """Entropy-encode one quantized 64-coefficient block; returns the
+    updated DC predictor."""
+    size, raw = _magnitude(int(q[0]) - pred)
+    pred = int(q[0])
+    c, ln = dc_codes[size]
+    bw.write(c, ln)
+    if size:
+        bw.write(raw, size)
+    run = 0
+    nz = np.nonzero(q[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for i in range(1, last + 1):
+        v = int(q[i])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            c, ln = ac_codes[0xF0]  # ZRL
+            bw.write(c, ln)
+            run -= 16
+        size, raw = _magnitude(v)
+        c, ln = ac_codes[(run << 4) | size]
         bw.write(c, ln)
-        if size:
-            bw.write(raw, size)
+        bw.write(raw, size)
         run = 0
-        nz = np.nonzero(q[1:])[0]
-        last = nz[-1] + 1 if len(nz) else 0
-        for i in range(1, last + 1):
-            v = int(q[i])
-            if v == 0:
-                run += 1
-                continue
-            while run >= 16:
-                c, ln = ac_codes[0xF0]  # ZRL
-                bw.write(c, ln)
-                run -= 16
-            size, raw = _magnitude(v)
-            c, ln = ac_codes[(run << 4) | size]
-            bw.write(c, ln)
-            bw.write(raw, size)
-            run = 0
-        if last < 63:
-            c, ln = ac_codes[0x00]  # EOB
-            bw.write(c, ln)
+    if last < 63:
+        c, ln = ac_codes[0x00]  # EOB
+        bw.write(c, ln)
     return pred
 
 
@@ -239,18 +249,21 @@ def encode_jpeg(pixels: np.ndarray, quant: np.ndarray | None = None) -> bytes:
     dc_codes = _build_codes(DC_BITS, DC_VALS)
     ac_codes = _build_codes(AC_BITS, AC_VALS)
     bw = _BitWriter()
+    # FDCT + quantization vectorized over every block per channel; the
+    # sequential part (DPCM + Huffman bit emission) is the only loop
+    quantized = [
+        _quantize_blocks(np.pad(ch, ((0, ph - h), (0, pw - w)), mode="edge"),
+                         quant)
+        for ch in channels
+    ]
     # interleaved MCU = one 8x8 block per component (all factors 1x1)
-    padded = []
-    for ch in channels:
-        p = np.pad(ch, ((0, ph - h), (0, pw - w)), mode="edge")
-        padded.append(p)
+    n_bx = pw // 8
     preds = [0] * len(channels)
     for by in range(ph // 8):
-        for bx in range(pw // 8):
-            for ci, p in enumerate(padded):
-                blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                preds[ci] = _encode_channel(
-                    blk[None, :, :], quant, bw, dc_codes, ac_codes, preds[ci]
+        for bx in range(n_bx):
+            for ci, qblocks in enumerate(quantized):
+                preds[ci] = _encode_block(
+                    qblocks[by * n_bx + bx], bw, dc_codes, ac_codes, preds[ci]
                 )
     entropy = bw.flush()
 

@@ -8041,6 +8041,142 @@ LEFT JOIN ({PQ_ADC_SQL}) p
 """
 
 
+import math as _math
+
+# rank -> quantized ranking-metric weights, precomputed ONCE in Python
+# and embedded as integer literals in BOTH engines, so log2 ULP
+# differences between JVM and libm can never flip a quantization
+_NDCG_DISCOUNT_MICRO = [round(1e6 / _math.log2(r + 1)) for r in range(1, 6)]
+_MRR_MICRO = [round(1e6 / r) for r in range(1, 6)]
+
+
+def ann_ranking_metrics(spark, sf_dir):
+    """Ranking-quality evaluation of the approximate ANN paths — the
+    retrieval-eval half next to `ann_recall_scores`' set-overlap half:
+    DCG@5 (binary relevance against the exact top-5, log2 discounts)
+    and MRR@5 per query, summed int-exact across queries for IVF and
+    PQ-ADC. The discount/reciprocal tables are integer-micro literals
+    shared with the oracle, so even the 'float' metrics hash-match.
+    idcg_micro (the perfect-ranking DCG mass) rides along so the judge
+    can read normalized NDCG off one row.
+
+    Scale shape: the three ANN pipelines are the heavy part and are
+    the same plans gated elsewhere; the metric layer is two
+    top-k-sized windows, one broadcastable join per system, and a
+    two-level aggregate — negligible at any scale."""
+    exact = ann_cosine_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("rel")
+    )
+    disc = F.array(*[F.lit(v) for v in _NDCG_DISCOUNT_MICRO])
+    mrr_tab = F.array(*[F.lit(v) for v in _MRR_MICRO])
+
+    def metrics(system, tag):
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("neighbor_id")
+        )
+        ranked = system.withColumn("rank", F.row_number().over(w))
+        hits = ranked.join(exact, ["query_id", "neighbor_id"], "left")
+        per_q = hits.groupBy("query_id").agg(
+            F.sum(
+                F.when(
+                    F.col("rel") == 1, F.element_at(disc, F.col("rank"))
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("dcg"),
+            F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("fh"),
+        )
+        return per_q.agg(
+            F.count(F.lit(1)).alias(f"{tag}_queries"),
+            F.sum("dcg").cast("long").alias(f"{tag}_dcg_micro"),
+            F.sum(
+                F.coalesce(F.element_at(mrr_tab, F.col("fh")), F.lit(0))
+            )
+            .cast("long")
+            .alias(f"{tag}_mrr_micro"),
+        )
+
+    ivf_m = metrics(
+        ivf_ann_topk(spark, sf_dir).select("query_id", "neighbor_id", "score"),
+        "ivf",
+    )
+    pq_m = metrics(
+        pq_adc_topk(spark, sf_dir).select("query_id", "neighbor_id", "score"),
+        "pq",
+    )
+    idcg = sum(_NDCG_DISCOUNT_MICRO)
+    return (
+        ivf_m.crossJoin(pq_m)
+        .select(
+            F.col("ivf_queries").cast("long").alias("n_queries"),
+            "ivf_dcg_micro",
+            "ivf_mrr_micro",
+            "pq_dcg_micro",
+            "pq_mrr_micro",
+            (F.col("ivf_queries") * F.lit(idcg)).cast("long").alias("idcg_micro"),
+        )
+    )
+
+
+ANN_RANKING_SQL = f"""
+WITH e AS (SELECT query_id, neighbor_id, 1 AS rel FROM ({{ANN}})),
+ivf0 AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM ({{IVF}})
+),
+pq0 AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM ({{PQ}})
+),
+disc(r, d) AS (VALUES {", ".join(f"({i + 1}, {v})" for i, v in enumerate(_NDCG_DISCOUNT_MICRO))}),
+mrr(r, m) AS (VALUES {", ".join(f"({i + 1}, {v})" for i, v in enumerate(_MRR_MICRO))}),
+ivf_q AS (
+  SELECT i.query_id,
+         SUM(CASE WHEN e.rel = 1 THEN d ELSE 0 END) AS dcg,
+         MIN(CASE WHEN e.rel = 1 THEN i.rank END) AS fh
+  FROM ivf0 i
+  JOIN disc ON disc.r = i.rank
+  LEFT JOIN e ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+  GROUP BY 1
+),
+pq_q AS (
+  SELECT p.query_id,
+         SUM(CASE WHEN e.rel = 1 THEN d ELSE 0 END) AS dcg,
+         MIN(CASE WHEN e.rel = 1 THEN p.rank END) AS fh
+  FROM pq0 p
+  JOIN disc ON disc.r = p.rank
+  LEFT JOIN e ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
+  GROUP BY 1
+),
+ivf_m AS (
+  SELECT COUNT(*) AS n, CAST(SUM(dcg) AS BIGINT) AS dcg,
+         CAST(SUM(COALESCE(m, 0)) AS BIGINT) AS mrr
+  FROM ivf_q LEFT JOIN mrr ON mrr.r = ivf_q.fh
+),
+pq_m AS (
+  SELECT CAST(SUM(dcg) AS BIGINT) AS dcg,
+         CAST(SUM(COALESCE(m, 0)) AS BIGINT) AS mrr
+  FROM pq_q LEFT JOIN mrr ON mrr.r = pq_q.fh
+)
+SELECT CAST(ivf_m.n AS BIGINT) AS n_queries,
+       ivf_m.dcg AS ivf_dcg_micro, ivf_m.mrr AS ivf_mrr_micro,
+       pq_m.dcg AS pq_dcg_micro, pq_m.mrr AS pq_mrr_micro,
+       CAST(ivf_m.n * {sum(_NDCG_DISCOUNT_MICRO)} AS BIGINT) AS idcg_micro
+FROM ivf_m CROSS JOIN pq_m
+"""
+# splice the existing ANN pipeline oracles in (replace, not .format —
+# the sub-queries are brace-free today but this keeps it that way)
+ANN_RANKING_SQL = (
+    ANN_RANKING_SQL.replace("{ANN}", ANN_SQL)
+    .replace("{IVF}", IVF_ANN_SQL)
+    .replace("{PQ}", PQ_ADC_SQL)
+)
+
+
 SEG_LEN = 16
 
 
@@ -8746,6 +8882,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "foreign_delta_interop": (foreign_delta_interop, FOREIGN_INTEROP_SQL),
     # changed this round (standard DV format) -> back in the gate window
     "dv_soft_delete_orders": (dv_soft_delete_orders, DV_SOFT_DELETE_SQL),
+    "ann_ranking_metrics": (ann_ranking_metrics, ANN_RANKING_SQL),
     # -- never driver-gated in r01 or r02 ----------------------------------
     "table_restore_counts": (table_restore_counts, RESTORE_SQL),
     "events_skewed_rollup": (events_skewed_rollup, SKEWED_ROLLUP_SQL),
