@@ -8070,10 +8070,9 @@ def ann_ranking_metrics(spark, sf_dir):
     disc = F.array(*[F.lit(v) for v in _NDCG_DISCOUNT_MICRO])
     mrr_tab = F.array(*[F.lit(v) for v in _MRR_MICRO])
 
-    def metrics(system, tag):
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("score").desc(), F.col("neighbor_id")
-        )
+    def metrics(system, tag, order_col="score", ascending=False):
+        key = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+        w = Window.partitionBy("query_id").orderBy(key, F.col("neighbor_id"))
         ranked = system.withColumn("rank", F.row_number().over(w))
         hits = ranked.join(exact, ["query_id", "neighbor_id"], "left")
         per_q = hits.groupBy("query_id").agg(
@@ -8101,8 +8100,9 @@ def ann_ranking_metrics(spark, sf_dir):
         "ivf",
     )
     pq_m = metrics(
-        pq_adc_topk(spark, sf_dir).select("query_id", "neighbor_id", "score"),
-        "pq",
+        # ADC is a distance: LOWER is better
+        pq_adc_topk(spark, sf_dir).select("query_id", "neighbor_id", "adc"),
+        "pq", order_col="adc", ascending=True,
     )
     idcg = sum(_NDCG_DISCOUNT_MICRO)
     return (
@@ -8119,18 +8119,28 @@ def ann_ranking_metrics(spark, sf_dir):
 
 
 ANN_RANKING_SQL = f"""
-WITH e AS (SELECT query_id, neighbor_id, 1 AS rel FROM ({{ANN}})),
+WITH e AS MATERIALIZED (
+  SELECT query_id, neighbor_id, 1 AS rel FROM ({{ANN}})
+),
+ivfb AS MATERIALIZED (SELECT * FROM ({{IVF}})),
+pqb AS MATERIALIZED (SELECT * FROM ({{PQ}})),
+-- rank via self-join count: a window OVER these lateral-join
+-- subqueries trips DuckDB's binder, and the lists are top-5-sized
 ivf0 AS (
-  SELECT query_id, neighbor_id,
-         ROW_NUMBER() OVER (PARTITION BY query_id
-                            ORDER BY score DESC, neighbor_id) AS rank
-  FROM ({{IVF}})
+  SELECT a.query_id, a.neighbor_id, COUNT(*) AS rank
+  FROM ivfb a JOIN ivfb b
+    ON b.query_id = a.query_id
+   AND (b.score > a.score
+        OR (b.score = a.score AND b.neighbor_id <= a.neighbor_id))
+  GROUP BY 1, 2
 ),
 pq0 AS (
-  SELECT query_id, neighbor_id,
-         ROW_NUMBER() OVER (PARTITION BY query_id
-                            ORDER BY score DESC, neighbor_id) AS rank
-  FROM ({{PQ}})
+  SELECT a.query_id, a.neighbor_id, COUNT(*) AS rank
+  FROM pqb a JOIN pqb b
+    ON b.query_id = a.query_id
+   AND (b.adc < a.adc
+        OR (b.adc = a.adc AND b.neighbor_id <= a.neighbor_id))
+  GROUP BY 1, 2
 ),
 disc(r, d) AS (VALUES {", ".join(f"({i + 1}, {v})" for i, v in enumerate(_NDCG_DISCOUNT_MICRO))}),
 mrr(r, m) AS (VALUES {", ".join(f"({i + 1}, {v})" for i, v in enumerate(_MRR_MICRO))}),
