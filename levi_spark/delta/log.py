@@ -119,13 +119,37 @@ _PROTOCOL_TYPE = T.StructType(
 # (_scan_log discovery + Snapshot._cp_files resolution).
 _SUPPORTED_READER_FEATURES = frozenset(
     {"timestampNtz", "vacuumProtocolCheck", "appendOnly", "invariants",
-     "deletionVectors", "v2Checkpoint"}
+     "deletionVectors", "v2Checkpoint", "typeWidening",
+     "typeWidening-preview"}
 )
 
 
 class UnsupportedTableFeatureError(ValueError):
     """The table's Delta protocol requires reader capabilities this
     engine does not implement; reading would return wrong results."""
+
+
+def _refuse_unsupported_widening(dt: T.DataType, table_path: str) -> None:
+    """Walk the schema's ``delta.typeChanges`` field metadata (the
+    typeWidening history) and refuse the one widening the parquet scan
+    cannot honor (date -> timestamp without timezone)."""
+    if isinstance(dt, T.StructType):
+        for f in dt.fields:
+            for ch in (f.metadata or {}).get("delta.typeChanges") or []:
+                frm = str(ch.get("fromType", "")).lower()
+                to = str(ch.get("toType", "")).lower()
+                if frm == "date" and "timestamp" in to:
+                    raise UnsupportedTableFeatureError(
+                        f"{table_path}: typeWidening change date -> {to} "
+                        f"on column {f.name!r} is not supported (the "
+                        "parquet scan cannot upcast date32 to timestamp)"
+                    )
+            _refuse_unsupported_widening(f.dataType, table_path)
+    elif isinstance(dt, T.ArrayType):
+        _refuse_unsupported_widening(dt.elementType, table_path)
+    elif isinstance(dt, T.MapType):
+        _refuse_unsupported_widening(dt.keyType, table_path)
+        _refuse_unsupported_widening(dt.valueType, table_path)
 
 
 def _check_reader_protocol(proto, meta: "TableMetadata", table_path: str) -> None:
@@ -143,6 +167,13 @@ def _check_reader_protocol(proto, meta: "TableMetadata", table_path: str) -> Non
         return
     if v == 3:
         feats = set(proto["readerFeatures"] or [])
+        if feats & {"typeWidening", "typeWidening-preview"}:
+            # widened tables read with the LATEST (wider) schema; the
+            # parquet scan upcasts older narrow files natively
+            # (int->long, float->double, decimal scale). The one
+            # spec widening Spark's scan cannot perform is
+            # date -> timestampNtz — refuse those tables explicitly.
+            _refuse_unsupported_widening(meta.schema, table_path)
         feats.discard("columnMapping")  # supported for mode none/name/id
         unsupported = feats - _SUPPORTED_READER_FEATURES
         if unsupported:

@@ -48,14 +48,14 @@ def test_reader_v3_unsupported_feature_refused(spark, tmp_path):
         {
             "minReaderVersion": 3,
             "minWriterVersion": 7,
-            # deletionVectors/v2Checkpoint became supported in round 5;
-            # typeWidening is a real Delta reader feature this engine
-            # does not implement
-            "readerFeatures": ["typeWidening"],
-            "writerFeatures": ["typeWidening"],
+            # deletionVectors/v2Checkpoint/typeWidening became supported
+            # in round 5; variantType is a real Delta reader feature
+            # this engine does not implement
+            "readerFeatures": ["variantType"],
+            "writerFeatures": ["variantType"],
         },
     )
-    with pytest.raises(UnsupportedTableFeatureError, match="typeWidening"):
+    with pytest.raises(UnsupportedTableFeatureError, match="variantType"):
         DeltaLog(spark, path).snapshot().to_df()
 
 

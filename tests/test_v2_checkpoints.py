@@ -336,3 +336,89 @@ def test_bad_checkpoint_format_refused(spark, tmp_path):
                 checkpoint_interval=None)
     with pytest.raises(ValueError, match="classic.*v2"):
         write_checkpoint(spark, path, format="v3")
+
+
+# ---- typeWidening reads ----------------------------------------------------
+
+def test_type_widening_reads_upcast_old_files(spark, tmp_path):
+    """A foreign table whose schema was WIDENED (int->long,
+    float->double) after the first file was written: the snapshot reads
+    with the latest schema and the parquet scan upcasts the old narrow
+    file natively; the typeChanges metadata rides the schema."""
+    import pyspark.sql.types as T
+
+    path = str(tmp_path / "t")
+    os.makedirs(os.path.join(path, "_delta_log"))
+    narrow = spark.range(4).selectExpr(
+        "CAST(id AS INT) AS a", "CAST(id AS FLOAT) AS b"
+    )
+    f0 = None
+    before = set(os.listdir(path))
+    narrow.coalesce(1).write.mode("append").parquet(path)
+    (f0,) = {n for n in os.listdir(path) if n.endswith(".parquet")} - before
+    wide_schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "a", "type": "long", "nullable": True,
+             "metadata": {"delta.typeChanges": [
+                 {"fromType": "integer", "toType": "long",
+                  "tableVersion": 1}]}},
+            {"name": "b", "type": "double", "nullable": True,
+             "metadata": {"delta.typeChanges": [
+                 {"fromType": "float", "toType": "double",
+                  "tableVersion": 1}]}},
+        ],
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["typeWidening"],
+                      "writerFeatures": ["typeWidening"]}},
+        {"metaData": {
+            "id": "t-w", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(wide_schema),
+            "partitionColumns": [], "configuration": {}, "createdTime": 0}},
+        {"add": {"path": f0, "partitionValues": {},
+                 "size": os.path.getsize(os.path.join(path, f0)),
+                 "modificationTime": 0, "dataChange": True, "stats": None}},
+    ]
+    _commit(path, 0, actions)
+    df = DeltaLog(spark, path).snapshot().to_df()
+    assert [f.dataType for f in df.schema.fields[:2]] == [
+        T.LongType(), T.DoubleType()
+    ]
+    assert sorted(map(tuple, df.collect())) == [
+        (i, float(i)) for i in range(4)
+    ]
+
+
+def test_type_widening_date_to_timestamp_refused(spark, tmp_path):
+    """The one spec widening the scan cannot honor refuses loudly."""
+    from levi_spark.delta.log import UnsupportedTableFeatureError
+
+    path = str(tmp_path / "t")
+    os.makedirs(os.path.join(path, "_delta_log"))
+    f0 = _write_data(spark, path, 0, 3)
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "timestamp_ntz", "nullable": True,
+             "metadata": {"delta.typeChanges": [
+                 {"fromType": "date", "toType": "timestampNtz",
+                  "tableVersion": 1}]}},
+        ],
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["typeWidening", "timestampNtz"],
+                      "writerFeatures": ["typeWidening", "timestampNtz"]}},
+        {"metaData": {
+            "id": "t-dw", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": [], "configuration": {}, "createdTime": 0}},
+        {"add": {"path": f0, "partitionValues": {},
+                 "size": os.path.getsize(os.path.join(path, f0)),
+                 "modificationTime": 0, "dataChange": True, "stats": None}},
+    ]
+    _commit(path, 0, actions)
+    with pytest.raises(UnsupportedTableFeatureError, match="date"):
+        DeltaLog(spark, path).snapshot().to_df()
