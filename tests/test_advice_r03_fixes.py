@@ -97,8 +97,10 @@ def test_protocol_guard_enforced_on_distributed_checkpoint_path(
                     "protocol": {
                         "minReaderVersion": 3,
                         "minWriterVersion": 7,
-                        "readerFeatures": ["deletionVectors"],
-                        "writerFeatures": ["deletionVectors"],
+                        # deletionVectors became supported in round 5 —
+                        # variantType remains genuinely unimplemented
+                        "readerFeatures": ["variantType"],
+                        "writerFeatures": ["variantType"],
                     }
                 }
             )
@@ -109,7 +111,7 @@ def test_protocol_guard_enforced_on_distributed_checkpoint_path(
     monkeypatch.setattr(log_mod, "_LOCAL_LOG_CAP", 0)  # force distributed
     snap = DeltaLog(spark, path).snapshot()
     assert snap._local_actions() is None  # the fallback really is active
-    with pytest.raises(UnsupportedTableFeatureError, match="deletionVectors"):
+    with pytest.raises(UnsupportedTableFeatureError, match="variantType"):
         snap.to_df()
 
 
