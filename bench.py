@@ -35,6 +35,10 @@ SESSION_STAGED = {
     "simhash_neardup_pairs",
     "neardup_clusters",
     "dedup_canonical_corpus",
+    # the ANN evaluation gates stage the exact/IVF/PQ pipelines per
+    # session (queries._staged_ann) — same cache-hit concern
+    "ann_recall_scores",
+    "ann_ranking_metrics",
 }
 # Sub-threshold queries get repeat runs so single-run variance stops
 # masquerading as regression (ivf_trained_topk swung 3.0->5.2->4.1 s

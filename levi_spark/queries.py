@@ -6039,6 +6039,26 @@ def _staged_neardup_pairs(spark, sf_dir) -> DataFrame:
     return df
 
 
+def _staged_ann(spark, sf_dir, which: str) -> DataFrame:
+    """The three ANN pipelines (exact / IVF / PQ-ADC) staged once per
+    (session, sf_dir) — the two EVALUATION gates (`ann_recall_scores`,
+    `ann_ranking_metrics`) each consume all three, and re-running the
+    full candidate/scoring plans per consumer is pure waste (the same
+    stage-the-source trick as the SimHash pair set; each gated query
+    stays independently runnable)."""
+    key = (spark.sparkContext.applicationId, sf_dir + f"#ann_{which}")
+    df = _NEARDUP_PAIRS_CACHE.get(key)
+    if df is None:
+        fn = {
+            "exact": ann_cosine_topk,
+            "ivf": ivf_ann_topk,
+            "pq": pq_adc_topk,
+        }[which]
+        df = fn(spark, sf_dir).localCheckpoint(eager=True)
+        _neardup_cache_put(key, df)
+    return df
+
+
 def neardup_clusters(spark, sf_dir):
     """Transitive duplicate clusters: connected components
     (:mod:`levi_spark.operators.graph`, iterative min-label
@@ -8012,11 +8032,11 @@ def ann_recall_scores(spark, sf_dir):
     cross-engine. Guards the approximation quality itself — schema
     parity of the approximate paths alone cannot show they approximate
     the right thing."""
-    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    ivf = ivf_ann_topk(spark, sf_dir).select(
+    exact = _staged_ann(spark, sf_dir, "exact").select("query_id", "neighbor_id")
+    ivf = _staged_ann(spark, sf_dir, "ivf").select(
         "query_id", "neighbor_id", F.lit(1).alias("__ivf")
     )
-    pq = pq_adc_topk(spark, sf_dir).select(
+    pq = _staged_ann(spark, sf_dir, "pq").select(
         "query_id", "neighbor_id", F.lit(1).alias("__pq")
     )
     j = exact.join(ivf, ["query_id", "neighbor_id"], "left").join(
@@ -8064,7 +8084,7 @@ def ann_ranking_metrics(spark, sf_dir):
     the same plans gated elsewhere; the metric layer is two
     top-k-sized windows, one broadcastable join per system, and a
     two-level aggregate — negligible at any scale."""
-    exact = ann_cosine_topk(spark, sf_dir).select(
+    exact = _staged_ann(spark, sf_dir, "exact").select(
         "query_id", "neighbor_id", F.lit(1).alias("rel")
     )
     disc = F.array(*[F.lit(v) for v in _NDCG_DISCOUNT_MICRO])
@@ -8096,12 +8116,16 @@ def ann_ranking_metrics(spark, sf_dir):
         )
 
     ivf_m = metrics(
-        ivf_ann_topk(spark, sf_dir).select("query_id", "neighbor_id", "score"),
+        _staged_ann(spark, sf_dir, "ivf").select(
+            "query_id", "neighbor_id", "score"
+        ),
         "ivf",
     )
     pq_m = metrics(
         # ADC is a distance: LOWER is better
-        pq_adc_topk(spark, sf_dir).select("query_id", "neighbor_id", "adc"),
+        _staged_ann(spark, sf_dir, "pq").select(
+            "query_id", "neighbor_id", "adc"
+        ),
         "pq", order_col="adc", ascending=True,
     )
     idcg = sum(_NDCG_DISCOUNT_MICRO)
