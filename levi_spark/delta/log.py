@@ -129,29 +129,6 @@ class UnsupportedTableFeatureError(ValueError):
     engine does not implement; reading would return wrong results."""
 
 
-def _refuse_unsupported_widening(dt: T.DataType, table_path: str) -> None:
-    """Walk the schema's ``delta.typeChanges`` field metadata (the
-    typeWidening history) and refuse the one widening the parquet scan
-    cannot honor (date -> timestamp without timezone)."""
-    if isinstance(dt, T.StructType):
-        for f in dt.fields:
-            for ch in (f.metadata or {}).get("delta.typeChanges") or []:
-                frm = str(ch.get("fromType", "")).lower()
-                to = str(ch.get("toType", "")).lower()
-                if frm == "date" and "timestamp" in to:
-                    raise UnsupportedTableFeatureError(
-                        f"{table_path}: typeWidening change date -> {to} "
-                        f"on column {f.name!r} is not supported (the "
-                        "parquet scan cannot upcast date32 to timestamp)"
-                    )
-            _refuse_unsupported_widening(f.dataType, table_path)
-    elif isinstance(dt, T.ArrayType):
-        _refuse_unsupported_widening(dt.elementType, table_path)
-    elif isinstance(dt, T.MapType):
-        _refuse_unsupported_widening(dt.keyType, table_path)
-        _refuse_unsupported_widening(dt.valueType, table_path)
-
-
 def _check_reader_protocol(proto, meta: "TableMetadata", table_path: str) -> None:
     v = proto["minReaderVersion"] or 1
     mode = (meta.configuration or {}).get("delta.columnMapping.mode", "none")
@@ -167,13 +144,11 @@ def _check_reader_protocol(proto, meta: "TableMetadata", table_path: str) -> Non
         return
     if v == 3:
         feats = set(proto["readerFeatures"] or [])
-        if feats & {"typeWidening", "typeWidening-preview"}:
-            # widened tables read with the LATEST (wider) schema; the
-            # parquet scan upcasts older narrow files natively
-            # (int->long, float->double, decimal scale). The one
-            # spec widening Spark's scan cannot perform is
-            # date -> timestampNtz — refuse those tables explicitly.
-            _refuse_unsupported_widening(meta.schema, table_path)
+        # typeWidening(-preview): widened tables read with the LATEST
+        # (wider) schema and this Spark's parquet scan upcasts older
+        # narrow files natively across the whole spec matrix —
+        # int->long, float->double, smallint->int, decimal scale
+        # growth, and date->timestampNtz (all probed on this build)
         feats.discard("columnMapping")  # supported for mode none/name/id
         unsupported = feats - _SUPPORTED_READER_FEATURES
         if unsupported:

@@ -8129,15 +8129,20 @@ def ann_ranking_metrics(spark, sf_dir):
         "pq", order_col="adc", ascending=True,
     )
     idcg = sum(_NDCG_DISCOUNT_MICRO)
+    # BOTH per-system query counts surface: a probe configuration that
+    # loses a query for one path (e.g. an IVF cell holding only the
+    # query vector) must be visible, or a reader normalizing by the
+    # wrong count computes NDCG > 1 without noticing
     return (
         ivf_m.crossJoin(pq_m)
         .select(
-            F.col("ivf_queries").cast("long").alias("n_queries"),
+            F.col("ivf_queries").cast("long").alias("ivf_queries"),
             "ivf_dcg_micro",
             "ivf_mrr_micro",
+            F.col("pq_queries").cast("long").alias("pq_queries"),
             "pq_dcg_micro",
             "pq_mrr_micro",
-            (F.col("ivf_queries") * F.lit(idcg)).cast("long").alias("idcg_micro"),
+            F.lit(idcg).cast("long").alias("idcg_per_query_micro"),
         )
     )
 
@@ -8192,14 +8197,15 @@ ivf_m AS (
   FROM ivf_q LEFT JOIN mrr ON mrr.r = ivf_q.fh
 ),
 pq_m AS (
-  SELECT CAST(SUM(dcg) AS BIGINT) AS dcg,
+  SELECT COUNT(*) AS n, CAST(SUM(dcg) AS BIGINT) AS dcg,
          CAST(SUM(COALESCE(m, 0)) AS BIGINT) AS mrr
   FROM pq_q LEFT JOIN mrr ON mrr.r = pq_q.fh
 )
-SELECT CAST(ivf_m.n AS BIGINT) AS n_queries,
+SELECT CAST(ivf_m.n AS BIGINT) AS ivf_queries,
        ivf_m.dcg AS ivf_dcg_micro, ivf_m.mrr AS ivf_mrr_micro,
+       CAST(pq_m.n AS BIGINT) AS pq_queries,
        pq_m.dcg AS pq_dcg_micro, pq_m.mrr AS pq_mrr_micro,
-       CAST(ivf_m.n * {sum(_NDCG_DISCOUNT_MICRO)} AS BIGINT) AS idcg_micro
+       CAST({sum(_NDCG_DISCOUNT_MICRO)} AS BIGINT) AS idcg_per_query_micro
 FROM ivf_m CROSS JOIN pq_m
 """
 # splice the existing ANN pipeline oracles in (replace, not .format —

@@ -391,17 +391,23 @@ def test_type_widening_reads_upcast_old_files(spark, tmp_path):
     ]
 
 
-def test_type_widening_date_to_timestamp_refused(spark, tmp_path):
-    """The one spec widening the scan cannot honor refuses loudly."""
-    from levi_spark.delta.log import UnsupportedTableFeatureError
+def test_type_widening_date_to_timestamp_reads(spark, tmp_path):
+    """Even the date -> timestampNtz widening reads correctly: Spark's
+    parquet scan upcasts DATE-written files under a timestamp_ntz read
+    schema (empirically probed on this build)."""
+    import datetime
 
     path = str(tmp_path / "t")
     os.makedirs(os.path.join(path, "_delta_log"))
-    f0 = _write_data(spark, path, 0, 3)
+    before = set()
+    spark.sql(
+        "SELECT DATE'2024-01-02' AS d UNION ALL SELECT DATE'2024-03-04'"
+    ).coalesce(1).write.mode("append").parquet(path)
+    (f0,) = {n for n in os.listdir(path) if n.endswith(".parquet")} - before
     schema = {
         "type": "struct",
         "fields": [
-            {"name": "id", "type": "timestamp_ntz", "nullable": True,
+            {"name": "d", "type": "timestamp_ntz", "nullable": True,
              "metadata": {"delta.typeChanges": [
                  {"fromType": "date", "toType": "timestampNtz",
                   "tableVersion": 1}]}},
@@ -420,5 +426,8 @@ def test_type_widening_date_to_timestamp_refused(spark, tmp_path):
                  "modificationTime": 0, "dataChange": True, "stats": None}},
     ]
     _commit(path, 0, actions)
-    with pytest.raises(UnsupportedTableFeatureError, match="date"):
-        DeltaLog(spark, path).snapshot().to_df()
+    got = sorted(r.d for r in DeltaLog(spark, path).snapshot().to_df().collect())
+    assert got == [
+        datetime.datetime(2024, 1, 2, 0, 0),
+        datetime.datetime(2024, 3, 4, 0, 0),
+    ]
