@@ -120,7 +120,7 @@ _PROTOCOL_TYPE = T.StructType(
 _SUPPORTED_READER_FEATURES = frozenset(
     {"timestampNtz", "vacuumProtocolCheck", "appendOnly", "invariants",
      "deletionVectors", "v2Checkpoint", "typeWidening",
-     "typeWidening-preview"}
+     "typeWidening-preview", "variantType", "variantType-preview"}
 )
 
 

@@ -97,10 +97,11 @@ def test_protocol_guard_enforced_on_distributed_checkpoint_path(
                     "protocol": {
                         "minReaderVersion": 3,
                         "minWriterVersion": 7,
-                        # deletionVectors became supported in round 5 —
-                        # variantType remains genuinely unimplemented
-                        "readerFeatures": ["variantType"],
-                        "writerFeatures": ["variantType"],
+                        # deletionVectors/variantType became supported
+                        # in round 5 — collations-preview remains
+                        # genuinely unimplemented
+                        "readerFeatures": ["collations-preview"],
+                        "writerFeatures": ["collations-preview"],
                     }
                 }
             )
@@ -111,7 +112,7 @@ def test_protocol_guard_enforced_on_distributed_checkpoint_path(
     monkeypatch.setattr(log_mod, "_LOCAL_LOG_CAP", 0)  # force distributed
     snap = DeltaLog(spark, path).snapshot()
     assert snap._local_actions() is None  # the fallback really is active
-    with pytest.raises(UnsupportedTableFeatureError, match="variantType"):
+    with pytest.raises(UnsupportedTableFeatureError, match="collations"):
         snap.to_df()
 
 

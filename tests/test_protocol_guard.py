@@ -48,14 +48,14 @@ def test_reader_v3_unsupported_feature_refused(spark, tmp_path):
         {
             "minReaderVersion": 3,
             "minWriterVersion": 7,
-            # deletionVectors/v2Checkpoint/typeWidening became supported
-            # in round 5; variantType is a real Delta reader feature
-            # this engine does not implement
-            "readerFeatures": ["variantType"],
-            "writerFeatures": ["variantType"],
+            # deletionVectors/v2Checkpoint/typeWidening/variantType
+            # became supported in round 5; collations-preview is a real
+            # Delta reader feature this engine does not implement
+            "readerFeatures": ["collations-preview"],
+            "writerFeatures": ["collations-preview"],
         },
     )
-    with pytest.raises(UnsupportedTableFeatureError, match="variantType"):
+    with pytest.raises(UnsupportedTableFeatureError, match="collations"):
         DeltaLog(spark, path).snapshot().to_df()
 
 

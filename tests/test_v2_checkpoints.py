@@ -431,3 +431,62 @@ def test_type_widening_date_to_timestamp_reads(spark, tmp_path):
         datetime.datetime(2024, 1, 2, 0, 0),
         datetime.datetime(2024, 3, 4, 0, 0),
     ]
+
+
+def test_variant_type_reads(spark, tmp_path):
+    """variantType tables read natively: the schemaString's 'variant'
+    parses to VariantType, the parquet scan reads the binary
+    metadata/value pair, and variant_get extracts fields."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    os.makedirs(os.path.join(path, "_delta_log"))
+    df = spark.range(4).select(
+        "id",
+        F.parse_json(
+            F.concat(F.lit('{"a": '), (F.col("id") * 10).cast("string"),
+                     F.lit("}"))
+        ).alias("j"),
+    )
+    before = set()
+    df.coalesce(1).write.mode("append").parquet(path)
+    (f0,) = {n for n in os.listdir(path) if n.endswith(".parquet")} - before
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "j", "type": "variant", "nullable": True, "metadata": {}},
+        ],
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["variantType"],
+                      "writerFeatures": ["variantType"]}},
+        {"metaData": {
+            "id": "t-var", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": [], "configuration": {}, "createdTime": 0}},
+        {"add": {"path": f0, "partitionValues": {},
+                 "size": os.path.getsize(os.path.join(path, f0)),
+                 "modificationTime": 0, "dataChange": True,
+                 "stats": json.dumps({"numRecords": 4})}},
+    ]
+    _commit(path, 0, actions)
+    got = sorted(
+        (r.id, r.a)
+        for r in DeltaLog(spark, path)
+        .snapshot()
+        .to_df()
+        .select("id", F.expr("variant_get(j, '$.a', 'long')").alias("a"))
+        .collect()
+    )
+    assert got == [(i, i * 10) for i in range(4)]
+    # shredded variants are a SEPARATE feature and still refuse
+    from levi_spark.delta.log import UnsupportedTableFeatureError
+
+    actions[0]["protocol"]["readerFeatures"] = [
+        "variantType", "variantShredding-preview"
+    ]
+    _commit(path, 1, actions)
+    with pytest.raises(UnsupportedTableFeatureError, match="variantShredding"):
+        DeltaLog(spark, path).snapshot().to_df()
