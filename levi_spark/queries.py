@@ -1362,6 +1362,159 @@ SELECT lang, lang_pred, COUNT(*) AS n_docs FROM (
 LANG_ID_SQL = _lang_id_sql()
 
 
+VOCAB_COVERAGE_K = 32
+
+
+def doc_vocab_coverage(spark, sf_dir):
+    """Tokenizer health check: out-of-vocabulary rate against the
+    corpus's own top-K token vocabulary (K=32, count desc / token asc
+    total order — the deterministic stand-in for a shipped tokenizer
+    vocab). Per language: docs, total tokens, OOV tokens, and the
+    int-exact per-mille OOV rate — the number a training pipeline
+    watches when a new data source arrives (a spiking OOV rate means
+    the tokenizer no longer fits the corpus).
+
+    Scale shape: one token explode feeding two partial-aggregatable
+    counts (vocab build, then coverage rollup); the K-sized vocabulary
+    joins broadcast. No window over the corpus, no Python."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(VOCAB_COVERAGE_K)
+        .select("token", F.lit(1).alias("__in_vocab"))
+    )
+    tagged = toks.join(F.broadcast(vocab), "token", "left")
+    return (
+        tagged.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("oov_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "oov_tokens",
+            # explicit floor: DuckDB's double->BIGINT cast rounds,
+            # Spark's truncates — floor on both sides is unambiguous
+            F.floor((F.col("oov_tokens") * F.lit(1000)) / F.col("n_tokens"))
+            .cast("long")
+            .alias("oov_permille"),
+        )
+        .orderBy("lang")
+    )
+
+
+VOCAB_COVERAGE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, t.token
+  FROM documents, UNNEST(string_split_regex(trim(text), '\\s+')) AS t(token)
+  WHERE t.token <> ''
+),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, COUNT(*) AS n FROM toks GROUP BY 1
+    ORDER BY n DESC, token LIMIT {VOCAB_COVERAGE_K}
+  )
+)
+SELECT lang,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS oov_tokens,
+       CAST(floor(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1000
+            / COUNT(*)) AS BIGINT) AS oov_permille
+FROM toks LEFT JOIN vocab v USING (token)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def quality_calibration_bins(spark, sf_dir):
+    """Quality-classifier calibration view: documents bucketed into
+    fixed score bins (floor(quality*10), capped at 9 — explicit
+    arithmetic, not NTILE, so ties can't reorder across engines), with
+    per-bin corpus mass and the content statistics a curator reads to
+    sanity-check that 'high quality' correlates with the right shape
+    (longer docs, higher alpha ratio). One map-side score pass + one
+    partial-aggregated rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        # fine bins anchored at 0.9 (the synthetic corpus's scores sit
+        # in ~[0.93, 0.96]; width 1/200 yields a real histogram, and
+        # the clamp keeps out-of-range corpora in-frame)
+        F.least(
+            F.lit(19),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (quality_score_expr(F.col("text")) - F.lit(0.9))
+                    * F.lit(200.0)
+                ).cast("int"),
+            ),
+        ).alias("bin"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
+        F.length("text").alias("n_char"),
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).alias("n_alpha"),
+    )
+    return (
+        scored.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.floor((F.sum("n_alpha") * F.lit(1000)) / F.sum("n_char"))
+            .cast("long")
+            .alias("alpha_permille"),
+        )
+        .orderBy("bin")
+    )
+
+
+QUALITY_CALIBRATION_SQL = r"""
+WITH scored AS (
+  SELECT doc_id,
+         LEAST(19, GREATEST(0, CAST(floor(((
+             (CASE WHEN n_tok >= 10 AND n_tok <= 5000 THEN 1.0 ELSE 0.2 END) * 0.3
+           + (CASE WHEN mean_tok >= 2.0 AND mean_tok <= 12.0 THEN 1.0 ELSE 0.3 END) * 0.2
+           + (n_alpha / n_char) * 0.3
+           + (1.0 - (n_digit / n_char)) * 0.1
+           + (1.0 - (n_punct / n_char)) * 0.1) - 0.9) * 200.0) AS INTEGER))) AS bin,
+         CAST(n_tok AS BIGINT) AS n_tok_i,
+         CAST(n_char AS BIGINT) AS n_char_i,
+         CAST(n_alpha AS BIGINT) AS n_alpha_i
+  FROM (
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_tok,
+           CAST(length(text) AS DOUBLE) AS n_char,
+           CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS n_alpha,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS n_digit,
+           CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS n_punct,
+           CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+             / len(string_split_regex(trim(text), '\s+')) AS mean_tok
+    FROM documents
+  )
+)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok_i) AS BIGINT) AS total_tokens,
+       CAST(floor(SUM(n_alpha_i) * 1000 / SUM(n_char_i)) AS BIGINT) AS alpha_permille
+FROM scored
+GROUP BY bin
+ORDER BY bin
+"""
+
+
 def doc_quality_scores(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     # quantize to integer micro-units with floor(x*1e6 + 0.5): identical
@@ -9010,6 +9163,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "doc_token_stats": (doc_token_stats, DOC_TOKEN_SQL),
     "doc_language_id": (doc_language_id, LANG_ID_SQL),
     "doc_quality_scores": (doc_quality_scores, QUALITY_SQL),
+    "doc_vocab_coverage": (doc_vocab_coverage, VOCAB_COVERAGE_SQL),
+    "quality_calibration_bins": (quality_calibration_bins, QUALITY_CALIBRATION_SQL),
     "ngram_jaccard_pairs": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
     "doc_fingerprints": (doc_fingerprints, FINGERPRINT_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_SQL),
