@@ -153,36 +153,55 @@ def decode_rbm_array(blob: bytes) -> np.ndarray:
     return np.concatenate(parts) if parts else np.empty(0, np.uint64)
 
 
-def _encode_bitmap32(vals: np.ndarray, force_run: bool = False) -> bytes:
+def _runs_of(lo: np.ndarray) -> list[tuple[int, int]]:
+    """Sorted uint16 values -> [(start, length-1), ...] maximal runs."""
+    runs: list[tuple[int, int]] = []
+    start = prev = int(lo[0])
+    for v in lo[1:].tolist():
+        if v == prev + 1:
+            prev = v
+            continue
+        runs.append((start, prev - start))
+        start = prev = v
+    runs.append((start, prev - start))
+    return runs
+
+
+def _encode_bitmap32(vals: np.ndarray, run_mode: str = "none") -> bytes:
     """Standard serialization of one 32-bit bitmap (test/writer side).
-    Container choice: run when forced, else array (card <= 4096) or
-    bitmap."""
-    out = bytearray()
+
+    Per-container choice (the spec allows mixing kinds within one
+    bitmap): ``run_mode="none"`` uses array (card <= 4096) / bitmap
+    only; ``"all"`` forces every container to the run form; ``"auto"``
+    picks whichever encoding is smallest per container (the spec's
+    runOptimize heuristic). An EMPTY bitmap serializes as the NO_RUN
+    cookie with zero containers regardless of mode — the run cookie
+    cannot express n=0 (container count is stored as n-1)."""
     highs = (vals >> np.uint32(16)).astype(np.uint16)
     keys = np.unique(highs)
     n = len(keys)
+    if n == 0:
+        return struct.pack("<ii", SERIAL_COOKIE_NO_RUN, 0)
     containers: list[bytes] = []
     run_flags = bytearray((n + 7) // 8)
     headers = bytearray()
+    any_run = False
     for i, k in enumerate(keys):
         lo = (vals[highs == k] & np.uint32(0xFFFF)).astype(np.uint16)
         lo.sort()
         card = len(lo)
         headers += struct.pack("<HH", int(k), card - 1)
-        if force_run:
-            runs = []
-            start = prev = int(lo[0])
-            for v in lo[1:].tolist():
-                if v == prev + 1:
-                    prev = v
-                    continue
-                runs.append((start, prev - start))
-                start = prev = v
-            runs.append((start, prev - start))
+        flat_size = 2 * card if card <= 4096 else 8192
+        use_run = False
+        if run_mode != "none":
+            runs = _runs_of(lo)
+            use_run = run_mode == "all" or (2 + 4 * len(runs)) < flat_size
+        if use_run:
             body = struct.pack("<H", len(runs)) + b"".join(
                 struct.pack("<HH", s, ln) for s, ln in runs
             )
             run_flags[i // 8] |= 1 << (i % 8)
+            any_run = True
         elif card <= 4096:
             body = lo.tobytes()
         else:
@@ -190,13 +209,13 @@ def _encode_bitmap32(vals: np.ndarray, force_run: bool = False) -> bytes:
             bits[lo] = 1
             body = np.packbits(bits, bitorder="little").tobytes()
         containers.append(body)
-    if force_run:
+    out = bytearray()
+    if any_run:
         out += struct.pack("<I", SERIAL_COOKIE_RUN | ((n - 1) << 16))
         out += bytes(run_flags)
         with_offsets = n >= NO_OFFSET_THRESHOLD
     else:
-        out += struct.pack("<i", SERIAL_COOKIE_NO_RUN)
-        out += struct.pack("<i", n)
+        out += struct.pack("<ii", SERIAL_COOKIE_NO_RUN, n)
         with_offsets = True
     out += bytes(headers)
     if with_offsets:
@@ -210,16 +229,27 @@ def _encode_bitmap32(vals: np.ndarray, force_run: bool = False) -> bytes:
     return bytes(out)
 
 
-def encode_rbm_array(values, force_run: bool = False) -> bytes:
+def encode_rbm_array(
+    values, force_run: bool = False, run_mode: str | None = None
+) -> bytes:
     """Sorted-or-not iterable of uint64 row indexes -> portable blob
-    (dense high-32 array, like delta's RoaringBitmapArray)."""
+    (dense high-32 array, like delta's RoaringBitmapArray). The dense
+    walk means a value set that skips 32-bit words emits EMPTY
+    intermediate bitmaps (NO_RUN cookie, n=0) — spec-legal, and what
+    delta's own array form produces. ``force_run=True`` is shorthand
+    for ``run_mode="all"``; ``run_mode="auto"`` picks the smallest
+    container encoding per container."""
+    if run_mode is None:
+        run_mode = "all" if force_run else "none"
+    if run_mode not in ("none", "all", "auto"):
+        raise ValueError(f"bad run_mode {run_mode!r}")
     vals = np.asarray(sorted(set(int(v) for v in values)), dtype=np.uint64)
     n_bitmaps = 0 if len(vals) == 0 else int(vals[-1] >> np.uint64(32)) + 1
     out = bytearray(struct.pack("<iq", MAGIC_PORTABLE, n_bitmaps))
     for high in range(n_bitmaps):
         sel = vals[(vals >> np.uint64(32)) == high]
         out += _encode_bitmap32(
-            (sel & np.uint64(0xFFFFFFFF)).astype(np.uint32), force_run
+            (sel & np.uint64(0xFFFFFFFF)).astype(np.uint32), run_mode
         )
     return bytes(out)
 

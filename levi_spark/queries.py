@@ -1775,9 +1775,13 @@ def foreign_delta_interop(spark, sf_dir):
 
     base = _scratch("foreign_interop")
     _os.makedirs(_os.path.join(base, "_delta_log", "_sidecars"))
+    # fixture rows are capped by a DETERMINISTIC predicate (not limit(),
+    # which the oracle can't reproduce): <=100k keys ~ a few MB, so the
+    # driver materialization is bounded at ANY sf (VERDICT r05 ask #8)
     cust = (
         _t(spark, sf_dir, "customer")
         .select("c_custkey", "c_acctbal", "c_mktsegment")
+        .filter(F.col("c_custkey") <= INTEROP_KEY_CAP)
         .orderBy("c_custkey")
         .toPandas()
     )
@@ -1924,13 +1928,15 @@ def foreign_delta_interop(spark, sf_dir):
     )
 
 
-FOREIGN_INTEROP_SQL = """
+INTEROP_KEY_CAP = 100_000
+
+FOREIGN_INTEROP_SQL = f"""
 SELECT c_mktsegment, COUNT(*) AS n_rows,
        CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
        CAST(SUM(CAST(floor(c_acctbal * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
          / 10000.0 AS total_bal
 FROM customer
-WHERE c_custkey % 7 <> 0
+WHERE c_custkey <= {INTEROP_KEY_CAP} AND c_custkey % 7 <> 0
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
@@ -9061,8 +9067,13 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # the 4 queries at positions 50-53 missed both rounds). So the
     # first 50 slots are rotation policy: never-gated queries first,
     # then queries changed this round, then oldest-green backfill.
-    # -- slots 1-4: never driver-gated in r01-r04 (the round-5 priority;
-    #    two of them changed in round 4) -----------------------------------
+    # -- ROUND 6 slots 1-2: the ONLY two queries with no driver row ever
+    #    (committed after the final r05 gate; VERDICT r05 ask #2) ----------
+    "doc_vocab_coverage": (doc_vocab_coverage, VOCAB_COVERAGE_SQL),
+    "quality_calibration_bins": (quality_calibration_bins, QUALITY_CALIBRATION_SQL),
+    # -- slots 3+: changed or new in round 6 (roaring encoder rewrite ->
+    #    standard-DV writers; JPEG AC-exact gate; capped interop fixture;
+    #    staged PCA/incremental/market-basket) -- see per-slot notes ------
     "jsonl_export_counts": (jsonl_export_counts, JSONL_EXPORT_SQL),
     "stream_static_enrich": (stream_static_enrich, STREAM_STATIC_SQL),
     "table_detail_counts": (table_detail_counts, TABLE_DETAIL_SQL),
@@ -9163,8 +9174,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "doc_token_stats": (doc_token_stats, DOC_TOKEN_SQL),
     "doc_language_id": (doc_language_id, LANG_ID_SQL),
     "doc_quality_scores": (doc_quality_scores, QUALITY_SQL),
-    "doc_vocab_coverage": (doc_vocab_coverage, VOCAB_COVERAGE_SQL),
-    "quality_calibration_bins": (quality_calibration_bins, QUALITY_CALIBRATION_SQL),
     "ngram_jaccard_pairs": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
     "doc_fingerprints": (doc_fingerprints, FINGERPRINT_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_SQL),
