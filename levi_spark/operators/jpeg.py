@@ -429,8 +429,11 @@ def jpeg_image_decoder(payload: bytes) -> dict:
     :func:`levi_spark.operators.multimodal.decode_image_features`."""
     a = decode_jpeg(payload)
     h, w = a.shape[:2]
+    px = a.astype(np.float64)
+    mean = float(px.mean())
     return {
         "width": w,
         "height": h,
-        "mean_pixel": float(a.astype(np.float64).mean()),
+        "mean_pixel": mean,
+        "mean_abs_dev": float(np.abs(px - mean).mean()),
     }

@@ -49,10 +49,13 @@ def fake_image_decoder(payload: bytes) -> dict:
     """Deterministic stand-in for an image codec: 'dimensions' and a
     'mean pixel' derived from the bytes themselves."""
     h = hashlib.sha256(payload).digest()
+    head = payload[:256]
+    mean = sum(head) / max(1, len(head))
     return {
         "width": 1 + h[0] % 64,
         "height": 1 + h[1] % 64,
-        "mean_pixel": sum(payload[:256]) / max(1, len(payload[:256])),
+        "mean_pixel": mean,
+        "mean_abs_dev": sum(abs(b - mean) for b in head) / max(1, len(head)),
     }
 
 
@@ -72,8 +75,12 @@ def decode_image_features(
     payload_col: str = "payload",
     decoder: FrameDecoder = _default_image_decoder,
 ) -> DataFrame:
-    """binary payload -> (id, width, height, mean_pixel) via one
-    Arrow-batched pass."""
+    """binary payload -> (id, width, height, mean_pixel, mean_abs_dev)
+    via one Arrow-batched pass. ``mean_abs_dev`` is the mean absolute
+    deviation of pixels from the image mean (a contrast measure —
+    unlike the mean it is sensitive to pixel VARIATION, so it catches a
+    decoder that flattens detail, e.g. dropping JPEG AC coefficients);
+    decoders that don't report it yield NaN."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -84,11 +91,16 @@ def decode_image_features(
                     "width": [d["width"] for d in decoded],
                     "height": [d["height"] for d in decoded],
                     "mean_pixel": [d["mean_pixel"] for d in decoded],
+                    "mean_abs_dev": [
+                        d.get("mean_abs_dev", float("nan")) for d in decoded
+                    ],
                 }
             )
 
     return df.mapInPandas(
-        run, f"{id_col} long, width int, height int, mean_pixel double"
+        run,
+        f"{id_col} long, width int, height int, mean_pixel double, "
+        "mean_abs_dev double",
     )
 
 

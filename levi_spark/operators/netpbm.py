@@ -67,7 +67,14 @@ def netpbm_image_decoder(payload: bytes) -> dict:
     real width/height/mean over the decoded samples."""
     a = decode_netpbm(payload)
     h, w = a.shape[:2]
-    return {"width": w, "height": h, "mean_pixel": float(a.astype(np.float64).mean())}
+    px = a.astype(np.float64)
+    mean = float(px.mean())
+    return {
+        "width": w,
+        "height": h,
+        "mean_pixel": mean,
+        "mean_abs_dev": float(np.abs(px - mean).mean()),
+    }
 
 
 def netpbm_resize(payload: bytes, target_w: int, target_h: int) -> bytes:

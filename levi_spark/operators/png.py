@@ -217,10 +217,13 @@ def png_image_decoder(payload: bytes) -> dict:
     real width/height/mean over the inflated, defiltered samples."""
     a = decode_png(payload)
     h, w = a.shape[:2]
+    px = a.astype(np.float64)
+    mean = float(px.mean())
     return {
         "width": w,
         "height": h,
-        "mean_pixel": float(a.astype(np.float64).mean()),
+        "mean_pixel": mean,
+        "mean_abs_dev": float(np.abs(px - mean).mean()),
     }
 
 

@@ -45,6 +45,61 @@ def test_gate_oracle_law_mean_from_md5():
     assert d["mean_pixel"] == sum(digest) / 16.0
 
 
+def _harmonic_image(digest: bytes) -> np.ndarray:
+    """The round-6 gate raster: per digest byte b, an 8x8 block at mean
+    m = 16 + b*7//8 plus the u=4 horizontal harmonic at even amplitude
+    a = 2*(b%8+1) — exactly one nonzero AC coefficient per block."""
+    from levi_spark.queries import JPEG_H4
+
+    b = np.frombuffer(digest, np.uint8).astype(np.int64)
+    m = (16 + b * 7 // 8).reshape(4, 4)
+    a = (2 * (b % 8 + 1)).reshape(4, 4)
+    base = np.kron(m, np.ones((8, 8), dtype=np.int64))
+    wave = np.kron(a, np.ones((8, 8), dtype=np.int64)) * np.tile(
+        np.array(JPEG_H4, dtype=np.int64), (32, 4)
+    )
+    return (base + wave).astype(np.uint8)
+
+
+@settings(max_examples=30, deadline=None)
+@given(m=st.integers(16, 239), a=st.integers(1, 8))
+def test_single_ac_harmonic_block_is_analytically_exact(m, a):
+    """AC path vs ANALYTIC values (not a self-round-trip): a block
+    m + 2a*h4(x) has DCT exactly {DC: 8*(m-128), AC(0,4): 16a}; with
+    the default quant table (DC 8, AC 16) both quantize exactly, so
+    decode must reproduce the pixels bit-for-bit. A decoder that drops,
+    mis-scales, or mis-positions the AC coefficient fails here even if
+    its encoder has the matching bug (the expectation is closed-form,
+    independent of the codec)."""
+    h4 = np.array([1, -1, -1, 1, 1, -1, -1, 1], dtype=np.int64)
+    img = (m + 2 * a * np.tile(h4, (8, 1))).astype(np.uint8)
+    got = decode_jpeg(encode_jpeg(img))
+    assert (got == img).all()
+    # and the quantized stream really carries a nonzero AC coefficient:
+    # a flat block at the same mean decodes to a DIFFERENT raster
+    flat = np.full((8, 8), m, dtype=np.uint8)
+    assert not (decode_jpeg(encode_jpeg(flat)) == img).all()
+
+
+def test_gate_harmonic_raster_exact_and_mad_law():
+    """The full 32x32 gate raster (16 blocks, mixed amplitudes —
+    Huffman sizes 2-5 and both DPCM delta signs) survives bit-for-bit,
+    and the decoder's mean/mean_abs_dev equal the oracle's closed
+    forms over the digest bytes."""
+    digest = hashlib.md5(b"ac harmonic doc").digest()
+    img = _harmonic_image(digest)
+    assert (decode_jpeg(encode_jpeg(img)) == img).all()
+    d = jpeg_image_decoder(encode_jpeg(img))
+    b = np.frombuffer(digest, np.uint8).astype(np.int64)
+    m = 16 + b * 7 // 8
+    a = 2 * (b % 8 + 1)
+    mu = m.sum() / 16.0
+    assert d["mean_pixel"] == mu
+    assert d["mean_abs_dev"] == (
+        np.abs(m + a - mu) + np.abs(m - a - mu)
+    ).sum() / 32.0
+
+
 @settings(max_examples=25, deadline=None)
 @given(
     h=st.integers(1, 40),

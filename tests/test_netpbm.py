@@ -32,7 +32,9 @@ def test_header_comments_and_whitespace():
 def test_decoder_features():
     a = np.full((4, 8, 3), 10, dtype=np.uint8)
     d = netpbm_image_decoder(encode_netpbm(a))
-    assert d == {"width": 8, "height": 4, "mean_pixel": 10.0}
+    assert d == {
+        "width": 8, "height": 4, "mean_pixel": 10.0, "mean_abs_dev": 0.0,
+    }
 
 
 def test_resize_nearest_neighbor():
