@@ -5,10 +5,13 @@ ITU T.81 baseline sequential DCT, the format the bulk of a web-scraped
 image corpus actually arrives in.
 
 Supported profile: 8-bit baseline (SOF0), greyscale (1 component) or
-YCbCr 4:4:4 (3 components, all sampling factors 1x1), standard Huffman
-entropy coding with byte stuffing. Refused explicitly rather than
-misread: progressive (SOF2), arithmetic coding, 12-bit precision,
-subsampled chroma (2x1/2x2), restart markers.
+YCbCr with per-component sampling factors 1 or 2 — 4:4:4, 4:2:2,
+4:4:0 and 4:2:0 all decode through the generic interleaved-MCU loop
+(chroma upsampled by replication); the encoder emits 4:4:4 or 4:2:0
+(2x2-mean downsampled chroma). Standard Huffman entropy coding with
+byte stuffing. Refused explicitly rather than misread: progressive
+(SOF2), arithmetic coding, 12-bit precision, sampling factors above
+2, restart markers.
 
 Pipeline (encode): level shift -> 8x8 orthonormal FDCT (the matrix
 form of T.81's Annex A equations) -> quantize -> zigzag -> DC DPCM +
@@ -227,44 +230,73 @@ def _encode_block(q: np.ndarray, bw: _BitWriter, dc_codes, ac_codes,
     return pred
 
 
-def encode_jpeg(pixels: np.ndarray, quant: np.ndarray | None = None) -> bytes:
+def encode_jpeg(
+    pixels: np.ndarray,
+    quant: np.ndarray | None = None,
+    subsampling: str = "444",
+) -> bytes:
     """uint8 (H, W) -> greyscale baseline JPEG; (H, W, 3) RGB ->
-    YCbCr 4:4:4 baseline JPEG. Dimensions are padded to block size by
+    YCbCr baseline JPEG, 4:4:4 or (``subsampling="420"``) 4:2:0 with
+    2x2-mean chroma downsampling. Dimensions are padded to MCU size by
     edge replication (decoder crops back via SOF dims)."""
     a = np.asarray(pixels, dtype=np.uint8)
     quant = DEFAULT_QUANT if quant is None else np.asarray(quant, np.int64)
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be '444' or '420', got {subsampling}")
     if a.ndim == 2:
         channels = [a.astype(np.float64)]
+        samps = [(1, 1)]
     elif a.ndim == 3 and a.shape[2] == 3:
         r, g, b = (a[..., i].astype(np.float64) for i in range(3))
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
         channels = [y, cb, cr]
+        samps = (
+            [(2, 2), (1, 1), (1, 1)] if subsampling == "420"
+            else [(1, 1), (1, 1), (1, 1)]
+        )
     else:
         raise ValueError(f"expected (H,W) or (H,W,3) uint8, got {a.shape}")
+    if subsampling == "420" and a.ndim == 2:
+        samps = [(1, 1)]  # greyscale has nothing to subsample
     h, w = a.shape[:2]
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mx, my = -(-w // mcu_w), -(-h // mcu_h)
 
     dc_codes = _build_codes(DC_BITS, DC_VALS)
     ac_codes = _build_codes(AC_BITS, AC_VALS)
     bw = _BitWriter()
-    # FDCT + quantization vectorized over every block per channel; the
-    # sequential part (DPCM + Huffman bit emission) is the only loop
-    quantized = [
-        _quantize_blocks(np.pad(ch, ((0, ph - h), (0, pw - w)), mode="edge"),
-                         quant)
-        for ch in channels
-    ]
-    # interleaved MCU = one 8x8 block per component (all factors 1x1)
-    n_bx = pw // 8
+    # per component: pad to MCU grid at full res, downsample by block
+    # mean to its sampling resolution, FDCT+quantize every block
+    quantized = []
+    comp_bx = []
+    for ch, (sh, sv) in zip(channels, samps):
+        full = np.pad(ch, ((0, my * mcu_h - h), (0, mx * mcu_w - w)),
+                      mode="edge")
+        fy, fx = vmax // sv, hmax // sh  # downsample factors
+        if fy > 1 or fx > 1:
+            plane = full.reshape(
+                full.shape[0] // fy, fy, full.shape[1] // fx, fx
+            ).mean(axis=(1, 3))
+        else:
+            plane = full
+        quantized.append(_quantize_blocks(plane, quant))
+        comp_bx.append(plane.shape[1] // 8)
+    # interleaved MCUs: per component, sv x sh blocks in raster order
     preds = [0] * len(channels)
-    for by in range(ph // 8):
-        for bx in range(n_bx):
+    for myi in range(my):
+        for mxi in range(mx):
             for ci, qblocks in enumerate(quantized):
-                preds[ci] = _encode_block(
-                    qblocks[by * n_bx + bx], bw, dc_codes, ac_codes, preds[ci]
-                )
+                sh, sv = samps[ci]
+                for dy in range(sv):
+                    for dx in range(sh):
+                        bi = (myi * sv + dy) * comp_bx[ci] + (mxi * sh + dx)
+                        preds[ci] = _encode_block(
+                            qblocks[bi], bw, dc_codes, ac_codes, preds[ci]
+                        )
     entropy = bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -276,7 +308,8 @@ def encode_jpeg(pixels: np.ndarray, quant: np.ndarray | None = None) -> bytes:
     out += seg(0xFFDB, bytes([0]) + bytes(int(quant[i]) for i in range(64)))
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0])  # id, 1x1 sampling, quant table 0
+        sh, sv = samps[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, 0])  # id, sampling, quant 0
     out += seg(0xFFC0, sof)
     out += seg(0xFFC4, bytes([0x00] + DC_BITS) + bytes(DC_VALS))
     out += seg(0xFFC4, bytes([0x10] + AC_BITS) + bytes(AC_VALS))
@@ -339,16 +372,29 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for ci in range(nc):
                 cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
+                sh, sv = samp >> 4, samp & 0xF
+                if not (1 <= sh <= 2 and 1 <= sv <= 2):
                     raise ValueError(
-                        "subsampled chroma unsupported (4:4:4 only)"
+                        f"sampling factors above 2 unsupported ({sh}x{sv})"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, tq, sh, sv))
             sof = (h, w, nc)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker == 0xC2:  # SOF2 progressive
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError(f"{prec}-bit precision unsupported")
+            if nc != 1:
+                raise ValueError(
+                    "multi-component progressive unsupported (greyscale only)"
+                )
+            comps = [(body[6], body[8], 1, 1)]
+            return _decode_progressive(payload, pos, (h, w), comps, quant,
+                                       dc_dec, ac_dec)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"only baseline SOF0 supported (got SOF marker {marker:#x})"
+                f"only baseline SOF0 / progressive SOF2 supported "
+                f"(got SOF marker {marker:#x})"
             )
         elif marker == 0xDD:
             raise ValueError("restart intervals unsupported")
@@ -366,8 +412,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         raise ValueError("missing EOI")
     br = _BitReader(payload[pos:end])
     m = _dct_matrix()
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    planes = [np.zeros((ph, pw), np.float64) for _ in range(nc)]
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mx, my = -(-w // mcu_w), -(-h // mcu_h)
+    # per-component plane at ITS sampling resolution, padded to the
+    # MCU grid; upsampled by replication after entropy decode
+    planes = [
+        np.zeros((my * comps[ci][3] * 8, mx * comps[ci][2] * 8), np.float64)
+        for ci in range(nc)
+    ]
     preds = [0] * nc
 
     def huff(table) -> int:
@@ -380,38 +434,56 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 return sym
         raise ValueError("invalid Huffman code")
 
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
+    def read_block(ci: int) -> np.ndarray:
+        _cid, dcid_acid = scan[ci]
+        dct_t = dc_dec[dcid_acid >> 4]
+        act = ac_dec[dcid_acid & 0xF]
+        q = quant[comps[ci][1]]
+        zz = np.zeros(64, np.int64)
+        size = huff(dct_t)
+        preds[ci] += _extend(br.bits(size), size)
+        zz[0] = preds[ci]
+        k = 1
+        while k < 64:
+            rs = huff(act)
+            if rs == 0x00:  # EOB
+                break
+            run, size = rs >> 4, rs & 0xF
+            if size == 0:
+                if run != 15:
+                    raise ValueError("bad AC run/size")
+                k += 16  # ZRL
+                continue
+            k += run
+            if k > 63:
+                raise ValueError("AC coefficient index overflow")
+            zz[k] = _extend(br.bits(size), size)
+            k += 1
+        coef = np.zeros(64, np.float64)
+        coef[ZIGZAG] = zz * q
+        return m.T @ coef.reshape(8, 8) @ m + 128.0
+
+    for myi in range(my):
+        for mxi in range(mx):
             for ci in range(nc):
-                _cid, dcid_acid = scan[ci]
-                dct_t = dc_dec[dcid_acid >> 4]
-                act = ac_dec[dcid_acid & 0xF]
-                q = quant[comps[ci][1]]
-                zz = np.zeros(64, np.int64)
-                size = huff(dct_t)
-                preds[ci] += _extend(br.bits(size), size)
-                zz[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    rs = huff(act)
-                    if rs == 0x00:  # EOB
-                        break
-                    run, size = rs >> 4, rs & 0xF
-                    if size == 0:
-                        if run != 15:
-                            raise ValueError("bad AC run/size")
-                        k += 16  # ZRL
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC coefficient index overflow")
-                    zz[k] = _extend(br.bits(size), size)
-                    k += 1
-                coef = np.zeros(64, np.float64)
-                coef[ZIGZAG] = zz * q
-                blk = m.T @ coef.reshape(8, 8) @ m + 128.0
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
-    planes = [p[:h, :w] for p in planes]
+                sh, sv = comps[ci][2], comps[ci][3]
+                for dy in range(sv):
+                    for dx in range(sh):
+                        by, bx = myi * sv + dy, mxi * sh + dx
+                        planes[ci][
+                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                        ] = read_block(ci)
+    # replication upsample to full resolution, then crop to SOF dims
+    up = []
+    for ci in range(nc):
+        sh, sv = comps[ci][2], comps[ci][3]
+        p = planes[ci]
+        if sv < vmax:
+            p = np.repeat(p, vmax // sv, axis=0)
+        if sh < hmax:
+            p = np.repeat(p, hmax // sh, axis=1)
+        up.append(p[:h, :w])
+    planes = up
     if nc == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     if nc == 3:
@@ -422,6 +494,238 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         rgb = np.stack([r, g, b], axis=-1)
         return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     raise ValueError(f"{nc}-component scans unsupported")
+
+
+# custom AC Huffman table for progressive scans: the Annex-K baseline
+# AC table has no EOBn (n>=1) symbols, so progressive streams need
+# their own DHT. All plausible symbols at a flat 8-bit code length —
+# canonical, prefix-free (176 < 256 codes), decoder-agnostic.
+PROG_AC_VALS = sorted(
+    [(n << 4) for n in range(15)]  # EOB0..EOB14
+    + [0xF0]  # ZRL
+    + [(run << 4) | size for run in range(16) for size in range(1, 11)]
+)
+PROG_AC_BITS = [0] * 16
+PROG_AC_BITS[7] = len(PROG_AC_VALS)  # every symbol at length 8
+
+
+def _decode_progressive(payload, pos, hw, comps, quant, dc_dec, ac_dec):
+    """Spectral-selection progressive decode (greyscale): accumulate
+    zigzag coefficients across scans, then dequant + IDCT once. Ah/Al
+    successive approximation is refused explicitly."""
+    h, w = hw
+    bh, bw_ = -(-h // 8), -(-w // 8)
+    nblocks = bh * bw_
+    zz = np.zeros((nblocks, 64), np.int64)
+    seen_dc = False
+
+    def entropy_end(p: int) -> int:
+        while True:
+            nxt = payload.index(b"\xff", p)
+            m = payload[nxt + 1]
+            if m == 0x00:
+                p = nxt + 2
+                continue
+            if 0xD0 <= m <= 0xD7:
+                raise ValueError("restart markers unsupported")
+            return nxt
+
+    while True:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (length,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + length]
+        if len(body) != length - 2:
+            raise ValueError("truncated segment")
+        pos += 2 + length
+        if marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                (dc_dec if tc == 0 else ac_dec)[th] = _build_decode(bits, vals)
+                i += 17 + n
+        elif marker == 0xDB:
+            i = 0
+            while i < len(body):
+                if body[i] >> 4:
+                    raise ValueError("16-bit quant tables unsupported")
+                quant[body[i] & 0xF] = np.frombuffer(
+                    body[i + 1 : i + 65], np.uint8
+                ).astype(np.int64)
+                i += 65
+        elif marker == 0xDA:
+            ns = body[0]
+            if ns != 1:
+                raise ValueError(
+                    "multi-component progressive scans unsupported"
+                )
+            dcid_acid = body[2]
+            ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            if ahal != 0:
+                raise ValueError(
+                    "successive approximation unsupported "
+                    "(spectral selection only)"
+                )
+            end = entropy_end(pos)
+            br = _BitReader(payload[pos:end])
+            pos = end
+
+            def huff(table) -> int:
+                code, ln = 0, 0
+                for _ in range(16):
+                    code = (code << 1) | br.bit()
+                    ln += 1
+                    sym = table.get((ln, code))
+                    if sym is not None:
+                        return sym
+                raise ValueError("invalid Huffman code")
+
+            if ss == 0:  # DC scan
+                if se != 0:
+                    raise ValueError("DC scan must have Se = 0")
+                table = dc_dec[dcid_acid >> 4]
+                pred = 0
+                for b in range(nblocks):
+                    size = huff(table)
+                    pred += _extend(br.bits(size), size)
+                    zz[b, 0] = pred
+                seen_dc = True
+            else:  # AC band scan
+                table = ac_dec[dcid_acid & 0xF]
+                eobrun = 0
+                for b in range(nblocks):
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = huff(table)
+                        run, size = rs >> 4, rs & 0xF
+                        if size == 0:
+                            if run == 15:
+                                k += 16  # ZRL
+                                continue
+                            eobrun = (1 << run) + (br.bits(run) if run else 0)
+                            eobrun -= 1  # covers THIS block's remainder
+                            break
+                        k += run
+                        if k > se:
+                            raise ValueError("AC index overflows the band")
+                        zz[b, k] = _extend(br.bits(size), size)
+                        k += 1
+    if not seen_dc:
+        raise ValueError("progressive stream has no DC scan")
+    q = quant[comps[0][1]]
+    m = _dct_matrix()
+    plane = np.zeros((bh * 8, bw_ * 8), np.float64)
+    for b in range(nblocks):
+        coef = np.zeros(64, np.float64)
+        coef[ZIGZAG] = zz[b] * q
+        by, bx = divmod(b, bw_)
+        plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+            m.T @ coef.reshape(8, 8) @ m + 128.0
+        )
+    return np.clip(np.round(plane[:h, :w]), 0, 255).astype(np.uint8)
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray, quant: np.ndarray | None = None
+) -> bytes:
+    """uint8 (H, W) -> PROGRESSIVE (SOF2) greyscale JPEG: a DC scan
+    (Ss=0, Se=0) then one AC spectral-selection scan (Ss=1, Se=63)
+    with real EOBRUN coding — the minimal legal progressive structure,
+    no successive approximation. Quantized coefficients are identical
+    to the baseline encoder's, so content that is bit-exact under
+    `encode_jpeg` is bit-exact here too."""
+    a = np.asarray(pixels, dtype=np.uint8)
+    if a.ndim != 2:
+        raise ValueError("progressive encoder is greyscale-only (H, W)")
+    quant = DEFAULT_QUANT if quant is None else np.asarray(quant, np.int64)
+    h, w = a.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    qblocks = _quantize_blocks(
+        np.pad(a.astype(np.float64), ((0, ph - h), (0, pw - w)), mode="edge"),
+        quant,
+    )
+    dc_codes = _build_codes(DC_BITS, DC_VALS)
+    ac_codes = _build_codes(PROG_AC_BITS, PROG_AC_VALS)
+
+    # DC scan: plain DPCM over all blocks
+    bw1 = _BitWriter()
+    pred = 0
+    for b in range(len(qblocks)):
+        size, raw = _magnitude(int(qblocks[b, 0]) - pred)
+        pred = int(qblocks[b, 0])
+        c, ln = dc_codes[size]
+        bw1.write(c, ln)
+        if size:
+            bw1.write(raw, size)
+    dc_entropy = bw1.flush()
+
+    # AC scan: run/size with accumulated EOBRUN across blocks
+    bw2 = _BitWriter()
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        while eobrun > 0:
+            chunk = min(eobrun, 32767)
+            n = chunk.bit_length() - 1
+            c, ln = ac_codes[n << 4]
+            bw2.write(c, ln)
+            if n:
+                bw2.write(chunk - (1 << n), n)
+            eobrun -= chunk
+
+    for b in range(len(qblocks)):
+        q = qblocks[b]
+        nz = np.nonzero(q[1:])[0]
+        if not len(nz):
+            eobrun += 1
+            continue
+        flush_eob()
+        last = nz[-1] + 1
+        run = 0
+        for i in range(1, last + 1):
+            v = int(q[i])
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                c, ln = ac_codes[0xF0]
+                bw2.write(c, ln)
+                run -= 16
+            size, raw = _magnitude(v)
+            c, ln = ac_codes[(run << 4) | size]
+            bw2.write(c, ln)
+            bw2.write(raw, size)
+            run = 0
+        if last < 63:
+            eobrun += 1  # this block's end-of-band starts a run
+    flush_eob()
+    ac_entropy = bw2.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, bytes([0]) + bytes(int(quant[i]) for i in range(64)))
+    out += seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xFFC4, bytes([0x00] + DC_BITS) + bytes(DC_VALS))
+    out += seg(0xFFC4, bytes([0x10] + PROG_AC_BITS) + bytes(PROG_AC_VALS))
+    out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 0, 0]))  # DC scan
+    out += dc_entropy
+    out += seg(0xFFDA, bytes([1, 1, 0x00, 1, 63, 0]))  # AC band scan
+    out += ac_entropy
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def jpeg_image_decoder(payload: bytes) -> dict:
