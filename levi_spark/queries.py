@@ -723,6 +723,72 @@ WHERE l_quantity < 0.2 * _avg
 """
 
 
+Q18_QTY_THRESHOLD = 150
+
+
+def q18_large_volume_customer(spark, sf_dir):
+    """TPC-H Q18 (large volume customer — the one Q1-Q22 slot that was
+    missing from the registry): customers whose single orders exceed
+    ``Q18_QTY_THRESHOLD`` total quantity, with order header fields and
+    the order's total quantity. The HAVING subquery is one aggregate
+    over lineitem whose survivors SEMI-join orders (broadcastable —
+    the threshold keeps survivors tiny at any scale), then the
+    customer join; quantity sums are quantized int64 so the threshold
+    comparison and output are bit-identical cross-engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_qsum(F.col("l_quantity"), "_q"))
+        .where(F.col("_q") > Q18_QTY_THRESHOLD * 10000)
+        .select("l_orderkey", _qval("_q", "total_qty"))
+    )
+    return (
+        orders.join(
+            F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("o_date"),
+            (
+                F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5))
+                .cast("long")
+                .cast("double")
+                / F.lit(10000.0)
+            ).alias("total_price"),
+            "total_qty",
+        )
+        .orderBy(F.col("total_price").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+Q18_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 10000.0 AS total_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT))
+         > {Q18_QTY_THRESHOLD} * 10000
+)
+SELECT c_name, o_custkey, o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_date,
+       CAST(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT) AS DOUBLE)
+         / 10000.0 AS total_price,
+       total_qty
+FROM orders JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY total_price DESC, o_orderkey
+LIMIT 100
+"""
+
+
 def q20_excess_suppliers(spark, sf_dir):
     """TPC-H Q20 shape (adapted: "availqty" = total 1997 shipped
     quantity per (supplier, red part), threshold 50): European
@@ -9583,6 +9649,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),
     "q16_supplier_part_counts": (q16_supplier_part_counts, Q16_SQL),
     "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL),
+    "q18_large_volume_customer": (q18_large_volume_customer, Q18_SQL),
     "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
     "q20_excess_suppliers": (q20_excess_suppliers, Q20_SQL),
     "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
