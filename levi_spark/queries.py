@@ -3442,6 +3442,21 @@ FROM ex
 """
 
 
+def _docs_parallel(spark, sf_dir):
+    """documents (doc_id, text) spread across the session's cores: the
+    per-doc codec gates are CPU-bound Python work inside mapInPandas,
+    and the testdata table is a single small parquet file -> one scan
+    partition -> ONE Python worker doing all the work. The tiny
+    repartition shuffle (a few MB of text) buys full-width
+    parallelism — at cluster scale the table arrives already
+    partitioned and this is a no-op knob."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
 def multimodal_byte_features(spark, sf_dir):
     """Opaque-binary plumbing: text → binary column → Arrow-batched
     feature extraction (byte length + sha256) via mapInPandas. The
@@ -3500,7 +3515,7 @@ def minhash_lsh_neardup(spark, sf_dir):
 
     from levi_spark.functions.text import md5_fp
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_parallel(spark, sf_dir)
     # the (doc, shingle) rows feed several consumers; identical shuffle
     # subplans are deduplicated by ReusedExchange, and deliberately NOT
     # persisted — a lingering cached RDD measurably starves later
@@ -3865,7 +3880,7 @@ def multimodal_frame_sample(spark, sf_dir):
 
     import pandas as pd
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_parallel(spark, sf_dir)
     frame_chars, stride = 64, 2
 
     def run(batches):
@@ -8889,7 +8904,7 @@ def multimodal_ppm_decode(spark, sf_dir):
     from levi_spark.operators.multimodal import decode_image_features
     from levi_spark.operators.netpbm import encode_netpbm, netpbm_image_decoder
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_parallel(spark, sf_dir)
     n = PPM_W * PPM_H * 3
 
     def encode(batches):
@@ -8948,7 +8963,7 @@ def multimodal_png_decode(spark, sf_dir):
     from levi_spark.operators.multimodal import decode_image_features
     from levi_spark.operators.png import encode_png, png_image_decoder
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_parallel(spark, sf_dir)
     n = PPM_W * PPM_H * 3
 
     def encode(batches):
@@ -9030,7 +9045,7 @@ def multimodal_jpeg_decode(spark, sf_dir):
     from levi_spark.operators.jpeg import encode_jpeg, jpeg_image_decoder
     from levi_spark.operators.multimodal import decode_image_features
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_parallel(spark, sf_dir)
     h4 = np.array(JPEG_H4, dtype=np.int64)
 
     def encode(batches):
@@ -9103,7 +9118,7 @@ def multimodal_jpeg420_decode(spark, sf_dir):
     from levi_spark.operators.jpeg import encode_jpeg, jpeg_image_decoder
     from levi_spark.operators.multimodal import decode_image_features
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_parallel(spark, sf_dir)
     h4 = np.array(JPEG_H4, dtype=np.int64)
 
     def encode(batches):
@@ -9160,7 +9175,7 @@ def multimodal_jpeg_prog_decode(spark, sf_dir):
     )
     from levi_spark.operators.multimodal import decode_image_features
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_parallel(spark, sf_dir)
     h4 = np.array(JPEG_H4, dtype=np.int64)
 
     def encode(batches):
@@ -9218,7 +9233,7 @@ def multimodal_wav_decode(spark, sf_dir):
     from levi_spark.operators.multimodal import decode_audio_features
     from levi_spark.operators.riffwav import encode_wav, wav_audio_decoder
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_parallel(spark, sf_dir)
 
     def encode(batches):
         for pdf in batches:
@@ -9284,7 +9299,7 @@ def multimodal_flac_decode(spark, sf_dir):
     from levi_spark.operators.flac import encode_flac, flac_audio_decoder
     from levi_spark.operators.multimodal import decode_audio_features
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_parallel(spark, sf_dir)
 
     def encode(batches):
         for pdf in batches:
@@ -9580,6 +9595,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # changed this round (standard DV format) -> back in the gate window
     "dv_soft_delete_orders": (dv_soft_delete_orders, DV_SOFT_DELETE_SQL),
     "ann_ranking_metrics": (ann_ranking_metrics, ANN_RANKING_SQL),
+    # changed this round: stage-timed floor analyses (PCA footer-count
+    # job cut; incremental refresh timers) + the new Q18 slot
+    "embedding_pca_projection": (embedding_pca_projection, PCA_PROJECTION_SQL),
+    "incremental_agg_refresh": (incremental_agg_refresh, INCR_AGG_SQL),
+    "q18_large_volume_customer": (q18_large_volume_customer, Q18_SQL),
     # -- never driver-gated in r01 or r02 ----------------------------------
     "table_restore_counts": (table_restore_counts, RESTORE_SQL),
     "events_skewed_rollup": (events_skewed_rollup, SKEWED_ROLLUP_SQL),
@@ -9630,7 +9650,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "generated_column_counts": (generated_column_counts, GENERATED_COLUMN_SQL),
     "stream_upsert_latest": (stream_upsert_latest, STREAM_UPSERT_SQL),
     "curriculum_stage_buckets": (curriculum_stage_buckets, CURRICULUM_SQL),
-    "embedding_pca_projection": (embedding_pca_projection, PCA_PROJECTION_SQL),
     # -- 51+: outside the driver window; next rotation backfills from
     #    here oldest-green-first ------------------------------------------
     "updated_partitions_sim": (updated_partitions_sim, UPDATED_PARTS_SQL),
@@ -9649,7 +9668,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),
     "q16_supplier_part_counts": (q16_supplier_part_counts, Q16_SQL),
     "q17_small_quantity_revenue": (q17_small_quantity_revenue, Q17_SQL),
-    "q18_large_volume_customer": (q18_large_volume_customer, Q18_SQL),
     "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
     "q20_excess_suppliers": (q20_excess_suppliers, Q20_SQL),
     "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
@@ -9701,7 +9719,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "drop_duplicates_pkey_customer": (drop_duplicates_pkey_customer, DROP_DUP_PKEY_SQL),
     "kill_duplicates_lineitem": (kill_duplicates_lineitem, KILL_DUP_SQL),
     "merge_upsert_customer": (merge_upsert_customer, MERGE_UPSERT_SQL),
-    "incremental_agg_refresh": (incremental_agg_refresh, INCR_AGG_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "ann_recall_scores": (ann_recall_scores, ANN_RECALL_SQL),
     "doc_pack_sequences": (doc_pack_sequences, PACK_SQL),
