@@ -73,6 +73,10 @@ _ADD_TYPE = T.StructType(
         T.StructField("stats", T.StringType()),
         T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
         T.StructField("deletionVector", _DV_TYPE),
+        # row tracking (writer feature "rowTracking"): fresh row ids are
+        # baseRowId + position-in-file; the commit that added the file
+        T.StructField("baseRowId", T.LongType()),
+        T.StructField("defaultRowCommitVersion", T.LongType()),
     ]
 )
 _REMOVE_TYPE = T.StructType(
@@ -762,6 +766,16 @@ class Snapshot:
                     else F.lit(None).cast(T.MapType(T.StringType(), T.StringType()))
                 ).alias("tags"),
                 dv_col.alias("deletionVector"),
+                (
+                    F.col("add.baseRowId")
+                    if "baseRowId" in add_fields
+                    else F.lit(None).cast("long")
+                ).alias("baseRowId"),
+                (
+                    F.col("add.defaultRowCommitVersion")
+                    if "defaultRowCommitVersion" in add_fields
+                    else F.lit(None).cast("long")
+                ).alias("defaultRowCommitVersion"),
             )
             if "add" in cols
             else F.lit(None).cast(_ADD_TYPE)
@@ -952,6 +966,58 @@ class Snapshot:
             .collect()
         )
         return {r["app_id"]: r["v"] for r in rows}
+
+    def domain_metadata(self) -> dict[str, dict]:
+        """Latest ``domainMetadata`` action per domain from this
+        snapshot's JSON commit window (``removed: true`` clears a
+        domain). Domain actions older than the checkpoint are not
+        replayed — callers that derive counters from a domain (row
+        tracking's high-water mark) must also lower-bound from live
+        adds; see :meth:`row_id_high_water_mark`. Driver-side parse of
+        the commit tail — a few KB."""
+        out: dict[str, dict] = {}
+        for v in sorted(self._commit_versions):
+            try:
+                with open(self._commit_path(v)) as f:
+                    for line in f:
+                        if '"domainMetadata"' not in line:
+                            continue
+                        dm = json.loads(line).get("domainMetadata")
+                        if not dm or not dm.get("domain"):
+                            continue
+                        if dm.get("removed"):
+                            out.pop(dm["domain"], None)
+                        else:
+                            out[dm["domain"]] = dm
+            except FileNotFoundError:
+                continue
+        return out
+
+    def row_id_high_water_mark(self) -> int:
+        """Row tracking's ``rowIdHighWaterMark`` (-1 when no row ids
+        were ever assigned): the ``delta.rowTracking`` domain value,
+        floored by what live files already claim (base + numRecords -
+        1) so a checkpoint-truncated domain action can never cause id
+        reuse against the current snapshot."""
+        hwm = -1
+        dm = self.domain_metadata().get("delta.rowTracking")
+        if dm and dm.get("configuration"):
+            try:
+                hwm = int(
+                    json.loads(dm["configuration"]).get("rowIdHighWaterMark", -1)
+                )
+            except (TypeError, ValueError):
+                pass
+        for r in self.live_adds_collected():
+            a = r["add"]
+            base = a["baseRowId"]
+            if base is None:
+                continue
+            st = a["stats"]
+            num = json.loads(st).get("numRecords") if st else None
+            if num is not None:
+                hwm = max(hwm, int(base) + int(num) - 1)
+        return hwm
 
     # ---- add actions (the metadata-plane table) ----------------------------
 
@@ -1226,7 +1292,12 @@ class Snapshot:
             out = out.unionByName(p)
         return out
 
-    def to_df(self, paths: list[str] | None = None, with_lineage: bool = False) -> DataFrame:
+    def to_df(
+        self,
+        paths: list[str] | None = None,
+        with_lineage: bool = False,
+        with_row_ids: bool = False,
+    ) -> DataFrame:
         """Read the snapshot's data as a DataFrame. ``paths`` restricts
         the scan to those table-relative live files (layout operators
         rewrite subsets of a table without scanning the rest).
@@ -1248,6 +1319,14 @@ class Snapshot:
         ``with_lineage=True`` appends ``_file_name`` / ``_row_index``
         columns identifying each row's physical position — the key
         space deletion vectors address.
+
+        ``with_row_ids=True`` appends ``_row_id`` /
+        ``_row_commit_version`` from the table's ROW TRACKING metadata
+        (writer feature ``rowTracking``): row id = the file's
+        ``baseRowId`` + the row's position, commit version = the
+        file's ``defaultRowCommitVersion``. Fresh-id semantics: stable
+        under appends and DV deletes (positions don't move), re-minted
+        by file rewrites. Files without assigned ids yield nulls.
         """
         meta = self.metadata
         infos = self.file_infos()
@@ -1261,8 +1340,10 @@ class Snapshot:
             # replace_paths rewrite would tombstone files it never read.
             keep = {os.path.join(self.log.table_path, k) for k in paths}
             infos = [(p, pv) for p, pv in infos if p in keep]
-        out_cols = list(meta.data_columns) + (
-            ["_file_name", "_row_index"] if with_lineage else []
+        out_cols = (
+            list(meta.data_columns)
+            + (["_file_name", "_row_index"] if with_lineage else [])
+            + (["_row_id", "_row_commit_version"] if with_row_ids else [])
         )
         if not infos:
             schema = T.StructType(
@@ -1273,6 +1354,14 @@ class Snapshot:
                         T.StructField("_row_index", T.LongType()),
                     ]
                     if with_lineage
+                    else []
+                )
+                + (
+                    [
+                        T.StructField("_row_id", T.LongType()),
+                        T.StructField("_row_commit_version", T.LongType()),
+                    ]
+                    if with_row_ids
                     else []
                 )
             )
@@ -1308,6 +1397,32 @@ class Snapshot:
             F.col("__file_name").alias("_file_name"),
             F.col("__row_index").alias("_row_index"),
         ]
+        rid_cols: list = []
+        if with_row_ids:
+            rid_schema = T.StructType(
+                [
+                    T.StructField("__file_name", T.StringType()),
+                    T.StructField("__base_row_id", T.LongType()),
+                    T.StructField("__row_commit", T.LongType()),
+                ]
+            )
+            rid_rows = [
+                (
+                    os.path.basename(unquote(r["add"]["path"])),
+                    r["add"]["baseRowId"],
+                    r["add"]["defaultRowCommitVersion"],
+                )
+                for r in self.live_adds_collected()
+            ]
+            df = df.join(
+                F.broadcast(self.spark.createDataFrame(rid_rows, rid_schema)),
+                on="__file_name",
+                how="left",
+            )
+            rid_cols = [
+                (F.col("__base_row_id") + F.col("__row_index")).alias("_row_id"),
+                F.col("__row_commit").alias("_row_commit_version"),
+            ]
         by_name = {f.name: f for f in meta.schema.fields}
         phys_names = meta.physical_names
         part_set = set(meta.partition_columns)
@@ -1325,6 +1440,7 @@ class Snapshot:
             return df.select(
                 *data_sel,
                 *(lineage if with_lineage else []),
+                *rid_cols,
             )
         pv_schema = T.StructType(
             [
@@ -1345,4 +1461,5 @@ class Snapshot:
             *data_sel,
             *part_cols,
             *lineage,
+            *rid_cols,
         ).select(*out_cols)

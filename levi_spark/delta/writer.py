@@ -449,6 +449,7 @@ def write_delta(
     txn: tuple[str, int] | None = None,
     keep_nullability: bool = False,
     generated: dict[str, str] | None = None,
+    row_tracking: bool = False,
 ) -> int:
     """Write ``df`` as a new Delta table version at ``path``.
 
@@ -488,6 +489,17 @@ def write_delta(
     invariants on every later write. Default False relaxes top-level
     nullability — Spark infers non-null for every literal/range column,
     and an inferred accident must not become a contract.
+
+    ``row_tracking`` (create/overwrite): enable Delta ROW TRACKING
+    (``delta.enableRowTracking`` + writer features ``rowTracking``/
+    ``domainMetadata``): every add action gets a ``baseRowId`` (fresh
+    ids minted from the ``delta.rowTracking`` domain's high-water
+    mark, one contiguous range per file) and a
+    ``defaultRowCommitVersion``; appends to an enabled table keep
+    assigning automatically. Read back via
+    ``Snapshot.to_df(with_row_ids=True)``. Fresh-id semantics: stable
+    under appends and DV deletes, re-minted by file rewrites
+    (materialized-column preservation is out of scope and documented).
 
     ``generated`` (create/overwrite): Delta generated columns —
     ``{column: sql_expr}`` recorded as ``delta.generationExpression``
@@ -561,6 +573,9 @@ def write_delta(
     meta_conf: dict[str, str] = {}
     meta_created: int | None = None
     commit_protocol: dict = dict(_PROTOCOL)
+    row_hwm = -1  # row tracking: highest row id ever assigned
+    if row_tracking and (not exists or mode == "overwrite"):
+        meta_conf["delta.enableRowTracking"] = "true"
     if exists:
         log = DeltaLog(spark, path)
         snap = log.snapshot()
@@ -654,6 +669,27 @@ def write_delta(
                 # plain append: the table's schema (incl. its declared
                 # nullability) is the contract the commit re-emits
                 commit_schema = prev_schema
+
+    # -- row tracking --------------------------------------------------------
+    if row_tracking and exists and mode == "overwrite":
+        meta_conf["delta.enableRowTracking"] = "true"
+    rt_enabled = meta_conf.get("delta.enableRowTracking") == "true"
+    if row_tracking and exists and mode == "append" and not rt_enabled:
+        raise ValueError(
+            "row_tracking=True on append to a table without "
+            "delta.enableRowTracking (enable it at create/overwrite)"
+        )
+    if rt_enabled:
+        commit_protocol = merge_protocol(
+            commit_protocol,
+            {
+                "minReaderVersion": 1,
+                "minWriterVersion": 7,
+                "writerFeatures": ["rowTracking", "domainMetadata"],
+            },
+        )
+        if exists:
+            row_hwm = snap.row_id_high_water_mark()
 
     # -- stage data files ----------------------------------------------------
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
@@ -776,27 +812,56 @@ def write_delta(
                 }
             )
         )
+    add_entries = []
     for rel in sorted(moved):
         st = os.stat(os.path.join(path, rel))
         stats = stats_by_name.get(os.path.basename(rel))
-        tail_lines.append(
-            json.dumps(
-                {
-                    "add": {
-                        "path": quote(rel, safe="/"),
-                        "partitionValues": _partition_values_from_relpath(
-                            rel, partition_by
-                        ),
-                        "size": st.st_size,
-                        "modificationTime": int(st.st_mtime * 1000),
-                        "dataChange": True,
-                        "stats": json.dumps(stats, default=_json_default)
-                        if stats
-                        else None,
+        add_entries.append((rel, st, stats))
+
+    def _add_lines(commit_version: int) -> list[str]:
+        """Add actions (+ the row-tracking domain action when enabled).
+        Built per publish attempt: a rebased commit must re-mint its
+        baseRowIds from the WINNER's high-water mark and stamp the
+        final commit version as defaultRowCommitVersion."""
+        lines = []
+        next_id = row_hwm + 1
+        for rel, st, stats in add_entries:
+            add = {
+                "path": quote(rel, safe="/"),
+                "partitionValues": _partition_values_from_relpath(
+                    rel, partition_by
+                ),
+                "size": st.st_size,
+                "modificationTime": int(st.st_mtime * 1000),
+                "dataChange": True,
+                "stats": json.dumps(stats, default=_json_default)
+                if stats
+                else None,
+            }
+            if rt_enabled:
+                if not stats or stats.get("numRecords") is None:
+                    raise ValueError(
+                        f"row tracking needs numRecords stats for {rel}"
+                    )
+                add["baseRowId"] = next_id
+                add["defaultRowCommitVersion"] = commit_version
+                next_id += int(stats["numRecords"])
+            lines.append(json.dumps({"add": add}))
+        if rt_enabled and next_id - 1 > row_hwm:
+            lines.append(
+                json.dumps(
+                    {
+                        "domainMetadata": {
+                            "domain": "delta.rowTracking",
+                            "configuration": json.dumps(
+                                {"rowIdHighWaterMark": next_id - 1}
+                            ),
+                            "removed": False,
+                        }
                     }
-                }
+                )
             )
-        )
+        return lines
     if cdc_df is not None:
         tail_lines += cdc_action_lines(write_cdc_files(cdc_df, path))
     if txn is not None:
@@ -848,6 +913,7 @@ def write_delta(
                 json.dumps({"protocol": commit_protocol}),
                 meta_line,
                 *tail_lines,
+                *_add_lines(version),
                 json.dumps({"commitInfo": ci}),
             ]
         ) + "\n"
@@ -877,6 +943,19 @@ def write_delta(
             meta_conf = dict(snap.metadata.configuration)
             meta_created = snap.metadata.created_time
             commit_protocol = snap.protocol  # winner may have upgraded
+            # row tracking: re-mint ids from the WINNER's high-water
+            # mark (and honor a winner that enabled the feature)
+            rt_enabled = meta_conf.get("delta.enableRowTracking") == "true"
+            if rt_enabled:
+                commit_protocol = merge_protocol(
+                    commit_protocol,
+                    {
+                        "minReaderVersion": 1,
+                        "minWriterVersion": 7,
+                        "writerFeatures": ["rowTracking", "domainMetadata"],
+                    },
+                )
+                row_hwm = snap.row_id_high_water_mark()
             prev_schema = snap.metadata.schema
             by_name = {f.name: f for f in prev_schema.fields}
             for f in df.schema.fields:

@@ -2160,6 +2160,100 @@ def foreign_delta_interop(spark, sf_dir):
     )
 
 
+def row_tracking_counts(spark, sf_dir):
+    """Delta ROW TRACKING through the driver gate
+    (:mod:`levi_spark.delta.writer` ``row_tracking=True`` +
+    ``Snapshot.to_df(with_row_ids=True)``): customer becomes a
+    row-tracked Delta table (protocol writerFeatures rowTracking +
+    domainMetadata; every add action carries ``baseRowId`` /
+    ``defaultRowCommitVersion``; the ``delta.rowTracking`` domain's
+    high-water mark advances per commit), an append mints fresh ids
+    from the high-water mark, and a DV soft-delete must leave the
+    SURVIVORS' row ids untouched — the stability property row
+    tracking exists for. Writes are single sorted files
+    (repartition(1) + sortWithinPartitions) so every row's id is
+    deterministic and the oracle recomputes them as ROW_NUMBER
+    arithmetic: base rows get ids [0, N), appended rows [N, N+M) in
+    key order. Output: per market segment, live-row count, row-id
+    sum/max, and per-commit-version counts.
+
+    Scale note: the single-file write is the determinism harness for
+    the gate, not the operator's shape — row-id assignment itself is
+    per-file metadata (one range per add action, zero data movement),
+    and reads attach ids via a broadcast file->base map + the scan's
+    own row position. The sf0.1 table is 15k rows."""
+    import os as _os
+
+    from levi_spark.delta.dv import soft_delete
+    from levi_spark.delta.log import DeltaLog
+    from levi_spark.delta.writer import write_delta
+
+    root = _scratch("row_tracking")
+    p = _os.path.join(root, "t")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    write_delta(
+        cust.repartition(1).sortWithinPartitions("c_custkey"),
+        p, mode="error", checkpoint_interval=None, row_tracking=True,
+    )
+    appended = cust.where(F.col("c_custkey") % 10 == 0).select(
+        (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+        "c_mktsegment",
+        "c_acctbal",
+    )
+    write_delta(
+        appended.repartition(1).sortWithinPartitions("c_custkey"),
+        p, mode="append", checkpoint_interval=None,
+    )
+    soft_delete(spark, p, "c_custkey % 7 = 0", checkpoint_interval=None)
+    df = DeltaLog(spark, p).snapshot().to_df(with_row_ids=True)
+    return (
+        df.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("_row_id").cast("long").alias("sum_row_id"),
+            F.max("_row_id").cast("long").alias("max_row_id"),
+            F.sum(F.when(F.col("_row_commit_version") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_base_commit"),
+            F.sum(F.when(F.col("_row_commit_version") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_append_commit"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ROW_TRACKING_SQL = """
+WITH base AS (
+  SELECT c_custkey, c_mktsegment,
+         ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS rid, 0 AS rcv
+  FROM customer
+),
+app AS (
+  SELECT c_custkey + 10000000 AS c_custkey, c_mktsegment,
+         (SELECT COUNT(*) FROM customer)
+           + ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS rid, 1 AS rcv
+  FROM customer WHERE c_custkey % 10 = 0
+),
+live AS (
+  SELECT * FROM (SELECT * FROM base UNION ALL SELECT * FROM app)
+  WHERE c_custkey % 7 <> 0
+)
+SELECT c_mktsegment, COUNT(*) AS n_rows,
+       CAST(SUM(rid) AS BIGINT) AS sum_row_id,
+       CAST(MAX(rid) AS BIGINT) AS max_row_id,
+       CAST(SUM(CASE WHEN rcv = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_base_commit,
+       CAST(SUM(CASE WHEN rcv = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_append_commit
+FROM live
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 INTEROP_KEY_CAP = 100_000
 
 FOREIGN_INTEROP_SQL = f"""
@@ -3972,6 +4066,40 @@ def stream_distinct_user_event(spark, sf_dir):
 
 
 STREAM_DISTINCT_SQL = "SELECT DISTINCT user_id, event_type FROM events"
+
+
+def stream_dedup_watermark(spark, sf_dir):
+    """Watermark-bounded streaming dedup
+    (:func:`levi_spark.streaming.jobs.dedup_within_watermark_stream`):
+    `dropDuplicatesWithinWatermark` keeps per-key suppression state
+    only until the event-time watermark passes it — the
+    bounded-state form of streaming dedup an unbounded pipeline
+    needs. Drained AvailableNow, rolled up per event type; the
+    25-hour delay covers the day-granular dedup key, so the oracle
+    is plain DISTINCT."""
+    from levi_spark.streaming.jobs import run_dedup_watermark
+
+    raw = run_dedup_watermark(spark, sf_dir)
+    return (
+        raw.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_user_days"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+STREAM_DEDUP_WM_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id, event_type,
+         CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE) AS day
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n_user_days,
+       COUNT(DISTINCT user_id) AS n_users
+FROM d GROUP BY event_type ORDER BY event_type
+"""
 
 
 def stream_sessionize(spark, sf_dir):
@@ -9600,6 +9728,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "embedding_pca_projection": (embedding_pca_projection, PCA_PROJECTION_SQL),
     "incremental_agg_refresh": (incremental_agg_refresh, INCR_AGG_SQL),
     "q18_large_volume_customer": (q18_large_volume_customer, Q18_SQL),
+    "stream_dedup_watermark": (stream_dedup_watermark, STREAM_DEDUP_WM_SQL),
+    "row_tracking_counts": (row_tracking_counts, ROW_TRACKING_SQL),
     # -- never driver-gated in r01 or r02 ----------------------------------
     "table_restore_counts": (table_restore_counts, RESTORE_SQL),
     "events_skewed_rollup": (events_skewed_rollup, SKEWED_ROLLUP_SQL),

@@ -144,6 +144,27 @@ def distinct_user_event_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_within_watermark_stream(events: DataFrame) -> DataFrame:
+    """WATERMARK-BOUNDED streaming dedup: one row per (user_id,
+    event_type, day), where duplicate suppression state is EXPIRED by
+    the event-time watermark instead of growing forever —
+    ``dropDuplicatesWithinWatermark``, the API an unbounded
+    production stream needs (plain ``dropDuplicates`` state is
+    unbounded; at 100 TB/day of events the key set does not fit
+    anywhere). The 25-hour delay exceeds the dedup key's day
+    granularity, so within any drain the semantics equal global
+    distinct and the job stays oracle-checkable; emitting only key
+    columns keeps the result order-insensitive."""
+    keyed = (
+        events.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .withWatermark("ts", "25 hours")
+        .withColumn("day", F.to_date("ts"))
+    )
+    return keyed.dropDuplicatesWithinWatermark(
+        ["user_id", "event_type", "day"]
+    ).select("user_id", "event_type", "day")
+
+
 _SESSION_STATE_SCHEMA = "last_ts LONG, n_sessions LONG, n_events LONG"
 _SESSION_OUT_SCHEMA = "user_id LONG, n_sessions LONG, n_events LONG"
 
@@ -308,6 +329,13 @@ def run_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def run_distinct_user_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(
         distinct_user_event_stream(read_events_stream(spark, sf_dir)), "append"
+    )
+
+
+def run_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _drain_to_memory(
+        dedup_within_watermark_stream(read_events_stream(spark, sf_dir)),
+        "append",
     )
 
 

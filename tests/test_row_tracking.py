@@ -1,0 +1,214 @@
+"""Delta row tracking (writer feature rowTracking + the
+delta.rowTracking domain's high-water mark): fresh-id assignment,
+stability under appends and DV deletes, re-minting on rewrites,
+checkpoint survival, and protocol/validation contracts."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from levi_spark.delta.dv import purge_deleted, soft_delete
+from levi_spark.delta.log import DeltaLog
+from levi_spark.delta.writer import write_delta
+
+
+def _sorted_single(df, key):
+    return df.repartition(1).sortWithinPartitions(key)
+
+
+def _ids(spark, path):
+    snap = DeltaLog(spark, path).snapshot()
+    return sorted(
+        (r.id, r._row_id, r._row_commit_version)
+        for r in snap.to_df(with_row_ids=True).collect()
+    )
+
+
+def test_create_assigns_contiguous_ids_and_protocol(spark, tmp_path):
+    p = str(tmp_path / "t")
+    write_delta(
+        _sorted_single(spark.range(20).selectExpr("id", "id * 3 AS v"), "id"),
+        p, mode="error", checkpoint_interval=None, row_tracking=True,
+    )
+    snap = DeltaLog(spark, p).snapshot()
+    proto = snap.protocol
+    assert proto["minWriterVersion"] == 7
+    assert {"rowTracking", "domainMetadata"} <= set(proto["writerFeatures"])
+    assert snap.metadata.configuration["delta.enableRowTracking"] == "true"
+    assert snap.row_id_high_water_mark() == 19
+    assert _ids(spark, p) == [(i, i, 0) for i in range(20)]
+
+
+def test_append_continues_from_high_water_mark(spark, tmp_path):
+    p = str(tmp_path / "t")
+    write_delta(
+        _sorted_single(spark.range(10).selectExpr("id", "id AS v"), "id"),
+        p, mode="error", checkpoint_interval=None, row_tracking=True,
+    )
+    # append inherits row tracking WITHOUT re-passing the flag
+    write_delta(
+        _sorted_single(spark.range(10, 14).selectExpr("id", "id AS v"), "id"),
+        p, mode="append", checkpoint_interval=None,
+    )
+    assert _ids(spark, p) == [(i, i, 0) for i in range(10)] + [
+        (i, i, 1) for i in range(10, 14)
+    ]
+    assert DeltaLog(spark, p).snapshot().row_id_high_water_mark() == 13
+
+
+def test_dv_delete_keeps_survivor_ids_then_purge_reminst(spark, tmp_path):
+    p = str(tmp_path / "t")
+    write_delta(
+        _sorted_single(spark.range(30).selectExpr("id", "id AS v"), "id"),
+        p, mode="error", checkpoint_interval=None, row_tracking=True,
+    )
+    soft_delete(spark, p, "id % 4 = 0", checkpoint_interval=None)
+    want = [(i, i, 0) for i in range(30) if i % 4 != 0]
+    assert _ids(spark, p) == want
+    # purge REWRITES the files -> fresh ids above the old mark
+    purge_deleted(spark, p)
+    got = _ids(spark, p)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    assert all(g[1] > 29 for g in got), "rewrite must mint fresh ids"
+    assert len({g[1] for g in got}) == len(got)
+
+
+def test_overwrite_mints_above_old_mark(spark, tmp_path):
+    p = str(tmp_path / "t")
+    write_delta(
+        _sorted_single(spark.range(50).selectExpr("id", "id AS v"), "id"),
+        p, mode="error", checkpoint_interval=None, row_tracking=True,
+    )
+    write_delta(
+        _sorted_single(spark.range(5).selectExpr("id", "id AS v"), "id"),
+        p, mode="overwrite", checkpoint_interval=None,
+    )
+    got = _ids(spark, p)
+    # high-water mark is monotonic: ids never reuse the removed range
+    assert got == [(i, 50 + i, 1) for i in range(5)]
+    assert DeltaLog(spark, p).snapshot().row_id_high_water_mark() == 54
+
+
+def test_domain_metadata_action_in_log(spark, tmp_path):
+    p = str(tmp_path / "t")
+    write_delta(
+        _sorted_single(spark.range(7).selectExpr("id"), "id"),
+        p, mode="error", checkpoint_interval=None, row_tracking=True,
+    )
+    with open(os.path.join(p, "_delta_log", f"{0:020d}.json")) as f:
+        lines = [json.loads(ln) for ln in f if ln.strip()]
+    dm = [ln["domainMetadata"] for ln in lines if "domainMetadata" in ln]
+    assert dm and dm[0]["domain"] == "delta.rowTracking"
+    assert json.loads(dm[0]["configuration"])["rowIdHighWaterMark"] == 6
+    adds = [ln["add"] for ln in lines if "add" in ln]
+    assert all(
+        a["baseRowId"] is not None and a["defaultRowCommitVersion"] == 0
+        for a in adds
+    )
+
+
+def test_checkpoint_preserves_base_row_ids(spark, tmp_path):
+    """baseRowId rides the add struct through a checkpoint; the
+    high-water mark survives via the live-adds floor even though the
+    domain action predates the checkpoint."""
+    from levi_spark.delta.checkpoint import write_checkpoint
+
+    p = str(tmp_path / "t")
+    write_delta(
+        _sorted_single(spark.range(12).selectExpr("id"), "id"),
+        p, mode="error", checkpoint_interval=None, row_tracking=True,
+    )
+    write_checkpoint(spark, p, 0)
+    snap = DeltaLog(spark, p).snapshot()
+    assert snap.row_id_high_water_mark() == 11
+    assert _ids(spark, p) == [(i, i, 0) for i in range(12)]
+    # and the NEXT append still continues past the mark
+    write_delta(
+        _sorted_single(spark.range(12, 15).selectExpr("id"), "id"),
+        p, mode="append", checkpoint_interval=None,
+    )
+    assert DeltaLog(spark, p).snapshot().row_id_high_water_mark() == 14
+
+
+def test_untracked_table_yields_null_ids_and_append_flag_errors(spark, tmp_path):
+    p = str(tmp_path / "t")
+    write_delta(
+        spark.range(5).selectExpr("id"), p, mode="error",
+        checkpoint_interval=None,
+    )
+    rows = (
+        DeltaLog(spark, p).snapshot().to_df(with_row_ids=True).collect()
+    )
+    assert all(r._row_id is None and r._row_commit_version is None for r in rows)
+    with pytest.raises(ValueError, match="enableRowTracking"):
+        write_delta(
+            spark.range(5, 6).selectExpr("id"), p, mode="append",
+            checkpoint_interval=None, row_tracking=True,
+        )
+
+
+def test_foreign_table_base_row_ids_read(spark, tmp_path):
+    """A log written by another engine with baseRowId on its adds reads
+    back with correct ids — pure add-action metadata, no engine-side
+    state."""
+    p = str(tmp_path / "t")
+    os.makedirs(os.path.join(p, "_delta_log"))
+    spark.range(8).select("id").coalesce(1).write.mode("append").parquet(p)
+    data = [n for n in os.listdir(p) if n.endswith(".parquet")]
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True, "metadata": {}}
+            ],
+        }
+    )
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 1,
+                "minWriterVersion": 7,
+                "writerFeatures": ["rowTracking", "domainMetadata"],
+            }
+        },
+        {
+            "metaData": {
+                "id": "t-rt",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema,
+                "partitionColumns": [],
+                "configuration": {"delta.enableRowTracking": "true"},
+                "createdTime": 0,
+            }
+        },
+        {
+            "add": {
+                "path": data[0],
+                "partitionValues": {},
+                "size": os.path.getsize(os.path.join(p, data[0])),
+                "modificationTime": 0,
+                "dataChange": True,
+                "stats": json.dumps({"numRecords": 8}),
+                "baseRowId": 100,
+                "defaultRowCommitVersion": 0,
+            }
+        },
+        {
+            "domainMetadata": {
+                "domain": "delta.rowTracking",
+                "configuration": json.dumps({"rowIdHighWaterMark": 107}),
+                "removed": False,
+            }
+        },
+    ]
+    with open(os.path.join(p, "_delta_log", f"{0:020d}.json"), "w") as f:
+        f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+    snap = DeltaLog(spark, p).snapshot()
+    assert snap.row_id_high_water_mark() == 107
+    got = sorted(
+        (r.id, r._row_id) for r in snap.to_df(with_row_ids=True).collect()
+    )
+    assert got == [(i, 100 + i) for i in range(8)]
