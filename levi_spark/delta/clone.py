@@ -301,7 +301,7 @@ def _add_dict(
                 v = None
             if v is not None:
                 out_dv[k] = v
-    return {
+    out = {
         "path": path,
         "partitionValues": dict(a["partitionValues"] or {}),
         "size": a["size"],
@@ -310,3 +310,14 @@ def _add_dict(
         "stats": a["stats"],
         "deletionVector": out_dv,
     }
+    # row tracking rides along: the clone references the same bytes at
+    # the same positions, so baseRowId/defaultRowCommitVersion remain
+    # valid (the clone's high-water mark re-derives from these adds)
+    for k in ("baseRowId", "defaultRowCommitVersion"):
+        try:
+            v = a[k]
+        except (KeyError, ValueError, IndexError):
+            v = None
+        if v is not None:
+            out[k] = v
+    return out

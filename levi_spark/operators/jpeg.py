@@ -241,25 +241,24 @@ def encode_jpeg(
     edge replication (decoder crops back via SOF dims)."""
     a = np.asarray(pixels, dtype=np.uint8)
     quant = DEFAULT_QUANT if quant is None else np.asarray(quant, np.int64)
-    if subsampling not in ("444", "420"):
-        raise ValueError(f"subsampling must be '444' or '420', got {subsampling}")
+    # luma (h, v) sampling factors per mode; chroma is always 1x1
+    luma_samp = {"444": (1, 1), "420": (2, 2), "422": (2, 1), "440": (1, 2)}
+    if subsampling not in luma_samp:
+        raise ValueError(
+            f"subsampling must be one of {sorted(luma_samp)}, got {subsampling}"
+        )
     if a.ndim == 2:
         channels = [a.astype(np.float64)]
-        samps = [(1, 1)]
+        samps = [(1, 1)]  # greyscale has nothing to subsample
     elif a.ndim == 3 and a.shape[2] == 3:
         r, g, b = (a[..., i].astype(np.float64) for i in range(3))
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
         channels = [y, cb, cr]
-        samps = (
-            [(2, 2), (1, 1), (1, 1)] if subsampling == "420"
-            else [(1, 1), (1, 1), (1, 1)]
-        )
+        samps = [luma_samp[subsampling], (1, 1), (1, 1)]
     else:
         raise ValueError(f"expected (H,W) or (H,W,3) uint8, got {a.shape}")
-    if subsampling == "420" and a.ndim == 2:
-        samps = [(1, 1)]  # greyscale has nothing to subsample
     h, w = a.shape[:2]
     hmax = max(s[0] for s in samps)
     vmax = max(s[1] for s in samps)

@@ -209,14 +209,28 @@ def test_420_vs_444_stream_sizes():
     )
 
 
-def test_422_and_440_decode_paths():
-    """Decode-only surface: hand-doctor the encoder's 4:2:0 sampling
-    byte is not possible (block layout differs), so synthesize 4:2:2 /
-    4:4:0 by re-encoding — the generic MCU loop must accept factors
-    (2,1) and (1,2)."""
-    # build via the internal pieces: reuse encode with doctored samps
-    # is complex; instead verify decode REFUSES >2 and accepts what the
-    # encoder emits, and that greyscale ignores the subsampling knob
+def test_422_and_440_round_trips():
+    """The generic MCU loop handles every 1-2 factor combination:
+    4:2:2 (2,1) and 4:4:0 (1,2) round-trip within the subsampling
+    error bound, grey-as-RGB harmonics are bit-exact there too, and
+    factors above 2 are refused."""
+    digest = hashlib.md5(b"422 doc").digest()
+    grey = _harmonic_image(digest)
+    rgb = np.stack([grey, grey, grey], axis=-1)
+    for mode, samp_byte in [("422", 0x21), ("440", 0x12)]:
+        enc = encode_jpeg(rgb, subsampling=mode)
+        sof_at = enc.find(b"\xff\xc0")
+        assert enc[sof_at + 4 + 6 + 1] == samp_byte
+        assert np.array_equal(decode_jpeg(enc), rgb), mode
+        # smooth color content stays within a loose subsampling bound
+        xx, yy = np.meshgrid(np.arange(40), np.arange(36))
+        sm = np.stack(
+            [(xx * 3) % 200 + 20, (yy * 2) % 180 + 30, (xx + yy) % 150 + 50],
+            axis=-1,
+        ).astype(np.uint8)
+        d = decode_jpeg(encode_jpeg(sm, quant=Q1, subsampling=mode))
+        assert d.shape == sm.shape
+        assert np.abs(d.astype(int) - sm.astype(int)).mean() < 4, mode
     g = _rand((24, 24), 4)
     assert np.array_equal(
         decode_jpeg(encode_jpeg(g, quant=Q1, subsampling="420")),

@@ -150,6 +150,23 @@ def test_untracked_table_yields_null_ids_and_append_flag_errors(spark, tmp_path)
         )
 
 
+def test_clone_preserves_row_ids(spark, tmp_path):
+    """Shallow and deep clones reference the same bytes at the same
+    positions, so the cloned adds keep baseRowId — ids read back
+    identically from the clone."""
+    from levi_spark.delta.clone import clone_table
+
+    src = str(tmp_path / "src")
+    write_delta(
+        _sorted_single(spark.range(9).selectExpr("id"), "id"),
+        src, mode="error", checkpoint_interval=None, row_tracking=True,
+    )
+    for shallow, dst in [(True, str(tmp_path / "sh")), (False, str(tmp_path / "dp"))]:
+        clone_table(spark, src, dst, shallow=shallow)
+        assert _ids(spark, dst) == [(i, i, 0) for i in range(9)], shallow
+        assert DeltaLog(spark, dst).snapshot().row_id_high_water_mark() == 8
+
+
 def test_foreign_table_base_row_ids_read(spark, tmp_path):
     """A log written by another engine with baseRowId on its adds reads
     back with correct ids — pure add-action metadata, no engine-side
