@@ -318,6 +318,10 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
     got = 0
     while got < total:
         frame_start = pos
+        if pos + 4 > len(payload):
+            raise ValueError(
+                f"stream truncated: {got}/{total} samples decoded"
+            )
         if payload[pos] != 0xFF or (payload[pos + 1] & 0xFC) != 0xF8:
             raise ValueError(f"frame sync expected at byte {pos}")
         variable = bool(payload[pos + 1] & 0x01)

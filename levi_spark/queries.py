@@ -9081,8 +9081,10 @@ def multimodal_png_decode(spark, sf_dir):
     mean-pixel analytically from md5 hex arithmetic: if inflate or any
     defilter were wrong, the mean would not match. Two Arrow-batched
     hops (encode, then the shared ``decode_image_features`` with the
-    real codec plugged in); scale shape is map-side only — no shuffle,
-    no driver loop, each executor core decodes whole record batches."""
+    real codec plugged in); scale shape is map-side after the tiny
+    input-spreading repartition (_docs_parallel), each executor core
+    decoding whole record batches; no data-dependent shuffle, no
+    driver loop."""
     import hashlib
 
     import numpy as np
@@ -9163,8 +9165,9 @@ def multimodal_jpeg_decode(spark, sf_dir):
       multiples of 1/16 — exactly representable doubles in BOTH
       engines, so the value-hash comparison is bit-exact.
 
-    Scale shape: two Arrow-batched map-side hops, no shuffle, no
-    driver loop."""
+    Scale shape: two Arrow-batched map-side hops after the tiny
+    input-spreading repartition; no data-dependent shuffle, no driver
+    loop."""
     import hashlib
 
     import numpy as np
@@ -9237,7 +9240,8 @@ def multimodal_jpeg420_decode(spark, sf_dir):
     mean/MAD law — but a decoder with wrong MCU block order, wrong
     interleave, wrong upsample or wrong color transform cannot match
     it, which is precisely what the 4:4:4 gate could not prove.
-    Two Arrow-batched map-side hops, no shuffle, no driver loop."""
+    Two Arrow-batched map-side hops after the tiny input-spreading
+    repartition; no data-dependent shuffle, no driver loop."""
     import hashlib
 
     import numpy as np
@@ -9291,7 +9295,8 @@ def multimodal_jpeg_prog_decode(spark, sf_dir):
     content, so the mean/MAD oracle law carries over unchanged while
     a decoder that mishandles multi-scan coefficient accumulation,
     EOBRUN spans, or per-scan Huffman tables cannot match. Two
-    Arrow-batched map-side hops, no shuffle, no driver loop."""
+    Arrow-batched map-side hops after the tiny input-spreading
+    repartition; no data-dependent shuffle, no driver loop."""
     import hashlib
 
     import numpy as np
@@ -9418,7 +9423,8 @@ def multimodal_flac_decode(spark, sf_dir):
     verification instead of a raw PCM copy (a mis-decoded residual or
     predictor cannot reproduce the samples, and the in-stream MD5
     cross-checks the whole stream before features are emitted).
-    Two Arrow-batched map-side hops, no shuffle, no driver loop."""
+    Two Arrow-batched map-side hops after the tiny input-spreading
+    repartition; no data-dependent shuffle, no driver loop."""
     import hashlib
 
     import numpy as np
@@ -9664,34 +9670,21 @@ GROUP BY doc_id
 # queries whose oracle or implementation changed this round, then
 # stable representatives re-proving oldest-first.
 #
-# Round 3 window: slots 1-26 are the queries that had never had a
-# driver row in r01 or r02 (closing the rotation debt VERDICT r02
-# flagged); slots 27-49 are TWENTY-THREE of the 24 queries NEW in
-# round 3 (vacuum, column-mapping read, checkpoint+log expiry, corpus
-# filter funnel, token-budget select, filtered ANN, shard export,
-# describe-history, WAV decode, histogram quantiles, IVFPQ serve path,
-# SQ8 codec, RAG chunking, timestamp time travel, shallow clone,
-# streaming windowed top-k, integer PageRank, MERGE schema evolution,
-# CHECK-constraint lifecycle, generated columns, streaming upsert
-# sink, curriculum buckets, PCA power iteration); slot 50 is
-# updated_partitions_sim — P8, the one public-API operator whose only
-# driver row is r01, re-confirming on the rebuilt metadata plane.
-# jsonl_export_counts (the 24th new query, simplest of them) sits at
-# slot 51 with local-oracle evidence only, first in line for round 4.
-# Everything below has a green r02 (or r01) row and is unchanged this
-# round.
+# ROUND 6 window: slots 1-2 are the only two never-driver-gated
+# queries (VERDICT r05 ask #2); the next block is everything changed
+# or new in round 6 — the roaring-encoder-dependent DV/interop gates,
+# the AC-exact JPEG gate plus the three NEW codec gates (4:2:0,
+# progressive, FLAC), doc_perceptron_filter, the stage-timed
+# embedding_pca_projection / incremental_agg_refresh, q18,
+# stream_dedup_watermark and row_tracking_counts; the remainder of
+# the window keeps round-5's never-gated backfill (all r05 green).
+# Displaced to 51+: token_budget_select, ann_filtered_topk,
+# export_shards_manifest (each holds r05-or-better green rows).
 #
-# ROUND 4 ROTATION PLAN: after reading VERDICT_r03, move into slots
-# 1-50 (a) anything round 4 adds or changes, (b) the r01-only greens
-# that did not fit this round's backfill — q2-q11, q13-q17, q19-q22,
-# events_hourly_rollup, events_asof_join, events_range_join,
-# events_funnel, orders_moving_avg, events_retention_cohorts,
-# lineitem_rollup, orders_price_percentiles, doc_tfidf_top_terms,
-# customers_above_nation_avg, large_order_customers,
-# customer_order_presence, top3_customers_per_nation,
-# customer_running_balance (check list(QUERIES)[50:] for the exact
-# tail) — then (c) r02 greens oldest-first (doc_stratified_sample
-# onward) so every query re-proves itself every few rounds.
+# ROUND 7 ROTATION PLAN: move into slots 1-50 (a) anything round 7
+# adds or changes, (b) oldest-green backfill from the 51+ section
+# (TPC-H q2+ onward hold r04 rows; doc_stratified_sample onward hold
+# r02 rows) so every query re-proves itself every few rounds.
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # Registry order is the driver's gate-sample order: empirically the
     # per-round CORRECTNESS file is exactly the FIRST 50 registry

@@ -150,6 +150,22 @@ def test_untracked_table_yields_null_ids_and_append_flag_errors(spark, tmp_path)
         )
 
 
+def test_partitioned_table_assigns_disjoint_ranges(spark, tmp_path):
+    """Row ids on a partitioned write: one contiguous range per data
+    file (several files across partition dirs), globally disjoint and
+    covering [0, N)."""
+    p = str(tmp_path / "t")
+    write_delta(
+        spark.range(40).selectExpr("id", "id % 4 AS part"),
+        p, mode="error", checkpoint_interval=None, row_tracking=True,
+        partition_by=["part"],
+    )
+    snap = DeltaLog(spark, p).snapshot()
+    ids = [r._row_id for r in snap.to_df(with_row_ids=True).collect()]
+    assert sorted(ids) == list(range(40))
+    assert snap.row_id_high_water_mark() == 39
+
+
 def test_clone_preserves_row_ids(spark, tmp_path):
     """Shallow and deep clones reference the same bytes at the same
     positions, so the cloned adds keep baseRowId — ids read back
