@@ -279,3 +279,57 @@ def table_changes_cdf(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def table_changes_cdf_between_timestamps(
+    spark: SparkSession,
+    path: str,
+    from_ts_ms: int,
+    to_ts_ms: int | None = None,
+) -> DataFrame:
+    """Timestamp-windowed change feed — delta-spark's
+    ``startingTimestamp``/``endingTimestamp`` contract: the window
+    starts at the FIRST commit at-or-after ``from_ts_ms`` (INCLUSIVE
+    of that commit's changes — note the asymmetry with
+    ``timestampAsOf``, which resolves to the last commit at-or-before)
+    and ends at the last commit at-or-before ``to_ts_ms`` (or the
+    latest commit). Timestamp->version resolution uses the same
+    monotonized ``commit_timestamps`` mapping as time travel
+    (inCommitTimestamp preferred), then delegates to the version-based
+    feed. Raises ``ValueError`` when the window is empty or
+    unreachable (start after the latest commit, end before the
+    earliest)."""
+    from levi_spark.delta.log import DeltaLog
+
+    path = os.path.abspath(path)
+    pairs = DeltaLog(spark, path).commit_timestamps()
+    if not pairs:
+        raise ValueError(
+            f"no commit timestamps available in {path} (history expired "
+            "past a checkpoint); use version-based table_changes_cdf"
+        )
+    starts = [v for v, t in pairs if t >= from_ts_ms]
+    if not starts:
+        raise ValueError(
+            f"startingTimestamp {from_ts_ms} is after the latest commit "
+            f"(version {pairs[-1][0]} at {pairs[-1][1]})"
+        )
+    start_v = min(starts)
+    if to_ts_ms is None:
+        end_v = pairs[-1][0]
+    else:
+        ends = [v for v, t in pairs if t <= to_ts_ms]
+        if not ends:
+            raise ValueError(
+                f"endingTimestamp {to_ts_ms} is before the earliest "
+                f"reachable commit (version {pairs[0][0]} at {pairs[0][1]})"
+            )
+        end_v = max(ends)
+    if end_v < start_v:
+        raise ValueError(
+            f"empty timestamp window: starts at version {start_v}, "
+            f"ends at version {end_v}"
+        )
+    # version feed is (from, to]-exclusive-start; the timestamp window
+    # INCLUDES the start commit's changes
+    return table_changes_cdf(spark, path, start_v - 1, end_v)

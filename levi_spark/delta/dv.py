@@ -217,6 +217,11 @@ def soft_delete(
     path = os.path.abspath(path)
     log = DeltaLog(spark, path)
     snap = log.snapshot()
+    if snap.metadata.configuration.get("delta.appendOnly") == "true":
+        raise ValueError(
+            "table is append-only (delta.appendOnly=true): DELETE is "
+            "forbidden"
+        )
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
 
     # Doomed keys: already-DV'd rows are invisible to to_df, so re-deleting

@@ -607,6 +607,16 @@ def write_delta(
                     f"append partition_by {partition_by} != table "
                     f"partitionColumns {prev_parts}"
                 )
+        if meta_conf.get("delta.appendOnly") == "true" and (
+            mode == "overwrite" or replace_paths
+        ):
+            # the spec's appendOnly contract: no commit may remove live
+            # data (overwrite tombstones everything; replace_paths is
+            # the MERGE/OPTIMIZE file-rewrite primitive)
+            raise ValueError(
+                "table is append-only (delta.appendOnly=true): "
+                "overwrites and file rewrites are forbidden"
+            )
         if meta_conf.get("delta.columnMapping.mode", "none") != "none":
             # this writer emits logical-named files + stats; committing
             # them into a mapped table would corrupt it for other readers

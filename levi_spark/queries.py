@@ -2160,6 +2160,77 @@ def foreign_delta_interop(spark, sf_dir):
     )
 
 
+def cdf_timestamp_counts(spark, sf_dir):
+    """Timestamp-windowed change feed through the driver gate
+    (:func:`levi_spark.delta.changes.table_changes_cdf_between_timestamps`
+    — delta-spark's startingTimestamp/endingTimestamp contract):
+    customer becomes an engine Delta table, a CDF DELETE (v1) and an
+    append (v2) mutate it, and the feed is read with a STARTING
+    TIMESTAMP equal to v1's monotonized commit stamp — which must
+    INCLUDE v1's changes (the documented asymmetry vs timestampAsOf)
+    and everything after. Aggregated per change type; the oracle
+    recomputes both commits' row sets from the raw table. Timestamps
+    come from the same commit_timestamps mapping the gated
+    timestamp-time-travel query proves."""
+    import os as _os
+
+    from levi_spark.delta.changes import table_changes_cdf_between_timestamps
+    from levi_spark.delta.dv import soft_delete
+    from levi_spark.delta.log import DeltaLog
+    from levi_spark.delta.writer import write_delta
+
+    base = _scratch("cdf_ts_customer")
+    p = _os.path.join(base, "t")
+    write_delta(
+        _t(spark, sf_dir, "customer").repartition(8), p, mode="error",
+        checkpoint_interval=None,
+    )
+    soft_delete(spark, p, "c_custkey % 9 = 0", emit_cdf=True,
+                checkpoint_interval=None)
+    write_delta(
+        spark.range(1, 5).select(
+            (F.col("id") + 80_000_000).alias("c_custkey"),
+            F.lit("Customer#ts").alias("c_name"),
+            F.lit(0).cast("int").alias("c_nationkey"),
+            (F.col("id").cast("double") + F.lit(0.5)).alias("c_acctbal"),
+            F.lit("TS").alias("c_mktsegment"),
+        ),
+        p, mode="append", checkpoint_interval=None,
+    )
+    ts = dict(DeltaLog(spark, p).commit_timestamps())
+    feed = table_changes_cdf_between_timestamps(spark, p, ts[1])
+    return (
+        feed.groupBy("_change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("c_custkey").cast("long").alias("key_sum"),
+            _qsum(F.col("c_acctbal"), "_bal"),
+        )
+        .select("_change_type", "n_rows", "key_sum", _qval("_bal", "bal_sum"))
+        .orderBy("_change_type")
+    )
+
+
+CDF_TIMESTAMP_SQL = f"""
+WITH deleted AS (
+  SELECT 'delete' AS _change_type, c_custkey, c_acctbal
+  FROM customer WHERE c_custkey % 9 = 0
+),
+inserted AS (
+  SELECT 'insert' AS _change_type, i + 80000000 AS c_custkey,
+         CAST(i AS DOUBLE) + 0.5 AS c_acctbal
+  FROM generate_series(1, 4) AS g(i)
+),
+feed AS (SELECT * FROM deleted UNION ALL SELECT * FROM inserted)
+SELECT _change_type, COUNT(*) AS n_rows,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+       {_qsum_sql("c_acctbal")} / 10000.0 AS bal_sum
+FROM feed
+GROUP BY _change_type
+ORDER BY _change_type
+"""
+
+
 def row_tracking_counts(spark, sf_dir):
     """Delta ROW TRACKING through the driver gate
     (:mod:`levi_spark.delta.writer` ``row_tracking=True`` +
@@ -2687,6 +2758,216 @@ FROM grams a JOIN grams b
   ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 20
 WHERE a.doc_id < 50
 """
+
+
+WINNOW_K = 3       # tokens per shingle
+WINNOW_W = 8       # winnowing window (guarantee: >=1 fingerprint per
+                   # W consecutive shingles)
+WINNOW_MIN_SHARED = 5
+# packing constant for the rightmost-min trick: keys are
+# pos - h * 2^15, so maximizing the key minimizes h and, on ties,
+# maximizes pos (the spec's rightmost-min rule). h < 2^48 (12 md5 hex
+# digits) and pos < 2^15 keep the key inside int64.
+_WINNOW_PACK = 32768
+
+
+def doc_winnow_neardup(spark, sf_dir):
+    """WINNOWING document fingerprints (Schleimer/Wilkerson/Aiken,
+    MOSS) + the near-dup candidate pairs they induce: hash every word
+    3-gram, slide a window of W=8 hashes, select the window minimum
+    (rightmost on ties) — the selection rule that GUARANTEES a shared
+    substring of >= W+K-1 tokens always yields a shared fingerprint,
+    which mod-p fingerprinting (``doc_fingerprints``) cannot promise.
+    Docs sharing >= WINNOW_MIN_SHARED selected hashes are emitted as
+    candidate pairs.
+
+    The rightmost-min-per-window selection is ONE window pass: each
+    gram carries key = pos - h * 2^15; MAX(key) over the trailing
+    window is lexicographically (min h, max pos), and the selected
+    (pos, h) unpack arithmetically from the winning key — no
+    self-join, no second window. Cross-engine exact: the md5-derived
+    48-bit hashes and the packing arithmetic are integers in both
+    engines.
+
+    Scale shape: tokenize/posexplode map-side, one per-doc window
+    (key-bounded shuffle), fingerprint dedup partial-aggregates, and
+    the pair stage is an EQUI-join on the fingerprint hash (bucketed
+    by construction — docs meet only inside a shared-fingerprint
+    bucket, never all-pairs)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "tok"),
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat_ws(
+        " ", *(
+            [F.col("tok")]
+            + [F.lead("tok", i).over(w_doc) for i in range(1, WINNOW_K)]
+        )
+    )
+    n_tok = F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    grams = (
+        toks.withColumn("__n", n_tok)
+        .withColumn("__g", gram)
+        .where(F.col("pos") <= F.col("__n") - WINNOW_K)
+        .select(
+            "doc_id",
+            "pos",
+            F.conv(F.substring(F.md5(F.col("__g")), 1, 12), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    key = F.col("pos") - F.col("h") * F.lit(_WINNOW_PACK)
+    w_win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(WINNOW_W - 1), 0)
+    )
+    sel = (
+        grams.withColumn("__key", key)
+        .withColumn("__sk", F.max("__key").over(w_win))
+        .where(F.col("pos") >= WINNOW_W - 1)
+        .select(
+            "doc_id",
+            F.pmod(F.col("__sk"), F.lit(_WINNOW_PACK)).alias("__spos"),
+            F.col("__sk").alias("__sk"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"(__spos - __sk) div {_WINNOW_PACK}").alias("fp"),
+        )
+        .distinct()
+    )
+    a = sel.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = sel.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_b") > F.col("doc_a"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= WINNOW_MIN_SHARED)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+WINNOW_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents
+),
+g AS (
+  SELECT doc_id, i - 1 AS pos,
+         ('0x' || substr(md5(tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]),
+                         1, 12))::BIGINT AS h
+  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - {WINNOW_K - 2})) AS i
+        FROM t)
+),
+k AS (
+  SELECT doc_id, pos, h, pos - h * {_WINNOW_PACK} AS key FROM g
+),
+s AS (
+  SELECT doc_id, pos,
+         MAX(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN {WINNOW_W - 1} PRECEDING
+                        AND CURRENT ROW) AS sk
+  FROM k
+),
+fp AS (
+  SELECT DISTINCT doc_id,
+         ((((sk % {_WINNOW_PACK}) + {_WINNOW_PACK}) % {_WINNOW_PACK}) - sk)
+           // {_WINNOW_PACK} AS fp
+  FROM s WHERE pos >= {WINNOW_W - 1}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+FROM fp a JOIN fp b ON a.fp = b.fp AND b.doc_id > a.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+ORDER BY doc_a, doc_b
+"""
+
+
+MRL_DIM = 16   # truncated prefix length (full vectors are 64-d)
+MRL_K = 5
+MRL_NQ = 20
+
+
+def embedding_mrl_overlap(spark, sf_dir):
+    """Matryoshka (MRL) dimension-ablation eval: how much of the exact
+    top-k does a TRUNCATED-prefix embedding retain? Production MRL
+    pipelines serve a 16-of-64 prefix to cut index cost 4x and need
+    this overlap number before flipping the switch. For each of the
+    first ``MRL_NQ`` vectors: exact cosine top-``MRL_K`` under the
+    full 64-d vector vs under the first ``MRL_DIM`` dims, and the
+    overlap count between the two neighbor sets. Both rankings use the
+    brute-force-exact path (round-6-decimals scores, id tie-break) so
+    every rank — and therefore the overlap — is cross-engine exact.
+
+    Scale shape: two broadcast-query scans over the candidate set
+    (the truncated scan reads the same column, sliced in-expression —
+    no second copy of the corpus), windowed top-k each, then an
+    equi-join on (query, neighbor). The documented scale path swaps
+    the brute-force scans for the IVF probe, unchanged downstream."""
+    from levi_spark.functions.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < MRL_NQ)
+    full = brute_force_topk(q, emb, k=MRL_K)
+    trunc_q = q.select("vec_id", F.slice("embedding", 1, MRL_DIM).alias("embedding"))
+    trunc_c = emb.select("vec_id", F.slice("embedding", 1, MRL_DIM).alias("embedding"))
+    trunc = brute_force_topk(trunc_q, trunc_c, k=MRL_K)
+    overlap = (
+        full.select("query_id", "neighbor_id")
+        .join(trunc.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        full.select("query_id")
+        .distinct()
+        .join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _mrl_rank_cte(vec_expr: str, name: str) -> str:
+    return f"""{name} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ROUND(list_inner_product(q.{vec_expr}, c.{vec_expr})
+                 / (sqrt(list_inner_product(q.{vec_expr}, q.{vec_expr}))
+                    * sqrt(list_inner_product(c.{vec_expr}, c.{vec_expr}))), 6)
+               DESC, c.vec_id ASC) AS rn
+    FROM v q JOIN v c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < {MRL_NQ}
+  ) WHERE rn <= {MRL_K}
+)"""
+
+
+MRL_OVERLAP_SQL = (
+    f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         CAST(embedding[1:{MRL_DIM}] AS DOUBLE[]) AS t
+  FROM embeddings
+),
+"""
+    + _mrl_rank_cte("e", "full_k") + ",\n"
+    + _mrl_rank_cte("t", "trunc_k") + """
+SELECT f.query_id,
+       CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_overlap
+FROM full_k f LEFT JOIN trunc_k t
+  ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+GROUP BY f.query_id
+ORDER BY f.query_id
+"""
+)
 
 
 def doc_fingerprints(spark, sf_dir):
@@ -9723,6 +10004,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "q18_large_volume_customer": (q18_large_volume_customer, Q18_SQL),
     "stream_dedup_watermark": (stream_dedup_watermark, STREAM_DEDUP_WM_SQL),
     "row_tracking_counts": (row_tracking_counts, ROW_TRACKING_SQL),
+    "doc_winnow_neardup": (doc_winnow_neardup, WINNOW_SQL),
+    "embedding_mrl_overlap": (embedding_mrl_overlap, MRL_OVERLAP_SQL),
+    "cdf_timestamp_counts": (cdf_timestamp_counts, CDF_TIMESTAMP_SQL),
     # -- never driver-gated in r01 or r02 ----------------------------------
     "table_restore_counts": (table_restore_counts, RESTORE_SQL),
     "events_skewed_rollup": (events_skewed_rollup, SKEWED_ROLLUP_SQL),

@@ -72,3 +72,36 @@ def test_partitioned_changes_carry_partition_values(spark, tmp_path):
 def test_bad_range_raises(spark, table):
     with pytest.raises(ValueError, match="from_version"):
         table_changes(spark, table, from_version=5, to_version=2)
+
+
+# ---- timestamp-windowed CDF -------------------------------------------------
+
+def test_changes_between_timestamps(spark, table):
+    from levi_spark.delta.changes import table_changes_cdf_between_timestamps
+    from levi_spark.delta.log import DeltaLog
+
+    ts = dict(DeltaLog(spark, table).commit_timestamps())
+    # window starting AT v1's timestamp INCLUDES v1 (the CDF asymmetry
+    # vs timestampAsOf), through the latest commit
+    ch = table_changes_cdf_between_timestamps(spark, table, ts[1])
+    assert sorted(r.id for r in ch.collect()) == list(range(100, 160))
+    assert set(r._change_type for r in ch.collect()) == {"insert"}
+    # bounded: [v1, v2) by ending just before v2's stamp
+    ch = table_changes_cdf_between_timestamps(spark, table, ts[1], ts[2] - 1)
+    assert sorted(r.id for r in ch.collect()) == list(range(100, 150))
+    # a start between v0 and v1 rounds FORWARD to v1
+    ch = table_changes_cdf_between_timestamps(spark, table, ts[0] + 1, ts[1])
+    assert sorted(r.id for r in ch.collect()) == list(range(100, 150))
+
+
+def test_changes_between_timestamps_errors(spark, table):
+    from levi_spark.delta.changes import table_changes_cdf_between_timestamps
+    from levi_spark.delta.log import DeltaLog
+
+    ts = dict(DeltaLog(spark, table).commit_timestamps())
+    with pytest.raises(ValueError, match="after the latest"):
+        table_changes_cdf_between_timestamps(spark, table, ts[2] + 10_000)
+    with pytest.raises(ValueError, match="before the earliest"):
+        table_changes_cdf_between_timestamps(spark, table, ts[0], ts[0] - 10)
+    with pytest.raises(ValueError, match="empty timestamp window"):
+        table_changes_cdf_between_timestamps(spark, table, ts[1], ts[1] - 1)
