@@ -79,6 +79,11 @@ def restore(spark: SparkSession, path: str, version: int) -> dict:
     path = os.path.abspath(path)
     log = DeltaLog(spark, path)
     cur = log.snapshot()
+    if cur.metadata.configuration.get("delta.appendOnly") == "true":
+        raise ValueError(
+            "table is append-only (delta.appendOnly=true): RESTORE "
+            "removes files committed after the target version"
+        )
     tgt = log.snapshot(version)  # raises on version > latest
 
     tgt_adds = {r["add"]["path"]: r["add"] for r in tgt.live_adds_collected()}

@@ -9313,7 +9313,10 @@ def multimodal_ppm_decode(spark, sf_dir):
     from levi_spark.operators.multimodal import decode_image_features
     from levi_spark.operators.netpbm import encode_netpbm, netpbm_image_decoder
 
-    docs = _docs_parallel(spark, sf_dir)
+    # trivial per-doc codec: the input-spreading repartition COSTS
+    # more than it buys here (worker spawn > decode work) — plain
+    # single-file scan, unlike the heavy JPEG/FLAC gates
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     n = PPM_W * PPM_H * 3
 
     def encode(batches):
@@ -9647,7 +9650,10 @@ def multimodal_wav_decode(spark, sf_dir):
     from levi_spark.operators.multimodal import decode_audio_features
     from levi_spark.operators.riffwav import encode_wav, wav_audio_decoder
 
-    docs = _docs_parallel(spark, sf_dir)
+    # trivial per-doc codec: the input-spreading repartition COSTS
+    # more than it buys here (worker spawn > decode work) — plain
+    # single-file scan, unlike the heavy JPEG/FLAC gates
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
 
     def encode(batches):
         for pdf in batches:
@@ -10031,8 +10037,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "segment_dedup_docs": (segment_dedup_docs, SEGMENT_DEDUP_SQL),
     "doc_dsir_weights": (doc_dsir_weights, DSIR_SQL),
     "events_trailing_hour_stats": (events_trailing_hour_stats, TRAILING_HOUR_SQL),
-    "ann_hard_negatives": (ann_hard_negatives, HARD_NEG_SQL),
+    "multimodal_wav_decode": (multimodal_wav_decode, WAV_DECODE_SQL),
     "multimodal_ppm_decode": (multimodal_ppm_decode, PPM_DECODE_SQL),
+    "ann_hard_negatives": (ann_hard_negatives, HARD_NEG_SQL),
     "cdc_replicate_counts": (cdc_replicate_counts, CDC_REPLICATE_SQL),
     # -- slots 27-49: new in round 3 ---------------------------------------
     "vacuum_counts": (vacuum_counts, VACUUM_SQL),
@@ -10043,7 +10050,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ann_filtered_topk": (ann_filtered_topk, ANN_FILTERED_SQL),
     "export_shards_manifest": (export_shards_manifest, EXPORT_SHARDS_SQL),
     "table_history_counts": (table_history_counts, TABLE_HISTORY_SQL),
-    "multimodal_wav_decode": (multimodal_wav_decode, WAV_DECODE_SQL),
     "histogram_quantiles_prices": (histogram_quantiles_prices, HIST_QUANT_SQL),
     "ivf_pq_adc_topk": (ivf_pq_adc_topk, IVF_PQ_ADC_SQL),
     "embedding_sq8_codes": (embedding_sq8_codes, SQ8_SQL),

@@ -78,3 +78,16 @@ def test_unset_restores_mutability(spark, tmp_path):
     soft_delete(spark, p, "id = 0", checkpoint_interval=None)
     got = sorted(r.id for r in DeltaLog(spark, p).snapshot().to_df().collect())
     assert got == list(range(1, 10))
+
+
+def test_restore_refused(spark, tmp_path):
+    from levi_spark.delta.restore import restore
+
+    p = str(tmp_path / "t")
+    _mk(spark, p)
+    write_delta(
+        spark.range(10, 12).selectExpr("id", "id * 2 AS v"), p,
+        mode="append", checkpoint_interval=None,
+    )
+    with pytest.raises(ValueError, match="append-only"):
+        restore(spark, p, 0)
