@@ -4255,7 +4255,13 @@ def multimodal_frame_sample(spark, sf_dir):
 
     import pandas as pd
 
-    docs = _docs_parallel(spark, sf_dir)
+    # trivial per-row Python (string slice + sha256 per 64-char frame):
+    # routing through the input-spreading repartition COSTS more than
+    # it parallelizes at bench scale (r06: 0.29s -> 1.04s), unlike the
+    # heavy JPEG/FLAC codec gates where decode work dominates. At 100x
+    # the table arrives multi-file and scan partitioning spreads the
+    # work anyway — the repartition buys nothing at either scale here.
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     frame_chars, stride = 64, 2
 
     def run(batches):
