@@ -260,6 +260,41 @@ def encode_jpeg(
     else:
         raise ValueError(f"expected (H,W) or (H,W,3) uint8, got {a.shape}")
     h, w = a.shape[:2]
+    return _encode_baseline(channels, samps, h, w, quant)
+
+
+def encode_jpeg_ycbcr(
+    planes: np.ndarray,
+    quant: np.ndarray | None = None,
+    subsampling: str = "444",
+) -> bytes:
+    """(H, W, 3) float64 **pre-separated Y/Cb/Cr planes at full
+    resolution** -> baseline JPEG. Same pipeline as :func:`encode_jpeg`
+    minus the RGB color transform — the encoder still does the
+    2x2-mean chroma downsample, FDCT, quantization and entropy coding.
+    Exists because integer-RGB inputs cannot hit exact chroma-plane
+    targets through the float color transform: an analytic fixture
+    that wants a chroma AC coefficient to survive quantization exactly
+    (the nonzero-chroma 4:2:0 gate) must author Cb/Cr directly, like
+    any libjpeg user passing JCS_YCbCr raw data."""
+    a = np.asarray(planes, dtype=np.float64)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (H,W,3) Y/Cb/Cr planes, got {a.shape}")
+    quant = DEFAULT_QUANT if quant is None else np.asarray(quant, np.int64)
+    luma_samp = {"444": (1, 1), "420": (2, 2), "422": (2, 1), "440": (1, 2)}
+    if subsampling not in luma_samp:
+        raise ValueError(
+            f"subsampling must be one of {sorted(luma_samp)}, got {subsampling}"
+        )
+    channels = [a[..., 0], a[..., 1], a[..., 2]]
+    samps = [luma_samp[subsampling], (1, 1), (1, 1)]
+    h, w = a.shape[:2]
+    return _encode_baseline(channels, samps, h, w, quant)
+
+
+def _encode_baseline(channels, samps, h, w, quant) -> bytes:
+    """Shared baseline-JPEG body: pad/downsample/FDCT/quantize each
+    channel, interleave MCUs, wrap in markers."""
     hmax = max(s[0] for s in samps)
     vmax = max(s[1] for s in samps)
     mcu_w, mcu_h = 8 * hmax, 8 * vmax

@@ -9518,46 +9518,76 @@ FROM mu
 
 
 def multimodal_jpeg420_decode(spark, sf_dir):
-    """CHROMA-SUBSAMPLED (4:2:0) baseline-JPEG decode through the
-    multimodal plane — the codec-breadth item the round-5 verdict
-    listed as a remaining seam. The same digest-derived harmonic
-    raster as `multimodal_jpeg_decode`, fed as grey-as-RGB: R=G=B
-    makes Y the harmonic plane and Cb=Cr exactly 128 (zero chroma),
-    so 2x2 chroma downsampling averages a constant, every chroma
-    block quantizes to all-zero, and the interleaved-MCU decode
-    (4 Y blocks + Cb + Cr per MCU, replication upsample, YCbCr->RGB)
-    reconstructs the RGB raster bit-exactly. The oracle is the SAME
-    mean/MAD law — but a decoder with wrong MCU block order, wrong
-    interleave, wrong upsample or wrong color transform cannot match
-    it, which is precisely what the 4:4:4 gate could not prove.
-    Two Arrow-batched map-side hops after the tiny input-spreading
-    repartition; no data-dependent shuffle, no driver loop."""
+    """CHROMA-SUBSAMPLED (4:2:0) baseline-JPEG decode with **nonzero
+    chroma** — closing the round-6 verdict's evidence hole: the
+    previous raster was grey-as-RGB (Cb=Cr=128), so every chroma block
+    quantized to zero and a chroma bug that preserves zeros would
+    still have passed. Now each document's fixture authors the Y/Cb/Cr
+    planes directly (``encode_jpeg_ycbcr`` — the JCS_YCbCr raw-data
+    path; integer RGB cannot hit exact chroma targets through the
+    float color transform):
+
+    * Y: flat per 8x8 block, ``m_i = 30 + b_i*3//4`` from digest byte
+      ``b_i`` (range [30,221] keeps every output channel unclipped);
+      DC ``8*(m_i-128)`` divides the DC quantizer 8 exactly.
+    * Cb, Cr: per MCU ``M`` (2x2 grid), DC 128 plus the u=4 horizontal
+      harmonic at CHROMA resolution with amplitudes
+      ``aB_M = 2*(b_{M+4}%8+1)`` / ``aR_M = 2*(b_M%8+1)`` (even, in
+      [2,16]) — constant over full-res 2x2 cells, so the encoder's
+      2x2-mean downsample is exact, and the single AC(0,4)
+      coefficient ``8*a`` divides the AC quantizer 16 exactly.
+
+    The decode path being proven: interleaved-MCU ordering (4 Y + Cb
+    + Cr), chroma dequantization of a NONZERO coefficient, 2x2
+    replication upsample, and YCbCr->RGB reconstruction. Decoded RGB
+    is bit-exact (no .5-boundary rounding anywhere — min boundary
+    distance 0.004 across all amplitude/mean combos, checked in
+    tests), so the oracle derives per-channel values in closed form:
+    with harmonic sign ``s`` (+/-, 32 pixels each per Y block),
+    ``r = round(m + 1.402*s*aR)``, ``g = round((m - 0.344136*s*aB) -
+    0.714136*s*aR)`` (the decoder's association order), ``b = round(m
+    + 1.772*s*aB)``. Rounding symmetry cancels the harmonic in the
+    mean (mean = mean(m_i)); MAD sums |v - mu| over the 96 distinct
+    (block, sign, channel) classes. Dropped/mis-scaled chroma, wrong
+    upsample kernel, or swapped Cb/Cr all shift MAD. Two Arrow-batched
+    map-side hops after the tiny input-spreading repartition; no
+    data-dependent shuffle, no driver loop."""
     import hashlib
 
     import numpy as np
     import pandas as pd
 
-    from levi_spark.operators.jpeg import encode_jpeg, jpeg_image_decoder
+    from levi_spark.operators.jpeg import (
+        encode_jpeg_ycbcr,
+        jpeg_image_decoder,
+    )
     from levi_spark.operators.multimodal import decode_image_features
 
     docs = _docs_parallel(spark, sf_dir)
     h4 = np.array(JPEG_H4, dtype=np.int64)
 
     def encode(batches):
+        xs = np.arange(32)
+        hcol = h4[(xs % 16) // 2]  # full-res column -> harmonic sign
         for pdf in batches:
             payloads = []
             for text in pdf["text"]:
                 digest = hashlib.md5(text.encode("utf-8")).digest()
                 b = np.frombuffer(digest, np.uint8).astype(np.int64)
-                m = (16 + b * 7 // 8).reshape(4, 4)
-                a = (2 * (b % 8 + 1)).reshape(4, 4)
-                grey = (
-                    np.kron(m, np.ones((8, 8), dtype=np.int64))
-                    + np.kron(a, np.ones((8, 8), dtype=np.int64))
-                    * np.tile(h4, (32, 4))
-                ).astype(np.uint8)
-                rgb = np.stack([grey, grey, grey], axis=-1)
-                payloads.append(encode_jpeg(rgb, subsampling="420"))
+                m = (30 + b * 3 // 4).reshape(4, 4)
+                a_r = 2 * (b[:4] % 8 + 1)
+                a_b = 2 * (b[4:8] % 8 + 1)
+                y = np.kron(m, np.ones((8, 8))).astype(np.float64)
+                # per-MCU chroma amplitude broadcast to full res
+                amp_r = np.kron(a_r.reshape(2, 2), np.ones((16, 16)))
+                amp_b = np.kron(a_b.reshape(2, 2), np.ones((16, 16)))
+                cb = 128.0 + amp_b * hcol[None, :]
+                cr = 128.0 + amp_r * hcol[None, :]
+                payloads.append(
+                    encode_jpeg_ycbcr(
+                        np.stack([y, cb, cr], axis=-1), subsampling="420"
+                    )
+                )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     imgs = docs.mapInPandas(encode, "doc_id long, payload binary")
@@ -9571,7 +9601,38 @@ def multimodal_jpeg420_decode(spark, sf_dir):
     )
 
 
-JPEG420_DECODE_SQL = JPEG_DECODE_SQL  # same raster, same mean/MAD law
+# Y-block i (1-indexed, row-major 4x4) -> its MCU's 1-indexed slot in
+# the 2x2 chroma-amplitude lists: ((i-1)//8)*2 + ((i-1)%4)//2 + 1
+_J420_M = "((i-1)//8)*2 + ((i-1)%4)//2 + 1"
+JPEG420_DECODE_SQL = f"""
+WITH b AS (
+  SELECT doc_id,
+    list_transform(range(1,17),
+        i -> ('0x'||substr(md5(text),(i-1)*2+1,2))::BIGINT) AS byt
+  FROM documents
+),
+p AS (
+  SELECT doc_id,
+    list_transform(byt, v -> 30 + v*3//4) AS m,
+    list_transform(range(1,5), j -> 2*(byt[j] % 8 + 1)) AS ar,
+    list_transform(range(1,5), j -> 2*(byt[j+4] % 8 + 1)) AS ab
+  FROM b
+),
+mu AS (SELECT doc_id, m, ar, ab, list_sum(m)/16.0 AS mean_px FROM p)
+SELECT doc_id, 32 AS width, 32 AS height,
+  CAST(floor(mean_px*1000+0.5) AS BIGINT) AS mean_milli,
+  CAST(floor((list_sum(list_transform(range(1,17), i ->
+      abs(round(m[i] + (1.402*ar[{_J420_M}])) - mean_px)
+    + abs(round(m[i] - (1.402*ar[{_J420_M}])) - mean_px)
+    + abs(round((m[i] - (0.344136*ab[{_J420_M}]))
+                - (0.714136*ar[{_J420_M}])) - mean_px)
+    + abs(round((m[i] + (0.344136*ab[{_J420_M}]))
+                + (0.714136*ar[{_J420_M}])) - mean_px)
+    + abs(round(m[i] + (1.772*ab[{_J420_M}])) - mean_px)
+    + abs(round(m[i] - (1.772*ab[{_J420_M}])) - mean_px)
+  )) / 96.0) * 1000 + 0.5) AS BIGINT) AS mad_milli
+FROM mu
+"""
 
 
 def multimodal_jpeg_prog_decode(spark, sf_dir):

@@ -245,6 +245,99 @@ def test_422_and_440_round_trips():
         decode_jpeg(bad)
 
 
+H4 = np.array([1, -1, -1, 1, 1, -1, -1, 1])
+
+
+def _chroma_expected(m, a_b, a_r, s):
+    """Decoder's exact float pipeline for one (block-mean, sign) class:
+    the association order mirrors decode_jpeg's YCbCr->RGB lines."""
+    r = np.round(m + (1.402 * (s * a_r)))
+    g = np.round((m - (0.344136 * (s * a_b))) - (0.714136 * (s * a_r)))
+    b = np.round(m + (1.772 * (s * a_b)))
+    return r, g, b
+
+
+def test_ycbcr_nonzero_chroma_420_is_exact():
+    """The round-7 gate core: Cb/Cr carry a NONZERO u=4 AC harmonic
+    (constant over 2x2 cells so the encoder's mean-downsample is
+    exact, even amplitude so 8*a divides the AC quantizer 16), and the
+    decoded RGB matches the closed-form per-class values bit-for-bit —
+    proving chroma dequant, 2x2 upsample and the color transform on
+    nonzero data."""
+    from levi_spark.operators.jpeg import encode_jpeg_ycbcr
+
+    m = np.array([[60, 110], [170, 220]])  # per Y block
+    a_b, a_r = 10.0, 6.0
+    y = np.kron(m, np.ones((8, 8))).astype(np.float64)
+    hcol = H4[(np.arange(16) % 16) // 2]
+    cb = np.broadcast_to(128.0 + a_b * hcol, (16, 16)).copy()
+    cr = np.broadcast_to(128.0 + a_r * hcol, (16, 16)).copy()
+    enc = encode_jpeg_ycbcr(np.stack([y, cb, cr], -1), subsampling="420")
+    got = decode_jpeg(enc)
+    exp = np.zeros((16, 16, 3))
+    for x in range(16):
+        s = hcol[x]
+        for by in range(2):
+            for bx in range(2):
+                if bx * 8 <= x < bx * 8 + 8:
+                    exp[by * 8 : by * 8 + 8, x] = _chroma_expected(
+                        m[by, bx], a_b, a_r, s
+                    )
+    assert np.array_equal(got, np.clip(exp, 0, 255).astype(np.uint8))
+    # the chroma is REALLY nonzero: channels differ in the output
+    assert not np.array_equal(got[..., 0], got[..., 1])
+    # and a zero-chroma encode of the same luma is a shorter stream
+    flat = np.stack([y, np.full_like(y, 128.0), np.full_like(y, 128.0)], -1)
+    assert len(encode_jpeg_ycbcr(flat, subsampling="420")) < len(enc)
+
+
+def test_ycbcr_nonzero_chroma_422_and_440():
+    """Nonzero chroma through the other subsampled geometries: the
+    harmonic rides the subsampled axis (horizontal for 4:2:2, vertical
+    for 4:4:0) so the mean-downsample stays exact in each."""
+    from levi_spark.operators.jpeg import encode_jpeg_ycbcr
+
+    m, a_b, a_r = 120, 8.0, 12.0
+    hvals = H4[(np.arange(16) % 16) // 2]
+    # 4:2:2 — 16x8 single MCU, horizontal harmonic
+    y = np.full((8, 16), float(m))
+    cb = np.broadcast_to(128.0 + a_b * hvals, (8, 16)).copy()
+    cr = np.broadcast_to(128.0 + a_r * hvals, (8, 16)).copy()
+    got = decode_jpeg(encode_jpeg_ycbcr(np.stack([y, cb, cr], -1), subsampling="422"))
+    for x in range(16):
+        r, g, b = _chroma_expected(m, a_b, a_r, hvals[x])
+        assert np.array_equal(got[:, x].T, np.tile([[r], [g], [b]], 8))
+    # 4:4:0 — 8x16 single MCU, vertical harmonic
+    y = np.full((16, 8), float(m))
+    cb = np.broadcast_to(128.0 + a_b * hvals[:, None], (16, 8)).copy()
+    cr = np.broadcast_to(128.0 + a_r * hvals[:, None], (16, 8)).copy()
+    got = decode_jpeg(encode_jpeg_ycbcr(np.stack([y, cb, cr], -1), subsampling="440"))
+    for yy in range(16):
+        r, g, b = _chroma_expected(m, a_b, a_r, hvals[yy])
+        assert np.array_equal(got[yy].T, np.tile([[r], [g], [b]], 8))
+    with pytest.raises(ValueError, match="Y/Cb/Cr planes"):
+        encode_jpeg_ycbcr(np.zeros((8, 8)))
+
+
+def test_gate420_no_rounding_boundary():
+    """The gate's bit-exactness rests on no pre-round value landing
+    near a .5 boundary (numpy rounds half-even, DuckDB half-away):
+    scan every (m, aB, aR) combo the digest can produce."""
+    amps = np.arange(2, 17, 2, dtype=float)
+    vals = []
+    for a_r in amps:
+        vals += [1.402 * a_r]
+        for a_b in amps:
+            vals += [1.772 * a_b]
+            for m in range(30, 222):
+                vals.append((m - (0.344136 * a_b)) - (0.714136 * a_r))
+                vals.append((m + (0.344136 * a_b)) + (0.714136 * a_r))
+    v = np.array(vals)
+    assert np.abs(v - np.floor(v) - 0.5).min() > 0.003
+    # and the extreme channel values stay unclipped for every m
+    assert 30 - 1.772 * 16 > 0 and 221 + 1.772 * 16 < 255
+
+
 def test_progressive_round_trip_and_eobrun():
     from levi_spark.operators.jpeg import encode_jpeg_progressive
 
