@@ -544,9 +544,13 @@ PROG_AC_BITS[7] = len(PROG_AC_VALS)  # every symbol at length 8
 
 
 def _decode_progressive(payload, pos, hw, comps, quant, dc_dec, ac_dec):
-    """Spectral-selection progressive decode (greyscale): accumulate
-    zigzag coefficients across scans, then dequant + IDCT once. Ah/Al
-    successive approximation is refused explicitly."""
+    """Progressive decode (greyscale): accumulate zigzag coefficients
+    across scans, then dequant + IDCT once. Handles both progressive
+    dimensions of T.81 Annex G — spectral selection (per-scan Ss..Se
+    bands) AND successive approximation (Ah/Al bit-plane refinement:
+    first scans carry coefficients at reduced precision ``>> Al``,
+    refinement scans add one magnitude bit each via raw DC bits and
+    the G.2 AC correction-bit algorithm with EOBRUN spans)."""
     h, w = hw
     bh, bw_ = -(-h // 8), -(-w // 8)
     nblocks = bh * bw_
@@ -601,10 +605,10 @@ def _decode_progressive(payload, pos, hw, comps, quant, dc_dec, ac_dec):
                 )
             dcid_acid = body[2]
             ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
-            if ahal != 0:
+            ah, al = ahal >> 4, ahal & 0xF
+            if ah and ah != al + 1:
                 raise ValueError(
-                    "successive approximation unsupported "
-                    "(spectral selection only)"
+                    f"refinement scan must have Ah = Al + 1 (got {ah}/{al})"
                 )
             end = entropy_end(pos)
             br = _BitReader(payload[pos:end])
@@ -623,14 +627,20 @@ def _decode_progressive(payload, pos, hw, comps, quant, dc_dec, ac_dec):
             if ss == 0:  # DC scan
                 if se != 0:
                     raise ValueError("DC scan must have Se = 0")
-                table = dc_dec[dcid_acid >> 4]
-                pred = 0
-                for b in range(nblocks):
-                    size = huff(table)
-                    pred += _extend(br.bits(size), size)
-                    zz[b, 0] = pred
-                seen_dc = True
-            else:  # AC band scan
+                if ah == 0:  # first DC scan: DPCM of DC >> Al
+                    table = dc_dec[dcid_acid >> 4]
+                    pred = 0
+                    for b in range(nblocks):
+                        size = huff(table)
+                        pred += _extend(br.bits(size), size)
+                        zz[b, 0] = pred << al
+                    seen_dc = True
+                else:  # DC refinement: one raw bit per block
+                    p1 = 1 << al
+                    for b in range(nblocks):
+                        if br.bit():
+                            zz[b, 0] |= p1
+            elif ah == 0:  # first AC band scan (values at >> Al)
                 table = ac_dec[dcid_acid & 0xF]
                 eobrun = 0
                 for b in range(nblocks):
@@ -651,8 +661,60 @@ def _decode_progressive(payload, pos, hw, comps, quant, dc_dec, ac_dec):
                         k += run
                         if k > se:
                             raise ValueError("AC index overflows the band")
-                        zz[b, k] = _extend(br.bits(size), size)
+                        zz[b, k] = _extend(br.bits(size), size) << al
                         k += 1
+            else:  # AC refinement scan — T.81 G.2 correction bits
+                table = ac_dec[dcid_acid & 0xF]
+                p1 = 1 << al
+                eobrun = 0
+
+                def refine_run(b, k0, k1):
+                    """Read a correction bit for every nonzero-history
+                    coefficient in [k0, k1]; add +/- p1 on a set bit
+                    unless the coefficient was already touched this
+                    scan (its p1 bit is set)."""
+                    for kk in range(k0, k1 + 1):
+                        c = int(zz[b, kk])
+                        if c and br.bit() and (c & p1) == 0:
+                            zz[b, kk] = c + (p1 if c >= 0 else -p1)
+
+                for b in range(nblocks):
+                    if eobrun:
+                        refine_run(b, ss, se)
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = huff(table)
+                        run, size = rs >> 4, rs & 0xF
+                        if size == 0 and run != 15:  # EOBn
+                            eobrun = (1 << run) + (br.bits(run) if run else 0)
+                            break
+                        newval = 0
+                        if size:
+                            if size != 1:
+                                raise ValueError(
+                                    "refinement scan carries size > 1"
+                                )
+                            newval = p1 if br.bit() else -p1
+                        # advance over `run` zero-history positions,
+                        # refining nonzero-history ones along the way
+                        while k <= se:
+                            c = int(zz[b, k])
+                            if c:
+                                if br.bit() and (c & p1) == 0:
+                                    zz[b, k] = c + (p1 if c >= 0 else -p1)
+                            else:
+                                run -= 1
+                                if run < 0:
+                                    break
+                            k += 1
+                        if newval and k <= se:
+                            zz[b, k] = newval
+                        k += 1
+                    if eobrun:
+                        refine_run(b, k, se)
+                        eobrun -= 1
     if not seen_dc:
         raise ValueError("progressive stream has no DC scan")
     q = quant[comps[0][1]]
@@ -668,15 +730,162 @@ def _decode_progressive(payload, pos, hw, comps, quant, dc_dec, ac_dec):
     return np.clip(np.round(plane[:h, :w]), 0, 255).astype(np.uint8)
 
 
+def _encode_dc_first(qblocks: np.ndarray, al: int, dc_codes) -> bytes:
+    """First DC scan: DPCM over ``DC >> al`` (arithmetic shift — the
+    T.81 G.1.2.1 DC point transform)."""
+    bw = _BitWriter()
+    pred = 0
+    for b in range(len(qblocks)):
+        v = int(qblocks[b, 0]) >> al
+        size, raw = _magnitude(v - pred)
+        pred = v
+        c, ln = dc_codes[size]
+        bw.write(c, ln)
+        if size:
+            bw.write(raw, size)
+    return bw.flush()
+
+
+def _encode_dc_refine(qblocks: np.ndarray, al: int) -> bytes:
+    """DC refinement scan: one raw bit (``(DC >> al) & 1``) per block,
+    no entropy coding."""
+    bw = _BitWriter()
+    for b in range(len(qblocks)):
+        bw.write((int(qblocks[b, 0]) >> al) & 1, 1)
+    return bw.flush()
+
+
+def _encode_ac_first(qblocks: np.ndarray, al: int, ac_codes) -> bytes:
+    """First AC band scan (Ss=1..Se=63): run/size coding of
+    ``sign * (|coef| >> al)`` (the AC point transform rounds the
+    magnitude toward zero, G.1.2.2) with accumulated EOBRUN."""
+    bw = _BitWriter()
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        while eobrun > 0:
+            chunk = min(eobrun, 32767)
+            n = chunk.bit_length() - 1
+            c, ln = ac_codes[n << 4]
+            bw.write(c, ln)
+            if n:
+                bw.write(chunk - (1 << n), n)
+            eobrun -= chunk
+
+    for b in range(len(qblocks)):
+        q = qblocks[b]
+        t = np.sign(q) * (np.abs(q) >> al)
+        nz = np.nonzero(t[1:])[0]
+        if not len(nz):
+            eobrun += 1
+            continue
+        flush_eob()
+        last = nz[-1] + 1
+        run = 0
+        for i in range(1, last + 1):
+            v = int(t[i])
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                c, ln = ac_codes[0xF0]
+                bw.write(c, ln)
+                run -= 16
+            size, raw = _magnitude(v)
+            c, ln = ac_codes[(run << 4) | size]
+            bw.write(c, ln)
+            bw.write(raw, size)
+            run = 0
+        if last < 63:
+            eobrun += 1  # this block's end-of-band starts a run
+    flush_eob()
+    return bw.flush()
+
+
+def _encode_ac_refine(qblocks: np.ndarray, al: int, ac_codes) -> bytes:
+    """AC refinement scan — the G.1.2.3 correction-bit algorithm:
+    newly-nonzero coefficients (``|coef| >> al == 1``) are coded as
+    run/1 symbols with a sign bit, already-nonzero ones contribute one
+    buffered correction bit (``(|coef| >> al) & 1``) appended after
+    the next emitted symbol, and all-handled blocks accumulate into
+    EOBRUN whose correction bits ride behind the EOBn symbol."""
+    bw = _BitWriter()
+    eobrun = 0
+    ebits: list[int] = []  # correction bits attached to pending EOBRUN
+
+    def flush_eob():
+        nonlocal eobrun, ebits
+        while eobrun > 0:
+            chunk = min(eobrun, 32767)
+            n = chunk.bit_length() - 1
+            c, ln = ac_codes[n << 4]
+            bw.write(c, ln)
+            if n:
+                bw.write(chunk - (1 << n), n)
+            eobrun -= chunk
+        for bit in ebits:
+            bw.write(bit, 1)
+        ebits = []
+
+    for blk in range(len(qblocks)):
+        q = qblocks[blk]
+        absv = np.abs(q) >> al
+        ones = np.nonzero(absv[1:] == 1)[0]
+        eob = ones[-1] + 1 if len(ones) else 0  # last newly-nonzero index
+        run = 0
+        br: list[int] = []  # correction bits pending within this block
+        for k in range(1, 64):
+            t = int(absv[k])
+            if t == 0:
+                run += 1
+                continue
+            while run > 15 and k <= eob:
+                flush_eob()
+                c, ln = ac_codes[0xF0]  # ZRL
+                bw.write(c, ln)
+                run -= 16
+                for bit in br:
+                    bw.write(bit, 1)
+                br = []
+            if t > 1:  # already nonzero at the previous precision
+                br.append(t & 1)
+                continue
+            # newly nonzero: run/1 + sign bit + pending correction bits
+            flush_eob()
+            c, ln = ac_codes[(run << 4) | 1]
+            bw.write(c, ln)
+            bw.write(1 if int(q[k]) >= 0 else 0, 1)
+            for bit in br:
+                bw.write(bit, 1)
+            br = []
+            run = 0
+        if run > 0 or br:
+            eobrun += 1
+            ebits.extend(br)
+            if eobrun == 32767:
+                flush_eob()
+    flush_eob()
+    return bw.flush()
+
+
 def encode_jpeg_progressive(
-    pixels: np.ndarray, quant: np.ndarray | None = None
+    pixels: np.ndarray,
+    quant: np.ndarray | None = None,
+    successive: bool = False,
 ) -> bytes:
-    """uint8 (H, W) -> PROGRESSIVE (SOF2) greyscale JPEG: a DC scan
-    (Ss=0, Se=0) then one AC spectral-selection scan (Ss=1, Se=63)
-    with real EOBRUN coding — the minimal legal progressive structure,
-    no successive approximation. Quantized coefficients are identical
-    to the baseline encoder's, so content that is bit-exact under
-    `encode_jpeg` is bit-exact here too."""
+    """uint8 (H, W) -> PROGRESSIVE (SOF2) greyscale JPEG.
+
+    Default: a DC scan (Ss=0, Se=0) then one AC spectral-selection
+    scan (Ss=1, Se=63) with real EOBRUN coding — the minimal legal
+    progressive structure. With ``successive=True`` the stream
+    interleaves BOTH progressive dimensions the way real encoders do:
+    DC first at Al=1, AC band first at Al=1, then DC and AC
+    refinement scans (Ah=1, Al=0) carrying the final magnitude bit
+    via raw DC bits and G.1.2.3 correction-bit coding. Successive
+    approximation is lossless once every bit plane lands, so the
+    quantized coefficients equal the baseline encoder's and content
+    that is bit-exact under `encode_jpeg` is bit-exact here too."""
     a = np.asarray(pixels, dtype=np.uint8)
     if a.ndim != 2:
         raise ValueError("progressive encoder is greyscale-only (H, W)")
@@ -690,63 +899,11 @@ def encode_jpeg_progressive(
     dc_codes = _build_codes(DC_BITS, DC_VALS)
     ac_codes = _build_codes(PROG_AC_BITS, PROG_AC_VALS)
 
-    # DC scan: plain DPCM over all blocks
-    bw1 = _BitWriter()
-    pred = 0
-    for b in range(len(qblocks)):
-        size, raw = _magnitude(int(qblocks[b, 0]) - pred)
-        pred = int(qblocks[b, 0])
-        c, ln = dc_codes[size]
-        bw1.write(c, ln)
-        if size:
-            bw1.write(raw, size)
-    dc_entropy = bw1.flush()
-
-    # AC scan: run/size with accumulated EOBRUN across blocks
-    bw2 = _BitWriter()
-    eobrun = 0
-
-    def flush_eob():
-        nonlocal eobrun
-        while eobrun > 0:
-            chunk = min(eobrun, 32767)
-            n = chunk.bit_length() - 1
-            c, ln = ac_codes[n << 4]
-            bw2.write(c, ln)
-            if n:
-                bw2.write(chunk - (1 << n), n)
-            eobrun -= chunk
-
-    for b in range(len(qblocks)):
-        q = qblocks[b]
-        nz = np.nonzero(q[1:])[0]
-        if not len(nz):
-            eobrun += 1
-            continue
-        flush_eob()
-        last = nz[-1] + 1
-        run = 0
-        for i in range(1, last + 1):
-            v = int(q[i])
-            if v == 0:
-                run += 1
-                continue
-            while run >= 16:
-                c, ln = ac_codes[0xF0]
-                bw2.write(c, ln)
-                run -= 16
-            size, raw = _magnitude(v)
-            c, ln = ac_codes[(run << 4) | size]
-            bw2.write(c, ln)
-            bw2.write(raw, size)
-            run = 0
-        if last < 63:
-            eobrun += 1  # this block's end-of-band starts a run
-    flush_eob()
-    ac_entropy = bw2.flush()
-
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def sos(ss: int, se: int, ahal: int) -> bytes:
+        return seg(0xFFDA, bytes([1, 1, 0x00, ss, se, ahal]))
 
     out = bytearray(b"\xff\xd8")
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
@@ -754,10 +911,14 @@ def encode_jpeg_progressive(
     out += seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
     out += seg(0xFFC4, bytes([0x00] + DC_BITS) + bytes(DC_VALS))
     out += seg(0xFFC4, bytes([0x10] + PROG_AC_BITS) + bytes(PROG_AC_VALS))
-    out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 0, 0]))  # DC scan
-    out += dc_entropy
-    out += seg(0xFFDA, bytes([1, 1, 0x00, 1, 63, 0]))  # AC band scan
-    out += ac_entropy
+    if successive:
+        out += sos(0, 0, 0x01) + _encode_dc_first(qblocks, 1, dc_codes)
+        out += sos(1, 63, 0x01) + _encode_ac_first(qblocks, 1, ac_codes)
+        out += sos(0, 0, 0x10) + _encode_dc_refine(qblocks, 0)
+        out += sos(1, 63, 0x10) + _encode_ac_refine(qblocks, 0, ac_codes)
+    else:
+        out += sos(0, 0, 0x00) + _encode_dc_first(qblocks, 0, dc_codes)
+        out += sos(1, 63, 0x00) + _encode_ac_first(qblocks, 0, ac_codes)
     out += b"\xff\xd9"
     return bytes(out)
 

@@ -9692,6 +9692,67 @@ def multimodal_jpeg_prog_decode(spark, sf_dir):
 JPEG_PROG_DECODE_SQL = JPEG_DECODE_SQL  # same raster, same mean/MAD law
 
 
+def multimodal_jpeg_prog_sa_decode(spark, sf_dir):
+    """SUCCESSIVE-APPROXIMATION progressive JPEG decode — the
+    round-6 verdict's remaining progressive seam: real-world
+    progressive files interleave spectral selection WITH Ah/Al
+    bit-plane refinement, which the spectral-only gate never
+    exercises. Each document's harmonic raster rides a 4-scan SOF2
+    stream: DC first at Al=1 (DPCM of ``DC >> 1``), AC band first at
+    Al=1 (magnitudes halved toward zero), then DC refinement (one raw
+    bit per block) and AC refinement (the T.81 G.2 correction-bit
+    algorithm: run/1 symbols with sign bits for newly-nonzero
+    coefficients, buffered correction bits behind symbols and EOBn
+    spans). Successive approximation is lossless once every bit plane
+    lands, so the baseline mean/MAD oracle law carries over while a
+    decoder that drops refinement bits, mis-orders correction bits,
+    or double-refines a coefficient cannot match. Two Arrow-batched
+    map-side hops after the tiny input-spreading repartition; no
+    data-dependent shuffle, no driver loop."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from levi_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+        jpeg_image_decoder,
+    )
+    from levi_spark.operators.multimodal import decode_image_features
+
+    docs = _docs_parallel(spark, sf_dir)
+    h4 = np.array(JPEG_H4, dtype=np.int64)
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                digest = hashlib.md5(text.encode("utf-8")).digest()
+                b = np.frombuffer(digest, np.uint8).astype(np.int64)
+                m = (16 + b * 7 // 8).reshape(4, 4)
+                a = (2 * (b % 8 + 1)).reshape(4, 4)
+                img = (
+                    np.kron(m, np.ones((8, 8), dtype=np.int64))
+                    + np.kron(a, np.ones((8, 8), dtype=np.int64))
+                    * np.tile(h4, (32, 4))
+                ).astype(np.uint8)
+                payloads.append(encode_jpeg_progressive(img, successive=True))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    imgs = docs.mapInPandas(encode, "doc_id long, payload binary")
+    feats = decode_image_features(imgs, decoder=jpeg_image_decoder)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.floor(F.col("mean_pixel") * 1000 + 0.5).cast("long").alias("mean_milli"),
+        F.floor(F.col("mean_abs_dev") * 1000 + 0.5).cast("long").alias("mad_milli"),
+    )
+
+
+JPEG_PROG_SA_DECODE_SQL = JPEG_DECODE_SQL  # lossless SA: same law
+
+
 WAV_RATE, WAV_TILE = 16_000, 8
 
 
@@ -10062,6 +10123,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "multimodal_jpeg_decode": (multimodal_jpeg_decode, JPEG_DECODE_SQL),
     "multimodal_jpeg420_decode": (multimodal_jpeg420_decode, JPEG420_DECODE_SQL),
     "multimodal_jpeg_prog_decode": (multimodal_jpeg_prog_decode, JPEG_PROG_DECODE_SQL),
+    "multimodal_jpeg_prog_sa_decode": (
+        multimodal_jpeg_prog_sa_decode,
+        JPEG_PROG_SA_DECODE_SQL,
+    ),
     "multimodal_flac_decode": (multimodal_flac_decode, FLAC_DECODE_SQL),
     "doc_perceptron_filter": (doc_perceptron_filter, PERCEPTRON_SQL),
     "doc_bm25_topk": (doc_bm25_topk, BM25_SQL),

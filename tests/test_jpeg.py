@@ -353,7 +353,7 @@ def test_progressive_round_trip_and_eobrun():
 
 def test_progressive_harmonic_is_exact_and_refusals():
     """Same exact-coefficient raster as the baseline gate, through the
-    SOF2 multi-scan path; successive approximation and multi-component
+    SOF2 multi-scan path; an illegal Ah/Al pairing and multi-component
     progressive are refused explicitly."""
     from levi_spark.operators.jpeg import encode_jpeg_progressive
 
@@ -361,14 +361,54 @@ def test_progressive_harmonic_is_exact_and_refusals():
     img = _harmonic_image(digest)
     enc = encode_jpeg_progressive(img)
     assert b"\xff\xc2" in enc and (decode_jpeg(enc) == img).all()
-    # doctor the AC scan's AhAl byte -> successive approximation
+    # doctor the AC scan's AhAl byte -> Ah=3/Al=0 violates Ah=Al+1
     sos2 = enc.rfind(b"\xff\xda")
     bad = bytearray(enc)
-    bad[sos2 + 2 + 2 + 1 + 2 + 2] = 0x01
-    with pytest.raises(ValueError, match="successive approximation"):
+    bad[sos2 + 2 + 2 + 1 + 2 + 2] = 0x30
+    with pytest.raises(ValueError, match="Ah = Al"):
         decode_jpeg(bytes(bad))
     with pytest.raises(ValueError, match="greyscale-only"):
         encode_jpeg_progressive(_rand((8, 8, 3), 1))
+
+
+def test_successive_approximation_equals_full_precision():
+    """The round-7 SA path: a 4-scan stream (DC/AC first at Al=1, DC/AC
+    refinement at Ah=1/Al=0) must reconstruct the same pixels as the
+    single-precision progressive stream for ANY content — successive
+    approximation is lossless once all bit planes land."""
+    from levi_spark.operators.jpeg import encode_jpeg_progressive
+
+    for seed in range(6):
+        shape = [(8, 8), (17, 23), (40, 33), (64, 64), (9, 65), (32, 32)][seed]
+        img = _rand(shape, seed)
+        for q in (Q1, DEFAULT_QUANT):
+            sa = encode_jpeg_progressive(img, quant=q, successive=True)
+            assert sa.count(b"\xff\xda") == 4
+            assert np.array_equal(
+                decode_jpeg(sa),
+                decode_jpeg(encode_jpeg_progressive(img, quant=q)),
+            ), (shape, "sa != spectral-only")
+
+
+def test_successive_approximation_harmonic_exact_and_refine_matters():
+    """The SA gate fixture is bit-exact, and the refinement scans are
+    load-bearing: truncating the stream after the first two scans
+    (legal JPEG — decoder sees only the Al=1 planes) yields DIFFERENT
+    pixels, so a decoder that ignored refinement could not pass."""
+    from levi_spark.operators.jpeg import encode_jpeg_progressive
+
+    digest = hashlib.md5(b"sa doc").digest()
+    img = _harmonic_image(digest)
+    enc = encode_jpeg_progressive(img, successive=True)
+    assert (decode_jpeg(enc) == img).all()
+    # cut the stream just before the 3rd SOS and close with EOI
+    scans = [i for i in range(len(enc)) if enc[i : i + 2] == b"\xff\xda"]
+    coarse = enc[: scans[2]] + b"\xff\xd9"
+    got = decode_jpeg(coarse)
+    assert got.shape == img.shape and not np.array_equal(got, img)
+    # odd-valued content: every block exercises nonzero low bits
+    odd = np.full((16, 16), 77, np.uint8)
+    assert (decode_jpeg(encode_jpeg_progressive(odd, successive=True)) == odd).all()
 
 
 def test_multimodal_plane_integration(spark):
