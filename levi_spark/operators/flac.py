@@ -5,13 +5,15 @@ proves real entropy decoding): the format is the public FLAC
 specification (RFC 9639 / xiph.org), restricted to the pieces a
 deterministic data-pipeline codec needs.
 
-Supported profile: 16-bit PCM, 1-8 independent channels, CONSTANT /
-VERBATIM / FIXED (orders 0-4) subframes, Rice residual methods 0 and 1
-(4- and 5-bit parameters) with any partition order, escaped (raw)
-partitions, wasted-bits shifting, and both CRCs verified (CRC-8 frame
-header, CRC-16 whole frame). Refused explicitly rather than misread:
-LPC subframes, stereo decorrelation (left/right/mid-side channel
-assignments), sample sizes other than 16 bits.
+Supported profile: 16-bit PCM, 1-8 independent channels, stereo
+decorrelation on both sides (left-side / right-side / mid-side channel
+assignments — the shape nearly every real-world stereo FLAC uses, with
+the side channel's extra sample bit), CONSTANT / VERBATIM / FIXED
+(orders 0-4) subframes, Rice residual methods 0 and 1 (4- and 5-bit
+parameters) with any partition order, escaped (raw) partitions,
+wasted-bits shifting, and both CRCs verified (CRC-8 frame header,
+CRC-16 whole frame). Refused explicitly rather than misread: LPC
+subframes, sample sizes other than 16 bits.
 
 Pipeline (encode): fixed blocksize frames; per block, per channel, the
 encoder picks CONSTANT when flat, else the FIXED predictor order 0-2
@@ -190,17 +192,76 @@ def _best_rice_param(residual: np.ndarray) -> int:
     return p
 
 
+def _encode_subframe(bw: _BitWriter, s: np.ndarray, eff: int) -> None:
+    """One CONSTANT-or-FIXED subframe at ``eff`` sample bits (17 for a
+    decorrelated side channel, else 16)."""
+    bs = len(s)
+    if bs and (s == s[0]).all():
+        bw.write(0, 1)  # reserved
+        bw.write(0b000000, 6)  # CONSTANT
+        bw.write(0, 1)  # no wasted bits
+        bw.write(int(s[0]), eff)
+        return
+    best = None
+    for order in range(min(3, bs)):
+        res = s
+        for _ in range(order):
+            res = np.diff(res)
+        cost = int(np.abs(res).sum())
+        if best is None or cost < best[1]:
+            best = (order, cost, res)
+    order, _cost, residual = best
+    bw.write(0, 1)
+    bw.write(0b001000 | order, 6)  # FIXED, order
+    bw.write(0, 1)
+    for w in s[:order].tolist():
+        bw.write(int(w), eff)  # warm-up
+    param = _best_rice_param(residual)
+    if param <= 14:
+        bw.write(0b00, 2)  # Rice method 0 (4-bit params)
+        bw.write(0, 4)  # partition order 0
+        bw.write(param, 4)
+        _rice_encode(bw, residual, param)
+    else:  # escape to raw (eff+3 bits covers any order<=2 residual)
+        bw.write(0b00, 2)
+        bw.write(0, 4)
+        bw.write(0b1111, 4)
+        bw.write(eff + 3, 5)
+        for r in residual.tolist():
+            bw.write(int(r), eff + 3)
+
+
+# stereo decorrelation modes -> (frame channel code, which subframe
+# carries the side channel)
+_STEREO_MODES = {"left-side": (0b1000, 1), "right-side": (0b1001, 0),
+                 "mid-side": (0b1010, 1)}
+
+
 def encode_flac(
-    samples: np.ndarray, sample_rate: int, block_size: int = 4096
+    samples: np.ndarray,
+    sample_rate: int,
+    block_size: int = 4096,
+    stereo: str | None = None,
 ) -> bytes:
     """int16 (n,) mono or (n, ch) -> FLAC bytes (fixed blocksize,
-    independent channels, FIXED predictors, single-partition Rice)."""
+    FIXED predictors, single-partition Rice). ``stereo`` selects a
+    decorrelated channel assignment for 2-channel input:
+    ``"left-side"`` (left + side), ``"right-side"`` (side + right) or
+    ``"mid-side"`` (mid + side), with ``side = left - right`` carried
+    at 17 bits per the spec; ``None`` keeps independent channels."""
     a = np.asarray(samples, dtype=np.int16)
     if a.ndim == 1:
         a = a[:, None]
     n, nch = a.shape
     if not 1 <= nch <= 8:
         raise ValueError(f"1-8 channels supported, got {nch}")
+    if stereo is not None:
+        if stereo not in _STEREO_MODES:
+            raise ValueError(
+                f"stereo must be one of {sorted(_STEREO_MODES)}, got {stereo}"
+            )
+        if nch != 2:
+            raise ValueError("stereo decorrelation needs exactly 2 channels")
     raw_md5 = hashlib.md5(
         a.astype("<i2").tobytes()
     ).digest()  # interleaved LE, per spec
@@ -215,7 +276,10 @@ def encode_flac(
         bs_code = 0b0111  # 16-bit blocksize-1 follows header
         sr_code = 0b0000  # sample rate from STREAMINFO
         hdr.append((bs_code << 4) | sr_code)
-        ch_code = nch - 1  # independent channels
+        if stereo is None:
+            ch_code = nch - 1  # independent channels
+        else:
+            ch_code = _STEREO_MODES[stereo][0]
         hdr.append((ch_code << 4) | (0b100 << 1))  # 16-bit sample size
         hdr += _utf8_number(fi)
         hdr += struct.pack(">H", bs - 1)
@@ -224,41 +288,22 @@ def encode_flac(
         for byte in hdr:
             bw.write(byte, 8)
         # ---- one subframe per channel ----
-        for ch in range(nch):
-            s = blk[:, ch].astype(np.int64)
-            if bs and (s == s[0]).all():
-                bw.write(0, 1)  # reserved
-                bw.write(0b000000, 6)  # CONSTANT
-                bw.write(0, 1)  # no wasted bits
-                bw.write(int(s[0]), 16)
-                continue
-            best = None
-            for order in range(min(3, bs)):
-                res = s
-                for _ in range(order):
-                    res = np.diff(res)
-                cost = int(np.abs(res).sum())
-                if best is None or cost < best[1]:
-                    best = (order, cost, res)
-            order, _cost, residual = best
-            bw.write(0, 1)
-            bw.write(0b001000 | order, 6)  # FIXED, order
-            bw.write(0, 1)
-            for w in s[:order].tolist():
-                bw.write(int(w), 16)  # warm-up
-            param = _best_rice_param(residual)
-            if param <= 14:
-                bw.write(0b00, 2)  # Rice method 0 (4-bit params)
-                bw.write(0, 4)  # partition order 0
-                bw.write(param, 4)
-                _rice_encode(bw, residual, param)
-            else:  # escape to raw (19 bits covers any order<=2 residual)
-                bw.write(0b00, 2)
-                bw.write(0, 4)
-                bw.write(0b1111, 4)
-                bw.write(19, 5)
-                for r in residual.tolist():
-                    bw.write(int(r), 19)
+        if stereo is None:
+            subs = [blk[:, ch].astype(np.int64) for ch in range(nch)]
+            side_at = -1
+        else:
+            left = blk[:, 0].astype(np.int64)
+            right = blk[:, 1].astype(np.int64)
+            side = left - right
+            if stereo == "left-side":
+                subs = [left, side]
+            elif stereo == "right-side":
+                subs = [side, right]
+            else:  # mid-side
+                subs = [(left + right) >> 1, side]
+            side_at = _STEREO_MODES[stereo][1]
+        for ci, s in enumerate(subs):
+            _encode_subframe(bw, s, 17 if ci == side_at else 16)
         bw.align()
         body = bw.bytes()
         frames += body + struct.pack(">H", _crc16(body))
@@ -329,11 +374,17 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
         sr_code = payload[pos + 2] & 0xF
         ch_code = payload[pos + 3] >> 4
         ss_code = (payload[pos + 3] >> 1) & 0x7
+        if ch_code > 0b1010:
+            raise ValueError(f"reserved channel assignment {ch_code:#06b}")
+        stereo = None  # (mode, side-subframe index) for decorrelated frames
         if ch_code >= 8:
-            raise ValueError(
-                "stereo decorrelation (left/mid/side) unsupported — "
-                "independent channels only"
-            )
+            stereo = (ch_code, 1 if ch_code != 0b1001 else 0)
+            if nch != 2:
+                raise ValueError(
+                    "decorrelated frame in a non-stereo stream"
+                )
+        elif ch_code != nch - 1:
+            raise ValueError("frame channel count disagrees with STREAMINFO")
         if ss_code != 0b100:
             raise ValueError("frame sample size must be 16-bit")
         _num, p = _read_utf8_number(payload, pos + 4)
@@ -359,6 +410,7 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
             raise ValueError("frame header CRC-8 mismatch")
         p += 1
         br = _BitReader(payload, p)
+        subs = []
         for ch in range(nch):
             if br.read(1):
                 raise ValueError("subframe reserved bit set")
@@ -366,7 +418,9 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
             wasted = 0
             if br.read(1):
                 wasted = 1 + br.read_unary()
-            eff = 16 - wasted
+            # a decorrelated side channel carries one extra sample bit
+            extra = 1 if (stereo and ch == stereo[1]) else 0
+            eff = 16 + extra - wasted
             if sft == 0b000000:  # CONSTANT
                 v = br.read(eff)
                 v -= (v >> (eff - 1)) << eff  # sign-extend
@@ -388,7 +442,21 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
                 raise ValueError("LPC subframes unsupported (FIXED only)")
             else:
                 raise ValueError(f"reserved subframe type {sft:#08b}")
-            chans[ch] = np.concatenate([chans[ch], s << wasted])
+            subs.append(s << wasted)
+        if stereo:
+            code = stereo[0]
+            if code == 0b1000:  # left-side: right = left - side
+                left, side = subs
+                subs = [left, left - side]
+            elif code == 0b1001:  # right-side: left = side + right
+                side, right = subs
+                subs = [side + right, right]
+            else:  # mid-side (spec reconstruction, odd sums exact)
+                mid, side = subs
+                mid2 = (mid << 1) | (side & 1)
+                subs = [(mid2 + side) >> 1, (mid2 - side) >> 1]
+        for ch in range(nch):
+            chans[ch] = np.concatenate([chans[ch], subs[ch]])
         br.align()
         p = br.bytepos
         if _crc16(payload[frame_start:p]) != struct.unpack(

@@ -9874,6 +9874,66 @@ def multimodal_flac_decode(spark, sf_dir):
 FLAC_DECODE_SQL = WAV_DECODE_SQL  # same raster, same analytic RMS law
 
 
+def multimodal_flac_stereo_decode(spark, sf_dir):
+    """STEREO-DECORRELATED FLAC decode — the round-6 verdict's FLAC
+    seam (`operators/flac.py` refused left/right/mid-side, the channel
+    assignments nearly every real-world stereo FLAC uses). Each
+    document becomes a 2-channel FLAC: left = the md5-digest int16
+    raster (the WAV/FLAC gate law), right = the REVERSED digest
+    samples (so ``side = left - right`` is nonzero nearly everywhere
+    and carries 17-bit values), with the channel assignment cycling
+    ``mid-side`` / ``left-side`` / ``right-side`` by ``doc_id % 3``.
+    Reconstructing the LEFT channel — the one the feature extractor
+    reads — requires BOTH subframes of every decorrelated frame
+    (``left = (mid2 + side) >> 1`` etc.), so wrong side-channel bit
+    width, wrong reconstruction arithmetic, or swapped channel roles
+    all corrupt left; the STREAMINFO MD5 double-checks both channels
+    before features are emitted. The oracle is the WAV gate's RMS law
+    verbatim (left is the same raster; FLAC is lossless). Two
+    Arrow-batched map-side hops after the tiny input-spreading
+    repartition; no data-dependent shuffle, no driver loop."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from levi_spark.operators.flac import encode_flac, flac_audio_decoder
+    from levi_spark.operators.multimodal import decode_audio_features
+
+    docs = _docs_parallel(spark, sf_dir)
+    modes = ["mid-side", "left-side", "right-side"]
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(text.encode("utf-8")).digest()
+                left = np.tile(np.frombuffer(digest, dtype="<i2"), WAV_TILE)
+                right = np.tile(
+                    np.frombuffer(digest, dtype="<i2")[::-1], WAV_TILE
+                )
+                payloads.append(
+                    encode_flac(
+                        np.stack([left, right], axis=1),
+                        WAV_RATE,
+                        stereo=modes[int(doc_id) % 3],
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    flacs = docs.mapInPandas(encode, "doc_id long, payload binary")
+    feats = decode_audio_features(flacs, decoder=flac_audio_decoder)
+    return feats.select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        F.floor(F.col("rms") * 1000 + 0.5).cast("long").alias("rms_milli"),
+    )
+
+
+FLAC_STEREO_DECODE_SQL = WAV_DECODE_SQL  # left channel: same RMS law
+
+
 def ann_hard_negatives(spark, sf_dir):
     """Hard-negative mining for contrastive training (the retrieval-
     training twin of ANN): for each query vector, the 3 most-similar
@@ -10128,6 +10188,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         JPEG_PROG_SA_DECODE_SQL,
     ),
     "multimodal_flac_decode": (multimodal_flac_decode, FLAC_DECODE_SQL),
+    "multimodal_flac_stereo_decode": (
+        multimodal_flac_stereo_decode,
+        FLAC_STEREO_DECODE_SQL,
+    ),
     "doc_perceptron_filter": (doc_perceptron_filter, PERCEPTRON_SQL),
     "doc_bm25_topk": (doc_bm25_topk, BM25_SQL),
     "doc_pii_redaction": (doc_pii_redaction, PII_REDACTION_SQL),

@@ -137,12 +137,61 @@ def test_refusals():
     enc = encode_flac(s, 8000)
     with pytest.raises(ValueError, match="not a FLAC"):
         decode_flac(b"RIFF....")
-    # doctor the channel assignment to left/side (0b1000)
+    # doctor a MONO stream's channel assignment to left/side (0b1000):
+    # decorrelated frames are only legal in 2-channel streams
     i = enc.index(0xFF, 4)  # first frame sync
     bad = bytearray(enc)
     bad[i + 3] = (0b1000 << 4) | (bad[i + 3] & 0x0F)
-    with pytest.raises(ValueError, match="decorrelation"):
+    with pytest.raises(ValueError, match="non-stereo"):
         decode_flac(bytes(bad))
+    # reserved channel assignment 0b1011
+    bad = bytearray(enc)
+    bad[i + 3] = (0b1011 << 4) | (bad[i + 3] & 0x0F)
+    with pytest.raises(ValueError, match="reserved channel"):
+        decode_flac(bytes(bad))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(1, 600),
+    seed=st.integers(0, 10_000),
+    mode=st.sampled_from(["left-side", "right-side", "mid-side"]),
+    block=st.sampled_from([64, 192, 256, 4096]),
+)
+def test_stereo_decorrelation_round_trip_law(n, seed, mode, block):
+    """Round-7 surface: every decorrelated channel assignment is
+    lossless for arbitrary stereo content — including odd left+right
+    sums (mid-side keeps the dropped bit in the side channel) and
+    full-range side values needing the 17th bit."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(-32768, 32768, (n, 2), dtype=np.int16)
+    dec, rate = decode_flac(encode_flac(a, 44100, block_size=block, stereo=mode))
+    assert rate == 44100 and np.array_equal(dec, a)
+
+
+def test_stereo_decorrelation_targeted():
+    """Extremes: side = left - right at the int17 limits; odd-sum
+    mid-side; decorrelation actually wins on correlated channels; and
+    the frame header really declares the decorrelated assignment."""
+    a = np.array(
+        [[-32768, 32767], [32767, -32768], [1, 2], [5, 0], [-1, -2]],
+        dtype=np.int16,
+    )
+    for mode, code in [("left-side", 0x8), ("right-side", 0x9), ("mid-side", 0xA)]:
+        enc = encode_flac(a, 8000, stereo=mode)
+        i = enc.index(0xFF, 4)
+        assert enc[i + 3] >> 4 == code, mode
+        dec, _ = decode_flac(enc)
+        assert np.array_equal(dec, a), mode
+    base = (np.sin(np.arange(4000) / 25) * 12000).astype(np.int16)
+    corr = np.stack([base, base + 3], axis=1).astype(np.int16)
+    assert len(encode_flac(corr, 44100, stereo="mid-side")) < len(
+        encode_flac(corr, 44100)
+    )
+    with pytest.raises(ValueError, match="stereo must be"):
+        encode_flac(a, 8000, stereo="side-side")
+    with pytest.raises(ValueError, match="exactly 2 channels"):
+        encode_flac(np.zeros(8, np.int16), 8000, stereo="mid-side")
 
 
 @settings(max_examples=40, deadline=None)
