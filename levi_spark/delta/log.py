@@ -1324,9 +1324,15 @@ class Snapshot:
         ``_row_commit_version`` from the table's ROW TRACKING metadata
         (writer feature ``rowTracking``): row id = the file's
         ``baseRowId`` + the row's position, commit version = the
-        file's ``defaultRowCommitVersion``. Fresh-id semantics: stable
-        under appends and DV deletes (positions don't move), re-minted
-        by file rewrites. Files without assigned ids yield nulls.
+        file's ``defaultRowCommitVersion`` — OVERRIDDEN per row by the
+        table's materialized row-id / commit-version columns when a
+        file carries them (the spec's preserved-id mechanism: OPTIMIZE
+        rewrites stash each surviving row's prior id in the hidden
+        physical column named by
+        ``delta.rowTracking.materializedRowIdColumnName``). Ids are
+        therefore stable under appends, DV deletes AND preserving
+        rewrites; only true row modifications re-mint. Files without
+        assigned ids yield nulls.
         """
         meta = self.metadata
         infos = self.file_infos()
@@ -1375,6 +1381,23 @@ class Snapshot:
             for r in self.live_adds_collected()
         )
         phys = meta.physical_schema
+        mat_id = mat_cv = None
+        if with_row_ids:
+            # materialized preserved-id columns: physical-only, read
+            # when declared in table config (absent in a file -> null,
+            # and the fresh baseRowId+position id wins via coalesce)
+            conf = meta.configuration
+            mat_id = conf.get("delta.rowTracking.materializedRowIdColumnName")
+            mat_cv = conf.get(
+                "delta.rowTracking.materializedRowCommitVersionColumnName"
+            )
+            extra = [
+                T.StructField(c, T.LongType())
+                for c in (mat_id, mat_cv)
+                if c
+            ]
+            if extra:
+                phys = T.StructType(list(phys.fields) + extra)
         if meta.column_mapping_mode == "id":
             # id-mode columns resolve by parquet field id; the session
             # factory already enables this, but a foreign session must
@@ -1419,9 +1442,15 @@ class Snapshot:
                 on="__file_name",
                 how="left",
             )
+            fresh_id = F.col("__base_row_id") + F.col("__row_index")
+            fresh_cv = F.col("__row_commit")
             rid_cols = [
-                (F.col("__base_row_id") + F.col("__row_index")).alias("_row_id"),
-                F.col("__row_commit").alias("_row_commit_version"),
+                (
+                    F.coalesce(F.col(mat_id), fresh_id) if mat_id else fresh_id
+                ).alias("_row_id"),
+                (
+                    F.coalesce(F.col(mat_cv), fresh_cv) if mat_cv else fresh_cv
+                ).alias("_row_commit_version"),
             ]
         by_name = {f.name: f for f in meta.schema.fields}
         phys_names = meta.physical_names

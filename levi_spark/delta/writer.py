@@ -40,6 +40,14 @@ from levi_spark.delta.log import DeltaLog, stats_schema, _MINMAX_TYPES
 
 _PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 
+# Delta row tracking: table-config keys naming the hidden physical
+# columns that carry PRESERVED row ids / row commit versions through
+# file rewrites (the spec's materialized-column mechanism). Chosen by
+# the writer when it enables the feature; never part of the logical
+# schema.
+_MAT_ROW_ID_KEY = "delta.rowTracking.materializedRowIdColumnName"
+_MAT_ROW_CV_KEY = "delta.rowTracking.materializedRowCommitVersionColumnName"
+
 
 def merge_protocol(base: dict, req: dict) -> dict:
     """Union a protocol requirement into a table's current protocol:
@@ -574,6 +582,7 @@ def write_delta(
     meta_created: int | None = None
     commit_protocol: dict = dict(_PROTOCOL)
     row_hwm = -1  # row tracking: highest row id ever assigned
+    mat_cols: list[str] = []  # materialized row-id/commit-version columns
     if row_tracking and (not exists or mode == "overwrite"):
         meta_conf["delta.enableRowTracking"] = "true"
     if exists:
@@ -591,6 +600,26 @@ def write_delta(
         meta_id = snap.metadata.id
         meta_conf = dict(snap.metadata.configuration)
         meta_created = snap.metadata.created_time
+        # Materialized row-id / row-commit-version columns (Delta row
+        # tracking "preserved" semantics): a rewriter (OPTIMIZE) hands
+        # each row's prior id through these config-named physical
+        # columns. They are written to the data files but are NOT part
+        # of the logical schema — strip them from the commit schema and
+        # every column-set validation below; readers coalesce them over
+        # the fresh baseRowId+position ids.
+        mat_cols = [
+            c
+            for c in (
+                meta_conf.get(_MAT_ROW_ID_KEY),
+                meta_conf.get(_MAT_ROW_CV_KEY),
+            )
+            if c and c in df.columns
+        ]
+        if mat_cols:
+            incoming_schema = T.StructType(
+                [f for f in incoming_schema.fields if f.name not in mat_cols]
+            )
+            commit_schema = incoming_schema
         # Partitioning is table metadata, not a per-write choice: a
         # write that OMITS partition_by (None) inherits it, and an
         # append declaring a DIFFERENT layout errors (committing
@@ -670,10 +699,10 @@ def write_delta(
                     list(prev_schema.fields)
                     + [f for f in incoming_schema.fields if f.name not in by_name]
                 )
-            elif prev_cols != set(df.columns):
+            elif prev_cols != set(df.columns) - set(mat_cols):
                 raise ValueError(
                     f"append schema mismatch: table has {sorted(prev_cols)}, "
-                    f"df has {sorted(df.columns)}"
+                    f"df has {sorted(set(df.columns) - set(mat_cols))}"
                 )
             else:
                 # plain append: the table's schema (incl. its declared
@@ -684,6 +713,16 @@ def write_delta(
     if row_tracking and exists and mode == "overwrite":
         meta_conf["delta.enableRowTracking"] = "true"
     rt_enabled = meta_conf.get("delta.enableRowTracking") == "true"
+    if rt_enabled and (not exists or mode == "overwrite"):
+        # mint the materialized-column names once, at enable time (an
+        # overwrite of an already-enabled table keeps the existing ones
+        # — the names are part of the table's contract)
+        meta_conf.setdefault(
+            _MAT_ROW_ID_KEY, f"_row_id_col_{uuid.uuid4().hex[:8]}"
+        )
+        meta_conf.setdefault(
+            _MAT_ROW_CV_KEY, f"_row_cv_col_{uuid.uuid4().hex[:8]}"
+        )
     if row_tracking and exists and mode == "append" and not rt_enabled:
         raise ValueError(
             "row_tracking=True on append to a table without "
@@ -793,7 +832,11 @@ def write_delta(
     # only when footers can't be bit-faithful (complex columns, NaN,
     # oversized binary values — see _footer_stats)
     data_schema = T.StructType(
-        [f for f in df.schema.fields if f.name not in set(partition_by)]
+        [
+            f
+            for f in df.schema.fields
+            if f.name not in set(partition_by) and f.name not in mat_cols
+        ]
     )
     abs_files = [os.path.join(path, rel) for rel in moved]
     stats_by_name: dict[str, dict] = {}
@@ -979,11 +1022,13 @@ def write_delta(
                     list(prev_schema.fields)
                     + [f for f in incoming_schema.fields if f.name not in by_name]
                 )
-            elif {f.name for f in prev_schema.fields} != set(df.columns):
+            elif {f.name for f in prev_schema.fields} != (
+                set(df.columns) - set(mat_cols)
+            ):
                 raise ValueError(
                     "append invalidated by concurrent commit: table columns "
                     f"are now {sorted(f.name for f in prev_schema.fields)}, "
-                    f"df has {sorted(df.columns)}"
+                    f"df has {sorted(set(df.columns) - set(mat_cols))}"
                 ) from None
             else:
                 commit_schema = prev_schema

@@ -47,6 +47,31 @@ from levi_spark.delta.log import DeltaLog
 from levi_spark.delta.writer import write_delta
 
 
+def _with_preserved_row_ids(snap, df_reader):
+    """Row-tracking preservation for OPTIMIZE rewrites: when the table
+    tracks rows AND declares materialized row-id columns, read the
+    input WITH its current row ids and hand them to the writer under
+    the config-declared physical column names — every surviving row
+    keeps its id across the rewrite (the Delta spec's preserved-id
+    semantics; lineage consumers rely on exactly this). Tables without
+    the feature read plainly and ids re-mint (spec-legal "fresh").
+
+    ``df_reader(with_row_ids)`` -> DataFrame, so callers decide the
+    scan (subset of files for compaction, full table for clustering).
+    """
+    conf = snap.metadata.configuration or {}
+    mat_id = conf.get("delta.rowTracking.materializedRowIdColumnName")
+    mat_cv = conf.get("delta.rowTracking.materializedRowCommitVersionColumnName")
+    if conf.get("delta.enableRowTracking") == "true" and mat_id:
+        df = df_reader(True).withColumnRenamed("_row_id", mat_id)
+        if mat_cv:
+            df = df.withColumnRenamed("_row_commit_version", mat_cv)
+        else:
+            df = df.drop("_row_commit_version")
+        return df
+    return df_reader(False)
+
+
 def compact_small_files(
     spark: SparkSession,
     path: str,
@@ -74,7 +99,9 @@ def compact_small_files(
     total = sum(os.stat(os.path.join(path, p)).st_size for p in smalls)
     n_out = max(1, math.ceil(total / target_bytes))
 
-    df = snap.to_df(paths=smalls)
+    df = _with_preserved_row_ids(
+        snap, lambda rid: snap.to_df(paths=smalls, with_row_ids=rid)
+    )
     before = log.latest_version()
     version = write_delta(
         df.repartition(n_out),
@@ -268,7 +295,11 @@ def optimize_hilbert(
     min/max locality per file). Returns the new version."""
     log = DeltaLog(spark, path)
     snap = log.snapshot()
-    df = hilbert_value(snap.to_df(), cols, bits=bits)
+    df = hilbert_value(
+        _with_preserved_row_ids(snap, lambda rid: snap.to_df(with_row_ids=rid)),
+        cols,
+        bits=bits,
+    )
     clustered = (
         df.repartitionByRange(n_files, F.col("__h"))
         .sortWithinPartitions("__h")
@@ -296,7 +327,11 @@ def optimize_zorder(
     new version."""
     log = DeltaLog(spark, path)
     snap = log.snapshot()
-    df = zorder_value(snap.to_df(), cols, bits=bits)
+    df = zorder_value(
+        _with_preserved_row_ids(snap, lambda rid: snap.to_df(with_row_ids=rid)),
+        cols,
+        bits=bits,
+    )
     clustered = (
         df.repartitionByRange(n_files, F.col("__z"))
         .sortWithinPartitions("__z")

@@ -2239,14 +2239,22 @@ def row_tracking_counts(spark, sf_dir):
     domainMetadata; every add action carries ``baseRowId`` /
     ``defaultRowCommitVersion``; the ``delta.rowTracking`` domain's
     high-water mark advances per commit), an append mints fresh ids
-    from the high-water mark, and a DV soft-delete must leave the
+    from the high-water mark, a DV soft-delete must leave the
     SURVIVORS' row ids untouched — the stability property row
-    tracking exists for. Writes are single sorted files
-    (repartition(1) + sortWithinPartitions) so every row's id is
-    deterministic and the oracle recomputes them as ROW_NUMBER
-    arithmetic: base rows get ids [0, N), appended rows [N, N+M) in
-    key order. Output: per market segment, live-row count, row-id
-    sum/max, and per-commit-version counts.
+    tracking exists for — and then an OPTIMIZE compaction rewrites
+    every file and must STILL preserve each survivor's row id and
+    commit version (round-7 surface: the writer stashes them in the
+    table's materialized row-id/commit-version columns per the spec,
+    and the reader coalesces the materialized values over the fresh
+    baseRowId+position ids the rewrite minted). Writes are single
+    sorted files (repartition(1) + sortWithinPartitions) so every
+    row's id is deterministic and the oracle recomputes them as
+    ROW_NUMBER arithmetic: base rows get ids [0, N), appended rows
+    [N, N+M) in key order — the oracle is UNCHANGED by the rewrite,
+    which is exactly the claim; a re-minting compaction would shift
+    every id and commit version and hash-mismatch. Output: per market
+    segment, live-row count, row-id sum/max, and per-commit-version
+    counts.
 
     Scale note: the single-file write is the determinism harness for
     the gate, not the operator's shape — row-id assignment itself is
@@ -2278,6 +2286,11 @@ def row_tracking_counts(spark, sf_dir):
         p, mode="append", checkpoint_interval=None,
     )
     soft_delete(spark, p, "c_custkey % 7 = 0", checkpoint_interval=None)
+    # full rewrite: both files qualify as small; survivors must keep
+    # their ids (materialized-column preservation, not fresh minting)
+    from levi_spark.operators.layout import compact_small_files
+
+    compact_small_files(spark, p, small_bytes=1 << 30, target_bytes=1 << 30)
     df = DeltaLog(spark, p).snapshot().to_df(with_row_ids=True)
     return (
         df.groupBy("c_mktsegment")

@@ -245,3 +245,115 @@ def test_foreign_table_base_row_ids_read(spark, tmp_path):
         (r.id, r._row_id) for r in snap.to_df(with_row_ids=True).collect()
     )
     assert got == [(i, 100 + i) for i in range(8)]
+
+
+def _full_ids(spark, path):
+    snap = DeltaLog(spark, path).snapshot()
+    return sorted(
+        (r.id, r._row_id, r._row_commit_version)
+        for r in snap.to_df(with_row_ids=True).collect()
+    )
+
+
+def test_optimize_compaction_preserves_row_ids(spark, tmp_path):
+    """Round-7 surface: OPTIMIZE stashes each survivor's id/commit
+    version in the materialized columns, so a full rewrite changes NO
+    row's id — and later appends still mint above the (advanced)
+    high-water mark."""
+    from levi_spark.operators.layout import compact_small_files
+
+    p = str(tmp_path / "t")
+    write_delta(
+        _sorted_single(spark.range(40).selectExpr("id", "id AS v"), "id"),
+        p, mode="error", checkpoint_interval=None, row_tracking=True,
+    )
+    write_delta(
+        _sorted_single(
+            spark.range(40, 60).selectExpr("id", "id AS v"), "id"
+        ),
+        p, mode="append", checkpoint_interval=None,
+    )
+    before = _full_ids(spark, p)
+    res = compact_small_files(
+        spark, p, small_bytes=1 << 30, target_bytes=1 << 30
+    )
+    assert res["files_removed"] == 2
+    assert _full_ids(spark, p) == before
+    # the rewrite still minted fresh base ids (spec: baseRowId always
+    # assigned), so the mark advanced; new appends never collide
+    assert DeltaLog(spark, p).snapshot().row_id_high_water_mark() >= 119
+    write_delta(
+        _sorted_single(spark.range(60, 70).selectExpr("id", "id AS v"), "id"),
+        p, mode="append", checkpoint_interval=None,
+    )
+    got = _full_ids(spark, p)
+    assert len({g[1] for g in got}) == len(got) == 70
+
+
+def test_optimize_zorder_preserves_row_ids(spark, tmp_path):
+    from levi_spark.operators.layout import optimize_zorder
+
+    p = str(tmp_path / "t")
+    write_delta(
+        _sorted_single(
+            spark.range(50).selectExpr("id", "(id * 7) % 50 AS v"), "id"
+        ),
+        p, mode="error", checkpoint_interval=None, row_tracking=True,
+    )
+    before = _full_ids(spark, p)
+    optimize_zorder(spark, p, ["id", "v"], n_files=4)
+    assert _full_ids(spark, p) == before
+
+
+def test_dv_delete_then_compact_keeps_survivor_ids(spark, tmp_path):
+    """The gate's shape: DV soft-delete, then a physical rewrite —
+    survivors keep both id and commit version."""
+    from levi_spark.operators.layout import compact_small_files
+
+    p = str(tmp_path / "t")
+    write_delta(
+        _sorted_single(spark.range(30).selectExpr("id", "id AS v"), "id"),
+        p, mode="error", checkpoint_interval=None, row_tracking=True,
+    )
+    write_delta(
+        _sorted_single(spark.range(30, 45).selectExpr("id", "id AS v"), "id"),
+        p, mode="append", checkpoint_interval=None,
+    )
+    soft_delete(spark, p, "id % 5 = 0", checkpoint_interval=None)
+    want = [(i, i, 0 if i < 30 else 1) for i in range(45) if i % 5 != 0]
+    assert _full_ids(spark, p) == want
+    compact_small_files(spark, p, small_bytes=1 << 30, target_bytes=1 << 30)
+    assert _full_ids(spark, p) == want
+
+
+def test_materialized_columns_stay_physical_only(spark, tmp_path):
+    """The materialized columns are config-named, live in the parquet
+    files after a preserving rewrite, and never leak into the logical
+    schema or plain reads."""
+    from levi_spark.operators.layout import compact_small_files
+
+    p = str(tmp_path / "t")
+    write_delta(
+        _sorted_single(spark.range(12).selectExpr("id", "id AS v"), "id"),
+        p, mode="error", checkpoint_interval=None, row_tracking=True,
+    )
+    write_delta(
+        _sorted_single(spark.range(12, 20).selectExpr("id", "id AS v"), "id"),
+        p, mode="append", checkpoint_interval=None,
+    )
+    snap = DeltaLog(spark, p).snapshot()
+    conf = snap.metadata.configuration
+    mid = conf["delta.rowTracking.materializedRowIdColumnName"]
+    mcv = conf["delta.rowTracking.materializedRowCommitVersionColumnName"]
+    assert mid.startswith("_row_id_col_") and mcv.startswith("_row_cv_col_")
+    compact_small_files(spark, p, small_bytes=1 << 30, target_bytes=1 << 30)
+    snap = DeltaLog(spark, p).snapshot()
+    # logical surface clean
+    assert snap.to_df().columns == ["id", "v"]
+    assert [f.name for f in snap.metadata.schema.fields] == ["id", "v"]
+    # physical files really carry the preserved values
+    files = [r["path"] for r in snap.add_actions().select("path").collect()]
+    raw = spark.read.parquet(*[os.path.join(p, f) for f in files])
+    assert mid in raw.columns and mcv in raw.columns
+    got = sorted((r["id"], r[mid], r[mcv]) for r in raw.collect())
+    assert got == [(i, i, 0 if i < 12 else 1) for i in range(20)]
