@@ -124,7 +124,14 @@ _PROTOCOL_TYPE = T.StructType(
 _SUPPORTED_READER_FEATURES = frozenset(
     {"timestampNtz", "vacuumProtocolCheck", "appendOnly", "invariants",
      "deletionVectors", "v2Checkpoint", "typeWidening",
-     "typeWidening-preview", "variantType", "variantType-preview"}
+     "typeWidening-preview", "variantType", "variantType-preview",
+     # shredded variants: the scan requests VariantType for the column
+     # and Spark's parquet reader reassembles typed_value/value/
+     # metadata per the Parquet Variant Shredding spec (verified
+     # value-exact against a physically shredded fixture in
+     # tests/test_v2_checkpoints.py and the variant_shredding_counts
+     # driver gate)
+     "variantShredding", "variantShredding-preview"}
 )
 
 

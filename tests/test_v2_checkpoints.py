@@ -481,12 +481,72 @@ def test_variant_type_reads(spark, tmp_path):
         .collect()
     )
     assert got == [(i, i * 10) for i in range(4)]
-    # shredded variants are a SEPARATE feature and still refuse
-    from levi_spark.delta.log import UnsupportedTableFeatureError
 
-    actions[0]["protocol"]["readerFeatures"] = [
-        "variantType", "variantShredding-preview"
+
+def test_variant_shredding_reads(spark, tmp_path):
+    """Round-7 surface: a PHYSICALLY SHREDDED variant fixture (Spark's
+    native writeShredding lays out metadata/value/typed_value columns;
+    asserted via the footer) reads back value-exact through a log that
+    demands the variantShredding-preview reader feature — typed fields,
+    a residual string field, and missing-path nulls."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    os.makedirs(os.path.join(path, "_delta_log"))
+    df = spark.range(20).select(
+        "id",
+        F.parse_json(
+            F.concat(
+                F.lit('{"a": '), (F.col("id") * 7).cast("string"),
+                F.lit(', "b": "x'), (F.col("id") % 4).cast("string"),
+                F.lit('"}'),
+            )
+        ).alias("j"),
+    )
+    spark.conf.set("spark.sql.variant.writeShredding.enabled", "true")
+    spark.conf.set("spark.sql.variant.inferShreddingSchema", "true")
+    try:
+        df.coalesce(1).write.mode("append").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.variant.writeShredding.enabled", "false")
+        spark.conf.set("spark.sql.variant.inferShreddingSchema", "false")
+    (f0,) = [n for n in os.listdir(path) if n.endswith(".parquet")]
+    with open(os.path.join(path, f0), "rb") as fh:
+        assert b"typed_value" in fh.read(), "fixture did not shred"
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "j", "type": "variant", "nullable": True, "metadata": {}},
+        ],
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["variantType",
+                                         "variantShredding-preview"],
+                      "writerFeatures": ["variantType",
+                                         "variantShredding-preview"]}},
+        {"metaData": {
+            "id": "t-shred", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": [], "configuration": {}, "createdTime": 0}},
+        {"add": {"path": f0, "partitionValues": {},
+                 "size": os.path.getsize(os.path.join(path, f0)),
+                 "modificationTime": 0, "dataChange": True,
+                 "stats": json.dumps({"numRecords": 20})}},
     ]
-    _commit(path, 1, actions)
-    with pytest.raises(UnsupportedTableFeatureError, match="variantShredding"):
-        DeltaLog(spark, path).snapshot().to_df()
+    _commit(path, 0, actions)
+    got = sorted(
+        (r.id, r.a, r.b, r.missing)
+        for r in DeltaLog(spark, path)
+        .snapshot()
+        .to_df()
+        .select(
+            "id",
+            F.expr("variant_get(j, '$.a', 'long')").alias("a"),
+            F.expr("variant_get(j, '$.b', 'string')").alias("b"),
+            F.expr("variant_get(j, '$.nope', 'long')").alias("missing"),
+        )
+        .collect()
+    )
+    assert got == [(i, i * 7, f"x{i % 4}", None) for i in range(20)]
