@@ -10301,46 +10301,44 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # the 4 queries at positions 50-53 missed both rounds). So the
     # first 50 slots are rotation policy: never-gated queries first,
     # then queries changed this round, then oldest-green backfill.
-    # -- ROUND 6 slots 1-2: the ONLY two queries with no driver row ever
-    #    (committed after the final r05 gate; VERDICT r05 ask #2) ----------
-    "doc_vocab_coverage": (doc_vocab_coverage, VOCAB_COVERAGE_SQL),
-    "quality_calibration_bins": (quality_calibration_bins, QUALITY_CALIBRATION_SQL),
-    # -- slots 3+: changed or new in round 6 (roaring encoder rewrite ->
-    #    standard-DV writers; JPEG AC-exact gate; capped interop fixture;
-    #    staged PCA/incremental/market-basket) -- see per-slot notes ------
-    "jsonl_export_counts": (jsonl_export_counts, JSONL_EXPORT_SQL),
-    "stream_static_enrich": (stream_static_enrich, STREAM_STATIC_SQL),
-    "table_detail_counts": (table_detail_counts, TABLE_DETAIL_SQL),
-    "orders_market_basket": (orders_market_basket, MARKET_BASKET_SQL),
-    # -- slots 5-8: new this round (compressed codecs + retrieval/PII) -----
-    "multimodal_png_decode": (multimodal_png_decode, PNG_DECODE_SQL),
-    "multimodal_jpeg_decode": (multimodal_jpeg_decode, JPEG_DECODE_SQL),
-    "multimodal_jpeg420_decode": (multimodal_jpeg420_decode, JPEG420_DECODE_SQL),
-    "multimodal_jpeg_prog_decode": (multimodal_jpeg_prog_decode, JPEG_PROG_DECODE_SQL),
+    # -- ROUND 7 slots 1-4: NEW this round (SA progressive JPEG, FLAC
+    #    stereo decorrelation, shredded variants) + the rewritten
+    #    nonzero-chroma 4:2:0 gate --------------------------------------
     "multimodal_jpeg_prog_sa_decode": (
         multimodal_jpeg_prog_sa_decode,
         JPEG_PROG_SA_DECODE_SQL,
     ),
-    "multimodal_flac_decode": (multimodal_flac_decode, FLAC_DECODE_SQL),
     "multimodal_flac_stereo_decode": (
         multimodal_flac_stereo_decode,
         FLAC_STEREO_DECODE_SQL,
     ),
+    "variant_shredding_counts": (variant_shredding_counts, VARIANT_SHREDDING_SQL),
+    "multimodal_jpeg420_decode": (multimodal_jpeg420_decode, JPEG420_DECODE_SQL),
+    # -- changed in round 7: OPTIMIZE now preserves row ids (gate gained
+    #    a full-rewrite phase); frame sampling back to the plain scan ----
+    "row_tracking_counts": (row_tracking_counts, ROW_TRACKING_SQL),
+    "multimodal_frame_sample": (multimodal_frame_sample, FRAME_SAMPLE_SQL),
+    # -- round-6 window (all green r06; stay for gate continuity) --------
+    "doc_vocab_coverage": (doc_vocab_coverage, VOCAB_COVERAGE_SQL),
+    "quality_calibration_bins": (quality_calibration_bins, QUALITY_CALIBRATION_SQL),
+    "jsonl_export_counts": (jsonl_export_counts, JSONL_EXPORT_SQL),
+    "stream_static_enrich": (stream_static_enrich, STREAM_STATIC_SQL),
+    "table_detail_counts": (table_detail_counts, TABLE_DETAIL_SQL),
+    "orders_market_basket": (orders_market_basket, MARKET_BASKET_SQL),
+    "multimodal_png_decode": (multimodal_png_decode, PNG_DECODE_SQL),
+    "multimodal_jpeg_decode": (multimodal_jpeg_decode, JPEG_DECODE_SQL),
+    "multimodal_jpeg_prog_decode": (multimodal_jpeg_prog_decode, JPEG_PROG_DECODE_SQL),
+    "multimodal_flac_decode": (multimodal_flac_decode, FLAC_DECODE_SQL),
     "doc_perceptron_filter": (doc_perceptron_filter, PERCEPTRON_SQL),
     "doc_bm25_topk": (doc_bm25_topk, BM25_SQL),
     "doc_pii_redaction": (doc_pii_redaction, PII_REDACTION_SQL),
     "foreign_delta_interop": (foreign_delta_interop, FOREIGN_INTEROP_SQL),
-    "variant_shredding_counts": (variant_shredding_counts, VARIANT_SHREDDING_SQL),
-    # changed this round (standard DV format) -> back in the gate window
     "dv_soft_delete_orders": (dv_soft_delete_orders, DV_SOFT_DELETE_SQL),
     "ann_ranking_metrics": (ann_ranking_metrics, ANN_RANKING_SQL),
-    # changed this round: stage-timed floor analyses (PCA footer-count
-    # job cut; incremental refresh timers) + the new Q18 slot
     "embedding_pca_projection": (embedding_pca_projection, PCA_PROJECTION_SQL),
     "incremental_agg_refresh": (incremental_agg_refresh, INCR_AGG_SQL),
     "q18_large_volume_customer": (q18_large_volume_customer, Q18_SQL),
     "stream_dedup_watermark": (stream_dedup_watermark, STREAM_DEDUP_WM_SQL),
-    "row_tracking_counts": (row_tracking_counts, ROW_TRACKING_SQL),
     "doc_winnow_neardup": (doc_winnow_neardup, WINNOW_SQL),
     "embedding_mrl_overlap": (embedding_mrl_overlap, MRL_OVERLAP_SQL),
     "cdf_timestamp_counts": (cdf_timestamp_counts, CDF_TIMESTAMP_SQL),
@@ -10439,7 +10437,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "embedding_pq_codes": (embedding_pq_codes, PQ_CODES_SQL),
     "pq_adc_topk": (pq_adc_topk, PQ_ADC_SQL),
     "multimodal_byte_features": (multimodal_byte_features, MULTIMODAL_SQL),
-    "multimodal_frame_sample": (multimodal_frame_sample, FRAME_SAMPLE_SQL),
     "doc_bpe_tokens": (doc_bpe_tokens, BPE_TOKENS_SQL),
     "minhash_lsh_neardup": (minhash_lsh_neardup, MINHASH_SQL),
     "stream_hourly_rollup": (stream_hourly_rollup, STREAM_HOURLY_SQL),
