@@ -400,7 +400,14 @@ def purge_deleted(spark: SparkSession, path: str) -> dict:
     ]
     if not dv_paths:
         return {"version": -1, "files_rewritten": 0}
-    survivors = snap.to_df(paths=dv_paths)
+    # a purge rewrite does not logically modify the surviving rows —
+    # preserve their row ids (same materialized-column mechanism as
+    # OPTIMIZE) on row-tracked tables
+    from levi_spark.operators.layout import _with_preserved_row_ids
+
+    survivors = _with_preserved_row_ids(
+        snap, lambda rid: snap.to_df(paths=dv_paths, with_row_ids=rid)
+    )
     version = write_delta(
         survivors,
         path,

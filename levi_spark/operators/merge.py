@@ -175,6 +175,22 @@ class MergeBuilder:
         src = src.alias("s")
         cdc_parts: list[DataFrame] = []
 
+        # Row tracking: a MERGE rewrite preserves every surviving
+        # row's id through the materialized columns — copied rows also
+        # keep their commit version, updated rows re-stamp it (null
+        # materialized value -> the rewrite commit's default, i.e.
+        # "last modified here"), inserts mint fresh ids.
+        _conf = snap.metadata.configuration or {}
+        rt_mat_id = _conf.get("delta.rowTracking.materializedRowIdColumnName")
+        rt_mat_cv = _conf.get(
+            "delta.rowTracking.materializedRowCommitVersionColumnName"
+        )
+        rt_preserve = (
+            _conf.get("delta.enableRowTracking") == "true"
+            and rt_mat_id is not None
+            and rt_mat_cv is not None
+        )
+
         rewritten = None
         touched_rels: list[str] = []
         if self._matched:
@@ -224,7 +240,11 @@ class MergeBuilder:
                     raise ValueError(
                         "MERGE: a target row matches multiple source rows"
                     )
-                sub = snap.to_df(paths=touched_rels, with_lineage=True).alias("t")
+                sub = snap.to_df(
+                    paths=touched_rels,
+                    with_lineage=True,
+                    with_row_ids=rt_preserve,
+                ).alias("t")
                 joined = sub.join(src, cond, "left_outer")
                 matched = F.col(_MARKER).isNotNull()
                 # first-applicable-clause resolution, in declaration order
@@ -264,6 +284,25 @@ class MergeBuilder:
                 # CDF images need.
                 carry_cols = list(out_cols)
                 carry_cols.append(keep.alias("__keep"))
+                if rt_preserve:
+                    upd_any = functools.reduce(
+                        operator.or_,
+                        [
+                            app
+                            for (kind, _c, _s), app in zip(
+                                self._matched, applicable
+                            )
+                            if kind == "update"
+                        ],
+                        F.lit(False),
+                    )
+                    carry_cols.append(F.col("t._row_id").alias(rt_mat_id))
+                    carry_cols.append(
+                        F.when(upd_any, F.lit(None))
+                        .otherwise(F.col("t._row_commit_version"))
+                        .cast("long")
+                        .alias(rt_mat_cv)
+                    )
                 if emit_cdf:
                     carry_cols += [
                         F.col(f"t.{c}").cast(types[c]).alias(f"__orig_{c}")
@@ -276,7 +315,10 @@ class MergeBuilder:
                 carry = joined.select(*carry_cols)
                 for g, e in gen_recompute.items():
                     carry = carry.withColumn(g, F.expr(e).cast(types[g]))
-                rewritten = carry.where(F.col("__keep")).select(*all_cols)
+                rewritten = carry.where(F.col("__keep")).select(
+                    *all_cols,
+                    *([rt_mat_id, rt_mat_cv] if rt_preserve else []),
+                )
                 if emit_cdf:
                     # preimages null-fill evolution columns, typed to the
                     # post-merge resolution so the CDF structs align
@@ -380,7 +422,9 @@ class MergeBuilder:
                 )
 
         if rewritten is not None and inserts is not None:
-            out = rewritten.unionByName(inserts)
+            # preserved-id columns exist only on the rewritten side;
+            # inserts null-fill them and mint fresh ids
+            out = rewritten.unionByName(inserts, allowMissingColumns=True)
         elif rewritten is not None:
             out = rewritten
         elif inserts is not None:

@@ -59,7 +59,7 @@ def test_append_continues_from_high_water_mark(spark, tmp_path):
     assert DeltaLog(spark, p).snapshot().row_id_high_water_mark() == 13
 
 
-def test_dv_delete_keeps_survivor_ids_then_purge_reminst(spark, tmp_path):
+def test_dv_delete_keeps_survivor_ids_and_purge_preserves(spark, tmp_path):
     p = str(tmp_path / "t")
     write_delta(
         _sorted_single(spark.range(30).selectExpr("id", "id AS v"), "id"),
@@ -68,12 +68,12 @@ def test_dv_delete_keeps_survivor_ids_then_purge_reminst(spark, tmp_path):
     soft_delete(spark, p, "id % 4 = 0", checkpoint_interval=None)
     want = [(i, i, 0) for i in range(30) if i % 4 != 0]
     assert _ids(spark, p) == want
-    # purge REWRITES the files -> fresh ids above the old mark
+    # purge rewrites the files but does not logically modify survivors
+    # -> preserved ids (round 7; materialized columns), while the
+    # rewrite's fresh base ids still advance the high-water mark
     purge_deleted(spark, p)
-    got = _ids(spark, p)
-    assert [g[0] for g in got] == [w[0] for w in want]
-    assert all(g[1] > 29 for g in got), "rewrite must mint fresh ids"
-    assert len({g[1] for g in got}) == len(got)
+    assert _ids(spark, p) == want
+    assert DeltaLog(spark, p).snapshot().row_id_high_water_mark() > 29
 
 
 def test_overwrite_mints_above_old_mark(spark, tmp_path):
@@ -357,3 +357,45 @@ def test_materialized_columns_stay_physical_only(spark, tmp_path):
     assert mid in raw.columns and mcv in raw.columns
     got = sorted((r["id"], r[mid], r[mcv]) for r in raw.collect())
     assert got == [(i, i, 0 if i < 12 else 1) for i in range(20)]
+
+
+def test_merge_preserves_copied_and_updated_row_ids(spark, tmp_path):
+    """MERGE on a row-tracked table: rows merely COPIED by the rewrite
+    keep id + commit version; UPDATED rows keep their id but re-stamp
+    the commit version to the merge commit; inserted rows mint fresh
+    ids; deleted rows' ids never come back."""
+    from levi_spark.delta.table import LeviTable
+    from levi_spark.operators.merge import merge
+
+    p = str(tmp_path / "t")
+    write_delta(
+        _sorted_single(spark.range(20).selectExpr("id", "id AS v"), "id"),
+        p, mode="error", checkpoint_interval=None, row_tracking=True,
+    )
+    src = spark.range(15, 25).selectExpr(
+        "id", "id * 100 AS v", "id % 2 = 0 AS kill"
+    )
+    from pyspark.sql import functions as F
+
+    res = (
+        merge(LeviTable(spark, p), src, "t.id = s.id")
+        .when_matched_delete(condition=F.expr("s.kill"))
+        .when_matched_update(set={"v": F.expr("s.v")})
+        .when_not_matched_insert(values={"id": F.expr("s.id"), "v": F.expr("s.v")})
+        .execute()
+    )
+    assert res["version"] >= 1
+    got = {r[0]: (r[1], r[2]) for r in _full_ids(spark, p)}
+    # survivors 0..14 copied: id == original, commit version 0
+    for i in range(15):
+        assert got[i] == (i, 0), (i, got[i])
+    # 16/18 deleted; 15,17,19 updated in place: id preserved, cv = merge
+    merge_v = res["version"]
+    for i in (16, 18):
+        assert i not in got
+    for i in (15, 17, 19):
+        assert got[i][0] == i and got[i][1] == merge_v, (i, got[i])
+    # 20..24 inserted: fresh ids above the old mark, cv = merge commit
+    for i in range(20, 25):
+        assert got[i][0] >= 20 and got[i][1] == merge_v, (i, got[i])
+    assert len({v[0] for v in got.values()}) == len(got)
