@@ -9,11 +9,13 @@ Supported profile: 16-bit PCM, 1-8 independent channels, stereo
 decorrelation on both sides (left-side / right-side / mid-side channel
 assignments — the shape nearly every real-world stereo FLAC uses, with
 the side channel's extra sample bit), CONSTANT / VERBATIM / FIXED
-(orders 0-4) subframes, Rice residual methods 0 and 1 (4- and 5-bit
-parameters) with any partition order, escaped (raw) partitions,
-wasted-bits shifting, and both CRCs verified (CRC-8 frame header,
-CRC-16 whole frame). Refused explicitly rather than misread: LPC
-subframes, sample sizes other than 16 bits.
+(orders 0-4) / LPC (orders 1-32, quantized coefficients with signed
+shift — what real encoders emit for nearly all music content)
+subframes, Rice residual methods 0 and 1 (4- and 5-bit parameters)
+with any partition order, escaped (raw) partitions, wasted-bits
+shifting, and both CRCs verified (CRC-8 frame header, CRC-16 whole
+frame). Refused explicitly rather than misread: negative LPC shifts,
+sample sizes other than 16 bits.
 
 Pipeline (encode): fixed blocksize frames; per block, per channel, the
 encoder picks CONSTANT when flat, else the FIXED predictor order 0-2
@@ -192,9 +194,36 @@ def _best_rice_param(residual: np.ndarray) -> int:
     return p
 
 
-def _encode_subframe(bw: _BitWriter, s: np.ndarray, eff: int) -> None:
-    """One CONSTANT-or-FIXED subframe at ``eff`` sample bits (17 for a
-    decorrelated side channel, else 16)."""
+def _write_residual(bw: _BitWriter, residual: np.ndarray, eff: int) -> None:
+    """Single-partition Rice residual, escaping to raw when the Rice
+    parameter would overflow (raw width sized to the data)."""
+    param = _best_rice_param(residual)
+    if param <= 14:
+        bw.write(0b00, 2)  # Rice method 0 (4-bit params)
+        bw.write(0, 4)  # partition order 0
+        bw.write(param, 4)
+        _rice_encode(bw, residual, param)
+    else:
+        nb = max(
+            eff + 3,
+            max((int(abs(r)).bit_length() + 1 for r in residual.tolist()),
+                default=1),
+        )
+        bw.write(0b00, 2)
+        bw.write(0, 4)
+        bw.write(0b1111, 4)
+        bw.write(nb, 5)
+        for r in residual.tolist():
+            bw.write(int(r), nb)
+
+
+def _encode_subframe(
+    bw: _BitWriter, s: np.ndarray, eff: int, lpc_order: int = 0
+) -> None:
+    """One CONSTANT / FIXED / LPC subframe at ``eff`` sample bits (17
+    for a decorrelated side channel, else 16). ``lpc_order > 0``
+    requests a quantized-LPC subframe (Levinson-Durbin coefficients);
+    degenerate blocks fall back to CONSTANT/FIXED."""
     bs = len(s)
     if bs and (s == s[0]).all():
         bw.write(0, 1)  # reserved
@@ -202,6 +231,31 @@ def _encode_subframe(bw: _BitWriter, s: np.ndarray, eff: int) -> None:
         bw.write(0, 1)  # no wasted bits
         bw.write(int(s[0]), eff)
         return
+    if lpc_order:
+        fit = _lpc_coeffs(s, min(lpc_order, bs - 1))
+        if fit is not None:
+            qc, shift = fit
+            order = len(qc)
+            qrev = qc[::-1].copy()
+            pred = np.array(
+                [
+                    int(np.dot(qrev, s[i - order : i])) >> shift
+                    for i in range(order, bs)
+                ],
+                dtype=np.int64,
+            )
+            residual = s[order:] - pred
+            bw.write(0, 1)
+            bw.write(0b100000 | (order - 1), 6)  # LPC, order
+            bw.write(0, 1)  # no wasted bits
+            for w in s[:order].tolist():
+                bw.write(int(w), eff)
+            bw.write(15 - 1, 4)  # coefficient precision 15
+            bw.write(shift, 5)
+            for c in qc.tolist():
+                bw.write(int(c), 15)
+            _write_residual(bw, residual, eff)
+            return
     best = None
     for order in range(min(3, bs)):
         res = s
@@ -216,19 +270,7 @@ def _encode_subframe(bw: _BitWriter, s: np.ndarray, eff: int) -> None:
     bw.write(0, 1)
     for w in s[:order].tolist():
         bw.write(int(w), eff)  # warm-up
-    param = _best_rice_param(residual)
-    if param <= 14:
-        bw.write(0b00, 2)  # Rice method 0 (4-bit params)
-        bw.write(0, 4)  # partition order 0
-        bw.write(param, 4)
-        _rice_encode(bw, residual, param)
-    else:  # escape to raw (eff+3 bits covers any order<=2 residual)
-        bw.write(0b00, 2)
-        bw.write(0, 4)
-        bw.write(0b1111, 4)
-        bw.write(eff + 3, 5)
-        for r in residual.tolist():
-            bw.write(int(r), eff + 3)
+    _write_residual(bw, residual, eff)
 
 
 # stereo decorrelation modes -> (frame channel code, which subframe
@@ -242,13 +284,17 @@ def encode_flac(
     sample_rate: int,
     block_size: int = 4096,
     stereo: str | None = None,
+    lpc_order: int = 0,
 ) -> bytes:
     """int16 (n,) mono or (n, ch) -> FLAC bytes (fixed blocksize,
-    FIXED predictors, single-partition Rice). ``stereo`` selects a
-    decorrelated channel assignment for 2-channel input:
-    ``"left-side"`` (left + side), ``"right-side"`` (side + right) or
-    ``"mid-side"`` (mid + side), with ``side = left - right`` carried
-    at 17 bits per the spec; ``None`` keeps independent channels."""
+    single-partition Rice). ``stereo`` selects a decorrelated channel
+    assignment for 2-channel input: ``"left-side"`` (left + side),
+    ``"right-side"`` (side + right) or ``"mid-side"`` (mid + side),
+    with ``side = left - right`` carried at 17 bits per the spec;
+    ``None`` keeps independent channels. ``lpc_order > 0`` emits
+    quantized-LPC subframes of that order (Levinson-Durbin fit,
+    precision-15 coefficients, non-negative shift — the subframe type
+    real encoders use for music); 0 keeps CONSTANT/FIXED."""
     a = np.asarray(samples, dtype=np.int16)
     if a.ndim == 1:
         a = a[:, None]
@@ -303,7 +349,9 @@ def encode_flac(
                 subs = [(left + right) >> 1, side]
             side_at = _STEREO_MODES[stereo][1]
         for ci, s in enumerate(subs):
-            _encode_subframe(bw, s, 17 if ci == side_at else 16)
+            _encode_subframe(
+                bw, s, 17 if ci == side_at else 16, lpc_order=lpc_order
+            )
         bw.align()
         body = bw.bytes()
         frames += body + struct.pack(">H", _crc16(body))
@@ -438,8 +486,27 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
                     warm[i] = v - ((v >> (eff - 1)) << eff)
                 res = _read_residual(br, bs, order)
                 s = _fixed_restore(warm, res, order)
-            elif sft >= 0b100000:
-                raise ValueError("LPC subframes unsupported (FIXED only)")
+            elif sft >= 0b100000:  # LPC, order 1-32
+                order = (sft & 0x1F) + 1
+                warm = np.empty(order, np.int64)
+                for i in range(order):
+                    v = br.read(eff)
+                    warm[i] = v - ((v >> (eff - 1)) << eff)
+                prec = br.read(4) + 1
+                if prec == 16:
+                    raise ValueError("invalid LPC precision code 0b1111")
+                shift_raw = br.read(5)
+                shift = shift_raw - ((shift_raw >> 4) << 5)  # signed
+                if shift < 0:
+                    raise ValueError(
+                        "negative LPC shift unsupported (spec reserves it)"
+                    )
+                qc = np.empty(order, np.int64)
+                for i in range(order):
+                    v = br.read(prec)
+                    qc[i] = v - ((v >> (prec - 1)) << prec)
+                res = _read_residual(br, bs, order)
+                s = _lpc_restore(warm, res, qc, shift)
             else:
                 raise ValueError(f"reserved subframe type {sft:#08b}")
             subs.append(s << wasted)
@@ -497,6 +564,62 @@ def _read_residual(br: _BitReader, bs: int, order: int) -> np.ndarray:
         else:
             parts.append(_rice_decode(br, cnt, param))
     return np.concatenate(parts) if parts else np.empty(0, np.int64)
+
+
+def _lpc_restore(
+    warm: np.ndarray, res: np.ndarray, qc: np.ndarray, shift: int
+) -> np.ndarray:
+    """Invert LPC prediction: ``s[i] = res[i] + ((sum_j qc[j] *
+    s[i-1-j]) >> shift)`` — integer arithmetic with the spec's
+    arithmetic right shift, sequentially dependent so a plain loop
+    (the per-sample cost matches the Rice decode next to it)."""
+    order = len(qc)
+    n = order + len(res)
+    s = np.empty(n, np.int64)
+    s[:order] = warm
+    qrev = qc[::-1].copy()  # dot against s[i-order:i] in natural order
+    for i in range(order, n):
+        acc = int(np.dot(qrev, s[i - order : i]))
+        s[i] = res[i - order] + (acc >> shift)
+    return s
+
+
+def _lpc_coeffs(s: np.ndarray, order: int) -> tuple[np.ndarray, int] | None:
+    """Levinson-Durbin on the block's autocorrelation -> quantized
+    integer coefficients (precision <= 15 bits incl. sign) and a
+    non-negative shift. Returns None when the block is degenerate
+    (constant / too short) — callers fall back to FIXED. Losslessness
+    never depends on coefficient quality: the encoder computes the
+    residual with the same integer prediction the decoder inverts."""
+    n = len(s)
+    if n <= order or order < 1 or order > 32:
+        return None
+    x = s.astype(np.float64)
+    ac = np.array(
+        [float(np.dot(x[: n - k], x[k:])) for k in range(order + 1)]
+    )
+    if ac[0] == 0.0:
+        return None  # silence: CONSTANT/FIXED handles it
+    err = ac[0]
+    a = np.zeros(order)
+    for i in range(order):
+        acc = ac[i + 1] - np.dot(a[:i], ac[i:0:-1][:i])
+        if err <= 0:
+            return None
+        k = acc / err
+        a[: i + 1] = np.concatenate([a[:i] - k * a[:i][::-1], [k]])
+        err *= 1 - k * k
+    peak = float(np.abs(a).max())
+    if not np.isfinite(peak) or peak == 0.0:
+        return None
+    # largest shift keeping every coefficient within 15 signed bits
+    shift = 14 - max(0, int(np.ceil(np.log2(peak + 1e-9))) + 1)
+    shift = max(0, min(15, shift))
+    qc = np.round(a * (1 << shift)).astype(np.int64)
+    qc = np.clip(qc, -(1 << 14), (1 << 14) - 1)
+    if not qc.any():
+        return None
+    return qc, shift
 
 
 def _fixed_restore(warm: np.ndarray, res: np.ndarray, order: int) -> np.ndarray:

@@ -10068,6 +10068,57 @@ def multimodal_flac_stereo_decode(spark, sf_dir):
 FLAC_STEREO_DECODE_SQL = WAV_DECODE_SQL  # left channel: same RMS law
 
 
+def multimodal_flac_lpc_decode(spark, sf_dir):
+    """LPC-subframe FLAC decode — the subframe type real encoders emit
+    for nearly all music content, and the last refused FLAC subframe
+    family (round-6 verdict "codec breadth" item). Each document's
+    digest raster (8 int16 samples tiled 8x -> period-8 signal) is
+    encoded with ``lpc_order=8``: Levinson-Durbin finds the periodic
+    predictor, the stream carries order-8 quantized coefficients
+    (precision 15, non-negative shift) and a near-zero Rice residual,
+    and decode must parse the LPC header, read signed coefficients,
+    and invert the shifted integer dot-product recursion
+    (``s[i] = res[i] + (sum qc_j * s[i-1-j] >> shift)``) exactly —
+    FLAC is lossless regardless of predictor quality because encoder
+    and decoder run the same integer prediction, so the WAV gate's
+    analytic RMS law holds verbatim and the STREAMINFO MD5
+    double-checks every sample. Two Arrow-batched map-side hops after
+    the tiny input-spreading repartition; no data-dependent shuffle,
+    no driver loop."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from levi_spark.operators.flac import encode_flac, flac_audio_decoder
+    from levi_spark.operators.multimodal import decode_audio_features
+
+    docs = _docs_parallel(spark, sf_dir)
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                digest = hashlib.md5(text.encode("utf-8")).digest()
+                samples = np.tile(
+                    np.frombuffer(digest, dtype="<i2"), WAV_TILE
+                )
+                payloads.append(encode_flac(samples, WAV_RATE, lpc_order=8))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    flacs = docs.mapInPandas(encode, "doc_id long, payload binary")
+    feats = decode_audio_features(flacs, decoder=flac_audio_decoder)
+    return feats.select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        F.floor(F.col("rms") * 1000 + 0.5).cast("long").alias("rms_milli"),
+    )
+
+
+FLAC_LPC_DECODE_SQL = WAV_DECODE_SQL  # lossless: same RMS law
+
+
 def ann_hard_negatives(spark, sf_dir):
     """Hard-negative mining for contrastive training (the retrieval-
     training twin of ANN): for each query vector, the 3 most-similar
@@ -10311,6 +10362,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "multimodal_flac_stereo_decode": (
         multimodal_flac_stereo_decode,
         FLAC_STEREO_DECODE_SQL,
+    ),
+    "multimodal_flac_lpc_decode": (
+        multimodal_flac_lpc_decode,
+        FLAC_LPC_DECODE_SQL,
     ),
     "variant_shredding_counts": (variant_shredding_counts, VARIANT_SHREDDING_SQL),
     "multimodal_jpeg420_decode": (multimodal_jpeg420_decode, JPEG420_DECODE_SQL),
