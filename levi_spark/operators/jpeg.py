@@ -9,9 +9,12 @@ YCbCr with per-component sampling factors 1 or 2 — 4:4:4, 4:2:2,
 4:4:0 and 4:2:0 all decode through the generic interleaved-MCU loop
 (chroma upsampled by replication); the encoder emits 4:4:4 or 4:2:0
 (2x2-mean downsampled chroma). Standard Huffman entropy coding with
-byte stuffing. Refused explicitly rather than misread: progressive
-(SOF2), arithmetic coding, 12-bit precision, sampling factors above
-2, restart markers.
+byte stuffing; DRI/RST0-7 restart intervals (per-segment DC reset, the
+error-resilience structure camera JPEGs carry) on both encode and
+decode. Progressive (SOF2) decodes both spectral selection and
+successive approximation. Refused explicitly rather than misread:
+arithmetic coding, 12-bit precision, sampling factors above 2,
+restarts inside progressive scans.
 
 Pipeline (encode): level shift -> 8x8 orthonormal FDCT (the matrix
 form of T.81's Annex A equations) -> quantize -> zigzag -> DC DPCM +
@@ -126,6 +129,14 @@ class _BitWriter:
                 self.out.append(0x00)
             self.n -= 8
 
+    def restart(self, n: int) -> None:
+        """Close the current entropy segment (1-pad to the byte edge)
+        and emit the RSTn marker — raw, never byte-stuffed."""
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + n])
+
     def flush(self) -> bytes:
         if self.n:
             pad = 8 - self.n
@@ -139,6 +150,21 @@ class _BitReader:
         self.pos = 0
         self.acc = 0
         self.n = 0
+
+    def sync_restart(self, expected: int) -> None:
+        """Consume an RSTn marker at an MCU-row restart boundary:
+        discard pad bits to the byte edge, check FF D0+expected."""
+        self.acc = 0
+        self.n = 0
+        if self.pos + 2 > len(self.data):
+            raise ValueError("entropy stream ends before restart marker")
+        m0, m1 = self.data[self.pos], self.data[self.pos + 1]
+        if m0 != 0xFF or m1 != 0xD0 + expected:
+            raise ValueError(
+                f"expected restart marker RST{expected} at byte {self.pos}, "
+                f"got {m0:#04x}{m1:02x}"
+            )
+        self.pos += 2
 
     def _fill(self) -> None:
         if self.pos >= len(self.data):
@@ -234,11 +260,15 @@ def encode_jpeg(
     pixels: np.ndarray,
     quant: np.ndarray | None = None,
     subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """uint8 (H, W) -> greyscale baseline JPEG; (H, W, 3) RGB ->
     YCbCr baseline JPEG, 4:4:4 or (``subsampling="420"``) 4:2:0 with
     2x2-mean chroma downsampling. Dimensions are padded to MCU size by
-    edge replication (decoder crops back via SOF dims)."""
+    edge replication (decoder crops back via SOF dims).
+    ``restart_interval > 0`` emits a DRI segment and RST0-7 markers
+    every that many MCUs (DC predictors reset per segment) — the
+    error-resilience structure camera JPEGs carry."""
     a = np.asarray(pixels, dtype=np.uint8)
     quant = DEFAULT_QUANT if quant is None else np.asarray(quant, np.int64)
     # luma (h, v) sampling factors per mode; chroma is always 1x1
@@ -260,13 +290,15 @@ def encode_jpeg(
     else:
         raise ValueError(f"expected (H,W) or (H,W,3) uint8, got {a.shape}")
     h, w = a.shape[:2]
-    return _encode_baseline(channels, samps, h, w, quant)
+    return _encode_baseline(channels, samps, h, w, quant,
+                            restart_interval=restart_interval)
 
 
 def encode_jpeg_ycbcr(
     planes: np.ndarray,
     quant: np.ndarray | None = None,
     subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """(H, W, 3) float64 **pre-separated Y/Cb/Cr planes at full
     resolution** -> baseline JPEG. Same pipeline as :func:`encode_jpeg`
@@ -289,10 +321,12 @@ def encode_jpeg_ycbcr(
     channels = [a[..., 0], a[..., 1], a[..., 2]]
     samps = [luma_samp[subsampling], (1, 1), (1, 1)]
     h, w = a.shape[:2]
-    return _encode_baseline(channels, samps, h, w, quant)
+    return _encode_baseline(channels, samps, h, w, quant,
+                            restart_interval=restart_interval)
 
 
-def _encode_baseline(channels, samps, h, w, quant) -> bytes:
+def _encode_baseline(channels, samps, h, w, quant,
+                     restart_interval: int = 0) -> bytes:
     """Shared baseline-JPEG body: pad/downsample/FDCT/quantize each
     channel, interleave MCUs, wrap in markers."""
     hmax = max(s[0] for s in samps)
@@ -321,8 +355,13 @@ def _encode_baseline(channels, samps, h, w, quant) -> bytes:
         comp_bx.append(plane.shape[1] // 8)
     # interleaved MCUs: per component, sv x sh blocks in raster order
     preds = [0] * len(channels)
+    mcu_i = 0
     for myi in range(my):
         for mxi in range(mx):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                bw.restart((mcu_i // restart_interval - 1) % 8)
+                preds = [0] * len(channels)  # DC DPCM resets per segment
+            mcu_i += 1
             for ci, qblocks in enumerate(quantized):
                 sh, sv = samps[ci]
                 for dy in range(sv):
@@ -347,6 +386,8 @@ def _encode_baseline(channels, samps, h, w, quant) -> bytes:
     out += seg(0xFFC0, sof)
     out += seg(0xFFC4, bytes([0x00] + DC_BITS) + bytes(DC_VALS))
     out += seg(0xFFC4, bytes([0x10] + AC_BITS) + bytes(AC_VALS))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00])  # DC table 0 / AC table 0
@@ -369,6 +410,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     sof = None
     comps = None
     scan = None
+    restart_interval = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
@@ -430,8 +472,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 f"only baseline SOF0 / progressive SOF2 supported "
                 f"(got SOF marker {marker:#x})"
             )
-        elif marker == 0xDD:
-            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = body[0]
             scan = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(ns)]
@@ -497,8 +539,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         coef[ZIGZAG] = zz * q
         return m.T @ coef.reshape(8, 8) @ m + 128.0
 
+    mcu_i = 0
     for myi in range(my):
         for mxi in range(mx):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                br.sync_restart((mcu_i // restart_interval - 1) % 8)
+                for ci in range(nc):
+                    preds[ci] = 0  # DC DPCM resets per restart segment
+            mcu_i += 1
             for ci in range(nc):
                 sh, sv = comps[ci][2], comps[ci][3]
                 for dy in range(sv):

@@ -9717,9 +9717,15 @@ def multimodal_jpeg420_decode(spark, sf_dir):
                 amp_b = np.kron(a_b.reshape(2, 2), np.ones((16, 16)))
                 cb = 128.0 + amp_b * hcol[None, :]
                 cr = 128.0 + amp_r * hcol[None, :]
+                # restart_interval=3: a DRI segment + RST markers mid
+                # stream (4 MCUs -> one restart), so the gate also
+                # proves per-segment DC predictor resets — camera-JPEG
+                # structure, lossless by construction
                 payloads.append(
                     encode_jpeg_ycbcr(
-                        np.stack([y, cb, cr], axis=-1), subsampling="420"
+                        np.stack([y, cb, cr], axis=-1),
+                        subsampling="420",
+                        restart_interval=3,
                     )
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})

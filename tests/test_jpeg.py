@@ -433,3 +433,37 @@ def test_multimodal_plane_integration(spark):
         assert r.mean_pixel == pytest.approx(
             imgs[r.doc_id].astype(np.float64).mean()
         )
+
+
+def test_restart_markers_round_trip_and_structure():
+    """Round-7 surface: DRI/RSTn restart intervals — identical pixels
+    to the unrestarted stream for any content/geometry, real markers
+    in the stream (DRI segment + cycling RST0-7), per-segment DC
+    predictor resets, and a wrong-sequence marker refuses."""
+    rng = np.random.default_rng(21)
+    for trial in range(8):
+        h, w = int(rng.integers(8, 70)), int(rng.integers(8, 70))
+        color = trial % 2 == 0
+        img = _rand((h, w, 3) if color else (h, w), trial)
+        sub = ["444", "420", "422", "440"][trial % 4] if color else "444"
+        ri = int(rng.integers(1, 6))
+        with_r = decode_jpeg(
+            encode_jpeg(img, quant=Q1, subsampling=sub, restart_interval=ri)
+        )
+        without = decode_jpeg(encode_jpeg(img, quant=Q1, subsampling=sub))
+        assert np.array_equal(with_r, without), (h, w, sub, ri)
+    enc = encode_jpeg(_rand((40, 40), 3), restart_interval=2)
+    assert b"\xff\xdd" in enc and b"\xff\xd0" in enc and b"\xff\xd1" in enc
+    i = enc.rfind(b"\xff\xd1")
+    bad = bytearray(enc)
+    bad[i + 1] = 0xD6
+    with pytest.raises(ValueError, match="restart marker"):
+        decode_jpeg(bytes(bad))
+    # the gate raster stays bit-exact with restarts in the stream
+    from levi_spark.operators.jpeg import encode_jpeg_ycbcr
+
+    digest = hashlib.md5(b"rst doc").digest()
+    grey = _harmonic_image(digest)
+    assert (
+        decode_jpeg(encode_jpeg(grey, restart_interval=3)) == grey
+    ).all()
