@@ -6,10 +6,12 @@ DEFLATE-compressed, scanline-filtered image format end to end, which is
 what a production multimodal ingest actually receives.
 
 Supported profile (the dominant one for ML image corpora): 8-bit
-non-interlaced greyscale (color type 0) and truecolor RGB (color
-type 2), all five scanline filters (None/Sub/Up/Average/Paeth — PNG
-spec §9 'Filtering'). Everything else — palette, alpha, 16-bit,
-Adam7 interlace — raises ``ValueError`` rather than misreading.
+greyscale (color type 0) and truecolor RGB (color type 2), all five
+scanline filters (None/Sub/Up/Average/Paeth — PNG spec §9
+'Filtering'), and BOTH interlace methods — sequential and Adam7
+(seven sub-image passes with per-pass filter context, spec §8.2),
+on encode and decode. Everything else — palette, alpha, 16-bit —
+raises ``ValueError`` rather than misreading.
 
 Layout (PNG spec): 8-byte signature, then chunks of
 ``len(4 BE) | type(4) | data | crc32(type+data)``. IHDR carries
@@ -53,36 +55,22 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def encode_png(pixels: np.ndarray, filters="cycle") -> bytes:
-    """uint8 array (H, W) -> greyscale PNG; (H, W, 3) -> RGB PNG.
+# Adam7 pass origins and steps: (x0, y0, xstep, ystep), spec §8.2
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
-    ``filters`` picks the per-scanline filter: ``"cycle"`` rotates
-    through all five types (so a decoder of this stream must implement
-    every defilter path — the encode side of our own test oracle),
-    ``"none"`` emits unfiltered lines, or pass an explicit list of
-    filter ids, one per scanline."""
-    a = np.asarray(pixels, dtype=np.uint8)
-    if a.ndim == 2:
-        color_type, bpp = 0, 1
-        h, w = a.shape
-        raw = a.reshape(h, w)
-    elif a.ndim == 3 and a.shape[2] == 3:
-        color_type, bpp = 2, 3
-        h, w = a.shape[:2]
-        raw = a.reshape(h, w * 3)
-    else:
-        raise ValueError(f"expected (H,W) or (H,W,3) uint8, got {a.shape}")
-    if filters == "cycle":
-        line_filters = [i % 5 for i in range(h)]
-    elif filters == "none":
-        line_filters = [F_NONE] * h
-    else:
-        line_filters = list(filters)
-        if len(line_filters) != h:
-            raise ValueError(f"need {h} filter ids, got {len(line_filters)}")
 
+def _filter_lines(raw: np.ndarray, bpp: int, line_filters) -> bytearray:
+    """Filter one (sub-)image: (h, stride) uint8 rows -> the PNG
+    scanline stream (1 filter byte + filtered samples per row), with
+    fresh prior-row context (a pass boundary resets `prior` per
+    spec)."""
+    h = raw.shape[0]
+    stride = raw.shape[1]
     stream = bytearray()
-    prior = np.zeros(w * bpp, dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
         line = raw[y]
         ft = line_filters[y]
@@ -106,7 +94,7 @@ def encode_png(pixels: np.ndarray, filters="cycle") -> bytes:
                     for la, pa_, pl in zip(left, prior, prior_left)
                 ),
                 dtype=np.uint8,
-                count=w * bpp,
+                count=stride,
             )
             out = line - pred
         else:
@@ -114,8 +102,61 @@ def encode_png(pixels: np.ndarray, filters="cycle") -> bytes:
         stream.append(ft)
         stream.extend(out.tobytes())
         prior = line
+    return stream
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+
+def _make_filters(filters, h: int):
+    if filters == "cycle":
+        return [i % 5 for i in range(h)]
+    if filters == "none":
+        return [F_NONE] * h
+    line_filters = list(filters)
+    if len(line_filters) != h:
+        raise ValueError(f"need {h} filter ids, got {len(line_filters)}")
+    return line_filters
+
+
+def encode_png(pixels: np.ndarray, filters="cycle",
+               interlace: bool = False) -> bytes:
+    """uint8 array (H, W) -> greyscale PNG; (H, W, 3) -> RGB PNG.
+
+    ``filters`` picks the per-scanline filter: ``"cycle"`` rotates
+    through all five types (so a decoder of this stream must implement
+    every defilter path — the encode side of our own test oracle),
+    ``"none"`` emits unfiltered lines, or pass an explicit list of
+    filter ids, one per scanline (sequential mode only).
+    ``interlace=True`` emits an Adam7 stream: seven sub-image passes,
+    each with its own scanlines and filter context."""
+    a = np.asarray(pixels, dtype=np.uint8)
+    if a.ndim == 2:
+        color_type, bpp = 0, 1
+        h, w = a.shape
+    elif a.ndim == 3 and a.shape[2] == 3:
+        color_type, bpp = 2, 3
+        h, w = a.shape[:2]
+    else:
+        raise ValueError(f"expected (H,W) or (H,W,3) uint8, got {a.shape}")
+    a3 = a.reshape(h, w, bpp)
+    stream = bytearray()
+    if interlace:
+        if not isinstance(filters, str):
+            raise ValueError(
+                "explicit per-line filters are for sequential mode"
+            )
+        for x0, y0, xs, ys in _ADAM7:
+            sub = a3[y0::ys, x0::xs]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue  # empty pass emits nothing, per spec
+            stream += _filter_lines(
+                sub.reshape(ph, pw * bpp), bpp, _make_filters(filters, ph)
+            )
+    else:
+        stream += _filter_lines(
+            a3.reshape(h, w * bpp), bpp, _make_filters(filters, h)
+        )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0,
+                       1 if interlace else 0)
     return (
         _SIG
         + _chunk(b"IHDR", ihdr)
@@ -170,21 +211,54 @@ def decode_png(payload: bytes) -> np.ndarray:
         )
     if comp != 0 or filt != 0:
         raise ValueError("nonstandard compression/filter method")
-    if interlace != 0:
-        raise ValueError("Adam7 interlace unsupported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown interlace method {interlace}")
     bpp = 1 if color_type == 0 else 3
-    stride = w * bpp
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (1 + stride):
+    if interlace == 0:
+        stride = w * bpp
+        if len(raw) != h * (1 + stride):
+            raise ValueError(
+                f"inflated stream is {len(raw)} bytes, want {h * (1 + stride)}"
+            )
+        out = _defilter_lines(raw, 0, h, stride, bpp)
+        return out.reshape(h, w) if bpp == 1 else out.reshape(h, w, 3)
+    # Adam7: seven passes, each its own scanline group with fresh
+    # filter context, scattered back onto the full-resolution grid
+    full = np.zeros((h, w, bpp), dtype=np.uint8)
+    off = 0
+    for x0, y0, xs, ys in _ADAM7:
+        pw = (w - x0 + xs - 1) // xs
+        ph = (h - y0 + ys - 1) // ys
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = pw * bpp
+        need = ph * (1 + stride)
+        if off + need > len(raw):
+            raise ValueError("inflated stream too short for Adam7 passes")
+        sub = _defilter_lines(raw, off, ph, stride, bpp)
+        full[y0::ys, x0::xs] = sub.reshape(ph, pw, bpp)
+        off += need
+    if off != len(raw):
         raise ValueError(
-            f"inflated stream is {len(raw)} bytes, want {h * (1 + stride)}"
+            f"{len(raw) - off} trailing bytes after the last Adam7 pass"
         )
+    return full.reshape(h, w) if bpp == 1 else full
+
+
+def _defilter_lines(
+    raw: bytes, off: int, h: int, stride: int, bpp: int
+) -> np.ndarray:
+    """Reverse the scanline filters of one (sub-)image starting at
+    byte ``off``: h lines of (1 filter byte + stride samples), prior
+    row starting at zero (pass boundaries reset context)."""
     out = np.zeros((h, stride), dtype=np.uint8)
     prior = np.zeros(stride, dtype=np.int32)
     for y in range(h):
-        ft = raw[y * (1 + stride)]
+        base = off + y * (1 + stride)
+        ft = raw[base]
         line = np.frombuffer(
-            raw, np.uint8, count=stride, offset=y * (1 + stride) + 1
+            raw, np.uint8, count=stride, offset=base + 1
         ).astype(np.int32)
         if ft == F_NONE:
             recon = line
@@ -208,7 +282,7 @@ def decode_png(payload: bytes) -> np.ndarray:
                     raise ValueError(f"unknown filter id {ft} on line {y}")
         out[y] = recon.astype(np.uint8)
         prior = recon
-    return out.reshape(h, w) if bpp == 1 else out.reshape(h, w, 3)
+    return out
 
 
 def png_image_decoder(payload: bytes) -> dict:

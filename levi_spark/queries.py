@@ -9503,12 +9503,16 @@ def multimodal_png_decode(spark, sf_dir):
     The raster is the document's md5 digest tiled (144 bytes = 9 x 16),
     identical to `multimodal_ppm_decode`'s, so the oracle re-derives
     mean-pixel analytically from md5 hex arithmetic: if inflate or any
-    defilter were wrong, the mean would not match. Two Arrow-batched
-    hops (encode, then the shared ``decode_image_features`` with the
-    real codec plugged in); scale shape is map-side after the tiny
-    input-spreading repartition (_docs_parallel), each executor core
-    decoding whole record batches; no data-dependent shuffle, no
-    driver loop."""
+    defilter were wrong, the mean would not match. Odd doc_ids encode
+    with ADAM7 INTERLACE (round 7): seven sub-image passes with
+    per-pass filter context that the decoder must deinterlace back
+    onto the full grid — a wrong pass geometry or un-reset filter
+    context shifts pixels and fails the same analytic mean. Two
+    Arrow-batched hops (encode, then the shared
+    ``decode_image_features`` with the real codec plugged in); scale
+    shape is map-side after the tiny input-spreading repartition
+    (_docs_parallel), each executor core decoding whole record
+    batches; no data-dependent shuffle, no driver loop."""
     import hashlib
 
     import numpy as np
@@ -9523,7 +9527,7 @@ def multimodal_png_decode(spark, sf_dir):
     def encode(batches):
         for pdf in batches:
             payloads = []
-            for text in pdf["text"]:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 digest = hashlib.md5(text.encode("utf-8")).digest()
                 raster = (digest * ((n // 16) + 1))[:n]
                 payloads.append(
@@ -9532,6 +9536,7 @@ def multimodal_png_decode(spark, sf_dir):
                             PPM_H, PPM_W, 3
                         ),
                         filters="cycle",
+                        interlace=bool(int(doc_id) % 2),
                     )
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})

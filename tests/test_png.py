@@ -126,7 +126,43 @@ def test_unsupported_profiles_refused():
     with pytest.raises(ValueError, match="color type"):
         decode_png(_doctor_ihdr(good, ct=3))  # palette
     with pytest.raises(ValueError, match="interlace"):
-        decode_png(_doctor_ihdr(good, inter=1))  # Adam7
+        decode_png(_doctor_ihdr(good, inter=2))  # reserved method
+    # a SEQUENTIAL stream relabeled Adam7 has the wrong pass layout —
+    # caught by length accounting or filter-id validation, never
+    # misread silently
+    with pytest.raises(ValueError, match="Adam7|trailing|filter id"):
+        decode_png(_doctor_ihdr(good, inter=1))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 50),
+    w=st.integers(1, 50),
+    rgb=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_adam7_round_trip_law(h, w, rgb, seed):
+    """Round-7 surface: Adam7 interlace round-trips losslessly for any
+    geometry — including sizes where whole passes are empty — and the
+    stream really declares interlace method 1."""
+    a = _rand((h, w, 3) if rgb else (h, w), seed)
+    enc = encode_png(a, interlace=True)
+    ih = enc.find(b"IHDR")
+    assert enc[ih + 4 + 12] == 1
+    assert np.array_equal(decode_png(enc), a)
+
+
+def test_adam7_pass_structure_matters():
+    """Deinterlacing is load-bearing: decoding the Adam7 stream as if
+    it were sequential (or vice versa) cannot reproduce the image, and
+    per-pass filter context is really reset (filters='cycle' inside
+    each pass round-trips)."""
+    a = _rand((24, 17, 3), 5)
+    seq, adam = encode_png(a), encode_png(a, interlace=True)
+    assert seq != adam
+    assert np.array_equal(decode_png(seq), decode_png(adam))
+    with pytest.raises(ValueError):
+        decode_png(_doctor_ihdr(adam, inter=0))
 
 
 def test_ancillary_chunks_skipped_after_crc():
