@@ -144,7 +144,17 @@ def kill_duplicates_targeted(table: LeviTable, duplication_columns: list[str]) -
             "version": -1,
         }
     rels = [p for p in all_rels if os.path.basename(p) in hit_names]
-    sub = snap.to_df(paths=rels)
+    # survivors of the rewrite are not logically modified — preserve
+    # their row ids on row-tracked tables (materialized columns ride
+    # through the transform; the writer strips them from the schema)
+    from levi_spark.operators.layout import _rt_materialized_names
+
+    mat_id, mat_cv = _rt_materialized_names(snap)
+    sub = snap.to_df(paths=rels, with_row_ids=mat_id is not None)
+    if mat_id is not None:
+        sub = sub.withColumnRenamed("_row_id", mat_id).withColumnRenamed(
+            "_row_commit_version", mat_cv
+        )
     survivors = kill_duplicates_transform(sub, dcols)
     n_before = sub.count()
     n_after = survivors.count()
@@ -210,7 +220,18 @@ def _targeted_loser_rewrite(table: LeviTable, losers: DataFrame) -> dict:
             "version": -1,
         }
     rels = [p for p in all_rels if os.path.basename(p) in hit_names]
-    sub = snap.to_df(paths=rels, with_lineage=True)
+    from levi_spark.operators.layout import _rt_materialized_names
+
+    mat_id, mat_cv = _rt_materialized_names(snap)
+    sub = snap.to_df(
+        paths=rels, with_lineage=True, with_row_ids=mat_id is not None
+    )
+    keep_cols = list(snap.metadata.data_columns)
+    if mat_id is not None:
+        sub = sub.withColumnRenamed("_row_id", mat_id).withColumnRenamed(
+            "_row_commit_version", mat_cv
+        )
+        keep_cols += [mat_id, mat_cv]
     kept = sub.join(
         losers.select(
             F.col("__file_name").alias("_file_name"),
@@ -218,7 +239,7 @@ def _targeted_loser_rewrite(table: LeviTable, losers: DataFrame) -> dict:
         ),
         on=["_file_name", "_row_index"],
         how="left_anti",
-    ).select(*snap.metadata.data_columns)
+    ).select(*keep_cols)
     n_before = sub.count()
     n_after = kept.count()
     version = write_delta(

@@ -47,6 +47,19 @@ from levi_spark.delta.log import DeltaLog
 from levi_spark.delta.writer import write_delta
 
 
+def _rt_materialized_names(snap) -> tuple[str, str] | tuple[None, None]:
+    """The table's materialized row-id / commit-version column names
+    when row tracking is enabled AND the names are configured, else
+    (None, None). Rewriters use these to hand preserved ids to the
+    writer."""
+    conf = snap.metadata.configuration or {}
+    mid = conf.get("delta.rowTracking.materializedRowIdColumnName")
+    mcv = conf.get("delta.rowTracking.materializedRowCommitVersionColumnName")
+    if conf.get("delta.enableRowTracking") == "true" and mid and mcv:
+        return mid, mcv
+    return None, None
+
+
 def _with_preserved_row_ids(snap, df_reader):
     """Row-tracking preservation for OPTIMIZE rewrites: when the table
     tracks rows AND declares materialized row-id columns, read the

@@ -399,3 +399,38 @@ def test_merge_preserves_copied_and_updated_row_ids(spark, tmp_path):
     for i in range(20, 25):
         assert got[i][0] >= 20 and got[i][1] == merge_v, (i, got[i])
     assert len({v[0] for v in got.values()}) == len(got)
+
+
+def test_dedup_rewrites_preserve_survivor_ids(spark, tmp_path):
+    """drop_duplicates / kill_duplicates_targeted loser-file rewrites
+    keep every surviving row's id and commit version."""
+    from levi_spark.delta.table import LeviTable
+    from levi_spark.operators.dedup import (
+        drop_duplicates,
+        kill_duplicates_targeted,
+    )
+
+    p = str(tmp_path / "t")
+    # keys 0..9 twice (duplicates), 10..19 once
+    df = spark.range(30).selectExpr(
+        "id", "CASE WHEN id < 20 THEN id % 10 ELSE id - 10 END AS k"
+    )
+    write_delta(
+        _sorted_single(df, "id"),
+        p, mode="error", checkpoint_interval=None, row_tracking=True,
+    )
+    drop_duplicates(LeviTable(spark, p), ["k"])
+    got = _full_ids(spark, p)
+    # survivors: first occurrence of each dup key (ids 0..9) + uniques
+    want = [(i, i, 0) for i in range(10)] + [(i, i, 0) for i in range(20, 30)]
+    assert got == want
+
+    p2 = str(tmp_path / "t2")
+    write_delta(
+        _sorted_single(df, "id"),
+        p2, mode="error", checkpoint_interval=None, row_tracking=True,
+    )
+    kill_duplicates_targeted(LeviTable(spark, p2), ["k"])
+    got = _full_ids(spark, p2)
+    # every dup-group member dies (ids 0..19), uniques keep their ids
+    assert got == [(i, i, 0) for i in range(20, 30)]
