@@ -144,7 +144,12 @@ def _footer_stats(
     }
     out: dict[str, dict] = {}
     for path in abs_files:
-        md = pq.ParquetFile(path).metadata
+        try:
+            md = pq.ParquetFile(path).metadata
+        except Exception:
+            # e.g. logical types this pyarrow can't parse (VARIANT) —
+            # the distributed aggregate handles those files
+            return None
         nulls: dict[str, int] = {}
         mins: dict[str, object] = {}
         maxs: dict[str, object] = {}
@@ -849,6 +854,19 @@ def write_delta(
                 spark.read.schema(data_schema).parquet(*abs_files), data_schema
             )
         )
+        # the distributed fallback's groupBy never yields a row for an
+        # EMPTY part file — record exact zero-row stats (the footer
+        # path does), or row tracking would refuse the commit
+        for rel in moved:
+            stats_by_name.setdefault(
+                os.path.basename(rel),
+                {
+                    "numRecords": 0,
+                    "minValues": {},
+                    "maxValues": {},
+                    "nullCount": {},
+                },
+            )
 
     # -- commit --------------------------------------------------------------
     now_ms = int(time.time() * 1000)
@@ -932,6 +950,43 @@ def write_delta(
         )
     os.makedirs(log_dir, exist_ok=True)
 
+    def _variant_protocol(proto: dict) -> dict:
+        """A schema carrying VARIANT anywhere needs the variantType
+        table feature on both sides; a session writing SHREDDED
+        variant files additionally declares variantShredding-preview
+        so readers that can't reassemble refuse instead of misread."""
+
+        def has_variant(dt) -> bool:
+            if isinstance(dt, T.VariantType):
+                return True
+            if isinstance(dt, T.StructType):
+                return any(has_variant(f.dataType) for f in dt.fields)
+            if isinstance(dt, T.ArrayType):
+                return has_variant(dt.elementType)
+            if isinstance(dt, T.MapType):
+                return has_variant(dt.keyType) or has_variant(dt.valueType)
+            return False
+
+        if not any(has_variant(f.dataType) for f in commit_schema.fields):
+            return proto
+        feats = ["variantType"]
+        if (
+            spark.conf.get(
+                "spark.sql.variant.writeShredding.enabled", "false"
+            )
+            == "true"
+        ):
+            feats.append("variantShredding-preview")
+        return merge_protocol(
+            proto,
+            {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": feats,
+                "writerFeatures": feats,
+            },
+        )
+
     def _payload() -> str:
         meta_line = json.dumps(
             {
@@ -963,7 +1018,7 @@ def write_delta(
             ci["inCommitTimestamp"] = ict
         return "\n".join(
             [
-                json.dumps({"protocol": commit_protocol}),
+                json.dumps({"protocol": _variant_protocol(commit_protocol)}),
                 meta_line,
                 *tail_lines,
                 *_add_lines(version),
