@@ -104,6 +104,48 @@ def decode_image_features(
     )
 
 
+def decode_frame_features(
+    df: DataFrame,
+    decoder,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Animated-container decode with per-frame FAN-OUT: ``decoder``
+    maps one payload to a list of frame dicts (frame_idx, delay_cs,
+    width, height, mean_pixel) and each input row yields one output
+    row per frame inside the executor-side batch — the real-container
+    sibling of :func:`sample_frames`. Plug
+    :func:`levi_spark.operators.gif.gif_frame_features` for GIF."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fi, dl, wd, ht, mp = [], [], [], [], [], []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                for d in decoder(bytes(b)):
+                    ids.append(i)
+                    fi.append(d["frame_idx"])
+                    dl.append(d["delay_cs"])
+                    wd.append(d["width"])
+                    ht.append(d["height"])
+                    mp.append(d["mean_pixel"])
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(fi, dtype="int64"),
+                    "delay_cs": pd.Series(dl, dtype="int64"),
+                    "width": pd.Series(wd, dtype="int32"),
+                    "height": pd.Series(ht, dtype="int32"),
+                    "mean_pixel": pd.Series(mp, dtype="float64"),
+                }
+            )
+
+    return df.mapInPandas(
+        run,
+        f"{id_col} long, frame_idx long, delay_cs long, width int, "
+        "height int, mean_pixel double",
+    )
+
+
 def decode_audio_features(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -10130,6 +10130,86 @@ def multimodal_flac_lpc_decode(spark, sf_dir):
 FLAC_LPC_DECODE_SQL = WAV_DECODE_SQL  # lossless: same RMS law
 
 
+GIF_SIDE = 12  # 12x12 greyscale canvas = 144 px = 9 digest tilings
+
+
+def multimodal_gif_decode(spark, sf_dir):
+    """REAL animated-container decode with per-frame fan-out — GIF89a
+    through the multimodal plane (:mod:`levi_spark.operators.gif`,
+    pure stdlib+numpy: LSB-first LZW with variable code widths and
+    table resets, global palette, graphic-control extensions). Each
+    document becomes a ``2 + doc_id % 3``-frame animation on a 12x12
+    greyscale canvas: frame f's pixel for digest byte b is
+    ``(b + 7*f) % 256`` (tiled 9x), its delay ``4 + f`` centiseconds.
+    The decoder must drive the whole container — sub-block
+    reassembly, LZW, palette mapping, per-frame graphic control — and
+    fan out one row per frame (`decode_frame_features`); the oracle
+    re-derives every frame's mean and delay from md5 hex arithmetic,
+    so a wrong LZW width bump, palette index, or frame boundary
+    cannot match. Scale shape: map-side fan-out inside the Arrow
+    batch after the tiny input-spreading repartition; no
+    data-dependent shuffle, no driver loop."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from levi_spark.operators.gif import encode_gif, gif_frame_features
+    from levi_spark.operators.multimodal import decode_frame_features
+
+    docs = _docs_parallel(spark, sf_dir)
+    n = GIF_SIDE * GIF_SIDE
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(text.encode("utf-8")).digest()
+                b = np.frombuffer(digest, np.uint8).astype(np.int64)
+                k = 2 + int(doc_id) % 3
+                frames = [
+                    np.tile((b + 7 * f) % 256, (n // 16) + 1)[:n]
+                    .astype(np.uint8)
+                    .reshape(GIF_SIDE, GIF_SIDE)
+                    for f in range(k)
+                ]
+                payloads.append(
+                    encode_gif(frames, delays_cs=[4 + f for f in range(k)])
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    gifs = docs.mapInPandas(encode, "doc_id long, payload binary")
+    feats = decode_frame_features(gifs, decoder=gif_frame_features)
+    return feats.select(
+        "doc_id",
+        "frame_idx",
+        "delay_cs",
+        "width",
+        "height",
+        F.floor(F.col("mean_pixel") * 1000 + 0.5).cast("long").alias("mean_milli"),
+    )
+
+
+GIF_DECODE_SQL = f"""
+WITH b AS (
+  SELECT doc_id,
+    list_transform(range(1,17),
+        i -> ('0x'||substr(md5(text),(i-1)*2+1,2))::BIGINT) AS byt
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, byt, unnest(range(0, 2 + doc_id % 3)) AS f
+  FROM b
+)
+SELECT doc_id, f AS frame_idx, 4 + f AS delay_cs,
+       {GIF_SIDE} AS width, {GIF_SIDE} AS height,
+       CAST(floor((list_sum(list_transform(byt,
+                x -> (x + 7*f) % 256)) / 16.0) * 1000 + 0.5) AS BIGINT)
+         AS mean_milli
+FROM fr
+"""
+
+
 def ann_hard_negatives(spark, sf_dir):
     """Hard-negative mining for contrastive training (the retrieval-
     training twin of ANN): for each query vector, the 3 most-similar
@@ -10378,6 +10458,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         multimodal_flac_lpc_decode,
         FLAC_LPC_DECODE_SQL,
     ),
+    "multimodal_gif_decode": (multimodal_gif_decode, GIF_DECODE_SQL),
     "variant_shredding_counts": (variant_shredding_counts, VARIANT_SHREDDING_SQL),
     "multimodal_jpeg420_decode": (multimodal_jpeg420_decode, JPEG420_DECODE_SQL),
     # -- changed in round 7: OPTIMIZE now preserves row ids (gate gained
