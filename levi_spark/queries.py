@@ -9310,6 +9310,130 @@ GROUP BY doc_id
 """
 
 
+SUBSTR_L = 8  # exact-substring seed length, in tokens
+
+
+def doc_substring_dedup(spark, sf_dir):
+    """EXACT SUBSTRING dedup (the Lee-et-al "Deduplicating Training
+    Data" operator, arXiv:2107.06499): every OVERLAPPING L-token gram
+    is a seed; a gram position is duplicated when the same token
+    sequence occurs anywhere else in the corpus (other doc or other
+    offset) and it is not the global first occurrence (min (doc_id,
+    pos)); per document, the duplicated positions' spans
+    ``[p, p+L)`` are UNIONED (overlapping matches never double-count
+    a token) and the report shows tokens removed vs kept. Differs
+    from ``segment_dedup_docs`` (fixed non-overlapping windows):
+    overlapping seeds find duplicated substrings at ANY alignment —
+    the property the suffix-array formulation buys, recovered here
+    with a bounded L.
+
+    Scale shape: grams are built row-locally with JVM higher-order
+    functions; the first-occurrence/multiplicity decision is ONE
+    partial-aggregatable groupBy on the gram hash + a hash-join back
+    on the same key (two gram-keyed exchanges, corpus-size
+    independent); span union is an explode bounded by L x (duplicated
+    positions only) followed by a per-doc distinct — never a window
+    over a global sort, never all-pairs, no Python."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = "split(trim(text), '\\\\s+')"
+    base = docs.select(
+        "doc_id", F.expr(f"size({toks})").alias("n_tokens")
+    )
+    grams = F.expr(
+        f"transform(sequence(0, size({toks}) - {SUBSTR_L}), "
+        f"p -> concat_ws(' ', slice({toks}, p + 1, {SUBSTR_L})))"
+    )
+    g = (
+        docs.where(F.expr(f"size({toks})") >= SUBSTR_L)
+        .select("doc_id", F.posexplode(grams).alias("p", "gram"))
+        .select("doc_id", "p", F.md5("gram").alias("h"))
+    )
+    agg = g.groupBy("h").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.min(F.struct("doc_id", "p")).alias("__first"),
+    )
+    dup = g.join(agg, "h").where(
+        (F.col("__cnt") > 1)
+        & ~(
+            (F.col("doc_id") == F.col("__first.doc_id"))
+            & (F.col("p") == F.col("__first.p"))
+        )
+    )
+    dup_counts = dup.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_positions")
+    )
+    removed = (
+        dup.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("p"), F.col("p") + F.lit(SUBSTR_L - 1))
+            ).alias("tok"),
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("tok").alias("n_tokens_removed"))
+    )
+    return (
+        base.join(dup_counts, "doc_id", "left")
+        .join(removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_positions", F.lit(0))
+            .cast("long")
+            .alias("n_dup_positions"),
+            F.coalesce("n_tokens_removed", F.lit(0))
+            .cast("long")
+            .alias("n_tokens_removed"),
+            (
+                F.col("n_tokens")
+                - F.coalesce("n_tokens_removed", F.lit(0))
+            )
+            .cast("long")
+            .alias("n_tokens_kept"),
+        )
+    )
+
+
+SUBSTRING_DEDUP_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+base AS (SELECT doc_id, len(t) AS n_tokens FROM toks),
+g AS (
+  SELECT doc_id, p,
+         md5(array_to_string(t[p + 1 : p + {SUBSTR_L}], ' ')) AS h
+  FROM (
+    SELECT doc_id, t, unnest(range(0, len(t) - {SUBSTR_L} + 1)) AS p
+    FROM toks WHERE len(t) >= {SUBSTR_L}
+  )
+),
+agg AS (
+  SELECT h, COUNT(*) AS cnt,
+         MIN(struct_pack(d := doc_id, p := p)) AS f
+  FROM g GROUP BY h
+),
+dup AS (
+  SELECT g.doc_id, g.p FROM g JOIN agg USING (h)
+  WHERE cnt > 1 AND NOT (g.doc_id = struct_extract(f, 'd')
+                         AND g.p = struct_extract(f, 'p'))
+),
+dc AS (SELECT doc_id, COUNT(*) AS n_dup_positions FROM dup GROUP BY doc_id),
+rm AS (
+  SELECT doc_id, COUNT(DISTINCT tok) AS n_tokens_removed
+  FROM (SELECT doc_id, p + unnest(range(0, {SUBSTR_L})) AS tok FROM dup)
+  GROUP BY doc_id
+)
+SELECT base.doc_id, n_tokens,
+       CAST(COALESCE(n_dup_positions, 0) AS BIGINT) AS n_dup_positions,
+       CAST(COALESCE(n_tokens_removed, 0) AS BIGINT) AS n_tokens_removed,
+       CAST(n_tokens - COALESCE(n_tokens_removed, 0) AS BIGINT)
+         AS n_tokens_kept
+FROM base
+LEFT JOIN dc ON base.doc_id = dc.doc_id
+LEFT JOIN rm ON base.doc_id = rm.doc_id
+"""
+
+
 def cdc_replicate_counts(spark, sf_dir):
     """CDC replication through the driver gate
     (:mod:`levi_spark.operators.replicate`): customer becomes a source
@@ -10459,6 +10583,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         FLAC_LPC_DECODE_SQL,
     ),
     "multimodal_gif_decode": (multimodal_gif_decode, GIF_DECODE_SQL),
+    "doc_substring_dedup": (doc_substring_dedup, SUBSTRING_DEDUP_SQL),
     "variant_shredding_counts": (variant_shredding_counts, VARIANT_SHREDDING_SQL),
     "multimodal_jpeg420_decode": (multimodal_jpeg420_decode, JPEG420_DECODE_SQL),
     # -- changed in round 7: OPTIMIZE now preserves row ids (gate gained
