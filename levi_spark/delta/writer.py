@@ -854,19 +854,24 @@ def write_delta(
                 spark.read.schema(data_schema).parquet(*abs_files), data_schema
             )
         )
-        # the distributed fallback's groupBy never yields a row for an
-        # EMPTY part file — record exact zero-row stats (the footer
-        # path does), or row tracking would refuse the commit
+        # EMPTY part files (Spark writes one per empty task in some
+        # plans) never become add actions: a zero-row file is pure log
+        # noise, the footer path reports numRecords 0 for them and the
+        # distributed fallback's groupBy omits them entirely — drop
+        # the files instead of committing stats-less adds (which would
+        # also trip row tracking's numRecords requirement)
+        nonempty = []
         for rel in moved:
-            stats_by_name.setdefault(
-                os.path.basename(rel),
-                {
-                    "numRecords": 0,
-                    "minValues": {},
-                    "maxValues": {},
-                    "nullCount": {},
-                },
-            )
+            st = stats_by_name.get(os.path.basename(rel))
+            if st is None or st.get("numRecords") == 0:
+                stats_by_name.pop(os.path.basename(rel), None)
+                try:
+                    os.remove(os.path.join(path, rel))
+                except OSError:
+                    pass
+            else:
+                nonempty.append(rel)
+        moved = nonempty
 
     # -- commit --------------------------------------------------------------
     now_ms = int(time.time() * 1000)
