@@ -2260,7 +2260,11 @@ def row_tracking_counts(spark, sf_dir):
     the gate, not the operator's shape — row-id assignment itself is
     per-file metadata (one range per add action, zero data movement),
     and reads attach ids via a broadcast file->base map + the scan's
-    own row position. The sf0.1 table is 15k rows."""
+    own row position. The sf0.1 table is 15k rows. Bench cost note
+    (round 7): the added OPTIMIZE phase costs ~3 s at sf0.1 — one more
+    read+write+commit+replay cycle of the lifecycle-scheduler-floor
+    class the cdc/incremental gates established (job count O(1) in
+    data volume; amortizes at real scale)."""
     import os as _os
 
     from levi_spark.delta.dv import soft_delete
@@ -9328,12 +9332,14 @@ def doc_substring_dedup(spark, sf_dir):
     with a bounded L.
 
     Scale shape: grams are built row-locally with JVM higher-order
-    functions; the first-occurrence/multiplicity decision is ONE
-    partial-aggregatable groupBy on the gram hash + a hash-join back
-    on the same key (two gram-keyed exchanges, corpus-size
-    independent); span union is an explode bounded by L x (duplicated
-    positions only) followed by a per-doc distinct — never a window
-    over a global sort, never all-pairs, no Python."""
+    functions and evaluated ONCE — the multiplicity/first-occurrence
+    decision is a window over the gram hash (one gram-keyed exchange;
+    a groupBy+join-back would re-evaluate the gram subtree on the
+    probe side), the span union is an explode bounded by
+    L x (duplicated positions only), and both per-doc measures come
+    from a single aggregation. Never all-pairs, no Python."""
+    from pyspark.sql import Window
+
     docs = _t(spark, sf_dir, "documents")
     toks = "split(trim(text), '\\\\s+')"
     base = docs.select(
@@ -9348,49 +9354,44 @@ def doc_substring_dedup(spark, sf_dir):
         .select("doc_id", F.posexplode(grams).alias("p", "gram"))
         .select("doc_id", "p", F.md5("gram").alias("h"))
     )
-    agg = g.groupBy("h").agg(
-        F.count(F.lit(1)).alias("__cnt"),
-        F.min(F.struct("doc_id", "p")).alias("__first"),
-    )
-    dup = g.join(agg, "h").where(
-        (F.col("__cnt") > 1)
-        & ~(
-            (F.col("doc_id") == F.col("__first.doc_id"))
-            & (F.col("p") == F.col("__first.p"))
+    wh = Window.partitionBy("h")
+    dup = (
+        g.withColumn("__cnt", F.count(F.lit(1)).over(wh))
+        .withColumn("__first", F.min(F.struct("doc_id", "p")).over(wh))
+        .where(
+            (F.col("__cnt") > 1)
+            & ~(
+                (F.col("doc_id") == F.col("__first.doc_id"))
+                & (F.col("p") == F.col("__first.p"))
+            )
         )
     )
-    dup_counts = dup.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_dup_positions")
-    )
-    removed = (
+    per_doc = (
         dup.select(
             "doc_id",
+            "p",
             F.explode(
                 F.sequence(F.col("p"), F.col("p") + F.lit(SUBSTR_L - 1))
             ).alias("tok"),
         )
         .groupBy("doc_id")
-        .agg(F.countDistinct("tok").alias("n_tokens_removed"))
-    )
-    return (
-        base.join(dup_counts, "doc_id", "left")
-        .join(removed, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.coalesce("n_dup_positions", F.lit(0))
-            .cast("long")
-            .alias("n_dup_positions"),
-            F.coalesce("n_tokens_removed", F.lit(0))
-            .cast("long")
-            .alias("n_tokens_removed"),
-            (
-                F.col("n_tokens")
-                - F.coalesce("n_tokens_removed", F.lit(0))
-            )
-            .cast("long")
-            .alias("n_tokens_kept"),
+        .agg(
+            F.countDistinct("p").alias("n_dup_positions"),
+            F.countDistinct("tok").alias("n_tokens_removed"),
         )
+    )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_dup_positions", F.lit(0))
+        .cast("long")
+        .alias("n_dup_positions"),
+        F.coalesce("n_tokens_removed", F.lit(0))
+        .cast("long")
+        .alias("n_tokens_removed"),
+        (F.col("n_tokens") - F.coalesce("n_tokens_removed", F.lit(0)))
+        .cast("long")
+        .alias("n_tokens_kept"),
     )
 
 
