@@ -50,6 +50,35 @@ SESSION_STAGED = {
 THIRD_RUN_BELOW_S = 5.0
 NOISY_RATIO = 1.2
 
+# Cross-SESSION variance notes (VERDICT r06 ask #8): queries whose
+# round-over-round swings have been checked against their run arrays
+# and attributed to session-level variance, not code (none changed in
+# the flagged rounds). Carried into BENCH_DETAIL so a future diff
+# reads the attribution next to the number.
+VARIANCE_NOTES = {
+    "q16_supplier_part_counts": (
+        "band 1.2-1.9s across r04-r07 sessions with unchanged code; "
+        "r07 runs [1.53, 1.71] sit mid-band"
+    ),
+    "events_retention_cohorts": (
+        "band 0.4-0.7s across r04-r07 sessions with unchanged code"
+    ),
+    "orders_market_basket": (
+        "alternates ~2.3s / ~5s between sessions (r05 5.0, r06 2.27, "
+        "r07 4.3) with unchanged code — the pairwise stage's cost "
+        "tracks AQE coalesce decisions; both ends of the band hold "
+        "the documented skew-safe plan"
+    ),
+    "multimodal_wav_decode": (
+        "band 0.38-0.83s; trivial per-row work dominated by Python "
+        "worker spawn timing"
+    ),
+    "row_tracking_counts": (
+        "NOT variance: +~1.5-3s in r07 from the added OPTIMIZE "
+        "preservation phase (lifecycle scheduler floor, see docstring)"
+    ),
+}
+
 
 def _testdata_fingerprint(sf_dir: str) -> dict:
     """Per-table row counts + content md5 of the input parquet, so
@@ -156,6 +185,7 @@ def main():
         "n_queries": len(timings),
         "testdata": fingerprint,
         "testdata_match_previous": testdata_match,
+        "variance_notes": VARIANCE_NOTES,
     }
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
