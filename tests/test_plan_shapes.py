@@ -376,3 +376,54 @@ def test_pii_redaction_is_single_rollup(spark):
     # exactly one aggregation exchange: map-side partials + final rollup
     s = plan_summary(df)
     assert s.get("shuffle_exchanges", s.get("exchanges", 0)) <= 2, s
+
+
+def test_substring_dedup_single_gram_exchange_no_cartesian(spark):
+    """Round-7: the exact-substring dedup must evaluate the gram
+    subtree once (one window exchange on the gram hash), never a
+    cartesian/all-pairs stage, and the span explode must not introduce
+    a second gram-keyed shuffle."""
+    from levi_spark.plans.inspect import executed_plan
+    from levi_spark.queries import doc_substring_dedup
+
+    df = doc_substring_dedup(spark, SF)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # exactly one Generate of the gram posexplode (single evaluation)
+    assert plan.count("posexplode") <= 1, plan.count("posexplode")
+    s = plan_summary(df)
+    # window(h) + per-doc agg (+ AQE detail); the old groupBy+join-back
+    # shape carried 2x the exchanges and re-built every gram
+    assert s.get("shuffle_exchanges", s.get("exchanges", 0)) <= 5, s
+
+
+def test_gif_and_codec_gates_have_no_data_shuffle(spark):
+    """Codec gates are two Arrow-batched map hops after the tiny
+    input-spreading repartition: no join, no aggregation exchange."""
+    from levi_spark.plans.inspect import executed_plan
+    from levi_spark.queries import (
+        multimodal_flac_lpc_decode,
+        multimodal_gif_decode,
+        multimodal_jpeg_prog_sa_decode,
+    )
+
+    for fn in (
+        multimodal_gif_decode,
+        multimodal_jpeg_prog_sa_decode,
+        multimodal_flac_lpc_decode,
+    ):
+        plan = executed_plan(fn(spark, SF))
+        assert "Join" not in plan, fn.__name__
+        assert "HashAggregate" not in plan, fn.__name__
+
+
+def test_variant_shredding_extraction_stays_jvm(spark):
+    """Shredded-variant field extraction runs in the scan layer — no
+    Python, no join; the final rollup is the only aggregation."""
+    from levi_spark.plans.inspect import executed_plan
+    from levi_spark.queries import variant_shredding_counts
+
+    plan = executed_plan(variant_shredding_counts(spark, SF))
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
