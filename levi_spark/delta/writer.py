@@ -49,6 +49,34 @@ _MAT_ROW_ID_KEY = "delta.rowTracking.materializedRowIdColumnName"
 _MAT_ROW_CV_KEY = "delta.rowTracking.materializedRowCommitVersionColumnName"
 
 
+def _identity_specs_from_schema(schema) -> dict[str, dict]:
+    """Identity-column specs from ``delta.identity.*`` field metadata."""
+    out: dict[str, dict] = {}
+    for f in schema.fields:
+        md = f.metadata or {}
+        if "delta.identity.start" in md:
+            out[f.name] = {
+                "start": int(md["delta.identity.start"]),
+                "step": int(md["delta.identity.step"]),
+                "allow": bool(md.get("delta.identity.allowExplicitInsert",
+                                     False)),
+                "hwm": int(md["delta.identity.highWaterMark"])
+                if "delta.identity.highWaterMark" in md
+                else None,
+            }
+    return out
+
+
+def _identity_field_metadata(md: dict | None, spec: dict) -> dict:
+    out = dict(md or {})
+    out["delta.identity.start"] = spec["start"]
+    out["delta.identity.step"] = spec["step"]
+    out["delta.identity.allowExplicitInsert"] = spec["allow"]
+    if spec["hwm"] is not None:
+        out["delta.identity.highWaterMark"] = spec["hwm"]
+    return out
+
+
 def merge_protocol(base: dict, req: dict) -> dict:
     """Union a protocol requirement into a table's current protocol:
     versions max, feature lists union. Upgrading a legacy writer
@@ -463,6 +491,7 @@ def write_delta(
     keep_nullability: bool = False,
     generated: dict[str, str] | None = None,
     row_tracking: bool = False,
+    identity: dict[str, dict] | None = None,
 ) -> int:
     """Write ``df`` as a new Delta table version at ``path``.
 
@@ -523,6 +552,25 @@ def write_delta(
     commits) — Delta's invariant semantics. Generated columns may be
     partition columns (the date-from-timestamp pattern that gives
     partition pruning on a derived key).
+
+    ``identity`` (create/overwrite): Delta IDENTITY columns (writer
+    feature ``identityColumns``) — ``{column: {"start": 1, "step": 1,
+    "allow_explicit_insert": False}}`` recorded as
+    ``delta.identity.*`` field metadata. A write that omits the
+    column gets system-assigned values: unique, congruent to
+    ``start (mod step)``, strictly beyond the persisted
+    ``delta.identity.highWaterMark`` (assignment is
+    ``monotonically_increasing_id``-based — map-side, no shuffle, no
+    driver loop; values may be SPARSE across task partitions, which
+    the spec permits). The high water mark advances in the same
+    commit's schemaString from the staged files' column stats.
+    GENERATED ALWAYS (the default) refuses writer-supplied values;
+    ``allow_explicit_insert=True`` (BY DEFAULT) accepts them and
+    still advances the mark past them. Identity columns cannot be
+    partition columns, and identity writes do not blind-rebase past
+    concurrent commits (a racing writer may have advanced the mark —
+    the conflict surfaces as a retryable error instead of colliding
+    ids).
     """
     spark = df.sparkSession
     path = os.path.abspath(path)
@@ -550,6 +598,61 @@ def write_delta(
             "generated= is declared at create/overwrite; appends inherit the "
             "table's generation expressions from its schema metadata"
         )
+    # -- identity columns ----------------------------------------------------
+    identity_specs: dict[str, dict] = {}
+    prev_identity: dict[str, dict] = {}
+    _early_snap = None  # reused below — never replay the log twice
+    if exists and mode in ("append", "overwrite"):
+        _early_snap = DeltaLog(spark, path).snapshot()
+        prev_identity = _identity_specs_from_schema(
+            _early_snap.metadata.schema
+        )
+    if not exists or mode == "overwrite":
+        for iname, spec in (identity or {}).items():
+            step = int(spec.get("step", 1))
+            if step == 0:
+                raise ValueError(f"identity column '{iname}': step must be nonzero")
+            identity_specs[iname] = {
+                "start": int(spec.get("start", 1)),
+                "step": step,
+                "allow": bool(spec.get("allow_explicit_insert", False)),
+                # the mark is monotonic table state: it survives an
+                # overwrite that re-declares the same identity column
+                "hwm": prev_identity.get(iname, {}).get("hwm"),
+            }
+    else:  # append
+        if identity:
+            raise ValueError(
+                "identity= is declared at create/overwrite; appends inherit "
+                "the table's identity columns from its schema metadata"
+            )
+        identity_specs = prev_identity
+    for iname, spec in identity_specs.items():
+        if iname in partition_by:
+            raise ValueError(
+                f"identity column '{iname}' cannot be a partition column "
+                "(the high water mark is tracked through file stats)"
+            )
+        if iname in df.columns:
+            if not spec["allow"]:
+                raise ValueError(
+                    f"identity column '{iname}' is GENERATED ALWAYS — "
+                    "explicit values are refused "
+                    "(declare allow_explicit_insert=True for BY DEFAULT)"
+                )
+        else:
+            base = (
+                spec["hwm"]
+                if spec["hwm"] is not None
+                else spec["start"] - spec["step"]
+            )
+            df = df.withColumn(
+                iname,
+                (
+                    F.lit(base)
+                    + (F.monotonically_increasing_id() + 1) * F.lit(spec["step"])
+                ).cast("long"),
+            )
     # Nullability is a DECLARED contract, not an inferred one: Spark
     # marks every lit()/range-derived column non-nullable, so recording
     # df.schema verbatim would turn accidents into NOT NULL invariants
@@ -581,6 +684,18 @@ def write_delta(
                 for f in incoming_schema.fields
             ]
         )
+    if identity_specs and (not exists or mode == "overwrite"):
+        incoming_schema = T.StructType(
+            [
+                T.StructField(
+                    f.name, f.dataType, f.nullable,
+                    _identity_field_metadata(f.metadata, identity_specs[f.name])
+                    if f.name in identity_specs
+                    else f.metadata,
+                )
+                for f in incoming_schema.fields
+            ]
+        )
     commit_schema = incoming_schema
     meta_id: str | None = None
     meta_conf: dict[str, str] = {}
@@ -592,7 +707,7 @@ def write_delta(
         meta_conf["delta.enableRowTracking"] = "true"
     if exists:
         log = DeltaLog(spark, path)
-        snap = log.snapshot()
+        snap = _early_snap if _early_snap is not None else log.snapshot()
         version = snap.version + 1
         # Protocol survives every commit too: re-emitting the default
         # would silently DOWNGRADE a table that a feature (standard
@@ -744,6 +859,15 @@ def write_delta(
         )
         if exists:
             row_hwm = snap.row_id_high_water_mark()
+    if identity_specs:
+        commit_protocol = merge_protocol(
+            commit_protocol,
+            {
+                "minReaderVersion": 1,
+                "minWriterVersion": 7,
+                "writerFeatures": ["identityColumns"],
+            },
+        )
 
     # -- stage data files ----------------------------------------------------
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
@@ -872,6 +996,44 @@ def write_delta(
             else:
                 nonempty.append(rel)
         moved = nonempty
+
+    # -- identity: advance the high water mark from the staged stats ---------
+    # (exact — footer or distributed min/max of the column over the new
+    # files), re-embedded in this commit's schemaString so the next
+    # writer continues beyond every value that just landed, including
+    # explicit BY DEFAULT inserts.
+    if identity_specs:
+        for iname, spec in identity_specs.items():
+            key = "maxValues" if spec["step"] > 0 else "minValues"
+            ext = None
+            for st in stats_by_name.values():
+                v = (st.get(key) or {}).get(iname)
+                if v is None:
+                    continue
+                v = int(v)
+                if ext is None:
+                    ext = v
+                else:
+                    ext = max(ext, v) if spec["step"] > 0 else min(ext, v)
+            if ext is not None:
+                old = spec["hwm"]
+                if old is None:
+                    spec["hwm"] = ext
+                else:
+                    spec["hwm"] = (
+                        max(old, ext) if spec["step"] > 0 else min(old, ext)
+                    )
+        commit_schema = T.StructType(
+            [
+                T.StructField(
+                    f.name, f.dataType, f.nullable,
+                    _identity_field_metadata(f.metadata, identity_specs[f.name])
+                    if f.name in identity_specs
+                    else f.metadata,
+                )
+                for f in commit_schema.fields
+            ]
+        )
 
     # -- commit --------------------------------------------------------------
     now_ms = int(time.time() * 1000)
@@ -1040,7 +1202,10 @@ def write_delta(
     # the winner's schema now fails loudly instead of reverting it).
     # (an append racing the table's creation re-reads the winner's log
     # on retry, so `exists` at entry is irrelevant here)
-    blind_append = mode == "append" and not prev_adds
+    # identity writes never blind-rebase: a racing commit may have
+    # advanced the high water mark this write's values were minted
+    # from — surfacing the conflict beats committing colliding ids
+    blind_append = mode == "append" and not prev_adds and not identity_specs
     for _attempt in range(20):
         try:
             version = _publish_commit(

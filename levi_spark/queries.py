@@ -2356,6 +2356,83 @@ ORDER BY c_mktsegment
 """
 
 
+def identity_column_counts(spark, sf_dir):
+    """Delta IDENTITY columns through the driver gate
+    (:mod:`levi_spark.delta.writer` ``identity=`` — writer feature
+    ``identityColumns``): customer becomes a table whose ``uid`` is
+    GENERATED ALWAYS (start 1000, step 2, ``delta.identity.*`` field
+    metadata), an append of transformed rows continues minting beyond
+    the persisted high water mark (re-embedded in each commit's
+    schemaString from the staged files' column stats), and explicit
+    values stay refused. Single-file sorted writes make every
+    assignment deterministic, so the oracle is pure ROW_NUMBER
+    arithmetic: base rows get ``1000 + 2*(rn-1)`` in key order,
+    appended rows continue from ``hwm + 2``. Output: per market
+    segment, row count and uid sum/max — a mark reused, a gap
+    mis-stepped, or an id minted below the mark all shift the sums.
+
+    Scale note: assignment is a map-side expression over
+    ``monotonically_increasing_id`` (no shuffle, no driver loop); the
+    single-file write is the gate's determinism harness, same as the
+    row-tracking gate."""
+    import os as _os
+
+    from levi_spark.delta.log import DeltaLog
+    from levi_spark.delta.writer import write_delta
+
+    root = _scratch("identity")
+    p = _os.path.join(root, "t")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    write_delta(
+        cust.repartition(1).sortWithinPartitions("c_custkey"),
+        p, mode="error", checkpoint_interval=None,
+        identity={"uid": {"start": 1000, "step": 2}},
+    )
+    appended = cust.where(F.col("c_custkey") % 5 == 0).select(
+        (F.col("c_custkey") + 20_000_000).alias("c_custkey"),
+        "c_mktsegment",
+    )
+    write_delta(
+        appended.repartition(1).sortWithinPartitions("c_custkey"),
+        p, mode="append", checkpoint_interval=None,
+    )
+    df = DeltaLog(spark, p).snapshot().to_df()
+    return (
+        df.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("uid").cast("long").alias("sum_uid"),
+            F.max("uid").cast("long").alias("max_uid"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+IDENTITY_COLUMN_SQL = """
+WITH base AS (
+  SELECT c_mktsegment,
+         1000 + 2 * (ROW_NUMBER() OVER (ORDER BY c_custkey) - 1) AS uid
+  FROM customer
+),
+hwm AS (SELECT 1000 + 2 * (COUNT(*) - 1) AS m FROM customer),
+app AS (
+  SELECT c_mktsegment,
+         (SELECT m FROM hwm) + 2 * ROW_NUMBER() OVER (ORDER BY c_custkey)
+           AS uid
+  FROM customer WHERE c_custkey % 5 = 0
+),
+live AS (SELECT * FROM base UNION ALL SELECT * FROM app)
+SELECT c_mktsegment, COUNT(*) AS n_rows,
+       CAST(SUM(uid) AS BIGINT) AS sum_uid,
+       CAST(MAX(uid) AS BIGINT) AS max_uid
+FROM live
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 def variant_shredding_counts(spark, sf_dir):
     """SHREDDED VARIANT reads — the largest remaining reader-matrix
     refusal closed (round-7; round-6 verdict ask #6). The fixture is a
@@ -10585,6 +10662,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "multimodal_gif_decode": (multimodal_gif_decode, GIF_DECODE_SQL),
     "doc_substring_dedup": (doc_substring_dedup, SUBSTRING_DEDUP_SQL),
+    "identity_column_counts": (identity_column_counts, IDENTITY_COLUMN_SQL),
     "variant_shredding_counts": (variant_shredding_counts, VARIANT_SHREDDING_SQL),
     "multimodal_jpeg420_decode": (multimodal_jpeg420_decode, JPEG420_DECODE_SQL),
     # -- changed in round 7: OPTIMIZE now preserves row ids (gate gained
