@@ -416,5 +416,6 @@ def purge_deleted(spark: SparkSession, path: str) -> dict:
         replace_paths=dv_paths,
         operation="PURGE",
         checkpoint_interval=None,
+        identity_passthrough=True,  # rewrite carries existing ids
     )
     return {"version": version, "files_rewritten": len(dv_paths)}

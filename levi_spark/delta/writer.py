@@ -492,6 +492,7 @@ def write_delta(
     generated: dict[str, str] | None = None,
     row_tracking: bool = False,
     identity: dict[str, dict] | None = None,
+    identity_passthrough: bool = False,
 ) -> int:
     """Write ``df`` as a new Delta table version at ``path``.
 
@@ -634,7 +635,11 @@ def write_delta(
                 "(the high water mark is tracked through file stats)"
             )
         if iname in df.columns:
-            if not spec["allow"]:
+            # identity_passthrough: internal rewriters (OPTIMIZE,
+            # purge, MERGE, dedup) legitimately carry EXISTING
+            # identity values through a file rewrite — only new
+            # user-facing writes face the GENERATED ALWAYS contract
+            if not spec["allow"] and not identity_passthrough:
                 raise ValueError(
                     f"identity column '{iname}' is GENERATED ALWAYS — "
                     "explicit values are refused "

@@ -165,6 +165,7 @@ def kill_duplicates_targeted(table: LeviTable, duplication_columns: list[str]) -
         partition_by=list(snap.metadata.partition_columns),
         replace_paths=rels,
         operation="DELETE",
+        identity_passthrough=True,  # rewrite carries existing ids
     )
     return {
         "files_rewritten": len(rels),
@@ -249,6 +250,7 @@ def _targeted_loser_rewrite(table: LeviTable, losers: DataFrame) -> dict:
         partition_by=list(snap.metadata.partition_columns),
         replace_paths=rels,
         operation="DELETE",
+        identity_passthrough=True,  # rewrite carries existing ids
     )
     return {
         "files_rewritten": len(rels),

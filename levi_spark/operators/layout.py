@@ -123,6 +123,7 @@ def compact_small_files(
         partition_by=part_cols,
         replace_paths=smalls,
         operation="OPTIMIZE",
+        identity_passthrough=True,  # rewrite carries existing ids
     )
     after_files = DeltaLog(spark, path).snapshot().add_actions().count()
     return {

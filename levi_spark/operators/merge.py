@@ -190,6 +190,13 @@ class MergeBuilder:
             and rt_mat_id is not None
             and rt_mat_cv is not None
         )
+        # Identity columns: rewritten rows pass their existing values
+        # through; INSERT branches must not assign a GENERATED ALWAYS
+        # column, and unassigned identity columns get system values
+        # minted beyond the persisted high water mark.
+        from levi_spark.delta.writer import _identity_specs_from_schema
+
+        id_specs = _identity_specs_from_schema(snap.metadata.schema)
 
         rewritten = None
         touched_rels: list[str] = []
@@ -416,6 +423,31 @@ class MergeBuilder:
             inserts = unmatched.select(*out_cols)
             for g, e in gen_recompute.items():
                 inserts = inserts.withColumn(g, F.expr(e).cast(ins_types[g]))
+            assigned_ids = {
+                c for _b, values in branches for c in values if c in id_specs
+            }
+            for c in assigned_ids:
+                if not id_specs[c]["allow"]:
+                    raise ValueError(
+                        f"identity column '{c}' is GENERATED ALWAYS — "
+                        "MERGE INSERT cannot assign it"
+                    )
+            for c, spec in id_specs.items():
+                if c in assigned_ids:
+                    continue
+                base = (
+                    spec["hwm"]
+                    if spec["hwm"] is not None
+                    else spec["start"] - spec["step"]
+                )
+                inserts = inserts.withColumn(
+                    c,
+                    (
+                        F.lit(base)
+                        + (F.monotonically_increasing_id() + 1)
+                        * F.lit(spec["step"])
+                    ).cast("long"),
+                )
             if emit_cdf:
                 cdc_parts.append(
                     inserts.withColumn("_change_type", F.lit("insert"))
@@ -450,6 +482,7 @@ class MergeBuilder:
             cdc_df=cdc_df,
             txn=txn,
             merge_schema=bool(new_cols),
+            identity_passthrough=True,  # rewrite carries existing ids
         )
         return {
             "version": version,

@@ -128,3 +128,90 @@ def test_mark_survives_overwrite(spark, tmp_path):
     )
     got = sorted(r.uid for r in DeltaLog(spark, p).snapshot().to_df().collect())
     assert got == [7, 8]
+
+
+def test_rewriters_pass_identity_through(spark, tmp_path):
+    """OPTIMIZE compaction and DV purge carry existing identity values
+    through the rewrite (no refusal, no re-minting) and the mark
+    stays correct."""
+    from levi_spark.delta.dv import soft_delete, purge_deleted
+    from levi_spark.operators.layout import compact_small_files
+
+    p = str(tmp_path / "t")
+    write_delta(
+        _one(spark.range(20).selectExpr("id AS k"), "k"), p, mode="error",
+        checkpoint_interval=None, identity={"uid": {"start": 5, "step": 3}},
+    )
+    write_delta(
+        _one(spark.range(20, 30).selectExpr("id AS k"), "k"), p,
+        mode="append", checkpoint_interval=None,
+    )
+    before = sorted(
+        (r.k, r.uid) for r in DeltaLog(spark, p).snapshot().to_df().collect()
+    )
+    compact_small_files(spark, p, small_bytes=1 << 30, target_bytes=1 << 30)
+    after = sorted(
+        (r.k, r.uid) for r in DeltaLog(spark, p).snapshot().to_df().collect()
+    )
+    assert after == before
+    assert _uid_meta(spark, p)["delta.identity.highWaterMark"] == 5 + 3 * 29
+    soft_delete(spark, p, "k % 3 = 0", checkpoint_interval=None)
+    purge_deleted(spark, p)
+    got = sorted(
+        (r.k, r.uid) for r in DeltaLog(spark, p).snapshot().to_df().collect()
+    )
+    assert got == [(k, u) for k, u in before if k % 3 != 0]
+    # and a fresh append still mints beyond the (unchanged) mark
+    write_delta(
+        _one(spark.range(30, 32).selectExpr("id AS k"), "k"), p,
+        mode="append", checkpoint_interval=None,
+    )
+    uids = [r.uid for r in DeltaLog(spark, p).snapshot().to_df().collect()]
+    assert len(set(uids)) == len(uids)
+
+
+def test_merge_generates_identity_for_inserts(spark, tmp_path):
+    """MERGE passes rewritten rows' ids through, refuses INSERT
+    assignment of a GENERATED ALWAYS column, and mints fresh ids for
+    unassigned inserts."""
+    from pyspark.sql import functions as F
+
+    from levi_spark.delta.table import LeviTable
+    from levi_spark.operators.merge import merge
+
+    p = str(tmp_path / "t")
+    write_delta(
+        _one(spark.range(10).selectExpr("id AS k", "id AS v"), "k"), p,
+        mode="error", checkpoint_interval=None, identity={"uid": {}},
+    )
+    src = spark.range(8, 13).selectExpr("id AS k", "id * 100 AS v")
+    res = (
+        merge(LeviTable(spark, p), src, "t.k = s.k")
+        .when_matched_update(set={"v": F.expr("s.v")})
+        .when_not_matched_insert(values={"k": F.expr("s.k"), "v": F.expr("s.v")})
+        .execute()
+    )
+    assert res["version"] >= 1
+    rows = {r.k: (r.v, r.uid) for r in DeltaLog(spark, p).snapshot().to_df().collect()}
+    # untouched + updated rows keep their original uid (uid = k + 1)
+    for k in range(10):
+        assert rows[k][1] == k + 1, rows[k]
+    assert rows[8][0] == 800 and rows[9][0] == 900
+    # inserted rows got fresh system ids beyond the mark (10)
+    ins = [rows[k][1] for k in (10, 11, 12)]
+    assert all(u > 10 for u in ins) and len(set(ins)) == 3
+    assert _uid_meta(spark, p)["delta.identity.highWaterMark"] == max(
+        u for _, u in rows.values()
+    )
+    # ALWAYS assignment in an insert clause refuses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="MERGE INSERT cannot assign"):
+        (
+            merge(LeviTable(spark, p), spark.range(50, 51).selectExpr("id AS k", "id AS v"), "t.k = s.k")
+            .when_not_matched_insert(
+                values={"k": F.expr("s.k"), "v": F.expr("s.v"),
+                        "uid": F.expr("CAST(1 AS LONG)")}
+            )
+            .execute()
+        )
