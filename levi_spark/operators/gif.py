@@ -8,17 +8,20 @@ animation container in web scrapes.
 Supported profile: GIF87a/GIF89a, global and local color tables,
 LZW-compressed image data (variable code width 3-12 bits, LSB-first
 packing, CLEAR/EOI codes, the deferred-clear and KwKwK cases), the
-4-pass GIF row interlace, multi-frame animations with graphic-control
-extensions (frame delays surfaced; disposal method "keep" semantics:
-each frame draws over the previous canvas at its declared offset).
-Refused explicitly rather than misread: transparency compositing is
-approximated by "draw opaque" (transparent_index surfaced per frame so
-callers can tell), and sort/aspect fields are ignored per spec.
+4-pass GIF row interlace, and multi-frame animation COMPOSITING with
+full graphic-control semantics: per-frame delays, TRANSPARENCY
+(transparent-index pixels leave the underlying canvas visible) and
+all disposal methods (0/1 keep, 2 restore-to-background — the frame
+region clears to the canvas base, rendered as black like browsers
+render a transparent background — and 3 restore-to-previous).
+Sort/aspect fields are ignored per spec.
 
 Encode (for fixtures and tests): greyscale or RGB frames quantized to
 one global 256-entry palette (exact for greyscale and for rasters with
 <= 256 distinct colors; refuses otherwise rather than dither), each
-frame full-canvas, LZW-compressed with table resets at 4096 codes.
+frame full-canvas, LZW-compressed with table resets at 4096 codes;
+``transparent_color`` reserves a palette index so frames can punch
+holes, ``disposals`` sets per-frame disposal methods.
 """
 
 from __future__ import annotations
@@ -185,12 +188,19 @@ def encode_gif(
     frames: list[np.ndarray] | np.ndarray,
     delays_cs: list[int] | None = None,
     interlace: bool = False,
+    transparent_color=None,
+    disposals: list[int] | None = None,
 ) -> bytes:
     """Frames -> animated GIF89a. Each frame is uint8 (H, W) greyscale
     or (H, W, 3) RGB; all frames share one canvas size and one global
     palette built from the union of colors (must fit 256 — this
     encoder refuses to dither). ``delays_cs`` per-frame delays in
-    centiseconds (graphic-control extensions; default 10)."""
+    centiseconds (graphic-control extensions; default 10).
+    ``transparent_color`` (grey value or RGB triple) reserves a
+    palette index: pixels of that exact color are encoded transparent
+    and the prior canvas shows through on decode. ``disposals`` sets
+    each frame's disposal method (0/1 keep, 2 restore-to-background,
+    3 restore-to-previous)."""
     if isinstance(frames, np.ndarray) and frames.ndim in (2, 3):
         frames = [frames]
     frames = [np.asarray(f, dtype=np.uint8) for f in frames]
@@ -210,6 +220,17 @@ def encode_gif(
     # one global palette over all frames
     allpx = np.concatenate([f.reshape(-1, 3) for f in rgb_frames])
     palette, inverse = np.unique(allpx, axis=0, return_inverse=True)
+    trans_idx = None
+    if transparent_color is not None:
+        tc = np.asarray(transparent_color, dtype=np.uint8).reshape(-1)
+        if tc.shape == (1,):
+            tc = np.repeat(tc, 3)
+        if tc.shape != (3,):
+            raise ValueError("transparent_color must be a grey value or RGB")
+        hit = np.where((palette == tc).all(axis=1))[0]
+        trans_idx = int(hit[0]) if len(hit) else len(palette)
+        if trans_idx == len(palette) and len(palette) >= 256:
+            raise ValueError("no palette slot left for the transparent index")
     if len(palette) > 256:
         raise ValueError(
             f"{len(palette)} distinct colors exceed one 256-entry palette "
@@ -228,6 +249,11 @@ def encode_gif(
     delays = list(delays_cs or [10] * len(frames))
     if len(delays) != len(frames):
         raise ValueError(f"need {len(frames)} delays, got {len(delays)}")
+    disp = list(disposals or [0] * len(frames))
+    if len(disp) != len(frames):
+        raise ValueError(f"need {len(frames)} disposals, got {len(disp)}")
+    if any(d not in (0, 1, 2, 3) for d in disp):
+        raise ValueError("disposal methods are 0-3")
 
     out = bytearray(_HDR)
     # logical screen descriptor: global table, 8 bits/channel, 256 cells
@@ -236,9 +262,12 @@ def encode_gif(
     if len(frames) > 1:  # Netscape loop-forever app extension
         out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
     for fi, idx in enumerate(index_frames):
-        out += b"\x21\xf9\x04" + bytes([0]) + struct.pack(
+        gflags = disp[fi] << 2
+        if trans_idx is not None:
+            gflags |= 0x01
+        out += b"\x21\xf9\x04" + bytes([gflags]) + struct.pack(
             "<H", delays[fi]
-        ) + b"\x00\x00"  # graphic control: no disposal, no transparency
+        ) + bytes([trans_idx or 0, 0])
         flags = 0x40 if interlace else 0
         out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, flags)
         rows = idx
@@ -283,6 +312,7 @@ def decode_gif(payload: bytes) -> dict:
     canvas = np.zeros((h, w, 3), np.uint8)
     pending_delay = 0
     pending_trans: int | None = None
+    pending_disposal = 0
     while True:
         if pos >= len(payload):
             raise ValueError("missing GIF trailer")
@@ -298,6 +328,7 @@ def decode_gif(payload: bytes) -> dict:
                 gflags = data[0]
                 (pending_delay,) = struct.unpack("<H", data[1:3])
                 pending_trans = data[3] if gflags & 0x01 else None
+                pending_disposal = (gflags >> 2) & 0x7
             continue
         if block != 0x2C:
             raise ValueError(f"unknown GIF block {block:#04x}")
@@ -324,12 +355,25 @@ def decode_gif(payload: bytes) -> dict:
             idx = _deinterlace(idx)
         if int(idx.max(initial=0)) >= len(pal):
             raise ValueError("pixel index outside the color table")
+        before = canvas  # for disposal 3 (restore to previous)
         canvas = canvas.copy()
-        canvas[fy : fy + fh, fx : fx + fw] = pal[idx]
+        region = canvas[fy : fy + fh, fx : fx + fw]
+        rendered = pal[idx]
+        if pending_trans is not None:
+            keep = idx == pending_trans  # holes show the prior canvas
+            region[...] = np.where(keep[..., None], region, rendered)
+        else:
+            region[...] = rendered
         frames.append(canvas)
         delays.append(pending_delay)
         trans.append(pending_trans)
-        pending_delay, pending_trans = 0, None
+        # disposal prepares the canvas the NEXT frame draws onto
+        if pending_disposal == 2:  # restore to background (base black)
+            canvas = canvas.copy()
+            canvas[fy : fy + fh, fx : fx + fw] = 0
+        elif pending_disposal == 3:  # restore to previous
+            canvas = before
+        pending_delay, pending_trans, pending_disposal = 0, None, 0
     if not frames:
         raise ValueError("GIF contains no image data")
     return {

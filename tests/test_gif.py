@@ -133,3 +133,37 @@ def test_multimodal_plane_integration(spark):
     assert {k: sorted(v) for k, v in got.items()} == {
         1: [0, 1], 2: [0, 1, 2], 3: [0, 1, 2, 3]
     }
+
+
+def test_transparency_and_disposal_compositing():
+    """Full graphic-control semantics: transparent pixels leave the
+    prior canvas visible; disposal 2 clears the frame region to the
+    canvas base before the next frame; disposal 3 restores the
+    pre-frame canvas."""
+    f1 = np.full((8, 8), 50, np.uint8)
+    f2 = np.full((8, 8), 200, np.uint8)
+    f2[2:4, 2:4] = 7  # transparent color
+    d = decode_gif(encode_gif([f1, f2], transparent_color=7))
+    assert (d["frames"][1][2:4, 2:4] == 50).all()
+    assert (d["frames"][1][0, 0] == 200).all()
+    assert d["transparent_index"][1] is not None
+    # disposal 2: holes over a disposed region show the base (black)
+    d = decode_gif(encode_gif([f1, f2], transparent_color=7, disposals=[2, 0]))
+    assert (d["frames"][1][2:4, 2:4] == 0).all()
+    # disposal 3: the frame after a restore-to-previous frame sees the
+    # canvas from BEFORE it
+    f3 = np.full((8, 8), 130, np.uint8)
+    f3[5, 5] = 7
+    d = decode_gif(
+        encode_gif([f1, f2, f3], transparent_color=7, disposals=[0, 3, 0])
+    )
+    assert (d["frames"][2][5, 5] == 50).all()
+    assert (d["frames"][1][0, 0] == 200).all()
+    # contract checks
+    with pytest.raises(ValueError, match="slot"):
+        encode_gif(
+            [np.arange(256, dtype=np.uint8).reshape(16, 16)],
+            transparent_color=(1, 2, 3),
+        )
+    with pytest.raises(ValueError, match="disposal methods"):
+        encode_gif([f1], disposals=[7])
