@@ -31,17 +31,21 @@ FrameDecoder = Callable[[bytes], dict]
 
 def _default_image_decoder(payload: bytes) -> dict:
     raise NotImplementedError(
-        "no decoder given: pass levi_spark.operators.png.png_image_decoder "
-        "(real PNG), levi_spark.operators.netpbm.netpbm_image_decoder "
-        "(real netpbm), fake_image_decoder, or a PIL/opencv-backed codec "
-        "for formats we don't ship (JPEG/WebP)"
+        "no decoder given: pass levi_spark.operators.jpeg.jpeg_image_decoder "
+        "(real JPEG), levi_spark.operators.png.png_image_decoder (real "
+        "PNG), levi_spark.operators.netpbm.netpbm_image_decoder (real "
+        "netpbm), fake_image_decoder, or a PIL/opencv-backed codec for "
+        "formats we don't ship (WebP/AVIF/HEIC)"
     )
 
 
 def _default_audio_decoder(payload: bytes) -> dict:
     raise NotImplementedError(
-        "real audio decode requires soundfile/librosa (not in this "
-        "container); pass decoder=fake_audio_decoder or a real codec"
+        "no decoder given: pass levi_spark.operators.riffwav."
+        "wav_audio_decoder (real PCM WAV), levi_spark.operators.flac."
+        "flac_audio_decoder (real FLAC), fake_audio_decoder, or a "
+        "soundfile/librosa-backed codec for formats we don't ship "
+        "(MP3/AAC/Opus)"
     )
 
 
@@ -143,6 +147,67 @@ def decode_frame_features(
         run,
         f"{id_col} long, frame_idx long, delay_cs long, width int, "
         "height int, mean_pixel double",
+    )
+
+
+def decode_video_features(
+    df: DataFrame,
+    decoder,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """VIDEO-container decode with per-frame fan-out: ``decoder`` maps
+    one container payload to a list of frame dicts (frame_idx,
+    n_frames, width, height, usec_per_frame, mean_pixel,
+    mean_abs_dev) and each input row yields one output row per frame
+    inside the executor-side batch. Plug
+    :func:`levi_spark.operators.avi.avi_frame_features` for MJPEG AVI
+    — the first REAL video path through the multimodal plane (frame
+    timing comes from the container header, per-frame stats from the
+    decoded JPEG raster)."""
+
+    cols = (
+        "frame_idx",
+        "n_frames",
+        "width",
+        "height",
+        "usec_per_frame",
+        "mean_pixel",
+        "mean_abs_dev",
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {c: [] for c in (id_col, *cols)}
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                for d in decoder(bytes(b)):
+                    rows[id_col].append(i)
+                    for c in cols:
+                        rows[c].append(d[c])
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(rows[id_col], dtype="int64"),
+                    "frame_idx": pd.Series(rows["frame_idx"], dtype="int64"),
+                    "n_frames": pd.Series(rows["n_frames"], dtype="int64"),
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "height": pd.Series(rows["height"], dtype="int32"),
+                    "usec_per_frame": pd.Series(
+                        rows["usec_per_frame"], dtype="int64"
+                    ),
+                    "mean_pixel": pd.Series(
+                        rows["mean_pixel"], dtype="float64"
+                    ),
+                    "mean_abs_dev": pd.Series(
+                        rows["mean_abs_dev"], dtype="float64"
+                    ),
+                }
+            )
+
+    return df.mapInPandas(
+        run,
+        f"{id_col} long, frame_idx long, n_frames long, width int, "
+        "height int, usec_per_frame long, mean_pixel double, "
+        "mean_abs_dev double",
     )
 
 
