@@ -131,7 +131,17 @@ _SUPPORTED_READER_FEATURES = frozenset(
      # value-exact against a physically shredded fixture in
      # tests/test_v2_checkpoints.py and the variant_shredding_counts
      # driver gate)
-     "variantShredding", "variantShredding-preview"}
+     "variantShredding", "variantShredding-preview",
+     # collated strings (Delta collated-string-type RFC): PySpark's
+     # StructType.fromJson natively converts the __COLLATIONS field-
+     # metadata key into collated StringTypes (validating the
+     # provider), meta.physical_schema carries them into the parquet
+     # scan, and Spark 4's collation engine applies the REAL
+     # comparison semantics (UTF8_LCASE, UNICODE, UNICODE_CI, ICU
+     # locales) in filters/joins/aggregations — proven end-to-end in
+     # tests/test_protocol_guard.py (case-insensitive equality through
+     # a DeltaLog read). Unknown providers fail loudly at schema parse.
+     "collations", "collations-preview"}
 )
 
 

@@ -48,15 +48,83 @@ def test_reader_v3_unsupported_feature_refused(spark, tmp_path):
         {
             "minReaderVersion": 3,
             "minWriterVersion": 7,
-            # deletionVectors/v2Checkpoint/typeWidening/variantType
-            # became supported in round 5; collations-preview is a real
-            # Delta reader feature this engine does not implement
-            "readerFeatures": ["collations-preview"],
-            "writerFeatures": ["collations-preview"],
+            # a real Delta reader feature this engine does not
+            # implement (commit coordination lives outside the log)
+            "readerFeatures": ["catalogOwned-preview"],
+            "writerFeatures": ["catalogOwned-preview"],
         },
     )
-    with pytest.raises(UnsupportedTableFeatureError, match="collations"):
+    with pytest.raises(UnsupportedTableFeatureError, match="catalogOwned"):
         DeltaLog(spark, path).snapshot().to_df()
+
+
+def _make_collated_table(spark, path, collation):
+    """A Delta table whose string column declares a collation (Delta
+    collated-string-type RFC: the ``__COLLATIONS`` field-metadata key
+    maps field path -> identifier), protocol v3 with the
+    collations-preview reader feature."""
+    from pyspark.sql import Row
+
+    write_delta(
+        spark.createDataFrame(
+            [Row(k=i, s=v) for i, v in enumerate(["abc", "ABC", "xyz"])]
+        ),
+        path,
+        mode="error",
+        checkpoint_interval=None,
+    )
+    log_dir = os.path.join(path, "_delta_log")
+    with open(os.path.join(log_dir, f"{0:020d}.json")) as f:
+        meta = next(
+            json.loads(line)["metaData"]
+            for line in f
+            if "metaData" in json.loads(line)
+        )
+    schema = json.loads(meta["schemaString"])
+    for fld in schema["fields"]:
+        if fld["name"] == "s":
+            fld["metadata"] = {"__COLLATIONS": {"s": collation}}
+    meta["schemaString"] = json.dumps(schema)
+    proto = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["collations-preview"],
+        "writerFeatures": ["collations-preview"],
+    }
+    with open(os.path.join(log_dir, f"{1:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": proto}) + "\n")
+        f.write(json.dumps({"metaData": meta}) + "\n")
+
+
+def test_collated_reads_apply_real_semantics(spark, tmp_path):
+    """Collated string columns read back as Spark 4 collated
+    StringTypes with the REAL comparison semantics — a UTF8_LCASE
+    equality matches case-insensitively through the DeltaLog scan."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    path = str(tmp_path / "t2b")
+    _make_collated_table(spark, path, "SPARK.UTF8_LCASE")
+    df = DeltaLog(spark, path).snapshot().to_df()
+    (sfield,) = [f for f in df.schema.fields if f.name == "s"]
+    assert sfield.dataType == T.StringType("UTF8_LCASE")
+    assert df.where(F.col("s") == "abc").count() == 2  # 'abc' and 'ABC'
+
+
+def test_collated_icu_reads_and_unknown_provider_fails(spark, tmp_path):
+    """ICU collations resolve through Spark's collation registry;
+    junk providers fail loudly at schema parse instead of misreading."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t2c")
+    _make_collated_table(spark, path, "ICU.UNICODE_CI")
+    df = DeltaLog(spark, path).snapshot().to_df()
+    assert df.where(F.col("s") == "aBc").count() == 2
+
+    path2 = str(tmp_path / "t2d")
+    _make_collated_table(spark, path2, "JUNK.NOT_A_COLLATION")
+    with pytest.raises(Exception):
+        DeltaLog(spark, path2).snapshot().to_df().collect()
 
 
 def test_reader_v3_supported_features_ok(spark, tmp_path):
