@@ -10221,6 +10221,219 @@ def multimodal_flac_decode(spark, sf_dir):
 FLAC_DECODE_SQL = WAV_DECODE_SQL  # same raster, same analytic RMS law
 
 
+_IMA_STEPS_SQL = "[7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,20350,22385,24623,27086,29794,32767]"
+_IMA_ADJ_SQL = "[-1,-1,-1,-1,2,4,6,8]"
+
+
+def _ima_fold_sql(pred: str, idx: str, codes: str) -> str:
+    """DuckDB replica of the IMA ADPCM state machine: a list_reduce
+    whose accumulator is ``[predictor, step_index, sum, sum_abs]``
+    and whose element 0 seeds the block-header state (the header
+    samp0 IS the block's first output sample, so it enters both
+    sums). Nested single-element list_transform calls act as let-
+    bindings for step / diff / clamped-predictor — DuckDB lambdas
+    close over outer lambda parameters."""
+    return f"""list_reduce(
+  [[{pred}, {idx}, {pred}, abs({pred})]] ||
+  list_transform({codes}, c -> [c, 0, 0, 0]),
+  (acc, x) -> list_transform([{_IMA_STEPS_SQL}[acc[2]+1]], stp ->
+    list_transform([stp//8 + (x[1]%2)*(stp//4)
+                    + ((x[1]//2)%2)*(stp//2) + ((x[1]//4)%2)*stp], d ->
+      list_transform([greatest(-32768, least(32767,
+                      acc[1] + (1-2*(x[1]//8))*d))], np ->
+        [np,
+         greatest(0, least(88, acc[2] + {_IMA_ADJ_SQL}[(x[1]%8)+1])),
+         acc[3]+np,
+         acc[4]+abs(np)]
+      )[1]
+    )[1]
+  )[1]
+)"""
+
+
+def multimodal_adpcm_decode(spark, sf_dir):
+    """REAL compressed-audio decode, lossy family — IMA ADPCM in a
+    WAVE container (format tag 0x0011,
+    :mod:`levi_spark.operators.adpcm`): the 4-bit-code state machine
+    telephony dumps and game assets use. Each document becomes a
+    two-block mono stream at ``8000 + 100*(doc_id%7)`` Hz: block 0
+    seeds ``(samp0, step_index) = ((doc_id%256)-128, doc_id%89)`` and
+    carries the 32 md5 HEX DIGITS of the text as 4-bit codes; block 1
+    restarts from ``((3*doc_id%256)-128, 5*doc_id%89)`` with the
+    digits REVERSED — so the decoder must parse the extended fmt
+    chunk (wSamplesPerBlock cross-check), the fact chunk, both block
+    headers, the low-nibble-first packing, and run the 89-entry
+    step-table state machine 64 steps. The oracle REPLICATES the full
+    state machine in DuckDB (a list_reduce whose accumulator is
+    [predictor, step_index, sum, sum_abs] — see ``_ima_fold_sql``),
+    so a wrong step-table entry, index clamp, sign bit or nibble
+    order diverges immediately; every output is an int64, bit-exact
+    across engines. Scale shape: two Arrow-batched map-side hops
+    after the tiny input-spreading repartition; the sequential state
+    machine runs per-payload inside the batch — no data-dependent
+    shuffle, no driver loop."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from levi_spark.operators.adpcm import encode_wav_ima, ima_audio_stats
+
+    docs = _docs_parallel(spark, sf_dir)
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                hx = hashlib.md5(text.encode("utf-8")).hexdigest()
+                codes = np.array([int(ch, 16) for ch in hx], dtype=np.int64)
+                d = int(doc_id)
+                payloads.append(
+                    encode_wav_ima(
+                        [
+                            ((d % 256) - 128, d % 89, codes),
+                            (((3 * d) % 256) - 128, (5 * d) % 89, codes[::-1]),
+                        ],
+                        8000 + 100 * (d % 7),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    wavs = docs.mapInPandas(encode, "doc_id long, payload binary")
+
+    def stats(batches):
+        for pdf in batches:
+            rows = [ima_audio_stats(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    **{
+                        k: pd.Series([r[k] for r in rows], dtype="int64")
+                        for k in (
+                            "sample_rate",
+                            "n_samples",
+                            "last_sample",
+                            "sum_samples",
+                            "sum_abs",
+                        )
+                    },
+                }
+            )
+
+    return wavs.mapInPandas(
+        stats,
+        "doc_id long, sample_rate long, n_samples long, last_sample long, "
+        "sum_samples long, sum_abs long",
+    )
+
+
+ADPCM_DECODE_SQL = f"""
+WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+c AS (
+  SELECT doc_id,
+    list_transform(range(1,33), i -> ('0x'||substr(hx,i::INT,1))::BIGINT) AS c0,
+    list_transform(range(1,33), i -> ('0x'||substr(hx,(33-i)::INT,1))::BIGINT) AS c1
+  FROM h
+),
+f AS (
+  SELECT doc_id,
+    {_ima_fold_sql("(doc_id % 256) - 128", "doc_id % 89", "c0")} AS b0,
+    {_ima_fold_sql("((3*doc_id) % 256) - 128", "(5*doc_id) % 89", "c1")} AS b1
+  FROM c
+)
+SELECT doc_id,
+       8000 + 100 * (doc_id % 7) AS sample_rate,
+       66 AS n_samples,
+       b1[1] AS last_sample,
+       b0[3] + b1[3] AS sum_samples,
+       b0[4] + b1[4] AS sum_abs
+FROM f
+"""
+
+
+def multimodal_g711_decode(spark, sf_dir):
+    """REAL compressed-audio decode, telephony companding — G.711
+    mu-law in a WAVE container (format tag 0x0007,
+    :mod:`levi_spark.operators.adpcm`): 8-bit logarithmic codes, the
+    format every POTS/VoIP capture uses. Each document's 16 digest
+    bytes, tiled 8x to 128 codes, mux into a mono 8 kHz stream; the
+    decoder walks fmt/fact/data, expands each code through the
+    closed-form integer map ``u=~code; ((2*(u&15)+33) <<
+    ((u>>4)&7)) - 33`` with sign from bit 7, and the oracle computes
+    the same expansion per digest byte in SQL — a wrong complement,
+    exponent shift or sign convention cannot match. All outputs
+    int64, bit-exact. Scale shape: two Arrow-batched map-side hops
+    after the tiny input-spreading repartition; expansion is
+    vectorized numpy inside the batch — no data-dependent shuffle,
+    no driver loop."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from levi_spark.operators.adpcm import encode_wav_g711, g711_audio_stats
+
+    docs = _docs_parallel(spark, sf_dir)
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                digest = hashlib.md5(text.encode("utf-8")).digest()
+                codes = np.tile(np.frombuffer(digest, np.uint8), 8)
+                payloads.append(encode_wav_g711(codes, 8000, law="mu"))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    wavs = docs.mapInPandas(encode, "doc_id long, payload binary")
+
+    def stats(batches):
+        for pdf in batches:
+            rows = [g711_audio_stats(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    **{
+                        k: pd.Series([r[k] for r in rows], dtype="int64")
+                        for k in (
+                            "sample_rate",
+                            "n_samples",
+                            "last_sample",
+                            "sum_samples",
+                            "sum_abs",
+                        )
+                    },
+                }
+            )
+
+    return wavs.mapInPandas(
+        stats,
+        "doc_id long, sample_rate long, n_samples long, last_sample long, "
+        "sum_samples long, sum_abs long",
+    )
+
+
+G711_DECODE_SQL = """
+WITH b AS (
+  SELECT doc_id, list_transform(range(1,17),
+      i -> ('0x'||substr(md5(text),((i-1)*2+1)::INT,2))::BIGINT) AS byt
+  FROM documents
+),
+s AS (
+  SELECT doc_id, list_transform(byt, x ->
+    CASE WHEN 255 - x >= 128
+         THEN -(((2*((255-x)%16)+33) * (1 << (((255-x)//16)%8))) - 33)
+         ELSE ((2*((255-x)%16)+33) * (1 << (((255-x)//16)%8))) - 33
+    END) AS sm
+  FROM b
+)
+SELECT doc_id, 8000 AS sample_rate, 128 AS n_samples,
+       sm[16] AS last_sample,
+       8 * CAST(list_sum(sm) AS BIGINT) AS sum_samples,
+       8 * CAST(list_sum(list_transform(sm, v -> abs(v))) AS BIGINT) AS sum_abs
+FROM s
+"""
+
+
 def multimodal_flac_stereo_decode(spark, sf_dir):
     """STEREO-DECORRELATED FLAC decode — the round-6 verdict's FLAC
     seam (`operators/flac.py` refused left/right/mid-side, the channel
@@ -10409,6 +10622,102 @@ SELECT doc_id, f AS frame_idx, 4 + f AS delay_cs,
                 x -> (x + 7*f) % 256)) / 16.0) * 1000 + 0.5) AS BIGINT)
          AS mean_milli
 FROM fr
+"""
+
+
+def multimodal_mjpeg_avi_decode(spark, sf_dir):
+    """REAL video decode — MJPEG frames in an AVI (RIFF) container —
+    closing the video seam the multimodal plane kept behind
+    ``NotImplementedError`` (:mod:`levi_spark.operators.avi`, pure
+    stdlib + the engine's own T.81 JPEG codec). Each document becomes
+    a ``2 + doc_id % 3``-frame video at ``20 + doc_id % 5`` fps;
+    frame f reuses the AC-proven analytic JPEG raster with rotated
+    digest bytes ``b' = (b + 11*f) % 256``: mean level
+    ``m = 16 + b'*7//8`` plus the u=4 horizontal harmonic at amplitude
+    ``a = 2*(b'%8+1)`` per 8x8 block — the lossy JPEG pipeline is
+    bit-exact for this content (see ``multimodal_jpeg_decode``), so
+    per-frame mean and MAD have closed forms. The decoder must drive
+    the whole container — RIFF chunk walk, avih/strh/strf validation,
+    movi '00dc' extraction, idx1 cross-check (entry-by-entry offsets
+    and sizes), per-frame JPEG entropy decode — and fan out one row
+    per frame; ``usec_per_frame`` comes from the avih header, so a
+    mis-parsed main header cannot match either. Scale shape: two
+    Arrow-batched map-side hops after the tiny input-spreading
+    repartition; per-frame fan-out happens inside the batch — no
+    data-dependent shuffle, no driver loop."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from levi_spark.operators.avi import avi_frame_features, encode_avi_frames
+    from levi_spark.operators.multimodal import decode_video_features
+
+    docs = _docs_parallel(spark, sf_dir)
+    h4 = np.array(JPEG_H4, dtype=np.int64)
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(text.encode("utf-8")).digest()
+                b = np.frombuffer(digest, np.uint8).astype(np.int64)
+                frames = []
+                for f in range(2 + int(doc_id) % 3):
+                    bb = (b + 11 * f) % 256
+                    m = (16 + bb * 7 // 8).reshape(4, 4)
+                    a = (2 * (bb % 8 + 1)).reshape(4, 4)
+                    base = np.kron(m, np.ones((8, 8), dtype=np.int64))
+                    wave = np.kron(
+                        a, np.ones((8, 8), dtype=np.int64)
+                    ) * np.tile(h4, (32, 4))
+                    frames.append((base + wave).astype(np.uint8))
+                payloads.append(
+                    encode_avi_frames(frames, fps=20 + int(doc_id) % 5)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    avis = docs.mapInPandas(encode, "doc_id long, payload binary")
+    feats = decode_video_features(avis, decoder=avi_frame_features)
+    return feats.select(
+        "doc_id",
+        "frame_idx",
+        "n_frames",
+        "width",
+        "height",
+        "usec_per_frame",
+        F.floor(F.col("mean_pixel") * 1000 + 0.5).cast("long").alias("mean_milli"),
+        F.floor(F.col("mean_abs_dev") * 1000 + 0.5).cast("long").alias("mad_milli"),
+    )
+
+
+MJPEG_AVI_DECODE_SQL = f"""
+WITH b AS (
+  SELECT doc_id,
+    list_transform(range(1,17),
+        i -> ('0x'||substr(md5(text),(i-1)*2+1,2))::BIGINT) AS byt
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, byt, unnest(range(0, 2 + doc_id % 3)) AS f
+  FROM b
+),
+px AS (
+  SELECT doc_id, f,
+    list_transform(byt, x -> 16 + ((x + 11*f) % 256) * 7 // 8) AS m,
+    list_transform(byt, x -> 2 * (((x + 11*f) % 256) % 8 + 1)) AS a
+  FROM fr
+),
+mu AS (SELECT doc_id, f, m, a, list_sum(m) / 16.0 AS mean_px FROM px)
+SELECT doc_id, f AS frame_idx, 2 + doc_id % 3 AS n_frames,
+       {JPEG_SIDE} AS width, {JPEG_SIDE} AS height,
+       1000000 // (20 + doc_id % 5) AS usec_per_frame,
+       CAST(floor(mean_px * 1000 + 0.5) AS BIGINT) AS mean_milli,
+       CAST(floor((list_sum(list_transform(range(1, 17),
+                i -> abs(m[i] + a[i] - mean_px)
+                   + abs(m[i] - a[i] - mean_px))) / 32.0) * 1000 + 0.5)
+            AS BIGINT) AS mad_milli
+FROM mu
 """
 
 
@@ -10661,6 +10970,12 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         FLAC_LPC_DECODE_SQL,
     ),
     "multimodal_gif_decode": (multimodal_gif_decode, GIF_DECODE_SQL),
+    "multimodal_mjpeg_avi_decode": (
+        multimodal_mjpeg_avi_decode,
+        MJPEG_AVI_DECODE_SQL,
+    ),
+    "multimodal_adpcm_decode": (multimodal_adpcm_decode, ADPCM_DECODE_SQL),
+    "multimodal_g711_decode": (multimodal_g711_decode, G711_DECODE_SQL),
     "doc_substring_dedup": (doc_substring_dedup, SUBSTRING_DEDUP_SQL),
     "identity_column_counts": (identity_column_counts, IDENTITY_COLUMN_SQL),
     "variant_shredding_counts": (variant_shredding_counts, VARIANT_SHREDDING_SQL),
