@@ -10721,6 +10721,207 @@ FROM mu
 """
 
 
+_WARC_HTTP_HDR = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+_WARC_INFO_PAYLOAD = b"software: levi-spark\r\n"
+
+
+def warc_extract_records(spark, sf_dir):
+    """REAL corpus-container ingestion — WARC (ISO 28500), the format
+    web-scale training corpora ship in (:mod:`levi_spark.operators.
+    warc`): each document becomes a WARC file with a warcinfo record
+    plus ``1 + doc_id % 2`` HTTP response records whose bodies repeat
+    the text's md5 hex ``j+2`` times; EVEN doc_ids use the Common
+    Crawl member-gzip layout (one gzip member per record, split back
+    via zlib unused-data tails), odd ones the plain layout — so one
+    gate drives both framings, the version/required-header checks,
+    exact Content-Length framing and the CRLFCRLF separators. The
+    oracle re-derives every record's type, target URI, content length
+    and payload BYTE SUM from md5 hex arithmetic (ascii() over the
+    hex digits), so a framing bug that shifts the payload window by
+    one byte cannot match. Scale shape: two Arrow-batched map-side
+    hops after the tiny input-spreading repartition; per-record
+    fan-out happens inside the batch — no data-dependent shuffle, no
+    driver loop."""
+    import hashlib
+
+    import pandas as pd
+
+    from levi_spark.operators.warc import encode_warc, warc_record_features
+
+    docs = _docs_parallel(spark, sf_dir)
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                hx = hashlib.md5(text.encode("utf-8")).hexdigest().encode()
+                d = int(doc_id)
+                recs = [
+                    {
+                        "type": "response",
+                        "uri": f"https://corpus.invalid/{d}/{j}",
+                        "payload": _WARC_HTTP_HDR + hx * (j + 2),
+                        "content_type": "application/http; msgtype=response",
+                    }
+                    for j in range(1 + d % 2)
+                ]
+                payloads.append(
+                    encode_warc(
+                        recs,
+                        gzip_members=(d % 2 == 0),
+                        warcinfo={"software": "levi-spark"},
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    warcs = docs.mapInPandas(encode, "doc_id long, payload binary")
+
+    def extract(batches):
+        for pdf in batches:
+            ids, idxs, types, uris, lens, sums = [], [], [], [], [], []
+            for i, b in zip(pdf["doc_id"], pdf["payload"]):
+                for d in warc_record_features(bytes(b)):
+                    ids.append(i)
+                    idxs.append(d["record_idx"])
+                    types.append(d["warc_type"])
+                    uris.append(d["uri"])
+                    lens.append(d["content_length"])
+                    sums.append(d["payload_byte_sum"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "record_idx": pd.Series(idxs, dtype="int64"),
+                    "warc_type": pd.Series(types, dtype="object"),
+                    "uri": pd.Series(uris, dtype="object"),
+                    "content_length": pd.Series(lens, dtype="int64"),
+                    "payload_byte_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return warcs.mapInPandas(
+        extract,
+        "doc_id long, record_idx long, warc_type string, uri string, "
+        "content_length long, payload_byte_sum long",
+    )
+
+
+WARC_EXTRACT_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+    CAST(list_sum(list_transform(range(1,33),
+        i -> ascii(substr(md5(text), i::INT, 1)))) AS BIGINT) AS hsum
+  FROM documents
+),
+fr AS (SELECT doc_id, hsum, unnest(range(0, 2 + doc_id % 2)) AS r FROM h)
+SELECT doc_id, r AS record_idx,
+  CASE WHEN r = 0 THEN 'warcinfo' ELSE 'response' END AS warc_type,
+  CASE WHEN r = 0 THEN ''
+       ELSE 'https://corpus.invalid/' || doc_id || '/' || (r - 1)
+  END AS uri,
+  CAST(CASE WHEN r = 0 THEN {len(_WARC_INFO_PAYLOAD)}
+       ELSE {len(_WARC_HTTP_HDR)} + 32 * (r + 1) END AS BIGINT)
+    AS content_length,
+  CAST(CASE WHEN r = 0 THEN {sum(_WARC_INFO_PAYLOAD)}
+       ELSE {sum(_WARC_HTTP_HDR)} + (r + 1) * hsum END AS BIGINT)
+    AS payload_byte_sum
+FROM fr
+"""
+
+
+def archive_extract_members(spark, sf_dir):
+    """Archive-shard ingestion — ZIP / tar / tar.gz member fan-out
+    (:mod:`levi_spark.operators.archive`, pure stdlib): each document
+    becomes an archive of ``2 + doc_id % 2`` text members (member j's
+    bytes are the text's md5 hex repeated ``j+1`` times), with the
+    container cycling by ``doc_id % 3`` through deflate-ZIP, plain
+    POSIX tar, and whole-stream-gzip tar — one gate drives all three
+    framings (zip central directory + CRC verification, ustar header
+    walk, gzip stream). The oracle re-derives each member's name,
+    format, size and payload byte sum from md5 hex arithmetic, so a
+    wrong member order, dropped member, or inflate bug cannot match.
+    Scale shape: two Arrow-batched map-side hops after the tiny
+    input-spreading repartition; per-member fan-out happens inside
+    the batch — archives-as-rows, no driver loop, no filesystem."""
+    import hashlib
+
+    import pandas as pd
+
+    from levi_spark.operators.archive import (
+        archive_member_features,
+        encode_tar,
+        encode_zip,
+    )
+
+    docs = _docs_parallel(spark, sf_dir)
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                hx = hashlib.md5(text.encode("utf-8")).hexdigest().encode()
+                d = int(doc_id)
+                members = [
+                    (f"shard/{d}/doc-{j}.txt", hx * (j + 1))
+                    for j in range(2 + d % 2)
+                ]
+                if d % 3 == 0:
+                    payloads.append(encode_zip(members))
+                elif d % 3 == 1:
+                    payloads.append(encode_tar(members))
+                else:
+                    payloads.append(encode_tar(members, gzip_stream=True))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    archives = docs.mapInPandas(encode, "doc_id long, payload binary")
+
+    def extract(batches):
+        for pdf in batches:
+            ids, idxs, names, fmts, sizes, sums = [], [], [], [], [], []
+            for i, b in zip(pdf["doc_id"], pdf["payload"]):
+                for m in archive_member_features(bytes(b)):
+                    ids.append(i)
+                    idxs.append(m["member_idx"])
+                    names.append(m["name"])
+                    fmts.append(m["format"])
+                    sizes.append(m["size"])
+                    sums.append(m["byte_sum"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "member_idx": pd.Series(idxs, dtype="int64"),
+                    "name": pd.Series(names, dtype="object"),
+                    "format": pd.Series(fmts, dtype="object"),
+                    "size": pd.Series(sizes, dtype="int64"),
+                    "byte_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return archives.mapInPandas(
+        extract,
+        "doc_id long, member_idx long, name string, format string, "
+        "size long, byte_sum long",
+    )
+
+
+ARCHIVE_EXTRACT_SQL = """
+WITH h AS (
+  SELECT doc_id,
+    CAST(list_sum(list_transform(range(1,33),
+        i -> ascii(substr(md5(text), i::INT, 1)))) AS BIGINT) AS hsum
+  FROM documents
+),
+fr AS (SELECT doc_id, hsum, unnest(range(0, 2 + doc_id % 2)) AS j FROM h)
+SELECT doc_id, j AS member_idx,
+  'shard/' || doc_id || '/doc-' || j || '.txt' AS name,
+  CASE WHEN doc_id % 3 = 0 THEN 'zip'
+       WHEN doc_id % 3 = 1 THEN 'tar'
+       ELSE 'tar.gz' END AS format,
+  CAST(32 * (j + 1) AS BIGINT) AS size,
+  CAST((j + 1) * hsum AS BIGINT) AS byte_sum
+FROM fr
+"""
+
+
 def ann_hard_negatives(spark, sf_dir):
     """Hard-negative mining for contrastive training (the retrieval-
     training twin of ANN): for each query vector, the 3 most-similar
@@ -10976,6 +11177,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "multimodal_adpcm_decode": (multimodal_adpcm_decode, ADPCM_DECODE_SQL),
     "multimodal_g711_decode": (multimodal_g711_decode, G711_DECODE_SQL),
+    "warc_extract_records": (warc_extract_records, WARC_EXTRACT_SQL),
+    "archive_extract_members": (archive_extract_members, ARCHIVE_EXTRACT_SQL),
     "doc_substring_dedup": (doc_substring_dedup, SUBSTRING_DEDUP_SQL),
     "identity_column_counts": (identity_column_counts, IDENTITY_COLUMN_SQL),
     "variant_shredding_counts": (variant_shredding_counts, VARIANT_SHREDDING_SQL),
