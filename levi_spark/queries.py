@@ -10922,6 +10922,252 @@ FROM fr
 """
 
 
+def url_canonical_dedup(spark, sf_dir):
+    """URL canonicalization + dedup — the step web-corpus pipelines
+    run between crawl ingestion (see ``warc_extract_records``) and
+    document dedup: crawlers see the same page under case-noised
+    schemes/hosts, default ports, shuffled query-parameter order and
+    fragments, and naive exact-URL dedup misses all of it. Each event
+    synthesizes a raw URL carrying exactly that noise (scheme case by
+    ``event_id%3``, host case by ``%2``, port ``:80/:443/:8080/none``
+    by ``%4``, param order by ``%2``, fragment by ``%5``); the
+    OPERATOR then canonicalizes from the URL string alone —
+    lowercased scheme+host, default ports stripped (per-scheme) with
+    non-default ports kept, fragment dropped, query params sorted —
+    and groups to (canonical_url, distinct raw variants, events).
+    Everything is built-in string/array expressions (regexp_extract /
+    array_sort / concat_ws): the whole canonicalization runs inside
+    WholeStageCodegen on the JVM — no Python anywhere. The oracle
+    re-implements the same canonicalization independently in DuckDB
+    SQL, so a wrong port rule or unsorted params diverges. Scale
+    shape: one scan -> map-side expressions -> hash aggregate with
+    partial aggregation on the canonical key; the exact
+    countDistinct rides the same shuffle (at 100 TB swap to
+    approx_count_distinct or a two-stage exact agg if the variant
+    count must stay exact)."""
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    e = F.col("event_id")
+    u = F.col("user_id")
+    scheme_raw = F.element_at(
+        F.array(F.lit("HTTP"), F.lit("https"), F.lit("Http")),
+        (e % 3 + 1).cast("int"),
+    )
+    host_raw = F.when(
+        e % 2 == 0,
+        F.concat(F.lit("WWW.Site-"), (u % 40).cast("string"), F.lit(".EXAMPLE.com")),
+    ).otherwise(
+        F.concat(F.lit("www.site-"), (u % 40).cast("string"), F.lit(".example.COM"))
+    )
+    port_raw = F.element_at(
+        F.array(F.lit(":80"), F.lit(":443"), F.lit(":8080"), F.lit("")),
+        (e % 4 + 1).cast("int"),
+    )
+    a = (u % 5).cast("string")
+    b = (u % 3).cast("string")
+    q_raw = F.when(
+        e % 2 == 0, F.concat(F.lit("a="), a, F.lit("&b="), b)
+    ).otherwise(F.concat(F.lit("b="), b, F.lit("&a="), a))
+    frag = F.when(e % 5 == 0, F.lit("#top")).otherwise(F.lit(""))
+    url = F.concat(
+        scheme_raw,
+        F.lit("://"),
+        host_raw,
+        port_raw,
+        F.lit("/p/"),
+        F.col("event_type"),
+        F.lit("?"),
+        q_raw,
+        frag,
+    )
+    t = ev.select(url.alias("url"))
+
+    scheme = F.lower(F.regexp_extract("url", r"^([A-Za-z]+)://", 1))
+    hp = F.regexp_extract("url", r"^[A-Za-z]+://([^/]+)", 1)
+    host = F.lower(F.regexp_extract(hp, r"^([^:]+)", 1))
+    port = F.regexp_extract(hp, r":([0-9]+)$", 1)
+    path = F.regexp_extract("url", r"^[A-Za-z]+://[^/]+(/[^?#]*)", 1)
+    qs = F.regexp_extract("url", r"\?([^#]*)", 1)
+    params = F.concat_ws("&", F.array_sort(F.split(qs, "&")))
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.lit("?"),
+        params,
+    )
+    return (
+        t.select("url", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.countDistinct("url").alias("n_raw_variants"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+URL_CANONICAL_SQL = r"""
+WITH raw AS (
+  SELECT
+    (CASE event_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https' ELSE 'Http' END)
+    || '://' ||
+    (CASE WHEN event_id % 2 = 0
+          THEN 'WWW.Site-' || (user_id % 40) || '.EXAMPLE.com'
+          ELSE 'www.site-' || (user_id % 40) || '.example.COM' END)
+    || (CASE event_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+             WHEN 2 THEN ':8080' ELSE '' END)
+    || '/p/' || event_type || '?' ||
+    (CASE WHEN event_id % 2 = 0
+          THEN 'a=' || (user_id % 5) || '&b=' || (user_id % 3)
+          ELSE 'b=' || (user_id % 3) || '&a=' || (user_id % 5) END)
+    || (CASE WHEN event_id % 5 = 0 THEN '#top' ELSE '' END) AS url
+  FROM events
+),
+parsed AS (
+  SELECT url,
+    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+    lower(regexp_extract(regexp_extract(url, '^[A-Za-z]+://([^/]+)', 1),
+                         '^([^:]+)', 1)) AS host,
+    regexp_extract(regexp_extract(url, '^[A-Za-z]+://([^/]+)', 1),
+                   ':([0-9]+)$', 1) AS port,
+    regexp_extract(url, '^[A-Za-z]+://[^/]+(/[^?#]*)', 1) AS path,
+    array_to_string(list_sort(string_split(
+        regexp_extract(url, '\?([^#]*)', 1), '&')), '&') AS params
+  FROM raw
+)
+SELECT scheme || '://' || host ||
+       (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                  OR (scheme = 'https' AND port = '443')
+             THEN '' ELSE ':' || port END)
+       || path || '?' || params AS canonical_url,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_variants,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM parsed
+GROUP BY 1
+"""
+
+
+def robots_crawl_filter(spark, sf_dir):
+    """robots.txt crawl filtering with LONGEST-MATCH (Google REP)
+    semantics — the gate between URL canonicalization and fetch in a
+    crawl pipeline: each domain ``user_id % 40`` publishes a
+    disallow rule for its ``domain % 5``-th event-type path prefix,
+    and even domains add a LONGER allow rule for the '/x' sub-tree
+    under the same prefix — so the decision is wrong unless the most
+    specific matching rule wins (a shorter disallow must lose to a
+    longer allow; unmatched URLs default to allowed). Scale shape is
+    the one that survives 100 TB: URLs pre-aggregate to DISTINCT
+    (domain, path) decision combos FIRST (one partial-agg shuffle —
+    decisions are deterministic per combo, so rule matching runs on
+    ~hundreds of rows, not per-URL), the tiny rules relation rides a
+    BROADCAST prefix-match join, the per-combo argmax is a
+    max(struct(prefix_len, is_allow)) aggregate (allow wins length
+    ties, per REP), and verdict counts roll back up weighted by the
+    combo counts. No Python, no per-URL rule scan, no window over
+    the fact table."""
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    types = F.array(
+        *[F.lit(t) for t in ("click", "error", "purchase", "signup", "view")]
+    )
+    urls = ev.select(
+        (F.col("user_id") % 40).alias("domain"),
+        F.concat(
+            F.lit("/p/"),
+            F.col("event_type"),
+            F.when(F.col("event_id") % 4 == 0, F.lit("/x")).otherwise(F.lit("")),
+        ).alias("path"),
+    )
+    combos = urls.groupBy("domain", "path").agg(F.count(F.lit(1)).alias("n_urls"))
+    doms = combos.select("domain").distinct()
+    tsel = F.element_at(types, (F.col("domain") % 5 + 1).cast("int"))
+    r1 = doms.select(
+        F.col("domain").alias("rdomain"),
+        F.concat(F.lit("/p/"), tsel).alias("prefix"),
+        F.lit(0).alias("is_allow"),
+    )
+    r2 = doms.where(F.col("domain") % 2 == 0).select(
+        F.col("domain").alias("rdomain"),
+        F.concat(F.lit("/p/"), tsel, F.lit("/x")).alias("prefix"),
+        F.lit(1).alias("is_allow"),
+    )
+    rules = r1.unionByName(r2)
+    j = combos.join(
+        F.broadcast(rules),
+        (F.col("domain") == F.col("rdomain"))
+        & F.col("path").startswith(F.col("prefix")),
+        "left",
+    )
+    best = j.groupBy("domain", "path", "n_urls").agg(
+        F.max(
+            F.struct(
+                F.length("prefix").alias("l"), F.col("is_allow").alias("a")
+            )
+        ).alias("m")
+    )
+    allowed = F.when(F.col("m.l").isNull(), F.lit(1)).otherwise(F.col("m.a"))
+    return (
+        best.select("domain", "n_urls", allowed.alias("allowed"))
+        .groupBy("domain")
+        .agg(
+            F.sum("n_urls").alias("n_events"),
+            F.sum(
+                F.when(F.col("allowed") == 1, F.col("n_urls")).otherwise(F.lit(0))
+            ).alias("n_allowed"),
+            F.sum(
+                F.when(F.col("allowed") == 0, F.col("n_urls")).otherwise(F.lit(0))
+            ).alias("n_denied"),
+        )
+    )
+
+
+ROBOTS_FILTER_SQL = """
+WITH urls AS (
+  SELECT user_id % 40 AS domain,
+         '/p/' || event_type ||
+         (CASE WHEN event_id % 4 = 0 THEN '/x' ELSE '' END) AS path
+  FROM events
+),
+combos AS (SELECT domain, path, COUNT(*) AS n_urls FROM urls GROUP BY 1, 2),
+doms AS (SELECT DISTINCT domain FROM combos),
+types(i, t) AS (VALUES (0,'click'),(1,'error'),(2,'purchase'),
+                       (3,'signup'),(4,'view')),
+rules AS (
+  SELECT d.domain, '/p/' || t.t AS prefix, 0 AS is_allow
+  FROM doms d JOIN types t ON t.i = d.domain % 5
+  UNION ALL
+  SELECT d.domain, '/p/' || t.t || '/x', 1
+  FROM doms d JOIN types t ON t.i = d.domain % 5
+  WHERE d.domain % 2 = 0
+),
+j AS (
+  SELECT c.domain, c.path, c.n_urls, r.prefix, r.is_allow
+  FROM combos c LEFT JOIN rules r
+    ON r.domain = c.domain AND starts_with(c.path, r.prefix)
+),
+best AS (
+  SELECT domain, path, n_urls,
+         CASE WHEN prefix IS NULL THEN 1 ELSE is_allow END AS allowed
+  FROM j
+  QUALIFY row_number() OVER (PARTITION BY domain, path
+      ORDER BY length(prefix) DESC NULLS LAST, is_allow DESC) = 1
+)
+SELECT domain,
+       CAST(SUM(n_urls) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN allowed = 1 THEN n_urls ELSE 0 END) AS BIGINT)
+         AS n_allowed,
+       CAST(SUM(CASE WHEN allowed = 0 THEN n_urls ELSE 0 END) AS BIGINT)
+         AS n_denied
+FROM best
+GROUP BY 1
+"""
+
+
 def ann_hard_negatives(spark, sf_dir):
     """Hard-negative mining for contrastive training (the retrieval-
     training twin of ANN): for each query vector, the 3 most-similar
@@ -11190,6 +11436,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "multimodal_g711_decode": (multimodal_g711_decode, G711_DECODE_SQL),
     "warc_extract_records": (warc_extract_records, WARC_EXTRACT_SQL),
     "archive_extract_members": (archive_extract_members, ARCHIVE_EXTRACT_SQL),
+    "url_canonical_dedup": (url_canonical_dedup, URL_CANONICAL_SQL),
+    "robots_crawl_filter": (robots_crawl_filter, ROBOTS_FILTER_SQL),
     "doc_substring_dedup": (doc_substring_dedup, SUBSTRING_DEDUP_SQL),
     "identity_column_counts": (identity_column_counts, IDENTITY_COLUMN_SQL),
     "variant_shredding_counts": (variant_shredding_counts, VARIANT_SHREDDING_SQL),

@@ -427,3 +427,56 @@ def test_variant_shredding_extraction_stays_jvm(spark):
     plan = executed_plan(variant_shredding_counts(spark, SF))
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ingestion_and_media_container_gates_have_no_data_shuffle(spark):
+    """The round-7 second-half container gates (video, compressed
+    audio, WARC, archives) keep the codec-gate discipline: two
+    Arrow-batched map hops after the input-spreading repartition —
+    no join, no aggregation exchange."""
+    from levi_spark.plans.inspect import executed_plan
+    from levi_spark.queries import (
+        archive_extract_members,
+        multimodal_adpcm_decode,
+        multimodal_g711_decode,
+        multimodal_mjpeg_avi_decode,
+        warc_extract_records,
+    )
+
+    for fn in (
+        multimodal_mjpeg_avi_decode,
+        multimodal_adpcm_decode,
+        multimodal_g711_decode,
+        warc_extract_records,
+        archive_extract_members,
+    ):
+        plan = executed_plan(fn(spark, SF))
+        assert "Join" not in plan, fn.__name__
+        assert "HashAggregate" not in plan, fn.__name__
+
+
+def test_url_canonicalization_stays_jvm_single_agg(spark):
+    """URL canonicalization is pure built-in expressions: no Python
+    operator anywhere in the plan, no join, and the dedup is one
+    hash aggregate (partial + final) on the canonical key."""
+    from levi_spark.plans.inspect import executed_plan
+    from levi_spark.queries import url_canonical_dedup
+
+    plan = executed_plan(url_canonical_dedup(spark, SF))
+    assert "Python" not in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_robots_filter_broadcasts_rules_and_dedups_decisions(spark):
+    """The rules relation rides a broadcast join (never a shuffle or
+    cartesian against the combos), and rule matching runs on the
+    deduped (domain, path) combos — the fact table is touched by
+    exactly one aggregation before the join."""
+    from levi_spark.plans.inspect import executed_plan
+    from levi_spark.queries import robots_crawl_filter
+
+    plan = executed_plan(robots_crawl_filter(spark, SF))
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
