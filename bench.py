@@ -77,6 +77,17 @@ VARIANCE_NOTES = {
         "NOT variance: +~1.5-3s in r07 from the added OPTIMIZE "
         "preservation phase (lifecycle scheduler floor, see docstring)"
     ),
+    "_session_drift": (
+        "whole-session uplift, not per-query regressions: the r07 "
+        "mid-round full run measured 231.6s/161 queries; two later "
+        "same-day runs on unchanged code measured 286.3s/162 and "
+        "271.8s/167 with the uplift spread uniformly across "
+        "unchanged queries (q1 0.48->0.66, cdc_replicate 7.8->8.8, "
+        "substring_dedup 3.9->5.1, all ~1.1-1.3x) — machine-level "
+        "drift on this shared VM. Compare queries WITHIN one "
+        "BENCH_DETAIL, or ratio cross-session numbers against a "
+        "stable anchor like q1_pricing_summary"
+    ),
 }
 
 

@@ -126,6 +126,12 @@ def test_wav_ima_validation_refusals():
         decode_wav_ima(encode_wav(np.zeros(4, dtype=np.int16), 8000))
     with pytest.raises(ValueError, match="even number"):
         encode_wav_ima([(0, 0, np.array([1, 2, 3]))], 8000)
+    # stereo refused loudly (mono-only profile)
+    bad = bytearray(payload)
+    fmt_at = bad.index(b"fmt ") + 8
+    struct.pack_into("<H", bad, fmt_at + 2, 2)  # nChannels
+    with pytest.raises(NotImplementedError, match="stereo"):
+        decode_wav_ima(bytes(bad))
 
 
 def test_g711_companding_laws():

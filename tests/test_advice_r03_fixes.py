@@ -98,10 +98,11 @@ def test_protocol_guard_enforced_on_distributed_checkpoint_path(
                         "minReaderVersion": 3,
                         "minWriterVersion": 7,
                         # deletionVectors/variantType became supported
-                        # in round 5 — collations-preview remains
+                        # in round 5, collations in round 7 —
+                        # catalog-owned commit coordination remains
                         # genuinely unimplemented
-                        "readerFeatures": ["collations-preview"],
-                        "writerFeatures": ["collations-preview"],
+                        "readerFeatures": ["catalogOwned-preview"],
+                        "writerFeatures": ["catalogOwned-preview"],
                     }
                 }
             )
@@ -112,7 +113,7 @@ def test_protocol_guard_enforced_on_distributed_checkpoint_path(
     monkeypatch.setattr(log_mod, "_LOCAL_LOG_CAP", 0)  # force distributed
     snap = DeltaLog(spark, path).snapshot()
     assert snap._local_actions() is None  # the fallback really is active
-    with pytest.raises(UnsupportedTableFeatureError, match="collations"):
+    with pytest.raises(UnsupportedTableFeatureError, match="catalogOwned"):
         snap.to_df()
 
 
