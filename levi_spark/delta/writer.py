@@ -1159,6 +1159,38 @@ def write_delta(
             },
         )
 
+    def _collation_protocol(proto: dict) -> dict:
+        """A schema carrying a NON-DEFAULT string collation anywhere
+        (Spark 4 collated StringType — serialized into schemaString as
+        the RFC's ``__COLLATIONS`` field metadata by
+        ``StructType.json()``) declares collations-preview on both
+        sides, so readers that would compare with the wrong ordering
+        refuse instead of misread. Default UTF8_BINARY columns stay
+        plain strings and need no feature."""
+
+        def has_collation(dt) -> bool:
+            if isinstance(dt, T.StringType):
+                return getattr(dt, "collation", "UTF8_BINARY") != "UTF8_BINARY"
+            if isinstance(dt, T.StructType):
+                return any(has_collation(f.dataType) for f in dt.fields)
+            if isinstance(dt, T.ArrayType):
+                return has_collation(dt.elementType)
+            if isinstance(dt, T.MapType):
+                return has_collation(dt.keyType) or has_collation(dt.valueType)
+            return False
+
+        if not any(has_collation(f.dataType) for f in commit_schema.fields):
+            return proto
+        return merge_protocol(
+            proto,
+            {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["collations-preview"],
+                "writerFeatures": ["collations-preview"],
+            },
+        )
+
     def _payload() -> str:
         meta_line = json.dumps(
             {
@@ -1190,7 +1222,13 @@ def write_delta(
             ci["inCommitTimestamp"] = ict
         return "\n".join(
             [
-                json.dumps({"protocol": _variant_protocol(commit_protocol)}),
+                json.dumps(
+                    {
+                        "protocol": _collation_protocol(
+                            _variant_protocol(commit_protocol)
+                        )
+                    }
+                ),
                 meta_line,
                 *tail_lines,
                 *_add_lines(version),

@@ -157,3 +157,45 @@ def test_future_reader_version_refused(spark, tmp_path):
     _append_protocol_commit(path, {"minReaderVersion": 9, "minWriterVersion": 9})
     with pytest.raises(UnsupportedTableFeatureError, match="minReaderVersion 9"):
         DeltaLog(spark, path).snapshot().to_df()
+
+
+def test_collated_write_declares_feature_and_round_trips(spark, tmp_path):
+    """Writer side: a DataFrame with a collated string column
+    persists the collation into schemaString (__COLLATIONS via
+    StructType.json()), declares collations-preview on both protocol
+    sides, and reads back with the collation semantics intact."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    path = str(tmp_path / "t2e")
+    df = spark.createDataFrame(
+        [Row(k=i, s=v) for i, v in enumerate(["abc", "ABC", "xyz"])]
+    ).select("k", F.collate(F.col("s"), "UTF8_LCASE").alias("s"))
+    write_delta(df, path, mode="error", checkpoint_interval=None)
+
+    with open(os.path.join(path, "_delta_log", f"{0:020d}.json")) as f:
+        actions = [json.loads(line) for line in f]
+    (proto,) = [a["protocol"] for a in actions if "protocol" in a]
+    assert "collations-preview" in proto["readerFeatures"]
+    assert "collations-preview" in proto["writerFeatures"]
+    (meta,) = [a["metaData"] for a in actions if "metaData" in a]
+    assert "__COLLATIONS" in meta["schemaString"]
+
+    out = DeltaLog(spark, path).snapshot().to_df()
+    (sfield,) = [f for f in out.schema.fields if f.name == "s"]
+    assert sfield.dataType == T.StringType("UTF8_LCASE")
+    assert out.where(F.col("s") == "abc").count() == 2
+
+    # plain-string tables keep protocol v1 — no spurious feature
+    path2 = str(tmp_path / "t2f")
+    write_delta(
+        spark.createDataFrame([Row(k=1, s="a")]),
+        path2,
+        mode="error",
+        checkpoint_interval=None,
+    )
+    with open(os.path.join(path2, "_delta_log", f"{0:020d}.json")) as f:
+        actions = [json.loads(line) for line in f]
+    (proto2,) = [a["protocol"] for a in actions if "protocol" in a]
+    assert "collations-preview" not in (proto2.get("readerFeatures") or [])
