@@ -5191,6 +5191,44 @@ WHERE v.event_type = 'view' AND p.event_type = 'purchase'
 """
 
 
+def stream_left_outer_join(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join with COMPLETE output —
+    the stateful capability the inner join can't show: a view with no
+    purchase in its following hour must still emit, null-padded, and
+    Structured Streaming only releases such rows once the GLOBAL
+    watermark (min across both inputs) proves no match can arrive.
+    The drain uses the sentinel-tail pattern
+    (:func:`levi_spark.streaming.jobs.run_left_outer_join`): each
+    side's staged stream dir ends with two far-future sentinel files,
+    so the final batches push the watermark past every real view's
+    ``v_ts + 1h`` eviction deadline AND flush the evictions — closing
+    the withheld-tail gap that normally makes outer stream joins
+    inexact under AvailableNow, which is why the batch LEFT JOIN
+    oracle matches row-for-row. State stays bounded: both sides
+    watermarked, the join condition bounds event time both ways, and
+    eviction is what produces the output. Scale shape: state shards
+    by user hash across executors; the staging write is distributed
+    (renames only on the driver); sentinels are O(1) rows."""
+    from levi_spark.streaming.jobs import run_left_outer_join
+
+    return run_left_outer_join(spark, sf_dir)
+
+
+STREAM_LEFT_OUTER_JOIN_SQL = """
+SELECT v.user_id,
+       v.event_id AS view_event_id,
+       COALESCE(p.event_id, -1) AS purchase_event_id,
+       COALESCE(epoch_ns(p.ts) // 1000 - epoch_ns(v.ts) // 1000, -1) AS lag_us
+FROM events v
+LEFT JOIN events p
+  ON p.user_id = v.user_id
+ AND p.event_type = 'purchase'
+ AND epoch_ns(p.ts) // 1000 >= epoch_ns(v.ts) // 1000
+ AND epoch_ns(p.ts) // 1000 <= epoch_ns(v.ts) // 1000 + 3600000000
+WHERE v.event_type = 'view'
+"""
+
+
 SESSION_WINDOW_SQL = """
 WITH t AS (
   SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
@@ -11438,6 +11476,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "archive_extract_members": (archive_extract_members, ARCHIVE_EXTRACT_SQL),
     "url_canonical_dedup": (url_canonical_dedup, URL_CANONICAL_SQL),
     "robots_crawl_filter": (robots_crawl_filter, ROBOTS_FILTER_SQL),
+    "stream_left_outer_join": (stream_left_outer_join, STREAM_LEFT_OUTER_JOIN_SQL),
     "doc_substring_dedup": (doc_substring_dedup, SUBSTRING_DEDUP_SQL),
     "identity_column_counts": (identity_column_counts, IDENTITY_COLUMN_SQL),
     "variant_shredding_counts": (variant_shredding_counts, VARIANT_SHREDDING_SQL),

@@ -273,6 +273,151 @@ def interval_join_stream(views: DataFrame, purchases: DataFrame) -> DataFrame:
     )
 
 
+def left_outer_interval_join_stream(
+    views: DataFrame, purchases: DataFrame
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every view emits — with
+    its attributed purchase when one lands in the following hour, or
+    NULL-padded once the watermark proves no purchase can still
+    arrive. This is the stateful capability the inner join doesn't
+    exercise: unmatched left rows sit in the state store until the
+    GLOBAL watermark (min across both inputs) passes their last
+    possible match time (view_ts + 1h), and only then emit with a
+    null right side — bounded state AND complete output on an
+    unbounded stream. Matched pairs still emit eagerly."""
+    v = views.select(
+        F.col("event_id").alias("view_event_id"),
+        F.col("user_id").alias("v_user"),
+        F.timestamp_micros(F.col("ts_us")).alias("v_ts"),
+    ).withWatermark("v_ts", "1 hour")
+    p = purchases.select(
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("user_id").alias("p_user"),
+        F.timestamp_micros(F.col("ts_us")).alias("p_ts"),
+    ).withWatermark("p_ts", "1 hour")
+    cond = (
+        (v["v_user"] == p["p_user"])
+        & (p["p_ts"] >= v["v_ts"])
+        & (p["p_ts"] <= v["v_ts"] + F.expr("INTERVAL 1 HOUR"))
+    )
+    return v.join(p, cond, "leftOuter").select(
+        F.col("v_user").alias("user_id"),
+        "view_event_id",
+        F.coalesce(F.col("purchase_event_id"), F.lit(-1)).alias(
+            "purchase_event_id"
+        ),
+        F.coalesce(
+            F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("v_ts")),
+            F.lit(-1),
+        ).alias("lag_us"),
+    )
+
+
+def _stage_stream_dir(
+    path: str, real: DataFrame, sentinel_ts: list, mtime_base: float
+) -> None:
+    """Stage one side's stream input: the real rows land via a
+    DISTRIBUTED Spark write (renamed into place — no driver-side data
+    movement), then tiny driver-written sentinel files follow. Names
+    and mtimes force the file-stream source's delivery order
+    (FileStreamSource orders by modification time, then path): real
+    batches strictly before the watermark-advancing sentinels."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    tmp = path + "__tmp"
+    real.select("event_id", "user_id", "ts_us").repartition(2).write.parquet(
+        tmp
+    )
+    i = 0
+    for part in sorted(glob.glob(os.path.join(tmp, "part-*.parquet"))):
+        f = os.path.join(path, f"{i:03d}_batch.parquet")
+        os.replace(part, f)
+        os.utime(f, (mtime_base + 1000 * i,) * 2)
+        i += 1
+    for ts in sentinel_ts:
+        f = os.path.join(path, f"{i:03d}_sentinel.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([-1], pa.int64()),
+                    "user_id": pa.array([-1], pa.int64()),
+                    "ts_us": pa.array([int(ts)], pa.int64()),
+                }
+            ),
+            f,
+        )
+        os.utime(f, (mtime_base + 1000 * i,) * 2)
+        i += 1
+
+
+def run_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the left-outer interval join to completion with the
+    SENTINEL-TAIL pattern: each side's scratch stream dir carries its
+    real rows followed by two far-future sentinel files (user_id -1,
+    10/11 and 30/31 days past the data's max event time). The
+    sentinel batches push both watermarks — and therefore the global
+    minimum — past every real view's ``v_ts + 1h`` eviction deadline,
+    and the final batch flushes the evictions, so EVERY unmatched
+    view emits its null-padded row and the batch oracle is exact (no
+    withheld tail, the usual outer-stream-join caveat). Sentinels
+    filter out by user_id afterwards."""
+    import tempfile
+    import time as _time
+
+    import os
+
+    from levi_spark.sources.registry import read_events
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ev = read_events(spark, sf_dir).select(
+        "event_id", "user_id", "ts_us", "event_type"
+    )
+    max_ts = ev.agg(F.max("ts_us")).first()[0]
+    day_us = 86_400 * 1_000_000
+    base = tempfile.mkdtemp(prefix="levi_spark_lojoin_")
+    vdir = os.path.join(base, "views")
+    pdir = os.path.join(base, "purchases")
+
+    t0 = _time.time() - 1_000_000
+    _stage_stream_dir(
+        vdir,
+        ev.where(F.col("event_type") == "view"),
+        [max_ts + 10 * day_us, max_ts + 11 * day_us],
+        t0,
+    )
+    _stage_stream_dir(
+        pdir,
+        ev.where(F.col("event_type") == "purchase"),
+        [max_ts + 30 * day_us, max_ts + 31 * day_us],
+        t0,
+    )
+
+    sch = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("ts_us", LongType()),
+        ]
+    )
+
+    def stream(path: str) -> DataFrame:
+        return (
+            spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(path)
+        )
+
+    out = _drain_to_memory(
+        left_outer_interval_join_stream(stream(vdir), stream(pdir)), "append"
+    )
+    return out.where(F.col("user_id") >= 0)
+
+
 def topk_users_stream(events: DataFrame) -> DataFrame:
     """Streaming pre-aggregation for windowed top-k: per-hour per-user
     event counts under a 1-hour watermark. Ranking itself is NOT a

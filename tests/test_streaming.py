@@ -200,3 +200,38 @@ def test_multibatch_interval_join(spark, split_dir, oracle):
         )
     )
     assert got and got == want
+
+
+def test_left_outer_join_emits_complete_null_padded_output(spark, oracle):
+    """The sentinel-tail drain must emit EVERY unmatched view as a
+    null-padded row (outer stream joins normally withhold the tail
+    whose eviction deadline the final watermark never passes) and
+    every matched pair exactly once — row-for-row equal to the batch
+    LEFT JOIN."""
+    out = J.run_left_outer_join(spark, "/root/testdata/sf0.001")
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(
+        map(
+            tuple,
+            oracle.execute(
+                """
+        SELECT v.user_id, v.event_id,
+               COALESCE(p.event_id, -1),
+               COALESCE(epoch_ns(p.ts) // 1000 - epoch_ns(v.ts) // 1000, -1)
+        FROM events v LEFT JOIN events p
+          ON p.user_id = v.user_id
+         AND p.event_type = 'purchase'
+         AND epoch_ns(p.ts) // 1000 >= epoch_ns(v.ts) // 1000
+         AND epoch_ns(p.ts) // 1000 <= epoch_ns(v.ts) // 1000 + 3600000000
+        WHERE v.event_type = 'view'
+        """
+            ).fetchall(),
+        )
+    )
+    assert got == want
+    # both behaviors are load-bearing: matches AND null-padded evictions
+    unmatched = [r for r in got if r[2] == -1]
+    matched = [r for r in got if r[2] != -1]
+    assert unmatched and matched
+    # no sentinel leakage
+    assert all(r[0] >= 0 for r in got)
