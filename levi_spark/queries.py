@@ -10389,6 +10389,144 @@ FROM f
 """
 
 
+def multimodal_mpeg1_decode(spark, sf_dir):
+    """REAL MPEG-audio bitstream decode — one mono MPEG-1 Layer I
+    frame per document (:mod:`levi_spark.operators.mpeg1`): 448 kbps
+    @ 32 kHz with CRC-16 protection. The fixture derives everything
+    from the digest — subband sb's 4-bit allocation code is hex digit
+    sb mod 13 (the cap PROVES worst-case fit: 12*32*13 sample bits +
+    side info <= the 168-slot frame for ANY digest), scale-factor
+    index ``3*(b[sb%16] % 21)`` where allocated, raw sample codes
+    ``(b[(s+sb)%16]*(s+7) + sb) mod 2^nb`` — so the decoder must run
+    the whole layer: 12-bit sync + header field validation, CRC-16
+    over the protected allocation block (a flipped allocation bit
+    fails the frame), 6-bit scale factors, and the MSB-first
+    variable-width sample unpack across 384 interleaved codes. The
+    oracle recomputes the allocation/scale/raw planes from md5
+    arithmetic in SQL, so a one-bit drift in the bit reader shifts
+    every later code and cannot match. PCM synthesis stays refused
+    (the spec's 512-tap window exists only as a table — see module
+    docstring); the exported stats pin the entropy layer and the
+    exact-rational requantization numerators. Scale shape: two
+    Arrow-batched map-side hops after the tiny input-spreading
+    repartition; no data-dependent shuffle, no driver loop."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from levi_spark.operators.mpeg1 import (
+        decode_mpeg1_layer1,
+        encode_mpeg1_layer1,
+    )
+
+    docs = _docs_parallel(spark, sf_dir)
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                hx = hashlib.md5(text.encode("utf-8")).hexdigest()
+                b = np.frombuffer(
+                    hashlib.md5(text.encode("utf-8")).digest(), np.uint8
+                ).astype(np.int64)
+                alloc = np.array([int(c, 16) % 13 for c in hx], dtype=np.int64)
+                scf = np.where(alloc > 0, 3 * (b[np.arange(32) % 16] % 21), 0)
+                samples = np.zeros((12, 32), dtype=np.int64)
+                for s in range(12):
+                    for sb in range(32):
+                        if alloc[sb] > 0:
+                            nb = alloc[sb] + 1
+                            samples[s, sb] = (
+                                b[(s + sb) % 16] * (s + 7) + sb
+                            ) % (1 << nb)
+                payloads.append(
+                    encode_mpeg1_layer1(
+                        alloc, scf, samples,
+                        bitrate_index=14, sample_rate_index=2,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    frames = docs.mapInPandas(encode, "doc_id long, payload binary")
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for p in pdf["payload"]:
+                d = decode_mpeg1_layer1(bytes(p))
+                allocated = d["alloc"] > 0
+                rows.append(
+                    (
+                        d["sample_rate"],
+                        d["bitrate_kbps"],
+                        int(allocated.sum()),
+                        int(d["alloc"].sum()),
+                        int(d["scf_idx"].sum()),
+                        int(d["raw"].sum()),
+                        int(d["numerators"].sum()),
+                    )
+                )
+            cols = list(zip(*rows)) if rows else [[]] * 7
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": pd.Series(cols[0], dtype="int64"),
+                    "bitrate_kbps": pd.Series(cols[1], dtype="int64"),
+                    "n_allocated": pd.Series(cols[2], dtype="int64"),
+                    "sum_alloc": pd.Series(cols[3], dtype="int64"),
+                    "sum_scf": pd.Series(cols[4], dtype="int64"),
+                    "sum_raw": pd.Series(cols[5], dtype="int64"),
+                    "sum_numer": pd.Series(cols[6], dtype="int64"),
+                }
+            )
+
+    return frames.mapInPandas(
+        stats,
+        "doc_id long, sample_rate long, bitrate_kbps long, n_allocated long, "
+        "sum_alloc long, sum_scf long, sum_raw long, sum_numer long",
+    )
+
+
+MPEG1_DECODE_SQL = """
+WITH h AS (
+  SELECT doc_id, md5(text) AS hx,
+    list_transform(range(1,17),
+        i -> ('0x'||substr(md5(text),((i-1)*2+1)::INT,2))::BIGINT) AS byt
+  FROM documents
+),
+a AS (
+  SELECT doc_id, byt,
+    list_transform(range(1,33),
+        i -> ('0x'||substr(hx, i::INT, 1))::BIGINT % 13) AS alloc
+  FROM h
+),
+s AS (
+  SELECT doc_id, alloc, byt,
+    list_sum(list_transform(range(0,384), k ->
+      CASE WHEN alloc[(k%32)+1] > 0
+           THEN (byt[(((k//32)+(k%32))%16)+1] * ((k//32)+7) + (k%32))
+                % (1 << (alloc[(k%32)+1]+1))
+           ELSE 0 END)) AS sum_raw,
+    list_sum(list_transform(range(1,33), i ->
+      CASE WHEN alloc[i] > 0
+           THEN 3 * (byt[((i-1)%16)+1] % 21) ELSE 0 END)) AS sum_scf,
+    list_sum(list_transform(range(1,33), i ->
+      CASE WHEN alloc[i] > 0
+           THEN (1 << (alloc[i]+1)) - 2 ELSE 0 END)) AS sum_pm2
+  FROM a
+)
+SELECT doc_id,
+       32000 AS sample_rate, 448 AS bitrate_kbps,
+       CAST(len(list_filter(alloc, x -> x > 0)) AS BIGINT) AS n_allocated,
+       CAST(list_sum(alloc) AS BIGINT) AS sum_alloc,
+       CAST(sum_scf AS BIGINT) AS sum_scf,
+       CAST(sum_raw AS BIGINT) AS sum_raw,
+       CAST(2 * sum_raw - 12 * sum_pm2 AS BIGINT) AS sum_numer
+FROM s
+"""
+
+
 def multimodal_g711_decode(spark, sf_dir):
     """REAL compressed-audio decode, telephony companding — G.711
     mu-law in a WAVE container (format tag 0x0007,
@@ -11472,6 +11610,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "multimodal_adpcm_decode": (multimodal_adpcm_decode, ADPCM_DECODE_SQL),
     "multimodal_g711_decode": (multimodal_g711_decode, G711_DECODE_SQL),
+    "multimodal_mpeg1_decode": (multimodal_mpeg1_decode, MPEG1_DECODE_SQL),
     "warc_extract_records": (warc_extract_records, WARC_EXTRACT_SQL),
     "archive_extract_members": (archive_extract_members, ARCHIVE_EXTRACT_SQL),
     "url_canonical_dedup": (url_canonical_dedup, URL_CANONICAL_SQL),
