@@ -10394,6 +10394,125 @@ FROM f
 """
 
 
+def multimodal_tiff_decode(spark, sf_dir):
+    """REAL scanned-document container decode — multi-page TIFF 6.0
+    (:mod:`levi_spark.operators.tiff`): digitized corpora (books,
+    forms, fax archives) ship as multi-page TIFFs, making this the
+    document-ingestion sibling of the GIF/AVI fan-outs. Each document
+    becomes a ``2 + doc_id % 2``-page TIFF of 16x16 greyscale rasters
+    (page p, row r, col c: ``(b[c] + 5*p + r) % 256``), cut into
+    RAGGED strips (RowsPerStrip=5 -> 5/5/5/1) with the compression
+    cycling by ``doc_id % 3`` through TIFF-LZW + horizontal-predictor
+    (MSB-first packing with the spec's EARLY-CHANGE width bumps at
+    511/1023/2047 — one code earlier than GIF's LSB LZW, the
+    off-by-one that breaks naive decoders), PackBits RLE, and
+    uncompressed — so one gate drives the IFD chain walk, strip
+    geometry validation, both entropy coders and the predictor. The
+    oracle re-derives every page's exact pixel sum from md5
+    arithmetic: a predictor missed on one strip, a PackBits run
+    mis-counted, or an LZW width bump one code late all shift the sum
+    and cannot match. Scale shape: two Arrow-batched map-side hops
+    after the tiny input-spreading repartition; per-page fan-out
+    happens inside the batch — no data-dependent shuffle, no driver
+    loop."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from levi_spark.operators.tiff import decode_tiff, encode_tiff
+
+    docs = _docs_parallel(spark, sf_dir)
+
+    def encode(batches):
+        for pdf in batches:
+            payloads, comps = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(
+                    hashlib.md5(text.encode("utf-8")).digest(), np.uint8
+                ).astype(np.int64)
+                d = int(doc_id)
+                pages = [
+                    ((b[None, :16] + 5 * p + np.arange(16)[:, None]) % 256)
+                    .astype(np.uint8)
+                    for p in range(2 + d % 2)
+                ]
+                if d % 3 == 0:
+                    payloads.append(
+                        encode_tiff(pages, compression=5, predictor=2)
+                    )
+                    comps.append(5)
+                elif d % 3 == 1:
+                    payloads.append(encode_tiff(pages, compression=32773))
+                    comps.append(32773)
+                else:
+                    payloads.append(encode_tiff(pages, compression=1))
+                    comps.append(1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "compression": pd.Series(comps, dtype="int64"),
+                }
+            )
+
+    tiffs = docs.mapInPandas(
+        encode, "doc_id long, payload binary, compression long"
+    )
+
+    def stats(batches):
+        for pdf in batches:
+            ids, pidx, npages, ws, hs, cps, sums = [], [], [], [], [], [], []
+            for i, b, cp in zip(
+                pdf["doc_id"], pdf["payload"], pdf["compression"]
+            ):
+                pages = decode_tiff(bytes(b))
+                for p, img in enumerate(pages):
+                    ids.append(i)
+                    pidx.append(p)
+                    npages.append(len(pages))
+                    hs.append(img.shape[0])
+                    ws.append(img.shape[1])
+                    cps.append(cp)
+                    sums.append(int(img.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "page_idx": pd.Series(pidx, dtype="int64"),
+                    "n_pages": pd.Series(npages, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int64"),
+                    "height": pd.Series(hs, dtype="int64"),
+                    "compression": pd.Series(cps, dtype="int64"),
+                    "sum_pixels": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return tiffs.mapInPandas(
+        stats,
+        "doc_id long, page_idx long, n_pages long, width long, height long, "
+        "compression long, sum_pixels long",
+    )
+
+
+TIFF_DECODE_SQL = """
+WITH b AS (
+  SELECT doc_id, list_transform(range(1,17),
+      i -> ('0x'||substr(md5(text),((i-1)*2+1)::INT,2))::BIGINT) AS byt
+  FROM documents
+),
+fr AS (SELECT doc_id, byt, unnest(range(0, 2 + doc_id % 2)) AS p FROM b)
+SELECT doc_id, p AS page_idx,
+       2 + doc_id % 2 AS n_pages,
+       16 AS width, 16 AS height,
+       CASE WHEN doc_id % 3 = 0 THEN 5
+            WHEN doc_id % 3 = 1 THEN 32773 ELSE 1 END AS compression,
+       CAST(list_sum(list_transform(range(0,256),
+            k -> (byt[(k%16)+1] + 5*p + k//16) % 256)) AS BIGINT)
+         AS sum_pixels
+FROM fr
+"""
+
+
 def multimodal_mpeg1_decode(spark, sf_dir):
     """REAL MPEG-audio bitstream decode — one mono MPEG-1 Layer I
     frame per document (:mod:`levi_spark.operators.mpeg1`): 448 kbps
@@ -11619,6 +11738,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "multimodal_adpcm_decode": (multimodal_adpcm_decode, ADPCM_DECODE_SQL),
     "multimodal_g711_decode": (multimodal_g711_decode, G711_DECODE_SQL),
     "multimodal_mpeg1_decode": (multimodal_mpeg1_decode, MPEG1_DECODE_SQL),
+    "multimodal_tiff_decode": (multimodal_tiff_decode, TIFF_DECODE_SQL),
     "warc_extract_records": (warc_extract_records, WARC_EXTRACT_SQL),
     "archive_extract_members": (archive_extract_members, ARCHIVE_EXTRACT_SQL),
     "url_canonical_dedup": (url_canonical_dedup, URL_CANONICAL_SQL),

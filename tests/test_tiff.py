@@ -1,0 +1,179 @@
+"""TIFF 6.0 codec (levi_spark.operators.tiff): multi-page round-trip
+laws across compressions and strip geometries, the TIFF-LZW
+EARLY-CHANGE law (width bumps one code before GIF's convention),
+PackBits laws, predictor pairing, strict validation refusals, and
+the closed-form gate fixture."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from levi_spark.operators.tiff import (
+    decode_tiff,
+    encode_tiff,
+    packbits_decode,
+    packbits_encode,
+    tiff_lzw_decode,
+    tiff_lzw_encode,
+    tiff_page_features,
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    k=st.integers(1, 4),
+    rps=st.integers(1, 12),
+    comp=st.sampled_from([1, 32773, 5]),
+    rgb=st.booleans(),
+    seed=st.integers(0, 10_000),
+)
+def test_multipage_round_trip_law(h, w, k, rps, comp, rgb, seed):
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if rgb else (h, w)
+    pages = [rng.integers(0, 256, shape, dtype=np.uint8) for _ in range(k)]
+    pred = 2 if comp == 5 and seed % 2 else None
+    out = decode_tiff(
+        encode_tiff(pages, compression=comp, rows_per_strip=rps, predictor=pred)
+    )
+    assert len(out) == k
+    for got, want in zip(out, pages):
+        assert np.array_equal(got, want)
+
+
+@settings(max_examples=25, deadline=None)
+@given(blob=st.binary(min_size=0, max_size=2000))
+def test_packbits_round_trip_law(blob):
+    assert packbits_decode(packbits_encode(blob), len(blob)) == blob
+
+
+def test_packbits_actually_compresses_runs():
+    e = packbits_encode(b"\x07" * 1000)
+    assert len(e) <= 16
+    assert packbits_decode(e, 1000) == b"\x07" * 1000
+
+
+@settings(max_examples=15, deadline=None)
+@given(n=st.integers(1, 50_000), entropy=st.sampled_from([3, 16, 256]),
+       seed=st.integers(0, 10_000))
+def test_tiff_lzw_round_trip_law(n, entropy, seed):
+    """Low-entropy streams cross every width bump and (for long
+    inputs) the 4094 table reset."""
+    rng = np.random.default_rng(seed)
+    d = bytes((rng.integers(0, entropy, n) * 31 % 256).astype(np.uint8))
+    assert tiff_lzw_decode(tiff_lzw_encode(d), n) == d
+
+
+def test_lzw_early_change_is_load_bearing():
+    """Decoding with the GIF-style late bump desyncs: a stream long
+    enough to cross the 9->10 boundary must NOT decode under a
+    late-change reader. We simulate the late reader by flipping the
+    decoder's boundary through a monkey-level re-implementation: the
+    canonical encoder + canonical decoder round-trips, and the code
+    stream demonstrably contains a width switch (output shrinks while
+    table crosses 510 entries)."""
+    d = bytes((np.arange(3000) % 97).astype(np.uint8))
+    e = tiff_lzw_encode(d)
+    assert tiff_lzw_decode(e, len(d)) == d
+
+    # a deliberately late-change reader (bump at 2^w - 1) must fail
+    # or mis-decode on the same stream
+    from levi_spark.operators.tiff import _CLEAR, _EOI, _MsbReader
+
+    def late_decode(data, expect):
+        r = _MsbReader(data)
+        out = bytearray()
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width, prev = 9, None
+        while len(out) < expect:
+            code = r.read(width)
+            if code == _EOI:
+                break
+            if code == _CLEAR:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width, prev = 9, None
+                continue
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("desync")
+            out.extend(entry)
+            prev = entry
+            if len(table) == (1 << width) - 1 and width < 12:  # LATE
+                width += 1
+        return bytes(out)
+
+    try:
+        late = late_decode(e, len(d))
+        assert late != d
+    except (ValueError, IndexError):
+        pass  # desync detected — equally proves the early change
+
+
+def test_predictor_changes_bytes_but_not_pixels():
+    rng = np.random.default_rng(1)
+    smooth = np.cumsum(rng.integers(0, 3, (32, 32)), axis=1).astype(np.uint8)
+    plain = encode_tiff([smooth], compression=5)
+    pred = encode_tiff([smooth], compression=5, predictor=2)
+    assert plain != pred
+    assert len(pred) < len(plain)  # differencing helps LZW on smooth data
+    assert np.array_equal(decode_tiff(pred)[0], smooth)
+
+
+def test_validation_refusals():
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    t = encode_tiff([img], compression=5, rows_per_strip=5)
+    with pytest.raises(ValueError, match="not a TIFF"):
+        decode_tiff(b"ZZZZ" + t[4:])
+    with pytest.raises(NotImplementedError, match="big-endian"):
+        decode_tiff(b"MM\x00*" + t[4:])
+    # strip count disagreeing with geometry
+    bad = bytearray(t)
+    # RowsPerStrip entry: find tag 278 (type 3) and set value to 16
+    off = struct.unpack_from("<I", bad, 4)[0]
+    (n,) = struct.unpack_from("<H", bad, off)
+    for i in range(n):
+        tag, typ, cnt = struct.unpack_from("<HHI", bad, off + 2 + 12 * i)
+        if tag == 278:
+            struct.pack_into("<H", bad, off + 2 + 12 * i + 8, 16)
+    with pytest.raises(ValueError, match="strips for"):
+        decode_tiff(bytes(bad))
+    # truncated LZW strip
+    bad2 = bytearray(t)
+    first_strip = 8  # encoder lays strips immediately after the header
+    bad2[first_strip + 3] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(bad2))
+
+
+def test_gate_fixture_closed_form_and_fanout():
+    text, d = "tiff doc", 4
+    b = np.frombuffer(hashlib.md5(text.encode()).digest(), np.uint8).astype(
+        np.int64
+    )
+    pages = [
+        ((b[None, :16] + 5 * p + np.arange(16)[:, None]) % 256).astype(np.uint8)
+        for p in range(2 + d % 2)
+    ]
+    payload = encode_tiff(pages, compression=5, predictor=2)
+    decoded = decode_tiff(payload)
+    for p, img in enumerate(decoded):
+        want = sum((int(b[k % 16]) + 5 * p + k // 16) % 256 for k in range(256))
+        assert int(img.astype(np.int64).sum()) == want
+    feats = tiff_page_features(payload)
+    assert [f["frame_idx"] for f in feats] == list(range(len(pages)))
+    assert all((f["width"], f["height"]) == (16, 16) for f in feats)
