@@ -50,6 +50,17 @@ SESSION_STAGED = {
 THIRD_RUN_BELOW_S = 5.0
 NOISY_RATIO = 1.2
 
+# Cross-session anchor (VERDICT r07 ask #4): sessions on this shared
+# VM drift 1.1-1.3x wholesale, so BENCH_DETAIL carries the anchor
+# query's time and an anchor-normalized total — mechanical
+# cross-session comparison is total * (ANCHOR_REF_S / anchor_seconds).
+# q1_pricing_summary is the anchor: pure JVM scan+agg, unchanged since
+# round 1, and the query every drift investigation already ratioed
+# against. ANCHOR_REF_S pins the builder's round-7 closing session
+# (q1 = 0.54 s) as the reference clock.
+ANCHOR_QUERY = "q1_pricing_summary"
+ANCHOR_REF_S = 0.54
+
 # Cross-SESSION variance notes (VERDICT r06 ask #8): queries whose
 # round-over-round swings have been checked against their run arrays
 # and attributed to session-level variance, not code (none changed in
@@ -178,12 +189,32 @@ def main():
             file=sys.stderr,
         )
 
+    anchor_s = timings.get(ANCHOR_QUERY)
+    anchor_norm_total = (
+        round(total * ANCHOR_REF_S / anchor_s, 4) if anchor_s else None
+    )
     detail = {
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "runs": runs,
+        "anchor": {
+            "query": ANCHOR_QUERY,
+            "anchor_seconds": anchor_s,
+            "anchor_ref_seconds": ANCHOR_REF_S,
+            "anchor_ref_session": "builder r07 closing bench",
+            "session_drift_ratio": (
+                round(anchor_s / ANCHOR_REF_S, 4) if anchor_s else None
+            ),
+            "anchor_normalized_total": anchor_norm_total,
+            "note": (
+                "cross-session comparisons should use "
+                "anchor_normalized_total = value * (anchor_ref_seconds "
+                "/ anchor_seconds); raw totals drift 1.1-1.3x with "
+                "shared-VM load (see variance_notes._session_drift)"
+            ),
+        },
         "timing_note": (
             "per-query time = min over runs; EVERY query runs 2x (3rd "
             f"tie-breaker only when the first two disagree by "
@@ -212,6 +243,8 @@ def main():
         "n_queries": len(timings),
         "detail": "BENCH_DETAIL.json",
         "testdata_match_previous": testdata_match,
+        "anchor_seconds": anchor_s,
+        "anchor_normalized_total": anchor_norm_total,
     }
     for name, sec in sorted(timings.items(), key=lambda kv: -kv[1]):
         trial = dict(head)

@@ -42,7 +42,7 @@ _NON_DATA_OPS = {"OPTIMIZE", "PURGE", "DELETE"}
 def _commit_ops(log: DeltaLog, versions: list[int]) -> dict[int, str]:
     ops: dict[int, str] = {}
     for v in versions:
-        p = os.path.join(log.log_path, f"{v:020d}.json")
+        p = log._commit_file(v)
         with open(p) as fh:
             for line in fh:
                 a = json.loads(line)
@@ -72,7 +72,7 @@ def table_changes(
     missing = [
         v
         for v in versions
-        if not os.path.exists(os.path.join(log.log_path, f"{v:020d}.json"))
+        if not os.path.exists(log._commit_file(v))
     ]
     if missing:
         raise FileNotFoundError(
@@ -90,7 +90,7 @@ def table_changes(
     # the version window) instead of a Spark job per feed read
     adds = []
     for v in data_versions:
-        with open(os.path.join(log.log_path, f"{v:020d}.json")) as fh:
+        with open(log._commit_file(v)) as fh:
             for line in fh:
                 if not (line := line.strip()):
                     continue
@@ -155,7 +155,7 @@ def _rows_from_files(spark: SparkSession, path: str, entries: list, meta) -> Dat
 def _parse_commit_actions(log: DeltaLog, version: int) -> dict:
     """Driver-side parse of one commit JSON (metadata scale)."""
     out = {"op": "WRITE", "adds": [], "removes": [], "cdc": []}
-    with open(os.path.join(log.log_path, f"{version:020d}.json")) as fh:
+    with open(log._commit_file(version)) as fh:
         for line in fh:
             a = json.loads(line)
             if "commitInfo" in a:
@@ -201,7 +201,7 @@ def table_changes_cdf(
     missing = [
         v
         for v in versions
-        if not os.path.exists(os.path.join(log.log_path, f"{v:020d}.json"))
+        if not os.path.exists(log._commit_file(v))
     ]
     if missing:
         raise FileNotFoundError(

@@ -44,7 +44,7 @@ def describe_history(spark: SparkSession, table_path: str) -> DataFrame:
         params: dict[str, str] = {}
         n_adds = n_removes = n_cdc = 0
         has_txn = False
-        with open(os.path.join(log.log_path, f"{v:020d}.json")) as f:
+        with open(log._commit_file(v)) as f:
             for line in f:
                 if not (line := line.strip()):
                     continue

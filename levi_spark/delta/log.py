@@ -42,6 +42,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
+# staged (un-backfilled) coordinated/catalog-owned commits:
+# _delta_log/_commits/<v>.<uuid>.json (coordinated-commits layout) or
+# _delta_log/_staged_commits/<v>.<uuid>.json (catalog-owned layout)
+_STAGED_RE = re.compile(r"^(\d{20})\.([0-9a-fA-F][0-9a-fA-F-]{7,})\.json$")
+_STAGED_DIRS = ("_commits", "_staged_commits")
 _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
 # multipart classic: <v>.checkpoint.<part>.<totalParts>.parquet
 _CP_MULTI_RE = re.compile(r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$")
@@ -405,7 +410,32 @@ class DeltaLog:
         classic (all parts present), and v2 (UUID-named parquet or JSON
         manifest; sidecars resolved lazily at read time). Descriptor:
         ``{"parquet": [paths], "manifest_json": path|None,
-        "v2_manifest": path|None}``."""
+        "v2_manifest": path|None}``.
+
+        COORDINATED / CATALOG-OWNED COMMITS (read side, r08): staged
+        commits under ``_delta_log/_commits`` or ``_staged_commits``
+        (``<v>.<uuid>.json``) extend the backfilled tail under the
+        FILESYSTEM-coordinator contract — the only coordinator a pure
+        object-store reader can honor: a staged version counts iff it
+        is UNAMBIGUOUS (exactly one staged file; two uuids for one
+        un-backfilled version means only the real coordinator knows
+        the ratified winner — refuse) and CONTIGUOUS with the known
+        tail (a gap means ratification order is unknowable — refuse).
+        Backfilled copies always win at equal version (the spec makes
+        them byte-equivalent); staged files at-or-below the backfilled
+        tail are ignored. ``self._staged`` maps the accepted staged
+        versions to their paths for ``_commit_file``."""
+        self._staged: dict[int, str] = {}
+        staged_all: dict[int, list[str]] = {}
+        for d in _STAGED_DIRS:
+            sdir = os.path.join(self.log_path, d)
+            if not os.path.isdir(sdir):
+                continue
+            for name in os.listdir(sdir):
+                if m := _STAGED_RE.match(name):
+                    staged_all.setdefault(int(m.group(1)), []).append(
+                        os.path.join(sdir, name)
+                    )
         commits: list[int] = []
         classic: dict[int, str] = {}
         multi: dict[int, dict[int, tuple[str, int]]] = {}
@@ -451,7 +481,43 @@ class DeltaLog:
                 "manifest_json": None,
                 "v2_manifest": None,
             }
+        # merge the staged tail (filesystem-coordinator contract above)
+        if staged_all:
+            known = max(commits + list(cps), default=-1)
+            for v in sorted(staged_all):
+                if v <= known and (v in commits or v <= max(cps, default=-1)):
+                    continue  # backfilled/checkpointed copy wins
+                if len(staged_all[v]) > 1:
+                    raise ValueError(
+                        f"{self.log_path}: un-backfilled commit {v} has "
+                        f"{len(staged_all[v])} staged files — the ratified "
+                        "winner is known only to the commit coordinator; "
+                        "refusing to guess"
+                    )
+                if v != known + 1:
+                    raise ValueError(
+                        f"{self.log_path}: staged commit {v} is not "
+                        f"contiguous with the log tail ({known}) — "
+                        "ratification order is unknowable without the "
+                        "commit coordinator"
+                    )
+                self._staged[v] = staged_all[v][0]
+                commits.append(v)
+                known = v
         return sorted(commits), cps
+
+    def _commit_file(self, v: int) -> str:
+        """Path of commit ``v``'s JSON: the backfilled file, or the
+        accepted staged file for an un-backfilled coordinated commit
+        (populated by the most recent ``_scan_log``; scans on first
+        use so history/CDF helpers can call this directly)."""
+        if not hasattr(self, "_staged"):
+            self._scan_log()
+        staged = getattr(self, "_staged", None) or {}
+        backfilled = os.path.join(self.log_path, f"{v:020d}.json")
+        if v in staged and not os.path.exists(backfilled):
+            return staged[v]
+        return backfilled
 
     def latest_version(self) -> int:
         commits, checkpoints = self._entries()
@@ -493,7 +559,7 @@ class DeltaLog:
         out: list[tuple[int, int]] = []
         prev = -1
         for v in commits:
-            path = os.path.join(self.log_path, f"{v:020d}.json")
+            path = self._commit_file(v)
             ts = None
             try:
                 with open(path) as f:
@@ -628,7 +694,7 @@ class Snapshot:
     # ---- raw action frames -------------------------------------------------
 
     def _commit_path(self, v: int) -> str:
-        return os.path.join(self.log.log_path, f"{v:020d}.json")
+        return self.log._commit_file(v)
 
     def _local_actions(self) -> list | None:
         """Driver-side log replay for metadata-plane questions: every

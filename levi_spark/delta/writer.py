@@ -477,6 +477,76 @@ def _publish_commit(
     )
 
 
+_COORD_PROP = "delta.coordinatedCommits.commitCoordinator-preview"
+
+
+def _publish_staged_commit(log_dir: str, version: int, payload: str) -> int:
+    """Stage an UN-BACKFILLED coordinated commit:
+    ``_delta_log/_commits/<version>.<uuid>.json`` per the Delta
+    coordinated-commits layout. The FILESYSTEM coordinator contract
+    (the only one a plain object store can honor) is single-writer
+    arbitration by existence check: a version that already has a
+    backfilled or staged file refuses — UUID names make O_EXCL
+    useless for conflict detection, so true multi-writer arbitration
+    needs a real coordinator service (this is exactly the gap the
+    spec's coordinator API exists to fill; the check here leaves a
+    TOCTOU window two genuinely concurrent writers could race
+    through, which is why readers refuse ambiguous staged versions
+    loudly instead of guessing)."""
+    sdir = os.path.join(log_dir, "_commits")
+    os.makedirs(sdir, exist_ok=True)
+    prefix = f"{version:020d}."
+    if os.path.exists(os.path.join(log_dir, f"{version:020d}.json")) or any(
+        n.startswith(prefix) for n in os.listdir(sdir)
+    ):
+        raise ValueError(
+            f"concurrent commit at version {version}: the filesystem "
+            "commit coordinator is single-writer; retry against the "
+            "new snapshot"
+        )
+    p = os.path.join(sdir, prefix + uuid.uuid4().hex + ".json")
+    with open(p, "x") as out:
+        out.write(payload)
+    return version
+
+
+def backfill_commits(table_path: str, up_to: int | None = None) -> int:
+    """The spec's BACKFILL: copy staged coordinated commits into the
+    main ``_delta_log`` as ordinary ``<version>.json`` files (byte-
+    identical — the spec makes the copies equivalent, which is why
+    readers prefer the backfilled one). Staged files stay in place;
+    returns the number of commits backfilled. In-order and idempotent:
+    already-backfilled versions are skipped, and the copy itself is
+    O_EXCL so a racing backfiller cannot corrupt."""
+    from levi_spark.delta.log import _STAGED_DIRS, _STAGED_RE
+
+    log_dir = os.path.join(os.path.abspath(table_path), "_delta_log")
+    staged: dict[int, str] = {}
+    for d in _STAGED_DIRS:
+        sdir = os.path.join(log_dir, d)
+        if not os.path.isdir(sdir):
+            continue
+        for n in sorted(os.listdir(sdir)):
+            if m := _STAGED_RE.match(n):
+                staged.setdefault(int(m.group(1)), os.path.join(sdir, n))
+    done = 0
+    for v in sorted(staged):
+        if up_to is not None and v > up_to:
+            break
+        target = os.path.join(log_dir, f"{v:020d}.json")
+        if os.path.exists(target):
+            continue
+        with open(staged[v]) as src:
+            payload = src.read()
+        try:
+            with open(target, "x") as out:
+                out.write(payload)
+        except FileExistsError:
+            continue  # racing backfiller got there first — same bytes
+        done += 1
+    return done
+
+
 def write_delta(
     df: DataFrame,
     path: str,
@@ -493,6 +563,7 @@ def write_delta(
     row_tracking: bool = False,
     identity: dict[str, dict] | None = None,
     identity_passthrough: bool = False,
+    coordinated: bool = False,
 ) -> int:
     """Write ``df`` as a new Delta table version at ``path``.
 
@@ -572,6 +643,19 @@ def write_delta(
     concurrent commits (a racing writer may have advanced the mark —
     the conflict surfaces as a retryable error instead of colliding
     ids).
+
+    ``coordinated`` (create/overwrite): COORDINATED COMMITS (writer
+    feature ``coordinatedCommits-preview``) under the filesystem
+    coordinator: the create commit backfills normally and records
+    ``delta.coordinatedCommits.commitCoordinator-preview =
+    "filesystem"``; every later commit to the table is STAGED as
+    ``_delta_log/_commits/<v>.<uuid>.json`` instead of backfilled
+    (whoever the writer is — the property, not the flag, drives it).
+    :func:`backfill_commits` copies staged commits into the main log;
+    :class:`levi_spark.delta.log.DeltaLog` reads the staged tail
+    directly under the same contract (unambiguous + contiguous, else
+    loud refusal). Auto-checkpointing is disabled for staged commits
+    (checkpoints must not outrun the backfilled tail).
     """
     spark = df.sparkSession
     path = os.path.abspath(path)
@@ -873,6 +957,30 @@ def write_delta(
                 "writerFeatures": ["identityColumns"],
             },
         )
+    # -- coordinated commits (r08, VERDICT r07 ask #6) ----------------------
+    # The create commit (v0) always backfills — a table starts
+    # filesystem-committed and the coordinator takes over from the
+    # commit that records the coordinator property, matching the
+    # spec's registration flow. Every later commit to a table whose
+    # configuration names a coordinator is STAGED into
+    # _delta_log/_commits, whoever the writer is.
+    if coordinated and exists and mode == "append" and _COORD_PROP not in meta_conf:
+        raise ValueError(
+            "coordinated=True on append to an uncoordinated table — "
+            "enable the coordinator at create/overwrite"
+        )
+    if coordinated and (not exists or mode == "overwrite"):
+        meta_conf.setdefault(_COORD_PROP, "filesystem")
+    stage_this_commit = _COORD_PROP in meta_conf
+    if stage_this_commit:
+        commit_protocol = merge_protocol(
+            commit_protocol,
+            {
+                "minReaderVersion": 1,
+                "minWriterVersion": 7,
+                "writerFeatures": ["coordinatedCommits-preview"],
+            },
+        )
 
     # -- stage data files ----------------------------------------------------
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
@@ -1163,10 +1271,14 @@ def write_delta(
         """A schema carrying a NON-DEFAULT string collation anywhere
         (Spark 4 collated StringType — serialized into schemaString as
         the RFC's ``__COLLATIONS`` field metadata by
-        ``StructType.json()``) declares collations-preview on both
-        sides, so readers that would compare with the wrong ordering
-        refuse instead of misread. Default UTF8_BINARY columns stay
-        plain strings and need no feature."""
+        ``StructType.json()``) declares collations-preview as a
+        WRITER feature only: the Delta collated-string RFC treats
+        collations as metadata a reader lacking support may safely
+        ignore (it reads the column with binary collation — the
+        physical bytes are plain UTF-8 either way), so requiring a
+        reader feature would make the table unreadable by standard
+        Delta readers for no safety gain (r07 ADVICE). Default
+        UTF8_BINARY columns stay plain strings and need no feature."""
 
         def has_collation(dt) -> bool:
             if isinstance(dt, T.StringType):
@@ -1184,9 +1296,8 @@ def write_delta(
         return merge_protocol(
             proto,
             {
-                "minReaderVersion": 3,
+                "minReaderVersion": 1,  # readers may ignore collations
                 "minWriterVersion": 7,
-                "readerFeatures": ["collations-preview"],
                 "writerFeatures": ["collations-preview"],
             },
         )
@@ -1251,9 +1362,12 @@ def write_delta(
     blind_append = mode == "append" and not prev_adds and not identity_specs
     for _attempt in range(20):
         try:
-            version = _publish_commit(
-                log_dir, version, _payload(), rebase_ok=False
-            )
+            if stage_this_commit and version > 0:
+                version = _publish_staged_commit(log_dir, version, _payload())
+            else:
+                version = _publish_commit(
+                    log_dir, version, _payload(), rebase_ok=False
+                )
             break
         except ValueError:
             if not blind_append:
@@ -1303,6 +1417,12 @@ def write_delta(
     else:
         raise RuntimeError("commit contention: 20 rebase attempts failed")
 
+    # checkpoints must never outrun the backfilled tail (the spec ties
+    # checkpoint validity to backfilled commits), so staged commits
+    # skip the auto-checkpoint; run backfill_commits + write_checkpoint
+    # explicitly to compact a coordinated table's history
+    if stage_this_commit:
+        checkpoint_interval = None
     if checkpoint_interval and version > 0 and version % checkpoint_interval == 0:
         # Deferred import: checkpoint.py only depends on log.py, no cycle.
         from levi_spark.delta.checkpoint import write_checkpoint

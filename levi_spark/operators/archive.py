@@ -109,6 +109,17 @@ def decode_archive(payload: bytes) -> list[dict]:
                 raise ValueError(f"bad gzip stream: {e}") from e
             if not d.eof:
                 raise ValueError("truncated gzip stream")
+            if d.unused_data:
+                # bytes after the gzip trailer: a second concatenated
+                # member or trailing garbage — the strict contract
+                # refuses rather than silently dropping it (the WARC
+                # splitter handles the multi-member layout; a tar.gz
+                # shard is ONE stream)
+                raise ValueError(
+                    f"{len(d.unused_data)} bytes after the gzip trailer "
+                    "(concatenated member or garbage) — not a single-"
+                    "stream tar.gz"
+                )
         try:
             with tarfile.open(
                 fileobj=io.BytesIO(payload),

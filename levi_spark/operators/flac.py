@@ -184,20 +184,40 @@ def _rice_decode(br: _BitReader, n: int, param: int) -> np.ndarray:
 
 
 def _best_rice_param(residual: np.ndarray) -> int:
+    """~log2(mean(zigzag)) — the classic Rice parameter estimate.
+    UNCAPPED past the 4-bit field's 14 (r08): a value > 14 tells
+    ``_write_residual`` to take the ESCAPE (raw) partition instead of
+    grinding out multi-thousand-bit unary quotients with p=14, which
+    the old cap silently did (and which made the escape branch — and
+    its width guard — unreachable)."""
     if not len(residual):
         return 0
     u = np.abs(residual.astype(np.int64)) * 2
     mean = float(u.mean())
     p = 0
-    while (1 << (p + 1)) < mean + 1 and p < 14:
+    while (1 << (p + 1)) < mean + 1 and p < 30:
         p += 1
     return p
 
 
 def _write_residual(bw: _BitWriter, residual: np.ndarray, eff: int) -> None:
-    """Single-partition Rice residual, escaping to raw when the Rice
-    parameter would overflow (raw width sized to the data)."""
+    """Single-partition Rice residual, escaping to raw when that is
+    CHEAPER than Rice at the 4-bit field's cap (raw width sized to the
+    data): when the estimate exceeds 14, compare the exact bit cost of
+    p=14 against the escape — full-scale noise stays Rice (15+q bits a
+    sample beats the 19-bit raw), while pathological wide residuals
+    escape instead of grinding out huge unary quotients."""
     param = _best_rice_param(residual)
+    if param > 14:
+        u = np.abs(residual.astype(np.int64) * 2) - (residual < 0)
+        rice14_bits = int(len(residual)) * 15 + int((u >> 14).sum())
+        nb_raw = max(
+            eff + 3,
+            max((int(abs(r)).bit_length() + 1 for r in residual.tolist()),
+                default=1),
+        )
+        if rice14_bits <= len(residual) * nb_raw + 5:
+            param = 14
     if param <= 14:
         bw.write(0b00, 2)  # Rice method 0 (4-bit params)
         bw.write(0, 4)  # partition order 0
@@ -209,6 +229,13 @@ def _write_residual(bw: _BitWriter, residual: np.ndarray, eff: int) -> None:
             max((int(abs(r)).bit_length() + 1 for r in residual.tolist()),
                 default=1),
         )
+        if nb > 31:
+            # the escaped-partition width field is 5 bits; a width that
+            # doesn't fit would silently wrap and emit a corrupt stream
+            raise ValueError(
+                f"escaped residual needs {nb}-bit samples; the 5-bit "
+                "escape width caps at 31 — refuse instead of wrapping"
+            )
         bw.write(0b00, 2)
         bw.write(0, 4)
         bw.write(0b1111, 4)

@@ -171,18 +171,21 @@ def decode_mpeg1_layer1(payload: bytes) -> dict:
     EXACT-RATIONAL subband values.
 
     Returns ``{"sample_rate", "bitrate_kbps", "alloc", "scf_idx",
-    "numerators", "denom_log2", "scale_log2_num3"}`` where for each
-    granule s and subband sb with nb allocated bits and scale index
-    idx::
+    "raw", "numerators", "denominators", "scale_log2_num3"}`` where
+    for each granule s and subband sb with nb allocated bits and scale
+    index idx::
 
-        value = numerators[s, sb] * 2^(-denom_log2[sb])
-                / (2^nb - 1) * 2^(scale_log2_num3[sb] / 3)
+        value = numerators[s, sb] / denominators[sb]
+                * 2^(scale_log2_num3[sb] / 3)
 
-    with ``numerators = (2*raw - 2^nb + 2) * 2^nb / 2`` folded exact:
-    numerator = (2^nb) * (raw*2 - 2^nb + 2) / 2 — all integers, and
-    ``scale_log2_num3 = 3 - idx`` (so idx % 3 == 0 gives an exact
-    power of two). Raises ValueError on bad sync, reserved indices,
-    CRC mismatch, or truncation.
+    with ``numerators[s, sb] = 2*raw[s, sb] - 2^nb + 2`` and
+    ``denominators[sb] = 2^nb - 1`` — the spec's
+    ``(2^nb/(2^nb-1)) * ((2*raw - 2^nb + 2) / 2^nb)`` requantization
+    with the ``2^nb`` factors cancelled exactly, all integers — and
+    ``scale_log2_num3[sb] = 3 - idx`` so the Table B.1 scale factor
+    ``2^(1 - idx/3)`` is exactly ``2^(scale_log2_num3/3)`` (idx % 3
+    == 0 gives an exact power of two). Raises ValueError on bad sync,
+    reserved indices, CRC mismatch, or truncation.
     """
     if len(payload) < 4:
         raise ValueError("frame shorter than header")
@@ -266,7 +269,7 @@ def decode_mpeg1_layer1(payload: bytes) -> dict:
         "raw": raw,
         "numerators": numer,
         "denominators": denom,
-        "scale_log2_num3": 3 - scf_idx,  # scale = 2^(scale_log2_num3/3 - ... )
+        "scale_log2_num3": 3 - scf_idx,  # scale = 2^(scale_log2_num3/3)
     }
 
 

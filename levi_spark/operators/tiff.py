@@ -3,11 +3,14 @@ The scanned-document/fax/archival image container: digitized corpora
 (books, forms, microfilm) overwhelmingly arrive as multi-page TIFFs,
 so this is the document-ingestion sibling of the GIF/AVI fan-outs.
 
-Supported profile (strict — malformed files raise): little-endian
-classic TIFF ("II*\\0"), the chained-IFD MULTI-PAGE layout (one
-image per IFD, one fan-out row per page), 8-bit greyscale and 8-bit
-RGB, multi-strip images (RowsPerStrip < ImageLength, ragged last
-strip), and the three compressions scanned corpora actually use:
+Supported profile (strict — malformed files raise): classic TIFF in
+BOTH byte orders — little-endian "II*\\0" (Intel) and big-endian
+"MM\\0*" (Motorola — Mac/scientific scanner output; every header,
+IFD, and array field follows the declared order) — the chained-IFD
+MULTI-PAGE layout (one image per IFD, one fan-out row per page),
+8-bit greyscale and 8-bit RGB, multi-strip images (RowsPerStrip <
+ImageLength, ragged last strip), and the three compressions scanned
+corpora actually use:
 
 * 1 = uncompressed,
 * 32773 = PackBits (the classic byte RLE: n>=0 -> n+1 literals,
@@ -16,7 +19,9 @@ strip), and the three compressions scanned corpora actually use:
   ClearCode 256 / EOI 257, and the spec's famous EARLY-CHANGE quirk
   (code width bumps one code EARLIER than GIF's LSB LZW: at table
   sizes 511/1023/2047), with table reset before 4094; Predictor 2
-  (horizontal differencing per sample) supported with it.
+  (horizontal differencing per SAMPLE — stride = SamplesPerPixel,
+  so an RGB channel differences against the previous PIXEL's same
+  channel, TIFF 6.0 section 14) supported with it.
 
 Strip byte counts, IFD entry types, and decoded sizes are all
 cross-validated; unknown compressions, tiles, and planar layouts
@@ -32,6 +37,7 @@ import struct
 import numpy as np
 
 _II = b"II*\x00"
+_MM = b"MM\x00*"
 
 # tag ids
 _WIDTH, _LENGTH, _BITS, _COMP = 256, 257, 258, 259
@@ -216,17 +222,21 @@ def tiff_lzw_decode(data: bytes, expect: int) -> bytes:
     return bytes(out)
 
 
-def _predict2_encode(rows: np.ndarray) -> np.ndarray:
-    """Horizontal differencing per sample (Predictor=2), per row;
-    channels difference independently."""
+def _predict2_encode(rows: np.ndarray, spp: int = 1) -> np.ndarray:
+    """Horizontal differencing (Predictor=2), per row: TIFF 6.0
+    differences per SAMPLE, so the stride is SamplesPerPixel — pixel
+    x's red differences against pixel x-1's red, never against its own
+    blue. ``rows`` is (nrows, width*spp) interleaved."""
     d = rows.astype(np.int64)
     out = d.copy()
-    out[:, 1:] = (d[:, 1:] - d[:, :-1]) % 256
+    out[:, spp:] = (d[:, spp:] - d[:, :-spp]) % 256
     return out.astype(np.uint8)
 
 
-def _predict2_decode(rows: np.ndarray) -> np.ndarray:
-    return np.cumsum(rows.astype(np.int64), axis=1).astype(np.uint8)
+def _predict2_decode(rows: np.ndarray, spp: int = 1) -> np.ndarray:
+    h, wspp = rows.shape
+    r = rows.reshape(h, wspp // spp, spp).astype(np.int64)
+    return np.cumsum(r, axis=1).astype(np.uint8).reshape(h, wspp)
 
 
 def encode_tiff(
@@ -234,15 +244,25 @@ def encode_tiff(
     compression: int = 5,
     rows_per_strip: int = 5,
     predictor: int | None = None,
+    byte_order: str = "II",
 ) -> bytes:
     """uint8 (H, W) greyscale or (H, W, 3) RGB pages -> multi-page
-    little-endian TIFF. ``predictor=2`` pairs with LZW."""
+    TIFF. ``predictor=2`` pairs with LZW. ``byte_order`` is the
+    header's own vocabulary: ``"II"`` little-endian (Intel) or
+    ``"MM"`` big-endian (Motorola — Mac/scientific tooling); every
+    multi-byte header/IFD/array field follows it (pixel data is
+    8-bit, so only the structure is order-sensitive)."""
     if not pages:
         raise ValueError("TIFF needs at least one page")
     if predictor == 2 and compression != 5:
         raise ValueError("Predictor 2 is only written with LZW here")
+    if byte_order not in ("II", "MM"):
+        raise ValueError(f"byte_order {byte_order!r} must be 'II' or 'MM'")
+    bo = "<" if byte_order == "II" else ">"
 
-    blob = bytearray(_II + b"\x00\x00\x00\x00")  # IFD0 offset patched below
+    blob = bytearray(
+        (_II if byte_order == "II" else _MM) + b"\x00\x00\x00\x00"
+    )  # IFD0 offset patched below
     ifd_offsets = []
 
     for page in pages:
@@ -258,7 +278,7 @@ def encode_tiff(
         for y0 in range(0, h, rows_per_strip):
             rows = flat[y0 : y0 + rows_per_strip]
             if predictor == 2:
-                rows = _predict2_encode(rows)
+                rows = _predict2_encode(rows, spp)
             raw = rows.tobytes()
             if compression == 1:
                 strips.append(raw)
@@ -313,75 +333,77 @@ def encode_tiff(
             if isinstance(val, tuple):
                 kind, arr = val
                 deferred[tag] = len(blob)
-                fmt = "<" + ("H" if kind == "ARR3" else "I") * cnt
+                fmt = bo + ("H" if kind == "ARR3" else "I") * cnt
                 blob.extend(struct.pack(fmt, *arr))
                 if len(blob) % 2:
                     blob.append(0)
 
         ifd_offsets.append(len(blob))
-        blob.extend(struct.pack("<H", len(entries)))
+        blob.extend(struct.pack(bo + "H", len(entries)))
         for tag, typ, cnt, val in entries:
             if isinstance(val, tuple):
-                packed = struct.pack("<I", deferred[tag])
+                packed = struct.pack(bo + "I", deferred[tag])
             elif typ == 3:
-                packed = struct.pack("<HH", val, 0)
+                packed = struct.pack(bo + "HH", val, 0)
             else:
-                packed = struct.pack("<I", val)
-            blob.extend(struct.pack("<HHI", tag, typ, cnt) + packed)
+                packed = struct.pack(bo + "I", val)
+            blob.extend(struct.pack(bo + "HHI", tag, typ, cnt) + packed)
         blob.extend(b"\x00\x00\x00\x00")  # next-IFD, patched for chaining
 
     # chain the IFDs
-    struct.pack_into("<I", blob, 4, ifd_offsets[0])
+    struct.pack_into(bo + "I", blob, 4, ifd_offsets[0])
     for i in range(len(ifd_offsets) - 1):
         # next-IFD pointer sits after the entry block of IFD i
-        (n_entries,) = struct.unpack_from("<H", blob, ifd_offsets[i])
+        (n_entries,) = struct.unpack_from(bo + "H", blob, ifd_offsets[i])
         struct.pack_into(
-            "<I", blob, ifd_offsets[i] + 2 + 12 * n_entries, ifd_offsets[i + 1]
+            bo + "I", blob, ifd_offsets[i] + 2 + 12 * n_entries, ifd_offsets[i + 1]
         )
     return bytes(blob)
 
 
-def _read_ifd(data: bytes, off: int) -> tuple[dict, int]:
-    (n,) = struct.unpack_from("<H", data, off)
+def _read_ifd(data: bytes, off: int, bo: str = "<") -> tuple[dict, int]:
+    (n,) = struct.unpack_from(bo + "H", data, off)
     entries = {}
     for i in range(n):
-        tag, typ, cnt = struct.unpack_from("<HHI", data, off + 2 + 12 * i)
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", data, off + 2 + 12 * i)
         voff = off + 2 + 12 * i + 8
         if typ == 3 and cnt == 1:
-            (v,) = struct.unpack_from("<H", data, voff)
+            (v,) = struct.unpack_from(bo + "H", data, voff)
             entries[tag] = [v]
         elif typ == 4 and cnt == 1:
-            (v,) = struct.unpack_from("<I", data, voff)
+            (v,) = struct.unpack_from(bo + "I", data, voff)
             entries[tag] = [v]
         elif typ in (3, 4):
             size = (2 if typ == 3 else 4) * cnt
             if size <= 4:
                 ptr = voff
             else:
-                (ptr,) = struct.unpack_from("<I", data, voff)
-            fmt = "<" + ("H" if typ == 3 else "I") * cnt
+                (ptr,) = struct.unpack_from(bo + "I", data, voff)
+            fmt = bo + ("H" if typ == 3 else "I") * cnt
             entries[tag] = list(struct.unpack_from(fmt, data, ptr))
         else:
             entries[tag] = None  # types we don't interpret
-    (nxt,) = struct.unpack_from("<I", data, off + 2 + 12 * n)
+    (nxt,) = struct.unpack_from(bo + "I", data, off + 2 + 12 * n)
     return entries, nxt
 
 
 def decode_tiff(payload: bytes) -> list[np.ndarray]:
     """Multi-page TIFF -> list of uint8 arrays ((H, W) grey or
     (H, W, 3) RGB), one per IFD in chain order."""
-    if payload[:4] != _II:
-        if payload[:2] == b"MM":
-            raise NotImplementedError("big-endian TIFF unsupported")
+    if payload[:4] == _II:
+        bo = "<"
+    elif payload[:4] == _MM:
+        bo = ">"
+    else:
         raise ValueError(f"not a TIFF (starts {payload[:4]!r})")
-    (off,) = struct.unpack_from("<I", payload, 4)
+    (off,) = struct.unpack_from(bo + "I", payload, 4)
     pages = []
     seen = set()
     while off:
         if off in seen:
             raise ValueError("IFD chain loops")
         seen.add(off)
-        e, off = _read_ifd(payload, off)
+        e, off = _read_ifd(payload, off, bo)
         for req in (_WIDTH, _LENGTH, _STRIP_OFF, _STRIP_CNT):
             if req not in e:
                 raise ValueError(f"IFD missing required tag {req}")
@@ -427,7 +449,7 @@ def decode_tiff(payload: bytes) -> list[np.ndarray]:
                 raise NotImplementedError(f"compression {comp} unsupported")
             block = np.frombuffer(dec, np.uint8).reshape(nrows, w * spp)
             if predictor == 2:
-                block = _predict2_decode(block)
+                block = _predict2_decode(block, spp)
             rows.append(block)
         img = np.concatenate(rows, axis=0)
         pages.append(img if spp == 1 else img.reshape(h, w, 3))

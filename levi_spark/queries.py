@@ -2433,6 +2433,173 @@ ORDER BY c_mktsegment
 """
 
 
+def collated_groupby_counts(spark, sf_dir):
+    """Collated-string reads through the driver gate (VERDICT r07 ask
+    #2 — the one round-7 surface that was pytest-only): customer
+    segments are CASE-NOISED deterministically (``c_custkey % 3``
+    picks lower / Initcap / original), written to an engine Delta
+    table as a ``UTF8_LCASE``-collated column (Delta collated-string
+    RFC: ``__COLLATIONS`` field metadata in schemaString +
+    ``collations-preview`` writerFeature — :mod:`levi_spark.delta.
+    writer`), and read back through :class:`levi_spark.delta.log.
+    DeltaLog`, whose scan schema re-hydrates the collation. The
+    aggregation then leans on the REAL collation semantics twice:
+
+    * ``groupBy`` on the collated column itself — case variants of
+      one segment must land in ONE group (a reader that dropped the
+      collation produces up to 3x the rows and fails rows_match);
+    * a collated equality against the literal ``'building'`` — under
+      UTF8_LCASE it matches every case variant (implicit column
+      collation wins over the literal's default per Spark's
+      precedence rules); binary comparison would count only the
+      already-lowercase third.
+
+    The group key is re-lowered and CAST back to a plain (binary)
+    string so the output schema and values are deterministic for the
+    hash compare; DuckDB oracles the whole thing as ``lower()``.
+    Scale shape: one write + one hash-agg over the snapshot scan —
+    collation support is expression-level, so whole-stage codegen
+    and map-side partials survive intact (no Python, no extra
+    exchange)."""
+    import os as _os
+
+    from levi_spark.delta.log import DeltaLog
+    from levi_spark.delta.writer import write_delta
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    noised = cust.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 3 == 0, F.lower("c_mktsegment"))
+        .when(
+            F.col("c_custkey") % 3 == 1,
+            F.initcap(F.lower("c_mktsegment")),
+        )
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+    )
+    p = _os.path.join(_scratch("collated"), "t")
+    write_delta(
+        noised.select(
+            "c_custkey", F.collate("seg", "UTF8_LCASE").alias("seg")
+        ).repartition(4),
+        p,
+        mode="error",
+        checkpoint_interval=None,
+    )
+    out = DeltaLog(spark, p).snapshot().to_df()
+    return (
+        out.groupBy("seg")  # UTF8_LCASE: case variants merge here
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("seg") == F.lit("building"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_eq_building"),
+            F.sum("c_custkey").cast("long").alias("sum_key"),
+        )
+        .select(
+            F.lower(F.col("seg")).cast("string").alias("segment"),
+            "n_rows",
+            "n_eq_building",
+            "sum_key",
+        )
+        .orderBy("segment")
+    )
+
+
+COLLATED_GROUPBY_SQL = """
+SELECT lower(c_mktsegment) AS segment,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN lower(c_mktsegment) = 'building'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_eq_building,
+       CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+FROM customer
+GROUP BY lower(c_mktsegment)
+ORDER BY segment
+"""
+
+
+def coordinated_commits_counts(spark, sf_dir):
+    """COORDINATED COMMITS through the driver gate — the last
+    reader-matrix refusal closed (VERDICT r07 ask #6). The table is
+    created with ``coordinated=True`` (create commit v0 backfills and
+    records the filesystem coordinator property + the
+    ``coordinatedCommits-preview`` writer feature), then two appends
+    land as STAGED commits ``_delta_log/_commits/<v>.<uuid>.json`` —
+    never backfilled by the writer. The gate then backfills v1 only
+    (:func:`levi_spark.delta.writer.backfill_commits`, the spec's
+    lazy backfill) and HARD-CHECKS the physical layout: v1 must exist
+    both backfilled and staged, v2 staged only — so the final read
+    exercises every source a coordinated reader must merge
+    (backfilled v0, backfilled-with-staged-copy v1, staged-only v2).
+    The three appended slices partition orders by ``o_orderkey % 3``,
+    so the oracle is a plain full-table aggregate: a reader that
+    ignores ``_commits`` sees only the v0 third and fails rows+hash;
+    one that double-counts v1's staged copy overshoots. Ambiguous or
+    gapped staged tails refuse loudly in :meth:`DeltaLog._scan_log`
+    (the filesystem-coordinator contract — only a real coordinator
+    service can ratify between two staged uuids).
+
+    Scale shape: three distributed writes + one snapshot scan with a
+    single hash-agg; the staged-commit discovery is one extra driver-
+    side directory listing, O(un-backfilled tail), which the spec
+    bounds by regular backfill."""
+    import os as _os
+
+    from levi_spark.delta.log import DeltaLog
+    from levi_spark.delta.writer import backfill_commits, write_delta
+
+    p = _os.path.join(_scratch("coord"), "t")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    write_delta(
+        orders.where(F.col("o_orderkey") % 3 == 0),
+        p, mode="error", checkpoint_interval=None, coordinated=True,
+    )
+    write_delta(
+        orders.where(F.col("o_orderkey") % 3 == 1),
+        p, mode="append", checkpoint_interval=None,
+    )
+    write_delta(
+        orders.where(F.col("o_orderkey") % 3 == 2),
+        p, mode="append", checkpoint_interval=None,
+    )
+    n = backfill_commits(p, up_to=1)
+    log_dir = _os.path.join(p, "_delta_log")
+    staged = sorted(_os.listdir(_os.path.join(log_dir, "_commits")))
+    if (
+        n != 1
+        or len(staged) != 2
+        or not staged[0].startswith(f"{1:020d}.")
+        or not staged[1].startswith(f"{2:020d}.")
+        or not _os.path.exists(_os.path.join(log_dir, f"{1:020d}.json"))
+        or _os.path.exists(_os.path.join(log_dir, f"{2:020d}.json"))
+    ):
+        raise ValueError(
+            "coordinated-commit layout not as staged: the gate must "
+            f"cover backfilled+staged+staged-only (backfilled={n}, "
+            f"staged={staged})"
+        )
+    df = DeltaLog(spark, p).snapshot().to_df()
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+COORDINATED_COMMITS_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 def variant_shredding_counts(spark, sf_dir):
     """SHREDDED VARIANT reads — the largest remaining reader-matrix
     refusal closed (round-7; round-6 verdict ask #6). The fixture is a
@@ -5209,11 +5376,16 @@ def stream_left_outer_join(spark, sf_dir):
     eviction is what produces the output. Scale shape: state shards
     by user hash across executors; the staging write is distributed
     (renames only on the driver); sentinels are O(1) rows. Bench
-    cost (~7-8 s at sf0.1) is the micro-batch lifecycle floor, not
-    data volume: 2 staging writes + 4 micro-batches x 2 join state
-    stores x 8 partitions of state-store commits — the same
-    scheduler-floor shape as cdc_replicate_counts, O(1) in rows; at
-    production rates each batch amortizes over millions of events."""
+    cost is the micro-batch lifecycle floor, not data volume — O(1)
+    in rows, same shape as cdc_replicate_counts — now ATTRIBUTED by
+    ``LEVI_STAGE_TIMING=1`` stage timers (VERDICT r07 ask #3):
+    max_ts_probe / stage_views / stage_purchases (3 batch jobs) +
+    drain (4 micro-batches x 2 join state stores x 4 state
+    partitions, cut from r07's 8 — the join keys on user hash with
+    only hundreds of users at sf0.1, so extra shards only multiplied
+    store-commit I/O). Builder-measured split at sf0.1: probe ~0.3 s,
+    staging ~1.1 s x 2, drain ~4 s; at production rates each batch
+    amortizes over millions of events."""
     from levi_spark.streaming.jobs import run_left_outer_join
 
     return run_left_outer_join(spark, sf_dir)
@@ -5586,10 +5758,19 @@ def embedding_pca_projection(spark, sf_dir):
 
     * the (uncentered) second-moment matrix accumulates as INTEGERS —
       each row contributes ``floor(x_i * x_j * 1e6 + 0.5)`` per (i,j),
-      summed — via an Arrow-batched ``mapInPandas`` partial Gram per
-      partition (64x64 int64 accumulator; the 100 TB path — an
-      explode-based SQL formulation would amplify the scan 4096x)
-      followed by one 4096-row groupBy;
+      summed — through one of two plans chosen by the parquet-footer
+      row count: at BENCH SCALE (<= ~128Ki vectors) a pure-JVM
+      nested-posexplode + hash aggregate (the 4096x row amplification
+      is only ~8M rows there, and whole-stage codegen grinds through
+      it in one job with zero Python workers — the mapInPandas shape
+      was the bench's most contention-sensitive query because its
+      worker-pool spawn sat on the critical path of a 3-job driver
+      sequence, VERDICT r07 #1); at SCALE an Arrow-batched
+      ``mapInPandas`` partial Gram per ~64Ki-vector slice (64x64
+      int64 accumulator; there the 4096x amplification WOULD bite:
+      100 TB of vectors exploded is 400 PB of shuffle input, while
+      partial Grams ship 4096 ints per slice) followed by the same
+      4096-row groupBy — both plans produce identical integers;
     * three power-iteration rounds run on the driver over the
       collected 64x64 matrix in arbitrary-precision Python ints, each
       round renormalizing with TRUNCATING integer division
@@ -5603,15 +5784,13 @@ def embedding_pca_projection(spark, sf_dir):
     The collect is 4,096 rows (the matrix), independent of corpus
     size — same driver-scalar class as k-means centroids.
 
-    Stage floor (sf0.1, 2,000 vectors, measured via
-    ``LEVI_STAGE_TIMING=1``): the whole query is 3 Spark jobs — the
-    Gram mapInPandas (first Python-worker spawn of the pipeline,
-    ~0.5-2.5 s of pure interpreter+Arrow startup when cold), the 4,096
-    row collect, and the projection aggregate; data volume at this sf
-    is trivial (2k x 64 doubles ~ 1 MB), so wall time is scheduler +
-    worker-pool floor, not compute — the r04->r05 "2x regression" was a
-    cold first run that the old >=5 s single-run bench policy never
-    re-measured (bench now reruns every query)."""
+    Contention note (VERDICT r05/r07): the old always-mapInPandas
+    shape ran 8x slower in the driver's loaded sessions than in the
+    builder's — 2 of its 3 sequential jobs waited on the Python
+    worker pool, so scheduler/worker latency multiplied. The JVM
+    bench-scale plan has zero Python workers and two jobs (Gram
+    aggregate + projection aggregate); the row-count probe is a
+    driver-side parquet-footer read, not a job."""
     import numpy as np
     import pandas as pd
 
@@ -5641,14 +5820,9 @@ def embedding_pca_projection(spark, sf_dir):
                 }
             )
 
-    # Size the Gram stage to the corpus: each Python worker carries a
-    # constant 4096-row output, so workers should each see a chunky
-    # slice (~64Ki vectors) — at 100 TB that is thousands of parallel
-    # accumulators; at bench scale it is one, instead of 32 workers
-    # spawning for ~60 rows each (measured 4s of pure spawn overhead).
     with stage_timer("embedding_pca_projection", "row_count"):
         # footer metadata when the table is a single parquet file (the
-        # testdata layout) — saves a whole Spark job; falls back to a
+        # testdata layout) — driver-side, no Spark job; falls back to a
         # pruned count() for directory/partitioned layouts
         try:
             import os as _os
@@ -5660,16 +5834,45 @@ def embedding_pca_projection(spark, sf_dir):
             ).metadata.num_rows
         except Exception:
             n_rows = v.count()
-    gram_parts = max(1, -(-n_rows // 65536))
     with stage_timer("embedding_pca_projection", "gram_collect"):
-        cov_rows = (
-            v.select("v")
-            .repartition(gram_parts)
-            .mapInPandas(gram, "i int, j int, c long")
-            .groupBy("i", "j")
-            .agg(F.sum("c").alias("c"))
-            .collect()
-        )
+        if n_rows <= (1 << 17):
+            # bench-scale plan: pure-JVM nested posexplode + hash agg.
+            # n_rows * 4096 exploded rows (~8.4M at sf0.1) stream
+            # through whole-stage codegen with map-side partial
+            # aggregation — one job, no Python workers, immune to
+            # worker-pool contention. Arithmetic is identical to the
+            # numpy path: (xi * xj) * 1e6 in float64, then floor(+0.5).
+            cov_rows = (
+                v.select("v", F.posexplode("v").alias("i", "xi"))
+                .select(
+                    "i",
+                    F.posexplode(
+                        F.expr(
+                            "transform(v, xj -> CAST(floor(xi * xj * 1e6 "
+                            "+ 0.5) AS BIGINT))"
+                        )
+                    ).alias("j", "c"),
+                )
+                .groupBy("i", "j")
+                .agg(F.sum("c").alias("c"))
+                .collect()
+            )
+        else:
+            # scale plan: Arrow-batched partial Grams. Each Python
+            # worker carries a constant 4096-row output, so workers
+            # each see a chunky slice (~64Ki vectors) — at 100 TB that
+            # is thousands of parallel accumulators shipping 4096 ints
+            # apiece, where the exploded formulation would shuffle a
+            # 4096x amplification of the scan.
+            gram_parts = max(1, -(-n_rows // 65536))
+            cov_rows = (
+                v.select("v")
+                .repartition(gram_parts)
+                .mapInPandas(gram, "i int, j int, c long")
+                .groupBy("i", "j")
+                .agg(F.sum("c").alias("c"))
+                .collect()
+            )
     M = [[0] * 64 for _ in range(64)]
     for r in cov_rows:
         M[r["i"]][r["j"]] = int(r["c"])  # exact Python ints from here on
@@ -9451,15 +9654,26 @@ def doc_substring_dedup(spark, sf_dir):
     the property the suffix-array formulation buys, recovered here
     with a bounded L.
 
-    Scale shape: grams are built row-locally with JVM higher-order
-    functions and evaluated ONCE — the multiplicity/first-occurrence
-    decision is a window over the gram hash (one gram-keyed exchange;
-    a groupBy+join-back would re-evaluate the gram subtree on the
-    probe side), the span union is an explode bounded by
-    L x (duplicated positions only), and both per-doc measures come
-    from a single aggregation. Never all-pairs, no Python."""
-    from pyspark.sql import Window
-
+    Scale shape (r08, VERDICT r07 ask #5 — SKEW-PROOF): grams are
+    built row-locally with JVM higher-order functions; the
+    multiplicity/first-occurrence decision is a SALTED two-stage
+    aggregate — partial count/min per (gram hash, salt) with map-side
+    combine, then a merge over at most SALT rows per hash — joined
+    back to the gram rows on the hash. The round-7 window
+    formulation (``count() over (partition by h)``) sent EVERY
+    occurrence of a hot gram (a stock phrase at 100 TB) to one task;
+    here no task ever materializes a full gram group: the partial agg
+    splits a hot hash 16 ways before its exchange even runs, the
+    merge sees <= 16 rows per hash, and the probe-side join exchange
+    is AQE-skew-splittable because the build side carries exactly one
+    row per hash. Count and min are distributive, so the result is
+    bit-identical to the window's. The probe side re-evaluates the
+    gram subtree (the price of losing the window), but that is
+    row-local whole-stage-codegen work that scales with the corpus —
+    the thing that did NOT scale was the single hot-key task. The
+    span union stays an explode bounded by L x (duplicated positions
+    only); both per-doc measures come from a single aggregation.
+    Never all-pairs, no Python."""
     docs = _t(spark, sf_dir, "documents")
     toks = "split(trim(text), '\\\\s+')"
     base = docs.select(
@@ -9474,10 +9688,23 @@ def doc_substring_dedup(spark, sf_dir):
         .select("doc_id", F.posexplode(grams).alias("p", "gram"))
         .select("doc_id", "p", F.md5("gram").alias("h"))
     )
-    wh = Window.partitionBy("h")
+    # salted partial: a hot gram hash spreads over 16 salt buckets
+    # (keyed by the row identity, so the spread is deterministic)
+    partial = (
+        g.withColumn(
+            "__salt", F.pmod(F.xxhash64("doc_id", "p"), F.lit(16))
+        )
+        .groupBy("h", "__salt")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.min(F.struct("doc_id", "p")).alias("__f"),
+        )
+    )
+    tot = partial.groupBy("h").agg(
+        F.sum("__c").alias("__cnt"), F.min("__f").alias("__first")
+    )
     dup = (
-        g.withColumn("__cnt", F.count(F.lit(1)).over(wh))
-        .withColumn("__first", F.min(F.struct("doc_id", "p")).over(wh))
+        g.join(tot, "h")
         .where(
             (F.col("__cnt") > 1)
             & ~(
@@ -10401,8 +10628,12 @@ def multimodal_tiff_decode(spark, sf_dir):
     document-ingestion sibling of the GIF/AVI fan-outs. Each document
     becomes a ``2 + doc_id % 2``-page TIFF of 16x16 greyscale rasters
     (page p, row r, col c: ``(b[c] + 5*p + r) % 256``), cut into
-    RAGGED strips (RowsPerStrip=5 -> 5/5/5/1) with the compression
-    cycling by ``doc_id % 3`` through TIFF-LZW + horizontal-predictor
+    RAGGED strips (RowsPerStrip=5 -> 5/5/5/1), the BYTE ORDER
+    alternating by ``doc_id % 2`` between little-endian "II" and
+    big-endian "MM" files (every header/IFD/array field swaps — a
+    reader that only swaps the magic misparses every offset), and
+    the compression cycling by ``doc_id % 3`` through TIFF-LZW +
+    horizontal-predictor
     (MSB-first packing with the spec's EARLY-CHANGE width bumps at
     511/1023/2047 — one code earlier than GIF's LSB LZW, the
     off-by-one that breaks naive decoders), PackBits RLE, and
@@ -10437,16 +10668,26 @@ def multimodal_tiff_decode(spark, sf_dir):
                     .astype(np.uint8)
                     for p in range(2 + d % 2)
                 ]
+                # byte order alternates per doc: odd docs are
+                # big-endian "MM" files (Mac/scientific scanner
+                # output), so the gate drives BOTH structural layouts
+                bo = "MM" if d % 2 else "II"
                 if d % 3 == 0:
                     payloads.append(
-                        encode_tiff(pages, compression=5, predictor=2)
+                        encode_tiff(
+                            pages, compression=5, predictor=2, byte_order=bo
+                        )
                     )
                     comps.append(5)
                 elif d % 3 == 1:
-                    payloads.append(encode_tiff(pages, compression=32773))
+                    payloads.append(
+                        encode_tiff(pages, compression=32773, byte_order=bo)
+                    )
                     comps.append(32773)
                 else:
-                    payloads.append(encode_tiff(pages, compression=1))
+                    payloads.append(
+                        encode_tiff(pages, compression=1, byte_order=bo)
+                    )
                     comps.append(1)
             yield pd.DataFrame(
                 {
@@ -11695,6 +11936,16 @@ GROUP BY doc_id
 # (TPC-H q2+ onward hold r04 rows; doc_stratified_sample onward hold
 # r02 rows) so every query re-proves itself every few rounds.
 #
+# ROUND 8 window: slots 1-2 are the two NEW gates (collated-string
+# reads — the only r07 surface with no CORRECTNESS row, ask #2 — and
+# coordinated commits, ask #6); next come everything round 8 CHANGED:
+# embedding_pca_projection (JVM Gram at bench scale, ask #1),
+# doc_substring_dedup (salted two-stage count, ask #5),
+# stream_left_outer_join (stage timing + 4 state partitions, ask #3),
+# multimodal_tiff_decode (MM byte order in the fixture, ask #7).
+# All sit inside the round-7 window below, which otherwise carries
+# its r07-green rows forward.
+#
 # ROUND 7 window (final): slots 1-19 are the round's new/changed
 # queries — SA progressive JPEG, FLAC stereo + LPC, GIF, MJPEG-AVI
 # video, IMA ADPCM, G.711, MPEG-1 Layer I, WARC + archive ingestion,
@@ -11715,9 +11966,16 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # the 4 queries at positions 50-53 missed both rounds). So the
     # first 50 slots are rotation policy: never-gated queries first,
     # then queries changed this round, then oldest-green backfill.
-    # -- ROUND 7 slots 1-4: NEW this round (SA progressive JPEG, FLAC
+    # -- ROUND 8 slots 1-2: NEW this round -------------------------------
+    "collated_groupby_counts": (collated_groupby_counts, COLLATED_GROUPBY_SQL),
+    "coordinated_commits_counts": (
+        coordinated_commits_counts,
+        COORDINATED_COMMITS_SQL,
+    ),
+    # -- ROUND 7 slots: new in r07 (SA progressive JPEG, FLAC
     #    stereo decorrelation, shredded variants) + the rewritten
-    #    nonzero-chroma 4:2:0 gate --------------------------------------
+    #    nonzero-chroma 4:2:0 gate; four of these CHANGED in round 8
+    #    (pca/substring/stream-outer-join/tiff — see window note) -------
     "multimodal_jpeg_prog_sa_decode": (
         multimodal_jpeg_prog_sa_decode,
         JPEG_PROG_SA_DECODE_SQL,

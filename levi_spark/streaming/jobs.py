@@ -365,37 +365,55 @@ def run_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the final batch flushes the evictions, so EVERY unmatched
     view emits its null-padded row and the batch oracle is exact (no
     withheld tail, the usual outer-stream-join caveat). Sentinels
-    filter out by user_id afterwards."""
+    filter out by user_id afterwards.
+
+    Stage breakdown (``LEVI_STAGE_TIMING=1`` — VERDICT r07 ask #3):
+    the wall time splits into ``max_ts_probe`` (one scan+max job),
+    ``stage_views``/``stage_purchases`` (one distributed parquet
+    write each), and ``drain`` (the streaming query itself: 4
+    micro-batches, each committing 2 join state stores x
+    ``state_partitions`` HDFS-backed state partitions plus the
+    file-source/offset/commit log fsyncs — O(1) in data rows).
+    ``state_partitions=4`` at gate scale: the join keys on user hash
+    with only hundreds of distinct users at sf0.1, so 4 shards bound
+    the per-batch state-commit fan-out (the r07 default of 8 doubled
+    the store-commit count for zero parallelism gain — store commits
+    are I/O-bound metadata writes, not compute); a production
+    deployment sizes this to executor cores."""
     import tempfile
     import time as _time
 
     import os
 
+    from levi_spark.functions.timing import stage_timer
     from levi_spark.sources.registry import read_events
     from pyspark.sql.types import LongType, StructField, StructType
 
     ev = read_events(spark, sf_dir).select(
         "event_id", "user_id", "ts_us", "event_type"
     )
-    max_ts = ev.agg(F.max("ts_us")).first()[0]
+    with stage_timer("stream_left_outer_join", "max_ts_probe"):
+        max_ts = ev.agg(F.max("ts_us")).first()[0]
     day_us = 86_400 * 1_000_000
     base = tempfile.mkdtemp(prefix="levi_spark_lojoin_")
     vdir = os.path.join(base, "views")
     pdir = os.path.join(base, "purchases")
 
     t0 = _time.time() - 1_000_000
-    _stage_stream_dir(
-        vdir,
-        ev.where(F.col("event_type") == "view"),
-        [max_ts + 10 * day_us, max_ts + 11 * day_us],
-        t0,
-    )
-    _stage_stream_dir(
-        pdir,
-        ev.where(F.col("event_type") == "purchase"),
-        [max_ts + 30 * day_us, max_ts + 31 * day_us],
-        t0,
-    )
+    with stage_timer("stream_left_outer_join", "stage_views"):
+        _stage_stream_dir(
+            vdir,
+            ev.where(F.col("event_type") == "view"),
+            [max_ts + 10 * day_us, max_ts + 11 * day_us],
+            t0,
+        )
+    with stage_timer("stream_left_outer_join", "stage_purchases"):
+        _stage_stream_dir(
+            pdir,
+            ev.where(F.col("event_type") == "purchase"),
+            [max_ts + 30 * day_us, max_ts + 31 * day_us],
+            t0,
+        )
 
     sch = StructType(
         [
@@ -412,9 +430,12 @@ def run_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(path)
         )
 
-    out = _drain_to_memory(
-        left_outer_interval_join_stream(stream(vdir), stream(pdir)), "append"
-    )
+    with stage_timer("stream_left_outer_join", "drain"):
+        out = _drain_to_memory(
+            left_outer_interval_join_stream(stream(vdir), stream(pdir)),
+            "append",
+            state_partitions=4,
+        )
     return out.where(F.col("user_id") >= 0)
 
 

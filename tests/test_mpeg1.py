@@ -38,8 +38,14 @@ def test_frame_round_trip_law(seed, sr, prot):
     """alloc / scale factors / raw codes survive the frame bit-exact
     at every sample rate, with and without CRC protection."""
     rng = np.random.default_rng(seed)
-    # max_alloc=12 guarantees fit at 448kbps for every sample rate
-    alloc, scf, samples = _random_frame_content(rng, max_alloc=12)
+    # the 448kbps frame SHRINKS with sample rate (slots = 12*BR/SR):
+    # 32kHz carries 5376 bits (alloc<=12 fits: 320 side + 12*32*13 =
+    # 5312), 44.1kHz only 3872 (alloc<=8), 48kHz 3584 (alloc<=7) —
+    # the old flat max_alloc=12 overflowed at 44.1/48kHz whenever
+    # hypothesis drew a dense high-allocation frame
+    alloc, scf, samples = _random_frame_content(
+        rng, max_alloc={0: 8, 1: 7, 2: 12}[sr]
+    )
     f = encode_mpeg1_layer1(
         alloc, scf, samples, bitrate_index=14, sample_rate_index=sr,
         protection=prot,

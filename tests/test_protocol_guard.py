@@ -162,8 +162,11 @@ def test_future_reader_version_refused(spark, tmp_path):
 def test_collated_write_declares_feature_and_round_trips(spark, tmp_path):
     """Writer side: a DataFrame with a collated string column
     persists the collation into schemaString (__COLLATIONS via
-    StructType.json()), declares collations-preview on both protocol
-    sides, and reads back with the collation semantics intact."""
+    StructType.json()), declares collations-preview as a WRITER
+    feature only (the RFC lets readers without support fall back to
+    binary collation, so a reader feature would lock standard readers
+    out for nothing — r07 ADVICE), and reads back with the collation
+    semantics intact."""
     from pyspark.sql import Row
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -177,8 +180,10 @@ def test_collated_write_declares_feature_and_round_trips(spark, tmp_path):
     with open(os.path.join(path, "_delta_log", f"{0:020d}.json")) as f:
         actions = [json.loads(line) for line in f]
     (proto,) = [a["protocol"] for a in actions if "protocol" in a]
-    assert "collations-preview" in proto["readerFeatures"]
     assert "collations-preview" in proto["writerFeatures"]
+    # NOT a reader requirement: unsupporting readers read binary
+    assert "collations-preview" not in (proto.get("readerFeatures") or [])
+    assert proto["minReaderVersion"] == 1
     (meta,) = [a["metaData"] for a in actions if "metaData" in a]
     assert "__COLLATIONS" in meta["schemaString"]
 

@@ -40,8 +40,10 @@ def test_multipage_round_trip_law(h, w, k, rps, comp, rgb, seed):
     shape = (h, w, 3) if rgb else (h, w)
     pages = [rng.integers(0, 256, shape, dtype=np.uint8) for _ in range(k)]
     pred = 2 if comp == 5 and seed % 2 else None
+    bo = "MM" if seed % 3 == 0 else "II"
     out = decode_tiff(
-        encode_tiff(pages, compression=comp, rows_per_strip=rps, predictor=pred)
+        encode_tiff(pages, compression=comp, rows_per_strip=rps,
+                    predictor=pred, byte_order=bo)
     )
     assert len(out) == k
     for got, want in zip(out, pages):
@@ -139,8 +141,10 @@ def test_validation_refusals():
     t = encode_tiff([img], compression=5, rows_per_strip=5)
     with pytest.raises(ValueError, match="not a TIFF"):
         decode_tiff(b"ZZZZ" + t[4:])
-    with pytest.raises(NotImplementedError, match="big-endian"):
-        decode_tiff(b"MM\x00*" + t[4:])
+    # an MM header with II body misparses loudly (byte-swapped magic
+    # means b"MM*\x00" is NOT the big-endian header)
+    with pytest.raises(ValueError, match="not a TIFF"):
+        decode_tiff(b"MM*\x00" + t[4:])
     # strip count disagreeing with geometry
     bad = bytearray(t)
     # RowsPerStrip entry: find tag 278 (type 3) and set value to 16
@@ -177,3 +181,48 @@ def test_gate_fixture_closed_form_and_fanout():
     feats = tiff_page_features(payload)
     assert [f["frame_idx"] for f in feats] == list(range(len(pages)))
     assert all((f["width"], f["height"]) == (16, 16) for f in feats)
+
+
+def test_mm_byte_order_is_structurally_big_endian():
+    """The "MM" variant must byte-swap every structural field, not just
+    the header: verify the IFD0 offset and first IFD's entry count
+    read big-endian, and that the II and MM encodings of the same page
+    decode identically (ADVICE/VERDICT r07 ask #7)."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (12, 9), dtype=np.uint8)
+    ii = encode_tiff([img, img], compression=32773)
+    mm = encode_tiff([img, img], compression=32773, byte_order="MM")
+    assert mm[:4] == b"MM\x00*"
+    (off_mm,) = struct.unpack_from(">I", mm, 4)
+    (n_mm,) = struct.unpack_from(">H", mm, off_mm)
+    (off_ii,) = struct.unpack_from("<I", ii, 4)
+    (n_ii,) = struct.unpack_from("<H", ii, off_ii)
+    assert (off_mm, n_mm) == (off_ii, n_ii)  # same layout, swapped fields
+    assert all(
+        np.array_equal(a, b) for a, b in zip(decode_tiff(ii), decode_tiff(mm))
+    )
+    with pytest.raises(ValueError, match="byte_order"):
+        encode_tiff([img], byte_order="XX")
+
+
+def test_rgb_predictor2_differences_per_sample_not_per_byte():
+    """TIFF 6.0 section 14: horizontal differencing strides by
+    SamplesPerPixel — pixel x's red differences against pixel x-1's
+    red. The per-BYTE transform (r07 ADVICE medium) would mix channels
+    and misdecode real-world RGB predictor-2 files. Hand-build the
+    spec's differenced plane and check the codec against it both
+    directions (encode emits it; decode inverts it)."""
+    from levi_spark.operators.tiff import _predict2_decode, _predict2_encode
+
+    rng = np.random.default_rng(4)
+    rows = rng.integers(0, 256, (5, 6, 3), dtype=np.uint8)  # 5 rows, 6 px
+    flat = rows.reshape(5, 18).astype(np.int64)
+    want = flat.copy()
+    for x in range(17, 2, -1):  # spec: d[x] = v[x] - v[x-spp], back-to-front
+        want[:, x] = (flat[:, x] - flat[:, x - 3]) % 256
+    enc = _predict2_encode(rows.reshape(5, 18), 3)
+    assert np.array_equal(enc, want.astype(np.uint8))
+    assert np.array_equal(_predict2_decode(enc, 3), rows.reshape(5, 18))
+    # end-to-end through the container
+    t = encode_tiff([rows], compression=5, predictor=2)
+    assert np.array_equal(decode_tiff(t)[0], rows)
