@@ -9,8 +9,12 @@ BOTH byte orders — little-endian "II*\\0" (Intel) and big-endian
 IFD, and array field follows the declared order) — the chained-IFD
 MULTI-PAGE layout (one image per IFD, one fan-out row per page),
 8-bit greyscale and 8-bit RGB, multi-strip images (RowsPerStrip <
-ImageLength, ragged last strip), and the three compressions scanned
-corpora actually use:
+ImageLength, ragged last strip), TILED images (TIFF 6.0 section 15:
+TileWidth/TileLength multiples of 16, edge tiles padded to full tile
+size), PLANAR RGB strip images (PlanarConfiguration=2 — component-
+major strips, each plane differencing independently under the
+predictor), and the three compressions scanned corpora actually
+use:
 
 * 1 = uncompressed,
 * 32773 = PackBits (the classic byte RLE: n>=0 -> n+1 literals,
@@ -23,9 +27,9 @@ corpora actually use:
   so an RGB channel differences against the previous PIXEL's same
   channel, TIFF 6.0 section 14) supported with it.
 
-Strip byte counts, IFD entry types, and decoded sizes are all
-cross-validated; unknown compressions, tiles, and planar layouts
-refuse loudly rather than misread. The reference engine has no media
+Strip/tile byte counts, tile grid geometry, IFD entry types, and
+decoded sizes are all cross-validated; unknown compressions and the
+tiled+planar combination refuse loudly rather than misread. The reference engine has no media
 surface; this is north-star extension surface like
 :mod:`levi_spark.operators.gif`.
 """
@@ -43,6 +47,8 @@ _MM = b"MM\x00*"
 _WIDTH, _LENGTH, _BITS, _COMP = 256, 257, 258, 259
 _PHOTO, _STRIP_OFF, _SPP, _ROWS_PER_STRIP, _STRIP_CNT = 262, 273, 277, 278, 279
 _PREDICTOR = 317
+_PLANAR = 284
+_TILE_W, _TILE_L, _TILE_OFF, _TILE_CNT = 322, 323, 324, 325
 
 
 def packbits_encode(data: bytes) -> bytes:
@@ -245,19 +251,35 @@ def encode_tiff(
     rows_per_strip: int = 5,
     predictor: int | None = None,
     byte_order: str = "II",
+    tile: tuple[int, int] | None = None,
+    planar: bool = False,
 ) -> bytes:
     """uint8 (H, W) greyscale or (H, W, 3) RGB pages -> multi-page
     TIFF. ``predictor=2`` pairs with LZW. ``byte_order`` is the
     header's own vocabulary: ``"II"`` little-endian (Intel) or
     ``"MM"`` big-endian (Motorola — Mac/scientific tooling); every
     multi-byte header/IFD/array field follows it (pixel data is
-    8-bit, so only the structure is order-sensitive)."""
+    8-bit, so only the structure is order-sensitive).
+
+    ``tile=(tw, tl)`` switches the page layout from strips to TILES
+    (TIFF 6.0 section 15: TileWidth/TileLength multiples of 16, edge
+    tiles PADDED to full tile size before compression). ``planar=
+    True`` writes RGB pages in PlanarConfiguration=2 (strip layout
+    only): StripsPerImage strips of the full red plane, then green,
+    then blue — each plane differencing independently under the
+    predictor (so stride 1, not 3)."""
     if not pages:
         raise ValueError("TIFF needs at least one page")
     if predictor == 2 and compression != 5:
         raise ValueError("Predictor 2 is only written with LZW here")
     if byte_order not in ("II", "MM"):
         raise ValueError(f"byte_order {byte_order!r} must be 'II' or 'MM'")
+    if tile is not None:
+        tw, tl = tile
+        if tw % 16 or tl % 16 or tw <= 0 or tl <= 0:
+            raise ValueError("TileWidth/TileLength must be positive multiples of 16")
+        if planar:
+            raise NotImplementedError("tiled + planar layout not written here")
     bo = "<" if byte_order == "II" else ">"
 
     blob = bytearray(
@@ -272,22 +294,42 @@ def encode_tiff(
             raise ValueError(f"page shape {a.shape} unsupported")
         h, w = a.shape[:2]
         spp = 1 if grey else 3
+        if planar and grey:
+            raise ValueError("planar=True needs an RGB page")
         flat = a.reshape(h, w * spp)
 
-        strips = []
-        for y0 in range(0, h, rows_per_strip):
-            rows = flat[y0 : y0 + rows_per_strip]
+        def _pack(rows: np.ndarray, pred_spp: int) -> bytes:
             if predictor == 2:
-                rows = _predict2_encode(rows, spp)
+                rows = _predict2_encode(rows, pred_spp)
             raw = rows.tobytes()
             if compression == 1:
-                strips.append(raw)
-            elif compression == 32773:
-                strips.append(packbits_encode(raw))
-            elif compression == 5:
-                strips.append(tiff_lzw_encode(raw))
-            else:
-                raise ValueError(f"compression {compression} unsupported")
+                return raw
+            if compression == 32773:
+                return packbits_encode(raw)
+            if compression == 5:
+                return tiff_lzw_encode(raw)
+            raise ValueError(f"compression {compression} unsupported")
+
+        strips = []
+        if tile is not None:
+            # row-major tile grid; edge tiles padded to (tl, tw)
+            for ty in range(0, h, tl):
+                for tx in range(0, w, tw):
+                    t = np.zeros(
+                        (tl, tw, spp) if spp == 3 else (tl, tw), np.uint8
+                    )
+                    seg = a[ty : ty + tl, tx : tx + tw]
+                    t[: seg.shape[0], : seg.shape[1]] = seg
+                    strips.append(_pack(t.reshape(tl, tw * spp), spp))
+        elif planar:
+            # component-major: all red strips, all green, all blue
+            for c in range(3):
+                plane = a[:, :, c]
+                for y0 in range(0, h, rows_per_strip):
+                    strips.append(_pack(plane[y0 : y0 + rows_per_strip], 1))
+        else:
+            for y0 in range(0, h, rows_per_strip):
+                strips.append(_pack(flat[y0 : y0 + rows_per_strip], spp))
 
         strip_offsets = []
         for s in strips:
@@ -302,6 +344,12 @@ def encode_tiff(
             # arrays that don't fit in the 4 value bytes go after the IFD
             return values, fmt, size
 
+        def _arr4(tag, values):
+            if len(values) == 1:
+                entries.append((tag, 4, 1, values[0]))
+            else:
+                entries.append((tag, 4, len(values), ("ARR4", list(values))))
+
         entries = []  # (tag, type, count, value_or_deferred)
         entries.append((_WIDTH, 3, 1, w))
         entries.append((_LENGTH, 3, 1, h))
@@ -311,18 +359,18 @@ def encode_tiff(
             entries.append((_BITS, 3, 3, ("ARR3", [8, 8, 8])))
         entries.append((_COMP, 3, 1, compression))
         entries.append((_PHOTO, 3, 1, 1 if grey else 2))
-        if n_strips == 1:
-            entries.append((_STRIP_OFF, 4, 1, strip_offsets[0]))
-        else:
-            entries.append((_STRIP_OFF, 4, n_strips, ("ARR4", strip_offsets)))
         entries.append((_SPP, 3, 1, spp))
-        entries.append((_ROWS_PER_STRIP, 3, 1, rows_per_strip))
-        if n_strips == 1:
-            entries.append((_STRIP_CNT, 4, 1, len(strips[0])))
+        if tile is not None:
+            entries.append((_TILE_W, 3, 1, tw))
+            entries.append((_TILE_L, 3, 1, tl))
+            _arr4(_TILE_OFF, strip_offsets)
+            _arr4(_TILE_CNT, [len(s) for s in strips])
         else:
-            entries.append(
-                (_STRIP_CNT, 4, n_strips, ("ARR4", [len(s) for s in strips]))
-            )
+            _arr4(_STRIP_OFF, strip_offsets)
+            entries.append((_ROWS_PER_STRIP, 3, 1, rows_per_strip))
+            _arr4(_STRIP_CNT, [len(s) for s in strips])
+        if planar:
+            entries.append((_PLANAR, 3, 1, 2))
         if predictor:
             entries.append((_PREDICTOR, 3, 1, predictor))
         entries.sort(key=lambda e: e[0])
@@ -404,9 +452,18 @@ def decode_tiff(payload: bytes) -> list[np.ndarray]:
             raise ValueError("IFD chain loops")
         seen.add(off)
         e, off = _read_ifd(payload, off, bo)
-        for req in (_WIDTH, _LENGTH, _STRIP_OFF, _STRIP_CNT):
+        for req in (_WIDTH, _LENGTH):
             if req not in e:
                 raise ValueError(f"IFD missing required tag {req}")
+        tiled = _TILE_OFF in e or _TILE_W in e
+        if tiled:
+            for req in (_TILE_W, _TILE_L, _TILE_OFF, _TILE_CNT):
+                if req not in e:
+                    raise ValueError(f"tiled IFD missing required tag {req}")
+        else:
+            for req in (_STRIP_OFF, _STRIP_CNT):
+                if req not in e:
+                    raise ValueError(f"IFD missing required tag {req}")
         w, h = e[_WIDTH][0], e[_LENGTH][0]
         comp = e.get(_COMP, [1])[0]
         spp = e.get(_SPP, [1])[0]
@@ -415,44 +472,115 @@ def decode_tiff(payload: bytes) -> list[np.ndarray]:
             raise NotImplementedError(f"{bits}-bit TIFF unsupported (8 only)")
         if spp not in (1, 3):
             raise NotImplementedError(f"{spp} samples/pixel unsupported")
+        planar_cfg = e.get(_PLANAR, [1])[0]
+        if planar_cfg not in (1, 2):
+            raise ValueError(f"PlanarConfiguration {planar_cfg} invalid")
+        if planar_cfg == 2 and (tiled or spp == 1):
+            raise NotImplementedError(
+                "planar layout supported for RGB strip images only"
+            )
         predictor = e.get(_PREDICTOR, [1])[0]
         if predictor not in (1, 2):
             raise NotImplementedError(f"predictor {predictor} unsupported")
-        rps = e.get(_ROWS_PER_STRIP, [h])[0]
-        offs, cnts = e[_STRIP_OFF], e[_STRIP_CNT]
-        if len(offs) != len(cnts):
-            raise ValueError("StripOffsets/StripByteCounts disagree")
-        expected_strips = (h + rps - 1) // rps
-        if len(offs) != expected_strips:
-            raise ValueError(
-                f"{len(offs)} strips for {h} rows at {rps}/strip "
-                f"(want {expected_strips})"
-            )
-        rows = []
-        for i, (so, sc) in enumerate(zip(offs, cnts)):
-            nrows = min(rps, h - i * rps)
-            expect = nrows * w * spp
-            raw = payload[so : so + sc]
-            if len(raw) != sc:
-                raise ValueError(f"strip {i} overruns file")
+
+        def _decomp(raw: bytes, expect: int, what: str) -> bytes:
             if comp == 1:
                 if len(raw) != expect:
                     raise ValueError(
-                        f"uncompressed strip {i} is {len(raw)}, want {expect}"
+                        f"uncompressed {what} is {len(raw)}, want {expect}"
                     )
-                dec = raw
-            elif comp == 32773:
-                dec = packbits_decode(raw, expect)
-            elif comp == 5:
-                dec = tiff_lzw_decode(raw, expect)
-            else:
-                raise NotImplementedError(f"compression {comp} unsupported")
-            block = np.frombuffer(dec, np.uint8).reshape(nrows, w * spp)
-            if predictor == 2:
-                block = _predict2_decode(block, spp)
-            rows.append(block)
-        img = np.concatenate(rows, axis=0)
-        pages.append(img if spp == 1 else img.reshape(h, w, 3))
+                return raw
+            if comp == 32773:
+                return packbits_decode(raw, expect)
+            if comp == 5:
+                return tiff_lzw_decode(raw, expect)
+            raise NotImplementedError(f"compression {comp} unsupported")
+
+        if tiled:
+            tw, tl = e[_TILE_W][0], e[_TILE_L][0]
+            if tw % 16 or tl % 16 or tw <= 0 or tl <= 0:
+                raise ValueError(
+                    f"TileWidth/TileLength {tw}x{tl} must be positive "
+                    "multiples of 16"
+                )
+            offs, cnts = e[_TILE_OFF], e[_TILE_CNT]
+            if len(offs) != len(cnts):
+                raise ValueError("TileOffsets/TileByteCounts disagree")
+            across = -(-w // tw)
+            down = -(-h // tl)
+            if len(offs) != across * down:
+                raise ValueError(
+                    f"{len(offs)} tiles for {w}x{h} at {tw}x{tl} "
+                    f"(want {across * down})"
+                )
+            img = np.zeros(
+                (h, w, spp) if spp == 3 else (h, w), np.uint8
+            )
+            for i, (so, sc) in enumerate(zip(offs, cnts)):
+                raw = payload[so : so + sc]
+                if len(raw) != sc:
+                    raise ValueError(f"tile {i} overruns file")
+                dec = _decomp(raw, tl * tw * spp, f"tile {i}")
+                block = np.frombuffer(dec, np.uint8).reshape(tl, tw * spp)
+                if predictor == 2:
+                    block = _predict2_decode(block, spp)
+                t = (
+                    block.reshape(tl, tw, spp)
+                    if spp == 3
+                    else block
+                )
+                ty, tx = (i // across) * tl, (i % across) * tw
+                ch, cw = min(tl, h - ty), min(tw, w - tx)
+                img[ty : ty + ch, tx : tx + cw] = t[:ch, :cw]
+            pages.append(img)
+        elif planar_cfg == 2:
+            rps = e.get(_ROWS_PER_STRIP, [h])[0]
+            offs, cnts = e[_STRIP_OFF], e[_STRIP_CNT]
+            if len(offs) != len(cnts):
+                raise ValueError("StripOffsets/StripByteCounts disagree")
+            per_plane = (h + rps - 1) // rps
+            if len(offs) != 3 * per_plane:
+                raise ValueError(
+                    f"{len(offs)} planar strips for {h} rows at "
+                    f"{rps}/strip (want {3 * per_plane})"
+                )
+            img = np.zeros((h, w, 3), np.uint8)
+            for i, (so, sc) in enumerate(zip(offs, cnts)):
+                c, si = divmod(i, per_plane)
+                nrows = min(rps, h - si * rps)
+                raw = payload[so : so + sc]
+                if len(raw) != sc:
+                    raise ValueError(f"strip {i} overruns file")
+                dec = _decomp(raw, nrows * w, f"planar strip {i}")
+                block = np.frombuffer(dec, np.uint8).reshape(nrows, w)
+                if predictor == 2:
+                    block = _predict2_decode(block, 1)
+                img[si * rps : si * rps + nrows, :, c] = block
+            pages.append(img)
+        else:
+            rps = e.get(_ROWS_PER_STRIP, [h])[0]
+            offs, cnts = e[_STRIP_OFF], e[_STRIP_CNT]
+            if len(offs) != len(cnts):
+                raise ValueError("StripOffsets/StripByteCounts disagree")
+            expected_strips = (h + rps - 1) // rps
+            if len(offs) != expected_strips:
+                raise ValueError(
+                    f"{len(offs)} strips for {h} rows at {rps}/strip "
+                    f"(want {expected_strips})"
+                )
+            rows = []
+            for i, (so, sc) in enumerate(zip(offs, cnts)):
+                nrows = min(rps, h - i * rps)
+                raw = payload[so : so + sc]
+                if len(raw) != sc:
+                    raise ValueError(f"strip {i} overruns file")
+                dec = _decomp(raw, nrows * w * spp, f"strip {i}")
+                block = np.frombuffer(dec, np.uint8).reshape(nrows, w * spp)
+                if predictor == 2:
+                    block = _predict2_decode(block, spp)
+                rows.append(block)
+            img = np.concatenate(rows, axis=0)
+            pages.append(img if spp == 1 else img.reshape(h, w, 3))
     if not pages:
         raise ValueError("TIFF has no IFDs")
     return pages

@@ -10645,12 +10645,13 @@ def multimodal_tiff_decode(spark, sf_dir):
     document-ingestion sibling of the GIF/AVI fan-outs. Each document
     becomes a ``2 + doc_id % 2``-page TIFF of 16x16 greyscale rasters
     (page p, row r, col c: ``(b[c] + 5*p + r) % 256``), cut into
-    RAGGED strips (RowsPerStrip=5 -> 5/5/5/1), the BYTE ORDER
-    alternating by ``doc_id % 2`` between little-endian "II" and
-    big-endian "MM" files (every header/IFD/array field swaps — a
-    reader that only swaps the magic misparses every offset), and
-    the compression cycling by ``doc_id % 3`` through TIFF-LZW +
-    horizontal-predictor
+    RAGGED strips (RowsPerStrip=5 -> 5/5/5/1) — or, for docs with
+    ``doc_id % 5 >= 3``, the TILED layout (16x16 tiles, section 15)
+    — the BYTE ORDER alternating by ``doc_id % 2`` between
+    little-endian "II" and big-endian "MM" files (every
+    header/IFD/array field swaps — a reader that only swaps the
+    magic misparses every offset), and the compression cycling by
+    ``doc_id % 3`` through TIFF-LZW + horizontal-predictor
     (MSB-first packing with the spec's EARLY-CHANGE width bumps at
     511/1023/2047 — one code earlier than GIF's LSB LZW, the
     off-by-one that breaks naive decoders), PackBits RLE, and
@@ -10687,23 +10688,31 @@ def multimodal_tiff_decode(spark, sf_dir):
                 ]
                 # byte order alternates per doc: odd docs are
                 # big-endian "MM" files (Mac/scientific scanner
-                # output), so the gate drives BOTH structural layouts
+                # output), so the gate drives BOTH structural layouts;
+                # docs with d % 5 >= 3 use the TILED layout (16x16
+                # tiles — TileOffsets/TileByteCounts/grid-geometry
+                # path; padded edge tiles are pinned in pytest)
+                # instead of strips
                 bo = "MM" if d % 2 else "II"
+                lay = {"tile": (16, 16)} if d % 5 >= 3 else {}
                 if d % 3 == 0:
                     payloads.append(
                         encode_tiff(
-                            pages, compression=5, predictor=2, byte_order=bo
+                            pages, compression=5, predictor=2,
+                            byte_order=bo, **lay,
                         )
                     )
                     comps.append(5)
                 elif d % 3 == 1:
                     payloads.append(
-                        encode_tiff(pages, compression=32773, byte_order=bo)
+                        encode_tiff(
+                            pages, compression=32773, byte_order=bo, **lay
+                        )
                     )
                     comps.append(32773)
                 else:
                     payloads.append(
-                        encode_tiff(pages, compression=1, byte_order=bo)
+                        encode_tiff(pages, compression=1, byte_order=bo, **lay)
                     )
                     comps.append(1)
             yield pd.DataFrame(

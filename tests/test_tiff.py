@@ -226,3 +226,76 @@ def test_rgb_predictor2_differences_per_sample_not_per_byte():
     # end-to-end through the container
     t = encode_tiff([rows], compression=5, predictor=2)
     assert np.array_equal(decode_tiff(t)[0], rows)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    h=st.integers(1, 50),
+    w=st.integers(1, 50),
+    comp=st.sampled_from([1, 32773, 5]),
+    rgb=st.booleans(),
+    tw=st.sampled_from([16, 32]),
+    tl=st.sampled_from([16, 32]),
+    seed=st.integers(0, 10_000),
+)
+def test_tiled_round_trip_law(h, w, comp, rgb, tw, tl, seed):
+    """Section 15 tiles: any image size against 16/32 tile grids —
+    edge tiles are PADDED to full size before compression and clipped
+    on decode."""
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if rgb else (h, w)
+    page = rng.integers(0, 256, shape, dtype=np.uint8)
+    pred = 2 if comp == 5 and seed % 2 else None
+    bo = "MM" if seed % 3 == 0 else "II"
+    out = decode_tiff(
+        encode_tiff([page], compression=comp, predictor=pred,
+                    byte_order=bo, tile=(tw, tl))
+    )
+    assert np.array_equal(out[0], page)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    comp=st.sampled_from([1, 32773, 5]),
+    rps=st.integers(1, 12),
+    seed=st.integers(0, 10_000),
+)
+def test_planar_rgb_round_trip_law(h, w, comp, rps, seed):
+    """PlanarConfiguration=2: component-major strips (all red strips,
+    then green, then blue), each plane differencing independently
+    under predictor 2 (stride 1, not SamplesPerPixel)."""
+    rng = np.random.default_rng(seed)
+    page = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    pred = 2 if comp == 5 and seed % 2 else None
+    out = decode_tiff(
+        encode_tiff([page], compression=comp, predictor=pred,
+                    rows_per_strip=rps, planar=True)
+    )
+    assert np.array_equal(out[0], page)
+
+
+def test_tile_grid_geometry_is_validated():
+    rng = np.random.default_rng(9)
+    page = rng.integers(0, 256, (40, 40), dtype=np.uint8)
+    t = encode_tiff([page], compression=1, tile=(16, 16))  # 3x3 grid
+    # drop the last tile's offset/count: grid disagreement must raise
+    off = struct.unpack_from("<I", t, 4)[0]
+    (n,) = struct.unpack_from("<H", t, off)
+    bad = bytearray(t)
+    for i in range(n):
+        tag, typ, cnt = struct.unpack_from("<HHI", bad, off + 2 + 12 * i)
+        if tag in (324, 325):  # TileOffsets / TileByteCounts
+            struct.pack_into("<I", bad, off + 2 + 12 * i + 4, cnt - 1)
+    with pytest.raises(ValueError, match="tiles for"):
+        decode_tiff(bytes(bad))
+    # planar strip-count mismatch: a chunky strip count presented as
+    # planar (3x expected) must refuse rather than misassemble
+    rgbp = encode_tiff(
+        [rng.integers(0, 256, (10, 8, 3), dtype=np.uint8)],
+        compression=1, planar=True, rows_per_strip=4,
+    )
+    assert np.array_equal(
+        decode_tiff(rgbp)[0].shape, (10, 8, 3)
+    )
