@@ -11001,6 +11001,346 @@ FROM s
 """
 
 
+def multimodal_qoi_decode(spark, sf_dir):
+    """REAL lossless-image decode — QOI (qoiformat.org, the 2021
+    public-domain format fast image pipelines use for intermediates;
+    :mod:`levi_spark.operators.qoi`). Each document becomes a 16x16
+    image whose top 4 rows are a CONSTANT color (driving QOI_OP_RUN)
+    and whose remaining rows ramp per digest byte (driving
+    INDEX/DIFF/LUMA/literal ops); odd docs add an alpha plane
+    (``b[(r+c)%16] | 1``) and flip the colorspace flag, so one gate
+    covers both channel counts, both header variants, and the whole
+    op set. The oracle recomputes every channel sum from md5
+    arithmetic — a mis-biased LUMA delta, a stale index entry, or a
+    run that overshoots all shift a sum and cannot match. Scale
+    shape: two Arrow-batched map-side hops after the tiny
+    input-spreading repartition; no data-dependent shuffle, no
+    driver loop."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from levi_spark.operators.qoi import decode_qoi, encode_qoi
+
+    docs = _docs_parallel(spark, sf_dir)
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(
+                    hashlib.md5(text.encode("utf-8")).digest(), np.uint8
+                ).astype(np.int64)
+                d = int(doc_id)
+                r = np.arange(16)[:, None]
+                c = np.arange(16)[None, :]
+                R = np.where(r < 4, b[0], (b[c] + r) % 256)
+                G = np.where(r < 4, b[1], (b[c] + r + 1) % 256)
+                B = np.where(r < 4, b[2], (b[c] + r + 2) % 256)
+                planes = [R, G, B]
+                if d % 2:
+                    planes.append(b[(r + c) % 16] | 1)
+                img = np.stack(planes, axis=2).astype(np.uint8)
+                payloads.append(encode_qoi(img, colorspace=d % 2))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    qois = docs.mapInPandas(encode, "doc_id long, payload binary")
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf["doc_id"], pdf["payload"]):
+                img, cs = decode_qoi(bytes(p))
+                s = img.astype(np.int64).sum(axis=(0, 1))
+                rows.append(
+                    {
+                        "doc_id": int(i),
+                        "width": img.shape[1],
+                        "height": img.shape[0],
+                        "channels": img.shape[2],
+                        "colorspace": cs,
+                        "sum_r": int(s[0]),
+                        "sum_g": int(s[1]),
+                        "sum_b": int(s[2]),
+                        "sum_a": int(s[3]) if img.shape[2] == 4 else 65280,
+                    }
+                )
+            yield pd.DataFrame(rows).astype("int64")
+
+    return qois.mapInPandas(
+        stats,
+        "doc_id long, width long, height long, channels long, "
+        "colorspace long, sum_r long, sum_g long, sum_b long, sum_a long",
+    )
+
+
+QOI_DECODE_SQL = """
+WITH b AS (
+  SELECT doc_id, list_transform(range(1,17),
+      i -> ('0x'||substr(md5(text),((i-1)*2+1)::INT,2))::BIGINT) AS byt
+  FROM documents
+)
+SELECT doc_id, 16 AS width, 16 AS height,
+       3 + doc_id % 2 AS channels,
+       doc_id % 2 AS colorspace,
+       CAST(64 * byt[1] + list_sum(flatten(list_transform(range(4,16),
+          r -> list_transform(range(0,16), c -> (byt[c+1]+r)%256))))
+         AS BIGINT) AS sum_r,
+       CAST(64 * byt[2] + list_sum(flatten(list_transform(range(4,16),
+          r -> list_transform(range(0,16), c -> (byt[c+1]+r+1)%256))))
+         AS BIGINT) AS sum_g,
+       CAST(64 * byt[3] + list_sum(flatten(list_transform(range(4,16),
+          r -> list_transform(range(0,16), c -> (byt[c+1]+r+2)%256))))
+         AS BIGINT) AS sum_b,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 65280
+            ELSE list_sum(flatten(list_transform(range(0,16),
+               r -> list_transform(range(0,16),
+                 c -> byt[((r+c)%16)+1] + 1 - byt[((r+c)%16)+1] % 2))))
+       END AS BIGINT) AS sum_a
+FROM b
+"""
+
+
+def multimodal_bmp_decode(spark, sf_dir):
+    """REAL desktop-raster decode — Windows BMP
+    (:mod:`levi_spark.operators.bmp`), the screenshot/scan format a
+    crawl pipeline meets constantly, with its three classic
+    trip-wires: BOTTOM-UP row order, BGR byte order, and 4-byte row
+    padding (the 13-pixel width makes every row ragged). The layout
+    cycles by ``doc_id % 3`` through 24-bit bottom-up, 24-bit
+    TOP-DOWN (negative height — same image content, different byte
+    order on disk, so a reader that ignores the sign flips the image
+    and shifts nothing... except the oracle sums are row-dependent
+    ramps, so it DOES shift them), and 8-bit paletted BI_RLE8 (runs,
+    absolute-literal escapes, end-of-line/bitmap markers, palette
+    indirection). The oracle recomputes every channel sum from md5
+    arithmetic per layout. Scale shape: two Arrow-batched map-side
+    hops after the tiny input-spreading repartition; no
+    data-dependent shuffle, no driver loop."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from levi_spark.operators.bmp import decode_bmp, encode_bmp
+
+    docs = _docs_parallel(spark, sf_dir)
+    H, W = 9, 13
+
+    def encode(batches):
+        for pdf in batches:
+            payloads, layouts = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(
+                    hashlib.md5(text.encode("utf-8")).digest(), np.uint8
+                ).astype(np.int64)
+                d = int(doc_id)
+                lay = d % 3
+                if lay < 2:
+                    r = np.arange(H)[:, None]
+                    c = np.arange(W)[None, :]
+                    img = np.stack(
+                        [
+                            (b[c % 16] + r) % 256,
+                            (b[(c + 3) % 16] + 2 * r) % 256,
+                            (b[(c + 7) % 16] + 3 * r) % 256,
+                        ],
+                        axis=2,
+                    ).astype(np.uint8)
+                    payloads.append(encode_bmp(img, top_down=lay == 1))
+                else:
+                    pal = np.stack(
+                        [b, (2 * b + 1) % 256, (3 * b + 2) % 256], axis=1
+                    ).astype(np.uint8)
+                    r = np.arange(H)[:, None]
+                    c = np.arange(W)[None, :]
+                    idx = np.where(r < 3, r, b[(r + c) % 16] % 16).astype(
+                        np.uint8
+                    )
+                    payloads.append(encode_bmp(idx, palette=pal, rle=True))
+                layouts.append(lay)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "layout": pd.Series(layouts, dtype="int64"),
+                }
+            )
+
+    bmps = docs.mapInPandas(encode, "doc_id long, payload binary, layout long")
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for i, p, lay in zip(
+                pdf["doc_id"], pdf["payload"], pdf["layout"]
+            ):
+                img = decode_bmp(bytes(p))
+                s = img.astype(np.int64).sum(axis=(0, 1))
+                rows.append(
+                    {
+                        "doc_id": int(i),
+                        "layout": int(lay),
+                        "width": img.shape[1],
+                        "height": img.shape[0],
+                        "sum_r": int(s[0]),
+                        "sum_g": int(s[1]),
+                        "sum_b": int(s[2]),
+                    }
+                )
+            yield pd.DataFrame(rows).astype("int64")
+
+    return bmps.mapInPandas(
+        stats,
+        "doc_id long, layout long, width long, height long, "
+        "sum_r long, sum_g long, sum_b long",
+    )
+
+
+BMP_DECODE_SQL = """
+WITH b AS (
+  SELECT doc_id, list_transform(range(1,17),
+      i -> ('0x'||substr(md5(text),((i-1)*2+1)::INT,2))::BIGINT) AS byt
+  FROM documents
+),
+pix AS (
+  SELECT doc_id, byt,
+         flatten(list_transform(range(0,9), r -> list_transform(range(0,13),
+            c -> CASE WHEN r < 3 THEN r ELSE byt[((r+c)%16)+1] % 16 END)))
+           AS idx
+  FROM b
+)
+SELECT doc_id, doc_id % 3 AS layout, 13 AS width, 9 AS height,
+       CAST(CASE WHEN doc_id % 3 < 2
+         THEN list_sum(flatten(list_transform(range(0,9),
+              r -> list_transform(range(0,13),
+              c -> (byt[(c%16)+1]+r)%256))))
+         ELSE list_sum(list_transform(idx, i -> byt[i+1]))
+       END AS BIGINT) AS sum_r,
+       CAST(CASE WHEN doc_id % 3 < 2
+         THEN list_sum(flatten(list_transform(range(0,9),
+              r -> list_transform(range(0,13),
+              c -> (byt[((c+3)%16)+1]+2*r)%256))))
+         ELSE list_sum(list_transform(idx, i -> (2*byt[i+1]+1)%256))
+       END AS BIGINT) AS sum_g,
+       CAST(CASE WHEN doc_id % 3 < 2
+         THEN list_sum(flatten(list_transform(range(0,9),
+              r -> list_transform(range(0,13),
+              c -> (byt[((c+7)%16)+1]+3*r)%256))))
+         ELSE list_sum(list_transform(idx, i -> (3*byt[i+1]+2)%256))
+       END AS BIGINT) AS sum_b
+FROM pix
+"""
+
+
+def multimodal_aiff_decode(spark, sf_dir):
+    """REAL big-endian audio-container decode — AIFF
+    (:mod:`levi_spark.operators.aiff`), the Mac-corpus sibling of the
+    WAV gate with the two fields that break a WAV-shaped reader:
+    BIG-endian 16-bit PCM samples, and the sample rate as an 80-bit
+    IEEE EXTENDED float in COMM (decoded with exact integer
+    arithmetic — ``rate = mantissa >> (16446 - exponent)``). Eight
+    int16 samples derive from digest byte pairs
+    (``b[2j]*256 + b[2j+1] - 32768`` — a little-endian misread
+    scrambles every value), tiled 16x to 128 frames; odd docs go
+    STEREO with the right channel reading a rotated digest, and the
+    rate sweeps ``8000 + (doc_id % 7) * 1000`` so seven different
+    f80 encodings cross the gate. The oracle recomputes rate and
+    channel sums from md5 arithmetic in SQL. Scale shape: two
+    Arrow-batched map-side hops after the tiny input-spreading
+    repartition; no data-dependent shuffle, no driver loop."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from levi_spark.operators.aiff import decode_aiff, encode_aiff
+
+    docs = _docs_parallel(spark, sf_dir)
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(
+                    hashlib.md5(text.encode("utf-8")).digest(), np.uint8
+                ).astype(np.int64)
+                d = int(doc_id)
+                s = (b[0::2] * 256 + b[1::2] - 32768).astype(np.int16)
+                left = np.tile(s, 16)
+                rate = 8000 + (d % 7) * 1000
+                if d % 2:
+                    right = np.tile(np.roll(s, -3), 16)
+                    payloads.append(
+                        encode_aiff(
+                            np.stack([left, right], axis=1), rate
+                        )
+                    )
+                else:
+                    payloads.append(encode_aiff(left, rate))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    aiffs = docs.mapInPandas(encode, "doc_id long, payload binary")
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_aiff(bytes(p))
+                s = d["samples"].astype(np.int64)
+                left = s if d["channels"] == 1 else s[:, 0]
+                right = None if d["channels"] == 1 else s[:, 1]
+                rows.append(
+                    {
+                        "doc_id": int(i),
+                        "sample_rate": d["sample_rate"],
+                        "channels": d["channels"],
+                        "n_frames": d["n_frames"],
+                        "sum_left": int(left.sum()),
+                        "sum_abs_left": int(np.abs(left).sum()),
+                        "sum_right": 0 if right is None else int(right.sum()),
+                        "last_left": int(left[-1]),
+                        "last_right": 0 if right is None else int(right[-1]),
+                    }
+                )
+            yield pd.DataFrame(rows).astype("int64")
+
+    return aiffs.mapInPandas(
+        stats,
+        "doc_id long, sample_rate long, channels long, n_frames long, "
+        "sum_left long, sum_abs_left long, sum_right long, last_left long, "
+        "last_right long",
+    )
+
+
+AIFF_DECODE_SQL = """
+WITH b AS (
+  SELECT doc_id, list_transform(range(1,17),
+      i -> ('0x'||substr(md5(text),((i-1)*2+1)::INT,2))::BIGINT) AS byt
+  FROM documents
+),
+s AS (
+  SELECT doc_id, list_transform(range(0,8),
+      j -> byt[2*j+1]*256 + byt[2*j+2] - 32768) AS sm
+  FROM b
+)
+SELECT doc_id,
+       8000 + (doc_id % 7) * 1000 AS sample_rate,
+       1 + doc_id % 2 AS channels,
+       128 AS n_frames,
+       16 * CAST(list_sum(sm) AS BIGINT) AS sum_left,
+       16 * CAST(list_sum(list_transform(sm, v -> abs(v))) AS BIGINT)
+         AS sum_abs_left,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+            ELSE 16 * list_sum(sm) END AS BIGINT) AS sum_right,
+       sm[8] AS last_left,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE sm[3] END AS BIGINT)
+         AS last_right
+FROM s
+"""
+
+
 def multimodal_flac_stereo_decode(spark, sf_dir):
     """STEREO-DECORRELATED FLAC decode — the round-6 verdict's FLAC
     seam (`operators/flac.py` refused left/right/mid-side, the channel
@@ -11992,12 +12332,16 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # the 4 queries at positions 50-53 missed both rounds). So the
     # first 50 slots are rotation policy: never-gated queries first,
     # then queries changed this round, then oldest-green backfill.
-    # -- ROUND 8 slots 1-2: NEW this round -------------------------------
+    # -- ROUND 8 slots 1-5: NEW this round (collated reads, coordinated
+    #    commits, QOI/BMP/AIFF codec gates) ------------------------------
     "collated_groupby_counts": (collated_groupby_counts, COLLATED_GROUPBY_SQL),
     "coordinated_commits_counts": (
         coordinated_commits_counts,
         COORDINATED_COMMITS_SQL,
     ),
+    "multimodal_qoi_decode": (multimodal_qoi_decode, QOI_DECODE_SQL),
+    "multimodal_bmp_decode": (multimodal_bmp_decode, BMP_DECODE_SQL),
+    "multimodal_aiff_decode": (multimodal_aiff_decode, AIFF_DECODE_SQL),
     # -- ROUND 7 slots: new in r07 (SA progressive JPEG, FLAC
     #    stereo decorrelation, shredded variants) + the rewritten
     #    nonzero-chroma 4:2:0 gate; four of these CHANGED in round 8
