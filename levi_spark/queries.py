@@ -5410,6 +5410,39 @@ WHERE v.event_type = 'view'
 """
 
 
+def stream_full_outer_join(spark, sf_dir):
+    """Stream-stream FULL OUTER interval join with COMPLETE output —
+    round 8's extension of the left-outer gate: BOTH sides' unmatched
+    rows must emit null-padded, and each only once the GLOBAL
+    watermark proves no match can arrive (an unmatched purchase needs
+    the watermark past ITS preceding-hour window, symmetric to the
+    unmatched view's following-hour deadline). The sentinel-tail
+    drain (:func:`levi_spark.streaming.jobs.run_full_outer_join`)
+    pushes both watermarks past every deadline and flushes both
+    state stores, so the batch FULL JOIN oracle matches row-for-row
+    — the strongest completeness statement a stream-stream join can
+    make. State bounded on both sides; stage-timed under
+    ``stream_full_outer_join`` (same micro-batch lifecycle floor as
+    the left-outer gate: 4 batches x 2 state stores x 4 state
+    partitions, O(1) in rows)."""
+    from levi_spark.streaming.jobs import run_full_outer_join
+
+    return run_full_outer_join(spark, sf_dir)
+
+
+STREAM_FULL_OUTER_JOIN_SQL = """
+SELECT COALESCE(v.user_id, p.user_id) AS user_id,
+       COALESCE(v.event_id, -1) AS view_event_id,
+       COALESCE(p.event_id, -1) AS purchase_event_id,
+       COALESCE(epoch_ns(p.ts) // 1000 - epoch_ns(v.ts) // 1000, -1) AS lag_us
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = v.user_id
+ AND epoch_ns(p.ts) // 1000 >= epoch_ns(v.ts) // 1000
+ AND epoch_ns(p.ts) // 1000 <= epoch_ns(v.ts) // 1000 + 3600000000
+"""
+
+
 SESSION_WINDOW_SQL = """
 WITH t AS (
   SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
@@ -11341,6 +11374,122 @@ FROM s
 """
 
 
+def multimodal_tga_decode(spark, sf_dir):
+    """REAL game-asset raster decode — Truevision TGA
+    (:mod:`levi_spark.operators.tga`), the texture format 3D/game
+    corpora ship, with its own row-order/byte-order trip-wires:
+    BGR(A) pixel order, BOTTOM-UP rows by default with descriptor
+    bit 5 flipping to top-down, and the high-bit RLE packet coding.
+    The layout cycles by ``doc_id % 3`` through uncompressed 24-bit
+    bottom-up, uncompressed 32-bit TOP-DOWN (alpha plane + flipped
+    row order — the oracle sums are row-dependent ramps, so a
+    dropped descriptor bit shifts them), and RLE 24-bit (run packets
+    from the 2 constant top rows + literal packets from the digest
+    ramp). The oracle recomputes every channel sum from md5
+    arithmetic per layout. Scale shape: two Arrow-batched map-side
+    hops after the tiny input-spreading repartition; no
+    data-dependent shuffle, no driver loop."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from levi_spark.operators.tga import decode_tga, encode_tga
+
+    docs = _docs_parallel(spark, sf_dir)
+    H, W = 11, 14
+
+    def encode(batches):
+        for pdf in batches:
+            payloads, layouts = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(
+                    hashlib.md5(text.encode("utf-8")).digest(), np.uint8
+                ).astype(np.int64)
+                d = int(doc_id)
+                lay = d % 3
+                r = np.arange(H)[:, None]
+                c = np.arange(W)[None, :]
+                R = np.where(r < 2, b[0], (b[c % 16] + 5 * r) % 256)
+                G = np.where(r < 2, b[1], (b[(c + 2) % 16] + r) % 256)
+                B = np.where(r < 2, b[2], (b[(c + 9) % 16] + 7 * r) % 256)
+                planes = [R, G, B]
+                if lay == 1:
+                    planes.append(
+                        np.where(r < 2, b[3] | 1, b[(r + 2 * c) % 16] | 1)
+                    )
+                img = np.stack(planes, axis=2).astype(np.uint8)
+                payloads.append(
+                    encode_tga(img, rle=lay == 2, top_down=lay == 1)
+                )
+                layouts.append(lay)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "layout": pd.Series(layouts, dtype="int64"),
+                }
+            )
+
+    tgas = docs.mapInPandas(encode, "doc_id long, payload binary, layout long")
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for i, p, lay in zip(
+                pdf["doc_id"], pdf["payload"], pdf["layout"]
+            ):
+                img = decode_tga(bytes(p))
+                s = img.astype(np.int64).sum(axis=(0, 1))
+                rows.append(
+                    {
+                        "doc_id": int(i),
+                        "layout": int(lay),
+                        "width": img.shape[1],
+                        "height": img.shape[0],
+                        "channels": img.shape[2],
+                        "sum_r": int(s[0]),
+                        "sum_g": int(s[1]),
+                        "sum_b": int(s[2]),
+                        "sum_a": int(s[3]) if img.shape[2] == 4 else 0,
+                    }
+                )
+            yield pd.DataFrame(rows).astype("int64")
+
+    return tgas.mapInPandas(
+        stats,
+        "doc_id long, layout long, width long, height long, channels long, "
+        "sum_r long, sum_g long, sum_b long, sum_a long",
+    )
+
+
+TGA_DECODE_SQL = """
+WITH b AS (
+  SELECT doc_id, list_transform(range(1,17),
+      i -> ('0x'||substr(md5(text),((i-1)*2+1)::INT,2))::BIGINT) AS byt
+  FROM documents
+)
+SELECT doc_id, doc_id % 3 AS layout, 14 AS width, 11 AS height,
+       CASE WHEN doc_id % 3 = 1 THEN 4 ELSE 3 END AS channels,
+       CAST(28 * byt[1] + list_sum(flatten(list_transform(range(2,11),
+          r -> list_transform(range(0,14),
+          c -> (byt[(c%16)+1]+5*r)%256)))) AS BIGINT) AS sum_r,
+       CAST(28 * byt[2] + list_sum(flatten(list_transform(range(2,11),
+          r -> list_transform(range(0,14),
+          c -> (byt[((c+2)%16)+1]+r)%256)))) AS BIGINT) AS sum_g,
+       CAST(28 * byt[3] + list_sum(flatten(list_transform(range(2,11),
+          r -> list_transform(range(0,14),
+          c -> (byt[((c+9)%16)+1]+7*r)%256)))) AS BIGINT) AS sum_b,
+       CAST(CASE WHEN doc_id % 3 != 1 THEN 0
+         ELSE 28 * (byt[4] + 1 - byt[4] % 2)
+              + list_sum(flatten(list_transform(range(2,11),
+                r -> list_transform(range(0,14),
+                c -> byt[((r+2*c)%16)+1] + 1 - byt[((r+2*c)%16)+1] % 2))))
+       END AS BIGINT) AS sum_a
+FROM b
+"""
+
+
 def multimodal_flac_stereo_decode(spark, sf_dir):
     """STEREO-DECORRELATED FLAC decode — the round-6 verdict's FLAC
     seam (`operators/flac.py` refused left/right/mid-side, the channel
@@ -12332,8 +12481,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # the 4 queries at positions 50-53 missed both rounds). So the
     # first 50 slots are rotation policy: never-gated queries first,
     # then queries changed this round, then oldest-green backfill.
-    # -- ROUND 8 slots 1-5: NEW this round (collated reads, coordinated
-    #    commits, QOI/BMP/AIFF codec gates) ------------------------------
+    # -- ROUND 8 slots 1-7: NEW this round (collated reads, coordinated
+    #    commits, QOI/BMP/AIFF/TGA codec gates, FULL OUTER stream join) --
     "collated_groupby_counts": (collated_groupby_counts, COLLATED_GROUPBY_SQL),
     "coordinated_commits_counts": (
         coordinated_commits_counts,
@@ -12342,6 +12491,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "multimodal_qoi_decode": (multimodal_qoi_decode, QOI_DECODE_SQL),
     "multimodal_bmp_decode": (multimodal_bmp_decode, BMP_DECODE_SQL),
     "multimodal_aiff_decode": (multimodal_aiff_decode, AIFF_DECODE_SQL),
+    "multimodal_tga_decode": (multimodal_tga_decode, TGA_DECODE_SQL),
+    "stream_full_outer_join": (stream_full_outer_join, STREAM_FULL_OUTER_JOIN_SQL),
     # -- ROUND 7 slots: new in r07 (SA progressive JPEG, FLAC
     #    stereo decorrelation, shredded variants) + the rewritten
     #    nonzero-chroma 4:2:0 gate; four of these CHANGED in round 8

@@ -273,6 +273,46 @@ def interval_join_stream(views: DataFrame, purchases: DataFrame) -> DataFrame:
     )
 
 
+def full_outer_interval_join_stream(
+    views: DataFrame, purchases: DataFrame
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — the round-8 extension
+    of the left-outer capability: BOTH sides' unmatched rows emit
+    null-padded once the global watermark proves no match can arrive.
+    A view with no purchase in its following hour emits (view, -1);
+    a purchase with no same-user view in its PRECEDING hour emits
+    (-1, purchase). State is bounded identically on both sides (the
+    time condition bounds each row's matchable window to 1 hour), and
+    eviction produces the outer rows — so with the sentinel-tail
+    drain the output is row-for-row equal to a batch FULL JOIN."""
+    v = views.select(
+        F.col("event_id").alias("view_event_id"),
+        F.col("user_id").alias("v_user"),
+        F.timestamp_micros(F.col("ts_us")).alias("v_ts"),
+    ).withWatermark("v_ts", "1 hour")
+    p = purchases.select(
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("user_id").alias("p_user"),
+        F.timestamp_micros(F.col("ts_us")).alias("p_ts"),
+    ).withWatermark("p_ts", "1 hour")
+    cond = (
+        (v["v_user"] == p["p_user"])
+        & (p["p_ts"] >= v["v_ts"])
+        & (p["p_ts"] <= v["v_ts"] + F.expr("INTERVAL 1 HOUR"))
+    )
+    return v.join(p, cond, "fullOuter").select(
+        F.coalesce(F.col("v_user"), F.col("p_user")).alias("user_id"),
+        F.coalesce(F.col("view_event_id"), F.lit(-1)).alias("view_event_id"),
+        F.coalesce(F.col("purchase_event_id"), F.lit(-1)).alias(
+            "purchase_event_id"
+        ),
+        F.coalesce(
+            F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("v_ts")),
+            F.lit(-1),
+        ).alias("lag_us"),
+    )
+
+
 def left_outer_interval_join_stream(
     views: DataFrame, purchases: DataFrame
 ) -> DataFrame:
@@ -433,6 +473,72 @@ def run_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     with stage_timer("stream_left_outer_join", "drain"):
         out = _drain_to_memory(
             left_outer_interval_join_stream(stream(vdir), stream(pdir)),
+            "append",
+            state_partitions=4,
+        )
+    return out.where(F.col("user_id") >= 0)
+
+
+def run_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the FULL OUTER interval join to completion with the same
+    sentinel-tail pattern as :func:`run_left_outer_join` — the
+    sentinels push the global watermark past every row's eviction
+    deadline on BOTH sides, so unmatched views AND unmatched
+    purchases all flush and the batch FULL JOIN oracle is exact.
+    Stage timers under scope ``stream_full_outer_join``."""
+    import tempfile
+    import time as _time
+
+    import os
+
+    from levi_spark.functions.timing import stage_timer
+    from levi_spark.sources.registry import read_events
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ev = read_events(spark, sf_dir).select(
+        "event_id", "user_id", "ts_us", "event_type"
+    )
+    with stage_timer("stream_full_outer_join", "max_ts_probe"):
+        max_ts = ev.agg(F.max("ts_us")).first()[0]
+    day_us = 86_400 * 1_000_000
+    base = tempfile.mkdtemp(prefix="levi_spark_fojoin_")
+    vdir = os.path.join(base, "views")
+    pdir = os.path.join(base, "purchases")
+
+    t0 = _time.time() - 1_000_000
+    with stage_timer("stream_full_outer_join", "stage_views"):
+        _stage_stream_dir(
+            vdir,
+            ev.where(F.col("event_type") == "view"),
+            [max_ts + 10 * day_us, max_ts + 11 * day_us],
+            t0,
+        )
+    with stage_timer("stream_full_outer_join", "stage_purchases"):
+        _stage_stream_dir(
+            pdir,
+            ev.where(F.col("event_type") == "purchase"),
+            [max_ts + 30 * day_us, max_ts + 31 * day_us],
+            t0,
+        )
+
+    sch = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("ts_us", LongType()),
+        ]
+    )
+
+    def stream(path: str) -> DataFrame:
+        return (
+            spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(path)
+        )
+
+    with stage_timer("stream_full_outer_join", "drain"):
+        out = _drain_to_memory(
+            full_outer_interval_join_stream(stream(vdir), stream(pdir)),
             "append",
             state_partitions=4,
         )

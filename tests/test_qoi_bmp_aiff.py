@@ -219,3 +219,63 @@ def test_aiff_refusals():
     fixed = b"FORM" + (len(extra) - 8).to_bytes(4, "big") + extra[8:]
     d = decode_aiff(fixed)
     assert d["n_frames"] == 10
+
+
+# ---------------------------------------------------------------- TGA
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    kind=st.sampled_from(["gray", "rgb", "rgba"]),
+    rle=st.booleans(),
+    top_down=st.booleans(),
+    runs=st.booleans(),
+    seed=st.integers(0, 10_000),
+)
+def test_tga_round_trip_law(h, w, kind, rle, top_down, runs, seed):
+    from levi_spark.operators.tga import decode_tga, encode_tga
+
+    rng = np.random.default_rng(seed)
+    shape = {"gray": (h, w), "rgb": (h, w, 3), "rgba": (h, w, 4)}[kind]
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    if runs and h > 2:
+        img[: h // 2] = img[0, 0]
+    if kind == "gray" and rle:
+        rle = False  # grayscale RLE not written
+    out = decode_tga(encode_tga(img, rle=rle, top_down=top_down))
+    assert np.array_equal(out, img)
+
+
+def test_tga_bgr_and_row_order_on_disk():
+    """The bytes really are BGR bottom-up: a 1x2 RGB image's first
+    stored pixel is the LAST row's first pixel, blue first."""
+    from levi_spark.operators.tga import decode_tga, encode_tga
+
+    img = np.array([[[1, 2, 3], [4, 5, 6]]], np.uint8)  # one row
+    e = encode_tga(img)
+    assert e[18:24] == bytes([3, 2, 1, 6, 5, 4])  # BGR per pixel
+    two = np.array([[[1, 2, 3]], [[4, 5, 6]]], np.uint8)  # two rows
+    e2 = encode_tga(two)
+    assert e2[18:21] == bytes([6, 5, 4])  # bottom row stored first
+    e2td = encode_tga(two, top_down=True)
+    assert e2td[18:21] == bytes([3, 2, 1])
+    assert e2td[17] & 0x20  # descriptor bit 5
+    assert np.array_equal(decode_tga(e2), decode_tga(e2td))
+
+
+def test_tga_refusals():
+    from levi_spark.operators.tga import decode_tga, encode_tga
+
+    img = np.zeros((3, 3, 3), np.uint8)
+    e = encode_tga(img)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_tga(e[:-4])
+    with pytest.raises(NotImplementedError, match="color-mapped"):
+        decode_tga(e[:2] + bytes([1]) + e[3:])
+    with pytest.raises(NotImplementedError, match="right-to-left"):
+        decode_tga(e[:17] + bytes([e[17] | 0x10]) + e[18:])
+    r = encode_tga(img, rle=True)
+    with pytest.raises(ValueError, match="exhausted|truncated"):
+        decode_tga(r[:-2])

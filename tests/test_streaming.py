@@ -235,3 +235,36 @@ def test_left_outer_join_emits_complete_null_padded_output(spark, oracle):
     assert unmatched and matched
     # no sentinel leakage
     assert all(r[0] >= 0 for r in got)
+
+
+def test_full_outer_join_emits_both_sides_complete(spark, oracle):
+    """Round 8: the FULL OUTER drain must additionally emit every
+    unmatched PURCHASE (-1 view id) — the right side's eviction path
+    the left-outer gate never exercises — and still match the batch
+    FULL JOIN row-for-row."""
+    out = J.run_full_outer_join(spark, "/root/testdata/sf0.001")
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(
+        map(
+            tuple,
+            oracle.execute(
+                """
+        SELECT COALESCE(v.user_id, p.user_id),
+               COALESCE(v.event_id, -1),
+               COALESCE(p.event_id, -1),
+               COALESCE(epoch_ns(p.ts) // 1000 - epoch_ns(v.ts) // 1000, -1)
+        FROM (SELECT * FROM events WHERE event_type = 'view') v
+        FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON p.user_id = v.user_id
+         AND epoch_ns(p.ts) // 1000 >= epoch_ns(v.ts) // 1000
+         AND epoch_ns(p.ts) // 1000 <= epoch_ns(v.ts) // 1000 + 3600000000
+        """
+            ).fetchall(),
+        )
+    )
+    assert got == want
+    # all three row classes are load-bearing
+    assert any(r[1] == -1 for r in got)  # unmatched purchases
+    assert any(r[2] == -1 for r in got)  # unmatched views
+    assert any(r[1] != -1 and r[2] != -1 for r in got)  # matches
+    assert all(r[0] >= 0 for r in got)  # no sentinel leakage
