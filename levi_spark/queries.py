@@ -12109,6 +12109,102 @@ GROUP BY 1
 """
 
 
+def sitemap_url_extract(spark, sf_dir):
+    """Sitemap ingestion — the third leg of the crawl-hygiene family
+    (``url_canonical_dedup`` canonicalizes, ``robots_crawl_filter``
+    authorizes, this one DISCOVERS): each document synthesizes a
+    sitemap XML blob (alternating the spec's two roots — ``<urlset>``
+    with ``<url>`` entries for even docs, ``<sitemapindex>`` with
+    ``<sitemap>`` entries for odd — with per-entry whitespace noise
+    inside ``<loc>``), and the OPERATOR parses it back with pure JVM
+    expressions: ``regexp_extract_all`` pulls the trimmed locs and
+    lastmod days, the root tag classifies the kind, and per-doc
+    aggregates report loc count, DISTINCT host count (hosts repeat
+    within a sitemap by construction), and the lastmod-day sum. Both
+    the build and the parse run inside WholeStageCodegen — no Python,
+    no UDFs, no shuffle beyond the final hash aggregate. The oracle
+    recomputes every aggregate from doc_id arithmetic alone, so a
+    regex that keeps the whitespace, misses a loc, or reads ``<loc>``
+    inside the wrong root cannot match. Scale shape: one scan ->
+    map-side string build+parse -> per-doc explode bounded by
+    entries-per-sitemap (<= 4)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    n = (d % 3 + 2).cast("int")
+    root = F.when(d % 2 == 0, F.lit("urlset")).otherwise(
+        F.lit("sitemapindex")
+    )
+    entry_tag = F.when(d % 2 == 0, F.lit("url")).otherwise(F.lit("sitemap"))
+    entries = F.expr(
+        "concat_ws('', transform(sequence(0, CAST(doc_id % 3 + 1 AS INT)), "
+        "j -> concat("
+        "'<', CASE WHEN doc_id % 2 = 0 THEN 'url' ELSE 'sitemap' END, '>',"
+        "CASE WHEN j % 2 = 0 THEN '<loc>' ELSE '<loc>  ' END,"
+        "'https://www.site-', CAST((doc_id + 2*j) % 3 AS STRING),"
+        "'.example.com/doc/', CAST(doc_id AS STRING), '/', CAST(j AS STRING),"
+        "CASE WHEN j % 2 = 0 THEN '</loc>' ELSE ' \n</loc>' END,"
+        "'<lastmod>2024-03-', CAST(10 + (doc_id + j) % 18 AS STRING),"
+        "'</lastmod>',"
+        "'</', CASE WHEN doc_id % 2 = 0 THEN 'url' ELSE 'sitemap' END, '>'"
+        ")))"
+    )
+    xml = F.concat(
+        F.lit('<?xml version="1.0" encoding="UTF-8"?><'),
+        root,
+        F.lit(' xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+        entries,
+        F.lit("</"),
+        root,
+        F.lit(">"),
+    )
+    t = docs.select("doc_id", xml.alias("xml"))
+    locs = F.expr(
+        r"transform(regexp_extract_all(xml, '<loc>\\s*([^<]+?)\\s*</loc>',"
+        " 1), u -> trim(u))"
+    )
+    days = F.expr(
+        r"transform(regexp_extract_all(xml,"
+        r" '<lastmod>2024-03-(\\d+)</lastmod>', 1),"
+        " x -> CAST(x AS BIGINT))"
+    )
+    kind = F.regexp_extract("xml", r"\?><([a-z]+)[ >]", 1)
+    hosts = F.expr(
+        "array_distinct(transform(__locs, u ->"
+        " regexp_extract(u, '^https://([^/]+)/', 1)))"
+    )
+    return (
+        t.select(
+            "doc_id",
+            kind.alias("kind"),
+            locs.alias("__locs"),
+            days.alias("__days"),
+        )
+        .select(
+            "doc_id",
+            "kind",
+            F.size("__locs").cast("long").alias("n_locs"),
+            F.size(hosts).cast("long").alias("n_hosts"),
+            F.aggregate(
+                "__days", F.lit(0).cast("long"), lambda a, x: a + x
+            ).alias("sum_day"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SITEMAP_EXTRACT_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'urlset' ELSE 'sitemapindex' END AS kind,
+       CAST(doc_id % 3 + 2 AS BIGINT) AS n_locs,
+       CAST(len(list_distinct(list_transform(range(0, (doc_id % 3 + 2)::INT),
+            j -> (doc_id + 2*j) % 3))) AS BIGINT) AS n_hosts,
+       CAST(list_sum(list_transform(range(0, (doc_id % 3 + 2)::INT),
+            j -> 10 + (doc_id + j) % 18)) AS BIGINT) AS sum_day
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def robots_crawl_filter(spark, sf_dir):
     """robots.txt crawl filtering with LONGEST-MATCH (Google REP)
     semantics — the gate between URL canonicalization and fetch in a
@@ -12492,6 +12588,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "multimodal_bmp_decode": (multimodal_bmp_decode, BMP_DECODE_SQL),
     "multimodal_aiff_decode": (multimodal_aiff_decode, AIFF_DECODE_SQL),
     "multimodal_tga_decode": (multimodal_tga_decode, TGA_DECODE_SQL),
+    "sitemap_url_extract": (sitemap_url_extract, SITEMAP_EXTRACT_SQL),
     "stream_full_outer_join": (stream_full_outer_join, STREAM_FULL_OUTER_JOIN_SQL),
     # -- ROUND 7 slots: new in r07 (SA progressive JPEG, FLAC
     #    stereo decorrelation, shredded variants) + the rewritten

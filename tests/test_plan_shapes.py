@@ -503,3 +503,18 @@ def test_robots_filter_broadcasts_rules_and_dedups_decisions(spark):
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_sitemap_extract_is_pure_jvm_single_agg(spark):
+    """Round-8 crawl-hygiene leg: the sitemap build+parse must stay
+    whole-stage-codegen JVM expressions — no Python workers, no
+    explode-induced shuffle beyond the final sort."""
+    from levi_spark.plans.inspect import executed_plan
+    from levi_spark.queries import sitemap_url_extract
+
+    df = sitemap_url_extract(spark, SF)
+    plan = executed_plan(df)
+    assert "Python" not in plan
+    assert "Generate" not in plan  # aggregates ride the arrays directly
+    s = plan_summary(df)
+    assert s.get("scans", 1) == 1
