@@ -399,13 +399,26 @@ def in_commit_timestamp(
         return None
     prev = -1
     try:
-        commits = sorted(
-            n
+        # (version, path) over backfilled commits AND staged coordinated
+        # commits — on a coordinated table the predecessor usually lives
+        # in _delta_log/_commits, and reading only the backfilled tail
+        # would re-anchor the monotonic clock below already-staged stamps
+        cand: list[tuple[int, str]] = [
+            (int(n[:20]), os.path.join(log_dir, n))
             for n in os.listdir(log_dir)
             if n.endswith(".json") and n[:20].isdigit()
-        )
+        ]
+        for d in ("_commits", "_staged_commits"):
+            sdir = os.path.join(log_dir, d)
+            if os.path.isdir(sdir):
+                cand.extend(
+                    (int(n[:20]), os.path.join(sdir, n))
+                    for n in os.listdir(sdir)
+                    if n.endswith(".json") and n[:20].isdigit()
+                )
+        commits = [p for _v, p in sorted(cand)]
         if commits:
-            with open(os.path.join(log_dir, commits[-1])) as f:
+            with open(commits[-1]) as f:
                 for line in f:
                     if not line.strip():
                         continue

@@ -175,3 +175,50 @@ def test_create_commit_records_coordinator_property(spark, tmp_path):
         ]
         == "filesystem"
     )
+
+
+def test_ict_stays_monotonic_across_staged_tail(spark, tmp_path):
+    """In-commit timestamps on a COORDINATED table: the predecessor
+    read must find the latest STAGED commit, not just the backfilled
+    tail — otherwise the monotonic clock re-anchors below
+    already-staged stamps."""
+    import json
+
+    p = str(tmp_path / "ict")
+    write_delta(
+        spark.createDataFrame([Row(k=1, part="a")]),
+        p, mode="error", checkpoint_interval=None, coordinated=True,
+    )
+    # enable ICT by rewriting v0's metaData configuration (the engine
+    # reads config from the snapshot, so later appends honor it)
+    log_dir = os.path.join(p, "_delta_log")
+    v0 = os.path.join(log_dir, f"{0:020d}.json")
+    lines = [json.loads(x) for x in open(v0) if x.strip()]
+    for a in lines:
+        if "metaData" in a:
+            a["metaData"]["configuration"][
+                "delta.enableInCommitTimestamps"
+            ] = "true"
+    with open(v0, "w") as f:
+        f.writelines(json.dumps(a) + "\n" for a in lines)
+    for i in range(3):
+        write_delta(
+            spark.createDataFrame([Row(k=10 + i, part="b")]),
+            p, mode="append", checkpoint_interval=None,
+        )
+    ts = DeltaLog(spark, p).commit_timestamps()
+    assert [v for v, _ in ts] == [0, 1, 2, 3]
+    raw = []
+    for v in (1, 2, 3):
+        (path,) = [
+            os.path.join(log_dir, "_commits", n)
+            for n in os.listdir(os.path.join(log_dir, "_commits"))
+            if n.startswith(f"{v:020d}.")
+        ]
+        for line in open(path):
+            ci = json.loads(line).get("commitInfo")
+            if ci and "inCommitTimestamp" in ci:
+                raw.append(ci["inCommitTimestamp"])
+    # strictly increasing ACROSS the staged tail (the writer-side
+    # guarantee, not just the reader's monotonization)
+    assert len(raw) == 3 and raw[0] < raw[1] < raw[2], raw
