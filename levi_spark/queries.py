@@ -2520,6 +2520,81 @@ ORDER BY segment
 """
 
 
+def type_widening_counts(spark, sf_dir):
+    """TYPE WIDENING write side through the driver gate — the
+    metadata-only evolution the reader has accepted since round 6,
+    now PRODUCED by the engine (:func:`levi_spark.delta.evolve.
+    widen_column`): orders lands with an ``int`` quantity column,
+    one commit widens it to ``long`` (field metadata gains the
+    spec's ``delta.typeChanges`` record, protocol upgrades to the
+    typeWidening feature, NO data file is touched — O(1) in table
+    size, the whole point of the feature), and two appends then
+    write at the wide type, one of them with values beyond the int32
+    range. The final scan must upcast the narrow pre-widening files
+    AND read the wide files natively: a reader that trusts parquet
+    footers over the widened schema, or an append that silently
+    narrowed, shifts the sum by billions. Oracle: the same slice
+    arithmetic over orders in DuckDB.
+
+    Scale shape: two distributed writes + one metadata-only commit +
+    one snapshot scan with a single hash-agg."""
+    import os as _os
+
+    from levi_spark.delta.evolve import widen_column
+    from levi_spark.delta.log import DeltaLog
+    from levi_spark.delta.writer import write_delta
+
+    p = _os.path.join(_scratch("widen"), "t")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    qty_small = (F.col("o_orderkey") % 1000).cast("int")
+    write_delta(
+        orders.where(F.col("o_orderkey") % 3 == 0)
+        .withColumn("qty", qty_small),
+        p, mode="error", checkpoint_interval=None,
+    )
+    widen_column(spark, p, "qty", "long")
+    write_delta(
+        orders.where(F.col("o_orderkey") % 3 == 1).withColumn(
+            "qty",
+            (F.col("o_orderkey") % 1000 + F.lit(3_000_000_000)).cast("long"),
+        ),
+        p, mode="append", checkpoint_interval=None,
+    )
+    write_delta(
+        orders.where(F.col("o_orderkey") % 3 == 2).withColumn(
+            "qty", (F.col("o_orderkey") % 1000).cast("long")
+        ),
+        p, mode="append", checkpoint_interval=None,
+    )
+    df = DeltaLog(spark, p).snapshot().to_df()
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("qty").cast("long").alias("sum_qty"),
+            F.max("qty").cast("long").alias("max_qty"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+TYPE_WIDENING_SQL = """
+WITH t AS (
+  SELECT o_orderstatus,
+         CASE WHEN o_orderkey % 3 = 1
+              THEN o_orderkey % 1000 + 3000000000
+              ELSE o_orderkey % 1000 END AS qty
+  FROM orders
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(qty) AS BIGINT) AS sum_qty,
+       CAST(MAX(qty) AS BIGINT) AS max_qty
+FROM t
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 def coordinated_commits_counts(spark, sf_dir):
     """COORDINATED COMMITS through the driver gate — the last
     reader-matrix refusal closed (VERDICT r07 ask #6). The table is
@@ -12589,6 +12664,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "multimodal_aiff_decode": (multimodal_aiff_decode, AIFF_DECODE_SQL),
     "multimodal_tga_decode": (multimodal_tga_decode, TGA_DECODE_SQL),
     "sitemap_url_extract": (sitemap_url_extract, SITEMAP_EXTRACT_SQL),
+    "type_widening_counts": (type_widening_counts, TYPE_WIDENING_SQL),
     "stream_full_outer_join": (stream_full_outer_join, STREAM_FULL_OUTER_JOIN_SQL),
     # -- ROUND 7 slots: new in r07 (SA progressive JPEG, FLAC
     #    stereo decorrelation, shredded variants) + the rewritten
