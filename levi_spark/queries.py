@@ -12622,15 +12622,16 @@ GROUP BY doc_id
 # (TPC-H q2+ onward hold r04 rows; doc_stratified_sample onward hold
 # r02 rows) so every query re-proves itself every few rounds.
 #
-# ROUND 8 window: slots 1-2 are the two NEW gates (collated-string
-# reads — the only r07 surface with no CORRECTNESS row, ask #2 — and
-# coordinated commits, ask #6); next come everything round 8 CHANGED:
-# embedding_pca_projection (JVM Gram at bench scale, ask #1),
-# doc_substring_dedup (salted two-stage count, ask #5),
-# stream_left_outer_join (stage timing + 4 state partitions, ask #3),
-# multimodal_tiff_decode (MM byte order in the fixture, ask #7).
-# All sit inside the round-7 window below, which otherwise carries
-# its r07-green rows forward.
+# ROUND 8 window: slots 1-9 are the round's NEW gates — collated
+# reads (ask #2), coordinated commits (ask #6), the QOI/BMP/AIFF/TGA
+# codec gates, sitemap extraction, type-widening writes, and the
+# FULL OUTER stream join; everything round 8 CHANGED also sits
+# inside the first 50: embedding_pca_projection at 46 (JVM Gram at
+# bench scale, ask #1), doc_substring_dedup (salted reused-exchange
+# count, ask #5), stream_left_outer_join (stage timing + 4 state
+# partitions, ask #3), multimodal_tiff_decode (MM byte order + tiles
+# in the fixture, ask #7). Displaced to 51+: cdf_timestamp_counts
+# onward (all hold r05-r07 green rows).
 #
 # ROUND 7 window (final): slots 1-19 are the round's new/changed
 # queries — SA progressive JPEG, FLAC stereo + LPC, GIF, MJPEG-AVI
