@@ -11109,6 +11109,115 @@ FROM s
 """
 
 
+def tfrecord_ingest_stats(spark, sf_dir):
+    """TFRecord + tf.Example ingestion — THE classic training-data
+    shard format (:mod:`levi_spark.operators.tfrecord`): each document
+    becomes a TFRecord shard of ``2 + doc_id % 2`` tf.Example records,
+    and the OPERATOR must walk the whole stack to score it — the
+    length+CRC32C frame (Castagnoli polynomial, the published
+    ``((crc>>15)|(crc<<17)) + 0xa282ead8`` masking; a flipped bit
+    fails loudly), then the protobuf WIRE format (varints including a
+    10-byte negative, length-delimited nesting, the Features map's
+    key/value entries), then the Example schema's three list kinds
+    (packed int64 varints, packed float32, repeated bytes). Features
+    derive from the digest: per example j, ``tok`` carries
+    ``b[k] - 128 + j`` (negatives exercise the int64 wraparound
+    varint), ``w`` carries integral float32s ``(b[k] % 32) * 0.5``
+    (exactly representable — the oracle compares in halves), and
+    ``tag`` carries the doc's hex digest truncated to ``4 + j``
+    bytes. The oracle recomputes every aggregate from md5 arithmetic
+    in SQL. Scale shape: two Arrow-batched map-side hops after the
+    tiny input-spreading repartition; no data-dependent shuffle, no
+    driver loop."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from levi_spark.operators.tfrecord import (
+        decode_example,
+        decode_tfrecord,
+        encode_example,
+        encode_tfrecord,
+    )
+
+    docs = _docs_parallel(spark, sf_dir)
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                hx = hashlib.md5(text.encode("utf-8")).hexdigest()
+                b = np.frombuffer(
+                    bytes.fromhex(hx), np.uint8
+                ).astype(np.int64)
+                d = int(doc_id)
+                recs = []
+                for j in range(2 + d % 2):
+                    recs.append(
+                        encode_example(
+                            {
+                                "tok": [int(b[k]) - 128 + j for k in range(8)],
+                                "w": [
+                                    float(b[k] % 32) * 0.5
+                                    for k in range(8, 12)
+                                ],
+                                "tag": [hx[: 4 + j].encode("ascii")],
+                            }
+                        )
+                    )
+                payloads.append(encode_tfrecord(recs))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    shards = docs.mapInPandas(encode, "doc_id long, payload binary")
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf["doc_id"], pdf["payload"]):
+                recs = decode_tfrecord(bytes(p))
+                sum_tok = sum_w2 = tag_bytes = 0
+                for rec in recs:
+                    ex = decode_example(rec)
+                    sum_tok += sum(ex["tok"])
+                    sum_w2 += int(sum(v * 2 for v in ex["w"]))
+                    tag_bytes += sum(len(t) for t in ex["tag"])
+                rows.append(
+                    {
+                        "doc_id": int(i),
+                        "n_records": len(recs),
+                        "sum_tok": sum_tok,
+                        "sum_w_halves": sum_w2,
+                        "tag_bytes": tag_bytes,
+                    }
+                )
+            yield pd.DataFrame(rows).astype("int64")
+
+    return shards.mapInPandas(
+        stats,
+        "doc_id long, n_records long, sum_tok long, sum_w_halves long, "
+        "tag_bytes long",
+    )
+
+
+TFRECORD_INGEST_SQL = """
+WITH b AS (
+  SELECT doc_id, 2 + doc_id % 2 AS n,
+         list_transform(range(1,17),
+      i -> ('0x'||substr(md5(text),((i-1)*2+1)::INT,2))::BIGINT) AS byt
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_records,
+       CAST(n * list_sum(list_transform(range(0,8), k -> byt[k+1] - 128))
+            + CASE WHEN n = 3 THEN 24 ELSE 8 END AS BIGINT) AS sum_tok,
+       CAST(n * list_sum(list_transform(range(8,12), k -> byt[k+1] % 32))
+            AS BIGINT) AS sum_w_halves,
+       CAST(CASE WHEN n = 3 THEN 15 ELSE 9 END AS BIGINT) AS tag_bytes
+FROM b
+"""
+
+
 def multimodal_qoi_decode(spark, sf_dir):
     """REAL lossless-image decode — QOI (qoiformat.org, the 2021
     public-domain format fast image pipelines use for intermediates;
@@ -12660,6 +12769,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         coordinated_commits_counts,
         COORDINATED_COMMITS_SQL,
     ),
+    "tfrecord_ingest_stats": (tfrecord_ingest_stats, TFRECORD_INGEST_SQL),
     "multimodal_qoi_decode": (multimodal_qoi_decode, QOI_DECODE_SQL),
     "multimodal_bmp_decode": (multimodal_bmp_decode, BMP_DECODE_SQL),
     "multimodal_aiff_decode": (multimodal_aiff_decode, AIFF_DECODE_SQL),
