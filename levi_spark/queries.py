@@ -11109,6 +11109,129 @@ FROM s
 """
 
 
+def avro_ingest_stats(spark, sf_dir):
+    """Avro Object Container ingestion — the data-lake interchange
+    sibling of the TFRecord gate (:mod:`levi_spark.operators.avro`):
+    Kafka dumps and Sqoop exports ship as ``.avro`` containers, and
+    scoring one exercises the whole public spec — the file-metadata
+    map (embedded schema JSON + codec), the 16-byte sync-marker
+    framing (mismatch refuses), the ZIGZAG varint encoding (the
+    spec's own test vectors are pinned in pytest: -1 -> 0x01,
+    64 -> 0x80 0x01), count-prefixed array blocks, 2-branch null
+    unions, and both supported codecs — the container alternates
+    ``null``/``deflate`` by ``doc_id % 2``, so half the gate's
+    containers decompress raw-DEFLATE blocks. Per doc, 3 records
+    carry a long id, a hex-prefix title, an integral-halves double,
+    a NEGATIVE-long array, and a null-every-third optional; the
+    oracle recomputes every aggregate from md5 arithmetic. Scale
+    shape: two Arrow-batched map-side hops after the tiny
+    input-spreading repartition; no data-dependent shuffle, no
+    driver loop."""
+    import hashlib
+
+    import pandas as pd
+
+    from levi_spark.operators.avro import decode_avro, encode_avro
+
+    docs = _docs_parallel(spark, sf_dir)
+    schema = {
+        "type": "record",
+        "name": "Doc",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "title", "type": "string"},
+            {"name": "score", "type": "double"},
+            {"name": "toks", "type": {"type": "array", "items": "long"}},
+            {"name": "opt", "type": ["null", "long"]},
+        ],
+    }
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                hx = hashlib.md5(text.encode("utf-8")).hexdigest()
+                b = [int(hx[k * 2 : k * 2 + 2], 16) for k in range(16)]
+                d = int(doc_id)
+                recs = [
+                    {
+                        "id": d * 10 + j,
+                        "title": hx[: 3 + j],
+                        "score": (b[j] % 64) * 0.5,
+                        "toks": [b[k] - 100 for k in range(j + 2)],
+                        "opt": None if (d + j) % 3 == 0 else b[j] % 7,
+                    }
+                    for j in range(3)
+                ]
+                payloads.append(
+                    encode_avro(
+                        schema,
+                        recs,
+                        codec="deflate" if d % 2 else "null",
+                        records_per_block=2,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    shards = docs.mapInPandas(encode, "doc_id long, payload binary")
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf["doc_id"], pdf["payload"]):
+                _s, recs = decode_avro(bytes(p))
+                rows.append(
+                    {
+                        "doc_id": int(i),
+                        "n_records": len(recs),
+                        "sum_id": sum(r["id"] for r in recs),
+                        "title_chars": sum(len(r["title"]) for r in recs),
+                        "sum_score_halves": int(
+                            sum(r["score"] * 2 for r in recs)
+                        ),
+                        "sum_toks": sum(sum(r["toks"]) for r in recs),
+                        "n_null_opt": sum(
+                            1 for r in recs if r["opt"] is None
+                        ),
+                        "sum_opt": sum(
+                            r["opt"] for r in recs if r["opt"] is not None
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows).astype("int64")
+
+    return shards.mapInPandas(
+        stats,
+        "doc_id long, n_records long, sum_id long, title_chars long, "
+        "sum_score_halves long, sum_toks long, n_null_opt long, "
+        "sum_opt long",
+    )
+
+
+AVRO_INGEST_SQL = """
+WITH b AS (
+  SELECT doc_id, list_transform(range(1,17),
+      i -> ('0x'||substr(md5(text),((i-1)*2+1)::INT,2))::BIGINT) AS byt
+  FROM documents
+)
+SELECT doc_id,
+       3 AS n_records,
+       CAST(doc_id * 30 + 3 AS BIGINT) AS sum_id,
+       12 AS title_chars,
+       CAST(list_sum(list_transform(range(0,3), j -> byt[j+1] % 64))
+            AS BIGINT) AS sum_score_halves,
+       CAST(3*(byt[1]+byt[2]) + 2*byt[3] + byt[4] - 900 AS BIGINT)
+         AS sum_toks,
+       CAST(list_sum(list_transform(range(0,3),
+            j -> CASE WHEN (doc_id + j) % 3 = 0 THEN 1 ELSE 0 END))
+            AS BIGINT) AS n_null_opt,
+       CAST(list_sum(list_transform(range(0,3),
+            j -> CASE WHEN (doc_id + j) % 3 = 0 THEN 0
+                 ELSE byt[j+1] % 7 END)) AS BIGINT) AS sum_opt
+FROM b
+"""
+
+
 def tfrecord_ingest_stats(spark, sf_dir):
     """TFRecord + tf.Example ingestion — THE classic training-data
     shard format (:mod:`levi_spark.operators.tfrecord`): each document
@@ -12769,6 +12892,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         coordinated_commits_counts,
         COORDINATED_COMMITS_SQL,
     ),
+    "avro_ingest_stats": (avro_ingest_stats, AVRO_INGEST_SQL),
     "tfrecord_ingest_stats": (tfrecord_ingest_stats, TFRECORD_INGEST_SQL),
     "multimodal_qoi_decode": (multimodal_qoi_decode, QOI_DECODE_SQL),
     "multimodal_bmp_decode": (multimodal_bmp_decode, BMP_DECODE_SQL),
