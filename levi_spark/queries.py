@@ -12854,10 +12854,11 @@ GROUP BY doc_id
 # (TPC-H q2+ onward hold r04 rows; doc_stratified_sample onward hold
 # r02 rows) so every query re-proves itself every few rounds.
 #
-# ROUND 8 window: slots 1-9 are the round's NEW gates — collated
-# reads (ask #2), coordinated commits (ask #6), the QOI/BMP/AIFF/TGA
-# codec gates, sitemap extraction, type-widening writes, and the
-# FULL OUTER stream join; everything round 8 CHANGED also sits
+# ROUND 8 window: slots 1-11 are the round's NEW gates — collated
+# reads (ask #2), coordinated commits (ask #6), the Avro + TFRecord
+# training-shard ingestion gates, the QOI/BMP/AIFF/TGA codec gates,
+# sitemap extraction, type-widening writes, and the FULL OUTER
+# stream join; everything round 8 CHANGED also sits
 # inside the first 50: embedding_pca_projection at 46 (JVM Gram at
 # bench scale, ask #1), doc_substring_dedup (salted reused-exchange
 # count, ask #5), stream_left_outer_join (stage timing + 4 state
@@ -12886,7 +12887,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # first 50 slots are rotation policy: never-gated queries first,
     # then queries changed this round, then oldest-green backfill.
     # -- ROUND 8 slots 1-7: NEW this round (collated reads, coordinated
-    #    commits, QOI/BMP/AIFF/TGA codec gates, FULL OUTER stream join) --
+    #    commits, Avro/TFRecord ingestion, QOI/BMP/AIFF/TGA codec gates,
+    #    sitemap, type widening, FULL OUTER stream join) ----------------
     "collated_groupby_counts": (collated_groupby_counts, COLLATED_GROUPBY_SQL),
     "coordinated_commits_counts": (
         coordinated_commits_counts,
