@@ -88,6 +88,24 @@ VARIANCE_NOTES = {
         "NOT variance: +~1.5-3s in r07 from the added OPTIMIZE "
         "preservation phase (lifecycle scheduler floor, see docstring)"
     ),
+    "embedding_pca_projection": (
+        "NOT variance: r08 reshaped the bench-scale Gram to pure-JVM "
+        "nested posexplode (no Python workers on the critical path — "
+        "the r05/r07 contention amplifier); expect ~1.7s warm vs the "
+        "old 1.2-1.5s mapInPandas best case, and NO 8x blowup under "
+        "shared-VM load"
+    ),
+    "doc_substring_dedup": (
+        "NOT variance: r08 replaced the hot-gram window with the "
+        "salted two-stage count over one reused exchange (VERDICT r07 "
+        "ask #5); warm band 5.8-6.7s vs the window's 5.2-5.7 — the "
+        "~1.1x is the price of hot-key skew-proofness at 100 TB"
+    ),
+    "stream_left_outer_join": (
+        "NOT variance: r08 cut state shards 8 -> 4 (user-hash keys "
+        "number in the hundreds at sf0.1) and stage-timed the drain; "
+        "expect ~6s vs r07's 7.1s builder / 18.5s loaded-driver runs"
+    ),
     "_session_drift": (
         "whole-session uplift, not per-query regressions: the r07 "
         "mid-round full run measured 231.6s/161 queries; two later "
