@@ -11109,6 +11109,102 @@ FROM s
 """
 
 
+def msgpack_ingest_stats(spark, sf_dir):
+    """MessagePack ingestion — the RPC/log-shipping wire format
+    (Fluentd, Redis streams, ML metadata sidecars;
+    :mod:`levi_spark.operators.msgpack`): each document becomes one
+    msgpack ARRAY of ``2 + doc_id % 3`` event maps whose values sweep
+    the format's type map — negative/positive fixints and int8s
+    (``b[j] - 128``), fixstrs, nested fixmaps, booleans, float64s and
+    fixarrays — and the OPERATOR must walk the canonical byte layout
+    exactly (the codec's encodings are pinned to the spec's own
+    examples in pytest: ``-1 -> 0xff``, ``128 -> 0xcc 0x80``,
+    ``{"a":1} -> 0x81 0xa1 61 0x01``). Aggregates per doc; md5
+    arithmetic oracles every one. Scale shape: two Arrow-batched
+    map-side hops after the tiny input-spreading repartition; no
+    data-dependent shuffle, no driver loop."""
+    import hashlib
+
+    import pandas as pd
+
+    from levi_spark.operators.msgpack import decode_msgpack, encode_msgpack
+
+    docs = _docs_parallel(spark, sf_dir)
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                hx = hashlib.md5(text.encode("utf-8")).hexdigest()
+                b = [int(hx[k * 2 : k * 2 + 2], 16) for k in range(16)]
+                d = int(doc_id)
+                evs = [
+                    {
+                        "t": hx[: 2 + j],
+                        "n": b[j] - 128,
+                        "tags": [f"tag{k}" for k in range(j)],
+                        "meta": {
+                            "ok": b[j] % 2 == 0,
+                            "score": (b[j] % 16) * 0.5,
+                        },
+                    }
+                    for j in range(2 + d % 3)
+                ]
+                payloads.append(encode_msgpack(evs))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    shards = docs.mapInPandas(encode, "doc_id long, payload binary")
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf["doc_id"], pdf["payload"]):
+                evs = decode_msgpack(bytes(p))
+                rows.append(
+                    {
+                        "doc_id": int(i),
+                        "n_events": len(evs),
+                        "sum_n": sum(e["n"] for e in evs),
+                        "n_tags": sum(len(e["tags"]) for e in evs),
+                        "n_ok": sum(1 for e in evs if e["meta"]["ok"]),
+                        "sum_score_halves": int(
+                            sum(e["meta"]["score"] * 2 for e in evs)
+                        ),
+                        "title_chars": sum(len(e["t"]) for e in evs),
+                    }
+                )
+            yield pd.DataFrame(rows).astype("int64")
+
+    return shards.mapInPandas(
+        stats,
+        "doc_id long, n_events long, sum_n long, n_tags long, n_ok long, "
+        "sum_score_halves long, title_chars long",
+    )
+
+
+MSGPACK_INGEST_SQL = """
+WITH b AS (
+  SELECT doc_id, 2 + doc_id % 3 AS n,
+         list_transform(range(1,17),
+      i -> ('0x'||substr(md5(text),((i-1)*2+1)::INT,2))::BIGINT) AS byt
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(list_sum(list_transform(range(0, n::INT), j -> byt[j+1] - 128))
+            AS BIGINT) AS sum_n,
+       CAST(n * (n - 1) / 2 AS BIGINT) AS n_tags,
+       CAST(list_sum(list_transform(range(0, n::INT),
+            j -> CASE WHEN byt[j+1] % 2 = 0 THEN 1 ELSE 0 END))
+            AS BIGINT) AS n_ok,
+       CAST(list_sum(list_transform(range(0, n::INT), j -> byt[j+1] % 16))
+            AS BIGINT) AS sum_score_halves,
+       CAST(list_sum(list_transform(range(0, n::INT), j -> 2 + j))
+            AS BIGINT) AS title_chars
+FROM b
+"""
+
+
 def avro_ingest_stats(spark, sf_dir):
     """Avro Object Container ingestion — the data-lake interchange
     sibling of the TFRecord gate (:mod:`levi_spark.operators.avro`):
@@ -12894,6 +12990,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         coordinated_commits_counts,
         COORDINATED_COMMITS_SQL,
     ),
+    "msgpack_ingest_stats": (msgpack_ingest_stats, MSGPACK_INGEST_SQL),
     "avro_ingest_stats": (avro_ingest_stats, AVRO_INGEST_SQL),
     "tfrecord_ingest_stats": (tfrecord_ingest_stats, TFRECORD_INGEST_SQL),
     "multimodal_qoi_decode": (multimodal_qoi_decode, QOI_DECODE_SQL),
