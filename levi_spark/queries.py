@@ -4987,6 +4987,123 @@ ORDER BY n.n_name
 """
 
 
+def user_triangle_counts(spark, sf_dir):
+    """Triangle counting with DEGREE-ORDERED orientation — the classic
+    skew-safe formulation (Suri & Vassilvitskii's MapReduce
+    triangle-counting insight): a naive wedge join explodes on hub
+    nodes (a degree-D vertex yields D^2 wedges), so every undirected
+    edge is first ORIENTED from its lower-(degree, id) endpoint to the
+    higher one; out-degrees are then bounded by ~sqrt(m), the wedge
+    self-join is quadratic only in OUT-degree, and each triangle
+    materializes exactly once (at its minimum-degree vertex) before an
+    explode spreads credit to all three corners. Edges derive from the
+    events stream: node ``user_id % 97``, peer
+    ``(node*31 + length(event_type)) % 97`` (self-loops dropped,
+    canonical min/max + distinct), so the graph is data-derived and
+    the DuckDB oracle rebuilds it with identical arithmetic and counts
+    triangles by the ordered three-way self-join. Output: per-node
+    degree + triangle count for every node on >= 1 triangle.
+
+    Scale shape: distinct-edge and degree aggregations with map-side
+    partials; the wedge join and the closing-edge join are both
+    equi-joins on bounded-out-degree keys — no windows, no cartesian,
+    no Python. The orientation is what survives a power-law graph at
+    100 TB; plan test pins no-cartesian."""
+    ev = _events(spark, sf_dir)
+    node = (F.col("user_id") % 97).alias("u")
+    peer = ((F.col("user_id") % 97) * 31 + F.length("event_type")) % 97
+    und = (
+        ev.select(node, peer.alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("n").alias("b"), F.col("deg").alias("degb"))
+    lower_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
+    )
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src"))
+        & (F.col("e1.dst") < F.col("e2.dst")),
+    ).select(
+        F.col("e1.src").alias("u"),
+        F.col("e1.dst").alias("v"),
+        F.col("e2.dst").alias("w"),
+    )
+    tri = wedges.join(
+        und,
+        (F.least("v", "w") == F.col("a")) & (F.greatest("v", "w") == F.col("b")),
+    ).select("u", "v", "w")
+    per_node = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        per_node.join(deg, "n")
+        .select(
+            F.col("n").cast("long").alias("node"),
+            F.col("deg").cast("long").alias("degree"),
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+        )
+        .orderBy("node")
+    )
+
+
+USER_TRIANGLES_SQL = """
+WITH raw AS (
+  SELECT user_id % 97 AS u,
+         ((user_id % 97) * 31 + length(event_type)) % 97 AS v
+  FROM events
+),
+ed AS (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+  FROM raw WHERE u != v
+),
+deg AS (
+  SELECT n, COUNT(*) AS deg FROM (
+    SELECT a AS n FROM ed UNION ALL SELECT b AS n FROM ed
+  ) GROUP BY n
+),
+tri AS (
+  SELECT exy.a AS x, exy.b AS y, exz.b AS z
+  FROM ed exy
+  JOIN ed exz ON exz.a = exy.a AND exz.b > exy.b
+  JOIN ed eyz ON eyz.a = exy.b AND eyz.b = exz.b
+),
+per_node AS (
+  SELECT n, COUNT(*) AS n_triangles FROM (
+    SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY n
+)
+SELECT CAST(p.n AS BIGINT) AS node, CAST(d.deg AS BIGINT) AS degree,
+       CAST(p.n_triangles AS BIGINT) AS n_triangles
+FROM per_node p JOIN deg d ON d.n = p.n
+ORDER BY node
+"""
+
+
 def event_type_pagerank(spark, sf_dir):
     """PageRank over the event-type transition graph: edges are
     per-user consecutive event pairs (lead() over each user's
@@ -12990,6 +13107,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         coordinated_commits_counts,
         COORDINATED_COMMITS_SQL,
     ),
+    "user_triangle_counts": (user_triangle_counts, USER_TRIANGLES_SQL),
     "msgpack_ingest_stats": (msgpack_ingest_stats, MSGPACK_INGEST_SQL),
     "avro_ingest_stats": (avro_ingest_stats, AVRO_INGEST_SQL),
     "tfrecord_ingest_stats": (tfrecord_ingest_stats, TFRECORD_INGEST_SQL),

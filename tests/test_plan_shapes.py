@@ -518,3 +518,18 @@ def test_sitemap_extract_is_pure_jvm_single_agg(spark):
     assert "Generate" not in plan  # aggregates ride the arrays directly
     s = plan_summary(df)
     assert s.get("scans", 1) == 1
+
+
+def test_triangle_count_no_cartesian_and_equi_joins(spark):
+    """Round-8 graph analytic: the degree-ordered wedge join must plan
+    as equi-joins (hash/sort-merge/broadcast) — a cartesian or
+    nested-loop stage means the orientation predicate fell out of the
+    join keys and a hub node would explode at scale."""
+    from levi_spark.plans.inspect import executed_plan
+    from levi_spark.queries import user_triangle_counts
+
+    df = user_triangle_counts(spark, SF)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan
