@@ -4324,6 +4324,99 @@ FROM documents
 """
 
 
+def editdist_candidate_verify(spark, sf_dir):
+    """Edit-distance CANDIDATE VERIFICATION — the stage fuzzy-dedup
+    pipelines run after blocking and before clustering: cheap keys
+    propose pairs, an exact (bounded) Levenshtein pass verifies them.
+    Blocking key = (lang, source, n_chars // 32) — the classic
+    metadata+length blocking, which can never miss a near-identical
+    pair that shares provenance and approximate size; verification
+    computes ``levenshtein`` over the first 48 chars of the
+    ASCII-SANITIZED text (both engines' implementations agree on
+    ASCII; DuckDB's is byte-based, so the sanitizer is what makes the
+    oracle exact) entirely in JVM whole-stage codegen — built-in
+    ``levenshtein``, no Python. Per doc: candidate count, verified
+    count (distance <= 16), and the minimum distance (-1 when no
+    candidates). Scale shape: the pair join shuffles on the blocking
+    key only (same-block pairs, never all-pairs); block sizes bound
+    the quadratic term exactly the way LSH bands do in
+    ``minhash_lsh_neardup``, and the verify is a map-side expression
+    over the joined pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    pfx = F.substring(
+        F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""), 1, 48
+    )
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        (F.col("n_chars") / 32).cast("long").alias("lb"),
+        pfx.alias("pfx"),
+    )
+    a = base.select(
+        F.col("doc_id").alias("doc_a"), "lang", "source", "lb",
+        F.col("pfx").alias("pfx_a"),
+    )
+    b = base.select(
+        F.col("doc_id").alias("doc_b"), "lang", "source", "lb",
+        F.col("pfx").alias("pfx_b"),
+    )
+    pairs = (
+        a.join(b, ["lang", "source", "lb"])
+        .where(F.col("doc_b") > F.col("doc_a"))
+        .select(
+            "doc_a",
+            F.levenshtein("pfx_a", "pfx_b").cast("long").alias("dist"),
+        )
+    )
+    agg = pairs.groupBy("doc_a").agg(
+        F.count(F.lit(1)).alias("n_cand"),
+        F.sum(F.when(F.col("dist") <= 16, 1).otherwise(0))
+        .cast("long")
+        .alias("n_close"),
+        F.min("dist").alias("min_dist"),
+    )
+    return (
+        base.select(F.col("doc_id").alias("doc_a"))
+        .join(agg, "doc_a", "left")
+        .select(
+            F.col("doc_a").alias("doc_id"),
+            F.coalesce("n_cand", F.lit(0)).cast("long").alias("n_cand"),
+            F.coalesce("n_close", F.lit(0)).cast("long").alias("n_close"),
+            F.coalesce("min_dist", F.lit(-1)).cast("long").alias("min_dist"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+EDITDIST_VERIFY_SQL = """
+WITH base AS (
+  SELECT doc_id, lang, source, n_chars // 32 AS lb,
+         substr(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'), 1, 48) AS pfx
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a,
+         levenshtein(a.pfx, b.pfx) AS dist
+  FROM base a JOIN base b
+    ON a.lang = b.lang AND a.source = b.source AND a.lb = b.lb
+   AND b.doc_id > a.doc_id
+),
+agg AS (
+  SELECT doc_a, COUNT(*) AS n_cand,
+         SUM(CASE WHEN dist <= 16 THEN 1 ELSE 0 END) AS n_close,
+         MIN(dist) AS min_dist
+  FROM pairs GROUP BY doc_a
+)
+SELECT b.doc_id,
+       CAST(COALESCE(n_cand, 0) AS BIGINT) AS n_cand,
+       CAST(COALESCE(n_close, 0) AS BIGINT) AS n_close,
+       CAST(COALESCE(min_dist, -1) AS BIGINT) AS min_dist
+FROM base b LEFT JOIN agg ON agg.doc_a = b.doc_id
+ORDER BY doc_id
+"""
+
+
 def minhash_lsh_neardup(spark, sf_dir):
     """MinHash + LSH near-duplicate detection over word-3-gram shingles
     (w-shingling): K=16 minhashes, 4 bands x 4 rows, band-bucket join
@@ -13108,6 +13201,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         COORDINATED_COMMITS_SQL,
     ),
     "user_triangle_counts": (user_triangle_counts, USER_TRIANGLES_SQL),
+    "editdist_candidate_verify": (
+        editdist_candidate_verify,
+        EDITDIST_VERIFY_SQL,
+    ),
     "msgpack_ingest_stats": (msgpack_ingest_stats, MSGPACK_INGEST_SQL),
     "avro_ingest_stats": (avro_ingest_stats, AVRO_INGEST_SQL),
     "tfrecord_ingest_stats": (tfrecord_ingest_stats, TFRECORD_INGEST_SQL),
@@ -13118,6 +13215,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sitemap_url_extract": (sitemap_url_extract, SITEMAP_EXTRACT_SQL),
     "type_widening_counts": (type_widening_counts, TYPE_WIDENING_SQL),
     "stream_full_outer_join": (stream_full_outer_join, STREAM_FULL_OUTER_JOIN_SQL),
+    # changed in round 8 (JVM Gram at bench scale) — pinned directly
+    # after the new block so later additions can't push it past slot 50
+    "embedding_pca_projection": (embedding_pca_projection, PCA_PROJECTION_SQL),
     # -- ROUND 7 slots: new in r07 (SA progressive JPEG, FLAC
     #    stereo decorrelation, shredded variants) + the rewritten
     #    nonzero-chroma 4:2:0 gate; four of these CHANGED in round 8
@@ -13173,7 +13273,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "foreign_delta_interop": (foreign_delta_interop, FOREIGN_INTEROP_SQL),
     "dv_soft_delete_orders": (dv_soft_delete_orders, DV_SOFT_DELETE_SQL),
     "ann_ranking_metrics": (ann_ranking_metrics, ANN_RANKING_SQL),
-    "embedding_pca_projection": (embedding_pca_projection, PCA_PROJECTION_SQL),
     "incremental_agg_refresh": (incremental_agg_refresh, INCR_AGG_SQL),
     "q18_large_volume_customer": (q18_large_volume_customer, Q18_SQL),
     "stream_dedup_watermark": (stream_dedup_watermark, STREAM_DEDUP_WM_SQL),
