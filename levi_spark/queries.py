@@ -13138,6 +13138,127 @@ GROUP BY doc_id
 """
 
 
+def multimodal_ico_decode(spark, sf_dir):
+    """REAL icon-container decode — Windows ICO
+    (:mod:`levi_spark.operators.ico`), the ``/favicon.ico`` every web
+    crawl downloads from effectively every domain. Each document
+    becomes a TWO-entry icon: a 16x16 double-height DIB (bottom-up
+    BGR XOR plane + the 1-bit MSB-first AND mask, each mask row
+    padded to 32 bits — the three classic DIB trip-wires in one
+    entry) and an 8x8 PNG entry (the Vista+ extension, full PNG
+    stream with per-chunk CRCs). The oracle recomputes every channel
+    sum and the mask popcount from md5 arithmetic — a flipped mask
+    bit, a missed double-height halving, or BGR read as RGB all shift
+    a sum and cannot match. Scale shape: two Arrow-batched map-side
+    hops after the tiny input-spreading repartition; no
+    data-dependent shuffle, no driver loop."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from levi_spark.operators.ico import decode_ico, encode_ico
+
+    docs = _docs_parallel(spark, sf_dir)
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                b = np.frombuffer(
+                    hashlib.md5(text.encode("utf-8")).digest(), np.uint8
+                ).astype(np.int64)
+                r = np.arange(16)[:, None]
+                c = np.arange(16)[None, :]
+                dib = np.stack(
+                    [
+                        (b[c] + r) % 256,
+                        (b[c] + 2 * r) % 256,
+                        (b[c] + 3 * r) % 256,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                mask = ((b[c] + r) % 3 == 0).astype(np.uint8)
+                r8 = np.arange(8)[:, None]
+                c8 = np.arange(8)[None, :]
+                v = (3 * b[(r8 + c8) % 16] + r8) % 256
+                png = np.stack(
+                    [v, 255 - v, (v + 128) % 256], axis=2
+                ).astype(np.uint8)
+                payloads.append(
+                    encode_ico([("dib", dib, mask), ("png", png, None)])
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    icos = docs.mapInPandas(encode, "doc_id long, payload binary")
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf["doc_id"], pdf["payload"]):
+                entries = decode_ico(bytes(p))
+                if len(entries) != 2 or [e["kind"] for e in entries] != [
+                    "dib",
+                    "png",
+                ]:
+                    raise ValueError(
+                        f"doc {i}: unexpected ICO layout {entries!r}"
+                    )
+                ds = entries[0]["pixels"].astype(np.int64).sum(axis=(0, 1))
+                ps = entries[1]["pixels"].astype(np.int64).sum(axis=(0, 1))
+                rows.append(
+                    {
+                        "doc_id": int(i),
+                        "n_entries": 2,
+                        "dib_sum_r": int(ds[0]),
+                        "dib_sum_g": int(ds[1]),
+                        "dib_sum_b": int(ds[2]),
+                        "dib_mask_ones": int(entries[0]["mask"].sum()),
+                        "png_sum_r": int(ps[0]),
+                        "png_sum_g": int(ps[1]),
+                        "png_sum_b": int(ps[2]),
+                    }
+                )
+            yield pd.DataFrame(rows).astype("int64")
+
+    return icos.mapInPandas(
+        stats,
+        "doc_id long, n_entries long, dib_sum_r long, dib_sum_g long, "
+        "dib_sum_b long, dib_mask_ones long, png_sum_r long, "
+        "png_sum_g long, png_sum_b long",
+    )
+
+
+ICO_DECODE_SQL = """
+WITH b AS (
+  SELECT doc_id, list_transform(range(1,17),
+      i -> ('0x'||substr(md5(text),((i-1)*2+1)::INT,2))::BIGINT) AS byt
+  FROM documents
+), g AS (
+  SELECT doc_id,
+    flatten(list_transform(range(0,16), r -> list_transform(range(0,16),
+      c -> byt[c+1] + r))) AS d1,
+    flatten(list_transform(range(0,16), r -> list_transform(range(0,16),
+      c -> byt[c+1] + 2*r))) AS d2,
+    flatten(list_transform(range(0,16), r -> list_transform(range(0,16),
+      c -> byt[c+1] + 3*r))) AS d3,
+    flatten(list_transform(range(0,8), r -> list_transform(range(0,8),
+      c -> (3*byt[((r+c)%16)+1] + r) % 256))) AS pv
+  FROM b
+)
+SELECT doc_id, 2 AS n_entries,
+  CAST(list_sum(list_transform(d1, x -> x % 256)) AS BIGINT) AS dib_sum_r,
+  CAST(list_sum(list_transform(d2, x -> x % 256)) AS BIGINT) AS dib_sum_g,
+  CAST(list_sum(list_transform(d3, x -> x % 256)) AS BIGINT) AS dib_sum_b,
+  CAST(len(list_filter(d1, x -> x % 3 = 0)) AS BIGINT) AS dib_mask_ones,
+  CAST(list_sum(pv) AS BIGINT) AS png_sum_r,
+  CAST(list_sum(list_transform(pv, v -> 255 - v)) AS BIGINT) AS png_sum_g,
+  CAST(list_sum(list_transform(pv, v -> (v + 128) % 256)) AS BIGINT)
+    AS png_sum_b
+FROM g
+"""
+
+
 # Registry order is load-bearing: the driver's correctness gate runs the
 # FIRST 50 entries only, so each round the first 50 slots rotate to
 # whatever most needs a fresh driver row: queries with no row yet,
@@ -13192,7 +13313,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # the 4 queries at positions 50-53 missed both rounds). So the
     # first 50 slots are rotation policy: never-gated queries first,
     # then queries changed this round, then oldest-green backfill.
-    # -- ROUND 8 slots 1-7: NEW this round (collated reads, coordinated
+    # -- ROUND 8 second-half additions (lead the window: never gated) --
+    "multimodal_ico_decode": (multimodal_ico_decode, ICO_DECODE_SQL),
+    # -- ROUND 8 slots: NEW this round (collated reads, coordinated
     #    commits, Avro/TFRecord ingestion, QOI/BMP/AIFF/TGA codec gates,
     #    sitemap, type widening, FULL OUTER stream join) ----------------
     "collated_groupby_counts": (collated_groupby_counts, COLLATED_GROUPBY_SQL),
