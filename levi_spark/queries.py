@@ -13138,6 +13138,97 @@ GROUP BY doc_id
 """
 
 
+def log_checksum_counts(spark, sf_dir):
+    """VERSION CHECKSUM (``.crc``) files through the driver gate —
+    the Delta integrity surface delta-spark writes beside every
+    commit (:mod:`levi_spark.delta.checksum`). A customer table goes
+    through three commits (create, append, DV soft-delete), the gate
+    writes a checksum for EVERY version, then validates each one by
+    recomputing from log replay — so the .crc cycle proves
+    numFiles / tableSizeBytes / protocol / metadata / DV totals all
+    round-trip. Three hard cross-checks beyond validate's own
+    field-by-field compare: v2's ``tableSizeBytes`` must equal the
+    sum of ``os.stat`` sizes of the live data files (the checksum is
+    about PHYSICAL bytes, not log claims), v0's checksum must carry
+    no DV fields (the Opt convention omits empty), and v2's
+    ``numDeletedRecordsOpt`` lands in the output where the oracle
+    recomputes it from the delete predicate — a DV cardinality that
+    drifts cannot hash-match. Scale shape: checksum computation is
+    one metadata-scale pass over the cached live-add collect (one row
+    per file, zero data reads); the data plane is two distributed
+    writes + one DV delete + one snapshot scan with a single
+    hash-agg."""
+    import os as _os
+
+    from levi_spark.delta.checksum import validate_checksum, write_checksum
+    from levi_spark.delta.dv import soft_delete
+    from levi_spark.delta.log import DeltaLog
+    from levi_spark.delta.writer import write_delta
+
+    p = _os.path.join(_scratch("crc"), "t")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    write_delta(
+        cust.where(F.col("c_custkey") % 2 == 0).repartition(4),
+        p, mode="error", checkpoint_interval=None,
+    )
+    write_delta(
+        cust.where(F.col("c_custkey") % 2 == 1).repartition(4),
+        p, mode="append", checkpoint_interval=None,
+    )
+    soft_delete(spark, p, "c_acctbal < 0.0", dv_format="standard")
+
+    crcs = []
+    for v in (0, 1, 2):
+        write_checksum(spark, p, v)
+        crcs.append(validate_checksum(spark, p, v))
+    if "numDeletedRecordsOpt" in crcs[0] or "numDeletionVectorsOpt" in crcs[0]:
+        raise ValueError("v0 checksum carries DV fields for a DV-free snapshot")
+    live = DeltaLog(spark, p).snapshot(2).live_adds_collected()
+    physical = sum(
+        _os.stat(_os.path.join(p, r["add"]["path"])).st_size for r in live
+    )
+    if physical != crcs[2]["tableSizeBytes"]:
+        raise ValueError(
+            f"v2 tableSizeBytes {crcs[2]['tableSizeBytes']} != "
+            f"on-disk {physical}"
+        )
+    deleted = int(crcs[2]["numDeletedRecordsOpt"])
+
+    return (
+        DeltaLog(spark, p)
+        .snapshot()
+        .to_df()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_live"),
+            _qsum(F.col("c_acctbal"), "_ab"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_live",
+            _qval("_ab", "sum_acctbal"),
+            F.lit(3).cast("long").alias("crc_versions_valid"),
+            F.lit(deleted).cast("long").alias("crc_deleted_rows"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+LOG_CHECKSUM_SQL = f"""
+SELECT c_mktsegment, COUNT(*) AS n_live,
+       {_qsum_sql('c_acctbal')} / 10000.0 AS sum_acctbal,
+       CAST(3 AS BIGINT) AS crc_versions_valid,
+       (SELECT COUNT(*) FROM customer WHERE c_acctbal < 0.0)
+         AS crc_deleted_rows
+FROM customer
+WHERE NOT (c_acctbal < 0.0)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 def multimodal_ico_decode(spark, sf_dir):
     """REAL icon-container decode — Windows ICO
     (:mod:`levi_spark.operators.ico`), the ``/favicon.ico`` every web
@@ -13315,6 +13406,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # then queries changed this round, then oldest-green backfill.
     # -- ROUND 8 second-half additions (lead the window: never gated) --
     "multimodal_ico_decode": (multimodal_ico_decode, ICO_DECODE_SQL),
+    "log_checksum_counts": (log_checksum_counts, LOG_CHECKSUM_SQL),
     # -- ROUND 8 slots: NEW this round (collated reads, coordinated
     #    commits, Avro/TFRecord ingestion, QOI/BMP/AIFF/TGA codec gates,
     #    sitemap, type widening, FULL OUTER stream join) ----------------
