@@ -13229,6 +13229,103 @@ ORDER BY c_mktsegment
 """
 
 
+def pdf_text_extract(spark, sf_dir):
+    """REAL document-format decode — PDF text-layer extraction
+    (:mod:`levi_spark.operators.pdf`), the first stage of every
+    PDF-corpus pipeline. Each document becomes a complete two-page
+    PDF 1.4 file (catalog -> page tree -> FlateDecode content
+    streams -> byte-accurate xref) written by our own encoder and
+    parsed back by the full reader path: startxref -> xref table ->
+    trailer /Root -> /Pages walk -> inflate -> content-stream
+    tokenizer. Page 1 shows the text in 40-char lines via ``Tj`` +
+    ``T*``; page 2 exercises the whole show-operator vocabulary on
+    md5-derived content: a ``TJ`` array with kerning numbers, a ``'``
+    line-advance-and-show, and a hex-string ``Tj``. The oracle
+    recomputes page line counts and CODEPOINT SUMS from the raw text
+    and md5 in DuckDB — a swallowed kerning item, a missed newline
+    from ``'``, or a mis-unescaped string all shift a sum and cannot
+    match. Scale shape: two Arrow-batched map-side hops after the
+    tiny input-spreading repartition; no data-dependent shuffle, no
+    driver loop."""
+    import hashlib
+
+    import pandas as pd
+
+    from levi_spark.operators.pdf import decode_pdf_text, encode_pdf
+
+    docs = _docs_parallel(spark, sf_dir)
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                chunks = [text[i : i + 40] for i in range(0, len(text), 40)]
+                p1 = []
+                for j, ch in enumerate(chunks):
+                    if j:
+                        p1.append(("Tstar",))
+                    p1.append(("Tj", ch))
+                hx = hashlib.md5(text.encode("utf-8")).hexdigest()
+                p2 = [
+                    ("TJ", [hx[0:8], -120, hx[8:16], -60, hx[16:24], -30,
+                            hx[24:32]]),
+                    ("quote", text[:6]),
+                    ("TjHex", hx[28:32]),
+                ]
+                payloads.append(encode_pdf([p1, p2]))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    pdfs = docs.mapInPandas(encode, "doc_id long, payload binary")
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf["doc_id"], pdf["payload"]):
+                pages = decode_pdf_text(bytes(p))
+                if len(pages) != 2:
+                    raise ValueError(f"doc {i}: {len(pages)} pages")
+                rows.append(
+                    {
+                        "doc_id": int(i),
+                        "n_pages": 2,
+                        "p1_lines": pages[0].count("\n") + 1,
+                        "p1_cp_sum": sum(ord(c) for c in pages[0]),
+                        "p2_len": len(pages[1]),
+                        "p2_cp_sum": sum(ord(c) for c in pages[1]),
+                    }
+                )
+            yield pd.DataFrame(rows).astype("int64")
+
+    return pdfs.mapInPandas(
+        stats,
+        "doc_id long, n_pages long, p1_lines long, p1_cp_sum long, "
+        "p2_len long, p2_cp_sum long",
+    )
+
+
+PDF_TEXT_SQL = """
+WITH b AS (
+  SELECT doc_id, text, md5(text) AS hx,
+    list_sum(list_transform(range(1, length(text)+1),
+        i -> unicode(text[i]))) AS cp_text,
+    list_sum(list_transform(range(1, 33),
+        i -> unicode(md5(text)[i]))) AS cp_hx,
+    (length(text) + 39) // 40 AS n_lines
+  FROM documents
+)
+SELECT doc_id, 2 AS n_pages,
+  CAST(n_lines AS BIGINT) AS p1_lines,
+  CAST(cp_text + 10 * (n_lines - 1) AS BIGINT) AS p1_cp_sum,
+  CAST(32 + 1 + length(substr(text, 1, 6)) + 4 AS BIGINT) AS p2_len,
+  CAST(cp_hx + 10
+       + list_sum(list_transform(range(1, length(substr(text,1,6))+1),
+           i -> unicode(text[i])))
+       + list_sum(list_transform(range(29, 33), i -> unicode(hx[i])))
+       AS BIGINT) AS p2_cp_sum
+FROM b
+"""
+
+
 def multimodal_ico_decode(spark, sf_dir):
     """REAL icon-container decode — Windows ICO
     (:mod:`levi_spark.operators.ico`), the ``/favicon.ico`` every web
@@ -13407,6 +13504,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # -- ROUND 8 second-half additions (lead the window: never gated) --
     "multimodal_ico_decode": (multimodal_ico_decode, ICO_DECODE_SQL),
     "log_checksum_counts": (log_checksum_counts, LOG_CHECKSUM_SQL),
+    "pdf_text_extract": (pdf_text_extract, PDF_TEXT_SQL),
     # -- ROUND 8 slots: NEW this round (collated reads, coordinated
     #    commits, Avro/TFRecord ingestion, QOI/BMP/AIFF/TGA codec gates,
     #    sitemap, type widening, FULL OUTER stream join) ----------------
