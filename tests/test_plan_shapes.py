@@ -533,3 +533,28 @@ def test_triangle_count_no_cartesian_and_equi_joins(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Python" not in plan
+
+
+def test_cdc_chunk_dedup_single_evaluation_no_python(spark):
+    """Round-8 second half: LBFS-style content-defined chunking must
+    stay pure JVM (the window-local boundary rule is the whole point
+    — per-position independence keeps it inside codegen), and the
+    chunking subtree must evaluate ONCE into an h-keyed exchange that
+    both census and probe reuse (the countDistinct(doc_id) in the
+    census keeps the branches column-identical; a count-only census
+    gets doc_id pruned and the explode runs twice)."""
+    from levi_spark.plans.inspect import executed_plan
+    from levi_spark.queries import doc_cdc_chunk_dedup
+
+    df = doc_cdc_chunk_dedup(spark, SF)
+    plan = executed_plan(df)
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan  # census is partial-agg, never a window
+    df.collect()
+    final = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert final.count("explode") <= 1, "chunking evaluated twice"
+    assert "ReusedExchange" in final, "census/probe exchange not shared"
