@@ -13229,6 +13229,132 @@ ORDER BY c_mktsegment
 """
 
 
+def embedding_binary_quant_topk(spark, sf_dir):
+    """BINARY QUANTIZATION ANN — the 1-bit-per-dimension code family
+    (sign quantization; the asymmetric-rerank shape of RaBitQ /
+    "binary passage retrieval"): each 64-d vector collapses to 64
+    SIGN BITS packed into two int32-range words, candidate search is
+    Hamming distance = ``bit_count(xor)`` on those words — a 64x
+    byte-footprint cut and a 2-instruction distance, which is the
+    entire economics of scanning a 100 TB embedding corpus — and the
+    top-32 Hamming survivors per query are RERANKED with exact cosine
+    to emit top-5. The oracle replays bit packing, Hamming, and the
+    rerank in DuckDB with identical integer arithmetic.
+
+    Scale shape: packing is one map-side JVM pass (aggregate over the
+    dim sequence, whole-stage codegen, no Python); the Hamming scan
+    broadcasts the 10-query code table so the corpus side never
+    shuffles; only 32 candidate ids per query (320 rows) cross the
+    rerank boundary, where a broadcast join fetches exact vectors.
+    The per-query window ranks scan output with 10 bounded
+    partitions; at real scale the Hamming cut becomes a threshold
+    filter (distance <= r) before any ranking, keeping the scan
+    output proportional to matches, not corpus."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
+
+    def word(lo: int) -> str:
+        return (
+            f"aggregate(sequence({lo}, {lo + 31}), 0L, (acc, j) -> acc + "
+            f"CASE WHEN element_at(v, j) > 0D THEN shiftleft(1L, j - {lo}) "
+            f"ELSE 0L END)"
+        )
+
+    codes = v.select(
+        "vec_id",
+        F.expr(word(1)).alias("w1"),
+        F.expr(word(33)).alias("w2"),
+    )
+    qcodes = codes.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w1").alias("q1"),
+        F.col("w2").alias("q2"),
+    )
+    scanned = (
+        codes.join(F.broadcast(qcodes), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.bit_count(F.expr("w1 ^ q1")) + F.bit_count(F.expr("w2 ^ q2"))
+            ).alias("hamming"),
+        )
+    )
+    w_h = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        scanned.withColumn("__rh", F.row_number().over(w_h))
+        .where(F.col("__rh") <= 32)
+        .select("query_id", "neighbor_id", "hamming")
+    )
+    qv = v.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    nv = v.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    rer = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hamming",
+            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("score"),
+        )
+    )
+    w_k = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("__rk", F.row_number().over(w_k))
+        .where(F.col("__rk") <= 5)
+        .select("query_id", "neighbor_id", "hamming", "score")
+    )
+
+
+BINARY_QUANT_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+codes AS (
+  SELECT vec_id,
+    list_sum(list_transform(range(1, 33),
+      j -> CASE WHEN e[j] > 0 THEN (1::BIGINT << (j - 1)) ELSE 0 END))
+      AS w1,
+    list_sum(list_transform(range(33, 65),
+      j -> CASE WHEN e[j] > 0 THEN (1::BIGINT << (j - 33)) ELSE 0 END))
+      AS w2
+  FROM v
+),
+scanned AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         bit_count(xor(c.w1, q.w1)) + bit_count(xor(c.w2, q.w2)) AS hamming
+  FROM codes q JOIN codes c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 10
+),
+cand AS (
+  SELECT query_id, neighbor_id, hamming FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY hamming ASC, neighbor_id ASC) AS rh
+    FROM scanned
+  ) WHERE rh <= 32
+),
+rer AS (
+  SELECT query_id, neighbor_id, hamming,
+         ROUND(list_inner_product(q.e, n.e)
+           / (sqrt(list_inner_product(q.e, q.e))
+            * sqrt(list_inner_product(n.e, n.e))), 6) AS score
+  FROM cand
+  JOIN v q ON q.vec_id = query_id
+  JOIN v n ON n.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(hamming AS BIGINT) AS hamming, score
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score DESC, neighbor_id ASC) AS rk
+  FROM rer
+) WHERE rk <= 5
+"""
+
+
 def doc_cdc_chunk_dedup(spark, sf_dir):
     """CONTENT-DEFINED CHUNKING dedup — the rolling-window boundary
     rule of LBFS (Muthitacharoen et al., SOSP'01) that rsync-lineage
@@ -13655,6 +13781,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "log_checksum_counts": (log_checksum_counts, LOG_CHECKSUM_SQL),
     "pdf_text_extract": (pdf_text_extract, PDF_TEXT_SQL),
     "doc_cdc_chunk_dedup": (doc_cdc_chunk_dedup, CDC_CHUNK_SQL),
+    "embedding_binary_quant_topk": (
+        embedding_binary_quant_topk,
+        BINARY_QUANT_SQL,
+    ),
     # -- ROUND 8 slots: NEW this round (collated reads, coordinated
     #    commits, Avro/TFRecord ingestion, QOI/BMP/AIFF/TGA codec gates,
     #    sitemap, type widening, FULL OUTER stream join) ----------------
