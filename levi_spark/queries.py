@@ -13229,6 +13229,126 @@ ORDER BY c_mktsegment
 """
 
 
+def events_gap_fill(spark, sf_dir):
+    """TIME-SERIES GAP FILL + linear interpolation — the
+    ``time_bucket_gapfill``/``interpolate`` operator of time-series
+    stores (TimescaleDB, QuestDB), absent from stock SQL: per event
+    type, the hourly series is densified to EVERY hour between that
+    type's first and last observation (empty hours appear with
+    ``n_events = 0``), and each gap hour's value is linearly
+    interpolated between the nearest observed hours on either side.
+    All value math runs in quantized integer units with a
+    floor-of-double-ratio interpolation — bit-identical cross-engine
+    (the ``div``/``//`` operators were deliberately avoided: Spark
+    truncates toward zero, DuckDB floors, and interpolation deltas go
+    negative).
+
+    Scale shape: one hourly hash-agg (map-side partials), a per-type
+    span agg whose grid explode is bounded by hours-in-range (not
+    rows), and two IGNORE-NULLS running windows per type — the
+    partition key is event_type here, but at 100 TB the same plan
+    partitions by (series_id, day-range) so each window task holds
+    one bounded series slice; nothing in the shape depends on corpus
+    row count after the first agg."""
+    ev = _events(spark, sf_dir)
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.expr("ts_us div 3600000000").alias("hour_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            _qsum(F.col("value"), "_sv"),
+        )
+        .select(
+            "event_type",
+            "hour_id",
+            "cnt",
+            F.expr("_sv div cnt").alias("avg_q"),  # both positive: safe
+        )
+    )
+    grid = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hour_id").alias("h0"), F.max("hour_id").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(h0, h1)")).alias("hour_id"),
+        )
+    )
+    j = grid.join(hourly, ["event_type", "hour_id"], "left")
+    w_back = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("cnt").isNotNull(), F.col("hour_id"))
+    filled = (
+        j.withColumn("pv", F.last("avg_q", ignorenulls=True).over(w_back))
+        .withColumn("ph", F.last(obs_h, ignorenulls=True).over(w_back))
+        .withColumn("nv", F.first("avg_q", ignorenulls=True).over(w_fwd))
+        .withColumn("nh", F.first(obs_h, ignorenulls=True).over(w_fwd))
+    )
+    interp = F.col("pv") + F.floor(
+        (F.col("nv") - F.col("pv"))
+        * (F.col("hour_id") - F.col("ph"))
+        / (F.col("nh") - F.col("ph"))
+    ).cast("long")
+    return filled.select(
+        "event_type",
+        "hour_id",
+        F.when(F.col("cnt").isNull(), 1).otherwise(0).alias("is_gap"),
+        F.coalesce(F.col("cnt"), F.lit(0)).alias("n_events"),
+        F.when(F.col("cnt").isNotNull(), F.col("avg_q"))
+        .otherwise(interp)
+        .alias("avg_val_q"),
+    ).orderBy("event_type", "hour_id")
+
+
+GAP_FILL_SQL = """
+WITH hourly AS (
+  SELECT event_type, epoch_ns(ts) // 1000 // 3600000000 AS hour_id,
+         COUNT(*) AS cnt,
+         SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+           // COUNT(*) AS avg_q
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT event_type, unnest(range(MIN(hour_id), MAX(hour_id) + 1))
+           AS hour_id
+  FROM hourly GROUP BY event_type
+),
+j AS (
+  SELECT g.event_type, g.hour_id, h.cnt, h.avg_q,
+    last_value(h.avg_q IGNORE NULLS) OVER wb AS pv,
+    last_value(CASE WHEN h.cnt IS NOT NULL THEN g.hour_id END IGNORE NULLS)
+      OVER wb AS ph,
+    first_value(h.avg_q IGNORE NULLS) OVER wf AS nv,
+    first_value(CASE WHEN h.cnt IS NOT NULL THEN g.hour_id END IGNORE NULLS)
+      OVER wf AS nh
+  FROM grid g LEFT JOIN hourly h USING (event_type, hour_id)
+  WINDOW
+    wb AS (PARTITION BY g.event_type ORDER BY g.hour_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wf AS (PARTITION BY g.event_type ORDER BY g.hour_id
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, hour_id,
+       CASE WHEN cnt IS NULL THEN 1 ELSE 0 END AS is_gap,
+       COALESCE(cnt, 0) AS n_events,
+       CASE WHEN cnt IS NOT NULL THEN avg_q
+            ELSE pv + CAST(floor((nv - pv) * (hour_id - ph)
+                                 * 1.0 / (nh - ph)) AS BIGINT)
+       END AS avg_val_q
+FROM j
+ORDER BY event_type, hour_id
+"""
+
+
 def embedding_binary_quant_topk(spark, sf_dir):
     """BINARY QUANTIZATION ANN — the 1-bit-per-dimension code family
     (sign quantization; the asymmetric-rerank shape of RaBitQ /
@@ -13785,6 +13905,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         embedding_binary_quant_topk,
         BINARY_QUANT_SQL,
     ),
+    "events_gap_fill": (events_gap_fill, GAP_FILL_SQL),
     # -- ROUND 8 slots: NEW this round (collated reads, coordinated
     #    commits, Avro/TFRecord ingestion, QOI/BMP/AIFF/TGA codec gates,
     #    sitemap, type widening, FULL OUTER stream join) ----------------
