@@ -13229,6 +13229,116 @@ ORDER BY c_mktsegment
 """
 
 
+def subtitle_ingest_stats(spark, sf_dir):
+    """SUBTITLE ingestion — SRT and WebVTT, the caption sidecars every
+    video-transcript pipeline mines for aligned text. Each document
+    synthesizes a real cue file from its words (6 words per cue; even
+    docs as SubRip — numbered cues, comma millisecond separator — odd
+    docs as WebVTT — ``WEBVTT`` header, dot separator), and the
+    OPERATOR parses it back with pure JVM expressions: blocks split
+    on blank lines, the timing line's eight ``HH:MM:SS[,.]mmm``
+    fields extracted and recombined into milliseconds, the cue text
+    taken as the block's last line, and cue-start monotonicity
+    checked with ``array_sort``. Build and parse both run inside
+    WholeStageCodegen — no Python, no UDFs, no shuffle at all (one
+    map-side pass). The oracle recomputes cue counts, summed
+    durations, and text chars from the word list alone — a
+    mis-parsed minute field or a cue text read off the timing line
+    shifts a sum and cannot match. Scale shape: one scan -> map-side
+    build+parse; per-doc arrays bounded by words/6."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = "split(trim(text), '\\\\s+')"
+    # cue timing: start = j*2500 + doc_id%500, dur = 2000 + (j%3)*250
+    fmt = (
+        "concat(lpad(CAST({ms} div 3600000 AS STRING), 2, '0'), ':',"
+        " lpad(CAST({ms} div 60000 % 60 AS STRING), 2, '0'), ':',"
+        " lpad(CAST({ms} div 1000 % 60 AS STRING), 2, '0'), {sep},"
+        " lpad(CAST({ms} % 1000 AS STRING), 3, '0'))"
+    )
+    sep = "CASE WHEN doc_id % 2 = 0 THEN ',' ELSE '.' END"
+    start = "(j * 2500 + doc_id % 500)"
+    end = f"({start} + 2000 + (j % 3) * 250)"
+    cue = (
+        "concat("
+        "CASE WHEN doc_id % 2 = 0 THEN concat(CAST(j + 1 AS STRING), '\\n')"
+        " ELSE '' END,"
+        + fmt.format(ms=start, sep=sep)
+        + ", ' --> ', "
+        + fmt.format(ms=end, sep=sep)
+        + f", '\\n', concat_ws(' ', slice({words}, j * 6 + 1, 6)))"
+    )
+    payload = (
+        "concat("
+        "CASE WHEN doc_id % 2 = 1 THEN 'WEBVTT\\n\\n' ELSE '' END,"
+        f"concat_ws('\\n\\n', transform(sequence(0, "
+        f"CAST(ceil(size({words}) / 6.0) AS INT) - 1), j -> {cue})))"
+    )
+    t = docs.select("doc_id", F.expr(payload).alias("sub"))
+    ts_re = r"(\\d{2}):(\\d{2}):(\\d{2})[,.](\\d{3})"
+    blocks = "filter(split(sub, '\\n\\n'), b -> b rlike ' --> ')"
+
+    def ms(prefix: str, g0: int) -> str:
+        full = rf"'^(?s).*?{ts_re} --> {ts_re}.*'"
+        if prefix == "end":
+            g0 += 4
+        return (
+            f"CAST(regexp_extract(b, {full}, {g0 + 1}) AS BIGINT) * 3600000"
+            f" + CAST(regexp_extract(b, {full}, {g0 + 2}) AS BIGINT) * 60000"
+            f" + CAST(regexp_extract(b, {full}, {g0 + 3}) AS BIGINT) * 1000"
+            f" + CAST(regexp_extract(b, {full}, {g0 + 4}) AS BIGINT)"
+        )
+
+    parsed = t.select(
+        "doc_id",
+        F.when(F.expr("sub like 'WEBVTT%'"), F.lit("vtt"))
+        .otherwise(F.lit("srt"))
+        .alias("kind"),
+        F.expr(
+            f"transform({blocks}, b -> named_struct("
+            f"'s', {ms('start', 0)}, 'e', {ms('end', 0)}, "
+            "'c', char_length(element_at(split(b, '\\n'), -1))))"
+        ).alias("cues"),
+    )
+    return parsed.select(
+        "doc_id",
+        "kind",
+        F.expr("size(cues)").alias("n_cues"),
+        F.expr(
+            "aggregate(cues, 0L, (acc, x) -> acc + x.e - x.s)"
+        ).alias("total_dur_ms"),
+        F.expr("aggregate(cues, 0L, (acc, x) -> acc + x.c)").alias(
+            "cue_text_chars"
+        ),
+        F.expr(
+            "CASE WHEN transform(cues, x -> x.s) = "
+            "array_sort(transform(cues, x -> x.s)) THEN 1 ELSE 0 END"
+        ).alias("monotonic"),
+    )
+
+
+SUBTITLE_INGEST_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\\s+') AS ws,
+         CAST(ceil(len(string_split_regex(trim(text), '\\s+')) / 6.0)
+              AS BIGINT) AS n
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'srt' ELSE 'vtt' END AS kind,
+  n AS n_cues,
+  CAST(2000 * n + 250 * list_sum(list_transform(range(0, n::INT),
+       j -> j % 3)) AS BIGINT) AS total_dur_ms,
+  CAST(list_sum(list_transform(range(0, n::INT), j ->
+    list_sum(list_transform(list_slice(ws, j*6 + 1, j*6 + 6),
+                            x -> length(x)))
+    + len(list_slice(ws, j*6 + 1, j*6 + 6)) - 1)) AS BIGINT)
+    AS cue_text_chars,
+  1 AS monotonic
+FROM w
+"""
+
+
 def events_gap_fill(spark, sf_dir):
     """TIME-SERIES GAP FILL + linear interpolation — the
     ``time_bucket_gapfill``/``interpolate`` operator of time-series
@@ -13906,6 +14016,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         BINARY_QUANT_SQL,
     ),
     "events_gap_fill": (events_gap_fill, GAP_FILL_SQL),
+    "subtitle_ingest_stats": (subtitle_ingest_stats, SUBTITLE_INGEST_SQL),
     # -- ROUND 8 slots: NEW this round (collated reads, coordinated
     #    commits, Avro/TFRecord ingestion, QOI/BMP/AIFF/TGA codec gates,
     #    sitemap, type widening, FULL OUTER stream join) ----------------
