@@ -13229,6 +13229,111 @@ ORDER BY c_mktsegment
 """
 
 
+def multimodal_webp_decode(spark, sf_dir):
+    """REAL web-image decode — WebP lossless / VP8L
+    (:mod:`levi_spark.operators.webp`), the format that outnumbers
+    PNG on modern pages and therefore in any fresh crawl. Each
+    document becomes a 16x16 image (constant top band driving LZ77
+    runs, md5-ramped body) encoded through a doc-rotating slice of
+    the VP8L feature space: plain ARGB, subtract-green + color
+    cache, a uniform predictor transform (mode = doc_id % 14, so all
+    14 predictors appear in the corpus), and RGBA + cache. Because
+    VP8L is lossless, ONE md5-arithmetic oracle covers every
+    variant: a wrong predictor inverse, a stale cache slot, or a
+    mis-mapped 2D distance shifts a channel sum and cannot match.
+    Scale shape: two Arrow-batched map-side hops after the tiny
+    input-spreading repartition; no data-dependent shuffle, no
+    driver loop."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from levi_spark.operators.webp import decode_webp, encode_webp
+
+    docs = _docs_parallel(spark, sf_dir)
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(
+                    hashlib.md5(text.encode("utf-8")).digest(), np.uint8
+                ).astype(np.int64)
+                d = int(doc_id)
+                r = np.arange(16)[:, None]
+                c = np.arange(16)[None, :]
+                R = np.where(r < 4, b[0], (b[c] + r) % 256)
+                G = np.where(r < 4, b[1], (b[c] + 2 * r) % 256)
+                B = np.where(r < 4, b[2], (b[c] + 3 * r) % 256)
+                planes = [R, G, B]
+                if d % 4 == 3:
+                    planes.append(b[(r + c) % 16] | 1)
+                img = np.stack(planes, axis=2).astype(np.uint8)
+                kw = [
+                    {},
+                    {"subtract_green": True, "cache_bits": 6},
+                    {"predictor": d % 14},
+                    {"cache_bits": 4},
+                ][d % 4]
+                payloads.append(encode_webp(img, **kw))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    webps = docs.mapInPandas(encode, "doc_id long, payload binary")
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf["doc_id"], pdf["payload"]):
+                rgba = decode_webp(bytes(p))
+                s = rgba.astype(np.int64).sum(axis=(0, 1))
+                rows.append(
+                    {
+                        "doc_id": int(i),
+                        "width": rgba.shape[1],
+                        "height": rgba.shape[0],
+                        "has_alpha": 1 if int(i) % 4 == 3 else 0,
+                        "sum_r": int(s[0]),
+                        "sum_g": int(s[1]),
+                        "sum_b": int(s[2]),
+                        "sum_a": int(s[3]),
+                    }
+                )
+            yield pd.DataFrame(rows).astype("int64")
+
+    return webps.mapInPandas(
+        stats,
+        "doc_id long, width long, height long, has_alpha long, "
+        "sum_r long, sum_g long, sum_b long, sum_a long",
+    )
+
+
+WEBP_DECODE_SQL = """
+WITH b AS (
+  SELECT doc_id, list_transform(range(1,17),
+      i -> ('0x'||substr(md5(text),((i-1)*2+1)::INT,2))::BIGINT) AS byt
+  FROM documents
+)
+SELECT doc_id, 16 AS width, 16 AS height,
+       CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END AS has_alpha,
+       CAST(64 * byt[1] + list_sum(flatten(list_transform(range(4,16),
+          r -> list_transform(range(0,16), c -> (byt[c+1]+r)%256))))
+         AS BIGINT) AS sum_r,
+       CAST(64 * byt[2] + list_sum(flatten(list_transform(range(4,16),
+          r -> list_transform(range(0,16), c -> (byt[c+1]+2*r)%256))))
+         AS BIGINT) AS sum_g,
+       CAST(64 * byt[3] + list_sum(flatten(list_transform(range(4,16),
+          r -> list_transform(range(0,16), c -> (byt[c+1]+3*r)%256))))
+         AS BIGINT) AS sum_b,
+       CAST(CASE WHEN doc_id % 4 = 3
+            THEN list_sum(flatten(list_transform(range(0,16),
+               r -> list_transform(range(0,16),
+                 c -> byt[((r+c)%16)+1] + 1 - byt[((r+c)%16)+1] % 2))))
+            ELSE 65280 END AS BIGINT) AS sum_a
+FROM b
+"""
+
+
 def subtitle_ingest_stats(spark, sf_dir):
     """SUBTITLE ingestion — SRT and WebVTT, the caption sidecars every
     video-transcript pipeline mines for aligned text. Each document
@@ -14017,6 +14122,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "events_gap_fill": (events_gap_fill, GAP_FILL_SQL),
     "subtitle_ingest_stats": (subtitle_ingest_stats, SUBTITLE_INGEST_SQL),
+    "multimodal_webp_decode": (multimodal_webp_decode, WEBP_DECODE_SQL),
     # -- ROUND 8 slots: NEW this round (collated reads, coordinated
     #    commits, Avro/TFRecord ingestion, QOI/BMP/AIFF/TGA codec gates,
     #    sitemap, type widening, FULL OUTER stream join) ----------------
