@@ -13229,6 +13229,112 @@ ORDER BY c_mktsegment
 """
 
 
+def mp3_frame_census_stats(spark, sf_dir):
+    """MP3 FRAMING census — the honest indexing slice of the refused
+    MP3-decode seam (:mod:`levi_spark.operators.mp3`): an audio-shard
+    pipeline must know per blob how many frames, samples, and bytes
+    of actual audio it holds, whether it is CBR or VBR, and where the
+    ID3 tags sit — all pure ISO/IEC 11172-3 header arithmetic, no
+    psychoacoustic decode. Each document synthesizes an MP3 whose
+    frame count, per-frame bitrate indices, padding bits, sample
+    rate, and ID3v2 tag size all derive from md5/doc_id arithmetic,
+    and the census walks it STRICTLY: the Layer III frame-size
+    formula (``144 * bitrate / rate + padding``) must land every
+    frame boundary exactly or the walk desyncs and raises — so a
+    hash match proves the size arithmetic, the syncsafe ID3 skip,
+    and the trailing-TAG handling all at once. Scale shape: two
+    Arrow-batched map-side hops after the tiny input-spreading
+    repartition; no data-dependent shuffle, no driver loop."""
+    import hashlib
+
+    import pandas as pd
+
+    from levi_spark.operators.mp3 import build_mp3, mp3_frame_census
+
+    docs = _docs_parallel(spark, sf_dir)
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = hashlib.md5(text.encode("utf-8")).digest()
+                d = int(doc_id)
+                frames = [
+                    (1 + b[i % 16] % 14, b[(i + 3) % 16] % 2)
+                    for i in range(3 + d % 4)
+                ]
+                payloads.append(
+                    build_mp3(
+                        frames,
+                        rate_index=d % 3,
+                        id3v2_payload=b"t" * ((d % 5) * 3),
+                        id3v1=d % 2 == 1,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    mp3s = docs.mapInPandas(encode, "doc_id long, payload binary")
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf["doc_id"], pdf["payload"]):
+                c = mp3_frame_census(bytes(p))
+                c["doc_id"] = int(i)
+                rows.append(c)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "n_samples", "sum_bitrate_kbps",
+                    "n_padded", "is_vbr", "sample_rate", "audio_bytes",
+                    "id3v2_bytes", "id3v1_bytes",
+                ],
+            ).astype("int64")
+
+    return mp3s.mapInPandas(
+        stats,
+        "doc_id long, n_frames long, n_samples long, "
+        "sum_bitrate_kbps long, n_padded long, is_vbr long, "
+        "sample_rate long, audio_bytes long, id3v2_bytes long, "
+        "id3v1_bytes long",
+    )
+
+
+MP3_CENSUS_SQL = """
+WITH b AS (
+  SELECT doc_id, list_transform(range(1,17),
+      i -> ('0x'||substr(md5(text),((i-1)*2+1)::INT,2))::BIGINT) AS byt,
+    3 + doc_id % 4 AS n,
+    [44100, 48000, 32000][(doc_id % 3)::INT + 1] AS rate
+  FROM documents
+), f AS (
+  SELECT doc_id, n, rate,
+    list_transform(range(0, n::INT),
+      i -> [0,32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+           [(1 + byt[(i % 16) + 1] % 14)::INT + 1]) AS kbps,
+    list_transform(range(0, n::INT),
+      i -> byt[((i + 3) % 16) + 1] % 2) AS pads
+  FROM b
+)
+SELECT doc_id,
+  CAST(n AS BIGINT) AS n_frames,
+  CAST(n * 1152 AS BIGINT) AS n_samples,
+  CAST(list_sum(kbps) AS BIGINT) AS sum_bitrate_kbps,
+  CAST(list_sum(pads) AS BIGINT) AS n_padded,
+  CAST(CASE WHEN len(list_distinct(kbps)) > 1 THEN 1 ELSE 0 END
+       AS BIGINT) AS is_vbr,
+  CAST(rate AS BIGINT) AS sample_rate,
+  CAST(list_sum(list_transform(range(0, n::INT),
+      i -> 144 * kbps[i+1] * 1000 // rate + pads[i+1])) AS BIGINT)
+    AS audio_bytes,
+  CAST(CASE WHEN doc_id % 5 = 0 THEN 0
+            ELSE 10 + (doc_id % 5) * 3 END AS BIGINT) AS id3v2_bytes,
+  CAST(CASE WHEN doc_id % 2 = 1 THEN 128 ELSE 0 END AS BIGINT)
+    AS id3v1_bytes
+FROM f
+"""
+
+
 def multimodal_webp_decode(spark, sf_dir):
     """REAL web-image decode — WebP lossless / VP8L
     (:mod:`levi_spark.operators.webp`), the format that outnumbers
@@ -14123,6 +14229,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_gap_fill": (events_gap_fill, GAP_FILL_SQL),
     "subtitle_ingest_stats": (subtitle_ingest_stats, SUBTITLE_INGEST_SQL),
     "multimodal_webp_decode": (multimodal_webp_decode, WEBP_DECODE_SQL),
+    "mp3_frame_census_stats": (mp3_frame_census_stats, MP3_CENSUS_SQL),
     # -- ROUND 8 slots: NEW this round (collated reads, coordinated
     #    commits, Avro/TFRecord ingestion, QOI/BMP/AIFF/TGA codec gates,
     #    sitemap, type widening, FULL OUTER stream join) ----------------
