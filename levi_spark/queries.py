@@ -13229,6 +13229,112 @@ ORDER BY c_mktsegment
 """
 
 
+def midi_event_census(spark, sf_dir):
+    """SYMBOLIC-MUSIC ingestion — Standard MIDI File parsing
+    (:mod:`levi_spark.operators.midi`): every public score/piano
+    dataset ships as ``.mid``, and indexing one means big-endian
+    7-bit VARINTS (the reverse bit order of protobuf's — both now
+    owned), RUNNING STATUS (status bytes omitted after repeats; a
+    parser that misses it desyncs), and TEMPO-MAP integration
+    (microseconds = ticks x us-per-quarter segments / division).
+    Each document builds a format-1 file — a conductor track with
+    two tempo events and a note track whose deltas, pitches, and
+    velocities derive from md5 — with running status ON, and the
+    census walks it strictly. The oracle re-derives note sums,
+    tick spans, and the two-segment tempo integral from md5/doc_id
+    arithmetic: a varint read off by one bit, a skipped running-
+    status note, or a tempo segment attributed to the wrong span
+    all shift a sum and cannot match. Scale shape: two
+    Arrow-batched map-side hops after the tiny input-spreading
+    repartition; no data-dependent shuffle, no driver loop."""
+    import hashlib
+
+    import pandas as pd
+
+    from levi_spark.operators.midi import build_midi, midi_event_stats
+
+    docs = _docs_parallel(spark, sf_dir)
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = hashlib.md5(text.encode("utf-8")).digest()
+                d = int(doc_id)
+                t1_tick = 50 * (1 + d % 7)
+                t0 = [
+                    (0, "tempo", 300_000 + b[0] * 500),
+                    (t1_tick, "tempo", 200_000 + b[1] * 500),
+                ]
+                evs = []
+                for i in range(4 + d % 5):
+                    evs.append(
+                        (b[i % 16] % 128, "on", i % 16,
+                         b[(i + 1) % 16] % 128, 1 + b[(i + 2) % 16] % 127)
+                    )
+                    evs.append(
+                        (b[(i + 3) % 16] % 64 + 1, "off", i % 16,
+                         b[(i + 1) % 16] % 128, 0)
+                    )
+                payloads.append(
+                    build_midi([t0, evs], division=240 + (d % 4) * 120)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    mids = docs.mapInPandas(encode, "doc_id long, payload binary")
+
+    cols = [
+        "doc_id", "fmt", "n_tracks", "division", "n_notes", "sum_pitch",
+        "sum_velocity", "max_tick", "n_tempo_changes", "duration_us",
+    ]
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf["doc_id"], pdf["payload"]):
+                c = midi_event_stats(bytes(p))
+                c["doc_id"] = int(i)
+                rows.append(c)
+            yield pd.DataFrame(rows, columns=cols).astype("int64")
+
+    return mids.mapInPandas(stats, ", ".join(f"{c} long" for c in cols))
+
+
+MIDI_CENSUS_SQL = """
+WITH b AS (
+  SELECT doc_id, list_transform(range(1,17),
+      i -> ('0x'||substr(md5(text),((i-1)*2+1)::INT,2))::BIGINT) AS byt,
+    4 + doc_id % 5 AS n,
+    240 + (doc_id % 4) * 120 AS division,
+    50 * (1 + doc_id % 7) AS t1
+  FROM documents
+), agg AS (
+  SELECT doc_id, n, division, t1,
+    300000 + byt[1] * 500 AS v0,
+    200000 + byt[2] * 500 AS v1,
+    list_sum(list_transform(range(0, n::INT),
+      i -> byt[(i % 16) + 1] % 128
+         + byt[((i + 3) % 16) + 1] % 64 + 1)) AS note_ticks,
+    list_sum(list_transform(range(0, n::INT),
+      i -> byt[((i + 1) % 16) + 1] % 128)) AS sum_pitch,
+    list_sum(list_transform(range(0, n::INT),
+      i -> 1 + byt[((i + 2) % 16) + 1] % 127)) AS sum_velocity
+  FROM b
+)
+SELECT doc_id, 1 AS fmt, 2 AS n_tracks,
+  CAST(division AS BIGINT) AS division,
+  CAST(n AS BIGINT) AS n_notes,
+  CAST(sum_pitch AS BIGINT) AS sum_pitch,
+  CAST(sum_velocity AS BIGINT) AS sum_velocity,
+  CAST(greatest(note_ticks, t1) AS BIGINT) AS max_tick,
+  2 AS n_tempo_changes,
+  CAST((least(t1, greatest(note_ticks, t1)) * v0
+        + greatest(greatest(note_ticks, t1) - t1, 0) * v1)
+       // division AS BIGINT) AS duration_us
+FROM agg
+"""
+
+
 def mp3_frame_census_stats(spark, sf_dir):
     """MP3 FRAMING census — the honest indexing slice of the refused
     MP3-decode seam (:mod:`levi_spark.operators.mp3`): an audio-shard
@@ -14230,6 +14336,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "subtitle_ingest_stats": (subtitle_ingest_stats, SUBTITLE_INGEST_SQL),
     "multimodal_webp_decode": (multimodal_webp_decode, WEBP_DECODE_SQL),
     "mp3_frame_census_stats": (mp3_frame_census_stats, MP3_CENSUS_SQL),
+    "midi_event_census": (midi_event_census, MIDI_CENSUS_SQL),
     # -- ROUND 8 slots: NEW this round (collated reads, coordinated
     #    commits, Avro/TFRecord ingestion, QOI/BMP/AIFF/TGA codec gates,
     #    sitemap, type widening, FULL OUTER stream join) ----------------
