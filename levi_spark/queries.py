@@ -13229,6 +13229,48 @@ ORDER BY c_mktsegment
 """
 
 
+def stream_chained_agg(spark, sf_dir):
+    """CHAINED STATEFUL streaming — two windowed aggregations in ONE
+    streaming query (Spark 3.5+ multiple-stateful-operator support;
+    :func:`levi_spark.streaming.jobs.chained_window_agg_stream`): a
+    1-hour tumbling aggregate whose closed windows flow directly
+    into a ``window(w, '1 day')`` re-aggregation, two state stores
+    in one plan — the shape that previously required two queries
+    glued by an intermediate sink. The sentinel-tail drain pushes
+    the watermark past every day boundary so append mode flushes
+    ALL daily windows and the batch oracle is exact (the withheld-
+    tail caveat engineered away, same device as the outer stream
+    joins). Oracle: the equivalent batch hourly->daily rollup;
+    ``n_hours`` (counted from the FIRST aggregate's rows) proves
+    the chain really passed through hourly partials — a plan that
+    aggregated days directly could match n_events but never
+    n_hours. Scale shape: one distributed staging write; per
+    micro-batch state is O(open windows), not O(rows)."""
+    from levi_spark.streaming.jobs import run_chained_window_agg
+
+    return run_chained_window_agg(spark, sf_dir).orderBy(
+        "day_s", "event_type"
+    )
+
+
+STREAM_CHAINED_AGG_SQL = """
+WITH e AS (
+  SELECT date_trunc('hour', make_timestamp(epoch_ns(ts) // 1000)) AS h,
+         date_trunc('day', make_timestamp(epoch_ns(ts) // 1000)) AS d,
+         event_type, value
+  FROM events
+)
+SELECT strftime(d, '%Y-%m-%d') AS day_s, event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT h) AS n_hours,
+       CAST(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 10000.0 AS sum_value
+FROM e
+GROUP BY d, event_type
+ORDER BY day_s, event_type
+"""
+
+
 def midi_event_census(spark, sf_dir):
     """SYMBOLIC-MUSIC ingestion — Standard MIDI File parsing
     (:mod:`levi_spark.operators.midi`): every public score/piano
@@ -14337,6 +14379,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "multimodal_webp_decode": (multimodal_webp_decode, WEBP_DECODE_SQL),
     "mp3_frame_census_stats": (mp3_frame_census_stats, MP3_CENSUS_SQL),
     "midi_event_census": (midi_event_census, MIDI_CENSUS_SQL),
+    "stream_chained_agg": (stream_chained_agg, STREAM_CHAINED_AGG_SQL),
     # -- ROUND 8 slots: NEW this round (collated reads, coordinated
     #    commits, Avro/TFRecord ingestion, QOI/BMP/AIFF/TGA codec gates,
     #    sitemap, type widening, FULL OUTER stream join) ----------------

@@ -630,3 +630,115 @@ def run_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_sessions").alias("n_sessions"),
         F.max("n_events").alias("n_events"),
     )
+
+
+def chained_window_agg_stream(events: DataFrame) -> DataFrame:
+    """CHAINED stateful aggregation (Spark 3.5+'s multiple-stateful-
+    operator support): a tumbling 1-hour windowed aggregate feeds a
+    second windowed aggregate over ``window(w, '1 day')`` — the hourly
+    partials close as the watermark passes each hour and flow straight
+    into the daily state store within the SAME streaming query, so a
+    day's rollup needs state proportional to open windows, not to the
+    day's rows. Before multi-stateful support this took two queries
+    glued by a sink; here it is one plan with two state stores."""
+    ts = F.timestamp_micros(F.col("ts_us"))
+    hourly = (
+        events.withColumn("__ts", ts)
+        .withWatermark("__ts", "1 hour")
+        .groupBy(F.window("__ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("value") * F.lit(10000.0) + F.lit(0.5))
+                .cast("long")
+            ).alias("sv"),
+        )
+    )
+    return (
+        hourly.groupBy(F.window(F.col("w"), "1 day").alias("d"), "event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum("sv").alias("_sv"),
+        )
+        .select(
+            F.date_format(F.col("d.start"), "yyyy-MM-dd").alias("day_s"),
+            "event_type",
+            "n_events",
+            "n_hours",
+            (F.col("_sv").cast("double") / F.lit(10000.0)).alias("sum_value"),
+        )
+    )
+
+
+def run_chained_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the hourly->daily chained aggregation with the sentinel-
+    tail pattern: the scratch stream dir carries the real rows, then
+    two far-future sentinel batches (event_type ``zz_sentinel``, 10
+    and 30 days past max event time) that push the watermark past
+    every day boundary so append mode flushes ALL daily windows —
+    without them the final day would stay withheld in state and the
+    batch oracle could never match. Sentinels filter out afterwards.
+    Scale shape: one distributed staging write; the drain commits two
+    chained state stores per micro-batch, O(open windows) state."""
+    import glob
+    import os
+    import tempfile
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from levi_spark.sources.registry import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "event_id", "event_type", "value", "ts_us"
+    )
+    max_ts = ev.agg(F.max("ts_us")).collect()[0][0]
+    d = tempfile.mkdtemp(prefix="levi_chain_")
+    path = os.path.join(d, "stream")
+    os.makedirs(path)
+    tmp = path + "__tmp"
+    ev.repartition(2).write.parquet(tmp)
+    base = time.time()
+    i = 0
+    for part in sorted(glob.glob(os.path.join(tmp, "part-*.parquet"))):
+        f = os.path.join(path, f"{i:03d}_batch.parquet")
+        os.replace(part, f)
+        os.utime(f, (base + 1000 * i,) * 2)
+        i += 1
+    for off_days in (10, 30):
+        f = os.path.join(path, f"{i:03d}_sentinel.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([-1], pa.int64()),
+                    "event_type": pa.array(["zz_sentinel"], pa.string()),
+                    "value": pa.array([0.0], pa.float64()),
+                    "ts_us": pa.array(
+                        [int(max_ts) + off_days * 86_400_000_000],
+                        pa.int64(),
+                    ),
+                }
+            ),
+            f,
+        )
+        os.utime(f, (base + 1000 * i,) * 2)
+        i += 1
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("ts_us", LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+    out = _drain_to_memory(
+        chained_window_agg_stream(stream), "append", state_partitions=4
+    )
+    return out.where(F.col("event_type") != "zz_sentinel")
