@@ -13229,6 +13229,113 @@ ORDER BY c_mktsegment
 """
 
 
+def html_text_extract(spark, sf_dir):
+    """HTML BOILERPLATE REMOVAL — the first transform of every
+    web-crawl text pipeline (trafilatura/jusText's job): strip
+    script/style, segment into blocks, drop navigation chrome by
+    LINK DENSITY, keep content paragraphs, decode entities. Each
+    document synthesizes a full page — head with title/style/script
+    (the script body contains a ``<`` to punish naive tag strippers),
+    a nav and a footer made almost entirely of anchor text, and the
+    document's words as ``<p>`` paragraphs (30 words each, an
+    ``&amp;``-entity tail appended) — and the extractor runs PURE JVM:
+    ``(?s)`` regexp removal of script/style, block extraction over
+    ``<(p|nav|footer)>``, per-block anchor-text totals, tag
+    stripping, entity decoding, and the jusText rule *keep iff
+    2 x link_chars < total_chars* — so nav and footer fall out by
+    MEASUREMENT, not by tag name. The oracle recomputes title, block
+    counts, and content character sums from word arithmetic: an
+    entity decoded twice, a script char leaking into a block, or a
+    link-density threshold off by one keeps/drops the wrong block
+    and cannot match. Scale shape: one scan -> map-side build+parse
+    inside WholeStageCodegen; no Python, no shuffle beyond the final
+    ordering."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = "split(trim(text), '\\\\s+')"
+    para = (
+        f"concat_ws('', transform(sequence(0, "
+        f"CAST(ceil(size({words}) / 30.0) AS INT) - 1), "
+        f"k -> concat('<p>', concat_ws(' ', slice({words}, k * 30 + 1, 30)),"
+        f" ' &amp; fin</p>')))"
+    )
+    html = F.expr(
+        "concat("
+        "'<!DOCTYPE html><html><head><title>doc ', CAST(doc_id AS STRING),"
+        "'</title><style>p { color: red }</style>',"
+        "'<script>var x = 1 < 2 && 4 > 3;</script></head><body>',"
+        "'<nav><a href=\"/\">home base</a> "
+        "<a href=\"/x\">about &amp; more</a></nav>',"
+        f"{para},"
+        "'<footer>&copy; 2024 <a href=\"/t\">terms of service page</a>"
+        "</footer></body></html>')"
+    )
+    t = docs.select("doc_id", html.alias("html"))
+    cleaned = (
+        "regexp_replace(regexp_replace(html,"
+        " '(?s)<script[^>]*>.*?</script>', ''),"
+        " '(?s)<style[^>]*>.*?</style>', '')"
+    )
+    def decoded_len(operand: str) -> str:
+        return (
+            "char_length(regexp_replace(regexp_replace(regexp_replace("
+            f"regexp_replace(regexp_replace({operand}, '<[^>]*>', ''),"
+            " '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&copy;', '©'))"
+        )
+
+    blocks = (
+        f"transform(regexp_extract_all({cleaned},"
+        " '(?s)<(p|nav|footer)>(.*?)</(p|nav|footer)>', 2),"
+        " b -> named_struct("
+        f"  'total', {decoded_len('b')},"
+        f"  'link', aggregate(regexp_extract_all(b,"
+        f"     '(?s)<a[^>]*>(.*?)</a>', 1), 0,"
+        f"     (acc, c) -> acc + {decoded_len('c')})"
+        "))"
+    )
+    parsed = t.select(
+        "doc_id",
+        F.regexp_extract("html", "<title>(.*?)</title>", 1).alias("title_s"),
+        F.expr(blocks).alias("bs"),
+    )
+    return parsed.select(
+        "doc_id",
+        "title_s",
+        F.expr("size(bs)").alias("n_blocks"),
+        F.expr(
+            "size(filter(bs, b -> 2 * b.link < b.total))"
+        ).alias("n_content_blocks"),
+        F.expr(
+            "aggregate(filter(bs, b -> 2 * b.link < b.total), 0L,"
+            " (acc, b) -> acc + b.total)"
+        ).alias("content_chars"),
+        F.expr("aggregate(bs, 0L, (acc, b) -> acc + b.link)").alias(
+            "link_chars"
+        ),
+    )
+
+
+HTML_EXTRACT_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\\s+') AS ws,
+         CAST(ceil(len(string_split_regex(trim(text), '\\s+')) / 30.0)
+              AS BIGINT) AS n
+  FROM documents
+)
+SELECT doc_id,
+  'doc ' || CAST(doc_id AS VARCHAR) AS title_s,
+  n + 2 AS n_blocks,
+  n AS n_content_blocks,
+  CAST(list_sum(list_transform(range(0, n::INT), k ->
+    list_sum(list_transform(list_slice(ws, k*30 + 1, k*30 + 30),
+                            x -> length(x)))
+    + len(list_slice(ws, k*30 + 1, k*30 + 30)) - 1
+    + 6)) AS BIGINT) AS content_chars,
+  CAST(9 + 12 + 21 AS BIGINT) AS link_chars
+FROM w
+"""
+
+
 def stream_chained_agg(spark, sf_dir):
     """CHAINED STATEFUL streaming — two windowed aggregations in ONE
     streaming query (Spark 3.5+ multiple-stateful-operator support;
@@ -14380,6 +14487,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "mp3_frame_census_stats": (mp3_frame_census_stats, MP3_CENSUS_SQL),
     "midi_event_census": (midi_event_census, MIDI_CENSUS_SQL),
     "stream_chained_agg": (stream_chained_agg, STREAM_CHAINED_AGG_SQL),
+    "html_text_extract": (html_text_extract, HTML_EXTRACT_SQL),
     # -- ROUND 8 slots: NEW this round (collated reads, coordinated
     #    commits, Avro/TFRecord ingestion, QOI/BMP/AIFF/TGA codec gates,
     #    sitemap, type widening, FULL OUTER stream join) ----------------
