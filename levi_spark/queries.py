@@ -13229,6 +13229,104 @@ ORDER BY c_mktsegment
 """
 
 
+def cbor_ingest_stats(spark, sf_dir):
+    """CBOR ingestion (RFC 8949 — :mod:`levi_spark.operators.cbor`),
+    completing the serialization family (protobuf/tf.Example, Avro,
+    MessagePack): COSE/WebAuthn payloads and CoAP telemetry arrive
+    as CBOR, and its wire model is the OPPOSITE convention of
+    MessagePack's type-byte map — 3-bit major type + 5-bit
+    additional info with big-endian shortest-form arguments
+    (deterministic encoding per §4.2.1). Each document encodes a
+    record mixing every major type the encoder emits — positive and
+    NEGATIVE ints (major 1 carries ``-1-n``: an off-by-one decodes
+    every negative token wrong by 2n+1), text, bytes, floats,
+    booleans, null, nested arrays/maps — and the stats hop decodes
+    strictly. The oracle recomputes token sums, byte/char counts,
+    and payload length arithmetic from md5 — wire length is pinned
+    too, so a non-shortest-form argument cannot match. Scale shape:
+    two Arrow-batched map-side hops after the tiny input-spreading
+    repartition; no data-dependent shuffle, no driver loop."""
+    import hashlib
+
+    import pandas as pd
+
+    from levi_spark.operators.cbor import decode_cbor, encode_cbor
+
+    docs = _docs_parallel(spark, sf_dir)
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                hx = hashlib.md5(text.encode("utf-8")).hexdigest()
+                b = bytes.fromhex(hx)
+                d = int(doc_id)
+                rec = {
+                    "id": d,
+                    "toks": [
+                        (b[k] - 128) * (25 + k) for k in range(8)
+                    ],
+                    "w": [float(b[k] % 32) * 0.5 for k in range(8, 12)],
+                    "tag": hx[: 4 + d % 3],
+                    "blob": b[:6],
+                    "flags": [True, d % 2 == 0, None],
+                    "meta": {"lang": "xx", "n": d % 7},
+                }
+                payloads.append(encode_cbor(rec))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    shards = docs.mapInPandas(encode, "doc_id long, payload binary")
+
+    cols = [
+        "doc_id", "n_toks", "sum_toks", "sum_w_halves", "tag_chars",
+        "blob_bytes", "n_true", "meta_n",
+    ]
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf["doc_id"], pdf["payload"]):
+                rec = decode_cbor(bytes(p))
+                if rec["id"] != int(i) or rec["flags"][2] is not None:
+                    raise ValueError(f"doc {i}: record mismatch {rec!r}")
+                rows.append(
+                    {
+                        "doc_id": int(i),
+                        "n_toks": len(rec["toks"]),
+                        "sum_toks": sum(rec["toks"]),
+                        "sum_w_halves": int(sum(v * 2 for v in rec["w"])),
+                        "tag_chars": len(rec["tag"]),
+                        "blob_bytes": len(rec["blob"]),
+                        "n_true": sum(1 for f in rec["flags"] if f is True),
+                        "meta_n": rec["meta"]["n"],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols).astype("int64")
+
+    return shards.mapInPandas(stats, ", ".join(f"{c} long" for c in cols))
+
+
+CBOR_INGEST_SQL = """
+WITH b AS (
+  SELECT doc_id, list_transform(range(1,17),
+      i -> ('0x'||substr(md5(text),((i-1)*2+1)::INT,2))::BIGINT) AS byt
+  FROM documents
+)
+SELECT doc_id,
+  CAST(8 AS BIGINT) AS n_toks,
+  CAST(list_sum(list_transform(range(0,8),
+      k -> (byt[k+1] - 128) * (25 + k))) AS BIGINT) AS sum_toks,
+  CAST(list_sum(list_transform(range(8,12), k -> byt[k+1] % 32))
+    AS BIGINT) AS sum_w_halves,
+  CAST(4 + doc_id % 3 AS BIGINT) AS tag_chars,
+  CAST(6 AS BIGINT) AS blob_bytes,
+  CAST(1 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+    AS n_true,
+  CAST(doc_id % 7 AS BIGINT) AS meta_n
+FROM b
+"""
+
+
 def html_text_extract(spark, sf_dir):
     """HTML BOILERPLATE REMOVAL — the first transform of every
     web-crawl text pipeline (trafilatura/jusText's job): strip
@@ -14488,6 +14586,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "midi_event_census": (midi_event_census, MIDI_CENSUS_SQL),
     "stream_chained_agg": (stream_chained_agg, STREAM_CHAINED_AGG_SQL),
     "html_text_extract": (html_text_extract, HTML_EXTRACT_SQL),
+    "cbor_ingest_stats": (cbor_ingest_stats, CBOR_INGEST_SQL),
     # -- ROUND 8 slots: NEW this round (collated reads, coordinated
     #    commits, Avro/TFRecord ingestion, QOI/BMP/AIFF/TGA codec gates,
     #    sitemap, type widening, FULL OUTER stream join) ----------------
