@@ -13229,6 +13229,78 @@ ORDER BY c_mktsegment
 """
 
 
+def events_ewma_smooth(spark, sf_dir):
+    """EWMA SMOOTHING — the exponentially-weighted moving average
+    every monitoring/feature pipeline layers over event streams,
+    made CROSS-ENGINE EXACT by a dyadic decay: with alpha = 1/2 the
+    weights are powers of two, so the whole computation runs in
+    quantized int64 units (weight 2^(15-k) on lag k, normalizer
+    2^16 - 2^(15-m) over the m+1 available lags, one integer
+    division) — no float pow, whose last-bit behavior differs
+    between engines, anywhere. Truncated at 16 lags: beyond that the
+    dyadic tail is below the 1e-4 quantum. Per user, ordered by
+    (ts_us, event_id) — a unique total order, so lag() is
+    deterministic.
+
+    Scale shape: sixteen lag() columns share ONE window pass (same
+    partition/order spec); the partition key is user_id with bounded
+    per-user history — at 100 TB the same plan runs per
+    (user, day-range) so no window group is unbounded. Output is
+    thinned to every 10th event AFTER the window (filtering first
+    would change the lags)."""
+    K = 16
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", "ts_us",
+        F.floor(F.col("value") * 10000.0 + 0.5).cast("long").alias("q"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    s = None
+    for k in range(K):
+        term = F.coalesce(F.lag("q", k).over(w), F.lit(0)) * F.lit(
+            1 << (K - 1 - k)
+        )
+        s = term if s is None else s + term
+    m = F.least(F.row_number().over(w) - 1, F.lit(K - 1))
+    norms = F.array(
+        *[F.lit((1 << K) - (1 << (K - 1 - mm))) for mm in range(K)]
+    )
+    norm = F.element_at(norms, (m + 1).cast("int"))
+    out = ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.floor(s / norm).cast("long").alias("ewma_q"),
+    )
+    return out.where(F.col("event_id") % 10 == 0).select(
+        "user_id", "event_id", "rn", "ewma_q"
+    )
+
+
+EWMA_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS q
+  FROM events
+), win AS (
+  SELECT user_id, event_id,
+    ROW_NUMBER() OVER w AS rn,
+    {terms} AS s
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+)
+SELECT user_id, event_id, rn,
+  CAST(floor(s * 1.0 / (65536 - (1::BIGINT << (15 - least(rn - 1, 15))::INT)))
+       AS BIGINT) AS ewma_q
+FROM win
+WHERE event_id % 10 = 0
+""".format(
+    terms=" + ".join(
+        f"COALESCE(lag(q, {k}) OVER w, 0) * {1 << (15 - k)}"
+        for k in range(16)
+    )
+)
+
+
 def cbor_ingest_stats(spark, sf_dir):
     """CBOR ingestion (RFC 8949 — :mod:`levi_spark.operators.cbor`),
     completing the serialization family (protobuf/tf.Example, Avro,
@@ -14587,6 +14659,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "stream_chained_agg": (stream_chained_agg, STREAM_CHAINED_AGG_SQL),
     "html_text_extract": (html_text_extract, HTML_EXTRACT_SQL),
     "cbor_ingest_stats": (cbor_ingest_stats, CBOR_INGEST_SQL),
+    "events_ewma_smooth": (events_ewma_smooth, EWMA_SQL),
     # -- ROUND 8 slots: NEW this round (collated reads, coordinated
     #    commits, Avro/TFRecord ingestion, QOI/BMP/AIFF/TGA codec gates,
     #    sitemap, type widening, FULL OUTER stream join) ----------------
