@@ -82,6 +82,9 @@ _ADD_TYPE = T.StructType(
         # baseRowId + position-in-file; the commit that added the file
         T.StructField("baseRowId", T.LongType()),
         T.StructField("defaultRowCommitVersion", T.LongType()),
+        # clustered tables (writer feature "clustering"): the name of
+        # the clustering implementation that laid this file out
+        T.StructField("clusteringProvider", T.StringType()),
     ]
 )
 _REMOVE_TYPE = T.StructType(
@@ -1075,6 +1078,21 @@ class Snapshot:
             except FileNotFoundError:
                 continue
         return out
+
+    def clustering_columns(self) -> list[str]:
+        """The clustered table's clustering columns from the
+        ``delta.clustering`` domain (writer feature ``clustering``):
+        the domain's configuration JSON carries ``clusteringColumns``
+        as a list of column-name paths. Empty list when the table is
+        not clustered. Driver-side parse of the commit tail."""
+        dm = self.domain_metadata().get("delta.clustering")
+        if not dm or not dm.get("configuration"):
+            return []
+        conf = json.loads(dm["configuration"])
+        return [
+            ".".join(p) if isinstance(p, list) else str(p)
+            for p in conf.get("clusteringColumns", [])
+        ]
 
     def row_id_high_water_mark(self) -> int:
         """Row tracking's ``rowIdHighWaterMark`` (-1 when no row ids

@@ -577,6 +577,7 @@ def write_delta(
     identity: dict[str, dict] | None = None,
     identity_passthrough: bool = False,
     coordinated: bool = False,
+    cluster_by: list[str] | None = None,
 ) -> int:
     """Write ``df`` as a new Delta table version at ``path``.
 
@@ -995,6 +996,44 @@ def write_delta(
             },
         )
 
+    # -- liquid clustering (writer feature "clustering", spec "Clustered
+    # Table": clustering columns live in the delta.clustering domain's
+    # configuration; every data file written by a clustering-aware
+    # writer carries add.clusteringProvider). Layout here is range
+    # clustering: repartitionByRange + sortWithinPartitions on the
+    # clustering columns, so each file covers a narrow key range and
+    # per-file min/max stats prune scans on those columns — the effect
+    # liquid clustering exists to buy, without hive directory explosion.
+    cluster_cols = list(cluster_by or [])
+    if cluster_cols and partition_by:
+        raise ValueError(
+            "a clustered table cannot also be hive-partitioned "
+            "(clustering replaces partitionBy)"
+        )
+    if exists and mode == "append":
+        existing_cluster = snap.clustering_columns()
+        if cluster_cols and cluster_cols != existing_cluster:
+            raise ValueError(
+                f"cluster_by {cluster_cols} != table clustering "
+                f"columns {existing_cluster}"
+            )
+        cluster_cols = cluster_cols or existing_cluster
+    if cluster_cols:
+        missing_cc = [c for c in cluster_cols if c not in df.columns]
+        if missing_cc:
+            raise ValueError(f"cluster_by columns not in df: {missing_cc}")
+        commit_protocol = merge_protocol(
+            commit_protocol,
+            {
+                "minReaderVersion": 1,
+                "minWriterVersion": 7,
+                "writerFeatures": ["clustering", "domainMetadata"],
+            },
+        )
+        df = df.repartitionByRange(*cluster_cols).sortWithinPartitions(
+            *cluster_cols
+        )
+
     # -- stage data files ----------------------------------------------------
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
@@ -1202,6 +1241,8 @@ def write_delta(
                 if stats
                 else None,
             }
+            if cluster_cols:
+                add["clusteringProvider"] = "liquid"
             if rt_enabled:
                 if not stats or stats.get("numRecords") is None:
                     raise ValueError(
@@ -1226,6 +1267,24 @@ def write_delta(
                 )
             )
         return lines
+    if cluster_cols and (not exists or mode == "overwrite"):
+        tail_lines.append(
+            json.dumps(
+                {
+                    "domainMetadata": {
+                        "domain": "delta.clustering",
+                        "configuration": json.dumps(
+                            {
+                                "clusteringColumns": [
+                                    [c] for c in cluster_cols
+                                ]
+                            }
+                        ),
+                        "removed": False,
+                    }
+                }
+            )
+        )
     if cdc_df is not None:
         tail_lines += cdc_action_lines(write_cdc_files(cdc_df, path))
     if txn is not None:

@@ -13229,6 +13229,97 @@ ORDER BY c_mktsegment
 """
 
 
+def liquid_clustering_counts(spark, sf_dir):
+    """LIQUID CLUSTERING through the driver gate — the Delta spec's
+    "Clustered Table" feature (writer feature ``clustering``,
+    clustering columns in the ``delta.clustering`` domain, every data
+    file stamped ``add.clusteringProvider``), produced by the engine
+    (:func:`levi_spark.delta.writer.write_delta` ``cluster_by``) as
+    range clustering: repartitionByRange + sortWithinPartitions on
+    the clustering column, so each file covers a narrow key range —
+    the stats-pruning payoff liquid clustering exists to buy, without
+    hive directory explosion. The gate writes orders clustered by
+    ``o_orderkey`` (create 2/3, append 1/3 INHERITING the clustering
+    from the domain), then hard-checks the physics: the domain
+    round-trips, every live add carries the provider, file spans
+    within each commit are RANGE-DISJOINT, and a point predicate on
+    the global minimum key overlaps exactly ONE file per commit (the
+    skipped_stats mechanism applied to our own layout). Oracle: a
+    plain aggregate — but it can only match if both commits'
+    clustered rewrites preserved every row. Scale shape: two
+    distributed range-partitioned writes + driver-side metadata
+    checks over the cached live-add collect + one snapshot hash-agg."""
+    import json as _json
+    import os as _os
+
+    from levi_spark.delta.log import DeltaLog
+    from levi_spark.delta.writer import write_delta
+
+    p = _os.path.join(_scratch("cluster"), "t")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    write_delta(
+        orders.where(F.col("o_orderkey") % 3 != 0),
+        p, mode="error", cluster_by=["o_orderkey"],
+        checkpoint_interval=None,
+    )
+    write_delta(
+        orders.where(F.col("o_orderkey") % 3 == 0),
+        p, mode="append", checkpoint_interval=None,
+    )
+    snap = DeltaLog(spark, p).snapshot()
+    if snap.clustering_columns() != ["o_orderkey"]:
+        raise ValueError(f"clustering domain lost: {snap.clustering_columns()}")
+    if "clustering" not in (snap.protocol.get("writerFeatures") or []):
+        raise ValueError(f"clustering feature missing: {snap.protocol}")
+    by_commit: dict[int, list[tuple[int, int]]] = {}
+    for r in snap.live_adds_collected():
+        if r["add"]["clusteringProvider"] != "liquid":
+            raise ValueError(f"unstamped file {r['add']['path']}")
+        st = _json.loads(r["add"]["stats"])
+        by_commit.setdefault(r["version"], []).append(
+            (int(st["minValues"]["o_orderkey"]),
+             int(st["maxValues"]["o_orderkey"]))
+        )
+    for v, spans in by_commit.items():
+        spans.sort()
+        for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+            if hi1 > lo2:
+                raise ValueError(f"commit {v} spans overlap: {spans}")
+        probe = spans[0][0]  # global min key of this commit
+        hits = sum(1 for lo, hi in spans if lo <= probe <= hi)
+        if hits != 1:
+            raise ValueError(
+                f"point probe hit {hits} files in commit {v}: {spans}"
+            )
+    return (
+        snap.to_df()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _qsum(F.col("o_totalprice"), "_tp"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            _qval("_tp", "total_price"),
+            F.lit(1).cast("long").alias("clustering_ok"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+LIQUID_CLUSTERING_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       {_qsum_sql('o_totalprice')} / 10000.0 AS total_price,
+       CAST(1 AS BIGINT) AS clustering_ok
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def events_ewma_smooth(spark, sf_dir):
     """EWMA SMOOTHING — the exponentially-weighted moving average
     every monitoring/feature pipeline layers over event streams,
@@ -14086,10 +14177,10 @@ j AS (
 SELECT event_type, hour_id,
        CASE WHEN cnt IS NULL THEN 1 ELSE 0 END AS is_gap,
        COALESCE(cnt, 0) AS n_events,
-       CASE WHEN cnt IS NOT NULL THEN avg_q
+       CAST(CASE WHEN cnt IS NOT NULL THEN avg_q
             ELSE pv + CAST(floor((nv - pv) * (hour_id - ph)
                                  * 1.0 / (nh - ph)) AS BIGINT)
-       END AS avg_val_q
+       END AS BIGINT) AS avg_val_q
 FROM j
 ORDER BY event_type, hour_id
 """
@@ -14666,6 +14757,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "html_text_extract": (html_text_extract, HTML_EXTRACT_SQL),
     "cbor_ingest_stats": (cbor_ingest_stats, CBOR_INGEST_SQL),
     "events_ewma_smooth": (events_ewma_smooth, EWMA_SQL),
+    "liquid_clustering_counts": (
+        liquid_clustering_counts,
+        LIQUID_CLUSTERING_SQL,
+    ),
     # -- ROUND 8 slots: NEW this round (collated reads, coordinated
     #    commits, Avro/TFRecord ingestion, QOI/BMP/AIFF/TGA codec gates,
     #    sitemap, type widening, FULL OUTER stream join) ----------------
