@@ -403,3 +403,37 @@ def auto_optimize(
     )
     report.update(triggered=res["version"] != -1, **res)
     return report
+
+
+def recluster(spark: SparkSession, path: str) -> int:
+    """OPTIMIZE for a liquid-clustered table: each append range-
+    clusters only its own batch, so file spans across commits overlap
+    until an OPTIMIZE merges them — this rewrites the live data
+    range-clustered by the table's ``delta.clustering`` columns,
+    making spans GLOBALLY disjoint again. Layout is delegated to the
+    writer's ``cluster_by`` path (one repartitionByRange + sorted
+    files, every add re-stamped ``clusteringProvider``); row ids are
+    preserved like the other OPTIMIZE paths. Returns the new version.
+
+    Scale shape: at real scale this runs per key-range slice (the
+    incremental OPTIMIZE liquid clustering specifies) — the full-table
+    rewrite here is the gate-scale instance of the same commit shape
+    (rewrite + tombstone in one commit)."""
+    log = DeltaLog(spark, path)
+    snap = log.snapshot()
+    cols = snap.clustering_columns()
+    if not cols:
+        raise ValueError(
+            f"{path} carries no delta.clustering domain — nothing to "
+            "recluster (use optimize_zorder/optimize_hilbert)"
+        )
+    df = _with_preserved_row_ids(
+        snap, lambda rid: snap.to_df(with_row_ids=rid)
+    )
+    return write_delta(
+        df,
+        path,
+        mode="overwrite",
+        operation="OPTIMIZE",
+        cluster_by=cols,
+    )

@@ -13268,31 +13268,48 @@ def liquid_clustering_counts(spark, sf_dir):
         orders.where(F.col("o_orderkey") % 3 == 0),
         p, mode="append", checkpoint_interval=None,
     )
+
+    def spans_by_commit(snap):
+        out: dict[int, list[tuple[int, int]]] = {}
+        for r in snap.live_adds_collected():
+            if r["add"]["clusteringProvider"] != "liquid":
+                raise ValueError(f"unstamped file {r['add']['path']}")
+            st = _json.loads(r["add"]["stats"])
+            out.setdefault(r["version"], []).append(
+                (int(st["minValues"]["o_orderkey"]),
+                 int(st["maxValues"]["o_orderkey"]))
+            )
+        return out
+
+    def check_disjoint(spans):
+        spans.sort()
+        for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+            if hi1 > lo2:
+                raise ValueError(f"spans overlap: {spans}")
+        probe = spans[0][0]  # global min key
+        hits = sum(1 for lo, hi in spans if lo <= probe <= hi)
+        if hits != 1:
+            raise ValueError(f"point probe hit {hits} files: {spans}")
+
     snap = DeltaLog(spark, p).snapshot()
     if snap.clustering_columns() != ["o_orderkey"]:
         raise ValueError(f"clustering domain lost: {snap.clustering_columns()}")
     if "clustering" not in (snap.protocol.get("writerFeatures") or []):
         raise ValueError(f"clustering feature missing: {snap.protocol}")
-    by_commit: dict[int, list[tuple[int, int]]] = {}
-    for r in snap.live_adds_collected():
-        if r["add"]["clusteringProvider"] != "liquid":
-            raise ValueError(f"unstamped file {r['add']['path']}")
-        st = _json.loads(r["add"]["stats"])
-        by_commit.setdefault(r["version"], []).append(
-            (int(st["minValues"]["o_orderkey"]),
-             int(st["maxValues"]["o_orderkey"]))
-        )
-    for v, spans in by_commit.items():
-        spans.sort()
-        for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
-            if hi1 > lo2:
-                raise ValueError(f"commit {v} spans overlap: {spans}")
-        probe = spans[0][0]  # global min key of this commit
-        hits = sum(1 for lo, hi in spans if lo <= probe <= hi)
-        if hits != 1:
-            raise ValueError(
-                f"point probe hit {hits} files in commit {v}: {spans}"
-            )
+    for spans in spans_by_commit(snap).values():
+        check_disjoint(spans)  # per-commit: appends cluster their batch
+
+    # OPTIMIZE phase: appends overlap ACROSS commits until a recluster
+    # merges them — afterwards the live set must be GLOBALLY disjoint,
+    # the domain intact, and every row preserved.
+    from levi_spark.operators.layout import recluster
+
+    recluster(spark, p)
+    snap = DeltaLog(spark, p).snapshot()
+    if snap.clustering_columns() != ["o_orderkey"]:
+        raise ValueError("recluster dropped the clustering domain")
+    all_spans = [s for v in spans_by_commit(snap).values() for s in v]
+    check_disjoint(all_spans)
     return (
         snap.to_df()
         .groupBy("o_orderpriority")

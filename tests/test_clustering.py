@@ -102,3 +102,49 @@ def test_refusals(spark, tmp_path, clustered):
             clustered, mode="append", cluster_by=["v"],
             checkpoint_interval=None,
         )
+
+
+def test_recluster_makes_spans_globally_disjoint(spark, tmp_path):
+    """Appends overlap across commits; OPTIMIZE (recluster) merges the
+    live set into globally disjoint range files, keeps the domain, and
+    preserves content."""
+    from levi_spark.operators.layout import recluster
+
+    p = str(tmp_path / "t")
+    df = spark.range(600).select(F.col("id").alias("k"))
+    write_delta(df.where("id % 2 = 0"), p, mode="error",
+                cluster_by=["k"], checkpoint_interval=None)
+    write_delta(df.where("id % 2 = 1"), p, mode="append",
+                checkpoint_interval=None)
+
+    def spans(snap):
+        out = []
+        for r in snap.live_adds_collected():
+            st = json.loads(r["add"]["stats"])
+            out.append((int(st["minValues"]["k"]), int(st["maxValues"]["k"])))
+        return sorted(out)
+
+    before = spans(DeltaLog(spark, p).snapshot())
+    assert any(h1 > l2 for (_, h1), (l2, _) in zip(before, before[1:])), (
+        "fixture must overlap across commits before OPTIMIZE"
+    )
+    v = recluster(spark, p)
+    snap = DeltaLog(spark, p).snapshot()
+    assert snap.version == v
+    after = spans(snap)
+    assert all(h1 <= l2 for (_, h1), (l2, _) in zip(after, after[1:])), after
+    assert snap.clustering_columns() == ["k"]
+    assert all(
+        r["add"]["clusteringProvider"] == "liquid"
+        for r in snap.live_adds_collected()
+    )
+    assert snap.to_df().count() == 600
+
+
+def test_recluster_refuses_unclustered(spark, tmp_path):
+    from levi_spark.operators.layout import recluster
+
+    p = str(tmp_path / "t")
+    write_delta(spark.range(10), p, mode="error", checkpoint_interval=None)
+    with pytest.raises(ValueError, match="no delta.clustering"):
+        recluster(spark, p)
