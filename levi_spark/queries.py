@@ -13229,6 +13229,127 @@ ORDER BY c_mktsegment
 """
 
 
+def arrow_ipc_ingest_stats(spark, sf_dir):
+    """ARROW IPC ingestion — the ``.arrow`` shard wire itself,
+    implemented from scratch (:mod:`levi_spark.operators.arrowipc`:
+    a from-first-principles FlatBuffers reader AND writer — vtables,
+    soffsets, union fields, struct vectors — under the Arrow
+    encapsulated-message framing; pytest pins interop BOTH ways
+    against pyarrow). Each document encodes a TWO-batch stream
+    (multi-batch reassembly pinned) of four columns — int64, float64
+    WITH NULLS (validity bitmaps exercised), utf8 (offsets+data
+    buffers), bool (bit-packed) — and the stats hop decodes it with
+    our reader, never pyarrow. The oracle recomputes row counts and
+    per-column sums from md5 arithmetic: a validity bit read
+    MSB-first, an unpadded buffer offset, or a misparsed vtable slot
+    shifts a sum and cannot match. Scale shape: two Arrow-batched
+    map-side hops after the tiny input-spreading repartition; no
+    data-dependent shuffle, no driver loop."""
+    import hashlib
+
+    import pandas as pd
+
+    from levi_spark.operators.arrowipc import (
+        decode_arrow_ipc,
+        encode_arrow_ipc,
+    )
+
+    schema = [
+        ("id", "int64"), ("score", "float64"), ("tag", "utf8"),
+        ("ok", "bool"),
+    ]
+    docs = _docs_parallel(spark, sf_dir)
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = hashlib.md5(text.encode("utf-8")).digest()
+                hx = b.hex()
+                d = int(doc_id)
+                sizes = [3, 1 + d % 3]
+                row = 0
+                bs = []
+                for n in sizes:
+                    batch = {"id": [], "score": [], "tag": [], "ok": []}
+                    for _ in range(n):
+                        k = row % 16
+                        batch["id"].append(d * 100 + b[k])
+                        batch["score"].append(
+                            None if b[k] % 5 == 0 else (b[k] % 64) * 0.25
+                        )
+                        batch["tag"].append(hx[k : k + 2 + row % 3])
+                        batch["ok"].append(b[k] % 2 == 1)
+                        row += 1
+                    bs.append(batch)
+                payloads.append(encode_arrow_ipc(schema, bs))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    shards = docs.mapInPandas(encode, "doc_id long, payload binary")
+
+    cols = [
+        "doc_id", "n_rows", "sum_id", "sum_score_milli", "n_null_score",
+        "tag_chars", "n_true",
+    ]
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf["doc_id"], pdf["payload"]):
+                sch, data = decode_arrow_ipc(bytes(p))
+                if sch != schema:
+                    raise ValueError(f"doc {i}: schema drift {sch!r}")
+                rows.append(
+                    {
+                        "doc_id": int(i),
+                        "n_rows": len(data["id"]),
+                        "sum_id": sum(data["id"]),
+                        "sum_score_milli": int(
+                            sum(
+                                v * 1000
+                                for v in data["score"]
+                                if v is not None
+                            )
+                        ),
+                        "n_null_score": sum(
+                            1 for v in data["score"] if v is None
+                        ),
+                        "tag_chars": sum(len(t) for t in data["tag"]),
+                        "n_true": sum(1 for v in data["ok"] if v),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols).astype("int64")
+
+    return shards.mapInPandas(stats, ", ".join(f"{c} long" for c in cols))
+
+
+ARROW_IPC_SQL = """
+WITH b AS (
+  SELECT doc_id, list_transform(range(1,17),
+      i -> ('0x'||substr(md5(text),((i-1)*2+1)::INT,2))::BIGINT) AS byt,
+    md5(text) AS hx,
+    4 + doc_id % 3 AS n
+  FROM documents
+)
+SELECT doc_id,
+  CAST(n AS BIGINT) AS n_rows,
+  CAST(list_sum(list_transform(range(0, n::INT),
+      r -> doc_id * 100 + byt[(r % 16) + 1])) AS BIGINT) AS sum_id,
+  CAST(list_sum(list_transform(range(0, n::INT),
+      r -> CASE WHEN byt[(r % 16) + 1] % 5 = 0 THEN 0
+                ELSE (byt[(r % 16) + 1] % 64) * 250 END))
+    AS BIGINT) AS sum_score_milli,
+  CAST(len(list_filter(range(0, n::INT),
+      r -> byt[(r % 16) + 1] % 5 = 0)) AS BIGINT) AS n_null_score,
+  CAST(list_sum(list_transform(range(0, n::INT),
+      r -> length(substr(hx, (r % 16) + 1, 2 + r % 3))))
+    AS BIGINT) AS tag_chars,
+  CAST(len(list_filter(range(0, n::INT),
+      r -> byt[(r % 16) + 1] % 2 = 1)) AS BIGINT) AS n_true
+FROM b
+"""
+
+
 def liquid_clustering_counts(spark, sf_dir):
     """LIQUID CLUSTERING through the driver gate — the Delta spec's
     "Clustered Table" feature (writer feature ``clustering``,
@@ -14778,6 +14899,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         liquid_clustering_counts,
         LIQUID_CLUSTERING_SQL,
     ),
+    "arrow_ipc_ingest_stats": (arrow_ipc_ingest_stats, ARROW_IPC_SQL),
     # -- ROUND 8 slots: NEW this round (collated reads, coordinated
     #    commits, Avro/TFRecord ingestion, QOI/BMP/AIFF/TGA codec gates,
     #    sitemap, type widening, FULL OUTER stream join) ----------------
