@@ -377,6 +377,56 @@ def _bits(buf: bytes, n: int) -> list[bool]:
     return [bool(x) for x in arr]
 
 
+def _read_batch_into(fb: _FB, hpos: int, body: bytes,
+                     schema: list[tuple[str, str]],
+                     columns: dict[str, list]) -> None:
+    if fb.field(hpos, 3) is not None:
+        raise NotImplementedError("compressed record batch")
+    nvec, n_nodes = fb.vector_field(hpos, 1)
+    bvec, _n_bufs = fb.vector_field(hpos, 2)
+    if n_nodes != len(schema):
+        raise ValueError(f"{n_nodes} field nodes for {len(schema)} fields")
+
+    def buf(i: int) -> bytes:
+        off = fb.i64(bvec + 16 * i)
+        ln = fb.i64(bvec + 16 * i + 8)
+        return body[off : off + ln]
+
+    bi = 0
+    for k, (name, typ) in enumerate(schema):
+        length = fb.i64(nvec + 16 * k)
+        valid = _bits(buf(bi), length)
+        bi += 1
+        if typ == "int64":
+            vals = struct.unpack_from(f"<{length}q", buf(bi))
+            bi += 1
+        elif typ == "float64":
+            vals = struct.unpack_from(f"<{length}d", buf(bi))
+            bi += 1
+        elif typ == "bool":
+            vals = _bits(buf(bi), length)
+            bi += 1
+        else:  # utf8
+            offs = struct.unpack_from(f"<{length + 1}i", buf(bi))
+            data = buf(bi + 1)
+            vals = [
+                data[offs[j] : offs[j + 1]].decode("utf-8")
+                for j in range(length)
+            ]
+            bi += 2
+        columns[name].extend(
+            v if ok else None for v, ok in zip(vals, valid)
+        )
+
+
+def _parse_schema_table(fb: _FB, spos: int) -> list[tuple[str, str]]:
+    vec, n = fb.vector_field(spos, 1)
+    return [
+        _parse_field(fb, vec + 4 * i + fb.u32(vec + 4 * i))
+        for i in range(n)
+    ]
+
+
 def decode_arrow_ipc(payload: bytes):
     """Arrow IPC stream -> (schema [(name, type)], columns {name:
     list}) with batches concatenated and nulls as None."""
@@ -408,56 +458,111 @@ def decode_arrow_ipc(payload: bytes):
         if htype == _H_SCHEMA:
             if schema is not None:
                 raise ValueError("second Schema message")
-            vec, n = fb.vector_field(hpos, 1)
-            schema = []
-            for i in range(n):
-                fpos = vec + 4 * i + fb.u32(vec + 4 * i)
-                schema.append(_parse_field(fb, fpos))
+            schema = _parse_schema_table(fb, hpos)
             columns = {name: [] for name, _ in schema}
         elif htype == _H_BATCH:
             if schema is None:
                 raise ValueError("RecordBatch before Schema")
-            if fb.field(hpos, 3) is not None:
-                raise NotImplementedError("compressed record batch")
-            nvec, n_nodes = fb.vector_field(hpos, 1)
-            bvec, n_bufs = fb.vector_field(hpos, 2)
-            if n_nodes != len(schema):
-                raise ValueError(
-                    f"{n_nodes} field nodes for {len(schema)} fields"
-                )
-            def buf(i: int) -> bytes:
-                off = fb.i64(bvec + 16 * i)
-                ln = fb.i64(bvec + 16 * i + 8)
-                return body[off : off + ln]
-            bi = 0
-            for k, (name, typ) in enumerate(schema):
-                length = fb.i64(nvec + 16 * k)
-                valid = _bits(buf(bi), length)
-                bi += 1
-                if typ == "int64":
-                    vals = struct.unpack_from(f"<{length}q", buf(bi))
-                    bi += 1
-                elif typ == "float64":
-                    vals = struct.unpack_from(f"<{length}d", buf(bi))
-                    bi += 1
-                elif typ == "bool":
-                    vals = _bits(buf(bi), length)
-                    bi += 1
-                else:  # utf8
-                    offs = struct.unpack_from(f"<{length + 1}i", buf(bi))
-                    data = buf(bi + 1)
-                    vals = [
-                        data[offs[j] : offs[j + 1]].decode("utf-8")
-                        for j in range(length)
-                    ]
-                    bi += 2
-                columns[name].extend(
-                    v if ok else None for v, ok in zip(vals, valid)
-                )
+            _read_batch_into(fb, hpos, body, schema, columns)
         elif htype == _H_DICT:
             raise NotImplementedError("dictionary batches unsupported")
         else:
             raise ValueError(f"message header type {htype}")
     if schema is None:
         raise ValueError("stream carries no Schema message")
+    return schema, columns
+
+
+# --------------------------------------------------------------------------
+# Arrow FILE format (Feather v2 / ".arrow" files): the stream wrapped
+# in "ARROW1" magic with a FOOTER flatbuffer for random access —
+# Footer { version(0); schema(1); dictionaries(2); recordBatches(3) },
+# Block struct { offset: i64; metaDataLength: i32 (+pad); bodyLength:
+# i64 } = 24 bytes. Readers seek the footer and jump straight to any
+# batch; the tail is [footer][i32 footer_len]["ARROW1"].
+# --------------------------------------------------------------------------
+
+_MAGIC = b"ARROW1"
+
+
+def encode_arrow_file(
+    schema: list[tuple[str, str]],
+    batches: list[dict[str, list]],
+) -> bytes:
+    """Arrow FILE (Feather v2) bytes: magic + stream messages + a real
+    Footer flatbuffer with per-batch Block entries."""
+    stream = encode_arrow_ipc(schema, batches)
+    body = stream[:-8]  # drop the stream EOS marker
+    out = bytearray(_MAGIC + b"\x00\x00")
+    base = len(out)
+    out += body
+    # locate each record-batch message to build the Block vector
+    blocks = []
+    pos = 0
+    while pos < len(body):
+        (mlen,) = struct.unpack_from("<I", body, pos + 4)
+        fb = _FB(body[pos + 8 : pos + 8 + mlen])
+        msg = fb.root()
+        htype = fb.scalar_field(msg, 1, "<B", 0)
+        blen = fb.scalar_field(msg, 3, "<q", 0)
+        if htype == _H_BATCH:
+            blocks.append((base + pos, 8 + mlen, blen))
+        pos += 8 + mlen + blen
+    out += _CONT + b"\x00\x00\x00\x00"  # in-file EOS (pyarrow writes it)
+    b = _Builder()
+    fvec = b.vector_of_tables([_field_table(b, n, t) for n, t in schema])
+    sch = b.table([(0, "i16", 0), (1, "offset", fvec)])
+    raw = bytearray()
+    for off, mdlen, blen in blocks:
+        raw += struct.pack("<qi4xq", off, mdlen, blen)  # Block: 24 B
+    bvec = b.vector_of_structs(bytes(raw), len(blocks), align=8)
+    dvec = b.vector_of_structs(b"", 0, align=8)
+    footer = b.table(
+        [(0, "i16", 4), (1, "offset", sch), (2, "offset", dvec),
+         (3, "offset", bvec)]
+    )
+    fbuf = b.finish(footer)
+    out += fbuf
+    out += struct.pack("<i", len(fbuf)) + _MAGIC
+    return bytes(out)
+
+
+def decode_arrow_file(payload: bytes):
+    """Arrow FILE bytes -> (schema, columns), read the random-access
+    way: seek the footer, take the schema from it, jump to each Block
+    and decode that batch — the stream messages between are never
+    scanned linearly."""
+    if payload[:6] != _MAGIC or payload[-6:] != _MAGIC:
+        raise ValueError("not an Arrow file (ARROW1 magic missing)")
+    (flen,) = struct.unpack_from("<i", payload, len(payload) - 10)
+    fstart = len(payload) - 10 - flen
+    if fstart < 8:
+        raise ValueError("Arrow file footer length out of range")
+    fb = _FB(payload[fstart : fstart + flen])
+    footer = fb.root()
+    spos = fb.table_field(footer, 1)
+    if spos is None:
+        raise ValueError("Arrow file footer carries no schema")
+    schema = _parse_schema_table(fb, spos)
+    columns: dict[str, list] = {name: [] for name, _ in schema}
+    dvec, n_dicts = fb.vector_field(footer, 2)
+    if n_dicts:
+        raise NotImplementedError("dictionary batches unsupported")
+    bvec, n_blocks = fb.vector_field(footer, 3)
+    for i in range(n_blocks):
+        off = fb.i64(bvec + 24 * i)
+        (mdlen,) = struct.unpack_from("<i", fb.buf, bvec + 24 * i + 8)
+        blen = fb.i64(bvec + 24 * i + 16)
+        if payload[off : off + 4] != _CONT:
+            raise ValueError(f"Block {i} does not start a message")
+        (mlen,) = struct.unpack_from("<I", payload, off + 4)
+        mfb = _FB(payload[off + 8 : off + 8 + mlen])
+        msg = mfb.root()
+        if mfb.scalar_field(msg, 1, "<B", 0) != _H_BATCH:
+            raise ValueError(f"Block {i} is not a RecordBatch message")
+        body = payload[off + mdlen : off + mdlen + blen]
+        if len(body) != blen:
+            raise ValueError(f"Block {i} body truncated")
+        hpos = mfb.table_field(msg, 2)
+        _read_batch_into(mfb, hpos, body, schema, columns)
     return schema, columns

@@ -141,3 +141,39 @@ def test_strict_refusals():
     w.close()
     with pytest.raises(NotImplementedError, match="bitWidth"):
         decode_arrow_ipc(sink.getvalue())
+
+
+def test_file_format_round_trip_and_interop():
+    """Arrow FILE (Feather v2): footer Blocks let us jump to batches;
+    pyarrow opens our files, we open pyarrow's."""
+    from levi_spark.operators.arrowipc import (
+        decode_arrow_file,
+        encode_arrow_file,
+    )
+
+    schema = [("id", "int64"), ("tag", "utf8")]
+    blob = encode_arrow_file(
+        schema,
+        [{"id": [1, None], "tag": ["a", "bb"]}, {"id": [3], "tag": [None]}],
+    )
+    s, cols = decode_arrow_file(blob)
+    assert s == schema
+    assert cols == {"id": [1, None, 3], "tag": ["a", "bb", None]}
+    r = pa.ipc.open_file(blob)
+    assert r.num_record_batches == 2
+    assert r.read_all().to_pydict() == cols
+    sink = io.BytesIO()
+    pt = pa.table({"id": pa.array([9, 8], pa.int64()),
+                   "tag": pa.array(["q", None], pa.utf8())})
+    w = pa.ipc.new_file(sink, pt.schema)
+    w.write_table(pt)
+    w.close()
+    _, c2 = decode_arrow_file(sink.getvalue())
+    assert c2 == pt.to_pydict()
+
+
+def test_file_format_refusals():
+    from levi_spark.operators.arrowipc import decode_arrow_file
+
+    with pytest.raises(ValueError, match="magic"):
+        decode_arrow_file(b"NOTARROWNOTARROW")
