@@ -40,9 +40,14 @@ def encode_zip(members: list[tuple[str, bytes]], compress: bool = True) -> bytes
 
 
 def encode_tar(
-    members: list[tuple[str, bytes]], gzip_stream: bool = False
+    members: list[tuple[str, bytes]],
+    gzip_stream: bool = False,
+    compression: str | None = None,
 ) -> bytes:
-    """(name, data) pairs -> POSIX tar bytes, optionally gzipped."""
+    """(name, data) pairs -> POSIX tar bytes. ``compression``:
+    ``None`` | ``"gz"`` | ``"xz"`` | ``"bz2"`` (the three stream
+    compressors tar shards actually arrive in); ``gzip_stream=True``
+    is the legacy spelling of ``compression="gz"``."""
     buf = io.BytesIO()
     with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
         for name, data in members:
@@ -51,14 +56,26 @@ def encode_tar(
             info.mtime = 0
             tf.addfile(info, io.BytesIO(data))
     tar = buf.getvalue()
-    if not gzip_stream:
+    if gzip_stream and compression is None:
+        compression = "gz"
+    if compression is None:
         return tar
-    import gzip
+    if compression == "gz":
+        import gzip
 
-    out = io.BytesIO()
-    with gzip.GzipFile(fileobj=out, mode="wb", mtime=0) as gz:
-        gz.write(tar)  # mtime pinned -> byte-deterministic fixtures
-    return out.getvalue()
+        out = io.BytesIO()
+        with gzip.GzipFile(fileobj=out, mode="wb", mtime=0) as gz:
+            gz.write(tar)  # mtime pinned -> byte-deterministic fixtures
+        return out.getvalue()
+    if compression == "xz":
+        import lzma
+
+        return lzma.compress(tar, format=lzma.FORMAT_XZ, preset=6)
+    if compression == "bz2":
+        import bz2
+
+        return bz2.compress(tar, 9)
+    raise ValueError(f"tar compression {compression!r} (None|gz|xz|bz2)")
 
 
 def decode_archive(payload: bytes) -> list[dict]:
@@ -93,8 +110,50 @@ def decode_archive(payload: bytes) -> list[dict]:
         except zipfile.BadZipFile as e:
             raise ValueError(f"bad ZIP archive: {e}") from e
         return out
-    if payload[:2] == b"\x1f\x8b" or payload[257:262] == b"ustar":
-        fmt = "tar.gz" if payload[:2] == b"\x1f\x8b" else "tar"
+    if (
+        payload[:2] == b"\x1f\x8b"
+        or payload[:6] == b"\xfd7zXZ\x00"
+        or payload[:3] == b"BZh"
+        or payload[257:262] == b"ustar"
+    ):
+        if payload[:2] == b"\x1f\x8b":
+            fmt = "tar.gz"
+        elif payload[:6] == b"\xfd7zXZ\x00":
+            fmt = "tar.xz"
+        elif payload[:3] == b"BZh":
+            fmt = "tar.bz2"
+        else:
+            fmt = "tar"
+        if fmt == "tar.xz":
+            import lzma
+
+            d = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
+            try:
+                payload = d.decompress(payload)
+            except lzma.LZMAError as e:
+                raise ValueError(f"bad xz stream: {e}") from e
+            if not d.eof:
+                raise ValueError("truncated xz stream")
+            if d.unused_data:
+                raise ValueError(
+                    f"{len(d.unused_data)} bytes after the xz stream "
+                    "footer — not a single-stream tar.xz"
+                )
+        if fmt == "tar.bz2":
+            import bz2
+
+            d = bz2.BZ2Decompressor()
+            try:
+                payload = d.decompress(payload)
+            except OSError as e:
+                raise ValueError(f"bad bzip2 stream: {e}") from e
+            if not d.eof:
+                raise ValueError("truncated bzip2 stream")
+            if d.unused_data:
+                raise ValueError(
+                    f"{len(d.unused_data)} bytes after the bzip2 stream "
+                    "— not a single-stream tar.bz2"
+                )
         if fmt == "tar.gz":
             # decompress strictly first: tarfile stops reading at the
             # last member header, so a clipped gzip trailer (CRC/size)

@@ -12502,10 +12502,10 @@ def archive_extract_members(spark, sf_dir):
     (:mod:`levi_spark.operators.archive`, pure stdlib): each document
     becomes an archive of ``2 + doc_id % 2`` text members (member j's
     bytes are the text's md5 hex repeated ``j+1`` times), with the
-    container cycling by ``doc_id % 3`` through deflate-ZIP, plain
-    POSIX tar, and whole-stream-gzip tar — one gate drives all three
-    framings (zip central directory + CRC verification, ustar header
-    walk, gzip stream). The oracle re-derives each member's name,
+    container cycling by ``doc_id % 5`` through deflate-ZIP, plain
+    POSIX tar, and gzip/xz/bzip2-compressed tar — one gate drives all
+    five framings (zip central directory + CRC verification, ustar
+    header walk, and all three strict single-stream decompressors). The oracle re-derives each member's name,
     format, size and payload byte sum from md5 hex arithmetic, so a
     wrong member order, dropped member, or inflate bug cannot match.
     Scale shape: two Arrow-batched map-side hops after the tiny
@@ -12533,12 +12533,17 @@ def archive_extract_members(spark, sf_dir):
                     (f"shard/{d}/doc-{j}.txt", hx * (j + 1))
                     for j in range(2 + d % 2)
                 ]
-                if d % 3 == 0:
+                k = d % 5
+                if k == 0:
                     payloads.append(encode_zip(members))
-                elif d % 3 == 1:
+                elif k == 1:
                     payloads.append(encode_tar(members))
+                elif k == 2:
+                    payloads.append(encode_tar(members, compression="gz"))
+                elif k == 3:
+                    payloads.append(encode_tar(members, compression="xz"))
                 else:
-                    payloads.append(encode_tar(members, gzip_stream=True))
+                    payloads.append(encode_tar(members, compression="bz2"))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     archives = docs.mapInPandas(encode, "doc_id long, payload binary")
@@ -12582,9 +12587,11 @@ WITH h AS (
 fr AS (SELECT doc_id, hsum, unnest(range(0, 2 + doc_id % 2)) AS j FROM h)
 SELECT doc_id, j AS member_idx,
   'shard/' || doc_id || '/doc-' || j || '.txt' AS name,
-  CASE WHEN doc_id % 3 = 0 THEN 'zip'
-       WHEN doc_id % 3 = 1 THEN 'tar'
-       ELSE 'tar.gz' END AS format,
+  CASE WHEN doc_id % 5 = 0 THEN 'zip'
+       WHEN doc_id % 5 = 1 THEN 'tar'
+       WHEN doc_id % 5 = 2 THEN 'tar.gz'
+       WHEN doc_id % 5 = 3 THEN 'tar.xz'
+       ELSE 'tar.bz2' END AS format,
   CAST(32 * (j + 1) AS BIGINT) AS size,
   CAST((j + 1) * hsum AS BIGINT) AS byte_sum
 FROM fr

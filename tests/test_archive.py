@@ -101,3 +101,29 @@ def test_gate_fixture_features_closed_form():
         assert f["format"] == "tar.gz"
         assert f["size"] == 32 * (j + 1)
         assert f["byte_sum"] == (j + 1) * hsum
+
+
+def test_tar_xz_and_bz2_round_trip():
+    """The other two stream compressors tar shards arrive in."""
+    members = [("a/one.txt", b"hello"), ("b/two.bin", bytes(range(64)))]
+    for comp, fmt in (("xz", "tar.xz"), ("bz2", "tar.bz2")):
+        blob = encode_tar(members, compression=comp)
+        out = decode_archive(blob)
+        assert [(m["name"], m["data"]) for m in out] == members
+        assert all(m["format"] == fmt for m in out)
+
+
+def test_tar_xz_strictness():
+    blob = encode_tar([("x", b"data")], compression="xz")
+    with pytest.raises(ValueError, match="truncated xz"):
+        decode_archive(blob[:-8])
+    with pytest.raises(ValueError, match="after the xz stream"):
+        decode_archive(blob + b"junk")
+
+
+def test_tar_bz2_strictness():
+    blob = encode_tar([("x", b"data")], compression="bz2")
+    with pytest.raises(ValueError, match="truncated bzip2"):
+        decode_archive(blob[:-6])
+    with pytest.raises(ValueError, match="after the bzip2 stream"):
+        decode_archive(blob + b"tail")
