@@ -558,3 +558,63 @@ def test_cdc_chunk_dedup_single_evaluation_no_python(spark):
     )
     assert final.count("explode") <= 1, "chunking evaluated twice"
     assert "ReusedExchange" in final, "census/probe exchange not shared"
+
+
+def test_subtitle_ingest_pure_jvm_no_shuffle(spark):
+    """Round-8 second half: SRT/VTT build+parse must stay inside
+    WholeStageCodegen — no Python stage, no exchange at all (one
+    map-side pass over the scan)."""
+    from levi_spark.plans.inspect import executed_plan
+    from levi_spark.queries import subtitle_ingest_stats
+
+    df = subtitle_ingest_stats(spark, SF)
+    plan = executed_plan(df)
+    assert "Python" not in plan
+    assert "Exchange" not in plan, "subtitle parse must be map-side only"
+
+
+def test_html_extract_pure_jvm_single_scan(spark):
+    from levi_spark.plans.inspect import executed_plan, plan_summary
+    from levi_spark.queries import html_text_extract
+
+    df = html_text_extract(spark, SF)
+    plan = executed_plan(df)
+    assert "Python" not in plan
+    assert plan_summary(df).get("scans", 1) == 1
+
+
+def test_gap_fill_no_python_two_windows_max(spark):
+    """Gap fill: grid explode + two IGNORE-NULLS windows sharing one
+    partition spec; no Python, no cartesian."""
+    from levi_spark.plans.inspect import executed_plan
+    from levi_spark.queries import events_gap_fill
+
+    df = events_gap_fill(spark, SF)
+    plan = executed_plan(df)
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ewma_single_window_pass(spark):
+    """All 16 lag() terms + row_number share one window partition
+    spec: exactly ONE exchange on user_id feeds the window stage."""
+    from levi_spark.plans.inspect import executed_plan
+    from levi_spark.queries import events_ewma_smooth
+
+    df = events_ewma_smooth(spark, SF)
+    plan = executed_plan(df)
+    assert "Python" not in plan
+    assert plan.count("hashpartitioning(user_id") <= 1
+
+
+def test_binary_quant_broadcasts_query_codes(spark):
+    """The Hamming scan must broadcast the query code table — the
+    corpus side never shuffles before the candidate cut."""
+    from levi_spark.plans.inspect import executed_plan
+    from levi_spark.queries import embedding_binary_quant_topk
+
+    df = embedding_binary_quant_topk(spark, SF)
+    plan = executed_plan(df)
+    assert "Python" not in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
