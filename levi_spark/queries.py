@@ -13236,6 +13236,134 @@ ORDER BY c_mktsegment
 """
 
 
+def csv_roundtrip_counts(spark, sf_dir):
+    """CSV sink+source through the engine — the interchange format
+    every external pipeline still speaks. Lineitem rows go out
+    through Spark's CSV writer with values that FORCE the quoting
+    machinery (a synthesized ``note`` column embeds commas, double
+    quotes, and newline-adjacent text) plus dates and nulls (every
+    7th discount), then come back through an EXPLICIT schema (never
+    inferSchema — schema inference is a full extra pass over 100 TB)
+    and aggregate. The oracle computes the same rollup from the
+    source table: a mis-escaped quote shifts the comment-char sum,
+    a null round-tripped as the string "null" shifts the null
+    count, a date formatting drift shifts the day sum — none can
+    hash-match. Scale shape: one distributed write + one
+    schema-pinned scan + one hash-agg; CSV scans split by line at
+    scale exactly like this one."""
+    import os as _os
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        F.when(F.col("l_orderkey") % 7 != 0, F.col("l_discount")).alias(
+            "l_discount"
+        ),
+        F.to_date(F.col("l_shipdate")).alias("ship_d"),
+        F.concat(
+            F.lit('q"'), F.col("l_returnflag"), F.lit(',x,'),
+            (F.col("l_orderkey") % 97).cast("string")
+        ).alias("note"),
+    )
+    p = _os.path.join(_scratch("csv"), "t")
+    li.write.option("header", "true").csv(p)
+    back = (
+        spark.read.schema(
+            "l_orderkey long, l_returnflag string, l_discount double, "
+            "ship_d date, note string"
+        )
+        .option("header", "true")
+        .csv(p)
+    )
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("l_discount").isNull(), 1).otherwise(0))
+            .alias("n_null_disc"),
+            _qsum(F.coalesce(F.col("l_discount"), F.lit(0.0)), "_d"),
+            F.sum(F.dayofmonth("ship_d")).alias("sum_ship_day"),
+            F.sum(F.length("note")).alias("note_chars"),
+        )
+        .select(
+            "l_returnflag", "n_rows", "n_null_disc",
+            _qval("_d", "sum_disc"), "sum_ship_day", "note_chars",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+CSV_ROUNDTRIP_SQL = f"""
+SELECT l_returnflag, COUNT(*) AS n_rows,
+  CAST(SUM(CASE WHEN l_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_null_disc,
+  {_qsum_sql('CASE WHEN l_orderkey % 7 <> 0 THEN l_discount ELSE 0 END')}
+    / 10000.0 AS sum_disc,
+  CAST(SUM(day(l_shipdate)) AS BIGINT) AS sum_ship_day,
+  CAST(SUM(2 + length(l_returnflag) + 3
+           + length(CAST(l_orderkey % 97 AS VARCHAR))) AS BIGINT)
+    AS note_chars
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def orc_roundtrip_counts(spark, sf_dir):
+    """ORC sink+source — the other columnar interchange format a
+    Hive-lineage estate exports; Spark reads/writes it natively and
+    the engine's job is to prove the round trip preserves values,
+    dates, and nulls exactly (DuckDB cannot read ORC, so the oracle
+    recomputes from the source table — which is precisely the
+    stronger statement: out through ORC and back equals never having
+    left). A pushed filter on the read side exercises ORC predicate
+    pushdown. Scale shape: one distributed write + one pruned scan +
+    one hash-agg."""
+    import os as _os
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 5 != 0, F.col("o_totalprice")).alias(
+            "price"
+        ),
+        F.to_date(F.col("o_orderdate")).alias("od"),
+    )
+    p = _os.path.join(_scratch("orc"), "t")
+    orders.write.orc(p)
+    back = spark.read.orc(p).where(F.col("o_orderkey") % 2 == 1)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("price").isNull(), 1).otherwise(0)).alias(
+                "n_null_price"
+            ),
+            _qsum(F.coalesce(F.col("price"), F.lit(0.0)), "_p"),
+            F.sum(F.month("od")).alias("sum_month"),
+        )
+        .select(
+            "o_orderpriority", "n_rows", "n_null_price",
+            _qval("_p", "sum_price"), "sum_month",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORC_ROUNDTRIP_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS n_rows,
+  CAST(SUM(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_null_price,
+  {_qsum_sql('CASE WHEN o_orderkey % 5 <> 0 THEN o_totalprice ELSE 0 END')}
+    / 10000.0 AS sum_price,
+  CAST(SUM(month(o_orderdate)) AS BIGINT) AS sum_month
+FROM orders
+WHERE o_orderkey % 2 = 1
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def arrow_ipc_ingest_stats(spark, sf_dir):
     """ARROW IPC ingestion — the ``.arrow`` shard wire itself,
     implemented from scratch (:mod:`levi_spark.operators.arrowipc`:
@@ -14908,6 +15036,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         LIQUID_CLUSTERING_SQL,
     ),
     "arrow_ipc_ingest_stats": (arrow_ipc_ingest_stats, ARROW_IPC_SQL),
+    "csv_roundtrip_counts": (csv_roundtrip_counts, CSV_ROUNDTRIP_SQL),
+    "orc_roundtrip_counts": (orc_roundtrip_counts, ORC_ROUNDTRIP_SQL),
     # -- ROUND 8 slots: NEW this round (collated reads, coordinated
     #    commits, Avro/TFRecord ingestion, QOI/BMP/AIFF/TGA codec gates,
     #    sitemap, type widening, FULL OUTER stream join) ----------------
