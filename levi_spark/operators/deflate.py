@@ -372,3 +372,67 @@ def zlib_unwrap(payload: bytes) -> bytes:
     if got != want:
         raise ValueError(f"Adler-32 mismatch: {got:#010x} != {want:#010x}")
     return data
+
+
+_CRC_TABLE = None
+
+
+def crc32(data: bytes) -> int:
+    """RFC 1952 / ISO 3309 CRC-32, computed here: the reflected
+    0xEDB88320 polynomial, table-driven, init/final XOR 0xFFFFFFFF —
+    vectorized per byte column over a numpy table."""
+    global _CRC_TABLE
+    import numpy as np
+
+    if _CRC_TABLE is None:
+        t = np.arange(256, dtype=np.uint32)
+        for _ in range(8):
+            t = np.where(t & 1, (t >> 1) ^ np.uint32(0xEDB88320), t >> 1)
+        _CRC_TABLE = t
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = int(_CRC_TABLE[(crc ^ b) & 0xFF]) ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def gzip_wrap(data: bytes, mode: str = "fixed") -> bytes:
+    """RFC 1952 container around :func:`deflate`: the 10-byte header
+    (magic, CM=8, no flags, MTIME=0 for determinism, XFL=0, OS=255
+    "unknown") + raw deflate + CRC-32 + ISIZE."""
+    return (
+        b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\xff"
+        + deflate(data, mode)
+        + struct.pack("<II", crc32(data), len(data) & 0xFFFFFFFF)
+    )
+
+
+def gzip_unwrap(payload: bytes) -> bytes:
+    """RFC 1952 -> bytes via :func:`inflate`: parses the header
+    (including optional FEXTRA/FNAME/FCOMMENT/FHCRC fields), checks
+    CM, and verifies both trailer words."""
+    if payload[:2] != b"\x1f\x8b":
+        raise ValueError(f"not gzip (starts {payload[:2]!r})")
+    if payload[2] != 8:
+        raise ValueError(f"gzip CM {payload[2]} (want 8 = deflate)")
+    flg = payload[3]
+    if flg & 0xE0:
+        raise ValueError(f"gzip reserved flag bits set ({flg:#04x})")
+    pos = 10
+    if flg & 0x04:  # FEXTRA
+        (xlen,) = struct.unpack_from("<H", payload, pos)
+        pos += 2 + xlen
+    if flg & 0x08:  # FNAME
+        pos = payload.index(b"\x00", pos) + 1
+    if flg & 0x10:  # FCOMMENT
+        pos = payload.index(b"\x00", pos) + 1
+    if flg & 0x02:  # FHCRC
+        pos += 2
+    data = inflate(payload[pos:-8])
+    want_crc, want_len = struct.unpack_from("<II", payload, len(payload) - 8)
+    if crc32(data) != want_crc:
+        raise ValueError(
+            f"gzip CRC-32 mismatch: {crc32(data):#010x} != {want_crc:#010x}"
+        )
+    if len(data) & 0xFFFFFFFF != want_len:
+        raise ValueError(f"gzip ISIZE {want_len} != {len(data)}")
+    return data

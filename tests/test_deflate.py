@@ -125,3 +125,43 @@ def test_fixed_code_table_pins():
     assert _fixed_lit_code(256) == (0, 7)
     assert _fixed_lit_code(279) == (0x17, 7)
     assert _fixed_lit_code(280) == (0xC0, 8)
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.binary(max_size=6000))
+def test_crc32_matches_zlib_law(data):
+    from levi_spark.operators.deflate import crc32
+
+    assert crc32(data) == zlib.crc32(data)
+
+
+def test_gzip_container_interop_both_ways():
+    import gzip as _gzip
+
+    from levi_spark.operators.deflate import gzip_unwrap, gzip_wrap
+
+    data = b"gzip member payload " * 200
+    assert _gzip.decompress(gzip_wrap(data)) == data
+    assert gzip_unwrap(_gzip.compress(data, 9)) == data
+    # a named member from the stdlib (FNAME flag path)
+    import io
+
+    sink = io.BytesIO()
+    with _gzip.GzipFile("shard.bin", "wb", fileobj=sink) as g:
+        g.write(data)
+    assert gzip_unwrap(sink.getvalue()) == data
+
+
+def test_gzip_strictness():
+    from levi_spark.operators.deflate import gzip_unwrap, gzip_wrap
+
+    blob = bytearray(gzip_wrap(b"corpus"))
+    blob[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="ISIZE"):
+        gzip_unwrap(bytes(blob))
+    blob = bytearray(gzip_wrap(b"corpus"))
+    blob[-5] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC-32"):
+        gzip_unwrap(bytes(blob))
+    with pytest.raises(ValueError, match="not gzip"):
+        gzip_unwrap(b"PKzip")
