@@ -451,7 +451,10 @@ def _inv_color_transform(px, w, h, elems, ew, bits):
     for i, (a, r, g, b) in enumerate(px):
         x, y = i % w, i // w
         e = elems[(y >> bits) * ew + (x >> bits)]
-        g2r, g2b, r2b = e[2], e[1], e[0]  # green, red, blue channels
+        # ColorTransformElement packing (spec): green_to_red in the
+        # BLUE byte, green_to_blue in the GREEN byte, red_to_blue in
+        # the RED byte of the transform-image pixel (a, r, g, b)
+        g2r, g2b, r2b = e[3], e[2], e[1]
         r2 = (r + _ct_delta(g2r, g)) & 0xFF
         b2 = (b + _ct_delta(g2b, g) + _ct_delta(r2b, r2)) & 0xFF
         out.append((a, r2, g, b2))
@@ -739,11 +742,15 @@ def encode_webp(
     cache_bits: int = 0,
     palette: bool = False,
     predictor: int | None = None,
+    color_transform: tuple[int, int, int] | None = None,
 ) -> bytes:
     """uint8 (H, W, 3|4) -> lossless WebP. ``subtract_green`` /
     ``palette`` (color indexing incl. sub-byte bundling for <= 16
-    colors) / uniform ``predictor`` mode are real transform encodes;
-    at most one of palette/predictor, optionally + subtract_green."""
+    colors) / uniform ``predictor`` mode / uniform
+    ``color_transform`` ``(green_to_red, green_to_blue,
+    red_to_blue)`` are real transform encodes; at most one of
+    palette/predictor, optionally + subtract_green and/or the color
+    transform."""
     a8 = np.asarray(img, dtype=np.uint8)
     if a8.ndim != 3 or a8.shape[2] not in (3, 4):
         raise ValueError(f"WebP needs (H, W, 3|4) uint8, got {a8.shape}")
@@ -792,6 +799,25 @@ def encode_webp(
             res.append(tuple((c - q) & 0xFF for c, q in zip(p, pred)))
             out.append(p)
         px = res
+    if color_transform is not None:
+        g2r, g2b, r2b = color_transform
+        if not all(0 <= t <= 255 for t in (g2r, g2b, r2b)):
+            raise ValueError(f"color transform bytes {color_transform}")
+        bw.bit(1)
+        bw.bits(1, 2)  # transform 1
+        bits = 4  # 16x16 blocks
+        bw.bits(bits - 2, 3)
+        sw = (w + 15) >> 4
+        sh = (h + 15) >> 4
+        # element pixel: r2b in RED, g2b in GREEN, g2r in BLUE
+        elems = [(255, r2b, g2b, g2r)] * (sw * sh)
+        _encode_spatial(bw, elems, sw, sh, False)
+        fwd = []
+        for a, r, g, b in px:
+            r_enc = (r - _ct_delta(g2r, g)) & 0xFF
+            b_enc = (b - _ct_delta(g2b, g) - _ct_delta(r2b, r)) & 0xFF
+            fwd.append((a, r_enc, g, b_enc))
+        px = fwd
     if subtract_green:
         bw.bit(1)
         bw.bits(2, 2)  # transform 2

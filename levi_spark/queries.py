@@ -14216,10 +14216,13 @@ def multimodal_webp_decode(spark, sf_dir):
     runs, md5-ramped body) encoded through a doc-rotating slice of
     the VP8L feature space: plain ARGB, subtract-green + color
     cache, a uniform predictor transform (mode = doc_id % 14, so all
-    14 predictors appear in the corpus), and RGBA + cache. Because
-    VP8L is lossless, ONE md5-arithmetic oracle covers every
-    variant: a wrong predictor inverse, a stale cache slot, or a
-    mis-mapped 2D distance shifts a channel sum and cannot match.
+    14 predictors appear in the corpus), RGBA + cache, and the
+    cross-channel COLOR TRANSFORM (md5-derived 3.5-fixed multipliers,
+    alone and composed with subtract-green / predictor / cache).
+    Because VP8L is lossless, ONE md5-arithmetic oracle covers every
+    variant: a wrong predictor inverse, a stale cache slot, a
+    transform element read from the wrong channel, or a mis-mapped
+    2D distance shifts a channel sum and cannot match.
     Scale shape: two Arrow-batched map-side hops after the tiny
     input-spreading repartition; no data-dependent shuffle, no
     driver loop."""
@@ -14249,12 +14252,17 @@ def multimodal_webp_decode(spark, sf_dir):
                 if d % 4 == 3:
                     planes.append(b[(r + c) % 16] | 1)
                 img = np.stack(planes, axis=2).astype(np.uint8)
+                ct = (int(b[3]), int(b[4]), int(b[5]))
                 kw = [
                     {},
                     {"subtract_green": True, "cache_bits": 6},
                     {"predictor": d % 14},
                     {"cache_bits": 4},
-                ][d % 4]
+                    {"color_transform": ct},
+                    {"color_transform": ct, "subtract_green": True},
+                    {"predictor": d % 14, "color_transform": ct},
+                    {"color_transform": ct, "cache_bits": 5},
+                ][d % 8]
                 payloads.append(encode_webp(img, **kw))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 

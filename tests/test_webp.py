@@ -231,3 +231,31 @@ def test_truncated_bitstream_raises_overrun():
     struct.pack_into("<I", buf, 4, len(buf) - 8)
     with pytest.raises(ValueError, match="overrun|truncated|mismatch"):
         decode_webp(bytes(buf))
+
+
+@settings(max_examples=15, deadline=None)
+@given(h=st.integers(2, 20), w=st.integers(2, 20), seed=st.integers(0, 9999),
+       g2r=st.integers(0, 255), g2b=st.integers(0, 255),
+       r2b=st.integers(0, 255))
+def test_color_transform_round_trip_law(h, w, seed, g2r, g2b, r2b):
+    """Transform 1 (cross-channel color transform) with arbitrary
+    3.5-fixed multipliers: forward-encode then inverse-decode must be
+    identity — and the element packing is channel-sensitive
+    (green_to_red lives in the BLUE byte of the transform image)."""
+    img = _rand((h, w, 3), seed)
+    out = decode_webp(encode_webp(img, color_transform=(g2r, g2b, r2b)))
+    assert np.array_equal(out, _rgba(img))
+
+
+def test_color_transform_composes_with_subtract_green_and_cache():
+    img = _rand((16, 16, 4), 11)
+    buf = encode_webp(img, color_transform=(34, 200, 129),
+                      subtract_green=True, cache_bits=5)
+    assert np.array_equal(decode_webp(buf), img)
+
+
+def test_color_transform_actually_changes_the_wire():
+    """Guard against a no-op forward pass: with nonzero multipliers
+    the coded residuals differ from the plain stream."""
+    img = _rand((12, 12, 3), 13)
+    assert encode_webp(img, color_transform=(128, 64, 32)) != encode_webp(img)
