@@ -862,6 +862,11 @@ class Snapshot:
                     if "defaultRowCommitVersion" in add_fields
                     else F.lit(None).cast("long")
                 ).alias("defaultRowCommitVersion"),
+                (
+                    F.col("add.clusteringProvider")
+                    if "clusteringProvider" in add_fields
+                    else F.lit(None).cast("string")
+                ).alias("clusteringProvider"),
             )
             if "add" in cols
             else F.lit(None).cast(_ADD_TYPE)

@@ -148,3 +148,34 @@ def test_recluster_refuses_unclustered(spark, tmp_path):
     write_delta(spark.range(10), p, mode="error", checkpoint_interval=None)
     with pytest.raises(ValueError, match="no delta.clustering"):
         recluster(spark, p)
+
+
+def test_provider_survives_checkpoint_and_distributed_replay(spark, tmp_path):
+    """clusteringProvider must round-trip through a checkpoint parquet
+    AND through the distributed replay path (the local fast path is
+    bypassed by forcing the cap to zero)."""
+    from levi_spark.delta import log as log_mod
+
+    p = str(tmp_path / "t")
+    df = spark.range(200).select(F.col("id").alias("k"))
+    write_delta(df, p, mode="error", cluster_by=["k"],
+                checkpoint_interval=1)  # checkpoint right away
+    write_delta(df.select((F.col("k") + 200).alias("k")), p, mode="append",
+                checkpoint_interval=1)
+    snap = DeltaLog(spark, p).snapshot()
+    assert all(
+        r["add"]["clusteringProvider"] == "liquid"
+        for r in snap.live_adds_collected()
+    )
+    cap = log_mod._LOCAL_LOG_CAP
+    try:
+        log_mod._LOCAL_LOG_CAP = 0  # force the distributed branch
+        snap2 = DeltaLog(spark, p).snapshot()
+        assert snap2._local_actions() is None
+        assert all(
+            r["add"]["clusteringProvider"] == "liquid"
+            for r in snap2.live_adds_raw().collect()
+        )
+        assert snap2.to_df().count() == 400
+    finally:
+        log_mod._LOCAL_LOG_CAP = cap
