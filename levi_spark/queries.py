@@ -13344,6 +13344,114 @@ SELECT * FROM (
 """
 
 
+def parquet_column_read(spark, sf_dir):
+    """A PARQUET COLUMN read with zero external parquet/compression
+    code — the capstone over :mod:`levi_spark.operators.parquetmeta`
+    (Thrift footer + PageHeader + RLE/bit-packed definition levels +
+    PLAIN values) and :mod:`levi_spark.operators.deflate` (the GZIP
+    pages inflate through OUR decoder): each task writes its
+    partition of orders as an in-memory GZIP parquet file via
+    pyarrow, then reads the int64 / double-with-nulls / string
+    columns back through the first-principles path and CROSS-CHECKS
+    them value-for-value against the input inside the same map step
+    — a mis-decoded level run or a page boundary off by one raises
+    and the gate dies. Surfaced stats aggregate the re-read values;
+    the oracle recomputes them straight from orders. Scale shape:
+    map-side per-partition write+read (the fan-out a real scan does),
+    one final single-row rollup."""
+    import pandas as pd
+
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 7 != 0, F.col("o_totalprice")
+            ).alias("price"),
+            "o_orderpriority",
+        )
+        .repartition(8)
+    )
+
+    def roundtrip(batches):
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        from levi_spark.operators.parquetmeta import read_column_bytes
+
+        for pdf in batches:
+            price = [
+                None if pd.isna(v) else float(v) for v in pdf["price"]
+            ]
+            t = _pa.table(
+                {
+                    "k": _pa.array(
+                        [int(v) for v in pdf["o_orderkey"]], _pa.int64()
+                    ),
+                    "price": _pa.array(price, _pa.float64()),
+                    "prio": _pa.array(
+                        list(pdf["o_orderpriority"]), _pa.utf8()
+                    ),
+                }
+            )
+            sink = _pa.BufferOutputStream()
+            _pq.write_table(
+                t, sink, compression="gzip", use_dictionary=False,
+                data_page_version="1.0", row_group_size=512,
+            )
+            blob = sink.getvalue().to_pybytes()
+            ks = read_column_bytes(blob, "k")
+            ps = read_column_bytes(blob, "price")
+            ss = read_column_bytes(blob, "prio")
+            if (
+                ks != t.column("k").to_pylist()
+                or ps != t.column("price").to_pylist()
+                or ss != t.column("prio").to_pylist()
+            ):
+                raise ValueError("first-principles read diverges from input")
+            yield pd.DataFrame(
+                {
+                    "n_rows": [len(ks)],
+                    "sum_key": [sum(ks)],
+                    "n_null_price": [sum(1 for v in ps if v is None)],
+                    "sum_price_q": [
+                        sum(
+                            int(v * 10000 + 0.5)
+                            for v in ps
+                            if v is not None
+                        )
+                    ],
+                    "prio_chars": [sum(len(s) for s in ss)],
+                }
+            ).astype("int64")
+
+    parts = orders.mapInPandas(
+        roundtrip,
+        "n_rows long, sum_key long, n_null_price long, "
+        "sum_price_q long, prio_chars long",
+    )
+    return parts.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("sum_key").alias("sum_key"),
+        F.sum("n_null_price").alias("n_null_price"),
+        (F.sum("sum_price_q").cast("double") / 10000.0).alias("sum_price"),
+        F.sum("prio_chars").alias("prio_chars"),
+    )
+
+
+PARQUET_COLUMN_SQL = """
+SELECT COUNT(*) AS n_rows,
+  CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+  CAST(SUM(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_null_price,
+  CAST(SUM(CASE WHEN o_orderkey % 7 <> 0
+       THEN CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)
+       ELSE 0 END) AS DOUBLE) / 10000.0 AS sum_price,
+  CAST(SUM(length(o_orderpriority)) AS BIGINT) AS prio_chars
+FROM orders
+"""
+
+
 def deflate_inflate_stats(spark, sf_dir):
     """DEFLATE owned end to end — RFC 1951 implemented from scratch
     (:mod:`levi_spark.operators.deflate`), the bitstream underneath
@@ -15242,6 +15350,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "csv_roundtrip_counts": (csv_roundtrip_counts, CSV_ROUNDTRIP_SQL),
     "deflate_inflate_stats": (deflate_inflate_stats, DEFLATE_SQL),
     "parquet_footer_census": (parquet_footer_census, PARQUET_FOOTER_SQL),
+    "parquet_column_read": (parquet_column_read, PARQUET_COLUMN_SQL),
     "orc_roundtrip_counts": (orc_roundtrip_counts, ORC_ROUNDTRIP_SQL),
     # -- ROUND 8 slots: NEW this round (collated reads, coordinated
     #    commits, Avro/TFRecord ingestion, QOI/BMP/AIFF/TGA codec gates,

@@ -126,3 +126,44 @@ def test_strict_refusals(tmp_path):
         read_footer(p)
     with pytest.raises(ValueError, match="truncated|type"):
         parse_footer(b"\x18\x7f")  # binary claiming 127 bytes
+
+
+@pytest.mark.parametrize("codec", ["none", "gzip"])
+def test_first_principles_column_read(tmp_path, codec):
+    """footer -> page headers -> our inflate -> RLE/bit-packed levels
+    -> PLAIN values, across row groups, with nulls, all three
+    physical types — zero external parquet/compression code on the
+    read path."""
+    from levi_spark.operators.parquetmeta import read_column
+
+    t = pa.table({
+        "k": pa.array([1, None, 3, 4**9, None, 6], pa.int64()),
+        "x": pa.array([0.5, 1.25, None, 3.0, 4.0, None], pa.float64()),
+        "s": pa.array(["ab", None, "", "dddd", "e", "ff"], pa.utf8()),
+    })
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(t, p, compression=codec, use_dictionary=False,
+                   data_page_version="1.0", row_group_size=2)
+    for col in ("k", "x", "s"):
+        assert read_column(p, col) == t.column(col).to_pylist()
+
+
+def test_column_read_refusals(tmp_path):
+    from levi_spark.operators.parquetmeta import read_column
+
+    t = pa.table({"k": pa.array(range(100), pa.int64())})
+    p1 = str(tmp_path / "snappy.parquet")
+    pq.write_table(t, p1, compression="snappy", use_dictionary=False,
+                   data_page_version="1.0")
+    with pytest.raises(NotImplementedError, match="SNAPPY"):
+        read_column(p1, "k")
+    p2 = str(tmp_path / "dict.parquet")
+    pq.write_table(t, p2, compression="none", use_dictionary=True,
+                   data_page_version="1.0")
+    with pytest.raises(NotImplementedError, match="dictionary"):
+        read_column(p2, "k")
+    p3 = str(tmp_path / "plain.parquet")
+    pq.write_table(t, p3, compression="none", use_dictionary=False,
+                   data_page_version="1.0")
+    with pytest.raises(ValueError, match="not in"):
+        read_column(p3, "zz")
