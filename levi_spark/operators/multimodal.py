@@ -33,9 +33,10 @@ def _default_image_decoder(payload: bytes) -> dict:
     raise NotImplementedError(
         "no decoder given: pass levi_spark.operators.jpeg.jpeg_image_decoder "
         "(real JPEG), levi_spark.operators.png.png_image_decoder (real "
-        "PNG), levi_spark.operators.netpbm.netpbm_image_decoder (real "
-        "netpbm), fake_image_decoder, or a PIL/opencv-backed codec for "
-        "formats we don't ship (WebP/AVIF/HEIC)"
+        "PNG), levi_spark.operators.webp.decode_webp (real lossless "
+        "WebP/VP8L), levi_spark.operators.netpbm.netpbm_image_decoder "
+        "(real netpbm), fake_image_decoder, or a PIL/opencv-backed codec "
+        "for formats we don't ship (lossy WebP/AVIF/HEIC)"
     )
 
 
@@ -45,9 +46,10 @@ def _default_audio_decoder(payload: bytes) -> dict:
         "wav_audio_decoder (real PCM WAV), levi_spark.operators.flac."
         "flac_audio_decoder (real FLAC), fake_audio_decoder, or a "
         "soundfile/librosa-backed codec for formats we don't ship "
-        "(MP3/AAC/Opus — and MPEG-1 Layer II: like Layer I's synthesis "
-        "window, its B.2a-d allocation tables are spec tables this build "
-        "will not invent from memory)"
+        "(MP3/AAC/Opus audio DECODE — MP3 frame indexing is real, see "
+        "levi_spark.operators.mp3 — and MPEG-1 Layer II: like Layer I's "
+        "synthesis window, its B.2a-d allocation tables are spec tables "
+        "this build will not invent from memory)"
     )
 
 
