@@ -13236,6 +13236,115 @@ ORDER BY c_mktsegment
 """
 
 
+def multimodal_au_decode(spark, sf_dir):
+    """REAL telephony-container decode — Sun AU / ``.snd``
+    (:mod:`levi_spark.operators.au`), the ``audio/basic`` framing
+    voicemail and call-center corpora arrive in: a big-endian header
+    (magic, data offset, size, encoding id, rate, channels) with an
+    annotation gap the offset must skip. Each document's digest
+    expands through the G.711 mu-law map into int16 samples and goes
+    out through a doc-rotating encoding — PCM16 big-endian, mu-law
+    (re-companded: the quantization levels are fixed points, so
+    values round-trip exactly), PCM8 (top byte, arithmetic-shift
+    floor semantics) — mono or interleaved stereo, with a doc-sized
+    annotation. The oracle recomputes every decoded sample from the
+    closed-form mu-law expansion in SQL and applies the same
+    floor-by-256 for PCM8 — a header offset that ignores the
+    annotation, a little-endian PCM16 read, or a truncating (not
+    flooring) PCM8 shift cannot match. Scale shape: two
+    Arrow-batched map-side hops after the tiny input-spreading
+    repartition; no data-dependent shuffle, no driver loop."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from levi_spark.operators.adpcm import mulaw_expand
+    from levi_spark.operators.au import decode_au, encode_au
+
+    docs = _docs_parallel(spark, sf_dir)
+    encodings = ["pcm16", "ulaw", "pcm8"]
+
+    def encode(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                digest = hashlib.md5(text.encode("utf-8")).digest()
+                codes = np.tile(np.frombuffer(digest, np.uint8), 4)
+                s = mulaw_expand(codes).astype(np.int16)
+                ch = 1 + d % 2
+                payloads.append(
+                    encode_au(
+                        s.reshape(-1, ch),
+                        rate=8000 * (1 + d % 2),
+                        encoding=encodings[d % 3],
+                        annotation=b"x" * (d % 5),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    aus = docs.mapInPandas(encode, "doc_id long, payload binary")
+
+    cols = [
+        "doc_id", "rate", "channels", "n_frames", "sum_samples", "sum_abs",
+    ]
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf["doc_id"], pdf["payload"]):
+                out = decode_au(bytes(p))
+                sm = out["samples"].astype(np.int64)
+                rows.append(
+                    {
+                        "doc_id": int(i),
+                        "rate": out["rate"],
+                        "channels": out["channels"],
+                        "n_frames": sm.shape[0],
+                        "sum_samples": int(sm.sum()),
+                        "sum_abs": int(np.abs(sm).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols).astype("int64")
+
+    return aus.mapInPandas(stats, ", ".join(f"{c} long" for c in cols))
+
+
+AU_DECODE_SQL = """
+WITH b AS (
+  SELECT doc_id, list_transform(range(1,17),
+      i -> ('0x'||substr(md5(text),((i-1)*2+1)::INT,2))::BIGINT) AS byt
+  FROM documents
+),
+s AS (
+  SELECT doc_id, list_transform(byt, x ->
+    CASE WHEN 255 - x >= 128
+         THEN -(((2*((255-x)%16)+33) * (1 << (((255-x)//16)%8))) - 33)
+         ELSE ((2*((255-x)%16)+33) * (1 << (((255-x)//16)%8))) - 33
+    END) AS e
+  FROM b
+),
+v AS (  -- decoded values after the doc's encoding round trip
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 2
+         -- pcm8: int16 >> 8 is an ARITHMETIC shift = true floor;
+         -- DuckDB's // truncates toward zero, so floor explicitly
+         THEN list_transform(e,
+              x -> CAST(floor(x / 256.0) AS BIGINT) * 256)
+         ELSE e END AS sm
+  FROM s
+)
+SELECT doc_id,
+  CAST(8000 * (1 + doc_id % 2) AS BIGINT) AS rate,
+  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+  CAST(64 // (1 + doc_id % 2) AS BIGINT) AS n_frames,
+  CAST(4 * list_sum(sm) AS BIGINT) AS sum_samples,
+  CAST(4 * list_sum(list_transform(sm, x -> abs(x))) AS BIGINT) AS sum_abs
+FROM v
+"""
+
+
 def parquet_footer_census(spark, sf_dir):
     """PARQUET FOOTER parsing owned end to end — the Thrift compact
     protocol and the parquet-format FileMetaData IDL implemented from
@@ -14657,9 +14766,10 @@ def events_gap_fill(spark, sf_dir):
     interpolated between the nearest observed hours on either side.
     All value math runs in quantized integer units with a
     floor-of-double-ratio interpolation — bit-identical cross-engine
-    (the ``div``/``//`` operators were deliberately avoided: Spark
-    truncates toward zero, DuckDB floors, and interpolation deltas go
-    negative).
+    (the ``div``/``//`` operators were deliberately avoided:
+    interpolation deltas go negative, where integer division
+    TRUNCATES toward zero in both engines while the math here wants
+    a true floor).
 
     Scale shape: one hourly hash-agg (map-side partials), a per-type
     span agg whose grid explode is bounded by hours-in-range (not
@@ -15353,6 +15463,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "deflate_inflate_stats": (deflate_inflate_stats, DEFLATE_SQL),
     "parquet_footer_census": (parquet_footer_census, PARQUET_FOOTER_SQL),
     "parquet_column_read": (parquet_column_read, PARQUET_COLUMN_SQL),
+    "multimodal_au_decode": (multimodal_au_decode, AU_DECODE_SQL),
     "orc_roundtrip_counts": (orc_roundtrip_counts, ORC_ROUNDTRIP_SQL),
     # -- ROUND 8 slots: NEW this round (collated reads, coordinated
     #    commits, Avro/TFRecord ingestion, QOI/BMP/AIFF/TGA codec gates,
