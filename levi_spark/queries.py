@@ -15424,7 +15424,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # the 4 queries at positions 50-53 missed both rounds). So the
     # first 50 slots are rotation policy: never-gated queries first,
     # then queries changed this round, then oldest-green backfill.
-    # -- ROUND 8 second-half additions, slots 1-21 (lead the window:
+    # -- ROUND 8 second-half additions, slots 1-22 (lead the window:
     #    never driver-gated) — ICO container, Delta .crc checksums,
     #    PDF text layer, CDC chunk dedup, binary-quant ANN, gap fill,
     #    SRT/VTT, WebP/VP8L (8 encoder variants incl. the color
@@ -15432,10 +15432,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     #    streaming agg, HTML boilerplate removal, CBOR, dyadic EWMA,
     #    Arrow IPC, liquid clustering (with OPTIMIZE recluster),
     #    from-scratch DEFLATE, parquet footer census + first-
-    #    principles column reads, CSV + ORC round trips. The reshaped
+    #    principles column reads, CSV + ORC round trips, Sun AU. The reshaped
     #    archive_extract_members (now five framings incl.
     #    tar.xz/tar.bz2) sits in the round-7 block below; the
-    #    first-half round-8 queries follow at 22+, keeping the whole
+    #    first-half round-8 queries follow at 23+, keeping the whole
     #    round-8 surface inside the 50-slot gate. ---------------------
     "multimodal_ico_decode": (multimodal_ico_decode, ICO_DECODE_SQL),
     "log_checksum_counts": (log_checksum_counts, LOG_CHECKSUM_SQL),
