@@ -285,14 +285,41 @@ def read_column_bytes(data: bytes, column: str) -> list:
     out: list = []
     for g in footer["row_groups"]:
         chunk = next(c for c in g["columns"] if c["path"] == column)
-        if chunk["codec"] not in ("UNCOMPRESSED", "GZIP"):
+        if chunk["codec"] not in ("UNCOMPRESSED", "GZIP", "SNAPPY"):
             raise NotImplementedError(
                 f"codec {chunk['codec']}: first-principles reads cover "
-                "UNCOMPRESSED and GZIP (our own inflate)"
+                "UNCOMPRESSED, GZIP (our inflate) and SNAPPY (our "
+                "block decoder)"
             )
-        if chunk["dict_page_offset"] is not None:
-            raise NotImplementedError("dictionary-encoded chunk")
-        pos = chunk["data_page_offset"]
+        def decompress(body: bytes) -> bytes:
+            if chunk["codec"] == "GZIP":
+                from levi_spark.operators.deflate import gzip_unwrap
+
+                return gzip_unwrap(body)
+            if chunk["codec"] == "SNAPPY":
+                from levi_spark.operators.snappy import snappy_uncompress
+
+                return snappy_uncompress(body)
+            return body
+
+        def plain_values(buf: bytes, at: int, count: int) -> list:
+            if ptype == "INT64":
+                return list(struct.unpack_from(f"<{count}q", buf, at))
+            if ptype == "DOUBLE":
+                return list(struct.unpack_from(f"<{count}d", buf, at))
+            if ptype == "BYTE_ARRAY":
+                vals = []
+                for _ in range(count):
+                    (ln,) = struct.unpack_from("<i", buf, at)
+                    vals.append(buf[at + 4 : at + 4 + ln].decode("utf-8"))
+                    at += 4 + ln
+                return vals
+            raise NotImplementedError(f"physical type {ptype}")
+
+        dictionary: list | None = None
+        pos = chunk["dict_page_offset"]
+        if pos is None:
+            pos = chunk["data_page_offset"]
         remaining = chunk["num_values"]
         while remaining > 0:
             r = _Reader(data, pos)
@@ -301,17 +328,18 @@ def read_column_bytes(data: bytes, column: str) -> list:
             comp_size = ph.get(3)
             body = data[r.pos : r.pos + comp_size]
             pos = r.pos + comp_size
+            if page_type == 2:  # DICTIONARY_PAGE
+                dict_hdr = ph.get(7) or {}
+                dictionary = plain_values(
+                    decompress(body), 0, dict_hdr.get(1)
+                )
+                continue
             if page_type != 0:  # 0 = DATA_PAGE (v1)
                 raise NotImplementedError(f"page type {page_type}")
             dph = ph.get(5) or {}
             n_values = dph.get(1)
             encoding = dph.get(2)
-            if encoding != 0:
-                raise NotImplementedError(f"value encoding {encoding}")
-            if chunk["codec"] == "GZIP":
-                from levi_spark.operators.deflate import gzip_unwrap
-
-                body = gzip_unwrap(body)
+            body = decompress(body)
             # definition levels: flat top-level fields written by
             # pyarrow/parquet-mr are OPTIONAL (max def level 1), so a
             # [i32 length][RLE/bit-packed hybrid] block precedes the
@@ -320,25 +348,20 @@ def read_column_bytes(data: bytes, column: str) -> list:
             levels = _rle_bp_hybrid(body[4 : 4 + lev_len], 1, n_values)
             vpos = 4 + lev_len
             n_present = sum(levels)
-            vals: list = []
-            if ptype == "INT64":
-                vals = list(
-                    struct.unpack_from(f"<{n_present}q", body, vpos)
-                )
-            elif ptype == "DOUBLE":
-                vals = list(
-                    struct.unpack_from(f"<{n_present}d", body, vpos)
-                )
-            elif ptype == "BYTE_ARRAY":
-                p2 = vpos
-                for _ in range(n_present):
-                    (ln,) = struct.unpack_from("<i", body, p2)
-                    vals.append(
-                        body[p2 + 4 : p2 + 4 + ln].decode("utf-8")
+            if encoding == 0:  # PLAIN
+                vals = plain_values(body, vpos, n_present)
+            elif encoding in (2, 8):  # (PLAIN_)RLE_DICTIONARY
+                if dictionary is None:
+                    raise ValueError(
+                        "dictionary-encoded page before any dictionary"
                     )
-                    p2 += 4 + ln
+                bit_width = body[vpos]
+                idx = _rle_bp_hybrid(
+                    body[vpos + 1 :], bit_width, n_present
+                )
+                vals = [dictionary[i] for i in idx]
             else:
-                raise NotImplementedError(f"physical type {ptype}")
+                raise NotImplementedError(f"value encoding {encoding}")
             it = iter(vals)
             out.extend(next(it) if lv else None for lv in levels)
             remaining -= n_values

@@ -13539,13 +13539,59 @@ def parquet_column_read(spark, sf_dir):
         "n_rows long, sum_key long, n_null_price long, "
         "sum_price_q long, prio_chars long",
     )
-    return parts.agg(
+    gzip_branch = parts.agg(
         F.sum("n_rows").alias("n_rows"),
         F.sum("sum_key").alias("sum_key"),
         F.sum("n_null_price").alias("n_null_price"),
         (F.sum("sum_price_q").cast("double") / 10000.0).alias("sum_price"),
         F.sum("prio_chars").alias("prio_chars"),
     )
+
+    # Second branch: the REAL testdata file — snappy-compressed,
+    # RLE_DICTIONARY-encoded — read column by column from first
+    # principles (footer -> dict page -> bit-packed indices -> our
+    # snappy). The union-distinct with the gzip round-trip branch IS
+    # the check: if the two reads disagree on any field, two rows
+    # survive and the driver's row-count gate fails.
+    import os as _os
+
+    real = spark.createDataFrame(
+        [(_os.path.join(sf_dir, "orders.parquet"),)], "path string"
+    ).repartition(1)
+
+    def from_real_file(batches):
+        from levi_spark.operators.parquetmeta import read_column
+
+        for pdf in batches:
+            for path in pdf["path"]:
+                ks = read_column(path, "o_orderkey")
+                ps = read_column(path, "o_totalprice")
+                ss = read_column(path, "o_orderpriority")
+                yield pd.DataFrame(
+                    {
+                        "n_rows": [len(ks)],
+                        "sum_key": [sum(ks)],
+                        "n_null_price": [
+                            sum(1 for k in ks if k % 7 == 0)
+                        ],
+                        "sum_price": [
+                            sum(
+                                int(v * 10000 + 0.5)
+                                for k, v in zip(ks, ps)
+                                if k % 7 != 0
+                            )
+                            / 10000.0
+                        ],
+                        "prio_chars": [sum(len(s) for s in ss)],
+                    }
+                )
+
+    real_branch = real.mapInPandas(
+        from_real_file,
+        "n_rows long, sum_key long, n_null_price long, "
+        "sum_price double, prio_chars long",
+    )
+    return gzip_branch.unionByName(real_branch).distinct()
 
 
 PARQUET_COLUMN_SQL = """

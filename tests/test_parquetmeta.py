@@ -148,20 +148,46 @@ def test_first_principles_column_read(tmp_path, codec):
         assert read_column(p, col) == t.column(col).to_pylist()
 
 
+def test_snappy_and_dictionary_reads(tmp_path):
+    """SNAPPY chunks (our block decoder) and RLE_DICTIONARY pages —
+    parquet's defaults — now read from first principles, including
+    the dict-page decode and bit-packed index expansion."""
+    from levi_spark.operators.parquetmeta import read_column
+
+    vals = [i % 7 for i in range(500)]  # low cardinality -> dict wins
+    t = pa.table({"k": pa.array(vals, pa.int64()),
+                  "s": pa.array([f"v{v}" for v in vals], pa.utf8())})
+    p = str(tmp_path / "dict.parquet")
+    pq.write_table(t, p, compression="snappy", use_dictionary=True,
+                   data_page_version="1.0", row_group_size=200)
+    assert read_column(p, "k") == vals
+    assert read_column(p, "s") == [f"v{v}" for v in vals]
+
+
+def test_real_testdata_columns_match_duckdb():
+    """The actual driver testdata (snappy + RLE_DICTIONARY, written
+    by parquet-cpp) decodes value-exactly against duckdb."""
+    import duckdb
+
+    from levi_spark.operators.parquetmeta import read_column
+
+    for t, col in (("documents", "doc_id"), ("lineitem", "l_quantity"),
+                   ("orders", "o_orderpriority")):
+        p = f"/root/testdata/sf0.001/{t}.parquet"
+        want = [r[0] for r in duckdb.sql(
+            f"SELECT {col} FROM read_parquet('{p}')").fetchall()]
+        assert read_column(p, col) == want
+
+
 def test_column_read_refusals(tmp_path):
     from levi_spark.operators.parquetmeta import read_column
 
     t = pa.table({"k": pa.array(range(100), pa.int64())})
-    p1 = str(tmp_path / "snappy.parquet")
-    pq.write_table(t, p1, compression="snappy", use_dictionary=False,
+    p1 = str(tmp_path / "zstd.parquet")
+    pq.write_table(t, p1, compression="zstd", use_dictionary=False,
                    data_page_version="1.0")
-    with pytest.raises(NotImplementedError, match="SNAPPY"):
+    with pytest.raises(NotImplementedError, match="ZSTD"):
         read_column(p1, "k")
-    p2 = str(tmp_path / "dict.parquet")
-    pq.write_table(t, p2, compression="none", use_dictionary=True,
-                   data_page_version="1.0")
-    with pytest.raises(NotImplementedError, match="dictionary"):
-        read_column(p2, "k")
     p3 = str(tmp_path / "plain.parquet")
     pq.write_table(t, p3, compression="none", use_dictionary=False,
                    data_page_version="1.0")
