@@ -407,12 +407,17 @@ def _read_batch_into(fb: _FB, hpos: int, body: bytes,
             vals = _bits(buf(bi), length)
             bi += 1
         else:  # utf8
-            offs = struct.unpack_from(f"<{length + 1}i", buf(bi))
-            data = buf(bi + 1)
-            vals = [
-                data[offs[j] : offs[j + 1]].decode("utf-8")
-                for j in range(length)
-            ]
+            if length == 0:
+                # conforming writers may emit a zero-length offsets
+                # buffer for an empty batch — nothing to unpack
+                vals = []
+            else:
+                offs = struct.unpack_from(f"<{length + 1}i", buf(bi))
+                data = buf(bi + 1)
+                vals = [
+                    data[offs[j] : offs[j + 1]].decode("utf-8")
+                    for j in range(length)
+                ]
             bi += 2
         columns[name].extend(
             v if ok else None for v, ok in zip(vals, valid)

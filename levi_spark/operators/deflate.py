@@ -169,7 +169,15 @@ def inflate(payload: bytes) -> bytes:
                 if len(lengths) > hlit + hdist:
                     raise ValueError("DEFLATE: code lengths overflow")
                 lit = _Huff(lengths[:hlit])
-                dist = _Huff(lengths[hlit:])
+                # RFC 1951 §3.2.7 permits ONE distance code of zero
+                # bits when the block is all literals — the table may
+                # be empty, so defer the error to the first actual
+                # distance read instead of table-build time
+                dist = (
+                    _Huff(lengths[hlit:])
+                    if any(lengths[hlit:])
+                    else None
+                )
             while True:
                 s = lit.read(br)
                 if s < 256:
@@ -181,6 +189,11 @@ def inflate(payload: bytes) -> bytes:
                         raise ValueError(f"DEFLATE: length code {s}")
                     eb, base = _LEN_TABLE[s - 257]
                     length = base + br.bits(eb)
+                    if dist is None:
+                        raise ValueError(
+                            "DEFLATE: length code in a block whose "
+                            "distance code is empty (all-literal)"
+                        )
                     d = dist.read(br)
                     if d > 29:
                         raise ValueError(f"DEFLATE: distance code {d}")
@@ -237,6 +250,10 @@ def _fixed_lit_code(sym: int) -> tuple[int, int]:
 
 
 def _len_code(length: int) -> tuple[int, int, int]:
+    if length == 258:
+        # the dedicated zero-extra-bit code 285, NOT code 284 with
+        # extra value 31 (decodable but non-canonical, 5 wasted bits)
+        return 285, 0, 0
     for i, (eb, base) in enumerate(_LEN_TABLE):
         nxt = _LEN_TABLE[i + 1][1] if i + 1 < len(_LEN_TABLE) else 259
         if base <= length < max(nxt, base + (1 << eb)):

@@ -165,7 +165,10 @@ def decode_ico(payload: bytes) -> list[dict]:
         if off + size > len(payload) or off < 6 + 16 * count:
             raise ValueError(f"entry {i} span [{off}, {off + size}) out of file")
         spans.append((bw or 256, bh or 256, off, size))
-    for (_, _, o1, s1), (_, _, o2, _s2) in zip(spans, spans[1:]):
+    # entries may be stored in any offset order: sort by offset before
+    # the pairwise check so non-adjacent overlaps are caught too
+    by_off = sorted(spans, key=lambda s: s[2])
+    for (_, _, o1, s1), (_, _, o2, _s2) in zip(by_off, by_off[1:]):
         if o1 + s1 > o2:
             raise ValueError("ICO entry spans overlap")
     out = []

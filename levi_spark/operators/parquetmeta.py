@@ -148,21 +148,33 @@ def parse_footer(meta: bytes) -> dict:
     fm = thrift_read_struct(meta)
     schema = fm.get(2) or []
     leaves: list[tuple[str, str]] = []
+    levels: dict[str, tuple[int, int]] = {}
 
-    def walk(i: int, prefix: list[str]) -> int:
+    # SchemaElement field 3 is repetition_type: 0=REQUIRED, 1=OPTIONAL,
+    # 2=REPEATED. Definition level increments for OPTIONAL and REPEATED
+    # ancestors, repetition level for REPEATED — the Dremel record
+    # shredding model the page level blocks encode against.
+    def walk(i: int, prefix: list[str], dl: int, rl: int) -> int:
         el = schema[i]
         name = (el.get(4) or b"").decode("utf-8")
         nchild = el.get(5) or 0
+        rep = el.get(3) if i else 0  # root is conceptually REQUIRED
+        if rep in (1, 2):
+            dl += 1
+        if rep == 2:
+            rl += 1
         if nchild == 0:
-            leaves.append((".".join(prefix + [name]), _TYPES.get(el.get(1), f"T{el.get(1)}")))
+            path = ".".join(prefix + [name])
+            leaves.append((path, _TYPES.get(el.get(1), f"T{el.get(1)}")))
+            levels[path] = (dl, rl)
             return i + 1
         j = i + 1
         for _ in range(nchild):
-            j = walk(j, prefix + [name] if i else prefix)
+            j = walk(j, prefix + [name] if i else prefix, dl, rl)
         return j
 
     if schema:
-        walk(0, [])
+        walk(0, [], 0, 0)
     groups = []
     for rg in fm.get(4) or []:
         cols = []
@@ -195,6 +207,7 @@ def parse_footer(meta: bytes) -> dict:
         "num_rows": fm.get(3),
         "created_by": (fm.get(6) or b"").decode("utf-8", "replace"),
         "columns": leaves,
+        "levels": levels,
         "row_groups": groups,
     }
 
@@ -282,6 +295,11 @@ def read_column_bytes(data: bytes, column: str) -> list:
     if column not in types:
         raise ValueError(f"{column!r} not in {sorted(types)}")
     ptype = types[column]
+    max_def, max_rep = footer["levels"][column]
+    if max_rep > 0:
+        raise NotImplementedError(
+            "repeated (nested list) column: use read_column_nested"
+        )
     out: list = []
     for g in footer["row_groups"]:
         chunk = next(c for c in g["columns"] if c["path"] == column)
@@ -340,13 +358,19 @@ def read_column_bytes(data: bytes, column: str) -> list:
             n_values = dph.get(1)
             encoding = dph.get(2)
             body = decompress(body)
-            # definition levels: flat top-level fields written by
-            # pyarrow/parquet-mr are OPTIONAL (max def level 1), so a
-            # [i32 length][RLE/bit-packed hybrid] block precedes the
-            # values in every v1 data page of this profile
-            (lev_len,) = struct.unpack_from("<i", body, 0)
-            levels = _rle_bp_hybrid(body[4 : 4 + lev_len], 1, n_values)
-            vpos = 4 + lev_len
+            if max_def == 0:
+                # REQUIRED column: v1 data pages carry NO definition-
+                # level block at all — every value is present
+                levels = [1] * n_values
+                vpos = 0
+            else:
+                # OPTIONAL column (max def level 1): a [i32 length]
+                # [RLE/bit-packed hybrid] block precedes the values
+                (lev_len,) = struct.unpack_from("<i", body, 0)
+                levels = _rle_bp_hybrid(
+                    body[4 : 4 + lev_len], 1, n_values
+                )
+                vpos = 4 + lev_len
             n_present = sum(levels)
             if encoding == 0:  # PLAIN
                 vals = plain_values(body, vpos, n_present)
