@@ -1,0 +1,739 @@
+"""Zstandard (RFC 8878) decompression — from scratch, pure stdlib.
+
+ZSTD is the de-facto default codec of modern parquet lakes, and the
+one codec the first-principles parquet read path
+(:mod:`levi_spark.operators.parquetmeta`) still refused after round
+8. This module owns the full decode side of the published format:
+
+* **Frames**: magic ``0xFD2FB528``, frame header descriptor
+  (content-size / single-segment / checksum / dictionary-ID flags),
+  window descriptor, skippable frames (``0x184D2A5x``), multi-frame
+  concatenation, and the optional XXH64 content checksum — verified,
+  with :func:`xxh64` implemented here, not borrowed.
+* **Blocks**: Raw / RLE / Compressed, last-block flag, 21-bit sizes.
+* **Literals**: Raw / RLE / Huffman-compressed / Treeless (reusing
+  the previous table), 1-stream and 4-stream layouts with the jump
+  table, and both Huffman tree descriptions — direct 4-bit weights
+  and FSE-compressed weights decoded with the spec's two interleaved
+  states over the backward bitstream.
+* **Sequences**: Predefined / RLE / FSE_Compressed / Repeat modes
+  for the literals-length, offset and match-length codes, the RFC's
+  predefined distributions and baseline/extra-bit tables, backward
+  bitstream state machine (decode OF→ML→LL, update LL→ML→OF), and
+  the three-slot repeat-offset history with the litLength-0 twist.
+* **FSE**: the variable-bit-count normalized-count header (with the
+  low/high threshold trick and 2-bit zero-run repeats) and the
+  spec's spread-step table construction (``(size>>1)+(size>>3)+3``).
+
+Strict decode: reserved block types, dictionary IDs (refused — no
+dictionary support), oversubscribed distributions, offsets past the
+decoded window, trailing bits after a stream, bad checksums and
+truncation all raise. Tests cross-check against pyarrow's bundled
+libzstd encoder across compression levels -7..22, sizes 0..1 MiB,
+and entropy regimes; see ``tests/test_zstd.py``.
+
+Public spec: RFC 8878 (https://www.rfc-editor.org/rfc/rfc8878);
+layout study aided by the reference's published format docs only —
+no code consulted. North-star codec surface like
+:mod:`levi_spark.operators.deflate` (RFC 1951).
+"""
+
+from __future__ import annotations
+
+import struct
+
+_MAGIC = 0xFD2FB528
+_SKIP_LO, _SKIP_HI = 0x184D2A50, 0x184D2A5F
+
+# --------------------------------------------------------------------------
+# bitstreams
+# --------------------------------------------------------------------------
+
+
+class _Fwd:
+    """Forward LSB-first bit reader (FSE table headers only)."""
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0  # bit position
+
+    def bits(self, n: int) -> int:
+        end = self.pos + n
+        if end > 8 * len(self.buf):
+            raise ValueError("zstd: FSE header truncated")
+        acc = int.from_bytes(
+            self.buf[self.pos >> 3 : (end + 7) >> 3], "little"
+        )
+        v = (acc >> (self.pos & 7)) & ((1 << n) - 1)
+        self.pos = end
+        return v
+
+    def rewind(self, n: int) -> None:
+        self.pos -= n
+
+    def bytes_consumed(self) -> int:
+        return (self.pos + 7) >> 3
+
+
+class _Bwd:
+    """Backward bitstream (RFC 8878 §3.1.1.6): bits are read from
+    the last byte toward the first; the last byte's highest set bit
+    is a padding marker. Reads below the start pad with zeros and
+    set ``overflowed`` (the interleaved-FSE stop condition)."""
+
+    def __init__(self, buf: bytes):
+        if not buf or buf[-1] == 0:
+            raise ValueError("zstd: backward bitstream missing padding")
+        self.val = int.from_bytes(buf, "little")
+        self.bitpos = 8 * (len(buf) - 1) + buf[-1].bit_length() - 1
+        self.overflowed = False
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self.bitpos -= n
+        if self.bitpos < 0:
+            self.overflowed = True
+            return (self.val << -self.bitpos) & ((1 << n) - 1)
+        return (self.val >> self.bitpos) & ((1 << n) - 1)
+
+    def peek(self, n: int) -> int:
+        p = self.bitpos - n
+        if p < 0:
+            return (self.val << -p) & ((1 << n) - 1)
+        return (self.val >> p) & ((1 << n) - 1)
+
+
+# --------------------------------------------------------------------------
+# FSE
+# --------------------------------------------------------------------------
+
+
+def _fse_read_distribution(
+    fwd: _Fwd, max_symbol: int, max_accuracy: int
+) -> tuple[list[int], int]:
+    """Normalized-count header -> (frequencies with -1 for 'less
+    than 1', accuracy_log). Variable bit counts with the low/high
+    threshold trick; 2-bit repeat runs after a zero probability."""
+    accuracy_log = fwd.bits(4) + 5
+    if accuracy_log > max_accuracy:
+        raise ValueError(
+            f"zstd: accuracy log {accuracy_log} > max {max_accuracy}"
+        )
+    remaining = 1 << accuracy_log
+    freqs: list[int] = []
+    while remaining > 0 and len(freqs) <= max_symbol:
+        nbits = (remaining + 1).bit_length()
+        val = fwd.bits(nbits)
+        lower_mask = (1 << (nbits - 1)) - 1
+        threshold = (1 << nbits) - 1 - (remaining + 1)
+        if (val & lower_mask) < threshold:
+            fwd.rewind(1)
+            val &= lower_mask
+        elif val > lower_mask:
+            val -= threshold
+        proba = val - 1
+        remaining -= -proba if proba < 0 else proba
+        freqs.append(proba)
+        if proba == 0:
+            while True:
+                repeat = fwd.bits(2)
+                freqs.extend([0] * repeat)
+                if repeat != 3:
+                    break
+    if remaining != 0:
+        raise ValueError("zstd: FSE distribution does not sum to table")
+    if len(freqs) > max_symbol + 1:
+        raise ValueError(
+            f"zstd: {len(freqs)} FSE symbols > max {max_symbol + 1}"
+        )
+    return freqs, accuracy_log
+
+
+class _FSETable:
+    """Decoding table: per state a (symbol, num_bits, baseline)."""
+
+    __slots__ = ("symbols", "nbits", "base", "accuracy_log")
+
+    def __init__(self, freqs: list[int], accuracy_log: int):
+        size = 1 << accuracy_log
+        self.accuracy_log = accuracy_log
+        symbols = [0] * size
+        high = size
+        state_desc = [0] * len(freqs)
+        for s, f in enumerate(freqs):
+            if f == -1:
+                high -= 1
+                symbols[high] = s
+                state_desc[s] = 1
+        step = (size >> 1) + (size >> 3) + 3
+        mask = size - 1
+        pos = 0
+        for s, f in enumerate(freqs):
+            if f <= 0:
+                continue
+            state_desc[s] = f
+            for _ in range(f):
+                symbols[pos] = s
+                pos = (pos + step) & mask
+                while pos >= high:
+                    pos = (pos + step) & mask
+        if pos != 0:
+            raise ValueError("zstd: corrupt FSE distribution spread")
+        nbits = [0] * size
+        base = [0] * size
+        for i in range(size):
+            s = symbols[i]
+            nsd = state_desc[s]
+            state_desc[s] += 1
+            nb = accuracy_log - (nsd.bit_length() - 1)
+            nbits[i] = nb
+            base[i] = (nsd << nb) - size
+        self.symbols = symbols
+        self.nbits = nbits
+        self.base = base
+
+    @classmethod
+    def rle(cls, symbol: int) -> "_FSETable":
+        t = cls.__new__(cls)
+        t.accuracy_log = 0
+        t.symbols = [symbol]
+        t.nbits = [0]
+        t.base = [0]
+        return t
+
+
+def _fse_decode_interleaved(
+    table: _FSETable, bwd: _Bwd, max_out: int
+) -> list[int]:
+    """Two interleaved FSE states decoding until the backward stream
+    is exhausted (the Huffman-weights encoding, §4.2.1.2): when a
+    state update reads past the start, emit the OTHER state's symbol
+    and stop."""
+    al = table.accuracy_log
+    s1 = bwd.read(al)
+    s2 = bwd.read(al)
+    if bwd.overflowed:
+        raise ValueError("zstd: FSE weight stream too short for states")
+    out: list[int] = []
+    while True:
+        if len(out) > max_out:
+            raise ValueError("zstd: FSE weight stream overlong")
+        out.append(table.symbols[s1])
+        s1 = table.base[s1] + bwd.read(table.nbits[s1])
+        if bwd.overflowed:
+            out.append(table.symbols[s2])
+            break
+        out.append(table.symbols[s2])
+        s2 = table.base[s2] + bwd.read(table.nbits[s2])
+        if bwd.overflowed:
+            out.append(table.symbols[s1])
+            break
+    return out
+
+
+# --------------------------------------------------------------------------
+# Huffman (literals)
+# --------------------------------------------------------------------------
+
+
+class _HufTable:
+    __slots__ = ("symbols", "nbits", "max_bits")
+
+    def __init__(self, weights: list[int]):
+        """Weights (last one implicit, appended by the caller) ->
+        a 2^max_bits direct-lookup decoding table."""
+        total = sum(1 << (w - 1) for w in weights if w > 0)
+        if total == 0 or total & (total - 1):
+            raise ValueError("zstd: Huffman weights not a power of two")
+        max_bits = total.bit_length() - 1
+        if max_bits > 11:
+            raise ValueError(f"zstd: Huffman max bits {max_bits} > 11")
+        size = 1 << max_bits
+        rank_count = [0] * (max_bits + 1)
+        for w in weights:
+            if w > max_bits:
+                raise ValueError(f"zstd: Huffman weight {w} too large")
+            if w:
+                rank_count[max_bits + 1 - w] += 1
+        rank_idx = [0] * (max_bits + 2)
+        for b in range(max_bits, 0, -1):
+            rank_idx[b - 1] = rank_idx[b] + rank_count[b] * (
+                1 << (max_bits - b)
+            )
+        if rank_idx[0] != size:
+            raise ValueError("zstd: Huffman table does not fill")
+        symbols = [0] * size
+        nbits = [0] * size
+        for sym, w in enumerate(weights):
+            if not w:
+                continue
+            b = max_bits + 1 - w
+            span = 1 << (max_bits - b)
+            at = rank_idx[b]
+            rank_idx[b] += span
+            for i in range(at, at + span):
+                symbols[i] = sym
+                nbits[i] = b
+        self.symbols = symbols
+        self.nbits = nbits
+        self.max_bits = max_bits
+
+
+def _read_huf_table(buf: bytes) -> tuple[_HufTable, int]:
+    """Huffman tree description -> (table, bytes consumed). Header
+    byte >= 128: direct 4-bit weights (first in the high nibble);
+    < 128: FSE-compressed weights, two interleaved states."""
+    hdr = buf[0]
+    if hdr >= 128:
+        n = hdr - 127
+        nb = (n + 1) // 2
+        raw = buf[1 : 1 + nb]
+        if len(raw) != nb:
+            raise ValueError("zstd: direct Huffman weights truncated")
+        weights = []
+        for i in range(n):
+            b = raw[i >> 1]
+            weights.append(b >> 4 if i % 2 == 0 else b & 0x0F)
+        consumed = 1 + nb
+    else:
+        comp = buf[1 : 1 + hdr]
+        if len(comp) != hdr:
+            raise ValueError("zstd: FSE Huffman weights truncated")
+        fwd = _Fwd(comp)
+        freqs, al = _fse_read_distribution(fwd, 255, 6)
+        table = _FSETable(freqs, al)
+        weights = _fse_decode_interleaved(
+            table, _Bwd(comp[fwd.bytes_consumed() :]), 255
+        )
+        consumed = 1 + hdr
+    if len(weights) > 255:
+        raise ValueError("zstd: more than 255 Huffman weights")
+    # the last symbol's weight is implicit: total must close a power
+    # of two, and the remainder must itself be a power of two
+    partial = sum(1 << (w - 1) for w in weights if w > 0)
+    if partial == 0:
+        raise ValueError("zstd: all-zero Huffman weights")
+    nxt = 1 << partial.bit_length()
+    left = nxt - partial
+    if left & (left - 1):
+        raise ValueError("zstd: implicit Huffman weight not derivable")
+    weights.append(left.bit_length())
+    return _HufTable(weights), consumed
+
+
+def _huf_decode_stream(
+    table: _HufTable, stream: bytes, count: int
+) -> bytearray:
+    bwd = _Bwd(stream)
+    mb = table.max_bits
+    syms = table.symbols
+    nb = table.nbits
+    out = bytearray(count)
+    for i in range(count):
+        idx = bwd.peek(mb)
+        out[i] = syms[idx]
+        bwd.bitpos -= nb[idx]
+    if bwd.bitpos != 0:
+        raise ValueError(
+            f"zstd: Huffman stream ends with {bwd.bitpos} bits left"
+        )
+    return out
+
+
+# --------------------------------------------------------------------------
+# sequences: predefined distributions + code tables (RFC 8878 §3.1.1.3.2)
+# --------------------------------------------------------------------------
+
+_LL_DEFAULT = (
+    [4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1, 2, 2, 2, 2, 2, 2,
+     2, 2, 2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1, -1],
+    6,
+)
+_ML_DEFAULT = (
+    [1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+     1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+     1, 1, -1, -1, -1, -1, -1, -1, -1],
+    6,
+)
+_OF_DEFAULT = (
+    [1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+     1, 1, -1, -1, -1, -1, -1],
+    5,
+)
+
+# literals-length code -> (baseline, extra bits)
+_LL_CODE = [(i, 0) for i in range(16)] + [
+    (16, 1), (18, 1), (20, 1), (22, 1), (24, 2), (28, 2), (32, 3),
+    (40, 3), (48, 4), (64, 6), (128, 7), (256, 8), (512, 9),
+    (1024, 10), (2048, 11), (4096, 12), (8192, 13), (16384, 14),
+    (32768, 15), (65536, 16),
+]
+# match-length code -> (baseline, extra bits)
+_ML_CODE = [(i + 3, 0) for i in range(32)] + [
+    (35, 1), (37, 1), (39, 1), (41, 1), (43, 2), (47, 2), (51, 3),
+    (59, 3), (67, 4), (83, 4), (99, 5), (131, 7), (259, 8), (515, 9),
+    (1027, 10), (2051, 11), (4099, 12), (8195, 13), (16387, 14),
+    (32771, 15), (65539, 16),
+]
+
+_MAX_SYM = {"ll": 35, "of": 31, "ml": 52}
+_MAX_ACC = {"ll": 9, "of": 8, "ml": 9}
+_DEFAULTS = {"ll": _LL_DEFAULT, "of": _OF_DEFAULT, "ml": _ML_DEFAULT}
+
+
+class _FrameState:
+    """Per-frame decoder state that persists across blocks: the
+    repeat-offset history, the previous Huffman table (Treeless
+    literals) and the previous FSE tables (Repeat mode)."""
+
+    def __init__(self) -> None:
+        self.reps = [1, 4, 8]
+        self.huf: _HufTable | None = None
+        self.fse: dict[str, _FSETable | None] = {
+            "ll": None, "of": None, "ml": None
+        }
+
+
+def _read_seq_table(
+    kind: str, mode: int, buf: bytes, at: int, st: _FrameState
+) -> tuple[_FSETable, int]:
+    if mode == 0:  # Predefined
+        freqs, al = _DEFAULTS[kind]
+        return _FSETable(freqs, al), at
+    if mode == 1:  # RLE: one byte, zero-bit single state
+        sym = buf[at]
+        if sym > _MAX_SYM[kind]:
+            raise ValueError(f"zstd: RLE {kind} symbol {sym} out of range")
+        return _FSETable.rle(sym), at + 1
+    if mode == 2:  # FSE_Compressed
+        fwd = _Fwd(buf[at:])
+        freqs, al = _fse_read_distribution(
+            fwd, _MAX_SYM[kind], _MAX_ACC[kind]
+        )
+        return _FSETable(freqs, al), at + fwd.bytes_consumed()
+    prev = st.fse[kind]  # Repeat
+    if prev is None:
+        raise ValueError(f"zstd: Repeat mode for {kind} with no prior table")
+    return prev, at
+
+
+def _decode_literals(
+    block: bytes, st: _FrameState
+) -> tuple[bytes, int]:
+    """Literals section -> (regenerated literals, bytes consumed)."""
+    b0 = block[0]
+    ltype = b0 & 3
+    sf = (b0 >> 2) & 3
+    if ltype in (0, 1):  # Raw / RLE
+        if sf & 1 == 0:
+            regen = b0 >> 3
+            at = 1
+        elif sf == 1:
+            regen = (b0 >> 4) | (block[1] << 4)
+            at = 2
+        else:  # sf == 3
+            regen = (b0 >> 4) | (block[1] << 4) | (block[2] << 12)
+            at = 3
+        if ltype == 0:
+            lit = bytes(block[at : at + regen])
+            if len(lit) != regen:
+                raise ValueError("zstd: raw literals truncated")
+            return lit, at + regen
+        return bytes([block[at]]) * regen, at + 1
+    # Compressed (2) / Treeless (3)
+    if sf == 0:
+        h = int.from_bytes(block[:3], "little")
+        regen = (h >> 4) & 0x3FF
+        comp = (h >> 14) & 0x3FF
+        at, streams = 3, 1
+    elif sf == 1:
+        h = int.from_bytes(block[:3], "little")
+        regen = (h >> 4) & 0x3FF
+        comp = (h >> 14) & 0x3FF
+        at, streams = 3, 4
+    elif sf == 2:
+        h = int.from_bytes(block[:4], "little")
+        regen = (h >> 4) & 0x3FFF
+        comp = (h >> 18) & 0x3FFF
+        at, streams = 4, 4
+    else:
+        h = int.from_bytes(block[:5], "little")
+        regen = (h >> 4) & 0x3FFFF
+        comp = (h >> 22) & 0x3FFFF
+        at, streams = 5, 4
+    body = block[at : at + comp]
+    if len(body) != comp:
+        raise ValueError("zstd: compressed literals truncated")
+    if ltype == 2:
+        st.huf, used = _read_huf_table(body)
+        body = body[used:]
+    elif st.huf is None:
+        raise ValueError("zstd: Treeless literals with no prior table")
+    table = st.huf
+    if streams == 1:
+        lit = _huf_decode_stream(table, body, regen)
+    else:
+        j1, j2, j3 = struct.unpack_from("<HHH", body, 0)
+        cuts = [6, 6 + j1, 6 + j1 + j2, 6 + j1 + j2 + j3, len(body)]
+        if cuts[3] > len(body):
+            raise ValueError("zstd: 4-stream jump table out of range")
+        per = (regen + 3) >> 2
+        lit = bytearray()
+        for i in range(4):
+            n = per if i < 3 else regen - 3 * per
+            if n < 0:
+                raise ValueError("zstd: negative 4th-stream size")
+            lit += _huf_decode_stream(
+                table, body[cuts[i] : cuts[i + 1]], n
+            )
+    return bytes(lit), at + comp
+
+
+def _decode_block(block: bytes, out: bytearray, st: _FrameState) -> None:
+    """One Compressed_Block: literals + sequences, appended to the
+    frame output (back-references may cross block boundaries)."""
+    lit, at = _decode_literals(block, st)
+    # Number_of_Sequences
+    b0 = block[at]
+    if b0 == 0:
+        nseq = 0
+        at += 1
+    elif b0 < 128:
+        nseq = b0
+        at += 1
+    elif b0 < 255:
+        nseq = ((b0 - 128) << 8) | block[at + 1]
+        at += 2
+    else:
+        nseq = block[at + 1] | (block[at + 2] << 8) | 0x7F00
+        at += 3
+    if nseq == 0:
+        out += lit
+        return
+    modes = block[at]
+    at += 1
+    if modes & 3:
+        raise ValueError("zstd: reserved sequence-mode bits set")
+    ll_t, at = _read_seq_table("ll", (modes >> 6) & 3, block, at, st)
+    of_t, at = _read_seq_table("of", (modes >> 4) & 3, block, at, st)
+    ml_t, at = _read_seq_table("ml", (modes >> 2) & 3, block, at, st)
+    st.fse.update({"ll": ll_t, "of": of_t, "ml": ml_t})
+    bwd = _Bwd(block[at:])
+    ll_s = bwd.read(ll_t.accuracy_log)
+    of_s = bwd.read(of_t.accuracy_log)
+    ml_s = bwd.read(ml_t.accuracy_log)
+    if bwd.overflowed:
+        raise ValueError("zstd: sequence stream too short for states")
+    lpos = 0
+    reps = st.reps
+    for i in range(nseq):
+        of_code = of_t.symbols[of_s]
+        offset_value = (1 << of_code) + bwd.read(of_code)
+        ml_base, ml_extra = _ML_CODE[ml_t.symbols[ml_s]]
+        match_length = ml_base + bwd.read(ml_extra)
+        ll_base, ll_extra = _LL_CODE[ll_t.symbols[ll_s]]
+        lit_length = ll_base + bwd.read(ll_extra)
+        if bwd.overflowed:
+            raise ValueError("zstd: sequence bitstream exhausted early")
+        # repeat-offset resolution (§3.1.1.5)
+        if offset_value > 3:
+            offset = offset_value - 3
+            reps[2] = reps[1]
+            reps[1] = reps[0]
+            reps[0] = offset
+        else:
+            idx = offset_value - 1
+            if lit_length == 0:
+                idx += 1
+            if idx == 0:
+                offset = reps[0]
+            else:
+                offset = reps[idx] if idx < 3 else reps[0] - 1
+                if idx > 1:
+                    reps[2] = reps[1]
+                reps[1] = reps[0]
+                reps[0] = offset
+        if offset == 0:
+            raise ValueError("zstd: zero offset")
+        if lpos + lit_length > len(lit):
+            raise ValueError("zstd: literals overrun")
+        out += lit[lpos : lpos + lit_length]
+        lpos += lit_length
+        if offset > len(out):
+            raise ValueError(
+                f"zstd: offset {offset} past window ({len(out)} bytes)"
+            )
+        start = len(out) - offset
+        if offset >= match_length:
+            out += out[start : start + match_length]
+        else:
+            for k in range(match_length):  # overlap-safe
+                out.append(out[start + k])
+        if i + 1 < nseq:  # update LL -> ML -> OF
+            ll_s = ll_t.base[ll_s] + bwd.read(ll_t.nbits[ll_s])
+            ml_s = ml_t.base[ml_s] + bwd.read(ml_t.nbits[ml_s])
+            of_s = of_t.base[of_s] + bwd.read(of_t.nbits[of_s])
+            if bwd.overflowed:
+                raise ValueError("zstd: sequence bitstream exhausted early")
+    if bwd.bitpos != 0:
+        raise ValueError(
+            f"zstd: sequence stream ends with {bwd.bitpos} bits left"
+        )
+    out += lit[lpos:]
+
+
+# --------------------------------------------------------------------------
+# frames
+# --------------------------------------------------------------------------
+
+
+def zstd_decompress(payload: bytes) -> bytes:
+    """Zstandard bytes -> decompressed bytes. Concatenated and
+    skippable frames handled; dictionaries refused; content size and
+    XXH64 checksum verified when present."""
+    out = bytearray()
+    pos = 0
+    while pos < len(payload):
+        if pos + 4 > len(payload):
+            raise ValueError("zstd: truncated frame magic")
+        (magic,) = struct.unpack_from("<I", payload, pos)
+        if _SKIP_LO <= magic <= _SKIP_HI:
+            (n,) = struct.unpack_from("<I", payload, pos + 4)
+            pos += 8 + n
+            continue
+        if magic != _MAGIC:
+            raise ValueError(f"zstd: bad magic {magic:#010x}")
+        pos += 4
+        fhd = payload[pos]
+        pos += 1
+        if fhd & 0x08:
+            raise ValueError("zstd: reserved frame-header bit set")
+        single_segment = bool(fhd & 0x20)
+        has_checksum = bool(fhd & 0x04)
+        did_flag = fhd & 3
+        fcs_flag = fhd >> 6
+        if not single_segment:
+            pos += 1  # window descriptor (bound only; not needed)
+        did_len = (0, 1, 2, 4)[did_flag]
+        if did_len:
+            did = int.from_bytes(payload[pos : pos + did_len], "little")
+            pos += did_len
+            if did != 0:
+                raise NotImplementedError(
+                    f"zstd: dictionary {did}: no dictionary support"
+                )
+        fcs_len = (1 if single_segment else 0, 2, 4, 8)[fcs_flag]
+        content_size = None
+        if fcs_len:
+            content_size = int.from_bytes(
+                payload[pos : pos + fcs_len], "little"
+            )
+            if fcs_len == 2:
+                content_size += 256
+            pos += fcs_len
+        frame = bytearray()
+        state = _FrameState()
+        while True:
+            if pos + 3 > len(payload):
+                raise ValueError("zstd: truncated block header")
+            bh = int.from_bytes(payload[pos : pos + 3], "little")
+            pos += 3
+            last = bh & 1
+            btype = (bh >> 1) & 3
+            bsize = bh >> 3
+            if btype == 0:  # Raw
+                frame += payload[pos : pos + bsize]
+                if pos + bsize > len(payload):
+                    raise ValueError("zstd: raw block truncated")
+                pos += bsize
+            elif btype == 1:  # RLE
+                frame += payload[pos : pos + 1] * bsize
+                pos += 1
+            elif btype == 2:
+                block = payload[pos : pos + bsize]
+                if len(block) != bsize:
+                    raise ValueError("zstd: compressed block truncated")
+                pos += bsize
+                _decode_block(block, frame, state)
+            else:
+                raise ValueError("zstd: reserved block type 3")
+            if last:
+                break
+        if content_size is not None and len(frame) != content_size:
+            raise ValueError(
+                f"zstd: frame content {len(frame)} != declared "
+                f"{content_size}"
+            )
+        if has_checksum:
+            (want,) = struct.unpack_from("<I", payload, pos)
+            pos += 4
+            got = xxh64(bytes(frame)) & 0xFFFFFFFF
+            if got != want:
+                raise ValueError(
+                    f"zstd: checksum {got:#010x} != stored {want:#010x}"
+                )
+        out += frame
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# XXH64 (public algorithm; used by zstd content checksums)
+# --------------------------------------------------------------------------
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _round(acc: int, lane: int) -> int:
+    return (_rotl((acc + lane * _P2) & _M64, 31) * _P1) & _M64
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P1) & _M64
+        while i + 32 <= n:
+            l1, l2, l3, l4 = struct.unpack_from("<4Q", data, i)
+            v1 = _round(v1, l1)
+            v2 = _round(v2, l2)
+            v3 = _round(v3, l3)
+            v4 = _round(v4, l4)
+            i += 32
+        h = (
+            _rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)
+        ) & _M64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ _round(0, v)) * _P1 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        (k,) = struct.unpack_from("<Q", data, i)
+        h = ((_rotl(h ^ _round(0, k), 27) * _P1) + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        (k,) = struct.unpack_from("<I", data, i)
+        h = ((_rotl(h ^ (k * _P1 & _M64), 23) * _P2) + _P3) & _M64
+        i += 4
+    while i < n:
+        h = (_rotl(h ^ (data[i] * _P5 & _M64), 11) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
