@@ -149,12 +149,16 @@ def parse_footer(meta: bytes) -> dict:
     schema = fm.get(2) or []
     leaves: list[tuple[str, str]] = []
     levels: dict[str, tuple[int, int]] = {}
+    rep_def: dict[str, int | None] = {}
 
     # SchemaElement field 3 is repetition_type: 0=REQUIRED, 1=OPTIONAL,
     # 2=REPEATED. Definition level increments for OPTIONAL and REPEATED
     # ancestors, repetition level for REPEATED — the Dremel record
-    # shredding model the page level blocks encode against.
-    def walk(i: int, prefix: list[str], dl: int, rl: int) -> int:
+    # shredding model the page level blocks encode against. ``rep_def``
+    # records the def level AT the innermost repeated ancestor (list
+    # reassembly needs it to tell empty lists from null elements).
+    def walk(i: int, prefix: list[str], dl: int, rl: int,
+             rd: int | None) -> int:
         el = schema[i]
         name = (el.get(4) or b"").decode("utf-8")
         nchild = el.get(5) or 0
@@ -163,18 +167,20 @@ def parse_footer(meta: bytes) -> dict:
             dl += 1
         if rep == 2:
             rl += 1
+            rd = dl
         if nchild == 0:
             path = ".".join(prefix + [name])
             leaves.append((path, _TYPES.get(el.get(1), f"T{el.get(1)}")))
             levels[path] = (dl, rl)
+            rep_def[path] = rd
             return i + 1
         j = i + 1
         for _ in range(nchild):
-            j = walk(j, prefix + [name] if i else prefix, dl, rl)
+            j = walk(j, prefix + [name] if i else prefix, dl, rl, rd)
         return j
 
     if schema:
-        walk(0, [], 0, 0)
+        walk(0, [], 0, 0, None)
     groups = []
     for rg in fm.get(4) or []:
         cols = []
@@ -208,6 +214,7 @@ def parse_footer(meta: bytes) -> dict:
         "created_by": (fm.get(6) or b"").decode("utf-8", "replace"),
         "columns": leaves,
         "levels": levels,
+        "rep_def": rep_def,
         "row_groups": groups,
     }
 
@@ -234,14 +241,19 @@ def read_footer(path: str) -> dict:
     return parse_footer(meta)
 
 
+
 # --------------------------------------------------------------------------
 # Column reads from first principles: PageHeader (thrift) -> level
-# decoding (the RLE / bit-packed hybrid) -> PLAIN values. Combined
-# with read_footer and levi_spark.operators.deflate.inflate, a GZIP
-# parquet column round-trips with ZERO external parquet/compression
-# code. Supported profile: data page v1, PLAIN encoding, INT64 /
-# DOUBLE / BYTE_ARRAY, max definition level <= 1 (flat optional
-# columns), no dictionary pages; everything else refuses loudly.
+# decoding (the RLE / bit-packed hybrid) -> values. Combined with
+# read_footer and our own inflate / snappy / zstd / lz4, a parquet
+# column round-trips with ZERO external parquet/compression code.
+# Supported profile: data pages v1 AND v2; UNCOMPRESSED / GZIP /
+# SNAPPY / ZSTD / LZ4_RAW / LZ4(Hadoop) codecs; PLAIN, RLE_DICTIONARY,
+# DELTA_BINARY_PACKED, DELTA_LENGTH_BYTE_ARRAY, DELTA_BYTE_ARRAY and
+# BYTE_STREAM_SPLIT encodings; BOOLEAN / INT32 / INT64 / FLOAT /
+# DOUBLE / BYTE_ARRAY physical types; flat REQUIRED and OPTIONAL
+# columns via read_column, single-level lists (max repetition level
+# 1) via read_column_nested. Everything else refuses loudly.
 # --------------------------------------------------------------------------
 
 
@@ -274,6 +286,287 @@ def _rle_bp_hybrid(buf: bytes, bit_width: int, count: int) -> list[int]:
     return out
 
 
+def _uleb(buf: bytes, at: int) -> tuple[int, int]:
+    v = shift = 0
+    while True:
+        b = buf[at]
+        at += 1
+        v |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return v, at
+        shift += 7
+
+
+def _zzv(buf: bytes, at: int) -> tuple[int, int]:
+    v, at = _uleb(buf, at)
+    return (v >> 1) ^ -(v & 1), at
+
+
+def _delta_binary_packed(buf: bytes, at: int) -> tuple[list[int], int]:
+    """DELTA_BINARY_PACKED (parquet Encodings.md): ULEB block size /
+    miniblock count / total count, zigzag first value; per block a
+    zigzag min-delta, one width byte per miniblock, then LSB-first
+    bit-packed deltas. Width bytes of unused trailing miniblocks are
+    present; their data bytes are not."""
+    block_size, at = _uleb(buf, at)
+    n_mini, at = _uleb(buf, at)
+    total, at = _uleb(buf, at)
+    first, at = _zzv(buf, at)
+    if total == 0:
+        return [], at
+    if n_mini == 0 or block_size % n_mini:
+        raise ValueError("parquet: bad DELTA_BINARY_PACKED geometry")
+    vpm = block_size // n_mini
+    vals = [first]
+    while len(vals) < total:
+        min_delta, at = _zzv(buf, at)
+        widths = buf[at : at + n_mini]
+        at += n_mini
+        for w in widths:
+            if len(vals) >= total:
+                break
+            take = min(vpm, total - len(vals))
+            if w == 0:
+                last = vals[-1]
+                for _ in range(take):
+                    last += min_delta
+                    vals.append(last)
+            else:
+                nbytes = vpm * w // 8
+                acc = int.from_bytes(buf[at : at + nbytes], "little")
+                at += nbytes
+                mask = (1 << w) - 1
+                last = vals[-1]
+                for j in range(take):
+                    last += min_delta + ((acc >> (j * w)) & mask)
+                    vals.append(last)
+    return vals, at
+
+
+def _wrap_signed(vals: list[int], bits: int) -> list[int]:
+    """DELTA_BINARY_PACKED arithmetic is modular in the physical
+    width; reduce back to the signed range."""
+    mod = 1 << bits
+    half = mod >> 1
+    return [((v + half) % mod) - half for v in vals]
+
+
+def _plain_values(ptype: str, buf: bytes, at: int, count: int):
+    """PLAIN-encoded values -> (list, new offset)."""
+    if ptype == "INT64":
+        return list(struct.unpack_from(f"<{count}q", buf, at)), at + 8 * count
+    if ptype == "INT32":
+        return list(struct.unpack_from(f"<{count}i", buf, at)), at + 4 * count
+    if ptype == "DOUBLE":
+        return list(struct.unpack_from(f"<{count}d", buf, at)), at + 8 * count
+    if ptype == "FLOAT":
+        return list(struct.unpack_from(f"<{count}f", buf, at)), at + 4 * count
+    if ptype == "BOOLEAN":
+        acc = int.from_bytes(buf[at : at + (count + 7) // 8], "little")
+        return (
+            [bool((acc >> i) & 1) for i in range(count)],
+            at + (count + 7) // 8,
+        )
+    if ptype == "BYTE_ARRAY":
+        vals = []
+        for _ in range(count):
+            (ln,) = struct.unpack_from("<i", buf, at)
+            vals.append(buf[at + 4 : at + 4 + ln].decode("utf-8"))
+            at += 4 + ln
+        return vals, at
+    raise NotImplementedError(f"physical type {ptype}")
+
+
+_BSS_WIDTH = {"FLOAT": ("<f", 4), "DOUBLE": ("<d", 8),
+              "INT32": ("<i", 4), "INT64": ("<q", 8)}
+
+
+def _decode_values(
+    encoding: int, ptype: str, body: bytes, at: int, count: int,
+    dictionary: list | None,
+) -> list:
+    if count == 0:
+        return []
+    if encoding == 0:  # PLAIN
+        return _plain_values(ptype, body, at, count)[0]
+    if encoding in (2, 8):  # (PLAIN_)RLE_DICTIONARY
+        if dictionary is None:
+            raise ValueError("dictionary-encoded page before any dictionary")
+        bit_width = body[at]
+        idx = _rle_bp_hybrid(body[at + 1 :], bit_width, count)
+        return [dictionary[i] for i in idx]
+    if encoding == 3:  # RLE (v2 boolean values)
+        if ptype != "BOOLEAN":
+            raise NotImplementedError(f"RLE value encoding for {ptype}")
+        (ln,) = struct.unpack_from("<i", body, at)
+        return [
+            bool(v)
+            for v in _rle_bp_hybrid(body[at + 4 : at + 4 + ln], 1, count)
+        ]
+    if encoding == 5:  # DELTA_BINARY_PACKED
+        if ptype not in ("INT32", "INT64"):
+            raise NotImplementedError(f"DELTA_BINARY_PACKED for {ptype}")
+        vals, _ = _delta_binary_packed(body, at)
+        if len(vals) != count:
+            raise ValueError(
+                f"DELTA_BINARY_PACKED count {len(vals)} != {count}"
+            )
+        return _wrap_signed(vals, 32 if ptype == "INT32" else 64)
+    if encoding == 6:  # DELTA_LENGTH_BYTE_ARRAY
+        if ptype != "BYTE_ARRAY":
+            raise NotImplementedError(f"DELTA_LENGTH_BYTE_ARRAY for {ptype}")
+        lengths, at = _delta_binary_packed(body, at)
+        if len(lengths) != count:
+            raise ValueError("DELTA_LENGTH_BYTE_ARRAY count mismatch")
+        vals = []
+        for ln in lengths:
+            vals.append(body[at : at + ln].decode("utf-8"))
+            at += ln
+        return vals
+    if encoding == 7:  # DELTA_BYTE_ARRAY (front-coded)
+        if ptype != "BYTE_ARRAY":
+            raise NotImplementedError(f"DELTA_BYTE_ARRAY for {ptype}")
+        prefixes, at = _delta_binary_packed(body, at)
+        suffix_lens, at = _delta_binary_packed(body, at)
+        if len(prefixes) != count or len(suffix_lens) != count:
+            raise ValueError("DELTA_BYTE_ARRAY count mismatch")
+        vals = []
+        prev = b""
+        for p, s in zip(prefixes, suffix_lens):
+            prev = prev[:p] + body[at : at + s]
+            at += s
+            vals.append(prev.decode("utf-8"))
+        return vals
+    if encoding == 9:  # BYTE_STREAM_SPLIT
+        if ptype not in _BSS_WIDTH:
+            raise NotImplementedError(f"BYTE_STREAM_SPLIT for {ptype}")
+        fmt, k = _BSS_WIDTH[ptype]
+        streams = [body[at + j * count : at + (j + 1) * count]
+                   for j in range(k)]
+        if len(streams[-1]) != count:
+            raise ValueError("BYTE_STREAM_SPLIT truncated")
+        return [
+            struct.unpack(fmt, bytes(s[i] for s in streams))[0]
+            for i in range(count)
+        ]
+    raise NotImplementedError(f"value encoding {encoding}")
+
+
+def _decompressor(codec: str):
+    if codec == "UNCOMPRESSED":
+        return lambda b: b
+    if codec == "GZIP":
+        from levi_spark.operators.deflate import gzip_unwrap
+
+        return gzip_unwrap
+    if codec == "SNAPPY":
+        from levi_spark.operators.snappy import snappy_uncompress
+
+        return snappy_uncompress
+    if codec == "ZSTD":
+        from levi_spark.operators.zstd import zstd_decompress
+
+        return zstd_decompress
+    if codec == "LZ4_RAW":
+        from levi_spark.operators.lz4 import lz4_block_uncompress
+
+        return lz4_block_uncompress
+    if codec == "LZ4":
+        from levi_spark.operators.lz4 import lz4_hadoop_uncompress
+
+        return lz4_hadoop_uncompress
+    raise NotImplementedError(
+        f"codec {codec}: first-principles reads cover UNCOMPRESSED, "
+        "GZIP, SNAPPY, ZSTD, LZ4_RAW and LZ4 (all our own decoders)"
+    )
+
+
+def _iter_pages(data: bytes, chunk: dict, ptype: str,
+                max_def: int, max_rep: int):
+    """Walk one column chunk's pages, yielding (def_levels,
+    rep_levels, values) per data page. Handles v1 (levels inside the
+    compressed body, 4-byte-length-prefixed) and v2 (levels stored
+    uncompressed ahead of the separately-compressed values)."""
+    decompress = _decompressor(chunk["codec"])
+    def_w = max_def.bit_length()
+    rep_w = max_rep.bit_length()
+    dictionary: list | None = None
+    pos = chunk["dict_page_offset"]
+    if pos is None:
+        pos = chunk["data_page_offset"]
+    remaining = chunk["num_values"]
+    while remaining > 0:
+        r = _Reader(data, pos)
+        ph = r.struct()
+        page_type = ph.get(1)
+        comp_size = ph.get(3)
+        body = data[r.pos : r.pos + comp_size]
+        pos = r.pos + comp_size
+        if page_type == 2:  # DICTIONARY_PAGE
+            dict_hdr = ph.get(7) or {}
+            dictionary = _plain_values(
+                ptype, decompress(body), 0, dict_hdr.get(1)
+            )[0]
+            continue
+        if page_type == 0:  # DATA_PAGE v1
+            dph = ph.get(5) or {}
+            n_values = dph.get(1)
+            encoding = dph.get(2)
+            body = decompress(body)
+            at = 0
+            reps = [0] * n_values
+            if max_rep > 0:
+                (ln,) = struct.unpack_from("<i", body, at)
+                reps = _rle_bp_hybrid(
+                    body[at + 4 : at + 4 + ln], rep_w, n_values
+                )
+                at += 4 + ln
+            defs = [max_def] * n_values
+            if max_def > 0:
+                (ln,) = struct.unpack_from("<i", body, at)
+                defs = _rle_bp_hybrid(
+                    body[at + 4 : at + 4 + ln], def_w, n_values
+                )
+                at += 4 + ln
+        elif page_type == 3:  # DATA_PAGE v2
+            dph = ph.get(8) or {}
+            n_values = dph.get(1)
+            encoding = dph.get(4)
+            def_len = dph.get(5) or 0
+            rep_len = dph.get(6) or 0
+            is_compressed = dph.get(7, True)
+            reps = [0] * n_values
+            if max_rep > 0:
+                reps = _rle_bp_hybrid(body[:rep_len], rep_w, n_values)
+            defs = [max_def] * n_values
+            if max_def > 0:
+                defs = _rle_bp_hybrid(
+                    body[rep_len : rep_len + def_len], def_w, n_values
+                )
+            vals_part = body[rep_len + def_len :]
+            body = (decompress(vals_part) if is_compressed else vals_part)
+            at = 0
+        else:
+            raise NotImplementedError(f"page type {page_type}")
+        n_present = sum(1 for d in defs if d == max_def)
+        vals = _decode_values(
+            encoding, ptype, body, at, n_present, dictionary
+        )
+        yield defs, reps, vals
+        remaining -= n_values
+
+
+def _open_column(data: bytes, column: str):
+    if data[-4:] != b"PAR1":
+        raise ValueError("trailing PAR1 magic missing")
+    (flen,) = struct.unpack_from("<I", data, len(data) - 8)
+    footer = parse_footer(data[len(data) - 8 - flen : len(data) - 8])
+    types = dict(footer["columns"])
+    if column not in types:
+        raise ValueError(f"{column!r} not in {sorted(types)}")
+    return footer, types[column]
+
+
 def read_column(path: str, column: str) -> list:
     """Read one flat column of a parquet FILE from first principles
     (see :func:`read_column_bytes`)."""
@@ -282,19 +575,10 @@ def read_column(path: str, column: str) -> list:
 
 
 def read_column_bytes(data: bytes, column: str) -> list:
-    """Read one flat column of an in-memory parquet file from first
+    """Read one FLAT column of an in-memory parquet file from first
     principles: footer -> column chunk offsets -> PageHeader thrift
-    -> decompress (UNCOMPRESSED or GZIP via our own inflate) ->
-    definition levels (RLE/bit-packed hybrid) -> PLAIN values, nulls
-    as None."""
-    if data[-4:] != b"PAR1":
-        raise ValueError("trailing PAR1 magic missing")
-    (flen,) = struct.unpack_from("<I", data, len(data) - 8)
-    footer = parse_footer(data[len(data) - 8 - flen : len(data) - 8])
-    types = dict(footer["columns"])
-    if column not in types:
-        raise ValueError(f"{column!r} not in {sorted(types)}")
-    ptype = types[column]
+    -> our own codecs -> levels -> values, nulls as None."""
+    footer, ptype = _open_column(data, column)
     max_def, max_rep = footer["levels"][column]
     if max_rep > 0:
         raise NotImplementedError(
@@ -303,90 +587,59 @@ def read_column_bytes(data: bytes, column: str) -> list:
     out: list = []
     for g in footer["row_groups"]:
         chunk = next(c for c in g["columns"] if c["path"] == column)
-        if chunk["codec"] not in ("UNCOMPRESSED", "GZIP", "SNAPPY"):
-            raise NotImplementedError(
-                f"codec {chunk['codec']}: first-principles reads cover "
-                "UNCOMPRESSED, GZIP (our inflate) and SNAPPY (our "
-                "block decoder)"
-            )
-        def decompress(body: bytes) -> bytes:
-            if chunk["codec"] == "GZIP":
-                from levi_spark.operators.deflate import gzip_unwrap
-
-                return gzip_unwrap(body)
-            if chunk["codec"] == "SNAPPY":
-                from levi_spark.operators.snappy import snappy_uncompress
-
-                return snappy_uncompress(body)
-            return body
-
-        def plain_values(buf: bytes, at: int, count: int) -> list:
-            if ptype == "INT64":
-                return list(struct.unpack_from(f"<{count}q", buf, at))
-            if ptype == "DOUBLE":
-                return list(struct.unpack_from(f"<{count}d", buf, at))
-            if ptype == "BYTE_ARRAY":
-                vals = []
-                for _ in range(count):
-                    (ln,) = struct.unpack_from("<i", buf, at)
-                    vals.append(buf[at + 4 : at + 4 + ln].decode("utf-8"))
-                    at += 4 + ln
-                return vals
-            raise NotImplementedError(f"physical type {ptype}")
-
-        dictionary: list | None = None
-        pos = chunk["dict_page_offset"]
-        if pos is None:
-            pos = chunk["data_page_offset"]
-        remaining = chunk["num_values"]
-        while remaining > 0:
-            r = _Reader(data, pos)
-            ph = r.struct()
-            page_type = ph.get(1)
-            comp_size = ph.get(3)
-            body = data[r.pos : r.pos + comp_size]
-            pos = r.pos + comp_size
-            if page_type == 2:  # DICTIONARY_PAGE
-                dict_hdr = ph.get(7) or {}
-                dictionary = plain_values(
-                    decompress(body), 0, dict_hdr.get(1)
-                )
-                continue
-            if page_type != 0:  # 0 = DATA_PAGE (v1)
-                raise NotImplementedError(f"page type {page_type}")
-            dph = ph.get(5) or {}
-            n_values = dph.get(1)
-            encoding = dph.get(2)
-            body = decompress(body)
-            if max_def == 0:
-                # REQUIRED column: v1 data pages carry NO definition-
-                # level block at all — every value is present
-                levels = [1] * n_values
-                vpos = 0
-            else:
-                # OPTIONAL column (max def level 1): a [i32 length]
-                # [RLE/bit-packed hybrid] block precedes the values
-                (lev_len,) = struct.unpack_from("<i", body, 0)
-                levels = _rle_bp_hybrid(
-                    body[4 : 4 + lev_len], 1, n_values
-                )
-                vpos = 4 + lev_len
-            n_present = sum(levels)
-            if encoding == 0:  # PLAIN
-                vals = plain_values(body, vpos, n_present)
-            elif encoding in (2, 8):  # (PLAIN_)RLE_DICTIONARY
-                if dictionary is None:
-                    raise ValueError(
-                        "dictionary-encoded page before any dictionary"
-                    )
-                bit_width = body[vpos]
-                idx = _rle_bp_hybrid(
-                    body[vpos + 1 :], bit_width, n_present
-                )
-                vals = [dictionary[i] for i in idx]
-            else:
-                raise NotImplementedError(f"value encoding {encoding}")
+        for defs, _reps, vals in _iter_pages(
+            data, chunk, ptype, max_def, max_rep
+        ):
             it = iter(vals)
-            out.extend(next(it) if lv else None for lv in levels)
-            remaining -= n_values
+            out.extend(next(it) if d == max_def else None for d in defs)
     return out
+
+
+def read_column_nested(path: str, column: str) -> list:
+    with open(path, "rb") as f:
+        return read_column_nested_bytes(f.read(), column)
+
+
+def read_column_nested_bytes(data: bytes, column: str) -> list:
+    """Read a single-level LIST column (max repetition level 1),
+    reassembling Dremel levels into one Python list per row: null
+    lists, empty lists and null elements all distinguished via the
+    definition level relative to the repeated node's level."""
+    footer, ptype = _open_column(data, column)
+    max_def, max_rep = footer["levels"][column]
+    if max_rep != 1:
+        raise NotImplementedError(
+            f"max repetition level {max_rep}: only single-level lists"
+        )
+    d_rep = footer["rep_def"][column]
+    rows: list = []
+    started = False
+    cur: list | None = None
+    for g in footer["row_groups"]:
+        chunk = next(c for c in g["columns"] if c["path"] == column)
+        for defs, reps, vals in _iter_pages(
+            data, chunk, ptype, max_def, max_rep
+        ):
+            it = iter(vals)
+            for d, rp in zip(defs, reps):
+                elem_slot = d >= d_rep
+                elem = (next(it) if d == max_def else None)
+                if rp == 0:
+                    if started:
+                        rows.append(cur)
+                    started = True
+                    if d < d_rep - 1:
+                        cur = None  # list itself is null
+                    elif not elem_slot:
+                        cur = []  # defined but empty
+                    else:
+                        cur = [elem]
+                else:
+                    if cur is None:
+                        raise ValueError(
+                            "parquet: continuation level in null list"
+                        )
+                    cur.append(elem)
+    if started:
+        rows.append(cur)
+    return rows

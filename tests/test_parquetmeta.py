@@ -183,13 +183,16 @@ def test_column_read_refusals(tmp_path):
     from levi_spark.operators.parquetmeta import read_column
 
     t = pa.table({"k": pa.array(range(100), pa.int64())})
-    p1 = str(tmp_path / "zstd.parquet")
-    pq.write_table(t, p1, compression="zstd", use_dictionary=False,
-                   data_page_version="1.0")
-    with pytest.raises(NotImplementedError, match="ZSTD"):
-        read_column(p1, "k")
     p3 = str(tmp_path / "plain.parquet")
     pq.write_table(t, p3, compression="none", use_dictionary=False,
                    data_page_version="1.0")
     with pytest.raises(ValueError, match="not in"):
         read_column(p3, "zz")
+    # nested columns route to read_column_nested, flat reads refuse
+    p4 = str(tmp_path / "nested.parquet")
+    pq.write_table(
+        pa.table({"v": pa.array([[1, 2]], pa.list_(pa.int64()))}), p4
+    )
+    (path, _), = read_footer(p4)["columns"]
+    with pytest.raises(NotImplementedError, match="read_column_nested"):
+        read_column(p4, path)

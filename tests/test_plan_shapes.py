@@ -618,3 +618,54 @@ def test_binary_quant_broadcasts_query_codes(spark):
     assert "Python" not in plan
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_parquet_matrix_and_nested_gates_single_rollup(spark):
+    """The round-9 parquet reader gates are map-side fan-outs: one
+    Arrow-batched hop after the input-spreading repartition, then a
+    single global rollup exchange — no join, no per-key shuffle."""
+    import re as _re
+
+    from levi_spark.plans.inspect import executed_plan
+    from levi_spark.queries import (
+        parquet_codec_matrix_read,
+        parquet_nested_read,
+        zstd_lz4_roundtrip_stats,
+    )
+
+    for fn in (parquet_codec_matrix_read, parquet_nested_read):
+        plan = executed_plan(fn(spark, SF))
+        assert "Join" not in plan, fn.__name__
+        n_ex = len(_re.findall(r"Exchange ", plan))
+        # input-spreading round-robin + the single-row final agg
+        assert n_ex <= 2, f"{fn.__name__}: {n_ex} exchanges\n{plan}"
+    plan = executed_plan(zstd_lz4_roundtrip_stats(spark, SF))
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan  # per-doc rows, no rollup
+
+
+def test_span_report_reuses_gram_exchange_no_cartesian(spark):
+    """doc_substring_span_report inherits the salted single-exchange
+    gram pipeline; its only Window partitions by doc_id over the
+    small dup-position subset (never the raw gram stream)."""
+    from levi_spark.plans.inspect import executed_plan
+    from levi_spark.queries import doc_substring_span_report
+
+    df = doc_substring_span_report(spark, SF)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    df.collect()
+    final = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert final.count("posexplode") <= 1, "gram subtree evaluated twice"
+    assert "ReusedExchange" in final, "gram exchange must be shared"
+    # the window runs on the filtered dup-position set partitioned by
+    # doc_id — assert it is keyed by doc_id, not by raw gram hash
+    import re as _re
+
+    wins = _re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", final)
+    for spec in wins:
+        assert "doc_id" in spec, f"window keyed by {spec}"
