@@ -150,6 +150,7 @@ def parse_footer(meta: bytes) -> dict:
     leaves: list[tuple[str, str]] = []
     levels: dict[str, tuple[int, int]] = {}
     rep_def: dict[str, int | None] = {}
+    type_lengths: dict[str, int | None] = {}
 
     # SchemaElement field 3 is repetition_type: 0=REQUIRED, 1=OPTIONAL,
     # 2=REPEATED. Definition level increments for OPTIONAL and REPEATED
@@ -173,6 +174,7 @@ def parse_footer(meta: bytes) -> dict:
             leaves.append((path, _TYPES.get(el.get(1), f"T{el.get(1)}")))
             levels[path] = (dl, rl)
             rep_def[path] = rd
+            type_lengths[path] = el.get(2)  # FLBA type_length
             return i + 1
         j = i + 1
         for _ in range(nchild):
@@ -215,6 +217,7 @@ def parse_footer(meta: bytes) -> dict:
         "columns": leaves,
         "levels": levels,
         "rep_def": rep_def,
+        "type_lengths": type_lengths,
         "row_groups": groups,
     }
 
@@ -351,7 +354,8 @@ def _wrap_signed(vals: list[int], bits: int) -> list[int]:
     return [((v + half) % mod) - half for v in vals]
 
 
-def _plain_values(ptype: str, buf: bytes, at: int, count: int):
+def _plain_values(ptype: str, buf: bytes, at: int, count: int,
+                  tlen: int | None = None):
     """PLAIN-encoded values -> (list, new offset)."""
     if ptype == "INT64":
         return list(struct.unpack_from(f"<{count}q", buf, at)), at + 8 * count
@@ -374,6 +378,30 @@ def _plain_values(ptype: str, buf: bytes, at: int, count: int):
             vals.append(buf[at + 4 : at + 4 + ln].decode("utf-8"))
             at += 4 + ln
         return vals, at
+    if ptype == "FIXED_LEN_BYTE_ARRAY":
+        if not tlen:
+            raise ValueError("FLBA column without type_length")
+        return (
+            [bytes(buf[at + i * tlen : at + (i + 1) * tlen])
+             for i in range(count)],
+            at + count * tlen,
+        )
+    if ptype == "INT96":
+        # legacy parquet timestamps: 8-byte LE nanos-of-day + 4-byte
+        # LE Julian day; surfaced as naive UTC datetimes (what the
+        # reference readers hand back)
+        import datetime as _dt
+
+        vals = []
+        for i in range(count):
+            nanos, jday = struct.unpack_from("<qI", buf, at + 12 * i)
+            epoch_days = jday - 2440588  # Julian day of 1970-01-01
+            vals.append(
+                _dt.datetime(1970, 1, 1)
+                + _dt.timedelta(days=epoch_days,
+                                microseconds=nanos / 1000)
+            )
+        return vals, at + 12 * count
     raise NotImplementedError(f"physical type {ptype}")
 
 
@@ -383,12 +411,12 @@ _BSS_WIDTH = {"FLOAT": ("<f", 4), "DOUBLE": ("<d", 8),
 
 def _decode_values(
     encoding: int, ptype: str, body: bytes, at: int, count: int,
-    dictionary: list | None,
+    dictionary: list | None, tlen: int | None = None,
 ) -> list:
     if count == 0:
         return []
     if encoding == 0:  # PLAIN
-        return _plain_values(ptype, body, at, count)[0]
+        return _plain_values(ptype, body, at, count, tlen)[0]
     if encoding in (2, 8):  # (PLAIN_)RLE_DICTIONARY
         if dictionary is None:
             raise ValueError("dictionary-encoded page before any dictionary")
@@ -482,7 +510,8 @@ def _decompressor(codec: str):
 
 
 def _iter_pages(data: bytes, chunk: dict, ptype: str,
-                max_def: int, max_rep: int):
+                max_def: int, max_rep: int,
+                tlen: int | None = None):
     """Walk one column chunk's pages, yielding (def_levels,
     rep_levels, values) per data page. Handles v1 (levels inside the
     compressed body, 4-byte-length-prefixed) and v2 (levels stored
@@ -505,7 +534,7 @@ def _iter_pages(data: bytes, chunk: dict, ptype: str,
         if page_type == 2:  # DICTIONARY_PAGE
             dict_hdr = ph.get(7) or {}
             dictionary = _plain_values(
-                ptype, decompress(body), 0, dict_hdr.get(1)
+                ptype, decompress(body), 0, dict_hdr.get(1), tlen
             )[0]
             continue
         if page_type == 0:  # DATA_PAGE v1
@@ -550,7 +579,7 @@ def _iter_pages(data: bytes, chunk: dict, ptype: str,
             raise NotImplementedError(f"page type {page_type}")
         n_present = sum(1 for d in defs if d == max_def)
         vals = _decode_values(
-            encoding, ptype, body, at, n_present, dictionary
+            encoding, ptype, body, at, n_present, dictionary, tlen
         )
         yield defs, reps, vals
         remaining -= n_values
@@ -584,11 +613,12 @@ def read_column_bytes(data: bytes, column: str) -> list:
         raise NotImplementedError(
             "repeated (nested list) column: use read_column_nested"
         )
+    tlen = footer["type_lengths"][column]
     out: list = []
     for g in footer["row_groups"]:
         chunk = next(c for c in g["columns"] if c["path"] == column)
         for defs, _reps, vals in _iter_pages(
-            data, chunk, ptype, max_def, max_rep
+            data, chunk, ptype, max_def, max_rep, tlen
         ):
             it = iter(vals)
             out.extend(next(it) if d == max_def else None for d in defs)
@@ -612,13 +642,14 @@ def read_column_nested_bytes(data: bytes, column: str) -> list:
             f"max repetition level {max_rep}: only single-level lists"
         )
     d_rep = footer["rep_def"][column]
+    tlen = footer["type_lengths"][column]
     rows: list = []
     started = False
     cur: list | None = None
     for g in footer["row_groups"]:
         chunk = next(c for c in g["columns"] if c["path"] == column)
         for defs, reps, vals in _iter_pages(
-            data, chunk, ptype, max_def, max_rep
+            data, chunk, ptype, max_def, max_rep, tlen
         ):
             it = iter(vals)
             for d, rp in zip(defs, reps):
@@ -643,3 +674,170 @@ def read_column_nested_bytes(data: bytes, column: str) -> list:
     if started:
         rows.append(cur)
     return rows
+
+
+# --------------------------------------------------------------------------
+# Scan planning metadata: column Statistics (min/max/null_count),
+# the page index (ColumnIndex + OffsetIndex, parquet.thrift), and a
+# pruning planner over them. At 100 TB this is the layer that turns
+# a predicate into "read 3 of 9,000 row groups, pages 12-14 of each"
+# BEFORE any data I/O: footer tail-read -> row-group min/max prune ->
+# page-level prune via the column index — all ranged metadata reads.
+# --------------------------------------------------------------------------
+
+_STAT_DECODERS = {
+    "INT64": lambda b: struct.unpack("<q", b)[0],
+    "INT32": lambda b: struct.unpack("<i", b)[0],
+    "DOUBLE": lambda b: struct.unpack("<d", b)[0],
+    "FLOAT": lambda b: struct.unpack("<f", b)[0],
+    "BOOLEAN": lambda b: bool(b[0]),
+    "BYTE_ARRAY": lambda b: b.decode("utf-8", "replace"),
+    "FIXED_LEN_BYTE_ARRAY": lambda b: bytes(b),
+}
+
+
+def _decode_stat(ptype: str, raw: bytes | None):
+    if raw is None or ptype not in _STAT_DECODERS:
+        return None
+    return _STAT_DECODERS[ptype](raw)
+
+
+def read_statistics(path: str) -> dict:
+    """Per row group, per column: decoded min/max/null_count from the
+    footer Statistics struct (ColumnMetaData field 12; min_value/
+    max_value fields 6/5 preferred over the deprecated min/max 2/1).
+    Pure tail read — the planner input for row-group pruning."""
+    import os
+
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        f.seek(size - 8)
+        tail = f.read(8)
+        if tail[4:] != b"PAR1":
+            raise ValueError(f"{path}: trailing PAR1 magic missing")
+        (flen,) = struct.unpack("<I", tail[:4])
+        f.seek(size - 8 - flen)
+        meta = f.read(flen)
+    fm = thrift_read_struct(meta)
+    footer = parse_footer(meta)
+    types = dict(footer["columns"])
+    groups = []
+    for rg in fm.get(4) or []:
+        cols = {}
+        for cc in rg.get(1) or []:
+            md = cc.get(3) or {}
+            path_ = b".".join(md.get(3) or []).decode("utf-8")
+            ptype = _TYPES.get(md.get(1), "")
+            st = md.get(12) or {}
+            cols[path_] = {
+                "min": _decode_stat(ptype, st.get(6, st.get(2))),
+                "max": _decode_stat(ptype, st.get(5, st.get(1))),
+                "null_count": st.get(3),
+            }
+        groups.append({"num_rows": rg.get(3), "columns": cols})
+    return {"columns": types, "row_groups": groups}
+
+
+def read_page_index(path: str, column: str) -> dict:
+    """ColumnIndex + OffsetIndex for one column across row groups
+    (written when the writer enables the page index): per page the
+    null flag, decoded min/max, first_row_index, offset and size —
+    two ranged reads per row group, never any page data."""
+    import os
+
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        f.seek(size - 8)
+        (flen,) = struct.unpack("<I", f.read(4))
+        f.seek(size - 8 - flen)
+        meta = f.read(flen)
+        fm = thrift_read_struct(meta)
+        footer = parse_footer(meta)
+        ptype = dict(footer["columns"]).get(column)
+        if ptype is None:
+            raise ValueError(f"{column!r} not in this file")
+        out = []
+        for rg in fm.get(4) or []:
+            cc = next(
+                c for c in rg.get(1) or []
+                if b".".join((c.get(3) or {}).get(3) or []).decode("utf-8")
+                == column
+            )
+            ci_off, ci_len = cc.get(6), cc.get(7)
+            oi_off, oi_len = cc.get(4), cc.get(5)
+            if ci_off is None or oi_off is None:
+                raise ValueError(
+                    f"{path}: no page index for {column!r} (writer "
+                    "did not enable it)"
+                )
+            f.seek(ci_off)
+            ci = thrift_read_struct(f.read(ci_len))
+            f.seek(oi_off)
+            oi = thrift_read_struct(f.read(oi_len))
+            pages = []
+            locs = oi.get(1) or []
+            for i, loc in enumerate(locs):
+                null_page = (ci.get(1) or [])[i]
+                pages.append(
+                    {
+                        "null_page": null_page,
+                        "min": None if null_page else _decode_stat(
+                            ptype, (ci.get(2) or [])[i]),
+                        "max": None if null_page else _decode_stat(
+                            ptype, (ci.get(3) or [])[i]),
+                        "null_count": (ci.get(5) or [None] * len(locs))[i],
+                        "offset": loc.get(1),
+                        "compressed_page_size": loc.get(2),
+                        "first_row_index": loc.get(3),
+                    }
+                )
+            out.append({"num_rows": rg.get(3), "pages": pages})
+    return {"type": ptype, "row_groups": out}
+
+
+def plan_scan(path: str, column: str, lo, hi) -> dict:
+    """Metadata-only scan plan for ``lo <= column <= hi``: row groups
+    survive on footer min/max, then (when the writer emitted a page
+    index) pages survive on ColumnIndex min/max. Returns counts plus
+    the exact byte ranges a 100 TB executor would fetch. Stats are
+    RANGE bounds, so a kept group/page MAY contain no match; a
+    dropped one NEVER does (the skipped_stats soundness contract)."""
+    stats = read_statistics(path)
+    try:
+        pidx = read_page_index(path, column)
+    except ValueError:
+        pidx = None
+    kept_groups = []
+    rows_pruned = 0
+    for gi, g in enumerate(stats["row_groups"]):
+        st = g["columns"].get(column) or {}
+        mn, mx = st.get("min"), st.get("max")
+        if mn is not None and mx is not None and (mx < lo or mn > hi):
+            rows_pruned += g["num_rows"]
+            continue
+        kept_groups.append(gi)
+    page_ranges = []
+    pages_total = pages_kept = 0
+    if pidx is not None:
+        for gi in kept_groups:
+            g = pidx["row_groups"][gi]
+            pages = g["pages"]
+            pages_total += len(pages)
+            for p in pages:
+                if p["null_page"]:
+                    continue
+                if p["max"] < lo or p["min"] > hi:
+                    continue
+                pages_kept += 1
+                page_ranges.append(
+                    (p["offset"], p["compressed_page_size"])
+                )
+    return {
+        "row_groups_total": len(stats["row_groups"]),
+        "row_groups_kept": kept_groups,
+        "rows_pruned_by_group_stats": rows_pruned,
+        "pages_total_in_kept_groups": pages_total,
+        "pages_kept": pages_kept,
+        "page_byte_ranges": page_ranges,
+        "has_page_index": pidx is not None,
+    }

@@ -230,3 +230,119 @@ def test_lz4_raw_codec_enum_is_lz4_raw(tmp_path):
     assert (read_footer(p)["row_groups"][0]["columns"][0]["codec"]
             == "LZ4_RAW")
     assert read_column(p, "k") == list(range(50))
+
+
+def test_fixed_len_byte_array(tmp_path):
+    """FLBA (UUID-like fixed binary) via type_length from the schema
+    walk — PLAIN and dictionary paths."""
+    import random as _r
+
+    _r.seed(8)
+    vals = [bytes(_r.randrange(256) for _ in range(16)) for _ in range(400)]
+    lowcard = [vals[i % 9] for i in range(400)]
+    t = pa.table({
+        "u": pa.array(vals, pa.binary(16)),
+        "d": pa.array(lowcard, pa.binary(16)),
+    })
+    p = _write(tmp_path, t, compression="zstd",
+               use_dictionary=["d"], row_group_size=150)
+    f = read_footer(p)
+    assert f["type_lengths"]["u"] == 16
+    assert read_column(p, "u") == vals
+    assert read_column(p, "d") == lowcard
+
+
+def test_int96_legacy_timestamps(tmp_path):
+    """INT96 (nanos-of-day + Julian day) surfaced as datetimes,
+    cross-checked against pyarrow's own read-back."""
+    import datetime as dt
+
+    ts = [dt.datetime(1998, 7, 21, 12, 30, 15),
+          dt.datetime(1970, 1, 1, 0, 0, 0),
+          dt.datetime(2035, 12, 31, 23, 59, 59, 500000),
+          None,
+          dt.datetime(1969, 12, 31, 23, 59, 59)]
+    t = pa.table({"ts": pa.array(ts, pa.timestamp("us"))})
+    p = str(tmp_path / "int96.parquet")
+    pq.write_table(t, p, use_deprecated_int96_timestamps=True,
+                   use_dictionary=False, compression="snappy")
+    f = read_footer(p)
+    assert dict(f["columns"])["ts"] == "INT96"
+    got = read_column(p, "ts")
+    want = pq.read_table(p).column("ts").to_pylist()
+    assert got == want
+
+
+def test_statistics_cross_check_pyarrow(tmp_path):
+    from levi_spark.operators.parquetmeta import read_statistics
+
+    t = _mixed_table(n=1000)
+    p = _write(tmp_path, t, compression="zstd", row_group_size=250)
+    ours = read_statistics(p)
+    md = pq.ParquetFile(p).metadata
+    assert len(ours["row_groups"]) == md.num_row_groups
+    for gi, g in enumerate(ours["row_groups"]):
+        rg = md.row_group(gi)
+        for ci in range(rg.num_columns):
+            col = rg.column(ci)
+            st = col.statistics
+            mine = g["columns"][col.path_in_schema]
+            if st is None:
+                continue
+            assert mine["null_count"] == st.null_count, col.path_in_schema
+            if st.has_min_max and col.physical_type != "FLOAT":
+                assert mine["min"] == st.min, col.path_in_schema
+                assert mine["max"] == st.max, col.path_in_schema
+
+
+def test_page_index_and_plan_scan(tmp_path):
+    """ColumnIndex/OffsetIndex parse + the metadata-only pruning
+    planner: a sorted key column at 100-row pages must prune both at
+    row-group and page granularity, and pruning must be SOUND (every
+    dropped unit contains no matching row)."""
+    from levi_spark.operators.parquetmeta import (
+        plan_scan,
+        read_page_index,
+    )
+
+    t = pa.table({"k": pa.array(range(10000), pa.int64()),
+                  "v": pa.array([i % 100 for i in range(10000)],
+                                pa.int64())})
+    p = str(tmp_path / "idx.parquet")
+    pq.write_table(t, p, row_group_size=2500, data_page_size=800,
+                   use_dictionary=False, compression="zstd",
+                   write_page_index=True)
+    pidx = read_page_index(p, "k")
+    assert len(pidx["row_groups"]) == 4
+    # page mins/maxes ascend and tile the key space
+    for g in pidx["row_groups"]:
+        assert len(g["pages"]) > 1
+        for a, b in zip(g["pages"], g["pages"][1:]):
+            assert a["max"] < b["min"]
+    plan = plan_scan(p, "k", 3000, 3500)
+    assert plan["has_page_index"]
+    assert plan["row_groups_kept"] == [1]  # rows 2500..4999
+    assert plan["rows_pruned_by_group_stats"] == 7500
+    assert 0 < plan["pages_kept"] < plan["pages_total_in_kept_groups"]
+    # soundness: the kept page ranges cover all matching rows
+    covered = set()
+    for g in read_page_index(p, "k")["row_groups"][1:2]:
+        for pg in g["pages"]:
+            if not (pg["max"] < 3000 or pg["min"] > 3500):
+                covered.update(range(pg["min"], pg["max"] + 1))
+    assert set(range(3000, 3501)) <= covered
+    # no-match predicate prunes everything
+    none = plan_scan(p, "k", 50000, 60000)
+    assert none["row_groups_kept"] == []
+    assert none["rows_pruned_by_group_stats"] == 10000
+
+
+def test_plan_scan_without_page_index(tmp_path):
+    from levi_spark.operators.parquetmeta import plan_scan
+
+    t = pa.table({"k": pa.array(range(1000), pa.int64())})
+    p = _write(tmp_path, t, row_group_size=250)
+    plan = plan_scan(p, "k", 100, 120)
+    assert not plan["has_page_index"]
+    assert plan["row_groups_kept"] == [0]
+    assert plan["rows_pruned_by_group_stats"] == 750

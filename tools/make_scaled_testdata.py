@@ -1,0 +1,141 @@
+"""Materialize a scaled-up testdata tier from an existing sf dir.
+
+The driver provides sf0.001 / sf0.01 / sf0.1; every 100 TB claim in
+this repo ultimately needs a measured scaling curve, so this tool
+derives an sfN tier (default 10x of sf0.1 ~= sf1) by KEY-SHIFTED
+REPLICATION — each copy's keys move into a disjoint range with
+foreign keys shifted consistently, so join fan-outs, group
+cardinalities and selectivities scale like real data instead of
+colliding:
+
+* region / nation: fixed dimensions, copied as-is (as in TPC-H).
+* customer / supplier / part: primary keys shift by copy * (max+1).
+* orders: o_orderkey and o_custkey shift consistently.
+* lineitem: l_orderkey / l_partkey / l_suppkey shift consistently.
+* events: event_id and user_id shift (timestamps unchanged, so
+  time-window groups get proportionally denser — the realistic
+  shape for a busier service, and the worst case for rollups).
+* documents: doc_id shifts; copies > 0 get a unique 1-token prefix
+  so the corpus does NOT become 10x exact duplicates (which would
+  flip every dedup operator into a degenerate regime); n_chars is
+  recomputed.
+* embeddings: vec_id shifts; copies > 0 perturb one coordinate per
+  copy so near-dup/ANN candidate structure scales instead of every
+  vector gaining 9 exact twins.
+
+Usage:
+  python tools/make_scaled_testdata.py [--src /root/testdata/sf0.1]
+      [--dst /tmp/levi_sf1] [--factor 10]
+
+Deterministic: same inputs -> byte-identical outputs (fingerprinted
+by bench_scale.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+
+def _shift(table: pa.Table, col: str, amount: int) -> pa.Table:
+    i = table.column_names.index(col)
+    shifted = pc.add(table.column(col), pa.scalar(amount, pa.int64()))
+    return table.set_column(i, col, shifted.cast(table.schema.field(col).type))
+
+
+def _key_range(table: pa.Table, col: str) -> int:
+    return pc.max(table.column(col)).as_py() + 1
+
+
+def scale(src: str, dst: str, factor: int) -> None:
+    os.makedirs(dst, exist_ok=True)
+    t = {
+        name: pq.read_table(os.path.join(src, f"{name}.parquet"))
+        for name in ("customer", "supplier", "part", "orders",
+                     "lineitem", "events", "documents", "embeddings")
+    }
+    for name in ("region", "nation"):
+        shutil.copyfile(os.path.join(src, f"{name}.parquet"),
+                        os.path.join(dst, f"{name}.parquet"))
+
+    ck = _key_range(t["customer"], "c_custkey")
+    sk = _key_range(t["supplier"], "s_suppkey")
+    pk = _key_range(t["part"], "p_partkey")
+    ok = _key_range(t["orders"], "o_orderkey")
+    ek = _key_range(t["events"], "event_id")
+    uk = _key_range(t["events"], "user_id")
+    dk = _key_range(t["documents"], "doc_id")
+    vk = _key_range(t["embeddings"], "vec_id")
+
+    def copies(name, make):
+        parts = [make(i) for i in range(factor)]
+        out = pa.concat_tables(parts)
+        pq.write_table(out, os.path.join(dst, f"{name}.parquet"),
+                       compression="snappy")
+        print(f"{name}: {len(out)} rows")
+
+    copies("customer", lambda i: _shift(t["customer"], "c_custkey", i * ck))
+    copies("supplier", lambda i: _shift(t["supplier"], "s_suppkey", i * sk))
+    copies("part", lambda i: _shift(t["part"], "p_partkey", i * pk))
+    copies("orders", lambda i: _shift(
+        _shift(t["orders"], "o_orderkey", i * ok), "o_custkey", i * ck))
+    copies("lineitem", lambda i: _shift(_shift(_shift(
+        t["lineitem"], "l_orderkey", i * ok),
+        "l_partkey", i * pk), "l_suppkey", i * sk))
+    copies("events", lambda i: _shift(
+        _shift(t["events"], "event_id", i * ek), "user_id", i * uk))
+
+    def docs_copy(i):
+        d = _shift(t["documents"], "doc_id", i * dk)
+        if i == 0:
+            return d
+        # one unique leading token per copy: dedup structure scales
+        # (shared grams still repeat) without 10x exact duplicates
+        text = pc.binary_join_element_wise(
+            pa.scalar(f"c{i}"), d.column("text"), " "
+        )
+        d = d.set_column(d.column_names.index("text"), "text", text)
+        n_chars = pc.utf8_length(text).cast(
+            d.schema.field("n_chars").type
+        )
+        return d.set_column(
+            d.column_names.index("n_chars"), "n_chars", n_chars
+        )
+
+    copies("documents", docs_copy)
+
+    def emb_copy(i):
+        e = _shift(t["embeddings"], "vec_id", i * vk)
+        if i == 0:
+            return e
+        col = e.column("embedding").combine_chunks()
+        flat = col.values.to_numpy(zero_copy_only=False).copy()
+        dim_guess = len(col[0])
+        # perturb one coordinate per copy — breaks exact duplication,
+        # keeps norms and neighborhood structure realistic
+        j = i % dim_guess
+        flat[j::dim_guess] += 0.001 * i
+        import numpy as np
+
+        new = pa.ListArray.from_arrays(
+            col.offsets, pa.array(flat.astype(np.float32), pa.float32())
+        )
+        return e.set_column(
+            e.column_names.index("embedding"), "embedding", new
+        )
+
+    copies("embeddings", emb_copy)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--dst", default="/tmp/levi_sf1")
+    ap.add_argument("--factor", type=int, default=10)
+    a = ap.parse_args()
+    scale(a.src, a.dst, a.factor)
