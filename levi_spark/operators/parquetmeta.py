@@ -1,8 +1,8 @@
-"""Parquet footer metadata — parsed from scratch, pure stdlib.
+"""Parquet, parsed and read from scratch — pure stdlib.
 
 Every scan this engine plans starts from a parquet FOOTER, and so
-far that parsing has been delegated to Spark/pyarrow. This module
-owns the two public formats underneath:
+far that parsing had been delegated to Spark/pyarrow. This module
+owns the public formats underneath, metadata AND data plane:
 
 * **Thrift compact protocol** (Apache Thrift spec): ULEB128 varints,
   zigzag integers, short-form field headers ``(id delta << 4) |
@@ -12,18 +12,32 @@ owns the two public formats underneath:
   :func:`thrift_read_struct` is a generic reader producing
   field-id-keyed dicts.
 * **parquet-format FileMetaData** (the parquet.thrift IDL, public):
-  ``PAR1`` magic both ends, little-endian footer length at
-  ``end-8``, then FileMetaData — schema elements (with num_children
-  for group nesting), num_rows, row groups -> column chunks ->
-  ColumnMetaData (type, encodings, path, codec, value counts,
-  compressed/uncompressed sizes, page offsets).
+  ``PAR1`` magic both ends, footer length at ``end-8``, schema walk
+  with Dremel definition/repetition levels and FLBA type lengths,
+  row groups -> column chunks -> ColumnMetaData.
+* **Column reads** (:func:`read_column`, :func:`read_column_nested`):
+  data pages v1 and v2; UNCOMPRESSED / GZIP / SNAPPY / ZSTD /
+  LZ4_RAW / LZ4(Hadoop) through OUR decoders (deflate.py, snappy.py,
+  zstd.py, lz4.py); PLAIN, RLE_DICTIONARY, RLE booleans,
+  DELTA_BINARY_PACKED (modular wrap), DELTA_LENGTH_BYTE_ARRAY,
+  DELTA_BYTE_ARRAY front-coding, BYTE_STREAM_SPLIT; BOOLEAN / INT32
+  / INT64 / INT96 / FLOAT / DOUBLE / BYTE_ARRAY / FLBA physical
+  types; flat columns and single-level lists (null list vs empty
+  list vs null element, reassembled from raw levels).
+* **Scan planning** (:func:`read_statistics`, :func:`read_page_index`,
+  :func:`plan_scan`): footer Statistics, ColumnIndex/OffsetIndex,
+  and a metadata-only pruning planner emitting the byte ranges an
+  executor would fetch.
 
-:func:`read_footer` needs only the file TAIL (it never touches page
-data) — the exact shape a 100 TB scan planner wants: one ranged read
-per file. The test suite and the driver gate cross-check every
-extracted field against pyarrow (the reference implementation) on
-the real testdata files; a varint read one byte short or a field
-delta misapplied shifts every later field and cannot match.
+:func:`read_footer` needs only the file TAIL — the exact shape a
+100 TB scan planner wants: one ranged read per file; the page index
+adds two more ranged reads per row group, still zero data I/O. The
+test suite and the driver gates cross-check every extracted field
+and every decoded value against pyarrow (the reference
+implementation) on real testdata files; a varint read one byte
+short or a field delta misapplied shifts every later field and
+cannot match. Everything outside the profile refuses loudly
+(BROTLI/LZO codecs, multi-level nesting, BIT_PACKED legacy levels).
 """
 
 from __future__ import annotations

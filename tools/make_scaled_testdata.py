@@ -15,13 +15,22 @@ colliding:
 * events: event_id and user_id shift (timestamps unchanged, so
   time-window groups get proportionally denser — the realistic
   shape for a busier service, and the worst case for rollups).
-* documents: doc_id shifts; copies > 0 get a unique 1-token prefix
-  so the corpus does NOT become 10x exact duplicates (which would
-  flip every dedup operator into a degenerate regime); n_chars is
-  recomputed.
-* embeddings: vec_id shifts; copies > 0 perturb one coordinate per
-  copy so near-dup/ANN candidate structure scales instead of every
-  vector gaining 9 exact twins.
+* documents: doc_id shifts; copies > 0 get their tokens permuted by
+  a seeded per-(copy, doc) shuffle. A shuffle preserves the token
+  multiset (length/vocabulary/quality statistics stay realistic) but
+  destroys shingle and n-gram overlap with the original — without
+  it, every doc has 9 near-twins and shingle-banded dedup operators
+  see candidate PAIRS grow quadratically in copies (measured:
+  editdist_candidate_verify 31x at 10x rows on the naive
+  prefix-token variant), a data artifact rather than a plan
+  property. n_chars is recomputed.
+* embeddings: vec_id shifts; copies > 0 cyclically rotate the
+  coordinates by the copy index. Rotation preserves norms and all
+  within-copy distances (the kNN/cluster structure scales exactly
+  linearly) while decorrelating copies — without it every vector has
+  9 epsilon-twins and LSH/SemDeDup candidate sets grow quadratically
+  (measured: embedding_lsh_neardup 33x, semdedup_prune 15x at 10x
+  rows on the naive one-coordinate-perturbation variant).
 
 Usage:
   python tools/make_scaled_testdata.py [--src /root/testdata/sf0.1]
@@ -91,16 +100,24 @@ def scale(src: str, dst: str, factor: int) -> None:
         _shift(t["events"], "event_id", i * ek), "user_id", i * uk))
 
     def docs_copy(i):
+        import numpy as np
+
         d = _shift(t["documents"], "doc_id", i * dk)
         if i == 0:
             return d
-        # one unique leading token per copy: dedup structure scales
-        # (shared grams still repeat) without 10x exact duplicates
-        text = pc.binary_join_element_wise(
-            pa.scalar(f"c{i}"), d.column("text"), " "
-        )
-        d = d.set_column(d.column_names.index("text"), "text", text)
-        n_chars = pc.utf8_length(text).cast(
+        texts = d.column("text").to_pylist()
+        ids = d.column("doc_id").to_pylist()
+        out = []
+        for did, text in zip(ids, texts):
+            toks = text.split()
+            rng = np.random.RandomState(
+                (i * 1_000_003 + did) % (2**32)
+            )
+            rng.shuffle(toks)
+            out.append(" ".join(toks))
+        text_arr = pa.array(out, pa.string())
+        d = d.set_column(d.column_names.index("text"), "text", text_arr)
+        n_chars = pc.utf8_length(text_arr).cast(
             d.schema.field("n_chars").type
         )
         return d.set_column(
@@ -110,20 +127,20 @@ def scale(src: str, dst: str, factor: int) -> None:
     copies("documents", docs_copy)
 
     def emb_copy(i):
+        import numpy as np
+
         e = _shift(t["embeddings"], "vec_id", i * vk)
         if i == 0:
             return e
         col = e.column("embedding").combine_chunks()
         flat = col.values.to_numpy(zero_copy_only=False).copy()
-        dim_guess = len(col[0])
-        # perturb one coordinate per copy — breaks exact duplication,
-        # keeps norms and neighborhood structure realistic
-        j = i % dim_guess
-        flat[j::dim_guess] += 0.001 * i
-        import numpy as np
-
+        dim = len(col[0])
+        # cyclic coordinate rotation: distances within a copy are
+        # preserved exactly; copies are mutually decorrelated
+        mat = np.roll(flat.reshape(-1, dim), i % dim, axis=1)
         new = pa.ListArray.from_arrays(
-            col.offsets, pa.array(flat.astype(np.float32), pa.float32())
+            col.offsets,
+            pa.array(mat.reshape(-1).astype(np.float32), pa.float32()),
         )
         return e.set_column(
             e.column_names.index("embedding"), "embedding", new
