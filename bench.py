@@ -106,6 +106,24 @@ VARIANCE_NOTES = {
         "number in the hundreds at sf0.1) and stage-timed the drain; "
         "expect ~6s vs r07's 7.1s builder / 18.5s loaded-driver runs"
     ),
+    "editdist_candidate_verify": (
+        "NOT variance: r09 replaced vocabulary-fixed blocking (pairs "
+        "grew N^2/blocks — measured 35x wall at 10x rows, BENCH_SF1) "
+        "with sorted-neighborhood candidates over the distributed "
+        "prefix-sum rank; warm ~3s vs the old ~1.7s — the price of "
+        "<=W candidates per doc by construction"
+    ),
+    "embedding_lsh_neardup": (
+        "NOT variance: r09 made band width adaptive "
+        "(max(8, ceil(log2 N)-3)) so buckets grow with the corpus — "
+        "sf0.1 unchanged (8 bits), sf1 went 115s -> ~11s (BENCH_SF1)"
+    ),
+    "semdedup_prune": (
+        "NOT variance: r09 routed large quantized codebooks "
+        "(k*dim >= 2048) to the Arrow/numpy assignment path, "
+        "bit-exact with the literal argmin; sf0.1 path unchanged "
+        "(k=8), sf1 went 95s -> ~43s (BENCH_SF1)"
+    ),
     "_session_drift": (
         "whole-session uplift, not per-query regressions: the r07 "
         "mid-round full run measured 231.6s/161 queries; two later "

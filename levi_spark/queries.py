@@ -4324,24 +4324,33 @@ FROM documents
 """
 
 
+EDITDIST_W = 8  # sorted-neighborhood window: successors per doc
+
+
 def editdist_candidate_verify(spark, sf_dir):
     """Edit-distance CANDIDATE VERIFICATION — the stage fuzzy-dedup
     pipelines run after blocking and before clustering: cheap keys
     propose pairs, an exact (bounded) Levenshtein pass verifies them.
-    Blocking key = (lang, source, n_chars // 32) — the classic
-    metadata+length blocking, which can never miss a near-identical
-    pair that shares provenance and approximate size; verification
-    computes ``levenshtein`` over the first 48 chars of the
-    ASCII-SANITIZED text (both engines' implementations agree on
-    ASCII; DuckDB's is byte-based, so the sanitizer is what makes the
-    oracle exact) entirely in JVM whole-stage codegen — built-in
-    ``levenshtein``, no Python. Per doc: candidate count, verified
-    count (distance <= 16), and the minimum distance (-1 when no
-    candidates). Scale shape: the pair join shuffles on the blocking
-    key only (same-block pairs, never all-pairs); block sizes bound
-    the quadratic term exactly the way LSH bands do in
-    ``minhash_lsh_neardup``, and the verify is a map-side expression
-    over the joined pairs."""
+    Candidate generation is SORTED-NEIGHBORHOOD (Hernandez & Stolfo):
+    docs sort by (lang, source, length-bucket, sanitized 48-char
+    prefix) and each doc pairs with its ``EDITDIST_W`` successors in
+    that order within the same (lang, source). Near-identical docs
+    sort adjacent, so the window catches them; candidates are <= W
+    per doc BY CONSTRUCTION — linear in corpus size. The round-8
+    shape blocked on (lang, source, n_chars//32) alone, whose block
+    COUNT is fixed by the data vocabulary, so block sizes and pair
+    counts grew quadratically (measured 35x wall at 10x rows on the
+    sf1 tier). Verification computes ``levenshtein`` over the
+    sanitized prefix (both engines' implementations agree on ASCII)
+    in JVM whole-stage codegen — no Python. Per doc: candidate count,
+    verified count (distance <= 16), and the minimum distance (-1
+    when no candidates). Scale shape: the global order rank comes
+    from the range-partitioned distributed prefix sum
+    (:func:`levi_spark.operators.packing.with_prefix_sum` — no
+    single-task window), and the neighbor join shuffles on the rank
+    key, which is unique — no skew possible."""
+    from levi_spark.operators.packing import with_prefix_sum
+
     docs = _t(spark, sf_dir, "documents")
     pfx = F.substring(
         F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""), 1, 48
@@ -4353,21 +4362,26 @@ def editdist_candidate_verify(spark, sf_dir):
         (F.col("n_chars") / 32).cast("long").alias("lb"),
         pfx.alias("pfx"),
     )
-    a = base.select(
-        F.col("doc_id").alias("doc_a"), "lang", "source", "lb",
+    ranked = with_prefix_sum(
+        base.withColumn("__one", F.lit(1)),
+        ["lang", "source", "lb", "pfx", "doc_id"],
+        "__one",
+        "rn",
+    ).drop("__one")
+    probes = ranked.select(
+        F.col("doc_id").alias("doc_a"), "lang", "source",
         F.col("pfx").alias("pfx_a"),
+        F.explode(
+            F.sequence(F.col("rn") + 1, F.col("rn") + EDITDIST_W)
+        ).alias("rn_b"),
     )
-    b = base.select(
-        F.col("doc_id").alias("doc_b"), "lang", "source", "lb",
-        F.col("pfx").alias("pfx_b"),
+    succ = ranked.select(
+        F.col("doc_id").alias("doc_b"), "lang", "source",
+        F.col("pfx").alias("pfx_b"), F.col("rn").alias("rn_b"),
     )
-    pairs = (
-        a.join(b, ["lang", "source", "lb"])
-        .where(F.col("doc_b") > F.col("doc_a"))
-        .select(
-            "doc_a",
-            F.levenshtein("pfx_a", "pfx_b").cast("long").alias("dist"),
-        )
+    pairs = probes.join(succ, ["lang", "source", "rn_b"]).select(
+        "doc_a",
+        F.levenshtein("pfx_a", "pfx_b").cast("long").alias("dist"),
     )
     agg = pairs.groupBy("doc_a").agg(
         F.count(F.lit(1)).alias("n_cand"),
@@ -4389,18 +4403,23 @@ def editdist_candidate_verify(spark, sf_dir):
     )
 
 
-EDITDIST_VERIFY_SQL = """
+EDITDIST_VERIFY_SQL = f"""
 WITH base AS (
   SELECT doc_id, lang, source, n_chars // 32 AS lb,
          substr(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'), 1, 48) AS pfx
   FROM documents
 ),
+r AS (
+  SELECT *, row_number()
+      OVER (ORDER BY lang, source, lb, pfx, doc_id) - 1 AS rn
+  FROM base
+),
 pairs AS (
   SELECT a.doc_id AS doc_a,
          levenshtein(a.pfx, b.pfx) AS dist
-  FROM base a JOIN base b
-    ON a.lang = b.lang AND a.source = b.source AND a.lb = b.lb
-   AND b.doc_id > a.doc_id
+  FROM r a JOIN r b
+    ON b.rn BETWEEN a.rn + 1 AND a.rn + {EDITDIST_W}
+   AND a.lang = b.lang AND a.source = b.source
 ),
 agg AS (
   SELECT doc_a, COUNT(*) AS n_cand,
@@ -8370,22 +8389,32 @@ JOIN a3_3 s3 USING (vec_id)
 
 def embedding_lsh_neardup(spark, sf_dir):
     """Embedding near-dup at corpus scale: random-hyperplane LSH
-    (hyperplanes = the first 32 embeddings, deterministic in-data
-    choice) gives every vector a 32-bit signature; 4 bands of 8 bits
-    bucket the corpus, candidate pairs share a band bucket, and only
-    candidates pay the exact-cosine verify. No all-pairs stage — the
-    band join is key-bounded (256 buckets/band), which is what
-    replaces ``embedding_neardup_pairs``'s bounded-window verify at
-    100 TB. 8-bit bands keep the verify stage ~0.1% of all pairs
-    while catching a true near-duplicate (cosine >= 0.9) with ~97%
-    probability per pass (rotate the hyperplane set for more passes);
-    the 0.3 report threshold keeps the output non-degenerate on this
-    synthetic corpus, whose cosine tail tops out near 0.5 — those
-    pairs are band-collision samples of the tail, NOT exhaustive."""
+    (hyperplanes = the first ``4 x band_bits`` embeddings, a
+    deterministic in-data choice) gives every vector a signature; 4
+    bands of ``band_bits`` bits bucket the corpus, candidate pairs
+    share a band bucket, and only candidates pay the exact-cosine
+    verify. ``band_bits`` is DERIVED from the corpus —
+    ``max(8, ceil(log2(N)) - 3)`` — so buckets per band grow with N
+    and expected random-collision candidates stay LINEAR (~8N per
+    band) instead of the fixed-256-bucket N^2/512 the round-8 shape
+    had (measured 33x wall at 10x rows on the sf1 tier; the oracle
+    SQL derives the identical width from COUNT(*)). The band join is
+    key-bounded; nothing is all-pairs. LSH theory's price for wider
+    bands is per-band recall (p^bits); production holds recall by
+    rotating hyperplane sets for more passes — one pass is gated
+    here. The 0.3 report threshold keeps the output non-degenerate
+    on this synthetic corpus, whose cosine tail tops out near 0.5 —
+    those pairs are band-collision samples of the tail, NOT
+    exhaustive."""
+    import math as _math
+
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_vec("embedding").alias("v")
     )
-    hyp = emb.where(F.col("vec_id") < 32).select(
+    n = emb.count()  # planning-time scalar, like a stats lookup
+    band_bits = max(8, _math.ceil(_math.log2(n)) - 3)
+    n_hyp = 4 * band_bits
+    hyp = emb.where(F.col("vec_id") < n_hyp).select(
         F.col("vec_id").alias("hid"), F.col("v").alias("hv")
     )
     dot = F.aggregate(
@@ -8399,8 +8428,9 @@ def embedding_lsh_neardup(spark, sf_dir):
     band_exprs = [
         F.sum(
             F.expr(
-                f"CASE WHEN hid >= {8 * k} AND hid < {8 * (k + 1)} "
-                f"THEN b * shiftleft(1, hid - {8 * k}) ELSE 0 END"
+                f"CASE WHEN (hid DIV {band_bits}) = {k} "
+                f"THEN b * shiftleft(CAST(1 AS BIGINT), "
+                f"hid % {band_bits}) ELSE 0 END"
             )
         )
         .cast("long")
@@ -8431,8 +8461,12 @@ def embedding_lsh_neardup(spark, sf_dir):
 
 
 LSH_NEARDUP_SQL = """
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-h AS (SELECT vec_id AS hid, e AS he FROM v WHERE vec_id < 32),
+WITH p AS (
+  SELECT GREATEST(8, CAST(ceil(log2(COUNT(*))) AS INT) - 3) AS bb
+  FROM embeddings
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+h AS (SELECT vec_id AS hid, e AS he FROM v, p WHERE vec_id < 4 * bb),
 bits AS (
   SELECT v.vec_id, h.hid,
          CASE WHEN list_inner_product(v.e, h.he) >= 0 THEN 1 ELSE 0 END AS b
@@ -8440,11 +8474,11 @@ bits AS (
 ),
 sig AS (
   SELECT vec_id,
-         CAST(SUM(CASE WHEN hid < 8 THEN b * (1 << hid) ELSE 0 END) AS BIGINT) AS band0,
-         CAST(SUM(CASE WHEN hid >= 8 AND hid < 16 THEN b * (1 << (hid - 8)) ELSE 0 END) AS BIGINT) AS band1,
-         CAST(SUM(CASE WHEN hid >= 16 AND hid < 24 THEN b * (1 << (hid - 16)) ELSE 0 END) AS BIGINT) AS band2,
-         CAST(SUM(CASE WHEN hid >= 24 THEN b * (1 << (hid - 24)) ELSE 0 END) AS BIGINT) AS band3
-  FROM bits GROUP BY vec_id
+         CAST(SUM(CASE WHEN hid // bb = 0 THEN b * (CAST(1 AS BIGINT) << (hid % bb)) ELSE 0 END) AS BIGINT) AS band0,
+         CAST(SUM(CASE WHEN hid // bb = 1 THEN b * (CAST(1 AS BIGINT) << (hid % bb)) ELSE 0 END) AS BIGINT) AS band1,
+         CAST(SUM(CASE WHEN hid // bb = 2 THEN b * (CAST(1 AS BIGINT) << (hid % bb)) ELSE 0 END) AS BIGINT) AS band2,
+         CAST(SUM(CASE WHEN hid // bb = 3 THEN b * (CAST(1 AS BIGINT) << (hid % bb)) ELSE 0 END) AS BIGINT) AS band3
+  FROM bits, p GROUP BY vec_id
 ),
 cand AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
@@ -16033,6 +16067,13 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         doc_substring_span_report,
         SPAN_REPORT_SQL,
     ),
+    # -- changed in round 9 (scaling-curve plan fixes, see BENCH_SF1):
+    #    adaptive band width (lsh), Arrow large-codebook assignment
+    #    (semdedup), sorted-neighborhood blocking (editdist, already
+    #    in the window below) — pinned here so the driver re-gates
+    #    them this round
+    "embedding_lsh_neardup": (embedding_lsh_neardup, LSH_NEARDUP_SQL),
+    "semdedup_prune": (semdedup_prune, SEMDEDUP_SQL),
     # -- ROUND 8 second-half additions, slots 1-22 (lead the window:
     #    never driver-gated) — ICO container, Delta .crc checksums,
     #    PDF text layer, CDC chunk dedup, binary-quant ANN, gap fill,
@@ -16168,9 +16209,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "delta_sync_counts": (delta_sync_counts, SYNC_SQL),
     "schema_evolution_counts": (schema_evolution_counts, SCHEMA_EVO_SQL),
     "ivf_trained_topk": (ivf_trained_topk, IVF_TRAINED_SQL),
-    "embedding_lsh_neardup": (embedding_lsh_neardup, LSH_NEARDUP_SQL),
     "doc_repetition_filters": (doc_repetition_filters, REPETITION_SQL),
-    "semdedup_prune": (semdedup_prune, SEMDEDUP_SQL),
     "domain_mix_rebalance": (domain_mix_rebalance, DOMAIN_MIX_SQL),
     "pq_trained_codes": (pq_trained_codes, PQ_TRAINED_SQL),
     "optimize_layout_counts": (optimize_layout_counts, OPTIMIZE_LAYOUT_SQL),

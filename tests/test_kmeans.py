@@ -77,3 +77,69 @@ def test_k_larger_than_data_raises(spark):
     df = spark.createDataFrame([(0, [1.0])], "id long, v array<double>")
     with pytest.raises(ValueError, match="only 1 vectors"):
         kmeans_fit(df, "id", "v", k=5)
+
+
+def test_arrow_assignment_bit_exact_with_literal(spark):
+    """The Arrow/numpy large-codebook path must reproduce the literal
+    HOF argmin EXACTLY — same quantized distances, same tie-breaks —
+    on real embedding vectors with a codebook big enough to trigger
+    it (k*dim >= 2048)."""
+    from levi_spark.operators.kmeans import (
+        _ARROW_MIN_LITERALS,
+        _argmin_col,
+        _assign_arrow,
+        assign_clusters,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).selectExpr("vec_id", "CAST(embedding AS array<double>) AS v")
+    cents = [
+        list(r["v"]) for r in emb.orderBy("vec_id").limit(40).collect()
+    ]
+    assert len(cents) * len(cents[0]) >= _ARROW_MIN_LITERALS
+    lit_cluster, lit_d = _argmin_col(F.col("v"), cents, 1e6)
+    want = {
+        r["vec_id"]: (r["c"], r["d"])
+        for r in emb.select(
+            "vec_id", lit_cluster.alias("c"), lit_d.alias("d")
+        ).collect()
+    }
+    got = {
+        r["id"]: (r["cluster"], r["dist"])
+        for r in _assign_arrow(
+            emb, "vec_id", "v", cents, 1e6, dist_col="dist"
+        ).collect()
+    }
+    assert got == want
+    # and assign_clusters routes to the arrow path at this size:
+    # the plan carries a Python map node and still no join/exchange
+    routed = assign_clusters(emb, "vec_id", "v", cents,
+                             dist_col="dist", dist_scale=1e6)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan[:500]
+    assert "Join" not in plan and "Exchange" not in plan, plan[:500]
+    got2 = {r["id"]: (r["cluster"], r["dist"]) for r in routed.collect()}
+    assert got2 == want
+
+
+def test_kmeans_fit_identical_across_paths(spark):
+    """kmeans_fit with a codebook above the Arrow threshold must give
+    the same centroids as the literal path run on the same data (force
+    by toggling the threshold)."""
+    import levi_spark.operators.kmeans as KM
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).selectExpr("vec_id", "CAST(embedding AS array<double>) AS v")
+    kw = dict(k=40, max_iter=2, tol=0.0, dist_scale=1e6, mean_scale=1e8)
+    fit_arrow = KM.kmeans_fit(emb, "vec_id", "v", **kw)
+    old = KM._ARROW_MIN_LITERALS
+    KM._ARROW_MIN_LITERALS = 10**9  # force literal path
+    try:
+        fit_lit = KM.kmeans_fit(emb, "vec_id", "v", **kw)
+    finally:
+        KM._ARROW_MIN_LITERALS = old
+    assert fit_arrow["centroids"] == fit_lit["centroids"]
+    assert fit_arrow["iterations"] == fit_lit["iterations"]
