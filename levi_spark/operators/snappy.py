@@ -18,12 +18,15 @@ snappy-compressed), and its RAW BLOCK format (Google's public
 
 Strict: truncated varints/literals/offsets, zero offsets, copies
 reaching before the start of output, and output over/underrun
-against the preamble all raise. Only decompression lives here — the
-write side of this engine's parquet flows goes through pyarrow, and
-a from-scratch compressor would add bytes, not capability. Verified
-against real snappy streams (parquet column chunks written by
-parquet-cpp and parquet-mr) in the tests and the
-``parquet_column_read`` gate path. North-star codec surface beside
+against the preamble all raise. Decompression is verified against
+real snappy streams (parquet column chunks written by parquet-cpp
+and parquet-mr) in the tests and the ``parquet_column_read`` gate
+path. :func:`snappy_compress` (round 9) is the write side the
+first-principles parquet WRITER needs: greedy 4-byte hash-chain
+matching emitted through copy-2 tags (16-bit offsets) — every
+stream it emits decodes under the reference implementation
+(pyarrow's bundled snappy, cross-checked in tests) and under our
+own decoder. North-star codec surface beside
 :mod:`levi_spark.operators.deflate`.
 """
 
@@ -106,4 +109,75 @@ def snappy_uncompress(payload: bytes) -> bytes:
         raise ValueError(
             f"snappy: output {len(out)} bytes != declared {out_len}"
         )
+    return bytes(out)
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        out.append(b | (0x80 if n else 0))
+        if not n:
+            return bytes(out)
+
+
+def snappy_compress(data: bytes) -> bytes:
+    """bytes -> snappy raw block. Greedy LZ with a 4-byte hash table
+    over a 64 KiB window, emitted as literal tags and copy-2 tags
+    (2-byte offsets, lengths chunked to the 64-byte tag maximum).
+    Correctness over ratio: simple, deterministic, and accepted by
+    the reference decoder."""
+    out = bytearray(_varint(len(data)))
+    n = len(data)
+
+    def emit_literal(lo: int, hi: int) -> None:
+        while lo < hi:
+            ln = min(hi - lo, 60)
+            rest = hi - lo
+            if rest > 60:
+                # use extended 1-byte length for runs up to 256
+                ln = min(rest, 256)
+                out.append((60 << 2))
+                out.append(ln - 1)
+            else:
+                out.append(((ln - 1) << 2))
+            out.extend(data[lo : lo + ln])
+            lo += ln
+
+    def emit_copy(offset: int, length: int) -> None:
+        # chunk to the 64-byte tag maximum, never leaving a tail
+        # below the 4-byte copy minimum (65 -> 60 + 5, not 64 + 1)
+        while length > 0:
+            if length >= 68 or length <= 64:
+                ln = min(length, 64)
+            else:
+                ln = 60
+            out.append(((ln - 1) << 2) | 2)
+            out.append(offset & 0xFF)
+            out.append((offset >> 8) & 0xFF)
+            length -= ln
+
+    table: dict[bytes, int] = {}
+    i = 0
+    lit_start = 0
+    while i + 4 <= n:
+        key = data[i : i + 4]
+        j = table.get(key)
+        table[key] = i
+        if j is not None and i - j <= 0xFFFF and data[j : j + 4] == key:
+            length = 4
+            while (
+                i + length < n
+                and length < 64 * 4
+                and data[j + length] == data[i + length]
+            ):
+                length += 1
+            emit_literal(lit_start, i)
+            emit_copy(i - j, length)
+            i += length
+            lit_start = i
+        else:
+            i += 1
+    emit_literal(lit_start, n)
     return bytes(out)

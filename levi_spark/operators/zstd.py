@@ -737,3 +737,29 @@ def xxh64(data: bytes, seed: int = 0) -> int:
     h = (h * _P3) & _M64
     h ^= h >> 32
     return h
+
+
+def zstd_compress_store(data: bytes, checksum: bool = True) -> bytes:
+    """bytes -> a VALID zstd frame using raw (stored) blocks only —
+    no entropy coding, but every conforming decoder (including
+    libzstd and :func:`zstd_decompress`) accepts it. Single-segment
+    frame, 8-byte frame content size, 128 KiB max block, optional
+    XXH64 content checksum. This is the write side the
+    first-principles parquet writer uses for its ZSTD codec: framing
+    correctness is what interop needs; ratio comes from the page
+    encodings above it."""
+    fhd = 0x20 | (0x04 if checksum else 0) | (3 << 6)
+    out = bytearray(struct.pack("<IB", _MAGIC, fhd))
+    out += struct.pack("<Q", len(data))
+    pos = 0
+    while True:
+        chunk = data[pos : pos + (1 << 17)]
+        pos += len(chunk)
+        last = 1 if pos >= len(data) else 0
+        out += ((len(chunk) << 3) | last).to_bytes(3, "little")
+        out += chunk
+        if last:
+            break
+    if checksum:
+        out += struct.pack("<I", xxh64(data) & 0xFFFFFFFF)
+    return bytes(out)

@@ -14054,6 +14054,98 @@ FROM orders
 """
 
 
+def parquet_write_roundtrip(spark, sf_dir):
+    """Parquet WRITTEN from first principles
+    (:mod:`levi_spark.operators.parquetwrite`): each task serializes
+    its orders partition — Thrift compact footer, v1 PLAIN pages,
+    RLE/bit-packed definition levels, footer statistics with column
+    orders — under all four codecs, with the COMPRESSORS also ours
+    (snappy_compress, gzip_wrap via our deflate, zstd stored-block
+    frames). Every file is then read back by pyarrow (the reference
+    reader) AND by our first-principles reader inside the same map
+    step; any byte of framing, level packing, or stats emission that
+    a reference reader rejects or misreads kills the gate. Surfaced
+    stats aggregate the pyarrow read-back; the oracle recomputes them
+    from orders. Scale shape: map-side per-partition fan-out + one
+    single-row rollup — a distributed writer IS this map stage."""
+    import pandas as pd
+
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 7 != 0, F.col("o_totalprice")
+            ).alias("price"),
+            "o_orderpriority",
+        )
+        .repartition(8)
+    )
+
+    def roundtrip(batches):
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        from levi_spark.operators.parquetmeta import read_column_bytes
+        from levi_spark.operators.parquetwrite import write_parquet
+
+        for pdf in batches:
+            ks = [int(v) for v in pdf["o_orderkey"]]
+            ps = [None if pd.isna(v) else float(v) for v in pdf["price"]]
+            ss = list(pdf["o_orderpriority"])
+            cols = [("k", "INT64", ks), ("price", "DOUBLE", ps),
+                    ("prio", "BYTE_ARRAY", ss)]
+            ref = None
+            for codec in ("SNAPPY", "GZIP", "ZSTD", "UNCOMPRESSED"):
+                blob = write_parquet(cols, codec=codec,
+                                     row_group_size=1024)
+                t = _pq.read_table(_pa.BufferReader(blob))
+                ref = (t.column("k").to_pylist(),
+                       t.column("price").to_pylist(),
+                       t.column("prio").to_pylist())
+                if ref != (ks, ps, ss):
+                    raise ValueError(
+                        f"pyarrow misreads our {codec} file"
+                    )
+                ours = (read_column_bytes(blob, "k"),
+                        read_column_bytes(blob, "price"),
+                        read_column_bytes(blob, "prio"))
+                if ours != (ks, ps, ss):
+                    raise ValueError(
+                        f"our reader misreads our {codec} file"
+                    )
+            yield pd.DataFrame(
+                {
+                    "n_rows": [len(ks)],
+                    "sum_key": [sum(ref[0])],
+                    "n_null_price": [
+                        sum(1 for v in ref[1] if v is None)
+                    ],
+                    "sum_price_q": [
+                        sum(int(v * 10000 + 0.5)
+                            for v in ref[1] if v is not None)
+                    ],
+                    "prio_chars": [sum(len(s) for s in ref[2])],
+                }
+            ).astype("int64")
+
+    parts = orders.mapInPandas(
+        roundtrip,
+        "n_rows long, sum_key long, n_null_price long, "
+        "sum_price_q long, prio_chars long",
+    )
+    return parts.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("sum_key").alias("sum_key"),
+        F.sum("n_null_price").alias("n_null_price"),
+        (F.sum("sum_price_q").cast("double") / 10000.0).alias("sum_price"),
+        F.sum("prio_chars").alias("prio_chars"),
+    )
+
+
+PARQUET_WRITE_SQL = PARQUET_MATRIX_SQL
+
+
 def doc_substring_span_report(spark, sf_dir):
     """MAXIMAL duplicated-span report over the exact-substring dedup
     (VERDICT r08 ask #5): the Lee-et-al paper reports the corpus by
@@ -16063,6 +16155,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "parquet_nested_read": (parquet_nested_read, PARQUET_NESTED_SQL),
     "parquet_prune_scan": (parquet_prune_scan, PARQUET_PRUNE_SQL),
+    "parquet_write_roundtrip": (parquet_write_roundtrip, PARQUET_WRITE_SQL),
     "doc_substring_span_report": (
         doc_substring_span_report,
         SPAN_REPORT_SQL,

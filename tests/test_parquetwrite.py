@@ -1,0 +1,133 @@
+"""First-principles parquet WRITER (levi_spark.operators.parquetwrite):
+files we emit must be read value-exactly by pyarrow AND DuckDB (the
+reference readers), by our own first-principles reader, and pruned by
+our own planner — across all four codecs, with nulls, multiple row
+groups, and footer statistics."""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow.parquet as pq
+import pytest
+
+from levi_spark.operators.parquetmeta import (
+    plan_scan,
+    read_column,
+    read_footer,
+    read_statistics,
+)
+from levi_spark.operators.parquetwrite import write_parquet
+
+N = 1000
+COLS = [
+    ("k", "INT64", [None if i % 9 == 0 else i * 7 for i in range(N)]),
+    ("x", "DOUBLE", [None if i % 11 == 0 else i * 0.25 for i in range(N)]),
+    ("f", "FLOAT", [float(i % 50) for i in range(N)]),
+    ("m", "INT32", [i % 1000 - 500 for i in range(N)]),
+    ("s", "BYTE_ARRAY",
+     [None if i % 13 == 0 else f"row_{i:05d}" for i in range(N)]),
+    ("b", "BOOLEAN", [i % 3 == 0 for i in range(N)]),
+]
+
+
+@pytest.mark.parametrize("codec",
+                         ["UNCOMPRESSED", "SNAPPY", "GZIP", "ZSTD"])
+def test_reference_readers_accept_our_files(tmp_path, codec):
+    p = str(tmp_path / "ours.parquet")
+    with open(p, "wb") as f:
+        f.write(write_parquet(COLS, codec=codec, row_group_size=300))
+    t = pq.read_table(p)
+    for name, ptype, vals in COLS:
+        got = t.column(name).to_pylist()
+        if ptype == "FLOAT":
+            assert all(
+                (a is None) == (b is None)
+                and (a is None or abs(a - b) < 1e-6)
+                for a, b in zip(got, vals)
+            ), name
+        else:
+            assert got == vals, name
+    for col, vals in (("k", COLS[0][2]), ("s", COLS[4][2]),
+                      ("b", COLS[5][2])):
+        dk = [r[0] for r in duckdb.sql(
+            f"SELECT {col} FROM read_parquet('{p}')").fetchall()]
+        assert dk == vals, col
+    # strings come back as VARCHAR, not BLOB (ConvertedType UTF8)
+    typ = duckdb.sql(f"DESCRIBE SELECT s FROM read_parquet('{p}')"
+                     ).fetchone()[1]
+    assert typ == "VARCHAR"
+
+
+def test_our_reader_round_trips(tmp_path):
+    p = str(tmp_path / "rt.parquet")
+    with open(p, "wb") as f:
+        f.write(write_parquet(COLS, codec="SNAPPY", row_group_size=256))
+    f_ = read_footer(p)
+    assert f_["num_rows"] == N
+    assert len(f_["row_groups"]) == 4
+    assert "levi-spark" in f_["created_by"]
+    for name, _ptype, vals in COLS:
+        assert read_column(p, name) == vals, name
+
+
+def test_statistics_visible_to_both_planners(tmp_path):
+    p = str(tmp_path / "st.parquet")
+    sorted_k = [None if i % 9 == 0 else i for i in range(N)]
+    with open(p, "wb") as f:
+        f.write(write_parquet([("k", "INT64", sorted_k)],
+                              codec="ZSTD", row_group_size=250))
+    md = pq.ParquetFile(p).metadata
+    ours = read_statistics(p)
+    for gi in range(md.num_row_groups):
+        st = md.row_group(gi).column(0).statistics
+        mine = ours["row_groups"][gi]["columns"]["k"]
+        assert st.has_min_max
+        assert (st.min, st.max, st.null_count) == (
+            mine["min"], mine["max"], mine["null_count"])
+    plan = plan_scan(p, "k", 0, 100)
+    assert plan["row_groups_kept"] == [0]
+    assert plan["rows_pruned_by_group_stats"] == 750
+    # reference reader prunes on them too
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{p}') WHERE k BETWEEN 0 AND 100"
+    ).fetchone()[0]
+    assert n == sum(1 for v in sorted_k if v is not None and 0 <= v <= 100)
+
+
+def test_empty_and_all_null_columns(tmp_path):
+    p = str(tmp_path / "edge.parquet")
+    with open(p, "wb") as f:
+        f.write(write_parquet(
+            [("k", "INT64", []), ("s", "BYTE_ARRAY", [])]))
+    assert pq.read_table(p).num_rows == 0
+    assert read_column(p, "k") == []
+    p2 = str(tmp_path / "nulls.parquet")
+    with open(p2, "wb") as f:
+        f.write(write_parquet([("k", "INT64", [None] * 20)]))
+    assert pq.read_table(p2).column("k").to_pylist() == [None] * 20
+    assert read_column(p2, "k") == [None] * 20
+    # all-null chunk: null_count present, no min/max
+    st = read_statistics(p2)["row_groups"][0]["columns"]["k"]
+    assert st["null_count"] == 20 and st["min"] is None
+    md = pq.ParquetFile(p2).metadata.row_group(0).column(0).statistics
+    assert md.null_count == 20 and not md.has_min_max
+
+
+def test_nan_column_skips_min_max(tmp_path):
+    p = str(tmp_path / "nan.parquet")
+    with open(p, "wb") as f:
+        f.write(write_parquet(
+            [("x", "DOUBLE", [1.0, float("nan"), 2.0])]))
+    md = pq.ParquetFile(p).metadata.row_group(0).column(0).statistics
+    assert md is None or not md.has_min_max
+    got = pq.read_table(p).column("x").to_pylist()
+    assert got[0] == 1.0 and got[2] == 2.0 and got[1] != got[1]
+
+
+def test_refusals():
+    with pytest.raises(NotImplementedError, match="codec"):
+        write_parquet([("k", "INT64", [1])], codec="BROTLI")
+    with pytest.raises(ValueError, match="ragged"):
+        write_parquet([("a", "INT64", [1, 2]), ("b", "INT64", [1])])
+    with pytest.raises(NotImplementedError, match="physical type"):
+        write_parquet([("k", "INT96", [1])])
