@@ -16156,12 +16156,15 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # the 4 queries at positions 50-53 missed both rounds). So the
     # first 50 slots are rotation policy: never-gated queries first,
     # then queries changed this round, then oldest-green backfill.
-    # -- ROUND 9 additions, slots 1-4 (lead the window: never
+    # -- ROUND 9 additions, slots 1-6 (lead the window: never
     #    driver-gated) — ZSTD/LZ4 decoders from first principles, the
     #    parquet reader matrix (zstd/lz4 codecs, data page v2, DELTA_*
     #    + BYTE_STREAM_SPLIT encodings), nested list reads via
-    #    repetition levels, and the Lee-et-al maximal duplicated-span
-    #    corpus report. ---------------------------------------------------
+    #    repetition levels, the metadata-only pruning planner, the
+    #    first-principles parquet WRITER, and the Lee-et-al maximal
+    #    duplicated-span corpus report; slots 7-8 re-gate the two
+    #    scaling-curve plan fixes (the third, editdist, was already in
+    #    the window). -----------------------------------------------------
     "zstd_lz4_roundtrip_stats": (zstd_lz4_roundtrip_stats, ZSTD_LZ4_SQL),
     "parquet_codec_matrix_read": (
         parquet_codec_matrix_read,
