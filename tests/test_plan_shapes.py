@@ -669,3 +669,18 @@ def test_span_report_reuses_gram_exchange_no_cartesian(spark):
     wins = _re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", final)
     for spec in wins:
         assert "doc_id" in spec, f"window keyed by {spec}"
+
+
+def test_parquet_write_gate_single_rollup(spark):
+    """The writer gate is the same map-side fan-out shape as the
+    reader gates: no join, input-spreading repartition + one
+    single-row rollup exchange."""
+    import re as _re
+
+    from levi_spark.plans.inspect import executed_plan
+    from levi_spark.queries import parquet_write_roundtrip
+
+    plan = executed_plan(parquet_write_roundtrip(spark, SF))
+    assert "Join" not in plan
+    n_ex = len(_re.findall(r"Exchange ", plan))
+    assert n_ex <= 2, f"{n_ex} exchanges\n{plan}"
