@@ -165,6 +165,7 @@ def parse_footer(meta: bytes) -> dict:
     levels: dict[str, tuple[int, int]] = {}
     rep_def: dict[str, int | None] = {}
     type_lengths: dict[str, int | None] = {}
+    utf8: dict[str, bool] = {}
 
     # SchemaElement field 3 is repetition_type: 0=REQUIRED, 1=OPTIONAL,
     # 2=REPEATED. Definition level increments for OPTIONAL and REPEATED
@@ -189,6 +190,12 @@ def parse_footer(meta: bytes) -> dict:
             levels[path] = (dl, rl)
             rep_def[path] = rd
             type_lengths[path] = el.get(2)  # FLBA type_length
+            # string-ness: ConvertedType UTF8 (field 6 == 0) or
+            # LogicalType STRING (field 10, union member 1)
+            lt = el.get(10)
+            utf8[path] = el.get(6) == 0 or (
+                isinstance(lt, dict) and 1 in lt
+            )
             return i + 1
         j = i + 1
         for _ in range(nchild):
@@ -232,6 +239,7 @@ def parse_footer(meta: bytes) -> dict:
         "levels": levels,
         "rep_def": rep_def,
         "type_lengths": type_lengths,
+        "utf8": utf8,
         "row_groups": groups,
     }
 
@@ -369,7 +377,7 @@ def _wrap_signed(vals: list[int], bits: int) -> list[int]:
 
 
 def _plain_values(ptype: str, buf: bytes, at: int, count: int,
-                  tlen: int | None = None):
+                  tlen: int | None = None, utf8: bool = True):
     """PLAIN-encoded values -> (list, new offset)."""
     if ptype == "INT64":
         return list(struct.unpack_from(f"<{count}q", buf, at)), at + 8 * count
@@ -389,7 +397,8 @@ def _plain_values(ptype: str, buf: bytes, at: int, count: int,
         vals = []
         for _ in range(count):
             (ln,) = struct.unpack_from("<i", buf, at)
-            vals.append(buf[at + 4 : at + 4 + ln].decode("utf-8"))
+            raw = bytes(buf[at + 4 : at + 4 + ln])
+            vals.append(raw.decode("utf-8") if utf8 else raw)
             at += 4 + ln
         return vals, at
     if ptype == "FIXED_LEN_BYTE_ARRAY":
@@ -426,11 +435,12 @@ _BSS_WIDTH = {"FLOAT": ("<f", 4), "DOUBLE": ("<d", 8),
 def _decode_values(
     encoding: int, ptype: str, body: bytes, at: int, count: int,
     dictionary: list | None, tlen: int | None = None,
+    utf8: bool = True,
 ) -> list:
     if count == 0:
         return []
     if encoding == 0:  # PLAIN
-        return _plain_values(ptype, body, at, count, tlen)[0]
+        return _plain_values(ptype, body, at, count, tlen, utf8)[0]
     if encoding in (2, 8):  # (PLAIN_)RLE_DICTIONARY
         if dictionary is None:
             raise ValueError("dictionary-encoded page before any dictionary")
@@ -462,7 +472,8 @@ def _decode_values(
             raise ValueError("DELTA_LENGTH_BYTE_ARRAY count mismatch")
         vals = []
         for ln in lengths:
-            vals.append(body[at : at + ln].decode("utf-8"))
+            raw = bytes(body[at : at + ln])
+            vals.append(raw.decode("utf-8") if utf8 else raw)
             at += ln
         return vals
     if encoding == 7:  # DELTA_BYTE_ARRAY (front-coded)
@@ -477,7 +488,7 @@ def _decode_values(
         for p, s in zip(prefixes, suffix_lens):
             prev = prev[:p] + body[at : at + s]
             at += s
-            vals.append(prev.decode("utf-8"))
+            vals.append(prev.decode("utf-8") if utf8 else prev)
         return vals
     if encoding == 9:  # BYTE_STREAM_SPLIT
         if ptype not in _BSS_WIDTH:
@@ -525,7 +536,7 @@ def _decompressor(codec: str):
 
 def _iter_pages(data: bytes, chunk: dict, ptype: str,
                 max_def: int, max_rep: int,
-                tlen: int | None = None):
+                tlen: int | None = None, utf8: bool = True):
     """Walk one column chunk's pages, yielding (def_levels,
     rep_levels, values) per data page. Handles v1 (levels inside the
     compressed body, 4-byte-length-prefixed) and v2 (levels stored
@@ -545,10 +556,20 @@ def _iter_pages(data: bytes, chunk: dict, ptype: str,
         comp_size = ph.get(3)
         body = data[r.pos : r.pos + comp_size]
         pos = r.pos + comp_size
+        crc = ph.get(4)
+        if crc is not None:
+            from levi_spark.operators.deflate import crc32 as _crc32
+
+            got = _crc32(body)
+            if got != crc & 0xFFFFFFFF:
+                raise ValueError(
+                    f"parquet: page CRC {got:#010x} != stored "
+                    f"{crc & 0xFFFFFFFF:#010x}"
+                )
         if page_type == 2:  # DICTIONARY_PAGE
             dict_hdr = ph.get(7) or {}
             dictionary = _plain_values(
-                ptype, decompress(body), 0, dict_hdr.get(1), tlen
+                ptype, decompress(body), 0, dict_hdr.get(1), tlen, utf8
             )[0]
             continue
         if page_type == 0:  # DATA_PAGE v1
@@ -593,7 +614,8 @@ def _iter_pages(data: bytes, chunk: dict, ptype: str,
             raise NotImplementedError(f"page type {page_type}")
         n_present = sum(1 for d in defs if d == max_def)
         vals = _decode_values(
-            encoding, ptype, body, at, n_present, dictionary, tlen
+            encoding, ptype, body, at, n_present, dictionary, tlen,
+            utf8,
         )
         yield defs, reps, vals
         remaining -= n_values
@@ -628,11 +650,12 @@ def read_column_bytes(data: bytes, column: str) -> list:
             "repeated (nested list) column: use read_column_nested"
         )
     tlen = footer["type_lengths"][column]
+    utf8 = footer["utf8"][column]
     out: list = []
     for g in footer["row_groups"]:
         chunk = next(c for c in g["columns"] if c["path"] == column)
         for defs, _reps, vals in _iter_pages(
-            data, chunk, ptype, max_def, max_rep, tlen
+            data, chunk, ptype, max_def, max_rep, tlen, utf8
         ):
             it = iter(vals)
             out.extend(next(it) if d == max_def else None for d in defs)
@@ -657,13 +680,14 @@ def read_column_nested_bytes(data: bytes, column: str) -> list:
         )
     d_rep = footer["rep_def"][column]
     tlen = footer["type_lengths"][column]
+    utf8 = footer["utf8"][column]
     rows: list = []
     started = False
     cur: list | None = None
     for g in footer["row_groups"]:
         chunk = next(c for c in g["columns"] if c["path"] == column)
         for defs, reps, vals in _iter_pages(
-            data, chunk, ptype, max_def, max_rep, tlen
+            data, chunk, ptype, max_def, max_rep, tlen, utf8
         ):
             it = iter(vals)
             for d, rp in zip(defs, reps):

@@ -346,3 +346,67 @@ def test_plan_scan_without_page_index(tmp_path):
     assert not plan["has_page_index"]
     assert plan["row_groups_kept"] == [0]
     assert plan["rows_pruned_by_group_stats"] == 750
+
+
+def test_binary_byte_array_returns_bytes(tmp_path):
+    """BYTE_ARRAY without a UTF8 annotation is OPAQUE BINARY (image
+    payloads, hashes) and must come back as bytes, not crash the
+    utf-8 decoder."""
+    blobs = [b"\x00\xff\x01", b"raw\x80bytes", None, b"", b"\xde\xad"]
+    t = pa.table({"b": pa.array(blobs, pa.binary()),
+                  "s": pa.array(["plain", "text", None, "", "ok"],
+                                pa.utf8())})
+    p = _write(tmp_path, t, compression="zstd", use_dictionary=False)
+    f = read_footer(p)
+    assert f["utf8"] == {"b": False, "s": True}
+    assert read_column(p, "b") == blobs
+    assert read_column(p, "s") == ["plain", "text", None, "", "ok"]
+    # dictionary-encoded binary too
+    low = [blobs[0], blobs[1]] * 100
+    t2 = pa.table({"b": pa.array(low, pa.binary())})
+    p2 = _write(tmp_path, t2, "dictbin.parquet", use_dictionary=True)
+    assert read_column(p2, "b") == low
+
+
+def test_struct_leaf_columns_read_flat(tmp_path):
+    """Struct fields are leaves with max_def > 1 and max_rep == 0 —
+    the flat reader must distinguish present values from nulls at
+    EITHER nesting level (struct null vs field null both yield
+    None)."""
+    rows = [{"a": 1, "b": "x"}, None, {"a": None, "b": "y"},
+            {"a": 4, "b": None}]
+    t = pa.table({"st": pa.array(
+        rows, pa.struct([("a", pa.int64()), ("b", pa.utf8())]))})
+    p = _write(tmp_path, t, compression="snappy", use_dictionary=False)
+    f = read_footer(p)
+    paths = [c for c, _ in f["columns"]]
+    assert paths == ["st.a", "st.b"]
+    assert f["levels"]["st.a"] == (2, 0)
+    assert read_column(p, "st.a") == [1, None, None, 4]
+    assert read_column(p, "st.b") == ["x", None, "y", None]
+
+
+def test_page_crc_verified_and_corruption_detected(tmp_path):
+    """parquet-mr/arrow page checksums (PageHeader.crc, CRC-32 of the
+    page body) verify through our own crc32; flipping one body byte
+    must raise."""
+    t = pa.table({"k": pa.array(range(2000), pa.int64())})
+    p = str(tmp_path / "crc.parquet")
+    pq.write_table(t, p, use_dictionary=False, compression="snappy",
+                   write_page_checksum=True)
+    assert read_column(p, "k") == list(range(2000))
+    blob = bytearray(open(p, "rb").read())
+    # locate the first page BODY via the header parse and stomp it
+    from levi_spark.operators.parquetmeta import (
+        _Reader,
+        read_column_bytes,
+    )
+
+    off = read_footer(p)["row_groups"][0]["columns"][0][
+        "data_page_offset"]
+    r = _Reader(bytes(blob), off)
+    ph = r.struct()
+    assert ph.get(4) is not None, "writer emitted no page CRC"
+    blob[r.pos + 10] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        read_column_bytes(bytes(blob), "k")
