@@ -9,8 +9,9 @@ definition levels, per-chunk footer Statistics (min_value /
 max_value / null_count — the inputs :func:`parquetmeta.plan_scan`
 prunes on), and a codec matrix whose compressors are ALSO ours:
 SNAPPY (:func:`snappy.snappy_compress`), GZIP
-(:func:`deflate.gzip_wrap`), ZSTD stored-block frames
-(:func:`zstd.zstd_compress_store`), or UNCOMPRESSED.
+(:func:`deflate.gzip_wrap`), ZSTD with real predefined-table
+sequence compression (:func:`zstd.zstd_compress`), or
+UNCOMPRESSED.
 
 Interop is the test: files written here are read back by pyarrow
 and DuckDB (the reference readers) value-for-value, by our own
@@ -186,9 +187,9 @@ def _compress(codec: str, body: bytes) -> bytes:
 
         return gzip_wrap(body)
     if codec == "ZSTD":
-        from levi_spark.operators.zstd import zstd_compress_store
+        from levi_spark.operators.zstd import zstd_compress
 
-        return zstd_compress_store(body)
+        return zstd_compress(body)
     raise NotImplementedError(f"writer codec {codec}")
 
 

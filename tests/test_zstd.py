@@ -156,3 +156,63 @@ def test_incompressible_passthrough_and_long_input():
     random.seed(99)
     data = bytes(random.randrange(256) for _ in range(300_000))
     assert zstd_decompress(_enc(data, 19)) == data
+
+
+def test_real_compressor_accepted_by_libzstd():
+    """zstd_compress emits Compressed blocks (LZ77 sequences through
+    the PREDEFINED FSE tables, raw literals); libzstd and our own
+    decoder must both accept every frame, and repetitive inputs must
+    actually shrink."""
+    import struct as _struct
+
+    from levi_spark.operators.zstd import zstd_compress
+
+    random.seed(5)
+    cases = [
+        b"",
+        b"ab",
+        b"A" * 200000,
+        b"the quick brown fox jumps over the lazy dog. " * 4000,
+        bytes(random.randrange(256) for _ in range(80000)),
+        b"".join(_struct.pack("<qd", i, i * 0.5) for i in range(15000)),
+    ]
+    ref = pa.Codec("zstd")
+    for d in cases:
+        enc = zstd_compress(d)
+        assert zstd_decompress(enc) == d
+        assert ref.decompress(enc, decompressed_size=len(d),
+                              asbytes=True) == d
+    assert len(zstd_compress(b"A" * 200000)) < 100
+    assert len(zstd_compress(
+        b"the quick brown fox jumps over the lazy dog. " * 4000)) < 500
+
+
+def test_real_compressor_fuzz_and_block_boundaries():
+    from levi_spark.operators.zstd import zstd_compress
+
+    random.seed(17)
+    ref = pa.Codec("zstd")
+    # straddle the 128 KiB block boundary with long matches
+    d = (b"boundary-match " * 12000)[: (1 << 17) + 500]
+    enc = zstd_compress(d)
+    assert zstd_decompress(enc) == d
+    assert ref.decompress(enc, decompressed_size=len(d), asbytes=True) == d
+    for _ in range(60):
+        n = random.randrange(0, 4000)
+        alpha = random.choice([b"ab", b"abcdefgh", bytes(range(256))])
+        d = bytes(random.choice(alpha) for _ in range(n))
+        enc = zstd_compress(d)
+        assert zstd_decompress(enc) == d
+        assert ref.decompress(enc, decompressed_size=len(d),
+                              asbytes=True) == d
+
+
+def test_store_mode_frames():
+    from levi_spark.operators.zstd import zstd_compress_store
+
+    ref = pa.Codec("zstd")
+    for d in (b"", b"x", b"hello " * 50000):
+        enc = zstd_compress_store(d)
+        assert zstd_decompress(enc) == d
+        assert ref.decompress(enc, decompressed_size=len(d),
+                              asbytes=True) == d
