@@ -117,11 +117,11 @@ class _TW:
         self._last = 0
 
 
-def _rle_levels(levels: list[int]) -> bytes:
-    """Definition levels (bit width 1) as ONE bit-packed run with a
-    4-byte length prefix — trailing pad bits beyond the value count
-    are ignored by readers per the spec."""
-    n_groups = (len(levels) + 7) // 8
+def _bitpacked_run(values: list[int], width: int) -> bytes:
+    """RLE/bit-packed hybrid holding ONE bit-packed run — trailing
+    pad values beyond the count are ignored by readers per the
+    spec."""
+    n_groups = (len(values) + 7) // 8
     header = bytearray()
     v = (n_groups << 1) | 1
     while True:
@@ -131,10 +131,17 @@ def _rle_levels(levels: list[int]) -> bytes:
         if not v:
             break
     acc = 0
-    for i, lv in enumerate(levels):
-        acc |= (lv & 1) << i
-    packed = acc.to_bytes(n_groups, "little")
-    body = bytes(header) + packed
+    mask = (1 << width) - 1
+    for i, lv in enumerate(values):
+        acc |= (lv & mask) << (i * width)
+    packed = acc.to_bytes(n_groups * width, "little")
+    return bytes(header) + packed
+
+
+def _rle_levels(levels: list[int]) -> bytes:
+    """Definition levels (bit width 1) with the v1 4-byte length
+    prefix."""
+    body = _bitpacked_run(levels, 1)
     return struct.pack("<i", len(body)) + body
 
 
@@ -197,11 +204,15 @@ def write_parquet(
     columns: list[tuple[str, str, list]],
     codec: str = "SNAPPY",
     row_group_size: int | None = None,
+    use_dictionary: bool | list[str] = False,
 ) -> bytes:
     """``[(name, physical_type, values-with-None), ...]`` -> parquet
-    file bytes. All columns OPTIONAL, PLAIN-encoded, one v1 data page
-    per chunk, footer statistics included. ``row_group_size`` splits
-    rows into multiple row groups (default: one)."""
+    file bytes. All columns OPTIONAL, one v1 data page per chunk,
+    footer statistics included. ``row_group_size`` splits rows into
+    multiple row groups (default: one). ``use_dictionary`` (True or
+    a list of column names) writes those chunks as a PLAIN dictionary
+    page + RLE_DICTIONARY bit-packed indices — the layout parquet-cpp
+    and parquet-mr default to."""
     if codec not in _CODECS:
         raise NotImplementedError(f"writer codec {codec}")
     n_rows = len(columns[0][2])
@@ -218,7 +229,41 @@ def write_parquet(
             seg = vals[start : start + rows]
             levels = [0 if v is None else 1 for v in seg]
             present = [v for v in seg if v is not None]
-            body = _rle_levels(levels) + _plain(ptype, present)
+            dict_col = use_dictionary is True or (
+                isinstance(use_dictionary, list) and name in use_dictionary
+            )
+            dict_off = None
+            unc_total = comp_total = 0
+            page_off = len(out)
+            if dict_col:
+                uniq: dict = {}
+                for v in present:
+                    if v not in uniq:
+                        uniq[v] = len(uniq)
+                dict_body = _plain(ptype, list(uniq))
+                dict_comp = _compress(codec, dict_body)
+                dh = _TW()
+                dh.begin()
+                dh.i32(1, 2)  # DICTIONARY_PAGE
+                dh.i32(2, len(dict_body))
+                dh.i32(3, len(dict_comp))
+                dh.struct_field(7)  # DictionaryPageHeader
+                dh.i32(1, len(uniq))
+                dh.i32(2, 0)  # PLAIN
+                dh.end()
+                dh.end()
+                dict_off = len(out)
+                out += dh.buf + dict_comp
+                unc_total += len(dh.buf) + len(dict_body)
+                comp_total += len(dh.buf) + len(dict_comp)
+                width = max(1, (len(uniq) - 1).bit_length())
+                idx = [uniq[v] for v in present]
+                body = (_rle_levels(levels) + bytes([width])
+                        + _bitpacked_run(idx, width))
+                encoding = 8  # RLE_DICTIONARY
+            else:
+                body = _rle_levels(levels) + _plain(ptype, present)
+                encoding = 0  # PLAIN
             comp = _compress(codec, body)
             ph = _TW()
             ph.begin()
@@ -227,12 +272,12 @@ def write_parquet(
             ph.i32(3, len(comp))
             ph.struct_field(5)  # DataPageHeader
             ph.i32(1, len(seg))
-            ph.i32(2, 0)  # PLAIN
+            ph.i32(2, encoding)
             ph.i32(3, 3)  # def levels RLE
             ph.i32(4, 3)  # rep levels RLE (absent for flat)
             ph.end()
             ph.end()
-            page_off = len(out)
+            data_off = len(out)
             out += ph.buf + comp
             nn = len(seg) - len(present)
             stats = None
@@ -246,9 +291,11 @@ def write_parquet(
                     "name": name,
                     "ptype": ptype,
                     "num_values": len(seg),
-                    "unc": len(ph.buf) + len(body),
-                    "comp": len(ph.buf) + len(comp),
-                    "offset": page_off,
+                    "unc": unc_total + len(ph.buf) + len(body),
+                    "comp": comp_total + len(ph.buf) + len(comp),
+                    "offset": data_off,
+                    "dict_offset": dict_off,
+                    "encoding": encoding,
                     "stats": stats,
                     "null_count": nn,
                 }
@@ -282,9 +329,15 @@ def write_parquet(
             tw.i64(2, 0)  # file_offset (deprecated)
             tw.struct_field(3)  # ColumnMetaData
             tw.i32(1, _PTYPES[c["ptype"]])
-            tw.list_header(2, _I32T, 2)
-            tw.i32_elem(0)  # PLAIN
-            tw.i32_elem(3)  # RLE (levels)
+            if c["encoding"] == 8:
+                tw.list_header(2, _I32T, 3)
+                tw.i32_elem(0)  # PLAIN (dictionary page)
+                tw.i32_elem(3)  # RLE (levels)
+                tw.i32_elem(8)  # RLE_DICTIONARY (indices)
+            else:
+                tw.list_header(2, _I32T, 2)
+                tw.i32_elem(0)  # PLAIN
+                tw.i32_elem(3)  # RLE (levels)
             tw.list_header(3, _BINT, 1)
             tw.binary_elem(c["name"].encode("utf-8"))
             tw.i32(4, _CODECS[codec])
@@ -292,6 +345,8 @@ def write_parquet(
             tw.i64(6, c["unc"])
             tw.i64(7, c["comp"])
             tw.i64(9, c["offset"])
+            if c["dict_offset"] is not None:
+                tw.i64(11, c["dict_offset"])
             tw.struct_field(12)  # Statistics: null_count always,
             tw.i64(3, c["null_count"])  # min/max only when defined
             if c["stats"] is not None:

@@ -131,3 +131,44 @@ def test_refusals():
         write_parquet([("a", "INT64", [1, 2]), ("b", "INT64", [1])])
     with pytest.raises(NotImplementedError, match="physical type"):
         write_parquet([("k", "INT96", [1])])
+
+
+@pytest.mark.parametrize("codec", ["SNAPPY", "ZSTD", "UNCOMPRESSED"])
+def test_dictionary_write_interop(tmp_path, codec):
+    """use_dictionary writes a PLAIN dictionary page + RLE_DICTIONARY
+    bit-packed indices — the parquet-cpp default layout — readable by
+    pyarrow, DuckDB and our own reader, and smaller than PLAIN."""
+    vals = [None if i % 7 == 0 else f"v{i % 13}" for i in range(3000)]
+    ints = [i % 23 for i in range(3000)]
+    p = str(tmp_path / "dict.parquet")
+    with open(p, "wb") as f:
+        f.write(write_parquet(
+            [("s", "BYTE_ARRAY", vals), ("k", "INT64", ints)],
+            codec=codec, row_group_size=900, use_dictionary=True))
+    assert pq.read_table(p).column("s").to_pylist() == vals
+    assert [r[0] for r in duckdb.sql(
+        f"SELECT k FROM read_parquet('{p}')").fetchall()] == ints
+    assert read_column(p, "s") == vals
+    assert read_column(p, "k") == ints
+    md = pq.ParquetFile(p).metadata.row_group(0).column(0)
+    assert "RLE_DICTIONARY" in md.encodings
+    plain = write_parquet([("s", "BYTE_ARRAY", vals)],
+                          codec="UNCOMPRESSED")
+    dicted = write_parquet([("s", "BYTE_ARRAY", vals)],
+                           codec="UNCOMPRESSED", use_dictionary=True)
+    assert len(dicted) < len(plain) / 2
+
+
+def test_dictionary_selective_columns(tmp_path):
+    """use_dictionary as a name list applies per column."""
+    p = str(tmp_path / "sel.parquet")
+    with open(p, "wb") as f:
+        f.write(write_parquet(
+            [("a", "INT64", [i % 5 for i in range(100)]),
+             ("b", "INT64", list(range(100)))],
+            use_dictionary=["a"]))
+    md = pq.ParquetFile(p).metadata.row_group(0)
+    assert "RLE_DICTIONARY" in md.column(0).encodings
+    assert "RLE_DICTIONARY" not in md.column(1).encodings
+    assert read_column(p, "a") == [i % 5 for i in range(100)]
+    assert read_column(p, "b") == list(range(100))
