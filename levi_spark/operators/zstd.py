@@ -842,33 +842,30 @@ def _find_sequences(data: bytes) -> tuple[list[tuple[int, int, int]], bytes]:
             length = 4
             while i + length < n and data[j + length] == data[i + length]:
                 length += 1
-            lits += data[lit_start:i]
-            seqs.append((i - lit_start, length, i - j))
-            i += length
-            lit_start = i
-        else:
-            i += 1
+            # a short match costs ~2-3 bytes of sequence bitstream and
+            # robs the Huffman stage of codable literals — measured
+            # break-even at ~6 bytes (low-entropy corpus halved)
+            if length >= 6:
+                lits += data[lit_start:i]
+                seqs.append((i - lit_start, length, i - j))
+                i += length
+                lit_start = i
+                continue
+        i += 1
     lits += data[lit_start:]
     return seqs, bytes(lits)
 
 
 def _encode_block(data: bytes) -> bytes | None:
-    """One Compressed_Block body (raw literals + predefined-table
-    sequences), or None when it would not beat a Raw block."""
+    """One Compressed_Block body (Huffman-or-raw literals +
+    predefined-table sequences), or None when it would not beat a
+    Raw block."""
     seqs, lits = _find_sequences(data)
     if not seqs:
-        return None
-    # literals section header: Raw, size_format by magnitude
-    n = len(lits)
-    if n < 32:
-        lit_hdr = bytes([(n << 3) | 0])
-    elif n < 4096:
-        lit_hdr = bytes([((n & 0x0F) << 4) | 0x04, n >> 4])
-    else:
-        lit_hdr = bytes(
-            [((n & 0x0F) << 4) | 0x0C, (n >> 4) & 0xFF, n >> 12]
-        )
-    out = bytearray(lit_hdr + lits)
+        # literals-only block: Huffman may still win on skewed bytes
+        body = _encode_literals(data) + b"\x00"  # 0 sequences
+        return bytes(body) if len(body) < len(data) else None
+    out = bytearray(_encode_literals(lits))
     nseq = len(seqs)
     if nseq < 128:
         out.append(nseq)
@@ -967,3 +964,159 @@ def zstd_compress(data: bytes, checksum: bool = True) -> bytes:
     if checksum:
         out += struct.pack("<I", xxh64(data) & 0xFFFFFFFF)
     return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Huffman literal ENCODING (round 9 second half): a complete
+# length-limited canonical code (max 11 bits) built from block
+# frequencies, transmitted as direct 4-bit weights, emitted as a
+# 1-stream (<= 1023 bytes) or 4-stream backward bitstream — raw
+# fallback whenever Huffman would not shrink.
+# --------------------------------------------------------------------------
+
+
+def _huffman_lengths(freqs: dict[int, int], max_len: int = 11):
+    """Symbol -> code length for a COMPLETE (Kraft sum exactly 1)
+    prefix code, lengths <= max_len, or None when no valid complete
+    code exists under the limit (caller falls back to raw)."""
+    import heapq
+
+    syms = sorted(freqs)
+    if len(syms) < 2 or len(syms) > (1 << max_len):
+        return None
+    heap = [(f, i, (s,)) for i, (s, f) in enumerate(freqs.items())]
+    heapq.heapify(heap)
+    lengths = dict.fromkeys(syms, 0)
+    while len(heap) > 1:
+        fa, _, a = heapq.heappop(heap)
+        fb, i, b = heapq.heappop(heap)
+        for s in a + b:
+            lengths[s] += 1
+        heapq.heappush(heap, (fa + fb, i, a + b))
+    # clamp over-long codes, then repair the Kraft sum to EXACTLY one
+    unit = 1 << max_len  # kraft in 2^-max_len units must equal this
+    for s in syms:
+        lengths[s] = min(lengths[s], max_len)
+    kraft = sum(1 << (max_len - lengths[s]) for s in syms)
+    by_freq = sorted(syms, key=lambda s: freqs[s])
+    while kraft > unit:  # demote cheapest symbols until it fits
+        for s in by_freq:
+            if lengths[s] < max_len:
+                kraft -= 1 << (max_len - lengths[s] - 1)
+                lengths[s] += 1
+                break
+        else:
+            return None
+    slack = unit - kraft
+    # promote deepest symbols to absorb the remaining slack exactly
+    while slack:
+        for s in sorted(syms, key=lambda s: -lengths[s]):
+            gain = 1 << (max_len - lengths[s])
+            if lengths[s] > 1 and gain <= slack:
+                slack -= gain
+                lengths[s] -= 1
+                break
+        else:
+            return None
+    return lengths
+
+
+def _build_huf_encoder(data: bytes):
+    """-> (weights list for tree description, {byte: (code, bits)})
+    or None when the block has < 2 distinct bytes or no 11-bit-
+    limited complete code."""
+    freqs: dict[int, int] = {}
+    for b in data:
+        freqs[b] = freqs.get(b, 0) + 1
+    lengths = _huffman_lengths(freqs)
+    if lengths is None:
+        return None
+    max_bits = max(lengths.values())
+    last = max(lengths)  # implicit-weight symbol: highest present byte
+    weights = [
+        (max_bits + 1 - lengths[s]) if s in lengths else 0
+        for s in range(last + 1)
+    ]
+    # canonical assignment identical to _HufTable: deepest codes from
+    # table index 0 upward, natural symbol order within a depth
+    rank_count = [0] * (max_bits + 1)
+    for s in lengths:
+        rank_count[lengths[s]] += 1
+    rank_idx = [0] * (max_bits + 2)
+    for b in range(max_bits, 0, -1):
+        rank_idx[b - 1] = rank_idx[b] + rank_count[b] * (
+            1 << (max_bits - b)
+        )
+    codes: dict[int, tuple[int, int]] = {}
+    at = list(rank_idx)
+    for s in sorted(lengths):
+        b = lengths[s]
+        span = 1 << (max_bits - b)
+        codes[s] = (at[b] >> (max_bits - b), b)
+        at[b] += span
+    return weights, codes
+
+
+def _huf_encode_stream(codes: dict[int, tuple[int, int]],
+                       data: bytes) -> bytes:
+    acc = 1  # padding marker above the topmost bit
+    total = 0
+    for byte in data:
+        c, nb = codes[byte]
+        acc = (acc << nb) | c
+        total += nb
+    return acc.to_bytes((total + 1 + 7) // 8, "little")
+
+
+def _encode_literals(lits: bytes) -> bytes:
+    """Literals section: Huffman-compressed when it wins, raw
+    otherwise."""
+    n = len(lits)
+
+    def raw() -> bytes:
+        if n < 32:
+            return bytes([(n << 3) | 0]) + lits
+        if n < 4096:
+            return bytes([((n & 0x0F) << 4) | 0x04, n >> 4]) + lits
+        return bytes(
+            [((n & 0x0F) << 4) | 0x0C, (n >> 4) & 0xFF, n >> 12]
+        ) + lits
+
+    if n < 64:
+        return raw()
+    enc = _build_huf_encoder(lits)
+    if enc is None:
+        return raw()
+    weights, codes = enc
+    if len(weights) > 128:
+        return raw()  # direct 4-bit description caps at 128 weights
+    nw = len(weights) - 1  # last weight implicit
+    desc = bytearray([127 + nw])
+    for i in range(0, nw, 2):
+        hi = weights[i] << 4
+        lo = weights[i + 1] if i + 1 < nw else 0
+        desc.append(hi | lo)
+    if n <= 1023:
+        body = bytes(desc) + _huf_encode_stream(codes, lits)
+        comp = len(body)
+        if comp >= n or comp > 1023:
+            return raw()
+        h = 2 | (0 << 2) | (n << 4) | (comp << 14)
+        return h.to_bytes(3, "little") + body
+    per = (n + 3) >> 2
+    parts = [lits[i * per : (i + 1) * per] for i in range(3)]
+    parts.append(lits[3 * per :])
+    streams = [_huf_encode_stream(codes, p) for p in parts]
+    if any(len(s) > 0xFFFF for s in streams):
+        return raw()
+    jump = struct.pack("<HHH", len(streams[0]), len(streams[1]),
+                       len(streams[2]))
+    body = bytes(desc) + jump + b"".join(streams)
+    comp = len(body)
+    if comp >= n:
+        return raw()
+    if n < (1 << 14) and comp < (1 << 14):
+        h = 2 | (2 << 2) | (n << 4) | (comp << 18)
+        return h.to_bytes(4, "little") + body
+    h = 2 | (3 << 2) | (n << 4) | (comp << 22)
+    return h.to_bytes(5, "little") + body

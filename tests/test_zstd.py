@@ -216,3 +216,37 @@ def test_store_mode_frames():
         assert zstd_decompress(enc) == d
         assert ref.decompress(enc, decompressed_size=len(d),
                               asbytes=True) == d
+
+
+def test_huffman_literals_compress_and_decode():
+    """Skewed literal distributions must go through the Huffman path
+    (direct-weights tree description) and still decode under both
+    libzstd and our own decoder — 1-stream and 4-stream layouts."""
+    from levi_spark.operators.zstd import zstd_compress
+
+    random.seed(23)
+    ref = pa.Codec("zstd")
+    skew9 = bytes(random.choices(
+        b"etaoinshr", weights=[30, 12, 9, 8, 8, 7, 6, 6, 6], k=50000))
+    small = bytes(random.choices(b"xyz", weights=[5, 3, 1], k=700))
+    for d in (skew9, small):
+        enc = zstd_compress(d)
+        assert zstd_decompress(enc) == d
+        assert ref.decompress(enc, decompressed_size=len(d),
+                              asbytes=True) == d
+    # the 9-symbol corpus must actually entropy-code (well under raw)
+    assert len(zstd_compress(skew9)) < len(skew9) // 2
+
+
+def test_huffman_length_limit_and_completeness():
+    """_huffman_lengths returns COMPLETE codes (Kraft sum exactly 1)
+    clamped to 11 bits even on pathological skew."""
+    from levi_spark.operators.zstd import _huffman_lengths
+
+    # fibonacci-ish frequencies force deep optimal codes
+    freqs = {i: max(1, int(1.6 ** i)) for i in range(24)}
+    lens = _huffman_lengths(freqs)
+    assert lens is not None
+    assert max(lens.values()) <= 11
+    assert sum(2 ** -l for l in lens.values()) == 1.0
+    assert _huffman_lengths({7: 100}) is None  # single symbol: RLE/raw
