@@ -1,4 +1,4 @@
-"""LZ4 decompression — from scratch, pure stdlib.
+"""LZ4, both directions — from scratch, pure stdlib.
 
 Three public layouts over one core:
 
@@ -18,12 +18,19 @@ Three public layouts over one core:
   stored-uncompressed flag, optional block and content checksums —
   verified with :func:`xxh32` implemented here).
 
+The write side (round 9): :func:`lz4_block_compress` (greedy
+4-byte hash matching honoring the spec's end conditions — 5 literal
+tail bytes, no match in the last 12) and :func:`lz4_frame_compress`
+(descriptor + 256 KiB blocks with stored fallback + checksums);
+every stream they emit decodes under the reference implementation.
+
 Strict decode: zero offsets, matches past the window, bad frame
 magic/version, reserved FLG bits, and checksum mismatches all
-raise. Tests cross-check against pyarrow's bundled lz4 (frame and
-raw-block codecs) across entropy regimes, plus published XXH32
-vectors. Public specs: lz4_Block_format.md / lz4_Frame_format.md
-(github.com/lz4/lz4), Hadoop's Lz4Codec stream layout.
+raise. Tests cross-check BOTH directions against pyarrow's bundled
+lz4 (frame and raw-block codecs) across entropy regimes, plus
+published XXH32 vectors. Public specs: lz4_Block_format.md /
+lz4_Frame_format.md (github.com/lz4/lz4), Hadoop's Lz4Codec stream
+layout.
 """
 
 from __future__ import annotations
@@ -309,3 +316,96 @@ def xxh32(data: bytes, seed: int = 0) -> int:
     h = (h * _P3) & _M32
     h ^= h >> 16
     return h
+
+
+# --------------------------------------------------------------------------
+# Compression (round 9 second half): the write side, same greedy
+# hash-chain approach as snappy_compress but in LZ4's block grammar.
+# --------------------------------------------------------------------------
+
+
+def lz4_block_compress(data: bytes) -> bytes:
+    """bytes -> raw LZ4 block. Greedy 4-byte hash matching over a
+    64 KiB offset window; the spec's end conditions are honored (the
+    last 5 bytes are always literals and no match starts within the
+    last 12 bytes). Accepted by the reference decoder (pyarrow's
+    bundled lz4, cross-checked in tests) and by
+    :func:`lz4_block_uncompress`."""
+    n = len(data)
+    out = bytearray()
+
+    def emit(lit: bytes, mlen: int | None, offset: int | None) -> None:
+        ll = len(lit)
+        token_l = 15 if ll >= 15 else ll
+        token_m = 0
+        if mlen is not None:
+            m = mlen - 4
+            token_m = 15 if m >= 15 else m
+        out.append((token_l << 4) | token_m)
+        if ll >= 15:
+            rest = ll - 15
+            while rest >= 255:
+                out.append(255)
+                rest -= 255
+            out.append(rest)
+        out.extend(lit)
+        if mlen is None:
+            return
+        out.append(offset & 0xFF)
+        out.append((offset >> 8) & 0xFF)
+        if mlen - 4 >= 15:
+            rest = mlen - 4 - 15
+            while rest >= 255:
+                out.append(255)
+                rest -= 255
+            out.append(rest)
+
+    table: dict[bytes, int] = {}
+    i = lit_start = 0
+    # spec end conditions: last match must start >= 12 bytes before
+    # the end and leave >= 5 literal bytes after it
+    limit = n - 12
+    while i <= limit and i + 4 <= n:
+        key = data[i : i + 4]
+        j = table.get(key)
+        table[key] = i
+        if j is not None and i - j <= 0xFFFF and data[j : j + 4] == key:
+            length = 4
+            max_len = n - 5 - i  # keep the 5-byte literal tail
+            while length < max_len and data[j + length] == data[i + length]:
+                length += 1
+            if length >= 4:
+                emit(data[lit_start:i], length, i - j)
+                i += length
+                lit_start = i
+                continue
+        i += 1
+    emit(data[lit_start:], None, None)
+    return bytes(out)
+
+
+def lz4_frame_compress(data: bytes, content_checksum: bool = True) -> bytes:
+    """bytes -> a .lz4 frame: FLG/BD descriptor with XXH32 header
+    checksum, 256 KiB independent blocks (stored when compression
+    does not win), optional content checksum."""
+    flg = (1 << 6) | 0x20 | (0x04 if content_checksum else 0)
+    bd = 0x50  # 256 KiB max block size
+    desc = bytes([flg, bd])
+    out = bytearray(struct.pack("<I", _FRAME_MAGIC))
+    out += desc
+    out.append((xxh32(desc) >> 8) & 0xFF)
+    pos = 0
+    while pos < len(data):
+        chunk = data[pos : pos + (1 << 18)]
+        pos += len(chunk)
+        comp = lz4_block_compress(chunk)
+        if len(comp) < len(chunk):
+            out += struct.pack("<I", len(comp))
+            out += comp
+        else:
+            out += struct.pack("<I", 0x80000000 | len(chunk))
+            out += chunk
+    out += struct.pack("<I", 0)  # EndMark
+    if content_checksum:
+        out += struct.pack("<I", xxh32(data))
+    return bytes(out)

@@ -35,7 +35,8 @@ _TRUET, _FALSET = 1, 2
 
 _PTYPES = {"BOOLEAN": 0, "INT32": 1, "INT64": 2, "FLOAT": 4,
            "DOUBLE": 5, "BYTE_ARRAY": 6}
-_CODECS = {"UNCOMPRESSED": 0, "SNAPPY": 1, "GZIP": 2, "ZSTD": 6}
+_CODECS = {"UNCOMPRESSED": 0, "SNAPPY": 1, "GZIP": 2, "ZSTD": 6,
+           "LZ4_RAW": 7}
 
 
 class _TW:
@@ -168,6 +169,64 @@ def _plain(ptype: str, values: list) -> bytes:
     raise NotImplementedError(f"writer physical type {ptype}")
 
 
+def _uleb(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        out.append(b | (0x80 if v else 0))
+        if not v:
+            return bytes(out)
+
+
+def _zz(v: int) -> bytes:
+    return _uleb(-2 * v - 1 if v < 0 else 2 * v)
+
+
+def _delta_bp_encode(vals: list[int], bits: int) -> bytes:
+    """DELTA_BINARY_PACKED: block 128 / 4 miniblocks of 32, zigzag
+    first value, per-block zigzag min-delta + width bytes + LSB-first
+    packed (delta - min) values; deltas wrap modularly in the
+    physical width (the decoder's _wrap_signed mirror)."""
+    mod = 1 << bits
+    half = mod >> 1
+    out = bytearray(_uleb(128) + _uleb(4) + _uleb(len(vals)))
+    if not vals:
+        return bytes(out + _zz(0))
+    out += _zz(vals[0])
+    deltas = [
+        ((vals[k + 1] - vals[k] + half) % mod) - half
+        for k in range(len(vals) - 1)
+    ]
+    for at in range(0, len(deltas), 128):
+        chunk = deltas[at : at + 128]
+        min_d = min(chunk)
+        out += _zz(min_d)
+        rel = [d - min_d for d in chunk]
+        used = (len(chunk) + 31) // 32
+        widths = []
+        bodies = []
+        for m in range(4):
+            part = rel[m * 32 : (m + 1) * 32]
+            if not part:
+                widths.append(0)
+                bodies.append(b"")
+                continue
+            w = max(x.bit_length() for x in part)
+            widths.append(w)
+            if w:
+                part = part + [0] * (32 - len(part))
+                acc = 0
+                for j, x in enumerate(part):
+                    acc |= x << (j * w)
+                bodies.append(acc.to_bytes(32 * w // 8, "little"))
+            else:
+                bodies.append(b"")
+        out += bytes(widths)
+        out += b"".join(bodies[:used])
+    return bytes(out)
+
+
 def _stat_bytes(ptype: str, v) -> bytes:
     if ptype == "INT64":
         return struct.pack("<q", v)
@@ -197,6 +256,10 @@ def _compress(codec: str, body: bytes) -> bytes:
         from levi_spark.operators.zstd import zstd_compress
 
         return zstd_compress(body)
+    if codec == "LZ4_RAW":
+        from levi_spark.operators.lz4 import lz4_block_compress
+
+        return lz4_block_compress(body)
     raise NotImplementedError(f"writer codec {codec}")
 
 
@@ -205,6 +268,7 @@ def write_parquet(
     codec: str = "SNAPPY",
     row_group_size: int | None = None,
     use_dictionary: bool | list[str] = False,
+    column_encoding: dict | None = None,
 ) -> bytes:
     """``[(name, physical_type, values-with-None), ...]`` -> parquet
     file bytes. All columns OPTIONAL, one v1 data page per chunk,
@@ -229,8 +293,17 @@ def write_parquet(
             seg = vals[start : start + rows]
             levels = [0 if v is None else 1 for v in seg]
             present = [v for v in seg if v is not None]
-            dict_col = use_dictionary is True or (
-                isinstance(use_dictionary, list) and name in use_dictionary
+            want_enc = (column_encoding or {}).get(name)
+            if want_enc not in (None, "DELTA_BINARY_PACKED"):
+                raise NotImplementedError(f"writer encoding {want_enc}")
+            if want_enc and ptype not in ("INT32", "INT64"):
+                raise NotImplementedError(
+                    f"DELTA_BINARY_PACKED for {ptype}"
+                )
+            dict_col = not want_enc and (
+                use_dictionary is True
+                or (isinstance(use_dictionary, list)
+                    and name in use_dictionary)
             )
             dict_off = None
             unc_total = comp_total = 0
@@ -261,6 +334,11 @@ def write_parquet(
                 body = (_rle_levels(levels) + bytes([width])
                         + _bitpacked_run(idx, width))
                 encoding = 8  # RLE_DICTIONARY
+            elif want_enc:
+                body = _rle_levels(levels) + _delta_bp_encode(
+                    present, 32 if ptype == "INT32" else 64
+                )
+                encoding = 5  # DELTA_BINARY_PACKED
             else:
                 body = _rle_levels(levels) + _plain(ptype, present)
                 encoding = 0  # PLAIN
@@ -334,6 +412,10 @@ def write_parquet(
                 tw.i32_elem(0)  # PLAIN (dictionary page)
                 tw.i32_elem(3)  # RLE (levels)
                 tw.i32_elem(8)  # RLE_DICTIONARY (indices)
+            elif c["encoding"] == 5:
+                tw.list_header(2, _I32T, 2)
+                tw.i32_elem(5)  # DELTA_BINARY_PACKED
+                tw.i32_elem(3)  # RLE (levels)
             else:
                 tw.list_header(2, _I32T, 2)
                 tw.i32_elem(0)  # PLAIN

@@ -100,3 +100,39 @@ def test_block_max_out_guard():
     with pytest.raises(ValueError, match="exceeds declared"):
         lz4_block_uncompress(blk, max_out=999)
     assert lz4_block_uncompress(blk, max_out=1000) == b"Z" * 1000
+
+
+def test_block_compress_reference_accepts():
+    """Our block encoder honors the spec end conditions (literal
+    tail, no match in the last 12 bytes); the reference decoder and
+    ours both accept every stream."""
+    from levi_spark.operators.lz4 import lz4_block_compress
+
+    random.seed(31)
+    raw = pa.Codec("lz4_raw")
+    cases = ([b"", b"x", b"A" * 50000, b"lorem ipsum " * 4000]
+             + [b"Q" * k for k in range(1, 40)]
+             + [bytes(random.choice(b"abcd") for _ in range(2000))
+                for _ in range(20)])
+    for d in cases:
+        enc = lz4_block_compress(d)
+        assert lz4_block_uncompress(enc) == d
+        assert raw.decompress(enc, decompressed_size=len(d),
+                              asbytes=True) == d
+    assert len(lz4_block_compress(b"A" * 50000)) < 250
+
+
+def test_frame_compress_reference_accepts():
+    from levi_spark.operators.lz4 import lz4_frame_compress
+
+    frame = pa.Codec("lz4")
+    d = b"multi-block frame content " * 30000  # > one 256 KiB block
+    enc = lz4_frame_compress(d)
+    assert lz4_frame_uncompress(enc) == d
+    assert frame.decompress(enc, decompressed_size=len(d),
+                            asbytes=True) == d
+    # checksum integrity: flipping a content byte must raise
+    bad = bytearray(enc)
+    bad[-6] ^= 0xFF
+    with pytest.raises(ValueError):
+        lz4_frame_uncompress(bytes(bad))
