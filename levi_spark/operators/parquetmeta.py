@@ -166,6 +166,7 @@ def parse_footer(meta: bytes) -> dict:
     rep_def: dict[str, int | None] = {}
     type_lengths: dict[str, int | None] = {}
     utf8: dict[str, bool] = {}
+    tree: list[dict] = []  # root's children, nested
 
     # SchemaElement field 3 is repetition_type: 0=REQUIRED, 1=OPTIONAL,
     # 2=REPEATED. Definition level increments for OPTIONAL and REPEATED
@@ -174,7 +175,7 @@ def parse_footer(meta: bytes) -> dict:
     # records the def level AT the innermost repeated ancestor (list
     # reassembly needs it to tell empty lists from null elements).
     def walk(i: int, prefix: list[str], dl: int, rl: int,
-             rd: int | None) -> int:
+             rd: int | None, siblings: list[dict] | None) -> int:
         el = schema[i]
         name = (el.get(4) or b"").decode("utf-8")
         nchild = el.get(5) or 0
@@ -184,26 +185,43 @@ def parse_footer(meta: bytes) -> dict:
         if rep == 2:
             rl += 1
             rd = dl
+        lt = el.get(10)
+        node = {
+            "name": name,
+            "rep": rep,
+            "def": dl,
+            "repl": rl,
+            "converted": el.get(6),
+            "logical": lt if isinstance(lt, dict) else None,
+            "children": [],
+            "ptype": None,
+            "path": None,
+        }
+        if siblings is not None:
+            siblings.append(node)
         if nchild == 0:
             path = ".".join(prefix + [name])
-            leaves.append((path, _TYPES.get(el.get(1), f"T{el.get(1)}")))
+            node["path"] = path
+            node["ptype"] = _TYPES.get(el.get(1), f"T{el.get(1)}")
+            leaves.append((path, node["ptype"]))
             levels[path] = (dl, rl)
             rep_def[path] = rd
             type_lengths[path] = el.get(2)  # FLBA type_length
             # string-ness: ConvertedType UTF8 (field 6 == 0) or
             # LogicalType STRING (field 10, union member 1)
-            lt = el.get(10)
             utf8[path] = el.get(6) == 0 or (
                 isinstance(lt, dict) and 1 in lt
             )
             return i + 1
         j = i + 1
+        kids = node["children"] if i else tree
         for _ in range(nchild):
-            j = walk(j, prefix + [name] if i else prefix, dl, rl, rd)
+            j = walk(j, prefix + [name] if i else prefix, dl, rl, rd,
+                     kids)
         return j
 
     if schema:
-        walk(0, [], 0, 0, None)
+        walk(0, [], 0, 0, None, None)
     groups = []
     for rg in fm.get(4) or []:
         cols = []
@@ -240,6 +258,7 @@ def parse_footer(meta: bytes) -> dict:
         "rep_def": rep_def,
         "type_lengths": type_lengths,
         "utf8": utf8,
+        "schema_tree": tree,
         "row_groups": groups,
     }
 
