@@ -269,6 +269,8 @@ def write_parquet(
     row_group_size: int | None = None,
     use_dictionary: bool | list[str] = False,
     column_encoding: dict | None = None,
+    bloom_filter: bool | list[str] = False,
+    bloom_fpp: float = 0.01,
 ) -> bytes:
     """``[(name, physical_type, values-with-None), ...]`` -> parquet
     file bytes. All columns OPTIONAL, one v1 data page per chunk,
@@ -276,7 +278,11 @@ def write_parquet(
     multiple row groups (default: one). ``use_dictionary`` (True or
     a list of column names) writes those chunks as a PLAIN dictionary
     page + RLE_DICTIONARY bit-packed indices — the layout parquet-cpp
-    and parquet-mr default to."""
+    and parquet-mr default to. ``bloom_filter`` (True or column
+    names) emits a split-block Bloom filter per chunk
+    (:mod:`levi_spark.operators.parquetbloom`), sized for the chunk's
+    distinct count at ``bloom_fpp``, pointed at by ColumnMetaData
+    fields 14/15."""
     if codec not in _CODECS:
         raise NotImplementedError(f"writer codec {codec}")
     n_rows = len(columns[0][2])
@@ -357,6 +363,26 @@ def write_parquet(
             ph.end()
             data_off = len(out)
             out += ph.buf + comp
+            bloom_off = bloom_len = None
+            if bloom_filter is True or (
+                isinstance(bloom_filter, list) and name in bloom_filter
+            ):
+                from levi_spark.operators.parquetbloom import (
+                    SplitBlockBloom,
+                    bloom_header_bytes,
+                    optimal_num_bytes,
+                )
+
+                distinct = set(present)
+                bf = SplitBlockBloom(
+                    optimal_num_bytes(len(distinct), bloom_fpp)
+                )
+                for v in distinct:
+                    bf.insert(ptype, v)
+                hdr = bloom_header_bytes(len(bf.bits))
+                bloom_off = len(out)
+                bloom_len = len(hdr) + len(bf.bits)
+                out += hdr + bf.bits
             nn = len(seg) - len(present)
             stats = None
             has_nan = ptype in ("DOUBLE", "FLOAT") and any(
@@ -376,6 +402,8 @@ def write_parquet(
                     "encoding": encoding,
                     "stats": stats,
                     "null_count": nn,
+                    "bloom_offset": bloom_off,
+                    "bloom_length": bloom_len,
                 }
             )
         groups.append({"rows": rows, "chunks": chunks})
@@ -436,6 +464,9 @@ def write_parquet(
                 tw.binary(5, _stat_bytes(c["ptype"], mx))
                 tw.binary(6, _stat_bytes(c["ptype"], mn))
             tw.end()
+            if c["bloom_offset"] is not None:
+                tw.i64(14, c["bloom_offset"])
+                tw.i32(15, c["bloom_length"])
             tw.end()  # ColumnMetaData
             tw.end()  # ColumnChunk
         tw.i64(2, sum(c["unc"] for c in g["chunks"]))

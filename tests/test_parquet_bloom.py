@@ -1,0 +1,190 @@
+"""Parquet split-block Bloom filters: spec math, header codec,
+writer integration, point-lookup planning, and the no-false-negative
+law."""
+
+import random
+import struct
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from levi_spark.operators.parquetbloom import (
+    SplitBlockBloom,
+    bloom_hash,
+    bloom_header_bytes,
+    optimal_num_bytes,
+    plan_point_lookup_bytes,
+    read_bloom_filter,
+)
+from levi_spark.operators.parquetmeta import read_column_bytes
+from levi_spark.operators.parquetwrite import write_parquet
+
+
+def test_optimal_num_bytes_monotone_power_of_two():
+    prev = 0
+    for ndv in (1, 10, 100, 1000, 50000, 1000000):
+        n = optimal_num_bytes(ndv, 0.01)
+        assert n >= 32 and n & (n - 1) == 0
+        assert n >= prev
+        prev = n
+    # tighter fpp -> more bytes
+    assert optimal_num_bytes(10000, 0.001) > optimal_num_bytes(
+        10000, 0.05
+    )
+    with pytest.raises(ValueError):
+        optimal_num_bytes(100, 1.5)
+
+
+def test_sbbf_size_validation():
+    with pytest.raises(ValueError):
+        SplitBlockBloom(31)
+    with pytest.raises(ValueError):
+        SplitBlockBloom(48)  # not a power of two
+    with pytest.raises(ValueError):
+        SplitBlockBloom(32, b"\x00" * 64)
+
+
+def test_block_math_touches_one_block():
+    """The 8 salted bits land in 8 distinct words of ONE 32-byte
+    block — the cache-line property the split-block design buys."""
+    bf = SplitBlockBloom(1024)
+    h = bloom_hash("INT64", 12345)
+    bf.insert_hash(h)
+    set_words = [
+        i for i in range(0, 1024, 4)
+        if struct.unpack_from("<I", bf.bits, i)[0]
+    ]
+    assert len(set_words) == 8
+    block = set_words[0] // 32
+    assert all(w // 32 == block for w in set_words)
+
+
+def test_no_false_negatives_all_types():
+    rng = random.Random(1)
+    cases = [
+        ("INT64", [rng.randrange(-(2**62), 2**62)
+                   for _ in range(2000)]),
+        ("INT32", [rng.randrange(-(2**31), 2**31)
+                   for _ in range(2000)]),
+        ("DOUBLE", [rng.random() * 1e9 for _ in range(2000)]),
+        ("FLOAT", [float(struct.unpack(
+            "<f", struct.pack("<f", rng.random()))[0])
+            for _ in range(2000)]),
+        ("BYTE_ARRAY", ["w%d" % rng.randrange(10**9)
+                        for _ in range(2000)]),
+    ]
+    for ptype, vals in cases:
+        bf = SplitBlockBloom(optimal_num_bytes(len(set(vals))))
+        for v in vals:
+            bf.insert(ptype, v)
+        assert all(bf.might_contain(ptype, v) for v in vals), ptype
+
+
+def test_fpr_bounded():
+    rng = random.Random(2)
+    vals = rng.sample(range(10**9), 5000)
+    bf = SplitBlockBloom(optimal_num_bytes(5000, 0.01))
+    for v in vals:
+        bf.insert("INT64", v)
+    present = set(vals)
+    fp = sum(
+        bf.might_contain("INT64", v)
+        for v in range(2 * 10**9, 2 * 10**9 + 20000)
+        if v not in present
+    )
+    assert fp / 20000 < 0.02  # spec-level fpp 0.01, 2x slack
+
+
+def test_header_roundtrip_and_refusals():
+    bf = SplitBlockBloom(64)
+    bf.insert("INT64", 7)
+    blob = bloom_header_bytes(64) + bytes(bf.bits)
+    back = read_bloom_filter(blob, 0)
+    assert back.might_contain("INT64", 7)
+    assert not back.might_contain("INT64", 8)
+    with pytest.raises(ValueError, match="truncated"):
+        read_bloom_filter(blob[:-1], 0)
+
+
+def test_boolean_bloom_refused():
+    with pytest.raises(NotImplementedError):
+        bloom_hash("BOOLEAN", True)
+
+
+def _bloom_file(rng, n=20000, rg=1024):
+    ks = sorted(rng.sample(range(0, 10**6, 7), n))
+    ss = ["s%d" % (k * 3) for k in ks]
+    blob = write_parquet(
+        [("k", "INT64", ks), ("s", "BYTE_ARRAY", ss)],
+        codec="SNAPPY", row_group_size=rg, bloom_filter=True,
+    )
+    return ks, ss, blob
+
+
+def test_writer_bloom_interop_and_plan():
+    rng = random.Random(7)
+    ks, ss, blob = _bloom_file(rng)
+    # pyarrow still reads the file (unknown fields are skippable)
+    t = pq.read_table(pa.BufferReader(blob))
+    assert t.column("k").to_pylist() == ks
+    assert read_column_bytes(blob, "k") == ks
+    # every present key's true row group is kept (no false negatives)
+    for k in rng.sample(ks, 200):
+        plan = plan_point_lookup_bytes(blob, "k", k)
+        assert plan["has_bloom"]
+        assert ks.index(k) // 1024 in plan["row_groups_kept"]
+    # absent keys inside the global range: bloom prunes beyond stats
+    present = set(ks)
+    bloom_pruned = 0
+    for _ in range(200):
+        k = rng.randrange(0, 10**6)
+        if k in present:
+            continue
+        plan = plan_point_lookup_bytes(blob, "k", k)
+        bloom_pruned += sum(
+            1 for why in plan["pruned"].values() if why == "bloom"
+        )
+    assert bloom_pruned > 0
+    # string column filters work through the same plan
+    s = ss[1234]
+    plan = plan_point_lookup_bytes(blob, "s", s)
+    assert plan["row_groups_kept"]
+
+
+def test_plan_soundness_decode_pruned_groups():
+    """Decoding the groups the plan PRUNED must yield zero matches —
+    the same in-map law the parquet_prune_scan gate asserts."""
+    rng = random.Random(9)
+    ks, _ss, blob = _bloom_file(rng, n=8000, rg=512)
+    all_vals = read_column_bytes(blob, "k")
+    present = set(ks)
+    probes = [ks[17], ks[4000], ks[-3]] + [
+        v for v in rng.sample(range(0, 10**6), 50)
+        if v not in present
+    ]
+    for val in probes:
+        plan = plan_point_lookup_bytes(blob, "k", val)
+        for gi in plan["pruned"]:
+            seg = all_vals[gi * 512: (gi + 1) * 512]
+            assert val not in seg, (
+                f"UNSOUND: {val} found in pruned group {gi} "
+                f"({plan['pruned'][gi]})"
+            )
+
+
+def test_bloom_with_dictionary_and_column_subset():
+    rng = random.Random(3)
+    ks = [rng.randrange(100) for _ in range(5000)]  # low cardinality
+    blob = write_parquet(
+        [("k", "INT64", ks), ("j", "INT64", list(range(5000)))],
+        codec="ZSTD", row_group_size=2048,
+        use_dictionary=["k"], bloom_filter=["k"],
+    )
+    assert read_column_bytes(blob, "k") == ks
+    plan = plan_point_lookup_bytes(blob, "k", 42)
+    assert plan["has_bloom"]
+    # j has no bloom filter: plan degrades to stats-only
+    plan_j = plan_point_lookup_bytes(blob, "j", 4999)
+    assert not plan_j["has_bloom"]
+    assert plan_j["row_groups_kept"] == [2]
