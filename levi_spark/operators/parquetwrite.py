@@ -19,11 +19,15 @@ first-principles reader, and pruned by our own planner — see
 ``tests/test_parquetwrite.py`` and the ``parquet_write_roundtrip``
 gate.
 
-Profile: flat OPTIONAL columns, BOOLEAN / INT32 / INT64 / FLOAT /
-DOUBLE / BYTE_ARRAY (UTF8), one v1 data page per column chunk per
-row group. Everything else is out of scope for a writer this engine
-needs (Spark remains the production writer; this proves the format
-is owned, not borrowed).
+Profile: flat OPTIONAL columns and single-level ``LIST<T>`` columns
+(the standard three-level layout, written with real repetition
+levels), BOOLEAN / INT32 / INT64 / FLOAT / DOUBLE / BYTE_ARRAY
+(UTF8), v1 OR v2 data pages, one or many pages per chunk
+(``page_rows``), optional ColumnIndex/OffsetIndex page index
+(``write_page_index``) and split-block Bloom filters
+(``bloom_filter``). Everything else is out of scope for a writer
+this engine needs (Spark remains the production writer; this proves
+the format is owned, not borrowed).
 """
 
 from __future__ import annotations
@@ -117,6 +121,12 @@ class _TW:
         self._stack.append(self._last)
         self._last = 0
 
+    def i64_elem(self, v: int) -> None:
+        self._zigzag(v)
+
+    def bool_elem(self, v: bool) -> None:
+        self.buf.append(_TRUET if v else _FALSET)
+
 
 def _bitpacked_run(values: list[int], width: int) -> bytes:
     """RLE/bit-packed hybrid holding ONE bit-packed run — trailing
@@ -139,11 +149,42 @@ def _bitpacked_run(values: list[int], width: int) -> bytes:
     return bytes(header) + packed
 
 
-def _rle_levels(levels: list[int]) -> bytes:
-    """Definition levels (bit width 1) with the v1 4-byte length
-    prefix."""
-    body = _bitpacked_run(levels, 1)
+def _rle_levels(levels: list[int], width: int = 1) -> bytes:
+    """Level block (def or rep) with the v1 4-byte length prefix."""
+    body = _bitpacked_run(levels, width)
     return struct.pack("<i", len(body)) + body
+
+
+def _parse_coltype(ptype: str) -> tuple[bool, str]:
+    """``LIST<T>`` -> (True, T); plain physical type -> (False, T)."""
+    if ptype.startswith("LIST<") and ptype.endswith(">"):
+        return True, ptype[5:-1]
+    return False, ptype
+
+
+def _shred_list(seg: list) -> tuple[list[int], list[int], list]:
+    """Dremel-stripe one LIST<T> column segment: row None -> d0,
+    [] -> d1, null element -> d2, present element -> d3; repetition
+    1 continues a list (the standard 3-level layout)."""
+    defs: list[int] = []
+    reps: list[int] = []
+    present: list = []
+    for v in seg:
+        if v is None:
+            defs.append(0)
+            reps.append(0)
+        elif len(v) == 0:
+            defs.append(1)
+            reps.append(0)
+        else:
+            for i, e in enumerate(v):
+                reps.append(0 if i == 0 else 1)
+                if e is None:
+                    defs.append(2)
+                else:
+                    defs.append(3)
+                    present.append(e)
+    return defs, reps, present
 
 
 def _plain(ptype: str, values: list) -> bytes:
@@ -271,20 +312,31 @@ def write_parquet(
     column_encoding: dict | None = None,
     bloom_filter: bool | list[str] = False,
     bloom_fpp: float = 0.01,
+    data_page_version: int = 1,
+    page_rows: int | None = None,
+    write_page_index: bool = False,
 ) -> bytes:
     """``[(name, physical_type, values-with-None), ...]`` -> parquet
-    file bytes. All columns OPTIONAL, one v1 data page per chunk,
-    footer statistics included. ``row_group_size`` splits rows into
-    multiple row groups (default: one). ``use_dictionary`` (True or
-    a list of column names) writes those chunks as a PLAIN dictionary
-    page + RLE_DICTIONARY bit-packed indices — the layout parquet-cpp
-    and parquet-mr default to. ``bloom_filter`` (True or column
-    names) emits a split-block Bloom filter per chunk
-    (:mod:`levi_spark.operators.parquetbloom`), sized for the chunk's
-    distinct count at ``bloom_fpp``, pointed at by ColumnMetaData
-    fields 14/15."""
+    file bytes.  Physical type ``LIST<T>`` writes the standard
+    three-level list layout (optional group -> repeated ``list`` ->
+    optional ``element``) with real repetition levels; plain types
+    write flat OPTIONAL columns.  ``row_group_size`` splits rows into
+    row groups; ``page_rows`` splits each chunk into multiple data
+    pages (always on record boundaries).  ``data_page_version=2``
+    emits DataPageHeaderV2 pages (levels outside the compressed
+    region).  ``use_dictionary`` (True or column names) writes a
+    PLAIN dictionary page + RLE_DICTIONARY indices.
+    ``write_page_index`` emits ColumnIndex/OffsetIndex structs after
+    the data (ColumnChunk fields 4-7) — the metadata
+    :func:`levi_spark.operators.parquetmeta.read_page_index` and
+    ``plan_scan`` prune on.  ``bloom_filter`` (True or column names)
+    emits split-block Bloom filters
+    (:mod:`levi_spark.operators.parquetbloom`, ColumnMetaData fields
+    14/15) sized for the chunk's distinct count at ``bloom_fpp``."""
     if codec not in _CODECS:
         raise NotImplementedError(f"writer codec {codec}")
+    if data_page_version not in (1, 2):
+        raise ValueError(f"data page version {data_page_version}")
     n_rows = len(columns[0][2])
     for name, _t, vals in columns:
         if len(vals) != n_rows:
@@ -295,10 +347,17 @@ def write_parquet(
     for start in range(0, n_rows, rg):
         rows = min(rg, n_rows - start)
         chunks = []
-        for name, ptype, vals in columns:
+        for name, ctype, vals in columns:
+            nested, ptype = _parse_coltype(ctype)
             seg = vals[start : start + rows]
-            levels = [0 if v is None else 1 for v in seg]
-            present = [v for v in seg if v is not None]
+            if nested:
+                max_def, max_rep = 3, 1
+                defs, reps, present = _shred_list(seg)
+            else:
+                max_def, max_rep = 1, 0
+                defs = [0 if v is None else 1 for v in seg]
+                reps = None
+                present = [v for v in seg if v is not None]
             want_enc = (column_encoding or {}).get(name)
             if want_enc not in (None, "DELTA_BINARY_PACKED"):
                 raise NotImplementedError(f"writer encoding {want_enc}")
@@ -313,9 +372,8 @@ def write_parquet(
             )
             dict_off = None
             unc_total = comp_total = 0
-            page_off = len(out)
+            uniq: dict = {}
             if dict_col:
-                uniq: dict = {}
                 for v in present:
                     if v not in uniq:
                         uniq[v] = len(uniq)
@@ -335,37 +393,118 @@ def write_parquet(
                 out += dh.buf + dict_comp
                 unc_total += len(dh.buf) + len(dict_body)
                 comp_total += len(dh.buf) + len(dict_comp)
-                width = max(1, (len(uniq) - 1).bit_length())
-                idx = [uniq[v] for v in present]
-                body = (_rle_levels(levels) + bytes([width])
-                        + _bitpacked_run(idx, width))
                 encoding = 8  # RLE_DICTIONARY
             elif want_enc:
-                body = _rle_levels(levels) + _delta_bp_encode(
-                    present, 32 if ptype == "INT32" else 64
-                )
                 encoding = 5  # DELTA_BINARY_PACKED
             else:
-                body = _rle_levels(levels) + _plain(ptype, present)
                 encoding = 0  # PLAIN
-            comp = _compress(codec, body)
-            ph = _TW()
-            ph.begin()
-            ph.i32(1, 0)  # DATA_PAGE
-            ph.i32(2, len(body))
-            ph.i32(3, len(comp))
-            ph.struct_field(5)  # DataPageHeader
-            ph.i32(1, len(seg))
-            ph.i32(2, encoding)
-            ph.i32(3, 3)  # def levels RLE
-            ph.i32(4, 3)  # rep levels RLE (absent for flat)
-            ph.end()
-            ph.end()
-            data_off = len(out)
-            out += ph.buf + comp
+
+            # page boundaries: record-aligned slices of the level
+            # streams.  Flat columns are 1:1 row->entry; nested rows
+            # span [row start, next row start) in the rep stream.
+            if nested:
+                rec_starts = [
+                    i for i, r in enumerate(reps) if r == 0
+                ]
+            else:
+                rec_starts = list(range(len(seg)))
+            pr = page_rows or rows
+            page_locs = []   # (offset, total_size, first_row)
+            page_stats = []  # (null_page, min, max, null_count)
+            vcur = 0
+            first_data_off = None
+            for p0 in range(0, rows, pr):
+                p1 = min(p0 + pr, rows)
+                e0 = rec_starts[p0] if p0 < len(rec_starts) else 0
+                e1 = (rec_starts[p1]
+                      if p1 < len(rec_starts) else len(defs))
+                pdefs = defs[e0:e1]
+                preps = reps[e0:e1] if nested else None
+                n_def = sum(1 for d in pdefs if d == max_def)
+                pvals = present[vcur : vcur + n_def]
+                vcur += n_def
+                if dict_col:
+                    width = max(1, (len(uniq) - 1).bit_length())
+                    idx = [uniq[v] for v in pvals]
+                    vbytes = bytes([width]) + _bitpacked_run(
+                        idx, width
+                    )
+                elif want_enc:
+                    vbytes = _delta_bp_encode(
+                        pvals, 32 if ptype == "INT32" else 64
+                    )
+                else:
+                    vbytes = _plain(ptype, pvals)
+                ph = _TW()
+                ph.begin()
+                hdr_off = len(out)
+                if data_page_version == 1:
+                    body = b""
+                    if nested:
+                        body += _rle_levels(preps, 1)
+                    body += _rle_levels(pdefs, max_def.bit_length())
+                    body += vbytes
+                    comp = _compress(codec, body)
+                    ph.i32(1, 0)  # DATA_PAGE
+                    ph.i32(2, len(body))
+                    ph.i32(3, len(comp))
+                    ph.struct_field(5)  # DataPageHeader
+                    ph.i32(1, len(pdefs))
+                    ph.i32(2, encoding)
+                    ph.i32(3, 3)  # def levels RLE
+                    ph.i32(4, 3)  # rep levels RLE
+                    ph.end()
+                    ph.end()
+                    page_bytes = ph.buf + comp
+                    unc_total += len(ph.buf) + len(body)
+                else:
+                    rep_blk = (_bitpacked_run(preps, 1)
+                               if nested else b"")
+                    def_blk = _bitpacked_run(
+                        pdefs, max_def.bit_length()
+                    )
+                    vcomp = _compress(codec, vbytes)
+                    ph.i32(1, 3)  # DATA_PAGE_V2
+                    ph.i32(2, len(rep_blk) + len(def_blk)
+                           + len(vbytes))
+                    ph.i32(3, len(rep_blk) + len(def_blk)
+                           + len(vcomp))
+                    ph.struct_field(8)  # DataPageHeaderV2
+                    ph.i32(1, len(pdefs))
+                    ph.i32(2, len(pdefs) - n_def)  # num_nulls
+                    ph.i32(3, p1 - p0)  # num_rows
+                    ph.i32(4, encoding)
+                    ph.i32(5, len(def_blk))
+                    ph.i32(6, len(rep_blk))
+                    ph.boolean(7, True)
+                    ph.end()
+                    ph.end()
+                    page_bytes = ph.buf + rep_blk + def_blk + vcomp
+                    unc_total += (len(ph.buf) + len(rep_blk)
+                                  + len(def_blk) + len(vbytes))
+                if first_data_off is None:
+                    first_data_off = hdr_off
+                out += page_bytes
+                comp_total += len(page_bytes)
+                page_locs.append(
+                    (hdr_off, len(page_bytes), p0)
+                )
+                has_nan_p = ptype in ("DOUBLE", "FLOAT") and any(
+                    v != v for v in pvals
+                )
+                if pvals and not has_nan_p:
+                    page_stats.append(
+                        (False, min(pvals), max(pvals),
+                         len(pdefs) - n_def)
+                    )
+                else:
+                    page_stats.append(
+                        (True, None, None, len(pdefs) - n_def)
+                    )
             bloom_off = bloom_len = None
             if bloom_filter is True or (
-                isinstance(bloom_filter, list) and name in bloom_filter
+                isinstance(bloom_filter, list)
+                and name in bloom_filter
             ):
                 from levi_spark.operators.parquetbloom import (
                     SplitBlockBloom,
@@ -383,48 +522,118 @@ def write_parquet(
                 bloom_off = len(out)
                 bloom_len = len(hdr) + len(bf.bits)
                 out += hdr + bf.bits
-            nn = len(seg) - len(present)
+            nn = len(defs) - len(present)
             stats = None
             has_nan = ptype in ("DOUBLE", "FLOAT") and any(
                 v != v for v in present
             )
-            if present and not has_nan:
+            if present and not has_nan and not nested:
                 stats = (min(present), max(present), nn)
             chunks.append(
                 {
                     "name": name,
                     "ptype": ptype,
-                    "num_values": len(seg),
-                    "unc": unc_total + len(ph.buf) + len(body),
-                    "comp": comp_total + len(ph.buf) + len(comp),
-                    "offset": data_off,
+                    "nested": nested,
+                    "num_values": len(defs),
+                    "unc": unc_total,
+                    "comp": comp_total,
+                    "offset": first_data_off,
                     "dict_offset": dict_off,
                     "encoding": encoding,
                     "stats": stats,
                     "null_count": nn,
                     "bloom_offset": bloom_off,
                     "bloom_length": bloom_len,
+                    "page_locs": page_locs,
+                    "page_stats": page_stats,
                 }
             )
         groups.append({"rows": rows, "chunks": chunks})
 
+    if write_page_index:
+        for g in groups:
+            for c in g["chunks"]:
+                ci = _TW()
+                ci.begin()
+                n_pages = len(c["page_stats"])
+                ci.list_header(1, _TRUET, n_pages)
+                for null_page, _mn, _mx, _nc in c["page_stats"]:
+                    ci.bool_elem(null_page)
+                ci.list_header(2, _BINT, n_pages)
+                for null_page, mn, _mx, _nc in c["page_stats"]:
+                    ci.binary_elem(
+                        b"" if null_page
+                        else _stat_bytes(c["ptype"], mn)
+                    )
+                ci.list_header(3, _BINT, n_pages)
+                for null_page, _mn, mx, _nc in c["page_stats"]:
+                    ci.binary_elem(
+                        b"" if null_page
+                        else _stat_bytes(c["ptype"], mx)
+                    )
+                ci.i32(4, 0)  # boundary_order UNORDERED
+                ci.list_header(5, _I64T, n_pages)
+                for _np, _mn, _mx, nc in c["page_stats"]:
+                    ci.i64_elem(nc)
+                ci.end()
+                c["ci_off"], c["ci_len"] = len(out), len(ci.buf)
+                out += ci.buf
+        for g in groups:
+            for c in g["chunks"]:
+                oi = _TW()
+                oi.begin()
+                oi.list_header(1, _STRUCTT, len(c["page_locs"]))
+                for off, size, first_row in c["page_locs"]:
+                    oi.struct_elem_begin()
+                    oi.i64(1, off)
+                    oi.i32(2, size)
+                    oi.i64(3, first_row)
+                    oi.end()
+                oi.end()
+                c["oi_off"], c["oi_len"] = len(out), len(oi.buf)
+                out += oi.buf
+
     tw = _TW()
     tw.begin()
     tw.i32(1, 1)  # version
-    # schema: root + one leaf per column
-    tw.list_header(2, _STRUCTT, 1 + len(columns))
+    # schema: root + flat leaves + 3 elements per LIST column
+    n_schema = 1 + sum(
+        3 if _parse_coltype(t)[0] else 1 for _n, t, _v in columns
+    )
+    tw.list_header(2, _STRUCTT, n_schema)
     tw.struct_elem_begin()
     tw.binary(4, b"schema")
     tw.i32(5, len(columns))
     tw.end()
-    for name, ptype, _v in columns:
-        tw.struct_elem_begin()
-        tw.i32(1, _PTYPES[ptype])
-        tw.i32(3, 1)  # OPTIONAL
-        tw.binary(4, name.encode("utf-8"))
-        if ptype == "BYTE_ARRAY":
-            tw.i32(6, 0)  # ConvertedType UTF8
-        tw.end()
+    for name, ctype, _v in columns:
+        nested, ptype = _parse_coltype(ctype)
+        if nested:
+            tw.struct_elem_begin()  # optional group (LIST)
+            tw.i32(3, 1)  # OPTIONAL
+            tw.binary(4, name.encode("utf-8"))
+            tw.i32(5, 1)
+            tw.i32(6, 3)  # ConvertedType LIST
+            tw.end()
+            tw.struct_elem_begin()  # repeated group "list"
+            tw.i32(3, 2)  # REPEATED
+            tw.binary(4, b"list")
+            tw.i32(5, 1)
+            tw.end()
+            tw.struct_elem_begin()  # optional leaf "element"
+            tw.i32(1, _PTYPES[ptype])
+            tw.i32(3, 1)
+            tw.binary(4, b"element")
+            if ptype == "BYTE_ARRAY":
+                tw.i32(6, 0)  # UTF8
+            tw.end()
+        else:
+            tw.struct_elem_begin()
+            tw.i32(1, _PTYPES[ptype])
+            tw.i32(3, 1)  # OPTIONAL
+            tw.binary(4, name.encode("utf-8"))
+            if ptype == "BYTE_ARRAY":
+                tw.i32(6, 0)  # ConvertedType UTF8
+            tw.end()
     tw.i64(3, n_rows)
     tw.list_header(4, _STRUCTT, len(groups))
     for g in groups:
@@ -448,8 +657,14 @@ def write_parquet(
                 tw.list_header(2, _I32T, 2)
                 tw.i32_elem(0)  # PLAIN
                 tw.i32_elem(3)  # RLE (levels)
-            tw.list_header(3, _BINT, 1)
-            tw.binary_elem(c["name"].encode("utf-8"))
+            if c["nested"]:
+                tw.list_header(3, _BINT, 3)
+                tw.binary_elem(c["name"].encode("utf-8"))
+                tw.binary_elem(b"list")
+                tw.binary_elem(b"element")
+            else:
+                tw.list_header(3, _BINT, 1)
+                tw.binary_elem(c["name"].encode("utf-8"))
             tw.i32(4, _CODECS[codec])
             tw.i64(5, c["num_values"])
             tw.i64(6, c["unc"])
@@ -468,6 +683,11 @@ def write_parquet(
                 tw.i64(14, c["bloom_offset"])
                 tw.i32(15, c["bloom_length"])
             tw.end()  # ColumnMetaData
+            if write_page_index:
+                tw.i64(4, c["oi_off"])
+                tw.i32(5, c["oi_len"])
+                tw.i64(6, c["ci_off"])
+                tw.i32(7, c["ci_len"])
             tw.end()  # ColumnChunk
         tw.i64(2, sum(c["unc"] for c in g["chunks"]))
         tw.i64(3, g["rows"])
@@ -476,8 +696,9 @@ def write_parquet(
     # column_orders: min_value/max_value are only interpretable under
     # a declared order — TYPE_ORDER (TypeDefinedOrder) per leaf;
     # readers ignore the v2 stats fields without this
-    tw.list_header(7, _STRUCTT, len(columns))
-    for _ in columns:
+    n_leaves = len(columns)
+    tw.list_header(7, _STRUCTT, n_leaves)
+    for _ in range(n_leaves):
         tw.struct_elem_begin()
         tw.struct_field(1)  # TYPE_ORDER
         tw.end()

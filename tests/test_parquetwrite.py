@@ -13,6 +13,7 @@ import pytest
 from levi_spark.operators.parquetmeta import (
     plan_scan,
     read_column,
+    read_column_bytes,
     read_footer,
     read_statistics,
 )
@@ -208,3 +209,133 @@ def test_delta_binary_packed_write(tmp_path):
     with pytest.raises(NotImplementedError, match="DELTA_BINARY_PACKED"):
         write_parquet([("s", "BYTE_ARRAY", ["a"])],
                       column_encoding={"s": "DELTA_BINARY_PACKED"})
+
+
+# ---------------------------------------------------------------------------
+# Round-10 writer depth: v2 data pages, LIST<T> columns with real
+# repetition levels, multi-page chunks + ColumnIndex/OffsetIndex,
+# bloom integration — all read back by pyarrow/DuckDB AND our own
+# first-principles readers/planners.
+# ---------------------------------------------------------------------------
+
+
+def _mixed_lists(n):
+    return [
+        None if i % 11 == 0
+        else ([] if i % 13 == 0
+              else [None if j % 5 == 3 else i * 10 + j
+                    for j in range(i % 6)])
+        for i in range(n)
+    ]
+
+
+@pytest.mark.parametrize("ver", [1, 2])
+@pytest.mark.parametrize("codec", ["SNAPPY", "ZSTD", "UNCOMPRESSED"])
+def test_v2_nested_multipage_matrix(tmp_path, ver, codec):
+    import pyarrow as pa
+
+    from levi_spark.operators.parquetassembly import read_rows_bytes
+    from levi_spark.operators.parquetmeta import (
+        read_column_nested_bytes,
+    )
+
+    n = 3000
+    ks = list(range(n))
+    ls = _mixed_lists(n)
+    ss = ["v%d" % (i % 97) for i in range(n)]
+    blob = write_parquet(
+        [("k", "INT64", ks), ("l", "LIST<INT64>", ls),
+         ("s", "BYTE_ARRAY", ss)],
+        codec=codec, row_group_size=1024, page_rows=256,
+        data_page_version=ver, use_dictionary=["s"],
+        write_page_index=True, bloom_filter=["k"],
+    )
+    t = pq.read_table(pa.BufferReader(blob))
+    assert t.column("k").to_pylist() == ks
+    assert t.column("l").to_pylist() == ls
+    assert t.column("s").to_pylist() == ss
+    assert read_column_bytes(blob, "k") == ks
+    assert read_column_nested_bytes(blob, "l.list.element") == ls
+    rows = read_rows_bytes(blob)
+    assert [r["l"] for r in rows] == ls
+
+
+def test_page_index_prunes_pages_in_our_files(tmp_path):
+    from levi_spark.operators.parquetmeta import (
+        plan_scan,
+        read_page_index,
+    )
+
+    n = 4096
+    blob = write_parquet(
+        [("k", "INT64", list(range(n)))],
+        codec="SNAPPY", row_group_size=1024, page_rows=256,
+        write_page_index=True,
+    )
+    p = tmp_path / "pi.parquet"
+    p.write_bytes(blob)
+    pi = read_page_index(str(p), "k")
+    pages = pi["row_groups"][0]["pages"]
+    assert len(pages) == 4
+    assert pages[0]["min"] == 0 and pages[0]["max"] == 255
+    assert pages[1]["first_row_index"] == 256
+    plan = plan_scan(str(p), "k", 3000, 3100)
+    # one row group survives stats; within it only one 256-row page
+    assert plan["pages_kept"] == 2 or plan["pages_kept"] == 1
+    # soundness: decode everything, matches only in kept groups
+    all_vals = read_column_bytes(blob, "k")
+    kept = set(plan["row_groups_kept"])
+    for gi in range(4):
+        seg = all_vals[gi * 1024: (gi + 1) * 1024]
+        m = sum(1 for v in seg if 3000 <= v <= 3100)
+        assert (m > 0) == (gi in kept)
+
+
+def test_duckdb_reads_v2_nested_bloom_indexed(tmp_path):
+    n = 2000
+    ls = _mixed_lists(n)
+    blob = write_parquet(
+        [("k", "INT64", list(range(n))), ("l", "LIST<INT64>", ls)],
+        codec="ZSTD", row_group_size=512, page_rows=128,
+        data_page_version=2, write_page_index=True,
+        bloom_filter=["k"],
+    )
+    p = tmp_path / "v2n.parquet"
+    p.write_bytes(blob)
+    r = duckdb.sql(
+        f"select count(*), sum(k), sum(len(l)), count(l) "
+        f"from read_parquet('{p}')"
+    ).fetchone()
+    assert r == (
+        n, sum(range(n)),
+        sum(len(x) for x in ls if x is not None),
+        sum(1 for x in ls if x is not None),
+    )
+    got = duckdb.sql(
+        f"select l from read_parquet('{p}') where k = 27"
+    ).fetchone()[0]
+    assert got == ls[27]
+
+
+def test_all_null_and_empty_only_lists(tmp_path):
+    import pyarrow as pa
+
+    ls = [None, [], None, [], []]
+    blob = write_parquet(
+        [("l", "LIST<DOUBLE>", ls)], codec="UNCOMPRESSED",
+    )
+    t = pq.read_table(pa.BufferReader(blob))
+    assert t.column("l").to_pylist() == ls
+
+
+def test_nested_delta_encoded_lists(tmp_path):
+    import pyarrow as pa
+
+    ls = [[i * 3, i * 3 + 1] if i % 4 else None for i in range(999)]
+    blob = write_parquet(
+        [("l", "LIST<INT64>", ls)], codec="UNCOMPRESSED",
+        column_encoding={"l": "DELTA_BINARY_PACKED"},
+        data_page_version=2, page_rows=100,
+    )
+    t = pq.read_table(pa.BufferReader(blob))
+    assert t.column("l").to_pylist() == ls
