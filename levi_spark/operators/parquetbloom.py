@@ -212,7 +212,10 @@ def plan_point_lookup_bytes(data: bytes, column: str, value) -> dict:
     h = bloom_hash(ptype, value)
     kept: list[int] = []
     pruned: dict[int, str] = {}
-    has_bloom = False
+    has_bloom = any(
+        c["path"] == column and c["bloom_offset"] is not None
+        for g in blooms for c in g
+    )
     for gi in range(len(footer["row_groups"])):
         bc = next(c for c in blooms[gi] if c["path"] == column)
         mn = _decode_stat(ptype, bc["stat_min"])
@@ -223,7 +226,6 @@ def plan_point_lookup_bytes(data: bytes, column: str, value) -> dict:
             pruned[gi] = "stats"
             continue
         if bc["bloom_offset"] is not None:
-            has_bloom = True
             bf = read_bloom_filter(data, bc["bloom_offset"])
             if not bf.might_contain_hash(h):
                 pruned[gi] = "bloom"

@@ -14160,6 +14160,235 @@ def parquet_write_roundtrip(spark, sf_dir):
 PARQUET_WRITE_SQL = PARQUET_MATRIX_SQL
 
 
+def parquet_record_assembly(spark, sf_dir):
+    """Full Dremel record ASSEMBLY
+    (:mod:`levi_spark.operators.parquetassembly`): each orders
+    partition derives a NESTED table — ``list<struct<u,v>>`` plus a
+    ``map<string,int>`` — from ``o_orderkey`` by a pure arithmetic
+    rule, writes it with pyarrow (zstd, v2 pages, 256-row groups so
+    pages and groups split mid-stream), and ``read_rows_bytes``
+    reassembles whole rows from nothing but raw repetition/definition
+    levels and the footer schema tree. The in-map hard check is
+    ``got == Table.to_pylist()`` — any mis-split list, swapped
+    struct-null vs field-null, or mis-zipped map key kills the gate.
+    Surfaced rollups aggregate the ASSEMBLED rows; the DuckDB oracle
+    recomputes the generation rule relationally, so a value-level
+    assembly bug that survives the equality check cannot also
+    hash-match. Scale shape: map-side fan-out + one single-row
+    rollup; assembly streams pages inside the map task."""
+    import pandas as pd
+
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .repartition(8)
+    )
+
+    def assemble(batches):
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        from levi_spark.operators.parquetassembly import (
+            read_rows_bytes,
+        )
+
+        x_type = _pa.list_(_pa.struct(
+            [("u", _pa.int64()), ("v", _pa.string())]))
+        m_type = _pa.map_(_pa.string(), _pa.int64())
+        for pdf in batches:
+            ks = [int(v) for v in pdf["o_orderkey"]]
+            xs, ms = [], []
+            for k in ks:
+                if k % 17 == 0:
+                    xs.append(None)
+                elif k % 19 == 0:
+                    xs.append([])
+                else:
+                    xs.append([
+                        None if (k + j) % 23 == 0 else
+                        {"u": (k + j) % 97,
+                         "v": "s%d" % ((k * j) % 13)}
+                        for j in range(k % 5)
+                    ])
+                ms.append([("a%d" % i, (k + i) % 11)
+                           for i in range(k % 3)])
+            t = _pa.table({
+                "x": _pa.array(xs, x_type),
+                "m": _pa.array(ms, m_type),
+            })
+            sink = _pa.BufferOutputStream()
+            _pq.write_table(t, sink, compression="zstd",
+                            use_dictionary=False,
+                            data_page_version="2.0",
+                            row_group_size=256,
+                            data_page_size=512)
+            got = read_rows_bytes(sink.getvalue().to_pybytes())
+            want = t.to_pylist()
+            if got != want:
+                raise ValueError(
+                    "record assembly diverges from pyarrow"
+                )
+            n_null_x = sum(1 for r in got if r["x"] is None)
+            n_empty_x = sum(1 for r in got if r["x"] == [])
+            structs = [s for r in got if r["x"]
+                       for s in r["x"]]
+            n_null_structs = sum(1 for s in structs if s is None)
+            live = [s for s in structs if s is not None]
+            entries = [e for r in got for e in r["m"]]
+            yield pd.DataFrame({
+                "n_rows": [len(got)],
+                "n_null_x": [n_null_x],
+                "n_empty_x": [n_empty_x],
+                "n_structs": [len(structs)],
+                "n_null_structs": [n_null_structs],
+                "sum_u": [sum(s["u"] for s in live)],
+                "sum_vlen": [sum(len(s["v"]) for s in live)],
+                "n_map_entries": [len(entries)],
+                "sum_map_vals": [sum(v for _k, v in entries)],
+            }).astype("int64")
+
+    parts = orders.mapInPandas(
+        assemble,
+        "n_rows long, n_null_x long, n_empty_x long, "
+        "n_structs long, n_null_structs long, sum_u long, "
+        "sum_vlen long, n_map_entries long, sum_map_vals long",
+    )
+    return parts.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_null_x").alias("n_null_x"),
+        F.sum("n_empty_x").alias("n_empty_x"),
+        F.sum("n_structs").alias("n_structs"),
+        F.sum("n_null_structs").alias("n_null_structs"),
+        F.sum("sum_u").alias("sum_u"),
+        F.sum("sum_vlen").alias("sum_vlen"),
+        F.sum("n_map_entries").alias("n_map_entries"),
+        F.sum("sum_map_vals").alias("sum_map_vals"),
+    )
+
+
+PARQUET_ASSEMBLY_SQL = """
+WITH base AS (SELECT o_orderkey AS k FROM orders),
+items AS (
+  SELECT k, unnest(range(k % 5)) AS j FROM base
+  WHERE k % 17 <> 0 AND k % 19 <> 0
+),
+maps AS (
+  SELECT k, unnest(range(k % 3)) AS i FROM base
+)
+SELECT
+  (SELECT COUNT(*) FROM base) AS n_rows,
+  (SELECT COUNT(*) FROM base WHERE k % 17 = 0) AS n_null_x,
+  (SELECT COUNT(*) FROM base
+     WHERE k % 17 <> 0 AND (k % 19 = 0 OR k % 5 = 0))
+    AS n_empty_x,
+  (SELECT COUNT(*) FROM items) AS n_structs,
+  (SELECT COUNT(*) FROM items WHERE (k + j) % 23 = 0)
+    AS n_null_structs,
+  (SELECT CAST(COALESCE(SUM((k + j) % 97), 0) AS BIGINT)
+     FROM items WHERE (k + j) % 23 <> 0) AS sum_u,
+  (SELECT CAST(COALESCE(SUM(
+       LENGTH('s' || CAST((k * j) % 13 AS VARCHAR))), 0) AS BIGINT)
+     FROM items WHERE (k + j) % 23 <> 0) AS sum_vlen,
+  (SELECT COUNT(*) FROM maps) AS n_map_entries,
+  (SELECT CAST(COALESCE(SUM((k + i) % 11), 0) AS BIGINT)
+     FROM maps) AS sum_map_vals
+"""
+
+
+_BLOOM_PROBES = (1, 7, 2500, 4999, 32771, 123456, 599999)
+
+
+def parquet_bloom_point_lookup(spark, sf_dir):
+    """Split-block Bloom filters end to end
+    (:mod:`levi_spark.operators.parquetbloom`): each orders partition
+    writes its sorted keys through OUR writer — v2 data pages, page
+    index, and an SBBF per chunk — then plans ``k == probe`` lookups
+    for a fixed probe set through ``plan_point_lookup_bytes``
+    (min/max stats first, bloom probe second). Because partitions
+    hold hash-scattered subsets of a dense key range, absent-probe
+    pruning is the BLOOM's work, not the stats' — the partition's
+    row-group ranges admit nearly every in-range probe. Soundness is
+    asserted in-map: every pruned row group is decoded and must
+    contain zero probe matches (a bloom false NEGATIVE — the
+    impossible failure — or a mis-read offset kills the gate).
+    Surfaced match counts aggregate only KEPT groups, so they must
+    equal the oracle's plain ``IN`` count over orders. Scale shape:
+    the 100 TB needle-in-haystack path — footer tail + one small
+    ranged bloom read per row group, zero data pages for pruned
+    groups; one single-row rollup."""
+    import pandas as pd
+
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .repartition(8)
+    )
+
+    def probe(batches):
+        from levi_spark.operators.parquetbloom import (
+            plan_point_lookup_bytes,
+        )
+        from levi_spark.operators.parquetmeta import (
+            read_column_bytes,
+        )
+        from levi_spark.operators.parquetwrite import write_parquet
+
+        for pdf in batches:
+            ks = sorted(int(v) for v in pdf["o_orderkey"])
+            blob = write_parquet(
+                [("k", "INT64", ks)], codec="SNAPPY",
+                row_group_size=512, page_rows=128,
+                data_page_version=2, write_page_index=True,
+                bloom_filter=["k"],
+            )
+            all_vals = read_column_bytes(blob, "k")
+            if all_vals != ks:
+                raise ValueError("our reader misreads our v2 file")
+            n_match = 0
+            n_bloom_pruned = 0
+            for p in _BLOOM_PROBES:
+                plan = plan_point_lookup_bytes(blob, "k", p)
+                if not plan["has_bloom"]:
+                    raise ValueError("writer emitted no bloom")
+                for gi in range(plan["num_row_groups"]):
+                    seg = all_vals[gi * 512: (gi + 1) * 512]
+                    c = seg.count(p)
+                    if gi in plan["pruned"]:
+                        if c:
+                            raise ValueError(
+                                f"UNSOUND: probe {p} found in "
+                                f"pruned group {gi} "
+                                f"({plan['pruned'][gi]})"
+                            )
+                        if plan["pruned"][gi] == "bloom":
+                            n_bloom_pruned += 1
+                    else:
+                        n_match += c
+            if len(ks) > 2048 and n_bloom_pruned == 0:
+                raise ValueError(
+                    "bloom pruned nothing on a multi-group file"
+                )
+            yield pd.DataFrame({
+                "n_rows": [len(ks)],
+                "n_match": [n_match],
+            }).astype("int64")
+
+    parts = orders.mapInPandas(probe, "n_rows long, n_match long")
+    return parts.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_match").alias("n_match"),
+    )
+
+
+PARQUET_BLOOM_SQL = """
+SELECT COUNT(*) AS n_rows,
+  CAST(SUM(CASE WHEN o_orderkey IN
+      (1, 7, 2500, 4999, 32771, 123456, 599999)
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+FROM orders
+"""
+
+
 def doc_substring_span_report(spark, sf_dir):
     """MAXIMAL duplicated-span report over the exact-substring dedup
     (VERDICT r08 ask #5): the Lee-et-al paper reports the corpus by
@@ -16176,6 +16405,20 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "doc_substring_span_report": (
         doc_substring_span_report,
         SPAN_REPORT_SQL,
+    ),
+    # -- new in round 10 (registry 214 -> 216, under the 220 ceiling):
+    #    full Dremel record assembly (arbitrary nesting: lists of
+    #    structs, maps, struct-null vs field-null — read_rows matches
+    #    pyarrow to_pylist) and split-block Bloom filters (spec-exact
+    #    SBBF write/read + point-lookup planning over our own v2
+    #    page-indexed files, soundness decoded in-map). ----------------
+    "parquet_record_assembly": (
+        parquet_record_assembly,
+        PARQUET_ASSEMBLY_SQL,
+    ),
+    "parquet_bloom_point_lookup": (
+        parquet_bloom_point_lookup,
+        PARQUET_BLOOM_SQL,
     ),
     # -- changed in round 9 (scaling-curve plan fixes, see BENCH_SF1):
     #    adaptive band width (lsh), Arrow large-codebook assignment
