@@ -53,11 +53,15 @@ ROUND9 = [
     "zstd_lz4_roundtrip_stats", "parquet_codec_matrix_read",
     "parquet_nested_read",
 ]
+ROUND10 = [
+    "parquet_record_assembly", "parquet_bloom_point_lookup",
+]
 ANCHOR = "q1_pricing_summary"
 
 
 def pick_queries(top_n: int = 25) -> list[str]:
-    names = set(DEDUP_FAMILY) | set(ANN_FAMILY) | set(ROUND9) | {ANCHOR}
+    names = (set(DEDUP_FAMILY) | set(ANN_FAMILY) | set(ROUND9)
+             | set(ROUND10) | {ANCHOR})
     names |= {n for n in QUERIES if n.startswith("stream_")}
     detail = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH_DETAIL.json")
