@@ -304,6 +304,161 @@ def _compress(codec: str, body: bytes) -> bytes:
     raise NotImplementedError(f"writer codec {codec}")
 
 
+def _struct_fields(spec: str) -> list[tuple[str, str]]:
+    return [
+        (p.split(":", 1)[0].strip(), p.split(":", 1)[1].strip())
+        for p in spec.split(",")
+    ]
+
+
+def _column_plan(name: str, ctype: str) -> dict:
+    """Parse a column type spec into a write plan: schema elements to
+    emit and leaf descriptors.  Supported: plain physical types,
+    ``LIST<T>``, ``STRUCT<a:T1,b:T2,...>`` (primitive fields) and
+    ``MAP<K,V>`` (required key per the spec)."""
+    if ctype.startswith("LIST<") and ctype.endswith(">"):
+        pt = ctype[5:-1]
+        return {
+            "kind": "list",
+            "schema": [
+                {"rep": 1, "name": name, "nchild": 1, "conv": 3},
+                {"rep": 2, "name": "list", "nchild": 1},
+                {"rep": 1, "name": "element", "ptype": pt},
+            ],
+            "leaves": [{"path": [name, "list", "element"],
+                        "ptype": pt, "max_def": 3, "max_rep": 1}],
+        }
+    if ctype.startswith("STRUCT<") and ctype.endswith(">"):
+        fields = _struct_fields(ctype[7:-1])
+        return {
+            "kind": "struct",
+            "fields": fields,
+            "schema": [
+                {"rep": 1, "name": name, "nchild": len(fields)},
+            ] + [
+                {"rep": 1, "name": fn, "ptype": pt}
+                for fn, pt in fields
+            ],
+            "leaves": [{"path": [name, fn], "ptype": pt,
+                        "max_def": 2, "max_rep": 0}
+                       for fn, pt in fields],
+        }
+    if ctype.startswith("MAP<") and ctype.endswith(">"):
+        kt, vt = (p.strip() for p in ctype[4:-1].split(",", 1))
+        return {
+            "kind": "map",
+            "schema": [
+                {"rep": 1, "name": name, "nchild": 1, "conv": 1},
+                {"rep": 2, "name": "key_value", "nchild": 2},
+                {"rep": 0, "name": "key", "ptype": kt},
+                {"rep": 1, "name": "value", "ptype": vt},
+            ],
+            "leaves": [
+                {"path": [name, "key_value", "key"], "ptype": kt,
+                 "max_def": 2, "max_rep": 1},
+                {"path": [name, "key_value", "value"], "ptype": vt,
+                 "max_def": 3, "max_rep": 1},
+            ],
+        }
+    return {
+        "kind": "flat",
+        "schema": [{"rep": 1, "name": name, "ptype": ctype}],
+        "leaves": [{"path": [name], "ptype": ctype,
+                    "max_def": 1, "max_rep": 0}],
+    }
+
+
+def _shred(plan: dict, seg: list) -> list[dict]:
+    """Stripe one column segment into per-leaf level/value streams
+    (defs, reps, present) per the plan."""
+    kind = plan["kind"]
+    if kind == "flat":
+        ld = dict(plan["leaves"][0])
+        ld["defs"] = [0 if v is None else 1 for v in seg]
+        ld["reps"] = None
+        ld["present"] = [v for v in seg if v is not None]
+        return [ld]
+    if kind == "list":
+        ld = dict(plan["leaves"][0])
+        ld["defs"], ld["reps"], ld["present"] = _shred_list(seg)
+        return [ld]
+    if kind == "struct":
+        out = []
+        for (fn, _pt), leaf in zip(plan["fields"], plan["leaves"]):
+            ld = dict(leaf)
+            defs: list[int] = []
+            present: list = []
+            for v in seg:
+                if v is None:
+                    defs.append(0)
+                else:
+                    x = v.get(fn)
+                    if x is None:
+                        defs.append(1)
+                    else:
+                        defs.append(2)
+                        present.append(x)
+            ld["defs"], ld["reps"], ld["present"] = defs, None, present
+            out.append(ld)
+        return out
+    # map: entries as [(k, v), ...] or a dict
+    kd: list[int] = []
+    kr: list[int] = []
+    kp: list = []
+    vd: list[int] = []
+    vr: list[int] = []
+    vp: list = []
+    for v in seg:
+        items = list(v.items()) if isinstance(v, dict) else v
+        if v is None:
+            kd.append(0)
+            kr.append(0)
+            vd.append(0)
+            vr.append(0)
+        elif len(items) == 0:
+            kd.append(1)
+            kr.append(0)
+            vd.append(1)
+            vr.append(0)
+        else:
+            for j, (k, val) in enumerate(items):
+                r = 0 if j == 0 else 1
+                kr.append(r)
+                vr.append(r)
+                if k is None:
+                    raise ValueError("map key may not be null")
+                kd.append(2)
+                kp.append(k)
+                if val is None:
+                    vd.append(2)
+                else:
+                    vd.append(3)
+                    vp.append(val)
+    kl = dict(plan["leaves"][0])
+    kl["defs"], kl["reps"], kl["present"] = kd, kr, kp
+    vl = dict(plan["leaves"][1])
+    vl["defs"], vl["reps"], vl["present"] = vd, vr, vp
+    return [kl, vl]
+
+
+def _boundary_order(page_stats: list[tuple]) -> int:
+    """1 = ASCENDING, 2 = DESCENDING, 0 = UNORDERED, from per-page
+    min/max (null pages break ordering claims)."""
+    vals = [(mn, mx) for null_p, mn, mx, _nc in page_stats
+            if not null_p]
+    if len(vals) != len(page_stats) or not vals:
+        return 0
+    if all(vals[i][0] <= vals[i + 1][0]
+           and vals[i][1] <= vals[i + 1][1]
+           for i in range(len(vals) - 1)):
+        return 1
+    if all(vals[i][0] >= vals[i + 1][0]
+           and vals[i][1] >= vals[i + 1][1]
+           for i in range(len(vals) - 1)):
+        return 2
+    return 0
+
+
 def write_parquet(
     columns: list[tuple[str, str, list]],
     codec: str = "SNAPPY",
@@ -316,23 +471,18 @@ def write_parquet(
     page_rows: int | None = None,
     write_page_index: bool = False,
 ) -> bytes:
-    """``[(name, physical_type, values-with-None), ...]`` -> parquet
-    file bytes.  Physical type ``LIST<T>`` writes the standard
-    three-level list layout (optional group -> repeated ``list`` ->
-    optional ``element``) with real repetition levels; plain types
-    write flat OPTIONAL columns.  ``row_group_size`` splits rows into
-    row groups; ``page_rows`` splits each chunk into multiple data
-    pages (always on record boundaries).  ``data_page_version=2``
-    emits DataPageHeaderV2 pages (levels outside the compressed
-    region).  ``use_dictionary`` (True or column names) writes a
-    PLAIN dictionary page + RLE_DICTIONARY indices.
-    ``write_page_index`` emits ColumnIndex/OffsetIndex structs after
-    the data (ColumnChunk fields 4-7) — the metadata
-    :func:`levi_spark.operators.parquetmeta.read_page_index` and
-    ``plan_scan`` prune on.  ``bloom_filter`` (True or column names)
-    emits split-block Bloom filters
-    (:mod:`levi_spark.operators.parquetbloom`, ColumnMetaData fields
-    14/15) sized for the chunk's distinct count at ``bloom_fpp``."""
+    """``[(name, type, values-with-None), ...]`` -> parquet file
+    bytes.  Types: plain physical types (flat OPTIONAL columns),
+    ``LIST<T>`` (three-level layout, real repetition levels),
+    ``STRUCT<a:T1,b:T2>`` (primitive fields; struct-null vs
+    field-null via definition levels) and ``MAP<K,V>`` (required
+    keys, entries as ``[(k, v), ...]`` or a dict).
+    ``row_group_size`` splits rows into row groups; ``page_rows``
+    splits chunks into record-aligned pages.  ``data_page_version=2``
+    emits DataPageHeaderV2 pages.  ``use_dictionary`` /
+    ``column_encoding`` / ``bloom_filter`` apply to single-leaf
+    columns (flat / LIST).  ``write_page_index`` emits
+    ColumnIndex/OffsetIndex with a computed boundary_order."""
     if codec not in _CODECS:
         raise NotImplementedError(f"writer codec {codec}")
     if data_page_version not in (1, 2):
@@ -341,6 +491,8 @@ def write_parquet(
     for name, _t, vals in columns:
         if len(vals) != n_rows:
             raise ValueError(f"column {name}: ragged length")
+    plans = {name: _column_plan(name, ctype)
+             for name, ctype, _v in columns}
     rg = row_group_size or max(n_rows, 1)
     out = bytearray(b"PAR1")
     groups = []
@@ -348,206 +500,218 @@ def write_parquet(
         rows = min(rg, n_rows - start)
         chunks = []
         for name, ctype, vals in columns:
-            nested, ptype = _parse_coltype(ctype)
+            plan = plans[name]
             seg = vals[start : start + rows]
-            if nested:
-                max_def, max_rep = 3, 1
-                defs, reps, present = _shred_list(seg)
-            else:
-                max_def, max_rep = 1, 0
-                defs = [0 if v is None else 1 for v in seg]
-                reps = None
-                present = [v for v in seg if v is not None]
+            multi = len(plan["leaves"]) > 1
             want_enc = (column_encoding or {}).get(name)
-            if want_enc not in (None, "DELTA_BINARY_PACKED"):
-                raise NotImplementedError(f"writer encoding {want_enc}")
-            if want_enc and ptype not in ("INT32", "INT64"):
-                raise NotImplementedError(
-                    f"DELTA_BINARY_PACKED for {ptype}"
-                )
-            dict_col = not want_enc and (
+            dict_req = (
                 use_dictionary is True
                 or (isinstance(use_dictionary, list)
                     and name in use_dictionary)
             )
-            dict_off = None
-            unc_total = comp_total = 0
-            uniq: dict = {}
-            if dict_col:
-                for v in present:
-                    if v not in uniq:
-                        uniq[v] = len(uniq)
-                dict_body = _plain(ptype, list(uniq))
-                dict_comp = _compress(codec, dict_body)
-                dh = _TW()
-                dh.begin()
-                dh.i32(1, 2)  # DICTIONARY_PAGE
-                dh.i32(2, len(dict_body))
-                dh.i32(3, len(dict_comp))
-                dh.struct_field(7)  # DictionaryPageHeader
-                dh.i32(1, len(uniq))
-                dh.i32(2, 0)  # PLAIN
-                dh.end()
-                dh.end()
-                dict_off = len(out)
-                out += dh.buf + dict_comp
-                unc_total += len(dh.buf) + len(dict_body)
-                comp_total += len(dh.buf) + len(dict_comp)
-                encoding = 8  # RLE_DICTIONARY
-            elif want_enc:
-                encoding = 5  # DELTA_BINARY_PACKED
-            else:
-                encoding = 0  # PLAIN
-
-            # page boundaries: record-aligned slices of the level
-            # streams.  Flat columns are 1:1 row->entry; nested rows
-            # span [row start, next row start) in the rep stream.
-            if nested:
-                rec_starts = [
-                    i for i, r in enumerate(reps) if r == 0
-                ]
-            else:
-                rec_starts = list(range(len(seg)))
-            pr = page_rows or rows
-            page_locs = []   # (offset, total_size, first_row)
-            page_stats = []  # (null_page, min, max, null_count)
-            vcur = 0
-            first_data_off = None
-            for p0 in range(0, rows, pr):
-                p1 = min(p0 + pr, rows)
-                e0 = rec_starts[p0] if p0 < len(rec_starts) else 0
-                e1 = (rec_starts[p1]
-                      if p1 < len(rec_starts) else len(defs))
-                pdefs = defs[e0:e1]
-                preps = reps[e0:e1] if nested else None
-                n_def = sum(1 for d in pdefs if d == max_def)
-                pvals = present[vcur : vcur + n_def]
-                vcur += n_def
+            bloom_req = bloom_filter is True or (
+                isinstance(bloom_filter, list) and name in bloom_filter
+            )
+            if multi and (want_enc or (dict_req and
+                                       isinstance(use_dictionary,
+                                                  list))
+                          or (bloom_req and
+                              isinstance(bloom_filter, list))):
+                raise NotImplementedError(
+                    f"column {name}: dictionary/encoding/bloom on "
+                    "STRUCT/MAP columns"
+                )
+            for ld in _shred(plan, seg):
+                ptype = ld["ptype"]
+                max_def, max_rep = ld["max_def"], ld["max_rep"]
+                defs, reps = ld["defs"], ld["reps"]
+                present = ld["present"]
+                if want_enc not in (None, "DELTA_BINARY_PACKED"):
+                    raise NotImplementedError(
+                        f"writer encoding {want_enc}"
+                    )
+                if want_enc and ptype not in ("INT32", "INT64"):
+                    raise NotImplementedError(
+                        f"DELTA_BINARY_PACKED for {ptype}"
+                    )
+                dict_col = not want_enc and not multi and dict_req
+                dict_off = None
+                unc_total = comp_total = 0
+                uniq: dict = {}
                 if dict_col:
-                    width = max(1, (len(uniq) - 1).bit_length())
-                    idx = [uniq[v] for v in pvals]
-                    vbytes = bytes([width]) + _bitpacked_run(
-                        idx, width
-                    )
+                    for v in present:
+                        if v not in uniq:
+                            uniq[v] = len(uniq)
+                    dict_body = _plain(ptype, list(uniq))
+                    dict_comp = _compress(codec, dict_body)
+                    dh = _TW()
+                    dh.begin()
+                    dh.i32(1, 2)  # DICTIONARY_PAGE
+                    dh.i32(2, len(dict_body))
+                    dh.i32(3, len(dict_comp))
+                    dh.struct_field(7)  # DictionaryPageHeader
+                    dh.i32(1, len(uniq))
+                    dh.i32(2, 0)  # PLAIN
+                    dh.end()
+                    dh.end()
+                    dict_off = len(out)
+                    out += dh.buf + dict_comp
+                    unc_total += len(dh.buf) + len(dict_body)
+                    comp_total += len(dh.buf) + len(dict_comp)
+                    encoding = 8  # RLE_DICTIONARY
                 elif want_enc:
-                    vbytes = _delta_bp_encode(
-                        pvals, 32 if ptype == "INT32" else 64
-                    )
+                    encoding = 5  # DELTA_BINARY_PACKED
                 else:
-                    vbytes = _plain(ptype, pvals)
-                ph = _TW()
-                ph.begin()
-                hdr_off = len(out)
-                if data_page_version == 1:
-                    body = b""
-                    if nested:
-                        body += _rle_levels(preps, 1)
-                    body += _rle_levels(pdefs, max_def.bit_length())
-                    body += vbytes
-                    comp = _compress(codec, body)
-                    ph.i32(1, 0)  # DATA_PAGE
-                    ph.i32(2, len(body))
-                    ph.i32(3, len(comp))
-                    ph.struct_field(5)  # DataPageHeader
-                    ph.i32(1, len(pdefs))
-                    ph.i32(2, encoding)
-                    ph.i32(3, 3)  # def levels RLE
-                    ph.i32(4, 3)  # rep levels RLE
-                    ph.end()
-                    ph.end()
-                    page_bytes = ph.buf + comp
-                    unc_total += len(ph.buf) + len(body)
-                else:
-                    rep_blk = (_bitpacked_run(preps, 1)
-                               if nested else b"")
-                    def_blk = _bitpacked_run(
-                        pdefs, max_def.bit_length()
-                    )
-                    vcomp = _compress(codec, vbytes)
-                    ph.i32(1, 3)  # DATA_PAGE_V2
-                    ph.i32(2, len(rep_blk) + len(def_blk)
-                           + len(vbytes))
-                    ph.i32(3, len(rep_blk) + len(def_blk)
-                           + len(vcomp))
-                    ph.struct_field(8)  # DataPageHeaderV2
-                    ph.i32(1, len(pdefs))
-                    ph.i32(2, len(pdefs) - n_def)  # num_nulls
-                    ph.i32(3, p1 - p0)  # num_rows
-                    ph.i32(4, encoding)
-                    ph.i32(5, len(def_blk))
-                    ph.i32(6, len(rep_blk))
-                    ph.boolean(7, True)
-                    ph.end()
-                    ph.end()
-                    page_bytes = ph.buf + rep_blk + def_blk + vcomp
-                    unc_total += (len(ph.buf) + len(rep_blk)
-                                  + len(def_blk) + len(vbytes))
-                if first_data_off is None:
-                    first_data_off = hdr_off
-                out += page_bytes
-                comp_total += len(page_bytes)
-                page_locs.append(
-                    (hdr_off, len(page_bytes), p0)
-                )
-                has_nan_p = ptype in ("DOUBLE", "FLOAT") and any(
-                    v != v for v in pvals
-                )
-                if pvals and not has_nan_p:
-                    page_stats.append(
-                        (False, min(pvals), max(pvals),
-                         len(pdefs) - n_def)
-                    )
-                else:
-                    page_stats.append(
-                        (True, None, None, len(pdefs) - n_def)
-                    )
-            bloom_off = bloom_len = None
-            if bloom_filter is True or (
-                isinstance(bloom_filter, list)
-                and name in bloom_filter
-            ):
-                from levi_spark.operators.parquetbloom import (
-                    SplitBlockBloom,
-                    bloom_header_bytes,
-                    optimal_num_bytes,
-                )
+                    encoding = 0  # PLAIN
 
-                distinct = set(present)
-                bf = SplitBlockBloom(
-                    optimal_num_bytes(len(distinct), bloom_fpp)
+                if max_rep:
+                    rec_starts = [
+                        i for i, r in enumerate(reps) if r == 0
+                    ]
+                else:
+                    rec_starts = list(range(len(seg)))
+                pr = page_rows or rows
+                page_locs = []
+                page_stats = []
+                vcur = 0
+                first_data_off = None
+                for p0 in range(0, rows, pr):
+                    p1 = min(p0 + pr, rows)
+                    e0 = (rec_starts[p0]
+                          if p0 < len(rec_starts) else 0)
+                    e1 = (rec_starts[p1]
+                          if p1 < len(rec_starts) else len(defs))
+                    pdefs = defs[e0:e1]
+                    preps = reps[e0:e1] if max_rep else None
+                    n_def = sum(1 for d in pdefs if d == max_def)
+                    pvals = present[vcur : vcur + n_def]
+                    vcur += n_def
+                    if dict_col:
+                        width = max(1, (len(uniq) - 1).bit_length())
+                        idx = [uniq[v] for v in pvals]
+                        vbytes = bytes([width]) + _bitpacked_run(
+                            idx, width
+                        )
+                    elif want_enc:
+                        vbytes = _delta_bp_encode(
+                            pvals, 32 if ptype == "INT32" else 64
+                        )
+                    else:
+                        vbytes = _plain(ptype, pvals)
+                    ph = _TW()
+                    ph.begin()
+                    hdr_off = len(out)
+                    if data_page_version == 1:
+                        body = b""
+                        if max_rep:
+                            body += _rle_levels(
+                                preps, max_rep.bit_length()
+                            )
+                        body += _rle_levels(
+                            pdefs, max_def.bit_length()
+                        )
+                        body += vbytes
+                        comp = _compress(codec, body)
+                        ph.i32(1, 0)  # DATA_PAGE
+                        ph.i32(2, len(body))
+                        ph.i32(3, len(comp))
+                        ph.struct_field(5)  # DataPageHeader
+                        ph.i32(1, len(pdefs))
+                        ph.i32(2, encoding)
+                        ph.i32(3, 3)  # def levels RLE
+                        ph.i32(4, 3)  # rep levels RLE
+                        ph.end()
+                        ph.end()
+                        page_bytes = ph.buf + comp
+                        unc_total += len(ph.buf) + len(body)
+                    else:
+                        rep_blk = (
+                            _bitpacked_run(preps,
+                                           max_rep.bit_length())
+                            if max_rep else b""
+                        )
+                        def_blk = _bitpacked_run(
+                            pdefs, max_def.bit_length()
+                        )
+                        vcomp = _compress(codec, vbytes)
+                        ph.i32(1, 3)  # DATA_PAGE_V2
+                        ph.i32(2, len(rep_blk) + len(def_blk)
+                               + len(vbytes))
+                        ph.i32(3, len(rep_blk) + len(def_blk)
+                               + len(vcomp))
+                        ph.struct_field(8)  # DataPageHeaderV2
+                        ph.i32(1, len(pdefs))
+                        ph.i32(2, len(pdefs) - n_def)  # num_nulls
+                        ph.i32(3, p1 - p0)  # num_rows
+                        ph.i32(4, encoding)
+                        ph.i32(5, len(def_blk))
+                        ph.i32(6, len(rep_blk))
+                        ph.boolean(7, True)
+                        ph.end()
+                        ph.end()
+                        page_bytes = ph.buf + rep_blk + def_blk + vcomp
+                        unc_total += (len(ph.buf) + len(rep_blk)
+                                      + len(def_blk) + len(vbytes))
+                    if first_data_off is None:
+                        first_data_off = hdr_off
+                    out += page_bytes
+                    comp_total += len(page_bytes)
+                    page_locs.append((hdr_off, len(page_bytes), p0))
+                    has_nan_p = ptype in ("DOUBLE", "FLOAT") and any(
+                        v != v for v in pvals
+                    )
+                    if pvals and not has_nan_p:
+                        page_stats.append(
+                            (False, min(pvals), max(pvals),
+                             len(pdefs) - n_def)
+                        )
+                    else:
+                        page_stats.append(
+                            (True, None, None, len(pdefs) - n_def)
+                        )
+                bloom_off = bloom_len = None
+                if bloom_req and not multi:
+                    from levi_spark.operators.parquetbloom import (
+                        SplitBlockBloom,
+                        bloom_header_bytes,
+                        optimal_num_bytes,
+                    )
+
+                    distinct = set(present)
+                    bf = SplitBlockBloom(
+                        optimal_num_bytes(len(distinct), bloom_fpp)
+                    )
+                    for v in distinct:
+                        bf.insert(ptype, v)
+                    hdr = bloom_header_bytes(len(bf.bits))
+                    bloom_off = len(out)
+                    bloom_len = len(hdr) + len(bf.bits)
+                    out += hdr + bf.bits
+                nn = len(defs) - len(present)
+                stats = None
+                has_nan = ptype in ("DOUBLE", "FLOAT") and any(
+                    v != v for v in present
                 )
-                for v in distinct:
-                    bf.insert(ptype, v)
-                hdr = bloom_header_bytes(len(bf.bits))
-                bloom_off = len(out)
-                bloom_len = len(hdr) + len(bf.bits)
-                out += hdr + bf.bits
-            nn = len(defs) - len(present)
-            stats = None
-            has_nan = ptype in ("DOUBLE", "FLOAT") and any(
-                v != v for v in present
-            )
-            if present and not has_nan and not nested:
-                stats = (min(present), max(present), nn)
-            chunks.append(
-                {
-                    "name": name,
-                    "ptype": ptype,
-                    "nested": nested,
-                    "num_values": len(defs),
-                    "unc": unc_total,
-                    "comp": comp_total,
-                    "offset": first_data_off,
-                    "dict_offset": dict_off,
-                    "encoding": encoding,
-                    "stats": stats,
-                    "null_count": nn,
-                    "bloom_offset": bloom_off,
-                    "bloom_length": bloom_len,
-                    "page_locs": page_locs,
-                    "page_stats": page_stats,
-                }
-            )
+                if present and not has_nan and max_rep == 0:
+                    stats = (min(present), max(present), nn)
+                chunks.append(
+                    {
+                        "path": ld["path"],
+                        "ptype": ptype,
+                        "num_values": len(defs),
+                        "unc": unc_total,
+                        "comp": comp_total,
+                        "offset": first_data_off,
+                        "dict_offset": dict_off,
+                        "encoding": encoding,
+                        "stats": stats,
+                        "null_count": nn,
+                        "bloom_offset": bloom_off,
+                        "bloom_length": bloom_len,
+                        "page_locs": page_locs,
+                        "page_stats": page_stats,
+                    }
+                )
         groups.append({"rows": rows, "chunks": chunks})
 
     if write_page_index:
@@ -571,7 +735,7 @@ def write_parquet(
                         b"" if null_page
                         else _stat_bytes(c["ptype"], mx)
                     )
-                ci.i32(4, 0)  # boundary_order UNORDERED
+                ci.i32(4, _boundary_order(c["page_stats"]))
                 ci.list_header(5, _I64T, n_pages)
                 for _np, _mn, _mx, nc in c["page_stats"]:
                     ci.i64_elem(nc)
@@ -596,44 +760,26 @@ def write_parquet(
     tw = _TW()
     tw.begin()
     tw.i32(1, 1)  # version
-    # schema: root + flat leaves + 3 elements per LIST column
-    n_schema = 1 + sum(
-        3 if _parse_coltype(t)[0] else 1 for _n, t, _v in columns
-    )
-    tw.list_header(2, _STRUCTT, n_schema)
+    schema_elems = [se for n, _t, _v in columns
+                    for se in plans[n]["schema"]]
+    tw.list_header(2, _STRUCTT, 1 + len(schema_elems))
     tw.struct_elem_begin()
     tw.binary(4, b"schema")
     tw.i32(5, len(columns))
     tw.end()
-    for name, ctype, _v in columns:
-        nested, ptype = _parse_coltype(ctype)
-        if nested:
-            tw.struct_elem_begin()  # optional group (LIST)
-            tw.i32(3, 1)  # OPTIONAL
-            tw.binary(4, name.encode("utf-8"))
-            tw.i32(5, 1)
-            tw.i32(6, 3)  # ConvertedType LIST
-            tw.end()
-            tw.struct_elem_begin()  # repeated group "list"
-            tw.i32(3, 2)  # REPEATED
-            tw.binary(4, b"list")
-            tw.i32(5, 1)
-            tw.end()
-            tw.struct_elem_begin()  # optional leaf "element"
-            tw.i32(1, _PTYPES[ptype])
-            tw.i32(3, 1)
-            tw.binary(4, b"element")
-            if ptype == "BYTE_ARRAY":
-                tw.i32(6, 0)  # UTF8
-            tw.end()
-        else:
-            tw.struct_elem_begin()
-            tw.i32(1, _PTYPES[ptype])
-            tw.i32(3, 1)  # OPTIONAL
-            tw.binary(4, name.encode("utf-8"))
-            if ptype == "BYTE_ARRAY":
-                tw.i32(6, 0)  # ConvertedType UTF8
-            tw.end()
+    for se in schema_elems:
+        tw.struct_elem_begin()
+        if "ptype" in se:
+            tw.i32(1, _PTYPES[se["ptype"]])
+        tw.i32(3, se["rep"])
+        tw.binary(4, se["name"].encode("utf-8"))
+        if "nchild" in se:
+            tw.i32(5, se["nchild"])
+        if "conv" in se:
+            tw.i32(6, se["conv"])
+        elif se.get("ptype") == "BYTE_ARRAY":
+            tw.i32(6, 0)  # ConvertedType UTF8
+        tw.end()
     tw.i64(3, n_rows)
     tw.list_header(4, _STRUCTT, len(groups))
     for g in groups:
@@ -657,14 +803,9 @@ def write_parquet(
                 tw.list_header(2, _I32T, 2)
                 tw.i32_elem(0)  # PLAIN
                 tw.i32_elem(3)  # RLE (levels)
-            if c["nested"]:
-                tw.list_header(3, _BINT, 3)
-                tw.binary_elem(c["name"].encode("utf-8"))
-                tw.binary_elem(b"list")
-                tw.binary_elem(b"element")
-            else:
-                tw.list_header(3, _BINT, 1)
-                tw.binary_elem(c["name"].encode("utf-8"))
+            tw.list_header(3, _BINT, len(c["path"]))
+            for part in c["path"]:
+                tw.binary_elem(part.encode("utf-8"))
             tw.i32(4, _CODECS[codec])
             tw.i64(5, c["num_values"])
             tw.i64(6, c["unc"])
@@ -696,7 +837,7 @@ def write_parquet(
     # column_orders: min_value/max_value are only interpretable under
     # a declared order — TYPE_ORDER (TypeDefinedOrder) per leaf;
     # readers ignore the v2 stats fields without this
-    n_leaves = len(columns)
+    n_leaves = sum(len(plans[n]["leaves"]) for n, _t, _v in columns)
     tw.list_header(7, _STRUCTT, n_leaves)
     for _ in range(n_leaves):
         tw.struct_elem_begin()

@@ -16348,6 +16348,15 @@ FROM g
 # Displaced to 51+: token_budget_select, ann_filtered_topk,
 # export_shards_manifest (each holds r05-or-better green rows).
 #
+# ROUND 10 window: slots 1-6 keep the round-9 additions (their r09
+# gate artifact was not delivered to the repo, so they stay at the
+# head until a green driver row lands); slots 7-8 are the round-10
+# NEW gates — parquet_record_assembly (full Dremel assembly) and
+# parquet_bloom_point_lookup (SBBF write/read/plan); slots 9-10 keep
+# the round-9 plan-fix re-gates. Everything else is unchanged from
+# the round-9 layout, so the whole new/changed surface sits inside
+# the 50-slot gate.
+#
 # ROUND 7 ROTATION PLAN: move into slots 1-50 (a) anything round 7
 # adds or changes, (b) oldest-green backfill from the 51+ section
 # (TPC-H q2+ onward hold r04 rows; doc_stratified_sample onward hold

@@ -684,3 +684,24 @@ def test_parquet_write_gate_single_rollup(spark):
     assert "Join" not in plan
     n_ex = len(_re.findall(r"Exchange ", plan))
     assert n_ex <= 2, f"{n_ex} exchanges\n{plan}"
+
+
+def test_round10_parquet_gates_single_rollup(spark):
+    """The round-10 gates — Dremel record assembly and bloom point
+    lookup — keep the map-side fan-out shape: no join, the
+    input-spreading repartition plus one single-row rollup exchange;
+    all parquet work (write, assemble, plan, probe) stays inside the
+    Arrow-batched map task."""
+    import re as _re
+
+    from levi_spark.plans.inspect import executed_plan
+    from levi_spark.queries import (
+        parquet_bloom_point_lookup,
+        parquet_record_assembly,
+    )
+
+    for fn in (parquet_record_assembly, parquet_bloom_point_lookup):
+        plan = executed_plan(fn(spark, SF))
+        assert "Join" not in plan, fn.__name__
+        n_ex = len(_re.findall(r"Exchange ", plan))
+        assert n_ex <= 2, f"{fn.__name__}: {n_ex} exchanges\n{plan}"
