@@ -285,11 +285,13 @@ def _collapse_group_content(node: dict, content):
     }
 
 
-def _leaf_streams(data: bytes, footer: dict, path: str):
-    """Concatenated (defs, reps, vals) for one leaf across every row
-    group (row groups never split records; v1 pages may, so per-page
-    assembly would be wrong — concatenation is the correctness
-    boundary)."""
+def _leaf_streams_group(data: bytes, footer: dict, path: str,
+                        group: dict):
+    """Concatenated (defs, reps, vals) for one leaf within ONE row
+    group.  Row groups never split records (v1 pages may, so
+    per-page assembly would be wrong — the row group is the
+    correctness boundary, and also the 100 TB memory boundary: a map
+    task holds one group's level streams at a time)."""
     ptype = dict(footer["columns"])[path]
     max_def, max_rep = footer["levels"][path]
     tlen = footer["type_lengths"][path]
@@ -297,14 +299,13 @@ def _leaf_streams(data: bytes, footer: dict, path: str):
     defs: list[int] = []
     reps: list[int] = []
     vals: list = []
-    for g in footer["row_groups"]:
-        chunk = next(c for c in g["columns"] if c["path"] == path)
-        for d, r, v in _iter_pages(
-            data, chunk, ptype, max_def, max_rep, tlen, utf8
-        ):
-            defs.extend(d)
-            reps.extend(r)
-            vals.extend(v)
+    chunk = next(c for c in group["columns"] if c["path"] == path)
+    for d, r, v in _iter_pages(
+        data, chunk, ptype, max_def, max_rep, tlen, utf8
+    ):
+        defs.extend(d)
+        reps.extend(r)
+        vals.extend(v)
     return defs, reps, vals
 
 
@@ -315,16 +316,9 @@ def _parse_file(data: bytes) -> dict:
     return parse_footer(data[len(data) - 8 - flen: len(data) - 8])
 
 
-def read_rows_bytes(data: bytes, columns: list[str] | None = None
-                    ) -> list[dict]:
-    """Read an in-memory parquet file's ROWS from first principles:
-    every leaf column is page-decoded, Dremel-assembled, merged over
-    the schema tree and logically collapsed into one dict per row —
-    the shape of ``pyarrow.Table.to_pylist()``.  ``columns`` limits
-    the read to the named TOP-LEVEL fields (their full subtrees)."""
-    footer = _parse_file(data)
-    tree = footer["schema_tree"]
-    _annotate_prefixes(tree)
+def _select_tops(footer: dict, tree: list[dict],
+                 columns: list[str] | None
+                 ) -> tuple[list[dict], list[str]]:
     top = [
         n for n in tree
         if columns is None or n["name"] in columns
@@ -339,41 +333,84 @@ def read_rows_bytes(data: bytes, columns: list[str] | None = None
         if any(p == n["name"] or p.startswith(n["name"] + ".")
                for n in top)
     ]
-    per_leaf: dict[str, list] = {}
-    n_records = None
-    for path in want:
-        nodes = _path_nodes(tree, path)
-        defs, reps, vals = _leaf_streams(data, footer, path)
-        recs = assemble_leaf(nodes, defs, reps, vals)
-        if n_records is None:
-            n_records = len(recs)
-        elif len(recs) != n_records:
-            raise ValueError(
-                f"leaf {path!r}: {len(recs)} records, expected "
-                f"{n_records} — level streams disagree across leaves"
+    return top, want
+
+
+def iter_row_groups_bytes(data: bytes,
+                          columns: list[str] | None = None):
+    """Yield one list of row dicts PER ROW GROUP — the 100 TB memory
+    shape: row groups never split records, so each group's level
+    streams assemble independently and a map task only ever holds
+    one group's worth of levels and values.  ``columns`` limits the
+    read to the named TOP-LEVEL fields (their full subtrees)."""
+    footer = _parse_file(data)
+    tree = footer["schema_tree"]
+    _annotate_prefixes(tree)
+    top, want = _select_tops(footer, tree, columns)
+    nodes_by_path = {p: _path_nodes(tree, p) for p in want}
+    total = 0
+    for g in footer["row_groups"]:
+        per_leaf: dict[str, list] = {}
+        n_records = None
+        for path in want:
+            defs, reps, vals = _leaf_streams_group(
+                data, footer, path, g
             )
-        per_leaf[path] = recs
-    if n_records is None:
-        n_records = footer["num_rows"] or 0
-        return [{} for _ in range(n_records)]
-    if footer["num_rows"] not in (None, n_records):
+            recs = assemble_leaf(nodes_by_path[path], defs, reps,
+                                 vals)
+            if n_records is None:
+                n_records = len(recs)
+            elif len(recs) != n_records:
+                raise ValueError(
+                    f"leaf {path!r}: {len(recs)} records, expected "
+                    f"{n_records} — level streams disagree across "
+                    "leaves"
+                )
+            per_leaf[path] = recs
+        if n_records is None:  # no leaves selected
+            n_records = g["num_rows"] or 0
+            total += n_records
+            yield [{} for _ in range(n_records)]
+            continue
+        if g["num_rows"] not in (None, n_records):
+            raise ValueError(
+                f"assembled {n_records} records in a row group of "
+                f"{g['num_rows']}"
+            )
+        total += n_records
+        rows: list[dict] = []
+        for i in range(n_records):
+            row = {}
+            for node in top:
+                sub = {
+                    p: per_leaf[p][i] for p in want
+                    if p == node["name"]
+                    or p.startswith(node["name"] + ".")
+                }
+                merged = merge_leaves(node, sub)
+                row[node["name"]] = _collapse(node, merged)
+            rows.append(row)
+        yield rows
+    if footer["num_rows"] not in (None, total):
         raise ValueError(
-            f"assembled {n_records} records, footer says "
+            f"assembled {total} records, footer says "
             f"{footer['num_rows']}"
         )
-    rows: list[dict] = []
-    for i in range(n_records):
-        row = {}
-        for node in top:
-            sub = {
-                p: per_leaf[p][i] for p in want
-                if p == node["name"]
-                or p.startswith(node["name"] + ".")
-            }
-            merged = merge_leaves(node, sub)
-            row[node["name"]] = _collapse(node, merged)
-        rows.append(row)
-    return rows
+
+
+def read_rows_bytes(data: bytes, columns: list[str] | None = None
+                    ) -> list[dict]:
+    """Read an in-memory parquet file's ROWS from first principles:
+    every leaf column is page-decoded, Dremel-assembled, merged over
+    the schema tree and logically collapsed into one dict per row —
+    the shape of ``pyarrow.Table.to_pylist()``.  ``columns`` limits
+    the read to the named TOP-LEVEL fields (their full subtrees).
+    Assembly runs row group by row group
+    (:func:`iter_row_groups_bytes`)."""
+    return [
+        r for grp in iter_row_groups_bytes(data, columns)
+        for r in grp
+    ]
 
 
 def read_rows(path: str, columns: list[str] | None = None

@@ -149,9 +149,54 @@ def _bitpacked_run(values: list[int], width: int) -> bytes:
     return bytes(header) + packed
 
 
+def _rle_hybrid(vals: list[int], width: int) -> bytes:
+    """Mixed RLE/bit-packed hybrid: runs of >= 8 equal values become
+    RLE runs, the rest bit-packs in groups of 8.  A bit-packed run is
+    only padded at stream END (mid-stream padding would shift every
+    later value), so pending values absorb the head of a long run
+    until they fill a group."""
+    out = bytearray()
+    byte_w = (width + 7) // 8
+    pending: list[int] = []
+    n = len(vals)
+
+    def flush() -> None:
+        if not pending:
+            return
+        groups = (len(pending) + 7) // 8
+        out.extend(_uleb((groups << 1) | 1))
+        acc = 0
+        for j, v in enumerate(pending):
+            acc |= (v & ((1 << width) - 1)) << (j * width)
+        out.extend(acc.to_bytes(groups * width, "little"))
+        pending.clear()
+
+    i = 0
+    while i < n:
+        j = i
+        while j < n and vals[j] == vals[i]:
+            j += 1
+        run = j - i
+        if run >= 8 and pending:
+            take = min((-len(pending)) % 8, run)
+            pending.extend([vals[i]] * take)
+            i += take
+            run -= take
+            if len(pending) % 8 == 0:
+                flush()
+        if run >= 8 and not pending:
+            out.extend(_uleb(run << 1))
+            out.extend(vals[i].to_bytes(byte_w, "little"))
+        else:
+            pending.extend(vals[i:j])
+        i = j
+    flush()
+    return bytes(out)
+
+
 def _rle_levels(levels: list[int], width: int = 1) -> bytes:
     """Level block (def or rep) with the v1 4-byte length prefix."""
-    body = _bitpacked_run(levels, width)
+    body = _rle_hybrid(levels, width)
     return struct.pack("<i", len(body)) + body
 
 
@@ -266,6 +311,86 @@ def _delta_bp_encode(vals: list[int], bits: int) -> bytes:
         out += bytes(widths)
         out += b"".join(bodies[:used])
     return bytes(out)
+
+
+def _raws(vals: list) -> list[bytes]:
+    return [v.encode("utf-8") if isinstance(v, str) else bytes(v)
+            for v in vals]
+
+
+def _dlba_encode(vals: list) -> bytes:
+    """DELTA_LENGTH_BYTE_ARRAY: delta-packed lengths + concatenated
+    bytes."""
+    raws = _raws(vals)
+    return _delta_bp_encode([len(r) for r in raws], 32) + b"".join(
+        raws
+    )
+
+
+def _dba_encode(vals: list) -> bytes:
+    """DELTA_BYTE_ARRAY: front coding — delta-packed shared-prefix
+    lengths, delta-packed suffix lengths, suffix bytes."""
+    raws = _raws(vals)
+    prev = b""
+    prefixes: list[int] = []
+    suffixes: list[bytes] = []
+    for r in raws:
+        p = 0
+        lim = min(len(prev), len(r))
+        while p < lim and prev[p] == r[p]:
+            p += 1
+        prefixes.append(p)
+        suffixes.append(r[p:])
+        prev = r
+    return (
+        _delta_bp_encode(prefixes, 32)
+        + _delta_bp_encode([len(x) for x in suffixes], 32)
+        + b"".join(suffixes)
+    )
+
+
+_BSS_PACK = {"FLOAT": ("<f", 4), "DOUBLE": ("<d", 8),
+             "INT32": ("<i", 4), "INT64": ("<q", 8)}
+
+
+def _bss_encode(ptype: str, vals: list) -> bytes:
+    """BYTE_STREAM_SPLIT: k parallel byte streams (byte j of every
+    value, contiguous) — the shuffle that makes float columns
+    compress."""
+    fmt, k = _BSS_PACK[ptype]
+    raw = b"".join(struct.pack(fmt, v) for v in vals)
+    return b"".join(
+        raw[j::k] for j in range(k)
+    )
+
+
+def _rle_bool_encode(vals: list) -> bytes:
+    """RLE value encoding for BOOLEAN (v2 writers' default): 4-byte
+    length prefix + the width-1 hybrid."""
+    body = _rle_hybrid([1 if v else 0 for v in vals], 1)
+    return struct.pack("<i", len(body)) + body
+
+
+# encoding name -> (code, allowed physical types, encoder)
+_VALUE_ENCODINGS = {
+    "DELTA_BINARY_PACKED": (
+        5, ("INT32", "INT64"),
+        lambda pt, vals: _delta_bp_encode(
+            vals, 32 if pt == "INT32" else 64),
+    ),
+    "DELTA_LENGTH_BYTE_ARRAY": (
+        6, ("BYTE_ARRAY",), lambda pt, vals: _dlba_encode(vals),
+    ),
+    "DELTA_BYTE_ARRAY": (
+        7, ("BYTE_ARRAY",), lambda pt, vals: _dba_encode(vals),
+    ),
+    "BYTE_STREAM_SPLIT": (
+        9, tuple(_BSS_PACK), _bss_encode,
+    ),
+    "RLE": (
+        3, ("BOOLEAN",), lambda pt, vals: _rle_bool_encode(vals),
+    ),
+}
 
 
 def _stat_bytes(ptype: str, v) -> bytes:
@@ -526,14 +651,16 @@ def write_parquet(
                 max_def, max_rep = ld["max_def"], ld["max_rep"]
                 defs, reps = ld["defs"], ld["reps"]
                 present = ld["present"]
-                if want_enc not in (None, "DELTA_BINARY_PACKED"):
-                    raise NotImplementedError(
-                        f"writer encoding {want_enc}"
-                    )
-                if want_enc and ptype not in ("INT32", "INT64"):
-                    raise NotImplementedError(
-                        f"DELTA_BINARY_PACKED for {ptype}"
-                    )
+                if want_enc is not None:
+                    if want_enc not in _VALUE_ENCODINGS:
+                        raise NotImplementedError(
+                            f"writer encoding {want_enc}"
+                        )
+                    code, allowed, _encf = _VALUE_ENCODINGS[want_enc]
+                    if ptype not in allowed:
+                        raise NotImplementedError(
+                            f"{want_enc} for {ptype}"
+                        )
                 dict_col = not want_enc and not multi and dict_req
                 dict_off = None
                 unc_total = comp_total = 0
@@ -560,7 +687,7 @@ def write_parquet(
                     comp_total += len(dh.buf) + len(dict_comp)
                     encoding = 8  # RLE_DICTIONARY
                 elif want_enc:
-                    encoding = 5  # DELTA_BINARY_PACKED
+                    encoding = _VALUE_ENCODINGS[want_enc][0]
                 else:
                     encoding = 0  # PLAIN
 
@@ -589,12 +716,12 @@ def write_parquet(
                     if dict_col:
                         width = max(1, (len(uniq) - 1).bit_length())
                         idx = [uniq[v] for v in pvals]
-                        vbytes = bytes([width]) + _bitpacked_run(
+                        vbytes = bytes([width]) + _rle_hybrid(
                             idx, width
                         )
                     elif want_enc:
-                        vbytes = _delta_bp_encode(
-                            pvals, 32 if ptype == "INT32" else 64
+                        vbytes = _VALUE_ENCODINGS[want_enc][2](
+                            ptype, pvals
                         )
                     else:
                         vbytes = _plain(ptype, pvals)
@@ -626,11 +753,10 @@ def write_parquet(
                         unc_total += len(ph.buf) + len(body)
                     else:
                         rep_blk = (
-                            _bitpacked_run(preps,
-                                           max_rep.bit_length())
+                            _rle_hybrid(preps, max_rep.bit_length())
                             if max_rep else b""
                         )
-                        def_blk = _bitpacked_run(
+                        def_blk = _rle_hybrid(
                             pdefs, max_def.bit_length()
                         )
                         vcomp = _compress(codec, vbytes)
@@ -795,9 +921,9 @@ def write_parquet(
                 tw.i32_elem(0)  # PLAIN (dictionary page)
                 tw.i32_elem(3)  # RLE (levels)
                 tw.i32_elem(8)  # RLE_DICTIONARY (indices)
-            elif c["encoding"] == 5:
+            elif c["encoding"] != 0:
                 tw.list_header(2, _I32T, 2)
-                tw.i32_elem(5)  # DELTA_BINARY_PACKED
+                tw.i32_elem(c["encoding"])
                 tw.i32_elem(3)  # RLE (levels)
             else:
                 tw.list_header(2, _I32T, 2)

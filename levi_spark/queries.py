@@ -14295,7 +14295,11 @@ SELECT
 """
 
 
-_BLOOM_PROBES = (1, 7, 2500, 4999, 32771, 123456, 599999)
+_BLOOM_PROBES = (
+    1, 7, 2500, 4999, 11111, 22222, 32771, 33333, 44444, 55555,
+    66666, 77777, 88888, 99999, 101010, 111111, 123456, 131313,
+    140001, 599999,
+)
 
 
 def parquet_bloom_point_lookup(spark, sf_dir):
@@ -14333,45 +14337,63 @@ def parquet_bloom_point_lookup(spark, sf_dir):
         )
         from levi_spark.operators.parquetwrite import write_parquet
 
-        for pdf in batches:
-            ks = sorted(int(v) for v in pdf["o_orderkey"])
-            blob = write_parquet(
-                [("k", "INT64", ks)], codec="SNAPPY",
-                row_group_size=512, page_rows=128,
-                data_page_version=2, write_page_index=True,
-                bloom_filter=["k"],
+        # one file per PARTITION (Arrow hands the partition over as
+        # ~10k-row batches; per-batch files would fragment the
+        # key range and starve the bloom assertion below)
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        ks = sorted(
+            int(v) for pdf in pdfs for v in pdf["o_orderkey"]
+        )
+        blob = write_parquet(
+            [("k", "INT64", ks)], codec="SNAPPY",
+            row_group_size=512, page_rows=128,
+            data_page_version=2, write_page_index=True,
+            bloom_filter=["k"],
+        )
+        all_vals = read_column_bytes(blob, "k")
+        if all_vals != ks:
+            raise ValueError("our reader misreads our v2 file")
+        n_match = 0
+        n_bloom_pruned = 0
+        n_absent_admitted = 0  # stats let it through, value absent
+        for p in _BLOOM_PROBES:
+            plan = plan_point_lookup_bytes(blob, "k", p)
+            if not plan["has_bloom"]:
+                raise ValueError("writer emitted no bloom")
+            for gi in range(plan["num_row_groups"]):
+                seg = all_vals[gi * 512: (gi + 1) * 512]
+                c = seg.count(p)
+                why = plan["pruned"].get(gi)
+                if why is not None:
+                    if c:
+                        raise ValueError(
+                            f"UNSOUND: probe {p} found in "
+                            f"pruned group {gi} ({why})"
+                        )
+                    if why == "bloom":
+                        n_bloom_pruned += 1
+                        n_absent_admitted += 1
+                else:
+                    n_match += c
+                    if c == 0:
+                        n_absent_admitted += 1
+        # every stats-admitted absent probe SHOULD be bloom-pruned;
+        # a kept one is a bloom false positive (p ~ fpp). Demand
+        # pruning only when enough chances accrued that an all-FP
+        # outcome is impossible in practice (0.01^8 ~ 1e-16) — this
+        # keeps the assertion sharp yet sound at every data scale
+        # and partitioning.
+        if n_absent_admitted >= 8 and n_bloom_pruned == 0:
+            raise ValueError(
+                f"bloom pruned none of {n_absent_admitted} "
+                "stats-admitted absent probes"
             )
-            all_vals = read_column_bytes(blob, "k")
-            if all_vals != ks:
-                raise ValueError("our reader misreads our v2 file")
-            n_match = 0
-            n_bloom_pruned = 0
-            for p in _BLOOM_PROBES:
-                plan = plan_point_lookup_bytes(blob, "k", p)
-                if not plan["has_bloom"]:
-                    raise ValueError("writer emitted no bloom")
-                for gi in range(plan["num_row_groups"]):
-                    seg = all_vals[gi * 512: (gi + 1) * 512]
-                    c = seg.count(p)
-                    if gi in plan["pruned"]:
-                        if c:
-                            raise ValueError(
-                                f"UNSOUND: probe {p} found in "
-                                f"pruned group {gi} "
-                                f"({plan['pruned'][gi]})"
-                            )
-                        if plan["pruned"][gi] == "bloom":
-                            n_bloom_pruned += 1
-                    else:
-                        n_match += c
-            if len(ks) > 2048 and n_bloom_pruned == 0:
-                raise ValueError(
-                    "bloom pruned nothing on a multi-group file"
-                )
-            yield pd.DataFrame({
-                "n_rows": [len(ks)],
-                "n_match": [n_match],
-            }).astype("int64")
+        yield pd.DataFrame({
+            "n_rows": [len(ks)],
+            "n_match": [n_match],
+        }).astype("int64")
 
     parts = orders.mapInPandas(probe, "n_rows long, n_match long")
     return parts.agg(
@@ -14383,7 +14405,9 @@ def parquet_bloom_point_lookup(spark, sf_dir):
 PARQUET_BLOOM_SQL = """
 SELECT COUNT(*) AS n_rows,
   CAST(SUM(CASE WHEN o_orderkey IN
-      (1, 7, 2500, 4999, 32771, 123456, 599999)
+      (1, 7, 2500, 4999, 11111, 22222, 32771, 33333, 44444, 55555,
+       66666, 77777, 88888, 99999, 101010, 111111, 123456, 131313,
+       140001, 599999)
     THEN 1 ELSE 0 END) AS BIGINT) AS n_match
 FROM orders
 """

@@ -448,3 +448,93 @@ def test_boundary_order_emitted():
     assert order_of(list(range(4096))) == 1  # ASCENDING
     assert order_of(list(range(4096, 0, -1))) == 2  # DESCENDING
     assert order_of([i * ((-1) ** i) for i in range(4096)]) == 0
+
+
+@pytest.mark.parametrize("enc,pt", [
+    ("DELTA_LENGTH_BYTE_ARRAY", "BYTE_ARRAY"),
+    ("DELTA_BYTE_ARRAY", "BYTE_ARRAY"),
+    ("BYTE_STREAM_SPLIT", "DOUBLE"),
+    ("BYTE_STREAM_SPLIT", "INT32"),
+    ("RLE", "BOOLEAN"),
+])
+def test_value_encoding_matrix_write_side(enc, pt):
+    """Round-9 closed the reader's encoding matrix; this closes the
+    WRITE side: every encoding the reader decodes, the writer can
+    emit — read back by pyarrow AND our reader, v1+v2 pages."""
+    import random
+
+    import pyarrow as pa
+
+    rng = random.Random(3)
+    n = 2000
+    vals = {
+        "BYTE_ARRAY": [
+            None if i % 9 == 0
+            else "prefix_%06d_%s" % (i // 3, "x" * (i % 5))
+            for i in range(n)
+        ],
+        "DOUBLE": [None if i % 7 == 0 else rng.random() * 1e6
+                   for i in range(n)],
+        "INT32": [None if i % 5 == 0
+                  else rng.randrange(-2**31, 2**31)
+                  for i in range(n)],
+        "BOOLEAN": [None if i % 11 == 0 else (i % 3 == 0)
+                    for i in range(n)],
+    }[pt]
+    for ver in (1, 2):
+        blob = write_parquet(
+            [("c", pt, vals)], codec="ZSTD", row_group_size=512,
+            page_rows=128, data_page_version=ver,
+            column_encoding={"c": enc}, write_page_index=True,
+        )
+        t = pq.read_table(pa.BufferReader(blob))
+        assert t.column("c").to_pylist() == vals, (enc, ver)
+        assert read_column_bytes(blob, "c") == vals, (enc, ver)
+
+
+def test_encoding_type_mismatch_refused():
+    with pytest.raises(NotImplementedError, match="RLE for"):
+        write_parquet([("k", "INT64", [1])],
+                      column_encoding={"k": "RLE"})
+    with pytest.raises(NotImplementedError,
+                       match="BYTE_STREAM_SPLIT for"):
+        write_parquet([("s", "BYTE_ARRAY", ["a"])],
+                      column_encoding={"s": "BYTE_STREAM_SPLIT"})
+
+
+def test_delta_byte_array_front_codes_smaller():
+    strs = ["prefix_%06d" % (i // 3) for i in range(3000)]
+    plain = write_parquet([("s", "BYTE_ARRAY", strs)],
+                          codec="UNCOMPRESSED")
+    dba = write_parquet([("s", "BYTE_ARRAY", strs)],
+                        codec="UNCOMPRESSED",
+                        column_encoding={"s": "DELTA_BYTE_ARRAY"})
+    assert len(dba) < len(plain) / 4
+
+
+def test_rle_hybrid_mixed_runs_roundtrip():
+    """The mixed RLE/bit-packed encoder against the reader's hybrid
+    decoder: long runs, short runs, and the mid-stream padding trap
+    (a bit-packed group may only pad at stream end)."""
+    import random
+
+    from levi_spark.operators.parquetmeta import _rle_bp_hybrid
+    from levi_spark.operators.parquetwrite import _rle_hybrid
+
+    rng = random.Random(0xC0)
+    for width in (1, 2, 5, 12):
+        for _ in range(20):
+            vals = []
+            while len(vals) < 500:
+                if rng.random() < 0.4:
+                    vals.extend(
+                        [rng.randrange(1 << width)]
+                        * rng.randrange(1, 40)
+                    )
+                else:
+                    vals.extend(
+                        rng.randrange(1 << width)
+                        for _ in range(rng.randrange(1, 10))
+                    )
+            enc = _rle_hybrid(vals, width)
+            assert _rle_bp_hybrid(enc, width, len(vals)) == vals
