@@ -14128,6 +14128,50 @@ def parquet_write_roundtrip(spark, sf_dir):
                     )
                 if lim is None:
                     ref = back
+            # round-10 writer-surface leg (2048-row prefix, per the
+            # same budget note): v2 pages, record-aligned multi-page
+            # chunks, page index, and the closed VALUE-encoding
+            # matrix — delta ints, BYTE_STREAM_SPLIT doubles,
+            # front-coded strings — plus STRUCT and MAP columns read
+            # back through the full Dremel assembly
+            from levi_spark.operators.parquetassembly import (
+                read_rows_bytes,
+            )
+
+            kk, pp, sq = ks[:2048], ps[:2048], ss[:2048]
+            structs = [
+                None if k % 23 == 0 else {"p": v, "s": s}
+                for k, v, s in zip(kk, pp, sq)
+            ]
+            maps = [[("o", k), ("m", k % 97)] for k in kk]
+            blob = write_parquet(
+                [("k", "INT64", kk), ("price", "DOUBLE", pp),
+                 ("prio", "BYTE_ARRAY", sq),
+                 ("st", "STRUCT<p:DOUBLE,s:BYTE_ARRAY>", structs),
+                 ("mp", "MAP<BYTE_ARRAY,INT64>", maps)],
+                codec="SNAPPY", row_group_size=1024, page_rows=256,
+                data_page_version=2, write_page_index=True,
+                column_encoding={"k": "DELTA_BINARY_PACKED",
+                                 "price": "BYTE_STREAM_SPLIT",
+                                 "prio": "DELTA_BYTE_ARRAY"},
+            )
+            t = _pq.read_table(_pa.BufferReader(blob))
+            if (t.column("k").to_pylist(),
+                t.column("price").to_pylist(),
+                t.column("prio").to_pylist(),
+                t.column("st").to_pylist(),
+                t.column("mp").to_pylist()) != (kk, pp, sq,
+                                                structs, maps):
+                raise ValueError(
+                    "pyarrow misreads our v2/encoded/nested file"
+                )
+            rows = read_rows_bytes(blob)
+            if ([r["k"] for r in rows] != kk
+                    or [r["st"] for r in rows] != structs
+                    or [r["mp"] for r in rows] != maps):
+                raise ValueError(
+                    "our assembly misreads our v2/encoded/nested file"
+                )
             yield pd.DataFrame(
                 {
                     "n_rows": [len(ks)],
