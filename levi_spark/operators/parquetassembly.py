@@ -225,6 +225,76 @@ def _is_map_group(node: dict) -> bool:
     )
 
 
+def _leaf_converter(node: dict):
+    """Value converter for a leaf's logical/converted type, or None.
+    Mirrors pyarrow ``to_pylist``: DATE -> datetime.date, TIMESTAMP
+    -> datetime (tz-aware iff isAdjustedToUTC; pandas.Timestamp for
+    NANOS, which datetime cannot hold), TIME -> datetime.time,
+    DECIMAL -> decimal.Decimal, unsigned INTEGER -> reinterpreted
+    int.  LogicalType wins over the legacy ConvertedType when both
+    are present (pyarrow writes both)."""
+    import datetime as _dt
+    import decimal as _dec
+
+    conv = node["converted"]
+    lt = node["logical"] or {}
+    ptype = node["ptype"]
+    if 6 in lt or conv == 6:  # DATE (epoch days)
+        epoch = _dt.date(1970, 1, 1)
+        return lambda v: epoch + _dt.timedelta(days=v)
+    if 8 in lt or conv in (9, 10):  # TIMESTAMP
+        if 8 in lt:
+            unit = lt[8].get(2) or {}
+            utc = bool(lt[8].get(1))
+            u = "ms" if 1 in unit else ("us" if 2 in unit else "ns")
+        else:
+            # legacy ConvertedType: per parquet.thrift these are
+            # UTC-adjusted instants
+            u = "ms" if conv == 9 else "us"
+            utc = True
+        if u == "ns":
+            import pandas as _pd
+
+            tz = "UTC" if utc else None
+            return lambda v: _pd.Timestamp(v, unit="ns", tz=tz)
+        ep = _dt.datetime(
+            1970, 1, 1,
+            tzinfo=_dt.timezone.utc if utc else None,
+        )
+        mult = 1000 if u == "ms" else 1
+        return lambda v: ep + _dt.timedelta(microseconds=v * mult)
+    if 7 in lt or conv in (7, 8):  # TIME
+        if 7 in lt:
+            unit = lt[7].get(2) or {}
+            u = "ms" if 1 in unit else ("us" if 2 in unit else "ns")
+        else:
+            u = "ms" if conv == 7 else "us"
+        div = {"ms": 0.001, "us": 1, "ns": 1000}[u]
+
+        def to_time(v, _div=div):
+            us = int(v / _div) if _div != 1 else v
+            return (_dt.datetime.min
+                    + _dt.timedelta(microseconds=us)).time()
+
+        return to_time
+    if 5 in lt or conv == 5:  # DECIMAL
+        scale = (lt.get(5) or {}).get(1)
+        if scale is None:
+            scale = node["scale"] or 0
+        if ptype in ("INT32", "INT64"):
+            return lambda v: _dec.Decimal(v).scaleb(-scale)
+        return lambda v: _dec.Decimal(
+            int.from_bytes(v, "big", signed=True)
+        ).scaleb(-scale)
+    if 10 in lt and not lt[10].get(2, True):  # unsigned INTEGER
+        bw = lt[10].get(1) or (
+            32 if ptype == "INT32" else 64
+        )
+        mask = (1 << bw) - 1
+        return lambda v: v & mask
+    return None
+
+
 def _collapse(node: dict, value):
     """Apply the LIST / MAP logical annotations to a merged
     structural value so the result matches the logical row shape
@@ -236,7 +306,11 @@ def _collapse(node: dict, value):
     if value is None:
         return None
     if node["ptype"] is not None:  # leaf primitive
-        return value
+        cv = node.get("_leaf_conv")
+        if cv is None:
+            cv = _leaf_converter(node) or False
+            node["_leaf_conv"] = cv
+        return cv(value) if cv else value
     if node["rep"] == 2:
         # repeated group used directly: value is a list of contents
         return [_collapse_group_content(node, item) for item in value]

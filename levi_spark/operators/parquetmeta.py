@@ -193,6 +193,8 @@ def parse_footer(meta: bytes) -> dict:
             "repl": rl,
             "converted": el.get(6),
             "logical": lt if isinstance(lt, dict) else None,
+            "scale": el.get(7),
+            "precision": el.get(8),
             "children": [],
             "ptype": None,
             "path": None,

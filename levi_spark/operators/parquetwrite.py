@@ -429,10 +429,117 @@ def _compress(codec: str, body: bytes) -> bytes:
     raise NotImplementedError(f"writer codec {codec}")
 
 
+def _leaf_type(tname: str):
+    """Resolve a leaf type name -> (physical type, SchemaElement
+    extras, python->physical converter|None).  Covers the logical
+    types a lakehouse column actually carries: DATE,
+    TIME_MILLIS/MICROS, TIMESTAMP_MILLIS/MICROS (naive; _UTC suffix
+    for instant semantics — pyarrow's own layout: ConvertedType
+    always set, LogicalType carries isAdjustedToUTC), and
+    DECIMAL(p,s) on INT64 (precision <= 18).  Converters accept
+    datetime.date / datetime / time / Decimal objects or raw ints."""
+    import datetime as _dt
+    import decimal as _dec
+
+    if tname == "DATE":
+        epoch = _dt.date(1970, 1, 1)
+
+        def cv(v):
+            return v if isinstance(v, int) else (v - epoch).days
+
+        return "INT32", {"conv": 6, "logical": (6, None)}, cv
+    if tname in ("TIME_MILLIS", "TIME_MICROS"):
+        us = tname == "TIME_MICROS"
+
+        def cv(v, _us=us):
+            if isinstance(v, int):
+                return v
+            micro = ((v.hour * 3600 + v.minute * 60 + v.second)
+                     * 1000000 + v.microsecond)
+            return micro if _us else micro // 1000
+
+        return (
+            "INT64" if us else "INT32",
+            {"conv": 8 if us else 7,
+             "logical": (7, {"utc": True, "unit": 2 if us else 1})},
+            cv,
+        )
+    if tname.startswith("TIMESTAMP_"):
+        base = tname.removesuffix("_UTC")
+        utc = tname.endswith("_UTC")
+        if base not in ("TIMESTAMP_MILLIS", "TIMESTAMP_MICROS"):
+            raise NotImplementedError(f"writer type {tname}")
+        us = base == "TIMESTAMP_MICROS"
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+
+        def cv(v, _us=us, _ep=epoch):
+            if isinstance(v, int):
+                return v
+            if v.tzinfo is None:
+                v = v.replace(tzinfo=_dt.timezone.utc)
+            delta = v - _ep
+            micro = (delta.days * 86400 + delta.seconds) * 1000000 \
+                + delta.microseconds
+            return micro if _us else micro // 1000
+
+        return (
+            "INT64",
+            {"conv": 10 if us else 9,
+             "logical": (8, {"utc": utc, "unit": 2 if us else 1})},
+            cv,
+        )
+    if tname.startswith("DECIMAL(") and tname.endswith(")"):
+        p, s_ = (int(x) for x in tname[8:-1].split(","))
+        if p > 18:
+            raise NotImplementedError(
+                f"writer DECIMAL precision {p} > 18 (INT64 storage)"
+            )
+
+        def cv(v, _s=s_):
+            if isinstance(v, int):
+                return v
+            q = _dec.Decimal(v).scaleb(_s)
+            if q != q.to_integral_value():
+                raise ValueError(
+                    f"decimal {v} does not fit scale {_s}"
+                )
+            return int(q)
+
+        return (
+            "INT64",
+            {"conv": 5, "logical": (5, {"scale": s_, "prec": p}),
+             "scale": s_, "prec": p},
+            cv,
+        )
+    if tname not in _PTYPES:
+        raise NotImplementedError(f"writer physical type {tname}")
+    return tname, {}, None
+
+
+def _split_top(spec: str) -> list[str]:
+    """Split on commas at paren/angle depth 0 (DECIMAL(p,s) and
+    nested generics carry their own commas)."""
+    parts: list[str] = []
+    depth = 0
+    cur = []
+    for ch in spec:
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
 def _struct_fields(spec: str) -> list[tuple[str, str]]:
     return [
         (p.split(":", 1)[0].strip(), p.split(":", 1)[1].strip())
-        for p in spec.split(",")
+        for p in _split_top(spec)
     ]
 
 
@@ -442,34 +549,36 @@ def _column_plan(name: str, ctype: str) -> dict:
     ``LIST<T>``, ``STRUCT<a:T1,b:T2,...>`` (primitive fields) and
     ``MAP<K,V>`` (required key per the spec)."""
     if ctype.startswith("LIST<") and ctype.endswith(">"):
-        pt = ctype[5:-1]
+        pt, extra, cv = _leaf_type(ctype[5:-1])
         return {
             "kind": "list",
             "schema": [
                 {"rep": 1, "name": name, "nchild": 1, "conv": 3},
                 {"rep": 2, "name": "list", "nchild": 1},
-                {"rep": 1, "name": "element", "ptype": pt},
+                {"rep": 1, "name": "element", "ptype": pt, **extra},
             ],
             "leaves": [{"path": [name, "list", "element"],
-                        "ptype": pt, "max_def": 3, "max_rep": 1}],
+                        "ptype": pt, "max_def": 3, "max_rep": 1,
+                        "to_phys": cv}],
         }
     if ctype.startswith("STRUCT<") and ctype.endswith(">"):
         fields = _struct_fields(ctype[7:-1])
+        resolved = [(fn,) + _leaf_type(pt) for fn, pt in fields]
         return {
             "kind": "struct",
             "fields": fields,
             "schema": [
                 {"rep": 1, "name": name, "nchild": len(fields)},
             ] + [
-                {"rep": 1, "name": fn, "ptype": pt}
-                for fn, pt in fields
+                {"rep": 1, "name": fn, "ptype": pt, **extra}
+                for fn, pt, extra, _cv in resolved
             ],
             "leaves": [{"path": [name, fn], "ptype": pt,
-                        "max_def": 2, "max_rep": 0}
-                       for fn, pt in fields],
+                        "max_def": 2, "max_rep": 0, "to_phys": cv}
+                       for fn, pt, _extra, cv in resolved],
         }
     if ctype.startswith("MAP<") and ctype.endswith(">"):
-        kt, vt = (p.strip() for p in ctype[4:-1].split(",", 1))
+        kt, vt = (p.strip() for p in _split_top(ctype[4:-1]))
         return {
             "kind": "map",
             "schema": [
@@ -485,17 +594,30 @@ def _column_plan(name: str, ctype: str) -> dict:
                  "max_def": 3, "max_rep": 1},
             ],
         }
+    ptype, extra, cv = _leaf_type(ctype)
     return {
         "kind": "flat",
-        "schema": [{"rep": 1, "name": name, "ptype": ctype}],
-        "leaves": [{"path": [name], "ptype": ctype,
-                    "max_def": 1, "max_rep": 0}],
+        "schema": [{"rep": 1, "name": name, "ptype": ptype,
+                    **extra}],
+        "leaves": [{"path": [name], "ptype": ptype,
+                    "max_def": 1, "max_rep": 0, "to_phys": cv}],
     }
 
 
 def _shred(plan: dict, seg: list) -> list[dict]:
     """Stripe one column segment into per-leaf level/value streams
-    (defs, reps, present) per the plan."""
+    (defs, reps, present) per the plan; logical-typed leaves convert
+    python values (date/datetime/time/Decimal) to their physical
+    ints on the way out."""
+    out = _shred_raw(plan, seg)
+    for ld in out:
+        cv = ld.get("to_phys")
+        if cv is not None:
+            ld["present"] = [cv(v) for v in ld["present"]]
+    return out
+
+
+def _shred_raw(plan: dict, seg: list) -> list[dict]:
     kind = plan["kind"]
     if kind == "flat":
         ld = dict(plan["leaves"][0])
@@ -905,6 +1027,24 @@ def write_parquet(
             tw.i32(6, se["conv"])
         elif se.get("ptype") == "BYTE_ARRAY":
             tw.i32(6, 0)  # ConvertedType UTF8
+        if "scale" in se:
+            tw.i32(7, se["scale"])
+            tw.i32(8, se["prec"])
+        if "logical" in se:
+            member, payload = se["logical"]
+            tw.struct_field(10)
+            tw.struct_field(member)
+            if member == 5:  # DECIMAL {1: scale, 2: precision}
+                tw.i32(1, payload["scale"])
+                tw.i32(2, payload["prec"])
+            elif member in (7, 8):  # TIME/TIMESTAMP
+                tw.boolean(1, payload["utc"])
+                tw.struct_field(2)  # unit union
+                tw.struct_field(payload["unit"])
+                tw.end()
+                tw.end()
+            tw.end()
+            tw.end()
         tw.end()
     tw.i64(3, n_rows)
     tw.list_header(4, _STRUCTT, len(groups))
