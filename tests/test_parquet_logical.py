@@ -159,3 +159,22 @@ def test_timestamp_stats_prune_on_our_files(tmp_path):
     plan = plan_scan(str(p), "ts", lo, hi)
     assert plan["row_groups_kept"] == [1, 2]
     assert plan["pages_kept"] <= 2  # one 256-row page per group
+
+
+def test_int96_legacy_timestamps_through_assembly():
+    """Legacy Spark INT96 timestamps (julian day + nanos-in-day)
+    assemble to instants equal to pyarrow's read, flat and inside
+    lists."""
+    t = pa.table({
+        "ts": pa.array(
+            [datetime.datetime(2021, 5, 1, 12, 30, 15, 123456),
+             None, datetime.datetime(1960, 1, 1)],
+            pa.timestamp("us")),
+        "l": pa.array(
+            [[datetime.datetime(2000, 1, 1, 1)], None, []],
+            pa.list_(pa.timestamp("us"))),
+    })
+    blob = _blob(t, use_deprecated_int96_timestamps=True,
+                 use_dictionary=False)
+    assert read_rows_bytes(blob) == pq.read_table(
+        pa.BufferReader(blob)).to_pylist()
