@@ -14236,9 +14236,13 @@ def parquet_record_assembly(spark, sf_dir):
             read_rows_bytes,
         )
 
+        import datetime as _dt
+        import decimal as _decm
+
         x_type = _pa.list_(_pa.struct(
             [("u", _pa.int64()), ("v", _pa.string())]))
         m_type = _pa.map_(_pa.string(), _pa.int64())
+        epoch = _dt.date(1970, 1, 1)
         for pdf in batches:
             ks = [int(v) for v in pdf["o_orderkey"]]
             xs, ms = [], []
@@ -14256,9 +14260,16 @@ def parquet_record_assembly(spark, sf_dir):
                     ])
                 ms.append([("a%d" % i, (k + i) % 11)
                            for i in range(k % 3)])
+            # logical-typed siblings drive the assembly's converted
+            # leaves through the gate: date32 epoch-days and a
+            # decimal128(12,2) both derived from k
+            dts = [epoch + _dt.timedelta(days=k % 1000) for k in ks]
+            dcs = [_decm.Decimal(k % 10000).scaleb(-2) for k in ks]
             t = _pa.table({
                 "x": _pa.array(xs, x_type),
                 "m": _pa.array(ms, m_type),
+                "dt": _pa.array(dts, _pa.date32()),
+                "dc": _pa.array(dcs, _pa.decimal128(12, 2)),
             })
             sink = _pa.BufferOutputStream()
             _pq.write_table(t, sink, compression="zstd",
@@ -14279,6 +14290,12 @@ def parquet_record_assembly(spark, sf_dir):
             n_null_structs = sum(1 for s in structs if s is None)
             live = [s for s in structs if s is not None]
             entries = [e for r in got for e in r["m"]]
+            # metrics computed from the CONVERTED objects (date /
+            # Decimal), so a broken logical decode cannot hash-match
+            sum_dt_day = sum(r["dt"].day for r in got)
+            sum_dc_q = sum(
+                int(r["dc"].scaleb(2)) for r in got
+            )
             yield pd.DataFrame({
                 "n_rows": [len(got)],
                 "n_null_x": [n_null_x],
@@ -14289,13 +14306,16 @@ def parquet_record_assembly(spark, sf_dir):
                 "sum_vlen": [sum(len(s["v"]) for s in live)],
                 "n_map_entries": [len(entries)],
                 "sum_map_vals": [sum(v for _k, v in entries)],
+                "sum_dt_day": [sum_dt_day],
+                "sum_dc_q": [sum_dc_q],
             }).astype("int64")
 
     parts = orders.mapInPandas(
         assemble,
         "n_rows long, n_null_x long, n_empty_x long, "
         "n_structs long, n_null_structs long, sum_u long, "
-        "sum_vlen long, n_map_entries long, sum_map_vals long",
+        "sum_vlen long, n_map_entries long, sum_map_vals long, "
+        "sum_dt_day long, sum_dc_q long",
     )
     return parts.agg(
         F.sum("n_rows").alias("n_rows"),
@@ -14307,6 +14327,8 @@ def parquet_record_assembly(spark, sf_dir):
         F.sum("sum_vlen").alias("sum_vlen"),
         F.sum("n_map_entries").alias("n_map_entries"),
         F.sum("sum_map_vals").alias("sum_map_vals"),
+        F.sum("sum_dt_day").alias("sum_dt_day"),
+        F.sum("sum_dc_q").alias("sum_dc_q"),
     )
 
 
@@ -14335,7 +14357,11 @@ SELECT
      FROM items WHERE (k + j) % 23 <> 0) AS sum_vlen,
   (SELECT COUNT(*) FROM maps) AS n_map_entries,
   (SELECT CAST(COALESCE(SUM((k + i) % 11), 0) AS BIGINT)
-     FROM maps) AS sum_map_vals
+     FROM maps) AS sum_map_vals,
+  (SELECT CAST(SUM(EXTRACT(day FROM
+       DATE '1970-01-01' + CAST(k % 1000 AS INTEGER))) AS BIGINT)
+     FROM base) AS sum_dt_day,
+  (SELECT CAST(SUM(k % 10000) AS BIGINT) FROM base) AS sum_dc_q
 """
 
 
