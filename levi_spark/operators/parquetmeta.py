@@ -860,7 +860,10 @@ def plan_scan(path: str, column: str, lo, hi) -> dict:
     index) pages survive on ColumnIndex min/max. Returns counts plus
     the exact byte ranges a 100 TB executor would fetch. Stats are
     RANGE bounds, so a kept group/page MAY contain no match; a
-    dropped one NEVER does (the skipped_stats soundness contract)."""
+    dropped one NEVER does (the skipped_stats soundness contract).
+    A POINT scan (``lo == hi``) additionally probes each
+    stats-surviving group's split-block Bloom filter when the writer
+    emitted one — the membership evidence range stats cannot give."""
     stats = read_statistics(path)
     try:
         pidx = read_page_index(path, column)
@@ -868,11 +871,26 @@ def plan_scan(path: str, column: str, lo, hi) -> dict:
         pidx = None
     kept_groups = []
     rows_pruned = 0
+    bloom_pruned: list[int] = []
+    bloom_plan = None
+    if lo == hi:
+        from levi_spark.operators.parquetbloom import (
+            plan_point_lookup,
+        )
+
+        bp = plan_point_lookup(path, column, lo)
+        if bp["has_bloom"]:
+            bloom_plan = bp
     for gi, g in enumerate(stats["row_groups"]):
         st = g["columns"].get(column) or {}
         mn, mx = st.get("min"), st.get("max")
         if mn is not None and mx is not None and (mx < lo or mn > hi):
             rows_pruned += g["num_rows"]
+            continue
+        if (bloom_plan is not None
+                and bloom_plan["pruned"].get(gi) == "bloom"):
+            rows_pruned += g["num_rows"]
+            bloom_pruned.append(gi)
             continue
         kept_groups.append(gi)
     page_ranges = []
@@ -899,4 +917,6 @@ def plan_scan(path: str, column: str, lo, hi) -> dict:
         "pages_kept": pages_kept,
         "page_byte_ranges": page_ranges,
         "has_page_index": pidx is not None,
+        "row_groups_pruned_by_bloom": bloom_pruned,
+        "has_bloom": bloom_plan is not None,
     }

@@ -188,3 +188,38 @@ def test_bloom_with_dictionary_and_column_subset():
     plan_j = plan_point_lookup_bytes(blob, "j", 4999)
     assert not plan_j["has_bloom"]
     assert plan_j["row_groups_kept"] == [2]
+
+
+def test_plan_scan_point_consults_bloom(tmp_path):
+    """plan_scan with lo == hi probes the bloom filters: a present
+    key keeps exactly its group, absent in-range keys prune the
+    stats-admitted group, range scans never touch the filters."""
+    from levi_spark.operators.parquetmeta import plan_scan
+
+    rng = random.Random(4)
+    ks = sorted(rng.sample(range(0, 10**6, 7), 20000))
+    blob = write_parquet(
+        [("k", "INT64", ks)], codec="SNAPPY", row_group_size=1024,
+        page_rows=256, write_page_index=True, bloom_filter=["k"],
+    )
+    p = tmp_path / "pt.parquet"
+    p.write_bytes(blob)
+    plan = plan_scan(str(p), "k", ks[7777], ks[7777])
+    assert plan["has_bloom"]
+    assert plan["row_groups_kept"] == [7777 // 1024]
+    present = set(ks)
+    pruned = 0
+    for _ in range(40):
+        v = rng.randrange(0, 10**6)
+        if v in present:
+            continue
+        pt = plan_scan(str(p), "k", v, v)
+        pruned += len(pt["row_groups_pruned_by_bloom"])
+        # soundness inherited: pruned groups cannot hold the value
+        all_vals = read_column_bytes(blob, "k")
+        for gi in pt["row_groups_pruned_by_bloom"]:
+            assert v not in all_vals[gi * 1024: (gi + 1) * 1024]
+    assert pruned > 0
+    rng_plan = plan_scan(str(p), "k", 3000, 9000)
+    assert not rng_plan["has_bloom"]
+    assert not rng_plan["row_groups_pruned_by_bloom"]
