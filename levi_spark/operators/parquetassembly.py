@@ -269,10 +269,15 @@ def _leaf_converter(node: dict):
             u = "ms" if 1 in unit else ("us" if 2 in unit else "ns")
         else:
             u = "ms" if conv == 7 else "us"
-        div = {"ms": 0.001, "us": 1, "ns": 1000}[u]
-
-        def to_time(v, _div=div):
-            us = int(v / _div) if _div != 1 else v
+        # integer arithmetic only: 7 ms / 0.001 in floats floors to
+        # 6999 us (0.001 has no exact binary form)
+        def to_time(v, _u=u):
+            if _u == "ms":
+                us = v * 1000
+            elif _u == "ns":
+                us = v // 1000
+            else:
+                us = v
             return (_dt.datetime.min
                     + _dt.timedelta(microseconds=us)).time()
 

@@ -178,3 +178,15 @@ def test_int96_legacy_timestamps_through_assembly():
                  use_dictionary=False)
     assert read_rows_bytes(blob) == pq.read_table(
         pa.BufferReader(blob)).to_pylist()
+
+
+def test_time_millis_integer_exactness():
+    """7 ms must decode to exactly 7000 us — float division by 0.001
+    floors to 6999 (the bug this pins); time32[ms] across the field."""
+    vals = [datetime.time(0, 0, 0, 7000), None,
+            datetime.time(12, 34, 56, 789000)]
+    t = pa.table({"tm": pa.array(vals, pa.time32("ms"))})
+    blob = _blob(t, use_dictionary=False)
+    got = read_rows_bytes(blob)
+    assert got == pq.read_table(pa.BufferReader(blob)).to_pylist()
+    assert got[0]["tm"] == datetime.time(0, 0, 0, 7000)
