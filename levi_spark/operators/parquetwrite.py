@@ -38,7 +38,7 @@ _I32T, _I64T, _BINT, _LISTT, _STRUCTT = 5, 6, 8, 9, 12
 _TRUET, _FALSET = 1, 2
 
 _PTYPES = {"BOOLEAN": 0, "INT32": 1, "INT64": 2, "FLOAT": 4,
-           "DOUBLE": 5, "BYTE_ARRAY": 6}
+           "DOUBLE": 5, "BYTE_ARRAY": 6, "FIXED_LEN_BYTE_ARRAY": 7}
 _CODECS = {"UNCOMPRESSED": 0, "SNAPPY": 1, "GZIP": 2, "ZSTD": 6,
            "LZ4_RAW": 7}
 
@@ -252,6 +252,8 @@ def _plain(ptype: str, values: list) -> bytes:
             raw = v.encode("utf-8") if isinstance(v, str) else bytes(v)
             out += struct.pack("<i", len(raw)) + raw
         return bytes(out)
+    if ptype == "FIXED_LEN_BYTE_ARRAY":
+        return b"".join(bytes(v) for v in values)
     raise NotImplementedError(f"writer physical type {ptype}")
 
 
@@ -490,12 +492,8 @@ def _leaf_type(tname: str):
         )
     if tname.startswith("DECIMAL(") and tname.endswith(")"):
         p, s_ = (int(x) for x in tname[8:-1].split(","))
-        if p > 18:
-            raise NotImplementedError(
-                f"writer DECIMAL precision {p} > 18 (INT64 storage)"
-            )
 
-        def cv(v, _s=s_):
+        def unscaled(v, _s=s_):
             if isinstance(v, int):
                 return v
             q = _dec.Decimal(v).scaleb(_s)
@@ -505,12 +503,21 @@ def _leaf_type(tname: str):
                 )
             return int(q)
 
-        return (
-            "INT64",
-            {"conv": 5, "logical": (5, {"scale": s_, "prec": p}),
-             "scale": s_, "prec": p},
-            cv,
-        )
+        extra = {"conv": 5, "logical": (5, {"scale": s_, "prec": p}),
+                 "scale": s_, "prec": p}
+        if p <= 18:
+            return "INT64", extra, unscaled
+        # wide decimals: fixed-len two's complement, minimal width
+        # holding +-(10^p - 1)
+        tlen = 1
+        while (1 << (8 * tlen - 1)) <= 10 ** p:
+            tlen += 1
+        extra["tlen"] = tlen
+
+        def cv(v, _t=tlen):
+            return unscaled(v).to_bytes(_t, "big", signed=True)
+
+        return "FIXED_LEN_BYTE_ARRAY", extra, cv
     if tname not in _PTYPES:
         raise NotImplementedError(f"writer physical type {tname}")
     return tname, {}, None
@@ -595,12 +602,18 @@ def _column_plan(name: str, ctype: str) -> dict:
             ],
         }
     ptype, extra, cv = _leaf_type(ctype)
+    leaf = {"path": [name], "ptype": ptype,
+            "max_def": 1, "max_rep": 0, "to_phys": cv}
+    if ptype == "FIXED_LEN_BYTE_ARRAY":
+        # byte order is not DECIMAL order: select min/max numerically
+        leaf["stat_key"] = lambda b: int.from_bytes(
+            b, "big", signed=True
+        )
     return {
         "kind": "flat",
         "schema": [{"rep": 1, "name": name, "ptype": ptype,
                     **extra}],
-        "leaves": [{"path": [name], "ptype": ptype,
-                    "max_def": 1, "max_rep": 0, "to_phys": cv}],
+        "leaves": [leaf],
     }
 
 
@@ -908,9 +921,14 @@ def write_parquet(
                     has_nan_p = ptype in ("DOUBLE", "FLOAT") and any(
                         v != v for v in pvals
                     )
+                    skey = ld.get("stat_key")
                     if pvals and not has_nan_p:
                         page_stats.append(
-                            (False, min(pvals), max(pvals),
+                            (False,
+                             min(pvals, key=skey) if skey
+                             else min(pvals),
+                             max(pvals, key=skey) if skey
+                             else max(pvals),
                              len(pdefs) - n_def)
                         )
                     else:
@@ -941,7 +959,14 @@ def write_parquet(
                     v != v for v in present
                 )
                 if present and not has_nan and max_rep == 0:
-                    stats = (min(present), max(present), nn)
+                    skey = ld.get("stat_key")
+                    stats = (
+                        min(present, key=skey) if skey
+                        else min(present),
+                        max(present, key=skey) if skey
+                        else max(present),
+                        nn,
+                    )
                 chunks.append(
                     {
                         "path": ld["path"],
@@ -956,6 +981,8 @@ def write_parquet(
                         "null_count": nn,
                         "bloom_offset": bloom_off,
                         "bloom_length": bloom_len,
+                        "keyed_stats": ld.get("stat_key")
+                        is not None,
                         "page_locs": page_locs,
                         "page_stats": page_stats,
                     }
@@ -983,7 +1010,8 @@ def write_parquet(
                         b"" if null_page
                         else _stat_bytes(c["ptype"], mx)
                     )
-                ci.i32(4, _boundary_order(c["page_stats"]))
+                ci.i32(4, 0 if c.get("keyed_stats")
+                       else _boundary_order(c["page_stats"]))
                 ci.list_header(5, _I64T, n_pages)
                 for _np, _mn, _mx, nc in c["page_stats"]:
                     ci.i64_elem(nc)
@@ -1019,6 +1047,8 @@ def write_parquet(
         tw.struct_elem_begin()
         if "ptype" in se:
             tw.i32(1, _PTYPES[se["ptype"]])
+        if "tlen" in se:
+            tw.i32(2, se["tlen"])
         tw.i32(3, se["rep"])
         tw.binary(4, se["name"].encode("utf-8"))
         if "nchild" in se:

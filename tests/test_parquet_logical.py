@@ -129,10 +129,33 @@ def test_decimal_scale_contract():
         write_parquet(
             [("x", "DECIMAL(10,2)", [decimal.Decimal("1.005")])]
         )
-    with pytest.raises(NotImplementedError, match="precision"):
-        write_parquet(
-            [("x", "DECIMAL(22,2)", [decimal.Decimal("1")])]
-        )
+
+
+def test_wide_decimal_flba_three_readers(tmp_path):
+    """DECIMAL(p>18) stores as fixed-len two's complement; stats are
+    selected NUMERICALLY (byte order is not decimal order for
+    negatives) and read back signed-correct by pyarrow and DuckDB."""
+    vals = [decimal.Decimal("12345678901234567890.123"), None,
+            decimal.Decimal("-9999999999999999999.999"),
+            decimal.Decimal("0.001")]
+    blob = write_parquet(
+        [("wd", "DECIMAL(23,3)", vals)], codec="SNAPPY",
+        write_page_index=True,
+    )
+    t = pq.read_table(pa.BufferReader(blob))
+    assert str(t.schema.field("wd").type) == "decimal128(23, 3)"
+    assert t.column("wd").to_pylist() == vals
+    st = pq.ParquetFile(
+        pa.BufferReader(blob)).metadata.row_group(0).column(0
+                                                            ).statistics
+    assert st.min == decimal.Decimal("-9999999999999999999.999")
+    assert st.max == decimal.Decimal("12345678901234567890.123")
+    assert read_rows_bytes(blob) == t.to_pylist()
+    p = tmp_path / "wd.parquet"
+    p.write_bytes(blob)
+    assert duckdb.sql(
+        f"select min(wd), max(wd) from read_parquet('{p}')"
+    ).fetchone() == (vals[2], vals[0])
 
 
 def test_timestamp_stats_prune_on_our_files(tmp_path):
