@@ -202,13 +202,20 @@ def plan_point_lookup(path: str, column: str, value) -> dict:
 
 
 def plan_point_lookup_bytes(data: bytes, column: str, value) -> dict:
-    from levi_spark.operators.parquetmeta import _decode_stat
+    from levi_spark.operators.parquetmeta import (
+        _decode_stat,
+        stat_compare_key,
+    )
 
     footer, blooms = _footer_with_blooms(data)
     types = dict(footer["columns"])
     if column not in types:
         raise ValueError(f"{column!r} not in {sorted(types)}")
     ptype = types[column]
+    skey, sbytes = stat_compare_key(footer, column, ptype)
+    if skey is not None:
+        # may raise _ProbeNeverMatches: such a probe equals nothing
+        value = sbytes(value, footer["type_lengths"].get(column))
     h = bloom_hash(ptype, value)
     kept: list[int] = []
     pruned: dict[int, str] = {}
@@ -220,11 +227,14 @@ def plan_point_lookup_bytes(data: bytes, column: str, value) -> dict:
         bc = next(c for c in blooms[gi] if c["path"] == column)
         mn = _decode_stat(ptype, bc["stat_min"])
         mx = _decode_stat(ptype, bc["stat_max"])
-        if mn is not None and mx is not None and not (
-            mn <= value <= mx
-        ):
-            pruned[gi] = "stats"
-            continue
+        if mn is not None and mx is not None:
+            if skey is not None:
+                inside = skey(mn) <= skey(value) <= skey(mx)
+            else:
+                inside = mn <= value <= mx
+            if not inside:
+                pruned[gi] = "stats"
+                continue
         if bc["bloom_offset"] is not None:
             bf = read_bloom_filter(data, bc["bloom_offset"])
             if not bf.might_contain_hash(h):

@@ -854,6 +854,62 @@ def read_page_index(path: str, column: str) -> dict:
     return {"type": ptype, "row_groups": out}
 
 
+class _ProbeNeverMatches(ValueError):
+    """A probe value no stored value can equal (e.g. a decimal finer
+    than the column scale) — planners prune everything."""
+
+
+def _leaf_node(footer: dict, column: str) -> dict | None:
+    """The schema-tree node for a dotted leaf path."""
+    level = footer.get("schema_tree") or []
+    node = None
+    for part in column.split("."):
+        node = next((n for n in level if n["name"] == part), None)
+        if node is None:
+            return None
+        level = node["children"]
+    return node
+
+
+def stat_compare_key(footer: dict, column: str, ptype: str):
+    """Key for ORDERING a column's decoded stats, plus a probe
+    normalizer.  Matters for FIXED_LEN_BYTE_ARRAY decimals: their
+    min/max are signed two's complement, where unsigned byte order
+    puts negatives ABOVE positives — comparing raw would let stats
+    pruning drop groups that contain the probe (a false negative,
+    the one unsound direction).  Returns (key_fn, to_bytes_fn) or
+    (None, None) when raw comparison is already the declared
+    order."""
+    if ptype != "FIXED_LEN_BYTE_ARRAY":
+        return None, None
+    node = _leaf_node(footer, column)
+    if node is None:
+        return None, None
+    lt = node.get("logical") or {}
+    if node.get("converted") == 5 or 5 in lt:  # DECIMAL
+        scale = (lt.get(5) or {}).get(1)
+        if scale is None:
+            scale = node.get("scale") or 0
+        tlen = None  # probe width from the stat bytes at call site
+
+        def key(b):
+            return int.from_bytes(b, "big", signed=True)
+
+        def to_bytes(v, width):
+            if isinstance(v, (bytes, bytearray)):
+                return bytes(v)
+            import decimal as _dec
+
+            q = _dec.Decimal(v).scaleb(scale)
+            if q != q.to_integral_value():
+                # finer than the column scale: equals no stored value
+                raise _ProbeNeverMatches(v)
+            return int(q).to_bytes(width, "big", signed=True)
+
+        return key, to_bytes
+    return None, None  # plain FLBA: unsigned byte order is declared
+
+
 def plan_scan(path: str, column: str, lo, hi) -> dict:
     """Metadata-only scan plan for ``lo <= column <= hi``: row groups
     survive on footer min/max, then (when the writer emitted a page
@@ -865,6 +921,9 @@ def plan_scan(path: str, column: str, lo, hi) -> dict:
     stats-surviving group's split-block Bloom filter when the writer
     emitted one — the membership evidence range stats cannot give."""
     stats = read_statistics(path)
+    footer = read_footer(path)
+    ptype = dict(footer["columns"]).get(column)
+    skey, sbytes = stat_compare_key(footer, column, ptype)
     try:
         pidx = read_page_index(path, column)
     except ValueError:
@@ -878,13 +937,45 @@ def plan_scan(path: str, column: str, lo, hi) -> dict:
             plan_point_lookup,
         )
 
-        bp = plan_point_lookup(path, column, lo)
-        if bp["has_bloom"]:
+        try:
+            bp = plan_point_lookup(path, column, lo)
+        except _ProbeNeverMatches:
+            bp = None
+        if bp and bp["has_bloom"]:
             bloom_plan = bp
+
+    if skey is not None:
+        tlen = footer["type_lengths"].get(column)
+        try:
+            lo = sbytes(lo, tlen)
+            hi = sbytes(hi, tlen)
+        except _ProbeNeverMatches:
+            n_groups = len(stats["row_groups"])
+            return {
+                "row_groups_total": n_groups,
+                "row_groups_kept": [],
+                "rows_pruned_by_group_stats": sum(
+                    g["num_rows"] for g in stats["row_groups"]
+                ),
+                "pages_total_in_kept_groups": 0,
+                "pages_kept": 0,
+                "page_byte_ranges": [],
+                "has_page_index": pidx is not None,
+                "row_groups_pruned_by_bloom": [],
+                "has_bloom": bloom_plan is not None,
+            }
+
+    def before(a, b):  # a < b under the column's declared order
+        if skey is None:
+            return a < b
+        return skey(a) < skey(b)
+
     for gi, g in enumerate(stats["row_groups"]):
         st = g["columns"].get(column) or {}
         mn, mx = st.get("min"), st.get("max")
-        if mn is not None and mx is not None and (mx < lo or mn > hi):
+        if mn is not None and mx is not None and (
+            before(mx, lo) or before(hi, mn)
+        ):
             rows_pruned += g["num_rows"]
             continue
         if (bloom_plan is not None
@@ -903,7 +994,7 @@ def plan_scan(path: str, column: str, lo, hi) -> dict:
             for p in pages:
                 if p["null_page"]:
                     continue
-                if p["max"] < lo or p["min"] > hi:
+                if before(p["max"], lo) or before(hi, p["min"]):
                     continue
                 pages_kept += 1
                 page_ranges.append(

@@ -223,3 +223,51 @@ def test_plan_scan_point_consults_bloom(tmp_path):
     rng_plan = plan_scan(str(p), "k", 3000, 9000)
     assert not rng_plan["has_bloom"]
     assert not rng_plan["row_groups_pruned_by_bloom"]
+
+
+def test_flba_decimal_planner_signed_order(tmp_path):
+    """FLBA decimal stats are signed two's complement; unsigned byte
+    comparison would stats-prune groups CONTAINING a negative probe
+    (a false negative). The planner compares under the declared
+    DECIMAL order, normalizes Decimal probes, bloom-probes the raw
+    FLBA bytes, and returns a clean empty plan for probes finer than
+    the column scale."""
+    import bisect
+    import decimal
+
+    from levi_spark.operators.parquetmeta import plan_scan
+
+    vals = [decimal.Decimal(k).scaleb(-3)
+            for k in range(-1000000, 1000000, 97)]
+    blob = write_parquet(
+        [("wd", "DECIMAL(23,3)", vals)], codec="SNAPPY",
+        row_group_size=2048, page_rows=512,
+        write_page_index=True, bloom_filter=["wd"],
+    )
+    p = tmp_path / "wd.parquet"
+    p.write_bytes(blob)
+    # negative present probe: its group MUST survive
+    probe = vals[100]
+    assert probe < 0
+    plan = plan_scan(str(p), "wd", probe, probe)
+    assert 100 // 2048 in plan["row_groups_kept"]
+    # absent (scale-fitting) probe: bloom prunes
+    pl2 = plan_scan(str(p), "wd", decimal.Decimal("0.001"),
+                    decimal.Decimal("0.001"))
+    assert not pl2["row_groups_kept"]
+    assert pl2["row_groups_pruned_by_bloom"]
+    # probe finer than the column scale equals nothing: empty plan
+    fine = decimal.Decimal("-0.0005")
+    pl4 = plan_scan(str(p), "wd", fine, fine)
+    assert not pl4["row_groups_kept"]
+    assert pl4["rows_pruned_by_group_stats"] == len(vals)
+    # range scan across the sign boundary keeps exactly the span
+    lo, hi = decimal.Decimal("-5.000"), decimal.Decimal("5.000")
+    pl3 = plan_scan(str(p), "wd", lo, hi)
+    first = bisect.bisect_left(vals, lo) // 2048
+    last = (bisect.bisect_right(vals, hi) - 1) // 2048
+    assert pl3["row_groups_kept"] == list(range(first, last + 1))
+    # bloom probe accepts raw FLBA bytes too
+    raw = int(probe.scaleb(3)).to_bytes(10, "big", signed=True)
+    pb = plan_point_lookup_bytes(blob, "wd", raw)
+    assert 100 // 2048 in pb["row_groups_kept"]
