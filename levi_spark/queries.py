@@ -13641,6 +13641,190 @@ FROM orders
 """
 
 
+def orc_column_read(spark, sf_dir):
+    """An ORC COLUMN read with zero external ORC code — the capstone
+    over :mod:`levi_spark.operators.orc` (protobuf postscript/footer/
+    stripe-footer decode, compression chunk framing, RLEv2 all four
+    sub-encodings, byte/boolean RLE, PRESENT bitmaps, string
+    dictionary, date/timestamp decode) riding this repo's own
+    decompressors (``deflate.inflate`` — ORC "ZLIB" is raw DEFLATE —
+    ``snappy``, ``zstd``, ``lz4``).  Two legs, collapsed by
+    ``distinct()`` so ANY disagreement fails the row-count gate:
+
+    * **codec-matrix leg**: each of 8 partitions of orders becomes an
+      in-memory ORC file via pyarrow (codec chosen by the partition's
+      first key, cycling zlib/snappy/zstd/lz4/uncompressed), and the
+      int64 / nullable-double / string / date32 / timestamp[us]
+      columns are read back through the first-principles path and
+      cross-checked value-for-value against the input INSIDE the map
+      step — a wrong PATCHED_BASE patch, a mis-signed pre-1970 nano,
+      or a chunk-framing slip raises and the gate dies.
+    * **pruning leg**: one task writes orders SORTED by key with
+      64 KiB stripes, runs :func:`levi_spark.operators.orc.plan_scan`
+      on a low key range, and hard-asserts soundness by DECODING the
+      pruned stripes (zero in-range keys allowed) before computing the
+      same stats from the full first-principles read.
+
+    Oracle: recomputes every stat straight from orders.  Scale shape:
+    map-side per-partition write+read fan-out, one rollup exchange —
+    at 100 TB the footer/stripe-stat path is one ranged TAIL read per
+    file and pruned stripes cost zero data bytes (docstring analysis
+    matches the parquet planner's, ``operators/orc.py:plan_scan``)."""
+    import pandas as pd
+
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 7 != 0, F.col("o_totalprice")
+            ).alias("price"),
+            "o_orderpriority",
+        )
+        .repartition(8)
+    )
+
+    cols = ("n_rows long, sum_key long, n_null_price long, "
+            "sum_price double, prio_chars long, sum_days long, "
+            "sum_ts_secs long, sum_ts_micros long")
+
+    def _table_of(pdf):
+        import pyarrow as _pa
+
+        ks = [int(v) for v in pdf["o_orderkey"]]
+        price = [None if pd.isna(v) else float(v) for v in pdf["price"]]
+        days = [k % 20000 for k in ks]
+        ts_us = [((k * 7919) % 2600000000 - 1300000000) * 10**6
+                 + k % 1000000 for k in ks]
+        return _pa.table({
+            "k": _pa.array(ks, _pa.int64()),
+            "price": _pa.array(price, _pa.float64()),
+            "prio": _pa.array(list(pdf["o_orderpriority"]), _pa.utf8()),
+            "d": _pa.array(days, _pa.date32()),
+            "ts": _pa.array(ts_us, _pa.timestamp("us")),
+        })
+
+    def _verify_and_stats(blob_cols, t):
+        ks, ps, ss, ds, tss = blob_cols
+        if (ks != t.column("k").to_pylist()
+                or ps != t.column("price").to_pylist()
+                or ss != t.column("prio").to_pylist()
+                or ds != t.column("d").cast("int32").to_pylist()
+                or tss != [v * 1000 for v in t.column("ts")
+                           .cast("int64").to_pylist()]):
+            raise ValueError("first-principles ORC read diverges")
+        return pd.DataFrame({
+            "n_rows": [len(ks)],
+            "sum_key": [sum(ks)],
+            "n_null_price": [sum(1 for v in ps if v is None)],
+            "sum_price": [sum(int(v * 10000 + 0.5) for v in ps
+                              if v is not None)],
+            "prio_chars": [sum(len(s) for s in ss)],
+            "sum_days": [sum(ds)],
+            "sum_ts_secs": [sum(ns // 10**9 for ns in tss)],
+            "sum_ts_micros": [sum((ns % 10**9) // 1000 for ns in tss)],
+        })
+
+    def codec_matrix(batches):
+        import io as _io
+
+        import pyarrow.orc as _po
+
+        from levi_spark.operators.orc import read_column_bytes
+
+        codecs = ["zlib", "snappy", "zstd", "lz4", "uncompressed"]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            t = _table_of(pdf)
+            codec = codecs[int(pdf["o_orderkey"].iloc[0]) % len(codecs)]
+            sink = _io.BytesIO()
+            _po.write_table(t, sink, compression=codec)
+            blob = sink.getvalue()
+            got = [read_column_bytes(blob, c)
+                   for c in ("k", "price", "prio", "d", "ts")]
+            yield _verify_and_stats(got, t)
+
+    matrix = orders.mapInPandas(codec_matrix, cols).agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("sum_key").alias("sum_key"),
+        F.sum("n_null_price").alias("n_null_price"),
+        (F.sum("sum_price").cast("double") / 10000.0).alias("sum_price"),
+        F.sum("prio_chars").alias("prio_chars"),
+        F.sum("sum_days").alias("sum_days"),
+        F.sum("sum_ts_secs").alias("sum_ts_secs"),
+        F.sum("sum_ts_micros").alias("sum_ts_micros"),
+    )
+
+    def pruned_sorted(batches):
+        import io as _io
+
+        import pyarrow.orc as _po
+
+        from levi_spark.operators.orc import (
+            parse_footer,
+            plan_scan,
+            read_column_bytes,
+        )
+
+        pdfs = [p for p in batches if len(p)]
+        pdf = pd.concat(pdfs).sort_values("o_orderkey").reset_index(
+            drop=True
+        )
+        t = _table_of(pdf)
+        sink = _io.BytesIO()
+        _po.write_table(t, sink, compression="zstd",
+                        stripe_size=64 * 1024)
+        blob = sink.getvalue()
+        import os as _os
+        import tempfile as _tf
+
+        fd, path = _tf.mkstemp(suffix=".orc")
+        try:
+            with _os.fdopen(fd, "wb") as fh:
+                fh.write(blob)
+            footer = parse_footer(blob)
+            ks = read_column_bytes(blob, "k")
+            lo = ks[0]
+            hi = ks[0] + (ks[-1] - ks[0]) // 50
+            plan = plan_scan(path, "k", lo, hi)
+            if len(footer["stripes"]) >= 3 and not plan["stripes_pruned"]:
+                raise ValueError("sorted multi-stripe file pruned nothing")
+            offs = [0]
+            for s in footer["stripes"]:
+                offs.append(offs[-1] + s["num_rows"])
+            for i in plan["stripes_pruned"]:  # soundness: decode pruned
+                if any(lo <= v <= hi for v in ks[offs[i]:offs[i + 1]]):
+                    raise ValueError("ORC plan pruned a matching stripe")
+        finally:
+            _os.unlink(path)
+        got = [read_column_bytes(blob, c)
+               for c in ("k", "price", "prio", "d", "ts")]
+        out = _verify_and_stats(got, t)
+        out["sum_price"] = out["sum_price"].astype("float64") / 10000.0
+        yield out
+
+    pruning = orders.repartition(1).mapInPandas(pruned_sorted, cols)
+    return matrix.unionByName(pruning).distinct()
+
+
+ORC_COLUMN_SQL = """
+SELECT COUNT(*) AS n_rows,
+  CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+  CAST(SUM(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_null_price,
+  CAST(SUM(CASE WHEN o_orderkey % 7 <> 0
+       THEN CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)
+       ELSE 0 END) AS DOUBLE) / 10000.0 AS sum_price,
+  CAST(SUM(length(o_orderpriority)) AS BIGINT) AS prio_chars,
+  CAST(SUM(o_orderkey % 20000) AS BIGINT) AS sum_days,
+  CAST(SUM((o_orderkey * 7919) % 2600000000 - 1300000000) AS BIGINT)
+    AS sum_ts_secs,
+  CAST(SUM(o_orderkey % 1000000) AS BIGINT) AS sum_ts_micros
+FROM orders
+"""
+
+
 def zstd_lz4_roundtrip_stats(spark, sf_dir):
     """ZSTD (RFC 8878) and LZ4 (block + frame) owned on the decode
     side — :mod:`levi_spark.operators.zstd` and
@@ -16488,6 +16672,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # the 4 queries at positions 50-53 missed both rounds). So the
     # first 50 slots are rotation policy: never-gated queries first,
     # then queries changed this round, then oldest-green backfill.
+    # -- ROUND 9 second-session addition, slot 1 (leads the window:
+    #    never driver-gated) — the first-principles ORC reader. ---------
+    "orc_column_read": (orc_column_read, ORC_COLUMN_SQL),
     # -- ROUND 9 additions, slots 1-6 (lead the window: never
     #    driver-gated) — ZSTD/LZ4 decoders from first principles, the
     #    parquet reader matrix (zstd/lz4 codecs, data page v2, DELTA_*
