@@ -620,64 +620,111 @@ def read_column_bytes(data: bytes, column: str) -> list:
     col = root["subtypes"][pos]
     tinfo = footer["types"][col]
     kind = tinfo["kind"]
-    if kind == "list":
-        return _read_list_column(data, footer, col, tinfo)
-    if kind in ("struct", "map", "union"):
-        raise NotImplementedError(
-            f"ORC nested kind {kind!r} for column {column!r}"
-        )
     out: list = []
     for stripe in footer["stripes"]:
-        sf = _parse_stripe_footer(data, stripe, comp)
-        streams = _stripe_streams(data, stripe, sf, col, comp)
-        out.extend(_decode_column_stripe(
-            streams, sf["encodings"][col], kind, stripe["num_rows"], tinfo
-        ))
+        n = stripe["num_rows"]
+        if kind in ("struct", "list", "map", "union"):
+            out.extend(_StripeDecoder(data, stripe, footer).decode(col, n))
+        else:
+            sf = _parse_stripe_footer(data, stripe, comp)
+            streams = _stripe_streams(data, stripe, sf, col, comp)
+            out.extend(_decode_column_stripe(
+                streams, sf["encodings"][col], kind, n, tinfo
+            ))
     return out
 
 
-def _read_list_column(data: bytes, footer: dict, col: int,
-                      tinfo: dict) -> list:
-    comp = footer["postscript"]["compression"]
-    (child,) = tinfo["subtypes"]
-    ckind = footer["types"][child]["kind"]
-    if ckind in ("list", "map", "struct", "union"):
-        raise NotImplementedError("ORC: nested list element")
-    out: list = []
-    for stripe in footer["stripes"]:
-        sf = _parse_stripe_footer(data, stripe, comp)
-        streams = _stripe_streams(data, stripe, sf, col, comp)
-        version = 2 if sf["encodings"][col]["kind"] == "direct_v2" else 1
+# ------------------------------------------------------- record assembly
+class _StripeDecoder:
+    """Recursive decoder for one stripe: any composition of struct /
+    list / map over the primitive kinds.  ORC nesting is simpler than
+    Dremel — each nested column carries its own PRESENT bitmap (one
+    bit per occurrence within present parents) and LIST/MAP carry a
+    LENGTH stream — so assembly is a straight recursion, no
+    repetition-level automaton."""
+
+    def __init__(self, data: bytes, stripe: dict, footer: dict):
+        self.data = data
+        self.stripe = stripe
+        self.types = footer["types"]
+        self.comp = footer["postscript"]["compression"]
+        self.sf = _parse_stripe_footer(data, stripe, self.comp)
+
+    def _streams(self, col: int) -> dict[str, bytes]:
+        return _stripe_streams(self.data, self.stripe, self.sf, col,
+                               self.comp)
+
+    def decode(self, col: int, n_slots: int) -> list:
+        t = self.types[col]
+        kind = t["kind"]
+        streams = self._streams(col)
+        enc = self.sf["encodings"][col]
+        if kind not in ("struct", "list", "map", "union"):
+            return _decode_column_stripe(streams, enc, kind, n_slots, t)
         present = None
-        n = stripe["num_rows"]
         if "present" in streams:
-            present = boolean_rle(streams["present"], n)
+            present = boolean_rle(streams["present"], n_slots)
             n_present = sum(present)
         else:
-            n_present = n
-        lens = _int_rle(streams["length"], n_present, False, version)
-        total = sum(lens)
-        cstreams = _stripe_streams(data, stripe, sf, child, comp)
-        # the child's PRESENT (if any) covers `total` slots
-        flat = _decode_child_values(
-            cstreams, sf["encodings"][child], ckind, total,
-            footer["types"][child],
-        )
-        it = iter(lens)
-        vit = iter(flat)
-        row_vals = []
-        for has in (present if present is not None else [True] * n):
-            if not has:
-                row_vals.append(None)
-                continue
-            ln = next(it)
-            row_vals.append([next(vit) for _ in range(ln)])
-        out.extend(row_vals)
+            n_present = n_slots
+        version = 2 if enc["kind"] in ("direct_v2", "dictionary_v2") else 1
+        if kind == "struct":
+            fields = t["field_names"]
+            cols = [self.decode(c, n_present) for c in t["subtypes"]]
+            vals: list = [
+                dict(zip(fields, row)) for row in zip(*cols)
+            ] if cols else [{} for _ in range(n_present)]
+        elif kind in ("list", "map"):
+            lens = _int_rle(streams["length"], n_present, False, version)
+            total = sum(lens)
+            if kind == "list":
+                (child,) = t["subtypes"]
+                flat = self.decode(child, total)
+                vals = []
+                at = 0
+                for ln in lens:
+                    vals.append(flat[at : at + ln])
+                    at += ln
+            else:
+                kc, vc = t["subtypes"]
+                keys = self.decode(kc, total)
+                mvals = self.decode(vc, total)
+                vals = []
+                at = 0
+                for ln in lens:
+                    vals.append(list(zip(keys[at : at + ln],
+                                         mvals[at : at + ln])))
+                    at += ln
+        else:
+            raise NotImplementedError("ORC union assembly")
+        if present is None:
+            return vals
+        it = iter(vals)
+        return [next(it) if p else None for p in present]
+
+
+def read_rows(path: str) -> list[dict]:
+    """Assemble whole records from an ORC file — arbitrary nesting of
+    struct / list / map over every supported primitive.  Maps come
+    back as lists of (key, value) pairs, matching pyarrow's
+    ``to_pylist``; primitives use this module's value conventions
+    (days / unscaled decimal ints / epoch nanoseconds)."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    return read_rows_bytes(data)
+
+
+def read_rows_bytes(data: bytes) -> list[dict]:
+    footer = parse_footer(data)
+    root = footer["types"][0]
+    out: list[dict] = []
+    for stripe in footer["stripes"]:
+        dec = _StripeDecoder(data, stripe, footer)
+        n = stripe["num_rows"]
+        cols = [dec.decode(c, n) for c in root["subtypes"]]
+        out.extend(dict(zip(root["field_names"], row))
+                   for row in zip(*cols))
     return out
-
-
-def _decode_child_values(streams, enc, kind, total, tinfo) -> list:
-    return _decode_column_stripe(streams, enc, kind, total, tinfo)
 
 
 # ---------------------------------------------------------------- planner

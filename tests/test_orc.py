@@ -216,6 +216,114 @@ def test_unknown_column_and_bad_magic(tmp_path):
         orc.parse_footer(b"\x00" * 64 + b"\x05")
 
 
+# ------------------------------------------------------ record assembly
+def _norm_nested(v):
+    if isinstance(v, dict):
+        return {k: _norm_nested(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_norm_nested(x) for x in v]
+    if isinstance(v, tuple):
+        return tuple(_norm_nested(x) for x in v)
+    return _norm(v)
+
+
+def test_read_rows_arbitrary_nesting(tmp_path):
+    random.seed(42)
+    n = 4000
+
+    def maybe(f, p=.85):
+        return f() if random.random() < p else None
+
+    t = pa.table({
+        "st": pa.array(
+            [maybe(lambda: {"a": maybe(lambda: random.randint(0, 1000)),
+                            "b": maybe(lambda: random.choice(
+                                ["x", "yy", "zzz"]))})
+             for _ in range(n)],
+            pa.struct([("a", pa.int64()), ("b", pa.utf8())])),
+        "lol": pa.array(
+            [maybe(lambda: [maybe(lambda: [random.randint(0, 9)
+                                           for _ in range(
+                                               random.randint(0, 3))], .9)
+                            for _ in range(random.randint(0, 3))])
+             for _ in range(n)], pa.list_(pa.list_(pa.int64()))),
+        "los": pa.array(
+            [maybe(lambda: [maybe(lambda: {"u": random.random(),
+                                           "v": maybe(lambda:
+                                                      random.randint(-5, 5))},
+                                  .9)
+                            for _ in range(random.randint(0, 2))])
+             for _ in range(n)],
+            pa.list_(pa.struct([("u", pa.float64()), ("v", pa.int64())]))),
+        "m": pa.array(
+            [maybe(lambda: {f"k{random.randint(0, 5)}":
+                            maybe(lambda: random.randint(0, 100))
+                            for _ in range(random.randint(0, 3))})
+             for _ in range(n)], pa.map_(pa.utf8(), pa.int64())),
+        "swl": pa.array(
+            [maybe(lambda: {"tags": maybe(lambda: [
+                random.choice(["p", "q"])
+                for _ in range(random.randint(0, 3))]),
+                "w": random.random()})
+             for _ in range(n)],
+            pa.struct([("tags", pa.list_(pa.utf8())), ("w", pa.float64())])),
+        "ts": pa.array(
+            [maybe(lambda: EPT + datetime.timedelta(
+                seconds=random.randint(-2 * 10**9, 2 * 10**9),
+                microseconds=random.randint(0, 999999)))
+             for _ in range(n)], pa.timestamp("us")),
+    })
+    path = str(tmp_path / "nested.orc")
+    po.write_table(t, path, compression="zstd", stripe_size=128 * 1024)
+    ref = [
+        {k: _norm_nested(v) for k, v in row.items()}
+        for row in po.read_table(path).to_pylist()
+    ]
+    got = orc.read_rows(path)
+    assert got == ref
+
+
+def test_read_column_nested_kinds(tmp_path):
+    t = pa.table({
+        "st": pa.array([{"a": i} for i in range(100)],
+                       pa.struct([("a", pa.int64())])),
+        "m": pa.array([{"k": i} for i in range(100)],
+                      pa.map_(pa.utf8(), pa.int64())),
+    })
+    path = str(tmp_path / "n2.orc")
+    po.write_table(t, path)
+    assert orc.read_column(path, "st")[3] == {"a": 3}
+    assert orc.read_column(path, "m")[3] == [("k", 3)]
+
+
+def test_read_rows_spark_written(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    df = spark.range(3000).select(
+        F.col("id"),
+        F.struct(F.col("id").alias("a"),
+                 F.concat(F.lit("s"), F.col("id").cast("string"))
+                 .alias("b")).alias("st"),
+        F.array(F.col("id"), F.col("id") + 1).alias("arr"),
+        F.when(F.col("id") % 7 != 0,
+               F.create_map(F.lit("k1"), F.col("id"),
+                            F.lit("k2"), F.col("id") * 2)).alias("m"),
+        F.when(F.col("id") % 5 != 0,
+               F.array(F.struct((F.col("id") % 3).alias("u"))))
+        .alias("los"),
+    )
+    tgt = str(tmp_path / "sparknested")
+    (df.coalesce(1).write.mode("overwrite")
+       .option("compression", "zstd").orc(tgt))
+    import glob
+    path = glob.glob(tgt + "/part-*.orc")[0]
+    ref = [
+        {k: _norm_nested(v) for k, v in row.items()}
+        for row in po.read_table(path).to_pylist()
+    ]
+    assert orc.read_rows(path) == ref
+
+
 # -------------------------------------------------------- spark writer
 @pytest.fixture(scope="module")
 def spark_orc_dir(spark, tmp_path_factory):

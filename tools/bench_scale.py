@@ -88,11 +88,20 @@ def main() -> None:
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "BENCH_SF1.json"))
+    ap.add_argument("--names", default=None,
+                    help="comma-separated subset (e.g. the heaviest "
+                         "queries for a 100x tier)")
     a = ap.parse_args()
 
     spark = get_spark(app_name="levi-spark-bench-scale")
     spark.range(1).count()
-    names = pick_queries()
+    if a.names:
+        names = [n.strip() for n in a.names.split(",") if n.strip()]
+        missing = set(names) - set(QUERIES)
+        if missing:
+            raise SystemExit(f"unknown queries: {sorted(missing)}")
+    else:
+        names = pick_queries()
     print(f"benchmarking {len(names)} queries at {a.small} then {a.large}",
           file=sys.stderr)
 
