@@ -15,15 +15,18 @@ colliding:
 * events: event_id and user_id shift (timestamps unchanged, so
   time-window groups get proportionally denser — the realistic
   shape for a busier service, and the worst case for rollups).
-* documents: doc_id shifts; copies > 0 get their tokens permuted by
-  a seeded per-(copy, doc) shuffle. A shuffle preserves the token
-  multiset (length/vocabulary/quality statistics stay realistic) but
-  destroys shingle and n-gram overlap with the original — without
-  it, every doc has 9 near-twins and shingle-banded dedup operators
-  see candidate PAIRS grow quadratically in copies (measured:
-  editdist_candidate_verify 31x at 10x rows on the naive
-  prefix-token variant), a data artifact rather than a plan
-  property. n_chars is recomputed.
+* documents: doc_id shifts; copies > 0 get a per-copy character
+  rotation of every token (length-preserving vocabulary relabel)
+  THEN a seeded per-(copy, doc) token shuffle. The shuffle destroys
+  shingle/n-gram overlap (MinHash, winnowing, CDC candidates stay
+  linear — without it editdist_candidate_verify measured 31x at 10x
+  rows); the rotation destroys token-MULTISET equality, which the
+  shuffle alone preserves and which bag-of-words SimHash hashes
+  identically (without it every doc gets `factor` identical-simhash
+  twins and the pair set grows C(factor,2) per family — measured as
+  a single-straggler blowup of dedup_canonical_corpus at the 100x
+  tier). n_chars is recomputed (rotation preserves it; belt and
+  braces).
 * embeddings: vec_id shifts; copies > 0 cyclically rotate the
   coordinates by the copy index. Rotation preserves norms and all
   within-copy distances (the kNN/cluster structure scales exactly
@@ -107,9 +110,35 @@ def scale(src: str, dst: str, factor: int) -> None:
             return d
         texts = d.column("text").to_pylist()
         ids = d.column("doc_id").to_pylist()
+        # Two decorrelations compose here, because two different dedup
+        # families see through one alone:
+        #  * a seeded token SHUFFLE destroys shingle/n-gram overlap
+        #    (MinHash, winnowing, CDC) but preserves the token
+        #    MULTISET, which bag-of-words fingerprints (SimHash) hash
+        #    identically — measured: every doc got `factor` identical-
+        #    simhash twins and the candidate pair set grew as
+        #    C(factor, 2) per family (4,950x per doc at 100x), a data
+        #    artifact that pinned dedup_canonical_corpus to one
+        #    straggler task at the 100x tier;
+        #  * a per-copy CHARACTER ROTATION of each token (caesar over
+        #    [a-z0-9], length-preserving so n_chars and token-count
+        #    structure survive) relabels the copy's vocabulary, so
+        #    multiset fingerprints decorrelate too — the realistic
+        #    shape: a 100x corpus is new text, not 100 shuffles of the
+        #    same 5k docs.
+        lowers = "abcdefghijklmnopqrstuvwxyz"
+        digits = "0123456789"
+        r = i % 25 + 1
+        rd = i % 9 + 1
+        tbl = str.maketrans(
+            lowers + lowers.upper() + digits,
+            lowers[r:] + lowers[:r]
+            + (lowers[r:] + lowers[:r]).upper()
+            + digits[rd:] + digits[:rd],
+        )
         out = []
         for did, text in zip(ids, texts):
-            toks = text.split()
+            toks = text.translate(tbl).split()
             rng = np.random.RandomState(
                 (i * 1_000_003 + did) % (2**32)
             )
