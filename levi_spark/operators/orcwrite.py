@@ -152,9 +152,11 @@ class _BitWriter:
 
 
 def int_rle_v2_encode(vals: list[int], signed: bool) -> bytes:
-    """RLEv2 with SHORT_REPEAT for runs >= 3 (<= 10) and DIRECT for
-    everything else (chunks of <= 512) — a legal, self-describing
-    subset of the four sub-encodings; any reader must accept it."""
+    """RLEv2 with SHORT_REPEAT for runs >= 3 (<= 10), fixed-delta
+    DELTA for constant-stride runs >= 4 (sorted keys, sequential ids),
+    and DIRECT for everything else (chunks of <= 512) — a legal,
+    self-describing subset of the four sub-encodings; any reader must
+    accept it."""
     out = bytearray()
     i, n = 0, len(vals)
     while i < n:
@@ -168,6 +170,23 @@ def int_rle_v2_encode(vals: list[int], signed: bool) -> bytes:
             out.extend(v.to_bytes(width, "big"))
             i += run
             continue
+        # fixed-delta DELTA: constant non-zero stride (wcode 0 means
+        # "all remaining deltas equal the delta base")
+        if i + 3 < n:
+            d = vals[i + 1] - vals[i]
+            if d and vals[i + 2] - vals[i + 1] == d \
+                    and vals[i + 3] - vals[i + 2] == d:
+                run = 3
+                while (i + run + 1 < n and run < 511
+                       and vals[i + run + 1] - vals[i + run] == d):
+                    run += 1
+                length = run + 1  # values covered
+                out.append(0xC0 | (length - 1) >> 8)
+                out.append((length - 1) & 0xFF)
+                out += _uv(_zz(vals[i]) if signed else vals[i])
+                out += _uv(_zz(d))
+                i += length
+                continue
         # DIRECT chunk: stop early at the next repeat-run of >= 6 so
         # long runs still get SHORT_REPEATs
         j = i
@@ -319,15 +338,25 @@ class _Streams:
 
 
 _STREAM_DATA, _STREAM_LENGTH, _STREAM_SECONDARY = 1, 2, 5
-_STREAM_PRESENT = 0
+_STREAM_PRESENT, _STREAM_DICTIONARY = 0, 3
+
+
+_ENC_DIRECT, _ENC_DICT_V2 = 0, 3
+_ENC_DIRECT_V2 = 2
+_V2_KINDS = {"long", "int", "short", "string", "binary", "date",
+             "decimal", "timestamp", "list", "map"}
 
 
 def _encode_column(node: dict, vals: list, streams: _Streams,
-                   stats: list) -> None:
+                   stats: list, use_dict: bool = False) -> None:
     """Encode one column's slice (``vals`` has one slot per occurrence
-    in the parent context, None = null) and recurse into children."""
+    in the parent context, None = null) and recurse into children.
+    Records the encoding actually used on ``node["_enc"]`` /
+    ``node["_dict_size"]`` for the stripe footer."""
     col = node["id"]
     kind = node["kind"]
+    node["_enc"] = _ENC_DIRECT_V2 if kind in _V2_KINDS else _ENC_DIRECT
+    node["_dict_size"] = 0
     has_null = any(v is None for v in vals)
     if has_null:
         streams.add(col, _STREAM_PRESENT,
@@ -356,6 +385,23 @@ def _encode_column(node: dict, vals: list, streams: _Streams,
         _encode_column(node["key"], [k for k, _ in flat], streams, stats)
         _encode_column(node["value"], [v for _, v in flat], streams,
                        stats)
+        return
+
+    if use_dict and kind in ("string", "binary"):
+        raws = [v.encode("utf-8") if isinstance(v, str) else bytes(v)
+                for v in present]
+        entries = sorted(set(raws))
+        index = {r: j for j, r in enumerate(entries)}
+        node["_enc"] = _ENC_DICT_V2
+        node["_dict_size"] = len(entries)
+        streams.add(col, _STREAM_DATA,
+                    int_rle_v2_encode([index[r] for r in raws], False))
+        streams.add(col, _STREAM_DICTIONARY,
+                    b"".join(entries))
+        streams.add(col, _STREAM_LENGTH,
+                    int_rle_v2_encode([len(e) for e in entries], False))
+        if kind == "string" and present:
+            st.update(smin=min(present), smax=max(present))
         return
 
     if kind in ("long", "int", "short"):
@@ -456,7 +502,8 @@ def _stats_pb(st: dict) -> bytes:
 def write_orc(columns: list[tuple[str, str, list]],
               compression: str = "zstd",
               stripe_rows: int | None = None,
-              block_size: int = 262144) -> bytes:
+              block_size: int = 262144,
+              dictionary: bool | list[str] = False) -> bytes:
     """``[(name, type, values-with-None), ...]`` -> ORC file bytes.
 
     Types: ``long int short byte boolean float double string binary
@@ -464,6 +511,9 @@ def write_orc(columns: list[tuple[str, str, list]],
     Value conventions match :mod:`levi_spark.operators.orc`'s reader:
     dates are epoch days, decimals unscaled ints, timestamps epoch
     NANOSECONDS; struct values are dicts, maps dicts or (k, v) lists.
+    ``dictionary`` (True, or a list of column names) switches
+    top-level string/binary columns to DICTIONARY_V2 (sorted dict,
+    per-stripe).
     """
     if compression not in _CODECS:
         raise NotImplementedError(f"ORC codec {compression!r}")
@@ -487,8 +537,11 @@ def write_orc(columns: list[tuple[str, str, list]],
         stats: list[tuple[int, dict]] = [(0, {
             "n": rows, "has_null": False, "kind": "struct"})]
         for (name, _t, vals), (fname, node) in zip(columns, root_fields):
+            want_dict = (dictionary is True or
+                         (isinstance(dictionary, list)
+                          and name in dictionary))
             _encode_column(node, vals[start : start + rows], streams,
-                           stats)
+                           stats, use_dict=want_dict)
         # data streams, compressed, in emission order
         offset = len(out)
         stream_meta = []
@@ -503,13 +556,16 @@ def write_orc(columns: list[tuple[str, str, list]],
                      + pb_varint(3, ln))
             for skind, col, ln in stream_meta
         )
-        # encoding kind: DIRECT_V2 only where an RLEv2 stream exists;
-        # struct/boolean/byte/float/double are plain DIRECT (pyarrow's
-        # StructColumnReader rejects anything else)
-        v2_kinds = {"long", "int", "short", "string", "binary", "date",
-                    "decimal", "timestamp", "list", "map"}
+        # per-column encoding as actually used this stripe (DIRECT_V2
+        # where an RLEv2 stream exists, DICTIONARY_V2 when requested,
+        # plain DIRECT otherwise — pyarrow's StructColumnReader
+        # rejects anything else on structs)
         sf += b"".join(
-            pb_bytes(2, pb_varint(1, 2 if t["kind"] in v2_kinds else 0))
+            pb_bytes(2, pb_varint(1, t.get(
+                "_enc", _ENC_DIRECT_V2 if t["kind"] in _V2_KINDS
+                else _ENC_DIRECT))
+                + (pb_varint(2, t["_dict_size"])
+                   if t.get("_dict_size") else b""))
             for t in types
         )
         sf += pb_bytes(3, b"UTC")

@@ -82,6 +82,50 @@ def test_rle_v2_encode_roundtrip():
         assert rorc.int_rle_v2(enc, len(vals), signed) == vals
 
 
+def test_rle_v2_delta_runs_roundtrip():
+    for signed in (True, False):
+        vals = (list(range(0, 6000, 3)) + [7] * 20
+                + list(range(10**9, 10**9 - 4000, -2))
+                + [random.randint(0, 10**12) for _ in range(500)])
+        if signed:
+            vals += [-x for x in vals[:200]]
+        enc = int_rle_v2_encode(vals, signed)
+        assert rorc.int_rle_v2(enc, len(vals), signed) == vals
+    # the sorted-key stream must actually be small (DELTA fired)
+    sorted_keys = int_rle_v2_encode(list(range(100000)), True)
+    assert len(sorted_keys) < 2000
+
+
+def test_dictionary_strings(tmp_path):
+    random.seed(8)
+    n = 9000
+    strs = [random.choice(["alpha", "beta", "gamma", "delta", "eps"])
+            if random.random() > .1 else None for _ in range(n)]
+    bins = [random.choice([b"\x01\x02", b"zz", b""]) for _ in range(n)]
+    blob = write_orc(
+        [("k", "long", list(range(n))), ("s", "string", strs),
+         ("bn", "binary", bins)],
+        compression="zstd", stripe_rows=4000, dictionary=["s", "bn"],
+    )
+    t = po.read_table(io.BytesIO(blob))
+    assert t.column("s").to_pylist() == strs
+    assert t.column("bn").to_pylist() == bins
+    rows = rorc.read_rows_bytes(blob)
+    assert [r["s"] for r in rows] == strs
+    assert [r["bn"] for r in rows] == bins
+    # dictionary + DELTA keys beat the plain layout handily
+    plain = write_orc(
+        [("k", "long", list(range(n))), ("s", "string", strs),
+         ("bn", "binary", bins)], compression="none", stripe_rows=4000,
+    )
+    rich = write_orc(
+        [("k", "long", list(range(n))), ("s", "string", strs),
+         ("bn", "binary", bins)], compression="none", stripe_rows=4000,
+        dictionary=True,
+    )
+    assert len(rich) * 4 < len(plain)
+
+
 def test_byte_and_boolean_rle_roundtrip():
     random.seed(2)
     bs = [random.randint(0, 255) for _ in range(1000)]
