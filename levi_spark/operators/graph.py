@@ -52,55 +52,94 @@ def connected_components(
     propagation alone before jumping would matter — skipping the jump
     join there saves ~a third of each round. A graph still unconverged
     after ``jump_after`` rounds is deep, and from then on the halving
-    step bounds total rounds at O(log n)."""
+    step bounds total rounds at O(log n).
+
+    Two structural properties keep the DRIVER cheap at many rounds
+    (found by the 100x scaling tier, where the loop wedged Catalyst
+    for 19+ minutes in million-digit BigInteger products):
+
+    * ``localCheckpoint`` carries the child plan's ``sizeInBytes``
+      ESTIMATE into the new leaf, and Catalyst's size-only stats
+      visitor multiplies child estimates at every join — so a round
+      that references ``labels`` twice SQUARES the carried estimate,
+      and after r rounds the BigInt has ~2^r digits (measured: 28 →
+      4,392 digits in 7 rounds; at round ~20 a single stats walk
+      multiplies million-digit integers for minutes). Propagation
+      therefore references ``labels`` exactly ONCE: self-loops are
+      added to the symmetric edge set, which makes ``min over
+      neighbours' labels`` include the node's own label — same
+      fixpoint, one join instead of two plus a left-join, and the
+      estimate grows ADDITIVELY per propagation round.
+    * the jump step is inherently ``labels JOIN labels`` (comp of
+      comp), which still doubles the estimate's digits each jump
+      round — so every ``stats_reset_every`` rounds the labels are
+      materialized to a scratch parquet and re-read: a FRESH leaf
+      with file-based statistics (the periodic reliable-checkpoint
+      pattern production iterative jobs use), which hard-caps the
+      compounding at ~2^stats_reset_every between resets."""
+    import shutil
+    import tempfile
+
+    stats_reset_every = 6
+    spark = edges.sparkSession
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = sym.select(F.col("a").alias("node"), F.col("a").alias("comp")).distinct()
-    for round_i in range(max_iter):
-        nbr_min = (
-            sym.join(labels, sym["b"] == labels["node"])
-            .groupBy("a")
-            .agg(F.min("comp").alias("nbr_comp"))
-        )
-        propagated = labels.join(
-            nbr_min, labels["node"] == nbr_min["a"], "left"
-        ).select(
-            "node",
-            F.least(
-                F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
-            ).alias("comp"),
-        )
-        if round_i >= jump_after:
-            # Pointer jumping (path halving): comp := min(comp,
-            # comp(comp)). Every label is itself a node id, so the
-            # self-join always resolves; a length-n pointer chain halves
-            # each round, giving O(log n) convergence on chain graphs.
-            jump = propagated.select(
-                F.col("node").alias("__jn"), F.col("comp").alias("__jc")
+    nodes = sym.select(F.col("a")).distinct()
+    # self-loops: min over N(a) ∪ {a} ≡ least(own, min-neighbour)
+    sym_loop = (
+        sym.unionByName(nodes.select("a", F.col("a").alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select(F.col("a").alias("node"), F.col("a").alias("comp"))
+    scratch = tempfile.mkdtemp(prefix="levi_cc_")
+    try:
+        for round_i in range(max_iter):
+            propagated = (
+                sym_loop.join(labels, sym_loop["b"] == labels["node"])
+                .groupBy("a")
+                .agg(F.min("comp").alias("comp"))
+                .select(F.col("a").alias("node"), "comp")
             )
-            propagated = propagated.join(
-                jump, propagated["comp"] == jump["__jn"], "left"
-            ).select(
-                "node",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("__jc"), F.col("comp"))
-                ).alias("comp"),
+            if round_i >= jump_after:
+                # Pointer jumping (path halving): comp := min(comp,
+                # comp(comp)). Every label is itself a node id, so the
+                # self-join always resolves; a length-n pointer chain
+                # halves each round, giving O(log n) convergence.
+                jump = propagated.select(
+                    F.col("node").alias("__jn"), F.col("comp").alias("__jc")
+                )
+                propagated = propagated.join(
+                    jump, propagated["comp"] == jump["__jn"], "left"
+                ).select(
+                    "node",
+                    F.least(
+                        F.col("comp"), F.coalesce(F.col("__jc"), F.col("comp"))
+                    ).alias("comp"),
+                )
+            if round_i % stats_reset_every == stats_reset_every - 1:
+                path = f"{scratch}/labels_{round_i}"
+                propagated.write.mode("overwrite").parquet(path)
+                new_labels = spark.read.parquet(path)
+            else:
+                new_labels = propagated.localCheckpoint(eager=True)
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .where(F.col("n.comp") != F.col("o.comp"))
+                .limit(1)
+                .count()
             )
-        new_labels = propagated.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            return labels.select("node", F.col("comp").alias("component"))
+            labels = new_labels
+            if changed == 0:
+                return labels.select(
+                    "node", F.col("comp").alias("component")
+                ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
     raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
 
 
