@@ -727,13 +727,206 @@ def read_rows_bytes(data: bytes) -> list[dict]:
     return out
 
 
+# ------------------------------------------------------------- row index
+def read_row_index(data: bytes, footer: dict, stripe: dict,
+                   col: int) -> list[dict]:
+    """Parse one column's ROW_INDEX stream for one stripe: one entry
+    per row group (``rowIndexStride`` rows), each carrying the
+    column's statistics over that group plus stream seek positions.
+    Returns [{"positions": [...], **stats}] in row-group order."""
+    comp = footer["postscript"]["compression"]
+    sf = _parse_stripe_footer(data, stripe, comp)
+    pos = stripe["offset"]
+    raw = None
+    for st in sf["streams"]:
+        if st["kind"] == "row_index" and st["column"] == col:
+            raw = decompress_stream(data[pos : pos + st["length"]], comp)
+            break
+        pos += st["length"]
+    if raw is None:
+        return []
+    out = []
+    for eb in pb_decode(raw).get(1, []):
+        e = pb_decode(eb)
+        entry = {"positions": _pb_packed_varints(e.get(1, []))}
+        if 2 in e:
+            entry.update(_parse_column_stats(e[2][0]))
+        out.append(entry)
+    return out
+
+
+def _seek_stream(raw: bytes, comp: str, positions: list[int],
+                 at: int) -> tuple[bytes, int]:
+    """Apply one stream's BASE seek positions (starting at
+    ``positions[at]``): compressed streams carry [chunk byte offset,
+    offset within the decompressed chunk]; uncompressed carry [byte
+    offset].  Returns (stream bytes from that logical point, next
+    position index)."""
+    if comp == "none":
+        return raw[positions[at]:], at + 1
+    chunk_off, inner = positions[at], positions[at + 1]
+    return decompress_stream(raw[chunk_off:], comp)[inner:], at + 2
+
+
+def read_row_group(path: str, column: str, stripe_idx: int,
+                   group_idx: int) -> list:
+    """Decode ONE row group (``rowIndexStride`` rows) of a flat
+    column by SEEKING with the ROW_INDEX positions — the needle path
+    end-to-end: tail read (footer) + index read + one ranged read per
+    stream starting at the recorded chunk, no bytes before the seek
+    point touched by the decoders.  Kinds: int family, date, float/
+    double, boolean, string/binary (direct + dictionary)."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    footer = parse_footer(data)
+    comp = footer["postscript"]["compression"]
+    root = footer["types"][0]
+    col = root["subtypes"][root["field_names"].index(column)]
+    tinfo = footer["types"][col]
+    kind = tinfo["kind"]
+    stripe = footer["stripes"][stripe_idx]
+    stride = footer["row_index_stride"]
+    if not stride:
+        raise ValueError("ORC: file has no row index")
+    entries = read_row_index(data, footer, stripe, col)
+    positions = entries[group_idx]["positions"]
+    n_rows = min(stride, stripe["num_rows"] - group_idx * stride)
+    sf = _parse_stripe_footer(data, stripe, comp)
+    enc = sf["encodings"][col]
+    is_dict = enc["kind"].startswith("dictionary")
+    version = 2 if enc["kind"] in ("direct_v2", "dictionary_v2") else 1
+    # raw (framed) stream bytes + per-stream positions slices.
+    # Positions follow a CANONICAL order (present, data, length,
+    # secondary) regardless of the stripe footer's stream order —
+    # verified against a C++-written file that emits LENGTH before
+    # DATA yet records DATA's byte offset first.
+    raws: dict[str, bytes] = {}
+    seeks: dict[str, tuple] = {}
+    base = 1 if comp == "none" else 2
+
+    def _extra(skind: str) -> int:
+        # values-to-skip counts appended after the base byte offsets
+        if skind == "present":
+            return 2  # byte-RLE skip + bit offset
+        if skind == "data":
+            if kind == "boolean":
+                return 2
+            if kind in ("float", "double") or (
+                kind in ("string", "varchar", "char", "binary")
+                and not is_dict
+            ):
+                return 0  # plain byte stream
+            return 1  # RLE-coded values (ints, dict indices, byte RLE)
+        if skind == "length":
+            return 0 if is_dict else 1  # dict lengths are whole-stripe
+        if skind == "secondary":
+            return 1
+        return 0
+
+    pos = stripe["offset"]
+    for st in sf["streams"]:
+        if st["column"] == col and st["kind"] not in (
+            "row_index", "bloom_filter", "bloom_filter_utf8",
+        ):
+            raws[st["kind"]] = data[pos : pos + st["length"]]
+        pos += st["length"]
+    at = 0
+    for skind in ("present", "data", "length", "secondary"):
+        if skind not in raws:
+            continue
+        if skind == "length" and is_dict:
+            continue  # dictionary lengths are whole-stripe, no positions
+        extra = _extra(skind)
+        seeks[skind] = tuple(positions[at : at + base + extra])
+        at += base + extra
+
+    def _seek(skind: str) -> tuple[bytes, list[int]]:
+        p = seeks[skind]
+        if comp == "none":
+            return raws[skind][p[0]:], list(p[1:])
+        return (decompress_stream(raws[skind][p[0]:], comp)[p[1]:],
+                list(p[2:]))
+
+    present = None
+    if "present" in raws:
+        buf, (skip_bytes, skip_bits) = _seek("present")
+        nbits = skip_bytes * 8 + skip_bits + n_rows
+        present = boolean_rle(buf, nbits)[skip_bytes * 8 + skip_bits :]
+        n_present = sum(present)
+    else:
+        n_present = n_rows
+
+    def ints(skind: str, count: int, signed: bool) -> list[int]:
+        buf, (skip,) = _seek(skind)
+        return _int_rle(buf, skip + count, signed, version)[skip:]
+
+    if kind in ("int", "long", "short", "date"):
+        vals = ints("data", n_present, True)
+    elif kind == "byte":
+        buf, (skip,) = _seek("data")
+        vals = [v - 256 if v > 127 else v
+                for v in byte_rle(buf, skip + n_present)[skip:]]
+    elif kind == "boolean":
+        buf, (skip_bytes, skip_bits) = _seek("data")
+        nbits = skip_bytes * 8 + skip_bits + n_present
+        vals = boolean_rle(buf, nbits)[skip_bytes * 8 + skip_bits :]
+    elif kind in ("float", "double"):
+        fmt, w = ("<f", 4) if kind == "float" else ("<d", 8)
+        buf, _ = _seek("data")
+        vals = [struct.unpack_from(fmt, buf, i * w)[0]
+                for i in range(n_present)]
+    elif kind in ("string", "varchar", "char", "binary"):
+        if is_dict:
+            # dictionary is whole-stripe: decode it, seek the indices
+            dlens = _int_rle(
+                decompress_stream(raws["length"], comp),
+                enc["dictionary_size"], False, version,
+            )
+            dict_bytes = decompress_stream(
+                raws.get("dictionary_data", b""), comp
+            )
+            entries_b, p = [], 0
+            for ln in dlens:
+                entries_b.append(dict_bytes[p : p + ln])
+                p += ln
+            vals = [entries_b[i]
+                    for i in ints("data", n_present, False)]
+        else:
+            buf, _ = _seek("data")
+            lens = ints("length", n_present, False)
+            vals, p = [], 0
+            for ln in lens:
+                vals.append(buf[p : p + ln])
+                p += ln
+        if kind != "binary":
+            vals = [v.decode("utf-8") for v in vals]
+    else:
+        raise NotImplementedError(
+            f"ORC row-group seek for kind {kind!r}"
+        )
+
+    if present is None:
+        return list(vals)
+    it = iter(vals)
+    return [next(it) if p else None for p in present]
+
+
 # ---------------------------------------------------------------- planner
-def plan_scan(path: str, column: str, lo, hi) -> dict:
-    """Stripe-level pruning plan for ``lo <= column <= hi`` using the
-    file's own stripe statistics (metadata section) — the 100 TB
-    needle path: postscript + footer + metadata live in one ranged
-    tail read; a pruned stripe costs ZERO further bytes."""
-    footer = read_footer(path)
+def plan_scan(path: str, column: str, lo, hi,
+              row_groups: bool = False) -> dict:
+    """Pruning plan for ``lo <= column <= hi``.
+
+    Stripe level uses the file's own stripe statistics (metadata
+    section) — the 100 TB needle path: postscript + footer + metadata
+    live in one ranged tail read; a pruned stripe costs ZERO further
+    bytes.  With ``row_groups=True``, surviving stripes are refined to
+    ``rowIndexStride``-sized row groups via each stripe's ROW_INDEX
+    stream (one more small ranged read per surviving stripe — the ORC
+    analog of the parquet ColumnIndex page pruning in
+    ``operators/parquetmeta.py:plan_scan``)."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    footer = parse_footer(data)
     root = footer["types"][0]
     pos = root["field_names"].index(column)
     col = root["subtypes"][pos]
@@ -748,10 +941,39 @@ def plan_scan(path: str, column: str, lo, hi) -> dict:
             pruned.append(i)
         else:
             keep.append(i)
-    return {
+    plan = {
         "stripes_total": len(footer["stripes"]),
         "stripes_kept": keep,
         "stripes_pruned": pruned,
         "rows_pruned": sum(footer["stripes"][i]["num_rows"]
                            for i in pruned),
     }
+    if not row_groups:
+        return plan
+    stride = footer["row_index_stride"]
+    groups: dict[int, dict] = {}
+    extra_rows = 0
+    for i in keep:
+        stripe = footer["stripes"][i]
+        entries = read_row_index(data, footer, stripe, col)
+        if not entries or not stride:
+            groups[i] = {"groups_total": None, "groups_kept": None,
+                         "groups_pruned": []}
+            continue
+        g_keep, g_pruned = [], []
+        for g, e in enumerate(entries):
+            gmin, gmax = e.get("min"), e.get("max")
+            if gmin is not None and gmax is not None and (
+                gmax < lo or gmin > hi
+            ):
+                g_pruned.append(g)
+                extra_rows += min(stride,
+                                  stripe["num_rows"] - g * stride)
+            else:
+                g_keep.append(g)
+        groups[i] = {"groups_total": len(entries),
+                     "groups_kept": g_keep, "groups_pruned": g_pruned}
+    plan["row_index_stride"] = stride
+    plan["row_groups"] = groups
+    plan["rows_pruned_by_row_groups"] = extra_rows
+    return plan

@@ -206,6 +206,78 @@ def test_plan_scan_prunes_and_is_sound(tmp_path):
     assert kept_rows + plan["rows_pruned"] == n
 
 
+def test_row_group_pruning_and_seek_reads(tmp_path):
+    random.seed(13)
+    n = 60000
+
+    def maybe(f, p=.85):
+        return f() if random.random() < p else None
+
+    t = pa.table({
+        "k": pa.array(range(n), pa.int64()),
+        "i": pa.array([maybe(lambda: random.randint(-10**13, 10**13))
+                       for _ in range(n)], pa.int64()),
+        "s": pa.array([maybe(lambda: "s%d" % random.randint(0, 10**7))
+                       for _ in range(n)]),
+        "dct": pa.array([random.choice(["aa", "bb", "cc"])
+                         for _ in range(n)]),
+        "d": pa.array([maybe(lambda: random.random())
+                       for _ in range(n)], pa.float64()),
+        "b": pa.array([maybe(lambda: random.random() > .5)
+                       for _ in range(n)]),
+        "by": pa.array([random.randint(-128, 127) for _ in range(n)],
+                       pa.int8()),
+        "bin": pa.array([maybe(lambda: random.randbytes(
+            random.randint(0, 9))) for _ in range(n)], pa.binary()),
+    })
+    path = str(tmp_path / "rg.orc")
+    po.write_table(t, path, compression="zstd", stripe_size=512 * 1024)
+    f = orc.read_footer(path)
+    stride = f["row_index_stride"]
+    assert stride == 10000
+    # row-group pruning on the sorted key inside surviving stripes
+    lo, hi = 12345, 23456
+    plan = orc.plan_scan(path, "k", lo, hi, row_groups=True)
+    assert plan["rows_pruned_by_row_groups"] > 0
+    full = {c: orc.read_column(path, c) for c in t.column_names}
+    offs = [0]
+    for s in f["stripes"]:
+        offs.append(offs[-1] + s["num_rows"])
+    for si, g in plan["row_groups"].items():
+        seg = full["k"][offs[si]:offs[si + 1]]
+        for gi in g["groups_pruned"]:  # soundness: decode the pruned
+            assert all(not (lo <= v <= hi)
+                       for v in seg[gi * stride:(gi + 1) * stride])
+    # position-based seek: every (column, stripe, edge group) decodes
+    # to exactly the full read's slice
+    for c in t.column_names:
+        for si, s in enumerate(f["stripes"]):
+            ngroups = -(-s["num_rows"] // stride)
+            for gi in (0, ngroups // 2, ngroups - 1):
+                got = orc.read_row_group(path, c, si, gi)
+                at = offs[si] + gi * stride
+                exp = full[c][at : at + min(
+                    stride, s["num_rows"] - gi * stride)]
+                assert got == exp, (c, si, gi)
+
+
+def test_row_group_seek_uncompressed(tmp_path):
+    n = 25000
+    t = pa.table({"k": pa.array(range(n), pa.int64()),
+                  "s": pa.array(["v%d" % (i % 100) for i in range(n)])})
+    path = str(tmp_path / "u.orc")
+    po.write_table(t, path, compression="uncompressed",
+                   stripe_size=8 * 1024 * 1024)
+    f = orc.read_footer(path)
+    assert f["stripes"][0]["num_rows"] > f["row_index_stride"]
+    full = orc.read_column(path, "s")
+    stride = f["row_index_stride"]
+    got = orc.read_row_group(path, "s", 0, 1)
+    assert got == full[stride : 2 * stride]
+    got_k = orc.read_row_group(path, "k", 0, 1)
+    assert got_k == list(range(stride, 2 * stride))
+
+
 def test_unknown_column_and_bad_magic(tmp_path):
     t = pa.table({"x": pa.array([1, 2, 3], pa.int64())})
     path = str(tmp_path / "t.orc")
