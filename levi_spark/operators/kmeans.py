@@ -80,43 +80,65 @@ def _assign_arrow(
     id_col: str,
     vec_col: str,
     centroids: list[list[float]],
-    dist_scale: float,
+    dist_scale: float | None,
     dist_col: str | None = None,
     keep_vec: bool = False,
 ):
-    """Arrow-batched nearest-centroid assignment for LARGE quantized
-    codebooks: one numpy pass per centroid over the batch — map-side,
-    zero shuffle, zero joins, exactly like the literal argmin but
-    ~100x faster when k*dim is big. Only valid with ``dist_scale``
-    (integer distances are order-independent; float accumulation
-    would not match the JVM fold order). Strict ``<`` keeps the
-    lowest cent_id on ties, matching array_min struct order."""
+    """Arrow-batched nearest-centroid assignment for LARGE codebooks:
+    numpy over (rows, centroid-chunk, dim) broadcasts — map-side, zero
+    shuffle, zero joins, exactly like the literal argmin but ~100x
+    faster when k*dim is big.  BIT-EXACT with the JVM expressions in
+    both modes: quantized distances are int64 sums of identical
+    elementwise double ops (integer addition is order-free), and FLOAT
+    distances accumulate SEQUENTIALLY over dimensions — the same
+    left-to-right double adds as the ``aggregate`` fold, vectorized
+    across rows, so no pairwise-summation reordering can flip a
+    near-tie.  Strict ``<`` keeps the lowest cent_id on ties, matching
+    array_min struct order."""
     import numpy as np
     import pandas as pd
 
     C = [list(map(float, c)) for c in centroids]
-    scale = float(dist_scale)
+    scale = float(dist_scale) if dist_scale else None
     out_id = "id"
 
     def run(batches):
-        Cn = [np.asarray(c, dtype=np.float64) for c in C]
+        Cn = np.asarray(C, dtype=np.float64)  # (k, dim)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             V = np.array(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
-            best_d = np.floor(
-                (V - Cn[0]) ** 2 * scale + 0.5
-            ).astype(np.int64).sum(axis=1)
-            best_i = np.zeros(len(V), dtype=np.int32)
-            for i in range(1, len(Cn)):
-                d = np.floor(
-                    (V - Cn[i]) ** 2 * scale + 0.5
-                ).astype(np.int64).sum(axis=1)
-                m = d < best_d
-                best_d = np.where(m, d, best_d)
-                best_i = np.where(m, np.int32(i), best_i)
+            best_d = None
+            best_i = None
+            # centroid CHUNKS via broadcasting: (rows, chunk, dim)
+            # stays bounded
+            step = max(1, (32 << 20) // (V.shape[0] * V.shape[1] * 8))
+            for c0 in range(0, len(Cn), step):
+                Cc = Cn[c0 : c0 + step]
+                if scale is not None:
+                    diff = V[:, None, :] - Cc[None, :, :]
+                    d = np.floor(diff * diff * scale + 0.5).astype(
+                        np.int64
+                    ).sum(axis=2)  # (rows, chunk)
+                else:
+                    # float mode: accumulate dim-by-dim in the fold's
+                    # exact order
+                    d = np.zeros((len(V), len(Cc)), dtype=np.float64)
+                    for j in range(V.shape[1]):
+                        t = V[:, j, None] - Cc[None, :, j]
+                        d += t * t
+                ci = d.argmin(axis=1)  # first (lowest id) wins ties
+                dm = d[np.arange(len(V)), ci]
+                if best_d is None:
+                    best_d, best_i = dm, (ci + c0).astype(np.int32)
+                else:
+                    m = dm < best_d
+                    best_d = np.where(m, dm, best_d)
+                    best_i = np.where(
+                        m, (ci + c0).astype(np.int32), best_i
+                    )
             out = pd.DataFrame({out_id: pdf[id_col],
                                 "cluster": best_i})
             if dist_col:
@@ -127,10 +149,19 @@ def _assign_arrow(
 
     schema = f"{out_id} long, cluster int"
     if dist_col:
-        schema += f", {dist_col} long"
+        schema += f", {dist_col} " + ("long" if scale is not None
+                                      else "double")
     if keep_vec:
         schema += ", __v array<double>"
-    return df.select(id_col, vec_col).mapInPandas(run, schema)
+    src = df.select(id_col, vec_col)
+    # a narrow parquet read can arrive in 2-3 partitions; the numpy
+    # kernel then runs on 2-3 Python workers while 30 cores idle —
+    # spread it ONCE (at real scale the input is already wide and
+    # this branch never fires)
+    para = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < max(2, para // 2):
+        src = src.repartition(para)
+    return src.mapInPandas(run, schema)
 
 
 def _argmin_col(vec_col, centroids: list[list[float]], dist_scale: float | None):
@@ -304,7 +335,9 @@ def assign_clusters(
     ``dist_col`` also emits the winning distance (int64 when
     ``dist_scale`` is set)."""
     n_lit = len(centroids) * len(centroids[0]) if centroids else 0
-    if dist_scale and n_lit >= _ARROW_MIN_LITERALS:
+    if n_lit >= _ARROW_MIN_LITERALS:
+        # quantized AND float modes: the numpy kernel reproduces the
+        # JVM arithmetic exactly in both (see _assign_arrow)
         return _assign_arrow(
             df, id_col, vec_col, centroids, dist_scale, dist_col
         )

@@ -8233,6 +8233,17 @@ def semdedup_prune(spark, sf_dir):
     O(N·pop) shuffled on the cluster key — never O(N²/fixed_k). At
     LAION scale this yields the ~50k clusters the paper deploys. The
     centroid fit collects only k×dims doubles to the driver.
+
+    EXPECTED population is not a bound: the 100× scaling tier caught a
+    catch-all k-means cluster whose C(pop, 2) pairwise work landed on
+    ONE task (a 15+-minute straggler evaluating interpreted ZipWith
+    cosines). The pairwise stage is therefore 2-D BLOCK-DECOMPOSED per
+    cluster: each vector gets a block ``hash(id) % nb`` with ``nb =
+    ceil(pop / 512)``, the join runs per (cluster, block-pair) — same
+    exact pair set, per-task work capped at ~512², worst-case shuffle
+    replication pop/512 ≈ nb per row. Clusters at the expected ~256
+    population have nb = 1 and zero replication, so the decomposition
+    costs nothing unless skew actually happens.
     """
     from levi_spark.operators.kmeans import assign_clusters, kmeans_fit
 
@@ -8252,29 +8263,63 @@ def semdedup_prune(spark, sf_dir):
     # fold the oracle's sqrt(list_inner_product(v,v)) runs, so the
     # rounded cosine is bit-identical while the pairwise stage drops
     # from 3 to 1 inner products per candidate.
-    a = pts.select(
+    sizes = pts.groupBy("cluster").agg(F.count(F.lit(1)).alias("__pop"))
+    blocked = (
+        pts.join(sizes, "cluster")
+        .select(
+            "cluster",
+            "vec_id",
+            "v",
+            F.sqrt(dot(F.col("v"), F.col("v"))).alias("__n"),
+            F.greatest(
+                F.lit(1), F.ceil(F.col("__pop") / 512)
+            ).cast("int").alias("__nb"),
+            F.pmod(F.xxhash64(F.col("vec_id")), F.greatest(
+                F.lit(1), F.ceil(F.col("__pop") / 512)
+            )).cast("int").alias("__blk"),
+        )
+    )
+    # side A owns block pairs (p = own block, q >= p); side B owns
+    # (p <= own block, q = own block): every unordered block pair gets
+    # exactly one task, every unordered vector pair appears exactly
+    # once (same-block tasks dedup via id_b > id_a)
+    a = blocked.select(
         "cluster",
         F.col("vec_id").alias("id_a"),
         F.col("v").alias("__va"),
-        F.sqrt(dot(F.col("v"), F.col("v"))).alias("__na"),
+        F.col("__n").alias("__na"),
+        F.col("__blk").alias("__p"),
+        F.explode(
+            F.sequence(F.col("__blk"), F.col("__nb") - 1)
+        ).alias("__q"),
     )
-    b = pts.select(
+    b = blocked.select(
         "cluster",
         F.col("vec_id").alias("id_b"),
         F.col("v").alias("__vb"),
-        F.sqrt(dot(F.col("v"), F.col("v"))).alias("__nb"),
+        F.col("__n").alias("__nb_norm"),
+        F.explode(
+            F.sequence(F.lit(0), F.col("__blk"))
+        ).alias("__p"),
+        F.col("__blk").alias("__q"),
     )
     dup = (
-        a.join(b, "cluster")
-        .where(F.col("id_b") > F.col("id_a"))
+        a.join(b, ["cluster", "__p", "__q"])
+        .where((F.col("__p") != F.col("__q"))
+               | (F.col("id_b") > F.col("id_a")))
         .where(
             F.round(
-                dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6
+                dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb_norm")), 6
             )
             > 0.3
         )
-        .groupBy(F.col("id_b").alias("vec_id"))
-        .agg(F.min("id_a").alias("dup_of"))
+        .select(
+            F.greatest(F.col("id_a"), F.col("id_b")).alias("vec_id"),
+            F.least(F.col("id_a"), F.col("id_b")).alias("__lo"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("__lo").alias("dup_of"))
     )
     return (
         pts.join(dup, "vec_id", "left")
@@ -13765,6 +13810,7 @@ def orc_column_read(spark, sf_dir):
             parse_footer,
             plan_scan,
             read_column_bytes,
+            read_row_group,
         )
 
         pdfs = [p for p in batches if len(p)]
@@ -13796,6 +13842,11 @@ def orc_column_read(spark, sf_dir):
             for i in plan["stripes_pruned"]:  # soundness: decode pruned
                 if any(lo <= v <= hi for v in ks[offs[i]:offs[i + 1]]):
                     raise ValueError("ORC plan pruned a matching stripe")
+            stride = footer["row_index_stride"]
+            if stride:  # position-based seek == slice of the full read
+                n0 = footer["stripes"][0]["num_rows"]
+                if read_row_group(path, "k", 0, 0) != ks[:min(stride, n0)]:
+                    raise ValueError("ORC row-group seek diverges")
         finally:
             _os.unlink(path)
         got = [read_column_bytes(blob, c)
@@ -13806,6 +13857,132 @@ def orc_column_read(spark, sf_dir):
 
     pruning = orders.repartition(1).mapInPandas(pruned_sorted, cols)
     return matrix.unionByName(pruning).distinct()
+
+
+def orc_write_roundtrip(spark, sf_dir):
+    """ORC WRITTEN from first principles
+    (:mod:`levi_spark.operators.orcwrite`): each task serializes its
+    orders partition — protobuf footers, RLEv2 SHORT_REPEAT/DIRECT,
+    byte/boolean RLE PRESENT bitmaps, string/list/timestamp columns,
+    per-stripe statistics — with the COMPRESSORS also ours (snappy,
+    raw-DEFLATE "ZLIB", zstd, lz4 block).  Every file is read back by
+    pyarrow (the reference reader) AND by our first-principles reader
+    inside the same map step; a mis-framed chunk or a wrong
+    SHORT_REPEAT byte kills the gate.  Per the registry per-query
+    budget the FULL partition goes through the uncompressed leg (all
+    rows witness the encoders); the four pure-Python compressor legs
+    run on a deterministic 2048-row prefix as framing witnesses — the
+    parquet_write_roundtrip precedent.  Surfaced stats aggregate the
+    pyarrow read-back; the oracle recomputes them from orders.  Scale
+    shape: map-side per-partition fan-out + one single-row rollup — a
+    distributed ORC writer IS this map stage, and the stripe stats it
+    records are what plan_scan prunes on later."""
+    import pandas as pd
+
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 7 != 0, F.col("o_totalprice")
+            ).alias("price"),
+            "o_orderpriority",
+        )
+        .repartition(8)
+    )
+
+    def roundtrip(batches):
+        import io as _io
+
+        import pyarrow.orc as _po
+
+        from levi_spark.operators.orc import read_rows_bytes
+        from levi_spark.operators.orcwrite import write_orc
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ks = [int(v) for v in pdf["o_orderkey"]]
+            ps = [None if pd.isna(v) else float(v) for v in pdf["price"]]
+            ss = list(pdf["o_orderpriority"])
+            ls = [[(k + j) % 997 for j in range(k % 4)] for k in ks]
+            ts = [((k * 7919) % 2600000000 - 1300000000) * 10**9
+                  for k in ks]
+            for codec, lim in (("none", None), ("snappy", 2048),
+                               ("zlib", 2048), ("zstd", 2048),
+                               ("lz4", 2048)):
+                cols = [
+                    ("k", "long", ks[:lim]),
+                    ("price", "double", ps[:lim]),
+                    ("prio", "string", ss[:lim]),
+                    ("lst", "list<long>", ls[:lim]),
+                    ("ts", "timestamp", ts[:lim]),
+                ]
+                blob = write_orc(cols, compression=codec,
+                                 stripe_rows=4096)
+                t = _po.read_table(_io.BytesIO(blob))
+                back_k = t.column("k").to_pylist()
+                back_p = t.column("price").to_pylist()
+                back_s = t.column("prio").to_pylist()
+                back_l = t.column("lst").to_pylist()
+                back_t = t.column("ts").cast("int64").to_pylist()
+                if (back_k != cols[0][2] or back_p != cols[1][2]
+                        or back_s != cols[2][2] or back_l != cols[3][2]
+                        or back_t != cols[4][2]):
+                    raise ValueError(f"pyarrow misread our ORC ({codec})")
+                ours = read_rows_bytes(blob)
+                if ([r["k"] for r in ours] != cols[0][2]
+                        or [r["price"] for r in ours] != cols[1][2]
+                        or [r["lst"] for r in ours] != cols[3][2]
+                        or [r["ts"] for r in ours] != cols[4][2]):
+                    raise ValueError(f"self-read diverges ({codec})")
+                if lim is None:  # stats come from the FULL-rows leg
+                    full = (back_k, back_p, back_s, back_l, back_t)
+            back_k, back_p, back_s, back_l, back_t = full
+            yield pd.DataFrame({
+                "n_rows": [len(back_k)],
+                "sum_key": [sum(back_k)],
+                "n_null_price": [sum(1 for v in back_p if v is None)],
+                "sum_price": [sum(int(v * 10000 + 0.5) for v in back_p
+                                  if v is not None)],
+                "prio_chars": [sum(len(s) for s in back_s)],
+                "sum_list_items": [sum(sum(v) for v in back_l)],
+                "sum_ts_secs": [sum(v // 10**9 for v in back_t)],
+            })
+
+    return orders.mapInPandas(
+        roundtrip,
+        "n_rows long, sum_key long, n_null_price long, sum_price long,"
+        " prio_chars long, sum_list_items long, sum_ts_secs long",
+    ).agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("sum_key").alias("sum_key"),
+        F.sum("n_null_price").alias("n_null_price"),
+        (F.sum("sum_price").cast("double") / 10000.0).alias("sum_price"),
+        F.sum("prio_chars").alias("prio_chars"),
+        F.sum("sum_list_items").alias("sum_list_items"),
+        F.sum("sum_ts_secs").alias("sum_ts_secs"),
+    )
+
+
+ORC_WRITE_SQL = """
+SELECT COUNT(*) AS n_rows,
+  CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+  CAST(SUM(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_null_price,
+  CAST(SUM(CASE WHEN o_orderkey % 7 <> 0
+       THEN CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)
+       ELSE 0 END) AS DOUBLE) / 10000.0 AS sum_price,
+  CAST(SUM(length(o_orderpriority)) AS BIGINT) AS prio_chars,
+  CAST(SUM(
+    CASE WHEN o_orderkey % 4 > 0 THEN o_orderkey % 997 ELSE 0 END
+  + CASE WHEN o_orderkey % 4 > 1 THEN (o_orderkey + 1) % 997 ELSE 0 END
+  + CASE WHEN o_orderkey % 4 > 2 THEN (o_orderkey + 2) % 997 ELSE 0 END
+  ) AS BIGINT) AS sum_list_items,
+  CAST(SUM((o_orderkey * 7919) % 2600000000 - 1300000000) AS BIGINT)
+    AS sum_ts_secs
+FROM orders
+"""
 
 
 ORC_COLUMN_SQL = """
@@ -16673,8 +16850,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # first 50 slots are rotation policy: never-gated queries first,
     # then queries changed this round, then oldest-green backfill.
     # -- ROUND 9 second-session addition, slot 1 (leads the window:
-    #    never driver-gated) — the first-principles ORC reader. ---------
+    #    never driver-gated) — the first-principles ORC reader + writer.
     "orc_column_read": (orc_column_read, ORC_COLUMN_SQL),
+    "orc_write_roundtrip": (orc_write_roundtrip, ORC_WRITE_SQL),
     # -- ROUND 9 additions, slots 1-6 (lead the window: never
     #    driver-gated) — ZSTD/LZ4 decoders from first principles, the
     #    parquet reader matrix (zstd/lz4 codecs, data page v2, DELTA_*
