@@ -507,6 +507,34 @@ def _decode_nanos(raw: list[int]) -> list[int]:
     return out
 
 
+def _apply_decimal_scale(mants: list[int], scales: list[int],
+                         type_info: dict) -> list[int]:
+    declared = type_info.get("scale") or 0
+    out = []
+    for m, sc in zip(mants, scales):
+        if sc != declared:
+            m *= 10 ** (declared - sc) if declared > sc else 1
+            if declared < sc:
+                raise ValueError("ORC decimal: scale above declared")
+        out.append(m)
+    return out
+
+
+def _combine_ts(secs: list[int], nanos: list[int]) -> list[int]:
+    """Writer conventions differ pre-1970: C++ (pyarrow) stores
+    ceil-second + NEGATIVE nanos (plain add is exact); Java (Spark)
+    stores trunc-toward-zero second + positive nanos, which needs a
+    -1 s adjustment iff abs_secs < 0 and nanos > 0.  The combined rule
+    reproduces pyarrow's reading of BOTH writers' files."""
+    out = []
+    for s, ns in zip(secs, nanos):
+        abs_s = s + _SECS_EPOCH_2015
+        if abs_s < 0 and ns > 0:
+            abs_s -= 1
+        out.append(abs_s * 1_000_000_000 + ns)
+    return out
+
+
 def _decode_column_stripe(
     streams: dict[str, bytes], enc: dict, kind: str, n_rows: int,
     type_info: dict,
@@ -561,33 +589,14 @@ def _decode_column_stripe(
             v, at = _pb_varint(data, at)
             mants.append(_zigzag(v))
         scales = _int_rle(streams["secondary"], n_present, True, version)
-        declared = type_info.get("scale") or 0
-        vals = []
-        for m, sc in zip(mants, scales):
-            if sc != declared:  # normalize to the declared scale
-                m *= 10 ** (declared - sc) if declared > sc else 1
-                if declared < sc:
-                    raise ValueError("ORC decimal: scale above declared")
-            vals.append(m)
         # values returned as unscaled ints at the declared scale
+        vals = _apply_decimal_scale(mants, scales, type_info)
     elif kind in ("timestamp", "timestamp_instant"):
         secs = _int_rle(data, n_present, True, version)
         nanos = _decode_nanos(
             _int_rle(streams["secondary"], n_present, False, version)
         )
-        # Writer conventions differ pre-1970: C++ (pyarrow) stores
-        # ceil-second + NEGATIVE nanos (plain add is exact); Java
-        # (Spark) stores trunc-toward-zero second + positive nanos,
-        # which needs a -1 s adjustment iff abs_secs < 0 and nanos > 0.
-        # The combined rule reproduces pyarrow's reading of BOTH
-        # writers' files (including the known Java/C++ boundary-second
-        # disagreement, where we match pyarrow).
-        vals = []
-        for s, ns in zip(secs, nanos):
-            abs_s = s + _SECS_EPOCH_2015
-            if abs_s < 0 and ns > 0:
-                abs_s -= 1
-            vals.append(abs_s * 1_000_000_000 + ns)
+        vals = _combine_ts(secs, nanos)
     else:
         raise NotImplementedError(f"ORC column kind {kind!r}")
 
@@ -811,11 +820,11 @@ def read_row_group(path: str, column: str, stripe_idx: int,
         if skind == "data":
             if kind == "boolean":
                 return 2
-            if kind in ("float", "double") or (
+            if kind in ("float", "double", "decimal") or (
                 kind in ("string", "varchar", "char", "binary")
                 and not is_dict
             ):
-                return 0  # plain byte stream
+                return 0  # plain byte / varint stream: offsets suffice
             return 1  # RLE-coded values (ints, dict indices, byte RLE)
         if skind == "length":
             return 0 if is_dict else 1  # dict lengths are whole-stripe
@@ -862,6 +871,18 @@ def read_row_group(path: str, column: str, stripe_idx: int,
 
     if kind in ("int", "long", "short", "date"):
         vals = ints("data", n_present, True)
+    elif kind in ("timestamp", "timestamp_instant"):
+        secs = ints("data", n_present, True)
+        nanos = _decode_nanos(ints("secondary", n_present, False))
+        vals = _combine_ts(secs, nanos)
+    elif kind == "decimal":
+        buf, _ = _seek("data")
+        mants, p = [], 0
+        for _i in range(n_present):
+            v, p = _pb_varint(buf, p)
+            mants.append(_zigzag(v))
+        scales = ints("secondary", n_present, True)
+        vals = _apply_decimal_scale(mants, scales, tinfo)
     elif kind == "byte":
         buf, (skip,) = _seek("data")
         vals = [v - 256 if v > 127 else v

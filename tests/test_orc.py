@@ -261,6 +261,29 @@ def test_row_group_pruning_and_seek_reads(tmp_path):
                 assert got == exp, (c, si, gi)
 
 
+def test_row_group_seek_timestamp_decimal(tmp_path):
+    import decimal as _dec
+    random.seed(21)
+    n = 45000
+    ts = [EPT + datetime.timedelta(
+        seconds=random.randint(-2 * 10**9, 2 * 10**9),
+        microseconds=random.randint(0, 999999)) for _ in range(n)]
+    decs = [_dec.Decimal(random.randint(-10**10, 10**10)).scaleb(-4)
+            for _ in range(n)]
+    t = pa.table({"ts": pa.array(ts, pa.timestamp("us")),
+                  "dec": pa.array(decs, pa.decimal128(14, 4))})
+    path = str(tmp_path / "tsdec.orc")
+    po.write_table(t, path, compression="zstd",
+                   stripe_size=4 * 1024 * 1024)
+    f = orc.read_footer(path)
+    stride = f["row_index_stride"]
+    for c in ("ts", "dec"):
+        full = orc.read_column(path, c)
+        for g in (0, 1, 4):
+            got = orc.read_row_group(path, c, 0, g)
+            assert got == full[g * stride:(g + 1) * stride], (c, g)
+
+
 def test_row_group_seek_uncompressed(tmp_path):
     n = 25000
     t = pa.table({"k": pa.array(range(n), pa.int64()),
