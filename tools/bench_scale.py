@@ -91,9 +91,14 @@ def main() -> None:
     ap.add_argument("--names", default=None,
                     help="comma-separated subset (e.g. the heaviest "
                          "queries for a 100x tier)")
+    ap.add_argument("--shuffle", type=int, default=None,
+                    help="shuffle partitions (size to the LARGE tier: "
+                         "32 partitions that fit sf0.1 do not fit "
+                         "100x rows — the repo's own scale rule)")
     a = ap.parse_args()
 
-    spark = get_spark(app_name="levi-spark-bench-scale")
+    spark = get_spark(app_name="levi-spark-bench-scale",
+                      shuffle_partitions=a.shuffle)
     spark.range(1).count()
     if a.names:
         names = [n.strip() for n in a.names.split(",") if n.strip()]
@@ -105,10 +110,16 @@ def main() -> None:
     print(f"benchmarking {len(names)} queries at {a.small} then {a.large}",
           file=sys.stderr)
 
-    def run(name: str, sf_dir: str) -> float:
+    def run(name: str, sf_dir: str) -> float | str:
         fn = QUERIES[name][0]
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        try:
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        except Exception as e:  # record, don't lose the whole run
+            msg = f"ERROR: {type(e).__name__}: {str(e)[:300]}"
+            print(f"  {sf_dir.rsplit('/', 1)[-1]} {name}: {msg}",
+                  file=sys.stderr, flush=True)
+            return msg
         sec = round(time.perf_counter() - t0, 3)
         spark.catalog.clearCache()
         for v in spark.catalog.listTables():
@@ -123,6 +134,10 @@ def main() -> None:
 
     rows = {}
     for n in names:
+        if isinstance(small[n], str) or isinstance(large[n], str):
+            rows[n] = {"sf0.1_sec": small[n], "sf1_sec": large[n],
+                       "time_ratio": None, "super_linear": True}
+            continue
         ratio = round(large[n] / small[n], 2) if small[n] > 0 else None
         rows[n] = {
             "sf0.1_sec": small[n],
@@ -136,6 +151,8 @@ def main() -> None:
         "tolerance": TOLERANCE,
         "small_dir": a.small,
         "large_dir": a.large,
+        "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+        "driver_memory": spark.conf.get("spark.driver.memory"),
         "n_queries": len(names),
         "total_sf0.1_sec": round(sum(small.values()), 2),
         "total_sf1_sec": round(sum(large.values()), 2),
