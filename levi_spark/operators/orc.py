@@ -704,8 +704,15 @@ class _StripeDecoder:
                     vals.append(list(zip(keys[at : at + ln],
                                          mvals[at : at + ln])))
                     at += ln
-        else:
-            raise NotImplementedError("ORC union assembly")
+        else:  # union: DATA = tag byte RLE, children hold their
+            # occurrences in row order; values come back as
+            # (tag, value) pairs
+            tags = byte_rle(streams["data"], n_present)
+            branch_vals = [
+                iter(self.decode(c, sum(1 for t in tags if t == i)))
+                for i, c in enumerate(t["subtypes"])
+            ]
+            vals = [(tg, next(branch_vals[tg])) for tg in tags]
         if present is None:
             return vals
         it = iter(vals)

@@ -258,6 +258,9 @@ def _parse_type(spec: str) -> dict:
         k, v = _split_top(s[4:-1])
         return {"kind": "map", "key": _parse_type(k),
                 "value": _parse_type(v)}
+    if low.startswith("union<") and s.endswith(">"):
+        return {"kind": "union",
+                "branches": [_parse_type(p) for p in _split_top(s[6:-1])]}
     if low.startswith("decimal(") and s.endswith(")"):
         p, sc = s[8:-1].split(",")
         return {"kind": "decimal", "precision": int(p), "scale": int(sc)}
@@ -300,6 +303,9 @@ def _flatten_types(root_fields: list[tuple[str, dict]]) -> list[dict]:
         elif node["kind"] == "map":
             node["subtypes"].append(add(node["key"]))
             node["subtypes"].append(add(node["value"]))
+        elif node["kind"] == "union":
+            for br in node["branches"]:
+                node["subtypes"].append(add(br))
         return my
 
     root = {"kind": "struct", "fields": root_fields}
@@ -385,6 +391,18 @@ def _encode_column(node: dict, vals: list, streams: _Streams,
         _encode_column(node["key"], [k for k, _ in flat], streams, stats)
         _encode_column(node["value"], [v for _, v in flat], streams,
                        stats)
+        return
+    if kind == "union":
+        # values are (tag, value) pairs; DATA = tag byte RLE, each
+        # branch child carries its own occurrences in row order
+        tags = [int(t) for t, _v in present]
+        nb = len(node["branches"])
+        if tags and not all(0 <= t < nb for t in tags):
+            raise ValueError("ORC union: tag out of range")
+        streams.add(col, _STREAM_DATA, byte_rle_encode(tags))
+        for i, br in enumerate(node["branches"]):
+            _encode_column(br, [v for t, v in present if t == i],
+                           streams, stats)
         return
 
     if use_dict and kind in ("string", "binary"):

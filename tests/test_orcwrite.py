@@ -196,6 +196,34 @@ def test_ragged_and_unknown_type_raise():
         write_orc([("a", "uuid", [1])])
 
 
+def test_union_columns_roundtrip():
+    random.seed(31)
+    n = 8000
+    vals = []
+    for _ in range(n):
+        r = random.random()
+        if r < .1:
+            vals.append(None)
+        elif r < .55:
+            vals.append((0, random.randint(-10**9, 10**9)))
+        else:
+            vals.append((1, "u%d" % random.randint(0, 10**6)))
+    blob = write_orc(
+        [("k", "long", list(range(n))),
+         ("u", "union<long,string>", vals)],
+        compression="zstd", stripe_rows=3000,
+    )
+    rows = rorc.read_rows_bytes(blob)
+    assert [r["u"] for r in rows] == vals
+    # pyarrow reads the union as sparse_union with matching values
+    t = po.read_table(io.BytesIO(blob))
+    assert t.column("u").to_pylist() == [
+        None if v is None else v[1] for v in vals
+    ]
+    with pytest.raises(ValueError, match="tag out of range"):
+        write_orc([("u", "union<long,string>", [(7, 1)])])
+
+
 def test_spark_reads_our_files(spark, tmp_path):
     cols = _wide_columns(n=3000, seed=9)
     # Spark's vectorized ORC reader; drop map (Spark reads it fine but
