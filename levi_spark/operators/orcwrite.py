@@ -353,8 +353,35 @@ _V2_KINDS = {"long", "int", "short", "string", "binary", "date",
              "decimal", "timestamp", "list", "map"}
 
 
+def _collect_nullable(node: dict, vals: list, out: set) -> None:
+    """Pre-pass marking every column id whose slice holds a null —
+    so PRESENT streams stay CONSISTENT across row groups when the
+    encoders restart per group (a group without nulls must still emit
+    its PRESENT run if any sibling group has one)."""
+    present = [v for v in vals if v is not None]
+    if len(present) != len(vals):
+        out.add(node["id"])
+    kind = node["kind"]
+    if kind == "struct":
+        for fname, child in node["fields"]:
+            _collect_nullable(child, [row[fname] for row in present], out)
+    elif kind == "list":
+        _collect_nullable(node["child"],
+                          [x for v in present for x in v], out)
+    elif kind == "map":
+        items = [list(v.items()) if isinstance(v, dict) else list(v)
+                 for v in present]
+        flat = [kv for v in items for kv in v]
+        _collect_nullable(node["key"], [k for k, _ in flat], out)
+        _collect_nullable(node["value"], [v for _, v in flat], out)
+    elif kind == "union":
+        for i, br in enumerate(node["branches"]):
+            _collect_nullable(br, [v for t, v in present if t == i], out)
+
+
 def _encode_column(node: dict, vals: list, streams: _Streams,
-                   stats: list, use_dict: bool = False) -> None:
+                   stats: list, use_dict: bool = False,
+                   force_present: set | None = None) -> None:
     """Encode one column's slice (``vals`` has one slot per occurrence
     in the parent context, None = null) and recurse into children.
     Records the encoding actually used on ``node["_enc"]`` /
@@ -364,7 +391,7 @@ def _encode_column(node: dict, vals: list, streams: _Streams,
     node["_enc"] = _ENC_DIRECT_V2 if kind in _V2_KINDS else _ENC_DIRECT
     node["_dict_size"] = 0
     has_null = any(v is None for v in vals)
-    if has_null:
+    if has_null or (force_present and col in force_present):
         streams.add(col, _STREAM_PRESENT,
                     boolean_rle_encode([v is not None for v in vals]))
     present = [v for v in vals if v is not None]
@@ -374,13 +401,15 @@ def _encode_column(node: dict, vals: list, streams: _Streams,
     if kind == "struct":
         for idx, (fname, child) in enumerate(node["fields"]):
             child_vals = [row[fname] for row in present]
-            _encode_column(child, child_vals, streams, stats)
+            _encode_column(child, child_vals, streams, stats,
+                           force_present=force_present)
         return
     if kind == "list":
         lens = [len(v) for v in present]
         streams.add(col, _STREAM_LENGTH, int_rle_v2_encode(lens, False))
         flat = [x for v in present for x in v]
-        _encode_column(node["child"], flat, streams, stats)
+        _encode_column(node["child"], flat, streams, stats,
+                       force_present=force_present)
         return
     if kind == "map":
         items = [list(v.items()) if isinstance(v, dict) else list(v)
@@ -388,9 +417,10 @@ def _encode_column(node: dict, vals: list, streams: _Streams,
         lens = [len(v) for v in items]
         streams.add(col, _STREAM_LENGTH, int_rle_v2_encode(lens, False))
         flat = [kv for v in items for kv in v]
-        _encode_column(node["key"], [k for k, _ in flat], streams, stats)
+        _encode_column(node["key"], [k for k, _ in flat], streams,
+                       stats, force_present=force_present)
         _encode_column(node["value"], [v for _, v in flat], streams,
-                       stats)
+                       stats, force_present=force_present)
         return
     if kind == "union":
         # values are (tag, value) pairs; DATA = tag byte RLE, each
@@ -402,7 +432,8 @@ def _encode_column(node: dict, vals: list, streams: _Streams,
         streams.add(col, _STREAM_DATA, byte_rle_encode(tags))
         for i, br in enumerate(node["branches"]):
             _encode_column(br, [v for t, v in present if t == i],
-                           streams, stats)
+                           streams, stats,
+                           force_present=force_present)
         return
 
     if use_dict and kind in ("string", "binary"):
@@ -517,21 +548,62 @@ def _stats_pb(st: dict) -> bytes:
 
 
 # ----------------------------------------------------------------- writer
+def _merge_stat(f: dict, s: dict) -> None:
+    f["n"] += s["n"]
+    f["has_null"] |= s["has_null"]
+    for lo, hi in (("min", "max"), ("dmin", "dmax"),
+                   ("smin", "smax"), ("date_min", "date_max")):
+        if lo in s:
+            f[lo] = s[lo] if lo not in f else min(f[lo], s[lo])
+            f[hi] = s[hi] if hi not in f else max(f[hi], s[hi])
+    if "sum" in s:
+        f["sum"] = f.get("sum", 0) + s["sum"]
+
+
+def _pos_extra(kind: str, skind: int) -> int:
+    """Zero-valued skip slots appended after the byte offsets in each
+    ROW_INDEX position list — zero because this writer RESTARTS every
+    encoder (and compression chunk) at row-group boundaries, which the
+    positions spec permits. Mirrors the canonical layout the reader's
+    ``read_row_group`` consumes."""
+    if skind == _STREAM_PRESENT:
+        return 2  # byte-RLE skip + bit offset
+    if skind == _STREAM_DATA:
+        if kind == "boolean":
+            return 2
+        if kind in ("float", "double", "string", "binary", "decimal"):
+            return 0  # plain byte / varint stream
+        return 1  # RLE values (ints, byte RLE tags)
+    if skind in (_STREAM_LENGTH, _STREAM_SECONDARY):
+        return 1
+    return 0
+
+
 def write_orc(columns: list[tuple[str, str, list]],
               compression: str = "zstd",
               stripe_rows: int | None = None,
               block_size: int = 262144,
-              dictionary: bool | list[str] = False) -> bytes:
+              dictionary: bool | list[str] = False,
+              row_index_stride: int = 10000) -> bytes:
     """``[(name, type, values-with-None), ...]`` -> ORC file bytes.
 
     Types: ``long int short byte boolean float double string binary
-    date decimal(p,s) timestamp list<T> struct<a:T,...> map<K,V>``.
-    Value conventions match :mod:`levi_spark.operators.orc`'s reader:
-    dates are epoch days, decimals unscaled ints, timestamps epoch
-    NANOSECONDS; struct values are dicts, maps dicts or (k, v) lists.
-    ``dictionary`` (True, or a list of column names) switches
+    date decimal(p,s) timestamp list<T> struct<a:T,...> map<K,V>
+    union<T1,T2,...>``.  Value conventions match
+    :mod:`levi_spark.operators.orc`'s reader: dates are epoch days,
+    decimals unscaled ints, timestamps epoch NANOSECONDS; struct
+    values are dicts, maps dicts or (k, v) lists, unions (tag, value)
+    pairs.  ``dictionary`` (True, or a list of column names) switches
     top-level string/binary columns to DICTIONARY_V2 (sorted dict,
-    per-stripe).
+    per-stripe) — and disables the row index, since the per-stripe
+    dictionary cannot restart per group.
+
+    ``row_index_stride`` > 0 writes ROW_INDEX streams: per-group
+    min/max statistics plus seek positions.  Every encoder and
+    compression chunk restarts at group boundaries, so positions are
+    plain byte offsets with zero skip counts — readers (including our
+    ``read_row_group`` and engines doing predicate pushdown) can skip
+    straight to any 10k-row group of any column.
     """
     if compression not in _CODECS:
         raise NotImplementedError(f"ORC codec {compression!r}")
@@ -542,6 +614,44 @@ def write_orc(columns: list[tuple[str, str, list]],
     root_fields = [(name, _parse_type(t)) for name, t, _v in columns]
     types = _flatten_types(root_fields)
     n_cols = len(types)
+    want_dict = {
+        name: (dictionary is True
+               or (isinstance(dictionary, list) and name in dictionary))
+        for name, _t, _v in columns
+    }
+    stride = 0 if any(want_dict.values()) else (row_index_stride or 0)
+    if stride and stride % 8:
+        raise ValueError("row_index_stride must be a multiple of 8")
+    if stride:
+        # group-restarted encoders pad BIT-PACKED streams to byte
+        # boundaries; that is only a valid continuous stream when the
+        # per-group bit count is divisible by 8.  Top-level PRESENT
+        # always is (stride % 8 == 0); a nullable boolean's DATA and
+        # any sub-top-level PRESENT / boolean are not — those schemas
+        # write without an index rather than an invalid one.
+        whole_null: set[int] = set()
+        for (name, _t, vals), (fname, node) in zip(columns, root_fields):
+            _collect_nullable(node, vals, whole_null)
+
+        def _bit_ok(node, top):
+            if node["kind"] == "boolean" and (
+                not top or node["id"] in whole_null
+            ):
+                return False
+            if not top and node["id"] in whole_null:
+                return False
+            kids = (node.get("fields") and
+                    [c for _f, c in node["fields"]]) or []
+            if node["kind"] == "list":
+                kids = [node["child"]]
+            elif node["kind"] == "map":
+                kids = [node["key"], node["value"]]
+            elif node["kind"] == "union":
+                kids = node["branches"]
+            return all(_bit_ok(c, False) for c in kids)
+
+        if not all(_bit_ok(node, True) for _n, node in root_fields):
+            stride = 0
 
     out = bytearray(MAGIC)  # 3-byte header
     stripe_infos = []
@@ -551,23 +661,84 @@ def write_orc(columns: list[tuple[str, str, list]],
 
     for start in range(0, n_rows, sr):
         rows = min(sr, n_rows - start)
-        streams = _Streams()
-        stats: list[tuple[int, dict]] = [(0, {
-            "n": rows, "has_null": False, "kind": "struct"})]
+        g_size = stride if stride else max(rows, 1)
+        nullable: set[int] = set()
         for (name, _t, vals), (fname, node) in zip(columns, root_fields):
-            want_dict = (dictionary is True or
-                         (isinstance(dictionary, list)
-                          and name in dictionary))
-            _encode_column(node, vals[start : start + rows], streams,
-                           stats, use_dict=want_dict)
-        # data streams, compressed, in emission order
+            _collect_nullable(node, vals[start : start + rows], nullable)
+        # encode per row group (encoders restart at boundaries)
+        group_streams: list[_Streams] = []
+        group_stats: list[dict[int, dict]] = []
+        for g0 in range(0, rows, g_size):
+            grows = min(g_size, rows - g0)
+            enc = _Streams()
+            stats_g: list[tuple[int, dict]] = [(0, {
+                "n": grows, "has_null": False, "kind": "struct"})]
+            for (name, _t, vals), (fname, node) in zip(
+                columns, root_fields
+            ):
+                _encode_column(
+                    node,
+                    vals[start + g0 : start + g0 + grows],
+                    enc, stats_g, use_dict=want_dict[name],
+                    force_present=nullable,
+                )
+            group_streams.append(enc)
+            group_stats.append({c: s for c, s in stats_g})
+        keys = [(c, k) for c, k, _ in group_streams[0].order]
+        for gs in group_streams[1:]:
+            if [(c, k) for c, k, _ in gs.order] != keys:
+                raise AssertionError("ORC writer: stream set diverged "
+                                     "across row groups")
+        # concatenate per-stream group chunks; record per-group offsets
+        framed_parts: dict[tuple, list[bytes]] = {k: [] for k in keys}
+        for gs in group_streams:
+            for c, k, raw in gs.order:
+                framed_parts[(c, k)].append(
+                    compress_stream(raw, compression, block_size)
+                )
+        # merged stripe stats per column
+        per_col: dict[int, dict] = {
+            c: dict(n=0, has_null=False) for c in range(n_cols)
+        }
+        for gstats in group_stats:
+            for c in range(n_cols):
+                _merge_stat(per_col[c], gstats[c])
+
         offset = len(out)
         stream_meta = []
-        for col, skind, raw in streams.order:
-            framed = compress_stream(raw, compression, block_size)
-            stream_meta.append((skind, col, len(framed)))
+        if stride:
+            # ROW_INDEX streams first (they ARE the stripe's index
+            # region), one per column, entries in row-group order
+            col_keys: dict[int, list[tuple]] = {}
+            for c, k in keys:
+                col_keys.setdefault(c, []).append((c, k))
+            base = 1 if compression == "none" else 2
+            for c in range(n_cols):
+                entries = b""
+                for g in range(len(group_streams)):
+                    positions: list[int] = []
+                    for key in col_keys.get(c, []):
+                        off = sum(len(p) for p in framed_parts[key][:g])
+                        positions.append(off)
+                        if base == 2:
+                            positions.append(0)  # offset inside chunk
+                        positions += [0] * _pos_extra(
+                            types[c]["kind"], key[1]
+                        )
+                    entry = (pb_packed(1, positions) if positions
+                             else b"")
+                    entry += pb_bytes(2, _stats_pb(group_stats[g][c]))
+                    entries += pb_bytes(1, entry)
+                framed = compress_stream(entries, compression,
+                                         block_size)
+                stream_meta.append((6, c, len(framed)))  # ROW_INDEX
+                out += framed
+        index_len = len(out) - offset
+        for key in keys:
+            framed = b"".join(framed_parts[key])
+            stream_meta.append((key[1], key[0], len(framed)))
             out += framed
-        data_len = len(out) - offset
+        data_len = len(out) - offset - index_len
         # stripe footer
         sf = b"".join(
             pb_bytes(1, pb_varint(1, skind) + pb_varint(2, col)
@@ -590,26 +761,16 @@ def write_orc(columns: list[tuple[str, str, list]],
         sf_framed = compress_stream(sf, compression, block_size)
         out += sf_framed
         stripe_infos.append({
-            "offset": offset, "index_length": 0, "data_length": data_len,
+            "offset": offset, "index_length": index_len,
+            "data_length": data_len,
             "footer_length": len(sf_framed), "num_rows": rows,
         })
         # per-stripe stats (metadata section) + file-stat fold
-        per_col: dict[int, dict] = {c: s for c, s in stats}
         ss = b"".join(pb_bytes(1, _stats_pb(per_col[c]))
                       for c in range(n_cols))
         stripe_stats_pb.append(pb_bytes(1, ss))
         for c in range(n_cols):
-            s = per_col[c]
-            f = file_stats[c]
-            f["n"] += s["n"]
-            f["has_null"] |= s["has_null"]
-            for lo, hi in (("min", "max"), ("dmin", "dmax"),
-                           ("smin", "smax"), ("date_min", "date_max")):
-                if lo in s:
-                    f[lo] = s[lo] if lo not in f else min(f[lo], s[lo])
-                    f[hi] = s[hi] if hi not in f else max(f[hi], s[hi])
-            if "sum" in s:
-                f["sum"] = f.get("sum", 0) + s["sum"]
+            _merge_stat(file_stats[c], per_col[c])
 
     meta = b"".join(stripe_stats_pb)
     meta_framed = compress_stream(meta, compression, block_size)
@@ -632,7 +793,7 @@ def write_orc(columns: list[tuple[str, str, list]],
     footer += pb_varint(6, n_rows)
     for c in range(n_cols):
         footer += pb_bytes(7, _stats_pb(file_stats[c]))
-    footer += pb_varint(8, 0)  # rowIndexStride: no row indexes
+    footer += pb_varint(8, stride)  # rowIndexStride
     footer_framed = compress_stream(footer, compression, block_size)
     out += footer_framed
 
