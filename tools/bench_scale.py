@@ -56,12 +56,15 @@ ROUND9 = [
 ROUND10 = [
     "parquet_record_assembly", "parquet_bloom_point_lookup",
 ]
+ROUND9_CLOSING = [
+    "orc_column_read", "orc_write_roundtrip",
+]
 ANCHOR = "q1_pricing_summary"
 
 
 def pick_queries(top_n: int = 25) -> list[str]:
     names = (set(DEDUP_FAMILY) | set(ANN_FAMILY) | set(ROUND9)
-             | set(ROUND10) | {ANCHOR})
+             | set(ROUND10) | set(ROUND9_CLOSING) | {ANCHOR})
     names |= {n for n in QUERIES if n.startswith("stream_")}
     detail = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH_DETAIL.json")
