@@ -524,12 +524,17 @@ def _combine_ts(secs: list[int], nanos: list[int]) -> list[int]:
     """Writer conventions differ pre-1970: C++ (pyarrow) stores
     ceil-second + NEGATIVE nanos (plain add is exact); Java (Spark)
     stores trunc-toward-zero second + positive nanos, which needs a
-    -1 s adjustment iff abs_secs < 0 and nanos > 0.  The combined rule
-    reproduces pyarrow's reading of BOTH writers' files."""
+    -1 s adjustment.  The C++ reader applies that adjustment iff
+    ``abs_secs < 0 and nanos > 999999`` — a MILLISECOND-granularity
+    threshold (probed empirically: nanos 999_999 reads plain, nanos
+    1_000_000 reads adjusted), so Java-written pre-1970 instants with
+    a sub-millisecond fraction diverge +1 s in the whole C++ lineage.
+    This rule reproduces pyarrow's reading of BOTH writers' files
+    bit-for-bit, divergences included."""
     out = []
     for s, ns in zip(secs, nanos):
         abs_s = s + _SECS_EPOCH_2015
-        if abs_s < 0 and ns > 0:
+        if abs_s < 0 and ns > 999_999:
             abs_s -= 1
         out.append(abs_s * 1_000_000_000 + ns)
     return out

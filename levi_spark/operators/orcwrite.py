@@ -12,12 +12,13 @@ reader, and by our own first-principles reader (the same three-reader
 cross-check design as the parquet writer in
 ``operators/parquetwrite.py``).
 
-Timestamps use the C++ writer convention (ceil-second + signed
-negative nanos for pre-1970 fractions) because it round-trips EVERY
-instant under the C++/pyarrow reading rule; the Java trunc-toward-zero
-convention cannot represent the second just before each epoch
-boundary without the known cross-implementation disagreement (see the
-byte-level derivation in ``operators/orc.py:_decode_nanos``).
+Timestamps use the JAVA writer convention (second truncated toward
+zero, nanos in [0, 1e9) — what Spark's own writer emits), because
+Spark's reader rejects the C++ negative-nanos layout outright.  The
+price is the ecosystem's known boundary divergence: instants inside
+the second just before 1970-01-01 read back +1 s under the C++/pyarrow
+rule — exactly as they do from Spark-written files (byte-level
+derivation in ``operators/orc.py:_decode_nanos``).
 
 100 TB shape: a writer task emits one stripe per ``stripe_rows``
 slice with stats computed inline, so downstream scans prune on the
@@ -497,12 +498,19 @@ def _encode_column(node: dict, vals: list, streams: _Streams,
                     int_rle_v2_encode([node["scale"]] * len(present),
                                       True))
     elif kind == "timestamp":
+        # Java convention (what Spark's own writer emits): second
+        # truncated TOWARD ZERO, nanos always in [0, 1e9). Spark's
+        # reader REJECTS the C++ negative-nanos layout outright
+        # ("nanos > 999999999 or < 0"), so this is the only layout all
+        # three readers accept; the price is the ecosystem's known
+        # boundary divergence — instants inside the second just before
+        # 1970-01-01 read back +1 s under the C++ rule (pyarrow and
+        # our reader), exactly as they do from Spark-written files.
         secs, nanos = [], []
         for ns in present:
             q, r = divmod(int(ns), 10**9)
-            if r and q < 0:  # C++ convention: ceil second, nanos < 0
+            if r and q < 0:  # trunc toward zero
                 q += 1
-                r -= 10**9
             secs.append(q - _SECS_EPOCH_2015)
             nanos.append(_pack_nanos(r))
         streams.add(col, _STREAM_DATA, int_rle_v2_encode(secs, True))

@@ -41,9 +41,13 @@ def _wide_columns(n=6000, seed=5):
         ("dec", "decimal(14,4)",
          [maybe(lambda: random.randint(-10**10, 10**10))
           for _ in range(n)]),
+        # sub-second part kept >= 1 ms: pre-1970 instants with a
+        # sub-millisecond fraction sit in the ecosystem's known
+        # Java-writer/C++-reader +1 s divergence band (see
+        # orc._combine_ts), which the boundary test covers explicitly
         ("ts", "timestamp",
-         [maybe(lambda: random.randint(-2 * 10**18, 2 * 10**18)
-                // 1000 * 1000) for _ in range(n)]),
+         [maybe(lambda: random.randint(-2 * 10**9, 2 * 10**9) * 10**9
+                + random.randint(1, 999) * 10**6) for _ in range(n)]),
         ("bin", "binary", [maybe(lambda: random.randbytes(
             random.randint(0, 12))) for _ in range(n)]),
         ("l", "list<long>", [maybe(lambda: [
@@ -168,16 +172,27 @@ def test_own_planner_prunes_own_file(tmp_path):
 
 
 def test_timestamp_epoch_boundaries_roundtrip():
-    # the instants the Java convention cannot represent round-trip
-    # exactly under the C++ rule this writer uses
-    vals = [-1000, -999999000, -1, 0, 1000, -10**15 + 500,
-            -1420070400 * 10**9 - 1000, 10**18]
+    # Java convention (Spark's writer layout): exact round-trip
+    # through pyarrow and our reader whenever the instant is >= 1970
+    # or its sub-second fraction is zero or >= 1 ms
+    vals = [0, 1000, -10**9, 10**18, -5 * 10**9 + 500_000_000,
+            -10**15 + 250_000_000, -1420070400 * 10**9 - 1000]
     blob = write_orc([("ts", "timestamp", vals)], compression="zlib")
     assert rorc.read_column_bytes(blob, "ts") == vals
     t = po.read_table(io.BytesIO(blob))
     # compare as epoch-ns ints: to_pylist() truncates to datetime's
     # microsecond precision, which would hide sub-us values
     assert t.column("ts").cast("int64").to_pylist() == vals
+    # pre-1970 instants with a SUB-MILLISECOND fraction sit in the
+    # ecosystem's known +1 s divergence band (the C++ reader only
+    # adjusts when nanos > 999999) — pyarrow and our reader diverge
+    # IDENTICALLY, exactly as they do on Spark-written files
+    edge = [-1000, -999999000, -10**15 + 500, -2 * 10**9 + 77000]
+    blob = write_orc([("ts", "timestamp", edge)], compression="none")
+    ours = rorc.read_column_bytes(blob, "ts")
+    theirs = po.read_table(io.BytesIO(blob)).column("ts").cast(
+        "int64").to_pylist()
+    assert ours == theirs == [v + 10**9 for v in edge]
 
 
 def test_empty_and_all_null_columns():
@@ -241,11 +256,11 @@ def test_spark_reads_our_files(spark, tmp_path):
     assert [r["i"] for r in got] == keep[1][2]
     assert [r["s"] for r in got] == keep[2][2]
     assert [r["b"] for r in got] == keep[5][2]
-    assert [r["l"] for r in got] == keep[10][2]
+    assert [r["l"] for r in got] == keep[11][2]
     sts = [None if r["st"] is None else {"a": r["st"]["a"],
                                          "b": r["st"]["b"]}
            for r in got]
-    assert sts == keep[11][2]
+    assert sts == keep[12][2]
     # dates/timestamps through Spark come back as objects; spot-check
     import datetime
     exp_dt = keep[7][2]
