@@ -13,12 +13,14 @@ Spark's native ORC writer (two independent reference writers, the
 same cross-check design as the parquet reader in
 ``operators/parquetmeta.py``).
 
-Scope (refusals are loud, never silent): flat top-level columns of
-BOOLEAN / BYTE / SHORT / INT / LONG / FLOAT / DOUBLE / STRING /
-VARCHAR / CHAR / BINARY / DATE / DECIMAL / TIMESTAMP, nullable via
-PRESENT, DIRECT and DICTIONARY(_V2) encodings, and single-level
-LIST<primitive>.  Deeper nesting raises NotImplementedError naming
-the column.
+Scope: every non-deprecated type kind — BOOLEAN / BYTE / SHORT / INT
+/ LONG / FLOAT / DOUBLE / STRING / VARCHAR / CHAR / BINARY / DATE /
+DECIMAL / TIMESTAMP plus arbitrary STRUCT / LIST / MAP / UNION
+nesting via :func:`read_rows` — nullable via PRESENT, DIRECT and
+DICTIONARY(_V2) encodings.  ROW_INDEX streams drive row-group
+pruning (:func:`plan_scan` with ``row_groups=True``) and
+position-based seeks (:func:`read_row_group`).  Refusals (LZO, an
+unknown wire type) are loud, never silent.
 
 Reference parity: the reference (levi) reads table FILE metadata via
 delta-rs/pyarrow (``/root/reference/levi/__init__.py:63``); this

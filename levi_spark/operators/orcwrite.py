@@ -1,10 +1,12 @@
 """First-principles Apache ORC writer: protobuf footers, RLEv2
-(SHORT_REPEAT / DIRECT) integer encoding, byte/boolean RLE, PRESENT
-bitmaps, string / binary DIRECT_V2, date / decimal / timestamp
-columns, LIST / STRUCT nesting, per-stripe and file statistics, and
-chunked compression framing over this repo's own compressors
-(``zstd_compress``, ``snappy_compress``, raw ``deflate`` — ORC "ZLIB"
-— and ``lz4_block_compress``).
+(SHORT_REPEAT / DIRECT / fixed-delta DELTA) integer encoding,
+byte/boolean RLE, PRESENT bitmaps, string / binary DIRECT_V2 and
+DICTIONARY_V2, date / decimal / timestamp columns, LIST / STRUCT /
+MAP / UNION nesting, per-stripe + file + per-ROW-GROUP statistics
+with seek positions (ROW_INDEX), and chunked compression framing
+over this repo's own compressors (``zstd_compress``,
+``snappy_compress``, raw ``deflate`` — ORC "ZLIB" — and
+``lz4_block_compress``).
 
 The symmetric half of :mod:`levi_spark.operators.orc`: files written
 here are read back value-exact by pyarrow.orc, by Spark's native ORC
