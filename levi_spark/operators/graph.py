@@ -42,6 +42,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 50,
     jump_after: int = 2,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``;
     ``component`` is the smallest node id in the node's component.
@@ -76,7 +77,16 @@ def connected_components(
       materialized to a scratch parquet and re-read: a FRESH leaf
       with file-based statistics (the periodic reliable-checkpoint
       pattern production iterative jobs use), which hard-caps the
-      compounding at ~2^stats_reset_every between resets."""
+      compounding at ~2^stats_reset_every between resets.
+
+    ``scratch_dir``: where the periodic stats-reset parquet lands.
+    Must be a path every executor AND the driver can read (shared
+    filesystem / object store) on a real cluster. Defaults to
+    ``spark.sql.streaming.checkpointLocation`` if set, else
+    ``spark.checkpoint.dir`` (``SparkContext.setCheckpointDir``),
+    else a driver-local tempdir — the tempdir fallback is correct
+    only in local mode, where driver and executors share one
+    filesystem."""
     import shutil
     import tempfile
 
@@ -95,7 +105,19 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     labels = nodes.select(F.col("a").alias("node"), F.col("a").alias("comp"))
-    scratch = tempfile.mkdtemp(prefix="levi_cc_")
+    base = scratch_dir
+    if base is None:
+        base = spark.conf.get("spark.sql.streaming.checkpointLocation", None)
+    if base is None:
+        base = spark.sparkContext.getCheckpointDir()  # may be None
+    if base is not None:
+        import uuid
+
+        scratch = base.rstrip("/") + f"/levi_cc_{uuid.uuid4().hex}"
+        local_scratch = False
+    else:
+        scratch = tempfile.mkdtemp(prefix="levi_cc_")
+        local_scratch = True
     try:
         for round_i in range(max_iter):
             propagated = (
@@ -139,7 +161,18 @@ def connected_components(
                     "node", F.col("comp").alias("component")
                 ).localCheckpoint(eager=True)
     finally:
-        shutil.rmtree(scratch, ignore_errors=True)
+        if local_scratch:
+            shutil.rmtree(scratch, ignore_errors=True)
+        else:
+            # shared-filesystem scratch: delete through Hadoop FS so
+            # s3://, hdfs:// and file:// paths all clean up.
+            try:
+                jvm = spark.sparkContext._jvm
+                jsc = spark.sparkContext._jsc
+                p = jvm.org.apache.hadoop.fs.Path(scratch)
+                p.getFileSystem(jsc.hadoopConfiguration()).delete(p, True)
+            except Exception:
+                pass
     raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
 
 

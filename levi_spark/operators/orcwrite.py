@@ -788,6 +788,7 @@ def write_orc(columns: list[tuple[str, str, list]],
 
     footer = pb_varint(1, 3)  # headerLength
     content_len = (stripe_infos[-1]["offset"]
+                   + stripe_infos[-1]["index_length"]
                    + stripe_infos[-1]["data_length"]
                    + stripe_infos[-1]["footer_length"]) if stripe_infos \
         else 3

@@ -157,11 +157,13 @@ def main() -> None:
         "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
         "driver_memory": spark.conf.get("spark.driver.memory"),
         "n_queries": len(names),
-        "total_sf0.1_sec": round(sum(small.values()), 2),
-        "total_sf1_sec": round(sum(large.values()), 2),
-        "median_time_ratio": sorted(
-            r["time_ratio"] for r in rows.values() if r["time_ratio"]
-        )[len(rows) // 2],
+        "total_sf0.1_sec": round(
+            sum(v for v in small.values() if not isinstance(v, str)), 2),
+        "total_sf1_sec": round(
+            sum(v for v in large.values() if not isinstance(v, str)), 2),
+        "median_time_ratio": (lambda rs: rs[len(rs) // 2] if rs else None)(
+            sorted(r["time_ratio"] for r in rows.values()
+                   if r["time_ratio"])),
         "super_linear_queries": flagged,
         "queries": rows,
         "method": (
