@@ -16908,7 +16908,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     #    tar.xz/tar.bz2) sits in the round-7 block below; the
     #    first-half round-8 queries follow at 23+, keeping the whole
     #    round-8 surface inside the 50-slot gate. ---------------------
-    "multimodal_ico_decode": (multimodal_ico_decode, ICO_DECODE_SQL),
     "log_checksum_counts": (log_checksum_counts, LOG_CHECKSUM_SQL),
     "pdf_text_extract": (pdf_text_extract, PDF_TEXT_SQL),
     "doc_cdc_chunk_dedup": (doc_cdc_chunk_dedup, CDC_CHUNK_SQL),
@@ -16919,8 +16918,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_gap_fill": (events_gap_fill, GAP_FILL_SQL),
     "subtitle_ingest_stats": (subtitle_ingest_stats, SUBTITLE_INGEST_SQL),
     "multimodal_webp_decode": (multimodal_webp_decode, WEBP_DECODE_SQL),
-    "mp3_frame_census_stats": (mp3_frame_census_stats, MP3_CENSUS_SQL),
-    "midi_event_census": (midi_event_census, MIDI_CENSUS_SQL),
     "stream_chained_agg": (stream_chained_agg, STREAM_CHAINED_AGG_SQL),
     "html_text_extract": (html_text_extract, HTML_EXTRACT_SQL),
     "cbor_ingest_stats": (cbor_ingest_stats, CBOR_INGEST_SQL),
@@ -16934,7 +16931,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "deflate_inflate_stats": (deflate_inflate_stats, DEFLATE_SQL),
     "parquet_footer_census": (parquet_footer_census, PARQUET_FOOTER_SQL),
     "parquet_column_read": (parquet_column_read, PARQUET_COLUMN_SQL),
-    "multimodal_au_decode": (multimodal_au_decode, AU_DECODE_SQL),
     "orc_roundtrip_counts": (orc_roundtrip_counts, ORC_ROUNDTRIP_SQL),
     # -- ROUND 8 slots: NEW this round (collated reads, coordinated
     #    commits, Avro/TFRecord ingestion, QOI/BMP/AIFF/TGA codec gates,
@@ -16952,10 +16948,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "msgpack_ingest_stats": (msgpack_ingest_stats, MSGPACK_INGEST_SQL),
     "avro_ingest_stats": (avro_ingest_stats, AVRO_INGEST_SQL),
     "tfrecord_ingest_stats": (tfrecord_ingest_stats, TFRECORD_INGEST_SQL),
-    "multimodal_qoi_decode": (multimodal_qoi_decode, QOI_DECODE_SQL),
-    "multimodal_bmp_decode": (multimodal_bmp_decode, BMP_DECODE_SQL),
-    "multimodal_aiff_decode": (multimodal_aiff_decode, AIFF_DECODE_SQL),
-    "multimodal_tga_decode": (multimodal_tga_decode, TGA_DECODE_SQL),
     "sitemap_url_extract": (sitemap_url_extract, SITEMAP_EXTRACT_SQL),
     "type_widening_counts": (type_widening_counts, TYPE_WIDENING_SQL),
     "stream_full_outer_join": (stream_full_outer_join, STREAM_FULL_OUTER_JOIN_SQL),
@@ -16983,8 +16975,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         multimodal_mjpeg_avi_decode,
         MJPEG_AVI_DECODE_SQL,
     ),
-    "multimodal_adpcm_decode": (multimodal_adpcm_decode, ADPCM_DECODE_SQL),
-    "multimodal_g711_decode": (multimodal_g711_decode, G711_DECODE_SQL),
     "multimodal_mpeg1_decode": (multimodal_mpeg1_decode, MPEG1_DECODE_SQL),
     "multimodal_tiff_decode": (multimodal_tiff_decode, TIFF_DECODE_SQL),
     "warc_extract_records": (warc_extract_records, WARC_EXTRACT_SQL),
@@ -16995,7 +16985,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "doc_substring_dedup": (doc_substring_dedup, SUBSTRING_DEDUP_SQL),
     "identity_column_counts": (identity_column_counts, IDENTITY_COLUMN_SQL),
     "variant_shredding_counts": (variant_shredding_counts, VARIANT_SHREDDING_SQL),
-    "multimodal_jpeg420_decode": (multimodal_jpeg420_decode, JPEG420_DECODE_SQL),
     # -- changed in round 7: OPTIMIZE now preserves row ids (gate gained
     #    a full-rewrite phase); frame sampling back to the plain scan ----
     "row_tracking_counts": (row_tracking_counts, ROW_TRACKING_SQL),
@@ -17009,8 +16998,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "orders_market_basket": (orders_market_basket, MARKET_BASKET_SQL),
     "multimodal_png_decode": (multimodal_png_decode, PNG_DECODE_SQL),
     "multimodal_jpeg_decode": (multimodal_jpeg_decode, JPEG_DECODE_SQL),
-    "multimodal_jpeg_prog_decode": (multimodal_jpeg_prog_decode, JPEG_PROG_DECODE_SQL),
-    "multimodal_flac_decode": (multimodal_flac_decode, FLAC_DECODE_SQL),
     "doc_perceptron_filter": (doc_perceptron_filter, PERCEPTRON_SQL),
     "doc_bm25_topk": (doc_bm25_topk, BM25_SQL),
     "doc_pii_redaction": (doc_pii_redaction, PII_REDACTION_SQL),
@@ -17045,8 +17032,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "segment_dedup_docs": (segment_dedup_docs, SEGMENT_DEDUP_SQL),
     "doc_dsir_weights": (doc_dsir_weights, DSIR_SQL),
     "events_trailing_hour_stats": (events_trailing_hour_stats, TRAILING_HOUR_SQL),
-    "multimodal_wav_decode": (multimodal_wav_decode, WAV_DECODE_SQL),
-    "multimodal_ppm_decode": (multimodal_ppm_decode, PPM_DECODE_SQL),
     "ann_hard_negatives": (ann_hard_negatives, HARD_NEG_SQL),
     "cdc_replicate_counts": (cdc_replicate_counts, CDC_REPLICATE_SQL),
     # -- slots 27-49: new in round 3 ---------------------------------------
@@ -17156,4 +17141,41 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "events_funnel": (events_funnel, FUNNEL_SQL),
     "orders_moving_avg": (orders_moving_avg, MOVING_AVG_SQL),
     "events_retention_cohorts": (events_retention_cohorts, RETENTION_SQL),
+}
+
+# Retired from the driver registry in round 10, executing the README
+# "Registry cost policy": fringe single-format codec gates and
+# mode-variant gates whose codec family keeps a stronger registered
+# witness. Everything here stays FULLY gated by pytest — the oracle
+# parity suite runs RETIRED_QUERIES with the same strict compare as the
+# registry (tests/test_oracle_parity.py), so the round-1..9 union-green
+# invariant continues to hold for these names via pytest rather than
+# the driver window. Witnesses kept in the registry per family:
+# still image  -> png, jpeg (baseline), jpeg_prog_sa (progressive),
+#                 webp (VP8L), gif (LZW), tiff (container)
+# audio        -> flac_lpc + flac_stereo (supersede plain flac/wav/
+#                 aiff/au/adpcm/g711 PCM-family gates)
+# video        -> mjpeg_avi, mpeg1, frame_sample
+# container    -> archive_extract_members, warc_extract_records
+RETIRED_QUERIES: dict[
+    str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
+] = {
+    "multimodal_ico_decode": (multimodal_ico_decode, ICO_DECODE_SQL),
+    "mp3_frame_census_stats": (mp3_frame_census_stats, MP3_CENSUS_SQL),
+    "midi_event_census": (midi_event_census, MIDI_CENSUS_SQL),
+    "multimodal_au_decode": (multimodal_au_decode, AU_DECODE_SQL),
+    "multimodal_qoi_decode": (multimodal_qoi_decode, QOI_DECODE_SQL),
+    "multimodal_bmp_decode": (multimodal_bmp_decode, BMP_DECODE_SQL),
+    "multimodal_aiff_decode": (multimodal_aiff_decode, AIFF_DECODE_SQL),
+    "multimodal_tga_decode": (multimodal_tga_decode, TGA_DECODE_SQL),
+    "multimodal_adpcm_decode": (multimodal_adpcm_decode, ADPCM_DECODE_SQL),
+    "multimodal_g711_decode": (multimodal_g711_decode, G711_DECODE_SQL),
+    "multimodal_jpeg420_decode": (multimodal_jpeg420_decode, JPEG420_DECODE_SQL),
+    "multimodal_jpeg_prog_decode": (
+        multimodal_jpeg_prog_decode,
+        JPEG_PROG_DECODE_SQL,
+    ),
+    "multimodal_flac_decode": (multimodal_flac_decode, FLAC_DECODE_SQL),
+    "multimodal_wav_decode": (multimodal_wav_decode, WAV_DECODE_SQL),
+    "multimodal_ppm_decode": (multimodal_ppm_decode, PPM_DECODE_SQL),
 }

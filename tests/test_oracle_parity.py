@@ -15,7 +15,12 @@ import duckdb
 import pandas as pd
 import pytest
 
-from levi_spark.queries import QUERIES
+from levi_spark.queries import QUERIES, RETIRED_QUERIES
+
+# Retired registry queries keep the SAME strict gate here — the
+# round-10 retirement moved them out of the driver window, not out of
+# coverage (README "Registry cost policy").
+ALL_GATED = {**QUERIES, **RETIRED_QUERIES}
 
 SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 TABLES = [
@@ -66,9 +71,11 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
-@pytest.mark.parametrize("name", [n for n, (_f, s) in QUERIES.items() if s is not None])
+@pytest.mark.parametrize(
+    "name", [n for n, (_f, s) in ALL_GATED.items() if s is not None]
+)
 def test_query_matches_duckdb_oracle(spark, ddb, name):
-    fn, sql = QUERIES[name]
+    fn, sql = ALL_GATED[name]
     got = _canon(fn(spark, SF_DIR).toPandas())
     want = _canon(ddb.execute(sql).df())
     assert list(got.columns) == list(want.columns), (

@@ -53,6 +53,14 @@ def main():
 
     qs = e.queries()
     oracles = e.oracle_sql()
+    # Retired (pytest-only) queries stay checkable when named explicitly.
+    from levi_spark.queries import RETIRED_QUERIES
+
+    for rname, (rfn, rsql) in RETIRED_QUERIES.items():
+        if rname in only:
+            qs[rname] = rfn
+            if rsql is not None:
+                oracles[rname] = rsql
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
