@@ -28,7 +28,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from levi_spark.queries import QUERIES
-from levi_spark.session import get_spark
+from levi_spark.session import dir_bytes, get_spark, sized_session_conf
 
 TOLERANCE = 1.3  # super-linear flag threshold: ratio > factor * this
 
@@ -95,13 +95,18 @@ def main() -> None:
                     help="comma-separated subset (e.g. the heaviest "
                          "queries for a 100x tier)")
     ap.add_argument("--shuffle", type=int, default=None,
-                    help="shuffle partitions (size to the LARGE tier: "
-                         "32 partitions that fit sf0.1 do not fit "
-                         "100x rows — the repo's own scale rule)")
+                    help="shuffle partitions override; by default BOTH "
+                         "shuffle partitions and driver memory are "
+                         "derived from the LARGE tier's on-disk bytes "
+                         "(levi_spark.session.sized_session_conf — the "
+                         "config-scales-with-data rule, now code)")
     a = ap.parse_args()
 
+    sized = sized_session_conf(dir_bytes(a.large))
     spark = get_spark(app_name="levi-spark-bench-scale",
-                      shuffle_partitions=a.shuffle)
+                      shuffle_partitions=a.shuffle
+                      or sized["shuffle_partitions"],
+                      driver_memory=sized["driver_memory"])
     spark.range(1).count()
     if a.names:
         names = [n.strip() for n in a.names.split(",") if n.strip()]
