@@ -778,6 +778,45 @@ def read_row_index(data: bytes, footer: dict, stripe: dict,
     return out
 
 
+def read_bloom_index(data: bytes, footer: dict, stripe: dict,
+                     col: int) -> list[tuple[int, bytes]]:
+    """Parse one column's BLOOM_FILTER_UTF8 stream for one stripe:
+    ``[(num_hash_functions, utf8bitset_le_bytes)]``, one entry per row
+    group (the ROW_INDEX granularity). ``[]`` when the column carries
+    no bloom stream. Pre-ORC-101 ``BLOOM_FILTER`` (kind 7) streams are
+    ignored: their string hashing used the writer's default charset and
+    is not portable (the reason BLOOM_FILTER_UTF8 exists)."""
+    comp = footer["postscript"]["compression"]
+    sf = _parse_stripe_footer(data, stripe, comp)
+    pos = stripe["offset"]
+    raw = None
+    for st in sf["streams"]:
+        if st["kind"] == "bloom_filter_utf8" and st["column"] == col:
+            raw = decompress_stream(data[pos : pos + st["length"]], comp)
+            break
+        pos += st["length"]
+    if raw is None:
+        return []
+    out = []
+    for bb in pb_decode(raw).get(1, []):
+        bf = pb_decode(bb)
+        k = bf.get(1, [0])[0]
+        if 3 in bf:
+            bitset = bf[3][0]
+        else:
+            # pre-UTF8 layout: repeated fixed64 bitset (field 2),
+            # packed (bytes, already little-endian) or not (ints);
+            # same little-endian word order once flattened
+            parts = []
+            for w in bf.get(2, []):
+                parts.append(
+                    w if isinstance(w, bytes) else struct.pack("<Q", w)
+                )
+            bitset = b"".join(parts)
+        out.append((k, bitset))
+    return out
+
+
 def _seek_stream(raw: bytes, comp: str, positions: list[int],
                  at: int) -> tuple[bytes, int]:
     """Apply one stream's BASE seek positions (starting at
@@ -948,7 +987,7 @@ def read_row_group(path: str, column: str, stripe_idx: int,
 
 # ---------------------------------------------------------------- planner
 def plan_scan(path: str, column: str, lo, hi,
-              row_groups: bool = False) -> dict:
+              row_groups: bool = False, bloom: bool = False) -> dict:
     """Pruning plan for ``lo <= column <= hi``.
 
     Stripe level uses the file's own stripe statistics (metadata
@@ -958,9 +997,31 @@ def plan_scan(path: str, column: str, lo, hi,
     ``rowIndexStride``-sized row groups via each stripe's ROW_INDEX
     stream (one more small ranged read per surviving stripe — the ORC
     analog of the parquet ColumnIndex page pruning in
-    ``operators/parquetmeta.py:plan_scan``)."""
+    ``operators/parquetmeta.py:plan_scan``).
+
+    With ``bloom=True`` and a POINT predicate (``lo == hi``), each
+    stats-surviving row group is additionally tested against the
+    column's ``BLOOM_FILTER_UTF8`` entry (``read_bloom_index``) — the
+    high-cardinality-unsorted-key case where min/max ranges admit
+    nearly everything and the bloom does the real pruning. Groups
+    pruned this way are reported separately
+    (``groups_pruned_by_bloom`` / ``rows_pruned_by_bloom``); a stripe
+    whose every group misses is dropped wholesale. Requires
+    ``row_groups=True`` (the bloom's granularity IS the row group);
+    files or columns without bloom streams plan exactly as before
+    (``has_bloom`` False)."""
+    return plan_scan_bytes(_read_file(path), column, lo, hi,
+                           row_groups=row_groups, bloom=bloom)
+
+
+def _read_file(path: str) -> bytes:
     with open(path, "rb") as fh:
-        data = fh.read()
+        return fh.read()
+
+
+def plan_scan_bytes(data: bytes, column: str, lo, hi,
+                    row_groups: bool = False,
+                    bloom: bool = False) -> dict:
     footer = parse_footer(data)
     root = footer["types"][0]
     pos = root["field_names"].index(column)
@@ -986,8 +1047,18 @@ def plan_scan(path: str, column: str, lo, hi,
     if not row_groups:
         return plan
     stride = footer["row_index_stride"]
+    point_hash = None
+    if bloom and lo == hi:
+        from levi_spark.operators.orcbloom import hash_value
+
+        try:
+            point_hash = hash_value(lo, footer["types"][col]["kind"])
+        except NotImplementedError:
+            point_hash = None
+    plan["has_bloom"] = False
     groups: dict[int, dict] = {}
     extra_rows = 0
+    bloom_rows = 0
     for i in keep:
         stripe = footer["stripes"][i]
         entries = read_row_index(data, footer, stripe, col)
@@ -995,20 +1066,37 @@ def plan_scan(path: str, column: str, lo, hi,
             groups[i] = {"groups_total": None, "groups_kept": None,
                          "groups_pruned": []}
             continue
-        g_keep, g_pruned = [], []
+        blooms = (read_bloom_index(data, footer, stripe, col)
+                  if point_hash is not None else [])
+        if blooms:
+            plan["has_bloom"] = True
+        g_keep, g_pruned, g_bloom = [], [], []
         for g, e in enumerate(entries):
+            grows = min(stride, stripe["num_rows"] - g * stride)
             gmin, gmax = e.get("min"), e.get("max")
             if gmin is not None and gmax is not None and (
                 gmax < lo or gmin > hi
             ):
                 g_pruned.append(g)
-                extra_rows += min(stride,
-                                  stripe["num_rows"] - g * stride)
+                extra_rows += grows
+            elif g < len(blooms) and not _bloom_test(blooms[g],
+                                                     point_hash):
+                g_bloom.append(g)
+                bloom_rows += grows
             else:
                 g_keep.append(g)
         groups[i] = {"groups_total": len(entries),
-                     "groups_kept": g_keep, "groups_pruned": g_pruned}
+                     "groups_kept": g_keep, "groups_pruned": g_pruned,
+                     "groups_pruned_by_bloom": g_bloom}
     plan["row_index_stride"] = stride
     plan["row_groups"] = groups
     plan["rows_pruned_by_row_groups"] = extra_rows
+    plan["rows_pruned_by_bloom"] = bloom_rows
     return plan
+
+
+def _bloom_test(bf: tuple[int, bytes], point_hash: int) -> bool:
+    from levi_spark.operators.orcbloom import bloom_might_contain
+
+    k, bitset = bf
+    return bloom_might_contain(k, bitset, point_hash)

@@ -594,7 +594,9 @@ def write_orc(columns: list[tuple[str, str, list]],
               stripe_rows: int | None = None,
               block_size: int = 262144,
               dictionary: bool | list[str] = False,
-              row_index_stride: int = 10000) -> bytes:
+              row_index_stride: int = 10000,
+              bloom_filter: list[str] | None = None,
+              bloom_fpp: float = 0.05) -> bytes:
     """``[(name, type, values-with-None), ...]`` -> ORC file bytes.
 
     Types: ``long int short byte boolean float double string binary
@@ -614,6 +616,15 @@ def write_orc(columns: list[tuple[str, str, list]],
     plain byte offsets with zero skip counts — readers (including our
     ``read_row_group`` and engines doing predicate pushdown) can skip
     straight to any 10k-row group of any column.
+
+    ``bloom_filter`` names top-level flat columns (int family, date,
+    float/double, string, binary) that get a ``BLOOM_FILTER_UTF8``
+    index stream: one filter per row group, sized for
+    ``row_index_stride`` expected entries at ``bloom_fpp``
+    (:mod:`levi_spark.operators.orcbloom` — bitsets byte-identical to
+    the ORC C++ library's). Nulls are not added (readers combine the
+    bloom with the hasNull statistic). Requires an active row index,
+    since filters share its row-group granularity.
     """
     if compression not in _CODECS:
         raise NotImplementedError(f"ORC codec {compression!r}")
@@ -663,6 +674,30 @@ def write_orc(columns: list[tuple[str, str, list]],
         if not all(_bit_ok(node, True) for _n, node in root_fields):
             stride = 0
 
+    bloom_ids: dict[int, str] = {}  # type id -> hash kind
+    if bloom_filter:
+        from levi_spark.operators.orcbloom import (
+            _BYTES_KINDS, _LONG_KINDS, BloomFilter,
+        )
+        if not stride:
+            raise ValueError(
+                "bloom_filter requires an active row index (filters "
+                "share its row-group granularity)"
+            )
+        by_name = {name: node for name, node in root_fields}
+        for bname in bloom_filter:
+            if bname not in by_name:
+                raise ValueError(f"bloom_filter: no column {bname!r}")
+            node = by_name[bname]
+            if node["kind"] not in (
+                _LONG_KINDS | _BYTES_KINDS | {"float", "double"}
+            ):
+                raise ValueError(
+                    f"bloom_filter: unsupported kind {node['kind']!r} "
+                    f"for column {bname!r}"
+                )
+            bloom_ids[node["id"]] = node["kind"]
+
     out = bytearray(MAGIC)  # 3-byte header
     stripe_infos = []
     stripe_stats_pb = []
@@ -678,22 +713,32 @@ def write_orc(columns: list[tuple[str, str, list]],
         # encode per row group (encoders restart at boundaries)
         group_streams: list[_Streams] = []
         group_stats: list[dict[int, dict]] = []
+        group_blooms: list[dict[int, object]] = []
         for g0 in range(0, rows, g_size):
             grows = min(g_size, rows - g0)
             enc = _Streams()
             stats_g: list[tuple[int, dict]] = [(0, {
                 "n": grows, "has_null": False, "kind": "struct"})]
+            blooms_g: dict[int, object] = {}
             for (name, _t, vals), (fname, node) in zip(
                 columns, root_fields
             ):
+                gvals = vals[start + g0 : start + g0 + grows]
                 _encode_column(
-                    node,
-                    vals[start + g0 : start + g0 + grows],
+                    node, gvals,
                     enc, stats_g, use_dict=want_dict[name],
                     force_present=nullable,
                 )
+                if node["id"] in bloom_ids:
+                    bf = BloomFilter(stride, bloom_fpp)
+                    kind = bloom_ids[node["id"]]
+                    for v in gvals:
+                        if v is not None:
+                            bf.add(v, kind)
+                    blooms_g[node["id"]] = bf
             group_streams.append(enc)
             group_stats.append({c: s for c, s in stats_g})
+            group_blooms.append(blooms_g)
         keys = [(c, k) for c, k, _ in group_streams[0].order]
         for gs in group_streams[1:]:
             if [(c, k) for c, k, _ in gs.order] != keys:
@@ -743,6 +788,19 @@ def write_orc(columns: list[tuple[str, str, list]],
                                          block_size)
                 stream_meta.append((6, c, len(framed)))  # ROW_INDEX
                 out += framed
+                if c in bloom_ids:
+                    from levi_spark.operators.orcbloom import (
+                        bloom_index_pb,
+                    )
+                    idx = bloom_index_pb(
+                        [gb[c] for gb in group_blooms]
+                    )
+                    framed = compress_stream(idx, compression,
+                                             block_size)
+                    # BLOOM_FILTER_UTF8 sits right after its column's
+                    # ROW_INDEX, the layout the C++ writer produces
+                    stream_meta.append((8, c, len(framed)))
+                    out += framed
         index_len = len(out) - offset
         for key in keys:
             framed = b"".join(framed_parts[key])

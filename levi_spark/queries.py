@@ -14733,6 +14733,134 @@ _BLOOM_PROBES = (
 )
 
 
+def orc_bloom_point_lookup(spark, sf_dir):
+    """ORC ``BLOOM_FILTER_UTF8`` index streams end to end
+    (:mod:`levi_spark.operators.orcbloom`): each orders partition
+    writes its sorted keys through OUR ORC writer with a bloom per
+    512-row group (the hash pair is byte-derived from the C++
+    library — Hive one-lane Murmur3 for strings, Thomas Wang with
+    ARITHMETIC shifts for longs; our bitsets are byte-identical to
+    pyarrow's for identical input), then plans ``k == probe`` point
+    lookups through ``plan_scan_bytes(row_groups=True, bloom=True)``
+    — stripe stats first, ROW_INDEX group stats second, bloom last.
+    Because partitions hold hash-scattered subsets of a dense key
+    range, absent-probe pruning inside the partition's range is the
+    BLOOM's work, not the stats'. Soundness is asserted in-map:
+    every pruned row group is decoded and must contain zero probe
+    matches (a bloom false NEGATIVE is the impossible failure).
+    Surfaced match counts aggregate only KEPT groups, so they must
+    equal the oracle's plain ``IN`` count over orders. Scale shape:
+    the ORC needle path — one tail read for footer+stats, one small
+    index read (ROW_INDEX + bloom) per surviving stripe, zero data
+    bytes for pruned groups; one single-row rollup."""
+    import pandas as pd
+
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .repartition(8)
+    )
+
+    def probe(batches):
+        from levi_spark.operators.orc import (
+            parse_footer,
+            plan_scan_bytes,
+            read_column_bytes,
+        )
+        from levi_spark.operators.orcwrite import write_orc
+
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        ks = sorted(
+            int(v) for pdf in pdfs for v in pdf["o_orderkey"]
+        )
+        blob = write_orc(
+            [("k", "long", ks)], compression="zlib",
+            stripe_rows=4096, row_index_stride=512,
+            bloom_filter=["k"],
+        )
+        all_vals = read_column_bytes(blob, "k")
+        if all_vals != ks:
+            raise ValueError("our reader misreads our ORC file")
+        footer = parse_footer(blob)
+        stripe_starts = []
+        at = 0
+        for st in footer["stripes"]:
+            stripe_starts.append(at)
+            at += st["num_rows"]
+        n_match = 0
+        n_bloom_pruned = 0
+        n_absent_admitted = 0  # stats let it through, value absent
+        for p in _BLOOM_PROBES:
+            plan = plan_scan_bytes(blob, "k", p, p,
+                                   row_groups=True, bloom=True)
+            if not plan["has_bloom"] and plan["stripes_kept"]:
+                raise ValueError("writer emitted no bloom")
+            for si, ginfo in plan["row_groups"].items():
+                stride = plan["row_index_stride"]
+                srows = footer["stripes"][si]["num_rows"]
+                n_groups = ginfo["groups_total"]
+                for gi in range(n_groups):
+                    base = stripe_starts[si] + gi * stride
+                    seg = all_vals[base: base + min(
+                        stride, srows - gi * stride)]
+                    c = seg.count(p)
+                    if gi in ginfo["groups_kept"]:
+                        n_match += c
+                        if c == 0:
+                            n_absent_admitted += 1
+                    else:
+                        if c:
+                            raise ValueError(
+                                f"UNSOUND: probe {p} found in "
+                                f"pruned group s{si}/g{gi}"
+                            )
+                        if gi in ginfo["groups_pruned_by_bloom"]:
+                            n_bloom_pruned += 1
+                            n_absent_admitted += 1
+            # stripes pruned by stats: sound by the stats gate
+            # already exercised in orc_column_read; still verify
+            for si in plan["stripes_pruned"]:
+                base = stripe_starts[si]
+                seg = all_vals[base: base
+                               + footer["stripes"][si]["num_rows"]]
+                if p in seg:
+                    raise ValueError(
+                        f"UNSOUND: probe {p} in stats-pruned "
+                        f"stripe {si}"
+                    )
+        # same sharp-yet-scale-sound assertion as the parquet gate:
+        # with >= 8 stats-admitted absent probes, an all-false-
+        # positive outcome (~fpp^8) is impossible in practice
+        if n_absent_admitted >= 8 and n_bloom_pruned == 0:
+            raise ValueError(
+                f"bloom pruned none of {n_absent_admitted} "
+                "stats-admitted absent probes"
+            )
+        yield pd.DataFrame({
+            "n_rows": [len(ks)],
+            "n_match": [n_match],
+        }).astype("int64")
+
+    parts = orders.mapInPandas(probe, "n_rows long, n_match long")
+    return parts.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_match").alias("n_match"),
+    )
+
+
+ORC_BLOOM_SQL = """
+SELECT COUNT(*) AS n_rows,
+  CAST(SUM(CASE WHEN o_orderkey IN
+      (1, 7, 2500, 4999, 11111, 22222, 32771, 33333, 44444, 55555,
+       66666, 77777, 88888, 99999, 101010, 111111, 123456, 131313,
+       140001, 599999)
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+FROM orders
+"""
+
+
 def parquet_bloom_point_lookup(spark, sf_dir):
     """Split-block Bloom filters end to end
     (:mod:`levi_spark.operators.parquetbloom`): each orders partition
@@ -16849,6 +16977,12 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # the 4 queries at positions 50-53 missed both rounds). So the
     # first 50 slots are rotation policy: never-gated queries first,
     # then queries changed this round, then oldest-green backfill.
+    # -- ROUND 10 additions (lead the window: never driver-gated) —
+    #    ORC BLOOM_FILTER_UTF8 streams both directions (hash pair
+    #    byte-derived from the C++ library, bitsets byte-identical to
+    #    pyarrow's; plan_scan consults them for point predicates with
+    #    in-map decode soundness). ------------------------------------
+    "orc_bloom_point_lookup": (orc_bloom_point_lookup, ORC_BLOOM_SQL),
     # -- ROUND 9 second-session addition, slot 1 (leads the window:
     #    never driver-gated) — the first-principles ORC reader + writer.
     "orc_column_read": (orc_column_read, ORC_COLUMN_SQL),
