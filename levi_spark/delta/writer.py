@@ -560,6 +560,104 @@ def backfill_commits(table_path: str, up_to: int | None = None) -> int:
     return done
 
 
+_SELF_HOSTED_FLAT = {  # Spark simpleString -> parquetwrite type
+    "bigint": "INT64",
+    "int": "INT32",
+    "double": "DOUBLE",
+    "float": "FLOAT",
+    "string": "BYTE_ARRAY",
+    "boolean": "BOOLEAN",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP_MICROS_UTC",
+}
+
+
+def _self_hosted_coltype(dt: T.DataType) -> str:
+    s = dt.simpleString()
+    if s in _SELF_HOSTED_FLAT:
+        return _SELF_HOSTED_FLAT[s]
+    if isinstance(dt, T.DecimalType):
+        return f"DECIMAL({dt.precision},{dt.scale})"
+    if isinstance(dt, T.ArrayType) and dt.elementType.simpleString() in (
+        "bigint", "int", "double", "float", "string", "boolean"
+    ):
+        return f"LIST<{_SELF_HOSTED_FLAT[dt.elementType.simpleString()]}>"
+    raise NotImplementedError(
+        f"self_hosted staging: unsupported column type {s}"
+    )
+
+
+def _stage_self_hosted(
+    df: DataFrame, staging: str, partition_by: list[str]
+) -> None:
+    """Stage ``df``'s data files through OUR parquet writer
+    (:mod:`levi_spark.operators.parquetwrite`) instead of Spark's —
+    the engine's own lake commits carried by its own parquet bytes.
+    One file per task partition, written map-side into ``staging``
+    (same layout the mover expects); the later footer-stats pass reads
+    OUR footers, so a mis-written statistic surfaces as a stats
+    mismatch in the commit, not silently. Flat schemas only (the
+    common lakehouse primitives + decimal + primitive lists);
+    partitioned layouts keep the Spark writer."""
+    if partition_by:
+        raise NotImplementedError(
+            "self_hosted staging does not partition; use the default "
+            "writer for partitioned tables"
+        )
+    specs = [(f.name, _self_hosted_coltype(f.dataType), f.dataType)
+             for f in df.schema.fields]
+    os.makedirs(staging, exist_ok=True)
+
+    def _to_values(pdf, name: str, dt: T.DataType) -> list:
+        import pandas as pd
+
+        s = pdf[name]
+        kind = dt.simpleString()
+        out = []
+        for v in s:
+            if v is None or (isinstance(v, float) and v != v) or (
+                v is pd.NaT
+            ):
+                out.append(None)
+            elif kind in ("bigint", "int"):
+                out.append(int(v))
+            elif kind in ("double", "float"):
+                out.append(float(v))
+            elif kind == "boolean":
+                out.append(bool(v))
+            elif kind == "timestamp":
+                out.append(v.to_pydatetime() if hasattr(v, "to_pydatetime")
+                           else v)
+            elif kind.startswith("array"):
+                out.append([None if e is None else e for e in list(v)])
+            else:
+                out.append(v)
+        return out
+
+    def write_part(batches):
+        import pandas as pd
+
+        from levi_spark.operators.parquetwrite import write_parquet
+
+        pdfs = [p for p in batches if len(p)]
+        n = sum(len(p) for p in pdfs)
+        if n:
+            cols = []
+            for name, ctype, dt in specs:
+                vals: list = []
+                for p in pdfs:
+                    vals.extend(_to_values(p, name, dt))
+                cols.append((name, ctype, vals))
+            blob = write_parquet(cols, codec="SNAPPY",
+                                 row_group_size=1 << 20)
+            fname = f"part-{uuid.uuid4().hex}.snappy.parquet"
+            with open(os.path.join(staging, fname), "wb") as fh:
+                fh.write(blob)
+        yield pd.DataFrame({"n": [n]})
+
+    df.mapInPandas(write_part, "n long").agg(F.sum("n")).collect()
+
+
 def write_delta(
     df: DataFrame,
     path: str,
@@ -578,6 +676,7 @@ def write_delta(
     identity_passthrough: bool = False,
     coordinated: bool = False,
     cluster_by: list[str] | None = None,
+    self_hosted: bool = False,
 ) -> int:
     """Write ``df`` as a new Delta table version at ``path``.
 
@@ -1036,10 +1135,13 @@ def write_delta(
 
     # -- stage data files ----------------------------------------------------
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
-    writer = df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(staging)
+    if self_hosted:
+        _stage_self_hosted(df, staging, partition_by)
+    else:
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(staging)
 
     # -- CHECK constraints (delta.constraints.* in table config) -------------
     # Enforced on the STAGED output (one pruned aggregate decoding only

@@ -14733,6 +14733,101 @@ _BLOOM_PROBES = (
 )
 
 
+def delta_self_hosted_roundtrip(spark, sf_dir):
+    """The SELF-HOSTED Delta data plane: a table whose committed data
+    files are OUR parquet writer's bytes
+    (``write_delta(self_hosted=True)`` routes staging through
+    :mod:`levi_spark.operators.parquetwrite` — SNAPPY pages, footer
+    statistics, UTF8/timestamp logical types), then read back three
+    independent ways before anything is surfaced: (1) Spark through
+    ``DeltaLog.snapshot().to_df()`` (the engine's own log replay over
+    its own bytes), (2) DuckDB over the raw data files, (3) our
+    first-principles record assembly
+    (:mod:`levi_spark.operators.parquetmeta`). The three key sums
+    must agree exactly — a mis-written page, a wrong footer stat
+    (the commit's ``stats`` come from OUR footers via the
+    staged-footer fast path), or a logical-type drift kills the gate
+    driver-side. Surfaced aggregates come from leg (1) and must match
+    the DuckDB oracle over orders. Scale shape: the staging write is
+    a map-side per-partition fan-out (one file per task, no shuffle);
+    verification legs are driver-side over the gate's bounded table;
+    at 100 TB the same staging path runs per-executor with the
+    footer-stats pass staying metadata-scale."""
+    import json as _json
+    import os as _os
+
+    import duckdb as _duckdb
+
+    from levi_spark.delta.log import DeltaLog
+    from levi_spark.delta.writer import write_delta
+    from levi_spark.operators.parquetmeta import read_column_bytes
+
+    p = _os.path.join(_scratch("selfhost"), "t")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .repartition(4)
+    )
+    write_delta(orders, p, self_hosted=True)
+
+    snap = DeltaLog(spark, p).snapshot()
+    back = snap.to_df()
+
+    # leg 1 vs leg 2 vs leg 3: exact key-sum agreement
+    spark_sum, n_spark = back.agg(
+        F.sum("o_orderkey"), F.count("*")
+    ).first()
+    adds = [r["add"] for r in snap.live_adds_collected()]
+    files = [_os.path.join(p, a["path"]) for a in adds]
+    duck_sum, n_duck = _duckdb.connect().execute(
+        "SELECT CAST(SUM(o_orderkey) AS BIGINT), COUNT(*) "
+        f"FROM read_parquet({[f for f in files]!r})"
+    ).fetchone()
+    own_sum = own_n = 0
+    stats_records = 0
+    for f in files:
+        with open(f, "rb") as fh:
+            blob = fh.read()
+        vals = read_column_bytes(blob, "o_orderkey")
+        own_sum += sum(vals)
+        own_n += len(vals)
+    for a in adds:
+        stats_records += _json.loads(a["stats"])["numRecords"]
+    if not (spark_sum == duck_sum == own_sum):
+        raise ValueError(
+            f"self-hosted legs disagree: spark={spark_sum} "
+            f"duckdb={duck_sum} own={own_sum}"
+        )
+    if not (n_spark == n_duck == own_n == stats_records):
+        raise ValueError(
+            f"row counts disagree: spark={n_spark} duckdb={n_duck} "
+            f"own={own_n} log-stats={stats_records}"
+        )
+
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("o_orderkey").alias("sum_key"),
+        (
+            F.sum(
+                F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5))
+                .cast("long")
+            ).cast("double")
+            / 10000.0
+        ).alias("sum_price"),
+        F.sum(F.length("o_orderpriority")).alias("prio_chars"),
+    )
+
+
+SELF_HOSTED_SQL = """
+SELECT COUNT(*) AS n_rows,
+  CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+  CAST(SUM(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT))
+       AS DOUBLE) / 10000.0 AS sum_price,
+  CAST(SUM(length(o_orderpriority)) AS BIGINT) AS prio_chars
+FROM orders
+"""
+
+
 def orc_bloom_point_lookup(spark, sf_dir):
     """ORC ``BLOOM_FILTER_UTF8`` index streams end to end
     (:mod:`levi_spark.operators.orcbloom`): each orders partition
@@ -16983,6 +17078,13 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     #    pyarrow's; plan_scan consults them for point predicates with
     #    in-map decode soundness). ------------------------------------
     "orc_bloom_point_lookup": (orc_bloom_point_lookup, ORC_BLOOM_SQL),
+    #    ... and the SELF-HOSTED Delta data plane: lake commits whose
+    #    data files are our own parquet writer's bytes, read back by
+    #    Spark + DuckDB + our assembly before surfacing. --------------
+    "delta_self_hosted_roundtrip": (
+        delta_self_hosted_roundtrip,
+        SELF_HOSTED_SQL,
+    ),
     # -- ROUND 9 second-session addition, slot 1 (leads the window:
     #    never driver-gated) — the first-principles ORC reader + writer.
     "orc_column_read": (orc_column_read, ORC_COLUMN_SQL),

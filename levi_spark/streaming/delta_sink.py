@@ -20,6 +20,19 @@ from pyspark.sql import DataFrame, SparkSession
 from levi_spark.delta.writer import write_delta
 
 
+def _record_state_metrics(q) -> None:
+    """Publish this drain's per-batch state metrics to
+    ``jobs.LAST_STATE_METRICS`` (foreachBatch sinks carry no
+    stateOperators unless the stream itself is stateful, but the
+    batch series is still the scale evidence bench_scale records)."""
+    from levi_spark.streaming import jobs
+
+    try:
+        jobs.LAST_STATE_METRICS = jobs._capture_state_metrics(q)
+    except Exception:
+        jobs.LAST_STATE_METRICS = {}
+
+
 def _sink_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -74,6 +87,7 @@ def stream_to_delta(
         .start()
     )
     q.awaitTermination()
+    _record_state_metrics(q)
 
 
 def ingest_events(
@@ -203,3 +217,4 @@ def stream_upsert_to_delta(
         .start()
     )
     q.awaitTermination()
+    _record_state_metrics(q)

@@ -80,6 +80,51 @@ def read_events_stream(
     return ev.withColumn("ts_us", ts_us).drop("ts")
 
 
+# Per-batch state-store metrics of the MOST RECENT _drain_to_memory
+# run: the "watermark bounds state" scale claim as a measured series,
+# not a design note. bench_scale snapshots this after each stream_*
+# query at every tier, so the artifact carries state rows/bytes per
+# micro-batch at 1x/10x/100x.
+LAST_STATE_METRICS: dict = {}
+
+
+def _capture_state_metrics(q) -> dict:
+    import json as _json
+
+    batches = []
+    for p in q.recentProgress:
+        if not isinstance(p, dict):  # StreamingQueryProgress object
+            p = _json.loads(p.json if isinstance(p.json, str) else p.json())
+        ops = []
+        for op in p.get("stateOperators") or []:
+            ops.append({
+                "operator": op.get("operatorName"),
+                "rows_total": op.get("numRowsTotal"),
+                "rows_updated": op.get("numRowsUpdated"),
+                "rows_removed": op.get("numRowsRemoved"),
+                "memory_bytes": op.get("memoryUsedBytes"),
+            })
+        batches.append({
+            "batch_id": p.get("batchId"),
+            "input_rows": p.get("numInputRows"),
+            "state_operators": ops,
+        })
+    rows_series = [
+        sum(op["rows_total"] or 0 for op in b["state_operators"])
+        for b in batches if b["state_operators"]
+    ]
+    return {
+        "batches": batches,
+        "peak_state_rows": max(rows_series, default=0),
+        "final_state_rows": rows_series[-1] if rows_series else 0,
+        "peak_state_bytes": max(
+            (sum(op["memory_bytes"] or 0 for op in b["state_operators"])
+             for b in batches if b["state_operators"]),
+            default=0,
+        ),
+    }
+
+
 def _drain_to_memory(
     df: DataFrame, output_mode: str, state_partitions: int = 8
 ) -> DataFrame:
@@ -105,6 +150,11 @@ def _drain_to_memory(
             .start()
         )
         q.awaitTermination()
+        global LAST_STATE_METRICS
+        try:
+            LAST_STATE_METRICS = _capture_state_metrics(q)
+        except Exception:  # metrics must never fail the drain
+            LAST_STATE_METRICS = {}
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)

@@ -118,8 +118,13 @@ def main() -> None:
     print(f"benchmarking {len(names)} queries at {a.small} then {a.large}",
           file=sys.stderr)
 
+    from levi_spark.streaming import jobs as _stream_jobs
+
+    state_metrics: dict[str, dict[str, dict]] = {}
+
     def run(name: str, sf_dir: str) -> float | str:
         fn = QUERIES[name][0]
+        _stream_jobs.LAST_STATE_METRICS = {}
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
@@ -129,6 +134,15 @@ def main() -> None:
                   file=sys.stderr, flush=True)
             return msg
         sec = round(time.perf_counter() - t0, 3)
+        if _stream_jobs.LAST_STATE_METRICS:
+            # state rows/bytes per micro-batch: the "watermark bounds
+            # state" claim as a measured curve across tiers
+            m = dict(_stream_jobs.LAST_STATE_METRICS)
+            m.pop("batches", None)
+            m["n_batches"] = len(
+                _stream_jobs.LAST_STATE_METRICS.get("batches", []))
+            state_metrics.setdefault(name, {})[
+                sf_dir.rsplit("/", 1)[-1]] = m
         spark.catalog.clearCache()
         for v in spark.catalog.listTables():
             if v.name.startswith("levi_stream_"):
@@ -171,6 +185,7 @@ def main() -> None:
                    if r["time_ratio"])),
         "super_linear_queries": flagged,
         "queries": rows,
+        "stream_state_metrics": state_metrics,
         "method": (
             "one warm session, sf0.1 pass then sf1 pass, single run per "
             "query per scale (scaling curve, not regression detection); "
