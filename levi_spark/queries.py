@@ -15067,7 +15067,7 @@ FROM orders
 """
 
 
-def doc_substring_span_report(spark, sf_dir):
+def doc_substring_span_report(spark, sf_dir, include_first=False):
     """MAXIMAL duplicated-span report over the exact-substring dedup
     (VERDICT r08 ask #5): the Lee-et-al paper reports the corpus by
     LENGTH of maximal duplicated spans (their Table: spans >= 50
@@ -15080,7 +15080,24 @@ def doc_substring_span_report(spark, sf_dir):
     span length. Scale shape: the dup-position set is a small
     filtered subset; the window partitions by doc_id (bounded by
     document length, never corpus-wide); one final small groupBy.
-    Oracle: the identical span algebra in DuckDB window SQL."""
+    Oracle: the identical span algebra in DuckDB window SQL.
+
+    PAPER FIDELITY (the round-9 "L-token resolution" note, resolved):
+    the gram union is EXACT at token resolution for arbitrary span
+    lengths, not just multiples of L — a token lies inside some
+    duplicated substring of length >= L iff it lies inside some
+    duplicated L-gram (any length-L subwindow of a longer duplicated
+    substring is itself duplicated, and the sliding subwindow covers
+    every token of it), so the duplicated-token SET equals Lee et
+    al.'s suffix-array definition and maximal spans are the connected
+    runs of that set under BOTH definitions. Proven against a
+    brute-force all-lengths oracle on planted non-multiple-of-L
+    duplicates in ``tests/test_span_fidelity.py``.
+
+    ``include_first``: False (the gate) marks only NON-first gram
+    occurrences — the removal-plan semantics (one copy survives);
+    True marks every occurrence — the paper's corpus-duplication
+    accounting, the variant the fidelity tests pin to brute force."""
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
@@ -15108,15 +15125,15 @@ def doc_substring_span_report(spark, sf_dir):
     tot = partial.groupBy("h").agg(
         F.sum("__c").alias("__cnt"), F.min("__f").alias("__first")
     )
+    keep = F.col("__cnt") > 1
+    if not include_first:
+        keep = keep & ~(
+            (F.col("doc_id") == F.col("__first.doc_id"))
+            & (F.col("p") == F.col("__first.p"))
+        )
     pos = (
         g.join(tot, "h")
-        .where(
-            (F.col("__cnt") > 1)
-            & ~(
-                (F.col("doc_id") == F.col("__first.doc_id"))
-                & (F.col("p") == F.col("__first.p"))
-            )
-        )
+        .where(keep)
         .select("doc_id", "p")
         .distinct()
     )
