@@ -1,0 +1,223 @@
+"""Distributed corpus suffix ranking by PREFIX DOUBLING — the
+suffix-array machinery behind Lee et al.'s exact-substring
+deduplication ("Deduplicating Training Data Makes Language Models
+Better"), expressed as log-rounds of Spark dense ranking instead of a
+single-node suffix-array build.
+
+Why it exists next to the gram pipeline (``doc_substring_dedup`` /
+``doc_substring_span_report``): the two are PROVABLY equivalent on
+duplicated-token coverage (any length-L subwindow of a longer
+duplicated substring is itself duplicated — see
+``tests/test_span_fidelity.py``), but they are algorithmically
+independent — ranks compare real token sequences, no hashing — so one
+verifies the other end to end (``tests/test_suffixarray.py`` pins the
+two span histograms equal on the documents table), and the rank
+tables answer questions grams cannot: the exact LONGEST duplicated
+substring in the corpus via binary search, and duplicated-window
+detection at ANY length T from one table (the classic two-overlapping-
+power-of-two-windows trick), without re-sharding per length.
+
+Scale shape (the 100 TB story):
+
+* ``suffix_rank_tables`` runs ``ceil(log2(max_len))`` rounds; each
+  round is one self-join on a shifted position key plus one DENSE RANK
+  of (rank, rank-at-offset) pairs. Dense ranking is distributed: a
+  range-partitioned global sort of the DISTINCT pairs, per-partition
+  contiguous ids via ``zipWithIndex`` (total order is preserved by
+  the sort's range partitioning), then a join back — no global
+  single-partition window anywhere.
+* every join keys on (doc, position) or on the pair ranks — uniform
+  keys, no skew hot spot; rounds terminate early once all ranks are
+  distinct (no repeats longer than 2^k exist).
+* ``longest_duplicated_span`` is a binary search over candidate
+  lengths: each probe is one groupBy-count on a pair of rank columns
+  already materialized — O(log max_len) cheap jobs, zero re-ranking.
+
+Suffixes never cross document boundaries: the rank at an
+out-of-range offset is the -1 sentinel, which orders shorter suffixes
+first exactly like a unique end-of-document terminator would.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _dense_rank_join(df: DataFrame, cols: list[str],
+                     out: str) -> DataFrame:
+    """Add a GLOBAL dense rank over ``cols`` as column ``out`` —
+    distributed: sort the distinct key set (range partitioner),
+    assign contiguous ids with zipWithIndex (order-preserving over
+    the sorted partitioning), join back on the key."""
+    spark = df.sparkSession
+    distinct = df.select(*cols).distinct().sort(*cols)
+    schema = T.StructType(
+        [distinct.schema[c] for c in cols]
+        + [T.StructField(out, T.LongType(), False)]
+    )
+    ranked = spark.createDataFrame(
+        distinct.rdd.zipWithIndex().map(lambda t: (*t[0], t[1])),
+        schema,
+    )
+    return df.join(ranked, cols)
+
+
+def explode_tokens(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(doc, p, tok) — whitespace tokens with 0-based positions."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    return (
+        docs.where(F.col(id_col).isNotNull())
+        .select(F.col(id_col).alias("doc"), F.posexplode(toks)
+                .alias("p", "tok"))
+    )
+
+
+def suffix_rank_tables(tokens: DataFrame, max_pow: int = 9) -> DataFrame:
+    """Prefix-doubling rank tables: (doc, p, n, r0, r1, ..., rK) where
+    ``rk`` is the dense rank of the length-``2^k`` window starting at
+    (doc, p) among ALL corpus windows (windows truncated at document
+    end; shorter sorts first). Stops early at the round where every
+    rank is unique (no duplicated window of that length exists), so
+    K <= max_pow. ``n`` is the document's token count."""
+    base = tokens.select("doc", "p", "tok")
+    n_by_doc = base.groupBy("doc").agg(F.max("p").alias("__maxp"))
+    df = _dense_rank_join(base, ["tok"], "r0").drop("tok")
+    df = df.join(n_by_doc, "doc").withColumn(
+        "n", F.col("__maxp") + 1
+    ).drop("__maxp")
+    total = df.count()
+    k = 0
+    while k < max_pow:
+        step = 1 << k
+        distinct = df.select(f"r{k}").distinct().count()
+        if distinct == total:
+            break  # all windows unique; doubling further changes nothing
+        shifted = df.select(
+            "doc", (F.col("p") - step).alias("p"),
+            F.col(f"r{k}").alias("__rs"),
+        )
+        df = (
+            df.join(shifted, ["doc", "p"], "left")
+            .withColumn("__rs", F.coalesce("__rs", F.lit(-1)))
+        )
+        df = _dense_rank_join(
+            df, [f"r{k}", "__rs"], f"r{k + 1}"
+        ).drop("__rs")
+        k += 1
+    return df.localCheckpoint(eager=True)
+
+
+def _pair_cols(ranks: DataFrame, t: int):
+    """Key columns identifying the length-``t`` window at (doc, p):
+    rank_a at p and rank_a at p + t - 2^a, with 2^a <= t < 2^(a+1)
+    (the two windows overlap and exactly cover [p, p+t)). Returns
+    (joined_df, key_cols) over rows where the window fits the doc."""
+    amax = max(int(c[1:]) for c in ranks.columns
+               if c[0] == "r" and c[1:].isdigit())
+    a = min(t.bit_length() - 1, amax)  # floor(log2 t), capped
+    ra = f"r{a}"
+    # when ranking stopped early (a < floor(log2 t)), every window of
+    # length 2^a is already UNIQUE corpus-wide, so no longer window
+    # can repeat either — the pair key below then has singleton
+    # groups only and dup detection is vacuously (and correctly) empty
+    off = t - (1 << a)
+    fits = ranks.where(F.col("p") + t <= F.col("n"))
+    if off == 0:
+        return fits.select("doc", "p", F.col(ra).alias("k1"),
+                           F.col(ra).alias("k2")), ["k1"]
+    right = ranks.select(
+        "doc", (F.col("p") - off).alias("p"),
+        F.col(ra).alias("k2"),
+    )
+    return (
+        fits.select("doc", "p", F.col(ra).alias("k1"))
+        .join(right, ["doc", "p"])
+    ), ["k1", "k2"]
+
+
+def dup_window_starts(ranks: DataFrame, t: int) -> DataFrame:
+    """(doc, p) of every length-``t`` window whose token sequence
+    occurs >= 2 times in the corpus — EXACT (rank identity, no
+    hashing)."""
+    pairs, keys = _pair_cols(ranks, t)
+    counts = pairs.groupBy(*keys).agg(F.count(F.lit(1)).alias("__c"))
+    return (
+        pairs.join(counts, keys)
+        .where(F.col("__c") > 1)
+        .select("doc", "p")
+        .distinct()
+    )
+
+
+def has_duplicated_window(ranks: DataFrame, t: int) -> bool:
+    pairs, keys = _pair_cols(ranks, t)
+    return (
+        pairs.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") > 1)
+        .limit(1)
+        .count()
+        > 0
+    )
+
+
+def longest_duplicated_span(ranks: DataFrame) -> int:
+    """Length of the LONGEST token sequence occurring >= 2 times in
+    the corpus — binary search over window lengths (each probe one
+    groupBy on materialized rank columns). 0 if even single tokens
+    are all unique."""
+    if not has_duplicated_window(ranks, 1):
+        return 0
+    max_n = ranks.agg(F.max("n")).first()[0]
+    lo, hi = 1, max_n  # invariant: dup at lo, none at hi+1
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if has_duplicated_window(ranks, mid):
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo
+
+
+def dup_span_report(ranks: DataFrame, t: int) -> DataFrame:
+    """Maximal duplicated-span histogram at threshold ``t`` — the
+    same span algebra as ``doc_substring_span_report``
+    (include_first=True), driven by rank-exact duplicated windows
+    instead of gram hashes: interval union of [p, p+t) per doc (gap >
+    t breaks), histogram by span length. Columns: span_len, n_spans,
+    n_docs, n_tokens."""
+    from pyspark.sql import Window
+
+    pos = dup_window_starts(ranks, t)
+    w = Window.partitionBy("doc").orderBy("p")
+    lagged = F.lag("p").over(w)
+    spans = (
+        pos.withColumn(
+            "new_span",
+            F.when(lagged.isNull() | (F.col("p") - lagged > t),
+                   F.lit(1)).otherwise(F.lit(0)),
+        )
+        .withColumn("span_id", F.sum("new_span").over(w))
+        .groupBy("doc", "span_id")
+        .agg((F.max("p") - F.min("p") + t).alias("span_len"))
+    )
+    return (
+        spans.groupBy("span_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.countDistinct("doc").alias("n_docs"),
+        )
+        .select(
+            F.col("span_len").cast("long").alias("span_len"),
+            F.col("n_spans").cast("long").alias("n_spans"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            (F.col("span_len") * F.col("n_spans")).cast("long")
+            .alias("n_tokens"),
+        )
+        .orderBy("span_len")
+    )

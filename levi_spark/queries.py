@@ -14781,7 +14781,7 @@ def delta_self_hosted_roundtrip(spark, sf_dir):
     files = [_os.path.join(p, a["path"]) for a in adds]
     duck_sum, n_duck = _duckdb.connect().execute(
         "SELECT CAST(SUM(o_orderkey) AS BIGINT), COUNT(*) "
-        f"FROM read_parquet({[f for f in files]!r})"
+        f"FROM read_parquet({files!r})"
     ).fetchone()
     own_sum = own_n = 0
     stats_records = 0
