@@ -17148,6 +17148,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     #    them this round
     "embedding_lsh_neardup": (embedding_lsh_neardup, LSH_NEARDUP_SQL),
     "semdedup_prune": (semdedup_prune, SEMDEDUP_SQL),
+    # -- changed in round 10 (connected_components scratch-path
+    #    derivation, ADVICE fix) — its gated consumer re-gates here
+    "dedup_canonical_corpus": (dedup_canonical_corpus, CANONICAL_SQL),
     # -- ROUND 8 second-half additions, slots 1-22 (lead the window:
     #    never driver-gated) — ICO container, Delta .crc checksums,
     #    PDF text layer, CDC chunk dedup, binary-quant ANN, gap fill,
@@ -17337,7 +17340,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     #    round; next rotation backfills from here oldest-first -------------
     "doc_stratified_sample": (doc_stratified_sample, STRATIFIED_SAMPLE_SQL),
     "lineitem_profile": (lineitem_profile, PROFILE_SQL),
-    "dedup_canonical_corpus": (dedup_canonical_corpus, CANONICAL_SQL),
     "time_travel_counts": (time_travel_counts, TIME_TRAVEL_SQL),
     "daily_revenue_momentum": (daily_revenue_momentum, MOMENTUM_SQL),
     "vocab_top_tokens": (vocab_top_tokens, VOCAB_SQL),

@@ -55,6 +55,7 @@ ROUND9 = [
 ]
 ROUND10 = [
     "parquet_record_assembly", "parquet_bloom_point_lookup",
+    "orc_bloom_point_lookup", "delta_self_hosted_roundtrip",
 ]
 ROUND9_CLOSING = [
     "orc_column_read", "orc_write_roundtrip",
