@@ -587,25 +587,40 @@ def _self_hosted_coltype(dt: T.DataType) -> str:
     )
 
 
+def _hive_partition_seg(col: str, v) -> str:
+    """One ``col=value`` path segment, Hive/Delta conventions: nulls
+    as ``__HIVE_DEFAULT_PARTITION__``, dates ISO, everything else
+    URL-quoted str (the read path unquotes —
+    ``_partition_values_from_relpath``)."""
+    if v is None:
+        return f"{col}={HIVE_NULL}"
+    if isinstance(v, _dt.datetime):
+        v = v.isoformat(sep=" ")
+    elif isinstance(v, _dt.date):
+        v = v.isoformat()
+    return f"{col}={quote(str(v), safe='')}"
+
+
 def _stage_self_hosted(
     df: DataFrame, staging: str, partition_by: list[str]
 ) -> None:
     """Stage ``df``'s data files through OUR parquet writer
     (:mod:`levi_spark.operators.parquetwrite`) instead of Spark's —
     the engine's own lake commits carried by its own parquet bytes.
-    One file per task partition, written map-side into ``staging``
-    (same layout the mover expects); the later footer-stats pass reads
-    OUR footers, so a mis-written statistic surfaces as a stats
-    mismatch in the commit, not silently. Flat schemas only (the
-    common lakehouse primitives + decimal + primitive lists);
-    partitioned layouts keep the Spark writer."""
-    if partition_by:
-        raise NotImplementedError(
-            "self_hosted staging does not partition; use the default "
-            "writer for partitioned tables"
-        )
+    Unpartitioned: one file per task partition, written map-side into
+    ``staging`` (same layout the mover expects). Partitioned: one
+    file per partition VALUE (``applyInPandas`` over the partition
+    columns — the same shuffle Spark's ``partitionBy`` performs; a
+    single hot partition value serializes on one task, the documented
+    trade against Spark's per-task-per-dir splitting). Either way the
+    later footer-stats pass reads OUR footers, so a mis-written
+    statistic surfaces as a stats mismatch in the commit, not
+    silently. Flat schemas only (the common lakehouse primitives +
+    decimal + primitive lists)."""
+    data_fields = [f for f in df.schema.fields
+                   if f.name not in set(partition_by)]
     specs = [(f.name, _self_hosted_coltype(f.dataType), f.dataType)
-             for f in df.schema.fields]
+             for f in data_fields]
     os.makedirs(staging, exist_ok=True)
 
     def _to_values(pdf, name: str, dt: T.DataType) -> list:
@@ -634,25 +649,50 @@ def _stage_self_hosted(
                 out.append(v)
         return out
 
+    def _write_file(pdfs, out_dir: str) -> int:
+        from levi_spark.operators.parquetwrite import write_parquet
+
+        n = sum(len(p) for p in pdfs)
+        if not n:
+            return 0
+        cols = []
+        for name, ctype, dt in specs:
+            vals: list = []
+            for p in pdfs:
+                vals.extend(_to_values(p, name, dt))
+            cols.append((name, ctype, vals))
+        blob = write_parquet(cols, codec="SNAPPY",
+                             row_group_size=1 << 20)
+        os.makedirs(out_dir, exist_ok=True)
+        fname = f"part-{uuid.uuid4().hex}.snappy.parquet"
+        with open(os.path.join(out_dir, fname), "wb") as fh:
+            fh.write(blob)
+        return n
+
+    if partition_by:
+        def write_group(key, pdf):
+            import pandas as pd
+
+            seg = "/".join(
+                _hive_partition_seg(c, v)
+                for c, v in zip(partition_by, key)
+            )
+            n = _write_file([pdf[[f.name for f in data_fields]]],
+                            os.path.join(staging, seg))
+            return pd.DataFrame({"n": [n]})
+
+        (
+            df.groupBy(*partition_by)
+            .applyInPandas(write_group, "n long")
+            .agg(F.sum("n"))
+            .collect()
+        )
+        return
+
     def write_part(batches):
         import pandas as pd
 
-        from levi_spark.operators.parquetwrite import write_parquet
-
-        pdfs = [p for p in batches if len(p)]
-        n = sum(len(p) for p in pdfs)
-        if n:
-            cols = []
-            for name, ctype, dt in specs:
-                vals: list = []
-                for p in pdfs:
-                    vals.extend(_to_values(p, name, dt))
-                cols.append((name, ctype, vals))
-            blob = write_parquet(cols, codec="SNAPPY",
-                                 row_group_size=1 << 20)
-            fname = f"part-{uuid.uuid4().hex}.snappy.parquet"
-            with open(os.path.join(staging, fname), "wb") as fh:
-                fh.write(blob)
+        n = _write_file([p for p in batches if len(p)], staging)
         yield pd.DataFrame({"n": [n]})
 
     df.mapInPandas(write_part, "n long").agg(F.sum("n")).collect()

@@ -82,10 +82,28 @@ def test_append_and_time_travel(spark, typed_df, tmp_path):
     assert log.snapshot().to_df().count() == 10000
 
 
-def test_partitioned_refuses(spark, typed_df, tmp_path):
-    with pytest.raises(NotImplementedError, match="partition"):
-        write_delta(typed_df, str(tmp_path / "t"), self_hosted=True,
-                    partition_by=["name"])
+def test_partitioned_roundtrip(spark, tmp_path):
+    df = spark.range(0, 3000, 1, 4).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).cast("string").alias("bucket"),
+        F.when(F.col("id") % 11 == 0, None)
+        .otherwise((F.col("id") % 3).cast("string")).alias("seg"),
+        (F.col("id") * 2.5).alias("v"),
+    )
+    p = str(tmp_path / "t")
+    write_delta(df, p, self_hosted=True, partition_by=["bucket", "seg"])
+    back = DeltaLog(spark, p).snapshot().to_df()
+    assert back.orderBy("k").collect() == df.select(
+        back.columns).orderBy("k").collect()
+    # hive layout on disk, incl. the null partition dir
+    import glob as _g
+
+    dirs = {d.split("/")[-2] for d in _g.glob(p + "/bucket=*/seg=*/")}
+    assert "seg=__HIVE_DEFAULT_PARTITION__" in dirs
+    # partition pruning stays metadata-only: one value's rows only
+    one = back.where((F.col("bucket") == "2") & (F.col("seg") == "1"))
+    assert one.count() == df.where(
+        (F.col("bucket") == "2") & (F.col("seg") == "1")).count()
 
 
 def test_unsupported_type_refuses(spark, tmp_path):
