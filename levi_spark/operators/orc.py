@@ -1006,7 +1006,9 @@ def plan_scan(path: str, column: str, lo, hi,
     nearly everything and the bloom does the real pruning. Groups
     pruned this way are reported separately
     (``groups_pruned_by_bloom`` / ``rows_pruned_by_bloom``); a stripe
-    whose every group misses is dropped wholesale. Requires
+    whose every group misses stays in ``stripes_kept`` (stats-level
+    truth) but with an empty ``groups_kept`` list — it costs zero
+    data bytes either way. Requires
     ``row_groups=True`` (the bloom's granularity IS the row group);
     files or columns without bloom streams plan exactly as before
     (``has_bloom`` False)."""
