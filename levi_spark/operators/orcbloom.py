@@ -23,14 +23,14 @@ Hashing (empirically byte-derived against pyarrow/ORC-C++, see
   8-byte little-endian blocks through the x64_128 h1-lane schedule
   (k*C1, rotl31, k*C2; h = rotl27(h^k)*5 + 0x52dce729), tail bytes
   OR-folded, then ``h ^= len`` and the standard fmix64 finalizer.
-* integer family (incl. date) — Thomas Wang's 64-bit integer hash AS
-  IMPLEMENTED IN ORC C++: ``int64_t`` arithmetic with SIGN-EXTENDING
-  right shifts. (The Java writer uses logical ``>>>`` shifts, so Java
-  and C++ files historically disagree on negative keys — a known
-  cross-implementation divergence. This module follows the C++
-  semantics, which our pyarrow oracle produces; hash(0) == 0 is the
-  fingerprint: the all-ones intermediate collapses to zero under
-  arithmetic shifts.)
+* integer family (incl. date) — Thomas Wang's 64-bit integer hash on
+  SIGNED int64 with SIGN-EXTENDING (arithmetic) right shifts.
+  hash(0) == 0 is the fingerprint: the all-ones intermediate
+  collapses to zero under arithmetic shifts (the textbook unsigned
+  formulation hashes 0 elsewhere). BOTH reference writers implement
+  this same signed variant — verified byte-identical bitsets against
+  pyarrow (ORC C++) AND Spark (ORC Java) for identical inputs
+  including negative keys (``tests/test_orc_bloom.py``).
 
 Bit placement (``BloomFilter.addHash`` in both implementations):
 ``h1 = (int32) hash64``, ``h2 = (int32)(hash64 >>> 32)``; for
@@ -99,8 +99,9 @@ def _to_s64(x: int) -> int:
 
 
 def long_hash(key: int) -> int:
-    """Thomas Wang 64-bit hash, ORC-C++ convention (arithmetic right
-    shifts on signed int64). Unsigned 64-bit result."""
+    """Thomas Wang 64-bit hash, ORC convention (arithmetic right
+    shifts on signed int64 — both the C++ and Java writers).
+    Unsigned 64-bit result."""
     key = _to_s64(key)
     key = _to_s64((~key) + (key << 21))
     key = _to_s64(key ^ (key >> 24))  # python >> on signed int IS arithmetic

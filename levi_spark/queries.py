@@ -14833,9 +14833,10 @@ def orc_bloom_point_lookup(spark, sf_dir):
     (:mod:`levi_spark.operators.orcbloom`): each orders partition
     writes its sorted keys through OUR ORC writer with a bloom per
     512-row group (the hash pair is byte-derived from the C++
-    library — Hive one-lane Murmur3 for strings, Thomas Wang with
-    ARITHMETIC shifts for longs; our bitsets are byte-identical to
-    pyarrow's for identical input), then plans ``k == probe`` point
+    library — Hive one-lane Murmur3 for strings, Thomas Wang on
+    signed int64 with ARITHMETIC shifts for longs; our bitsets are
+    byte-identical to BOTH reference writers, pyarrow/C++ and
+    Spark/Java, for identical input), then plans ``k == probe`` point
     lookups through ``plan_scan_bytes(row_groups=True, bloom=True)``
     — stripe stats first, ROW_INDEX group stats second, bloom last.
     Because partitions hold hash-scattered subsets of a dense key

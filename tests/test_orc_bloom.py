@@ -2,13 +2,14 @@
 ORC C++ library (pyarrow) as the independent reference — both
 directions, byte level.
 
-The long-hash convention is the subtle part: ORC C++ implements Thomas
-Wang's 64-bit hash on SIGNED int64 with ARITHMETIC right shifts (the
-Java writer uses logical ``>>>``), so negative keys hash differently
-across the two reference implementations. hash(0) == 0 is the C++
-fingerprint (the all-ones intermediate collapses under sign-extending
-shifts); the vectors below were recovered bit-exactly from
-pyarrow-written files via CRT over coprime filter sizes.
+The long-hash convention is the subtle part: ORC implements Thomas
+Wang's 64-bit hash on SIGNED int64 with ARITHMETIC right shifts — NOT
+the textbook unsigned formulation, which hashes 0 and all negative
+keys differently. hash(0) == 0 is the fingerprint (the all-ones
+intermediate collapses under sign-extending shifts); the vectors below
+were recovered bit-exactly from pyarrow-written files via CRT over
+coprime filter sizes, and the Spark test pins the SECOND reference
+writer (ORC Java) to the same bytes.
 """
 
 import io
@@ -197,6 +198,48 @@ def test_writer_contract_errors():
     with pytest.raises(ValueError, match="row index"):
         write_orc([("a", "long", [1])], bloom_filter=["a"],
                   row_index_stride=0)
+
+
+def test_bitsets_byte_identical_to_spark_java_writer(spark, tmp_path):
+    # the SECOND reference implementation: Spark writes ORC through
+    # the Java library; its blooms must be the same bytes as ours
+    # (and pyarrow's) for identical input — negative keys included,
+    # where a logical-vs-arithmetic shift mistake would diverge
+    import glob
+
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "orc")
+    (
+        spark.range(-5000, 5000, 1, 1)
+        .select(F.col("id").alias("k"),
+                F.concat(F.lit("s-"), F.col("id")).alias("s"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("orc.bloom.filter.columns", "k,s")
+        .option("orc.bloom.filter.fpp", "0.05")
+        .option("orc.row.index.stride", "10000")
+        .orc(out)
+    )
+    f = glob.glob(out + "/*.orc")[0]
+    with open(f, "rb") as fh:
+        data = fh.read()
+    foot = parse_footer(data)
+    kj, bitsj = read_bloom_index(data, foot, foot["stripes"][0], 1)[0]
+    ours_k = BloomFilter(10000, 0.05)
+    for v in range(-5000, 5000):
+        ours_k.add(v, "long")
+    assert (ours_k.k, bytes(ours_k.words)) == (kj, bitsj)
+    ks, bitss = read_bloom_index(data, foot, foot["stripes"][0], 2)[0]
+    ours_s = BloomFilter(10000, 0.05)
+    for v in range(-5000, 5000):
+        ours_s.add(f"s-{v}", "string")
+    assert (ours_s.k, bytes(ours_s.words)) == (ks, bitss)
+    # zero false negatives through the plan-side membership test
+    assert all(
+        bloom_might_contain(kj, bitsj, hash_value(v, "long"))
+        for v in range(-5000, 5000)
+    )
 
 
 def test_murmur3_string_hash_matches_recovered_vector():
