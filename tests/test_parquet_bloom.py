@@ -190,6 +190,49 @@ def test_bloom_with_dictionary_and_column_subset():
     assert plan_j["row_groups_kept"] == [2]
 
 
+def test_reader_consumes_spark_written_blooms(spark, tmp_path):
+    """Second-reference cross-check (mirrors the ORC dual-writer pin):
+    parquet-mr SBBF bytes written by Spark must behave exactly under
+    our reader — every present value kept (a false negative = wrong
+    xxHash64 or block math), in-range absent values pruned by the
+    BLOOM (stats can't help there)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "pq")
+    (
+        spark.range(-5000, 5000, 1, 1)
+        .select(F.col("id").alias("k"),
+                F.concat(F.lit("s-"), F.col("id")).alias("s"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#k", "true")
+        .option("parquet.bloom.filter.enabled#s", "true")
+        .option("parquet.bloom.filter.expected.ndv#k", "10000")
+        .option("parquet.bloom.filter.expected.ndv#s", "10000")
+        .parquet(out)
+    )
+    f = glob.glob(out + "/*.parquet")[0]
+    with open(f, "rb") as fh:
+        data = fh.read()
+
+    for v in range(-5000, 5000, 97):  # every present probe kept
+        p = plan_point_lookup_bytes(data, "k", v)
+        assert p["has_bloom"] and not p["pruned"], v
+        ps = plan_point_lookup_bytes(data, "s", f"s-{v}")
+        assert ps["has_bloom"] and not ps["pruned"], v
+    # in-range absents: the 10k dense ints leave no integer gaps, so
+    # int absents sit outside [min,max] — use strings, where
+    # "s-<v>x" sorts inside the value range but occurs nowhere
+    bloom_pruned = 0
+    for v in range(0, 400, 7):
+        p = plan_point_lookup_bytes(data, "s", f"s-{v}x")
+        if p["pruned"] and "bloom" in set(p["pruned"].values()):
+            bloom_pruned += 1
+    assert bloom_pruned >= 50  # ~57 probes at fpp 0.01
+
+
 def test_plan_scan_point_consults_bloom(tmp_path):
     """plan_scan with lo == hi probes the bloom filters: a present
     key keeps exactly its group, absent in-range keys prune the
