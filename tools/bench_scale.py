@@ -62,6 +62,37 @@ ROUND9_CLOSING = [
 ]
 ANCHOR = "q1_pricing_summary"
 
+# the round-10 100x-tier pick (BENCH_SF10.json): every heavy family —
+# dedup, ANN, TPC-H agg, the full streaming set, graph, incremental +
+# CDC, lifecycle writes, codec write/bloom gates, self-hosted Delta,
+# codec/ingestion witnesses. Reproduce with:
+#   python tools/bench_scale.py --factor 100 --large /tmp/levi_sf10 \
+#       --names "$(python -c 'from tools.bench_scale import TIER100; \
+#                  print(",".join(TIER100))')"
+TIER100 = [
+    "dedup_canonical_corpus", "doc_substring_dedup",
+    "embedding_lsh_neardup", "eval_contamination",
+    "exact_dedup_documents", "ivf_ann_topk", "minhash_lsh_neardup",
+    "optimize_layout_counts", "orders_market_basket",
+    "q1_pricing_summary", "semdedup_prune", "stream_full_outer_join",
+    "stream_interval_join", "stream_left_outer_join",
+    "stream_chained_agg", "stream_upsert_latest",
+    "stream_dedup_watermark", "stream_hourly_rollup",
+    "stream_topk_users", "stream_sessionize", "stream_session_window",
+    "stream_distinct_user_event", "stream_ingest_counts",
+    "stream_static_enrich", "event_type_pagerank",
+    "user_triangle_counts", "incremental_agg_refresh",
+    "cdc_replicate_counts", "merge_upsert_customer",
+    "dv_soft_delete_orders", "orc_write_roundtrip",
+    "parquet_write_roundtrip", "orc_bloom_point_lookup",
+    "parquet_bloom_point_lookup", "ann_ranking_metrics",
+    "doc_substring_span_report", "editdist_candidate_verify",
+    "delta_self_hosted_roundtrip", "multimodal_png_decode",
+    "multimodal_jpeg_decode", "warc_extract_records",
+    "archive_extract_members", "tfrecord_ingest_stats",
+    "doc_cdc_chunk_dedup",
+]
+
 
 def pick_queries(top_n: int = 25) -> list[str]:
     names = (set(DEDUP_FAMILY) | set(ANN_FAMILY) | set(ROUND9)
