@@ -592,7 +592,11 @@ def _hive_partition_seg(col: str, v) -> str:
     as ``__HIVE_DEFAULT_PARTITION__``, dates ISO, everything else
     URL-quoted str (the read path unquotes —
     ``_partition_values_from_relpath``)."""
-    if v is None:
+    # applyInPandas group keys deliver null int/float/date/timestamp
+    # partition values as NaN/NaT (pandas has no null for those
+    # dtypes; pd.NaT even isinstance-matches datetime) — all of them
+    # must land on the Hive null segment, not "col=nan"/"col=NaT".
+    if v is None or v != v:
         return f"{col}={HIVE_NULL}"
     if isinstance(v, _dt.datetime):
         v = v.isoformat(sep=" ")
@@ -670,11 +674,27 @@ def _stage_self_hosted(
         return n
 
     if partition_by:
+        part_types = {f.name: f.dataType for f in df.schema.fields
+                      if f.name in set(partition_by)}
+        int_parts = {c for c, dt in part_types.items()
+                     if isinstance(dt, (T.ByteType, T.ShortType,
+                                        T.IntegerType, T.LongType))}
+
         def write_group(key, pdf):
             import pandas as pd
 
+            def norm(c, v):
+                # pandas null stand-ins (NaN/NaT) -> None; nullable
+                # int columns surface their non-null keys as floats
+                # (3.0) -> back to int so the segment matches Spark's
+                if v is None or pd.isna(v):
+                    return None
+                if c in int_parts and isinstance(v, float):
+                    return int(v)
+                return v
+
             seg = "/".join(
-                _hive_partition_seg(c, v)
+                _hive_partition_seg(c, norm(c, v))
                 for c, v in zip(partition_by, key)
             )
             n = _write_file([pdf[[f.name for f in data_fields]]],

@@ -1066,7 +1066,8 @@ def plan_scan_bytes(data: bytes, column: str, lo, hi,
         entries = read_row_index(data, footer, stripe, col)
         if not entries or not stride:
             groups[i] = {"groups_total": None, "groups_kept": None,
-                         "groups_pruned": []}
+                         "groups_pruned": [],
+                         "groups_pruned_by_bloom": []}
             continue
         blooms = (read_bloom_index(data, footer, stripe, col)
                   if point_hash is not None else [])

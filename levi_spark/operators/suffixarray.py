@@ -92,11 +92,15 @@ def suffix_rank_tables(tokens: DataFrame, max_pow: int = 9) -> DataFrame:
     ).drop("__maxp")
     total = df.count()
     k = 0
-    while k < max_pow:
-        step = 1 << k
+    converged = False
+    while True:
         distinct = df.select(f"r{k}").distinct().count()
         if distinct == total:
+            converged = True
             break  # all windows unique; doubling further changes nothing
+        if k >= max_pow:
+            break  # exhausted the round budget with repeats remaining
+        step = 1 << k
         shifted = df.select(
             "doc", (F.col("p") - step).alias("p"),
             F.col(f"r{k}").alias("__rs"),
@@ -109,6 +113,15 @@ def suffix_rank_tables(tokens: DataFrame, max_pow: int = 9) -> DataFrame:
             df, [f"r{k}", "__rs"], f"r{k + 1}"
         ).drop("__rs")
         k += 1
+    # record convergence on the top rank column's metadata so window
+    # probes can refuse lengths the table cannot answer exactly
+    # (t >= 2^(k+1) is only covered when r_k is all-unique)
+    df = df.select(
+        *[c for c in df.columns if c != f"r{k}"],
+        F.col(f"r{k}").alias(f"r{k}", metadata={
+            "rank_converged": converged
+        }),
+    )
     return df.localCheckpoint(eager=True)
 
 
@@ -121,10 +134,28 @@ def _pair_cols(ranks: DataFrame, t: int):
                if c[0] == "r" and c[1:].isdigit())
     a = min(t.bit_length() - 1, amax)  # floor(log2 t), capped
     ra = f"r{a}"
-    # when ranking stopped early (a < floor(log2 t)), every window of
-    # length 2^a is already UNIQUE corpus-wide, so no longer window
-    # can repeat either — the pair key below then has singleton
-    # groups only and dup detection is vacuously (and correctly) empty
+    if a < t.bit_length() - 1:
+        # the table's rank columns stop below floor(log2 t): only safe
+        # when ranking CONVERGED (r_amax all-unique corpus-wide, so no
+        # longer window can repeat either and dup detection is
+        # vacuously empty). If suffix_rank_tables exhausted max_pow
+        # with repeats remaining, two r_amax columns cannot cover
+        # [p, p+t) and the key would under-constrain — refuse rather
+        # than report false duplicates (the EXACT contract).
+        meta = ranks.schema[f"r{amax}"].metadata
+        converged = meta.get("rank_converged") if meta else None
+        if converged is None:  # pre-metadata table: verify by count
+            converged = (
+                ranks.select(f"r{amax}").distinct().count()
+                == ranks.count()
+            )
+        if not converged:
+            raise ValueError(
+                f"rank table covers windows up to 2^{amax + 1}-1 and "
+                f"ranking did not converge; cannot answer length "
+                f"t={t} exactly — rebuild with max_pow >= "
+                f"{t.bit_length() - 1}"
+            )
     off = t - (1 << a)
     fits = ranks.where(F.col("p") + t <= F.col("n"))
     if off == 0:

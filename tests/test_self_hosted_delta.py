@@ -106,6 +106,34 @@ def test_partitioned_roundtrip(spark, tmp_path):
         (F.col("bucket") == "2") & (F.col("seg") == "1")).count()
 
 
+def test_partitioned_nullable_int_and_date_keys(spark, tmp_path):
+    # applyInPandas delivers null int/date group keys as NaN/NaT and
+    # non-null int keys as floats (3.0) — the hive segments must still
+    # be __HIVE_DEFAULT_PARTITION__ / "3", never "nan"/"NaT"/"3.0"
+    df = spark.range(0, 600, 1, 4).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 7 == 0, None)
+        .otherwise((F.col("id") % 3).cast("int")).alias("bi"),
+        F.when(F.col("id") % 5 == 0, None).otherwise(
+            F.to_date(F.lit("2024-03-09"))).alias("bd"),
+        (F.col("id") * 0.5).alias("v"),
+    )
+    p = str(tmp_path / "t")
+    write_delta(df, p, self_hosted=True, partition_by=["bi", "bd"])
+    import glob as _g
+
+    segs = {s for d in _g.glob(p + "/bi=*/bd=*/")
+            for s in d.rstrip("/").split("/")[-2:]}
+    assert "bi=__HIVE_DEFAULT_PARTITION__" in segs
+    assert "bd=__HIVE_DEFAULT_PARTITION__" in segs
+    assert "bd=2024-03-09" in segs
+    assert {"bi=0", "bi=1", "bi=2"} <= segs
+    assert not any("nan" in s or "NaT" in s or ".0" in s for s in segs)
+    back = DeltaLog(spark, p).snapshot().to_df()
+    assert back.orderBy("k").collect() == df.select(
+        back.columns).orderBy("k").collect()
+
+
 def test_unsupported_type_refuses(spark, tmp_path):
     df = spark.range(3).select(
         F.create_map(F.lit("a"), F.col("id")).alias("m")

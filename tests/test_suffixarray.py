@@ -98,6 +98,38 @@ def test_repeat_within_one_doc(spark):
     assert dup_window_starts(ranks, 9).count() == 2
 
 
+def test_exhausted_max_pow_refuses_uncovered_lengths(spark):
+    # max_pow exhausted WITHOUT convergence (a 23-token duplicate but
+    # ranks only up to r1): lengths within coverage stay exact, a
+    # length beyond 2^(amax+1)-1 raises instead of under-keying
+    dup23 = [f"a{i}" for i in range(23)]
+    texts = {
+        0: " ".join(V[0:15] + dup23 + V[15:30]),
+        1: " ".join(V[30:45] + dup23 + V[45:60]),
+    }
+    ranks = suffix_rank_tables(
+        explode_tokens(_docs(spark, texts)), max_pow=1
+    )
+    assert ranks.schema["r1"].metadata["rank_converged"] is False
+    for t in (2, 3):  # covered: two r1 windows span [p, p+t)
+        got = {(r["doc"], r["p"])
+               for r in dup_window_starts(ranks, t).collect()}
+        assert got == _brute_dup_starts(texts, t), f"t={t}"
+    with pytest.raises(ValueError, match="did not converge"):
+        has_duplicated_window(ranks, 4)
+    with pytest.raises(ValueError, match="did not converge"):
+        dup_window_starts(ranks, 64).count()
+    # a CONVERGED table still answers any length (vacuously empty
+    # beyond its top round) — the early-stop contract is unchanged
+    uniq = suffix_rank_tables(
+        explode_tokens(_docs(spark, {0: " ".join(V[0:40])}))
+    )
+    top = max(int(c[1:]) for c in uniq.columns
+              if c[0] == "r" and c[1:].isdigit())
+    assert uniq.schema[f"r{top}"].metadata["rank_converged"] is True
+    assert not has_duplicated_window(uniq, 64)
+
+
 def test_rank_report_equals_gram_report_on_documents(spark):
     # the cross-algorithm gate: rank-exact spans == gram-hash spans on
     # the real documents table (include_first=True on the gram side —
