@@ -43,8 +43,7 @@ def _commit_ops(log: DeltaLog, versions: list[int]) -> dict[int, str]:
     ops: dict[int, str] = {}
     for v in versions:
         p = log._commit_file(v)
-        with open(p) as fh:
-            for line in fh:
+        for line in log.fs.read_text(p).splitlines():
                 a = json.loads(line)
                 if "commitInfo" in a:
                     ops[v] = a["commitInfo"].get("operation", "WRITE")
@@ -62,8 +61,8 @@ def table_changes(
     to_version]``, with a ``_commit_version`` column. Raises
     ``FileNotFoundError`` when the range's commits were expired from
     the log (same contract as time travel past a vacuumed history)."""
-    path = os.path.abspath(path)
     log = DeltaLog(spark, path)
+    path = log.table_path
     snap = log.snapshot(to_version)
     to_version = snap.version
     if from_version > to_version:
@@ -72,7 +71,7 @@ def table_changes(
     missing = [
         v
         for v in versions
-        if not os.path.exists(log._commit_file(v))
+        if not log.fs.exists(log._commit_file(v))
     ]
     if missing:
         raise FileNotFoundError(
@@ -90,8 +89,7 @@ def table_changes(
     # the version window) instead of a Spark job per feed read
     adds = []
     for v in data_versions:
-        with open(log._commit_file(v)) as fh:
-            for line in fh:
+        for line in log.fs.read_text(log._commit_file(v)).splitlines():
                 if not (line := line.strip()):
                     continue
                 a = json.loads(line).get("add")
@@ -114,7 +112,11 @@ def _rows_from_files(spark: SparkSession, path: str, entries: list, meta) -> Dat
     rows still changed at that commit; only VACUUM physically removes
     it, at which point the feed is genuinely incomplete and we raise.
     """
-    gone = [rel for rel, _v, _pv in entries if not os.path.exists(os.path.join(path, rel))]
+    from levi_spark.fs import fs_for
+
+    fs = fs_for(path)
+    gone = [rel for rel, _v, _pv in entries
+            if not fs.exists(os.path.join(path, rel))]
     if gone:
         raise FileNotFoundError(
             f"data files vacuumed, change feed incomplete: {gone[:3]}..."
@@ -155,8 +157,7 @@ def _rows_from_files(spark: SparkSession, path: str, entries: list, meta) -> Dat
 def _parse_commit_actions(log: DeltaLog, version: int) -> dict:
     """Driver-side parse of one commit JSON (metadata scale)."""
     out = {"op": "WRITE", "adds": [], "removes": [], "cdc": []}
-    with open(log._commit_file(version)) as fh:
-        for line in fh:
+    for line in log.fs.read_text(log._commit_file(version)).splitlines():
             a = json.loads(line)
             if "commitInfo" in a:
                 out["op"] = a["commitInfo"].get("operation", "WRITE")
@@ -191,8 +192,8 @@ def table_changes_cdf(
     """
     from levi_spark.delta.writer import _partition_values_from_relpath
 
-    path = os.path.abspath(path)
     log = DeltaLog(spark, path)
+    path = log.table_path
     snap = log.snapshot(to_version)
     to_version = snap.version
     if from_version > to_version:
@@ -201,7 +202,7 @@ def table_changes_cdf(
     missing = [
         v
         for v in versions
-        if not os.path.exists(log._commit_file(v))
+        if not log.fs.exists(log._commit_file(v))
     ]
     if missing:
         raise FileNotFoundError(
@@ -237,7 +238,7 @@ def table_changes_cdf(
         gone = [
             rel
             for rel, _v, _pv in cdc_entries
-            if not os.path.exists(os.path.join(path, rel))
+            if not log.fs.exists(os.path.join(path, rel))
         ]
         if gone:
             raise FileNotFoundError(
@@ -301,7 +302,9 @@ def table_changes_cdf_between_timestamps(
     earliest)."""
     from levi_spark.delta.log import DeltaLog
 
-    path = os.path.abspath(path)
+    from levi_spark.fs import absolutize
+
+    path = absolutize(path)
     pairs = DeltaLog(spark, path).commit_timestamps()
     if not pairs:
         raise ValueError(

@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import uuid
 
 from pyspark.sql import SparkSession
@@ -128,13 +127,19 @@ def write_checkpoint(
         cp_schema = T.StructType(
             [f for f in COMMIT_SCHEMA.fields if f.name != "version"]
         )
+        import io
+
         table = pa.Table.from_pylist(local_rows, schema=to_arrow_schema(cp_schema))
         log_dir = log.log_path
+        buf = io.BytesIO()
+        pq.write_table(table, buf)
         tmp = os.path.join(log_dir, f".cp-tmp-{uuid.uuid4().hex}.parquet")
-        pq.write_table(table, tmp)
-        os.replace(tmp, os.path.join(log_dir, f"{v:020d}.checkpoint.parquet"))
-        with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
-            fh.write(json.dumps({"version": v, "size": len(local_rows)}) + "\n")
+        log.fs.write_bytes(tmp, buf.getvalue())
+        log.fs.replace(tmp, os.path.join(log_dir, f"{v:020d}.checkpoint.parquet"))
+        log.fs.write_text(
+            os.path.join(log_dir, "_last_checkpoint"),
+            json.dumps({"version": v, "size": len(local_rows)}) + "\n",
+        )
         return v
 
     acts = snap._actions_df()
@@ -196,13 +201,16 @@ def write_checkpoint(
     n_actions = cp_df.count()
     cp_df.coalesce(1).write.mode("overwrite").parquet(staging)
     part = next(
-        n for n in os.listdir(staging) if n.endswith(".parquet") and n.startswith("part-")
+        n for n in log.fs.listdir(staging)
+        if n.endswith(".parquet") and n.startswith("part-")
     )
     dst = os.path.join(log_dir, f"{v:020d}.checkpoint.parquet")
-    os.replace(os.path.join(staging, part), dst)
-    shutil.rmtree(staging, ignore_errors=True)
-    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
-        fh.write(json.dumps({"version": v, "size": n_actions}) + "\n")
+    log.fs.replace(os.path.join(staging, part), dst)
+    log.fs.rmtree(staging)
+    log.fs.write_text(
+        os.path.join(log_dir, "_last_checkpoint"),
+        json.dumps({"version": v, "size": n_actions}) + "\n",
+    )
     return v
 
 
@@ -280,7 +288,7 @@ def _write_checkpoint_v2(spark: SparkSession, log: DeltaLog, snap) -> int:
     v = snap.version
     log_dir = log.log_path
     sidecars_dir = os.path.join(log_dir, "_sidecars")
-    os.makedirs(sidecars_dir, exist_ok=True)
+    log.fs.mkdirs(sidecars_dir)
     cp_schema = T.StructType(
         [f for f in COMMIT_SCHEMA.fields if f.name != "version"]
     )
@@ -297,11 +305,15 @@ def _write_checkpoint_v2(spark: SparkSession, log: DeltaLog, snap) -> int:
     if local_rows is not None:
         adds = [r for r in local_rows if r["add"] is not None]
         others = [r for r in local_rows if r["add"] is None]
-        tmp = os.path.join(log_dir, f".cp-tmp-{uuid.uuid4().hex}.parquet")
+        import io
+
+        buf = io.BytesIO()
         pq.write_table(
-            pa.Table.from_pylist(adds, schema=to_arrow_schema(cp_schema)), tmp
+            pa.Table.from_pylist(adds, schema=to_arrow_schema(cp_schema)), buf
         )
-        os.replace(tmp, sc_path)
+        tmp = os.path.join(log_dir, f".cp-tmp-{uuid.uuid4().hex}.parquet")
+        log.fs.write_bytes(tmp, buf.getvalue())
+        log.fs.replace(tmp, sc_path)
         n_actions = len(local_rows)
     else:
         acts = snap._actions_df()
@@ -313,11 +325,11 @@ def _write_checkpoint_v2(spark: SparkSession, log: DeltaLog, snap) -> int:
         adds_df.coalesce(1).write.mode("overwrite").parquet(staging)
         part = next(
             n
-            for n in os.listdir(staging)
+            for n in log.fs.listdir(staging)
             if n.endswith(".parquet") and n.startswith("part-")
         )
-        os.replace(os.path.join(staging, part), sc_path)
-        shutil.rmtree(staging, ignore_errors=True)
+        log.fs.replace(os.path.join(staging, part), sc_path)
+        log.fs.rmtree(staging)
         meta_rows = (
             acts.where(F.col("metaData.schemaString").isNotNull())
             .orderBy(F.col("version").desc())
@@ -362,19 +374,20 @@ def _write_checkpoint_v2(spark: SparkSession, log: DeltaLog, snap) -> int:
             {
                 "sidecar": {
                     "path": sc_name,
-                    "sizeInBytes": os.path.getsize(sc_path),
-                    "modificationTime": int(os.path.getmtime(sc_path) * 1000),
+                    "sizeInBytes": (_sc_st := log.fs.stat(sc_path)).size,
+                    "modificationTime": _sc_st.mtime_ms,
                 }
             }
         )
     )
     manifest_name = f"{v:020d}.checkpoint.{uuid.uuid4()}.json"
     tmp = os.path.join(log_dir, f".cp-tmp-{uuid.uuid4().hex}.json")
-    with open(tmp, "w") as fh:
-        fh.write("\n".join(manifest_lines) + "\n")
-    os.replace(tmp, os.path.join(log_dir, manifest_name))
-    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
-        fh.write(json.dumps({"version": v, "size": n_actions}) + "\n")
+    log.fs.write_text(tmp, "\n".join(manifest_lines) + "\n")
+    log.fs.replace(tmp, os.path.join(log_dir, manifest_name))
+    log.fs.write_text(
+        os.path.join(log_dir, "_last_checkpoint"),
+        json.dumps({"version": v, "size": n_actions}) + "\n",
+    )
     return v
 
 
@@ -391,6 +404,6 @@ def expire_log(spark: SparkSession, table_path: str, keep_last: int = 0) -> list
     deleted = []
     for c in commits:
         if c <= cutoff:
-            os.remove(os.path.join(log.log_path, f"{c:020d}.json"))
+            log.fs.remove(os.path.join(log.log_path, f"{c:020d}.json"))
             deleted.append(c)
     return deleted

@@ -124,8 +124,10 @@ def compute_checksum(snap) -> dict:
 
 
 def _crc_path(table_path: str, version: int) -> str:
+    from levi_spark.fs import absolutize
+
     return os.path.join(
-        os.path.abspath(table_path), "_delta_log", f"{version:020d}.crc"
+        absolutize(table_path), "_delta_log", f"{version:020d}.crc"
     )
 
 
@@ -142,13 +144,14 @@ def write_checksum(
         version = log.latest_version()
     crc = compute_checksum(log.snapshot(version))
     p = _crc_path(table_path, version)
-    if os.path.exists(p):
+    if log.fs.exists(p):
         validate_checksum(spark, table_path, version)
         return p
     tmp = p + ".tmp"
-    with open(tmp, "x") as out:
-        out.write(json.dumps(crc, separators=(",", ":")) + "\n")
-    os.replace(tmp, p)
+    log.fs.create_exclusive(
+        tmp, json.dumps(crc, separators=(",", ":")) + "\n"
+    )
+    log.fs.replace(tmp, p)
     return p
 
 
@@ -165,8 +168,7 @@ def validate_checksum(
     if version is None:
         version = log.latest_version()
     p = _crc_path(table_path, version)
-    with open(p) as f:
-        stored = json.loads(f.read())
+    stored = json.loads(log.fs.read_text(p))
     fresh = compute_checksum(log.snapshot(version))
     bad = []
     for k, want in fresh.items():

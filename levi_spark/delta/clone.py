@@ -39,7 +39,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 import uuid
 from urllib.parse import quote, unquote
@@ -47,6 +46,7 @@ from urllib.parse import quote, unquote
 from pyspark.sql import SparkSession
 
 from levi_spark.delta.log import DeltaLog
+from levi_spark.fs import absolutize, copy_file, copy_tree, fs_for
 
 
 def clone_table(
@@ -73,12 +73,14 @@ def clone_table(
     src_log = DeltaLog(spark, src_path)
     snap = src_log.snapshot(version)
     meta = snap.metadata
-    if os.path.isdir(os.path.join(dst_path, "_delta_log")):
+    dst_path = absolutize(dst_path)
+    dfs = fs_for(dst_path)
+    if dfs.isdir(os.path.join(dst_path, "_delta_log")):
         raise ValueError(f"destination is already a Delta table: {dst_path}")
 
     adds = [r["add"] for r in snap.live_adds_collected()]
     total_bytes = sum(a["size"] or 0 for a in adds)
-    os.makedirs(dst_path, exist_ok=True)
+    dfs.mkdirs(dst_path)
 
     out_adds: list[dict] = []
     if shallow:
@@ -137,7 +139,7 @@ def clone_table(
                 raise ValueError(
                     f"deep clone cannot re-link external file: {rel}"
                 )
-            if not os.path.exists(os.path.join(src_log.table_path, rel)):
+            if not src_log.fs.exists(os.path.join(src_log.table_path, rel)):
                 raise ValueError(
                     f"deep clone source file missing on disk: {rel}"
                 )
@@ -165,7 +167,7 @@ def clone_table(
                             f"sidecar: {d}"
                         )
                     plan = (d, d)
-                if plan[1] is not None and not os.path.exists(
+                if plan[1] is not None and not src_log.fs.exists(
                     os.path.join(src_log.table_path, plan[1])
                 ):
                     raise ValueError(
@@ -176,18 +178,18 @@ def clone_table(
         copied_dv: set[str] = set()
         for a, rel, plan in zip(adds, rels, dv_plans):
             dst_f = os.path.join(dst_path, rel)
-            os.makedirs(os.path.dirname(dst_f), exist_ok=True)
-            shutil.copy2(os.path.join(src_log.table_path, rel), dst_f)
+            dfs.mkdirs(os.path.dirname(dst_f))
+            copy_file(os.path.join(src_log.table_path, rel), dst_f)
             if plan is not None and plan[1] is not None and plan[1] not in copied_dv:
                 src_dv = os.path.join(src_log.table_path, plan[1])
                 dst_dv = os.path.join(dst_path, plan[1])
                 # our writer emits a sidecar parquet *directory*;
                 # a foreign log may reference a single sidecar file
-                if os.path.isdir(src_dv):
-                    shutil.copytree(src_dv, dst_dv, dirs_exist_ok=True)
+                if src_log.fs.isdir(src_dv):
+                    copy_tree(src_dv, dst_dv)
                 else:
-                    os.makedirs(os.path.dirname(dst_dv), exist_ok=True)
-                    shutil.copy2(src_dv, dst_dv)
+                    dfs.mkdirs(os.path.dirname(dst_dv))
+                    copy_file(src_dv, dst_dv)
                 copied_dv.add(plan[1])
             out_adds.append(
                 _add_dict(a, a["path"], plan[0] if plan else None)
@@ -237,7 +239,7 @@ def clone_table(
         json.dumps({"commitInfo": _clone_ci}),
     ]
     log_dir = os.path.join(dst_path, "_delta_log")
-    os.makedirs(log_dir, exist_ok=True)
+    dfs.mkdirs(log_dir)
     _publish_commit(log_dir, 0, "\n".join(lines) + "\n", rebase_ok=False)
     return {
         "version": 0,

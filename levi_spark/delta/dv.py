@@ -107,6 +107,16 @@ def _write_standard_dvs(spark, table_path: str, dv_out) -> dict[str, dict]:
     per-file descriptor rows come back to the driver."""
     import pandas as pd
 
+    from levi_spark.fs import local_form
+
+    table_path = local_form(table_path)
+    if table_path is None:
+        raise NotImplementedError(
+            "dv_format='standard' writes DV files with executor-side "
+            "Python open(); only plain paths and file:// URIs are "
+            "supported (use dv_format='sidecar' on object stores)"
+        )
+
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
         import os as _os
         import uuid as _uuid
@@ -214,8 +224,8 @@ def soft_delete(
     reader (delta-spark included) applies them. Both formats read back
     identically through this engine.
     """
-    path = os.path.abspath(path)
     log = DeltaLog(spark, path)
+    path = log.table_path
     snap = log.snapshot()
     if snap.metadata.configuration.get("delta.appendOnly") == "true":
         raise ValueError(
@@ -265,17 +275,17 @@ def soft_delete(
         }
 
     def _cleanup():
-        import shutil
+        from levi_spark.fs import fs_for
 
         if out_dir is not None:
-            shutil.rmtree(out_dir, ignore_errors=True)
+            fs_for(out_dir).rmtree(out_dir)
         from levi_spark.delta.roaring import dv_file_path
 
         for d in std_descs.values():
             if d["storageType"] != "u":
                 continue  # inline DVs live in the (uncommitted) log only
             try:
-                os.remove(dv_file_path(path, d["pathOrInlineDv"]))
+                fs_for(path).remove(dv_file_path(path, d["pathOrInlineDv"]))
             except OSError:
                 pass
 
@@ -387,8 +397,8 @@ def purge_deleted(spark: SparkSession, path: str) -> dict:
     rows, in one commit (new files + tombstones via the writer's
     ``replace_paths`` primitive). Untouched files keep their stats.
     Returns {"version", "files_rewritten"} (version -1 if no DVs)."""
-    path = os.path.abspath(path)
     log = DeltaLog(spark, path)
+    path = log.table_path
     snap = log.snapshot()
     from urllib.parse import unquote
 

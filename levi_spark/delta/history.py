@@ -44,8 +44,7 @@ def describe_history(spark: SparkSession, table_path: str) -> DataFrame:
         params: dict[str, str] = {}
         n_adds = n_removes = n_cdc = 0
         has_txn = False
-        with open(log._commit_file(v)) as f:
-            for line in f:
+        for line in log.fs.read_text(log._commit_file(v)).splitlines():
                 if not (line := line.strip()):
                     continue
                 d = json.loads(line)

@@ -37,6 +37,8 @@ from dataclasses import dataclass
 from functools import reduce
 from urllib.parse import unquote
 
+from levi_spark.fs import fs_for, join_path
+
 from pyspark.sql import DataFrame, Row, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -396,9 +398,10 @@ class DeltaLog:
 
     def __init__(self, spark: SparkSession, table_path: str):
         self.spark = spark
-        self.table_path = os.path.abspath(table_path)
+        self.fs = fs_for(table_path)
+        self.table_path = self.fs.absolutize(table_path)
         self.log_path = os.path.join(self.table_path, "_delta_log")
-        if not os.path.isdir(self.log_path):
+        if not self.fs.isdir(self.log_path):
             raise FileNotFoundError(f"not a Delta table (no _delta_log): {table_path}")
 
     # -- log-dir listing (one driver-side listing; the log dir is O(versions)) --
@@ -432,9 +435,9 @@ class DeltaLog:
         staged_all: dict[int, list[str]] = {}
         for d in _STAGED_DIRS:
             sdir = os.path.join(self.log_path, d)
-            if not os.path.isdir(sdir):
+            if not self.fs.isdir(sdir):
                 continue
-            for name in os.listdir(sdir):
+            for name in self.fs.listdir(sdir):
                 if m := _STAGED_RE.match(name):
                     staged_all.setdefault(int(m.group(1)), []).append(
                         os.path.join(sdir, name)
@@ -443,7 +446,7 @@ class DeltaLog:
         classic: dict[int, str] = {}
         multi: dict[int, dict[int, tuple[str, int]]] = {}
         v2: dict[int, tuple[str, str]] = {}
-        for name in os.listdir(self.log_path):
+        for name in self.fs.listdir(self.log_path):
             if m := _COMMIT_RE.match(name):
                 commits.append(int(m.group(1)))
             elif m := _CHECKPOINT_RE.match(name):
@@ -518,7 +521,7 @@ class DeltaLog:
             self._scan_log()
         staged = getattr(self, "_staged", None) or {}
         backfilled = os.path.join(self.log_path, f"{v:020d}.json")
-        if v in staged and not os.path.exists(backfilled):
+        if v in staged and not self.fs.exists(backfilled):
             return staged[v]
         return backfilled
 
@@ -565,8 +568,7 @@ class DeltaLog:
             path = self._commit_file(v)
             ts = None
             try:
-                with open(path) as f:
-                    for line in f:
+                for line in self.fs.read_text(path).splitlines():
                         if not line.strip():
                             continue
                         a = json.loads(line)
@@ -584,7 +586,7 @@ class DeltaLog:
             except (OSError, ValueError):
                 ts = None
             if ts is None:
-                ts = int(os.stat(path).st_mtime * 1000)
+                ts = self.fs.stat(path).mtime_ms
             ts = max(ts, prev + 1)
             prev = ts
             out.append((v, ts))
@@ -674,16 +676,17 @@ class Snapshot:
         if v2m is not None:
             names: list[str] = []
             if v2m.endswith(".json"):
-                with open(v2m) as f:
-                    for line in f:
+                    for line in self.log.fs.read_text(v2m).splitlines():
                         if line := line.strip():
                             sc = json.loads(line).get("sidecar")
                             if sc and sc.get("path"):
                                 names.append(sc["path"])
             else:
+                import io
+
                 import pyarrow.parquet as pq
 
-                t = pq.read_table(v2m)
+                t = pq.read_table(io.BytesIO(self.log.fs.read_bytes(v2m)))
                 if "sidecar" in t.column_names:
                     for rec in t.column("sidecar").to_pylist():
                         if rec and rec.get("path"):
@@ -716,31 +719,32 @@ class Snapshot:
             raise FileNotFoundError(f"no log entries for version {self.version}")
         try:
             cp_parquets, cp_json = self._cp_files()
+            fs = self.log.fs
             total = (
                 sum(
-                    os.path.getsize(self._commit_path(v))
+                    fs.getsize(self._commit_path(v))
                     for v in self._commit_versions
                 )
-                + sum(os.path.getsize(p) for p in cp_parquets)
-                + (os.path.getsize(cp_json) if cp_json else 0)
+                + sum(fs.getsize(p) for p in cp_parquets)
+                + (fs.getsize(cp_json) if cp_json else 0)
             )
             if total > _LOCAL_LOG_CAP:
                 self._local = False
                 return None
             raw: list[tuple[int, dict]] = []
             for p in cp_parquets:
+                import io
+
                 import pyarrow.parquet as pq
 
-                for rec in pq.read_table(p).to_pylist():
+                for rec in pq.read_table(io.BytesIO(fs.read_bytes(p))).to_pylist():
                     raw.append((self._cp, rec))
             if cp_json:
-                with open(cp_json) as f:
-                    for line in f:
+                for line in fs.read_text(cp_json).splitlines():
                         if line := line.strip():
                             raw.append((self._cp, json.loads(line)))
             for v in self._commit_versions:
-                with open(self._commit_path(v)) as f:
-                    for line in f:
+                for line in fs.read_text(self._commit_path(v)).splitlines():
                         if line := line.strip():
                             raw.append((v, json.loads(line)))
             rows = []
@@ -1069,8 +1073,8 @@ class Snapshot:
         out: dict[str, dict] = {}
         for v in sorted(self._commit_versions):
             try:
-                with open(self._commit_path(v)) as f:
-                    for line in f:
+                for line in self.log.fs.read_text(
+                        self._commit_path(v)).splitlines():
                         if '"domainMetadata"' not in line:
                             continue
                         dm = json.loads(line).get("domainMetadata")
@@ -1280,7 +1284,7 @@ class Snapshot:
         the (metadata-plane, small) live-file list for scan planning."""
         return [
             (
-                os.path.join(self.log.table_path, unquote(r["add"]["path"])),
+                join_path(self.log.table_path, unquote(r["add"]["path"])),
                 dict(r["add"]["partitionValues"] or {}),
             )
             for r in self.live_adds_collected()
@@ -1339,7 +1343,7 @@ class Snapshot:
         parts: list[DataFrame] = []
         if path_adds:
             dirs = sorted(
-                {os.path.join(self.log.table_path, dv) for _p, dv in path_adds}
+                {join_path(self.log.table_path, dv) for _p, dv in path_adds}
             )
             names_df = self.spark.createDataFrame(
                 [(p,) for p, _dv in path_adds], ["__file_name"]
@@ -1446,11 +1450,11 @@ class Snapshot:
             # keep entries are decoded add paths — usually table-relative,
             # but absolute when the add came from a shallow clone. Rebase
             # them exactly the way file_infos() built ``p``
-            # (os.path.join leaves an absolute second arg untouched), so
+            # (join_path leaves an absolute or schemed second arg untouched),
             # both cases compare equal; a relpath()-based compare would
             # silently match nothing for absolute adds and a downstream
             # replace_paths rewrite would tombstone files it never read.
-            keep = {os.path.join(self.log.table_path, k) for k in paths}
+            keep = {join_path(self.log.table_path, k) for k in paths}
             infos = [(p, pv) for p, pv in infos if p in keep]
         out_cols = (
             list(meta.data_columns)

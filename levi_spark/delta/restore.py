@@ -76,8 +76,8 @@ def restore(spark: SparkSession, path: str, version: int) -> dict:
     """Restore the table to ``version`` as a NEW commit. Returns
     {"version", "files_readded", "files_removed"}; a restore to the
     current state is a no-op (version -1, nothing committed)."""
-    path = os.path.abspath(path)
     log = DeltaLog(spark, path)
+    path = log.table_path
     cur = log.snapshot()
     if cur.metadata.configuration.get("delta.appendOnly") == "true":
         raise ValueError(
@@ -101,11 +101,12 @@ def restore(spark: SparkSession, path: str, version: int) -> dict:
     if not readd and not removes:
         return {"version": -1, "files_readded": 0, "files_removed": 0}
 
-    missing = [p for p in readd if not os.path.exists(os.path.join(path, unquote(p)))]
+    missing = [p for p in readd
+               if not log.fs.exists(os.path.join(path, unquote(p)))]
     for p in readd:  # target DV sidecars must exist too
         dv = tgt_adds[p]["deletionVector"]
         if dv is not None and dv["pathOrInlineDv"] is not None:
-            if not os.path.exists(os.path.join(path, dv["pathOrInlineDv"])):
+            if not log.fs.exists(os.path.join(path, dv["pathOrInlineDv"])):
                 missing.append(f"{dv['pathOrInlineDv']} (DV sidecar of {p})")
     if missing:
         raise ValueError(

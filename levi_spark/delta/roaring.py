@@ -319,8 +319,14 @@ def decode_descriptor(table_path: str, dv: dict) -> np.ndarray:
             p = dv["pathOrInlineDv"]
         else:
             raise ValueError(f"not a standard DV storageType: {st!r}")
-        with open(p, "rb") as f:
-            data = f.read()
+        from levi_spark.fs import fs_for, local_form
+
+        lp = local_form(p)
+        if lp is not None:
+            with open(lp, "rb") as f:
+                data = f.read()
+        else:
+            data = fs_for(p).read_bytes(p)
         blob = read_dv_blob(data, dv.get("offset"), dv["sizeInBytes"])
     vals = decode_rbm_array(blob)
     card = dv.get("cardinality")

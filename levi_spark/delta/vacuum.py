@@ -33,7 +33,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 
 from pyspark.sql import SparkSession
@@ -48,11 +47,11 @@ def _referenced_cdc_files(log: DeltaLog) -> set[str]:
     from urllib.parse import unquote
 
     out: set[str] = set()
-    for name in os.listdir(log.log_path):
+    for name in log.fs.listdir(log.log_path):
         if not name.endswith(".json"):
             continue
-        with open(os.path.join(log.log_path, name)) as fh:
-            for line in fh:
+        for line in log.fs.read_text(
+                os.path.join(log.log_path, name)).splitlines():
                 a = json.loads(line)
                 if "cdc" in a:
                     out.add(os.path.normpath(unquote(a["cdc"]["path"])))
@@ -69,8 +68,9 @@ def vacuum(
 
     Returns {"files_deleted": [...relative paths...], "bytes_reclaimed"}.
     """
-    path = os.path.abspath(path)
     log = DeltaLog(spark, path)
+    path = log.table_path
+    fs = log.fs
     snap = log.snapshot()
     live_cdc = _referenced_cdc_files(log)
 
@@ -107,8 +107,9 @@ def vacuum(
     doomed: list[str] = []
     bytes_reclaimed = 0
 
-    for root, dirs, files in os.walk(path):
-        rel_root = os.path.relpath(root, path)
+    base = path.rstrip("/")
+    for root, dirs, files in fs.walk(base):
+        rel_root = "." if root == base else root[len(base) + 1:]
         # never touch the log; skip live DV dirs wholesale
         if rel_root == "." :
             dirs[:] = [d for d in dirs if d != "_delta_log" and not d.startswith(".")]
@@ -137,22 +138,22 @@ def vacuum(
             ):
                 continue
             full = os.path.join(root, name)
-            st = os.stat(full)
-            if st.st_mtime >= cutoff:
+            st = fs.stat(full)
+            if st.mtime_ms / 1000.0 >= cutoff:
                 continue
             doomed.append(rel)
-            bytes_reclaimed += st.st_size
+            bytes_reclaimed += st.size
             if not dry_run:
-                os.remove(full)
+                fs.remove(full)
 
     if not dry_run:
-        # sweep now-empty partition/DV directories
-        for root, dirs, files in os.walk(path, topdown=False):
-            if os.path.relpath(root, path) == ".":
+        # sweep now-empty partition/DV directories (bottom-up: deepest
+        # first so an emptied child empties its parent)
+        all_dirs = [r for r, _d, _f in fs.walk(base)]
+        for root in sorted(all_dirs, key=len, reverse=True):
+            if root == base or "_delta_log" in root:
                 continue
-            if "_delta_log" in root:
-                continue
-            if not os.listdir(root):
-                shutil.rmtree(root, ignore_errors=True)
+            if not fs.listdir(root):
+                fs.rmtree(root)
 
     return {"files_deleted": sorted(doomed), "bytes_reclaimed": bytes_reclaimed}

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from levi_spark.delta.log import DeltaLog, stats_schema, _MINMAX_TYPES
+from levi_spark.fs import fs_for, local_form
 
 _PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 
@@ -139,6 +140,19 @@ def _partition_values_from_relpath(relpath: str, part_cols: list[str]) -> dict:
     return {c: vals.get(c) for c in part_cols}
 
 
+def _pq_src(path: str):
+    """A source pyarrow can open for ``path``: the POSIX form when one
+    exists (plain path or file:// URI), else the file's bytes fetched
+    through the scheme filesystem (footer reads on object-store tables
+    pay one GET; the distributed Spark fallback stays available)."""
+    lp = local_form(path)
+    if lp is not None:
+        return lp
+    import io
+
+    return io.BytesIO(fs_for(path).read_bytes(path))
+
+
 def _footer_stats(
     abs_files: list[str], data_schema: T.StructType
 ) -> dict[str, dict] | None:
@@ -173,7 +187,7 @@ def _footer_stats(
     out: dict[str, dict] = {}
     for path in abs_files:
         try:
-            md = pq.ParquetFile(path).metadata
+            md = pq.ParquetFile(_pq_src(path)).metadata
         except Exception:
             # e.g. logical types this pyarrow can't parse (VARIANT) —
             # the distributed aggregate handles those files
@@ -233,12 +247,13 @@ def _staged_not_null_check(
 
     import pyarrow.parquet as pq
 
+    base = staging.rstrip("/")
     files = []
-    for root, _dirs, names in os.walk(staging):
+    for root, _dirs, names in fs_for(staging).walk(base):
         for n in names:
             if n.endswith(".parquet"):
-                rel = os.path.relpath(os.path.join(root, n), staging)
-                files.append((os.path.join(root, n), rel))
+                full = os.path.join(root, n)
+                files.append((full, full[len(base) + 1:]))
     for c in req_part:
         marker = f"{c}={HIVE_NULL}"
         if any(marker in rel.split(os.sep) for _p, rel in files):
@@ -249,7 +264,7 @@ def _staged_not_null_check(
         return
     fallback: list[str] = []
     for p, _rel in files:
-        md = pq.ParquetFile(p).metadata
+        md = pq.ParquetFile(_pq_src(p)).metadata
         if md.num_rows == 0:
             continue
         cols = {
@@ -342,18 +357,19 @@ def write_cdc_files(cdc_df: DataFrame, path: str) -> list[tuple[str, int]]:
     side data for `table_changes_cdf`, never part of the snapshot."""
     if CHANGE_TYPE_COL not in cdc_df.columns:
         raise ValueError(f"cdc frame must carry a {CHANGE_TYPE_COL} column")
+    fs = fs_for(path)
     staging = os.path.join(path, f".cdc-staging-{uuid.uuid4().hex}")
     cdc_df.write.mode("overwrite").parquet(staging)
-    os.makedirs(os.path.join(path, CDC_DIR), exist_ok=True)
+    fs.mkdirs(os.path.join(path, CDC_DIR))
     rels: list[tuple[str, int]] = []
-    for name in os.listdir(staging):
+    for name in fs.listdir(staging):
         if not name.endswith(".parquet"):
             continue
         rel = os.path.join(CDC_DIR, f"cdc-{uuid.uuid4().hex[:12]}-{name}")
         dst = os.path.join(path, rel)
-        os.rename(os.path.join(staging, name), dst)
-        rels.append((rel, os.stat(dst).st_size))
-    shutil.rmtree(staging, ignore_errors=True)
+        fs.rename(os.path.join(staging, name), dst)
+        rels.append((rel, fs.getsize(dst)))
+    fs.rmtree(staging)
     return rels
 
 
@@ -403,23 +419,23 @@ def in_commit_timestamp(
         # commits — on a coordinated table the predecessor usually lives
         # in _delta_log/_commits, and reading only the backfilled tail
         # would re-anchor the monotonic clock below already-staged stamps
+        fs = fs_for(log_dir)
         cand: list[tuple[int, str]] = [
             (int(n[:20]), os.path.join(log_dir, n))
-            for n in os.listdir(log_dir)
+            for n in fs.listdir(log_dir)
             if n.endswith(".json") and n[:20].isdigit()
         ]
         for d in ("_commits", "_staged_commits"):
             sdir = os.path.join(log_dir, d)
-            if os.path.isdir(sdir):
+            if fs.isdir(sdir):
                 cand.extend(
                     (int(n[:20]), os.path.join(sdir, n))
-                    for n in os.listdir(sdir)
+                    for n in fs.listdir(sdir)
                     if n.endswith(".json") and n[:20].isdigit()
                 )
         commits = [p for _v, p in sorted(cand)]
         if commits:
-            with open(commits[-1]) as f:
-                for line in f:
+                for line in fs.read_text(commits[-1]).splitlines():
                     if not line.strip():
                         continue
                     ci = json.loads(line).get("commitInfo")
@@ -463,8 +479,7 @@ def _publish_commit(
     for _attempt in range(max_attempts):
         commit_path = os.path.join(log_dir, f"{version:020d}.json")
         try:
-            with open(commit_path, "x") as out:
-                out.write(payload)
+            fs_for(log_dir).create_exclusive(commit_path, payload)
             return version
         except FileExistsError:
             if not rebase_ok:
@@ -506,11 +521,12 @@ def _publish_staged_commit(log_dir: str, version: int, payload: str) -> int:
     TOCTOU window two genuinely concurrent writers could race
     through, which is why readers refuse ambiguous staged versions
     loudly instead of guessing)."""
+    fs = fs_for(log_dir)
     sdir = os.path.join(log_dir, "_commits")
-    os.makedirs(sdir, exist_ok=True)
+    fs.mkdirs(sdir)
     prefix = f"{version:020d}."
-    if os.path.exists(os.path.join(log_dir, f"{version:020d}.json")) or any(
-        n.startswith(prefix) for n in os.listdir(sdir)
+    if fs.exists(os.path.join(log_dir, f"{version:020d}.json")) or any(
+        n.startswith(prefix) for n in fs.listdir(sdir)
     ):
         raise ValueError(
             f"concurrent commit at version {version}: the filesystem "
@@ -518,8 +534,7 @@ def _publish_staged_commit(log_dir: str, version: int, payload: str) -> int:
             "new snapshot"
         )
     p = os.path.join(sdir, prefix + uuid.uuid4().hex + ".json")
-    with open(p, "x") as out:
-        out.write(payload)
+    fs.create_exclusive(p, payload)
     return version
 
 
@@ -533,13 +548,16 @@ def backfill_commits(table_path: str, up_to: int | None = None) -> int:
     O_EXCL so a racing backfiller cannot corrupt."""
     from levi_spark.delta.log import _STAGED_DIRS, _STAGED_RE
 
-    log_dir = os.path.join(os.path.abspath(table_path), "_delta_log")
+    from levi_spark.fs import absolutize
+
+    fs = fs_for(table_path)
+    log_dir = os.path.join(absolutize(table_path), "_delta_log")
     staged: dict[int, str] = {}
     for d in _STAGED_DIRS:
         sdir = os.path.join(log_dir, d)
-        if not os.path.isdir(sdir):
+        if not fs.isdir(sdir):
             continue
-        for n in sorted(os.listdir(sdir)):
+        for n in sorted(fs.listdir(sdir)):
             if m := _STAGED_RE.match(n):
                 staged.setdefault(int(m.group(1)), os.path.join(sdir, n))
     done = 0
@@ -547,13 +565,11 @@ def backfill_commits(table_path: str, up_to: int | None = None) -> int:
         if up_to is not None and v > up_to:
             break
         target = os.path.join(log_dir, f"{v:020d}.json")
-        if os.path.exists(target):
+        if fs.exists(target):
             continue
-        with open(staged[v]) as src:
-            payload = src.read()
+        payload = fs.read_text(staged[v])
         try:
-            with open(target, "x") as out:
-                out.write(payload)
+            fs.create_exclusive(target, payload)
         except FileExistsError:
             continue  # racing backfiller got there first — same bytes
         done += 1
@@ -625,6 +641,14 @@ def _stage_self_hosted(
                    if f.name not in set(partition_by)]
     specs = [(f.name, _self_hosted_coltype(f.dataType), f.dataType)
              for f in data_fields]
+    lp = local_form(staging)
+    if lp is None:
+        raise NotImplementedError(
+            "self_hosted=True stages data files with executor-side "
+            "Python open(); only plain paths and file:// URIs are "
+            "supported (standard writes handle any URI via Spark)"
+        )
+    staging = lp
     os.makedirs(staging, exist_ok=True)
 
     def _to_values(pdf, name: str, dt: T.DataType) -> list:
@@ -831,11 +855,12 @@ def write_delta(
     (checkpoints must not outrun the backfilled tail).
     """
     spark = df.sparkSession
-    path = os.path.abspath(path)
+    tfs = fs_for(path)
+    path = tfs.absolutize(path)
     log_dir = os.path.join(path, "_delta_log")
-    exists = os.path.isdir(log_dir) and any(
+    exists = tfs.isdir(log_dir) and any(
         n.endswith(".json") or n.endswith(".checkpoint.parquet")
-        for n in os.listdir(log_dir)
+        for n in tfs.listdir(log_dir)
     )
     if exists and mode == "error":
         raise ValueError(f"Delta table already exists at {path} (mode='error')")
@@ -1244,7 +1269,7 @@ def write_delta(
                         f"their generation expression): {bad}"
                     )
         except CheckConstraintViolation:
-            shutil.rmtree(staging, ignore_errors=True)
+            tfs.rmtree(staging)
             raise
 
     # -- NOT NULL enforcement (Delta invariants): commit_schema is the
@@ -1260,16 +1285,17 @@ def write_delta(
                 [c for c in required if c in set(partition_by)],
             )
         except NotNullViolation:
-            shutil.rmtree(staging, ignore_errors=True)
+            tfs.rmtree(staging)
             raise
 
     moved: list[str] = []  # relative (disk) paths of new data files
-    for root, _dirs, files in os.walk(staging):
+    _stg = staging.rstrip("/")
+    for root, _dirs, files in tfs.walk(_stg):
         for name in files:
             if not name.endswith(".parquet"):
                 continue
             src = os.path.join(root, name)
-            rel_dir = os.path.relpath(root, staging)
+            rel_dir = root[len(_stg) + 1:] if len(root) > len(_stg) else "."
             # uniquify the basename: Spark reuses one job UUID across
             # all part files, so a task writing several partition dirs
             # emits colliding basenames — but Delta-style readers (ours
@@ -1277,10 +1303,10 @@ def write_delta(
             name = f"{uuid.uuid4().hex[:12]}-{name}"
             rel = name if rel_dir == "." else os.path.join(rel_dir, name)
             dst = os.path.join(path, rel)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            os.rename(src, dst)
+            tfs.mkdirs(os.path.dirname(dst))
+            tfs.rename(src, dst)
             moved.append(rel)
-    shutil.rmtree(staging, ignore_errors=True)
+    tfs.rmtree(staging)
 
     # -- stats over the freshly written files --------------------------------
     # footer-first: exact stats straight from the staged parquet
@@ -1317,7 +1343,7 @@ def write_delta(
             if st is None or st.get("numRecords") == 0:
                 stats_by_name.pop(os.path.basename(rel), None)
                 try:
-                    os.remove(os.path.join(path, rel))
+                    tfs.remove(os.path.join(path, rel))
                 except OSError:
                     pass
             else:
@@ -1379,7 +1405,7 @@ def write_delta(
         )
     add_entries = []
     for rel in sorted(moved):
-        st = os.stat(os.path.join(path, rel))
+        st = tfs.stat(os.path.join(path, rel))
         stats = stats_by_name.get(os.path.basename(rel))
         add_entries.append((rel, st, stats))
 
@@ -1396,8 +1422,8 @@ def write_delta(
                 "partitionValues": _partition_values_from_relpath(
                     rel, partition_by
                 ),
-                "size": st.st_size,
-                "modificationTime": int(st.st_mtime * 1000),
+                "size": st.size,
+                "modificationTime": st.mtime_ms,
                 "dataChange": True,
                 "stats": json.dumps(stats, default=_json_default)
                 if stats
@@ -1462,7 +1488,7 @@ def write_delta(
                 }
             )
         )
-    os.makedirs(log_dir, exist_ok=True)
+    tfs.mkdirs(log_dir)
 
     def _variant_protocol(proto: dict) -> dict:
         """A schema carrying VARIANT anywhere needs the variantType

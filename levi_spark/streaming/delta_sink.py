@@ -44,7 +44,9 @@ def _sink_batch(
     batch was already applied (crash replay)."""
     from levi_spark.delta.log import DeltaLog
 
-    exists = os.path.isdir(os.path.join(table_path, "_delta_log"))
+    from levi_spark.fs import fs_for
+
+    exists = fs_for(table_path).isdir(os.path.join(table_path, "_delta_log"))
     if exists:
         applied = (
             DeltaLog(batch_df.sparkSession, table_path)
@@ -140,7 +142,9 @@ def _upsert_batch(
     from levi_spark.operators.merge import merge
 
     spark = batch_df.sparkSession
-    exists = os.path.isdir(os.path.join(table_path, "_delta_log"))
+    from levi_spark.fs import fs_for
+
+    exists = fs_for(table_path).isdir(os.path.join(table_path, "_delta_log"))
     if exists:
         applied = (
             DeltaLog(spark, table_path)

@@ -51,21 +51,27 @@ class SyncState:
         self.path = state_path
 
     def last_version(self) -> int:
-        if not os.path.exists(self.path):
+        from levi_spark.fs import fs_for
+
+        fs = fs_for(self.path)
+        if not fs.exists(self.path):
             return -1
-        with open(self.path) as fh:
-            return json.load(fh)["last_version"]
+        return json.loads(fs.read_text(self.path))["last_version"]
 
     def advance(self, version: int) -> None:
+        from levi_spark.fs import fs_for
+
+        fs = fs_for(self.path)
         tmp = self.path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"last_version": version}, fh)
-        os.replace(tmp, self.path)
+        fs.write_text(tmp, json.dumps({"last_version": version}))
+        fs.replace(tmp, self.path)
 
 
 def _applied_version(spark: SparkSession, dst_path: str, app_id: str) -> int:
     """Last source version recorded in the destination log (or -1)."""
-    if not os.path.isdir(os.path.join(dst_path, "_delta_log")):
+    from levi_spark.fs import fs_for
+
+    if not fs_for(dst_path).isdir(os.path.join(dst_path, "_delta_log")):
         return -1
     return (
         DeltaLog(spark, dst_path).snapshot().txn_versions().get(app_id, -1)
@@ -93,7 +99,10 @@ def incremental_sync(
         # wholesale, later calls go incremental)
         snap = src_log.snapshot(to_version)
         df = snap.to_df()
-        mode = "error" if not os.path.isdir(os.path.join(dst_path, "_delta_log")) else "append"
+        from levi_spark.fs import fs_for
+
+        mode = ("error" if not fs_for(dst_path)
+                .isdir(os.path.join(dst_path, "_delta_log")) else "append")
         rows = df.count()
         dst_v = write_delta(
             df, dst_path, mode=mode,
