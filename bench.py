@@ -61,6 +61,43 @@ NOISY_RATIO = 1.2
 ANCHOR_QUERY = "q1_pricing_summary"
 ANCHOR_REF_S = 0.54
 
+# Machine-readable bench floors (VERDICT r10 ask #6): lifecycle gates
+# whose warm sf0.1 cost is a JOB-COUNT floor, not a data cost — each
+# runs a fixed sequence of Spark job launches against the measured
+# ~130-230 ms/job JVM scheduler floor (job count O(1) in data volume;
+# stage-timed analyses committed in the query docstrings, reproduce
+# with LEVI_STAGE_TIMING=1). A round-over-round mover that stays
+# within floor_seconds x session drift is mechanically dismissible.
+FLOOR_ANALYSES = {
+    "incremental_agg_refresh": {
+        "floor_seconds": 8.0,
+        "floor_basis": (
+            "~35 sequential job launches (soft_delete 1.2 + CDF MERGE "
+            "3.2 + refresh fold 2.4 + writes) at the ~130-230 ms/job "
+            "scheduler floor; stage-timed r06, job count O(changes) "
+            "not O(data) — see queries.py docstring"
+        ),
+    },
+    "cdc_replicate_counts": {
+        "floor_seconds": 8.0,
+        "floor_basis": (
+            "~40 sequential job launches (dv_delete 7 + cdf_merge 19 "
+            "+ sync 16 jobs) at the ~130-230 ms/job scheduler floor; "
+            "stage-timed r05, job count O(1) per lifecycle op"
+        ),
+    },
+    "row_tracking_counts": {
+        "floor_seconds": 4.2,
+        "floor_basis": (
+            "lifecycle job sequence (write + OPTIMIZE preservation "
+            "rewrite + row-id attach verification) at the same "
+            "scheduler floor; fresh-session re-probe r10: min-of-2 "
+            "4.19 s at anchor 0.821 s — movers above this are session "
+            "drift until a fresh-session probe disagrees"
+        ),
+    },
+}
+
 # Cross-SESSION variance notes (VERDICT r06 ask #8): queries whose
 # round-over-round swings have been checked against their run arrays
 # and attributed to session-level variance, not code (none changed in
@@ -264,6 +301,7 @@ def main():
         "testdata": fingerprint,
         "testdata_match_previous": testdata_match,
         "variance_notes": VARIANCE_NOTES,
+        "floors": FLOOR_ANALYSES,
     }
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)

@@ -64,7 +64,37 @@ def _key_range(table: pa.Table, col: str) -> int:
     return pc.max(table.column(col)).as_py() + 1
 
 
-def scale(src: str, dst: str, factor: int) -> None:
+def _inject_hot_user(table: pa.Table, frac: float) -> pa.Table:
+    """Deliberate join/group skew for the skew-witness tier: reassign a
+    deterministic ``frac`` of all event rows to ONE hot user_id (the
+    Knuth-hash of event_id picks the rows, so the choice is stable
+    across runs and independent of row order). At 100x this builds the
+    real 100 TB hazard — one user owning a third of the table — that
+    uniform key-shifted replication can never produce."""
+    import numpy as np
+
+    eid = table.column("event_id").combine_chunks().to_numpy(
+        zero_copy_only=False
+    ).astype(np.uint64)
+    uid = table.column("user_id").combine_chunks().to_numpy(
+        zero_copy_only=False
+    ).copy()
+    hot_id = int(uid.max()) + 1
+    mask = (eid * np.uint64(2654435761)) % np.uint64(2**32) < np.uint64(
+        int(frac * 2**32)
+    )
+    uid[mask] = hot_id
+    i = table.column_names.index("user_id")
+    out = table.set_column(
+        i, "user_id",
+        pa.array(uid, table.schema.field("user_id").type),
+    )
+    print(f"hot user {hot_id}: {int(mask.sum())} of {len(uid)} rows "
+          f"({mask.mean():.1%})")
+    return out
+
+
+def scale(src: str, dst: str, factor: int, hot_frac: float = 0.0) -> None:
     os.makedirs(dst, exist_ok=True)
     t = {
         name: pq.read_table(os.path.join(src, f"{name}.parquet"))
@@ -99,8 +129,19 @@ def scale(src: str, dst: str, factor: int) -> None:
     copies("lineitem", lambda i: _shift(_shift(_shift(
         t["lineitem"], "l_orderkey", i * ok),
         "l_partkey", i * pk), "l_suppkey", i * sk))
-    copies("events", lambda i: _shift(
-        _shift(t["events"], "event_id", i * ek), "user_id", i * uk))
+    def events_copy(i):
+        return _shift(
+            _shift(t["events"], "event_id", i * ek), "user_id", i * uk
+        )
+
+    if hot_frac > 0.0:
+        ev_parts = [events_copy(i) for i in range(factor)]
+        ev = _inject_hot_user(pa.concat_tables(ev_parts), hot_frac)
+        pq.write_table(ev, os.path.join(dst, "events.parquet"),
+                       compression="snappy")
+        print(f"events: {len(ev)} rows (hot_frac={hot_frac})")
+    else:
+        copies("events", events_copy)
 
     def docs_copy(i):
         import numpy as np
@@ -183,5 +224,10 @@ if __name__ == "__main__":
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dst", default="/tmp/levi_sf1")
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument(
+        "--hot-frac", type=float, default=0.0,
+        help="reassign this fraction of event rows to ONE hot user_id "
+             "(deliberate skew for the skew witness; 0 = uniform)",
+    )
     a = ap.parse_args()
-    scale(a.src, a.dst, a.factor)
+    scale(a.src, a.dst, a.factor, hot_frac=a.hot_frac)

@@ -1,0 +1,154 @@
+"""Skew witness (VERDICT r10 ask #3): on a DELIBERATELY skewed events
+tier (one hot user owning ``hot_frac`` of all rows —
+``make_scaled_testdata.py --hot-frac``), measure the salted operators
+against their plain formulations and assert bit-identical results.
+
+Two plans per case:
+
+* hot-GROUP rollup per user: plain ``groupBy(user_id)`` funnels the
+  hot user through one reducer; ``salted_agg`` fans it over 16
+  partials first.
+* hot-KEY join: events x per-user profile on user_id; plain shuffle
+  join puts every hot row in one task (AQE's skew split is measured
+  as-is — it applies to sort-merge joins); ``salted_join`` replicates
+  the build row per salt.
+
+Writes a JSON artifact: per-case plain/salted wall seconds, the hot
+key's share, and equality of results. The claim under test is NOT
+"salted is always faster" (at small tiers the extra exchange costs
+more than the skew) — it is (a) answers identical, (b) at the 100x
+hot tier the plain plan's straggler grows with the hot share while
+the salted plan scales like the uniform tier.
+
+Usage: python tools/skew_witness.py --data /tmp/levi_sf10_hot
+           [--out SKEW_WITNESS.json] [--n-salts 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from levi_spark.session import get_spark_for_data  # noqa: E402
+from levi_spark.operators.skew import salted_agg, salted_join  # noqa: E402
+
+
+def _timed(df):
+    t0 = time.perf_counter()
+    df.write.mode("overwrite").format("noop").save()
+    return round(time.perf_counter() - t0, 3)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", required=True)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--n-salts", type=int, default=32)
+    a = ap.parse_args()
+
+    spark = get_spark_for_data(a.data, app_name="skew-witness")
+    spark.range(1).count()
+    ev = spark.read.parquet(os.path.join(a.data, "events.parquet")).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    total = ev.count()
+    hot_row = (
+        ev.groupBy("user_id").count().orderBy(F.desc("count")).first()
+    )
+    hot_share = hot_row["count"] / total
+    print(f"rows={total} hot_user={hot_row['user_id']} "
+          f"share={hot_share:.1%}")
+
+    results: dict = {
+        "data": a.data,
+        "rows": total,
+        "hot_user_share": round(hot_share, 4),
+        "n_salts": a.n_salts,
+        "cases": {},
+    }
+
+    # -- case 1: hot-group rollup ------------------------------------
+    evq = ev.withColumn(
+        "vq", F.floor(F.col("value") * 10000.0 + F.lit(0.5)).cast("long")
+    )
+    plain_rollup = evq.groupBy("user_id").agg(
+        F.sum("vq").alias("vq_sum"),
+        F.count("event_id").alias("event_id_count"),
+        F.max("event_type").alias("event_type_max"),
+    )
+    salted_rollup = salted_agg(
+        evq,
+        ["user_id"],
+        {"vq": "sum", "event_id": "count", "event_type": "max"},
+        salt_on=F.col("event_id"),
+        n_salts=a.n_salts,
+    ).select("user_id", "vq_sum", "event_id_count", "event_type_max")
+    t_plain = _timed(plain_rollup)
+    t_salted = _timed(salted_rollup)
+    eq = (
+        plain_rollup.exceptAll(salted_rollup).limit(1).count() == 0
+        and salted_rollup.exceptAll(plain_rollup).limit(1).count() == 0
+    )
+    print(f"rollup: plain={t_plain}s salted={t_salted}s equal={eq}")
+    results["cases"]["hot_group_rollup"] = {
+        "plain_sec": t_plain, "salted_sec": t_salted, "equal": eq,
+    }
+
+    # -- case 2: hot-key join ----------------------------------------
+    profile = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_user_events")
+    )
+    plain_join = (
+        ev.select("event_id", "user_id", "event_type")
+        .hint("shuffle_hash")  # forbid broadcast: measure the shuffle
+        .join(profile, on=["user_id"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("n_user_events").alias("weight"),
+        )
+    )
+    s_join = (
+        salted_join(
+            ev.select("event_id", "user_id", "event_type"),
+            profile,
+            on=["user_id"],
+            salt_on=F.col("event_id"),
+            n_salts=a.n_salts,
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("n_user_events").alias("weight"),
+        )
+    )
+    t_plain_j = _timed(plain_join)
+    t_salted_j = _timed(s_join)
+    eq_j = (
+        plain_join.exceptAll(s_join).limit(1).count() == 0
+        and s_join.exceptAll(plain_join).limit(1).count() == 0
+    )
+    print(f"join:   plain={t_plain_j}s salted={t_salted_j}s equal={eq_j}")
+    results["cases"]["hot_key_join"] = {
+        "plain_sec": t_plain_j, "salted_sec": t_salted_j, "equal": eq_j,
+    }
+
+    blob = json.dumps(results, indent=1)
+    if a.out:
+        with open(a.out, "w") as fh:
+            fh.write(blob + "\n")
+        print("wrote", a.out)
+    else:
+        print(blob)
+    sys.exit(0 if eq and eq_j else 1)
+
+
+if __name__ == "__main__":
+    main()
