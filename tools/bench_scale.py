@@ -91,6 +91,36 @@ TIER100 = [
     "multimodal_jpeg_decode", "warc_extract_records",
     "archive_extract_members", "tfrecord_ingest_stats",
     "doc_cdc_chunk_dedup",
+    # -- round-11 widening (VERDICT r10 ask #3): TPC-H Q2-Q22 (join
+    #    shapes), every lifecycle gate, the new round-11 gates, the
+    #    skew gates, and the text-curation family — >=100 queries so
+    #    each family's scaling curve is measured, not asserted.
+    "q2_min_cost_supplier", "q3_shipping_priority", "q4_order_priority",
+    "q5_local_supplier", "q6_forecast_revenue", "q7_volume_shipping",
+    "q8_market_share", "q9_profit_by_nation_year", "q10_returned_items",
+    "q11_important_parts", "q12_priority_case_agg",
+    "q13_order_count_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q16_supplier_part_counts",
+    "q17_small_quantity_revenue", "q18_large_volume_customer",
+    "q19_disjunctive_revenue", "q20_excess_suppliers",
+    "q21_waiting_suppliers", "q22_idle_customers",
+    "log_checksum_counts", "coordinated_commits_counts",
+    "type_widening_counts", "identity_column_counts",
+    "variant_shredding_counts", "row_tracking_counts",
+    "cdf_timestamp_counts", "table_restore_counts", "vacuum_counts",
+    "column_mapping_counts", "checkpoint_expiry_counts",
+    "table_history_counts", "time_travel_timestamp",
+    "shallow_clone_counts", "check_constraint_counts",
+    "generated_column_counts", "time_travel_counts",
+    "cdf_merge_changes",
+    "fs_scheme_roundtrip", "suffix_rank_spans",
+    "events_skewed_rollup", "events_salted_user_join",
+    "bpe_train_merges", "token_budget_select", "doc_language_id",
+    "doc_quality_scores", "doc_bm25_topk", "doc_pii_redaction",
+    "doc_dsir_weights", "corpus_filter_funnel", "doc_token_stats",
+    "doc_chunk_overlap", "events_retention_cohorts",
+    "doc_fingerprints", "quality_calibration_bins",
+    "foreign_delta_interop",
 ]
 
 

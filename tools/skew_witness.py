@@ -101,6 +101,50 @@ def main():
         "plain_sec": t_plain, "salted_sec": t_salted, "equal": eq,
     }
 
+    # -- exchange balance: rows per reducer with and without salt ----
+    # Wall-clock alone under-reports skew on a 32-core VM at this tier
+    # (one 3.3M-row task still finishes in under a second, and hash
+    # aggregation combines map-side), so the witness also measures the
+    # thing salting actually changes: the ROW DISTRIBUTION across the
+    # key exchange's partitions. plain max/median is the straggler
+    # multiplier a 1000-executor cluster would feel on a key exchange
+    # that cannot map-side combine (sort, window, join build).
+    import statistics
+
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def balance(df):
+        counts = [
+            r["c"] for r in df.groupBy(F.spark_partition_id().alias("p"))
+            .agg(F.count(F.lit(1)).alias("c")).collect()
+        ]
+        counts += [0] * (n_parts - len(counts))
+        return {
+            "max_rows": max(counts),
+            "median_rows": int(statistics.median(counts)),
+            "partitions": n_parts,
+        }
+
+    plain_bal = balance(ev.repartition(n_parts, "user_id"))
+    salted_bal = balance(
+        ev.withColumn(
+            "__salt", F.pmod(F.xxhash64("event_id"), F.lit(a.n_salts))
+        ).repartition(n_parts, "user_id", "__salt")
+    )
+    skew_mult = round(
+        plain_bal["max_rows"] / max(plain_bal["median_rows"], 1), 1
+    )
+    salt_mult = round(
+        salted_bal["max_rows"] / max(salted_bal["median_rows"], 1), 1
+    )
+    print(f"exchange balance: plain max/median={skew_mult}x, "
+          f"salted={salt_mult}x")
+    results["exchange_balance"] = {
+        "plain": plain_bal, "salted": salted_bal,
+        "plain_straggler_multiplier": skew_mult,
+        "salted_straggler_multiplier": salt_mult,
+    }
+
     # -- case 2: hot-key join ----------------------------------------
     profile = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_user_events")
