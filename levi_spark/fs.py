@@ -58,9 +58,12 @@ def local_form(path: str) -> str | None:
         return path
     if path.startswith("file://"):
         rest = path[len("file://"):]
-        # file:///x -> /x ; file://host/x unsupported (host ignored
-        # by Hadoop LocalFileSystem too for localhost/empty)
-        return rest if rest.startswith("/") else "/" + rest.split("/", 1)[1]
+        # file:///x -> /x ; file://host/x strips the host (Hadoop's
+        # LocalFileSystem ignores it too); a bare "file://host" has
+        # no path component -> not a usable local form
+        if rest.startswith("/"):
+            return rest
+        return "/" + rest.split("/", 1)[1] if "/" in rest else None
     return None
 
 
@@ -211,8 +214,11 @@ class HadoopFS:
         self.write_bytes(path, text.encode("utf-8"))
 
     def create_exclusive(self, path: str, text: str) -> None:
-        # atomic on POSIX/HDFS (create w/ overwrite=false); on S3A it
-        # is check-then-write — same caveat as delta-rs w/o a lock
+        # atomic on HDFS (namenode-arbitrated create w/ overwrite=
+        # false); on S3A AND on Hadoop's LocalFileSystem (file:// —
+        # exists-check then create, no O_EXCL) it degrades to
+        # check-then-write — same caveat as delta-rs w/o a lock.
+        # Plain local paths keep true O_EXCL via LocalFS.
         from py4j.protocol import Py4JJavaError
 
         try:

@@ -74,7 +74,10 @@ def _dense_rank_join(df: DataFrame, cols: list[str],
     from pyspark.sql import Window
 
     spark = df.sparkSession
-    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:  # e.g. "auto" on some vendored runtimes
+        n = spark.sparkContext.defaultParallelism
     distinct = df.select(*cols).distinct()
     d = (
         distinct.repartitionByRange(n, *cols)

@@ -69,9 +69,24 @@ def _scratch(name: str) -> str:
     unique PER INVOCATION (mkdtemp) so concurrent bench / driver /
     pytest runs can never clobber each other's in-progress table
     builds. The returned DataFrames keep reading these files lazily, so
-    the dir is left for the OS tempdir sweep rather than rmtree'd."""
-    import tempfile
+    the dir is left for the OS tempdir sweep rather than rmtree'd.
 
+    ``LEVI_SCRATCH_BASE`` (env) may point at a URI (``file://``,
+    ``hdfs://``, ``s3a://``) — gate tables then build where real data
+    lives, through the same scheme-aware seam as any user table. The
+    default stays the local tempdir: gates are self-contained
+    witnesses, not durable state."""
+    import os as _os
+    import tempfile
+    import uuid as _uuid
+
+    base = _os.environ.get("LEVI_SCRATCH_BASE")
+    if base:
+        from levi_spark.fs import fs_for
+
+        p = f"{base.rstrip('/')}/levi_{name}_{_uuid.uuid4().hex}"
+        fs_for(p).mkdirs(p)
+        return p
     return tempfile.mkdtemp(prefix=f"levi_spark_{name}_")
 
 
@@ -14778,7 +14793,12 @@ def delta_self_hosted_roundtrip(spark, sf_dir):
         F.sum("o_orderkey"), F.count("*")
     ).first()
     adds = [r["add"] for r in snap.live_adds_collected()]
-    files = [_os.path.join(p, a["path"]) for a in adds]
+    from levi_spark.fs import local_form as _lf
+
+    # duckdb/open verification legs need POSIX forms (a file:// or
+    # scratch-URI table keeps its Spark leg on the URI)
+    files = [_lf(_os.path.join(p, a["path"]))
+             or _os.path.join(p, a["path"]) for a in adds]
     duck_sum, n_duck = _duckdb.connect().execute(
         "SELECT CAST(SUM(o_orderkey) AS BIGINT), COUNT(*) "
         f"FROM read_parquet({files!r})"

@@ -239,6 +239,20 @@ def test_metadata_ops_over_uri(spark, furi):
     assert st["num_files_skipped"] > 0
 
 
+def test_scratch_base_uri_routes_gate_tables(spark, tmp_path, monkeypatch):
+    # LEVI_SCRATCH_BASE as a file:// URI: gate lifecycle tables build
+    # through the scheme seam end to end (write + read + verify legs)
+    monkeypatch.setenv("LEVI_SCRATCH_BASE", f"file://{tmp_path}/scr")
+    import levi_spark.queries as Q
+
+    out = Q.QUERIES["delta_self_hosted_roundtrip"][0](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(out) == 1 and out[0]["n_rows"] > 0
+    built = list((tmp_path / "scr").iterdir())
+    assert built and built[0].name.startswith("levi_selfhost_")
+
+
 def test_log_checksum_json_bytes_identical_both_addressings(
     spark, furi, tmp_path
 ):
