@@ -7237,6 +7237,10 @@ def orders_moving_avg(spark, sf_dir):
         orders.groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day_s"))
         .agg(_qsum(F.col("o_totalprice"), "_rev"))
     )
+    # total-order window over the DAILY AGGREGATE: cardinality is
+    # the date-range day count (~2.4k, fixed by the dataset's date
+    # span, data-size-independent) — bounded-metadata scale, not a
+    # data-plane global sort
     w = Window.orderBy("day_s").rowsBetween(-6, 0)
     return daily.select(
         "day_s",
@@ -7346,6 +7350,8 @@ def daily_revenue_momentum(spark, sf_dir):
     daily = orders.groupBy(
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("day_s")
     ).agg(_qsum(F.col("o_totalprice"), "_rev"))
+    # both total-order windows run over the daily aggregate (~2.4k
+    # rows, bounded by the date span) — see orders_moving_avg
     w_lag = Window.orderBy("day_s")
     w_tile = Window.orderBy(F.col("_rev").desc(), F.col("day_s"))
     return daily.select(
@@ -8878,8 +8884,17 @@ def histogram_quantiles_prices(spark, sf_dir):
     cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
     b = orders.select((cents - cents % HIST_BUCKET_CENTS).alias("bucket"))
     hist = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
-    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.withColumn("cum", F.sum("c").over(w))
+    # cumulative counts over the BOUNDED bucket set via a broadcast
+    # triangular self-join (#buckets^2 pairs, fixed by the bucket
+    # grid, data-size-independent) — an ORDER BY window here would
+    # funnel the histogram through one WindowExec partition
+    h2 = hist.select(F.col("bucket").alias("__b2"),
+                     F.col("c").alias("__c2"))
+    cum = (
+        hist.join(F.broadcast(h2), F.col("__b2") <= F.col("bucket"))
+        .groupBy("bucket", "c")
+        .agg(F.sum("__c2").alias("cum"))
+    )
     n = orders.count()
     out = []
     for q in (50, 90, 99):
@@ -8895,20 +8910,45 @@ def histogram_quantiles_prices(spark, sf_dir):
     ests = _reduce(DataFrame.unionByName, out).select(
         "quantile", F.col("b").alias("est_lower_cents")
     )
-    # exact per-quantile values as order statistics: k-th smallest,
-    # k = ceil(n*q/100)
-    sorted_c = orders.select(cents.alias("__c")).orderBy("__c").withColumn(
-        "__rn", F.row_number().over(Window.orderBy("__c"))
+    # exact per-quantile values as order statistics (k-th smallest,
+    # k = ceil(n*q/100)) — DISTRIBUTED: range-repartition the values
+    # (ascending partition ids carry ascending ranges), collect only
+    # per-partition COUNTS (driver-bounded), locate each target rank's
+    # partition + local offset, then one partition-local row_number
+    # window keyed by the physical partition id. No global
+    # single-partition window anywhere — the earlier formulation
+    # pulled every row through one WindowExec task.
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    vals = (
+        orders.select(cents.alias("__c"))
+        .repartitionByRange(n_parts, "__c")
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)  # counts and rank must see the
+        # same range split (sampler bounds are not stable across jobs)
     )
-    exacts = []
+    pcounts = {
+        r["__pid"]: r["ct"]
+        for r in vals.groupBy("__pid").agg(
+            F.count(F.lit(1)).alias("ct")).collect()
+    }
+    targets = []  # (quantile, pid, local_rank)
     for q in (50, 90, 99):
         need = -(-n * q // 100)
-        exacts.append(
-            sorted_c.where(F.col("__rn") == need).select(
-                F.lit(q).alias("quantile"), F.col("__c").alias("exact_cents")
-            )
-        )
-    exact_df = _reduce(DataFrame.unionByName, exacts)
+        acc = 0
+        for pid in sorted(pcounts):
+            if acc + pcounts[pid] >= need:
+                targets.append((q, pid, need - acc))
+                break
+            acc += pcounts[pid]
+    tgt = spark.createDataFrame(
+        targets, "quantile int, __pid int, __lrn int"
+    )
+    lw = Window.partitionBy("__pid").orderBy("__c")
+    exact_df = (
+        vals.withColumn("__lrn", F.row_number().over(lw))
+        .join(F.broadcast(tgt), ["__pid", "__lrn"])
+        .select("quantile", F.col("__c").alias("exact_cents"))
+    )
     return ests.join(exact_df, "quantile").select(
         "quantile", "est_lower_cents", "exact_cents"
     )
