@@ -475,11 +475,46 @@ def _publish_commit(
     commitInfo from the new predecessor — republishing the pre-race
     stamp verbatim could violate ICT's strict monotonicity when the
     race winner carried a later timestamp.
+
+    COORDINATOR FALLBACK (non-atomic backends): when the table's
+    filesystem reports ``atomic_put_if_absent=False`` (S3-class object
+    stores — Hadoop ``create(overwrite=false)`` there is
+    check-then-write, so a direct publish could silently lose one of
+    two concurrent version-N commits), the commit routes through the
+    filesystem commit coordinator instead: stage under
+    ``_delta_log/_commits/<v>.<uuid>.json`` (existence-check
+    arbitration per the coordinated-commits layout — a lost race
+    surfaces as a loud conflict, never a silently dropped commit),
+    then immediately backfill the byte-identical copy into the main
+    log (racing backfillers are benign: same bytes, skip-on-exists).
+    file:// and hdfs keep the direct O_EXCL path.
     """
+    fs = fs_for(log_dir)
+    coordinated = not getattr(fs, "atomic_put_if_absent", True)
     for _attempt in range(max_attempts):
         commit_path = os.path.join(log_dir, f"{version:020d}.json")
         try:
-            fs_for(log_dir).create_exclusive(commit_path, payload)
+            if coordinated:
+                try:
+                    _publish_staged_commit(log_dir, version, payload)
+                except ValueError:
+                    # same arbitration signal as a direct-path loser
+                    raise FileExistsError(commit_path) from None
+                backfill_commits(
+                    os.path.dirname(log_dir.rstrip("/")), up_to=version
+                )
+                # arbitration verify: the existence check in
+                # _publish_staged_commit has a TOCTOU window on a
+                # listing-lagged store — two writers can both stage
+                # version N under distinct uuids. The ratified commit
+                # is whichever backfilled first; if the backfilled
+                # bytes are not OURS we lost the race and must surface
+                # it (rebase or conflict), never return success for a
+                # commit the log does not contain.
+                if fs.read_text(commit_path) != payload:
+                    raise FileExistsError(commit_path)
+            else:
+                fs.create_exclusive(commit_path, payload)
             return version
         except FileExistsError:
             if not rebase_ok:
@@ -1632,7 +1667,22 @@ def write_delta(
         except ValueError:
             if not blind_append:
                 raise
-            snap = DeltaLog(spark, path).snapshot()
+            # Transient staged ambiguity: on the coordinator-fallback
+            # path a racing twin's staged file may be visible for the
+            # few ms between its stage and the first backfill — the
+            # reader refuses to guess (correct), but the refusal
+            # resolves as soon as either twin's backfill lands, so a
+            # rebasing blind append WAITS it out instead of dying.
+            for _wait in range(200):
+                try:
+                    snap = DeltaLog(spark, path).snapshot()
+                    break
+                except ValueError as ve:
+                    if "staged" not in str(ve):
+                        raise
+                    time.sleep(0.02)
+            else:
+                raise
             version = snap.version + 1
             meta_id = snap.metadata.id
             meta_conf = dict(snap.metadata.configuration)

@@ -23,10 +23,13 @@ same URIs natively.
 
 Atomicity contract (same as delta-rs / Delta Lake):
 ``create_exclusive`` (put-if-absent) is the commit primitive. It is
-atomic on POSIX (``open(..., "x")``) and on HDFS (``create`` with
-``overwrite=false``). On S3A it degrades to check-then-write, exactly
-like delta-rs without a locking provider — concurrent S3 writers need
-an external coordinator; single-writer pipelines are safe.
+atomic on POSIX (``open(..., "x")`` — ``file://`` URIs are routed
+there too, since Hadoop's LocalFileSystem lacks O_EXCL) and on HDFS
+(``create`` with ``overwrite=false``). S3-class schemes report
+``atomic_put_if_absent = False`` and Delta commits to them route
+through the filesystem commit coordinator automatically
+(``delta/writer.py:_publish_commit``) — staged ``_commits/`` entries
+with existence-check arbitration instead of a silent lost write.
 
 Everything here is DRIVER-side. Executor-side file writes (the
 self-hosted parquet staging, DV sidecar emission) keep raw ``open``
@@ -48,6 +51,42 @@ def _has_scheme(path: str) -> bool:
     # local backend; a bare "://"-free path is always local.
     i = path.find("://")
     return i > 0 and path[:i].replace("+", "").replace(".", "").isalnum()
+
+
+def _strip_uri_slash(path: str) -> str:
+    """Normalize a URI's trailing slashes WITHOUT mangling roots:
+    strip them only from the path component after ``scheme://
+    authority``, preserving ``scheme:///`` (authority-less root — a
+    bare ``rstrip('/')`` would yield ``scheme:`` and break scheme
+    detection) and collapsing ``scheme://bucket/`` to
+    ``scheme://bucket``."""
+    i = path.find("://")
+    head, rest = path[: i + 3], path[i + 3:]
+    if "/" not in rest:
+        return path
+    auth, p = rest.split("/", 1)
+    p = ("/" + p).rstrip("/")
+    if not p:
+        p = "/" if not auth else ""
+    return head + auth + p
+
+
+# Object-store schemes whose Hadoop ``create(overwrite=false)`` is
+# check-then-write rather than an atomic put-if-absent (no conditional
+# PUT wired through the connector) — the delta-rs-without-a-lock
+# degradation. Commits to these route through the filesystem commit
+# coordinator (see ``delta/writer.py:_publish_commit``) instead of
+# silently losing the concurrent-writer guarantee. hdfs (namenode-
+# arbitrated), file (routed to POSIX O_EXCL below), abfs/gs
+# (conditional-PUT connectors) stay on the direct path.
+_NON_ATOMIC_SCHEMES = {"s3", "s3a", "s3n", "oss", "cos", "swift"}
+
+# Test seam: schemes forced down the non-atomic branch so the
+# coordinator fallback is exercisable on file:// fixtures
+# (comma-separated env, e.g. LEVI_FORCE_NON_ATOMIC_SCHEMES=file).
+def _forced_non_atomic() -> set[str]:
+    v = os.environ.get("LEVI_FORCE_NON_ATOMIC_SCHEMES", "")
+    return {s.strip() for s in v.split(",") if s.strip()}
 
 
 def local_form(path: str) -> str | None:
@@ -77,6 +116,8 @@ class LocalFS:
     """Plain-``os`` backend — byte-for-byte the pre-seam behavior."""
 
     scheme = None
+    # POSIX open(..., 'x') is a true O_EXCL put-if-absent
+    atomic_put_if_absent = True
 
     def absolutize(self, path: str) -> str:
         return os.path.abspath(path)
@@ -167,9 +208,19 @@ class HadoopFS:
         return bytes(data)
 
     # -- API ----------------------------------------------------------
+    @property
+    def atomic_put_if_absent(self) -> bool:
+        """Whether ``create_exclusive`` is a true put-if-absent on
+        this backend. file:// is (routed to POSIX O_EXCL); hdfs is
+        (namenode-arbitrated create); S3-class stores are not —
+        commits there route through the coordinator fallback."""
+        s = (self.scheme or "").lower()
+        return s not in _NON_ATOMIC_SCHEMES and s not in _forced_non_atomic()
+
     def absolutize(self, path: str) -> str:
         # URIs are already absolute names; normalize trailing slash
-        return path.rstrip("/") or path
+        # on the path component only (scheme:/// must survive)
+        return _strip_uri_slash(path)
 
     def listdir(self, path: str) -> list[str]:
         if not self.jfs.exists(self._p(path)):
@@ -215,10 +266,19 @@ class HadoopFS:
 
     def create_exclusive(self, path: str, text: str) -> None:
         # atomic on HDFS (namenode-arbitrated create w/ overwrite=
-        # false); on S3A AND on Hadoop's LocalFileSystem (file:// —
-        # exists-check then create, no O_EXCL) it degrades to
-        # check-then-write — same caveat as delta-rs w/o a lock.
-        # Plain local paths keep true O_EXCL via LocalFS.
+        # false). Hadoop's LocalFileSystem create(overwrite=false) is
+        # exists-check-then-create with no O_EXCL, so file:// paths
+        # are routed to POSIX open(..., 'x') instead — true atomicity
+        # is trivially available locally and two concurrent writers
+        # to a file://-addressed table must not both publish the same
+        # version. On S3-class stores the Hadoop call degrades to
+        # check-then-write; those schemes report
+        # ``atomic_put_if_absent=False`` and commits route through
+        # the coordinator fallback rather than relying on this.
+        lp = local_form(path)
+        if lp is not None:
+            _LOCAL.create_exclusive(lp, text)
+            return
         from py4j.protocol import Py4JJavaError
 
         try:
@@ -295,7 +355,13 @@ def fs_for(path: str):
         return _LOCAL
     from pyspark.sql import SparkSession
 
-    spark = SparkSession.getActiveSession()
+    # getActiveSession is THREAD-local; multi-writer code commits from
+    # worker threads (a supported Spark pattern), so fall back to the
+    # process-global default session before giving up.
+    spark = (
+        SparkSession.getActiveSession()
+        or getattr(SparkSession, "_instantiatedSession", None)
+    )
     if spark is None:
         raise RuntimeError(
             f"URI table path {path!r} needs an active SparkSession "
@@ -316,7 +382,7 @@ def absolutize(path: str) -> str:
     (they are absolute by construction — abspath would mangle the
     ``//``), plain paths are made absolute."""
     if _has_scheme(path):
-        return path.rstrip("/") or path
+        return _strip_uri_slash(path)
     return os.path.abspath(path)
 
 

@@ -8918,7 +8918,10 @@ def histogram_quantiles_prices(spark, sf_dir):
     # window keyed by the physical partition id. No global
     # single-partition window anywhere — the earlier formulation
     # pulled every row through one WindowExec task.
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:  # conf may be "auto" under AQE-managed runtimes
+        n_parts = spark.sparkContext.defaultParallelism
     vals = (
         orders.select(cents.alias("__c"))
         .repartitionByRange(n_parts, "__c")
@@ -15302,7 +15305,18 @@ def fs_scheme_roundtrip(spark, sf_dir):
     from levi_spark.delta.checkpoint import write_checkpoint
     from levi_spark.fs import HadoopFS
 
-    uri = "file://" + _os.path.join(_scratch("fsscheme"), "t")
+    from levi_spark.fs import _has_scheme
+
+    # _scratch returns a plain POSIX path by default but a URI when
+    # LEVI_SCRATCH_BASE points at one (file://, hdfs://, s3a://) —
+    # only prepend file:// to the plain form; a scratch base that is
+    # already a URI is used directly (it dispatches to HadoopFS by
+    # itself, which is this gate's whole point either way).
+    base = _scratch("fsscheme")
+    uri = (
+        f"{base.rstrip('/')}/t" if _has_scheme(base)
+        else "file://" + _os.path.join(base, "t")
+    )
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
