@@ -109,13 +109,27 @@ def _write_standard_dvs(spark, table_path: str, dv_out) -> dict[str, dict]:
 
     from levi_spark.fs import local_form
 
-    table_path = local_form(table_path)
-    if table_path is None:
-        raise NotImplementedError(
-            "dv_format='standard' writes DV files with executor-side "
-            "Python open(); only plain paths and file:// URIs are "
-            "supported (use dv_format='sidecar' on object stores)"
+    remote_root = None
+    lp = local_form(table_path)
+    if lp is None:
+        # Remote URI table: executors' Python open() cannot speak the
+        # scheme, so the DV ``.bin`` files are encoded into a
+        # DRIVER-VISIBLE local scratch (``LEVI_EXEC_SCRATCH`` or the
+        # system tempdir — on a real cluster a shared mount; in
+        # local/local-cluster mode the tempdir qualifies) and copied
+        # out to the table root through the scheme filesystem (one
+        # streaming driver-side pass, one file per affected data file
+        # — DV count is bounded by the commit's file count, a
+        # metadata-plane volume). ``dv_format='sidecar'`` remains the
+        # zero-copy object-store path (its sidecars ride ``df.write``).
+        import tempfile
+
+        remote_root = table_path
+        lp = tempfile.mkdtemp(
+            prefix="levi_dvstage_",
+            dir=os.environ.get("LEVI_EXEC_SCRATCH") or None,
         )
+    table_path = lp
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
         import os as _os
@@ -164,7 +178,7 @@ def _write_standard_dvs(spark, table_path: str, dv_out) -> dict[str, dict]:
         )
         .collect()
     )
-    return {
+    descs = {
         r["file_name"]: {
             "storageType": r["st"],
             "pathOrInlineDv": r["pod"],
@@ -174,6 +188,18 @@ def _write_standard_dvs(spark, table_path: str, dv_out) -> dict[str, dict]:
         }
         for r in desc_rows
     }
+    if remote_root is not None:
+        from levi_spark.fs import copy_file, fs_for
+
+        fs_for(remote_root).mkdirs(remote_root)
+        for name in os.listdir(table_path):
+            if name.startswith("deletion_vector_"):
+                copy_file(os.path.join(table_path, name),
+                          f"{remote_root.rstrip('/')}/{name}")
+        import shutil
+
+        shutil.rmtree(table_path, ignore_errors=True)
+    return descs
 
 
 def _standard_dv_protocol(snap) -> dict:

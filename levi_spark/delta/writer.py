@@ -677,11 +677,25 @@ def _stage_self_hosted(
     specs = [(f.name, _self_hosted_coltype(f.dataType), f.dataType)
              for f in data_fields]
     lp = local_form(staging)
+    remote_target = None
     if lp is None:
-        raise NotImplementedError(
-            "self_hosted=True stages data files with executor-side "
-            "Python open(); only plain paths and file:// URIs are "
-            "supported (standard writes handle any URI via Spark)"
+        # Remote URI target: the executors' Python open() cannot speak
+        # the scheme, so stage through a DRIVER-VISIBLE local scratch
+        # (``LEVI_EXEC_SCRATCH`` or the system tempdir — on a real
+        # cluster this must be a shared mount: an NFS/FUSE scratch or
+        # object-store mount; in local/local-cluster mode the tempdir
+        # qualifies) and copy the staged tree out through the scheme
+        # filesystem (Hadoop ``FileUtil.copy``, one driver-side pass,
+        # streaming — no file bytes held in memory). Data moves
+        # executor→scratch→store exactly once; the standard
+        # (non-self-hosted) path keeps ``df.write``, which speaks URIs
+        # natively in the JVM.
+        import tempfile
+
+        remote_target = staging
+        lp = tempfile.mkdtemp(
+            prefix="levi_selfhosted_",
+            dir=os.environ.get("LEVI_EXEC_SCRATCH") or None,
         )
     staging = lp
     os.makedirs(staging, exist_ok=True)
@@ -760,12 +774,25 @@ def _stage_self_hosted(
                             os.path.join(staging, seg))
             return pd.DataFrame({"n": [n]})
 
+    def _ship_remote():
+        # copy the staged tree (hive subdirs included) to the remote
+        # staging URI, then drop the local scratch — the rest of the
+        # write path (stats read, file mover) already speaks the seam
+        if remote_target is None:
+            return
+        from levi_spark.fs import copy_tree
+
+        copy_tree(staging, remote_target)
+        shutil.rmtree(staging, ignore_errors=True)
+
+    if partition_by:
         (
             df.groupBy(*partition_by)
             .applyInPandas(write_group, "n long")
             .agg(F.sum("n"))
             .collect()
         )
+        _ship_remote()
         return
 
     def write_part(batches):
@@ -775,6 +802,7 @@ def _stage_self_hosted(
         yield pd.DataFrame({"n": [n]})
 
     df.mapInPandas(write_part, "n long").agg(F.sum("n")).collect()
+    _ship_remote()
 
 
 def write_delta(

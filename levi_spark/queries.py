@@ -15288,10 +15288,19 @@ def fs_scheme_roundtrip(spark, sf_dir):
     log listing/read/publish through the HadoopFS branch of
     :mod:`levi_spark.fs` (the driver JVM's
     ``org.apache.hadoop.fs.FileSystem``): create from orders' even
-    keys, append the odd keys, soft-delete every 10th key (DV
-    sidecar), checkpoint, then re-open THROUGH THE URI and aggregate
-    the survivors. A raw ``os.listdir``/``open()`` left anywhere in
-    that path dies immediately — POSIX calls cannot resolve a URI.
+    keys, append the odd keys, soft-delete every 10th key
+    (spec-standard roaring-bitmap DV files), checkpoint, then
+    re-open THROUGH THE URI and aggregate the survivors. A raw
+    ``os.listdir``/``open()`` left anywhere in that path dies
+    immediately — POSIX calls cannot resolve a URI. Round 12
+    (VERDICT r11 ask #5) widened the witness to the EXECUTOR-side
+    write paths: the initial write stages its data files through the
+    engine's own parquet writer (``self_hosted=True``) and the
+    delete emits standard ``deletion_vector_<uuid>.bin`` files
+    (``dv_format='standard'``) — both over the URI, exercising
+    ``local_form`` routing end to end (genuinely remote schemes take
+    the scratch-stage + seam-copy branch, unit-tested in
+    ``tests/test_uri_exec_writes.py``).
     Scale shape: identical plans to the plain-path lifecycle gates
     (the seam dispatches, it never re-plans); on a real object store
     the same branch speaks s3a/abfs through the cluster's Hadoop
@@ -15321,13 +15330,15 @@ def fs_scheme_roundtrip(spark, sf_dir):
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
     write_delta(
-        orders.where("o_orderkey % 2 = 0"), uri, checkpoint_interval=None
+        orders.where("o_orderkey % 2 = 0"), uri, checkpoint_interval=None,
+        self_hosted=True,
     )
     write_delta(
         orders.where("o_orderkey % 2 = 1"), uri, mode="append",
         checkpoint_interval=None,
     )
-    soft_delete(spark, uri, "o_orderkey % 10 = 0", checkpoint_interval=None)
+    soft_delete(spark, uri, "o_orderkey % 10 = 0", checkpoint_interval=None,
+                dv_format="standard")
     write_checkpoint(spark, uri)
     log = DeltaLog(spark, uri)
     if not isinstance(log.fs, HadoopFS):  # the gate's whole point
