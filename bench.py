@@ -95,6 +95,29 @@ FLOOR_ANALYSES = {
             "floor; job count O(log L) — see queries.py docstring"
         ),
     },
+    "histogram_quantiles_prices": {
+        "floor_seconds": 1.4,
+        "floor_basis": (
+            "distributed order-statistics job sequence (r11 rewrite "
+            "67bd531 that killed the single-partition WindowExec): "
+            "~7 sequential launches — bucket build, broadcast "
+            "cumulative, count, range-repartition + localCheckpoint "
+            "materialize, per-partition counts collect, targeted "
+            "row_number join, final union — at the ~130-230 ms/job "
+            "scheduler floor; job count O(1), the repartition is the "
+            "scale win. r11 measured 1.54 s"
+        ),
+    },
+    "doc_cdc_chunk_dedup": {
+        "floor_seconds": 2.0,
+        "floor_basis": (
+            "short-query noise band: code unchanged since creation "
+            "(git -L verified r11), 2.18-2.91 s observed across "
+            "r10/r11 inside the documented 1.1-1.3x shared-VM "
+            "session band; movers above ~3.5 s at anchor ~0.5 s "
+            "warrant a fresh-session probe, below that it is drift"
+        ),
+    },
     "row_tracking_counts": {
         "floor_seconds": 4.2,
         "floor_basis": (

@@ -20,7 +20,15 @@ more than the skew) — it is (a) answers identical, (b) at the 100x
 hot tier the plain plan's straggler grows with the hot share while
 the salted plan scales like the uniform tier.
 
+Round 12 adds the ADAPTIVE cases (VERDICT r11 ask #3): the same two
+operators gated on the deterministic skew probe
+(``levi_spark.operators.skew.adaptive_agg`` / ``adaptive_join``).
+On the hot tier the probe must choose the salted plan; on a UNIFORM
+tier (``--uniform-data``) it must choose the plain plan, so the
+uniform case no longer pays the measured ~2× salting overhead.
+
 Usage: python tools/skew_witness.py --data /tmp/levi_sf10_hot
+           [--uniform-data /tmp/levi_sf10]
            [--out SKEW_WITNESS.json] [--n-salts 32]
 """
 
@@ -37,7 +45,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from levi_spark.session import get_spark_for_data  # noqa: E402
-from levi_spark.operators.skew import salted_agg, salted_join  # noqa: E402
+from levi_spark.operators.skew import (  # noqa: E402
+    adaptive_agg,
+    adaptive_join,
+    salted_agg,
+    salted_join,
+    should_salt,
+    skew_probe,
+)
 
 
 def _timed(df):
@@ -49,6 +64,7 @@ def _timed(df):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", required=True)
+    ap.add_argument("--uniform-data", default=None)
     ap.add_argument("--out", default=None)
     ap.add_argument("--n-salts", type=int, default=32)
     a = ap.parse_args()
@@ -184,6 +200,77 @@ def main():
         "plain_sec": t_plain_j, "salted_sec": t_salted_j, "equal": eq_j,
     }
 
+    # -- adaptive cases: probe-gated plan choice ----------------------
+    # The hot tier must CHOOSE the salted plan; the uniform tier must
+    # CHOOSE the plain one (and therefore stop paying the ~2x salting
+    # overhead the r11 witness measured honestly). Timings are listed
+    # next to the fixed-plan numbers above so the delta is visible.
+    def adaptive_case(ev_frame, label):
+        evq_f = ev_frame.withColumn(
+            "vq", F.floor(F.col("value") * 10000.0 + F.lit(0.5))
+            .cast("long")
+        )
+        probe = skew_probe(ev_frame, ["user_id"], F.col("event_id"))
+        chose_salt = should_salt(probe, n_parts)
+        ad_rollup = adaptive_agg(
+            evq_f, ["user_id"],
+            {"vq": "sum", "event_id": "count", "event_type": "max"},
+            salt_on=F.col("event_id"), n_salts=a.n_salts,
+        ).select("user_id", "vq_sum", "event_id_count", "event_type_max")
+        t_ad = _timed(ad_rollup)
+        profile_f = ev_frame.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_user_events")
+        )
+        ad_join = (
+            adaptive_join(
+                ev_frame.select("event_id", "user_id", "event_type"),
+                profile_f, on=["user_id"], salt_on=F.col("event_id"),
+                n_salts=a.n_salts,
+            )
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("n_user_events").alias("weight"))
+        )
+        t_adj = _timed(ad_join)
+        print(f"adaptive[{label}]: probe hot={probe['hot_count']}/"
+              f"{probe['sampled']} -> "
+              f"{'SALTED' if chose_salt else 'PLAIN'}; "
+              f"rollup={t_ad}s join={t_adj}s")
+        return {
+            "probe": probe,
+            "chose_salted": bool(chose_salt),
+            "rollup_sec": t_ad,
+            "join_sec": t_adj,
+        }
+
+    results["adaptive"] = {"hot": adaptive_case(ev, "hot")}
+    adaptive_ok = results["adaptive"]["hot"]["chose_salted"]
+    if a.uniform_data:
+        evu = spark.read.parquet(
+            os.path.join(a.uniform_data, "events.parquet")
+        ).select("event_id", "user_id", "event_type", "value")
+        # fixed-plan reference points on the uniform tier
+        evuq = evu.withColumn(
+            "vq", F.floor(F.col("value") * 10000.0 + F.lit(0.5))
+            .cast("long")
+        )
+        u_plain = _timed(evuq.groupBy("user_id").agg(
+            F.sum("vq").alias("vq_sum"),
+            F.count("event_id").alias("event_id_count"),
+            F.max("event_type").alias("event_type_max"),
+        ))
+        u_salted = _timed(salted_agg(
+            evuq, ["user_id"],
+            {"vq": "sum", "event_id": "count", "event_type": "max"},
+            salt_on=F.col("event_id"), n_salts=a.n_salts,
+        ))
+        u_case = adaptive_case(evu, "uniform")
+        u_case["plain_sec"] = u_plain
+        u_case["salted_sec"] = u_salted
+        results["adaptive"]["uniform"] = u_case
+        print(f"uniform fixed plans: plain={u_plain}s salted={u_salted}s")
+        adaptive_ok = adaptive_ok and not u_case["chose_salted"]
+
     blob = json.dumps(results, indent=1)
     if a.out:
         with open(a.out, "w") as fh:
@@ -191,7 +278,7 @@ def main():
         print("wrote", a.out)
     else:
         print(blob)
-    sys.exit(0 if eq and eq_j else 1)
+    sys.exit(0 if eq and eq_j and adaptive_ok else 1)
 
 
 if __name__ == "__main__":
