@@ -62,66 +62,14 @@ ROUND9_CLOSING = [
 ]
 ANCHOR = "q1_pricing_summary"
 
-# the round-10 100x-tier pick (BENCH_SF10.json): every heavy family —
-# dedup, ANN, TPC-H agg, the full streaming set, graph, incremental +
-# CDC, lifecycle writes, codec write/bloom gates, self-hosted Delta,
-# codec/ingestion witnesses. Reproduce with:
+# Round-12 (VERDICT r11 ask #2): the 100x tier is the FULL registry
+# minus named per-query-budget exclusions (none at present) — every
+# family's scaling curve is measured, not asserted. Reproduce with:
 #   python tools/bench_scale.py --factor 100 --large /tmp/levi_sf10 \
 #       --names "$(python -c 'from tools.bench_scale import TIER100; \
 #                  print(",".join(TIER100))')"
-TIER100 = [
-    "dedup_canonical_corpus", "doc_substring_dedup",
-    "embedding_lsh_neardup", "eval_contamination",
-    "exact_dedup_documents", "ivf_ann_topk", "minhash_lsh_neardup",
-    "optimize_layout_counts", "orders_market_basket",
-    "q1_pricing_summary", "semdedup_prune", "stream_full_outer_join",
-    "stream_interval_join", "stream_left_outer_join",
-    "stream_chained_agg", "stream_upsert_latest",
-    "stream_dedup_watermark", "stream_hourly_rollup",
-    "stream_topk_users", "stream_sessionize", "stream_session_window",
-    "stream_distinct_user_event", "stream_ingest_counts",
-    "stream_static_enrich", "event_type_pagerank",
-    "user_triangle_counts", "incremental_agg_refresh",
-    "cdc_replicate_counts", "merge_upsert_customer",
-    "dv_soft_delete_orders", "orc_write_roundtrip",
-    "parquet_write_roundtrip", "orc_bloom_point_lookup",
-    "parquet_bloom_point_lookup", "ann_ranking_metrics",
-    "doc_substring_span_report", "editdist_candidate_verify",
-    "delta_self_hosted_roundtrip", "multimodal_png_decode",
-    "multimodal_jpeg_decode", "warc_extract_records",
-    "archive_extract_members", "tfrecord_ingest_stats",
-    "doc_cdc_chunk_dedup",
-    # -- round-11 widening (VERDICT r10 ask #3): TPC-H Q2-Q22 (join
-    #    shapes), every lifecycle gate, the new round-11 gates, the
-    #    skew gates, and the text-curation family — >=100 queries so
-    #    each family's scaling curve is measured, not asserted.
-    "q2_min_cost_supplier", "q3_shipping_priority", "q4_order_priority",
-    "q5_local_supplier", "q6_forecast_revenue", "q7_volume_shipping",
-    "q8_market_share", "q9_profit_by_nation_year", "q10_returned_items",
-    "q11_important_parts", "q12_priority_case_agg",
-    "q13_order_count_distribution", "q14_promo_revenue",
-    "q15_top_supplier", "q16_supplier_part_counts",
-    "q17_small_quantity_revenue", "q18_large_volume_customer",
-    "q19_disjunctive_revenue", "q20_excess_suppliers",
-    "q21_waiting_suppliers", "q22_idle_customers",
-    "log_checksum_counts", "coordinated_commits_counts",
-    "type_widening_counts", "identity_column_counts",
-    "variant_shredding_counts", "row_tracking_counts",
-    "cdf_timestamp_counts", "table_restore_counts", "vacuum_counts",
-    "column_mapping_counts", "checkpoint_expiry_counts",
-    "table_history_counts", "time_travel_timestamp",
-    "shallow_clone_counts", "check_constraint_counts",
-    "generated_column_counts", "time_travel_counts",
-    "cdf_merge_changes",
-    "fs_scheme_roundtrip", "suffix_rank_spans",
-    "events_skewed_rollup", "events_salted_user_join",
-    "bpe_train_merges", "token_budget_select", "doc_language_id",
-    "doc_quality_scores", "doc_bm25_topk", "doc_pii_redaction",
-    "doc_dsir_weights", "corpus_filter_funnel", "doc_token_stats",
-    "doc_chunk_overlap", "events_retention_cohorts",
-    "doc_fingerprints", "quality_calibration_bins",
-    "foreign_delta_interop",
-]
+TIER100_EXCLUDE: dict[str, str] = {}  # name -> budget-exclusion reason
+TIER100 = [n for n in QUERIES if n not in TIER100_EXCLUDE]
 
 
 def pick_queries(top_n: int = 25) -> list[str]:

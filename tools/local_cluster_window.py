@@ -43,6 +43,10 @@ def main():
             out_path = a.split("=", 1)[1]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     n_queries = int(args[1]) if len(args) > 1 else 50
+    offset = 0
+    for a in sys.argv[1:]:
+        if a.startswith("--offset="):
+            offset = int(a.split("=", 1)[1])
 
     import __spark_entry__ as e
     from levi_spark.session import get_spark
@@ -76,7 +80,7 @@ def main():
 
     qs = e.queries()
     oracles = e.oracle_sql()
-    window = list(qs)[:n_queries]
+    window = list(qs)[offset:offset + n_queries]
     results: dict[str, dict] = {}
     failures = []
     for name in window:
