@@ -1357,10 +1357,33 @@ class Snapshot:
             )
         if std_adds:
             table_path = self.log.table_path
+            from levi_spark.fs import local_form
+
+            blobs: list[bytes | None] = [None] * len(std_adds)
+            if local_form(table_path) is None:
+                # genuinely remote table: the Python workers that
+                # expand the bitmaps cannot resolve the scheme (no
+                # JVM gateway executor-side), so each DISTINCT DV
+                # file is fetched ONCE driver-side through the seam
+                # and its bytes ride the descriptor frame into the
+                # fan-out. Metadata-plane volume: one bitmap file per
+                # DV-bearing data file, offset-sliced per descriptor.
+                from levi_spark.delta.roaring import dv_file_path
+                from levi_spark.fs import fs_for
+
+                fetched: dict[str, bytes] = {}
+                for i, (_f, st, dvs, _o, _s, _c) in enumerate(std_adds):
+                    if st not in ("u", "p"):
+                        continue
+                    p = (dv_file_path(table_path, dvs)
+                         if st == "u" else dvs)
+                    if p not in fetched:
+                        fetched[p] = fs_for(p).read_bytes(p)
+                    blobs[i] = fetched[p]
             desc_df = self.spark.createDataFrame(
-                std_adds,
+                [row + (blobs[i],) for i, row in enumerate(std_adds)],
                 "__file_name string, st string, dv string, "
-                "offset int, size int, cardinality long",
+                "offset int, size int, cardinality long, blob binary",
             ).repartition(min(len(std_adds), 32))
 
             def expand(batches):
@@ -1370,9 +1393,10 @@ class Snapshot:
 
                 for pdf in batches:
                     names, idxs = [], []
-                    for fname, st, dvs, off, size, card in zip(
+                    for fname, st, dvs, off, size, card, blob in zip(
                         pdf["__file_name"], pdf["st"], pdf["dv"],
                         pdf["offset"], pdf["size"], pdf["cardinality"],
+                        pdf["blob"],
                     ):
                         vals = decode_descriptor(
                             table_path,
@@ -1387,6 +1411,7 @@ class Snapshot:
                                 if pd.isna(card)
                                 else int(card),
                             },
+                            file_bytes=None if blob is None else bytes(blob),
                         )
                         names.extend([fname] * len(vals))
                         idxs.extend(vals.astype("int64").tolist())

@@ -299,11 +299,17 @@ def dv_file_path(table_path: str, path_or_inline: str) -> str:
     )
 
 
-def decode_descriptor(table_path: str, dv: dict) -> np.ndarray:
+def decode_descriptor(
+    table_path: str, dv: dict, file_bytes: bytes | None = None
+) -> np.ndarray:
     """Deletion-vector descriptor dict (storageType / pathOrInlineDv /
     offset / sizeInBytes / cardinality) -> sorted uint64 row indexes.
     Handles the spec storage types 'u' (relative UUID file), 'p'
-    (absolute path file) and 'i' (inline z85)."""
+    (absolute path file) and 'i' (inline z85). ``file_bytes``: the DV
+    file's content pre-fetched by the caller — used on remote-URI
+    tables, where the executor-side Python worker running this cannot
+    resolve the scheme (the driver fetches through the seam and ships
+    the bytes in the fan-out frame)."""
     st = dv["storageType"]
     if st == "i":
         blob = z85_decode(dv["pathOrInlineDv"])
@@ -319,14 +325,17 @@ def decode_descriptor(table_path: str, dv: dict) -> np.ndarray:
             p = dv["pathOrInlineDv"]
         else:
             raise ValueError(f"not a standard DV storageType: {st!r}")
-        from levi_spark.fs import fs_for, local_form
-
-        lp = local_form(p)
-        if lp is not None:
-            with open(lp, "rb") as f:
-                data = f.read()
+        if file_bytes is not None:
+            data = file_bytes
         else:
-            data = fs_for(p).read_bytes(p)
+            from levi_spark.fs import fs_for, local_form
+
+            lp = local_form(p)
+            if lp is not None:
+                with open(lp, "rb") as f:
+                    data = f.read()
+            else:
+                data = fs_for(p).read_bytes(p)
         blob = read_dv_blob(data, dv.get("offset"), dv["sizeInBytes"])
     vals = decode_rbm_array(blob)
     card = dv.get("cardinality")
