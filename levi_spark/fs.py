@@ -31,10 +31,13 @@ through the filesystem commit coordinator automatically
 (``delta/writer.py:_publish_commit``) — staged ``_commits/`` entries
 with existence-check arbitration instead of a silent lost write.
 
-Everything here is DRIVER-side. Executor-side file writes (the
-self-hosted parquet staging, DV sidecar emission) keep raw ``open``
-on ``local_form()`` paths and refuse non-local schemes explicitly —
-shipping a Hadoop client into Python workers is out of scope, and the
+Everything here is DRIVER-side. Executor-side file IO (the
+self-hosted parquet staging, standard-DV emission/expansion) keeps
+raw ``open`` on ``local_form()`` paths; for genuinely remote schemes
+it stages through a driver-visible local scratch and the driver ships
+the files through this seam (writes: ``copy_tree``/``copy_file``;
+reads: DV bytes prefetched into the fan-out frame) — shipping a
+Hadoop client into Python workers stays out of scope, and the
 standard executor path (``df.write``) already handles URIs in the JVM.
 """
 
