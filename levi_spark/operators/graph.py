@@ -26,8 +26,10 @@ Scale design:
 * ``localCheckpoint(eager=True)`` truncates the plan each round —
   without it the lineage doubles per iteration and Catalyst planning
   time, not the data, becomes the bottleneck;
-* the convergence check is a metadata-scale count per round (2 jobs
-  per iteration), not a collect of labels.
+* the convergence check is one scan-aggregate per round (labels are
+  non-increasing, so an exact decimal ``sum(comp)`` changes iff any
+  label changed — r12 replaced the old new⋈old join, removing a
+  two-sided label shuffle per iteration), never a collect of labels.
 """
 
 from __future__ import annotations
@@ -105,6 +107,19 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     labels = nodes.select(F.col("a").alias("node"), F.col("a").alias("comp"))
+    # Convergence signal (r12): every node's label is NON-INCREASING
+    # round over round (propagation takes a min that includes the
+    # node's own label via the self-loop; the jump takes least(comp,
+    # comp(comp))), so "no label changed" is exactly "sum(comp)
+    # unchanged" — one scan-aggregate per round instead of the old
+    # new⋈old join (which shuffled both label frames every round).
+    # decimal(38,0) keeps the sum exact at any node count / id range.
+    def _label_sum(frame):
+        return frame.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)"))
+        ).first()[0]
+
+    prev_sum = _label_sum(labels)
     base = scratch_dir
     if base is None:
         base = spark.conf.get("spark.sql.streaming.checkpointLocation", None)
@@ -148,13 +163,9 @@ def connected_components(
                 new_labels = spark.read.parquet(path)
             else:
                 new_labels = propagated.localCheckpoint(eager=True)
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .where(F.col("n.comp") != F.col("o.comp"))
-                .limit(1)
-                .count()
-            )
+            new_sum = _label_sum(new_labels)
+            changed = int(new_sum != prev_sum)
+            prev_sum = new_sum
             labels = new_labels
             if changed == 0:
                 return labels.select(

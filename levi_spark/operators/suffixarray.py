@@ -20,12 +20,15 @@ power-of-two-windows trick), without re-sharding per length.
 Scale shape (the 100 TB story):
 
 * ``suffix_rank_tables`` runs ``ceil(log2(max_len))`` rounds; each
-  round is one self-join on a shifted position key plus one DENSE RANK
-  of (rank, rank-at-offset) pairs. Dense ranking is distributed and
-  JVM-side: range-repartition the DISTINCT pairs (ascending partition
-  ids carry ascending ranges), per-partition ``row_number`` windows,
-  and a driver-bounded partition-count collect turned into broadcast
-  offsets — no global single-partition window, nothing through
+  round is one self-join on a shifted position key plus one UNIQUE
+  RELABELING of (rank, rank-at-offset) pairs. Relabeling is
+  distributed and JVM-side: ``monotonically_increasing_id`` over the
+  materialized DISTINCT pair set — every consumer compares ranks for
+  equality only, so the r11 order-preserving dense rank
+  (range-repartition + per-partition row_number + broadcast offsets)
+  was strictly more work than duplicate detection needs; dropping it
+  removes one exchange, a sampling pass and a per-partition sort per
+  round (r12). No global single-partition window, nothing through
   Python. Lineage is truncated per round (localCheckpoint), so round
   k's jobs never recompute rounds 0..k-1.
 * every join keys on (doc, position) or on the pair ranks — uniform
@@ -51,59 +54,37 @@ from pyspark.sql import types as T
 
 def _dense_rank_join(df: DataFrame, cols: list[str],
                      out: str) -> tuple[DataFrame, int]:
-    """Add a GLOBAL dense rank over ``cols`` as column ``out`` —
-    distributed and ENTIRELY JVM-side (whole-stage codegen; an
-    earlier zipWithIndex formulation deserialized the whole distinct
-    key set through Python workers, ~3x the wall time):
+    """Add a UNIQUE LABEL per distinct ``cols`` key as column ``out``
+    — distributed and ENTIRELY JVM-side (whole-stage codegen).
 
-    1. range-repartition the DISTINCT key set (ascending partition
-       ids carry ascending key ranges — Spark's RangePartitioner
-       contract, the same one global sort rests on);
-    2. per-partition ``row_number`` over a window keyed by the
-       physical partition id — each window partition is one bounded
-       shuffle partition, never a global single-partition window;
-    3. one driver-bounded collect of per-partition COUNTS (<=
-       shuffle-partition rows) -> cumulative offsets, broadcast back;
-    4. rank = partition offset + local row_number - 1; join back on
-       the key.
+    Every consumer of the rank tables (``dup_window_starts`` /
+    ``has_duplicated_window`` / ``longest_duplicated_span`` /
+    ``dup_span_report`` and each doubling round's (r_k, r_k') key)
+    compares ranks for EQUALITY only — prefix doubling for
+    duplicate-window detection never sorts by rank, so an
+    order-preserving dense rank is strictly more work than needed.
+    r12 optimization: the old formulation range-repartitioned the
+    distinct key set (one extra exchange plus a sampling pass), sorted
+    each partition under a ``row_number`` window, and collected
+    per-partition counts into broadcast offsets; labels replace all of
+    that with ``monotonically_increasing_id`` over the distinct key
+    set — injective on the materialized frame (partition id in the
+    high bits, per-partition counter in the low bits), no sort, no
+    sampling job, no offsets collect. The label set is materialized
+    (eager localCheckpoint) BEFORE the join back so every downstream
+    pass sees one consistent assignment. Labels are nonnegative, so
+    the -1 out-of-range sentinel in :func:`suffix_rank_tables` stays a
+    value no real window can take.
 
-    Returns ``(joined, n_distinct)`` — the distinct-key count falls
-    out of the offset accumulation for free, and since ranks are
-    dense it doubles as the convergence signal (all-unique iff
-    n_distinct == row count), saving one count job per round."""
-    from pyspark.sql import Window
-
-    spark = df.sparkSession
-    try:
-        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except ValueError:  # e.g. "auto" on some vendored runtimes
-        n = spark.sparkContext.defaultParallelism
-    distinct = df.select(*cols).distinct()
+    Returns ``(joined, n_distinct)`` — n_distinct (the convergence
+    signal: all-unique iff n_distinct == row count) is the count of
+    the materialized label frame."""
     d = (
-        distinct.repartitionByRange(n, *cols)
-        .withColumn("__pid", F.spark_partition_id())
+        df.select(*cols).distinct()
+        .withColumn(out, F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
     )
-    w = Window.partitionBy("__pid").orderBy(*cols)
-    d = d.withColumn("__rn", F.row_number().over(w)).localCheckpoint(
-        eager=False
-    )
-    counts = {
-        r["__pid"]: r["c"]
-        for r in d.groupBy("__pid").agg(
-            F.count(F.lit(1)).alias("c")
-        ).collect()
-    }
-    offs, acc = [], 0
-    for pid in sorted(counts):
-        offs.append((pid, acc))
-        acc += counts[pid]
-    off_df = spark.createDataFrame(offs, "__pid int, __off long")
-    ranked = (
-        d.join(F.broadcast(off_df), "__pid")
-        .select(*cols,
-                (F.col("__off") + F.col("__rn") - 1).alias(out))
-    )
-    return df.join(ranked, cols), acc
+    return df.join(d, cols), d.count()
 
 
 def explode_tokens(docs: DataFrame, id_col: str = "doc_id",
@@ -119,11 +100,17 @@ def explode_tokens(docs: DataFrame, id_col: str = "doc_id",
 
 def suffix_rank_tables(tokens: DataFrame, max_pow: int = 9) -> DataFrame:
     """Prefix-doubling rank tables: (doc, p, n, r0, r1, ..., rK) where
-    ``rk`` is the dense rank of the length-``2^k`` window starting at
-    (doc, p) among ALL corpus windows (windows truncated at document
-    end; shorter sorts first). Stops early at the round where every
-    rank is unique (no duplicated window of that length exists), so
-    K <= max_pow. ``n`` is the document's token count."""
+    ``rk`` is an EQUALITY-FAITHFUL label of the length-``2^k`` window
+    starting at (doc, p): two windows carry the same label iff their
+    token sequences are identical (windows truncated at document end;
+    the -1 sentinel stands in for out-of-range halves, which orders
+    shorter windows apart from every real window exactly like a unique
+    end-of-document terminator would). Label VALUES are not
+    order-preserving — every consumer (duplicate-window detection, the
+    longest-repeat binary search, the doubling rounds themselves)
+    compares labels for equality only. Stops early at the round where
+    every label is unique (no duplicated window of that length
+    exists), so K <= max_pow. ``n`` is the document's token count."""
     base = tokens.select("doc", "p", "tok")
     n_by_doc = base.groupBy("doc").agg(F.max("p").alias("__maxp"))
     df, nd = _dense_rank_join(base, ["tok"], "r0")

@@ -4289,6 +4289,30 @@ FROM ex
 """
 
 
+def _cpu_fanout(spark, cap=None):
+    """Partition width for CPU-bound in-map codec work: every core by
+    default (scale-adaptive — tracks the cluster's total cores, not a
+    constant tuned for either local mode or production), overridable
+    via ``LEVI_CODEC_FANOUT`` for measurement and deployments whose
+    per-task fixed cost (worker spin-up, codec init) outweighs the
+    extra parallelism at small inputs.
+
+    ``cap`` bounds the width for gates whose map step is dominated by
+    per-row pure-Python verification loops rather than vectorized
+    encode work: the r12 same-session A/B (tools/ab_fanout.py,
+    OPTIMIZATION_r12.md) measured those gates 10-30% SLOWER at full
+    width on local[32] — concurrent Python workers beyond ~8 fight
+    for memory bandwidth while each partition's fixed encode/footer
+    cost amortizes worse. The cap is a measured per-operator property
+    of the map function, not a cluster constant, and the env override
+    still wins for production tuning."""
+    import os as _os
+
+    v = _os.environ.get("LEVI_CODEC_FANOUT")
+    n = int(v) if v else spark.sparkContext.defaultParallelism
+    return min(n, cap) if cap else n
+
+
 def _docs_parallel(spark, sf_dir):
     """documents (doc_id, text) spread across the session's cores: the
     per-doc codec gates are CPU-bound Python work inside mapInPandas,
@@ -13789,7 +13813,12 @@ def parquet_column_read(spark, sf_dir):
             ).alias("price"),
             "o_orderpriority",
         )
-        .repartition(8)
+        # capped fan-out (r12 A/B, tools/ab_fanout.py): this gate's map
+        # step is dominated by per-row pure-Python verification loops;
+        # full width measured 10-30% slower than 8-way on local[32]
+        # (memory-bandwidth-bound workers + worse per-partition
+        # amortization). Scale-adaptive below the cap, env-overridable.
+        .repartition(_cpu_fanout(spark, cap=8))
     )
 
     def roundtrip(batches):
@@ -13957,7 +13986,12 @@ def orc_column_read(spark, sf_dir):
             ).alias("price"),
             "o_orderpriority",
         )
-        .repartition(8)
+        # capped fan-out (r12 A/B, tools/ab_fanout.py): this gate's map
+        # step is dominated by per-row pure-Python verification loops;
+        # full width measured 10-30% slower than 8-way on local[32]
+        # (memory-bandwidth-bound workers + worse per-partition
+        # amortization). Scale-adaptive below the cap, env-overridable.
+        .repartition(_cpu_fanout(spark, cap=8))
     )
 
     cols = ("n_rows long, sum_key long, n_null_price long, "
@@ -14119,7 +14153,11 @@ def orc_write_roundtrip(spark, sf_dir):
             ).alias("price"),
             "o_orderpriority",
         )
-        .repartition(8)
+        # full-width fan-out for the CPU-bound in-map codec work (r12:
+        # was 8, leaving 3/4 of local[32] idle; same _docs_parallel
+        # rationale — per-row derived values, partition-count-invariant
+        # output sums, so only wall time changes)
+        .repartition(_cpu_fanout(spark))
     )
 
     def roundtrip(batches):
@@ -14342,7 +14380,11 @@ def parquet_codec_matrix_read(spark, sf_dir):
             ).alias("price"),
             "o_orderpriority",
         )
-        .repartition(8)
+        # full-width fan-out for the CPU-bound in-map codec work (r12:
+        # was 8, leaving 3/4 of local[32] idle; same _docs_parallel
+        # rationale — per-row derived values, partition-count-invariant
+        # output sums, so only wall time changes)
+        .repartition(_cpu_fanout(spark))
     )
 
     def roundtrip(batches):
@@ -14457,7 +14499,12 @@ def parquet_nested_read(spark, sf_dir):
     emb = (
         _t(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
-        .repartition(8)
+        # capped fan-out (r12 A/B, tools/ab_fanout.py): this gate's map
+        # step is dominated by per-row pure-Python verification loops;
+        # full width measured 10-30% slower than 8-way on local[32]
+        # (memory-bandwidth-bound workers + worse per-partition
+        # amortization). Scale-adaptive below the cap, env-overridable.
+        .repartition(_cpu_fanout(spark, cap=8))
     )
 
     def q(v):  # shared quantizer: round-half-up at 1e6
@@ -14565,7 +14612,12 @@ def parquet_prune_scan(spark, sf_dir):
     orders = (
         _t(spark, sf_dir, "orders")
         .select("o_orderkey", "o_totalprice")
-        .repartition(8)
+        # capped fan-out (r12 A/B, tools/ab_fanout.py): this gate's map
+        # step is dominated by per-row pure-Python verification loops;
+        # full width measured 10-30% slower than 8-way on local[32]
+        # (memory-bandwidth-bound workers + worse per-partition
+        # amortization). Scale-adaptive below the cap, env-overridable.
+        .repartition(_cpu_fanout(spark, cap=8))
     )
 
     def plan_and_scan(batches):
@@ -14671,7 +14723,11 @@ def parquet_write_roundtrip(spark, sf_dir):
             ).alias("price"),
             "o_orderpriority",
         )
-        .repartition(8)
+        # full-width fan-out for the CPU-bound in-map codec work (r12:
+        # was 8, leaving 3/4 of local[32] idle; same _docs_parallel
+        # rationale — per-row derived values, partition-count-invariant
+        # output sums, so only wall time changes)
+        .repartition(_cpu_fanout(spark))
     )
 
     def roundtrip(batches):
@@ -14817,7 +14873,11 @@ def parquet_record_assembly(spark, sf_dir):
     orders = (
         _t(spark, sf_dir, "orders")
         .select("o_orderkey")
-        .repartition(8)
+        # full-width fan-out for the CPU-bound in-map codec work (r12:
+        # was 8, leaving 3/4 of local[32] idle; same _docs_parallel
+        # rationale — per-row derived values, partition-count-invariant
+        # output sums, so only wall time changes)
+        .repartition(_cpu_fanout(spark))
     )
 
     def assemble(batches):
@@ -15090,7 +15150,12 @@ def orc_bloom_point_lookup(spark, sf_dir):
     orders = (
         _t(spark, sf_dir, "orders")
         .select("o_orderkey")
-        .repartition(8)
+        # capped fan-out (r12 A/B, tools/ab_fanout.py): this gate's map
+        # step is dominated by per-row pure-Python verification loops;
+        # full width measured 10-30% slower than 8-way on local[32]
+        # (memory-bandwidth-bound workers + worse per-partition
+        # amortization). Scale-adaptive below the cap, env-overridable.
+        .repartition(_cpu_fanout(spark, cap=8))
     )
 
     def probe(batches):
@@ -15216,7 +15281,12 @@ def parquet_bloom_point_lookup(spark, sf_dir):
     orders = (
         _t(spark, sf_dir, "orders")
         .select("o_orderkey")
-        .repartition(8)
+        # capped fan-out (r12 A/B, tools/ab_fanout.py): this gate's map
+        # step is dominated by per-row pure-Python verification loops;
+        # full width measured 10-30% slower than 8-way on local[32]
+        # (memory-bandwidth-bound workers + worse per-partition
+        # amortization). Scale-adaptive below the cap, env-overridable.
+        .repartition(_cpu_fanout(spark, cap=8))
     )
 
     def probe(batches):

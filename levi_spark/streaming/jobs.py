@@ -405,13 +405,17 @@ def left_outer_interval_join_stream(
 
 def _stage_stream_dir(
     path: str, real: DataFrame, sentinel_ts: list, mtime_base: float
-) -> None:
+) -> int:
     """Stage one side's stream input: the real rows land via a
     DISTRIBUTED Spark write (renamed into place — no driver-side data
     movement), then tiny driver-written sentinel files follow. Names
     and mtimes force the file-stream source's delivery order
     (FileStreamSource orders by modification time, then path): real
-    batches strictly before the watermark-advancing sentinels."""
+    batches strictly before the watermark-advancing sentinels.
+    Returns the number of REAL data files staged, so the caller can
+    size ``maxFilesPerTrigger`` to put every real file plus the first
+    sentinel in micro-batch 1 and only the flush sentinel in batch 2
+    (see the r12 drain-cost note on :func:`run_left_outer_join`)."""
     import glob
     import os
 
@@ -429,6 +433,7 @@ def _stage_stream_dir(
         os.replace(part, f)
         os.utime(f, (mtime_base + 1000 * i,) * 2)
         i += 1
+    n_real = i
     for ts in sentinel_ts:
         f = os.path.join(path, f"{i:03d}_sentinel.parquet")
         pq.write_table(
@@ -443,6 +448,7 @@ def _stage_stream_dir(
         )
         os.utime(f, (mtime_base + 1000 * i,) * 2)
         i += 1
+    return n_real
 
 
 def run_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -469,7 +475,22 @@ def run_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-batch state-commit fan-out (the r07 default of 8 doubled
     the store-commit count for zero parallelism gain — store commits
     are I/O-bound metadata writes, not compute); a production
-    deployment sizes this to executor cores."""
+    deployment sizes this to executor cores.
+
+    Drain cost (r12 optimization): each side streams with
+    ``maxFilesPerTrigger = n_real_files + 1``, so micro-batch 1
+    carries every real file PLUS the first sentinel and micro-batch 2
+    carries only the flush sentinel — 2 micro-batches instead of the
+    old one-file-per-trigger 4. Equivalence: the watermark only
+    advances at END of batch (it is the previous batch's max event
+    time minus the delay), so batch 1 joins all real rows under the
+    initial watermark exactly as before, the sentinel seen in batch 1
+    pushes the global watermark past every real eviction deadline at
+    its end, and batch 2 (the second sentinel) flushes all unmatched
+    state — the same advance-then-flush two-step the 4-batch layout
+    performed, with the same rows emitted. Each micro-batch commits
+    2 state stores x state_partitions, so halving the batch count
+    halves the store-commit and offset/commit-log fsync count."""
     import tempfile
     import time as _time
 
@@ -491,14 +512,14 @@ def run_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t0 = _time.time() - 1_000_000
     with stage_timer("stream_left_outer_join", "stage_views"):
-        _stage_stream_dir(
+        nv = _stage_stream_dir(
             vdir,
             ev.where(F.col("event_type") == "view"),
             [max_ts + 10 * day_us, max_ts + 11 * day_us],
             t0,
         )
     with stage_timer("stream_left_outer_join", "stage_purchases"):
-        _stage_stream_dir(
+        np_ = _stage_stream_dir(
             pdir,
             ev.where(F.col("event_type") == "purchase"),
             [max_ts + 30 * day_us, max_ts + 31 * day_us],
@@ -513,16 +534,20 @@ def run_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
-    def stream(path: str) -> DataFrame:
+    def stream(path: str, n_real: int) -> DataFrame:
+        # real files + first sentinel in batch 1, flush sentinel in
+        # batch 2 — see the drain-cost note in the docstring
         return (
             spark.readStream.schema(sch)
-            .option("maxFilesPerTrigger", "1")
+            .option("maxFilesPerTrigger", str(n_real + 1))
             .parquet(path)
         )
 
     with stage_timer("stream_left_outer_join", "drain"):
         out = _drain_to_memory(
-            left_outer_interval_join_stream(stream(vdir), stream(pdir)),
+            left_outer_interval_join_stream(
+                stream(vdir, nv), stream(pdir, np_)
+            ),
             "append",
             state_partitions=4,
         )
@@ -535,7 +560,10 @@ def run_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentinels push the global watermark past every row's eviction
     deadline on BOTH sides, so unmatched views AND unmatched
     purchases all flush and the batch FULL JOIN oracle is exact.
-    Stage timers under scope ``stream_full_outer_join``."""
+    Stage timers under scope ``stream_full_outer_join``. Drains in 2
+    micro-batches (real files + first sentinel, then the flush
+    sentinel) — same advance-then-flush equivalence as
+    :func:`run_left_outer_join`."""
     import tempfile
     import time as _time
 
@@ -557,14 +585,14 @@ def run_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t0 = _time.time() - 1_000_000
     with stage_timer("stream_full_outer_join", "stage_views"):
-        _stage_stream_dir(
+        nv = _stage_stream_dir(
             vdir,
             ev.where(F.col("event_type") == "view"),
             [max_ts + 10 * day_us, max_ts + 11 * day_us],
             t0,
         )
     with stage_timer("stream_full_outer_join", "stage_purchases"):
-        _stage_stream_dir(
+        np_ = _stage_stream_dir(
             pdir,
             ev.where(F.col("event_type") == "purchase"),
             [max_ts + 30 * day_us, max_ts + 31 * day_us],
@@ -579,16 +607,18 @@ def run_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
-    def stream(path: str) -> DataFrame:
+    def stream(path: str, n_real: int) -> DataFrame:
         return (
             spark.readStream.schema(sch)
-            .option("maxFilesPerTrigger", "1")
+            .option("maxFilesPerTrigger", str(n_real + 1))
             .parquet(path)
         )
 
     with stage_timer("stream_full_outer_join", "drain"):
         out = _drain_to_memory(
-            full_outer_interval_join_stream(stream(vdir), stream(pdir)),
+            full_outer_interval_join_stream(
+                stream(vdir, nv), stream(pdir, np_)
+            ),
             "append",
             state_partitions=4,
         )
@@ -730,7 +760,14 @@ def run_chained_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     without them the final day would stay withheld in state and the
     batch oracle could never match. Sentinels filter out afterwards.
     Scale shape: one distributed staging write; the drain commits two
-    chained state stores per micro-batch, O(open windows) state."""
+    chained state stores per micro-batch, O(open windows) state.
+    Drains in 2 micro-batches (real files + first sentinel, then the
+    flush sentinel): the watermark only advances at end of batch, so
+    batch 1 accumulates all real windows under the initial watermark
+    exactly as the old one-file-per-trigger 4-batch layout did, and
+    batch 2 runs with the watermark past every real hour/day boundary
+    — hourly windows close into the daily store and the daily windows
+    flush, the same advance-then-flush two-step, same rows out."""
     import glob
     import os
     import tempfile
@@ -757,6 +794,7 @@ def run_chained_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.replace(part, f)
         os.utime(f, (base + 1000 * i,) * 2)
         i += 1
+    n_real = i
     for off_days in (10, 30):
         f = os.path.join(path, f"{i:03d}_sentinel.parquet")
         pq.write_table(
@@ -785,7 +823,7 @@ def run_chained_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", str(n_real + 1))
         .parquet(path)
     )
     out = _drain_to_memory(
