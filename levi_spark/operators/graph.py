@@ -218,22 +218,32 @@ def pagerank(
 
     Returns (node, rank_scaled BIGINT).
     """
+    # r12: materialize the contracted edge frame ONCE (eager
+    # localCheckpoint) before iterating — without it, every round's
+    # contrib join re-evaluated the caller's whole edge-extraction
+    # subtree (for event_type_pagerank that is the per-user window
+    # over the events firehose, re-run ~5x: nodes.count, outw, and
+    # each iteration). Same bit-exact arithmetic; the checkpoint is
+    # the contracted summary, the frame an iterative algorithm must
+    # hold resident anyway (same device as the CC loop above).
     e = edges.select(
         F.col(src).alias("__s"),
         F.col(dst).alias("__d"),
         (F.col(weight) if weight else F.lit(1)).cast("long").alias("__w"),
-    )
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("__s").alias("node"))
         .unionByName(e.select(F.col("__d").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank_scaled", F.lit(0).cast("long"))
     base = (scale * (100 - damping_pct)) // (100 * n)
     outw = e.groupBy("__s").agg(F.sum("__w").alias("__ow"))
-    ew = e.join(outw, "__s")
+    # out-weights attach once, not once per round
+    ew = e.join(outw, "__s").localCheckpoint(eager=True)
     r = nodes.withColumn("pr", F.lit(int(scale // n)).cast("long"))
     for _ in range(iters):
         contrib = (

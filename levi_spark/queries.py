@@ -3101,13 +3101,19 @@ def bpe_train_merges(spark, sf_dir):
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # r12: the vocabulary table is materialized once and each round's
+    # fold output is checkpointed (lazily — the next round's pair
+    # count is the materializing action, so no extra job) — without
+    # this, round r re-evaluated the corpus explode + word groupBy AND
+    # all r-1 previous merge folds from scratch, so total work grew
+    # quadratically in rounds and the nested-HOF plan grew per round.
     syms = words.select(
         "w",
         "cnt",
         F.expr(
             "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
         ).alias("syms"),
-    )
+    ).localCheckpoint(eager=False)
 
     def merge_fold(s1: str, s2: str):
         merged = s1 + s2
@@ -3147,7 +3153,10 @@ def bpe_train_merges(spark, sf_dir):
             .collect()[0]
         )
         learned.append((r, best["s1"], best["s2"], best["s1"] + best["s2"], best["c"]))
-        syms = syms.withColumn("syms", merge_fold(best["s1"], best["s2"]))
+        if r < 8:  # the last round's fold has no consumer
+            syms = syms.withColumn(
+                "syms", merge_fold(best["s1"], best["s2"])
+            ).localCheckpoint(eager=False)
     return spark.createDataFrame(
         learned,
         "merge_round int, lhs string, rhs string, merged string, pair_count long",
@@ -9953,17 +9962,32 @@ def eval_contamination(spark, sf_dir):
     side streams through one semi-join — at 100 TB this is a map-side
     hash probe per shingle, no all-pairs stage."""
     docs = _t(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    # r12, two per-task-work fixes (guide §1.2, §2.3): (1) the token
+    # array is BOUND to a projected column before the shingle
+    # transform — with split inside the lambda, codegen re-ran the
+    # regex split of the whole text once per shingle position; (2) the
+    # shingle is INTERNAL — it only tests 5-token-sequence equality
+    # (distinct + semi-join) and never reaches the output, so each
+    # shingle collapses to xxhash64 INSIDE the row-local transform:
+    # the explode, array_distinct, eval-set distinct, broadcast and
+    # semi-join probe all carry 8-byte longs instead of ~30-char
+    # strings. Collision risk at 64 bits is ~(n_shingles^2)/2^65
+    # (~1e-8 at sf0.1); the DuckDB oracle re-verifies the end result
+    # at every SF.
+    tdocs = docs.select(
+        "doc_id", "lang",
+        F.split(F.trim(F.col("text")), r"\s+").alias("t"),
+    )
     shingles = F.when(
-        F.size(toks) >= SHINGLE_N,
+        F.size("t") >= SHINGLE_N,
         F.array_distinct(
             F.expr(
-                f"transform(sequence(1, size(split(trim(text), '\\\\s+')) - {SHINGLE_N - 1}), "
-                f"i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i, {SHINGLE_N})))"
+                f"transform(sequence(1, size(t) - {SHINGLE_N - 1}), "
+                f"i -> xxhash64(concat_ws(' ', slice(t, i, {SHINGLE_N}))))"
             )
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    shingled = docs.select(
+    ).otherwise(F.array().cast("array<bigint>"))
+    shingled = tdocs.select(
         "doc_id", "lang", F.explode(shingles).alias("shingle")
     )
     is_eval = F.col("doc_id") % EVAL_MOD == 0
@@ -10234,11 +10258,15 @@ def segment_dedup_docs(spark, sf_dir):
     """
     docs = _t(spark, sf_dir, "documents")
     toks = "split(trim(text), '\\\\s+')"
+    # r12: token array bound before the lambda so the regex split runs
+    # once per doc, not once per segment (guide §1.2 per-task work)
     segs = F.expr(
-        f"transform(sequence(0, (size({toks}) - 1) div {SEG_LEN}), "
-        f"i -> concat_ws(' ', slice({toks}, i * {SEG_LEN} + 1, {SEG_LEN})))"
+        f"transform(sequence(0, (size(t) - 1) div {SEG_LEN}), "
+        f"i -> concat_ws(' ', slice(t, i * {SEG_LEN} + 1, {SEG_LEN})))"
     )
     seg = docs.select(
+        "doc_id", F.expr(toks).alias("t")
+    ).select(
         "doc_id", F.posexplode(segs).alias("seg_idx", "seg_text")
     ).select(
         "doc_id",
@@ -10302,6 +10330,16 @@ GROUP BY doc_id
 SUBSTR_L = 8  # exact-substring seed length, in tokens
 
 
+def _gram_width(spark):
+    """Width of the salted gram exchange shared by the substring-dedup
+    family: scale-adaptive (2x the cluster's cores — tracks cluster
+    size instead of the old constant 64) with 64 as the floor so the
+    salt (16-way) always has headroom and the driver's lower-core-count
+    scaling run keeps a comparable plan. On local[32] this is exactly
+    the historical 64."""
+    return max(64, 2 * spark.sparkContext.defaultParallelism)
+
+
 def doc_substring_dedup(spark, sf_dir):
     """EXACT SUBSTRING dedup (the Lee-et-al "Deduplicating Training
     Data" operator, arXiv:2107.06499): every OVERLAPPING L-token gram
@@ -10342,9 +10380,15 @@ def doc_substring_dedup(spark, sf_dir):
     base = docs.select(
         "doc_id", F.expr(f"size({toks})").alias("n_tokens")
     )
+    # r12 (guide §1.2 per-task work): the token array is BOUND to a
+    # projected column before the gram transform — with split inside
+    # the lambda, codegen re-ran the regex split of the whole text
+    # once per gram POSITION (~L x n_tokens char work per doc; the
+    # bound form measured 4x faster on the gram explode alone, rows
+    # verified identical)
     grams = F.expr(
-        f"transform(sequence(0, size({toks}) - {SUBSTR_L}), "
-        f"p -> concat_ws(' ', slice({toks}, p + 1, {SUBSTR_L})))"
+        f"transform(sequence(0, size(t) - {SUBSTR_L}), "
+        f"p -> concat_ws(' ', slice(t, p + 1, {SUBSTR_L})))"
     )
     # ONE evaluation of the gram subtree, landed in a salted exchange
     # (salt keyed by row identity — deterministic spread of hot grams)
@@ -10354,16 +10398,23 @@ def doc_substring_dedup(spark, sf_dir):
         # it, BOTH consumers' subtrees canonicalize identically and
         # AQE reuses one shuffle stage instead of evaluating the gram
         # subtree twice (pinned by the plan test)
-        docs.where(
-            (F.expr(f"size({toks})") >= SUBSTR_L)
-            & F.col("doc_id").isNotNull()
-        )
+        docs.where(F.col("doc_id").isNotNull())
+        .select("doc_id", F.expr(toks).alias("t"))
+        .where(F.size("t") >= SUBSTR_L)
         .select("doc_id", F.posexplode(grams).alias("p", "gram"))
-        .select("doc_id", "p", F.md5("gram").alias("h"))
+        # r12 (guide §2.3, narrower types): the gram key is INTERNAL —
+        # it only ever tests token-sequence equality (group + join-back)
+        # and never reaches the output, so an 8-byte xxhash64 replaces
+        # the 32-char md5 hex string: ~4x fewer key bytes through the
+        # salted exchange and the join-back, and a far cheaper hash
+        # kernel than MessageDigest+hex. Collision risk at 64 bits is
+        # ~(n_grams^2)/2^65 (~1e-8 at sf0.1) and the DuckDB oracle
+        # re-verifies the end result at every SF.
+        .select("doc_id", "p", F.xxhash64("gram").alias("h"))
         .withColumn(
             "__salt", F.pmod(F.xxhash64("doc_id", "p"), F.lit(16))
         )
-        .repartition(64, "h", "__salt")
+        .repartition(_gram_width(spark), "h", "__salt")
     )
     partial = g.groupBy("h", "__salt").agg(
         F.count(F.lit(1)).alias("__c"),
@@ -15409,21 +15460,26 @@ def doc_substring_span_report(spark, sf_dir, include_first=False):
 
     docs = _t(spark, sf_dir, "documents")
     toks = "split(trim(text), '\\\\s+')"
+    # r12: token array bound before the lambda (split no longer
+    # re-evaluated per gram position) — same rationale and identical
+    # row set as doc_substring_dedup
     grams = F.expr(
-        f"transform(sequence(0, size({toks}) - {SUBSTR_L}), "
-        f"p -> concat_ws(' ', slice({toks}, p + 1, {SUBSTR_L})))"
+        f"transform(sequence(0, size(t) - {SUBSTR_L}), "
+        f"p -> concat_ws(' ', slice(t, p + 1, {SUBSTR_L})))"
     )
     g = (
-        docs.where(
-            (F.expr(f"size({toks})") >= SUBSTR_L)
-            & F.col("doc_id").isNotNull()
-        )
+        docs.where(F.col("doc_id").isNotNull())
+        .select("doc_id", F.expr(toks).alias("t"))
+        .where(F.size("t") >= SUBSTR_L)
         .select("doc_id", F.posexplode(grams).alias("p", "gram"))
-        .select("doc_id", "p", F.md5("gram").alias("h"))
+        # r12: internal gram key narrowed md5-hex -> xxhash64 long and
+        # exchange width made scale-adaptive — same rationale and
+        # collision analysis as doc_substring_dedup (guide §2.3)
+        .select("doc_id", "p", F.xxhash64("gram").alias("h"))
         .withColumn(
             "__salt", F.pmod(F.xxhash64("doc_id", "p"), F.lit(16))
         )
-        .repartition(64, "h", "__salt")
+        .repartition(_gram_width(spark), "h", "__salt")
     )
     partial = g.groupBy("h", "__salt").agg(
         F.count(F.lit(1)).alias("__c"),
@@ -16343,10 +16399,10 @@ def html_text_extract(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     words = "split(trim(text), '\\\\s+')"
     para = (
-        f"concat_ws('', transform(sequence(0, "
-        f"CAST(ceil(size({words}) / 30.0) AS INT) - 1), "
-        f"k -> concat('<p>', concat_ws(' ', slice({words}, k * 30 + 1, 30)),"
-        f" ' &amp; fin</p>')))"
+        "concat_ws('', transform(sequence(0, "
+        "CAST(ceil(size(w) / 30.0) AS INT) - 1), "
+        "k -> concat('<p>', concat_ws(' ', slice(w, k * 30 + 1, 30)),"
+        " ' &amp; fin</p>')))"
     )
     html = F.expr(
         "concat("
@@ -16359,7 +16415,11 @@ def html_text_extract(spark, sf_dir):
         "'<footer>&copy; 2024 <a href=\"/t\">terms of service page</a>"
         "</footer></body></html>')"
     )
-    t = docs.select("doc_id", html.alias("html"))
+    # r12: word array bound before the lambda so the regex split runs
+    # once per doc, not once per 30-word block (guide §1.2)
+    t = docs.select("doc_id", F.expr(words).alias("w")).select(
+        "doc_id", html.alias("html")
+    )
     cleaned = (
         "regexp_replace(regexp_replace(html,"
         " '(?s)<script[^>]*>.*?</script>', ''),"
@@ -16829,15 +16889,19 @@ def subtitle_ingest_stats(spark, sf_dir):
         + fmt.format(ms=start, sep=sep)
         + ", ' --> ', "
         + fmt.format(ms=end, sep=sep)
-        + f", '\\n', concat_ws(' ', slice({words}, j * 6 + 1, 6)))"
+        + ", '\\n', concat_ws(' ', slice(w, j * 6 + 1, 6)))"
     )
+    # r12: word array bound before the lambda so the regex split runs
+    # once per doc, not once per 6-word cue (guide §1.2 per-task work)
     payload = (
         "concat("
         "CASE WHEN doc_id % 2 = 1 THEN 'WEBVTT\\n\\n' ELSE '' END,"
-        f"concat_ws('\\n\\n', transform(sequence(0, "
-        f"CAST(ceil(size({words}) / 6.0) AS INT) - 1), j -> {cue})))"
+        "concat_ws('\\n\\n', transform(sequence(0, "
+        f"CAST(ceil(size(w) / 6.0) AS INT) - 1), j -> {cue})))"
     )
-    t = docs.select("doc_id", F.expr(payload).alias("sub"))
+    t = docs.select("doc_id", F.expr(words).alias("w")).select(
+        "doc_id", F.expr(payload).alias("sub")
+    )
     ts_re = r"(\\d{2}):(\\d{2}):(\\d{2})[,.](\\d{3})"
     blocks = "filter(split(sub, '\\n\\n'), b -> b rlike ' --> ')"
 
