@@ -8339,9 +8339,10 @@ def semdedup_prune(spark, sf_dir):
     # once (same-block tasks dedup via id_b > id_a)
     a = blocked.select(
         "cluster",
-        F.col("vec_id").alias("id_a"),
-        F.col("v").alias("__va"),
-        F.col("__n").alias("__na"),
+        F.lit(0).alias("__side"),
+        "vec_id",
+        "v",
+        "__n",
         F.col("__blk").alias("__p"),
         F.explode(
             F.sequence(F.col("__blk"), F.col("__nb") - 1)
@@ -8349,29 +8350,77 @@ def semdedup_prune(spark, sf_dir):
     )
     b = blocked.select(
         "cluster",
-        F.col("vec_id").alias("id_b"),
-        F.col("v").alias("__vb"),
-        F.col("__n").alias("__nb_norm"),
+        F.lit(1).alias("__side"),
+        "vec_id",
+        "v",
+        "__n",
         F.explode(
             F.sequence(F.lit(0), F.col("__blk"))
         ).alias("__p"),
         F.col("__blk").alias("__q"),
     )
-    dup = (
-        a.join(b, ["cluster", "__p", "__q"])
-        .where((F.col("__p") != F.col("__q"))
-               | (F.col("id_b") > F.col("id_a")))
-        .where(
-            F.round(
-                dot(F.col("__va"), F.col("__vb"))
-                / (F.col("__na") * F.col("__nb_norm")), 6
+
+    # r12 (guide §4.2): the pairwise stage runs in numpy per
+    # (cluster, block-pair) group instead of an SMJ whose output rows
+    # each carried BOTH vectors (~1 KB/pair) into an INTERPRETED
+    # zip_with+aggregate dot per candidate — HOFs never enter
+    # whole-stage codegen, so the fold dominated the query. Each task
+    # now receives each vector once (not once per partner), builds the
+    # same candidate set (cross block pair; id_b > id_a within a
+    # block), and accumulates the dot SEQUENTIALLY over dimensions —
+    # acc starts at 0.0 and adds x_d*y_d in ascending d, the identical
+    # IEEE op sequence as the JVM left-fold, vectorized across pairs,
+    # so the doubles are BIT-EXACT with the old plan and the oracle's
+    # list_inner_product. The round/threshold/min-partner decision
+    # stays in the JVM, unchanged. Per-task work stays capped by the
+    # 2-D block decomposition exactly as before.
+    def _pair_dots(pdf):
+        import numpy as np
+        import pandas as pd
+
+        A = pdf[pdf["__side"] == 0]
+        B = pdf[pdf["__side"] == 1]
+        if len(A) == 0 or len(B) == 0:
+            return pd.DataFrame(
+                {"vec_id": [], "__lo": [], "__dot": [], "__nn": []}
+            ).astype(
+                {"vec_id": "int64", "__lo": "int64",
+                 "__dot": "float64", "__nn": "float64"}
             )
-            > 0.3
+        ida = A["vec_id"].to_numpy(dtype=np.int64)
+        idb = B["vec_id"].to_numpy(dtype=np.int64)
+        Va = np.stack([np.asarray(v, dtype=np.float64) for v in A["v"]])
+        Vb = np.stack([np.asarray(v, dtype=np.float64) for v in B["v"]])
+        na = A["__n"].to_numpy(dtype=np.float64)
+        nb = B["__n"].to_numpy(dtype=np.float64)
+        ii, jj = np.meshgrid(
+            np.arange(len(A)), np.arange(len(B)), indexing="ij"
         )
-        .select(
-            F.greatest(F.col("id_a"), F.col("id_b")).alias("vec_id"),
-            F.least(F.col("id_a"), F.col("id_b")).alias("__lo"),
+        ii, jj = ii.ravel(), jj.ravel()
+        if int(pdf["__p"].iloc[0]) == int(pdf["__q"].iloc[0]):
+            keep = idb[jj] > ida[ii]
+            ii, jj = ii[keep], jj[keep]
+        X, Y = Va[ii], Vb[jj]
+        acc = np.zeros(len(ii), dtype=np.float64)
+        for d in range(X.shape[1]):  # sequential over dims: JVM fold order
+            acc += X[:, d] * Y[:, d]
+        lo = np.minimum(ida[ii], idb[jj])
+        hi = np.maximum(ida[ii], idb[jj])
+        return pd.DataFrame(
+            {"vec_id": hi, "__lo": lo, "__dot": acc,
+             "__nn": na[ii] * nb[jj]}
         )
+
+    cand = (
+        a.unionByName(b)
+        .groupBy("cluster", "__p", "__q")
+        .applyInPandas(
+            _pair_dots,
+            "vec_id long, __lo long, __dot double, __nn double",
+        )
+    )
+    dup = (
+        cand.where(F.round(F.col("__dot") / F.col("__nn"), 6) > 0.3)
         .groupBy("vec_id")
         .agg(F.min("__lo").alias("dup_of"))
     )
