@@ -80,14 +80,70 @@ def brute_force_topk(
     c = candidates.select(
         F.col(c_id).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("__cv")
     )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("__qv"), F.col("__cv")), round_to).alias("score"),
-        )
+    # r12 (guide §4.2): the scoring stage used to be a broadcast cross
+    # join evaluating an INTERPRETED higher-order-function cosine per
+    # (candidate, query) pair — HOF folds never enter whole-stage
+    # codegen. The (small) query side is now a driver-side collect (the
+    # same bounded frame the broadcast shipped) and all pair scores
+    # come from one numpy map-side pass. The dot products accumulate
+    # SEQUENTIALLY over dimensions (acc starts 0.0, adds x_d*y_d in
+    # ascending d) — the identical IEEE op sequence as the JVM
+    # left-fold — so every score is bit-exact with the old plan and
+    # DuckDB's list_inner_product. Rounding and ranking stay in the
+    # JVM, unchanged.
+    q_rows = q.collect()
+    qid_list = [int(r["query_id"]) for r in q_rows]
+    qv_list = [list(r["__qv"]) for r in q_rows]
+
+    def _score(batches):
+        import numpy as np
+        import pandas as pd
+
+        if not qid_list:
+            return
+        Qm = np.asarray(qv_list, dtype=np.float64)
+        qids = np.asarray(qid_list, dtype=np.int64)
+
+        def seq_matdot(A, B):
+            acc = np.zeros((A.shape[0], B.shape[0]), dtype=np.float64)
+            for d in range(A.shape[1]):
+                acc += A[:, d, None] * B[None, :, d]
+            return acc
+
+        def seq_sqnorm(A):
+            acc = np.zeros(A.shape[0], dtype=np.float64)
+            for d in range(A.shape[1]):
+                acc += A[:, d] * A[:, d]
+            return acc
+
+        qn = np.sqrt(seq_sqnorm(Qm))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["__cv"]])
+            ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            nv = np.sqrt(seq_sqnorm(V))
+            # cosine(qv, cv) = dot(q,c) / (sqrt(dot(q,q)) * sqrt(dot(c,c)))
+            raw = seq_matdot(V, Qm) / (qn[None, :] * nv[:, None])
+            nq = len(qids)
+            flat_q = np.repeat(qids[None, :], len(ids), axis=0).ravel()
+            flat_n = np.repeat(ids[:, None], nq, axis=1).ravel()
+            flat_r = raw.ravel()
+            keep = flat_n != flat_q
+            yield pd.DataFrame(
+                {
+                    "query_id": flat_q[keep],
+                    "neighbor_id": flat_n[keep],
+                    "__raw": flat_r[keep],
+                }
+            )
+
+    scored = c.mapInPandas(
+        _score, "query_id long, neighbor_id long, __raw double"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("__raw"), round_to).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()

@@ -3513,45 +3513,99 @@ def ivf_ann_topk(spark, sf_dir):
     on the cell key — each query scans ~nprobe/K of the corpus. At
     100 TB the centroids come from a sampled k-means fit.
     """
+    # r12 rewrite (guide §4.2, §2.4): the old plan cross-joined every
+    # vector with the broadcast centroids and computed an interpreted
+    # HOF cosine per pair TWICE (the scored subtree fed both the
+    # assignment aggregate and the probe window), then shuffled for
+    # the aggregate, the window, and the candidate join. Now the
+    # centroids are a bounded driver-side collect, probe cells per
+    # query are computed driver-side from the same rows, and cell
+    # assignment + candidate scoring run in ONE numpy map-side pass —
+    # the only remaining exchange is the final per-query top-k window.
+    # All doubles follow the JVM fold order (sequential over dims), so
+    # assignment, probe ranking and scores are bit-exact with the old
+    # plan; Python's (-cc, cent_id) sort and np.argmax's first-maximum
+    # reproduce the (cc desc, cent_id asc) / min(struct(-cc, c))
+    # tie-breaks. Rounding and ranking stay in the JVM.
+    cent_ids, C = _collect_low_vecs(spark, sf_dir, below=16)
     emb = _t(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
-    cents = v.where(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
-    )
-    scored = v.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "v", "cent_id", cosine(F.col("v"), F.col("cv")).alias("__cc")
-    )
-    assigned = (
-        scored.groupBy("vec_id")
-        .agg(
-            F.min(
-                F.struct((-F.col("__cc")).alias("n"), F.col("cent_id").alias("c"))
-            ).alias("__b"),
-            F.first("v").alias("v"),
-        )
-        .select("vec_id", "v", F.col("__b.c").alias("cell"))
-    )
-    w_probe = Window.partitionBy("vec_id").orderBy(
-        F.col("__cc").desc(), F.col("cent_id").asc()
-    )
-    probes = (
-        scored.where(F.col("vec_id") < 10)
-        .withColumn("__rn", F.row_number().over(w_probe))
-        .where(F.col("__rn") <= 2)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            F.col("cent_id").alias("cell"),
-        )
-    )
-    cand = (
-        probes.join(assigned, "cell")
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("score"),
-        )
+    q_idx = [i for i, cid in enumerate(cent_ids) if cid < 10]
+    q_ids = [cent_ids[i] for i in q_idx]
+    Q = C[q_idx]
+    ccq = _np_cosine(Q, C)
+    probe_cells = {
+        qid: [
+            cent_ids[j]
+            for j in sorted(
+                range(len(cent_ids)),
+                key=lambda j: (-ccq[qi, j], cent_ids[j]),
+            )[:2]
+        ]
+        for qi, qid in enumerate(q_ids)
+    }
+    C_list = C.tolist()
+    Q_list = Q.tolist()
+    cent_id_arr = list(cent_ids)
+    q_id_arr = list(q_ids)
+
+    def _cand_scores(batches):
+        import numpy as np
+        import pandas as pd
+
+        Cm = np.asarray(C_list, dtype=np.float64)
+        Qm = np.asarray(Q_list, dtype=np.float64)
+        cid = np.asarray(cent_id_arr, dtype=np.int64)
+
+        def seq_matdot(A, B):
+            acc = np.zeros((A.shape[0], B.shape[0]), dtype=np.float64)
+            for d in range(A.shape[1]):
+                acc += A[:, d, None] * B[None, :, d]
+            return acc
+
+        def seq_sqnorm(A):
+            acc = np.zeros(A.shape[0], dtype=np.float64)
+            for d in range(A.shape[1]):
+                acc += A[:, d] * A[:, d]
+            return acc
+
+        qn = np.sqrt(seq_sqnorm(Qm))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            nv = np.sqrt(seq_sqnorm(V))
+            cc = seq_matdot(V, Cm) / (
+                nv[:, None] * np.sqrt(seq_sqnorm(Cm))[None, :]
+            )
+            cells = cid[np.argmax(cc, axis=1)]
+            # cosine(qv, v): dot(q,v) / (sqrt(dot(q,q)) * sqrt(dot(v,v)))
+            qs = seq_matdot(V, Qm) / (qn[None, :] * nv[:, None])
+            outs = []
+            for qi, qid in enumerate(q_id_arr):
+                p = probe_cells[qid]
+                keep = ((cells == p[0]) | (cells == p[1])) & (ids != qid)
+                if not keep.any():
+                    continue
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(
+                                int(keep.sum()), qid, dtype=np.int64
+                            ),
+                            "neighbor_id": ids[keep],
+                            "__raw": qs[keep, qi],
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    cand = v.mapInPandas(
+        _cand_scores, "query_id long, neighbor_id long, __raw double"
+    ).select(
+        "query_id", "neighbor_id", F.round(F.col("__raw"), 6).alias("score")
     )
     w_k = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
@@ -3762,45 +3816,151 @@ def _pq_vectors_cents(spark, sf_dir):
     return v, cents
 
 
+# --- r12 bit-exact numpy kernels for the ANN family (guide §4.2) ------------
+#
+# The interpreted higher-order-function folds (``dot``/``cosine``/
+# ``sub_l2sq``) never enter whole-stage codegen, so every (vector,
+# centroid) pair paid a per-element interpreter loop. These kernels
+# reproduce the IDENTICAL IEEE op sequence — acc starts at 0.0 and adds
+# x_d*y_d in ascending d (the JVM left-fold and DuckDB's
+# list_inner_product) — vectorized ACROSS pairs, so every double is
+# bit-exact with the old plans and the oracle. Rounding and ranking stay
+# in the JVM.
+
+def _seq_matdot(A, B):
+    """(n,d) x (m,d) -> (n,m): acc[i,j] = fold over d of A[i,d]*B[j,d],
+    accumulated sequentially over d (JVM fold order, bit-exact)."""
+    import numpy as np
+
+    acc = np.zeros((A.shape[0], B.shape[0]), dtype=np.float64)
+    for d in range(A.shape[1]):
+        acc += A[:, d, None] * B[None, :, d]
+    return acc
+
+
+def _seq_sqnorm(A):
+    """(n,d) -> (n,): fold over d of A[i,d]^2, sequential over d."""
+    import numpy as np
+
+    acc = np.zeros(A.shape[0], dtype=np.float64)
+    for d in range(A.shape[1]):
+        acc += A[:, d] * A[:, d]
+    return acc
+
+
+def _np_cosine(V, C):
+    """cosine(v, c) = dot(v,c) / (sqrt(dot(v,v)) * sqrt(dot(c,c))) for
+    every (row of V, row of C), same eval order as
+    :func:`levi_spark.functions.similarity.cosine`."""
+    import numpy as np
+
+    return _seq_matdot(V, C) / (
+        np.sqrt(_seq_sqnorm(V))[:, None] * np.sqrt(_seq_sqnorm(C))[None, :]
+    )
+
+
+def _np_sub_l2sq(V, C, m):
+    """sub_l2sq(v, c, m*16+1, 16) for every (row of V, row of C):
+    ip(a,a) - 2.0*ip(a,b) + ip(b,b) with each ip a sequential fold —
+    the exact arithmetic of :func:`similarity.sub_l2sq`."""
+    Vs = V[:, m * 16 : m * 16 + 16]
+    Cs = C[:, m * 16 : m * 16 + 16]
+    return (
+        _seq_sqnorm(Vs)[:, None] - 2.0 * _seq_matdot(Vs, Cs)
+    ) + _seq_sqnorm(Cs)[None, :]
+
+
+def _collect_low_vecs(spark, sf_dir, below=16):
+    """Driver-side collect of the deterministic low-id vectors (the
+    same bounded frame the old plans broadcast): sorted (ids, matrix)."""
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = (
+        emb.where(F.col("vec_id") < below)
+        .select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
+        .collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    ids = [int(r["vec_id"]) for r in rows]
+    mat = np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def _pq_codes_wide(spark, sf_dir):
+    """(vec_id, c0..c3): nearest centroid per 16-dim subspace.
+
+    r12 rewrite (guide §4.2, §2.4): the old shape cross-joined every
+    vector with the broadcast centroids and ran 4 interpreted
+    ``sub_l2sq`` folds per pair (N x 16 x 12 folds), then shuffled
+    N x 64 rows into a min-struct groupBy. Now the 16 centroids are a
+    bounded driver-side collect and the whole encode is ONE numpy
+    map-side pass — no cross join, no exchange. The subspace distances
+    accumulate in the identical IEEE op order as ``sub_l2sq``
+    (sequential fold per inner product, then (aa - 2.0*ab) + bb), so
+    cell choice is bit-exact with the old plan and the oracle;
+    ``np.argmin``'s first-minimum matches min(struct(d2, cent_id))'s
+    lowest-cent_id tie-break because centroids are ordered by id."""
+    cent_ids, C = _collect_low_vecs(spark, sf_dir, below=16)
+    v, _ = _pq_vectors_cents(spark, sf_dir)
+    cent_id_arr = list(cent_ids)
+    C_list = C.tolist()
+
+    def _encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        Cm = np.asarray(C_list, dtype=np.float64)
+        cid = np.asarray(cent_id_arr, dtype=np.int64)
+
+        def seq_matdot(A, B):
+            acc = np.zeros((A.shape[0], B.shape[0]), dtype=np.float64)
+            for d in range(A.shape[1]):
+                acc += A[:, d, None] * B[None, :, d]
+            return acc
+
+        def seq_sqnorm(A):
+            acc = np.zeros(A.shape[0], dtype=np.float64)
+            for d in range(A.shape[1]):
+                acc += A[:, d] * A[:, d]
+            return acc
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            out = {"vec_id": pdf["vec_id"].to_numpy(dtype=np.int64)}
+            for m in range(4):
+                Vs = V[:, m * 16 : m * 16 + 16]
+                Cs = Cm[:, m * 16 : m * 16 + 16]
+                d2 = (
+                    seq_sqnorm(Vs)[:, None] - 2.0 * seq_matdot(Vs, Cs)
+                ) + seq_sqnorm(Cs)[None, :]
+                out[f"c{m}"] = cid[np.argmin(d2, axis=1)]
+            yield pd.DataFrame(out)
+
+    return v.mapInPandas(
+        _encode, "vec_id long, c0 long, c1 long, c2 long, c3 long"
+    )
+
+
 def _pq_codes_long(spark, sf_dir):
-    """(vec_id, m, cent_id): nearest centroid per 16-dim subspace,
-    m in 0..3. Centroids broadcast, scoring map-side; cell choice is
-    a sort-free partial-aggregated ``min(struct(d2, cent_id))``
-    groupBy per (vec_id, m) — the map-side combine collapses the 16
-    scored rows per key before the exchange (a per-key window would
-    shuffle AND sort them all; a literal-codebook expression removes
-    the exchange but pays interpreted HOF cost per row — measured
-    slower at 16 centroids)."""
-    v, cents = _pq_vectors_cents(spark, sf_dir)
-    pairs = v.crossJoin(F.broadcast(cents))
-    d2s = [
-        sub_l2sq(F.col("v"), F.col("cv"), m * 16 + 1, 16).alias(f"__d2_{m}")
-        for m in range(4)
-    ]
-    scored = pairs.select("vec_id", "cent_id", *d2s)
-    long = scored.select(
+    """(vec_id, m, cent_id) long form of :func:`_pq_codes_wide` — a
+    map-side explode, no shuffle."""
+    wide = _pq_codes_wide(spark, sf_dir)
+    return wide.select(
         "vec_id",
-        "cent_id",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(m).alias("m"), F.col(f"__d2_{m}").alias("d2")
+                        F.lit(m).alias("m"), F.col(f"c{m}").alias("c")
                     )
                     for m in range(4)
                 ]
             )
         ).alias("s"),
-    ).select("vec_id", "cent_id", F.col("s.m").alias("m"), F.col("s.d2").alias("d2"))
-    return (
-        long.groupBy("vec_id", "m")
-        .agg(
-            F.min(
-                F.struct(F.col("d2").alias("d"), F.col("cent_id").alias("c"))
-            ).alias("__b")
-        )
-        .select("vec_id", "m", F.col("__b.c").alias("cent_id"))
-    )
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.c").alias("cent_id"))
 
 
 def embedding_pq_codes(spark, sf_dir):
@@ -3816,13 +3976,10 @@ def embedding_pq_codes(spark, sf_dir):
     the final groupBy on vec_id). Distances use the inner-product
     identity (see ``sub_l2sq``) so cell choice is bit-identical to the
     DuckDB oracle."""
-    best = _pq_codes_long(spark, sf_dir)
-    return best.groupBy("vec_id").agg(
-        *[
-            F.max(F.when(F.col("m") == m, F.col("cent_id"))).alias(f"c{m}")
-            for m in range(4)
-        ]
-    )
+    # r12: the wide numpy encode IS the output frame — the old
+    # long-form groupBy pivot (one exchange) re-assembled what the
+    # encoder had just exploded.
+    return _pq_codes_wide(spark, sf_dir)
 
 
 PQ_CODES_SQL = """
@@ -3988,82 +4145,112 @@ def ivf_pq_adc_topk(spark, sf_dir):
     the cell assignment, the PQ codes, the probe ranking, AND the
     query LUT — the naive composition recomputes that pass up to four
     times (measured ~2x slower at sf0.1)."""
-    v, cents = _pq_vectors_cents(spark, sf_dir)
-    scored = (
-        v.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "cent_id",
-            cosine(F.col("v"), F.col("cv")).alias("__cc"),
-            *[
-                sub_l2sq(F.col("v"), F.col("cv"), m * 16 + 1, 16).alias(f"__d2_{m}")
-                for m in range(4)
-            ],
-        )
-        .localCheckpoint(eager=True)
-    )
-    d2_long = scored.select(
-        "vec_id",
-        "cent_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(m).alias("m"), F.col(f"__d2_{m}").alias("d2"))
-                    for m in range(4)
-                ]
-            )
-        ).alias("s"),
-    ).select("vec_id", F.col("s.m").alias("m"), "cent_id", F.col("s.d2").alias("d2"))
-    codes = (
-        d2_long.groupBy("vec_id", "m")
-        .agg(
-            F.min(
-                F.struct(F.col("d2").alias("d"), F.col("cent_id").alias("c"))
-            ).alias("__b")
-        )
-        .select("vec_id", "m", F.col("__b.c").alias("cent_id"))
-    )
-    assigned = (
-        scored.groupBy("vec_id")
-        .agg(
-            F.min(
-                F.struct((-F.col("__cc")).alias("n"), F.col("cent_id").alias("c"))
-            ).alias("__b")
-        )
-        .select("vec_id", F.col("__b.c").alias("cell"))
-    )
-    w_probe = Window.partitionBy("vec_id").orderBy(
-        F.col("__cc").desc(), F.col("cent_id").asc()
-    )
-    probes = (
-        scored.where(F.col("vec_id") < 10)
-        .withColumn("__rn", F.row_number().over(w_probe))
-        .where(F.col("__rn") <= 2)
-        .select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell"))
-    )
-    cand_pairs = (
-        probes.join(assigned, "cell")
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
-    )
-    lut = d2_long.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "m", "cent_id", "d2"
-    )
-    joined = (
-        cand_pairs.join(codes, cand_pairs.neighbor_id == codes.vec_id)
-        .drop("vec_id")
-        .join(F.broadcast(lut), on=["query_id", "m", "cent_id"])
-    )
-    parts = joined.groupBy("query_id", "neighbor_id").agg(
-        *[
-            F.max(F.when(F.col("m") == m, F.col("d2"))).alias(f"__p{m}")
-            for m in range(4)
+    # r12 rewrite (guide §4.2, §2.4): the old plan cross-joined every
+    # vector with the broadcast centroids (cosine + 4 sub_l2sq
+    # interpreted folds per pair), localCheckpointed that N x 16 frame,
+    # and re-derived codes / cells / probes / LUT from it through three
+    # aggregates, a window, and two joins. Now the centroids are a
+    # bounded driver-side collect, the probe cells and the queries x 4
+    # x 16 ADC LUT are computed driver-side (bit-exact kernels), and
+    # coarse assignment + PQ encode + ADC scoring run in ONE numpy
+    # map-side pass — the only exchange left is the final top-k
+    # window. Same IEEE op orders as the old plan throughout
+    # (sequential folds; (aa - 2.0*ab) + bb; ((d0+d1)+d2)+d3);
+    # rounding and ranking stay in the JVM.
+    cent_ids, C = _collect_low_vecs(spark, sf_dir, below=16)
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
+    q_idx = [i for i, cid in enumerate(cent_ids) if cid < 10]
+    q_ids = [cent_ids[i] for i in q_idx]
+    Q = C[q_idx]
+    ccq = _np_cosine(Q, C)
+    probe_cells = {
+        qid: [
+            cent_ids[j]
+            for j in sorted(
+                range(len(cent_ids)),
+                key=lambda j: (-ccq[qi, j], cent_ids[j]),
+            )[:2]
         ]
+        for qi, qid in enumerate(q_ids)
+    }
+    # ADC LUT: lut[qi][m][cent_index] = sub_l2sq(qv, cv, m*16+1, 16)
+    lut = [[_np_sub_l2sq(Q, C, m)[qi] for m in range(4)] for qi in range(len(q_ids))]
+    lut_list = [[list(row) for row in per_q] for per_q in lut]
+    C_list = C.tolist()
+    cent_id_arr = list(cent_ids)
+    q_id_arr = list(q_ids)
+
+    def _adc_scores(batches):
+        import numpy as np
+        import pandas as pd
+
+        Cm = np.asarray(C_list, dtype=np.float64)
+        cid = np.asarray(cent_id_arr, dtype=np.int64)
+        luts = [
+            [np.asarray(lut_list[qi][m], dtype=np.float64) for m in range(4)]
+            for qi in range(len(q_id_arr))
+        ]
+
+        def seq_matdot(A, B):
+            acc = np.zeros((A.shape[0], B.shape[0]), dtype=np.float64)
+            for d in range(A.shape[1]):
+                acc += A[:, d, None] * B[None, :, d]
+            return acc
+
+        def seq_sqnorm(A):
+            acc = np.zeros(A.shape[0], dtype=np.float64)
+            for d in range(A.shape[1]):
+                acc += A[:, d] * A[:, d]
+            return acc
+
+        cn = np.sqrt(seq_sqnorm(Cm))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            nv = np.sqrt(seq_sqnorm(V))
+            cc = seq_matdot(V, Cm) / (nv[:, None] * cn[None, :])
+            cells = cid[np.argmax(cc, axis=1)]
+            code_idx = []
+            for m in range(4):
+                Vs = V[:, m * 16 : m * 16 + 16]
+                Cs = Cm[:, m * 16 : m * 16 + 16]
+                d2 = (
+                    seq_sqnorm(Vs)[:, None] - 2.0 * seq_matdot(Vs, Cs)
+                ) + seq_sqnorm(Cs)[None, :]
+                code_idx.append(np.argmin(d2, axis=1))
+            outs = []
+            for qi, qid in enumerate(q_id_arr):
+                p = probe_cells[qid]
+                keep = ((cells == p[0]) | (cells == p[1])) & (ids != qid)
+                if not keep.any():
+                    continue
+                l0, l1, l2, l3 = luts[qi]
+                raw = (
+                    (l0[code_idx[0][keep]] + l1[code_idx[1][keep]])
+                    + l2[code_idx[2][keep]]
+                ) + l3[code_idx[3][keep]]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(
+                                int(keep.sum()), qid, dtype=np.int64
+                            ),
+                            "neighbor_id": ids[keep],
+                            "__raw": raw,
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    scored_adc = v.mapInPandas(
+        _adc_scores, "query_id long, neighbor_id long, __raw double"
+    ).select(
+        "query_id", "neighbor_id", F.round(F.col("__raw"), 6).alias("adc")
     )
-    adc = F.round(
-        ((F.col("__p0") + F.col("__p1")) + F.col("__p2")) + F.col("__p3"), 6
-    ).alias("adc")
-    scored_adc = parts.select("query_id", "neighbor_id", adc)
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc").asc(), F.col("neighbor_id").asc()
     )
@@ -4513,6 +4700,11 @@ def minhash_lsh_neardup(spark, sf_dir):
     # persisted — a lingering cached RDD measurably starves later
     # streaming state stores in the same session. (At 100 TB the
     # signatures would be written to a table between stages instead.)
+    # r12 note: a localCheckpoint of rows and/or bands was A/B-measured
+    # at sf0.1 (4 runs, same harness) and LOST to the recompute
+    # (2.33 s plain vs 2.69-2.88 s checkpointed) — the duplicated
+    # subtrees here land on the build side of broadcast joins and are
+    # cheaper than materializing the shingle rows; left alone.
     rows = shingle_rows(docs)
     fps = rows.select(
         "doc_id", F.when(F.col("sh").isNotNull(), md5_fp(F.col("sh"))).alias("fp")
@@ -4636,7 +4828,13 @@ def simhash_neardup_pairs(spark, sf_dir):
     from levi_spark.functions.text import shingle_hash_rows, simhash_df
 
     docs = _t(spark, sf_dir, "documents")
-    sims = simhash_df(shingle_hash_rows(docs), out_col="sh")
+    # r12 (guide §2.4): the (blk, blkval) self-join below re-evaluated
+    # the whole shingle -> window -> 32-weight SimHash subtree once PER
+    # SIDE (plan audit: zero ReusedExchange — one side even lands in a
+    # BroadcastExchange of the full recompute). The signature frame is
+    # the narrow per-doc proxy (doc_id, sh: two longs per document), so
+    # materialize it once and let both sides read the materialization.
+    sims = simhash_df(shingle_hash_rows(docs), out_col="sh").localCheckpoint()
     block_arr = F.array(
         *[F.shiftright(F.col("sh"), 8 * b).bitwiseAND(F.lit(255)) for b in range(4)]
     )
@@ -8562,39 +8760,80 @@ def embedding_lsh_neardup(spark, sf_dir):
     n = emb.count()  # planning-time scalar, like a stats lookup
     band_bits = max(8, _math.ceil(_math.log2(n)) - 3)
     n_hyp = 4 * band_bits
-    hyp = emb.where(F.col("vec_id") < n_hyp).select(
-        F.col("vec_id").alias("hid"), F.col("v").alias("hv")
+    # r12 (guide §1.2 step 1, §2.4): the old shape re-evaluated the
+    # signature subtree (scan -> broadcast cross join -> interpreted
+    # HOF dot per (vector, hyperplane) -> two-exchange aggregate)
+    # EIGHT times — once per side of each of the 4 band-leg self-joins
+    # — and the per-element fold never enters whole-stage codegen. Now:
+    # hyperplanes are a bounded driver-side collect (the same 4*bb
+    # vectors the broadcast shipped), all signs come from ONE numpy
+    # pass per partition, the signature frame is materialized once
+    # (localCheckpoint — N rows x 5 longs, far narrower than the
+    # vectors it came from), and the 4 band legs collapse into one
+    # (band_idx, bucket) self-join over an exploded frame. The dot
+    # accumulates SEQUENTIALLY over dimensions (acc starts 0.0, adds
+    # x_d*y_d in ascending d) — the identical IEEE op sequence as the
+    # JVM left-fold, so every sign bit and hence every bucket is
+    # BIT-EXACT with the old plan and the oracle.
+    hyp_rows = (
+        emb.where(F.col("vec_id") < n_hyp)
+        .select(F.col("vec_id").alias("hid"), F.col("v").alias("hv"))
+        .collect()
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("v"), F.col("hv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    bits = emb.crossJoin(F.broadcast(hyp)).select(
-        "vec_id", "hid", F.when(dot >= 0, 1).otherwise(0).alias("b")
-    )
-    band_exprs = [
-        F.sum(
-            F.expr(
-                f"CASE WHEN (hid DIV {band_bits}) = {k} "
-                f"THEN b * shiftleft(CAST(1 AS BIGINT), "
-                f"hid % {band_bits}) ELSE 0 END"
-            )
+    hids = [int(r["hid"]) for r in hyp_rows]
+    hvs = [list(r["hv"]) for r in hyp_rows]
+    bb = band_bits
+
+    def _sig(batches):
+        import numpy as np
+        import pandas as pd
+
+        H = np.asarray(hvs, dtype=np.float64)  # (n_h, dims)
+        band_of = np.asarray([h // bb for h in hids], dtype=np.int64)
+        shift_of = np.asarray([h % bb for h in hids], dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+            )  # (m, dims)
+            acc = np.zeros((V.shape[0], H.shape[0]), dtype=np.float64)
+            for d in range(V.shape[1]):  # sequential over dims: JVM fold order
+                acc += V[:, d, None] * H[None, :, d]
+            bits = (acc >= 0).astype(np.int64)
+            out = {"vec_id": pdf["vec_id"].to_numpy(dtype=np.int64)}
+            for k in range(4):
+                sel = band_of == k
+                out[f"band{k}"] = (bits[:, sel] << shift_of[sel]).sum(
+                    axis=1, dtype=np.int64
+                )
+            yield pd.DataFrame(out)
+
+    sig = emb.mapInPandas(
+        _sig,
+        "vec_id long, band0 long, band1 long, band2 long, band3 long",
+    ).localCheckpoint()
+    sig_long = sig.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(k).alias("__bi"), F.col(f"band{k}").alias("__bk")
+                )
+                for k in range(4)
+            ])
+        ).alias("__e"),
+    ).select("vec_id", "__e.__bi", "__e.__bk")
+    cands = (
+        sig_long.select("__bi", "__bk", F.col("vec_id").alias("id_a"))
+        .join(
+            sig_long.select("__bi", "__bk", F.col("vec_id").alias("id_b")),
+            ["__bi", "__bk"],
         )
-        .cast("long")
-        .alias(f"band{k}")
-        for k in range(4)
-    ]
-    sig = bits.groupBy("vec_id").agg(*band_exprs)
-    cands = None
-    for band in ("band0", "band1", "band2", "band3"):
-        a = sig.select(F.col("vec_id").alias("id_a"), F.col(band).alias("__bk"))
-        b = sig.select(F.col("vec_id").alias("id_b"), F.col(band).alias("__bk"))
-        pairs = a.join(b, "__bk").where(F.col("id_b") > F.col("id_a")).select(
-            "id_a", "id_b"
-        )
-        cands = pairs if cands is None else cands.unionByName(pairs)
-    cands = cands.distinct()
+        .where(F.col("id_b") > F.col("id_a"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     va = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("__va"))
     vb = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("__vb"))
     scored = (
@@ -10177,8 +10416,18 @@ def ann_ranking_metrics(spark, sf_dir):
         return per_q.agg(
             F.count(F.lit(1)).alias(f"{tag}_queries"),
             F.sum("dcg").cast("long").alias(f"{tag}_dcg_micro"),
+            # r12 correctness fix (found by extending the oracle sweep
+            # to sf0.001, where two queries have no exact-top-5 hit):
+            # element_at(arr, fh) with a NULL *column* index returns
+            # the LAST array element on this Spark build's codegen
+            # path (a literal NULL index correctly folds to NULL), so
+            # the coalesce never fired and every miss-query contributed
+            # mrr@5 of rank 5 instead of 0. Guard the null explicitly.
             F.sum(
-                F.coalesce(F.element_at(mrr_tab, F.col("fh")), F.lit(0))
+                F.when(
+                    F.col("fh").isNotNull(),
+                    F.element_at(mrr_tab, F.col("fh")),
+                ).otherwise(F.lit(0))
             )
             .cast("long")
             .alias(f"{tag}_mrr_micro"),

@@ -54,9 +54,20 @@ def test_semi_anti_join_operators_used(spark):
     assert "LeftAnti" in plan, plan[:500]
 
 
-def test_ivf_centroid_side_broadcast(spark):
-    s = plan_summary(ivf_ann_topk(spark, SF))
-    assert s["broadcast_exchanges"] >= 1, s
+def test_ivf_scoring_is_one_mapside_pass(spark):
+    """r12: coarse assignment + probe membership + candidate scoring
+    run in ONE numpy map-side pass (the centroids are a bounded
+    driver-side collect); the only exchange left is the final
+    per-query top-k window — no centroid cross join at all."""
+    from levi_spark.plans.inspect import executed_plan
+
+    df = ivf_ann_topk(spark, SF)
+    plan = executed_plan(df)
+    assert "MapInPandas" in plan, plan[:800]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    s = plan_summary(df)
+    assert s.get("shuffle_exchanges", s.get("exchanges", 0)) <= 1, s
 
 
 def test_q7_broadcasts_prefiltered_nations(spark):
@@ -336,18 +347,21 @@ def test_sq8_encode_reads_corpus_once(spark):
     assert s["scans"] == 1, s
 
 
-def test_ivfpq_lut_broadcast_and_staged_pass(spark):
-    """ivf_pq_adc_topk: the per-query LUT rides a broadcast, and the
-    vector x centroid pass is staged (localCheckpoint) so the plan
-    contains scans of the checkpointed RDD, not four parquet rescans."""
+def test_ivfpq_serve_is_one_mapside_pass(spark):
+    """r12: the IVFPQ serve path (coarse assignment + PQ encode + ADC
+    against a driver-computed LUT) runs in ONE numpy map-side pass —
+    no centroid cross join, no staged checkpoint scan, and the only
+    exchange left is the final per-query top-k window."""
     from levi_spark.plans.inspect import executed_plan, plan_summary
     from levi_spark.queries import ivf_pq_adc_topk
 
     df = ivf_pq_adc_topk(spark, SF)
-    s = plan_summary(df)
-    assert s["broadcast_exchanges"] >= 1, s
     plan = executed_plan(df)
-    assert "Scan ExistingRDD" in plan, plan[:800]
+    assert "MapInPandas" in plan, plan[:800]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    s = plan_summary(df)
+    assert s.get("shuffle_exchanges", s.get("exchanges", 0)) <= 1, s
 
 
 def test_pagerank_rounds_have_no_cartesian(spark):
