@@ -2828,8 +2828,17 @@ def table_history_counts(spark, sf_dir):
     from levi_spark.operators.merge import merge as _merge
 
     base = _scratch("hist_customer")
+    # r12: range-partition the create by c_custkey (was round-robin
+    # repartition(8)) so each of the 8 files spans a contiguous key
+    # range. Any span of >= 11 consecutive keys contains a multiple of
+    # 11, so the DELETE below touches ALL 8 files at every SF — the
+    # hardcoded oracle VALUES assume that, and at sf0.001 (150 keys,
+    # ~19 per round-robin file) one round-robin file happened to hold
+    # no multiple of 11, diverging n_adds/n_cdc_files 7 vs 8. Results
+    # at sf0.01/sf0.1 are unchanged (all 8 files were already hit).
     write_delta(
-        _t(spark, sf_dir, "customer").repartition(8), base, mode="error",
+        _t(spark, sf_dir, "customer").repartitionByRange(8, "c_custkey"),
+        base, mode="error",
         checkpoint_interval=None,
     )
     write_delta(
