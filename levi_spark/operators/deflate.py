@@ -75,8 +75,23 @@ class _Bits:
         self.pos = (self.pos + 7) & ~7
 
 
+_ROOT_BITS = 10  # primary flat-table width; codes longer than this
+#                  (rare symbols by Huffman construction) fall back to
+#                  the canonical bit-walk over self.table
+
+
 class _Huff:
-    """Canonical Huffman decoder (codes read MSB-of-code-first)."""
+    """Canonical Huffman decoder (codes read MSB-of-code-first).
+
+    Decoding is table-driven: ``fast`` maps the next ``root`` stream
+    bits (LSB-first peek, so bit 0 of the index is the first stream
+    bit = the MSB of the code) to a packed ``(sym << 4) | code_len``
+    entry, filled for every don't-care suffix. Codes longer than
+    ``root`` bits hit the -1 sentinel and take the canonical
+    ``(len, code) -> sym`` walk instead — by construction those are
+    the rarest symbols in the block, so the slow path almost never
+    runs. Unused patterns of an under-subscribed code stay -1 and
+    raise at decode time, exactly like the old per-bit walk."""
 
     def __init__(self, lengths: list[int]):
         counts: dict[int, int] = {}
@@ -97,11 +112,28 @@ class _Huff:
             code = (code + counts.get(ln - 1, 0)) << 1
             next_code[ln] = code
         self.table: dict[tuple[int, int], int] = {}
-        for sym, ln in enumerate(lengths):
-            if ln:
-                self.table[(ln, next_code[ln])] = sym
-                next_code[ln] += 1
         self.max_len = max(counts)
+        root = self.max_len if self.max_len < _ROOT_BITS else _ROOT_BITS
+        self.root = root
+        self.mask = (1 << root) - 1
+        fast = [-1] * (1 << root)
+        for sym, ln in enumerate(lengths):
+            if not ln:
+                continue
+            c = next_code[ln]
+            self.table[(ln, c)] = sym
+            next_code[ln] += 1
+            if ln <= root:
+                # reverse the ln code bits: stream order is MSB of
+                # code first, peek order is LSB of index first
+                rev = 0
+                for b in range(ln):
+                    rev |= ((c >> b) & 1) << (ln - 1 - b)
+                entry = (sym << 4) | ln
+                step = 1 << ln
+                for idx in range(rev, 1 << root, step):
+                    fast[idx] = entry
+        self.fast = fast
 
     def read(self, br: _Bits) -> int:
         code = 0
@@ -119,41 +151,105 @@ _FIXED_LIT = _Huff(
 _FIXED_DIST = _Huff([5] * 30)
 
 
+# Unzipped copies of _LEN_TABLE / _DIST_TABLE for the hot loop (one
+# list index instead of tuple unpack per match).
+_LEN_EB = [t[0] for t in _LEN_TABLE]
+_LEN_BASE = [t[1] for t in _LEN_TABLE]
+_DIST_EB = [t[0] for t in _DIST_TABLE]
+_DIST_BASE = [t[1] for t in _DIST_TABLE]
+
+
 def inflate(payload: bytes) -> bytes:
-    """Raw DEFLATE stream -> bytes (RFC 1951, all three block types)."""
-    br = _Bits(payload)
+    """Raw DEFLATE stream -> bytes (RFC 1951, all three block types).
+
+    Table-driven: the bit reader is an integer accumulator refilled a
+    byte at a time (no per-bit calls), Huffman symbols resolve through
+    the :class:`_Huff` root table in one list index, and back-reference
+    copies are slice-based (with the overlap-repeat case materialized
+    by tiling the last ``distance`` bytes) instead of per-byte appends.
+    Error behavior is unchanged from the per-bit decoder: truncation,
+    bad stored-block complements, over-subscribed codes, unused
+    patterns of under-subscribed codes, reserved block type 3 and
+    out-of-window distances all raise ValueError."""
+    buf = payload
+    blen = len(buf)
+    bp = 0  # next byte to load into the accumulator
+    acc = 0  # LSB = next stream bit
+    cnt = 0  # bits currently in acc
     out = bytearray()
+
     while True:
-        bfinal = br.bit()
-        btype = br.bits(2)
+        while cnt < 3:
+            if bp >= blen:
+                raise ValueError("DEFLATE stream truncated")
+            acc |= buf[bp] << cnt
+            bp += 1
+            cnt += 8
+        bfinal = acc & 1
+        btype = (acc >> 1) & 3
+        acc >>= 3
+        cnt -= 3
         if btype == 0:  # stored
-            br.align_byte()
-            at = br.pos >> 3
-            if at + 4 > len(payload):
+            acc >>= cnt & 7  # align to byte
+            cnt -= cnt & 7
+            at = bp - (cnt >> 3)
+            if at + 4 > blen:
                 raise ValueError("DEFLATE: stored header truncated")
-            ln, nln = struct.unpack_from("<HH", payload, at)
+            ln, nln = struct.unpack_from("<HH", buf, at)
             if ln != (~nln & 0xFFFF):
                 raise ValueError(
                     f"DEFLATE: stored LEN {ln:#06x} != ~NLEN {nln:#06x}"
                 )
-            if at + 4 + ln > len(payload):
+            if at + 4 + ln > blen:
                 raise ValueError("DEFLATE: stored block truncated")
-            out += payload[at + 4 : at + 4 + ln]
-            br.pos = (at + 4 + ln) << 3
+            out += buf[at + 4 : at + 4 + ln]
+            bp = at + 4 + ln
+            acc = 0
+            cnt = 0
         elif btype in (1, 2):
             if btype == 1:
                 lit, dist = _FIXED_LIT, _FIXED_DIST
             else:
-                hlit = br.bits(5) + 257
-                hdist = br.bits(5) + 1
-                hclen = br.bits(4) + 4
+                # dynamic header: small, so a per-field refill loop is
+                # fine here; the hot loop below stays branch-lean
+                def _take(n):
+                    nonlocal acc, cnt, bp
+                    while cnt < n:
+                        if bp >= blen:
+                            raise ValueError("DEFLATE stream truncated")
+                        acc |= buf[bp] << cnt
+                        bp += 1
+                        cnt += 8
+                    v = acc & ((1 << n) - 1)
+                    acc >>= n
+                    cnt -= n
+                    return v
+
+                hlit = _take(5) + 257
+                hdist = _take(5) + 1
+                hclen = _take(4) + 4
                 cl_lengths = [0] * 19
                 for i in range(hclen):
-                    cl_lengths[_CL_ORDER[i]] = br.bits(3)
+                    cl_lengths[_CL_ORDER[i]] = _take(3)
                 cl = _Huff(cl_lengths)
+                cl_fast, cl_mask, cl_max = cl.fast, cl.mask, cl.max_len
                 lengths: list[int] = []
                 while len(lengths) < hlit + hdist:
-                    s = cl.read(br)
+                    while cnt < 7 and bp < blen:
+                        acc |= buf[bp] << cnt
+                        bp += 1
+                        cnt += 8
+                    e = cl_fast[acc & cl_mask]
+                    if e < 0:
+                        raise ValueError(
+                            "DEFLATE: invalid Huffman code in stream"
+                        )
+                    w = e & 15
+                    if w > cnt:
+                        raise ValueError("DEFLATE stream truncated")
+                    acc >>= w
+                    cnt -= w
+                    s = e >> 4
                     if s < 16:
                         lengths.append(s)
                     elif s == 16:
@@ -161,11 +257,11 @@ def inflate(payload: bytes) -> bytes:
                             raise ValueError(
                                 "DEFLATE: repeat code with no previous"
                             )
-                        lengths += [lengths[-1]] * (3 + br.bits(2))
+                        lengths += [lengths[-1]] * (3 + _take(2))
                     elif s == 17:
-                        lengths += [0] * (3 + br.bits(3))
+                        lengths += [0] * (3 + _take(3))
                     else:
-                        lengths += [0] * (11 + br.bits(7))
+                        lengths += [0] * (11 + _take(7))
                 if len(lengths) > hlit + hdist:
                     raise ValueError("DEFLATE: code lengths overflow")
                 lit = _Huff(lengths[:hlit])
@@ -178,35 +274,118 @@ def inflate(payload: bytes) -> bytes:
                     if any(lengths[hlit:])
                     else None
                 )
+            lit_fast, lit_mask = lit.fast, lit.mask
+            lit_tab, lit_max = lit.table, lit.max_len
+            if dist is not None:
+                d_fast, d_mask = dist.fast, dist.mask
+                d_tab, d_max = dist.table, dist.max_len
+            append = out.append
             while True:
-                s = lit.read(br)
+                # one refill covers the root peek (<=10 bits); longer
+                # codes and extra bits refill on their own paths
+                while cnt < 15 and bp < blen:
+                    acc |= buf[bp] << cnt
+                    bp += 1
+                    cnt += 8
+                e = lit_fast[acc & lit_mask]
+                if e >= 0:
+                    w = e & 15
+                    s = e >> 4
+                else:  # code longer than the root table (rare symbol)
+                    code = 0
+                    s = -1
+                    for depth in range(1, lit_max + 1):
+                        if depth > cnt:
+                            raise ValueError("DEFLATE stream truncated")
+                        code = (code << 1) | ((acc >> (depth - 1)) & 1)
+                        sym = lit_tab.get((depth, code))
+                        if sym is not None:
+                            s, w = sym, depth
+                            break
+                    if s < 0:
+                        raise ValueError(
+                            "DEFLATE: invalid Huffman code in stream"
+                        )
+                if w > cnt:
+                    raise ValueError("DEFLATE stream truncated")
+                acc >>= w
+                cnt -= w
                 if s < 256:
-                    out.append(s)
-                elif s == 256:
+                    append(s)
+                    continue
+                if s == 256:
                     break
+                if s > 285:
+                    raise ValueError(f"DEFLATE: length code {s}")
+                eb = _LEN_EB[s - 257]
+                while cnt < eb:
+                    if bp >= blen:
+                        raise ValueError("DEFLATE stream truncated")
+                    acc |= buf[bp] << cnt
+                    bp += 1
+                    cnt += 8
+                length = _LEN_BASE[s - 257] + (acc & ((1 << eb) - 1))
+                acc >>= eb
+                cnt -= eb
+                if dist is None:
+                    raise ValueError(
+                        "DEFLATE: length code in a block whose "
+                        "distance code is empty (all-literal)"
+                    )
+                while cnt < 15 and bp < blen:
+                    acc |= buf[bp] << cnt
+                    bp += 1
+                    cnt += 8
+                e = d_fast[acc & d_mask]
+                if e >= 0:
+                    w = e & 15
+                    d = e >> 4
                 else:
-                    if s > 285:
-                        raise ValueError(f"DEFLATE: length code {s}")
-                    eb, base = _LEN_TABLE[s - 257]
-                    length = base + br.bits(eb)
-                    if dist is None:
+                    code = 0
+                    d = -1
+                    for depth in range(1, d_max + 1):
+                        if depth > cnt:
+                            raise ValueError("DEFLATE stream truncated")
+                        code = (code << 1) | ((acc >> (depth - 1)) & 1)
+                        sym = d_tab.get((depth, code))
+                        if sym is not None:
+                            d, w = sym, depth
+                            break
+                    if d < 0:
                         raise ValueError(
-                            "DEFLATE: length code in a block whose "
-                            "distance code is empty (all-literal)"
+                            "DEFLATE: invalid Huffman code in stream"
                         )
-                    d = dist.read(br)
-                    if d > 29:
-                        raise ValueError(f"DEFLATE: distance code {d}")
-                    eb, base = _DIST_TABLE[d]
-                    distance = base + br.bits(eb)
-                    if distance > len(out):
-                        raise ValueError(
-                            f"DEFLATE: distance {distance} past window "
-                            f"at output byte {len(out)}"
-                        )
-                    start = len(out) - distance
-                    for k in range(length):  # overlap-safe
-                        out.append(out[start + k])
+                if w > cnt:
+                    raise ValueError("DEFLATE stream truncated")
+                acc >>= w
+                cnt -= w
+                if d > 29:
+                    raise ValueError(f"DEFLATE: distance code {d}")
+                eb = _DIST_EB[d]
+                while cnt < eb:
+                    if bp >= blen:
+                        raise ValueError("DEFLATE stream truncated")
+                    acc |= buf[bp] << cnt
+                    bp += 1
+                    cnt += 8
+                distance = _DIST_BASE[d] + (acc & ((1 << eb) - 1))
+                acc >>= eb
+                cnt -= eb
+                olen = len(out)
+                if distance > olen:
+                    raise ValueError(
+                        f"DEFLATE: distance {distance} past window "
+                        f"at output byte {olen}"
+                    )
+                start = olen - distance
+                if distance >= length:
+                    out += out[start : start + length]
+                elif distance == 1:
+                    out += out[start:] * length
+                else:  # overlapping copy: tile the last `distance`
+                    #      bytes until `length` is covered
+                    reps = length // distance + 1
+                    out += (out[start:] * reps)[:length]
         else:
             raise ValueError("DEFLATE: reserved block type 3")
         if bfinal:

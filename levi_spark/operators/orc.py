@@ -210,6 +210,26 @@ def int_rle_v1(buf: bytes, n: int, signed: bool) -> list[int]:
 _FBS = list(range(1, 25)) + [26, 28, 30, 32, 40, 48, 56, 64]
 
 
+def _unpack_be(buf: bytes, at: int, width: int, count: int):
+    """MSB-first fixed-width unpack of ``count`` values starting at
+    byte ``at`` — the same bits :class:`_BitReader` walks one value at
+    a time, unpacked in one numpy pass (exact: each bit contributes a
+    distinct power of two, so the uint64 row-sum cannot overflow for
+    widths up to 64). Returns (values as Python ints, bytes consumed).
+    """
+    import numpy as np
+
+    nbits = width * count
+    nbytes = (nbits + 7) >> 3
+    a = np.frombuffer(buf, np.uint8, nbytes, at)
+    bits = np.unpackbits(a)[:nbits].reshape(count, width)
+    weights = (1 << np.arange(width - 1, -1, -1, dtype=np.uint64)).astype(
+        np.uint64
+    )
+    vals = (bits.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+    return vals.tolist(), nbytes
+
+
 class _BitReader:
     """MSB-first bit reader (RLEv2 packs big-endian)."""
 
@@ -257,9 +277,8 @@ def int_rle_v2(buf: bytes, n: int, signed: bool) -> list[int]:
         elif enc == 1:  # DIRECT
             width = _FBS[(h >> 1) & 0x1F]
             length = ((h & 1) << 8 | buf[at + 1]) + 1
-            br = _BitReader(buf, at + 2)
-            vals = [br.read(width) for _ in range(length)]
-            at = br.align()
+            vals, used = _unpack_be(buf, at + 2, width, length)
+            at = at + 2 + used
             if signed:
                 vals = [_zigzag(v) for v in vals]
             out.extend(vals)
@@ -280,11 +299,13 @@ def int_rle_v2(buf: bytes, n: int, signed: bool) -> list[int]:
                     vals.append(vals[-1] + delta0)
             else:
                 width = _FBS[wcode]
-                br = _BitReader(buf, at)
+                deltas, used = _unpack_be(buf, at, width, length - 2)
+                at += used
                 sign = 1 if delta0 >= 0 else -1
-                for _ in range(length - 2):
-                    vals.append(vals[-1] + sign * br.read(width))
-                at = br.align()
+                acc = vals[-1]
+                for d in deltas:
+                    acc += sign * d
+                    vals.append(acc)
             out.extend(vals)
         else:  # PATCHED_BASE
             width = _FBS[(h >> 1) & 0x1F]
@@ -299,21 +320,19 @@ def int_rle_v2(buf: bytes, n: int, signed: bool) -> list[int]:
             if base & (1 << (bw * 8 - 1)):  # sign-magnitude MSB
                 base = -(base & ((1 << (bw * 8 - 1)) - 1))
             at += bw
-            br = _BitReader(buf, at)
-            vals = [br.read(width) for _ in range(length)]
-            at = br.align()
+            vals, used = _unpack_be(buf, at, width, length)
+            at += used
             # patch entries are packed at closestFixedBits(pgw + pw),
             # gap in the HIGH bits; (gap=255, patch=0) entries extend
             # gaps past 255 (handled naturally by the OR-with-zero)
             cfb = next(w for w in _FBS if w >= pgw + pw)
-            br = _BitReader(buf, at)
+            patches, used = _unpack_be(buf, at, cfb, pll)
+            at += used
             idx = 0
             pmask = (1 << pw) - 1
-            for _ in range(pll):
-                entry = br.read(cfb)
+            for entry in patches:
                 idx += entry >> pw
                 vals[idx] |= (entry & pmask) << width
-            at = br.align()
             out.extend(v + base for v in vals)
     del out[n:]
     return out

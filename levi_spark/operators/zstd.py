@@ -88,29 +88,46 @@ class _Bwd:
     """Backward bitstream (RFC 8878 §3.1.1.6): bits are read from
     the last byte toward the first; the last byte's highest set bit
     is a padding marker. Reads below the start pad with zeros and
-    set ``overflowed`` (the interleaved-FSE stop condition)."""
+    set ``overflowed`` (the interleaved-FSE stop condition).
+
+    Bit extraction slices only the few bytes covering the requested
+    bit range (the old form kept the whole stream as one big int, so
+    every read shifted an O(stream)-bit integer — quadratic over a
+    long literals/sequence stream)."""
+
+    __slots__ = ("buf", "bitpos", "overflowed")
 
     def __init__(self, buf: bytes):
         if not buf or buf[-1] == 0:
             raise ValueError("zstd: backward bitstream missing padding")
-        self.val = int.from_bytes(buf, "little")
+        self.buf = buf
         self.bitpos = 8 * (len(buf) - 1) + buf[-1].bit_length() - 1
         self.overflowed = False
+
+    def _extract(self, p: int, n: int) -> int:
+        """Bits [p, p+n) of the stream, zero-padded below bit 0."""
+        buf = self.buf
+        if p >= 0:
+            w = int.from_bytes(buf[p >> 3 : (p + n + 7) >> 3], "little")
+            return (w >> (p & 7)) & ((1 << n) - 1)
+        hib = (p + n + 7) >> 3
+        if hib <= 0:
+            return 0
+        w = int.from_bytes(buf[:hib], "little")
+        return (w << -p) & ((1 << n) - 1)
 
     def read(self, n: int) -> int:
         if n == 0:
             return 0
-        self.bitpos -= n
-        if self.bitpos < 0:
+        p = self.bitpos - n
+        v = self._extract(p, n)
+        self.bitpos = p
+        if p < 0:
             self.overflowed = True
-            return (self.val << -self.bitpos) & ((1 << n) - 1)
-        return (self.val >> self.bitpos) & ((1 << n) - 1)
+        return v
 
     def peek(self, n: int) -> int:
-        p = self.bitpos - n
-        if p < 0:
-            return (self.val << -p) & ((1 << n) - 1)
-        return (self.val >> p) & ((1 << n) - 1)
+        return self._extract(self.bitpos - n, n)
 
 
 # --------------------------------------------------------------------------
@@ -334,18 +351,40 @@ def _read_huf_table(buf: bytes) -> tuple[_HufTable, int]:
 def _huf_decode_stream(
     table: _HufTable, stream: bytes, count: int
 ) -> bytearray:
-    bwd = _Bwd(stream)
+    """Table-driven literal decode over an inlined sliding window:
+    ~56 bits of the backward stream are held in a small int and
+    reloaded from the byte buffer only when the next peek would fall
+    below the window, so per-symbol work is a shift+mask+two list
+    indexes instead of a big-int shift."""
+    if not stream or stream[-1] == 0:
+        raise ValueError("zstd: backward bitstream missing padding")
     mb = table.max_bits
     syms = table.symbols
     nb = table.nbits
     out = bytearray(count)
+    pos = 8 * (len(stream) - 1) + stream[-1].bit_length() - 1
+    mask = (1 << mb) - 1
+    lo = 0  # window covers bits [lo, ...) in `win`
+    win = 0
+    need_load = True
     for i in range(count):
-        idx = bwd.peek(mb)
+        p = pos - mb
+        if need_load or p < lo:
+            lob = (p - 48) >> 3
+            if lob < 0:
+                lob = 0
+            lo = lob << 3
+            win = int.from_bytes(stream[lob : (pos + 7) >> 3], "little")
+            need_load = False
+        if p >= 0:
+            idx = (win >> (p - lo)) & mask
+        else:  # fewer than mb bits left: zero-pad low bits (lo == 0)
+            idx = (win << -p) & mask
         out[i] = syms[idx]
-        bwd.bitpos -= nb[idx]
-    if bwd.bitpos != 0:
+        pos -= nb[idx]
+    if pos != 0:
         raise ValueError(
-            f"zstd: Huffman stream ends with {bwd.bitpos} bits left"
+            f"zstd: Huffman stream ends with {pos} bits left"
         )
     return out
 
@@ -528,23 +567,54 @@ def _decode_block(block: bytes, out: bytearray, st: _FrameState) -> None:
     of_t, at = _read_seq_table("of", (modes >> 4) & 3, block, at, st)
     ml_t, at = _read_seq_table("ml", (modes >> 2) & 3, block, at, st)
     st.fse.update({"ll": ll_t, "of": of_t, "ml": ml_t})
-    bwd = _Bwd(block[at:])
-    ll_s = bwd.read(ll_t.accuracy_log)
-    of_s = bwd.read(of_t.accuracy_log)
-    ml_s = bwd.read(ml_t.accuracy_log)
-    if bwd.overflowed:
+    # Inlined backward bit reader over a ~56-bit sliding window (same
+    # scheme as _huf_decode_stream): the sequence loop reads ~6 bit
+    # fields per sequence, so per-call _Bwd overhead dominated here.
+    sbuf = block[at:]
+    if not sbuf or sbuf[-1] == 0:
+        raise ValueError("zstd: backward bitstream missing padding")
+    pos = 8 * (len(sbuf) - 1) + sbuf[-1].bit_length() - 1
+    lo = 0
+    win = 0
+    need_load = True
+
+    def _take(n):
+        nonlocal pos, lo, win, need_load
+        if n == 0:
+            return 0
+        p = pos - n
+        if p < 0:
+            raise ValueError("zstd: sequence bitstream exhausted early")
+        if need_load or p < lo:
+            lob = (p - 48) >> 3
+            if lob < 0:
+                lob = 0
+            lo = lob << 3
+            win = int.from_bytes(sbuf[lob : (pos + 7) >> 3], "little")
+            need_load = False
+        pos = p
+        return (win >> (p - lo)) & ((1 << n) - 1)
+
+    ll_al, of_al, ml_al = (
+        ll_t.accuracy_log, of_t.accuracy_log, ml_t.accuracy_log,
+    )
+    if pos < ll_al + of_al + ml_al:
         raise ValueError("zstd: sequence stream too short for states")
+    ll_s = _take(ll_al)
+    of_s = _take(of_al)
+    ml_s = _take(ml_al)
+    ll_syms, ll_nbits, ll_base_t = ll_t.symbols, ll_t.nbits, ll_t.base
+    of_syms, of_nbits, of_base_t = of_t.symbols, of_t.nbits, of_t.base
+    ml_syms, ml_nbits, ml_base_t = ml_t.symbols, ml_t.nbits, ml_t.base
     lpos = 0
     reps = st.reps
     for i in range(nseq):
-        of_code = of_t.symbols[of_s]
-        offset_value = (1 << of_code) + bwd.read(of_code)
-        ml_base, ml_extra = _ML_CODE[ml_t.symbols[ml_s]]
-        match_length = ml_base + bwd.read(ml_extra)
-        ll_base, ll_extra = _LL_CODE[ll_t.symbols[ll_s]]
-        lit_length = ll_base + bwd.read(ll_extra)
-        if bwd.overflowed:
-            raise ValueError("zstd: sequence bitstream exhausted early")
+        of_code = of_syms[of_s]
+        offset_value = (1 << of_code) + _take(of_code)
+        ml_base, ml_extra = _ML_CODE[ml_syms[ml_s]]
+        match_length = ml_base + _take(ml_extra)
+        ll_base, ll_extra = _LL_CODE[ll_syms[ll_s]]
+        lit_length = ll_base + _take(ll_extra)
         # repeat-offset resolution (§3.1.1.5)
         if offset_value > 3:
             offset = offset_value - 3
@@ -576,18 +646,16 @@ def _decode_block(block: bytes, out: bytearray, st: _FrameState) -> None:
         start = len(out) - offset
         if offset >= match_length:
             out += out[start : start + match_length]
-        else:
-            for k in range(match_length):  # overlap-safe
-                out.append(out[start + k])
+        else:  # overlapping copy: tile the last `offset` bytes
+            tile = match_length // offset + 1
+            out += (out[start:] * tile)[:match_length]
         if i + 1 < nseq:  # update LL -> ML -> OF
-            ll_s = ll_t.base[ll_s] + bwd.read(ll_t.nbits[ll_s])
-            ml_s = ml_t.base[ml_s] + bwd.read(ml_t.nbits[ml_s])
-            of_s = of_t.base[of_s] + bwd.read(of_t.nbits[of_s])
-            if bwd.overflowed:
-                raise ValueError("zstd: sequence bitstream exhausted early")
-    if bwd.bitpos != 0:
+            ll_s = ll_base_t[ll_s] + _take(ll_nbits[ll_s])
+            ml_s = ml_base_t[ml_s] + _take(ml_nbits[ml_s])
+            of_s = of_base_t[of_s] + _take(of_nbits[of_s])
+    if pos != 0:
         raise ValueError(
-            f"zstd: sequence stream ends with {bwd.bitpos} bits left"
+            f"zstd: sequence stream ends with {pos} bits left"
         )
     out += lit[lpos:]
 

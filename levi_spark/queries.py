@@ -14472,8 +14472,10 @@ def orc_column_read(spark, sf_dir):
                     raise ValueError("ORC row-group seek diverges")
         finally:
             _os.unlink(path)
-        got = [read_column_bytes(blob, c)
-               for c in ("k", "price", "prio", "d", "ts")]
+        # `ks` above IS the first-principles read of column k over the
+        # same blob — reuse it instead of decoding the column twice
+        got = [ks] + [read_column_bytes(blob, c)
+                      for c in ("price", "prio", "d", "ts")]
         out = _verify_and_stats(got, t)
         out["sum_price"] = out["sum_price"].astype("float64") / 10000.0
         yield out
