@@ -327,25 +327,36 @@ def assign_clusters(
     centroids: list[list[float]],
     dist_col: str | None = None,
     dist_scale: float | None = None,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """(id, cluster[, dist]) for every row: nearest centroid by squared
     L2, ties to the lower cluster id. Small codebooks score as a pure
     map-side literal-array argmin (no join, no shuffle); codebooks past
     the literal cap fall back to broadcast cross join + window argmin.
     ``dist_col`` also emits the winning distance (int64 when
-    ``dist_scale`` is set)."""
+    ``dist_scale`` is set). ``keep_vec`` carries the vector column
+    through (under its input name) so callers that need (cluster,
+    vector) rows avoid re-joining the source frame on the id — the
+    assignment is map-side, so dropping the vector only to join it
+    back would cost a full self-join shuffle."""
     n_lit = len(centroids) * len(centroids[0]) if centroids else 0
     if n_lit >= _ARROW_MIN_LITERALS:
         # quantized AND float modes: the numpy kernel reproduces the
         # JVM arithmetic exactly in both (see _assign_arrow)
-        return _assign_arrow(
-            df, id_col, vec_col, centroids, dist_scale, dist_col
+        out_df = _assign_arrow(
+            df, id_col, vec_col, centroids, dist_scale, dist_col,
+            keep_vec=keep_vec,
         )
+        if keep_vec:
+            out_df = out_df.withColumnRenamed("__v", vec_col)
+        return out_df
     if centroids and n_lit <= _MAPSIDE_LITERAL_CAP:
         cluster_col, d_col = _argmin_col(F.col("__v"), centroids, dist_scale)
         out = ["id", cluster_col.alias("cluster")]
         if dist_col:
             out.append(d_col.alias(dist_col))
+        if keep_vec:
+            out.append(F.col("__v").alias(vec_col))
         return df.select(
             F.col(id_col).alias("id"), F.col(vec_col).alias("__v")
         ).select(*out)
@@ -361,12 +372,14 @@ def assign_clusters(
     scored = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("__v")
     ).crossJoin(F.broadcast(cdf)).select(
-        "id", "cent_id", dist.alias("__d")
+        "id", "__v", "cent_id", dist.alias("__d")
     )
     w = Window.partitionBy("id").orderBy(F.col("__d").asc(), F.col("cent_id").asc())
     out = ["id", F.col("cent_id").alias("cluster")]
     if dist_col:
         out.append(F.col("__d").alias(dist_col))
+    if keep_vec:
+        out.append(F.col("__v").alias(vec_col))
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)

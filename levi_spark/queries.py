@@ -8515,10 +8515,12 @@ def semdedup_prune(spark, sf_dir):
         emb, "vec_id", "v", k=_semdedup_k(emb.count()), max_iter=2, tol=0.0,
         dist_scale=1e6, mean_scale=1e8,
     )
+    # r13: keep_vec carries the vector through the map-side assignment
+    # — the old form dropped it and re-joined emb on vec_id, paying a
+    # full self-join shuffle for a column the assignment already had
     pts = (
-        assign_clusters(emb, "vec_id", "v", fit["centroids"])
+        assign_clusters(emb, "vec_id", "v", fit["centroids"], keep_vec=True)
         .withColumnRenamed("id", "vec_id")
-        .join(emb, "vec_id")
     )
     # norm once per point, not once per pair: sqrt(dot(v,v)) is the same
     # fold the oracle's sqrt(list_inner_product(v,v)) runs, so the
