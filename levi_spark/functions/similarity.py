@@ -16,6 +16,14 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Hard cap on the driver-side collect of the query frame in
+# brute_force_topk: top-k serving queries are metadata-sized by
+# design (the r12 rewrite collected the same frame the old plan
+# broadcast); past this the collect raises instead of OOMing the
+# driver silently.
+_MAX_QUERY_ROWS = 100_000
 
 
 def as_double_vec(v: Column) -> Column:
@@ -73,7 +81,25 @@ def brute_force_topk(
     ties broken by neighbor id.
 
     Returns (query_id, neighbor_id, score).
+
+    Contract (r13, asserted): both id columns must be integral (the
+    numpy kernel and the declared long output schema hardcode int64),
+    and the query side must stay a metadata-sized frame — the collect
+    below transfers at most ``_MAX_QUERY_ROWS`` rows and raises loudly
+    past that instead of silently pulling an unbounded frame to the
+    driver. A zero-norm vector scores NULL (the JVM Divide's
+    divide-by-zero result, which sorts LAST under score desc), never
+    NaN (which would sort first).
     """
+    for side, col, df_ in (("query", q_id, queries), ("candidate", c_id, candidates)):
+        dt = df_.schema[col].dataType
+        if not isinstance(
+            dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            raise TypeError(
+                f"brute_force_topk: {side} id column {col!r} must be "
+                f"integral, got {dt.simpleString()}"
+            )
     q = queries.select(
         F.col(q_id).alias("query_id"), as_double_vec(F.col(vec_col)).alias("__qv")
     )
@@ -91,7 +117,13 @@ def brute_force_topk(
     # left-fold — so every score is bit-exact with the old plan and
     # DuckDB's list_inner_product. Rounding and ranking stay in the
     # JVM, unchanged.
-    q_rows = q.collect()
+    q_rows = q.limit(_MAX_QUERY_ROWS + 1).collect()
+    if len(q_rows) > _MAX_QUERY_ROWS:
+        raise ValueError(
+            f"brute_force_topk: query side exceeds {_MAX_QUERY_ROWS} "
+            "rows — this path driver-collects the query frame; pass a "
+            "bounded query set or bucket the candidates instead"
+        )
     qid_list = [int(r["query_id"]) for r in q_rows]
     qv_list = [list(r["__qv"]) for r in q_rows]
 
@@ -124,17 +156,26 @@ def brute_force_topk(
             ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
             nv = np.sqrt(seq_sqnorm(V))
             # cosine(qv, cv) = dot(q,c) / (sqrt(dot(q,q)) * sqrt(dot(c,c)))
-            raw = seq_matdot(V, Qm) / (qn[None, :] * nv[:, None])
+            denom = qn[None, :] * nv[:, None]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                raw = seq_matdot(V, Qm) / denom
             nq = len(qids)
             flat_q = np.repeat(qids[None, :], len(ids), axis=0).ravel()
             flat_n = np.repeat(ids[:, None], nq, axis=1).ravel()
             flat_r = raw.ravel()
             keep = flat_n != flat_q
+            # zero-norm guard: the JVM Divide yields NULL on a zero
+            # divisor (sorted last under desc) — numpy yields NaN
+            # (sorted FIRST by Spark) — so mask those to real nulls
+            scores = pd.array(flat_r[keep], dtype="Float64")
+            zmask = denom.ravel()[keep] == 0.0
+            if zmask.any():
+                scores[zmask] = pd.NA
             yield pd.DataFrame(
                 {
                     "query_id": flat_q[keep],
                     "neighbor_id": flat_n[keep],
-                    "__raw": flat_r[keep],
+                    "__raw": scores,
                 }
             )
 

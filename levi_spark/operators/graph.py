@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def connected_components(
@@ -114,10 +115,28 @@ def connected_components(
     # unchanged" — one scan-aggregate per round instead of the old
     # new⋈old join (which shuffled both label frames every round).
     # decimal(38,0) keeps the sum exact at any node count / id range.
+    # A non-numeric id column would CAST to NULL and a NULL sum would
+    # compare equal every round (silent wrong convergence) — so the
+    # cast is validated once up front and a NULL sum raises.
+    if not isinstance(
+        nodes.schema["a"].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType),
+    ):
+        raise TypeError(
+            "connected_components: node id column must be integral "
+            f"(got {nodes.schema['a'].dataType.simpleString()}); the "
+            "sum-based convergence check needs an exact numeric label"
+        )
+
     def _label_sum(frame):
-        return frame.agg(
+        s = frame.agg(
             F.sum(F.col("comp").cast("decimal(38,0)"))
         ).first()[0]
+        if s is None and frame.limit(1).count() > 0:
+            raise ValueError(
+                "connected_components: NULL label sum (NULL node id?)"
+            )
+        return s
 
     prev_sum = _label_sum(labels)
     base = scratch_dir

@@ -3860,12 +3860,23 @@ def _seq_sqnorm(A):
 def _np_cosine(V, C):
     """cosine(v, c) = dot(v,c) / (sqrt(dot(v,v)) * sqrt(dot(c,c))) for
     every (row of V, row of C), same eval order as
-    :func:`levi_spark.functions.similarity.cosine`."""
+    :func:`levi_spark.functions.similarity.cosine`.
+
+    Zero-norm guard (r13): the JVM Divide yields NULL on a zero
+    divisor while numpy yields NaN, and NaN silently sorts FIRST in
+    every downstream ranking. No oracle-checked input contains a zero
+    vector, so rather than replicate NULL semantics through numpy
+    ranking code this raises loudly if one ever appears."""
     import numpy as np
 
-    return _seq_matdot(V, C) / (
-        np.sqrt(_seq_sqnorm(V))[:, None] * np.sqrt(_seq_sqnorm(C))[None, :]
-    )
+    nv = np.sqrt(_seq_sqnorm(V))
+    nc = np.sqrt(_seq_sqnorm(C))
+    if (nv == 0.0).any() or (nc == 0.0).any():
+        raise ValueError(
+            "_np_cosine: zero-norm vector (cosine undefined; the JVM "
+            "path returned NULL here — refuse rather than rank NaN)"
+        )
+    return _seq_matdot(V, C) / (nv[:, None] * nc[None, :])
 
 
 def _np_sub_l2sq(V, C, m):
@@ -3890,6 +3901,14 @@ def _collect_low_vecs(spark, sf_dir, below=16):
         .select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
         .collect()
     )
+    # boundedness guard (r13): the filter bounds DISTINCT ids, not
+    # rows — a duplicated-id frame would silently grow this collect,
+    # so fail loudly well before driver memory is at risk
+    if len(rows) > 4096:
+        raise ValueError(
+            f"_collect_low_vecs: {len(rows)} rows for vec_id < "
+            f"{below} — expected a metadata-sized codebook frame"
+        )
     rows.sort(key=lambda r: r["vec_id"])
     ids = [int(r["vec_id"]) for r in rows]
     mat = np.asarray([list(r["v"]) for r in rows], dtype=np.float64)
@@ -10718,7 +10737,13 @@ def doc_substring_dedup(spark, sf_dir):
         # salted exchange and the join-back, and a far cheaper hash
         # kernel than MessageDigest+hex. Collision risk at 64 bits is
         # ~(n_grams^2)/2^65 (~1e-8 at sf0.1) and the DuckDB oracle
-        # re-verifies the end result at every SF.
+        # re-verifies the end result at every SF. SCALE BOUND (r13):
+        # at ~1e12 grams (the 100 TB design point) the birthday bound
+        # puts expected 64-bit collisions near 30 — an EXACT dedup
+        # deployed there must widen the key to 128 bits, e.g. two
+        # independently salted xxhash64 columns (same plan shape,
+        # twice the key bytes); 64 bits is the measured-right choice
+        # up to ~1e9 grams (collision odds < 3e-2).
         .select("doc_id", "p", F.xxhash64("gram").alias("h"))
         .withColumn(
             "__salt", F.pmod(F.xxhash64("doc_id", "p"), F.lit(16))

@@ -151,4 +151,51 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _warm_python_workers(spark)
+    return spark
+
+
+_WARMED_APP_IDS: set[str] = set()
+
+
+def _warm_python_workers(spark: SparkSession) -> None:
+    """Pre-import the heavy Python-worker dependencies (pandas,
+    pyarrow, numpy) in one worker per core at session creation.
+
+    Reused Python workers (``spark.python.worker.reuse``, default on)
+    pay their module imports exactly once — but lazily, on the FIRST
+    task that crosses the Python boundary. On a 32-core local session
+    that is ~3-4 s of import time charged to whichever query happens
+    to hit a pandas-UDF path first (measured: a 100-row self-hosted
+    Delta write costs 4.2 s cold vs 1.1 s warm; a standard-DV delete
+    5.0 s cold vs 1.3 s warm). Doing it here makes session startup own
+    the one-time cost — the same place JVM startup already lives —
+    instead of a random query. Guide §4.5: heavyweight init once per
+    task/worker, never per row; ``LEVI_WARM_WORKERS=0`` disables."""
+    if os.environ.get("LEVI_WARM_WORKERS", "1") == "0":
+        return
+    app_id = spark.sparkContext.applicationId
+    if app_id in _WARMED_APP_IDS:
+        return
+    _WARMED_APP_IDS.add(app_id)
+    n = spark.sparkContext.defaultParallelism
+
+    def _imp(batches):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+        import pyarrow  # noqa: F401
+        import pyarrow.parquet  # noqa: F401
+
+        for b in batches:
+            yield b
+
+    try:
+        (
+            spark.range(n, numPartitions=n)
+            .mapInPandas(_imp, "id long")
+            .write.format("noop").mode("overwrite").save()
+        )
+    except Exception:
+        # warm-up is best-effort; never fail session creation over it
+        pass

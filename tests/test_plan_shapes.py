@@ -67,7 +67,7 @@ def test_ivf_scoring_is_one_mapside_pass(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     s = plan_summary(df)
-    assert s.get("shuffle_exchanges", s.get("exchanges", 0)) <= 1, s
+    assert s["exchanges"] <= 1, s
 
 
 def test_q7_broadcasts_prefiltered_nations(spark):
@@ -361,7 +361,7 @@ def test_ivfpq_serve_is_one_mapside_pass(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     s = plan_summary(df)
-    assert s.get("shuffle_exchanges", s.get("exchanges", 0)) <= 1, s
+    assert s["exchanges"] <= 1, s
 
 
 def test_pagerank_rounds_have_no_cartesian(spark):
@@ -389,7 +389,7 @@ def test_pii_redaction_is_single_rollup(spark):
     assert "Python" not in plan  # regex path is JVM regexp_replace
     # exactly one aggregation exchange: map-side partials + final rollup
     s = plan_summary(df)
-    assert s.get("shuffle_exchanges", s.get("exchanges", 0)) <= 2, s
+    assert s["exchanges"] <= 2, s
 
 
 def test_substring_dedup_salted_no_window_no_cartesian(spark):
