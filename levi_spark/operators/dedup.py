@@ -29,6 +29,8 @@ import functools
 import operator
 import os
 
+from urllib.parse import unquote
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -135,7 +137,8 @@ def kill_duplicates_targeted(table: LeviTable, duplication_columns: list[str]) -
             .collect()
         )
     }
-    all_rels = [r["path"] for r in snap.add_actions().select("path").collect()]
+    all_rels = [unquote(r["add"]["path"])
+                for r in snap.live_adds_collected()]
     if not hit_names:
         return {
             "files_rewritten": 0,
@@ -212,7 +215,8 @@ def _targeted_loser_rewrite(table: LeviTable, losers: DataFrame) -> dict:
     hit_names = {
         r["__file_name"] for r in losers.select("__file_name").distinct().collect()
     }
-    all_rels = [r["path"] for r in snap.add_actions().select("path").collect()]
+    all_rels = [unquote(r["add"]["path"])
+                for r in snap.live_adds_collected()]
     if not hit_names:
         return {
             "files_rewritten": 0,

@@ -46,6 +46,8 @@ import functools
 import operator
 import os
 
+from urllib.parse import unquote
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -234,8 +236,13 @@ class MergeBuilder:
                 .collect()
             )
             touched_names = {r["__fn"] for r in per_file if r["__app"] == 1}
+            # r13: live file paths come from the snapshot's cached
+            # driver-side log replay (live_adds_collected) instead of a
+            # one-job Spark collect; unquote matches add_actions'
+            # percent-decode ('+' stays literal, like file_infos)
             all_rels = [
-                r["path"] for r in snap.add_actions().select("path").collect()
+                unquote(r["add"]["path"])
+                for r in snap.live_adds_collected()
             ]
             touched_rels = [
                 p for p in all_rels if os.path.basename(p) in touched_names
