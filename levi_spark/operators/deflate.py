@@ -481,19 +481,39 @@ def deflate(data: bytes, mode: str = "fixed") -> bytes:
         best_len, best_dist = 0, 0
         if i + 3 <= n:
             key = data[i : i + 3]
+            maxl = min(258, n - i)
+            # The candidate walk below emits byte-identical streams to
+            # the per-byte original: same most-recent-first order, same
+            # strictly-longer update, same >=64 early stop. Only the
+            # per-candidate work changed — a one-byte "cannot beat the
+            # current best" filter (a longer match needs byte best_len
+            # to agree, and equal-length candidates never update), and
+            # the prefix length via descending-step slice compares
+            # instead of one Python iteration per matched byte.
             for j in reversed(head.get(key, [])):
                 if i - j > 32768:
                     break
-                length = 3
-                maxl = min(258, n - i)
-                while (
-                    length < maxl and data[j + length] == data[i + length]
-                ):
-                    length += 1
+                if best_len and data[j + best_len] != data[i + best_len]:
+                    continue
+                if data[j : j + maxl] == data[i : i + maxl]:
+                    length = maxl
+                else:
+                    length = 3
+                    step = 64
+                    while step:
+                        while (
+                            length + step <= maxl
+                            and data[j + length : j + length + step]
+                            == data[i + length : i + length + step]
+                        ):
+                            length += step
+                        step >>= 1
                 if length > best_len:
                     best_len, best_dist = length, i - j
                     if length >= 64:
                         break
+                    if best_len == maxl:
+                        break  # nothing can be strictly longer
         if best_len >= 3:
             c, eb, ev = _len_code(best_len)
             code, nbits = _fixed_lit_code(c)
