@@ -70,20 +70,37 @@ ANCHOR_REF_S = 0.54
 # within floor_seconds x session drift is mechanically dismissible.
 FLOOR_ANALYSES = {
     "incremental_agg_refresh": {
-        "floor_seconds": 8.0,
+        "floor_seconds": 6.5,
         "floor_basis": (
-            "~35 sequential job launches (soft_delete 1.2 + CDF MERGE "
-            "3.2 + refresh fold 2.4 + writes) at the ~130-230 ms/job "
-            "scheduler floor; stage-timed r06, job count O(changes) "
-            "not O(data) — see queries.py docstring"
+            "48 sequential job launches (statusTracker-counted r13; "
+            "was ~50 before the live-file listing moved to the cached "
+            "driver-side log replay) at the ~130-230 ms/job scheduler "
+            "floor; soft_delete + CDF MERGE + refresh fold, job count "
+            "O(changes) not O(data) — see queries.py docstring. r13 "
+            "fresh-session min-of-3 7.38 s at anchor 0.45"
         ),
     },
     "cdc_replicate_counts": {
-        "floor_seconds": 8.0,
+        "floor_seconds": 6.0,
         "floor_basis": (
-            "~40 sequential job launches (dv_delete 7 + cdf_merge 19 "
-            "+ sync 16 jobs) at the ~130-230 ms/job scheduler floor; "
-            "stage-timed r05, job count O(1) per lifecycle op"
+            "47 sequential job launches (statusTracker-counted r13; "
+            "dv_delete + cdf_merge + sync; was 49 before the live-file "
+            "listing moved to the cached driver-side log replay) at "
+            "the ~130-230 ms/job scheduler floor; job count O(1) per "
+            "lifecycle op"
+        ),
+    },
+    "editdist_candidate_verify": {
+        "floor_seconds": 2.7,
+        "floor_basis": (
+            "18 sequential job launches (distributed prefix-sum rank "
+            "+ neighbor join) at the scheduler floor, plus regexp/"
+            "levenshtein codegen that JITs slowly: fresh-session runs "
+            "arrays start 9-16 s and settle by run 3 (r13 isolated "
+            "probe min-of-4 2.99 s at anchor 0.50, matching the r11 "
+            "2.70 s band). The r12 driver 3.73 s and hot-session 5.4 s "
+            "readings are warm-up/contention drift on unchanged code "
+            "(no diff hunks since r09), not a regression"
         ),
     },
     "suffix_rank_spans": {

@@ -8497,6 +8497,62 @@ seeds AS (
 )
 
 
+def _semdedup_pair_dots(pdf):
+    """Pairwise-dot kernel for one (cluster, block-pair) group of
+    :func:`semdedup_prune` (module-level so tests can drive it
+    directly). Side 0 rows own block ``__p``, side 1 rows block
+    ``__q``; emits one row per unordered candidate pair with the raw
+    dot product and the norm product.
+
+    r13: rank-1 updates over the |A|x|B| grid instead of gathering a
+    dim-wide row copy per pair — the old ``Va[ii]/Vb[jj]`` gather moved
+    ~pop^2 * dim * 8 bytes (~4 GB/group at the 512-cap) through memory
+    and made the stage hostage to machine bandwidth contention
+    (measured 0.15-1.3 s/group vs ~0.01 s for this form, and a 0.69
+    8-vs-32-core ratio that flagged worker contention in PERF_r12).
+    ``acc[i, j]`` receives ``x_d * y_d`` in ascending ``d``, one
+    multiply and one add per (pair, dim): the identical IEEE op
+    sequence per pair as the JVM left-fold, so dots stay BIT-EXACT
+    with the r11 interpreted zip_with/aggregate plan and the oracle's
+    ``list_inner_product`` (pinned by tests/test_scaled_configs.py and
+    the per-SF oracle sweep)."""
+    import numpy as np
+    import pandas as pd
+
+    A = pdf[pdf["__side"] == 0]
+    B = pdf[pdf["__side"] == 1]
+    if len(A) == 0 or len(B) == 0:
+        return pd.DataFrame(
+            {"vec_id": [], "__lo": [], "__dot": [], "__nn": []}
+        ).astype(
+            {"vec_id": "int64", "__lo": "int64",
+             "__dot": "float64", "__nn": "float64"}
+        )
+    ida = A["vec_id"].to_numpy(dtype=np.int64)
+    idb = B["vec_id"].to_numpy(dtype=np.int64)
+    Va = np.stack([np.asarray(v, dtype=np.float64) for v in A["v"]])
+    Vb = np.stack([np.asarray(v, dtype=np.float64) for v in B["v"]])
+    na = A["__n"].to_numpy(dtype=np.float64)
+    nb = B["__n"].to_numpy(dtype=np.float64)
+    acc = np.zeros((len(A), len(B)), dtype=np.float64)
+    for d in range(Va.shape[1]):  # sequential over dims: JVM fold order
+        acc += np.multiply.outer(Va[:, d], Vb[:, d])
+    if int(pdf["__p"].iloc[0]) == int(pdf["__q"].iloc[0]):
+        ii, jj = np.nonzero(idb[None, :] > ida[:, None])
+        dots = acc[ii, jj]
+        lo = np.minimum(ida[ii], idb[jj])
+        hi = np.maximum(ida[ii], idb[jj])
+        nn = na[ii] * nb[jj]
+    else:  # cross block pair: every (i, j), row-major == meshgrid order
+        dots = acc.ravel()
+        lo = np.minimum.outer(ida, idb).ravel()
+        hi = np.maximum.outer(ida, idb).ravel()
+        nn = np.multiply.outer(na, nb).ravel()
+    return pd.DataFrame(
+        {"vec_id": hi, "__lo": lo, "__dot": dots, "__nn": nn}
+    )
+
+
 def semdedup_prune(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): k-means the embedding space (2
     Lloyd rounds, same arithmetic as the shared coarse quantizer), then
@@ -8593,57 +8649,17 @@ def semdedup_prune(spark, sf_dir):
     # each carried BOTH vectors (~1 KB/pair) into an INTERPRETED
     # zip_with+aggregate dot per candidate — HOFs never enter
     # whole-stage codegen, so the fold dominated the query. Each task
-    # now receives each vector once (not once per partner), builds the
-    # same candidate set (cross block pair; id_b > id_a within a
-    # block), and accumulates the dot SEQUENTIALLY over dimensions —
-    # acc starts at 0.0 and adds x_d*y_d in ascending d, the identical
-    # IEEE op sequence as the JVM left-fold, vectorized across pairs,
-    # so the doubles are BIT-EXACT with the old plan and the oracle's
-    # list_inner_product. The round/threshold/min-partner decision
-    # stays in the JVM, unchanged. Per-task work stays capped by the
-    # 2-D block decomposition exactly as before.
-    def _pair_dots(pdf):
-        import numpy as np
-        import pandas as pd
-
-        A = pdf[pdf["__side"] == 0]
-        B = pdf[pdf["__side"] == 1]
-        if len(A) == 0 or len(B) == 0:
-            return pd.DataFrame(
-                {"vec_id": [], "__lo": [], "__dot": [], "__nn": []}
-            ).astype(
-                {"vec_id": "int64", "__lo": "int64",
-                 "__dot": "float64", "__nn": "float64"}
-            )
-        ida = A["vec_id"].to_numpy(dtype=np.int64)
-        idb = B["vec_id"].to_numpy(dtype=np.int64)
-        Va = np.stack([np.asarray(v, dtype=np.float64) for v in A["v"]])
-        Vb = np.stack([np.asarray(v, dtype=np.float64) for v in B["v"]])
-        na = A["__n"].to_numpy(dtype=np.float64)
-        nb = B["__n"].to_numpy(dtype=np.float64)
-        ii, jj = np.meshgrid(
-            np.arange(len(A)), np.arange(len(B)), indexing="ij"
-        )
-        ii, jj = ii.ravel(), jj.ravel()
-        if int(pdf["__p"].iloc[0]) == int(pdf["__q"].iloc[0]):
-            keep = idb[jj] > ida[ii]
-            ii, jj = ii[keep], jj[keep]
-        X, Y = Va[ii], Vb[jj]
-        acc = np.zeros(len(ii), dtype=np.float64)
-        for d in range(X.shape[1]):  # sequential over dims: JVM fold order
-            acc += X[:, d] * Y[:, d]
-        lo = np.minimum(ida[ii], idb[jj])
-        hi = np.maximum(ida[ii], idb[jj])
-        return pd.DataFrame(
-            {"vec_id": hi, "__lo": lo, "__dot": acc,
-             "__nn": na[ii] * nb[jj]}
-        )
-
+    # receives each vector once (not once per partner), builds the
+    # same candidate set, and computes bit-exact dots — kernel and
+    # IEEE-ordering contract in :func:`_semdedup_pair_dots`. The
+    # round/threshold/min-partner decision stays in the JVM,
+    # unchanged. Per-task work stays capped by the 2-D block
+    # decomposition exactly as before.
     cand = (
         a.unionByName(b)
         .groupBy("cluster", "__p", "__q")
         .applyInPandas(
-            _pair_dots,
+            _semdedup_pair_dots,
             "vec_id long, __lo long, __dot double, __nn double",
         )
     )

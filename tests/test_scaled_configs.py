@@ -61,3 +61,67 @@ def test_semdedup_scaled_k_matches_oracle_and_bounds_population(spark):
     for c in got.columns:
         want[c] = want[c].astype(got[c].dtype)
     pd.testing.assert_frame_equal(got[sorted(got.columns)], want[sorted(want.columns)])
+
+
+def test_semdedup_pair_dots_bit_exact_vs_sequential_fold():
+    """The r13 rank-1-update kernel must emit the IDENTICAL doubles as
+    a per-pair sequential left-fold (the r11 JVM plan's accumulation
+    order), for both a same-block group (id_b > id_a dedup) and a
+    cross-block group (full |A|x|B| grid), plus the empty-side edge."""
+    import numpy as np
+
+    from levi_spark.queries import _semdedup_pair_dots
+
+    rng = np.random.default_rng(7)
+    pop, dim = 37, 64
+    ids = np.concatenate(
+        [np.arange(pop, dtype=np.int64) * 3,
+         np.arange(pop, dtype=np.int64) * 3 + 1]
+    )
+    vecs = [rng.standard_normal(dim) for _ in range(2 * pop)]
+
+    def group(p, q):
+        return pd.DataFrame(
+            {"__side": np.repeat([0, 1], pop), "vec_id": ids, "v": vecs,
+             "__n": rng.random(2 * pop) + 0.5, "__p": p, "__q": q}
+        )
+
+    def reference(pdf):
+        A = pdf[pdf["__side"] == 0]
+        B = pdf[pdf["__side"] == 1]
+        rows = []
+        for _, ra in A.iterrows():
+            for _, rb in B.iterrows():
+                if (int(pdf["__p"].iloc[0]) == int(pdf["__q"].iloc[0])
+                        and not rb["vec_id"] > ra["vec_id"]):
+                    continue
+                acc = 0.0  # plain Python floats: the JVM fold order
+                for x, y in zip(ra["v"], rb["v"]):
+                    acc += float(x) * float(y)
+                rows.append(
+                    (max(ra["vec_id"], rb["vec_id"]),
+                     min(ra["vec_id"], rb["vec_id"]),
+                     acc, float(ra["__n"]) * float(rb["__n"]))
+                )
+        return pd.DataFrame(
+            rows, columns=["vec_id", "__lo", "__dot", "__nn"]
+        )
+
+    for p, q in ((0, 0), (0, 1)):
+        pdf = group(p, q)
+        got = (_semdedup_pair_dots(pdf)
+               .sort_values(["vec_id", "__lo"]).reset_index(drop=True))
+        want = (reference(pdf)
+                .sort_values(["vec_id", "__lo"]).reset_index(drop=True))
+        assert len(got) == len(want) > 0
+        assert (got["vec_id"].values == want["vec_id"].values).all()
+        assert (got["__lo"].values == want["__lo"].values).all()
+        # bit-exact, not approx: the whole point of the kernel contract
+        assert np.array_equal(got["__dot"].values, want["__dot"].values)
+        assert np.array_equal(got["__nn"].values, want["__nn"].values)
+
+    empty = group(0, 0)[lambda d: d["__side"] == 0]
+    out = _semdedup_pair_dots(empty)
+    assert len(out) == 0 and list(out.columns) == [
+        "vec_id", "__lo", "__dot", "__nn"
+    ]

@@ -32,11 +32,20 @@ GATES = [
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument(
+        "--master", default=None,
+        help="e.g. local-cluster[2,16,8192] for the multi-JVM witness "
+             "(VERDICT r12 ask #8); default: get_spark's local[cpus]",
+    )
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark(app_name="levi-ab-fanout")
+    if args.master and args.master.startswith("local-cluster"):
+        # executor JVMs spawn their own Python workers; pin the exact
+        # interpreter (same as tools/local_cluster_window.py)
+        os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+    spark = get_spark(app_name="levi-ab-fanout", master=args.master)
     spark.range(1).count()
 
     names = args.queries or GATES
