@@ -15553,12 +15553,14 @@ def orc_bloom_point_lookup(spark, sf_dir):
     orders = (
         _t(spark, sf_dir, "orders")
         .select("o_orderkey")
-        # capped fan-out (r12 A/B, tools/ab_fanout.py): this gate's map
-        # step is dominated by per-row pure-Python verification loops;
-        # full width measured 10-30% slower than 8-way on local[32]
-        # (memory-bandwidth-bound workers + worse per-partition
-        # amortization). Scale-adaptive below the cap, env-overridable.
-        .repartition(_cpu_fanout(spark, cap=8))
+        # full-width fan-out: the r12 cap-8 predated the table-driven
+        # DEFLATE/RLEv2 decoders — with the per-row decode vectorized,
+        # the r13 A/B (tools/ab_fanout.py) measured full width faster
+        # on BOTH local[32] (1.30 vs 1.49 s) and
+        # local-cluster[2,16,8192] (1.32 vs 1.62 s), so the cap came
+        # off. Width never reaches the output: per-key counts sum
+        # across partitions. Env-overridable (LEVI_CODEC_FANOUT).
+        .repartition(_cpu_fanout(spark))
     )
 
     def probe(batches):
