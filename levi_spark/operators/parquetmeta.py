@@ -653,17 +653,23 @@ def _open_column(data: bytes, column: str):
     return footer, types[column]
 
 
-def read_column(path: str, column: str) -> list:
+def read_column(path: str, column: str,
+                row_groups: list[int] | None = None) -> list:
     """Read one flat column of a parquet FILE from first principles
     (see :func:`read_column_bytes`)."""
     with open(path, "rb") as f:
-        return read_column_bytes(f.read(), column)
+        return read_column_bytes(f.read(), column, row_groups)
 
 
-def read_column_bytes(data: bytes, column: str) -> list:
+def read_column_bytes(data: bytes, column: str,
+                      row_groups: list[int] | None = None) -> list:
     """Read one FLAT column of an in-memory parquet file from first
     principles: footer -> column chunk offsets -> PageHeader thrift
-    -> our own codecs -> levels -> values, nulls as None."""
+    -> our own codecs -> levels -> values, nulls as None.
+
+    ``row_groups`` selects a subset of row groups by index (footer
+    order) so callers can parallelize one big file across tasks; the
+    default reads them all."""
     footer, ptype = _open_column(data, column)
     max_def, max_rep = footer["levels"][column]
     if max_rep > 0:
@@ -672,8 +678,11 @@ def read_column_bytes(data: bytes, column: str) -> list:
         )
     tlen = footer["type_lengths"][column]
     utf8 = footer["utf8"][column]
+    groups = footer["row_groups"]
+    if row_groups is not None:
+        groups = [groups[i] for i in row_groups]
     out: list = []
-    for g in footer["row_groups"]:
+    for g in groups:
         chunk = next(c for c in g["columns"] if c["path"] == column)
         for defs, _reps, vals in _iter_pages(
             data, chunk, ptype, max_def, max_rep, tlen, utf8

@@ -4513,7 +4513,10 @@ FROM ex
 """
 
 
-def _cpu_fanout(spark, cap=None):
+_FANOUT_BYTES_PER_TASK = 2 << 20  # 2 MiB of source parquet per task
+
+
+def _cpu_fanout(spark, cap=None, input_bytes=None):
     """Partition width for CPU-bound in-map codec work: every core by
     default (scale-adaptive — tracks the cluster's total cores, not a
     constant tuned for either local mode or production), overridable
@@ -4523,18 +4526,52 @@ def _cpu_fanout(spark, cap=None):
 
     ``cap`` bounds the width for gates whose map step is dominated by
     per-row pure-Python verification loops rather than vectorized
-    encode work: the r12 same-session A/B (tools/ab_fanout.py,
-    OPTIMIZATION_r12.md) measured those gates 10-30% SLOWER at full
-    width on local[32] — concurrent Python workers beyond ~8 fight
-    for memory bandwidth while each partition's fixed encode/footer
-    cost amortizes worse. The cap is a measured per-operator property
-    of the map function, not a cluster constant, and the env override
-    still wins for production tuning."""
+    encode work: at SMALL inputs the r12 same-session A/B
+    (tools/ab_fanout.py, OPTIMIZATION_r12.md) measured those gates
+    10-30% slower at full width on local[32] — concurrent Python
+    workers beyond ~8 fight for memory bandwidth while each
+    partition's fixed encode/footer cost amortizes worse.
+
+    The cap is a SMALL-INPUT property, so it yields to data size:
+    when ``input_bytes`` says the capped width would hand each task
+    more than ``_FANOUT_BYTES_PER_TASK`` of source data, width grows
+    with the input (up to every core). Measured at the 100x tier
+    (r13, tools/ab_fanout_scale.py, /tmp/levi_sf10): cap-8 left 3/4
+    of local[32] idle and cost 2.6x on parquet_nested_read, 3.2x on
+    parquet_bloom_point_lookup, 1.46x on parquet_column_read vs full
+    width — a constant cap is exactly the local-mode-tuned constant
+    the scale rule forbids."""
     import os as _os
 
     v = _os.environ.get("LEVI_CODEC_FANOUT")
-    n = int(v) if v else spark.sparkContext.defaultParallelism
+    if v:
+        # explicit override wins outright — including over a cap, or
+        # neither measurement (tools/ab_fanout*.py) nor production
+        # tuning could ever test a capped gate at any other width
+        return int(v)
+    n = spark.sparkContext.defaultParallelism
+    if cap and input_bytes:
+        need = -(-int(input_bytes) // _FANOUT_BYTES_PER_TASK)  # ceil
+        if need > cap:
+            return max(cap, min(n, need))
     return min(n, cap) if cap else n
+
+
+def _table_bytes(sf_dir, name):
+    """Best-effort on-disk bytes of one backing table
+    (``{sf_dir}/{name}.parquet``, file or directory) for fan-out
+    sizing. Returns None for non-local URIs — callers keep their
+    small-input cap, which only costs parallelism, never
+    correctness."""
+    import os as _os
+
+    try:
+        from levi_spark.session import dir_bytes
+
+        p = _os.path.join(sf_dir, f"{name}.parquet")
+        return dir_bytes(p) or None
+    except (OSError, ValueError):
+        return None
 
 
 def _docs_parallel(spark, sf_dir):
@@ -14214,12 +14251,14 @@ def parquet_column_read(spark, sf_dir):
             ).alias("price"),
             "o_orderpriority",
         )
-        # capped fan-out (r12 A/B, tools/ab_fanout.py): this gate's map
-        # step is dominated by per-row pure-Python verification loops;
-        # full width measured 10-30% slower than 8-way on local[32]
-        # (memory-bandwidth-bound workers + worse per-partition
-        # amortization). Scale-adaptive below the cap, env-overridable.
-        .repartition(_cpu_fanout(spark, cap=8))
+        # small-input-capped, size-adaptive fan-out (see _cpu_fanout):
+        # cap-8 wins at bench scale (r12 A/B — per-row Python work is
+        # memory-bandwidth-bound and per-partition fixed cost
+        # amortizes worse wide), but the cap yields to input size: the
+        # r13 100x-tier A/B (tools/ab_fanout_scale.py) measured cap-8
+        # costing 1.2-3.2x vs full width there. Env-overridable.
+        .repartition(_cpu_fanout(spark, cap=8,
+                                 input_bytes=_table_bytes(sf_dir, "orders")))
     )
 
     def roundtrip(batches):
@@ -14293,20 +14332,34 @@ def parquet_column_read(spark, sf_dir):
     # snappy). The union-distinct with the gzip round-trip branch IS
     # the check: if the two reads disagree on any field, two rows
     # survive and the driver's row-count gate fails.
+    #
+    # Parallelized by ROW GROUP (r13): the branch used to decode the
+    # whole file in ONE task, a serial leg that grew linearly with
+    # data (~60 s of the gate at the 100x tier). The driver
+    # enumerates row groups from the footer tail (metadata-only
+    # read), each task decodes its own groups — exactly what a real
+    # engine's parquet split planning does — and the integer partials
+    # aggregate to the same row (one final divide, identical
+    # expressions to the gzip branch). One row group at the driver's
+    # bench SFs, so the bench-scale plan is unchanged there.
     import os as _os
 
+    from levi_spark.operators.parquetmeta import read_footer
+
+    real_path = _os.path.join(sf_dir, "orders.parquet")
+    n_rg = len(read_footer(real_path)["row_groups"])
     real = spark.createDataFrame(
-        [(_os.path.join(sf_dir, "orders.parquet"),)], "path string"
-    ).repartition(1)
+        [(real_path, i) for i in range(n_rg)], "path string, rg int"
+    ).repartition(min(n_rg, _cpu_fanout(spark)))
 
     def from_real_file(batches):
         from levi_spark.operators.parquetmeta import read_column
 
         for pdf in batches:
-            for path in pdf["path"]:
-                ks = read_column(path, "o_orderkey")
-                ps = read_column(path, "o_totalprice")
-                ss = read_column(path, "o_orderpriority")
+            for path, rg in zip(pdf["path"], pdf["rg"]):
+                ks = read_column(path, "o_orderkey", [int(rg)])
+                ps = read_column(path, "o_totalprice", [int(rg)])
+                ss = read_column(path, "o_orderpriority", [int(rg)])
                 yield pd.DataFrame(
                     {
                         "n_rows": [len(ks)],
@@ -14314,13 +14367,12 @@ def parquet_column_read(spark, sf_dir):
                         "n_null_price": [
                             sum(1 for k in ks if k % 7 == 0)
                         ],
-                        "sum_price": [
+                        "sum_price_q": [
                             sum(
                                 int(v * 10000 + 0.5)
                                 for k, v in zip(ks, ps)
                                 if k % 7 != 0
                             )
-                            / 10000.0
                         ],
                         "prio_chars": [sum(len(s) for s in ss)],
                     }
@@ -14329,7 +14381,13 @@ def parquet_column_read(spark, sf_dir):
     real_branch = real.mapInPandas(
         from_real_file,
         "n_rows long, sum_key long, n_null_price long, "
-        "sum_price double, prio_chars long",
+        "sum_price_q long, prio_chars long",
+    ).agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("sum_key").alias("sum_key"),
+        F.sum("n_null_price").alias("n_null_price"),
+        (F.sum("sum_price_q").cast("double") / 10000.0).alias("sum_price"),
+        F.sum("prio_chars").alias("prio_chars"),
     )
     return gzip_branch.unionByName(real_branch).distinct()
 
@@ -14387,12 +14445,14 @@ def orc_column_read(spark, sf_dir):
             ).alias("price"),
             "o_orderpriority",
         )
-        # capped fan-out (r12 A/B, tools/ab_fanout.py): this gate's map
-        # step is dominated by per-row pure-Python verification loops;
-        # full width measured 10-30% slower than 8-way on local[32]
-        # (memory-bandwidth-bound workers + worse per-partition
-        # amortization). Scale-adaptive below the cap, env-overridable.
-        .repartition(_cpu_fanout(spark, cap=8))
+        # small-input-capped, size-adaptive fan-out (see _cpu_fanout):
+        # cap-8 wins at bench scale (r12 A/B — per-row Python work is
+        # memory-bandwidth-bound and per-partition fixed cost
+        # amortizes worse wide), but the cap yields to input size: the
+        # r13 100x-tier A/B (tools/ab_fanout_scale.py) measured cap-8
+        # costing 1.2-3.2x vs full width there. Env-overridable.
+        .repartition(_cpu_fanout(spark, cap=8,
+                                 input_bytes=_table_bytes(sf_dir, "orders")))
     )
 
     cols = ("n_rows long, sum_key long, n_null_price long, "
@@ -14480,6 +14540,8 @@ def orc_column_read(spark, sf_dir):
         )
 
         pdfs = [p for p in batches if len(p)]
+        if not pdfs:  # range partitioning may leave a partition empty
+            return
         pdf = pd.concat(pdfs).sort_values("o_orderkey").reset_index(
             drop=True
         )
@@ -14519,11 +14581,37 @@ def orc_column_read(spark, sf_dir):
         # same blob — reuse it instead of decoding the column twice
         got = [ks] + [read_column_bytes(blob, c)
                       for c in ("price", "prio", "d", "ts")]
-        out = _verify_and_stats(got, t)
-        out["sum_price"] = out["sum_price"].astype("float64") / 10000.0
-        yield out
+        yield _verify_and_stats(got, t)
 
-    pruning = orders.repartition(1).mapInPandas(pruned_sorted, cols)
+    # The pruning leg used to be ONE task over the whole table — a
+    # serial Python decode that grew linearly with data while the
+    # codec-matrix leg fanned out (the 100x tier measured it at
+    # ~3 min of the gate's ~3.1 min). Range-partitioning by key keeps
+    # every per-file witness intact — each task writes ITS OWN sorted
+    # multi-stripe file, plans a low slice of ITS key range, decodes
+    # the pruned stripes — and the partial stats aggregate with
+    # exactly the matrix leg's expressions, so the union-distinct
+    # equality check is unchanged (integer partials, one final
+    # divide). Width grows with input size, 1 at tiny SFs as before.
+    pwidth = _cpu_fanout(
+        spark, cap=1, input_bytes=_table_bytes(sf_dir, "orders")
+    )
+    pruning = (
+        orders.repartitionByRange(pwidth, "o_orderkey")
+        .mapInPandas(pruned_sorted, cols)
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("sum_key").alias("sum_key"),
+            F.sum("n_null_price").alias("n_null_price"),
+            (F.sum("sum_price").cast("double") / 10000.0).alias(
+                "sum_price"
+            ),
+            F.sum("prio_chars").alias("prio_chars"),
+            F.sum("sum_days").alias("sum_days"),
+            F.sum("sum_ts_secs").alias("sum_ts_secs"),
+            F.sum("sum_ts_micros").alias("sum_ts_micros"),
+        )
+    )
     return matrix.unionByName(pruning).distinct()
 
 
@@ -14902,12 +14990,15 @@ def parquet_nested_read(spark, sf_dir):
     emb = (
         _t(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
-        # capped fan-out (r12 A/B, tools/ab_fanout.py): this gate's map
-        # step is dominated by per-row pure-Python verification loops;
-        # full width measured 10-30% slower than 8-way on local[32]
-        # (memory-bandwidth-bound workers + worse per-partition
-        # amortization). Scale-adaptive below the cap, env-overridable.
-        .repartition(_cpu_fanout(spark, cap=8))
+        # small-input-capped, size-adaptive fan-out (see _cpu_fanout):
+        # cap-8 wins at bench scale (r12 A/B — per-row Python work is
+        # memory-bandwidth-bound and per-partition fixed cost
+        # amortizes worse wide), but the cap yields to input size: the
+        # r13 100x-tier A/B (tools/ab_fanout_scale.py) measured cap-8
+        # costing 1.2-3.2x vs full width there. Env-overridable.
+        .repartition(_cpu_fanout(spark, cap=8,
+                                 input_bytes=_table_bytes(sf_dir,
+                                                          "embeddings")))
     )
 
     def q(v):  # shared quantizer: round-half-up at 1e6
@@ -15015,12 +15106,14 @@ def parquet_prune_scan(spark, sf_dir):
     orders = (
         _t(spark, sf_dir, "orders")
         .select("o_orderkey", "o_totalprice")
-        # capped fan-out (r12 A/B, tools/ab_fanout.py): this gate's map
-        # step is dominated by per-row pure-Python verification loops;
-        # full width measured 10-30% slower than 8-way on local[32]
-        # (memory-bandwidth-bound workers + worse per-partition
-        # amortization). Scale-adaptive below the cap, env-overridable.
-        .repartition(_cpu_fanout(spark, cap=8))
+        # small-input-capped, size-adaptive fan-out (see _cpu_fanout):
+        # cap-8 wins at bench scale (r12 A/B — per-row Python work is
+        # memory-bandwidth-bound and per-partition fixed cost
+        # amortizes worse wide), but the cap yields to input size: the
+        # r13 100x-tier A/B (tools/ab_fanout_scale.py) measured cap-8
+        # costing 1.2-3.2x vs full width there. Env-overridable.
+        .repartition(_cpu_fanout(spark, cap=8,
+                                 input_bytes=_table_bytes(sf_dir, "orders")))
     )
 
     def plan_and_scan(batches):
@@ -15686,12 +15779,14 @@ def parquet_bloom_point_lookup(spark, sf_dir):
     orders = (
         _t(spark, sf_dir, "orders")
         .select("o_orderkey")
-        # capped fan-out (r12 A/B, tools/ab_fanout.py): this gate's map
-        # step is dominated by per-row pure-Python verification loops;
-        # full width measured 10-30% slower than 8-way on local[32]
-        # (memory-bandwidth-bound workers + worse per-partition
-        # amortization). Scale-adaptive below the cap, env-overridable.
-        .repartition(_cpu_fanout(spark, cap=8))
+        # small-input-capped, size-adaptive fan-out (see _cpu_fanout):
+        # cap-8 wins at bench scale (r12 A/B — per-row Python work is
+        # memory-bandwidth-bound and per-partition fixed cost
+        # amortizes worse wide), but the cap yields to input size: the
+        # r13 100x-tier A/B (tools/ab_fanout_scale.py) measured cap-8
+        # costing 1.2-3.2x vs full width there. Env-overridable.
+        .repartition(_cpu_fanout(spark, cap=8,
+                                 input_bytes=_table_bytes(sf_dir, "orders")))
     )
 
     def probe(batches):

@@ -148,6 +148,37 @@ def test_first_principles_column_read(tmp_path, codec):
         assert read_column(p, col) == t.column(col).to_pylist()
 
 
+def test_row_group_subset_read(tmp_path):
+    """read_column(row_groups=[...]) — the per-task split selector the
+    parallelized real-file branch of parquet_column_read rides — must
+    equal the matching slice of the full read, cover the file when
+    the per-group slices concatenate, and preserve footer order even
+    when indices are requested out of order."""
+    from levi_spark.operators.parquetmeta import read_column, read_footer
+
+    vals = list(range(10)) + [None, 11, 12]
+    t = pa.table({"k": pa.array(vals, pa.int64()),
+                  "s": pa.array([f"v{v}" for v in vals], pa.utf8())})
+    p = str(tmp_path / "rg.parquet")
+    pq.write_table(t, p, compression="snappy", row_group_size=4)
+    groups = read_footer(p)["row_groups"]
+    assert len(groups) == 4
+    full = read_column(p, "k")
+    assert full == vals
+    at = 0
+    pieces = []
+    for i, g in enumerate(groups):
+        part = read_column(p, "k", [i])
+        assert part == full[at:at + g["num_rows"]]
+        at += g["num_rows"]
+        pieces.extend(part)
+    assert pieces == full
+    # multi-group subsets decode in the order given
+    assert read_column(p, "s", [2, 0]) == (
+        read_column(p, "s", [2]) + read_column(p, "s", [0])
+    )
+
+
 def test_snappy_and_dictionary_reads(tmp_path):
     """SNAPPY chunks (our block decoder) and RLE_DICTIONARY pages —
     parquet's defaults — now read from first principles, including

@@ -719,3 +719,36 @@ def test_round10_parquet_gates_single_rollup(spark):
         assert "Join" not in plan, fn.__name__
         n_ex = len(_re.findall(r"Exchange ", plan))
         assert n_ex <= 2, f"{fn.__name__}: {n_ex} exchanges\n{plan}"
+
+
+def test_cpu_fanout_cap_is_size_adaptive(spark, monkeypatch):
+    """The codec-gate fan-out cap is a SMALL-INPUT property: an
+    explicit LEVI_CODEC_FANOUT always wins (even over a cap — without
+    that, capped gates could never be A/B'd at another width), the
+    cap holds at small inputs, and it yields once the capped width
+    would hand each task more than the per-task byte budget (the r13
+    100x-tier measurement: a constant cap cost up to 3.2x there)."""
+    from levi_spark.queries import _FANOUT_BYTES_PER_TASK, _cpu_fanout
+
+    cores = spark.sparkContext.defaultParallelism
+
+    monkeypatch.setenv("LEVI_CODEC_FANOUT", "13")
+    assert _cpu_fanout(spark) == 13
+    assert _cpu_fanout(spark, cap=8) == 13  # override beats the cap
+
+    monkeypatch.delenv("LEVI_CODEC_FANOUT")
+    assert _cpu_fanout(spark) == cores
+    assert _cpu_fanout(spark, cap=8) == min(cores, 8)
+    # small input: the cap holds
+    small = 8 * _FANOUT_BYTES_PER_TASK
+    assert _cpu_fanout(spark, cap=8, input_bytes=small) == min(cores, 8)
+    # big input: width grows with the data, bounded by the cores
+    big = 1000 * _FANOUT_BYTES_PER_TASK
+    assert _cpu_fanout(spark, cap=8, input_bytes=big) == max(
+        min(cores, 8), min(cores, 1000))
+    # in-between: ceil(bytes / per-task budget), never below the cap
+    mid = 12 * _FANOUT_BYTES_PER_TASK + 1
+    assert _cpu_fanout(spark, cap=8, input_bytes=mid) == max(
+        8, min(cores, 13))
+    # unknown size (non-local URI): the cap is kept
+    assert _cpu_fanout(spark, cap=8, input_bytes=None) == min(cores, 8)
