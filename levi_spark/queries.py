@@ -14251,14 +14251,14 @@ def parquet_column_read(spark, sf_dir):
             ).alias("price"),
             "o_orderpriority",
         )
-        # small-input-capped, size-adaptive fan-out (see _cpu_fanout):
-        # cap-8 wins at bench scale (r12 A/B — per-row Python work is
-        # memory-bandwidth-bound and per-partition fixed cost
-        # amortizes worse wide), but the cap yields to input size: the
-        # r13 100x-tier A/B (tools/ab_fanout_scale.py) measured cap-8
-        # costing 1.2-3.2x vs full width there. Env-overridable.
-        .repartition(_cpu_fanout(spark, cap=8,
-                                 input_bytes=_table_bytes(sf_dir, "orders")))
+        # full-width fan-out: the r12 cap-8 predated the table-driven
+        # decoders — the r13 VALID A/B (tools/ab_fanout_scale.py; the
+        # old tools/ab_fanout.py could not raise a capped gate's
+        # width, so its cap-vs-wide deltas compared 8 against 8)
+        # measures full width faster at BOTH sf0.1 (-14%) and the
+        # 100x tier (-31% to -69%). Width never reaches the output:
+        # per-key partials sum across partitions. Env-overridable.
+        .repartition(_cpu_fanout(spark))
     )
 
     def roundtrip(batches):
@@ -15779,14 +15779,14 @@ def parquet_bloom_point_lookup(spark, sf_dir):
     orders = (
         _t(spark, sf_dir, "orders")
         .select("o_orderkey")
-        # small-input-capped, size-adaptive fan-out (see _cpu_fanout):
-        # cap-8 wins at bench scale (r12 A/B — per-row Python work is
-        # memory-bandwidth-bound and per-partition fixed cost
-        # amortizes worse wide), but the cap yields to input size: the
-        # r13 100x-tier A/B (tools/ab_fanout_scale.py) measured cap-8
-        # costing 1.2-3.2x vs full width there. Env-overridable.
-        .repartition(_cpu_fanout(spark, cap=8,
-                                 input_bytes=_table_bytes(sf_dir, "orders")))
+        # full-width fan-out: the r12 cap-8 predated the table-driven
+        # decoders — the r13 VALID A/B (tools/ab_fanout_scale.py; the
+        # old tools/ab_fanout.py could not raise a capped gate's
+        # width, so its cap-vs-wide deltas compared 8 against 8)
+        # measures full width faster at BOTH sf0.1 (-14%) and the
+        # 100x tier (-31% to -69%). Width never reaches the output:
+        # per-key partials sum across partitions. Env-overridable.
+        .repartition(_cpu_fanout(spark))
     )
 
     def probe(batches):
